@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Schemas
+
+/** The flagship pipeline: raw swell payloads → staged hourly rows →
+  * daily per-location arg-max → presentation contract table.
+  *
+  * Re-expresses the reference's three dbt models
+  * (`dbt/models/staging/stg_open_meteo__swell_data.sql`,
+  * `intermediate/int_open_meteo__max_swell_per_day.sql`,
+  * `presentation/pres_open_meteo__daily_max_swell.sql`) as pure
+  * `DataFrame => DataFrame` functions. Because each layer is a lazy plan,
+  * composing them hands Catalyst ONE logical tree — the same whole-pipeline
+  * optimization DuckDB gets from view inlining (SURVEY.md §3 EP2).
+  *
+  * Scale posture: the only shuffle in the composed plan is the window's
+  * `hashpartitioning(dt, location)`. At 100 TB the raw table is partitioned
+  * by (ingest_date, location) on disk, so a day's recompute prunes to one
+  * partition; the explode is narrow (no shuffle); the arg-max shuffles
+  * already-projected hourly rows only.
+  */
+object SwellPipeline {
+
+  /** Staging (`stg...sql`): parse the JSON payload with an explicit schema,
+    * zip the 7 parallel arrays, explode once, cast types.
+    *
+    * The reference probes each array per index with
+    * `json_extract_string(j, printf('$[%d]', i))` over a
+    * `generate_series` lateral join (`stg...sql:25-36`) — O(n²) string
+    * probing. `arrays_zip` + `explode` is the linear, typed Spark form.
+    */
+  def stage(raw: DataFrame): DataFrame = {
+    val parsed = raw.withColumn(
+      "p",
+      from_json(
+        col("data"), Schemas.payload,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record"))
+    )
+    // Dead-letter: malformed payloads (or ones missing $.hourly.time) drop
+    // out here rather than poisoning downstream casts (stg...sql keeps only
+    // parseable rows implicitly; we make it explicit).
+    val ok = parsed.where(col("p._corrupt_record").isNull &&
+      col("p.hourly.time").isNotNull)
+    val zipped = ok.withColumn(
+      "h",
+      explode(arrays_zip(
+        col("p.hourly.time").as("time") +:
+          Schemas.metricNames.map(m => col(s"p.hourly.$m").as(m)): _*))
+    )
+    zipped.select(
+      to_timestamp(col("h.time"), "yyyy-MM-dd'T'HH:mm").as("timestamp") +:
+        col("location") +:
+        Schemas.metricNames.map(m => col(s"h.$m").as(m)): _*
+    ).withColumn("dt", to_date(col("timestamp")))
+  }
+
+  /** Intermediate (`int...sql:10-30`): per (dt, location) keep the hourly
+    * row with max swell height; ties broken by latest timestamp
+    * (`int...sql:15` orders `swell_wave_height desc, timestamp desc`).
+    *
+    * Window + `rn = 1` (not bare `max`) so tie-break semantics match the
+    * reference / DuckDB oracle exactly. Spark ≥3.5's
+    * `InferWindowGroupLimit` rewrites this to a per-partition top-1 below
+    * the sort, so it does NOT materialize full sorted groups at scale.
+    */
+  def dailyMax(staged: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col("dt"), col("location"))
+      .orderBy(col("swell_wave_height").desc, col("timestamp").desc)
+    staged
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+  }
+
+  /** Presentation (`pres...sql:10-20`): passthrough projection — the
+    * external data contract (`README.md:37`).
+    */
+  def present(daily: DataFrame): DataFrame =
+    daily.select(Schemas.staged.fieldNames.map(col).toSeq: _*)
+
+  /** The whole pipeline as one lazy plan. */
+  def full(raw: DataFrame): DataFrame = present(dailyMax(stage(raw)))
+
+  // -------- Layered materialization (S4, S6–S9, O1–O6) --------
+
+  /** dbt's `not_null` schema tests on the int model
+    * (`_int_open_meteo.yml:10-16`), enforced at materialization time.
+    */
+  def requireNotNull(df: DataFrame, cols: Seq[String]): Unit = {
+    val bad = df.where(cols.map(col(_).isNull).reduce(_ || _)).limit(1).count()
+    require(bad == 0, s"not_null violated on ${cols.mkString(",")}")
+  }
+
+  /** Bootstrap the layered catalog namespaces — Spark databases replace the
+    * reference's two-file DuckDB ATTACH topology (`profiles.yml:5-11`).
+    * Idempotent, like the reference's `CREATE ... IF NOT EXISTS`
+    * (`open_meteo.py:62-71`).
+    */
+  def bootstrap(spark: SparkSession): Unit =
+    Seq("raw", "staging", "intermediate", "presentation")
+      .foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
+
+  /** Materialize the layers the way the reference does: stg + int as views
+    * (`stg...sql:4`, `int...sql:2` — logical only, no copy), presentation
+    * as a physically rebuilt table (`pres...sql:2`). Re-runs are
+    * idempotent: raw appends + derived overwrite (SURVEY.md §2.4 O6).
+    */
+  def runAll(spark: SparkSession): DataFrame = {
+    bootstrap(spark)
+    val raw = spark.table("raw.swell_data")
+    val staged = stage(raw)
+    staged.createOrReplaceTempView("stg_swell_data")
+    val daily = dailyMax(spark.table("stg_swell_data"))
+    daily.createOrReplaceTempView("int_max_swell_per_day")
+    val pres = present(spark.table("int_max_swell_per_day"))
+    requireNotNull(pres, Seq("dt", "location"))
+    pres.write.mode(SaveMode.Overwrite)
+      .saveAsTable("presentation.daily_max_swell")
+    spark.table("presentation.daily_max_swell")
+  }
+}

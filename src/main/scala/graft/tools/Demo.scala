@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.{Row, SparkSession}
+import graft.model.Schemas
+import graft.pipeline.SwellPipeline
+import graft.ingest.{FixtureFetcher, Ingest}
+import java.sql.Timestamp
+
+/** Scratch driver: exercise the swell pipeline end-to-end from the public
+  * API (ingest → layered materialization → contract table).
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-demo-warehouse")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val payload =
+      """{"latitude":33.1505,"longitude":-117.3483,"timezone":"America/Los_Angeles",
+        |"hourly":{"time":["2026-08-10T00:00","2026-08-10T01:00","2026-08-11T00:00"],
+        |"wave_height":[1.2,1.4,0.9],"wave_direction":[270.0,275.0,180.0],
+        |"wind_wave_direction":[260.0,265.0,170.0],"swell_wave_height":[1.1,1.1,0.8],
+        |"swell_wave_direction":[250.0,255.0,160.0],"swell_wave_period":[14.0,15.0,9.0]}}"""
+        .stripMargin.replace("\n", "")
+
+    println("== ingest run 1 ==")
+    println(Ingest.run(spark, new FixtureFetcher(_ => payload)))
+    println("== ingest run 2 (appends; pipeline must stay idempotent) ==")
+    println(Ingest.run(spark, new FixtureFetcher(_ => payload)))
+    println("== raw table ==")
+    spark.table("raw.swell_data").show(3, 60)
+
+    // probe: corrupt payload appended directly to raw
+    val corrupt = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(Timestamp.valueOf("2026-08-12 01:00:00"), "Tamarack", "{broken")), 1),
+      Schemas.raw)
+    Ingest.append(spark, corrupt)
+
+    println("== presentation.daily_max_swell ==")
+    val pres = SwellPipeline.runAll(spark)
+    pres.orderBy("dt", "location").show(20)
+    println("== physical plan of the composed pipeline ==")
+    SwellPipeline.full(spark.table("raw.swell_data")).explain("formatted")
+    spark.stop()
+  }
+}

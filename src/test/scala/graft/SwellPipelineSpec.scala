@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.model.{Location, Schemas}
+import graft.pipeline.SwellPipeline
+import graft.ingest.{FixtureFetcher, Ingest}
+import java.sql.{Date, Timestamp}
+
+/** Flagship pipeline spec over the FIXTURES.md §2 payload: 3 hourly rows,
+  * a swell-height tie on 2026-08-10 broken by latest timestamp.
+  */
+class SwellPipelineSpec extends SparkSuite {
+
+  val payload: String =
+    """{"latitude": 33.1505, "longitude": -117.3483,
+      |"timezone": "America/Los_Angeles",
+      |"hourly_units": {"time": "iso8601", "wave_height": "m"},
+      |"hourly": {
+      |  "time": ["2026-08-10T00:00", "2026-08-10T01:00", "2026-08-11T00:00"],
+      |  "wave_height":          [1.2, 1.4, 0.9],
+      |  "wave_direction":       [270.0, 275.0, 180.0],
+      |  "wind_wave_direction":  [260.0, 265.0, 170.0],
+      |  "swell_wave_height":    [1.1, 1.1, 0.8],
+      |  "swell_wave_direction": [250.0, 255.0, 160.0],
+      |  "swell_wave_period":    [14.0, 15.0, 9.0]
+      |}}""".stripMargin
+
+  def rawDf(rows: Seq[(String, String, String)]) = {
+    val data = rows.map { case (ts, loc, d) =>
+      Row(Timestamp.valueOf(ts), loc, d)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 1), Schemas.raw)
+  }
+
+  test("stage explodes 7 parallel arrays into typed hourly rows") {
+    val staged = SwellPipeline.stage(
+      rawDf(Seq(("2026-08-12 00:00:00", "Tamarack", payload))))
+    assert(staged.schema.fieldNames.toSeq ==
+      Schemas.staged.fieldNames.toSeq)
+    val rows = staged.orderBy("timestamp").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Timestamp]("timestamp") ==
+      Timestamp.valueOf("2026-08-10 00:00:00"))
+    assert(rows(1).getAs[Double]("wave_height") == 1.4)
+    assert(rows(2).getAs[Date]("dt") == Date.valueOf("2026-08-11"))
+  }
+
+  test("stage handles empty arrays, null elements, corrupt JSON") {
+    val empty = """{"hourly": {"time": [], "wave_height": [],
+      |"wave_direction": [], "wind_wave_direction": [],
+      |"swell_wave_height": [], "swell_wave_direction": [],
+      |"swell_wave_period": []}}""".stripMargin
+    val nulls = """{"hourly": {"time": ["2026-08-10T05:00"],
+      |"wave_height": [null], "wave_direction": [1.0],
+      |"wind_wave_direction": [2.0], "swell_wave_height": [3.0],
+      |"swell_wave_direction": [4.0], "swell_wave_period": [5.0]}}""".stripMargin
+    val staged = SwellPipeline.stage(rawDf(Seq(
+      ("2026-08-12 00:00:00", "A", empty),
+      ("2026-08-12 00:00:00", "B", nulls),
+      ("2026-08-12 00:00:00", "C", "not json at all"))))
+    val rows = staged.collect()
+    assert(rows.length == 1) // empty → 0 rows; corrupt → dead-lettered
+    assert(rows(0).getString(1) == "B")
+    assert(rows(0).isNullAt(2)) // null metric survives as null double
+    assert(rows(0).getAs[Double]("swell_wave_height") == 3.0)
+  }
+
+  test("dailyMax keeps max swell per (dt, location), tie → latest hour") {
+    val daily = SwellPipeline.full(
+      rawDf(Seq(("2026-08-12 00:00:00", "Tamarack", payload))))
+      .orderBy("dt").collect()
+    assert(daily.length == 2)
+    // 2026-08-10: swell tie 1.1 @ 00:00 and 01:00 → latest (01:00) wins
+    assert(daily(0).getAs[Timestamp]("timestamp") ==
+      Timestamp.valueOf("2026-08-10 01:00:00"))
+    assert(daily(0).getAs[Double]("swell_wave_period") == 15.0)
+    assert(daily(1).getAs[Timestamp]("timestamp") ==
+      Timestamp.valueOf("2026-08-11 00:00:00"))
+  }
+
+  test("re-ingesting a day stays idempotent: one winner per (dt, location)") {
+    val twice = rawDf(Seq(
+      ("2026-08-12 00:00:00", "Tamarack", payload),
+      ("2026-08-13 00:00:00", "Tamarack", payload)))
+    val daily = SwellPipeline.full(twice).collect()
+    assert(daily.length == 2)
+  }
+
+  test("end-to-end: ingest appends raw rows, runAll materializes contract") {
+    import spark.implicits._
+    val fetcher = new FixtureFetcher(_ => payload)
+    val res = Ingest.run(spark, fetcher)
+    assert(res.map(_.rows).sum == 3)
+    Ingest.run(spark, fetcher) // append-only: second run adds 3 more
+    assert(spark.table("raw.swell_data").count() == 6)
+    val pres = SwellPipeline.runAll(spark)
+    // 3 locations × 2 days, dedup'd across the two ingest runs
+    assert(pres.count() == 6)
+    assert(spark.table("presentation.daily_max_swell")
+      .where($"dt".isNull || $"location".isNull).count() == 0)
+  }
+}
