@@ -1,13 +1,29 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.queries.{ExtensionQueries, ParityQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries live in graft.queries.ParityQueries (reference operator
+  * inventory, SURVEY.md §2) and graft.queries.ExtensionQueries
+  * (training-data pipeline: dedup / similarity / text / multimodal).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's core shape (`int_open_meteo__max_swell_per_day.sql`):
+    * per-group arg-max via ranking window, mapped onto the events table.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_argmax_daily")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ParityQueries.queries ++ ExtensionQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for hash-based operators
+    * (xxhash64 MinHash/SimHash/LSH, HLL sketches) → rows-only check;
+    * those are correctness-tested in ScalaTest with constructed inputs. */
+  def oracleSql: Map[String, String] =
+    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql
 }

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, as a 100 TB pipeline needs:
+  *  - `bruteForceTopK` — exact cosine top-k. The corpus side streams
+  *    (narrow scan), the query side broadcasts; per-partition top-k via
+  *    window. Right answer when queries are few or recall must be 1.0.
+  *  - `lshTopK` — sign-random-projection LSH: bucket both sides on
+  *    hyperplane sign bits (an equality join on a small key), rank only
+  *    within buckets across L tables. Turns the O(|Q|·|C|) score matrix
+  *    into O(collisions); the standard scale path when |Q| is large.
+  */
+object Similarity {
+
+  /** Exact top-k by cosine: broadcast the (small) query side, score every
+    * corpus row, keep k per query with a deterministic tie-break.
+    * The window's partial `WindowGroupLimit` keeps per-partition state at
+    * k rows, so nothing near the corpus size is ever sorted globally.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("id").as("qa"), col("vec").as("qv")))
+    val c = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("cos").desc, col("vb"))
+    q.join(c, col("qa") =!= col("vb"))
+      .select(col("qa"), col("vb"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .drop("qv", "cv")
+  }
+
+  /** Deterministic hyperplanes: `planes` × dim gaussians from a fixed
+    * seed, shipped as a literal (they're tiny).
+    */
+  private def hyperplanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(planes, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit bucket id for each vector: bit p = (vec · plane_p) >= 0. */
+  def signBuckets(df: DataFrame, vec: Column, planes: Int,
+                  dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val hp = hyperplanes(planes, dim, seed)
+    val bucket = (0 until planes).map { p =>
+      val plane = lit(hp(p))
+      val d = foldSum(zip_with(vec, plane, (x, y) => x.cast("double") * y))
+      when(d >= 0.0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+
+  /** Approximate top-k: L independent hash tables of `planes` sign bits;
+    * candidates = bucket collisions in any table; exact cosine re-rank on
+    * candidates only. `multiprobe = 1` additionally probes every 1-bit-
+    * flip neighbor of the query's bucket — the standard recall fix when
+    * the corpus lacks cluster structure, at (planes+1)× the bucket
+    * lookups but zero extra corpus-side state.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              planes: Int = 8, tables: Int = 8, multiprobe: Int = 1,
+              dim: Int = 64): DataFrame = {
+    val qs = queries.select(col("id").as("qa"), col("vec").as("qv"))
+    val cs = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+    val tagged = (0 until tables).map { t =>
+      val masks: Seq[Column] =
+        if (multiprobe >= 1)
+          lit(0L) +: (0 until planes).map(p => lit(1L << p))
+        else Seq(lit(0L))
+      val qb = signBuckets(qs, col("qv"), planes, dim, seed = 42L + t * 1000)
+        .withColumn("bucket",
+          explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)))
+        .withColumn("table", lit(t))
+      val cb = signBuckets(cs, col("cv"), planes, dim, seed = 42L + t * 1000)
+        .withColumn("table", lit(t))
+      broadcast(qb).join(cb, Seq("table", "bucket"))
+        .where(col("qa") =!= col("vb"))
+        .select(col("qa"), col("qv"), col("vb"), col("cv"))
+    }.reduce(_ union _).distinct()
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("cos").desc, col("vb"))
+    tagged
+      .select(col("qa"), col("vb"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization
+  * stats, quality scoring, language ID, content fingerprinting.
+  *
+  * All pure Catalyst expressions (split / higher-order functions) — no
+  * UDFs, so they stay inside whole-stage codegen and scale linearly with
+  * input bytes; every operator is a narrow map (no shuffle).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. `split` on a single space matches the oracle's
+    * `string_split(text, ' ')` exactly (no regex collapsing).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Language marker words (tiny deterministic heuristic — the real thing
+    * would be char-n-gram profiles; the *operator shape* is what matters:
+    * a narrow, codegen'd per-row classification).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, x => x.isin(words: _*))).cast("long")
+
+  /** Token/char counts per document. */
+  def withTokenStats(df: DataFrame, text: Column = col("text")): DataFrame =
+    df.withColumn("n_chars_txt", length(text).cast("long"))
+      .withColumn("n_tokens", size(tokens(text)).cast("long"))
+
+  /** Quality signals: token count, stopword count/ratio, mean token
+    * length, and a boolean gate — the usual pre-training heuristics.
+    */
+  def withQuality(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stop", countIn(toks, stopwords))
+      .withColumn("stop_ratio",
+        col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("mean_tok_len",
+        (length(text) - col("n_tokens") + lit(1)).cast("double") /
+          col("n_tokens"))
+      .withColumn("quality_ok",
+        (col("n_tokens") >= 5 && col("n_tokens") <= 100000 &&
+          col("stop_ratio") <= 0.5).cast("int"))
+  }
+
+  /** Deterministic language vote: count marker-word hits per language,
+    * pick the max with a fixed priority order (en > es > de > fr), 'und'
+    * when nothing matches.
+    */
+  def withLangId(df: DataFrame, text: Column = col("text")): DataFrame = {
+    val toks = tokens(text)
+    val votes = langMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
+    val ven = votes("en"); val ves = votes("es")
+    val vde = votes("de"); val vfr = votes("fr")
+    df.withColumn("votes_en", ven).withColumn("votes_es", ves)
+      .withColumn("votes_de", vde).withColumn("votes_fr", vfr)
+      .withColumn("pred_lang",
+        when(ven >= ves && ven >= vde && ven >= vfr && ven > 0, "en")
+          .when(ves >= vde && ves >= vfr && ves > 0, "es")
+          .when(vde >= vfr && vde > 0, "de")
+          .when(vfr > 0, "fr")
+          .otherwise("und"))
+  }
+
+  /** Rolling polynomial content fingerprint:
+    * `h = (h*31 + codepoint) mod 1e9+7` left-folded over the characters.
+    * Oracle-reproducible (DuckDB `list_reduce`) unlike murmur/xxhash, and
+    * still a narrow codegen'd map. Spark's `split(text, '')` keeps a
+    * trailing '' on non-empty input — filtered to match DuckDB's
+    * `string_split(text, '')`.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(
+        filter(split(text, ""), c => c =!= ""),
+        c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31 + c) % 1000000007L)
+}

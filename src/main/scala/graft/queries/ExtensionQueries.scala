@@ -1,0 +1,251 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import ParityQueries.t
+
+/** Training-data-pipeline extensions (dedup, similarity, text analysis,
+  * multimodal), exposed as driver-checkable queries over `documents` /
+  * `embeddings`. Oracle SQL provided wherever DuckDB can reproduce the
+  * computation bit-for-bit; hash-based operators (MinHash/SimHash/LSH,
+  * engine-specific xxhash64) are rows-only checked and verified by
+  * ScalaTest with constructed near-duplicates instead.
+  */
+object ExtensionQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup, group form: content key → surviving id + multiplicity.
+    "x_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(t(s, d, "documents"), col("text"), col("doc_id"))
+        .withColumnRenamed("key", "text")
+        .orderBy(col("keep_id"))),
+
+    // Exact dedup, keep-first form: stable dropDuplicates by content.
+    "x_dedup_keep_first" -> ((s, d) =>
+      Dedup.exactKeepFirst(t(s, d, "documents"), col("text"), col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // Token / char counting.
+    "x_token_stats" -> ((s, d) =>
+      TextAnalysis.withTokenStats(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars_txt"), col("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // Quality scoring (stopword ratio, mean token length, gate).
+    "x_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_tokens"), col("n_stop"),
+          col("stop_ratio"), col("mean_tok_len"), col("quality_ok"))
+        .orderBy(col("doc_id"))),
+
+    // Language ID by marker votes.
+    "x_lang_id" -> ((s, d) =>
+      TextAnalysis.withLangId(t(s, d, "documents"))
+        .select(col("doc_id"), col("votes_en"), col("votes_es"),
+          col("votes_de"), col("votes_fr"), col("pred_lang"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // Rolling-hash document fingerprint (oracle-reproducible polynomial).
+    "x_fingerprint" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // Exact n-gram Jaccard: top-20 most similar pairs (left side bounded
+    // to doc_id < 100 — at scale this is the LSH candidate set).
+    "x_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, leftFilter = col("id") < 100)
+        .orderBy(col("jac").desc, col("da"), col("db"))
+        .limit(20)),
+
+    // Brute-force cosine top-5 for the first 10 vectors (fold-based dot
+    // product → bit-identical to the DuckDB list_reduce oracle).
+    "x_cosine_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(e.where(col("id") < 10), e, k = 5)
+        .select(col("qa"), col("rank"), col("vb"), col("cos"))
+        .orderBy(col("qa"), col("rank"))
+    }),
+
+    // ANN variant: LSH sign-bucket candidates, exact re-rank (engine
+    // hash → rows-only check; recall asserted in ScalaTest).
+    "x_cosine_ann" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(e.where(col("id") < 10), e, k = 5)
+        .select(col("qa"), col("rank"), col("vb"), col("cos"))
+        .orderBy(col("qa"), col("rank"))
+    }),
+
+    // MinHash signatures (xxhash64-based → rows-only).
+    "x_minhash_sigs" -> ((s, d) => {
+      val sh = Dedup.wordShingles(t(s, d, "documents"),
+        col("doc_id"), col("text"), n = 3)
+      Dedup.minhashSignatures(sh, k = 32)
+        .select(col("id"), posexplode(col("sig")))
+        .withColumnRenamed("pos", "h_idx")
+        .withColumnRenamed("col", "h_val")
+        .orderBy(col("id"), col("h_idx"))
+    }),
+
+    // MinHash LSH candidate pairs (rows-only; may be empty on unique
+    // corpora — ScalaTest verifies recall on constructed dups).
+    "x_minhash_pairs" -> ((s, d) => {
+      val sh = Dedup.wordShingles(t(s, d, "documents"),
+        col("doc_id"), col("text"), n = 3)
+      Dedup.minhashCandidates(Dedup.minhashSignatures(sh, k = 32))
+        .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+
+    // SimHash per doc (rows-only).
+    "x_simhash" -> ((s, d) =>
+      Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("id"))),
+
+    // Multimodal: binary payload + byte-level metadata (oracle checks the
+    // byte length; checksum/brightness exercised via Dataset plumbing in
+    // ScalaTest).
+    "x_multimodal_meta" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long")
+            .as("n_bytes"))
+        .orderBy(col("doc_id"))),
+
+    // Approximate distinct (HLL) next to the exact count — rows-only
+    // (sketch internals are engine-specific).
+    "x_approx_distinct" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .orderBy(col("event_type")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x_dedup_exact" ->
+      """SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "x_dedup_keep_first" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "x_token_stats" ->
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_txt,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_quality" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','it')))
+        |      AS BIGINT) AS n_stop,
+        |    CAST(len(text) AS BIGINT) AS n_chars_txt
+        |  FROM documents)
+        |SELECT doc_id, n_tokens, n_stop,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(n_chars_txt - n_tokens + 1 AS DOUBLE) / n_tokens
+        |    AS mean_tok_len,
+        |  CAST(n_tokens >= 5 AND n_tokens <= 100000
+        |    AND CAST(n_stop AS DOUBLE) / n_tokens <= 0.5 AS INT)
+        |    AS quality_ok
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "x_lang_id" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('the','and','of'))) AS BIGINT) AS votes_en,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('el','la','de'))) AS BIGINT) AS votes_es,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('der','die','und'))) AS BIGINT) AS votes_de,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      x -> x IN ('le','les','et'))) AS BIGINT) AS votes_fr
+        |  FROM documents)
+        |SELECT doc_id, votes_en, votes_es, votes_de, votes_fr,
+        |  CASE
+        |    WHEN votes_en >= votes_es AND votes_en >= votes_de
+        |      AND votes_en >= votes_fr AND votes_en > 0 THEN 'en'
+        |    WHEN votes_es >= votes_de AND votes_es >= votes_fr
+        |      AND votes_es > 0 THEN 'es'
+        |    WHEN votes_de >= votes_fr AND votes_de > 0 THEN 'de'
+        |    WHEN votes_fr > 0 THEN 'fr'
+        |    ELSE 'und' END AS pred_lang,
+        |  lang
+        |FROM v ORDER BY doc_id""".stripMargin,
+    "x_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
+        |    unnest(string_split(text,' ')) AS tok
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+        |      AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle
+        |    AND a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 100
+        |  GROUP BY 1, 2)
+        |SELECT da, db, inter, sa.n AS na, sb.n AS nb,
+        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+        |FROM pairs
+        |JOIN sizes sa ON da = sa.doc_id
+        |JOIN sizes sb ON db = sb.doc_id
+        |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin,
+    "x_cosine_topk" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS vb,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(a.embedding) + 1),
+        |          i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])),
+        |        (x, y) -> x + y))
+        |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(1, len(b.embedding) + 1),
+        |          i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i])),
+        |        (x, y) -> x + y))) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id < 10)
+        |SELECT qa,
+        |  CAST(row_number() OVER (PARTITION BY qa
+        |    ORDER BY cos DESC, vb) AS INT) AS rank,
+        |  vb, cos
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY qa, rank""".stripMargin,
+    "x_multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  /** Multimodal feature extraction exposed for tests / API users. */
+  def mediaFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(s,
+      Multimodal.syntheticMedia(s, t(s, d, "documents"))).toDF()
+}

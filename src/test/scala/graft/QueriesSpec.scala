@@ -1,0 +1,26 @@
+package graft
+
+import graft.queries.{ExtensionQueries, ParityQueries}
+
+/** Smoke: every declared query runs at sf0.001 and yields rows; every
+  * oracle key points at a real query. (Value-level parity is the driver's
+  * DuckDB gate, pre-checked by tools/check_oracle.py.)
+  */
+class QueriesSpec extends SparkSuite {
+
+  test("every oracle key has a matching query") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs and returns rows at sf0.001") {
+      assert(fn(spark, sf0001).count() > 0)
+    }
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.queries.ParityQueries.t
+
+/** ANN quality: LSH top-k recall measured against brute force on the real
+  * embeddings table.
+  */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val embs = t(spark, sf0001, "embeddings")
+    .select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  test("brute force: k results per query, ranked by cosine desc") {
+    val res = Similarity.bruteForceTopK(embs.where($"id" < 5), embs, 5)
+      .select($"qa", $"rank", $"cos").collect()
+    assert(res.length == 25)
+    res.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    val self = Similarity.bruteForceTopK(embs.where($"id" === 0),
+      embs.withColumn("id", $"id" + 1000), 1)
+      .where($"vb" === 1000).select($"cos").as[Double].collect()
+    assert(self.length == 1 && math.abs(self(0) - 1.0) < 1e-9)
+  }
+
+  test("LSH ANN recall@5 ≥ 0.4 vs brute force on 500 vectors") {
+    val q = embs.where($"id" < 20)
+    val exact = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(q, embs, 5)
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"recall@5 = $recall, candidates returned = ${approx.size}")
+    assert(recall >= 0.4) // random gaussian corpus: buckets thin out fast
+  }
+}

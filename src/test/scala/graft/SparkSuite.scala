@@ -5,7 +5,17 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for specs — one per suite, UTC, small shuffle. */
 trait SparkSuite extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete(): Unit
+  }
+
+  lazy val spark: SparkSession = {
+    // fresh warehouse per JVM: the metastore is in-memory but managed
+    // table dirs persist on disk across runs and break saveAsTable
+    rmrf(new java.io.File(
+      s"/tmp/graft-warehouse-${getClass.getSimpleName}"))
+    SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
@@ -14,6 +24,7 @@ trait SparkSuite extends AnyFunSuite {
     .config("spark.sql.warehouse.dir",
       s"/tmp/graft-warehouse-${getClass.getSimpleName}")
     .getOrCreate()
+  }
 
   val sf0001 = "/root/testdata/sf0.001"
 }

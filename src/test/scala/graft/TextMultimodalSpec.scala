@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.queries.ExtensionQueries
+
+class TextMultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("fingerprint matches a reference polynomial implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val df = Seq((1L, "hello world"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    val got = df.select($"doc_id",
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == ref("hello world"))
+    assert(got(2L) == 0L)
+    assert(got(3L) == 'a'.toLong)
+  }
+
+  test("quality: stopword ratio and gate behave") {
+    val df = Seq(
+      (1L, "the the the the the the"),            // all stopwords
+      (2L, "spark catalyst optimizer rules engine planning")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.withQuality(df)
+      .select($"doc_id", $"stop_ratio", $"quality_ok").collect()
+    val m = rows.map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    assert(m(1L)._1 == 1.0 && m(1L)._2 == 0)
+    assert(m(2L)._1 == 0.0 && m(2L)._2 == 1)
+  }
+
+  test("langId votes with priority ordering") {
+    val df = Seq(
+      (1L, "the cat and the dog of it"),
+      (2L, "el gato la casa de madrid"),
+      (3L, "xyzzy plugh")
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.withLangId(df)
+      .select($"doc_id", $"pred_lang").as[(Long, String)].collect().toMap
+    assert(m == Map(1L -> "en", 2L -> "es", 3L -> "und"))
+  }
+
+  test("multimodal: binary payload round-trip through mapPartitions batch") {
+    val feats = ExtensionQueries.mediaFeatures(spark, sf0001)
+    assert(feats.count() == 500)
+    val r = feats.where($"media_id" === 0).collect()(0)
+    assert(r.getAs[String]("kind") == "text/utf-8")
+    assert(r.getAs[Long]("n_bytes") > 0)
+    assert(r.getAs[Double]("brightness") > 0.0) // ascii text avg byte
+    // checksum deterministic across runs
+    val again = ExtensionQueries.mediaFeatures(spark, sf0001)
+      .where($"media_id" === 0).collect()(0)
+    assert(again.getAs[Long]("checksum") == r.getAs[Long]("checksum"))
+  }
+
+  test("decodeStub: empty payload is safe") {
+    assert(Multimodal.decodeStub(Array.emptyByteArray) == (0L, 0.0))
+  }
+}
