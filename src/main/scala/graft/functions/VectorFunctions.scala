@@ -20,9 +20,14 @@ object VectorFunctions {
   def foldSum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, x) => acc + x)
 
-  /** dot(a, b) with per-element double promotion. */
+  /** dot(a, b) with per-element double promotion — native Catalyst
+    * expression (codegen'd primitive loop), same left-to-right sum as the
+    * lambda fold it replaces.
+    */
   def dot(a: Column, b: Column): Column =
-    foldSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    org.apache.spark.sql.GraftSqlBridge.toColumn(VecDot(
+      org.apache.spark.sql.GraftSqlBridge.toExpression(a),
+      org.apache.spark.sql.GraftSqlBridge.toExpression(b)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

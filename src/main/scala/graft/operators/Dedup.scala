@@ -42,14 +42,16 @@ object Dedup {
     * Tokenize → slide an n-window via transform over token indices —
     * narrow, no shuffle until the downstream distinct.
     */
-  def wordShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val toks = split(text, " ")
-    // sequence(0, size-n) would be DESCENDING for size < n — guard to an
-    // empty index list so short docs yield zero shingles.
-    val idx = when(size(toks) >= n, sequence(lit(0), size(toks) - n))
-      .otherwise(array().cast("array<int>"))
-    val sh = transform(idx, i => concat_ws(" ", slice(toks, i + lit(1), lit(n))))
-    df.select(id.as("id"), explode(sh).as("shingle")).distinct()
+  /** `dedup = false` skips the distinct shuffle — correct whenever the
+    * consumer is idempotent over repeats (MinHash's `min`).
+    */
+  def wordShingles(df: DataFrame, id: Column, text: Column, n: Int,
+                   dedup: Boolean = true): DataFrame = {
+    val sh = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text), n))
+    val out = df.select(id.as("id"), explode(sh).as("shingle"))
+    if (dedup) out.distinct() else out
   }
 
   // ---------- MinHash + LSH ----------
@@ -96,19 +98,31 @@ object Dedup {
 
   /** Candidate pairs from band collisions, verified by exact signature
     * agreement (estimated Jaccard = fraction of equal components).
+    *
+    * Shaped as ONE pass over the signatures: group members per
+    * (band, bucket) and expand in-bucket pairs — no self-join, so the
+    * (shingle → signature) subtree is computed once, and a `maxBucket`
+    * cap bounds the quadratic blow-up of degenerate buckets (at 100 TB a
+    * bucket holding millions of identical boilerplate docs would
+    * otherwise explode; those are better handled by exact dedup first).
     */
   def minhashCandidates(sigs: DataFrame, rowsPerBand: Int = 4,
-                        minEstJaccard: Double = 0.0): DataFrame = {
-    val b = lshBuckets(sigs, rowsPerBand)
-    val l = b.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("bucket"))
-    val r = b.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("bucket"))
-    l.join(r, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (VectorFunctions.foldSum(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0))) /
-          size(col("sig_a"))).as("est_jaccard"))
+                        minEstJaccard: Double = 0.0,
+                        maxBucket: Int = 10000): DataFrame = {
+    val members = lshBuckets(sigs, rowsPerBand)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
+        .as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    val pairs = members.select(explode(flatten(
+      transform(sequence(lit(0), size(col("ms")) - 2), i =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+          y => struct(element_at(col("ms"), i + 1).as("a"),
+            y.as("b")))))).as("pr"))
+    pairs.select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
+      (VectorFunctions.foldSum(zip_with(col("pr.a.sig"), col("pr.b.sig"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0))) /
+        size(col("pr.a.sig"))).as("est_jaccard"))
       .distinct()
       .where(col("est_jaccard") >= minEstJaccard)
   }
@@ -116,23 +130,16 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over token xxhash64s: per bit, sum +1/-1 across
-    * tokens, sign → bit. One shuffle (groupBy id); the 64 per-bit sums
-    * are map-side partial aggregates.
+    * tokens, sign → bit. A single native per-row expression — NO shuffle
+    * (the composable explode + 64-aggregate groupBy form costs one; see
+    * SimHash64Expr).
     */
-  def simhash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val tok = df.select(id.as("id"),
-      explode(split(text, " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"__b$b")
-    }
-    val agg = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until 64).map { b =>
-      when(col(s"__b$b") > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
-    agg.select(col("id"), hash.as("simhash"))
-  }
+  def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.SimHash64Expr(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
+        .as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -160,23 +167,33 @@ object Dedup {
 
   // ---------- n-gram Jaccard (exact) ----------
 
-  /** Exact pairwise Jaccard over word n-gram shingles, computed as a
-    * shingle equality join (group-join-count), never a cross product.
-    * `leftFilter` bounds the left side (e.g. a candidate subset) so the
-    * pair space stays linear in matches.
+  /** Exact pairwise Jaccard over word n-gram shingles — never a cross
+    * product, and the shingle subtree is computed ONCE:
+    * per-doc sizes ride along via a window, per-shingle doc lists expand
+    * to in-bucket pairs, and a (da, db) count gives the intersection.
+    * `leftFilter` (a predicate over the da id) bounds the pair space —
+    * at scale that's the LSH candidate subset.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-                        n: Int, leftFilter: Column): DataFrame = {
+                        n: Int, leftFilter: Column => Column): DataFrame = {
     val sh = wordShingles(df, id, text, n)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val left = sh.where(leftFilter)
-    val inter = left.select(col("id").as("da"), col("shingle"))
-      .join(sh.select(col("id").as("db"), col("shingle")), Seq("shingle"))
-      .where(col("da") < col("db"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("da"), col("n_sh").as("na")), Seq("da"))
-      .join(sizes.select(col("id").as("db"), col("n_sh").as("nb")), Seq("db"))
+      .withColumn("n_sh", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+    val members = sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
+        .as("ms"))
+      .where(size(col("ms")) > 1)
+    val pairs = members.select(explode(flatten(
+      transform(sequence(lit(0), size(col("ms")) - 2), i =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
+          y => struct(element_at(col("ms"), i + 1).as("a"),
+            y.as("b")))))).as("pr"))
+      .select(col("pr.a.id").as("da"), col("pr.a.n_sh").as("na"),
+        col("pr.b.id").as("db"), col("pr.b.n_sh").as("nb"))
+      .where(leftFilter(col("da")))
+    pairs
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jac"))

@@ -43,17 +43,27 @@ object Similarity {
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
 
-  /** Sign-bit bucket id for each vector: bit p = (vec · plane_p) >= 0. */
-  def signBuckets(df: DataFrame, vec: Column, planes: Int,
-                  dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val hp = hyperplanes(planes, dim, seed)
-    val bucket = (0 until planes).map { p =>
-      val plane = lit(hp(p))
-      val d = foldSum(zip_with(vec, plane, (x, y) => x.cast("double") * y))
-      when(d >= 0.0, lit(1L << p)).otherwise(0L)
-    }.reduce(_ + _)
-    df.withColumn("bucket", bucket)
+  /** All `tables` sign-bucket ids at once, as array<long> — one native
+    * expression evaluation per row (see SignBucketsVec).
+    */
+  def signBucketsExpr(vec: Column, planes: Int, tables: Int,
+                      dim: Int, seedBase: Long = 42L): Column = {
+    val flat = new Array[Double](tables * planes * dim)
+    for (t <- 0 until tables) {
+      val hp = hyperplanes(planes, dim, seedBase + t * 1000)
+      for (p <- 0 until planes; i <- 0 until dim)
+        flat((t * planes + p) * dim + i) = hp(p)(i)
+    }
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.SignBucketsVec(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(vec),
+        flat, planes, tables, dim))
   }
+
+  def signBuckets(df: DataFrame, vec: Column, planes: Int,
+                  dim: Int = 64, seed: Long = 42L): DataFrame =
+    df.withColumn("bucket",
+      element_at(signBucketsExpr(vec, planes, 1, dim, seed), 1))
 
   /** Approximate top-k: L independent hash tables of `planes` sign bits;
     * candidates = bucket collisions in any table; exact cosine re-rank on
@@ -67,24 +77,29 @@ object Similarity {
               dim: Int = 64): DataFrame = {
     val qs = queries.select(col("id").as("qa"), col("vec").as("qv"))
     val cs = corpus.select(col("id").as("vb"), col("vec").as("cv"))
-    val tagged = (0 until tables).map { t =>
-      val masks: Seq[Column] =
-        if (multiprobe >= 1)
-          lit(0L) +: (0 until planes).map(p => lit(1L << p))
-        else Seq(lit(0L))
-      val qb = signBuckets(qs, col("qv"), planes, dim, seed = 42L + t * 1000)
-        .withColumn("bucket",
-          explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)))
-        .withColumn("table", lit(t))
-      val cb = signBuckets(cs, col("cv"), planes, dim, seed = 42L + t * 1000)
-        .withColumn("table", lit(t))
-      broadcast(qb).join(cb, Seq("table", "bucket"))
-        .where(col("qa") =!= col("vb"))
-        .select(col("qa"), col("qv"), col("vb"), col("cv"))
-    }.reduce(_ union _).distinct()
+    // One (table, bucket) key column-stack per side — a single equality
+    // join over all L tables instead of an L-way union of joins (flat
+    // plan, one shuffle, codegen-friendly).
+    def stacked(df: DataFrame, vec: String): DataFrame =
+      df.select(col(df.columns.head),
+        posexplode(signBucketsExpr(col(vec), planes, tables, dim)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "bucket")
+    val masks: Seq[Column] =
+      if (multiprobe >= 1)
+        lit(0L) +: (0 until planes).map(p => lit(1L << p))
+      else Seq(lit(0L))
+    val qT = stacked(qs, "qv").withColumn("bucket",
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*)))
+    val cT = stacked(cs, "cv")
+    // Candidates are just (qa, vb) pairs — dedupe 16-byte keys, then
+    // fetch vectors once for scoring (never distinct() full vectors).
+    val cand = broadcast(qT).join(cT, Seq("table", "bucket"))
+      .where(col("qa") =!= col("vb"))
+      .select(col("qa"), col("vb")).distinct()
     val w = Window.partitionBy(col("qa"))
       .orderBy(col("cos").desc, col("vb"))
-    tagged
+    cand.join(broadcast(qs), "qa").join(cs, "vb")
       .select(col("qa"), col("vb"), cosine(col("qv"), col("cv")).as("cos"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)

@@ -60,7 +60,7 @@ object ExtensionQueries {
     // to doc_id < 100 — at scale this is the LSH candidate set).
     "x_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"),
-          col("doc_id"), col("text"), n = 3, leftFilter = col("id") < 100)
+          col("doc_id"), col("text"), n = 3, leftFilter = _ < 100)
         .orderBy(col("jac").desc, col("da"), col("db"))
         .limit(20)),
 
@@ -87,7 +87,7 @@ object ExtensionQueries {
     // MinHash signatures (xxhash64-based → rows-only).
     "x_minhash_sigs" -> ((s, d) => {
       val sh = Dedup.wordShingles(t(s, d, "documents"),
-        col("doc_id"), col("text"), n = 3)
+        col("doc_id"), col("text"), n = 3, dedup = false)
       Dedup.minhashSignatures(sh, k = 32)
         .select(col("id"), posexplode(col("sig")))
         .withColumnRenamed("pos", "h_idx")
@@ -99,7 +99,7 @@ object ExtensionQueries {
     // corpora — ScalaTest verifies recall on constructed dups).
     "x_minhash_pairs" -> ((s, d) => {
       val sh = Dedup.wordShingles(t(s, d, "documents"),
-        col("doc_id"), col("text"), n = 3)
+        col("doc_id"), col("text"), n = 3, dedup = false)
       Dedup.minhashCandidates(Dedup.minhashSignatures(sh, k = 32))
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
         .limit(100)

@@ -64,7 +64,7 @@ class DedupSpec extends SparkSuite {
 
   test("ngram jaccard: exact dup = 1.0, near-dup high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, col("doc_id"), col("text"),
-      n = 3, leftFilter = col("id") < 100)
+      n = 3, leftFilter = _ < 100)
       .select($"da", $"db", $"jac").as[(Long, Long, Double)]
       .collect().map(r => (r._1, r._2) -> r._3).toMap
     // repeated base text → small DISTINCT shingle sets; one changed word

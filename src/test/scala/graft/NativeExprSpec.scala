@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+import org.apache.spark.sql.functions._
+import graft.functions.{ShinglesExpr, SimHash64Expr}
+import graft.queries.ParityQueries.t
+
+/** The native expressions must match their composable (lambda-based)
+  * formulations exactly — they are performance rewrites, not semantic
+  * changes.
+  */
+class NativeExprSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val docs = t(spark, sf0001, "documents").limit(100)
+
+  test("ShinglesExpr ≡ split/transform/slice/concat_ws lambdas") {
+    val toks = split($"text", " ")
+    val idx = when(size(toks) >= 3, sequence(lit(0), size(toks) - 3))
+      .otherwise(array().cast("array<int>"))
+    val lambdaForm = transform(idx,
+      i => concat_ws(" ", slice(toks, i + lit(1), lit(3))))
+    val nativeForm = toColumn(ShinglesExpr(toExpression($"text"), 3))
+    val diff = docs.select($"doc_id", lambdaForm.as("a"), nativeForm.as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    // edge cases: short doc, empty text, consecutive spaces
+    val edge = Seq("one two", "", "a  b  c d", "x y z").toDF("text")
+    val ediff = edge.select(lambdaForm.as("a"), nativeForm.as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(ediff == 0)
+  }
+
+  test("SimHash64Expr ≡ explode + 64 bit-sum aggregates over xxhash64") {
+    val tok = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
+      .withColumn("h", xxhash64($"tok"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$b")
+    }
+    val agg = tok.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val composed = agg.select($"doc_id",
+      (0 until 64).map(b =>
+        when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
+        .reduce(_ + _).as("simhash"))
+    val native = docs.select($"doc_id",
+      toColumn(SimHash64Expr(toExpression($"text"))).as("simhash"))
+    val joined = composed.as("c").join(native.as("n"), "doc_id")
+      .where($"c.simhash" =!= $"n.simhash")
+    assert(joined.count() == 0)
+  }
+}
