@@ -47,6 +47,16 @@ object Demo {
     pres.orderBy("dt", "location").show(20)
     println("== physical plan of the composed pipeline ==")
     SwellPipeline.full(spark.table("raw.swell_data")).explain("formatted")
+
+    println("== streaming daily max over the raw table directory ==")
+    val rawDir = "/tmp/graft-demo-warehouse/raw.db/swell_data"
+    val q = graft.streaming.SwellStream
+      .dailyMax(graft.streaming.SwellStream.readRaw(spark, rawDir))
+      .writeStream.format("memory").queryName("sdaily")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    spark.table("sdaily").orderBy("dt", "location").show(10)
+    q.stop()
     spark.stop()
   }
 }
