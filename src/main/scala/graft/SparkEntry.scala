@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ExtensionQueries, ParityQueries}
+import graft.queries.{ExtensionQueries, ParityQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ParityQueries.queries ++ ExtensionQueries.queries
+    ParityQueries.queries ++ RelationalQueries.queries ++
+      ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
     * (xxhash64 MinHash/SimHash/LSH, HLL sketches) → rows-only check;
     * those are correctness-tested in ScalaTest with constructed inputs. */
   def oracleSql: Map[String, String] =
-    ParityQueries.oracleSql ++ ExtensionQueries.oracleSql
+    ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
+      ExtensionQueries.oracleSql
 }

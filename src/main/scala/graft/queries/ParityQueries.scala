@@ -83,7 +83,8 @@ object ParityQueries {
       t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
         to_date(col("l_shipdate")).as("ship_dt"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+        // ship_dt completes the total order over duplicate line keys
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("ship_dt"))),
 
     // P11: filter + projection (`int...sql:30`).
     "q_filter_project" -> ((s, d) =>
@@ -228,7 +229,8 @@ object ParityQueries {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_date_trunc" ->
       """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_dt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, ship_dt"""
+        .stripMargin,
     "q_filter_project" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE event_type = 'purchase' AND value > 100.0

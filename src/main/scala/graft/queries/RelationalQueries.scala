@@ -1,0 +1,212 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import ParityQueries.t
+
+/** Relational breadth beyond the reference's own surface — the rest of
+  * what "an engine a reference user could switch to" needs: multi-level
+  * grouping, pivot, running/offset windows, scalar string/date/math
+  * functions, subquery forms, HAVING, and the `spark.sql` text entry
+  * point. Same oracle conventions as ParityQueries (exact values,
+  * aligned aliases, total ORDER BY).
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CUBE: all grouping combinations in one pass.
+    "r_cube" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"),
+          asc_nulls_first("l_linestatus"))),
+
+    // PIVOT: event counts per user across event types (explicit value
+    // list → stable schema; coalesce(0) to match conditional-aggregate
+    // semantics).
+    "r_pivot" -> ((s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, d, "events").groupBy(col("user_id"))
+        .pivot("event_type", types).agg(count(lit(1)))
+      p.select(col("user_id") +:
+        types.map(ty => coalesce(col(ty), lit(0L)).as(ty)): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // Running-total window (rows frame), fully ordered for determinism.
+    "r_running_sum" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity")).over(w).as("run_qty"))
+        // run_qty completes the total order (lineitem rows can tie on
+        // (orderkey, linenumber) in this synthetic data)
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("run_qty"))
+    }),
+
+    // Offset windows: lag/lead against adjacent lines of the same order.
+    "r_lead_lag" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the test data —
+      // include l_quantity so tied rows are output-identical and the
+      // offset values are deterministic.
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_quantity"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+          lead(col("l_quantity"), 1).over(w).as("next_qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("prev_qty"), col("next_qty"))
+    }),
+
+    // Scalar string functions.
+    "r_string_funcs" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("u_name"),
+        substring(col("c_name"), 1, 8).as("pfx"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("r_name"),
+        length(col("c_name")).cast("long").as("name_len"),
+        concat_ws("/", col("c_mktsegment"), col("c_name")).as("tagged"))
+        .orderBy(col("c_custkey"))),
+
+    // Date-part extraction.
+    "r_date_parts" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"))
+        .orderBy(col("o_orderkey"))),
+
+    // Math scalars (exact-on-doubles subset: floor/ceil/abs/sign).
+    "r_math_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        floor(col("o_totalprice")).as("fl"),
+        ceil(col("o_totalprice")).as("cl"),
+        abs(col("o_totalprice") - 200000.0).as("dist"),
+        signum(col("o_totalprice") - 200000.0).as("sgn"))
+        .orderBy(col("o_orderkey"))),
+
+    // Null-handling scalars.
+    "r_null_funcs" -> ((s, d) =>
+      t(s, d, "events").select(
+        col("event_id"),
+        coalesce(nullif(col("event_type"), lit("click")), lit("was_click"))
+          .as("et"),
+        isnull(nullif(col("event_type"), lit("view"))).as("is_view"))
+        .orderBy(col("event_id"))),
+
+    // IN-subquery (semi-join form).
+    "r_in_subquery" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))),
+
+    // HAVING: post-aggregation filter.
+    "r_having" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          max(col("o_totalprice")).as("max_price"))
+        .where(col("n_orders") >= 12)
+        .orderBy(col("o_custkey"))),
+
+    // spark.sql text entry point over registered temp views.
+    "r_sql_text" -> ((s, d) => {
+      t(s, d, "nation").createOrReplaceTempView("v_nation")
+      t(s, d, "region").createOrReplaceTempView("v_region")
+      s.sql("""
+        SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        FROM v_nation JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "r_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+        .stripMargin,
+    "r_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "r_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, run_qty"""
+        .stripMargin,
+    "r_lead_lag" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  lag(l_quantity, 1) OVER w AS prev_qty,
+        |  lead(l_quantity, 1) OVER w AS next_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber, l_quantity)
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, prev_qty, next_qty"""
+        .stripMargin,
+    "r_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS u_name,
+        |  substr(c_name, 1, 8) AS pfx,
+        |  regexp_replace(c_name, 'Customer', 'Cust') AS r_name,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  concat_ws('/', c_mktsegment, c_name) AS tagged
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "r_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS dom,
+        |  CAST(quarter(o_orderdate) AS INT) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_math_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(floor(o_totalprice) AS BIGINT) AS fl,
+        |  CAST(ceil(o_totalprice) AS BIGINT) AS cl,
+        |  abs(o_totalprice - 200000.0) AS dist,
+        |  CAST(sign(o_totalprice - 200000.0) AS DOUBLE) AS sgn
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_null_funcs" ->
+      """SELECT event_id,
+        |  coalesce(nullif(event_type, 'click'), 'was_click') AS et,
+        |  (nullif(event_type, 'view') IS NULL) AS is_view
+        |FROM events ORDER BY event_id""".stripMargin,
+    "r_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "r_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+        |ORDER BY o_custkey""".stripMargin,
+    "r_sql_text" ->
+      """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin
+  )
+}
