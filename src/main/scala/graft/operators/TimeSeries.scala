@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators: as-of join and gap sessionization.
+  *
+  * Spark has no native ASOF JOIN; the naive formulation (range-condition
+  * join + per-row max) explodes to O(|L|·|R|) per key. This union+window
+  * formulation is the scale-correct one: tag both sides, sort once per
+  * key by (time, side), and carry the last right-side row forward — a
+  * single shuffle on the key, linear work, standard sort-merge machinery.
+  */
+object TimeSeries {
+
+  /** Left as-of join: for each left row, the LATEST right row with
+    * `rightTime <= leftTime` on the same key (inclusive). Right rows tied
+    * on (key, time) should be pre-deduplicated for determinism.
+    *
+    * @param rightCols right-side columns to carry (exposed as
+    *                  `asof_<name>`, null when no match)
+    */
+  def asofJoinLast(left: DataFrame, right: DataFrame,
+                   leftKey: Column, rightKey: Column,
+                   leftTime: Column, rightTime: Column,
+                   rightCols: Seq[String]): DataFrame = {
+    val l2 = left
+      .withColumn("__k", leftKey)
+      .withColumn("__t", leftTime)
+      .withColumn("__side", lit(1))
+    val r2 = right.select(
+      rightKey.as("__k"), rightTime.cast("timestamp").as("__t"),
+      struct(rightCols.map(col): _*).as("__r"), lit(0).as("__side"))
+    // right rows sort BEFORE left rows at equal time (side 0 < 1), so an
+    // exactly-simultaneous right row is visible to the left row
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l2.unionByName(r2, allowMissingColumns = true)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+    val out = joined.select(
+      left.columns.map(col) ++
+        rightCols.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
+    out
+  }
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the previous event on the same key exceeds `gapSeconds`. Returns the
+    * input plus `session_idx` (1-based per key) — one window pass, no
+    * self-join.
+    */
+  def sessionize(df: DataFrame, key: Column, time: Column,
+                 tieBreak: Column, gapSeconds: Long): DataFrame = {
+    val order = Window.partitionBy(key).orderBy(time, tieBreak)
+    val cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__prev", lag(time, 1).over(order))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          unix_micros(time) - unix_micros(col("__prev")) >
+            gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("__new")).over(cum))
+      .drop("__prev", "__new")
+  }
+}

@@ -125,6 +125,31 @@ object RelationalQueries {
         .where(col("n_orders") >= 12)
         .orderBy(col("o_custkey"))),
 
+    // As-of join (union+window formulation; oracle = DuckDB native ASOF
+    // JOIN): latest order at-or-before each event for that user.
+    "r_asof_join" -> ((s, d) => {
+      val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val o = t(s, d, "orders")
+        .withColumn("__rn", row_number().over(dedup))
+        .where(col("__rn") === 1).drop("__rn")
+      graft.operators.TimeSeries.asofJoinLast(
+        t(s, d, "events").select(col("event_id"), col("user_id"), col("ts")),
+        o, col("user_id"), col("o_custkey"), col("ts"), col("o_orderdate"),
+        Seq("o_orderkey", "o_totalprice"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Gap sessionization (12 h): session stats per (user, session).
+    "r_sessionize" -> ((s, d) =>
+      graft.operators.TimeSeries.sessionize(
+        t(s, d, "events"), col("user_id"), col("ts"), col("event_id"),
+        gapSeconds = 43200L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        .orderBy(col("user_id"), col("session_idx"))),
+
     // spark.sql text entry point over registered temp views.
     "r_sql_text" -> ((s, d) => {
       t(s, d, "nation").createOrReplaceTempView("v_nation")
@@ -204,6 +229,35 @@ object RelationalQueries {
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
+    "r_asof_join" ->
+      """WITH o AS (
+        |  SELECT * FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o.o_orderkey AS asof_o_orderkey,
+        |  o.o_totalprice AS asof_o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "r_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s2 AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM s)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(ts) AS s_start, max(ts) AS s_end
+        |FROM s2 GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "r_sql_text" ->
       """SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
