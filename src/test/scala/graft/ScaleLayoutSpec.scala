@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.Skew
+import graft.queries.ParityQueries.t
+
+/** Scale-layout evidence: salting equivalence, bucketed co-located joins
+  * (no shuffle), partitioned writes with partition pruning.
+  */
+class ScaleLayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedSumCount ≡ plain groupBy aggregation") {
+    val li = t(spark, sf0001, "lineitem")
+    val plain = li.groupBy($"l_returnflag".as("key"))
+      .agg(sum($"l_quantity").as("sum_value"), count(lit(1)).as("n_rows"))
+    val salted = Skew.saltedSumCount(li, $"l_returnflag",
+      $"l_orderkey", $"l_quantity", salts = 8)
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("saltedJoin ≡ plain join") {
+    val li = t(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    val o = t(spark, sf0001, "orders").select($"o_orderkey", $"o_totalprice")
+    val plain = li.join(o, $"l_orderkey" === $"o_orderkey")
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey",
+      $"l_quantity", salts = 4)
+      .select($"l_orderkey", $"l_quantity", $"o_orderkey", $"o_totalprice")
+    assert(plain.count() == salted.count())
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE final plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+  }
+
+  test("bucketed tables join without a shuffle") {
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    t(spark, sf0001, "lineitem").write.bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("b_lineitem")
+    t(spark, sf0001, "orders").write.bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("b_orders")
+    val joined = spark.table("b_lineitem")
+      .join(spark.table("b_orders"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+    // only the final single-key aggregation may shuffle — the join itself
+    // must be co-located on bucket layout
+    val joinOnly = spark.table("b_lineitem")
+      .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey",
+        "inner")
+      .where($"l_quantity" > 0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(countShuffles(joinOnly) == 0)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert(joined.count() > 0)
+  }
+
+  test("partitioned write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("part").toString
+    t(spark, sf0001, "events")
+      .withColumn("dt", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val pruned = spark.read.parquet(dir)
+      .where($"dt" === "2024-01-03")
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(pruned.count() > 0)
+    // the file index must carry the partition filter, not a post-filter
+    val explained = pruned.queryExecution.toString()
+    assert(explained.contains("PartitionFilters") &&
+      explained.contains("dt"), s"no partition pruning:\n$explained")
+  }
+}
