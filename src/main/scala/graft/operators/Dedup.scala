@@ -114,11 +114,11 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
         .as("ms"))
       .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
-    val pairs = members.select(explode(flatten(
-      transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-          y => struct(element_at(col("ms"), i + 1).as("a"),
-            y.as("b")))))).as("pr"))
+    val pairs = members.select(explode(
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.PairCombinationsExpr(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(col("ms")))))
+      .as("pr"))
     pairs.select(col("pr.a.id").as("id_a"), col("pr.b.id").as("id_b"),
       (VectorFunctions.foldSum(zip_with(col("pr.a.sig"), col("pr.b.sig"),
         (x, y) => when(x === y, 1.0).otherwise(0.0))) /
@@ -183,11 +183,11 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
         .as("ms"))
       .where(size(col("ms")) > 1)
-    val pairs = members.select(explode(flatten(
-      transform(sequence(lit(0), size(col("ms")) - 2), i =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-          y => struct(element_at(col("ms"), i + 1).as("a"),
-            y.as("b")))))).as("pr"))
+    val pairs = members.select(explode(
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.PairCombinationsExpr(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(col("ms")))))
+      .as("pr"))
       .select(col("pr.a.id").as("da"), col("pr.a.n_sh").as("na"),
         col("pr.b.id").as("db"), col("pr.b.n_sh").as("nb"))
       .where(leftFilter(col("da")))
