@@ -150,6 +150,55 @@ object RelationalQueries {
           min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
         .orderBy(col("user_id"), col("session_idx"))),
 
+    // Outer joins with one-sided regions: customers < 100 vs orders of
+    // custkeys 50-149 → left-only, matched, right-only rows.
+    "r_full_outer" -> ((s, d) =>
+      t(s, d, "customer").where(col("c_custkey") < 100)
+        .select(col("c_custkey"), col("c_name"))
+        .join(t(s, d, "orders")
+          .where(col("o_custkey") >= 50 && col("o_custkey") < 150)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+        .orderBy(asc_nulls_first("c_custkey"),
+          asc_nulls_first("o_orderkey"))),
+
+    // Rank-function family (dense_rank / percent_rank / ntile) — all
+    // over a total order, percent_rank is an exact int ratio.
+    "r_rank_funcs" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // MERGE/upsert: re-priced update batch wins by key, rest carries
+    // over (Upsert.mergeByKey — anti join + union).
+    "r_upsert" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val updates = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      graft.operators.Upsert.mergeByKey(base, updates, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // BPE-ish regex tokenization: words plus single non-space symbols.
+    "r_regex_tokens" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        regexp_count(col("text"), lit("[A-Za-z0-9_]+")).cast("long")
+          .as("n_words"))
+        .orderBy(col("doc_id"))),
+
     // spark.sql text entry point over registered temp views.
     "r_sql_text" -> ((s, d) => {
       t(s, d, "nation").createOrReplaceTempView("v_nation")
@@ -229,6 +278,43 @@ object RelationalQueries {
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
+    "r_full_outer" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_custkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100) c
+        |FULL OUTER JOIN (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE o_custkey >= 50 AND o_custkey < 150) o
+        |  ON c_custkey = o_custkey
+        |ORDER BY c_custkey NULLS FIRST, o_orderkey NULLS FIRST"""
+        .stripMargin,
+    "r_rank_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  percent_rank() OVER w AS prank,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000.0
+        |    AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 = 0)
+        |SELECT * FROM updates
+        |UNION ALL
+        |SELECT b.* FROM base b
+        |WHERE NOT EXISTS (SELECT 1 FROM updates u
+        |  WHERE u.o_orderkey = b.o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "r_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+        |    AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "r_asof_join" ->
       """WITH o AS (
         |  SELECT * FROM orders
