@@ -53,6 +53,22 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: chunk the payload into fixed-size frames and keep
+    * every `stride`-th one — the video-frame / audio-window shape. All
+    * narrow (chunk expression + posexplode + filter), no shuffle; the
+    * per-frame decode below is the stubbed codec call.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    val chunks = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.BinaryChunksExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(col("payload")),
+        frameBytes))
+    media.select(col("media_id"), col("kind"),
+      posexplode(chunks).as(Seq("frame_idx", "frame")))
+      .where(col("frame_idx") % stride === 0)
+      .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
+  }
+
   /** Wrap any table's text column as a synthetic media table — exercises
     * the binary-column path with the data we have.
     */

@@ -199,6 +199,31 @@ object RelationalQueries {
           .as("n_words"))
         .orderBy(col("doc_id"))),
 
+    // RANGE frame: per customer, how many of their orders fall within
+    // $1000 below this order's price (value-based frame, not row-based).
+    "r_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          count(lit(1)).over(w).as("n_close"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // first/last/nth value over a total order within each group.
+    "r_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("cheapest_ok"),
+          last(col("o_orderkey")).over(w).as("priciest_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // spark.sql text entry point over registered temp views.
     "r_sql_text" -> ((s, d) => {
       t(s, d, "nation").createOrReplaceTempView("v_nation")
@@ -278,6 +303,21 @@ object RelationalQueries {
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
+    "r_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS n_close
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS cheapest_ok,
+        |  last_value(o_orderkey) OVER w AS priciest_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "r_full_outer" ->
       """SELECT c_custkey, c_name, o_orderkey, o_custkey, o_totalprice
         |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 100) c

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.queries.ParityQueries
+
+/** Machine-checked plan properties: the scale-critical optimizations must
+  * actually appear in the physical plan, not just in comments.
+  */
+class PlanAssertionsSpec extends SparkSuite {
+
+  def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf0001)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q_filter_project pushes its predicate into the parquet scan") {
+    val p = plan("q_filter_project")
+    assert(p.contains("PushedFilters") &&
+      p.contains("IsNotNull(event_type)"), p.take(800))
+  }
+
+  test("q_scan_project prunes the read schema to selected columns") {
+    val df = SparkEntry.queries("q_scan_project")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("ReadSchema: struct<r_regionkey:int,r_name:string>"),
+      p.take(800))
+  }
+
+  test("q_join_dims uses broadcast hash joins for the dimensions") {
+    val p = plan("q_join_dims")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("arg-max queries hit partial WindowGroupLimit before the shuffle") {
+    Seq("q_argmax_daily", "q_argmax_lineitem").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"), s"$q:\n${p.take(800)}")
+      assert(p.contains("Partial"), s"$q misses partial mode")
+    }
+  }
+
+  test("semi/anti joins stay semi/anti in the physical plan") {
+    assert(plan("q_semi_join").contains("LeftSemi"))
+    assert(plan("q_anti_join").contains("LeftAnti"))
+  }
+
+  test("flagship pipeline scan reads only the referenced columns") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.model.Schemas.raw)
+    val p = graft.pipeline.SwellPipeline.full(raw)
+      .queryExecution.optimizedPlan.toString()
+    // ingestion timestamp column must be pruned away (payload carries its
+    // own hourly timestamps)
+    assert(!p.contains("timestamp#0"), p.take(500))
+  }
+}

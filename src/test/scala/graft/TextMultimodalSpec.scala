@@ -58,4 +58,18 @@ class TextMultimodalSpec extends SparkSuite {
   test("decodeStub: empty payload is safe") {
     assert(Multimodal.decodeStub(Array.emptyByteArray) == (0L, 0.0))
   }
+
+  test("sampleFrames: fixed-size chunks, every stride-th kept, short tail") {
+    val media = Seq((7L, "video/fake", ("x" * 250).getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+    val frames = Multimodal.sampleFrames(media, frameBytes = 100, stride = 2)
+      .select($"frame_idx", $"frame_bytes").as[(Int, Long)]
+      .collect().toMap
+    // chunks: 100,100,50 → sampled idx 0 and 2
+    assert(frames == Map(0 -> 100L, 2 -> 50L))
+    val empty = Multimodal.sampleFrames(
+      Seq((8L, "video/fake", Array.emptyByteArray))
+        .toDF("media_id", "kind", "payload"), 100, 2)
+    assert(empty.count() == 0)
+  }
 }
