@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of distinct codegen'd plans per run; the default 240m code
+  // cache fills and silently disables the JIT mid-bench
+  "-XX:ReservedCodeCacheSize=512m",
 )
