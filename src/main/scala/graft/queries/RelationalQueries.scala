@@ -224,6 +224,20 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Typed Aggregator (UDAF): top-3 prices per return flag, exploded to
+    // rows for the oracle compare.
+    "r_topk_agg" -> ((s, d) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(topk(col("l_extendedprice")).as("top_prices"))
+        .select(col("l_returnflag"), posexplode(col("top_prices")))
+        .select(col("l_returnflag"),
+          (col("pos") + 1).cast("long").as("rank"),
+          col("col").as("price"))
+        .orderBy(col("l_returnflag"), col("rank"))
+    }),
+
     // spark.sql text entry point over registered temp views.
     "r_sql_text" -> ((s, d) => {
       t(s, d, "nation").createOrReplaceTempView("v_nation")
@@ -303,6 +317,15 @@ object RelationalQueries {
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_custkey HAVING count(*) >= 12
         |ORDER BY o_custkey""".stripMargin,
+    "r_topk_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(generate_subscripts(tp, 1) AS BIGINT) AS rank,
+        |  unnest(tp) AS price
+        |FROM (
+        |  SELECT l_returnflag,
+        |    list_sort(list(l_extendedprice), 'DESC')[1:3] AS tp
+        |  FROM lineitem GROUP BY l_returnflag) g
+        |ORDER BY l_returnflag, rank""".stripMargin,
     "r_range_frame" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
