@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of distinct codegen'd plans per run; the default 240m code
   // cache fills and silently disables the JIT mid-bench
   "-XX:ReservedCodeCacheSize=512m",
+  // throughput GC: this workload is batch, not latency-sensitive, and
+  // G1's pause targets cost ~10-20% on allocation-heavy bench queries
+  "-XX:+UseParallelGC",
 )
