@@ -24,15 +24,22 @@ object Similarity {
     * k rows, so nothing near the corpus size is ever sorted globally.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("id").as("qa"), col("vec").as("qv")))
+    // norms precomputed ONCE per side — cosine per pair is then a single
+    // dot + one divide, not three dots (same arithmetic per pair, so
+    // results stay bit-identical: dot / (sqrt(qq) * sqrt(cc)))
+    val q = broadcast(queries.select(col("id").as("qa"), col("vec").as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
     val c = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val w = Window.partitionBy(col("qa"))
       .orderBy(col("cos").desc, col("vb"))
+    val denom = col("qn") * col("cn")
     q.join(c, col("qa") =!= col("vb"))
-      .select(col("qa"), col("vb"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("qa"), col("vb"),
+        when(denom =!= 0.0, dot(col("qv"), col("cv")) / denom).as("cos"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
-      .drop("qv", "cv")
+      .drop("qv", "cv", "qn", "cn")
   }
 
   /** Deterministic hyperplanes: `planes` × dim gaussians from a fixed
@@ -99,8 +106,12 @@ object Similarity {
       .select(col("qa"), col("vb")).distinct()
     val w = Window.partitionBy(col("qa"))
       .orderBy(col("cos").desc, col("vb"))
-    cand.join(broadcast(qs), "qa").join(cs, "vb")
-      .select(col("qa"), col("vb"), cosine(col("qv"), col("cv")).as("cos"))
+    val qn = broadcast(qs.withColumn("qn", l2Norm(col("qv"))))
+    val cn = cs.withColumn("cn", l2Norm(col("cv")))
+    val denom = col("qn") * col("cn")
+    cand.join(qn, "qa").join(cn, "vb")
+      .select(col("qa"), col("vb"),
+        when(denom =!= 0.0, dot(col("qv"), col("cv")) / denom).as("cos"))
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
   }
