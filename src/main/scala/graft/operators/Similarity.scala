@@ -72,6 +72,54 @@ object Similarity {
     df.withColumn("bucket",
       element_at(signBucketsExpr(vec, planes, 1, dim, seed), 1))
 
+  /** IVF-style ANN: assign every vector to its nearest coarse centroid
+    * (deterministic seeded gaussians — at scale these come from a k-means
+    * fit, the assignment/probe machinery is identical), then score
+    * queries only against the `nprobe` nearest centroid lists. The
+    * centroid assignment is one narrow pass; the probe is an equality
+    * join on centroid id — same shuffle shape as the LSH variant but
+    * with data-adaptive cells when real centroids are supplied.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Int = 16, nprobe: Int = 4, dim: Int = 64,
+              seed: Long = 42L): DataFrame = {
+    val cents: Array[Array[Double]] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(centroids, dim)(rnd.nextGaussian())
+    }
+    // nearest-centroid ids by dot product (unit-free; fine for cosine
+    // geometry). Scored via the native VecDot against literal centroids.
+    def centroidScores(vec: Column): Column =
+      array(cents.map(c => dot(vec, lit(c))).toSeq: _*)
+    def topCells(vec: Column, n: Int): Column = {
+      val scored = centroidScores(vec)
+      // indices of the n largest scores
+      slice(
+        transform(
+          array_sort(
+            zip_with(scored, sequence(lit(0), lit(centroids - 1)),
+              (s, i) => struct(negate(s).as("ns"), i.as("i")))),
+          e => e.getField("i")),
+        1, n)
+    }
+    val cs = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+      .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
+      .withColumn("cn", l2Norm(col("cv")))
+    val qs = queries.select(col("id").as("qa"), col("vec").as("qv"))
+      .withColumn("cell", explode(topCells(col("qv"), nprobe)))
+      .withColumn("qn", l2Norm(col("qv")))
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("cos").desc, col("vb"))
+    val denom = col("qn") * col("cn")
+    broadcast(qs).join(cs, Seq("cell"))
+      .where(col("qa") =!= col("vb"))
+      .select(col("qa"), col("vb"),
+        when(denom =!= 0.0, dot(col("qv"), col("cv")) / denom).as("cos"))
+      .distinct()
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Approximate top-k: L independent hash tables of `planes` sign bits;
     * candidates = bucket collisions in any table; exact cosine re-rank on
     * candidates only. `multiprobe = 1` additionally probes every 1-bit-

@@ -84,6 +84,16 @@ object ExtensionQueries {
         .orderBy(col("qa"), col("rank"))
     }),
 
+    // IVF-style ANN: coarse-centroid cells + nprobe search (rows-only;
+    // recall vs brute force asserted in SimilaritySpec).
+    "x_cosine_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(e.where(col("id") < 10), e, k = 5, nprobe = 6)
+        .select(col("qa"), col("rank"), col("vb"), col("cos"))
+        .orderBy(col("qa"), col("rank"))
+    }),
+
     // MinHash signatures (xxhash64-based → rows-only).
     "x_minhash_sigs" -> ((s, d) => {
       val sh = Dedup.wordShingles(t(s, d, "documents"),

@@ -30,6 +30,22 @@ class SimilaritySpec extends SparkSuite {
     assert(self.length == 1 && math.abs(self(0) - 1.0) < 1e-9)
   }
 
+  test("IVF ANN: k dense ranks per query, recall reported") {
+    val q = embs.where($"id" < 20)
+    val ivf = Similarity.ivfTopK(q, embs, 5, centroids = 16, nprobe = 6)
+      .select($"qa", $"rank", $"vb").collect()
+    ivf.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.length))
+    }
+    val exact = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    val approx = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.2) // random corpus, random centroids: weak cells
+  }
+
   test("LSH ANN recall@5 ≥ 0.4 vs brute force on 500 vectors") {
     val q = embs.where($"id" < 20)
     val exact = Similarity.bruteForceTopK(q, embs, 5)
