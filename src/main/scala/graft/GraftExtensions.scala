@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{ShinglesExpr, SimHash64Expr, VecDot}
+import graft.functions.{MinHashSigExpr, ShinglesExpr, SimHash64Expr, SimHashFpExpr, VecDot}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL users.
@@ -39,5 +39,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash64Expr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFpExpr].getName, "simhash_fp"),
+      (args: Seq[Expression]) => SimHashFpExpr(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSigExpr(args(0),
+        intArg(args(1), "shingle size"), intArg(args(2), "k"))))
   }
 }

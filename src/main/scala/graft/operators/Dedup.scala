@@ -69,7 +69,25 @@ object Dedup {
         math.abs(rnd.nextLong()) % MinhashPrime)
     }
 
-  /** (id, sig array<long> of length k) — one shuffle (groupBy id). */
+  /** (id, sig array<long> of length k) as a NARROW map — the whole
+    * signature is one native per-row expression over the document text
+    * (no explode, no shuffle), keyed on the oracle-reproducible PolyFp
+    * hash family (see MinHashExpressions.scala). NULL sig ⇔ fewer than
+    * n tokens. This is the scale path: 100 TB of documents stream
+    * through as a map-only stage.
+    */
+  def minhashSigsNative(df: DataFrame, id: Column, text: Column,
+                        n: Int = 3, k: Int = 32): DataFrame =
+    df.select(id.as("id"),
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.MinHashSigExpr(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(text), n, k))
+        .as("sig"))
+
+  /** (id, sig array<long> of length k) — composable exploded-shingle
+    * form (one groupBy-id shuffle). Prefer [[minhashSigsNative]]; this
+    * form exists for pre-computed / non-text shingle sets.
+    */
   def minhashSignatures(shingles: DataFrame, k: Int = 32): DataFrame = {
     val x = pmod(xxhash64(col("shingle")), lit(MinhashPrime))
     val comps = hashParams(k).zipWithIndex.map { case ((a, b), i) =>
@@ -129,12 +147,21 @@ object Dedup {
 
   // ---------- SimHash ----------
 
-  /** 64-bit SimHash over token xxhash64s: per bit, sum +1/-1 across
-    * tokens, sign → bit. A single native per-row expression — NO shuffle
-    * (the composable explode + 64-aggregate groupBy form costs one; see
-    * SimHash64Expr).
+  /** 64-bit SimHash: per bit, sum +1/-1 across tokens, sign → bit. A
+    * single native per-row expression — NO shuffle (the composable
+    * explode + 64-aggregate groupBy form costs one). Uses the PolyFp
+    * hash family so the DuckDB oracle reproduces it bit for bit; the
+    * xxhash64-keyed variant remains as `simhashXx` / SQL `simhash64`.
     */
   def simhash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("id"),
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.SimHashFpExpr(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
+        .as("simhash"))
+
+  /** xxhash64-keyed SimHash (stronger engine hash, not oracle-checkable). */
+  def simhashXx(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("id"),
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.SimHash64Expr(
@@ -176,24 +203,29 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int, leftFilter: Column => Column): DataFrame = {
+    // Shuffle 8-byte shingle hashes, not shingle strings (collision odds
+    // ~|shingles|²/2^64 — negligible); per-doc sizes come from a cheap
+    // separate aggregate joined back at the end (AQE broadcasts it when
+    // small) instead of a window over the full shingle set, which would
+    // re-sort every (id, shingle) row just to attach one number.
     val sh = wordShingles(df, id, text, n)
-      .withColumn("n_sh", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-    val members = sh.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
-        .as("ms"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val members = sh.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("id")))).as("ms"))
       .where(size(col("ms")) > 1)
     val pairs = members.select(explode(
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.PairCombinationsExpr(
           org.apache.spark.sql.GraftSqlBridge.toExpression(col("ms")))))
       .as("pr"))
-      .select(col("pr.a.id").as("da"), col("pr.a.n_sh").as("na"),
-        col("pr.b.id").as("db"), col("pr.b.n_sh").as("nb"))
+      .select(col("pr.a.id").as("da"), col("pr.b.id").as("db"))
       .where(leftFilter(col("da")))
     pairs
-      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .groupBy(col("da"), col("db"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("da"), col("n_sh").as("na")), "da")
+      .join(sizes.select(col("id").as("db"), col("n_sh").as("nb")), "db")
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jac"))

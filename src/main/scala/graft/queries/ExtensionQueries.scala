@@ -94,28 +94,26 @@ object ExtensionQueries {
         .orderBy(col("qa"), col("rank"))
     }),
 
-    // MinHash signatures (xxhash64-based → rows-only).
-    "x_minhash_sigs" -> ((s, d) => {
-      val sh = Dedup.wordShingles(t(s, d, "documents"),
-        col("doc_id"), col("text"), n = 3, dedup = false)
-      Dedup.minhashSignatures(sh, k = 32)
+    // MinHash signatures — native per-row expression (no explode, no
+    // shuffle), PolyFp hash family → full DuckDB oracle.
+    "x_minhash_sigs" -> ((s, d) =>
+      Dedup.minhashSigsNative(t(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, k = 32)
         .select(col("id"), posexplode(col("sig")))
         .withColumnRenamed("pos", "h_idx")
         .withColumnRenamed("col", "h_val")
-        .orderBy(col("id"), col("h_idx"))
-    }),
+        .orderBy(col("id"), col("h_idx"))),
 
-    // MinHash LSH candidate pairs (rows-only; may be empty on unique
-    // corpora — ScalaTest verifies recall on constructed dups).
-    "x_minhash_pairs" -> ((s, d) => {
-      val sh = Dedup.wordShingles(t(s, d, "documents"),
-        col("doc_id"), col("text"), n = 3, dedup = false)
-      Dedup.minhashCandidates(Dedup.minhashSignatures(sh, k = 32))
+    // MinHash LSH candidate pairs (banding on the native signatures) —
+    // oracle recomputes bands + est_jaccard exactly.
+    "x_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(
+          Dedup.minhashSigsNative(t(s, d, "documents"),
+            col("doc_id"), col("text"), n = 3, k = 32))
         .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
-        .limit(100)
-    }),
+        .limit(100)),
 
-    // SimHash per doc (rows-only).
+    // SimHash per doc (PolyFp-keyed → oracle-checked).
     "x_simhash" -> ((s, d) =>
       Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("id"))),
@@ -137,7 +135,19 @@ object ExtensionQueries {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           countDistinct(col("user_id")).as("exact_users"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // HLL error-bound gate: groups where the 1%-target sketch misses the
+    // exact count by >5%. Expected EMPTY — the oracle is the empty set,
+    // so this IS an oracle-checked accuracy contract for the sketch.
+    "x_approx_distinct_err" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .where(abs(col("approx_users") - col("exact_users")) >
+          col("exact_users").cast("double") * 0.05)
+        .select(col("event_type"), col("exact_users")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -251,7 +261,107 @@ object ExtensionQueries {
         |ORDER BY qa, rank""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_minhash_sigs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
+        |    unnest(string_split(text,' ')) AS tok
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+        |      AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(shingle,''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h*31 + c) % 1000000007) AS f
+        |  FROM sh WHERE shingle IS NOT NULL
+        |), params AS (
+        |  SELECT CAST(i AS INT) AS h_idx,
+        |    CAST((i+1)*15485863 AS BIGINT) AS a,
+        |    CAST(i*32452843 + 11 AS BIGINT) AS b
+        |  FROM range(32) t(i)
+        |)
+        |SELECT doc_id AS id, h_idx, min((a*f + b) % 2147483647) AS h_val
+        |FROM fp CROSS JOIN params
+        |GROUP BY 1, 2 ORDER BY id, h_idx""".stripMargin,
+    "x_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
+        |    unnest(string_split(text,' ')) AS tok
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+        |      AS shingle
+        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        |), fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(shingle,''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h*31 + c) % 1000000007) AS f
+        |  FROM sh WHERE shingle IS NOT NULL
+        |), params AS (
+        |  SELECT CAST(i AS INT) AS h_idx,
+        |    CAST((i+1)*15485863 AS BIGINT) AS a,
+        |    CAST(i*32452843 + 11 AS BIGINT) AS b
+        |  FROM range(32) t(i)
+        |), sig_rows AS (
+        |  SELECT doc_id AS id, h_idx, min((a*f + b) % 2147483647) AS h_val
+        |  FROM fp CROSS JOIN params GROUP BY 1, 2
+        |), sigs AS (
+        |  SELECT id, list(h_val ORDER BY h_idx) AS sig
+        |  FROM sig_rows GROUP BY id
+        |), bands AS (
+        |  SELECT id, sig, CAST(b AS INT) AS band,
+        |    sig[CAST(b*4+1 AS INT) : CAST(b*4+4 AS INT)] AS bkey
+        |  FROM sigs CROSS JOIN range(8) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+        |    l.sig AS sa, r.sig AS sb
+        |  FROM bands l JOIN bands r
+        |    ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+        |)
+        |SELECT id_a, id_b,
+        |  CAST(len(list_filter(range(32),
+        |    i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+        |    AS DOUBLE) / 32 AS est_jaccard
+        |FROM cand
+        |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+    "x_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS tok
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(tok,''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h*31 + c) % 1000000007) AS f
+        |  FROM toks WHERE tok <> ''
+        |), votes AS (
+        |  SELECT doc_id, CAST(j AS INT) AS j,
+        |    sum(CASE WHEN ((CAST((j+1)*15485863 AS BIGINT)*f
+        |        + j*32452843 + 11) % 2147483647) % 2 = 1
+        |      THEN 1 ELSE -1 END) AS v
+        |  FROM fp CROSS JOIN range(64) t(j) GROUP BY 1, 2
+        |)
+        |SELECT doc_id AS id,
+        |  CAST(sum(CASE WHEN v > 0 THEN
+        |    CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << j END
+        |    ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY 1 ORDER BY id""".stripMargin,
+    "x_approx_distinct_err" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+        |  AS exact_users
+        |FROM events GROUP BY 1 HAVING 1 = 0""".stripMargin
   )
 
   /** Multimodal feature extraction exposed for tests / API users. */

@@ -18,9 +18,19 @@ class QueriesSpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Queries whose contract is an EMPTY result (accuracy gates: the
+    * oracle is the empty set, any row = violation).
+    */
+  private val expectEmpty = Set("x_approx_distinct_err")
+
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"$name runs and returns rows at sf0.001") {
-      assert(fn(spark, sf0001).count() > 0)
-    }
+    if (expectEmpty(name))
+      test(s"$name runs and returns no violations at sf0.001") {
+        assert(fn(spark, sf0001).count() == 0)
+      }
+    else
+      test(s"$name runs and returns rows at sf0.001") {
+        assert(fn(spark, sf0001).count() > 0)
+      }
   }
 }
