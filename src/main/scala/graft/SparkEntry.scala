@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{ExtensionQueries, ParityQueries, RelationalQueries}
+import graft.queries.{ExtensionQueries, ParityQueries, RelationalQueries,
+  RelationalQueries2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++
-      ExtensionQueries.queries
+      RelationalQueries2.queries ++ ExtensionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -27,5 +28,5 @@ object SparkEntry {
     * those are correctness-tested in ScalaTest with constructed inputs. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      ExtensionQueries.oracleSql
+      RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql
 }

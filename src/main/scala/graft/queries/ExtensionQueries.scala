@@ -140,11 +140,16 @@ object ExtensionQueries {
     // HLL error-bound gate: groups where the 1%-target sketch misses the
     // exact count by >5%. Expected EMPTY — the oracle is the empty set,
     // so this IS an oracle-checked accuracy contract for the sketch.
+    // Shaped as distinct-pairs-first: HLL is insertion-idempotent, so
+    // sketching the deduped pairs gives the identical estimate while
+    // count(*) gives the exact distinct — one aggregation path, no
+    // Expand from mixing distinct and non-distinct aggregates.
     "x_approx_distinct_err" -> ((s, d) =>
       t(s, d, "events")
+        .select(col("event_type"), col("user_id")).distinct()
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users"))
+          count(lit(1)).as("exact_users"))
         .where(abs(col("approx_users") - col("exact_users")) >
           col("exact_users").cast("double") * 0.05)
         .select(col("event_type"), col("exact_users")))

@@ -1,0 +1,369 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import ParityQueries.t
+
+/** Second relational-breadth batch: grouping sets, set operations,
+  * correlated subqueries (EXISTS / scalar / LATERAL), distribution
+  * windows (ntile / percent_rank / cume_dist / sliding frames),
+  * conditional & bitwise & boolean aggregates, exact percentiles,
+  * integer-exact variance, date spines, unpivot, and array/regexp
+  * function families. Same oracle conventions: exact values, aligned
+  * aliases, total ORDER BY, and only IEEE-exact float math (integer
+  * sums, exact ratios, min/max).
+  */
+object RelationalQueries2 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // GROUPING SETS with grouping() markers — one pass, three groupings.
+    "r_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+          CAST(grouping(l_returnflag) AS INT) AS g_flag,
+          CAST(grouping(l_linestatus) AS INT) AS g_status,
+          count(*) AS n, sum(l_quantity) AS sum_qty
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+          l_linestatus NULLS FIRST""")
+    }),
+
+    // INTERSECT (set semantics): customers that do have orders.
+    "r_intersect" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("ck"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("ck")))
+        .orderBy(col("ck"))),
+
+    // EXCEPT (set semantics): customers with no large order (every
+    // customer has SOME order at every SF, so the plain anti set would
+    // be empty at sf0.001).
+    "r_except" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("ck"))
+        .except(t(s, d, "orders").where(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("ck")))
+        .orderBy(col("ck"))),
+
+    // Correlated NOT EXISTS — decorrelated to an anti join by Catalyst.
+    "r_exists_subquery" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("v_cust_ex")
+      t(s, d, "orders").createOrReplaceTempView("v_ord_ex")
+      s.sql("""
+        SELECT c_custkey, c_name FROM v_cust_ex c
+        WHERE NOT EXISTS (SELECT 1 FROM v_ord_ex o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 300000)
+        ORDER BY c_custkey""")
+    }),
+
+    // Correlated scalar subquery in the select list.
+    "r_scalar_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_ord_sc")
+      t(s, d, "lineitem").createOrReplaceTempView("v_li_sc")
+      s.sql("""
+        SELECT o_orderkey, o_orderstatus,
+          (SELECT max(l_quantity) FROM v_li_sc l
+           WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+        FROM v_ord_sc o
+        WHERE o_orderkey < 1000
+        ORDER BY o_orderkey""")
+    }),
+
+    // LATERAL correlated derived table.
+    "r_lateral" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("v_ord_lat")
+      t(s, d, "lineitem").createOrReplaceTempView("v_li_lat")
+      s.sql("""
+        SELECT o.o_orderkey, m.n_lines, m.max_qty
+        FROM v_ord_lat o CROSS JOIN LATERAL (
+          SELECT count(*) AS n_lines, max(l_quantity) AS max_qty
+          FROM v_li_lat l WHERE l.l_orderkey = o.o_orderkey) m
+        WHERE o.o_orderkey < 1000
+        ORDER BY o.o_orderkey""")
+    }),
+
+    // Distribution windows: ntile / percent_rank / cume_dist (exact
+    // integer-ratio doubles — deterministic both engines).
+    "r_ntile_cume" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Sliding rows-frame average of integer-valued quantities.
+    "r_sliding_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "lineitem")
+        .where(col("l_suppkey") < 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"),
+          sum(col("l_quantity")).over(w).as("win_sum"),
+          count(lit(1)).over(w).as("win_n"))
+        .withColumn("win_avg", col("win_sum") / col("win_n"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("win_sum"))
+    }),
+
+    // Conditional aggregates (FILTER clause) + boolean aggregates.
+    "r_cond_agg" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_li_cond")
+      s.sql("""
+        SELECT l_returnflag,
+          count(*) AS n,
+          count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+          bool_and(l_quantity > 0) AS all_pos,
+          bool_or(l_discount > 0.09) AS any_deep_disc
+        FROM v_li_cond GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // Bitwise aggregates over integer keys.
+    "r_bit_agg" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_li_bit")
+      s.sql("""
+        SELECT l_returnflag,
+          bit_and(l_orderkey) AS b_and,
+          bit_or(l_orderkey) AS b_or,
+          bit_xor(l_orderkey) AS b_xor
+        FROM v_li_bit GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // Variance/stddev computed from integer-exact sums — deterministic
+    // (never order-dependent float accumulation; the engine-native
+    // stddev/var aggs are NOT run-to-run stable on doubles at scale).
+    "r_var_manual" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_q"),
+          sum((col("l_quantity") * col("l_quantity")).cast("long"))
+            .as("sumsq_q"))
+        .select(col("l_returnflag"), col("n"), col("sum_q"), col("sumsq_q"),
+          ((col("sumsq_q") - col("sum_q") * col("sum_q") /
+            col("n").cast("double")) / (col("n") - 1).cast("double"))
+            .as("var_q"))
+        .orderBy(col("l_returnflag"))),
+
+    // Exact percentiles (linear interpolation) per group.
+    "r_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("v_li_pct")
+      s.sql("""
+        SELECT l_returnflag,
+          percentile(l_quantity, 0.5) AS median_qty,
+          percentile(l_quantity, 0.9) AS p90_qty,
+          min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM v_li_pct GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    // Approximate-percentile error gate: the sketch must land within 2
+    // quantity units of the exact median — empty-set oracle, same
+    // pattern as x_approx_distinct_err.
+    "r_approx_pct_err" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_percentile(col("l_quantity"), lit(0.5), lit(10000))
+          .as("approx_med"),
+          percentile_approx(col("l_quantity"), lit(0.5), lit(1000000))
+            .as("tight_med"),
+          expr("percentile(l_quantity, 0.5)").as("exact_med"))
+        .where(abs(col("approx_med") - col("exact_med")) > 2.0)
+        .select(col("l_returnflag"))),
+
+    // Date spine: generated calendar left-joined to per-day order
+    // counts, gaps zero-filled — the standard incremental-pipeline
+    // backbone (generate → explode → left join → coalesce).
+    "r_date_spine" -> ((s, d) => {
+      val spine = s.range(1)
+        .select(explode(sequence(
+          to_date(lit("1995-01-01")), to_date(lit("1995-03-31")),
+          expr("INTERVAL 1 DAY"))).as("dt"))
+      val daily = t(s, d, "orders")
+        .where(col("o_orderdate") >= "1995-01-01" &&
+          col("o_orderdate") < "1995-04-01")
+        .groupBy(to_date(col("o_orderdate")).as("dt"))
+        .agg(count(lit(1)).as("n_orders"))
+      spine.join(daily, Seq("dt"), "left")
+        .select(col("dt"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("dt"))
+    }),
+
+    // UNPIVOT / melt via stack(): wide part metrics → long rows.
+    "r_unpivot" -> ((s, d) =>
+      t(s, d, "part")
+        .select(col("p_partkey"),
+          expr("stack(2, 'retailprice', p_retailprice, " +
+            "'size', CAST(p_size AS DOUBLE))").as(Seq("metric", "val")))
+        .orderBy(col("p_partkey"), col("metric"))),
+
+    // Array function family over tokenized text.
+    "r_array_funcs" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(toks).cast("int").as("n_toks"),
+          size(array_distinct(toks)).cast("int").as("n_uniq"),
+          array_contains(toks, "the").as("has_the"),
+          array_position(toks, "the").as("pos_the"),
+          element_at(sort_array(toks), 1).as("first_sorted"),
+          array_join(slice(toks, 1, 3), " ").as("head3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // regexp_extract_all: letter-run tokens, count + first.
+    "r_regexp_extract" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+            .cast("int").as("n_words"),
+          element_at(
+            regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)), 1)
+            .as("first_word"))
+        .orderBy(col("doc_id")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "r_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |  l_linestatus NULLS FIRST""".stripMargin,
+    "r_intersect" ->
+      """SELECT c_custkey AS ck FROM customer
+        |INTERSECT SELECT o_custkey AS ck FROM orders
+        |ORDER BY ck""".stripMargin,
+    "r_except" ->
+      """SELECT c_custkey AS ck FROM customer
+        |EXCEPT SELECT o_custkey AS ck FROM orders
+        |WHERE o_totalprice > 300000
+        |ORDER BY ck""".stripMargin,
+    "r_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "r_scalar_subquery" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  (SELECT max(l_quantity) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS max_qty
+        |FROM orders o WHERE o_orderkey < 1000
+        |ORDER BY o_orderkey""".stripMargin,
+    "r_lateral" ->
+      """SELECT o.o_orderkey, m.n_lines, m.max_qty
+        |FROM orders o CROSS JOIN LATERAL (
+        |  SELECT count(*) AS n_lines, max(l_quantity) AS max_qty
+        |  FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) m
+        |WHERE o.o_orderkey < 1000
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "r_ntile_cume" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cdist
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r_sliding_avg" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  sum(l_quantity) OVER w AS win_sum,
+        |  count(*) OVER w AS win_n,
+        |  sum(l_quantity) OVER w / count(*) OVER w AS win_avg
+        |FROM lineitem WHERE l_suppkey < 20
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  win_sum""".stripMargin,
+    "r_cond_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_deep_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "r_bit_agg" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_orderkey) AS b_and,
+        |  bit_or(l_orderkey) AS b_or,
+        |  bit_xor(l_orderkey) AS b_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "r_var_manual" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS BIGINT)
+        |    AS sumsq_q,
+        |  (CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS BIGINT)
+        |    - CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      * CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |      / CAST(count(*) AS DOUBLE))
+        |    / CAST(count(*) - 1 AS DOUBLE) AS var_q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "r_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "r_approx_pct_err" ->
+      """SELECT l_returnflag FROM lineitem GROUP BY 1 HAVING 1 = 0"""
+        .stripMargin,
+    "r_date_spine" ->
+      """WITH spine AS (
+        |  SELECT CAST(unnest(generate_series(DATE '1995-01-01',
+        |    DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS dt
+        |), daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt, count(*) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s.dt, coalesce(d.n_orders, 0) AS n_orders
+        |FROM spine s LEFT JOIN daily d ON s.dt = d.dt
+        |ORDER BY s.dt""".stripMargin,
+    "r_unpivot" ->
+      """SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "r_array_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+        |    AS n_uniq,
+        |  list_contains(string_split(text, ' '), 'the') AS has_the,
+        |  CAST(coalesce(list_position(string_split(text, ' '), 'the'), 0)
+        |    AS BIGINT) AS pos_the,
+        |  list_sort(string_split(text, ' '))[1] AS first_sorted,
+        |  array_to_string(string_split(text, ' ')[1:3], ' ') AS head3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "r_regexp_extract" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT)
+        |    AS n_words,
+        |  regexp_extract_all(text, '[A-Za-z]+')[1] AS first_word
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
