@@ -42,6 +42,23 @@ object Similarity {
       .drop("qv", "cv", "qn", "cn")
   }
 
+  /** Exact all-pairs near-duplicate detection: every (a < b) pair with
+    * cosine ≥ threshold. Quadratic — the oracle-checkable ground truth
+    * for the LSH-bucketed [[Dedup.embeddingNearDup]]; at 100 TB only the
+    * bucketed form runs, with this as the verifier on samples.
+    */
+  def bruteForcePairs(embs: DataFrame, threshold: Double): DataFrame = {
+    val a = embs.select(col("id").as("id_a"), col("vec").as("va"))
+      .withColumn("na", l2Norm(col("va")))
+    val b = embs.select(col("id").as("id_b"), col("vec").as("vb_"))
+      .withColumn("nb", l2Norm(col("vb_")))
+    val denom = col("na") * col("nb")
+    broadcast(a).join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(denom =!= 0.0, dot(col("va"), col("vb_")) / denom).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Deterministic hyperplanes: `planes` × dim gaussians from a fixed
     * seed, shipped as a literal (they're tiny).
     */

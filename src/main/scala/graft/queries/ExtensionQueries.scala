@@ -118,6 +118,76 @@ object ExtensionQueries {
       Dedup.simhash(t(s, d, "documents"), col("doc_id"), col("text"))
         .orderBy(col("id"))),
 
+    // End-to-end near-dup REMOVAL: MinHash-LSH candidates ≥ 0.8
+    // estimated Jaccard, keep the lowest id of each pair — the full
+    // dedup pipeline (signature → banding → candidate → drop), all
+    // oracle-checked thanks to the PolyFp signatures.
+    "x_dedup_near" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val removed = Dedup.minhashCandidates(
+          Dedup.minhashSigsNative(docs, col("doc_id"), col("text"),
+            n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      docs.join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact embedding near-dup pairs (cosine ≥ 0.42 over all a<b pairs)
+    // — the ground-truth form of embeddingNearDup, oracle-checked.
+    "x_embed_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForcePairs(e, 0.42)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ANN recall gate: queries where 16-table multiprobe-LSH top-5
+    // recovers fewer than 2 of the exact top-5. Expected EMPTY
+    // (empty-set oracle) — an oracle-checked accuracy floor for the ANN
+    // path. The test embeddings are unclustered gaussians (LSH's
+    // hardest case); measured per-query recall is 2-5/5 across SFs,
+    // far higher on real clustered embeddings.
+    "x_ann_recall_err" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.where(col("id") < 10)
+      val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("qa"), col("vb"))
+      val ann = Similarity.lshTopK(q, e, k = 5, planes = 8, tables = 16)
+        .select(col("qa"), col("vb"))
+      val hits = bf.join(ann, Seq("qa", "vb"))
+        .groupBy(col("qa")).agg(count(lit(1)).as("hits"))
+      q.select(col("id").as("qa")).join(hits, Seq("qa"), "left")
+        .where(coalesce(col("hits"), lit(0L)) < 2)
+        .select(col("qa"))
+    }),
+
+    // BPE-ish regex tokenization (word / number / punct-run classes,
+    // optional leading space — the GPT-2 pattern family restricted to
+    // alternatives both regex engines treat identically).
+    "x_bpe_tokens" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"),
+            lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)))
+            .cast("int").as("n_bpe"),
+          element_at(regexp_extract_all(col("text"),
+            lit(" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"), lit(0)), 1)
+            .as("first_tok"))
+        .orderBy(col("doc_id"))),
+
+    // Corpus-wide top-20 bigrams — n-gram statistics for pretraining
+    // corpora (shingle explode → count; map-side partial agg does the
+    // heavy lifting at scale).
+    "x_ngram_counts" -> ((s, d) =>
+      Dedup.wordShingles(t(s, d, "documents"), col("doc_id"), col("text"),
+          n = 2, dedup = false)
+        .groupBy(col("shingle")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("shingle"))
+        .limit(20)),
+
     // Multimodal: binary payload + byte-level metadata (oracle checks the
     // byte length; checksum/brightness exercised via Dataset plumbing in
     // ScalaTest).
@@ -154,6 +224,50 @@ object ExtensionQueries {
           col("exact_users").cast("double") * 0.05)
         .select(col("event_type"), col("exact_users")))
   )
+
+  /** Shared oracle CTE: PolyFp MinHash signatures → LSH bands →
+    * candidate pairs (ends at `cand(id_a, id_b, sa, sb)` so callers can
+    * append further CTEs or the final SELECT).
+    */
+  private val minhashCandCte: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
+      |    unnest(string_split(text,' ')) AS tok
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |      AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), fp AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(shingle,''),
+      |        c -> CAST(unicode(c) AS BIGINT))),
+      |      (h, c) -> (h*31 + c) % 1000000007) AS f
+      |  FROM sh WHERE shingle IS NOT NULL
+      |), params AS (
+      |  SELECT CAST(i AS INT) AS h_idx,
+      |    CAST((i+1)*15485863 AS BIGINT) AS a,
+      |    CAST(i*32452843 + 11 AS BIGINT) AS b
+      |  FROM range(32) t(i)
+      |), sig_rows AS (
+      |  SELECT doc_id AS id, h_idx, min((a*f + b) % 2147483647) AS h_val
+      |  FROM fp CROSS JOIN params GROUP BY 1, 2
+      |), sigs AS (
+      |  SELECT id, list(h_val ORDER BY h_idx) AS sig
+      |  FROM sig_rows GROUP BY id
+      |), bands AS (
+      |  SELECT id, sig, CAST(b AS INT) AS band,
+      |    sig[CAST(b*4+1 AS INT) : CAST(b*4+4 AS INT)] AS bkey
+      |  FROM sigs CROSS JOIN range(8) t(b)
+      |), cand AS (
+      |  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
+      |    l.sig AS sa, r.sig AS sb
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
+      |)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x_dedup_exact" ->
@@ -294,51 +408,66 @@ object ExtensionQueries {
         |SELECT doc_id AS id, h_idx, min((a*f + b) % 2147483647) AS h_val
         |FROM fp CROSS JOIN params
         |GROUP BY 1, 2 ORDER BY id, h_idx""".stripMargin,
-    "x_minhash_pairs" ->
+    "x_minhash_pairs" -> (minhashCandCte +
+      """
+        |SELECT id_a, id_b,
+        |  CAST(len(list_filter(range(32),
+        |    i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+        |    AS DOUBLE) / 32 AS est_jaccard
+        |FROM cand
+        |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin),
+    "x_dedup_near" -> (minhashCandCte +
+      """, scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(32),
+        |      i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+        |      AS DOUBLE) / 32 AS est
+        |  FROM cand
+        |), removed AS (
+        |  SELECT DISTINCT id_b FROM scored WHERE est >= 0.8
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id_b FROM removed)
+        |ORDER BY d.doc_id""".stripMargin),
+    "x_embed_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * embedding[i])),
+        |      (x, y) -> x + y)) AS nm
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])),
+        |      (x, y) -> x + y) / (a.nm * b.nm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
+    "x_ann_recall_err" ->
+      """SELECT vec_id AS qa FROM embeddings WHERE 1 = 0""",
+    "x_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')) AS INT) AS n_bpe,
+        |  regexp_extract_all(text,
+        |    ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+')[1] AS first_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_ngram_counts" ->
       """WITH toks AS (
         |  SELECT doc_id,
         |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
         |    unnest(string_split(text,' ')) AS tok
         |  FROM documents
         |), sh AS (
-        |  SELECT doc_id,
-        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
-        |      AS shingle
+        |  SELECT doc_id, tok || ' ' || lead(tok,1) OVER w AS shingle
         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |), fp AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |      list_transform(string_split(shingle,''),
-        |        c -> CAST(unicode(c) AS BIGINT))),
-        |      (h, c) -> (h*31 + c) % 1000000007) AS f
-        |  FROM sh WHERE shingle IS NOT NULL
-        |), params AS (
-        |  SELECT CAST(i AS INT) AS h_idx,
-        |    CAST((i+1)*15485863 AS BIGINT) AS a,
-        |    CAST(i*32452843 + 11 AS BIGINT) AS b
-        |  FROM range(32) t(i)
-        |), sig_rows AS (
-        |  SELECT doc_id AS id, h_idx, min((a*f + b) % 2147483647) AS h_val
-        |  FROM fp CROSS JOIN params GROUP BY 1, 2
-        |), sigs AS (
-        |  SELECT id, list(h_val ORDER BY h_idx) AS sig
-        |  FROM sig_rows GROUP BY id
-        |), bands AS (
-        |  SELECT id, sig, CAST(b AS INT) AS band,
-        |    sig[CAST(b*4+1 AS INT) : CAST(b*4+4 AS INT)] AS bkey
-        |  FROM sigs CROSS JOIN range(8) t(b)
-        |), cand AS (
-        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b,
-        |    l.sig AS sa, r.sig AS sb
-        |  FROM bands l JOIN bands r
-        |    ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
         |)
-        |SELECT id_a, id_b,
-        |  CAST(len(list_filter(range(32),
-        |    i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
-        |    AS DOUBLE) / 32 AS est_jaccard
-        |FROM cand
-        |ORDER BY est_jaccard DESC, id_a, id_b LIMIT 100""".stripMargin,
+        |SELECT shingle, count(*) AS n FROM sh WHERE shingle IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, shingle LIMIT 20""".stripMargin,
     "x_simhash" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text,' ')) AS tok

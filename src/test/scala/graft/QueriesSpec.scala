@@ -21,7 +21,8 @@ class QueriesSpec extends SparkSuite {
   /** Queries whose contract is an EMPTY result (accuracy gates: the
     * oracle is the empty set, any row = violation).
     */
-  private val expectEmpty = Set("x_approx_distinct_err", "r_approx_pct_err")
+  private val expectEmpty =
+    Set("x_approx_distinct_err", "r_approx_pct_err", "x_ann_recall_err")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     if (expectEmpty(name))
