@@ -38,6 +38,9 @@ object Upsert {
       .localCheckpoint(eager = true)
     val n = staged.count()
     staged.write.mode(SaveMode.Overwrite).saveAsTable(table)
+    // drop the cached file index — readers resolved against the
+    // pre-swap file listing would otherwise hit deleted parquet parts
+    spark.catalog.refreshTable(table)
     n
   }
 }

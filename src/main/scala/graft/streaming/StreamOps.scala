@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** Streaming counterparts of the batch pipeline operators: bounded-state
+  * exact dedup, stream-static dimension enrichment, and an incremental
+  * MERGE sink via foreachBatch.
+  *
+  * State-at-scale notes:
+  *  - [[dedupWithinWatermark]] keys state by the id column only and the
+  *    watermark bounds retention — state is O(keys inside the watermark
+  *    window), not O(stream length). This is the streaming face of
+  *    `Dedup.exactKeepFirst` (same keep-first semantics).
+  *  - [[enrichWithDim]] broadcasts the static side per micro-batch: no
+  *    shuffle on the stream, and a dimension refresh is picked up on the
+  *    next batch (classic slowly-changing-dim join).
+  *  - [[upsertSink]] turns any append stream into MERGE semantics over a
+  *    plain Parquet catalog table (exactly-once per key under retries
+  *    because the merge is idempotent — re-delivering a batch rewrites
+  *    the same rows).
+  */
+object StreamOps {
+
+  /** Exact streaming dedup: first event per `idCol` wins; duplicates
+    * arriving within `watermark` of the max event time are dropped;
+    * state for ids older than the watermark is evicted.
+    */
+  def dedupWithinWatermark(events: DataFrame, idCol: String,
+                           tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(idCol)
+
+  /** Stream-static join: enrich a stream against a (small) dimension
+    * table — broadcast, no stream-side shuffle.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), key, "left")
+
+  /** foreachBatch MERGE sink: each micro-batch upserts into `table` by
+    * `key` (last write per key wins within a batch via the batch's own
+    * dedup; across batches, newest batch wins).
+    */
+  def upsertSink(spark: SparkSession, stream: DataFrame, table: String,
+                 key: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          if (!spark.catalog.tableExists(table))
+            batch.write.saveAsTable(table)
+          else
+            Upsert.mergeIntoTable(spark, table, batch, key): Unit
+        }
+      }
+      .start()
+}

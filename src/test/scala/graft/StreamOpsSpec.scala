@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import java.sql.Timestamp
+
+/** Streaming dedup / stream-static join / foreachBatch MERGE sink. */
+class StreamOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dropDuplicatesWithinWatermark keeps first event per id") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val df = in.toDF().toDF("event_id", "ts", "payload")
+    val q = StreamOps.dedupWithinWatermark(df, "event_id", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, ts("2026-08-12 10:00:00"), "a"),
+        (2L, ts("2026-08-12 10:01:00"), "b"))
+      q.processAllAvailable()
+      // same ids re-delivered within the watermark → dropped
+      in.addData((1L, ts("2026-08-12 10:02:00"), "a-dup"),
+        (2L, ts("2026-08-12 10:03:00"), "b-dup"),
+        (3L, ts("2026-08-12 10:04:00"), "c"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_out").as[(Long, Timestamp, String)]
+        .collect().sortBy(_._1)
+      assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+      assert(out.map(_._3).toSeq == Seq("a", "b", "c")) // firsts won
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches without shuffling the stream") {
+    implicit val sc = spark.sqlContext
+    val dim = Seq((1, "US"), (2, "DE")).toDF("nk", "country")
+    val in = MemoryStream[(Long, Int)]
+    val q = StreamOps.enrichWithDim(
+        in.toDF().toDF("uid", "nk"), dim, Seq("nk"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      in.addData((10L, 1), (11L, 2), (12L, 9))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(1), Option(r.getString(2)))).sortBy(_._1)
+      assert(rows.toSeq == Seq((10L, Some("US")), (11L, Some("DE")),
+        (12L, None)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch MERGE sink: across-batch upsert by key") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ck").toString
+    spark.sql("DROP TABLE IF EXISTS stream_target")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.upsertSink(spark,
+      in.toDF().toDF("k", "v"), "stream_target", Seq("k"), dir)
+    try {
+      in.addData((1L, "v1"), (2L, "v1"))
+      q.processAllAvailable()
+      in.addData((2L, "v2"), (3L, "v1")) // update 2, insert 3
+      q.processAllAvailable()
+      val got = spark.table("stream_target").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == Seq((1L, "v1"), (2L, "v2"), (3L, "v1")))
+    } finally {
+      q.stop()
+      spark.sql("DROP TABLE IF EXISTS stream_target")
+    }
+  }
+}
