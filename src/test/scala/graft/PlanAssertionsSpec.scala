@@ -45,6 +45,39 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("native MinHash/SimHash signatures are exchange-free narrow maps") {
+    import org.apache.spark.sql.functions.col
+    import graft.queries.ParityQueries.t
+    Seq(
+      graft.operators.Dedup.minhashSigsNative(
+        t(spark, sf0001, "documents"), col("doc_id"), col("text")),
+      graft.operators.Dedup.simhash(
+        t(spark, sf0001, "documents"), col("doc_id"), col("text"))
+    ).foreach { df =>
+      val p = df.queryExecution.executedPlan.toString()
+      assert(!p.contains("Exchange"),
+        s"signature computation must not shuffle:\n${p.take(800)}")
+    }
+  }
+
+  test("NOT EXISTS decorrelates to an anti join (no subquery at runtime)") {
+    val p = plan("r_exists_subquery")
+    assert(p.contains("LeftAnti"), p.take(800))
+  }
+
+  test("date spine joins the generated calendar by broadcast") {
+    val p = plan("r_date_spine")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+  }
+
+  test("grouping sets aggregate in one pass (single Expand, no re-scan)") {
+    val p = plan("r_grouping_sets")
+    assert(p.linesIterator.count(_.contains("Expand [")) == 1,
+      p.take(1200))
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(1200))
+  }
+
   test("flagship pipeline scan reads only the referenced columns") {
     import org.apache.spark.sql.functions._
     val raw = spark.createDataFrame(
