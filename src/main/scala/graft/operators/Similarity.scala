@@ -29,8 +29,14 @@ object Similarity {
     // results stay bit-identical: dot / (sqrt(qq) * sqrt(cc)))
     val q = broadcast(queries.select(col("id").as("qa"), col("vec").as("qv"))
       .withColumn("qn", l2Norm(col("qv"))))
+    // spread the |Q|×|C| scoring across the session parallelism — a
+    // small parquet corpus otherwise streams through the broadcast join
+    // as a single task (see bruteForcePairs)
+    val parallelism = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val c = corpus.select(col("id").as("vb"), col("vec").as("cv"))
       .withColumn("cn", l2Norm(col("cv")))
+      .repartition(parallelism)
     val w = Window.partitionBy(col("qa"))
       .orderBy(col("cos").desc, col("vb"))
     val denom = col("qn") * col("cn")
@@ -50,8 +56,16 @@ object Similarity {
   def bruteForcePairs(embs: DataFrame, threshold: Double): DataFrame = {
     val a = embs.select(col("id").as("id_a"), col("vec").as("va"))
       .withColumn("na", l2Norm(col("va")))
+    // The broadcast-nested-loop stream side inherits the input's file
+    // partitioning — a small parquet arrives as ONE partition, so the
+    // O(n²) scoring would run in one task. Spread it across the
+    // session's shuffle parallelism (explicit numPartitions: AQE leaves
+    // user-specified repartition counts alone).
+    val parallelism = embs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
     val b = embs.select(col("id").as("id_b"), col("vec").as("vb_"))
       .withColumn("nb", l2Norm(col("vb_")))
+      .repartition(parallelism)
     val denom = col("na") * col("nb")
     broadcast(a).join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
