@@ -119,6 +119,47 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Per-row marker-word vote counts: for each marker set, how many
+  * whitespace tokens of `child` are members. One tokenize pass per row
+  * covering every set — replaces N interpreted `size(filter(toks,
+  * isin(...)))` higher-order lambdas (language-ID, stopword ratios).
+  * Sets are tiny (≤ a few words), so membership is a linear
+  * UTF8String.equals scan — no boxing, no per-token allocation.
+  */
+case class MarkerVotesExpr(child: Expression, markers: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "marker_votes"
+
+  @transient private lazy val sets: Array[Array[UTF8String]] =
+    markers.map(_.map(UTF8String.fromString).toArray).toArray
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[UTF8String].split(PolyFp.space, -1)
+    val counts = new Array[Long](sets.length)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      var s = 0
+      while (s < sets.length) {
+        val set = sets(s)
+        var i = 0
+        while (i < set.length) {
+          if (set(i).equals(tok)) { counts(s) += 1; i = set.length }
+          else i += 1
+        }
+        s += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerVotesExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over whitespace tokens using the PolyFp hash family:
   * token fingerprint x, bit j votes +1 when (a_j*x+b_j) mod P is odd
   * else −1; bit set when the vote sum is positive. Empty tokens (from

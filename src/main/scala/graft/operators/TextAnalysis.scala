@@ -57,14 +57,26 @@ object TextAnalysis {
 
   /** Deterministic language vote: count marker-word hits per language,
     * pick the max with a fixed priority order (en > es > de > fr), 'und'
-    * when nothing matches.
+    * when nothing matches. All four counts come from ONE native
+    * tokenize pass (MarkerVotesExpr) — the interpreted
+    * `size(filter(toks, isin))` lambda form costs ~4 boxed scans per
+    * row; the `__votes` alias is deliberately kept in its own
+    * projection so CollapseProject doesn't inline (and re-evaluate) the
+    * expression per consumer.
     */
   def withLangId(df: DataFrame, text: Column = col("text")): DataFrame = {
-    val toks = tokens(text)
-    val votes = langMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
-    val ven = votes("en"); val ves = votes("es")
-    val vde = votes("de"); val vfr = votes("fr")
-    df.withColumn("votes_en", ven).withColumn("votes_es", ves)
+    val order = Seq("en", "es", "de", "fr")
+    val votesExpr = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.MarkerVotesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text),
+        order.map(langMarkers)))
+    val withVotes = df.withColumn("__votes", votesExpr)
+    val ven = element_at(col("__votes"), 1)
+    val ves = element_at(col("__votes"), 2)
+    val vde = element_at(col("__votes"), 3)
+    val vfr = element_at(col("__votes"), 4)
+    withVotes
+      .withColumn("votes_en", ven).withColumn("votes_es", ves)
       .withColumn("votes_de", vde).withColumn("votes_fr", vfr)
       .withColumn("pred_lang",
         when(ven >= ves && ven >= vde && ven >= vfr && ven > 0, "en")
@@ -72,6 +84,7 @@ object TextAnalysis {
           .when(vde >= vfr && vde > 0, "de")
           .when(vfr > 0, "fr")
           .otherwise("und"))
+      .drop("__votes")
   }
 
   /** Rolling polynomial content fingerprint:
