@@ -46,6 +46,16 @@ object TimeSeries {
     out
   }
 
+  /** Last-observation-carried-forward gap fill: `as` = the most recent
+    * non-null `value` per `key` in `order` — one window pass (single
+    * shuffle on the key), the standard sparse→dense series repair.
+    */
+  def fillForward(df: DataFrame, key: Column, order: Seq[Column],
+                  value: Column, as: String): DataFrame =
+    df.withColumn(as, last(value, ignoreNulls = true).over(
+      Window.partitionBy(key).orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+
   /** Gap-based sessionization: a new session starts when the time since
     * the previous event on the same key exceeds `gapSeconds`. Returns the
     * input plus `session_idx` (1-based per key) — one window pass, no

@@ -220,6 +220,35 @@ object RelationalQueries2 {
         .orderBy(col("doc_id"))
     }),
 
+    // LOCF gap fill: sparse per-user purchase values carried forward.
+    "r_locf" -> ((s, d) =>
+      graft.operators.TimeSeries.fillForward(
+          t(s, d, "events")
+            .select(col("user_id"), col("event_id"), col("ts"),
+              when(col("event_type") === "purchase", col("value"))
+                .as("v_sparse")),
+          col("user_id"), Seq(col("ts"), col("event_id")),
+          col("v_sparse"), "v_filled")
+        .select(col("user_id"), col("event_id"), col("v_sparse"),
+          col("v_filled"))
+        .orderBy(col("user_id"), col("event_id"))),
+
+    // MapType surface: build a map, explode entries back to rows.
+    "r_map_entries" -> ((s, d) =>
+      t(s, d, "events").where(col("event_id") < 2000)
+        .select(col("event_id"),
+          explode(map(lit("et"), col("event_type"),
+            lit("uid"), col("user_id").cast("string"))))
+        .orderBy(col("event_id"), col("key"))),
+
+    // Ordered string aggregation (listagg): deterministic via sort.
+    "r_string_agg" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy(col("n_regionkey"))),
+
     // regexp_extract_all: letter-run tokens, count + first.
     "r_regexp_extract" -> ((s, d) =>
       t(s, d, "documents")
@@ -359,6 +388,27 @@ object RelationalQueries2 {
         |  list_sort(string_split(text, ' '))[1] AS first_sorted,
         |  array_to_string(string_split(text, ' ')[1:3], ' ') AS head3
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "r_locf" ->
+      """SELECT user_id, event_id,
+        |  CASE WHEN event_type = 'purchase' THEN value END AS v_sparse,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "r_map_entries" ->
+      """SELECT event_id, 'et' AS key, event_type AS value
+        |FROM events WHERE event_id < 2000
+        |UNION ALL
+        |SELECT event_id, 'uid' AS key, CAST(user_id AS VARCHAR) AS value
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id, key""".stripMargin,
+    "r_string_agg" ->
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+        .stripMargin,
     "r_regexp_extract" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT)
