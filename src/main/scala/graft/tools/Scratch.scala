@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
+import org.apache.spark.sql.expressions.Window
 import graft.queries.ParityQueries.t
 
 /** Ad-hoc probe main (contents vary across sessions). */
@@ -15,14 +15,29 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    val e = t(spark, d, "embeddings")
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val q = Similarity.bruteForcePairs(e, 0.42)
-    q.explain("formatted")
-    for (_ <- 1 to 3) {
-      val t0 = System.nanoTime()
-      q.count()
-      println(f"neardup ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    val li = t(spark, d, "lineitem")
+
+    // window form (current q_argmax_lineitem shape)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_quantity").desc, col("l_linenumber").desc)
+    val windowForm = li
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+    // algebraic form: max_by with a composite ordering struct
+    val maxbyForm = li.groupBy(col("l_orderkey"))
+      .agg(max_by(
+        struct(col("l_linenumber"), col("l_quantity")),
+        struct(col("l_quantity"), col("l_linenumber"))).as("m"))
+      .select(col("l_orderkey"), col("m.l_linenumber"), col("m.l_quantity"))
+
+    for ((name, df) <- Seq(("window", windowForm), ("maxby", maxbyForm))) {
+      df.count() // warm
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        df.count()
+        println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }
