@@ -7,6 +7,15 @@ import graft.functions.VectorFunctions
 
 /** Deduplication operators for a training-data pipeline.
   *
+  * Algorithms (public literature): MinHash resemblance sketches follow
+  * Broder, "On the resemblance and containment of documents" (SEQUENCES
+  * 1997) with the banding/LSH candidate scheme of Gionis, Indyk &
+  * Motwani, "Similarity search in high dimensions via hashing" (VLDB
+  * 1999); SimHash follows Charikar, "Similarity estimation techniques
+  * from rounding algorithms" (STOC 2002) with the Hamming-window
+  * blocking of Manku, Jain & Das Sarma, "Detecting near-duplicates for
+  * web crawling" (WWW 2007).
+  *
   * Scale design:
   *  - exact dedup is a hash shuffle on the content key (or its hash —
   *    shuffle 8-byte keys, not document bodies);

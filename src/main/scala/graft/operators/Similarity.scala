@@ -7,6 +7,13 @@ import graft.functions.VectorFunctions._
 
 /** Similarity search over an embedding column (`array<float>`).
   *
+  * Algorithms (public literature): sign-random-projection LSH per
+  * Charikar (STOC 2002) / Gionis-Indyk-Motwani (VLDB 1999) with
+  * multiprobe per Lv et al., "Multi-probe LSH" (VLDB 2007); the IVF
+  * coarse-quantizer probe structure follows Jégou, Douze & Schmid,
+  * "Product quantization for nearest neighbor search" (TPAMI 2011,
+  * IVF part — no PQ compression here).
+  *
   * Two tiers, as a 100 TB pipeline needs:
   *  - `bruteForceTopK` — exact cosine top-k. The corpus side streams
   *    (narrow scan), the query side broadcasts; per-partition top-k via
