@@ -178,6 +178,15 @@ object ExtensionQueries {
             .as("first_tok"))
         .orderBy(col("doc_id"))),
 
+    // Deterministic hash sampling: stable 10% held-out split keyed on
+    // content fingerprint — reproducible across runs/engines, unlike
+    // TABLESAMPLE (row-order dependent) or rand() (seed-per-partition).
+    "x_sample_hash" -> ((s, d) =>
+      t(s, d, "documents")
+        .where(pmod(TextAnalysis.fingerprint(col("text")), lit(10)) === 0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // Corpus-wide top-20 bigrams — n-gram statistics for pretraining
     // corpora (shingle explode → count; map-side partial agg does the
     // heavy lifting at scale).
@@ -495,7 +504,15 @@ object ExtensionQueries {
     "x_approx_distinct_err" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
         |  AS exact_users
-        |FROM events GROUP BY 1 HAVING 1 = 0""".stripMargin
+        |FROM events GROUP BY 1 HAVING 1 = 0""".stripMargin,
+    "x_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) % 10 = 0
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Multimodal feature extraction exposed for tests / API users. */

@@ -265,6 +265,17 @@ object RelationalQueries2 {
           .as("nations"))
         .orderBy(col("n_regionkey"))),
 
+    // One-row table profile: the usual pre-ingest data-quality summary
+    // (row/distinct/null counts, domain bounds) in a single aggregate.
+    "r_profile_stats" -> ((s, d) =>
+      t(s, d, "orders")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          sum(col("o_orderkey")).as("sum_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          count(when(col("o_orderpriority").isNull, 1)).as("null_prio"))),
+
     // regexp_extract_all: letter-run tokens, count + first.
     "r_regexp_extract" -> ((s, d) =>
       t(s, d, "documents")
@@ -430,6 +441,15 @@ object RelationalQueries2 {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
         .stripMargin,
+    "r_profile_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  min(o_totalprice) AS min_price,
+        |  max(o_totalprice) AS max_price,
+        |  CAST(count(CASE WHEN o_orderpriority IS NULL THEN 1 END)
+        |    AS BIGINT) AS null_prio
+        |FROM orders""".stripMargin,
     "r_regexp_extract" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT)
