@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ =>
       graft.functions.RemoveRedundantUtf8Encode)
+    ext.injectOptimizerRule(_ =>
+      graft.functions.ArgMaxWindowToMaxBy)
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

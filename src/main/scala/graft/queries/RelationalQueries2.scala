@@ -265,6 +265,25 @@ object RelationalQueries2 {
           .as("nations"))
         .orderBy(col("n_regionkey"))),
 
+    // Range (interval) join: clicks within the hour before each
+    // purchase by the same user. Equality on the key bounds the pair
+    // space; the time range is a post-join filter — the scalable shape
+    // for interval joins on a keyed stream.
+    "r_range_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("ts").as("p_ts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      p.join(c, Seq("user_id"))
+        .where(col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+        .groupBy(col("user_id"), col("p_id"))
+        .agg(count(lit(1)).as("n_clicks"))
+        .orderBy(col("user_id"), col("p_id"))
+    }),
+
     // One-row table profile: the usual pre-ingest data-quality summary
     // (row/distinct/null counts, domain bounds) in a single aggregate.
     "r_profile_stats" -> ((s, d) =>
@@ -441,6 +460,15 @@ object RelationalQueries2 {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
         .stripMargin,
+    "r_range_join" ->
+      """SELECT p.user_id, p.event_id AS p_id, count(*) AS n_clicks
+        |FROM (SELECT user_id, event_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "r_profile_stats" ->
       """SELECT count(*) AS n_rows,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,

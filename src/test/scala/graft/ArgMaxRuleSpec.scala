@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ArgMaxWindowToMaxBy: rewrite fires on the exact pattern, skips
+  * everything else, and never changes results (incl. nulls and ties).
+  */
+class ArgMaxRuleSpec extends SparkSuite {
+
+  private lazy val s2: SparkSession = {
+    spark // init shared context first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    SparkSession.builder().master("local[2]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+  }
+
+  private def data(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 30.0), // tie on value
+      ("b", 4, 5.0), ("b", 5, 7.0),
+      ("c", 6, Double.NaN),
+      ("d", 7, 1.0)
+    ).toDF("k", "id", "v")
+  }
+
+  private def argmax(df: DataFrame, desc: Boolean): DataFrame = {
+    val o = if (desc) Seq(col("v").desc, col("id").desc)
+            else Seq(col("v").asc, col("id").asc)
+    df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("k")).orderBy(o: _*)))
+      .where(col("rn") === 1)
+  }
+
+  test("desc argmax rewrites to max_by and matches the window result") {
+    val rewritten = argmax(data(s2), desc = true)
+    val opt = rewritten.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("max_by"), opt)
+    assert(!opt.contains("Window"), opt)
+    val expect = argmax(data(spark), desc = true)
+      .collect().map(_.toString).toSet
+    assert(rewritten.collect().map(_.toString).toSet == expect)
+  }
+
+  test("asc arg-min rewrites to min_by and matches") {
+    val rewritten = argmax(data(s2), desc = false)
+    val opt = rewritten.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("min_by"), opt)
+    assert(!opt.contains("Window"), opt)
+    val expect = argmax(data(spark), desc = false)
+      .collect().map(_.toString).toSet
+    assert(rewritten.collect().map(_.toString).toSet == expect)
+  }
+
+  test("null ordering values keep window semantics after rewrite") {
+    import s2.implicits._
+    val withNulls = Seq(("a", 1, Some(1.0)), ("a", 2, None),
+      ("b", 3, None), ("b", 4, None)).toDF("k", "id", "v")
+    val r = argmax(withNulls, desc = true)
+    assert(r.queryExecution.optimizedPlan.toString().contains("max_by"))
+    // desc nulls last: non-null wins; all-null group still yields a row
+    val got = r.select("k", "id").collect()
+      .map(x => (x.getString(0), x.getInt(1))).toMap
+    assert(got("a") == 1)
+    assert(Set(3, 4).contains(got("b")))
+  }
+
+  test("guards: mixed directions, rn=2, extra window exprs stay windowed") {
+    import s2.implicits._
+    val df = data(s2)
+    val mixed = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)))
+      .where($"rn" === 1)
+    assert(mixed.queryExecution.optimizedPlan.toString().contains("Window"))
+
+    val rn2 = argmax(df, desc = true).drop("rn")
+    val second = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"k").orderBy($"v".desc, $"id".desc)))
+      .where($"rn" === 2)
+    assert(second.queryExecution.optimizedPlan.toString().contains("Window"))
+    assert(rn2.count() == 4) // sanity: rewrite output still usable
+
+    val twoExprs = df.withColumn("rn", row_number().over(
+        Window.partitionBy($"k").orderBy($"v".desc, $"id".desc)))
+      .withColumn("mx", max($"v").over(Window.partitionBy($"k")))
+      .where($"rn" === 1)
+    assert(twoExprs.queryExecution.optimizedPlan.toString()
+      .contains("Window"))
+  }
+
+  test("rewrite matches the window form on real data (argmax lineitem)") {
+    import graft.queries.ParityQueries.t
+    def q(s: SparkSession): DataFrame = {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_quantity").desc, col("l_linenumber").desc)
+      t(s, sf0001, "lineitem")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    }
+    assert(q(s2).queryExecution.optimizedPlan.toString().contains("max_by"))
+    assert(q(s2).collect().map(_.toString).toSet ==
+      q(spark).collect().map(_.toString).toSet)
+  }
+}
