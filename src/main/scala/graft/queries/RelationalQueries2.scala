@@ -47,6 +47,23 @@ object RelationalQueries2 {
           .select(col("o_custkey").as("ck")))
         .orderBy(col("ck"))),
 
+    // INTERSECT ALL / EXCEPT ALL — multiset semantics (duplicate
+    // counts preserved), not the distinct set forms above.
+    "r_intersect_all" -> ((s, d) =>
+      t(s, d, "lineitem").where(col("l_returnflag") === "A")
+        .select(col("l_suppkey"), col("l_quantity"))
+        .intersectAll(
+          t(s, d, "lineitem").where(col("l_returnflag") === "R")
+            .select(col("l_suppkey"), col("l_quantity")))
+        .orderBy(col("l_suppkey"), col("l_quantity"))),
+    "r_except_all" -> ((s, d) =>
+      t(s, d, "lineitem").where(col("l_returnflag") === "A")
+        .select(col("l_suppkey"), col("l_quantity"))
+        .exceptAll(
+          t(s, d, "lineitem").where(col("l_returnflag") === "R")
+            .select(col("l_suppkey"), col("l_quantity")))
+        .orderBy(col("l_suppkey"), col("l_quantity"))),
+
     // Correlated NOT EXISTS — decorrelated to an anti join by Catalyst.
     "r_exists_subquery" -> ((s, d) => {
       t(s, d, "customer").createOrReplaceTempView("v_cust_ex")
@@ -326,6 +343,20 @@ object RelationalQueries2 {
         |EXCEPT SELECT o_custkey AS ck FROM orders
         |WHERE o_totalprice > 300000
         |ORDER BY ck""".stripMargin,
+    "r_intersect_all" ->
+      """SELECT l_suppkey, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'A'
+        |INTERSECT ALL
+        |SELECT l_suppkey, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |ORDER BY l_suppkey, l_quantity""".stripMargin,
+    "r_except_all" ->
+      """SELECT l_suppkey, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'A'
+        |EXCEPT ALL
+        |SELECT l_suppkey, l_quantity FROM lineitem
+        |WHERE l_returnflag = 'R'
+        |ORDER BY l_suppkey, l_quantity""".stripMargin,
     "r_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
