@@ -43,8 +43,13 @@ object TextAnalysis {
     */
   def withQuality(df: DataFrame, text: Column = col("text")): DataFrame = {
     val toks = tokens(text)
+    val stopCount = element_at(
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.MarkerVotesExpr(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(text),
+          Seq(stopwords))), 1)
     df.withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("n_stop", countIn(toks, stopwords))
+      .withColumn("n_stop", stopCount)
       .withColumn("stop_ratio",
         col("n_stop").cast("double") / col("n_tokens"))
       .withColumn("mean_tok_len",
