@@ -119,6 +119,25 @@ case class MinHashSigExpr(child: Expression, n: Int, k: Int)
     copy(child = newChild)
 }
 
+/** Rolling polynomial content fingerprint `(h*31+codepoint) mod 1e9+7`
+  * as a single native call — identical semantics to the composable
+  * `aggregate(transform(split(...)))` fold (and to DuckDB's
+  * `list_reduce` over `unicode()` code points), without the interpreted
+  * higher-order lambdas.
+  */
+case class PolyFingerprintExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fingerprint"
+
+  override protected def nullSafeEval(v: Any): Any =
+    PolyFp.mix(0L, v.asInstanceOf[UTF8String])
+
+  override protected def withNewChildInternal(newChild: Expression): PolyFingerprintExpr =
+    copy(child = newChild)
+}
+
 /** Per-row marker-word vote counts: for each marker set, how many
   * whitespace tokens of `child` are members. One tokenize pass per row
   * covering every set — replaces N interpreted `size(filter(toks,

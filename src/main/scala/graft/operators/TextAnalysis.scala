@@ -94,16 +94,13 @@ object TextAnalysis {
 
   /** Rolling polynomial content fingerprint:
     * `h = (h*31 + codepoint) mod 1e9+7` left-folded over the characters.
-    * Oracle-reproducible (DuckDB `list_reduce`) unlike murmur/xxhash, and
-    * still a narrow codegen'd map. Spark's `split(text, '')` keeps a
-    * trailing '' on non-empty input — filtered to match DuckDB's
-    * `string_split(text, '')`.
+    * Oracle-reproducible (DuckDB `list_reduce` over `unicode()`) unlike
+    * murmur/xxhash. One native call per row (PolyFingerprintExpr) — the
+    * composable `aggregate(transform(split))` fold is semantically
+    * identical but evaluates interpreted lambdas per character.
     */
   def fingerprint(text: Column): Column =
-    aggregate(
-      transform(
-        filter(split(text, ""), c => c =!= ""),
-        c => ascii(c).cast("long")),
-      lit(0L),
-      (h, c) => (h * 31 + c) % 1000000007L)
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.PolyFingerprintExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
 }
