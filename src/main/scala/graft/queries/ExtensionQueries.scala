@@ -197,6 +197,17 @@ object ExtensionQueries {
         .orderBy(col("n").desc, col("shingle"))
         .limit(20)),
 
+    // Multimodal frame sampling: payload → fixed-size frames, every
+    // 4th kept (video-frame / audio-window shape). Frame boundaries and
+    // byte counts are oracle-checked; the per-frame decode is the
+    // stubbed codec (tests).
+    "x_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.syntheticMedia(s, t(s, d, "documents")).toDF(),
+          frameBytes = 64, stride = 4)
+        .select(col("media_id"), col("frame_idx"), col("frame_bytes"))
+        .orderBy(col("media_id"), col("frame_idx"))),
+
     // Multimodal: binary payload + byte-level metadata (oracle checks the
     // byte length; checksum/brightness exercised via Dataset plumbing in
     // ScalaTest).
@@ -390,6 +401,18 @@ object ExtensionQueries {
     "x_multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        |), idx AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS i
+        |  FROM m
+        |)
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(least(64, n - i * 64) AS BIGINT) AS frame_bytes
+        |FROM idx WHERE i % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
     "x_minhash_sigs" ->
       """WITH toks AS (
         |  SELECT doc_id,

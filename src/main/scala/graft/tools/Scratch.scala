@@ -1,21 +1,34 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.queries.ParityQueries.t
 
 /** Ad-hoc probe main (contents vary across sessions). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    try {
-      spark.sql("""WITH RECURSIVE t(n) AS (
-        SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 10)
-        SELECT sum(n) AS s FROM t""").show()
-      println("RECURSIVE-OK")
-    } catch { case e: Throwable => println("RECURSIVE-FAIL " + e.getMessage.take(200)) }
+    val d = "/root/testdata/sf0.1"
+    val q = Dedup.ngramJaccardPairs(t(spark, d, "documents"),
+        col("doc_id"), col("text"), n = 3, leftFilter = _ < 100)
+      .orderBy(col("jac").desc, col("da"), col("db")).limit(20)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    println("scans=" + "FileScan".r.findAllIn(plan).length +
+      " exchanges=" + "Exchange".r.findAllIn(plan).length +
+      " reused=" + "ReusedExchange".r.findAllIn(plan).length +
+      " shingles=" + "shingles".r.findAllIn(plan).length)
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      q.count()
+      println(f"ngram run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
     spark.stop()
   }
 }
