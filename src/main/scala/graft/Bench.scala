@@ -26,7 +26,7 @@ object Bench {
       } catch { case _: Throwable => }
     }
     // Steady-state throughput: one untimed warmup run per query (pays
-    // Janino codegen compile + JIT), then min of two timed runs (this
+    // Janino codegen compile + JIT), then min of three timed runs (this
     // container shows multi-second scheduler/JIT jitter; min-of-N is the
     // standard noise floor). Measures execution — the quantity that
     // scales with data — not single-shot compile latency.
@@ -34,12 +34,14 @@ object Bench {
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val warm = (System.nanoTime() - w0) / 1e9
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      System.err.println(f"[bench] $name warm=$warm%.2f t1=${times(0)}%.2f t2=${times(1)}%.2f")
+      System.err.println(f"[bench] $name warm=$warm%.2f " +
+        times.zipWithIndex.map { case (t, i) => f"t${i + 1}=$t%.2f" }
+          .mkString(" "))
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
