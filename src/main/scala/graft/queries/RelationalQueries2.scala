@@ -301,6 +301,32 @@ object RelationalQueries2 {
         .orderBy(col("user_id"), col("p_id"))
     }),
 
+    // Struct → JSON serialization (int/string fields: both engines emit
+    // identical compact JSON; nulls kept for parity).
+    "r_to_json" -> ((s, d) =>
+      t(s, d, "nation")
+        .select(col("n_nationkey"),
+          to_json(struct(col("n_nationkey").as("k"),
+            col("n_name").as("name")),
+            Map("ignoreNullFields" -> "false")).as("j"))
+        .orderBy(col("n_nationkey"))),
+
+    // Higher-order function family: filter / transform / aggregate /
+    // slice over token arrays (the composable surface — hot paths use
+    // native expressions instead, see functions/).
+    "r_hof_funcs" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          size(filter(toks, t => length(t) > 4)).cast("int")
+            .as("n_long"),
+          aggregate(transform(toks, t => length(t).cast("long")),
+            lit(0L), (h, x) => h + x).as("sum_len"),
+          array_join(transform(slice(toks, 1, 3), t => upper(t)), " ")
+            .as("head3_upper"))
+        .orderBy(col("doc_id"))
+    }),
+
     // One-row table profile: the usual pre-ingest data-quality summary
     // (row/distinct/null counts, domain bounds) in a single aggregate.
     "r_profile_stats" -> ((s, d) =>
@@ -500,6 +526,20 @@ object RelationalQueries2 {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r_to_json" ->
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(k := n_nationkey, name := n_name)) AS j
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "r_hof_funcs" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '),
+        |    t -> len(t) > 4)) AS INT) AS n_long,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(len(t) AS BIGINT))), (h, x) -> h + x) AS sum_len,
+        |  array_to_string(list_transform(string_split(text, ' ')[1:3],
+        |    t -> upper(t)), ' ') AS head3_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "r_profile_stats" ->
       """SELECT count(*) AS n_rows,
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
