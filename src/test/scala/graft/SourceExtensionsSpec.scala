@@ -62,6 +62,15 @@ class SourceExtensionsSpec extends SparkSuite {
       val h = s2.sql("SELECT simhash64('hello world') AS h").head().getLong(0)
       val h2 = s2.sql("SELECT simhash64('hello world') AS h").head().getLong(0)
       assert(h == h2)
+      val hf = s2.sql("SELECT simhash_fp('hello world') AS h")
+        .head().getLong(0)
+      assert(hf == s2.sql("SELECT simhash_fp('hello world') AS h")
+        .head().getLong(0))
+      val sig = s2.sql("SELECT minhash_sig('a b c d', 3, 4) AS s")
+        .head().getSeq[Long](0)
+      assert(sig.length == 4)
+      // fewer tokens than the shingle size → NULL signature
+      assert(s2.sql("SELECT minhash_sig('a b', 3, 4) AS s").head().isNullAt(0))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
