@@ -120,8 +120,9 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               centroids: Int = 16, nprobe: Int = 4, dim: Int = 64,
-              seed: Long = 42L): DataFrame = {
-    val cents: Array[Array[Double]] = {
+              seed: Long = 42L,
+              fitted: Option[Array[Array[Double]]] = None): DataFrame = {
+    val cents: Array[Array[Double]] = fitted.getOrElse {
       val rnd = new scala.util.Random(seed)
       Array.fill(centroids, dim)(rnd.nextGaussian())
     }
@@ -135,7 +136,7 @@ object Similarity {
       slice(
         transform(
           array_sort(
-            zip_with(scored, sequence(lit(0), lit(centroids - 1)),
+            zip_with(scored, sequence(lit(0), lit(cents.length - 1)),
               (s, i) => struct(negate(s).as("ns"), i.as("i")))),
           e => e.getField("i")),
         1, n)
@@ -156,6 +157,49 @@ object Similarity {
       .distinct()
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
+  }
+
+  /** Deterministic distributed k-means (Lloyd's) for IVF coarse
+    * centroids: init from the first `k` corpus vectors by id (stable),
+    * then `iters` rounds of assign (narrow argmax over centroid dots) +
+    * re-center (one groupBy per round, map-side partial sums). Returns
+    * the centroid matrix for [[ivfTopK]]'s `cents` — at 100 TB this
+    * runs on a sample, the assign/probe machinery is unchanged.
+    */
+  def fitCentroids(corpus: DataFrame, k: Int, iters: Int,
+                   dim: Int = 64): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = corpus
+      .select(col("id"), col("vec")).orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val assign = corpus.select(col("vec"),
+        array_position(
+          transform(
+            array(cents.map(c => dot(col("vec"), lit(c))).toSeq: _*),
+            s => s === array_max(
+              array(cents.map(c => dot(col("vec"), lit(c))).toSeq: _*))),
+          true).as("cell"))
+      val sums = assign
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val acc = Array.fill(k, dim)(0.0)
+      val cnt = Array.fill(k)(0L)
+      sums.foreach { r =>
+        val cell = r.getLong(0).toInt - 1
+        val pos = r.getInt(1)
+        if (cell >= 0 && cell < k) {
+          acc(cell)(pos) = r.getDouble(2)
+          cnt(cell) = r.getLong(3)
+        }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (cnt(c) == 0) cents(c)
+        else acc(c).map(_ / cnt(c))
+      }
+    }
+    cents
   }
 
   /** Approximate top-k: L independent hash tables of `planes` sign bits;

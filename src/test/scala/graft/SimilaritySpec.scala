@@ -46,6 +46,28 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2) // random corpus, random centroids: weak cells
   }
 
+  test("IVF with fitted k-means centroids matches or beats random cells") {
+    val q = embs.where($"id" < 20)
+    val exact = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    def recallOf(fitted: Option[Array[Array[Double]]]): Double = {
+      val approx = Similarity.ivfTopK(q, embs, 5, centroids = 16,
+          nprobe = 6, fitted = fitted)
+        .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    val cents = Similarity.fitCentroids(embs, k = 16, iters = 3)
+    assert(cents.length == 16 && cents.forall(_.length == 64))
+    // fit must be deterministic (stable init + exact per-cell means)
+    assert(Similarity.fitCentroids(embs, k = 16, iters = 3)
+      .map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    val rFit = recallOf(Some(cents))
+    val rRandom = recallOf(None)
+    info(s"IVF recall@5 fitted=$rFit random=$rRandom")
+    assert(rFit >= rRandom - 0.05) // data-adaptive cells: never much worse
+    assert(rFit >= 0.2)
+  }
+
   test("LSH ANN recall@5 ≥ 0.4 vs brute force on 500 vectors") {
     val q = embs.where($"id" < 20)
     val exact = Similarity.bruteForceTopK(q, embs, 5)
