@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Compare two bench outputs per query (round-over-round regressions).
+
+Usage: python3 tools/bench_compare.py <old> <new> [threshold]
+
+Each argument is either a driver BENCH_r{N}.json (the JSON line is
+recovered from "parsed" or the "tail" text) or a raw one-line JSON file
+from `graft.Bench`. Prints per-query deltas sorted by regression,
+flagging changes beyond the threshold factor (default 1.5×).
+
+Driver-side python only; never a library dependency.
+"""
+import json
+import re
+import sys
+
+
+def load(path):
+    txt = open(path).read()
+    try:
+        doc = json.loads(txt)
+        if isinstance(doc, dict) and "queries" in doc:
+            return doc  # raw bench line
+        if isinstance(doc, dict):
+            if isinstance(doc.get("parsed"), dict):
+                return doc["parsed"]
+            m = re.search(r'\{"metric".*\}', doc.get("tail", ""))
+            if m:
+                return json.loads(m.group(0))
+    except json.JSONDecodeError:
+        m = re.search(r'\{"metric".*\}', txt)
+        if m:
+            return json.loads(m.group(0))
+    raise SystemExit(f"cannot find a bench JSON line in {path}")
+
+
+def main():
+    old, new = load(sys.argv[1]), load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    oq, nq = old["queries"], new["queries"]
+    rows = []
+    for k in sorted(set(oq) | set(nq)):
+        a, b = oq.get(k), nq.get(k)
+        ratio = (b / a) if (a and b and a > 0) else None
+        rows.append((k, a, b, ratio))
+    rows.sort(key=lambda r: -(r[3] or 0))
+    flagged = 0
+    for k, a, b, ratio in rows:
+        mark = ""
+        if ratio is not None and ratio >= thr:
+            mark = "  <-- regression"
+            flagged += 1
+        elif a is None:
+            mark = "  (new)"
+        elif b is None:
+            mark = "  (removed)"
+        fa = f"{a:7.2f}" if a is not None else "      -"
+        fb = f"{b:7.2f}" if b is not None else "      -"
+        fr = f"{ratio:5.2f}x" if ratio is not None else "     -"
+        print(f"{k:28s} {fa} -> {fb}  {fr}{mark}")
+    print(f"\ntotal {old.get('value', 0):.2f}s -> {new.get('value', 0):.2f}s"
+          f" over {len(oq)} -> {len(nq)} queries; {flagged} flagged >= {thr}x")
+    sys.exit(0)
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except BrokenPipeError:  # e.g. piped into head
+        sys.exit(0)
