@@ -15,6 +15,9 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // bench what users run: the session with the engine's extensions
+      // (argmax rewrite rule + native SQL functions) installed
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the non-query costs (JVM + parquet footers) once.

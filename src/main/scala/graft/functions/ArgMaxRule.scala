@@ -4,7 +4,8 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{MaxBy, MinBy}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+  ShortType}
 
 /** Optimizer rule: rewrite the top-1-per-group window idiom
   *
@@ -24,10 +25,12 @@ import org.apache.spark.sql.types.IntegerType
   *  - exactly one window expression and it is `row_number()` with the
   *    standard (UnboundedPreceding, CurrentRow) row frame;
   *  - the filter is exactly `rn = 1` over that window's output;
-  *  - every sort key is DESC NULLS LAST (→ max_by) or every key is
-  *    ASC NULLS FIRST (→ min_by). These null orderings coincide with
-  *    struct-comparison semantics (null field loses a max, wins a min),
-  *    so tie/null behavior is preserved exactly;
+  *  - the ordering is expressible as an aggregate comparison: all keys
+  *    ASC NULLS FIRST (→ min_by over the keys), or a mix of
+  *    DESC NULLS LAST keys (used as-is) and ASC NULLS FIRST integral
+  *    keys (encoded as the pair `(IsNull(k), -cast(k as long))` so the
+  *    max ranks nulls first and flips the comparison) → max_by. These
+  *    null encodings coincide with struct-comparison semantics exactly;
   *  - partition and sort expressions are deterministic.
   *
   * Among fully-tied duplicate rows both forms pick one winner
@@ -40,16 +43,38 @@ import org.apache.spark.sql.types.IntegerType
   */
 object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
 
-  /** Some(true) → all DESC NULLS LAST (max_by); Some(false) → all ASC
-    * NULLS FIRST (min_by); None → unsupported mix.
+  /** The rank-1 selection as an aggregate ordering, when expressible:
+    *  - all keys ASC NULLS FIRST → min_by over struct(keys) — any
+    *    orderable types;
+    *  - otherwise max_by, where each DESC NULLS LAST key contributes
+    *    itself and each ASC NULLS FIRST *integral* key contributes the
+    *    pair (IsNull(k), -k): the null flag ranks nulls above all
+    *    values (= NULLS FIRST wins rank 1) and the negation flips the
+    *    comparison; ints/shorts/bytes are widened to long so the
+    *    negation cannot overflow. Non-integral ASC keys in a mixed
+    *    ordering → None (no rewrite).
     */
-  private def direction(order: Seq[SortOrder]): Option[Boolean] =
-    if (order.isEmpty) None
-    else if (order.forall(s =>
-      s.direction == Descending && s.nullOrdering == NullsLast)) Some(true)
-    else if (order.forall(s =>
-      s.direction == Ascending && s.nullOrdering == NullsFirst)) Some(false)
-    else None
+  private def ordering(order: Seq[SortOrder])
+      : Option[(Boolean, Seq[Expression])] = {
+    if (order.isEmpty) return None
+    if (order.forall(s =>
+        s.direction == Ascending && s.nullOrdering == NullsFirst))
+      return Some((false, order.map(_.child)))
+    val comps = order.foldLeft(Option(Seq.empty[Expression])) {
+      case (None, _) => None
+      case (Some(acc), s) => (s.direction, s.nullOrdering) match {
+        case (Descending, NullsLast) => Some(acc :+ s.child)
+        case (Ascending, NullsFirst) => s.child.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            Some(acc ++ Seq(IsNull(s.child),
+              UnaryMinus(Cast(s.child, LongType))))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    comps.map((true, _))
+  }
 
   private def isRowNumberFrame(spec: WindowSpecDefinition): Boolean =
     spec.frameSpecification match {
@@ -71,12 +96,12 @@ object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
           Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
           part, order, child, _))
         if isRnEqOne(cond, alias.exprId) && isRowNumberFrame(spec) &&
-          direction(order).isDefined &&
+          ordering(order).isDefined &&
           part.forall(_.deterministic) &&
           order.forall(_.child.deterministic) =>
-      val useMax = direction(order).get
+      val (useMax, comps) = ordering(order).get
       val payload = CreateStruct(child.output)
-      val ordKey = CreateStruct(order.map(_.child))
+      val ordKey = CreateStruct(comps.toIndexedSeq)
       val aggFn = if (useMax) MaxBy(payload, ordKey) else MinBy(payload, ordKey)
       val aggAlias = Alias(aggFn.toAggregateExpression(), "__argmax")()
       val agg = Aggregate(part, Seq(aggAlias), child)

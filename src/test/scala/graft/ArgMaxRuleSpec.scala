@@ -71,11 +71,32 @@ class ArgMaxRuleSpec extends SparkSuite {
     assert(Set(3, 4).contains(got("b")))
   }
 
-  test("guards: mixed directions, rn=2, extra window exprs stay windowed") {
+  test("mixed desc + asc-integral rewrites via null-flag/negation pair") {
+    val rows = Seq(("a", Some(1), 5.0), ("a", Some(2), 5.0),
+      ("a", None, 5.0), ("b", Some(9), 1.0), ("b", Some(3), 2.0))
+    def mk(s: SparkSession): DataFrame = {
+      import s.implicits._
+      rows.toDF("k", "id", "v")
+    }
+    def q(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(
+          Window.partitionBy(col("k")).orderBy(col("v").desc,
+            col("id").asc)))
+        .where(col("rn") === 1)
+    val r = q(mk(s2))
+    assert(r.queryExecution.optimizedPlan.toString().contains("max_by"))
+    val expect = q(mk(spark)).collect().map(_.toString).toSet
+    assert(r.collect().map(_.toString).toSet == expect)
+    // tie on v → ASC NULLS FIRST id wins, i.e. the NULL id row for 'a'
+    assert(r.where(col("k") === "a").select(col("id")).head().isNullAt(0))
+  }
+
+  test("guards: non-integral asc mix, rn=2, extra window exprs stay windowed") {
     import s2.implicits._
     val df = data(s2)
+    // asc STRING key in a mixed ordering is not expressible → no rewrite
     val mixed = df.withColumn("rn", row_number().over(
-        Window.partitionBy($"k").orderBy($"v".desc, $"id".asc)))
+        Window.partitionBy($"id").orderBy($"v".desc, $"k".asc)))
       .where($"rn" === 1)
     assert(mixed.queryExecution.optimizedPlan.toString().contains("Window"))
 
