@@ -217,6 +217,9 @@ object Dedup {
     // separate aggregate joined back at the end (AQE broadcasts it when
     // small) instead of a window over the full shingle set, which would
     // re-sort every (id, shingle) row just to attach one number.
+    // At 100 TB, materialize the distinct shingle set once (checkpoint /
+    // persisted table) before the sizes+members branch — Catalyst plans
+    // the branch as two subtrees and exchange reuse is not guaranteed.
     val sh = wordShingles(df, id, text, n)
       .select(col("id"), xxhash64(col("shingle")).as("sh"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))

@@ -42,8 +42,8 @@ class PolyFpRefSpec extends SparkSuite {
   }
 
   private val rnd = new scala.util.Random(13)
-  private val words =
-    "the quick brown fox jümps ovér 日本語 æøå x1 €42 a".split(" ")
+  private val words = // 1-, 2-, 3-, and 4-byte (astral) UTF-8 tokens
+    "the quick brown fox jümps ovér 日本語 æøå x1 €42 a 😀ok 𝒳y".split(" ")
   private val docs: Seq[(Long, String)] = (0L until 60L).map { i =>
     val len = rnd.nextInt(8) // includes 0..2-token docs (no shingles)
     (i, Seq.fill(len)(words(rnd.nextInt(words.length))).mkString(" "))
