@@ -91,14 +91,40 @@ object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Split a conjunctive filter into (found rn = 1?, residual predicates
+    * not referencing rn). None when no rn = 1 conjunct exists or a
+    * residual references the rn column (a non-equality use means the
+    * caller wants real ranks — don't touch).
+    */
+  private def splitCond(cond: Expression, rn: ExprId)
+      : Option[Seq[Expression]] = {
+    val parts = splitConjunctivePredicates(cond)
+    val (rnParts, residual) = parts.partition(isRnEqOne(_, rn))
+    if (rnParts.isEmpty) None
+    else if (residual.exists(_.exists {
+      case a: AttributeReference => a.exprId == rn
+      case _ => false
+    })) None
+    else Some(residual)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] =
+    e match {
+      case And(l, r) =>
+        splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+      case other => Seq(other)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case Filter(cond, Window(
           Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
           part, order, child, _))
-        if isRnEqOne(cond, alias.exprId) && isRowNumberFrame(spec) &&
+        if splitCond(cond, alias.exprId).isDefined &&
+          isRowNumberFrame(spec) &&
           ordering(order).isDefined &&
           part.forall(_.deterministic) &&
           order.forall(_.child.deterministic) =>
+      val residual = splitCond(cond, alias.exprId).get
       val (useMax, comps) = ordering(order).get
       val payload = CreateStruct(child.output)
       val ordKey = CreateStruct(comps.toIndexedSeq)
@@ -112,6 +138,10 @@ object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
       }
       val rnOut = Alias(Literal(1, IntegerType), alias.name)(
         exprId = alias.exprId, qualifier = alias.qualifier)
-      Project(fields :+ rnOut, agg)
+      val rewritten = Project(fields :+ rnOut, agg)
+      // post-selection predicates apply to the rank-1 row, exactly as
+      // they did above the window
+      if (residual.isEmpty) rewritten
+      else Filter(residual.reduce(And), rewritten)
   }
 }
