@@ -58,4 +58,22 @@ class FormatsSpec extends SparkSuite {
     assert(rows.length == 3)
     assert(rows.count(_.isNullAt(4)) == 2) // two clean rows
   }
+
+  test("schema evolution: appended files with a new column merge on read") {
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    orders.limit(5).write.mode("overwrite").parquet(dir)
+    // later pipeline version adds a column — appended alongside v1 files
+    orders.limit(5).withColumn("o_channel", lit("web"))
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.contains("o_channel"))
+    assert(merged.count() == 10)
+    // v1 rows surface the new column as null, v2 rows carry the value
+    assert(merged.where(col("o_channel").isNull).count() == 5)
+    assert(merged.where(col("o_channel") === "web").count() == 5)
+    // without mergeSchema the first-listed footer wins — document that
+    // evolved tables must be read with the option (or a catalog schema)
+    val plain = spark.read.parquet(dir)
+    assert(plain.count() == 10)
+  }
 }
