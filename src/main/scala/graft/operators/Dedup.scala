@@ -45,6 +45,23 @@ object Dedup {
     df.groupBy(key.as("key"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Keep-first dedup keyed on a 128-bit content digest — the 100 TB
+    * path: the shuffle key is 16 bytes instead of the document body,
+    * and `min_by` aggregates partially MAP-SIDE, so duplicate-heavy
+    * corpora (the dedup use case) collapse before the exchange instead
+    * of sorting full bodies in a window. Collision probability at
+    * 128 bits is ~n²/2¹²⁹ — zero in practice (and the md5 is
+    * oracle-reproducible, unlike xxhash).
+    */
+  def exactKeepFirstDigest(df: DataFrame, key: Column,
+                           tieBreak: Column): DataFrame = {
+    val cols = df.columns.toSeq
+    df.groupBy(md5(key.cast("binary")).as("__digest"))
+      .agg(min_by(struct(cols.map(col): _*), tieBreak).as("__row"))
+      .select(cols.map(c => org.apache.spark.sql.functions.col(s"__row.$c")
+        .as(c)): _*)
+  }
+
   // ---------- shingles ----------
 
   /** Distinct word n-gram shingles per doc: (id, shingle).

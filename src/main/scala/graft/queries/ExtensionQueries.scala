@@ -29,6 +29,14 @@ object ExtensionQueries {
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // Exact dedup, digest-keyed scale path: 16-byte md5 shuffle key +
+    // map-side min_by instead of a body-keyed window sort.
+    "x_dedup_digest" -> ((s, d) =>
+      Dedup.exactKeepFirstDigest(t(s, d, "documents"), col("text"),
+          col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
     // Token / char counting.
     "x_token_stats" -> ((s, d) =>
       TextAnalysis.withTokenStats(t(s, d, "documents"))
@@ -296,6 +304,11 @@ object ExtensionQueries {
     "x_dedup_keep_first" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "x_dedup_digest" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text)
+        |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "x_token_stats" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_txt,
