@@ -301,6 +301,53 @@ object RelationalQueries2 {
         .orderBy(col("user_id"), col("p_id"))
     }),
 
+    // Value histogram: fixed-width buckets via floor arithmetic — the
+    // standard profiling sweep (exact: one double division + floor,
+    // identical both engines).
+    "r_histogram" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long")
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("bucket"))),
+
+    // nth_value / first_value over an explicit frame.
+    "r_nth_value" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"),
+          last(col("o_orderkey")).over(w).as("last_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Pearson correlation from integer-exact sums (same determinism
+    // rationale as r_var_manual: never order-dependent float sums).
+    "r_corr_manual" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sx"),
+          sum(col("l_linenumber").cast("long")).as("sy"),
+          sum((col("l_quantity") * col("l_quantity")).cast("long"))
+            .as("sxx"),
+          sum((col("l_linenumber") * col("l_linenumber")).cast("long"))
+            .as("syy"),
+          sum((col("l_quantity") * col("l_linenumber")).cast("long"))
+            .as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast("double")) *
+             sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+               .cast("double")))).as("corr_qty_line"))
+        .orderBy(col("l_returnflag"))),
+
     // Struct → JSON serialization (int/string fields: both engines emit
     // identical compact JSON; nulls kept for parity).
     "r_to_json" -> ((s, d) =>
@@ -526,6 +573,37 @@ object RelationalQueries2 {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "r_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key,
+        |  last_value(o_orderkey) OVER w AS last_key
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "r_corr_manual" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS BIGINT)
+        |      AS sxx,
+        |    CAST(sum(CAST(l_linenumber * l_linenumber AS BIGINT))
+        |      AS BIGINT) AS syy,
+        |    CAST(sum(CAST(l_quantity * l_linenumber AS BIGINT)) AS BIGINT)
+        |      AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |     sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_qty_line
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "r_to_json" ->
       """SELECT n_nationkey,
         |  to_json(struct_pack(k := n_nationkey, name := n_name)) AS j
