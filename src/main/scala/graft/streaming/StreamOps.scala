@@ -39,6 +39,24 @@ object StreamOps {
                     key: Seq[String]): DataFrame =
     stream.join(broadcast(dim), key, "left")
 
+  /** Stream-stream interval join: match right-stream events within
+    * [left time − window, left time] on the same key. Both sides are
+    * watermarked so the join state is bounded — Spark retains only rows
+    * inside the watermark + interval horizon (the unbounded-state
+    * stream join is rejected by the engine).
+    */
+  def intervalJoinStreams(left: DataFrame, leftTs: String,
+                          right: DataFrame, rightTs: String,
+                          key: String, window: String,
+                          watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+      col(s"l.$key") === col(s"r.$key") &&
+        col(s"r.$rightTs") >= col(s"l.$leftTs") - expr(s"INTERVAL $window") &&
+        col(s"r.$rightTs") <= col(s"l.$leftTs"))
+  }
+
   /** foreachBatch MERGE sink: each micro-batch upserts into `table` by
     * `key` (last write per key wins within a batch via the batch's own
     * dedup; across batches, newest batch wins).

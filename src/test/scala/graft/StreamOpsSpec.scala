@@ -52,6 +52,33 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window, bounded state") {
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = StreamOps.intervalJoinStreams(
+      buys.toDF().toDF("uid", "b_ts"), "b_ts",
+      clicks.toDF().toDF("uid", "c_ts"), "c_ts",
+      key = "uid", window = "1 HOUR", watermark = "2 hours")
+    val q = joined.select(col("l.uid"), col("b_ts"), col("c_ts"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2026-08-12 09:30:00")), // in window
+        (1L, ts("2026-08-12 07:00:00")),              // too early
+        (2L, ts("2026-08-12 09:45:00")))              // other user
+      buys.addData((1L, ts("2026-08-12 10:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).sortBy(_._2)
+      assert(rows.toSeq == Seq((1L, ts("2026-08-12 09:30:00"))))
+      // late-but-in-window click still joins (within watermark)
+      clicks.addData((1L, ts("2026-08-12 09:55:00")))
+      q.processAllAvailable()
+      assert(spark.table("ssjoin").count() == 2)
+    } finally q.stop()
+  }
+
   test("foreachBatch MERGE sink: across-batch upsert by key") {
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ck").toString
