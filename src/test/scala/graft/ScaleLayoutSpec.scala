@@ -65,6 +65,31 @@ class ScaleLayoutSpec extends SparkSuite {
     assert(joined.count() > 0)
   }
 
+  test("dynamic partition pruning: dim filter prunes the fact scan") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    t(spark, sf0001, "events")
+      .withColumn("dt", to_date($"ts"))
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // dim must be file-backed with a filter on an INDEPENDENT data
+    // column: a LocalRelation dim gets its filter constant-folded away
+    // (ConvertToLocalRelation) before the PartitionPruning rule looks
+    // for a selective predicate, and a filter expressible in dt would
+    // be statically propagated — in both cases no DPP is needed
+    val dimDir = java.nio.file.Files.createTempDirectory("dppdim").toString
+    Seq(("2024-01-03", "target"), ("2024-01-05", "other"))
+      .toDF("dt_s", "tag").select(to_date($"dt_s").as("dt"), $"tag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "true")
+    val joined = fact.join(dim.where($"tag" === "target"), Seq("dt"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      plan.take(1200))
+    assert(joined.count() > 0)
+  }
+
   test("partitioned write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("part").toString
     t(spark, sf0001, "events")
