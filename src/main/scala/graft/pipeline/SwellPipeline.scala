@@ -121,6 +121,27 @@ object SwellPipeline {
     requireNotNull(pres, Seq("dt", "location"))
     pres.write.mode(SaveMode.Overwrite)
       .saveAsTable("presentation.daily_max_swell")
+    persistDocs(spark)
     spark.table("presentation.daily_max_swell")
+  }
+
+  /** Docs-as-contract: persist the presentation table's description and
+    * column docs into the catalog — the reference's `persist_docs`
+    * (`dbt_project.yml:11-13`) with the column descriptions of
+    * `_int_open_meteo.yml:8-18` / `_pres_open_meteo.yml:4-5`.
+    */
+  val contractDocs: Map[String, String] = Map(
+    "dt" -> "Forecast date (UTC) the maximum applies to.",
+    "location" -> "Named surf spot the forecast row belongs to.",
+    "swell_wave_height" -> "Maximum hourly swell height of the day (m).",
+    "timestamp" -> "Hour (UTC) at which the daily maximum occurred.")
+
+  def persistDocs(spark: SparkSession,
+                  table: String = "presentation.daily_max_swell"): Unit = {
+    spark.sql(s"COMMENT ON TABLE $table IS " +
+      "'Daily maximum swell per location (external contract table).'")
+    contractDocs.foreach { case (c, doc) =>
+      spark.sql(s"ALTER TABLE $table ALTER COLUMN $c COMMENT '$doc'")
+    }
   }
 }

@@ -99,5 +99,13 @@ class SwellPipelineSpec extends SparkSuite {
     assert(pres.count() == 6)
     assert(spark.table("presentation.daily_max_swell")
       .where($"dt".isNull || $"location".isNull).count() == 0)
+    // docs-as-contract persisted into the catalog (reference persist_docs)
+    val cols = spark.catalog.listColumns("presentation.daily_max_swell")
+      .collect().map(c => c.name -> c.description).toMap
+    SwellPipeline.contractDocs.foreach { case (c, doc) =>
+      assert(cols.get(c).flatMap(Option(_)).contains(doc), s"col $c")
+    }
+    assert(spark.catalog.getTable("presentation.daily_max_swell")
+      .description != null)
   }
 }
