@@ -301,6 +301,43 @@ object RelationalQueries2 {
         .orderBy(col("user_id"), col("p_id"))
     }),
 
+    // UNION BY NAME: column-order-independent union (schema aligned by
+    // name, the safe form for evolving sources).
+    "r_union_by_name" -> ((s, d) => {
+      val a = t(s, d, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_name").as("nm"))
+      val b = t(s, d, "supplier")
+        .where(col("s_suppkey") < 10)
+        .select(col("s_name").as("nm"), col("s_suppkey").as("k")) // swapped
+      a.unionByName(b)
+        .groupBy(col("k")).agg(count(lit(1)).as("n"), min(col("nm")).as("nm"))
+        .orderBy(col("k"))
+    }),
+
+    // Multiple DISTINCT aggregates in one pass (Expand-based rewrite).
+    "r_multi_distinct" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          sum_distinct(col("l_quantity")).as("sum_uniq_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): null keys
+    // match each other instead of vanishing.
+    "r_null_safe_join" -> ((s, d) => {
+      val a = t(s, d, "nation")
+        .select(col("n_nationkey").as("ak"),
+          nullif(col("n_regionkey"), lit(1)).as("rk"))
+      val b = t(s, d, "nation")
+        .select(col("n_nationkey").as("bk"),
+          nullif(col("n_regionkey"), lit(1)).as("rk2"))
+      a.join(b, col("rk") <=> col("rk2"))
+        .groupBy(col("ak")).agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("ak"))
+    }),
+
     // Value histogram: fixed-width buckets via floor arithmetic — the
     // standard profiling sweep (exact: one double division + floor,
     // identical both engines).
@@ -573,6 +610,31 @@ object RelationalQueries2 {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r_union_by_name" ->
+      """WITH u AS (
+        |  SELECT s_suppkey AS k, s_name AS nm FROM supplier
+        |  UNION ALL BY NAME
+        |  SELECT s_name AS nm, s_suppkey AS k FROM supplier
+        |  WHERE s_suppkey < 10
+        |)
+        |SELECT k, count(*) AS n, min(nm) AS nm FROM u
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "r_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        |  sum(DISTINCT l_quantity) AS sum_uniq_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin,
+    "r_null_safe_join" ->
+      """SELECT a.ak, count(*) AS n_matches
+        |FROM (SELECT n_nationkey AS ak, nullif(n_regionkey, 1) AS rk
+        |      FROM nation) a
+        |JOIN (SELECT n_nationkey AS bk, nullif(n_regionkey, 1) AS rk2
+        |      FROM nation) b
+        |  ON a.rk IS NOT DISTINCT FROM b.rk2
+        |GROUP BY a.ak ORDER BY a.ak""".stripMargin,
     "r_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
         |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
