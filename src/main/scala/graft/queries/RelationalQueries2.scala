@@ -301,6 +301,23 @@ object RelationalQueries2 {
         .orderBy(col("user_id"), col("p_id"))
     }),
 
+    // Explicit CROSS JOIN (bounded cartesian — dims only).
+    "r_cross_join" -> ((s, d) =>
+      t(s, d, "region").select(col("r_name"))
+        .crossJoin(t(s, d, "nation").select(col("n_name")))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // Self join: nation pairs sharing a region (a < b).
+    "r_self_join" -> ((s, d) => {
+      val n1 = t(s, d, "nation")
+        .select(col("n_name").as("na"), col("n_regionkey").as("rk"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_name").as("nb"), col("n_regionkey").as("rk"))
+      n1.join(n2, Seq("rk")).where(col("na") < col("nb"))
+        .select(col("rk"), col("na"), col("nb"))
+        .orderBy(col("rk"), col("na"), col("nb"))
+    }),
+
     // UNION BY NAME: column-order-independent union (schema aligned by
     // name, the safe form for evolving sources).
     "r_union_by_name" -> ((s, d) => {
@@ -610,6 +627,14 @@ object RelationalQueries2 {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "r_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "r_self_join" ->
+      """SELECT a.n_regionkey AS rk, a.n_name AS na, b.n_name AS nb
+        |FROM nation a JOIN nation b
+        |  ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name
+        |ORDER BY rk, na, nb""".stripMargin,
     "r_union_by_name" ->
       """WITH u AS (
         |  SELECT s_suppkey AS k, s_name AS nm FROM supplier
