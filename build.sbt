@@ -16,6 +16,9 @@ run / fork := true
 // which breaks that parse (BENCH_r01.json "parsed": null). StdoutOutput
 // streams the forked JVM's stdout through untouched.
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's "[success] Total time" epilogue would print AFTER the
+// JSON line, stealing tail-window bytes from it. Suppress it.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
