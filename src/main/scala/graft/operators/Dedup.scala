@@ -229,32 +229,37 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int, leftFilter: Column => Column): DataFrame = {
-    // Shuffle 8-byte shingle hashes, not shingle strings (collision odds
-    // ~|shingles|²/2^64 — negligible); per-doc sizes come from a cheap
-    // separate aggregate joined back at the end (AQE broadcasts it when
-    // small) instead of a window over the full shingle set, which would
-    // re-sort every (id, shingle) row just to attach one number.
-    // At 100 TB, materialize the distinct shingle set once (checkpoint /
-    // persisted table) before the sizes+members branch — Catalyst plans
-    // the branch as two subtrees and exchange reuse is not guaranteed.
-    val sh = wordShingles(df, id, text, n)
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val members = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(struct(col("id")))).as("ms"))
+    // Single-pass shape: the per-doc distinct-shingle count is computed
+    // NARROW (size of the deduped shingle array, before explode) and
+    // rides along with every exploded row, so bucket members carry
+    // (id, n_sh) and the intersection aggregate already has both set
+    // sizes — no sizes subtree, no join-back. Exactly 2 shuffles:
+    // groupBy(shingle hash) and groupBy(pair). Shuffle payload is the
+    // 8-byte shingle hash + 8-byte size, never shingle strings
+    // (collision odds ~|shingles|²/2^64 — negligible).
+    val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text), n))
+    val docs = df
+      .select(id.as("id"), array_distinct(shs).as("shs"))
+      .select(col("id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("shingle"))
+      .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
+    val members = docs.groupBy(col("sh"))
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
+        .as("ms"))
       .where(size(col("ms")) > 1)
     val pairs = members.select(explode(
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.PairCombinationsExpr(
           org.apache.spark.sql.GraftSqlBridge.toExpression(col("ms")))))
       .as("pr"))
-      .select(col("pr.a.id").as("da"), col("pr.b.id").as("db"))
+      .select(col("pr.a.id").as("da"), col("pr.a.n_sh").as("na"),
+        col("pr.b.id").as("db"), col("pr.b.n_sh").as("nb"))
       .where(leftFilter(col("da")))
     pairs
-      .groupBy(col("da"), col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
       .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("da"), col("n_sh").as("na")), "da")
-      .join(sizes.select(col("id").as("db"), col("n_sh").as("nb")), "db")
       .select(col("da"), col("db"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jac"))
