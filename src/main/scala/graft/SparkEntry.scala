@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{ExtensionQueries, ParityQueries, RelationalQueries,
-  RelationalQueries2}
+  RelationalQueries2, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +20,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++
-      RelationalQueries2.queries ++ ExtensionQueries.queries
+      RelationalQueries2.queries ++ ExtensionQueries.queries ++
+      TrainingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -28,5 +29,6 @@ object SparkEntry {
     * those are correctness-tested in ScalaTest with constructed inputs. */
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
-      RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql
+      RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql ++
+      TrainingQueries.oracleSql
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline: tokenization
@@ -103,4 +104,54 @@ object TextAnalysis {
     org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.PolyFingerprintExpr(
         org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
+
+  /** Canonical text normalization: collapse whitespace runs to a single
+    * space, trim, lowercase. Run BEFORE exact/near dedup so that
+    * whitespace-only variants collapse to one digest. Narrow map,
+    * codegen'd regex. The character class is spelled explicitly
+    * ([ \t\n\r]) rather than \s because \s differs between regex
+    * engines (Java includes \x0B, RE2 does not) and normalization must
+    * be reproducible everywhere.
+    */
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "[ \\t\\n\\r]+", " ")))
+
+  /** PII scrubbing: mask email addresses and long digit runs (ids,
+    * phone numbers) with typed placeholder tokens. Patterns restricted
+    * to syntax RE2 and java.util.regex interpret identically. Narrow
+    * map — at 100 TB this is a pure scan-transform with no shuffle.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val LongNumberPattern = "[0-9]{6,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  /** Top-k salient terms per document by an integer-exact TF-IDF-style
+    * rank: term frequency desc, corpus document-frequency asc (rarer =
+    * more salient), term asc as tiebreak — no float log-idf, so the
+    * ranking is reproducible bit-for-bit on any engine. Stopwords and
+    * empty tokens excluded. The document-frequency side is a small
+    * (|vocab| rows) aggregate joined back; at 100 TB vocab still fits
+    * the broadcast threshold after the aggregate, and the per-doc TF
+    * aggregate partial-aggregates map-side.
+    */
+  def topTerms(df: DataFrame, id: Column, text: Column, k: Int,
+               docFilter: Column => Column = _ => lit(true)): DataFrame = {
+    val toks = df.select(id.as("id"), explode(tokens(text)).as("term"))
+      .where(col("term") =!= "" && !col("term").isin(stopwords: _*))
+    val tf = toks.groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.groupBy(col("term"))
+      .agg(count_distinct(col("id")).as("df"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.where(docFilter(col("id")))
+      .join(dfreq, "term")
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("id"), col("rnk"), col("term"), col("tf"), col("df"))
+  }
 }

@@ -257,7 +257,7 @@ object ExtensionQueries {
     * candidate pairs (ends at `cand(id_a, id_b, sa, sb)` so callers can
     * append further CTEs or the final SELECT).
     */
-  private val minhashCandCte: String =
+  private[queries] val minhashCandCte: String =
     """WITH toks AS (
       |  SELECT doc_id,
       |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Graph, TextAnalysis, Training}
+import ParityQueries.t
+
+/** Corpus-shaping operators for training-data preparation (round 3):
+  * near-dup CLUSTER resolution (connected components over LSH candidate
+  * pairs), token-budget packing, deterministic global shuffle,
+  * stratified sampling, normalization, PII redaction, salient terms.
+  * All DuckDB-oracle-checked, including the graph fixpoint (recursive
+  * CTE oracle).
+  */
+object TrainingQueries {
+
+  private def stopList: String =
+    TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Near-dup cluster resolution: MinHash-LSH candidate pairs >= 0.8
+    // form edges; connected components give duplicate clusters; keep
+    // the minimum doc per cluster. The transitive-chain-safe dedup
+    // decision (pairwise removal over-deletes).
+    "x_dedup_clusters" -> ((s, d) => {
+      val cand = Dedup.minhashCandidates(
+        Dedup.minhashSigsNative(t(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+      Graph.dedupClusters(cand, col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token-budget packing: contiguous 2048-token shards via the
+    // distributed (range-partitioned, never single-task) prefix sum.
+    "x_pack_bins" -> ((s, d) =>
+      Training.packBins(
+          t(s, d, "documents").select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long")
+              .as("n_tokens")),
+          Seq(col("doc_id")), col("n_tokens"), budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))),
+
+    // Deterministic global shuffle: position by md5(key) order —
+    // reproducible training-data order with no RNG state.
+    "x_shuffle_order" -> ((s, d) =>
+      Training.shuffleOrder(
+          t(s, d, "documents").select(col("doc_id")), col("doc_id"))
+        .select(col("doc_id"), col("pos"))
+        .orderBy(col("doc_id"))),
+
+    // Stratified 1-in-5 sample per language: deterministic md5 order,
+    // integer-exact admission, rare strata always keep >= 1 row.
+    "x_stratified" -> ((s, d) =>
+      Training.stratifiedEveryK(t(s, d, "documents"),
+          col("lang"), col("doc_id"), k = 5)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // Whitespace/case normalization (pre-dedup canonical form).
+    "x_normalize" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.normalize(col("text")).as("norm"))
+        .withColumn("n_chars_norm", length(col("norm")).cast("long"))
+        .orderBy(col("doc_id"))),
+
+    // PII redaction: mask emails + long digit runs, count occurrences.
+    "x_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redact(col("text")).as("redacted"),
+          regexp_count(col("text"), lit(TextAnalysis.EmailPattern))
+            .cast("long").as("n_email"),
+          regexp_count(col("text"), lit(TextAnalysis.LongNumberPattern))
+            .cast("long").as("n_num"))
+        .orderBy(col("doc_id"))),
+
+    // Integer-exact TF-IDF-style top-3 terms per doc (tf desc, corpus
+    // df asc, term asc) for docs < 50; df computed over ALL docs.
+    "x_top_terms" -> ((s, d) =>
+      TextAnalysis.topTerms(t(s, d, "documents"),
+          col("doc_id"), col("text"), k = 3, docFilter = _ < 50)
+        .select(col("id").as("doc_id"), col("rnk").cast("long").as("rnk"),
+          col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("rnk"))))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x_dedup_clusters" -> (
+      ExtensionQueries.minhashCandCte
+        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(32),
+        |      i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+        |      AS DOUBLE) / 32 AS est
+        |  FROM cand
+        |), ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM scored WHERE est >= 0.8
+        |), sym AS (
+        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    "x_pack_bins" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, CAST(cum // 2048 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x_shuffle_order" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |    doc_id) - 1 AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_stratified" ->
+      """SELECT doc_id, lang, source FROM (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE (rn - 1) * 5 < n ORDER BY doc_id""".stripMargin,
+
+    "x_normalize" ->
+      """SELECT doc_id,
+        |  lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))
+        |    AS norm,
+        |  CAST(length(lower(trim(
+        |    regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))) AS BIGINT)
+        |    AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9]{6,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
+        |    AS n_num
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_top_terms" -> (
+      s"""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents
+        |), ft AS (
+        |  SELECT doc_id, term FROM toks
+        |  WHERE term <> '' AND term NOT IN ($stopList)
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM ft GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM ft GROUP BY 1
+        |)
+        |SELECT doc_id, rnk, term, tf, df FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rnk
+        |  FROM tf JOIN dfreq USING (term)
+        |  WHERE tf.doc_id < 50)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Graph
+
+class GraphSpec extends SparkSuite {
+
+  test("connectedComponents: two components + a chain resolve to min ids") {
+    import spark.implicits._
+    // component {1,2,3,4} as a chain (diameter 3 — forces >1 round),
+    // component {10, 11}, self-loop 20-20 (dropped: no edges to others)
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("a", "b")
+    val got = Graph.connectedComponents(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents: long path converges (diameter > 3)") {
+    import spark.implicits._
+    val n = 12L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n.toInt && got.values.forall(_ == 1L))
+  }
+
+  test("dedupClusters: keep flag marks exactly the min member") {
+    import spark.implicits._
+    val edges = Seq((5L, 6L), (6L, 7L), (9L, 8L)).toDF("a", "b")
+    val got = Graph.dedupClusters(edges, col("a"), col("b"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == Set((5L, 5L, true), (6L, 5L, false), (7L, 5L, false),
+      (8L, 8L, true), (9L, 8L, false)))
+  }
+}
