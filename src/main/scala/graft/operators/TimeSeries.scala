@@ -46,6 +46,40 @@ object TimeSeries {
     out
   }
 
+  /** Native as-of join via the custom AsOfJoin LogicalPlan/SparkPlan
+    * (graft.plans.AsOfJoin): hash-cluster + sort both sides on
+    * (key, time) and stream a two-pointer merge per partition — the
+    * whole-operator form of [[asofJoinLast]]. Registered by
+    * GraftExtensions; this wrapper also self-registers the strategy
+    * via ExperimentalMethods so plain sessions can call it.
+    *
+    * Key and time columns must have identical types on both sides
+    * (cast DATE → TIMESTAMP first). Output = left columns ++ right
+    * columns (nullable); give right-side columns their output names
+    * (e.g. `asof_` prefixes) before calling — no automatic renaming.
+    */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+                     leftKey: String, rightKey: String,
+                     leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute}
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+    GraftSqlBridge.ensureStrategy(left.sparkSession,
+      graft.plans.AsOfJoinStrategy)
+    val lp = GraftSqlBridge.logicalPlan(left)
+    val rp0 = GraftSqlBridge.logicalPlan(right)
+    // self-join safety: expression ids must be distinct across sides
+    val rp: LogicalPlan =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else Project(rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(throw new IllegalArgumentException(
+        s"asofJoinNative: column '$n' not in ${p.output.map(_.name)}"))
+    GraftSqlBridge.ofRows(left.sparkSession,
+      graft.plans.AsOfJoin(lp, rp, attr(lp, leftKey), attr(rp, rightKey),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
+
   /** Last-observation-carried-forward gap fill: `as` = the most recent
     * non-null `value` per `key` in `order` — one window pass (single
     * shuffle on the key), the standard sparse→dense series repair.

@@ -17,6 +17,7 @@ import ParityQueries.t
 object RelationalQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r_asof_native" -> (asofNative(_, _)),
 
     // GROUPING SETS with grouping() markers — one pass, three groupings.
     "r_grouping_sets" -> ((s, d) => {
@@ -451,7 +452,42 @@ object RelationalQueries2 {
         .orderBy(col("doc_id")))
   )
 
+  /** Same workload and oracle as r_asof_join, executed by the custom
+    * AsOfJoinExec (LogicalPlan + Strategy + streaming-merge SparkPlan)
+    * instead of the union+window composition — the DuckDB native ASOF
+    * JOIN hash-checks a custom physical operator end to end.
+    */
+  private def asofNative(s: SparkSession, d: String): DataFrame = {
+    val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val o = t(s, d, "orders")
+      .withColumn("__rn", row_number().over(dedup))
+      .where(col("__rn") === 1)
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_orderkey").as("asof_o_orderkey"),
+        col("o_totalprice").as("asof_o_totalprice"))
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.TimeSeries.asofJoinNative(e, o,
+        "user_id", "k", "ts", "rt")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_o_orderkey"), col("asof_o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "r_asof_native" ->
+      """WITH o AS (
+        |  SELECT * FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o.o_orderkey AS asof_o_orderkey,
+        |  o.o_totalprice AS asof_o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "r_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,

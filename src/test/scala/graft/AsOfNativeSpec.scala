@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.TimeSeries
+
+class AsOfNativeSpec extends SparkSuite {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("asofJoinNative matches the union+window formulation") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, ts("2024-01-05 00:00:00")),
+      (2L, 10L, ts("2024-01-01 00:00:00")), // before any right row
+      (3L, 10L, ts("2024-01-10 00:00:00")),
+      (4L, 20L, ts("2024-01-07 00:00:00")),
+      (5L, 30L, ts("2024-01-07 00:00:00")), // key with no right rows
+      (6L, 10L, ts("2024-01-03 00:00:00"))) // exactly-equal time match
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (10L, ts("2024-01-03 00:00:00"), "a"),
+      (10L, ts("2024-01-08 00:00:00"), "b"),
+      (20L, ts("2024-01-02 00:00:00"), "c"),
+      (40L, ts("2024-01-01 00:00:00"), "d")) // key with no left rows
+      .toDF("rk", "rt", "payload")
+
+    val native = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+      .select(col("event_id"), col("payload"))
+      .as[(Long, Option[String])].collect().toMap
+    val window = TimeSeries.asofJoinLast(left, right,
+        col("k"), col("rk"), col("t"), col("rt"), Seq("payload"))
+      .select(col("event_id"), col("asof_payload"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(native == window)
+    assert(native == Map(1L -> Some("a"), 2L -> None, 3L -> Some("b"),
+      4L -> Some("c"), 5L -> None, 6L -> Some("a")))
+  }
+
+  test("null keys and null times never match") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(10L), Some(ts("2024-01-05 00:00:00"))),
+      (2L, None, Some(ts("2024-01-05 00:00:00"))),
+      (3L, Some(10L), None))
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (Some(10L), Some(ts("2024-01-01 00:00:00")), "a"),
+      (None, Some(ts("2024-01-01 00:00:00")), "x"),
+      (Some(10L), None, "y"))
+      .toDF("rk", "rt", "payload")
+    val got = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+      .select(col("event_id"), col("payload"))
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(1L -> Some("a"), 2L -> None, 3L -> None))
+  }
+
+  test("physical plan uses AsOfJoinExec with sort-merge-shaped children") {
+    import spark.implicits._
+    val left = (0L until 100L).map(i => (i, i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"))).toDF("event_id", "k", "t")
+    val right = (0L until 50L).map(i => (i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"p$i"))
+      .toDF("rk", "rt", "payload")
+    val df = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    // exactly two exchanges (one per side), none above the join
+    assert("Exchange".r.findAllIn(plan).size == 2, plan)
+    df.count() // executes without error under the custom exec
+  }
+}
