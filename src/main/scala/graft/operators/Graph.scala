@@ -48,6 +48,7 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var it = 0
+    var prevSum = Long.MinValue
     while (!converged && it < maxIter) {
       val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
@@ -59,10 +60,13 @@ object Graph {
           least(col("comp"), coalesce(col("__nbr"), col("comp")))
             .as("comp"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("comp", "__prev"), "id")
-        .where(col("comp") =!= col("__prev"))
-        .isEmpty
+      // labels only ever decrease, so the fixpoint is reached exactly
+      // when the label sum stops falling — one scalar aggregate per
+      // round instead of a join-and-compare
+      val sumNow = next.agg(coalesce(sum(col("comp")), lit(0L)))
+        .head.getLong(0)
+      converged = prevSum == sumNow
+      prevSum = sumNow
       labels = next
       it += 1
     }
