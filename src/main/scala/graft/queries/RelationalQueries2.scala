@@ -19,6 +19,70 @@ object RelationalQueries2 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_asof_native" -> (asofNative(_, _)),
 
+    // String scalar family 2: padding, reverse/repeat, translate,
+    // split_part, position, left/right, edit distance.
+    "r_string_funcs2" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        lpad(col("c_name"), 22, "*").as("lp"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"),
+        reverse(col("c_name")).as("rev"),
+        repeat(col("c_mktsegment"), 2).as("rep2"),
+        translate(col("c_name"), "Cust", "Kvst").as("tr"),
+        expr("split_part(c_name, '#', 2)").as("num_part"),
+        instr(col("c_name"), "#").cast("int").as("hash_pos"),
+        expr("left(c_name, 8)").as("l8"),
+        expr("right(c_name, 4)").as("r4"),
+        levenshtein(col("c_name"), lit("Customer#000000000"))
+          .cast("int").as("lev"))
+        .orderBy(col("c_custkey"))),
+
+    // Date scalar family 2: day/month arithmetic with end-of-month
+    // clamping, last_day, ISO week, day-of-week, diffs, make_date.
+    "r_date_funcs2" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("dt"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        add_months(to_date(col("o_orderdate")), 3).as("plus3m"),
+        last_day(to_date(col("o_orderdate"))).as("eom"),
+        dayofweek(col("o_orderdate")).cast("int").as("dow"),
+        weekofyear(col("o_orderdate")).cast("int").as("woy"),
+        datediff(lit("1998-12-31").cast("date"),
+          to_date(col("o_orderdate"))).cast("int").as("days_to_end"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+          lit(1)).as("som"))
+        .orderBy(col("o_orderkey"))),
+
+    // ANSI-safe try_* family: failed casts, divide-by-zero, and
+    // out-of-bounds element access all yield NULL instead of erroring
+    // (Spark 4 runs ANSI mode by default).
+    "r_try_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+        expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)")
+          .as("prio_num"),
+        try_divide(col("o_totalprice"),
+          (col("o_orderkey") % 2).cast("double")).as("odd_div"),
+        try_element_at(split(col("o_orderpriority"), "-"), lit(2))
+          .as("prio_word"),
+        try_element_at(split(col("o_orderpriority"), "-"), lit(5))
+          .as("oob"))
+        .orderBy(col("o_orderkey"))),
+
+    // Bitwise scalar family: shifts, popcount, xor/and/or.
+    "r_bit_scalar" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        shiftleft(col("o_orderkey"), 3).as("shl"),
+        shiftright(col("o_orderkey"), 2).as("shr"),
+        bit_count(col("o_orderkey")).cast("int").as("bc"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("xo"),
+        col("o_orderkey").bitwiseAND(col("o_custkey")).as("an"),
+        col("o_orderkey").bitwiseOR(col("o_custkey")).as("orr"))
+        .orderBy(col("o_orderkey"))),
+
     // GROUPING SETS with grouping() markers — one pass, three groupings.
     "r_grouping_sets" -> ((s, d) => {
       t(s, d, "lineitem").createOrReplaceTempView("v_lineitem_gs")
@@ -477,6 +541,52 @@ object RelationalQueries2 {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "r_string_funcs2" ->
+      """SELECT c_custkey,
+        |  lpad(c_name, 22, '*') AS lp,
+        |  rpad(c_mktsegment, 12, '.') AS rp,
+        |  reverse(c_name) AS rev,
+        |  repeat(c_mktsegment, 2) AS rep2,
+        |  translate(c_name, 'Cust', 'Kvst') AS tr,
+        |  split_part(c_name, '#', 2) AS num_part,
+        |  CAST(instr(c_name, '#') AS INT) AS hash_pos,
+        |  left(c_name, 8) AS l8,
+        |  right(c_name, 4) AS r4,
+        |  CAST(levenshtein(c_name, 'Customer#000000000') AS INT) AS lev
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "r_date_funcs2" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+        |    AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS woy,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE),
+        |    DATE '1998-12-31') AS INT) AS days_to_end,
+        |  make_date(CAST(year(o_orderdate) AS BIGINT),
+        |    CAST(month(o_orderdate) AS BIGINT), 1) AS som
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_try_funcs" ->
+      """SELECT o_orderkey,
+        |  TRY_CAST(o_orderpriority AS INT) AS bad_int,
+        |  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT)
+        |    AS prio_num,
+        |  CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |    ELSE o_totalprice / (o_orderkey % 2) END AS odd_div,
+        |  string_split(o_orderpriority, '-')[2] AS prio_word,
+        |  string_split(o_orderpriority, '-')[5] AS oob
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_bit_scalar" ->
+      """SELECT o_orderkey,
+        |  o_orderkey << 3 AS shl,
+        |  o_orderkey >> 2 AS shr,
+        |  CAST(bit_count(o_orderkey) AS INT) AS bc,
+        |  xor(o_orderkey, o_custkey) AS xo,
+        |  o_orderkey & o_custkey AS an,
+        |  o_orderkey | o_custkey AS orr
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "r_asof_native" ->
       """WITH o AS (
         |  SELECT * FROM orders
