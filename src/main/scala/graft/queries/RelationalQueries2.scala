@@ -71,6 +71,19 @@ object RelationalQueries2 {
           .as("oob"))
         .orderBy(col("o_orderkey"))),
 
+    // Native session_window gap sessions (batch form of the streaming
+    // merging-window aggregation; same oracle technique as
+    // r_sessionize but with session_window's strict-gap semantics and
+    // end = last event + gap).
+    "r_session_window" -> ((s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "12 hours"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"), col("n_events"))
+        .orderBy(col("user_id"), col("s_start"))),
+
     // Bitwise scalar family: shifts, popcount, xor/and/or.
     "r_bit_scalar" -> ((s, d) =>
       t(s, d, "orders").select(
@@ -578,6 +591,22 @@ object RelationalQueries2 {
         |  string_split(o_orderpriority, '-')[2] AS prio_word,
         |  string_split(o_orderpriority, '-')[5] AS oob
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_session_window" ->
+      """WITH s AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 12 HOUR
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), s2 AS (
+        |  SELECT user_id, ts, sum(nw) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM s)
+        |SELECT user_id, min(ts) AS s_start,
+        |  max(ts) + INTERVAL 12 HOUR AS s_end,
+        |  count(*) AS n_events
+        |FROM s2 GROUP BY user_id, sid ORDER BY user_id, s_start"""
+        .stripMargin,
     "r_bit_scalar" ->
       """SELECT o_orderkey,
         |  o_orderkey << 3 AS shl,

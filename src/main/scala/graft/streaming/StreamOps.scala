@@ -57,6 +57,23 @@ object StreamOps {
         col(s"r.$rightTs") <= col(s"l.$leftTs"))
   }
 
+  /** Native session windows: per-key gap sessions via Spark's
+    * `session_window` aggregation (merging-window state, watermark
+    * evicts closed sessions). The built-in replacement for the
+    * mapGroupsWithState formulation in [[StreamSessionize]] — same gap
+    * semantics family as the batch `TimeSeries.sessionize`, with
+    * session end = last event + gap. Works identically over batch
+    * DataFrames (where the watermark is ignored).
+    */
+  def sessionWindowAgg(events: DataFrame, tsCol: String, keyCol: String,
+                       gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol),
+        session_window(col(tsCol), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol), col("sw.start").as("s_start"),
+        col("sw.end").as("s_end"), col("n_events"))
+
   /** foreachBatch MERGE sink: each micro-batch upserts into `table` by
     * `key` (last write per key wins within a batch via the batch's own
     * dedup; across batches, newest batch wins).
