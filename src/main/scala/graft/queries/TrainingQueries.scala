@@ -79,6 +79,29 @@ object TrainingQueries {
             .cast("long").as("n_num"))
         .orderBy(col("doc_id"))),
 
+    // End-to-end corpus preparation: normalize → digest-dedup →
+    // quality filter → stratified sample → token-budget pack, composed
+    // as ONE lazy plan (Catalyst optimizes the whole pipeline, the
+    // dbt-style layering of the reference compressed into a single
+    // logical tree) and hash-checked against the full DuckDB CTE chain.
+    "x_pipeline_e2e" -> ((s, d) => {
+      val norm = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextAnalysis.normalize(col("text")).as("norm"))
+      val deduped = Dedup.exactKeepFirstDigest(norm, col("norm"),
+        col("doc_id"))
+      val toks = deduped.select(col("doc_id"), col("lang"),
+        size(TextAnalysis.tokens(col("norm"))).cast("long")
+          .as("n_tokens"))
+      val filtered = toks.where(col("n_tokens") >= 5)
+      val sampled = Training.stratifiedEveryK(filtered, col("lang"),
+        col("doc_id"), k = 2)
+      Training.packBins(sampled, Seq(col("doc_id")), col("n_tokens"),
+          budget = 1024L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("bin"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Integer-exact TF-IDF-style top-3 terms per doc (tf desc, corpus
     // df asc, term asc) for docs < 50; df computed over ALL docs.
     "x_top_terms" -> ((s, d) =>
@@ -162,6 +185,39 @@ object TrainingQueries {
         |  CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT)
         |    AS n_num
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_pipeline_e2e" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lang,
+        |    lower(trim(regexp_replace(text, '[ \t\n\r]+', ' ', 'g')))
+        |      AS norm
+        |  FROM documents
+        |), ded AS (
+        |  SELECT doc_id, lang, norm FROM norm
+        |  QUALIFY row_number() OVER (PARTITION BY md5(norm)
+        |    ORDER BY doc_id) = 1
+        |), tok AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+        |  FROM ded
+        |), filt AS (
+        |  SELECT * FROM tok WHERE n_tokens >= 5
+        |), samp AS (
+        |  SELECT doc_id, lang, n_tokens FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY lang
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS n
+        |    FROM filt)
+        |  WHERE (rn - 1) * 2 < n
+        |), c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM samp)
+        |SELECT doc_id, lang, n_tokens, CAST(cum // 1024 AS BIGINT)
+        |  AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "x_top_terms" -> (
       s"""WITH toks AS (
