@@ -23,34 +23,57 @@ object Training {
     * thus the sum, ambiguous). Adds `out` = sum of `value` over all
     * rows strictly before this one.
     *
-    * Two-phase: per-range-partition window cumsum + broadcast of the
-    * per-partition totals' own prefix sum. The totals table has one row
-    * per partition, so its global window is trivially cheap; everything
-    * over the data itself is partition-parallel. `repartitionByRange`
-    * samples boundaries with deterministic seeds, so the split — and
-    * with a unique order key the result — is reproducible.
+    * Two-phase scan, ONE data shuffle: range-partition + sort by the
+    * order key, then (a) per-partition totals via a map-side-partial
+    * aggregate (the exchange carries one row per partition), collected
+    * and prefix-summed on the driver — p values, not data; (b) a
+    * partition-local `mapPartitionsWithIndex` running sum seeded with
+    * each partition's offset. The naive alternatives both lose at
+    * scale: `Window.orderBy` with no partition funnels everything
+    * through one task, and a window keyed on `spark_partition_id()`
+    * re-shuffles the full dataset because Catalyst cannot know the
+    * rows are already pid-clustered — this is the genuine
+    * per-partition-imperative case where mapPartitions is the right
+    * tool. `repartitionByRange` samples boundaries with deterministic
+    * seeds, so the split — and with a unique order key the result —
+    * is reproducible; the localCheckpoint shares the one
+    * materialization between the two phases (use reliable
+    * `checkpoint()` on a cluster).
     */
   def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                     out: String, parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
     val p =
       if (parts > 0) parts
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df.repartitionByRange(p, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // compute the range split once for both phases
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(sum(value).as("__t"))
-      .withColumn("__off", coalesce(
-        sum(col("__t")).over(Window.orderBy(col("__pid"))
-          .rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__pid"), col("__off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    ranged.join(broadcast(offsets), "__pid")
-      .withColumn(out,
-        col("__off") + coalesce(sum(value).over(w), lit(0L)))
-      .drop("__pid", "__off")
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val prepared = df
+      .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
+      .repartitionByRange(p, order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint()
+    val partSums = prepared
+      .groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("__v")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = new Array[Long](p)
+    var acc = 0L
+    (0 until p).foreach { i =>
+      offsets(i) = acc
+      acc += partSums.getOrElse(i, 0L)
+    }
+    val vIdx = prepared.schema.fieldIndex("__v")
+    val outSchema = prepared.schema
+      .add(org.apache.spark.sql.types.StructField(out,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = offsets(pid)
+      it.map { r =>
+        val withCum = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        withCum
+      }
+    }
+    spark.createDataFrame(rdd, outSchema).drop("__v")
   }
 
   /** Contiguous token-budget packing: walk the corpus in `order` and
