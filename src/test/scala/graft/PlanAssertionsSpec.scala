@@ -78,6 +78,12 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(1200))
   }
 
+  test("x_ngram_jaccard plans exactly two shuffles (single-pass shape)") {
+    val p = plan("x_ngram_jaccard")
+    val n = "Exchange".r.findAllIn(p).size
+    assert(n == 2, s"expected 2 exchanges, got $n:\n${p.take(1200)}")
+  }
+
   test("flagship pipeline scan reads only the referenced columns") {
     import org.apache.spark.sql.functions._
     val raw = spark.createDataFrame(
