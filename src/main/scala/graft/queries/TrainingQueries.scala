@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Graph, TextAnalysis, Training}
+import graft.operators.{Dedup, Graph, Similarity, TextAnalysis, Training}
 import ParityQueries.t
 
 /** Corpus-shaping operators for training-data preparation (round 3):
@@ -30,6 +30,46 @@ object TrainingQueries {
         .where(col("est_jaccard") >= 0.8)
       Graph.dedupClusters(cand, col("id_a"), col("id_b"))
         .select(col("id").as("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cluster resolution over EMBEDDING near-dups (same Graph operator,
+    // different edge generator: exact cosine >= 0.42 pairs — the
+    // ground-truth form, like x_embed_neardup; at scale the edge list
+    // comes from Dedup.embeddingNearDup's LSH buckets instead).
+    "x_embed_clusters" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pairs = Similarity.bruteForcePairs(e, 0.42)
+      Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
+        .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Deterministic train/val/test assignment by content fingerprint
+    // (90/5/5) — split membership is a pure function of the document,
+    // stable under re-ingestion/reordering, unlike rand() splits.
+    "x_split_assign" -> ((s, d) => {
+      val fpm = pmod(TextAnalysis.fingerprint(col("text")), lit(100))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          when(fpm < 90, "train").when(fpm < 95, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Incremental-ingest dedup: drop new-batch docs whose content
+    // digest already exists in the historical corpus (digest anti-join
+    // — the shuffle carries 16-byte keys, the standard continuous-
+    // ingestion dedup gate).
+    "x_dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val hist = docs.where(col("doc_id") < 400)
+        .select(md5(col("text").cast("binary")).as("dg"))
+      docs.where(col("doc_id") >= 400)
+        .withColumn("dg", md5(col("text").cast("binary")))
+        .join(hist, Seq("dg"), "left_anti")
+        .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
 
@@ -133,6 +173,53 @@ object TrainingQueries {
         |)
         |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+
+    "x_embed_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(embedding) + 1),
+        |        i -> CAST(embedding[i] AS DOUBLE) * embedding[i])),
+        |      (x, y) -> x + y)) AS nm
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])),
+        |      (x, y) -> x + y) / (a.nm * b.nm) AS cos
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |), ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM scored WHERE cos >= 0.42
+        |), sym AS (
+        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT id AS vec_id, min(r) AS cluster, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "x_split_assign" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) % 100 AS m
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN m < 90 THEN 'train' WHEN m < 95 THEN 'val'
+        |    ELSE 'test' END AS split
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "x_dedup_incremental" ->
+      """SELECT b.doc_id, b.lang FROM documents b
+        |WHERE b.doc_id >= 400 AND NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id < 400 AND md5(h.text) = md5(b.text))
+        |ORDER BY b.doc_id""".stripMargin,
 
     "x_pack_bins" ->
       """WITH tk AS (
