@@ -76,7 +76,9 @@ object Bench {
       "x_minhash_pairs", "x_simhash", "x_ngram_jaccard", "x_cosine_topk",
       "x_cosine_ann", "x_cosine_ivf", "x_lang_id", "x_quality",
       "x_token_stats", "x_bpe_tokens", "x_dedup_clusters", "x_pack_bins",
-      "x_shuffle_order", "x_top_terms")
+      "x_shuffle_order", "x_top_terms", "x_pipeline_e2e",
+      "x_embed_clusters", "x_split_assign", "x_dedup_incremental",
+      "r_asof_native", "r_session_window")
     val byName = results.toMap
     def line(names: Seq[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))

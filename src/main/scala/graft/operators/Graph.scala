@@ -54,11 +54,21 @@ object Graph {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("comp")).as("__nbr"))
-      val next = labels
+      val prop = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nbr"), col("comp")))
             .as("comp"))
+      // path compression (pointer jumping): follow one more hop through
+      // the PREVIOUS round's (checkpointed, so not recomputed) table —
+      // comp ← oldComp(comp). Labels only decrease, so this stays
+      // monotone and halves the remaining diameter each round:
+      // O(log d) rounds on chains instead of O(d).
+      val next = prop
+        .join(labels.select(col("id").as("__cid"),
+          col("comp").as("__cc")), prop("comp") === col("__cid"), "left")
+        .select(prop("id").as("id"),
+          coalesce(col("__cc"), prop("comp")).as("comp"))
         .localCheckpoint()
       // labels only ever decrease, so the fixpoint is reached exactly
       // when the label sum stops falling — one scalar aggregate per
