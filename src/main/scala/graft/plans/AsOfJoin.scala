@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
@@ -131,11 +131,105 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans the logical AsOfJoin into its streaming-merge exec. */
+/** Broadcast variant: when the right (reference) side is small — the
+  * common shape, e.g. as-of joining a 100 TB event stream against a
+  * rates/dimension history — broadcast it whole and answer each left
+  * row with a per-key binary search. The big side is never shuffled or
+  * sorted: a pure map over the probe stream, the as-of analog of
+  * BroadcastHashJoin vs SortMergeJoin.
+  */
+case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                                 leftKey: Expression, rightKey: Expression,
+                                 leftTime: Expression, rightTime: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    UnspecifiedDistribution ::
+      BroadcastDistribution(IdentityBroadcastMode) :: Nil
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKey = BindReferences.bindReference(leftKey, left.output)
+    val lTime = BindReferences.bindReference(leftTime, left.output)
+    val rKey = BindReferences.bindReference(rightKey, right.output)
+    val rTime = BindReferences.bindReference(rightTime, right.output)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+      .asInstanceOf[Ordering[Any]]
+    val rightWidth = right.output.size
+    val outAttrs = output
+    val bcast = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      // per-key time-sorted right rows (built once per partition; rows
+      // in the broadcast are shared, only the index is local)
+      val byKey = new java.util.HashMap[Any, scala.collection.mutable
+        .ArrayBuffer[(Any, InternalRow)]]()
+      bcast.value.foreach { r =>
+        val k = rKey.eval(r)
+        val t = rTime.eval(r)
+        if (k != null && t != null) {
+          var buf = byKey.get(k)
+          if (buf == null) {
+            buf = scala.collection.mutable.ArrayBuffer
+              .empty[(Any, InternalRow)]
+            byKey.put(k, buf)
+          }
+          buf += ((t, r))
+        }
+      }
+      byKey.values().forEach(b => b.sortInPlaceBy(_._1)(timeOrd): Unit)
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      lIter.map { l =>
+        val lk = lKey.eval(l)
+        val lt = lTime.eval(l)
+        val m: InternalRow = if (lk == null || lt == null) null else {
+          val buf = byKey.get(lk)
+          if (buf == null) null
+          else {
+            // binary search: last entry with time <= lt
+            var lo = 0
+            var hi = buf.length - 1
+            var ans = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (timeOrd.compare(buf(mid)._1, lt) <= 0) {
+                ans = mid; lo = mid + 1
+              } else hi = mid - 1
+            }
+            if (ans >= 0) buf(ans)._2 else null
+          }
+        }
+        proj(joiner(l, if (m == null) nullRight else m))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans the logical AsOfJoin: broadcast the right side when its stats
+  * fit under the session's autoBroadcastJoinThreshold (the same policy
+  * Spark applies to equi-joins), else the shuffled streaming merge.
+  */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+      val threshold = org.apache.spark.sql.internal.SQLConf.get
+        .autoBroadcastJoinThreshold
+      if (threshold > 0 && r.stats.sizeInBytes <= threshold)
+        BroadcastAsOfJoinExec(planLater(l), planLater(r),
+          lk, rk, lt, rt) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
     case _ => Nil
   }
 }

@@ -62,11 +62,41 @@ class AsOfNativeSpec extends SparkSuite {
     val right = (0L until 50L).map(i => (i % 7,
       ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"p$i"))
       .toDF("rk", "rt", "payload")
-    val df = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"), plan)
-    // exactly two exchanges (one per side), none above the join
-    assert("Exchange".r.findAllIn(plan).size == 2, plan)
-    df.count() // executes without error under the custom exec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AsOfJoin"), plan)
+      // exactly two exchanges (one per side), none above the join
+      assert("Exchange".r.findAllIn(plan).size == 2, plan)
+      df.count() // executes without error under the custom exec
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("small right side plans the broadcast variant, same results") {
+    import spark.implicits._
+    val left = (0L until 100L).map(i => (i, i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"))).toDF("event_id", "k", "t")
+    val right = (0L until 50L).map(i => (i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"p$i"))
+      .toDF("rk", "rt", "payload")
+    val bc = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+    val bcPlan = bc.queryExecution.executedPlan.toString
+    assert(bcPlan.contains("BroadcastAsOfJoin"), bcPlan)
+    assert(bcPlan.contains("BroadcastExchange"), bcPlan)
+    // no shuffle of the probe side
+    assert(!bcPlan.contains("Exchange hashpartitioning"), bcPlan)
+    val bcRows = bc.select(col("event_id"), col("payload"))
+      .as[(Long, Option[String])].collect().toMap
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val sm = TimeSeries
+        .asofJoinNative(left, right, "k", "rk", "t", "rt")
+        .select(col("event_id"), col("payload"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(bcRows == sm)
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 }
