@@ -163,26 +163,33 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
       .asInstanceOf[Ordering[Any]]
     val rightWidth = right.output.size
     val outAttrs = output
-    val bcast = right.executeBroadcast[Array[InternalRow]]()
-    left.execute().mapPartitions { lIter =>
-      // per-key time-sorted right rows (built once per partition; rows
-      // in the broadcast are shared, only the index is local)
-      val byKey = new java.util.HashMap[Any, scala.collection.mutable
+    // Build the per-key time-sorted index ONCE on the driver and
+    // broadcast the index itself (as Spark broadcasts HashedRelation) —
+    // rebuilding it per partition would repeat |R| work × partitions.
+    val byKey = new java.util.HashMap[Any, Array[(Any, InternalRow)]]()
+    locally {
+      val tmp = new java.util.HashMap[Any, scala.collection.mutable
         .ArrayBuffer[(Any, InternalRow)]]()
-      bcast.value.foreach { r =>
+      right.executeBroadcast[Array[InternalRow]]().value.foreach { r =>
         val k = rKey.eval(r)
         val t = rTime.eval(r)
         if (k != null && t != null) {
-          var buf = byKey.get(k)
+          var buf = tmp.get(k)
           if (buf == null) {
             buf = scala.collection.mutable.ArrayBuffer
               .empty[(Any, InternalRow)]
-            byKey.put(k, buf)
+            tmp.put(k, buf)
           }
           buf += ((t, r))
         }
       }
-      byKey.values().forEach(b => b.sortInPlaceBy(_._1)(timeOrd): Unit)
+      tmp.forEach { (k, b) =>
+        byKey.put(k, b.sortInPlaceBy(_._1)(timeOrd).toArray)
+      }
+    }
+    val idxBc = sparkContext.broadcast(byKey)
+    left.execute().mapPartitions { lIter =>
+      val byKey = idxBc.value
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
