@@ -48,7 +48,7 @@ object Graph {
       .localCheckpoint()
     var converged = false
     var it = 0
-    var prevSum = Long.MinValue
+    var prevSum: java.math.BigDecimal = null
     while (!converged && it < maxIter) {
       val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
@@ -72,10 +72,15 @@ object Graph {
         .localCheckpoint()
       // labels only ever decrease, so the fixpoint is reached exactly
       // when the label sum stops falling — one scalar aggregate per
-      // round instead of a join-and-compare
-      val sumNow = next.agg(coalesce(sum(col("comp")), lit(0L)))
-        .head.getLong(0)
-      converged = prevSum == sumNow
+      // round instead of a join-and-compare. Summed as decimal(38,0):
+      // a Long sum over ~2^40 vertices with 2^63-range ids overflows
+      // (wraps silently non-ANSI, throws under ANSI), which would break
+      // the monotone "equal sums ⇒ converged" argument.
+      val sumNow = next
+        .agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)))
+        .head.getDecimal(0)
+      converged = prevSum != null && prevSum.compareTo(sumNow) == 0
       prevSum = sumNow
       labels = next
       it += 1

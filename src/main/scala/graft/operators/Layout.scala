@@ -38,8 +38,13 @@ object Layout {
         in.repartitionByRange(filesOut, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else in.repartition(filesOut)
-    shaped.write.mode(SaveMode.Overwrite).parquet(destDir)
-    spark.read.parquet(destDir).count()
+    // Row count observed ON the write job itself (Observation metrics
+    // ride the task results) — a maintenance job must not pay a second
+    // full scan of the data it just rewrote.
+    val obs = org.apache.spark.sql.Observation()
+    shaped.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(destDir)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Data-file count of a parquet directory (what a scan pays for). */

@@ -1,12 +1,15 @@
 package graft.plans
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** Native ASOF JOIN — the one reference-adjacent operator Spark's
   * relational algebra cannot express as a single node (DuckDB has
@@ -28,6 +31,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Left-outer semantics: unmatched left rows pad nulls; NULL keys and
   * NULL times never match (SQL equality).
+  *
+  * Ties: when several right rows share the winning (key, time), WHICH
+  * of them is returned is unspecified (the merge variant takes the last
+  * in its sort order, the broadcast variant the last in broadcast
+  * order — either may differ run to run). Pre-deduplicate the right
+  * side on (key, time) when tie identity matters, as r_asof_native
+  * does.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
@@ -49,6 +59,38 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
+}
+
+/** Shared executor-side machinery for the two as-of variants: codegen'd
+  * (key, time) projections and generated (non-boxing) orderings over
+  * the projected 2-field UnsafeRows — the interpreted `eval` +
+  * `getInterpretedOrdering` per-row path costs ~4× at sf0.1 and worse
+  * at scale.
+  */
+private[plans] object AsOfRuntime {
+  /** UnsafeProjection to a compact (key, time) row. Built inside the
+    * task (codegen classes are process-local); Spark's codegen cache
+    * dedupes compilation across tasks.
+    */
+  def ktProjection(key: Expression, time: Expression,
+                   input: Seq[Attribute]): UnsafeProjection =
+    UnsafeProjection.create(Seq(key, time), input)
+
+  /** Lexicographic (key, time) ordering over projected rows. */
+  def fullOrdering(keyType: DataType, timeType: DataType): BaseOrdering =
+    GenerateOrdering.generate(Seq(
+      SortOrder(BoundReference(0, keyType, nullable = true), Ascending),
+      SortOrder(BoundReference(1, timeType, nullable = true), Ascending)))
+
+  /** Key-only ordering over projected (key, time) rows. */
+  def keyOrdering(keyType: DataType): BaseOrdering =
+    GenerateOrdering.generate(Seq(
+      SortOrder(BoundReference(0, keyType, nullable = true), Ascending)))
+
+  /** Time-only ordering over projected (key, time) rows. */
+  def timeOrdering(timeType: DataType): BaseOrdering =
+    GenerateOrdering.generate(Seq(
+      SortOrder(BoundReference(1, timeType, nullable = true), Ascending)))
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
@@ -73,53 +115,64 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTime = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-      .asInstanceOf[Ordering[Any]]
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
-      .asInstanceOf[Ordering[Any]]
+    val lKeyE = leftKey
+    val lTimeE = leftTime
+    val rKeyE = rightKey
+    val rTimeE = rightTime
+    val lOut = left.output
+    val rOut = right.output
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
     val rightWidth = right.output.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lkt = AsOfRuntime.ktProjection(lKeyE, lTimeE, lOut)
+      val rkt = AsOfRuntime.ktProjection(rKeyE, rTimeE, rOut)
+      val fullOrd = AsOfRuntime.fullOrdering(keyType, timeType)
+      val keyOrd = AsOfRuntime.keyOrdering(keyType)
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      // cursor over the right side; rows with null key/time are skipped
+      // cursor over the right side; rows with null key/time are skipped.
+      // rKT aliases rkt's reused buffer (and rRow the sorter's reused
+      // row), valid only until the next advance — anything retained
+      // across advances MUST be copied (see lastKT/lastMatch below).
       var rRow: InternalRow = null
-      var rK: Any = null
-      var rT: Any = null
+      var rKT: UnsafeRow = null
       def advanceRight(): Unit = {
         rRow = null
         while (rRow == null && rIter.hasNext) {
           val c = rIter.next()
-          val k = rKey.eval(c)
-          val t = rTime.eval(c)
-          if (k != null && t != null) { rRow = c; rK = k; rT = t }
+          val kt = rkt(c)
+          if (!kt.isNullAt(0) && !kt.isNullAt(1)) { rRow = c; rKT = kt }
         }
       }
       advanceRight()
-      // latest right row consumed for the current key
-      var lastKey: Any = null
+      // latest right row consumed for the current key — COPIES: both
+      // the sort iterator's row and the projection's output buffer are
+      // reused, so buffer-backed key types (strings, binary, structs)
+      // would go stale after the next advanceRight() otherwise.
+      var lastKT: UnsafeRow = null
       var lastMatch: InternalRow = null
       lIter.map { l =>
-        val lk = lKey.eval(l)
-        val lt = lTime.eval(l)
-        if (lk == null || lt == null) proj(joiner(l, nullRight))
+        val lKT = lkt(l)
+        if (lKT.isNullAt(0) || lKT.isNullAt(1)) proj(joiner(l, nullRight))
         else {
+          // advance while right (key, time) ≤ left (key, time)
+          // lexicographically; remember the row only on equal keys
           var scan = rRow != null
           while (scan) {
-            val c = keyOrd.compare(rK, lk)
-            if (c < 0 || (c == 0 && timeOrd.compare(rT, lt) <= 0)) {
-              if (c == 0) { lastKey = rK; lastMatch = rRow.copy() }
+            if (fullOrd.compare(rKT, lKT) <= 0) {
+              if (keyOrd.compare(rKT, lKT) == 0) {
+                lastKT = rKT.copy()
+                lastMatch = rRow.copy()
+              }
               advanceRight()
               scan = rRow != null
             } else scan = false
           }
-          if (lastMatch != null && lastKey != null &&
-              keyOrd.compare(lastKey, lk) == 0) proj(joiner(l, lastMatch))
+          if (lastMatch != null && keyOrd.compare(lastKT, lKT) == 0)
+            proj(joiner(l, lastMatch))
           else proj(joiner(l, nullRight))
         }
       }
@@ -155,64 +208,54 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKey = BindReferences.bindReference(leftKey, left.output)
-    val lTime = BindReferences.bindReference(leftTime, left.output)
-    val rKey = BindReferences.bindReference(rightKey, right.output)
-    val rTime = BindReferences.bindReference(rightTime, right.output)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
-      .asInstanceOf[Ordering[Any]]
+    val rKeyE = rightKey
+    val rTimeE = rightTime
+    val lKeyE = leftKey
+    val lTimeE = leftTime
+    val lOut = left.output
+    val rOut = right.output
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
     val rightWidth = right.output.size
     val outAttrs = output
-    // Build the per-key time-sorted index ONCE on the driver and
-    // broadcast the index itself (as Spark broadcasts HashedRelation) —
-    // rebuilding it per partition would repeat |R| work × partitions.
-    val byKey = new java.util.HashMap[Any, Array[(Any, InternalRow)]]()
-    locally {
-      val tmp = new java.util.HashMap[Any, scala.collection.mutable
-        .ArrayBuffer[(Any, InternalRow)]]()
-      right.executeBroadcast[Array[InternalRow]]().value.foreach { r =>
-        val k = rKey.eval(r)
-        val t = rTime.eval(r)
-        if (k != null && t != null) {
-          var buf = tmp.get(k)
-          if (buf == null) {
-            buf = scala.collection.mutable.ArrayBuffer
-              .empty[(Any, InternalRow)]
-            tmp.put(k, buf)
-          }
-          buf += ((t, r))
-        }
-      }
-      tmp.forEach { (k, b) =>
-        byKey.put(k, b.sortInPlaceBy(_._1)(timeOrd).toArray)
-      }
-    }
-    val idxBc = sparkContext.broadcast(byKey)
+    // The rows ride the one BroadcastExchange (IdentityBroadcastMode —
+    // BroadcastExchangeExec only sizes HashedRelation/Array results, so
+    // a custom index-building BroadcastMode is off the table); the
+    // per-key time-sorted index is built from them ONCE PER EXECUTOR
+    // and memoized on the broadcast id — no per-partition rebuild, and
+    // no second driver-side broadcast of the index.
+    val rowsBc = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
-      val byKey = idxBc.value
+      val index = BroadcastAsOfJoinExec.indexFor(rowsBc, rKeyE, rTimeE,
+        rOut, keyType, timeType)
+      val lkt = AsOfRuntime.ktProjection(lKeyE, lTimeE, lOut)
+      val lkey = UnsafeProjection.create(Seq(lKeyE), lOut)
+      val timeOrd = AsOfRuntime.timeOrdering(timeType)
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       lIter.map { l =>
-        val lk = lKey.eval(l)
-        val lt = lTime.eval(l)
-        val m: InternalRow = if (lk == null || lt == null) null else {
-          val buf = byKey.get(lk)
-          if (buf == null) null
+        val lKT = lkt(l)
+        val m: InternalRow =
+          if (lKT.isNullAt(0) || lKT.isNullAt(1)) null
           else {
-            // binary search: last entry with time <= lt
-            var lo = 0
-            var hi = buf.length - 1
-            var ans = -1
-            while (lo <= hi) {
-              val mid = (lo + hi) >>> 1
-              if (timeOrd.compare(buf(mid)._1, lt) <= 0) {
-                ans = mid; lo = mid + 1
-              } else hi = mid - 1
+            val e = index.get(lkey(l))
+            if (e == null) null
+            else {
+              // binary search: last entry with time <= left time
+              val kts = e.kts
+              var lo = 0
+              var hi = kts.length - 1
+              var ans = -1
+              while (lo <= hi) {
+                val mid = (lo + hi) >>> 1
+                if (timeOrd.compare(kts(mid), lKT) <= 0) {
+                  ans = mid; lo = mid + 1
+                } else hi = mid - 1
+              }
+              if (ans >= 0) e.rows(ans) else null
             }
-            if (ans >= 0) buf(ans)._2 else null
           }
-        }
         proj(joiner(l, if (m == null) nullRight else m))
       }
     }
@@ -223,13 +266,87 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
     copy(left = newLeft, right = newRight)
 }
 
+object BroadcastAsOfJoinExec {
+  /** Per-key entry: (key,time) rows for the time binary search plus the
+    * full right rows, both time-ascending (ties in broadcast order).
+    */
+  final class AsOfEntry(val kts: Array[UnsafeRow],
+                        val rows: Array[InternalRow])
+
+  // Executor-local memo of built indexes, keyed by broadcast id.
+  // SoftReferences let the JVM reclaim an index under memory pressure
+  // (it is rebuilt from the still-held broadcast rows on next use);
+  // compute() serializes concurrent first builds per key.
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    Long, java.lang.ref.SoftReference[java.util.HashMap[UnsafeRow, AsOfEntry]]]()
+
+  private[plans] def indexFor(bc: Broadcast[Array[InternalRow]],
+      rKey: Expression, rTime: Expression, rOut: Seq[Attribute],
+      keyType: DataType, timeType: DataType)
+      : java.util.HashMap[UnsafeRow, AsOfEntry] = {
+    var out: java.util.HashMap[UnsafeRow, AsOfEntry] = null
+    while (out == null) {
+      val ref = cache.compute(bc.id, (_, old) =>
+        if (old != null && old.get != null) old
+        else new java.lang.ref.SoftReference(
+          build(bc.value, rKey, rTime, rOut, keyType, timeType)))
+      out = ref.get
+    }
+    out
+  }
+
+  private def build(rows: Array[InternalRow], rKey: Expression,
+      rTime: Expression, rOut: Seq[Attribute], keyType: DataType,
+      timeType: DataType): java.util.HashMap[UnsafeRow, AsOfEntry] = {
+    val rkt = AsOfRuntime.ktProjection(rKey, rTime, rOut)
+    val rkey = UnsafeProjection.create(Seq(rKey), rOut)
+    val timeOrd = AsOfRuntime.timeOrdering(timeType)
+    val tmp = new java.util.HashMap[UnsafeRow,
+      scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
+    rows.foreach { r =>
+      val kt = rkt(r)
+      if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+        val k = rkey(r).copy()
+        var buf = tmp.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer
+            .empty[(UnsafeRow, InternalRow)]
+          tmp.put(k, buf)
+        }
+        // broadcast rows are materialized (stable); only the projected
+        // (key,time) row reuses a buffer and needs the copy
+        buf += ((kt.copy(), r))
+      }
+    }
+    val out = new java.util.HashMap[UnsafeRow, AsOfEntry](tmp.size * 2)
+    tmp.forEach { (k, b) =>
+      val sorted = b.sortInPlaceBy(_._1)(timeOrd.on((r: UnsafeRow) => r))
+      out.put(k, new AsOfEntry(sorted.map(_._1).toArray,
+        sorted.map(_._2).toArray))
+    }
+    out
+  }
+}
+
 /** Plans the logical AsOfJoin: broadcast the right side when its stats
   * fit under the session's autoBroadcastJoinThreshold (the same policy
   * Spark applies to equi-joins), else the shuffled streaming merge.
+  *
+  * Float/double keys are wrapped in NormalizeNaNAndZero on BOTH sides
+  * here (the analyzer's NormalizeFloatingNumbers rule does not visit
+  * custom nodes), so -0.0 vs 0.0 and NaN keys join under SQL equality
+  * in either physical variant — the broadcast index compares keys
+  * bytewise, the merge exec through generated orderings.
   */
 object AsOfJoinStrategy extends SparkStrategy {
+  private def norm(e: Expression): Expression = e.dataType match {
+    case FloatType | DoubleType => NormalizeNaNAndZero(e)
+    case _ => e
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+    case AsOfJoin(l, r, lk0, rk0, lt, rt) =>
+      val (lk, rk) = (norm(lk0), norm(rk0))
       val threshold = org.apache.spark.sql.internal.SQLConf.get
         .autoBroadcastJoinThreshold
       if (threshold > 0 && r.stats.sizeInBytes <= threshold)

@@ -74,6 +74,72 @@ class AsOfNativeSpec extends SparkSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("string keys survive spilled sorts (buffer-backed key staleness)") {
+    // Buffer-backed keys (strings) alias the sort iterator's reused row
+    // AND the (key,time) projection's reused buffer — the retained
+    // last-match key must be a copy or it silently corrupts once the
+    // cursor advances. Force the merge variant, many keys interleaved so
+    // the cursor advances past retained matches constantly, and tiny
+    // sort-spill thresholds so rows come back through the spill reader.
+    import spark.implicits._
+    val left = (0L until 2000L).map { i =>
+      (i, f"key_${i % 97}%03d", ts(f"2024-01-${i % 28 + 1}%02d 01:00:00"))
+    }.toDF("event_id", "k", "t")
+    val right = (0L until 1500L).map { i =>
+      (f"key_${i % 97}%03d", ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"),
+        s"p${i % 97}_${i % 28 + 1}")
+    }.toDF("rk", "rt", "payload").distinct()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val envConf = org.apache.spark.SparkEnv.get.conf
+    val prevSpill = envConf
+      .get("spark.shuffle.spill.numElementsForceSpillThreshold", null)
+    try {
+      // SortExec reads this from the live SparkEnv conf when it creates
+      // each task's UnsafeExternalSorter — the supported knob for
+      // forcing spills in tests
+      envConf.set("spark.shuffle.spill.numElementsForceSpillThreshold", "16")
+      val native = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+        .select(col("event_id"), col("payload"))
+        .as[(Long, Option[String])].collect().toMap
+      val window = TimeSeries.asofJoinLast(left, right,
+          col("k"), col("rk"), col("t"), col("rt"), Seq("payload"))
+        .select(col("event_id"), col("asof_payload"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(native == window)
+      // sanity: matches exist and each left row at/after day 1 matched
+      assert(native.values.count(_.isDefined) > 1500)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      if (prevSpill == null)
+        envConf.remove("spark.shuffle.spill.numElementsForceSpillThreshold")
+      else envConf
+        .set("spark.shuffle.spill.numElementsForceSpillThreshold", prevSpill)
+    }
+  }
+
+  test("double keys: -0.0 joins 0.0 and NaN joins NaN in both variants") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 0.0, ts("2024-01-05 00:00:00")),
+      (2L, -0.0, ts("2024-01-05 00:00:00")),
+      (3L, Double.NaN, ts("2024-01-05 00:00:00")))
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (-0.0, ts("2024-01-01 00:00:00"), "zero"),
+      (Double.NaN, ts("2024-01-01 00:00:00"), "nan"))
+      .toDF("rk", "rt", "payload")
+    def run(): Map[Long, Option[String]] =
+      TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+        .select(col("event_id"), col("payload"))
+        .as[(Long, Option[String])].collect().toMap
+    val expected = Map(1L -> Some("zero"), 2L -> Some("zero"),
+      3L -> Some("nan"))
+    assert(run() == expected) // broadcast variant
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(run() == expected) // merge variant
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("small right side plans the broadcast variant, same results") {
     import spark.implicits._
     val left = (0L until 100L).map(i => (i, i % 7,

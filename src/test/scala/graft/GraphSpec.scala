@@ -27,6 +27,21 @@ class GraphSpec extends SparkSuite {
     assert(got.size == n.toInt && got.values.forall(_ == 1L))
   }
 
+  test("connectedComponents: labels near Long.MaxValue don't overflow " +
+      "the convergence sum") {
+    import spark.implicits._
+    // A Long sum over these ids wraps; the decimal(38,0) convergence
+    // aggregate must still detect the fixpoint (and under ANSI mode a
+    // Long sum would throw instead — either way, a regression fails).
+    val m = Long.MaxValue
+    val edges = Seq((m, m - 1), (m - 1, m - 2), (m - 5, m - 6))
+      .toDF("a", "b")
+    val got = Graph.connectedComponents(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(m -> (m - 2), (m - 1) -> (m - 2), (m - 2) -> (m - 2),
+      (m - 5) -> (m - 6), (m - 6) -> (m - 6)))
+  }
+
   test("dedupClusters: keep flag marks exactly the min member") {
     import spark.implicits._
     val edges = Seq((5L, 6L), (6L, 7L), (9L, 8L)).toDF("a", "b")
