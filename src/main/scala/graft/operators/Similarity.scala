@@ -88,22 +88,32 @@ object Similarity {
     Array.fill(planes, dim)(rnd.nextGaussian())
   }
 
-  /** All `tables` sign-bucket ids at once, as array<long> — one native
-    * expression evaluation per row (see SignBucketsVec).
+  /** The flat hyperplane matrix SignBucketsVec evaluates against,
+    * laid out `(t * planes + p) * dim + i`. Public so the DuckDB
+    * oracle can embed the exact same coefficients as SQL literals
+    * (Double.toString round-trips, so both engines see identical
+    * doubles).
     */
-  def signBucketsExpr(vec: Column, planes: Int, tables: Int,
-                      dim: Int, seedBase: Long = 42L): Column = {
+  def planeMatrix(planes: Int, tables: Int, dim: Int,
+                  seedBase: Long = 42L): Array[Double] = {
     val flat = new Array[Double](tables * planes * dim)
     for (t <- 0 until tables) {
       val hp = hyperplanes(planes, dim, seedBase + t * 1000)
       for (p <- 0 until planes; i <- 0 until dim)
         flat((t * planes + p) * dim + i) = hp(p)(i)
     }
+    flat
+  }
+
+  /** All `tables` sign-bucket ids at once, as array<long> — one native
+    * expression evaluation per row (see SignBucketsVec).
+    */
+  def signBucketsExpr(vec: Column, planes: Int, tables: Int,
+                      dim: Int, seedBase: Long = 42L): Column =
     org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.SignBucketsVec(
         org.apache.spark.sql.GraftSqlBridge.toExpression(vec),
-        flat, planes, tables, dim))
-  }
+        planeMatrix(planes, tables, dim, seedBase), planes, tables, dim))
 
   def signBuckets(df: DataFrame, vec: Column, planes: Int,
                   dim: Int = 64, seed: Long = 42L): DataFrame =

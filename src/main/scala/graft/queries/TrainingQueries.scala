@@ -17,6 +17,78 @@ object TrainingQueries {
   private def stopList: String =
     TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
 
+  // Shipping LSH parameters for embedding near-dup on the gaussian
+  // fixtures: recall vs bruteForcePairs measured 0.96 / 1.00 / 0.97 at
+  // sf0.001 / 0.01 / 0.1 (threshold 0.42 — the adversarial no-gap
+  // regime; see Dedup.embeddingNearDup's tuning note).
+  private val LshPlanes = 10
+  private val LshTables = 12
+
+  /** DuckDB CTE chain reproducing [[Dedup.embeddingNearDup]] BIT FOR
+    * BIT — same hyperplane coefficients (embedded as literals;
+    * Double.toString round-trips exactly), same left-fold float→double
+    * dots, same `>= 0` sign bits, same 1-bit-flip probe expansion and
+    * in-bucket (a < b) candidate algebra, same exact-cosine verify.
+    * Ends with a `sel(id_a, id_b, cos)` CTE of the surviving pairs.
+    * The oracle checking the LSH path itself (rather than an exact
+    * all-pairs reference) keeps the hash comparison independent of
+    * LSH recall; recall has its own gate (x_embed_recall_err).
+    */
+  private def lshPairsCte(threshold: String): String = {
+    val dim = 64
+    val flat = Similarity.planeMatrix(LshPlanes, LshTables, dim)
+    val n = LshPlanes * LshTables
+    // one literal list per (table, plane), hoisted into a 120-row CTE —
+    // embedding a literal inside a lambda would rebuild it per element
+    val planeLists = (0 until n).map { tp =>
+      "[" + (0 until dim).map(i => flat(tp * dim + i).toString)
+        .mkString(", ") + "]"
+    }.mkString(",\n    ")
+    val tIdx = (0 until n).map(_ / LshPlanes).mkString(", ")
+    val bitVals = (0 until n).map(tp => 1 << (tp % LshPlanes)).mkString(", ")
+    val masks = (0 +: (0 until LshPlanes).map(1 << _)).mkString(", ")
+    s"""WITH pl AS (
+       |  SELECT unnest([$tIdx]) AS t, unnest([$bitVals]) AS bit,
+       |    unnest([
+       |    $planeLists
+       |    ]) AS pv
+       |), bk AS (
+       |  SELECT e.vec_id, pl.t,
+       |    CAST(sum(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_zip(e.embedding, pl.pv),
+       |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |      (x, y) -> x + y) >= 0 THEN pl.bit ELSE 0 END) AS BIGINT)
+       |      AS cb
+       |  FROM embeddings e CROSS JOIN pl
+       |  GROUP BY e.vec_id, pl.t
+       |), ent AS (
+       |  SELECT vec_id, t, xor(cb, m) AS bkt
+       |  FROM bk CROSS JOIN (SELECT unnest([$masks]) AS m) masks
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM ent a JOIN ent b
+       |    ON a.t = b.t AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+       |), nrm AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(embedding) + 1),
+       |        i -> CAST(embedding[i] AS DOUBLE) * embedding[i])),
+       |      (x, y) -> x + y)) AS nm
+       |  FROM embeddings
+       |), sc AS (
+       |  SELECT cand.id_a, cand.id_b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(na.embedding) + 1),
+       |        i -> CAST(na.embedding[i] AS DOUBLE) * nb.embedding[i])),
+       |      (x, y) -> x + y) / (na.nm * nb.nm) AS cos
+       |  FROM cand
+       |  JOIN nrm na ON cand.id_a = na.vec_id
+       |  JOIN nrm nb ON cand.id_b = nb.vec_id
+       |), sel AS (
+       |  SELECT id_a, id_b, cos FROM sc WHERE cos >= $threshold
+       |)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Near-dup cluster resolution: MinHash-LSH candidate pairs >= 0.8
@@ -33,10 +105,11 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Cluster resolution over EMBEDDING near-dups (same Graph operator,
-    // different edge generator: exact cosine >= 0.42 pairs — the
-    // ground-truth form, like x_embed_neardup; at scale the edge list
-    // comes from Dedup.embeddingNearDup's LSH buckets instead).
+    // Cluster resolution over EMBEDDING near-dups with exact cosine
+    // >= 0.42 pairs as edges — the ground-truth VERIFIER form (O(n²),
+    // like x_embed_neardup). The shipping scale path is
+    // x_embed_lsh_clusters below, whose LSH edge generator is itself
+    // oracle-checked and recall-gated.
     "x_embed_clusters" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -44,6 +117,55 @@ object TrainingQueries {
       Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
         .select(col("id").as("vec_id"), col("cluster"), col("keep"))
         .orderBy(col("vec_id"))
+    }),
+
+    // The SCALE path for embedding near-dup: multi-table multiprobe
+    // sign-LSH candidates + exact cosine verify (Dedup.embeddingNearDup
+    // — bucketed equality joins, nothing O(n²) in the plan). The oracle
+    // reproduces the LSH itself (literal hyperplanes, same float→double
+    // fold), so this hash-checks the bucketing/probing/verify algebra
+    // bit for bit; recall vs the exact form is gated separately by
+    // x_embed_recall_err.
+    "x_embed_lsh_neardup" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Dedup.embeddingNearDup(e, col("id"), col("vec"), 0.42,
+          planes = LshPlanes, tables = LshTables, multiprobe = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Cluster resolution over the LSH near-dup edges — the end-to-end
+    // 100 TB embedding-dedup pipeline (LSH edges → connected
+    // components → keep-min), with the whole chain oracle-checked.
+    "x_embed_lsh_clusters" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pairs = Dedup.embeddingNearDup(e, col("id"), col("vec"), 0.42,
+        planes = LshPlanes, tables = LshTables, multiprobe = 1)
+      Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
+        .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Recall gate for the LSH path: fires a row iff LSH finds < 90% of
+    // the exact cosine >= 0.42 pairs. Expected EMPTY (empty-set
+    // oracle) — the oracle-checked floor that keeps x_embed_lsh_* an
+    // honest replacement for the O(n²) exact form (which is hereby
+    // demoted to verifier). Integer-exact comparison (10× counts), no
+    // float recall arithmetic.
+    "x_embed_recall_err" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val exact = Similarity.bruteForcePairs(e, 0.42)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Dedup.embeddingNearDup(e, col("id"), col("vec"), 0.42,
+          planes = LshPlanes, tables = LshTables, multiprobe = 1)
+        .select(col("id_a"), col("id_b"))
+      val misses = exact.join(lsh, Seq("id_a", "id_b"), "left_anti")
+      misses.agg(count(lit(1)).as("n_miss"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .where(col("n_miss") * 10 > col("n_exact"))
+        .select(col("n_miss"), col("n_exact"))
     }),
 
     // Deterministic train/val/test assignment by content fingerprint
@@ -200,6 +322,27 @@ object TrainingQueries {
         |)
         |SELECT id AS vec_id, min(r) AS cluster, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "x_embed_lsh_neardup" -> (lshPairsCte("0.42") +
+      "\nSELECT id_a, id_b, cos FROM sel ORDER BY id_a, id_b"),
+
+    "x_embed_lsh_clusters" -> (lshPairsCte("0.42")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM sel
+        |), sym AS (
+        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT id AS vec_id, min(r) AS cluster, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
+
+    "x_embed_recall_err" ->
+      """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
+        |WHERE 1 = 0""".stripMargin,
 
     "x_split_assign" ->
       """WITH fp AS (

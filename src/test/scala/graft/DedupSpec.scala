@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Similarity}
 
 /** Near-dup operators verified on constructed duplicates (the synthetic
   * corpus is near-unique, so recall is asserted here, not in the driver's
@@ -90,5 +90,48 @@ class DedupSpec extends SparkSuite {
       col("embedding"), threshold = 0.99)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
+  }
+
+  test("embeddingNearDup recall >= 0.9 vs brute force on the gaussian " +
+      "fixture (adversarial theta = 0.42)") {
+    val e = graft.queries.ParityQueries.t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.bruteForcePairs(e, 0.42)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDup(e, col("id"), col("vec"), 0.42,
+        planes = 10, tables = 12, multiprobe = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // LSH + exact verify can only miss, never invent
+    assert((lsh -- exact).isEmpty)
+    assert(lsh.size * 10 >= exact.size * 9,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
+  test("embeddingNearDup at a REAL near-dup threshold: planted dups, " +
+      "16 planes, full recall with strong candidate pruning") {
+    // 100 planted near-dup pairs (clone + small noise, cos >= 0.9) in a
+    // sea of 400 random gaussians — the regime the operator actually
+    // targets at scale. 16 planes / 8 tables: every planted pair found,
+    // candidates a small fraction of the 499·1000/2 pair space.
+    val rnd = new scala.util.Random(7)
+    def gauss(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bases = Array.fill(100)(gauss())
+    val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+      val noisy = b.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, b), (i.toLong * 2 + 1, noisy))
+    } ++ (0 until 800).map(i => ((200 + i).toLong, gauss()))
+    val embs = rows.toSeq.toDF("vec_id", "embedding")
+    val found = Dedup.embeddingNearDup(embs, col("vec_id"),
+        col("embedding"), 0.9, planes = 16, tables = 8, multiprobe = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val planted = (0 until 100).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(planted.subsetOf(found), s"missed ${(planted -- found).size}")
+    val cand = Dedup.embeddingCandidates(
+      embs.select($"vec_id".as("id"), $"embedding".as("vec")),
+      planes = 16, tables = 8, multiprobe = 1, dim = 64,
+      maxBucket = 100000).count()
+    val allPairs = 1000L * 999 / 2
+    assert(cand < allPairs / 20, s"candidates $cand of $allPairs")
   }
 }
