@@ -14,18 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by iterative min-label propagation:
-    * `comp(v) ← min(comp(v), min over neighbors comp(u))` to fixpoint.
-    *
-    * Each round is one shuffle (join edges with labels + groupBy min) —
-    * all partial-aggregated map-side. Rounds = graph diameter, which for
-    * near-dup clusters is tiny (candidate generation connects most pairs
-    * of a cluster directly, so diameters are 1-3). For adversarial
-    * high-diameter graphs use the large-star/small-star contraction of
-    * Kiveris et al., "Connected Components in MapReduce and Beyond"
-    * (ACM SoCC 2014), which converges in O(log n) rounds; propagation is
-    * chosen here because dedup graphs are shallow and each round is a
-    * single cheap shuffle.
+  /** Connected components by iterative min-label propagation with a
+    * contraction fallback: `comp(v) ← min(comp(v), min over neighbors
+    * comp(u))` (plus pointer-jumping path compression) for up to
+    * `switchAfter` rounds — one cheap map-side-partial shuffle per
+    * round, and dedup graphs (diameter 1-3 after candidate generation)
+    * converge in 2-3. If the graph has NOT converged by then (an
+    * adversarial high-diameter topology), the surviving structure is
+    * contracted through the current labels (edge (u,v) →
+    * (comp(u), comp(v))) and finished by the O(log n)-round
+    * large-star/small-star algorithm ([[connectedComponentsStar]]).
     *
     * `localCheckpoint` truncates the iterative lineage each round (on a
     * cluster, prefer `sparkContext.setCheckpointDir` + `checkpoint()`
@@ -37,7 +35,8 @@ object Graph {
     * partitioning order.
     */
   def connectedComponents(edges: DataFrame, a: Column, b: Column,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          switchAfter: Int = 8): DataFrame = {
     val e = edges.select(a.cast("long").as("src"), b.cast("long").as("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
@@ -49,7 +48,8 @@ object Graph {
     var converged = false
     var it = 0
     var prevSum: java.math.BigDecimal = null
-    while (!converged && it < maxIter) {
+    val propagationRounds = math.min(maxIter, switchAfter)
+    while (!converged && it < propagationRounds) {
       val nbrMin = sym
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
@@ -85,7 +85,103 @@ object Graph {
       labels = next
       it += 1
     }
-    labels
+    if (converged) labels
+    else {
+      // Contract through the partial labels — same quotient components,
+      // (usually far) fewer vertices — and finish with star contraction.
+      val relab = sym
+        .join(labels.select(col("id"), col("comp").as("cu")),
+          sym("src") === col("id")).drop("id")
+        .join(labels.select(col("id"), col("comp").as("cv")),
+          sym("dst") === col("id")).drop("id")
+        .select(col("cu").as("src"), col("cv").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+      val roots = connectedComponentsStar(relab, col("src"), col("dst"),
+        maxIter - propagationRounds)
+      labels
+        .join(roots.select(col("id").as("__rid"), col("comp").as("__rc")),
+          labels("comp") === col("__rid"), "left")
+        .select(labels("id"),
+          coalesce(col("__rc"), labels("comp")).as("comp"))
+    }
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction — Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" (ACM SoCC 2014): converges in O(log n) rounds on ANY
+    * topology (propagation needs O(diameter), O(log d) with path
+    * compression), so this is the adversarial-graph path; each round
+    * costs two groupBy-min shuffles of 16-byte edges plus a distinct.
+    *
+    *  - large-star: per vertex u, point every neighbor x > u at
+    *    m = min(Γ(u) ∪ {u});
+    *  - small-star: orient edges (larger → smaller); per u, point every
+    *    smaller neighbor (and u itself) at the minimum.
+    *
+    * Both preserve connectivity; unions of stars are their fixpoint.
+    * Convergence test = "no edge's target is itself a source" (a
+    * two-level forest IS a union of stars), one left-semi join on
+    * 8-byte keys per round.
+    *
+    * Output: (id, comp) like [[connectedComponents]]; isolated vertices
+    * (no edges) don't appear, matching the propagation form.
+    */
+  def connectedComponentsStar(edges: DataFrame, a: Column, b: Column,
+                              maxIter: Int = 20): DataFrame =
+    starRounds(edges, a, b, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the number of (large, small)
+    * rounds it took — exposed for convergence-bound tests.
+    */
+  def starRounds(edges: DataFrame, a: Column, b: Column,
+                 maxIter: Int = 20): (DataFrame, Int) = {
+    val e0 = edges
+      .select(a.cast("long").as("u"), b.cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u").as("mu"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("mu"), least(col("mu"), col("mv")).as("m"))
+      sym.join(mins, sym("u") === col("mu"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = o.groupBy(col("u").as("mu")).agg(min(col("v")).as("m"))
+      o.join(mins, o("u") === col("mu"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("mu").as("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = e0
+    var rounds = 0
+    var isStar = false
+    while (!isStar && rounds < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      rounds += 1
+      // a union of stars ⇔ no edge target is also an edge source
+      isStar = e.join(e.select(col("v").as("u")).distinct(),
+        Seq("u"), "left_semi").isEmpty
+    }
+    val labels = e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Cluster-resolved dedup decision over an edge list: every vertex

@@ -168,6 +168,25 @@ object TrainingQueries {
         .select(col("n_miss"), col("n_exact"))
     }),
 
+    // Adversarial-diameter connected components: per-user event CHAINS
+    // (diameter up to 86 at sf0.01 — the worst case for plain label
+    // propagation) resolved through the hybrid path: 2 propagation
+    // rounds, then contraction + large-star/small-star (Kiveris et al.
+    // SoCC 2014, O(log n) rounds on any topology). Oracle = recursive
+    // CTE reachability over the same lead() edges.
+    "x_cc_chain" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = t(s, d, "events")
+        .select(col("event_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"))
+        .where(col("next_id").isNotNull)
+      Graph.connectedComponents(edges, col("event_id"), col("next_id"),
+          switchAfter = 2)
+        .select(col("id").as("event_id"), col("comp").as("chain_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // Deterministic train/val/test assignment by content fingerprint
     // (90/5/5) — split membership is a pure function of the document,
     // stable under re-ingestion/reordering, unlike rand() splits.
@@ -343,6 +362,23 @@ object TrainingQueries {
     "x_embed_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
+
+    "x_cc_chain" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT event_id AS a,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events
+        |  QUALIFY b IS NOT NULL
+        |), sym AS (
+        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT id AS event_id, min(r) AS chain_id
+        |FROM reach GROUP BY id ORDER BY event_id""".stripMargin,
 
     "x_split_assign" ->
       """WITH fp AS (

@@ -42,6 +42,46 @@ class GraphSpec extends SparkSuite {
       (m - 5) -> (m - 6), (m - 6) -> (m - 6)))
   }
 
+  test("star contraction: 1024-chain converges in <= log2(n) rounds " +
+      "with correct labels") {
+    import spark.implicits._
+    val n = 1024L
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Graph.starRounds(edges, col("a"), col("b"))
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got.size == n.toInt && got.values.forall(_ == 1L))
+    assert(rounds <= 10, s"took $rounds rounds on a 1024-chain") // log2
+  }
+
+  test("star contraction: mixed components, ids near Long.MaxValue") {
+    import spark.implicits._
+    val m = Long.MaxValue
+    val edges = (Seq((m, m - 1), (m - 1, m - 2)) ++ // chain at the top
+      (1L until 50L).map(i => (i, i + 1)) ++        // 50-chain
+      Seq((100L, 200L), (200L, 100L), (300L, 300L)) // dup edge + self
+      ).toDF("a", "b")
+    val got = Graph.connectedComponentsStar(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 50L).forall(got(_) == 1L))
+    assert(got(m) == m - 2 && got(m - 1) == m - 2 && got(m - 2) == m - 2)
+    assert(got(100L) == 100L && got(200L) == 100L)
+    assert(!got.contains(300L)) // self-loop only ⇒ isolated, not emitted
+  }
+
+  test("hybrid: propagation hands a long chain to star contraction " +
+      "and labels stay exact") {
+    import spark.implicits._
+    val n = 300L
+    val edges = ((1L until n).map(i => (i, i + 1)) ++
+      Seq((5000L, 6000L))).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, col("a"), col("b"),
+        switchAfter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == n.toInt + 2)
+    assert((1L to n).forall(got(_) == 1L))
+    assert(got(5000L) == 5000L && got(6000L) == 5000L)
+  }
+
   test("dedupClusters: keep flag marks exactly the min member") {
     import spark.implicits._
     val edges = Seq((5L, 6L), (6L, 7L), (9L, 8L)).toDF("a", "b")
