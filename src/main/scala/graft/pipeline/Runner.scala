@@ -46,4 +46,21 @@ object Runner {
     require(results.nonEmpty, "ingest produced no rows")
     SwellPipeline.runAll(spark).count()
   }
+
+  /** Incremental asset run: ingest the batch, then refresh ONLY the
+    * forecast-date partitions that batch touches
+    * ([[SwellPipeline.runIncremental]]) instead of rebuilding the
+    * presentation table from all of raw — the reference's
+    * materialized='table' semantics made viable at 100 TB. Same
+    * idempotence contract as [[runAll]].
+    */
+  def runIncremental(spark: SparkSession, fetcher: SwellFetcher,
+                     config: PipelineConfig = PipelineConfig.fromEnv())
+      : Long = {
+    val batch = Ingest.fetchBatch(spark, fetcher)
+    val results = Ingest.append(spark, batch, config.rawTable)
+    require(results.nonEmpty, "ingest produced no rows")
+    SwellPipeline.runIncremental(spark, batch, config.rawTable,
+      config.presentationTable).count()
+  }
 }

@@ -125,6 +125,63 @@ object SwellPipeline {
     spark.table("presentation.daily_max_swell")
   }
 
+  /** Incremental presentation materialization — the reference rebuilds
+    * `presentation.daily_max_swell` from scratch every run
+    * (`pres_open_meteo__daily_max_swell.sql:2`, materialized='table');
+    * at 100 TB that is a full-derived-layer rewrite per night. This
+    * mode keeps the contract table PARTITIONED BY `dt` and per batch:
+    *
+    *  1. derives the forecast dates the new raw batch touches (narrow
+    *     pass over just the batch);
+    *  2. recomputes the daily arg-max for ONLY those dates — the raw
+    *     read is restricted by a broadcast semi join on dt (partition
+    *     pruning, not a post-scan filter, once raw is date-partitioned);
+    *  3. replaces exactly the affected dt partitions via dynamic
+    *     partition overwrite — untouched dates are neither read nor
+    *     rewritten.
+    *
+    * Result-identical to the full rebuild in every case (the slice is
+    * recomputed from ALL raw rows of the touched dates, so partial-day
+    * appends and re-fetched payloads resolve the same winners), and
+    * idempotent: re-running the same batch rewrites the same partitions
+    * with identical content.
+    */
+  def runIncremental(spark: SparkSession, batchRaw: DataFrame,
+                     rawTable: String = "raw.swell_data",
+                     presTable: String = "presentation.daily_max_swell")
+      : DataFrame = {
+    bootstrap(spark)
+    if (!spark.catalog.tableExists(presTable)) {
+      val all = present(dailyMax(stage(spark.table(rawTable))))
+      requireNotNull(all, Seq("dt", "location"))
+      all.write.partitionBy("dt").saveAsTable(presTable)
+    } else {
+      require(spark.catalog.listColumns(presTable).collect()
+        .exists(c => c.isPartition && c.name == "dt"),
+        s"$presTable must be partitioned by dt for incremental runs")
+      val touched = stage(batchRaw).select(col("dt")).distinct()
+      val slice = present(dailyMax(stage(spark.table(rawTable))
+        .join(broadcast(touched), Seq("dt"), "left_semi")))
+      requireNotNull(slice, Seq("dt", "location"))
+      // partition columns sit last in the table schema; insertInto is
+      // positional
+      val cols = spark.table(presTable).columns.toSeq
+      val prev = spark.conf
+        .getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try slice.select(cols.map(col): _*)
+        .write.mode(SaveMode.Overwrite).insertInto(presTable)
+      finally prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.catalog.refreshTable(presTable)
+    }
+    spark.table(presTable)
+  }
+
   /** Docs-as-contract: persist the presentation table's description and
     * column docs into the catalog — the reference's `persist_docs`
     * (`dbt_project.yml:11-13`) with the column descriptions of

@@ -168,6 +168,29 @@ object TrainingQueries {
         .select(col("n_miss"), col("n_exact"))
     }),
 
+    // Incremental derived-layer materialization as a pure plan: table
+    // state before a late-arriving batch, plus the touched-date slice
+    // recomputed from FULL data, replacing those dates wholesale
+    // (anti join on date + union = dynamic partition overwrite). Hash-
+    // equal to the full-rebuild oracle — the algebraic identity that
+    // makes SwellPipeline.runIncremental safe at 100 TB.
+    "x_incremental_overwrite" -> ((s, d) => {
+      val orders = t(s, d, "orders")
+      def derived(df: DataFrame): DataFrame = df
+        .groupBy(col("o_orderdate").as("dt"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("first_key"),
+          sum(col("o_custkey")).as("cust_sum"))
+      val late = orders.where(col("o_orderkey") % 7 === 0)
+      val baseState = derived(orders.where(col("o_orderkey") % 7 =!= 0))
+      val touched = late.select(col("o_orderdate").as("dt")).distinct()
+      val slice = derived(orders.join(broadcast(touched),
+        orders("o_orderdate") === touched("dt"), "left_semi"))
+      baseState.join(broadcast(touched), Seq("dt"), "left_anti")
+        .unionByName(slice)
+        .orderBy(col("dt"), col("prio"))
+    }),
+
     // Adversarial-diameter connected components: per-user event CHAINS
     // (diameter up to 86 at sf0.01 — the worst case for plain label
     // propagation) resolved through the hybrid path: 2 propagation
@@ -362,6 +385,12 @@ object TrainingQueries {
     "x_embed_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
+
+    "x_incremental_overwrite" ->
+      """SELECT o_orderdate AS dt, o_orderpriority AS prio,
+        |  count(*) AS n, min(o_orderkey) AS first_key,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+        |FROM orders GROUP BY 1, 2 ORDER BY dt, prio""".stripMargin,
 
     "x_cc_chain" ->
       """WITH RECURSIVE ed AS (

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import graft.model.{Location, Schemas}
 import graft.pipeline.SwellPipeline
 import graft.ingest.{FixtureFetcher, Ingest}
@@ -85,6 +86,64 @@ class SwellPipelineSpec extends SparkSuite {
       ("2026-08-13 00:00:00", "Tamarack", payload)))
     val daily = SwellPipeline.full(twice).collect()
     assert(daily.length == 2)
+  }
+
+  val payload2: String =
+    """{"latitude": 33.1505, "longitude": -117.3483,
+      |"timezone": "America/Los_Angeles",
+      |"hourly_units": {"time": "iso8601", "wave_height": "m"},
+      |"hourly": {
+      |  "time": ["2026-08-11T03:00", "2026-08-12T00:00"],
+      |  "wave_height":          [1.0, 1.1],
+      |  "wave_direction":       [200.0, 210.0],
+      |  "wind_wave_direction":  [190.0, 205.0],
+      |  "swell_wave_height":    [2.5, 0.5],
+      |  "swell_wave_direction": [180.0, 195.0],
+      |  "swell_wave_period":    [16.0, 8.0]
+      |}}""".stripMargin
+
+  test("runIncremental: touched-partition refresh == full rebuild, " +
+      "untouched partitions untouched on disk, idempotent rerun") {
+    val rawT = "raw.swell_inc"
+    val presT = "presentation.swell_inc"
+    spark.sql(s"DROP TABLE IF EXISTS $rawT")
+    spark.sql(s"DROP TABLE IF EXISTS $presT")
+    // batch 1 (days 08-10, 08-11) → first run = partitioned full build
+    val b1 = rawDf(Seq(("2026-08-12 00:00:00", "Tamarack", payload)))
+    spark.sql("CREATE DATABASE IF NOT EXISTS raw")
+    b1.write.mode("append").saveAsTable(rawT)
+    SwellPipeline.runIncremental(spark, b1, rawT, presT)
+    assert(spark.table(presT).count() == 2)
+    def partitionFiles(dt: String): Map[String, (Long, Long)] = {
+      val loc = new java.net.URI(spark.sql(s"DESCRIBE FORMATTED $presT")
+        .where(col("col_name") === "Location").select("data_type")
+        .head.getString(0))
+      Option(new java.io.File(new java.io.File(loc), s"dt=$dt").listFiles())
+        .toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val day10Before = partitionFiles("2026-08-10")
+    assert(day10Before.nonEmpty)
+    // batch 2: re-fetch of 08-11 with a new maximum + a new day 08-12
+    val b2 = rawDf(Seq(("2026-08-13 00:00:00", "Tamarack", payload2)))
+    b2.write.mode("append").saveAsTable(rawT)
+    SwellPipeline.runIncremental(spark, b2, rawT, presT)
+    val cols = SwellPipeline.present(SwellPipeline.dailyMax(
+      SwellPipeline.stage(spark.table(rawT)))).columns.toSeq
+    def snapshot() = spark.table(presT).select(cols.map(col): _*)
+      .collect().toSet
+    val incr = snapshot()
+    val rebuild = SwellPipeline.full(spark.table(rawT)).collect().toSet
+    assert(incr == rebuild)
+    // the 08-11 winner now comes from the re-fetched payload
+    val d11 = spark.table(presT).where(col("dt") === "2026-08-11")
+      .select("swell_wave_height").head.getDouble(0)
+    assert(d11 == 2.5)
+    // 08-10 was not rewritten: same files, sizes, mtimes
+    assert(partitionFiles("2026-08-10") == day10Before)
+    // idempotent: re-running the same batch changes nothing
+    SwellPipeline.runIncremental(spark, b2, rawT, presT)
+    assert(snapshot() == incr)
   }
 
   test("end-to-end: ingest appends raw rows, runAll materializes contract") {
