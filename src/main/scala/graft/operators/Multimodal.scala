@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
   * typed metadata, with decode / feature-extraction as per-partition
   * batch transforms.
   *
-  * The decode itself is STUBBED (no image/audio libs in this container —
-  * `decodeStub` produces deterministic fake features from the bytes); the
-  * Spark-side plumbing is real: schema, `Dataset[T]` encoders, partition
-  * iterator batching (the Scala analogue of `mapInPandas` batches), and a
-  * narrow no-shuffle plan. Swapping `decodeStub` for a JNI/ffmpeg call is
-  * a one-function change.
+  * IMAGE decode is REAL — JDK `javax.imageio` (PNG/JPEG/GIF/BMP), no
+  * external dependency: [[decodeImageMeta]] / [[imageMeta]] yield
+  * width, height and an exact integer luma sum per image, dead-lettering
+  * undecodable bytes as nulls. Audio/video decode remains STUBBED
+  * (`decodeStub` — no codec libs in this container); its Spark-side
+  * plumbing is real (schema, `Dataset[T]` encoders, partition-iterator
+  * batching, narrow no-shuffle plans), so swapping in a JNI/ffmpeg call
+  * is a one-function change.
   */
 object Multimodal {
 
@@ -51,6 +53,81 @@ object Multimodal {
           checksum, brightness)
       }
     }
+  }
+
+  /** Decoded image metadata row; null fields = undecodable payload. */
+  final case class ImageMeta(media_id: Long, width: Option[Int],
+                             height: Option[Int], luma_sum: Option[Long])
+
+  /** REAL image decode via JDK `javax.imageio`: width, height, and the
+    * integer luma sum Σ ⌊(r+g+b)/3⌋ over all pixels (integer so results
+    * are exactly reproducible — no float mean). `None` for bytes no
+    * registered reader accepts (dead-letter, never poison-the-task).
+    */
+  def decodeImageMeta(payload: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Distributed image-meta extraction over (media_id, payload) — one
+    * iterator pass per partition, narrow plan, decode cost rides the
+    * scan.
+    */
+  def imageMeta(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeImageMeta(bytes) match {
+          case Some((w, h, s)) => ImageMeta(id, Some(w), Some(h), Some(s))
+          case None => ImageMeta(id, None, None, None)
+        }
+      })
+  }
+
+  /** Deterministic grayscale PNG for id (spec + oracle fixture):
+    * (8 + id mod 9) × (8 + id mod 7), pixel v(x,y) =
+    * (31·id + 7x + 13y) mod 256 in all three channels. PNG is lossless
+    * and TYPE_INT_RGB skips color-profile conversion, so a decode
+    * recovers these exact values on any JVM — which is what lets the
+    * DuckDB oracle precompute width/height/luma from id alone.
+    */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
   }
 
   /** Frame sampling: chunk the payload into fixed-size frames and keep

@@ -226,6 +226,24 @@ object ExtensionQueries {
             .as("n_bytes"))
         .orderBy(col("doc_id"))),
 
+    // REAL image decode (javax.imageio, no external deps): PNGs are
+    // synthesized deterministically from doc_id on the executors,
+    // decoded by Multimodal.imageMeta, and the decoded width / height /
+    // exact integer luma sum are hash-checked against an oracle that
+    // PRECOMPUTES them from doc_id arithmetic — round-tripping the
+    // actual PNG codec end to end.
+    "x_image_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Multimodal.syntheticPng(id)))
+        .toDF("media_id", "payload")
+      Multimodal.imageMeta(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("luma_sum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Approximate distinct (HLL) next to the exact count — rows-only
     // (sketch internals are engine-specific).
     "x_approx_distinct" -> ((s, d) =>
@@ -494,6 +512,15 @@ object ExtensionQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "x_ann_recall_err" ->
       """SELECT vec_id AS qa FROM embeddings WHERE 1 = 0""",
+    "x_image_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + doc_id % 9 AS INT) AS width,
+        |  CAST(8 + doc_id % 7 AS INT) AS height,
+        |  CAST(list_sum(flatten(list_transform(range(8 + doc_id % 7),
+        |    y -> list_transform(range(8 + doc_id % 9),
+        |      x -> (doc_id * 31 + x * 7 + y * 13) % 256))))
+        |    AS BIGINT) AS luma_sum
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
     "x_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

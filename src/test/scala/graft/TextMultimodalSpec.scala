@@ -59,6 +59,28 @@ class TextMultimodalSpec extends SparkSuite {
     assert(Multimodal.decodeStub(Array.emptyByteArray) == (0L, 0.0))
   }
 
+  test("imageio decode: PNG round-trip recovers exact dims and luma sum") {
+    for (id <- Seq(0L, 1L, 17L, 199L)) {
+      val w = (8 + id % 9).toInt
+      val h = (8 + id % 7).toInt
+      val expected = (for (y <- 0 until h; x <- 0 until w)
+        yield (id * 31 + x * 7 + y * 13) % 256).sum
+      assert(Multimodal.decodeImageMeta(Multimodal.syntheticPng(id))
+        .contains((w, h, expected)), s"id=$id")
+    }
+  }
+
+  test("imageio decode: undecodable bytes dead-letter as nulls") {
+    assert(Multimodal.decodeImageMeta("not an image".getBytes).isEmpty)
+    assert(Multimodal.decodeImageMeta(Array.emptyByteArray).isEmpty)
+    val media = Seq(
+      (1L, Multimodal.syntheticPng(1L)),
+      (2L, "garbage".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val rows = Multimodal.imageMeta(spark, media).collect()
+      .map(m => m.media_id -> m.width.isDefined).toMap
+    assert(rows == Map(1L -> true, 2L -> false))
+  }
+
   test("sampleFrames: fixed-size chunks, every stride-th kept, short tail") {
     val media = Seq((7L, "video/fake", ("x" * 250).getBytes("UTF-8")))
       .toDF("media_id", "kind", "payload")
