@@ -78,7 +78,8 @@ object Bench {
       "x_token_stats", "x_bpe_tokens", "x_dedup_clusters", "x_pack_bins",
       "x_shuffle_order", "x_top_terms", "x_pipeline_e2e",
       "x_embed_clusters", "x_split_assign", "x_dedup_incremental",
-      "r_asof_native", "r_session_window")
+      "r_asof_native", "r_session_window",
+      "x_embed_lsh_clusters", "x_cc_chain", "x_image_meta")
     val byName = results.toMap
     def line(names: Seq[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))

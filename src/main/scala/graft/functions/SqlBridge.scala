@@ -25,4 +25,17 @@ object GraftSqlBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Release the cached blocks behind a `localCheckpoint()`ed Dataset.
+    * Iterative operators checkpoint per round to truncate lineage; the
+    * superseded rounds' blocks must be freed or a long job leaks the
+    * block manager full (localCheckpoint caches the RDD directly, so
+    * `Dataset.unpersist` — which only consults the CacheManager — can't
+    * release it).
+    */
+  def freeLocalCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
+      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

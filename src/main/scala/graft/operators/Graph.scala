@@ -82,29 +82,42 @@ object Graph {
         .head.getDecimal(0)
       converged = prevSum != null && prevSum.compareTo(sumNow) == 0
       prevSum = sumNow
+      // free the superseded round's cached blocks — an iterative job
+      // that checkpoints per round would otherwise leak the block
+      // manager full across rounds (and across repeated calls)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(labels)
       labels = next
       it += 1
     }
-    if (converged) labels
-    else {
-      // Contract through the partial labels — same quotient components,
-      // (usually far) fewer vertices — and finish with star contraction.
-      val relab = sym
-        .join(labels.select(col("id"), col("comp").as("cu")),
-          sym("src") === col("id")).drop("id")
-        .join(labels.select(col("id"), col("comp").as("cv")),
-          sym("dst") === col("id")).drop("id")
-        .select(col("cu").as("src"), col("cv").as("dst"))
-        .where(col("src") =!= col("dst"))
-        .distinct()
-      val roots = connectedComponentsStar(relab, col("src"), col("dst"),
-        maxIter - propagationRounds)
-      labels
-        .join(roots.select(col("id").as("__rid"), col("comp").as("__rc")),
-          labels("comp") === col("__rid"), "left")
-        .select(labels("id"),
-          coalesce(col("__rc"), labels("comp")).as("comp"))
-    }
+    val out =
+      if (converged) labels
+      else {
+        // Contract through the partial labels — same quotient
+        // components, (usually far) fewer vertices — and finish with
+        // star contraction.
+        val relab = sym
+          .join(labels.select(col("id"), col("comp").as("cu")),
+            sym("src") === col("id")).drop("id")
+          .join(labels.select(col("id"), col("comp").as("cv")),
+            sym("dst") === col("id")).drop("id")
+          .select(col("cu").as("src"), col("cv").as("dst"))
+          .where(col("src") =!= col("dst"))
+          .distinct()
+        val roots = connectedComponentsStar(relab, col("src"), col("dst"),
+          maxIter - propagationRounds)
+        val joined = labels
+          .join(roots.select(col("id").as("__rid"), col("comp").as("__rc")),
+            labels("comp") === col("__rid"), "left")
+          .select(labels("id"),
+            coalesce(col("__rc"), labels("comp")).as("comp"))
+          .localCheckpoint()
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(roots)
+        joined
+      }
+    if (out ne labels)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(labels)
+    org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sym)
+    out
   }
 
   /** Connected components by alternating large-star/small-star
@@ -149,11 +162,12 @@ object Graph {
       val mins = sym.groupBy(col("u").as("mu"))
         .agg(min(col("v")).as("mv"))
         .select(col("mu"), least(col("mu"), col("mv")).as("m"))
+      // no distinct here: smallStar's groupBy/distinct dedups right
+      // after, and skipping it saves a full shuffle per round
       sym.join(mins, sym("u") === col("mu"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
-        .distinct()
     }
 
     def smallStar(e: DataFrame): DataFrame = {
@@ -172,7 +186,9 @@ object Graph {
     var rounds = 0
     var isStar = false
     while (!isStar && rounds < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(e)
+      e = next
       rounds += 1
       // a union of stars ⇔ no edge target is also an edge source
       isStar = e.join(e.select(col("v").as("u")).distinct(),
@@ -181,6 +197,8 @@ object Graph {
     val labels = e.select(col("u").as("id"), col("v").as("comp"))
       .union(e.select(col("v").as("id"), col("v").as("comp")))
       .distinct()
+      .localCheckpoint()
+    org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(e)
     (labels, rounds)
   }
 

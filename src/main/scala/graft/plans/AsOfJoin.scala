@@ -38,6 +38,16 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
   * order — either may differ run to run). Pre-deduplicate the right
   * side on (key, time) when tie identity matters, as r_asof_native
   * does.
+  *
+  * When to use which (measured at sf0.1, see r_asof_broadcast vs
+  * r_asof_native): the union+window composition costs ONE shuffle of
+  * |L|+|R| and wins whenever the sides are comparable; the broadcast
+  * variant never touches the probe side (zero shuffle) but pays a
+  * fixed BroadcastExchange job (~0.2 s locally), so it wins once |L|
+  * outgrows ~1M rows against a small |R| — the 100 TB-stream-vs-
+  * dimension-history shape it exists for. The shuffled merge variant
+  * covers big-|R| cases where neither broadcast nor a single unioned
+  * sort fits.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKey: Expression, rightKey: Expression,
@@ -300,29 +310,47 @@ object BroadcastAsOfJoinExec {
       timeType: DataType): java.util.HashMap[UnsafeRow, AsOfEntry] = {
     val rkt = AsOfRuntime.ktProjection(rKey, rTime, rOut)
     val rkey = UnsafeProjection.create(Seq(rKey), rOut)
-    val timeOrd = AsOfRuntime.timeOrdering(timeType)
-    val tmp = new java.util.HashMap[UnsafeRow,
-      scala.collection.mutable.ArrayBuffer[(UnsafeRow, InternalRow)]]()
-    rows.foreach { r =>
-      val kt = rkt(r)
+    val fullOrd = AsOfRuntime.fullOrdering(keyType, timeType)
+    val keyOrd = AsOfRuntime.keyOrdering(keyType)
+    // One pass to project (key,time) rows, ONE global (key,time) sort,
+    // then slice per-key runs — instead of a HashMap of per-key
+    // growable buffers (for mostly-unique keys that is one ArrayBuffer
+    // + tuple boxing per row, which dominates the build).
+    val n = rows.length
+    val kts = new Array[UnsafeRow](n)
+    val rws = new Array[InternalRow](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val kt = rkt(rows(i))
       if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
-        val k = rkey(r).copy()
-        var buf = tmp.get(k)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer
-            .empty[(UnsafeRow, InternalRow)]
-          tmp.put(k, buf)
-        }
-        // broadcast rows are materialized (stable); only the projected
-        // (key,time) row reuses a buffer and needs the copy
-        buf += ((kt.copy(), r))
+        kts(m) = kt.copy() // projection reuses its buffer
+        rws(m) = rows(i)   // broadcast rows are materialized (stable)
+        m += 1
       }
+      i += 1
     }
-    val out = new java.util.HashMap[UnsafeRow, AsOfEntry](tmp.size * 2)
-    tmp.forEach { (k, b) =>
-      val sorted = b.sortInPlaceBy(_._1)(timeOrd.on((r: UnsafeRow) => r))
-      out.put(k, new AsOfEntry(sorted.map(_._1).toArray,
-        sorted.map(_._2).toArray))
+    val idx = Array.range(0, m)
+    // stable sort: ties on (key,time) keep broadcast order
+    val boxed = idx.map(Integer.valueOf)
+    java.util.Arrays.sort(boxed,
+      (a: Integer, b: Integer) => fullOrd.compare(kts(a), kts(b)))
+    val out = new java.util.HashMap[UnsafeRow, AsOfEntry](m * 2)
+    var lo = 0
+    while (lo < m) {
+      var hi = lo + 1
+      while (hi < m && keyOrd.compare(kts(boxed(lo)), kts(boxed(hi))) == 0)
+        hi += 1
+      val eKts = new Array[UnsafeRow](hi - lo)
+      val eRows = new Array[InternalRow](hi - lo)
+      var j = lo
+      while (j < hi) {
+        eKts(j - lo) = kts(boxed(j))
+        eRows(j - lo) = rws(boxed(j))
+        j += 1
+      }
+      out.put(rkey(eRows(0)).copy(), new AsOfEntry(eKts, eRows))
+      lo = hi
     }
     out
   }

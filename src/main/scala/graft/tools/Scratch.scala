@@ -6,28 +6,32 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc probe main (contents vary across sessions). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    // dump the LSH oracle SQL + run the Spark side for comparison
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/lsh_neardup.sql"),
-      graft.queries.TrainingQueries.oracleSql("x_embed_lsh_neardup")
-        .getBytes("UTF-8"))
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("/tmp/lsh_clusters.sql"),
-      graft.queries.TrainingQueries.oracleSql("x_embed_lsh_clusters")
-        .getBytes("UTF-8"))
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("0.01")) {
-      val d = s"/root/testdata/sf$sf"
-      graft.queries.TrainingQueries.queries("x_embed_lsh_neardup")(spark, d)
-        .write.mode("overwrite").parquet("/tmp/lsh_neardup_spark")
-      graft.queries.TrainingQueries.queries("x_embed_lsh_clusters")(spark, d)
-        .write.mode("overwrite").parquet("/tmp/lsh_clusters_spark")
+    val d = "/root/testdata/sf0.1"
+    val qs = graft.SparkEntry.queries
+    val bc = qs("r_asof_broadcast")
+    val win = qs("r_asof_broadcast_win")
+    bc(spark, d).count(); win(spark, d).count()
+    println("=== r_asof_broadcast plan ===")
+    println(bc(spark, d).queryExecution.executedPlan.toString
+      .linesIterator.take(18).mkString("\n"))
+    val times = (1 to 5).flatMap { _ =>
+      val t0 = System.nanoTime(); bc(spark, d).count()
+      val tb = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime(); win(spark, d).count()
+      val tw = (System.nanoTime() - t1) / 1e9
+      Seq(("bc", tb), ("win", tw))
     }
+    val b = times.filter(_._1 == "bc").map(_._2)
+    val w = times.filter(_._1 == "win").map(_._2)
+    println(f"bc  min=${b.min}%.3f  ${b.map(x => f"$x%.2f").mkString(" ")}")
+    println(f"win min=${w.min}%.3f  ${w.map(x => f"$x%.2f").mkString(" ")}")
     spark.stop()
   }
 }

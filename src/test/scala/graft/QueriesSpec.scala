@@ -22,7 +22,8 @@ class QueriesSpec extends SparkSuite {
     * oracle is the empty set, any row = violation).
     */
   private val expectEmpty =
-    Set("x_approx_distinct_err", "r_approx_pct_err", "x_ann_recall_err")
+    Set("x_approx_distinct_err", "r_approx_pct_err", "x_ann_recall_err",
+      "x_embed_recall_err")
 
   SparkEntry.queries.foreach { case (name, fn) =>
     if (expectEmpty(name))
