@@ -4,11 +4,12 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode, GenerateOrdering, GenerateUnsafeProjection, JavaCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.optimizer.NormalizeNaNAndZero
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, ClusteredDistribution, Distribution, IdentityBroadcastMode, Partitioning, UnspecifiedDistribution}
-import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.{BinaryExecNode, CodegenSupport, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
 
 /** Native ASOF JOIN — the one reference-adjacent operator Spark's
@@ -204,10 +205,14 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
                                  leftKey: Expression, rightKey: Expression,
                                  leftTime: Expression, rightTime: Expression)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     UnspecifiedDistribution ::
@@ -271,6 +276,82 @@ case class BroadcastAsOfJoinExec(left: SparkPlan, right: SparkPlan,
     }
   }
 
+  // ---------- whole-stage codegen (probe side is a pure map) ----------
+  // The probe fuses into the streamed side's WholeStageCodegen span:
+  // the generated loop evaluates (key, time) from the child's column
+  // variables, hash-probes the executor-local index, binary-searches
+  // the per-key time run, and emits left ++ (matched | nulls) — no
+  // per-row iterator or projection objects between the scan and the
+  // join. doExecute() above remains the interpreted fallback (codegen
+  // compile failures, spark.sql.codegen.wholeStage=false).
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    left.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def needCopyResult: Boolean = false
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+                         row: ExprCode): String = {
+    val holder = new BroadcastAsOfJoinExec.AsOfIndexHolder(
+      right.executeBroadcast[Array[InternalRow]](), rightKey, rightTime,
+      right.output, leftKey.dataType, leftTime.dataType)
+    val holderRef = ctx.addReferenceObj("asofIndexHolder", holder,
+      classOf[BroadcastAsOfJoinExec.AsOfIndexHolder].getName)
+    val idxTerm = ctx.addMutableState("java.util.HashMap", "asofIndex",
+      v => s"$v = $holderRef.get();")
+    val probeHolder = new BroadcastAsOfJoinExec.AsOfProbeSupport(
+      leftTime.dataType)
+    val probeRef = ctx.addReferenceObj("asofProbe", probeHolder,
+      classOf[BroadcastAsOfJoinExec.AsOfProbeSupport].getName)
+    // evaluate (key, time) from the child's current column variables
+    ctx.currentVars = input
+    ctx.INPUT_ROW = null
+    val boundKey = BindReferences.bindReference(leftKey, left.output)
+    val boundTime = BindReferences.bindReference(leftTime, left.output)
+    val ktEv = GenerateUnsafeProjection.createCode(ctx,
+      Seq(boundKey, boundTime))
+    val keyEv = GenerateUnsafeProjection.createCode(ctx, Seq(boundKey))
+    val matched = ctx.freshName("asofMatched")
+    val entry = ctx.freshName("asofEntry")
+    val ktRow = ctx.freshName("asofKt")
+    // right-side column variables: read from the matched row, nulls on
+    // no match (the genBuildSideVars pattern of BroadcastHashJoin)
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofVal")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val cd =
+        code"""
+           |boolean $isNull = true;
+           |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+           |if ($matched != null && !$matched.isNullAt($i)) {
+           |  $isNull = false;
+           |  $value = ${CodeGenerator.getValue(matched, a.dataType, i.toString)};
+           |}
+         """.stripMargin
+      ExprCode(cd, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    s"""
+       |${ktEv.code}
+       |${keyEv.code}
+       |UnsafeRow $ktRow = ${ktEv.value};
+       |InternalRow $matched = null;
+       |if (!$ktRow.isNullAt(0) && !$ktRow.isNullAt(1)) {
+       |  Object $entry = $idxTerm.get(${keyEv.value});
+       |  if ($entry != null) {
+       |    $matched = $probeRef.probe($entry, $ktRow);
+       |  }
+       |}
+       |$numOutput.add(1);
+       |${consume(ctx, input ++ rightVars)}
+     """.stripMargin
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
@@ -282,6 +363,40 @@ object BroadcastAsOfJoinExec {
     */
   final class AsOfEntry(val kts: Array[UnsafeRow],
                         val rows: Array[InternalRow])
+
+  /** Serializable handle the generated code initializes its mutable
+    * index state from — resolves to the executor-memoized index.
+    */
+  final class AsOfIndexHolder(bc: Broadcast[Array[InternalRow]],
+      rKey: Expression, rTime: Expression, rOut: Seq[Attribute],
+      keyType: DataType, timeType: DataType) extends Serializable {
+    def get(): java.util.HashMap[UnsafeRow, AsOfEntry] =
+      indexFor(bc, rKey, rTime, rOut, keyType, timeType)
+  }
+
+  /** Serializable probe: the time ordering is (re)generated lazily on
+    * each executor (generated BaseOrdering classes don't serialize).
+    */
+  final class AsOfProbeSupport(timeType: DataType) extends Serializable {
+    @transient private lazy val timeOrd = AsOfRuntime.timeOrdering(timeType)
+
+    /** Last right row with time ≤ the probe's, else null. `e` is typed
+      * Object so generated Java never names the Scala nested class.
+      */
+    def probe(e: Object, kt: UnsafeRow): InternalRow = {
+      val entry = e.asInstanceOf[AsOfEntry]
+      val kts = entry.kts
+      var lo = 0
+      var hi = kts.length - 1
+      var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (timeOrd.compare(kts(mid), kt) <= 0) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      if (ans >= 0) entry.rows(ans) else null
+    }
+  }
 
   // Executor-local memo of built indexes, keyed by broadcast id.
   // SoftReferences let the JVM reclaim an index under memory pressure

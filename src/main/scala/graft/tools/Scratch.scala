@@ -17,10 +17,17 @@ object Scratch {
     val qs = graft.SparkEntry.queries
     val bc = qs("r_asof_broadcast")
     val win = qs("r_asof_broadcast_win")
-    bc(spark, d).count(); win(spark, d).count()
-    println("=== r_asof_broadcast plan ===")
-    println(bc(spark, d).queryExecution.executedPlan.toString
-      .linesIterator.take(18).mkString("\n"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val bcDf = bc(spark, d)
+    bcDf.collect()
+    val plan = bcDf.queryExecution.executedPlan.toString
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    println("plan head:\n" + plan.linesIterator.take(8).mkString("\n"))
+    println("WSCG over BroadcastAsOfJoin: " +
+      plan.contains("*") + " / " +
+      plan.linesIterator.exists(l => l.contains("BroadcastAsOfJoin")
+        && l.contains("*")))
+    win(spark, d).count()
     val times = (1 to 5).flatMap { _ =>
       val t0 = System.nanoTime(); bc(spark, d).count()
       val tb = (System.nanoTime() - t0) / 1e9
@@ -32,6 +39,13 @@ object Scratch {
     val w = times.filter(_._1 == "win").map(_._2)
     println(f"bc  min=${b.min}%.3f  ${b.map(x => f"$x%.2f").mkString(" ")}")
     println(f"win min=${w.min}%.3f  ${w.map(x => f"$x%.2f").mkString(" ")}")
+    val nat = qs("r_asof_native")
+    nat(spark, d).count()
+    val n = (1 to 3).map { _ =>
+      val t0 = System.nanoTime(); nat(spark, d).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"native min=${n.min}%.3f  ${n.map(x => f"$x%.2f").mkString(" ")}")
     spark.stop()
   }
 }

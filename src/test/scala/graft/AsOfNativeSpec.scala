@@ -153,6 +153,16 @@ class AsOfNativeSpec extends SparkSuite {
     assert(bcPlan.contains("BroadcastExchange"), bcPlan)
     // no shuffle of the probe side
     assert(!bcPlan.contains("Exchange hashpartitioning"), bcPlan)
+    // probe side fuses into whole-stage codegen (AQE prints the final
+    // plan lazily, so assert on the non-adaptive plan string)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+        .queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastAsOfJoin") && l.trim.startsWith("+- *(")
+          || l.contains("BroadcastAsOfJoin") && l.contains("*(")), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     val bcRows = bc.select(col("event_id"), col("payload"))
       .as[(Long, Option[String])].collect().toMap
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
