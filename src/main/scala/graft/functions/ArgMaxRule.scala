@@ -40,8 +40,26 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
   *
   * The filter's `rn` output column is preserved as a literal 1 under the
   * original exprId, so parent operators that reference it still resolve.
+  *
+  * KNOWN COST ASYMMETRY: the win assumes groups ≪ rows (map-side
+  * partial collapse). When the partition keys are ~unique — a dedup
+  * over an already-near-unique key, e.g. r_asof_native's orders
+  * (custkey, orderdate) at 149.6k groups / 150k rows — the rewrite
+  * trades one group-limit window for two struct-buffer SortAggregates
+  * and measured 2.5× SLOWER at sf0.1. Catalyst has no ndv estimate
+  * here without CBO stats, so the rule cannot self-gate; workloads in
+  * that regime disable it with
+  * `spark.graft.argmaxRewrite.enabled = false` (session conf, read per
+  * query) or express the dedup with `rank()`, which the pattern
+  * deliberately leaves alone.
   */
 object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
+
+  val EnabledKey = "spark.graft.argmaxRewrite.enabled"
+
+  private def enabled: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(EnabledKey, "true").toBoolean
 
   /** The rank-1 selection as an aggregate ordering, when expressible:
     *  - all keys ASC NULLS FIRST → min_by over struct(keys) — any
@@ -115,7 +133,8 @@ object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
       case other => Seq(other)
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan else plan.transform {
     case Filter(cond, Window(
           Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
           part, order, child, _))

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Probe a serialized Count-Min sketch (the binary produced by Spark's
+  * `count_min_sketch` aggregate) for the estimated count of `child` —
+  * the missing read half of the built-in: Spark ships the mergeable
+  * sketch aggregate but no SQL-level `estimateCount`.
+  *
+  * Hashing mirrors CountMinSketchAgg's update exactly (strings are
+  * added as their UTF-8 bytes, integral types as longs), so the
+  * structural CMS guarantee holds end to end: estimate ≥ true count
+  * ALWAYS (deterministic — the basis of the x_cms_err gate), and
+  * estimate ≤ true + eps·N with probability ≥ confidence.
+  *
+  * The sketch is a constructor argument (typically a few KB, captured
+  * from a driver-side aggregate), deserialized once per task.
+  */
+case class CmsProbeExpr(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val sketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(sketchBytes)
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+          BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"cms_estimate: unsupported type $t")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => sketch.estimateCount(s.getBytes)
+    case b: Array[Byte] => sketch.estimateCount(b)
+    case l: Long => sketch.estimateCount(l)
+    case i: Int => sketch.estimateCount(i.toLong)
+    case s: Short => sketch.estimateCount(s.toLong)
+    case b: Byte => sketch.estimateCount(b.toLong)
+    case other => sketch.estimateCount(other)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsProbeExpr =
+    copy(child = newChild)
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Frequency, Multimodal, Similarity, TextAnalysis}
 import ParityQueries.t
 
 /** Training-data-pipeline extensions (dedup, similarity, text analysis,
@@ -242,6 +242,34 @@ object ExtensionQueries {
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("luma_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Count-Min heavy hitters (Frequency.heavyHitters): one mergeable-
+    // sketch pass + probe-pruned candidates (CMS one-sided error = no
+    // false negatives) + exact verify on survivors. Deterministic, so
+    // it hash-matches the plain GROUP BY ... HAVING oracle — the
+    // sketch path provably loses nothing.
+    "x_heavy_hitters" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      val thresh = toks.count() / 100
+      Frequency.heavyHitters(toks, col("tok"), thresh)
+        .orderBy(col("tok"))
+    }),
+
+    // CMS guarantee gate: estimate < exact is STRUCTURALLY impossible
+    // (every counter an item hashes to was incremented at least once
+    // per occurrence) — a violation means the probe's hashing diverged
+    // from the aggregate's. Expected EMPTY, empty-set oracle.
+    "x_cms_err" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+      val sk = Frequency.sketchBytes(toks, col("tok"))
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
+        .where(Frequency.estimate(col("tok"), sk) < col("n_occ"))
+        .select(col("tok"))
     }),
 
     // Approximate distinct (HLL) next to the exact count — rows-only
@@ -512,6 +540,17 @@ object ExtensionQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "x_ann_recall_err" ->
       """SELECT vec_id AS qa FROM embeddings WHERE 1 = 0""",
+    "x_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        |), ft AS (
+        |  SELECT tok FROM toks WHERE tok <> ''
+        |), tot AS (SELECT count(*) AS n FROM ft)
+        |SELECT tok, count(*) AS n_occ FROM ft, tot
+        |GROUP BY tok, tot.n HAVING count(*) >= tot.n // 100
+        |ORDER BY tok""".stripMargin,
+    "x_cms_err" ->
+      """SELECT '' AS tok WHERE 1 = 0""",
     "x_image_meta" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 9 AS INT) AS width,

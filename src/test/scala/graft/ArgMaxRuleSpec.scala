@@ -13,11 +13,16 @@ class ArgMaxRuleSpec extends SparkSuite {
     spark // init shared context first
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
-    SparkSession.builder().master("local[2]")
+    val s = SparkSession.builder().master("local[2]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
+    // don't leak the extension session as the process default — other
+    // suites' getOrCreate would silently inherit the optimizer rules
+    SparkSession.setDefaultSession(spark)
+    SparkSession.setActiveSession(spark)
+    s
   }
 
   private def data(s: SparkSession): DataFrame = {
@@ -46,6 +51,20 @@ class ArgMaxRuleSpec extends SparkSuite {
     val expect = argmax(data(spark), desc = true)
       .collect().map(_.toString).toSet
     assert(rewritten.collect().map(_.toString).toSet == expect)
+  }
+
+  test("spark.graft.argmaxRewrite.enabled=false keeps the window plan") {
+    s2.conf.set(graft.functions.ArgMaxWindowToMaxBy.EnabledKey, "false")
+    try {
+      val df = argmax(data(s2), desc = true)
+      val opt = df.queryExecution.optimizedPlan.toString()
+      assert(opt.contains("row_number"), opt)
+      assert(!opt.contains("max_by"), opt)
+      val expect = argmax(data(spark), desc = true)
+        .collect().map(_.toString).toSet
+      assert(df.collect().map(_.toString).toSet == expect)
+    } finally
+      s2.conf.unset(graft.functions.ArgMaxWindowToMaxBy.EnabledKey)
   }
 
   test("asc arg-min rewrites to min_by and matches") {

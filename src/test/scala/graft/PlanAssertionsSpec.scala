@@ -45,6 +45,42 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("runtime bloom-filter join pruning engages on a selective " +
+      "shuffle join (100 TB fact-scan reduction path)") {
+    // At 100 TB a selective dim filter should prune the fact scan
+    // BEFORE the join via Spark's runtime bloom filter (injected on the
+    // application side when the creation side is filtered + shuffled).
+    // Default thresholds target >10 GB scans; lower them to observe the
+    // mechanism on test data with broadcast off (BHJ path uses its own
+    // pruning).
+    import org.apache.spark.sql.functions.col
+    import graft.queries.ParityQueries.t
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" ->
+        "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter" +
+        ".applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) =>
+      k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val li = t(spark, sf0001, "lineitem")
+      val ords = t(spark, sf0001, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ords,
+        li("l_orderkey") === ords("o_orderkey"))
+      val opt = joined.queryExecution.optimizedPlan.toString()
+      assert(opt.contains("might_contain") &&
+        opt.contains("bloom_filter_agg"), opt.take(1200))
+      assert(joined.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("native MinHash/SimHash signatures are exchange-free narrow maps") {
     import org.apache.spark.sql.functions.col
     import graft.queries.ParityQueries.t
