@@ -381,6 +381,26 @@ object RelationalQueries2 {
         .orderBy(col("user_id"), col("p_id"))
     }),
 
+    // KEYLESS interval join through RangeJoin.intervalJoinTs: clicks
+    // against 24 h windows opened by sampled purchases, NO equality
+    // key. Spark's native plan for this predicate is a nested loop /
+    // cartesian; binning turns it into a shuffled HASH join on the bin
+    // id (plan-asserted in PlanAssertionsSpec) with exact post-filter —
+    // each qualifying pair meets in exactly one bin, so no dedup pass.
+    "r_interval_join" -> ((s, d) => {
+      val e = t(s, d, "events")
+      val iv = e.where(col("event_type") === "purchase" &&
+          col("event_id") % 41 === 0)
+        .select(col("event_id").as("iv_id"), col("ts").as("lo"),
+          (col("ts") + expr("INTERVAL 24 HOURS")).as("hi"))
+      val pts = e.where(col("event_type") === "click")
+        .select(col("event_id").as("point_id"), col("ts"))
+      graft.operators.RangeJoin.intervalJoinTs(pts, col("ts"), iv,
+          col("lo"), col("hi"), binWidthMicros = 24L * 3600 * 1000000)
+        .groupBy(col("iv_id")).agg(count(lit(1)).as("n_points"))
+        .orderBy(col("iv_id"))
+    }),
+
     // Explicit CROSS JOIN (bounded cartesian — dims only).
     "r_cross_join" -> ((s, d) =>
       t(s, d, "region").select(col("r_name"))
@@ -879,6 +899,15 @@ object RelationalQueries2 {
     "r_cross_join" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
+    "r_interval_join" ->
+      """SELECT i.iv_id, count(*) AS n_points
+        |FROM (SELECT event_id AS iv_id, ts AS lo,
+        |        ts + INTERVAL 24 HOURS AS hi
+        |      FROM events
+        |      WHERE event_type = 'purchase' AND event_id % 41 = 0) i
+        |JOIN (SELECT ts FROM events WHERE event_type = 'click') p
+        |  ON p.ts >= i.lo AND p.ts <= i.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "r_self_join" ->
       """SELECT a.n_regionkey AS rk, a.n_name AS na, b.n_name AS nb
         |FROM nation a JOIN nation b

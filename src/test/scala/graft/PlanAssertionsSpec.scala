@@ -45,6 +45,14 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(plan("q_anti_join").contains("LeftAnti"))
   }
 
+  test("r_interval_join plans a HASH join on the bin id, not a nested " +
+      "loop (keyless range join scale path)") {
+    val p = plan("r_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(1200))
+    assert(p.contains("Join") || p.contains("join"), p.take(400))
+  }
+
   test("runtime bloom-filter join pruning engages on a selective " +
       "shuffle join (100 TB fact-scan reduction path)") {
     // At 100 TB a selective dim filter should prune the fact scan
