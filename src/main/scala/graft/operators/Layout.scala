@@ -47,6 +47,51 @@ object Layout {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Z-order clustered rewrite: like [[compact]] with `clusterBy`, but
+    * clustering on the Morton interleave of SEVERAL columns at once —
+    * each output file covers a small hyper-rectangle of the
+    * (col₁, …, colₖ) space, so parquet min/max row-group stats prune
+    * scans filtered on ANY of the columns (a linear sort only tightens
+    * its leading column; the others span the full range per file).
+    * The poor man's Delta `OPTIMIZE ZORDER BY`, as plain operators.
+    *
+    * Columns are min/max-normalized to [0, 2^bits) with one small
+    * driver-side aggregate (O(k) values), then interleaved by the
+    * native ZOrderExpr; the write is range-partitioned and sorted by
+    * the z-value.
+    */
+  def compactZOrder(spark: SparkSession, sourceDir: String,
+                    destDir: String, filesOut: Int, cols: Seq[String],
+                    bits: Int = 16): Long = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      "compactZOrder: need k*bits <= 63")
+    val in = spark.read.parquet(sourceDir)
+    // one tiny aggregate: (min, max) per column, positions 2i / 2i+1
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val stats = in.agg(aggs.head, aggs.tail: _*).head
+    val top = (1L << bits) - 1
+    val zInputs = cols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      val range = math.max(mx - mn, 1e-12)
+      least(lit(top), greatest(lit(0L),
+        floor((col(c).cast("double") - mn) / range * top).cast("long")))
+    }
+    val z = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.ZOrderExpr(
+        zInputs.map(org.apache.spark.sql.GraftSqlBridge.toExpression),
+        bits))
+    val obs = org.apache.spark.sql.Observation()
+    in.withColumn("__z", z)
+      .repartitionByRange(filesOut, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(destDir)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   /** Data-file count of a parquet directory (what a scan pays for). */
   def dataFileCount(dir: String): Int =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten

@@ -28,6 +28,41 @@ class LayoutSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("z-order rewrite tightens per-file ranges on BOTH dimensions; " +
+      "linear sort only on its own") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    // 2-d uniform grid, row order scrambled
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle(
+      (for (x <- 0L until 128L; y <- 0L until 128L) yield (x, y)).toVector)
+    rows.toDF("x", "y").write.parquet(s"$base/raw")
+    val n = Layout.compactZOrder(spark, s"$base/raw", s"$base/z",
+      filesOut = 16, cols = Seq("x", "y"), bits = 8)
+    assert(n == 128L * 128L)
+    Layout.compact(spark, s"$base/raw", s"$base/linear",
+      filesOut = 16, clusterBy = Seq("x"))
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+        .map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min(col(c)), max(col(c))).head
+          (r.getLong(1) - r.getLong(0)).toDouble
+        }
+      spans.sum / spans.size
+    }
+    // both dims clustered under z-order: per-file spans well under the
+    // global 127; the linear sort leaves y spanning ~everything
+    assert(avgSpan(s"$base/z", "x") < 64, s"zx=${avgSpan(s"$base/z", "x")}")
+    assert(avgSpan(s"$base/z", "y") < 64, s"zy=${avgSpan(s"$base/z", "y")}")
+    assert(avgSpan(s"$base/linear", "y") > 100,
+      s"lin-y=${avgSpan(s"$base/linear", "y")}")
+    // content preserved
+    assert(spark.read.parquet(s"$base/z").as[(Long, Long)]
+      .collect().toSet == rows.toSet)
+  }
+
   test("clustered rewrite enables row-group skipping on range scans") {
     import spark.implicits._
     val base = s"/tmp/graft-layout-${System.nanoTime()}"
