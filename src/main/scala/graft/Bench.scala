@@ -79,7 +79,8 @@ object Bench {
       "x_shuffle_order", "x_top_terms", "x_pipeline_e2e",
       "x_embed_clusters", "x_split_assign", "x_dedup_incremental",
       "r_asof_native", "r_session_window",
-      "x_embed_lsh_clusters", "x_cc_chain", "x_image_meta")
+      "x_embed_lsh_clusters", "x_cc_chain", "x_image_meta",
+      "x_heavy_hitters", "r_interval_join")
     val byName = results.toMap
     def line(names: Seq[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
