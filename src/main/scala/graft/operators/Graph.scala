@@ -64,22 +64,24 @@ object Graph {
       // comp ← oldComp(comp). Labels only decrease, so this stays
       // monotone and halves the remaining diameter each round:
       // O(log d) rounds on chains instead of O(d).
+      // labels only ever decrease, so the fixpoint is reached exactly
+      // when the label sum stops falling. The sum OBSERVES the
+      // checkpoint-materialization job itself (no second pass per
+      // round), as decimal(38,0): a Long sum over ~2^40 vertices with
+      // 2^63-range ids overflows (wraps silently non-ANSI, throws
+      // under ANSI), which would break the monotone
+      // "equal sums ⇒ converged" argument.
+      val obs = org.apache.spark.sql.Observation()
       val next = prop
         .join(labels.select(col("id").as("__cid"),
           col("comp").as("__cc")), prop("comp") === col("__cid"), "left")
         .select(prop("id").as("id"),
           coalesce(col("__cc"), prop("comp")).as("comp"))
+        .observe(obs,
+          coalesce(sum(col("comp").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("s"))
         .localCheckpoint()
-      // labels only ever decrease, so the fixpoint is reached exactly
-      // when the label sum stops falling — one scalar aggregate per
-      // round instead of a join-and-compare. Summed as decimal(38,0):
-      // a Long sum over ~2^40 vertices with 2^63-range ids overflows
-      // (wraps silently non-ANSI, throws under ANSI), which would break
-      // the monotone "equal sums ⇒ converged" argument.
-      val sumNow = next
-        .agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO)))
-        .head.getDecimal(0)
+      val sumNow = obs.get("s").asInstanceOf[java.math.BigDecimal]
       converged = prevSum != null && prevSum.compareTo(sumNow) == 0
       prevSum = sumNow
       // free the superseded round's cached blocks — an iterative job

@@ -15,37 +15,15 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
     val qs = graft.SparkEntry.queries
-    val bc = qs("r_asof_broadcast")
-    val win = qs("r_asof_broadcast_win")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val bcDf = bc(spark, d)
-    bcDf.collect()
-    val plan = bcDf.queryExecution.executedPlan.toString
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    println("plan head:\n" + plan.linesIterator.take(8).mkString("\n"))
-    println("WSCG over BroadcastAsOfJoin: " +
-      plan.contains("*") + " / " +
-      plan.linesIterator.exists(l => l.contains("BroadcastAsOfJoin")
-        && l.contains("*")))
-    win(spark, d).count()
-    val times = (1 to 5).flatMap { _ =>
-      val t0 = System.nanoTime(); bc(spark, d).count()
-      val tb = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime(); win(spark, d).count()
-      val tw = (System.nanoTime() - t1) / 1e9
-      Seq(("bc", tb), ("win", tw))
+    for (q <- Seq("x_cc_chain", "x_dedup_clusters", "x_embed_clusters")) {
+      qs(q)(spark, d).count()
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); qs(q)(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$q%-22s min=${times.min}%.2f  " +
+        times.map(x => f"$x%.2f").mkString(" "))
     }
-    val b = times.filter(_._1 == "bc").map(_._2)
-    val w = times.filter(_._1 == "win").map(_._2)
-    println(f"bc  min=${b.min}%.3f  ${b.map(x => f"$x%.2f").mkString(" ")}")
-    println(f"win min=${w.min}%.3f  ${w.map(x => f"$x%.2f").mkString(" ")}")
-    val nat = qs("r_asof_native")
-    nat(spark, d).count()
-    val n = (1 to 3).map { _ =>
-      val t0 = System.nanoTime(); nat(spark, d).count()
-      (System.nanoTime() - t0) / 1e9
-    }
-    println(f"native min=${n.min}%.3f  ${n.map(x => f"$x%.2f").mkString(" ")}")
     spark.stop()
   }
 }
