@@ -16,6 +16,55 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // TPC-H Q3 shape (shipping priority): selective dim filter →
+    // 3-way join → grouped measure → top-N. Quantity-keyed measure
+    // (integer-valued doubles cast long) so the hash check is exact;
+    // customer broadcasts, orders⋈lineitem shuffles on the join key.
+    "r_tpch_q3" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val l = t(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("qty").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local volume): the full snowflake —
+    // region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem ⋈ supplier with
+    // the customer-and-supplier-same-nation condition. Dims broadcast;
+    // only the two fact joins shuffle.
+    "r_tpch_q5" -> ((s, d) => {
+      val n = t(s, d, "nation")
+        .join(broadcast(t(s, d, "region")
+          .where(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey") &&
+          c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("qty").desc, col("n_name"))
+    }),
+
     // CUBE: all grouping combinations in one pass.
     "r_cube" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -250,6 +299,30 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "r_tpch_q3" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l.l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2 ORDER BY qty DESC, o.o_orderkey LIMIT 10""".stripMargin,
+    "r_tpch_q5" ->
+      """SELECT n.n_name,
+        |  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY qty DESC, n.n_name""".stripMargin,
     "r_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  sum(l_quantity) AS sum_qty
