@@ -398,20 +398,35 @@ object BroadcastAsOfJoinExec {
     }
   }
 
-  // Executor-local memo of built indexes, keyed by broadcast id.
+  // Executor-local memo of built indexes, keyed by broadcast id PLUS
+  // the bound-canonicalized (key, time) extraction expressions: one
+  // IdentityBroadcastMode exchange canonicalizes identically no matter
+  // which as-of node consumes it, so ReuseExchange can hand the SAME
+  // broadcast (same bc.id) to two BroadcastAsOfJoinExec nodes that
+  // extract DIFFERENT right columns — keyed on bc.id alone, the second
+  // node would probe the first node's index and silently return wrong
+  // matches. Binding to ordinals first makes the key structural: equal
+  // ordinals ⇒ genuinely the same index (still shared), different
+  // ordinals ⇒ distinct entries.
   // SoftReferences let the JVM reclaim an index under memory pressure
   // (it is rebuilt from the still-held broadcast rows on next use);
   // compute() serializes concurrent first builds per key.
+  private final case class IndexKey(bcId: Long, key: Expression,
+                                    time: Expression)
+
   private val cache = new java.util.concurrent.ConcurrentHashMap[
-    Long, java.lang.ref.SoftReference[java.util.HashMap[UnsafeRow, AsOfEntry]]]()
+    IndexKey, java.lang.ref.SoftReference[java.util.HashMap[UnsafeRow, AsOfEntry]]]()
 
   private[plans] def indexFor(bc: Broadcast[Array[InternalRow]],
       rKey: Expression, rTime: Expression, rOut: Seq[Attribute],
       keyType: DataType, timeType: DataType)
       : java.util.HashMap[UnsafeRow, AsOfEntry] = {
+    val memoKey = IndexKey(bc.id,
+      BindReferences.bindReference(rKey, rOut).canonicalized,
+      BindReferences.bindReference(rTime, rOut).canonicalized)
     var out: java.util.HashMap[UnsafeRow, AsOfEntry] = null
     while (out == null) {
-      val ref = cache.compute(bc.id, (_, old) =>
+      val ref = cache.compute(memoKey, (_, old) =>
         if (old != null && old.get != null) old
         else new java.lang.ref.SoftReference(
           build(bc.value, rKey, rTime, rOut, keyType, timeType)))

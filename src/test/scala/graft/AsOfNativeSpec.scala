@@ -140,6 +140,51 @@ class AsOfNativeSpec extends SparkSuite {
     finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("reused broadcast exchange with different asof keys: no index aliasing") {
+    // ReuseExchange shares one IdentityBroadcastMode exchange between
+    // as-of nodes whose right subtrees canonicalize equal, even when
+    // the nodes extract DIFFERENT (key, time) columns. The executor
+    // index memo must therefore key on the bound extraction exprs too —
+    // on bc.id alone the second node probes the first node's index and
+    // returns silently wrong matches.
+    import spark.implicits._
+    // one right table carrying TWO independent (key, time, payload)
+    // regimes in different columns; values chosen so aliasing the
+    // indexes produces observable wrong payloads
+    val right = Seq(
+      (10L, ts("2024-01-03 00:00:00"), 77L, ts("2024-01-06 00:00:00"), "k10-early", "x77-early"),
+      (10L, ts("2024-01-08 00:00:00"), 77L, ts("2024-01-09 00:00:00"), "k10-late", "x77-late"),
+      (20L, ts("2024-01-02 00:00:00"), 88L, ts("2024-01-01 00:00:00"), "k20", "x88"))
+      .toDF("rk1", "rt1", "rk2", "rt2", "pay1", "pay2")
+    val left = Seq(
+      (1L, 10L, 77L, ts("2024-01-05 00:00:00")),
+      (2L, 20L, 88L, ts("2024-01-07 00:00:00")),
+      (3L, 10L, 77L, ts("2024-01-10 00:00:00")))
+      .toDF("event_id", "k1", "k2", "t")
+    val a = TimeSeries.asofJoinNative(left, right, "k1", "rk1", "t", "rt1")
+      .select(col("event_id"), col("pay1").as("pay"), lit("a").as("side"))
+    val b = TimeSeries.asofJoinNative(left, right, "k2", "rk2", "t", "rt2")
+      .select(col("event_id"), col("pay2").as("pay"), lit("b").as("side"))
+    val u = a.union(b)
+    // both nodes plan broadcast variants; the exchange is reused so the
+    // hazard regime (same bc.id, different keys) is actually exercised
+    val plan = u.queryExecution.executedPlan.toString
+    assert("BroadcastAsOfJoin".r.findAllIn(plan).size == 2, plan)
+    // collect through u itself so u.queryExecution is the executed
+    // (AQE-finalized) plan we assert reuse on
+    val rows = u.collect()
+      .map(r => (r.getString(2), r.getLong(0)) -> Option(r.getString(1)))
+      .toMap
+    val finalPlan = u.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange")
+      || "BroadcastExchange".r.findAllIn(finalPlan).size == 1, finalPlan)
+    assert(rows == Map(
+      ("a", 1L) -> Some("k10-early"), ("a", 2L) -> Some("k20"),
+      ("a", 3L) -> Some("k10-late"),
+      ("b", 1L) -> None,              // x77 history starts 01-06
+      ("b", 2L) -> Some("x88"), ("b", 3L) -> Some("x77-late")))
+  }
+
   test("small right side plans the broadcast variant, same results") {
     import spark.implicits._
     val left = (0L until 100L).map(i => (i, i % 7,
