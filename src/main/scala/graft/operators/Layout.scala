@@ -92,6 +92,53 @@ object Layout {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Write `df` as a bucketed (and per-bucket sorted) external parquet
+    * table — the storage layout that makes REPEATED fact⋈fact joins on
+    * the same key shuffle-free: both sides pre-hashed into `buckets`
+    * files at write time, so every later join or aggregation keyed on
+    * `bucketCols` reads co-located data and Catalyst plans NO Exchange
+    * (and, with `sortCols` = the join key, no Sort either). At 100 TB
+    * this converts the dominant per-run cost of a recurring pipeline —
+    * re-shuffling the whole fact table — into a one-time write cost.
+    *
+    * The input is first repartitioned by the bucket expressions with
+    * modulus = bucket count — exactly the bucket hash — so each bucket
+    * lands in ONE file; single-file buckets are what lets the scan
+    * surface its `sortBy` order and the downstream sort-merge join skip
+    * its sorts (reading that order back additionally requires
+    * `spark.sql.legacy.bucketedTableScan.outputOrdering=true`, off by
+    * default since Spark 3.0 because multi-file buckets would make it
+    * wrong — this writer's one-file-per-bucket layout is exactly the
+    * case it is safe for; exchange elimination needs no flag).
+    *
+    * The table is EXTERNAL (data at `path`); bucket metadata lives only
+    * in the catalog, so reads must go through [[readBucketed]] /
+    * `spark.table` — a raw `spark.read.parquet(path)` of the same files
+    * silently loses the layout (and with it the exchange elimination).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, bucketCols: Seq[String],
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "writeBucketed: need >= 1 bucket column")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val aligned = df.repartition(buckets, bucketCols.map(col): _*)
+    val base = aligned.write.mode(SaveMode.Overwrite).format("parquet")
+      .option("path", path)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val w =
+      if (sortCols.nonEmpty) base.sortBy(sortCols.head, sortCols.tail: _*)
+      else base
+    w.saveAsTable(table)
+  }
+
+  /** Catalog read of a bucketed table. Bucket layout flows only through
+    * catalog metadata — this is the read path that pairs with
+    * [[writeBucketed]].
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   /** Data-file count of a parquet directory (what a scan pays for). */
   def dataFileCount(dir: String): Int =
     Option(new java.io.File(dir).listFiles()).toSeq.flatten

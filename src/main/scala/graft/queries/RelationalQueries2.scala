@@ -401,6 +401,39 @@ object RelationalQueries2 {
         .orderBy(col("iv_id"))
     }),
 
+    // Bucketed-layout co-located fact⋈fact join: both sides written
+    // ONCE as bucketed + per-bucket-sorted external tables on the join
+    // key (Layout.writeBucketed), then joined AND aggregated on that
+    // key — the standard cure for a recurring pipeline re-shuffling
+    // 100 TB of fact data every run. The bucket layout satisfies both
+    // the join and the aggregation distribution, so the only Exchange
+    // left in the plan is the presentation sort (machine-asserted in
+    // PlanAssertionsSpec; ScaleLayoutSpec shows the unbucketed twin
+    // shuffling both sides). The result is layout-independent — it
+    // hash-matches the plain-join oracle.
+    "r_bucketed_join" -> ((s, d) => {
+      val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+      val liT = s"graft_bkt_lineitem_$tag"
+      val ordT = s"graft_bkt_orders_$tag"
+      if (!s.catalog.tableExists(liT))
+        graft.operators.Layout.writeBucketed(
+          t(s, d, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          liT, s"/tmp/graft_bucketed/$tag/lineitem", buckets = 8,
+          bucketCols = Seq("l_orderkey"), sortCols = Seq("l_orderkey"))
+      if (!s.catalog.tableExists(ordT))
+        graft.operators.Layout.writeBucketed(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          ordT, s"/tmp/graft_bucketed/$tag/orders", buckets = 8,
+          bucketCols = Seq("o_orderkey"), sortCols = Seq("o_orderkey"))
+      graft.operators.Layout.readBucketed(s, liT)
+        .join(graft.operators.Layout.readBucketed(s, ordT),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("bigint").as("qty"))
+        .orderBy(col("l_orderkey"))
+    }),
+
     // Explicit CROSS JOIN (bounded cartesian — dims only).
     "r_cross_join" -> ((s, d) =>
       t(s, d, "region").select(col("r_name"))
@@ -908,6 +941,12 @@ object RelationalQueries2 {
         |JOIN (SELECT ts FROM events WHERE event_type = 'click') p
         |  ON p.ts >= i.lo AND p.ts <= i.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r_bucketed_join" ->
+      """SELECT l_orderkey, o_orderdate, count(*) AS n_items,
+        |       CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY l_orderkey""".stripMargin,
     "r_self_join" ->
       """SELECT a.n_regionkey AS rk, a.n_name AS na, b.n_name AS nb
         |FROM nation a JOIN nation b

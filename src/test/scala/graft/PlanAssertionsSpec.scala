@@ -89,6 +89,39 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("r_bucketed_join: bucket layout eliminates the join and agg " +
+      "shuffles — only the presentation sort exchanges") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // writeBucketed guarantees one file per bucket, which licenses the
+    // scan reporting its sortBy order — that's what eliminates the SMJ
+    // sorts on top of the exchanges
+    spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = SparkEntry.queries("r_bucketed_join")(spark, sf0001)
+      df.collect() // finalize the AQE plan
+      val nodes = physicalNodes(df)
+      val str = df.queryExecution.executedPlan.toString()
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles == 1, s"expected only the orderBy shuffle:\n" +
+        str.take(1500))
+      assert(str.contains("SortMergeJoin"), str.take(800))
+      // single-file-per-bucket sorted scans feed the SMJ directly: the
+      // only Sort node is the top-level presentation sort
+      val sorts = nodes.count(_.isInstanceOf[SortExec])
+      assert(sorts == 1, s"expected only the orderBy sort:\n" +
+        str.take(1500))
+      // both scans report their bucket layout
+      assert(str.contains("SelectedBucketsCount"), str.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("native MinHash/SimHash signatures are exchange-free narrow maps") {
     import org.apache.spark.sql.functions.col
     import graft.queries.ParityQueries.t

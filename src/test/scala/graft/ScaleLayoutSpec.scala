@@ -35,22 +35,21 @@ class ScaleLayoutSpec extends SparkSuite {
 
   private def countShuffles(df: org.apache.spark.sql.DataFrame): Int = {
     df.collect() // force AQE final plan
-    val plan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    plan.collect { case _: ShuffleExchangeExec => 1 }.sum
+    physicalNodes(df).count(_.isInstanceOf[ShuffleExchangeExec])
   }
 
   test("bucketed tables join without a shuffle") {
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    t(spark, sf0001, "lineitem").write.bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("b_lineitem")
-    t(spark, sf0001, "orders").write.bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("b_orders")
-    val joined = spark.table("b_lineitem")
-      .join(spark.table("b_orders"),
+    val base = java.nio.file.Files.createTempDirectory("bkt").toString
+    graft.operators.Layout.writeBucketed(
+      t(spark, sf0001, "lineitem"), "b_lineitem", s"$base/lineitem",
+      buckets = 8, bucketCols = Seq("l_orderkey"),
+      sortCols = Seq("l_orderkey"))
+    graft.operators.Layout.writeBucketed(
+      t(spark, sf0001, "orders"), "b_orders", s"$base/orders",
+      buckets = 8, bucketCols = Seq("o_orderkey"),
+      sortCols = Seq("o_orderkey"))
+    val joined = graft.operators.Layout.readBucketed(spark, "b_lineitem")
+      .join(graft.operators.Layout.readBucketed(spark, "b_orders"),
         $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
     // only the final single-key aggregation may shuffle — the join itself
@@ -63,6 +62,31 @@ class ScaleLayoutSpec extends SparkSuite {
     try assert(countShuffles(joinOnly) == 0)
     finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert(joined.count() > 0)
+  }
+
+  test("the unbucketed twin of the same join shuffles BOTH sides") {
+    // the contrast case licensing writeBucketed: identical join over
+    // raw parquet pays one Exchange per side every run
+    val li = t(spark, sf0001, "lineitem").select($"l_orderkey", $"l_quantity")
+    val o = t(spark, sf0001, "orders").select($"o_orderkey", $"o_orderdate")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = li.join(o, $"l_orderkey" === $"o_orderkey")
+        .where($"l_quantity" > 0)
+      assert(countShuffles(j) == 2)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("writeBucketed writes one file per bucket (sort-eliminating layout)") {
+    val base = java.nio.file.Files.createTempDirectory("bkt1f").toString
+    graft.operators.Layout.writeBucketed(
+      t(spark, sf0001, "orders"), "b_orders_1f", s"$base/orders",
+      buckets = 4, bucketCols = Seq("o_orderkey"),
+      sortCols = Seq("o_orderkey"))
+    val files = new java.io.File(s"$base/orders").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+    assert(files.length == 4, files.map(_.getName).mkString(","))
   }
 
   test("dynamic partition pruning: dim filter prunes the fact scan") {
