@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: ONE pass over the item instances builds the sketch —
   * partial sketches merge map-side, the driver receives O(w·d) bytes
-  * (a few KB), never data. Candidates probe the broadcast sketch; the
-  * CMS one-sided error (estimate ≥ truth, always) means thresholding
-  * estimates has NO false negatives, so the exact verification only
-  * has to count the surviving candidates' rows (map-side partial count,
-  * tiny group cardinality). The sketch's real 100 TB value is that it
-  * is a mergeable, fixed-size summary: per-partition/streaming
-  * frequency state without a distinct-key shuffle.
+  * (a few KB), never data. The sketch then rides the probe expression
+  * back out as a plan literal, and a second pass filters item
+  * INSTANCES by estimate before the only shuffle: the CMS one-sided
+  * error (estimate ≥ truth, always) means thresholding estimates has
+  * NO false negatives, so the exact count over the surviving instances
+  * removes exactly the false positives. No distinct-key pass, no
+  * driver-side survivor set — the shuffle carries only candidate
+  * instances however low the threshold. The sketch's real 100 TB value
+  * is that it is a mergeable, fixed-size summary: per-partition/
+  * streaming frequency state without a distinct-key shuffle.
   */
 object Frequency {
 
@@ -36,19 +39,20 @@ object Frequency {
         org.apache.spark.sql.GraftSqlBridge.toExpression(item), sketch))
 
   /** Exact heavy hitters through the sketch path: items occurring at
-    * least `threshold` times. Sketch-probe prunes candidates (no false
-    * negatives by the CMS guarantee); exact counts on survivors remove
-    * the false positives — output is deterministic and equals the
-    * naive full GROUP BY ... HAVING.
+    * least `threshold` times. Two passes total: one to build the
+    * sketch, one that filters instances by sketch estimate map-side
+    * (no false negatives by the CMS guarantee — every true heavy
+    * hitter's rows survive), then exact-counts the survivors to remove
+    * the false positives. Output is deterministic and equals the naive
+    * full GROUP BY ... HAVING, but the shuffle carries only candidate
+    * instances and nothing is collected or broadcast.
     */
   def heavyHitters(df: DataFrame, item: Column, threshold: Long,
                    eps: Double = 0.001, confidence: Double = 0.99,
                    seed: Int = 42): DataFrame = {
     val sk = sketchBytes(df, item, eps, confidence, seed)
-    val items = df.select(item.as("tok"))
-    val survivors = items.distinct()
+    df.select(item.as("tok"))
       .where(estimate(col("tok"), sk) >= threshold)
-    items.join(broadcast(survivors), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("n_occ"))
       .where(col("n_occ") >= threshold)
   }

@@ -105,8 +105,13 @@ object Graph {
           .select(col("cu").as("src"), col("cv").as("dst"))
           .where(col("src") =!= col("dst"))
           .distinct()
+        // clamp: with maxIter <= switchAfter the leftover budget is 0
+        // and starRounds would label straight off the UNCONVERGED edges
+        // (duplicate ids with conflicting comps); give the fallback at
+        // least one round and let its convergence guard fail loudly if
+        // that isn't enough
         val roots = connectedComponentsStar(relab, col("src"), col("dst"),
-          maxIter - propagationRounds)
+          math.max(1, maxIter - propagationRounds))
         val joined = labels
           .join(roots.select(col("id").as("__rid"), col("comp").as("__rc")),
             labels("comp") === col("__rid"), "left")
@@ -196,6 +201,13 @@ object Graph {
       isStar = e.join(e.select(col("v").as("u")).distinct(),
         Seq("u"), "left_semi").isEmpty
     }
+    // labels derived from a non-star edge set would emit duplicate ids
+    // with conflicting comps — refuse rather than return silently wrong
+    // components (star contraction halves depth per round, so any sane
+    // budget converges; hitting this means maxIter was set far too low)
+    require(isStar || e.isEmpty,
+      s"connectedComponentsStar: not converged after $rounds rounds; " +
+        "raise maxIter")
     val labels = e.select(col("u").as("id"), col("v").as("comp"))
       .union(e.select(col("v").as("id"), col("v").as("comp")))
       .distinct()

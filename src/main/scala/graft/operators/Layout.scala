@@ -72,6 +72,13 @@ object Layout {
     val stats = in.agg(aggs.head, aggs.tail: _*).head
     val top = (1L << bits) - 1
     val zInputs = cols.zipWithIndex.map { case (c, i) =>
+      // empty input or an all-null/non-castable column yields null
+      // min/max — fail with the column name instead of NPEing the
+      // maintenance job mid-write
+      require(!stats.isNullAt(2 * i) && !stats.isNullAt(2 * i + 1),
+        s"compactZOrder: z-order column '$c' has no non-null numeric " +
+          "values (empty source or all-null column); use compact() for " +
+          "layouts without cluster stats")
       val mn = stats.getDouble(2 * i)
       val mx = stats.getDouble(2 * i + 1)
       val range = math.max(mx - mn, 1e-12)
@@ -139,8 +146,16 @@ object Layout {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
-  /** Data-file count of a parquet directory (what a scan pays for). */
-  def dataFileCount(dir: String): Int =
-    Option(new java.io.File(dir).listFiles()).toSeq.flatten
-      .count(f => f.getName.endsWith(".parquet") && f.length() > 0)
+  /** Data-file count of a parquet directory (what a scan pays for).
+    * Listed through the Hadoop FileSystem of the path's scheme, so it
+    * works against HDFS/object stores, not just the local FS.
+    */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
+        f.getLen > 0)
+  }
 }

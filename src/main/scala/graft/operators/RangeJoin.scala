@@ -37,11 +37,18 @@ object RangeJoin {
                    intervals: DataFrame, lo: Column, hi: Column,
                    binWidth: Long, maxBins: Int = 1000): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    // exact integer floor-division in Column algebra: subtract the
-    // positive modulus first so the double division is exact (the
-    // numerator is a representable multiple of binWidth)
-    def bin(c: Column): Column =
-      ((c - pmod(c, lit(binWidth))) / binWidth).cast("long")
+    // exact integer floor-division over the FULL long domain: subtract
+    // the positive modulus, then integral-divide (`div`). The `/`
+    // operator is double division — exact only while the aligned
+    // numerator stays below 2^53, silently misbinning (and so dropping
+    // qualifying pairs) beyond it.
+    def bin(c: Column): Column = {
+      val aligned = c.cast("long") - pmod(c.cast("long"), lit(binWidth))
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(aligned),
+          org.apache.spark.sql.GraftSqlBridge.toExpression(lit(binWidth))))
+    }
     val p = points.withColumn("__bin", bin(t))
     val iv = intervals
       .withColumn("__lob", bin(lo))

@@ -194,11 +194,15 @@ object SwellPipeline {
     "timestamp" -> "Hour (UTC) at which the daily maximum occurred.")
 
   def persistDocs(spark: SparkSession,
-                  table: String = "presentation.daily_max_swell"): Unit = {
+                  table: String = "presentation.daily_max_swell",
+                  docs: Map[String, String] = contractDocs): Unit = {
+    // SQL-escape doc strings (doubled single quotes) — an apostrophe in
+    // a description must not break the interpolated statement
+    def q(s: String): String = "'" + s.replace("'", "''") + "'"
     spark.sql(s"COMMENT ON TABLE $table IS " +
-      "'Daily maximum swell per location (external contract table).'")
-    contractDocs.foreach { case (c, doc) =>
-      spark.sql(s"ALTER TABLE $table ALTER COLUMN $c COMMENT '$doc'")
+      q("Daily maximum swell per location (external contract table)."))
+    docs.foreach { case (c, doc) =>
+      spark.sql(s"ALTER TABLE $table ALTER COLUMN $c COMMENT ${q(doc)}")
     }
   }
 }

@@ -47,6 +47,18 @@ class FrequencySpec extends SparkSuite {
     assert(!got.keys.exists(_.startsWith("w")))
   }
 
+  test("threshold 1 (every item survives) stays exact with no broadcast") {
+    // the regime that used to broadcast ~every distinct item to the
+    // driver; now the sketch filter is map-side and the only shuffle is
+    // the survivors' exact count
+    val got = Frequency.heavyHitters(toks, $"tok", threshold = 1)
+    got.collect()
+    val naive = toks.groupBy($"tok").agg(count(lit(1)).as("n_occ"))
+    assert(got.count() == naive.count())
+    assert(!physicalNodes(got).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.BroadcastExchangeExec]))
+  }
+
   test("long items probe correctly too") {
     val ids = Seq.tabulate(1000)(i => (i % 10).toLong).toDF("id")
     val sk = Frequency.sketchBytes(ids, col("id"))

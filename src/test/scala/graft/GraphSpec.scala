@@ -82,6 +82,26 @@ class GraphSpec extends SparkSuite {
     assert(got(5000L) == 5000L && got(6000L) == 5000L)
   }
 
+  test("maxIter <= switchAfter: clamped star budget — exact labels or a " +
+      "loud failure, never silent duplicates") {
+    import spark.implicits._
+    // 64-chain, budget exhausted mid-propagation: the star fallback
+    // used to get 0 rounds and label straight off unconverged edges
+    // (duplicate ids with conflicting comps)
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("a", "b")
+    try {
+      val rows = Graph.connectedComponents(edges, col("a"), col("b"),
+          maxIter = 3, switchAfter = 3)
+        .as[(Long, Long)].collect()
+      assert(rows.map(_._1).distinct.length == rows.length,
+        "duplicate vertex ids emitted")
+      assert(rows.length == 64 && rows.forall(_._2 == 1L))
+    } catch {
+      case e: IllegalArgumentException =>
+        assert(e.getMessage.contains("not converged"), e.getMessage)
+    }
+  }
+
   test("dedupClusters: keep flag marks exactly the min member") {
     import spark.implicits._
     val edges = Seq((5L, 6L), (6L, 7L), (9L, 8L)).toDF("a", "b")

@@ -16,11 +16,11 @@ class LayoutSpec extends SparkSuite {
         .toDF("id", "v").coalesce(1)
         .write.mode("append").parquet(frag)
     }
-    assert(Layout.dataFileCount(frag) >= 40)
+    assert(Layout.dataFileCount(spark, frag) >= 40)
     val n = Layout.compact(spark, frag, dest, filesOut = 4,
       clusterBy = Seq("id"))
     assert(n == 1000L)
-    assert(Layout.dataFileCount(dest) == 4)
+    assert(Layout.dataFileCount(spark, dest) == 4)
     val before = spark.read.parquet(frag).as[(Long, String)]
       .collect().toSet
     val after = spark.read.parquet(dest).as[(Long, String)]
@@ -61,6 +61,18 @@ class LayoutSpec extends SparkSuite {
     // content preserved
     assert(spark.read.parquet(s"$base/z").as[(Long, Long)]
       .collect().toSet == rows.toSet)
+  }
+
+  test("compactZOrder fails descriptively on an all-null z-order column") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    Seq((1L, None: Option[Double]), (2L, None))
+      .toDF("id", "zc").write.parquet(s"$base/raw")
+    val ex = intercept[IllegalArgumentException] {
+      Layout.compactZOrder(spark, s"$base/raw", s"$base/z",
+        filesOut = 2, cols = Seq("zc", "id"))
+    }
+    assert(ex.getMessage.contains("zc"), ex.getMessage)
   }
 
   test("clustered rewrite enables row-group skipping on range scans") {

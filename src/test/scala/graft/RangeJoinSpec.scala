@@ -42,6 +42,24 @@ class RangeJoinSpec extends SparkSuite {
     }
   }
 
+  test("2^60-domain values bin exactly (integral div, no double rounding)") {
+    // doubles can't represent 2^60-scale longs exactly: the old
+    // `/`-based binning misbinned up there and silently dropped
+    // qualifying pairs
+    val base = 1L << 60
+    val pts = Seq((1L, base + 1L), (2L, base + 8L), (3L, base + 14L))
+      .toDF("pid", "t")
+    val ivs = Seq((1L, base, base + 2L), (2L, base + 7L, base + 15L))
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.intervalJoin(pts, col("t"), ivs,
+        col("lo"), col("hi"), binWidth = 3)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, $"t" >= $"lo" && $"t" <= $"hi")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    assert(got == Set((1L, 1L), (2L, 2L), (3L, 2L)))
+  }
+
   test("an interval spanning >= maxBins bins fails fast") {
     val huge = Seq((99L, 0L, 10000L)).toDF("iid", "lo", "hi")
     val ex = intercept[Exception] {

@@ -167,4 +167,16 @@ class SwellPipelineSpec extends SparkSuite {
     assert(spark.catalog.getTable("presentation.daily_max_swell")
       .description != null)
   }
+
+  test("persistDocs survives apostrophes in doc strings") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS doc_quote")
+    Seq((Date.valueOf("2024-01-01"), "x")).toDF("dt", "v")
+      .write.saveAsTable("doc_quote")
+    SwellPipeline.persistDocs(spark, "doc_quote",
+      Map("dt" -> "The day's date, o'clock-aligned."))
+    val doc = spark.catalog.listColumns("doc_quote")
+      .collect().find(_.name == "dt").flatMap(c => Option(c.description))
+    assert(doc.contains("The day's date, o'clock-aligned."), doc.toString)
+  }
 }
