@@ -41,25 +41,138 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
   * The filter's `rn` output column is preserved as a literal 1 under the
   * original exprId, so parent operators that reference it still resolve.
   *
-  * KNOWN COST ASYMMETRY: the win assumes groups ≪ rows (map-side
-  * partial collapse). When the partition keys are ~unique — a dedup
-  * over an already-near-unique key, e.g. r_asof_native's orders
-  * (custkey, orderdate) at 149.6k groups / 150k rows — the rewrite
-  * trades one group-limit window for two struct-buffer SortAggregates
-  * and measured 2.5× SLOWER at sf0.1. Catalyst has no ndv estimate
-  * here without CBO stats, so the rule cannot self-gate; workloads in
-  * that regime disable it with
-  * `spark.graft.argmaxRewrite.enabled = false` (session conf, read per
-  * query) or express the dedup with `rank()`, which the pattern
-  * deliberately leaves alone.
+  * COST GATE: the win assumes groups ≪ rows (map-side partial
+  * collapse). When the partition keys are ~unique — a dedup over an
+  * already-near-unique key, e.g. orders (custkey, orderdate) at
+  * 149.6k groups / 150k rows — the rewrite trades one group-limit
+  * window for two struct-buffer SortAggregates and measured 2.5×
+  * SLOWER at sf0.1. The rule gates on a measured group ratio: CBO
+  * column stats when the table is ANALYZE'd (the zero-I/O input that
+  * scales to 100 TB), else an exact count/count-distinct over just the
+  * key columns when the child is small enough to measure cheaply
+  * (`maxMeasureBytes`, 256 MB default; pruned narrow scan, one job at
+  * planning time, memoized per (keys, leaves) so re-planning the same
+  * query never re-measures), else rewrite unconditionally. The rewrite
+  * fires only when ndv/rows ≤ `maxGroupRatio`; under 1 000 rows it
+  * always fires (both forms are trivial there).
+  * `spark.graft.argmaxRewrite.ndvGate = false` restores unconditional
+  * rewriting; `spark.graft.argmaxRewrite.enabled = false` disables the
+  * rule outright (all session confs, read per query).
   */
 object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
 
   val EnabledKey = "spark.graft.argmaxRewrite.enabled"
+  val NdvGateKey = "spark.graft.argmaxRewrite.ndvGate"
+  val MaxGroupRatioKey = "spark.graft.argmaxRewrite.maxGroupRatio"
+  val MaxMeasureBytesKey = "spark.graft.argmaxRewrite.maxMeasureBytes"
 
-  private def enabled: Boolean =
-    org.apache.spark.sql.internal.SQLConf.get
-      .getConfString(EnabledKey, "true").toBoolean
+  private def conf(key: String, default: String): String =
+    org.apache.spark.sql.internal.SQLConf.get.getConfString(key, default)
+
+  private def enabled: Boolean = conf(EnabledKey, "true").toBoolean
+
+  // Memoized gate decisions: keyed on the canonicalized partition keys
+  // plus the raw leaf relations (paths included), so identical queries
+  // re-planned in the same JVM — bench reruns, AQE re-optimization —
+  // never pay a second sample job. Access-ordered LRU, bounded.
+  private val gateMemo = java.util.Collections.synchronizedMap(
+    // values are java.lang.Boolean ON PURPOSE: with scala.Boolean the
+    // miss-path null would unbox to false and silently disable every
+    // first rewrite
+    new java.util.LinkedHashMap[String, java.lang.Boolean](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.lang.Boolean]): Boolean =
+        size > 256
+    })
+
+  /** "Groups ≪ rows" test gating the rewrite. Defaults to rewriting
+    * (legacy behavior) whenever the gate is off, impossible to evaluate
+    * (streaming child, child too large to measure, no stats), or fails.
+    */
+  private def fewGroups(part: Seq[Expression], child: LogicalPlan)
+      : Boolean = {
+    if (!conf(NdvGateKey, "true").toBoolean) return true
+    if (part.isEmpty || child.isStreaming) return true
+    // plan-level canonicalization normalizes exprIds positionally, so
+    // re-planning the same query (bench reruns) produces the SAME key
+    // and hits the memo — expression-level canonicalized strings keep
+    // their run-specific exprIds and would re-sample every run. Leaf
+    // file paths are appended because canonicalized relations print
+    // schema only (two same-schema tables must not share a decision).
+    val leafIds = child.collectLeaves().map {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.mkString(",")
+          case r => r.toString
+        }
+      // canonicalized local relations print schema only — two local
+      // datasets with the same shape must not share a decision
+      case l: LocalRelation => s"local:${l.data.length}:${l.data.hashCode}"
+      case leaf => leaf.canonicalized.toString
+    }
+    val memoKey = Aggregate(part, Nil, child).canonicalized.toString +
+      "@" + leafIds.mkString("|")
+    val cached: java.lang.Boolean = gateMemo.get(memoKey)
+    if (cached != null) cached.booleanValue()
+    else {
+      val decision = try measureFewGroups(part, child)
+      catch { case _: Throwable => true }
+      gateMemo.put(memoKey, decision)
+      decision
+    }
+  }
+
+  // diagnostics: number of measurement jobs actually run (memo misses)
+  val sampleJobs = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Decide "groups ≪ rows". A row-prefix sample CANNOT decide this —
+    * on unclustered data a 20k-row prefix of 150k uniform groups shows
+    * almost no repeats and reads as ~unique, blocking a measured-2.7×
+    * win — so the gate uses, in order:
+    *
+    *  1. catalog/CBO column stats (ANALYZE'd tables): exact-enough
+    *     ndv/rowCount with zero planning-time I/O — the only input
+    *     available at true 100 TB scale;
+    *  2. a full count/count-distinct over JUST the key expressions when
+    *     the child's estimated size fits under `maxMeasureBytes`
+    *     (256 MB default): a pruned narrow scan, run once and memoized;
+    *  3. otherwise rewrite (legacy default) — at sizes too big to
+    *     measure and without stats, the map-side-collapse upside is
+    *     the better unbiased bet, and ANALYZE restores exact gating.
+    */
+  private def measureFewGroups(part: Seq[Expression],
+                               child: LogicalPlan): Boolean = {
+    val ratioMax = conf(MaxGroupRatioKey, "0.6").toDouble
+    val stats = child.stats
+    stats.rowCount.filter(_ >= 1000).foreach { rc =>
+      val ndvs = part.map {
+        case a: Attribute =>
+          stats.attributeStats.get(a).flatMap(_.distinctCount)
+        case _ => None
+      }
+      if (ndvs.forall(_.isDefined)) {
+        val joint = ndvs.flatten.product.min(rc)
+        return joint.toDouble / rc.toDouble <= ratioMax
+      }
+    }
+    val maxBytes = conf(MaxMeasureBytesKey, (256L << 20).toString).toLong
+    if (stats.sizeInBytes > maxBytes) return true
+    sampleJobs.incrementAndGet()
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.{col, count, count_distinct, lit, struct}
+    val keys = part.zipWithIndex.map { case (e, i) =>
+      Alias(e, s"__gk$i")()
+    }
+    val keyed = org.apache.spark.sql.GraftSqlBridge
+      .ofRows(spark, Project(keys, child))
+    val row = keyed.agg(count(lit(1)).as("n"),
+      count_distinct(struct(keys.map(k => col(k.name)): _*)).as("ndv"))
+      .head()
+    val n = row.getLong(0)
+    val ndv = row.getLong(1)
+    n < 1000 || ndv.toDouble / n <= ratioMax
+  }
 
   /** The rank-1 selection as an aggregate ordering, when expressible:
     *  - all keys ASC NULLS FIRST → min_by over struct(keys) — any
@@ -142,7 +255,8 @@ object ArgMaxWindowToMaxBy extends Rule[LogicalPlan] {
           isRowNumberFrame(spec) &&
           ordering(order).isDefined &&
           part.forall(_.deterministic) &&
-          order.forall(_.child.deterministic) =>
+          order.forall(_.child.deterministic) &&
+          fewGroups(part, child) =>
       val residual = splitCond(cond, alias.exprId).get
       val (useMax, comps) = ordering(order).get
       val payload = CreateStruct(child.output)

@@ -590,14 +590,15 @@ object RelationalQueries2 {
     * JOIN hash-checks a custom physical operator end to end.
     */
   private def asofNative(s: SparkSession, d: String): DataFrame = {
-    // dedup via rank() (unique tiebreak ⇒ same winner as row_number):
-    // with ~unique (custkey, orderdate) groups the ArgMax max_by
-    // rewrite is counterproductive (two SortAggregates vs one
-    // group-limit window), and rank() keeps the windowed plan
+    // dedup via the natural row_number() idiom: with ~unique
+    // (custkey, orderdate) groups the ArgMax max_by rewrite would be
+    // counterproductive (two SortAggregates vs one group-limit
+    // window), and the rule's sample-based ndv gate measures exactly
+    // that and keeps the windowed plan — no rank() workaround needed
     val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
       .orderBy(col("o_orderkey").desc)
     val o = t(s, d, "orders")
-      .withColumn("__rn", rank().over(dedup))
+      .withColumn("__rn", row_number().over(dedup))
       .where(col("__rn") === 1)
       .select(col("o_custkey").as("k"),
         col("o_orderdate").cast("timestamp").as("rt"),

@@ -67,6 +67,57 @@ class ArgMaxRuleSpec extends SparkSuite {
       s2.conf.unset(graft.functions.ArgMaxWindowToMaxBy.EnabledKey)
   }
 
+  test("ndv gate: ~unique partition keys keep the window plan (measured " +
+      "pessimization regime), gate off restores the rewrite") {
+    import s2.implicits._
+    // 2000 rows, every key unique: sampled ndv/rows = 1 > maxGroupRatio
+    val uniq = (1 to 2000).map(i => (i, i, i.toDouble)).toDF("k", "id", "v")
+    val df = uniq.withColumn("rn",
+        row_number().over(Window.partitionBy($"k").orderBy($"v".desc)))
+      .where($"rn" === 1)
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("row_number") && !opt.contains("max_by"), opt)
+    // the gate is a planner choice, not a semantics change
+    s2.conf.set(graft.functions.ArgMaxWindowToMaxBy.NdvGateKey, "false")
+    try {
+      val forced = uniq.withColumn("rn",
+          row_number().over(Window.partitionBy($"k").orderBy($"v".desc)))
+        .where($"rn" === 1)
+      val fopt = forced.queryExecution.optimizedPlan.toString()
+      assert(fopt.contains("max_by"), fopt)
+      assert(forced.collect().map(_.toString).toSet ==
+        df.collect().map(_.toString).toSet)
+    } finally
+      s2.conf.unset(graft.functions.ArgMaxWindowToMaxBy.NdvGateKey)
+  }
+
+  test("ndv gate: low-cardinality keys at >= 1000 rows still rewrite") {
+    import s2.implicits._
+    val grouped = (1 to 3000).map(i => (i % 20, i, (i % 7).toDouble))
+      .toDF("k", "id", "v")
+    val df = grouped.withColumn("rn",
+        row_number().over(Window.partitionBy($"k")
+          .orderBy($"v".desc, $"id".desc)))
+      .where($"rn" === 1)
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("max_by") && !opt.contains("Window"), opt)
+  }
+
+  test("ndv gate decisions are memoized: re-planning never re-measures") {
+    import s2.implicits._
+    def q() = (1 to 1500).map(i => (i % 11, i, i.toDouble))
+      .toDF("k", "id", "v")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"k").orderBy($"v".desc)))
+      .where($"rn" === 1)
+    val before = graft.functions.ArgMaxWindowToMaxBy.sampleJobs.get
+    assert(q().queryExecution.optimizedPlan.toString().contains("max_by"))
+    val afterFirst = graft.functions.ArgMaxWindowToMaxBy.sampleJobs.get
+    assert(afterFirst == before + 1)
+    assert(q().queryExecution.optimizedPlan.toString().contains("max_by"))
+    assert(graft.functions.ArgMaxWindowToMaxBy.sampleJobs.get == afterFirst)
+  }
+
   test("asc arg-min rewrites to min_by and matches") {
     val rewritten = argmax(data(s2), desc = false)
     val opt = rewritten.queryExecution.optimizedPlan.toString()
