@@ -92,12 +92,17 @@ object ExtensionQueries {
         .orderBy(col("qa"), col("rank"))
     }),
 
-    // IVF-style ANN: coarse-centroid cells + nprobe search (rows-only;
-    // recall vs brute force asserted in SimilaritySpec).
+    // IVF-style ANN through the full path a user runs at scale: k-means
+    // coarse centroids fit on the corpus (deterministic — stable init +
+    // exact per-cell means), cell assignment, nprobe search (rows-only;
+    // recall licensed by the oracle-checked x_ivf_recall_err gate and
+    // asserted in SimilaritySpec).
     "x_cosine_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.ivfTopK(e.where(col("id") < 10), e, k = 5, nprobe = 6)
+      val cents = Similarity.fitCentroids(e, k = 16, iters = 3)
+      Similarity.ivfTopK(e.where(col("id") < 10), e, k = 5, nprobe = 6,
+          fitted = Some(cents))
         .select(col("qa"), col("rank"), col("vb"), col("cos"))
         .orderBy(col("qa"), col("rank"))
     }),
@@ -170,6 +175,30 @@ object ExtensionQueries {
       q.select(col("id").as("qa")).join(hits, Seq("qa"), "left")
         .where(coalesce(col("hits"), lit(0L)) < 2)
         .select(col("qa"))
+    }),
+
+    // Recall gate for the IVF path (empty-set oracle, pattern of
+    // x_ann_recall_err): fires rows iff fitted-centroid IVF finds < 80%
+    // of brute force's top-5 pairs in aggregate (measured misses are
+    // 1-4 of 50 across SFs; the floor fires at 11). Integer-exact
+    // comparison (10x / 2x counts), no float recall arithmetic — the
+    // oracle-checked floor that licenses x_cosine_ivf's rows-only
+    // check.
+    "x_ivf_recall_err" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.where(col("id") < 10)
+      val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("qa"), col("vb"))
+      val cents = Similarity.fitCentroids(e, k = 16, iters = 3)
+      val ivf = Similarity.ivfTopK(q, e, k = 5, nprobe = 6,
+          fitted = Some(cents))
+        .select(col("qa"), col("vb"))
+      val misses = bf.join(ivf, Seq("qa", "vb"), "left_anti")
+      misses.agg(count(lit(1)).as("n_miss"))
+        .crossJoin(bf.agg(count(lit(1)).as("n_exact")))
+        .where(col("n_miss") * 10 > col("n_exact") * 2)
+        .select(col("n_miss"), col("n_exact"))
     }),
 
     // BPE-ish regex tokenization (word / number / punct-run classes,
@@ -540,6 +569,9 @@ object ExtensionQueries {
         |ORDER BY id_a, id_b""".stripMargin,
     "x_ann_recall_err" ->
       """SELECT vec_id AS qa FROM embeddings WHERE 1 = 0""",
+    "x_ivf_recall_err" ->
+      """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
+        |WHERE 1 = 0""".stripMargin,
     "x_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
