@@ -104,13 +104,91 @@ private[plans] object AsOfRuntime {
       SortOrder(BoundReference(1, timeType, nullable = true), Ascending)))
 }
 
+/** Serializable factory for the streaming-merge cursor: ships the key/
+  * time expressions to executors; the cursor builds its codegen'd
+  * projections and orderings task-side (generated classes are
+  * process-local).
+  */
+final class AsOfMergeSupport(
+    val lKey: Expression, val lTime: Expression, val lOut: Seq[Attribute],
+    val rKey: Expression, val rTime: Expression, val rOut: Seq[Attribute])
+    extends Serializable {
+  /** `it` is typed Object so generated Java never names the Scala
+    * iterator type parameters.
+    */
+  def cursor(it: Object): AsOfMergeCursor =
+    new AsOfMergeCursor(this, it.asInstanceOf[Iterator[InternalRow]])
+}
+
+/** Per-partition two-pointer merge state over the (key, time)-sorted
+  * right side: for each left row (fed in the left's sort order), the
+  * latest right row with equal key and time ≤ left time, else null.
+  * Shared by the interpreted path and the generated whole-stage loop.
+  */
+final class AsOfMergeCursor(s: AsOfMergeSupport,
+                            rIter: Iterator[InternalRow]) {
+  private val lkt = AsOfRuntime.ktProjection(s.lKey, s.lTime, s.lOut)
+  private val rkt = AsOfRuntime.ktProjection(s.rKey, s.rTime, s.rOut)
+  private val fullOrd =
+    AsOfRuntime.fullOrdering(s.lKey.dataType, s.lTime.dataType)
+  private val keyOrd = AsOfRuntime.keyOrdering(s.lKey.dataType)
+  // cursor over the right side; rows with null key/time are skipped.
+  // rKT aliases rkt's reused buffer (and rRow the sorter's reused
+  // row), valid only until the next advance — anything retained
+  // across advances MUST be copied (see lastKT/lastMatch below).
+  private var rRow: InternalRow = null
+  private var rKT: UnsafeRow = null
+  private def advanceRight(): Unit = {
+    rRow = null
+    while (rRow == null && rIter.hasNext) {
+      val c = rIter.next()
+      val kt = rkt(c)
+      if (!kt.isNullAt(0) && !kt.isNullAt(1)) { rRow = c; rKT = kt }
+    }
+  }
+  advanceRight()
+  // latest right row consumed for the current key — COPIES: both the
+  // sort iterator's row and the projection's output buffer are reused,
+  // so buffer-backed key types (strings, binary, structs) would go
+  // stale after the next advanceRight() otherwise.
+  private var lastKT: UnsafeRow = null
+  private var lastMatch: InternalRow = null
+
+  /** The as-of match for `l`, or null (no match / null key / null
+    * time). Left rows MUST arrive in (key, time) order.
+    */
+  def next(l: InternalRow): InternalRow = {
+    val lKT = lkt(l)
+    if (lKT.isNullAt(0) || lKT.isNullAt(1)) return null
+    // advance while right (key, time) ≤ left (key, time)
+    // lexicographically; remember the row only on equal keys
+    var scan = rRow != null
+    while (scan) {
+      if (fullOrd.compare(rKT, lKT) <= 0) {
+        if (keyOrd.compare(rKT, lKT) == 0) {
+          lastKT = rKT.copy()
+          lastMatch = rRow.copy()
+        }
+        advanceRight()
+        scan = rRow != null
+      } else scan = false
+    }
+    if (lastMatch != null && keyOrd.compare(lastKT, lKT) == 0) lastMatch
+    else null
+  }
+}
+
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression)
-    extends BinaryExecNode {
+    extends BinaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
 
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
@@ -125,69 +203,86 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  private def mergeSupport: AsOfMergeSupport = new AsOfMergeSupport(
+    leftKey, leftTime, left.output, rightKey, rightTime, right.output)
+
   override protected def doExecute(): RDD[InternalRow] = {
-    val lKeyE = leftKey
-    val lTimeE = leftTime
-    val rKeyE = rightKey
-    val rTimeE = rightTime
-    val lOut = left.output
-    val rOut = right.output
-    val keyType = leftKey.dataType
-    val timeType = leftTime.dataType
+    val support = mergeSupport
     val rightWidth = right.output.size
     val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
-      val lkt = AsOfRuntime.ktProjection(lKeyE, lTimeE, lOut)
-      val rkt = AsOfRuntime.ktProjection(rKeyE, rTimeE, rOut)
-      val fullOrd = AsOfRuntime.fullOrdering(keyType, timeType)
-      val keyOrd = AsOfRuntime.keyOrdering(keyType)
+      val cursor = support.cursor(rIter)
       val joiner = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      // cursor over the right side; rows with null key/time are skipped.
-      // rKT aliases rkt's reused buffer (and rRow the sorter's reused
-      // row), valid only until the next advance — anything retained
-      // across advances MUST be copied (see lastKT/lastMatch below).
-      var rRow: InternalRow = null
-      var rKT: UnsafeRow = null
-      def advanceRight(): Unit = {
-        rRow = null
-        while (rRow == null && rIter.hasNext) {
-          val c = rIter.next()
-          val kt = rkt(c)
-          if (!kt.isNullAt(0) && !kt.isNullAt(1)) { rRow = c; rKT = kt }
-        }
-      }
-      advanceRight()
-      // latest right row consumed for the current key — COPIES: both
-      // the sort iterator's row and the projection's output buffer are
-      // reused, so buffer-backed key types (strings, binary, structs)
-      // would go stale after the next advanceRight() otherwise.
-      var lastKT: UnsafeRow = null
-      var lastMatch: InternalRow = null
       lIter.map { l =>
-        val lKT = lkt(l)
-        if (lKT.isNullAt(0) || lKT.isNullAt(1)) proj(joiner(l, nullRight))
-        else {
-          // advance while right (key, time) ≤ left (key, time)
-          // lexicographically; remember the row only on equal keys
-          var scan = rRow != null
-          while (scan) {
-            if (fullOrd.compare(rKT, lKT) <= 0) {
-              if (keyOrd.compare(rKT, lKT) == 0) {
-                lastKT = rKT.copy()
-                lastMatch = rRow.copy()
-              }
-              advanceRight()
-              scan = rRow != null
-            } else scan = false
-          }
-          if (lastMatch != null && keyOrd.compare(lastKT, lKT) == 0)
-            proj(joiner(l, lastMatch))
-          else proj(joiner(l, nullRight))
-        }
+        val m = cursor.next(l)
+        proj(joiner(l, if (m == null) nullRight else m))
       }
     }
+  }
+
+  // ---------- whole-stage codegen (SortMergeJoin-style boundary) ------
+  // Both sorted children are consumed as iterators (inputs[0]/[1], the
+  // two-input WholeStageCodegen mechanism SMJ uses); the generated loop
+  // streams the left side, asks the compiled cursor for the as-of
+  // match, and emits left ++ (matched | nulls) column variables straight
+  // into the downstream span — no JoinedRow, no output projection, no
+  // per-row iterator between the join and its parent. doExecute()
+  // remains the interpreted fallback. Measured at sf0.1 the two paths
+  // are at parity (0.60 vs 0.53 s — the cursor's virtual call dominates
+  // either way); the codegen value is downstream fusion: parents
+  // consume column variables instead of re-reading an UnsafeRow.
+
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    left.execute() :: right.execute() :: Nil
+
+  override def needCopyResult: Boolean = true
+
+  override protected def doProduce(ctx: CodegenContext): String = {
+    val leftInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofLeftInput", v => s"$v = inputs[0];")
+    val rightInput = ctx.addMutableState("scala.collection.Iterator",
+      "asofRightInput", v => s"$v = inputs[1];")
+    val supportRef = ctx.addReferenceObj("asofMergeSupport", mergeSupport,
+      classOf[AsOfMergeSupport].getName)
+    val cursor = ctx.addMutableState(classOf[AsOfMergeCursor].getName,
+      "asofCursor", v => s"$v = $supportRef.cursor($rightInput);")
+    val leftRow = ctx.freshName("asofLeftRow")
+    val matched = ctx.freshName("asofMatched")
+    ctx.INPUT_ROW = leftRow
+    ctx.currentVars = null
+    val leftVars = left.output.zipWithIndex.map { case (a, i) =>
+      BoundReference(i, a.dataType, a.nullable).genCode(ctx)
+    }
+    // right-side column variables: read from the matched row, nulls on
+    // no match (same shape as the broadcast variant)
+    val rightVars = right.output.zipWithIndex.map { case (a, i) =>
+      val isNull = ctx.freshName("asofIsNull")
+      val value = ctx.freshName("asofVal")
+      val javaType = CodeGenerator.javaType(a.dataType)
+      val cd =
+        code"""
+           |boolean $isNull = true;
+           |$javaType $value = ${CodeGenerator.defaultValue(a.dataType)};
+           |if ($matched != null && !$matched.isNullAt($i)) {
+           |  $isNull = false;
+           |  $value = ${CodeGenerator.getValue(matched, a.dataType, i.toString)};
+           |}
+         """.stripMargin
+      ExprCode(cd, JavaCode.isNullVariable(isNull),
+        JavaCode.variable(value, a.dataType))
+    }
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    s"""
+       |while ($leftInput.hasNext()) {
+       |  InternalRow $leftRow = (InternalRow) $leftInput.next();
+       |  InternalRow $matched = $cursor.next($leftRow);
+       |  $numOutput.add(1);
+       |  ${consume(ctx, leftVars ++ rightVars)}
+       |  if (shouldStop()) return;
+       |}
+     """.stripMargin
   }
 
   override protected def withNewChildrenInternal(

@@ -74,6 +74,39 @@ class AsOfNativeSpec extends SparkSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("merge variant fuses into whole-stage codegen (SMJ-style boundary)") {
+    import spark.implicits._
+    val left = (0L until 200L).map(i => (i, i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"))).toDF("event_id", "k", "t")
+    val right = (0L until 100L).map(i => (i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"p$i"))
+      .toDF("rk", "rt", "payload")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE prints isFinalPlan=false plans without `*` markers — assert
+    // codegen with adaptive off
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = TimeSeries.asofJoinNative(left, right, "k", "rk", "t", "rt")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("AsOfJoin") && !l.contains("Broadcast") &&
+          l.contains("*(")), p)
+      // and the generated path agrees with the interpreted fallback
+      val gen = df.select(col("event_id"), col("payload"))
+        .as[(Long, Option[String])].collect().toMap
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = TimeSeries
+        .asofJoinNative(left, right, "k", "rk", "t", "rt")
+        .select(col("event_id"), col("payload"))
+        .as[(Long, Option[String])].collect().toMap
+      assert(gen == interp)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("string keys survive spilled sorts (buffer-backed key staleness)") {
     // Buffer-backed keys (strings) alias the sort iterator's reused row
     // AND the (key,time) projection's reused buffer — the retained
