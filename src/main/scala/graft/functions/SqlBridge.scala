@@ -26,16 +26,28 @@ object GraftSqlBridge {
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
 
-  /** Release the cached blocks behind a `localCheckpoint()`ed Dataset.
-    * Iterative operators checkpoint per round to truncate lineage; the
-    * superseded rounds' blocks must be freed or a long job leaks the
-    * block manager full (localCheckpoint caches the RDD directly, so
-    * `Dataset.unpersist` — which only consults the CacheManager — can't
-    * release it).
+  /** Release the storage behind a checkpointed Dataset (local OR
+    * reliable). Iterative operators checkpoint per round to truncate
+    * lineage; the superseded rounds must be freed or a long job leaks —
+    * cached blocks fill the block manager (localCheckpoint caches the
+    * RDD directly, so `Dataset.unpersist` — which only consults the
+    * CacheManager — can't release it), and reliable checkpoints
+    * accumulate one copy of the working set on DFS per round (the
+    * PeriodicCheckpointer problem; its fix — delete superseded
+    * checkpoint files — applied here).
     */
   def freeLocalCheckpoint(df: Dataset[_]): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
-      case l: execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case l: execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        l.rdd.getCheckpointFile.foreach { p =>
+          try {
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(
+              df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(path, true): Unit
+          } catch { case _: java.io.IOException => } // best-effort
+        }
       case _ =>
     }
 }

@@ -14,6 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lineage truncation per round: reliable `checkpoint()` under a set
+    * checkpoint dir (fault-tolerant; superseded files deleted by
+    * freeLocalCheckpoint), else executor-local `localCheckpoint()`.
+    */
+  private implicit class RoundCheckpoint(private val df: DataFrame) {
+    def roundCheckpoint(): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
+  }
+
   /** Connected components by iterative min-label propagation with a
     * contraction fallback: `comp(v) ← min(comp(v), min over neighbors
     * comp(u))` (plus pointer-jumping path compression) for up to
@@ -25,9 +36,11 @@ object Graph {
     * (comp(u), comp(v))) and finished by the O(log n)-round
     * large-star/small-star algorithm ([[connectedComponentsStar]]).
     *
-    * `localCheckpoint` truncates the iterative lineage each round (on a
-    * cluster, prefer `sparkContext.setCheckpointDir` + `checkpoint()`
-    * for fault tolerance; local mode has no DFS).
+    * Each round truncates the iterative lineage: with a checkpoint dir
+    * set (`sparkContext.setCheckpointDir`) rounds use RELIABLE
+    * `checkpoint()` — a 10-round job on a real cluster survives
+    * executor loss, and superseded rounds' DFS files are deleted as
+    * they are replaced — else fast executor-local `localCheckpoint()`.
     *
     * Input: an edge list (undirected; parallel edges / self-loops fine).
     * Output: (id, comp) — comp = the minimum vertex id in the component.
@@ -41,10 +54,10 @@ object Graph {
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint()
+      .roundCheckpoint()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
+      .roundCheckpoint()
     var converged = false
     var it = 0
     var prevSum: java.math.BigDecimal = null
@@ -80,7 +93,7 @@ object Graph {
         .observe(obs,
           coalesce(sum(col("comp").cast("decimal(38,0)")),
             lit(java.math.BigDecimal.ZERO)).as("s"))
-        .localCheckpoint()
+        .roundCheckpoint()
       val sumNow = obs.get("s").asInstanceOf[java.math.BigDecimal]
       converged = prevSum != null && prevSum.compareTo(sumNow) == 0
       prevSum = sumNow
@@ -117,7 +130,7 @@ object Graph {
             labels("comp") === col("__rid"), "left")
           .select(labels("id"),
             coalesce(col("__rc"), labels("comp")).as("comp"))
-          .localCheckpoint()
+          .roundCheckpoint()
         org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(roots)
         joined
       }
@@ -162,7 +175,7 @@ object Graph {
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .roundCheckpoint()
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -193,7 +206,7 @@ object Graph {
     var rounds = 0
     var isStar = false
     while (!isStar && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = smallStar(largeStar(e)).roundCheckpoint()
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(e)
       e = next
       rounds += 1
@@ -211,7 +224,7 @@ object Graph {
     val labels = e.select(col("u").as("id"), col("v").as("comp"))
       .union(e.select(col("v").as("id"), col("v").as("comp")))
       .distinct()
-      .localCheckpoint()
+      .roundCheckpoint()
     org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(e)
     (labels, rounds)
   }

@@ -102,6 +102,35 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("reliable-checkpoint mode: same labels under a set checkpoint " +
+      "dir, superseded round files deleted") {
+    import spark.implicits._
+    val edges = ((1L until 120L).map(i => (i, i + 1)) ++
+      Seq((500L, 600L))).toDF("a", "b")
+    val plain = Graph.connectedComponents(edges, col("a"), col("b"))
+      .as[(Long, Long)].collect().toMap
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-ck").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    try {
+      val reliable = Graph.connectedComponents(edges, col("a"), col("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(reliable == plain)
+      // the reliable path actually engaged...
+      val ckRoot = new java.io.File(ckDir).listFiles().head
+      val rddDirs = Option(ckRoot.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith("rdd-"))
+      assert(rddDirs.nonEmpty, "no reliable checkpoints written")
+      // ...and superseded rounds were deleted, not accumulated (the
+      // chain forces several propagation rounds plus the star fallback)
+      assert(rddDirs.length <= 4,
+        s"leaked checkpoints: ${rddDirs.map(_.getName).mkString(",")}")
+    } finally
+      // unset (Option(null) = None) — the context is shared across
+      // suites and must not leak reliable mode into later tests
+      spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("dedupClusters: keep flag marks exactly the min member") {
     import spark.implicits._
     val edges = Seq((5L, 6L), (6L, 7L), (9L, 8L)).toDF("a", "b")
