@@ -434,6 +434,26 @@ object RelationalQueries2 {
         .orderBy(col("l_orderkey"))
     }),
 
+    // Deterministic salted join (Skew.saltedJoin): the fact side gets a
+    // content-derived salt, the dim side replicates once per salt, and
+    // the join key becomes (key, salt) — a hot fact key spreads over 8
+    // reducers instead of melting one. Salting is pure partitioning:
+    // the aggregated result must hash-match the plain-join oracle.
+    "r_salted_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+          col("l_quantity"))
+      val sup = t(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      graft.operators.Skew.saltedJoin(li, sup, "l_suppkey", "s_suppkey",
+          saltSource = col("l_orderkey") * 8 + col("l_linenumber"),
+          salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity")).cast("bigint").as("qty"))
+        .orderBy(col("s_nationkey"))
+    }),
+
     // Explicit CROSS JOIN (bounded cartesian — dims only).
     "r_cross_join" -> ((s, d) =>
       t(s, d, "region").select(col("r_name"))
@@ -942,6 +962,12 @@ object RelationalQueries2 {
         |JOIN (SELECT ts FROM events WHERE event_type = 'click') p
         |  ON p.ts >= i.lo AND p.ts <= i.hi
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "r_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |       CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey""".stripMargin,
     "r_bucketed_join" ->
       """SELECT l_orderkey, o_orderdate, count(*) AS n_items,
         |       CAST(sum(l_quantity) AS BIGINT) AS qty
