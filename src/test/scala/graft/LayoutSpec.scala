@@ -63,6 +63,30 @@ class LayoutSpec extends SparkSuite {
       .collect().toSet == rows.toSet)
   }
 
+  test("footer-stats manifest: clustered layout makes narrow ranges " +
+      "skippable; write-order layout is not") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    (0L until 10000L).map(i => ((i * 7919) % 10000, i))
+      .toDF("k", "payload").write.parquet(s"$base/raw")
+    Layout.compact(spark, s"$base/raw", s"$base/clustered", filesOut = 8,
+      clusterBy = Seq("k"))
+    val stats = graft.operators.Stats
+      .parquetFileStats(spark, s"$base/clustered")
+    // the manifest accounts for every row of the column
+    assert(stats.where($"column" === "k")
+      .agg(sum($"rows")).head.getLong(0) == 10000L)
+    // a 1%-of-domain predicate skips (nearly) all clustered files —
+    // range boundaries are sample-based, so allow one straddle
+    val skipClustered = graft.operators.Stats
+      .skippableFiles(spark, s"$base/clustered", "k", 0, 99).count()
+    assert(skipClustered >= 6, s"clustered skippable: $skipClustered/8")
+    // the same predicate skips nothing on the scrambled write order
+    val skipRaw = graft.operators.Stats
+      .skippableFiles(spark, s"$base/raw", "k", 0, 99).count()
+    assert(skipRaw == 0, s"raw skippable: $skipRaw")
+  }
+
   test("compactZOrder fails descriptively on an all-null z-order column") {
     import spark.implicits._
     val base = s"/tmp/graft-layout-${System.nanoTime()}"
