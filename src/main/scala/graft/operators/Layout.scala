@@ -146,6 +146,27 @@ object Layout {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Append a batch into an existing bucketed table (continuous
+    * ingestion). Spark validates the incoming bucket spec against the
+    * catalog's, so the layout — and every downstream shuffle-free
+    * join — survives appends; each append adds one file per non-empty
+    * bucket, which costs the SORTED-scan property (multi-file buckets),
+    * so run [[writeBucketed]] as a compaction rewrite on the cadence
+    * sort elimination is worth it.
+    */
+  def appendBucketed(df: DataFrame, table: String,
+                     buckets: Int, bucketCols: Seq[String],
+                     sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "appendBucketed: need >= 1 bucket column")
+    val aligned = df.repartition(buckets, bucketCols.map(col): _*)
+    val base = aligned.write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val w =
+      if (sortCols.nonEmpty) base.sortBy(sortCols.head, sortCols.tail: _*)
+      else base
+    w.saveAsTable(table)
+  }
+
   /** Data-file count of a parquet directory (what a scan pays for).
     * Listed through the Hadoop FileSystem of the path's scheme, so it
     * works against HDFS/object stores, not just the local FS.

@@ -103,6 +103,51 @@ class ArgMaxRuleSpec extends SparkSuite {
     assert(opt.contains("max_by") && !opt.contains("Window"), opt)
   }
 
+  test("ndv gate reads ANALYZE'd column stats — no measurement I/O (the " +
+      "100 TB path)") {
+    import s2.implicits._
+    val saved = Seq("spark.sql.cbo.enabled",
+      graft.functions.ArgMaxWindowToMaxBy.MaxMeasureBytesKey)
+      .map(k => k -> s2.conf.getOption(k))
+    try {
+      s2.conf.set("spark.sql.cbo.enabled", "true")
+      // forbid the measurement fallback: only catalog stats may decide
+      s2.conf.set(
+        graft.functions.ArgMaxWindowToMaxBy.MaxMeasureBytesKey, "0")
+      def argmaxOf(table: String) = s2.table(table)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"k").orderBy($"v".desc)))
+        .where($"rn" === 1)
+
+      // ~unique keys, ANALYZE'd: stats alone must block the rewrite
+      s2.sql("DROP TABLE IF EXISTS argmax_stats_uniq")
+      (1 to 3000).map(i => (i, i.toDouble)).toDF("k", "v")
+        .write.saveAsTable("argmax_stats_uniq")
+      s2.sql("ANALYZE TABLE argmax_stats_uniq COMPUTE STATISTICS " +
+        "FOR COLUMNS k")
+      val before = graft.functions.ArgMaxWindowToMaxBy.sampleJobs.get
+      val uniq = argmaxOf("argmax_stats_uniq")
+        .queryExecution.optimizedPlan.toString()
+      assert(uniq.contains("row_number") && !uniq.contains("max_by"), uniq)
+
+      // low-cardinality keys, ANALYZE'd: stats alone must enable it
+      s2.sql("DROP TABLE IF EXISTS argmax_stats_few")
+      (1 to 3000).map(i => (i % 20, i.toDouble)).toDF("k", "v")
+        .write.saveAsTable("argmax_stats_few")
+      s2.sql("ANALYZE TABLE argmax_stats_few COMPUTE STATISTICS " +
+        "FOR COLUMNS k")
+      val few = argmaxOf("argmax_stats_few")
+        .queryExecution.optimizedPlan.toString()
+      assert(few.contains("max_by") && !few.contains("Window"), few)
+
+      // both decisions came from the catalog, not a measurement job
+      assert(graft.functions.ArgMaxWindowToMaxBy.sampleJobs.get == before)
+    } finally saved.foreach {
+      case (k, Some(v)) => s2.conf.set(k, v)
+      case (k, None) => s2.conf.unset(k)
+    }
+  }
+
   test("ndv gate decisions are memoized: re-planning never re-measures") {
     import s2.implicits._
     def q() = (1 to 1500).map(i => (i % 11, i, i.toDouble))

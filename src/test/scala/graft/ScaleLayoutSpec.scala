@@ -78,6 +78,31 @@ class ScaleLayoutSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("appendBucketed: layout survives appends — the join is still " +
+      "exchange-free and content is the union") {
+    val base = java.nio.file.Files.createTempDirectory("bktapp").toString
+    val orders = t(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+    graft.operators.Layout.writeBucketed(
+      orders.where($"o_orderkey" % 2 === 0), "b_orders_app",
+      s"$base/orders", buckets = 4, bucketCols = Seq("o_orderkey"))
+    graft.operators.Layout.appendBucketed(
+      orders.where($"o_orderkey" % 2 =!= 0), "b_orders_app",
+      buckets = 4, bucketCols = Seq("o_orderkey"))
+    val li = t(spark, sf0001, "lineitem").select($"l_orderkey")
+    graft.operators.Layout.writeBucketed(li, "b_li_app",
+      s"$base/lineitem", buckets = 4, bucketCols = Seq("l_orderkey"))
+    // full content back: nothing lost or doubled by the append
+    assert(spark.table("b_orders_app").count() == orders.count())
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("b_li_app").join(spark.table("b_orders_app"),
+        $"l_orderkey" === $"o_orderkey")
+      assert(countShuffles(j) == 0)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("writeBucketed writes one file per bucket (sort-eliminating layout)") {
     val base = java.nio.file.Files.createTempDirectory("bkt1f").toString
     graft.operators.Layout.writeBucketed(
