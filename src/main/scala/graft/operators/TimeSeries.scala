@@ -80,6 +80,45 @@ object TimeSeries {
         attr(lp, leftTime), attr(rp, rightTime)))
   }
 
+  /** Regime-auto as-of join: picks the physical formulation that wins
+    * for the actual side sizes, using the measured crossover (see
+    * r_asof_broadcast vs r_asof_native bench pair):
+    *
+    *  - right fits the session broadcast threshold AND the left side
+    *    outgrows it by `broadcastRatio` (the 100 TB-stream-vs-dimension
+    *    shape) → native broadcast probe: the probe side is never
+    *    shuffled or sorted;
+    *  - otherwise (comparable sides, or a right too big to broadcast) →
+    *    the union+window composition: ONE pipelined shuffle of
+    *    |L|+|R|, which beats both native variants whenever the sides
+    *    are within an order of magnitude of each other.
+    *
+    * Output = left columns ++ right columns (nullable), exactly like
+    * [[asofJoinNative]]; column names must be distinct across sides.
+    * Tie behavior on duplicate right (key, time) is unspecified in
+    * every formulation — pre-deduplicate when tie identity matters.
+    */
+  def asofJoinAuto(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   broadcastRatio: Int = 16): DataFrame = {
+    val lBytes = left.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val threshold = org.apache.spark.sql.internal.SQLConf.get
+      .autoBroadcastJoinThreshold
+    val broadcastRegime = threshold > 0 && rBytes <= threshold &&
+      lBytes >= rBytes * broadcastRatio
+    if (broadcastRegime)
+      asofJoinNative(left, right, leftKey, rightKey, leftTime, rightTime)
+    else {
+      val rightCols = right.columns.toSeq
+      asofJoinLast(left, right, col(leftKey), col(rightKey),
+          col(leftTime), col(rightTime), rightCols)
+        .select(left.columns.map(col) ++
+          rightCols.map(c => col(s"asof_$c").as(c)): _*)
+    }
+  }
+
   /** Last-observation-carried-forward gap fill: `as` = the most recent
     * non-null `value` per `key` in `order` — one window pass (single
     * shuffle on the key), the standard sparse→dense series repair.

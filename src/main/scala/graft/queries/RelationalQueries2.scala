@@ -18,6 +18,7 @@ object RelationalQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_asof_native" -> (asofNative(_, _)),
+    "r_asof_auto" -> (asofAuto(_, _)),
     "r_asof_broadcast" -> (asofBroadcast(_, _)),
     "r_asof_broadcast_win" -> (asofBroadcastWin(_, _)),
 
@@ -609,6 +610,29 @@ object RelationalQueries2 {
     * instead of the union+window composition — the DuckDB native ASOF
     * JOIN hash-checks a custom physical operator end to end.
     */
+  /** The regime-auto entry point over the same shape as r_asof_native —
+    * whichever physical formulation the stats pick, the answer must
+    * hash-match the one DuckDB ASOF oracle.
+    */
+  private def asofAuto(s: SparkSession, d: String): DataFrame = {
+    val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val o = t(s, d, "orders")
+      .withColumn("__rn", row_number().over(dedup))
+      .where(col("__rn") === 1)
+      .select(col("o_custkey").as("k"),
+        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_orderkey").as("asof_o_orderkey"),
+        col("o_totalprice").as("asof_o_totalprice"))
+    val e = t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    graft.operators.TimeSeries.asofJoinAuto(e, o,
+        "user_id", "k", "ts", "rt")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_o_orderkey"), col("asof_o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   private def asofNative(s: SparkSession, d: String): DataFrame = {
     // dedup via the natural row_number() idiom: with ~unique
     // (custkey, orderdate) groups the ArgMax max_by rewrite would be
@@ -764,6 +788,17 @@ object RelationalQueries2 {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "r_asof_broadcast" -> RelationalQueries2.asofBroadcastOracle,
     "r_asof_broadcast_win" -> RelationalQueries2.asofBroadcastOracle,
+    "r_asof_auto" ->
+      """WITH o AS (
+        |  SELECT * FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o.o_orderkey AS asof_o_orderkey,
+        |  o.o_totalprice AS asof_o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
     "r_asof_native" ->
       """WITH o AS (
         |  SELECT * FROM orders

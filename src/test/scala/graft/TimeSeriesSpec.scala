@@ -32,6 +32,37 @@ class TimeSeriesSpec extends SparkSuite {
     assert(out("t4").isEmpty) // no quote for key → null
   }
 
+  test("asofJoinAuto: comparable sides plan the window composition, " +
+      "stream-vs-dim plans the broadcast probe — same answers") {
+    import java.sql.Timestamp
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val right = (0L until 80L).map(i => (i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 00:00:00"), s"p$i"))
+      .toDF("rk", "rt", "payload")
+    // comparable: |L| ~ |R| → union+window, no custom node
+    val smallLeft = (0L until 100L).map(i => (i, i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 12:00:00"))).toDF("event_id", "k", "t")
+    val cmp = TimeSeries.asofJoinAuto(smallLeft, right, "k", "rk", "t", "rt")
+    val cmpPlan = cmp.queryExecution.executedPlan.toString
+    assert(!cmpPlan.contains("AsOfJoin") && cmpPlan.contains("Window"),
+      cmpPlan)
+    // stream vs dim: |L| >> |R| → native broadcast probe
+    val bigLeft = (0L until 20000L).map(i => (i, i % 7,
+      ts(f"2024-01-${i % 28 + 1}%02d 12:00:00"))).toDF("event_id", "k", "t")
+    val big = TimeSeries.asofJoinAuto(bigLeft, right, "k", "rk", "t", "rt")
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastAsOfJoin"), bigPlan)
+    // both formulations answer identically on the shared left subset
+    val native = TimeSeries
+      .asofJoinNative(smallLeft, right, "k", "rk", "t", "rt")
+      .select($"event_id", $"payload")
+      .as[(Long, Option[String])].collect().toMap
+    val auto = cmp.select($"event_id", $"payload")
+      .as[(Long, Option[String])].collect().toMap
+    assert(auto == native)
+  }
+
   test("sessionize: gap splits sessions, 1-based index per key") {
     val ev = Seq(
       (1L, ts("2026-08-12 10:00:00"), 1L),
