@@ -148,11 +148,13 @@ object Layout {
 
   /** Append a batch into an existing bucketed table (continuous
     * ingestion). Spark validates the incoming bucket spec against the
-    * catalog's, so the layout — and every downstream shuffle-free
-    * join — survives appends; each append adds one file per non-empty
-    * bucket, which costs the SORTED-scan property (multi-file buckets),
-    * so run [[writeBucketed]] as a compaction rewrite on the cadence
-    * sort elimination is worth it.
+    * catalog's — `buckets`/`bucketCols`/`sortCols` must match the
+    * creating [[writeBucketed]] call EXACTLY (a sortBy mismatch is an
+    * AnalysisException) — so the layout, and every downstream
+    * shuffle-free join, survives appends; each append adds one file
+    * per non-empty bucket, which costs the SORTED-scan property
+    * (multi-file buckets), so run [[writeBucketed]] as a compaction
+    * rewrite on the cadence sort elimination is worth it.
     */
   def appendBucketed(df: DataFrame, table: String,
                      buckets: Int, bucketCols: Seq[String],

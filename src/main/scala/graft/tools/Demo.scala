@@ -48,6 +48,41 @@ object Demo {
     println("== physical plan of the composed pipeline ==")
     SwellPipeline.full(spark.table("raw.swell_data")).explain("formatted")
 
+    println("== bucketed layout: write, append, shuffle-free self-join ==")
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    graft.operators.Layout.writeBucketed(
+      docs.where(col("doc_id") % 2 === 0), "demo_docs_bkt",
+      "/tmp/graft-demo-warehouse/demo_docs_bkt", buckets = 4,
+      bucketCols = Seq("doc_id"), sortCols = Seq("doc_id"))
+    graft.operators.Layout.appendBucketed(
+      docs.where(col("doc_id") % 2 =!= 0), "demo_docs_bkt",
+      buckets = 4, bucketCols = Seq("doc_id"), sortCols = Seq("doc_id"))
+    val bkt = graft.operators.Layout.readBucketed(spark, "demo_docs_bkt")
+    println(s"bucketed rows: ${bkt.count()} (source ${docs.count()})")
+
+    println("== footer-stats manifest + skipping report ==")
+    docs.orderBy("doc_id").write.mode("overwrite")
+      .parquet("/tmp/graft-demo-warehouse/demo_docs_sorted")
+    graft.operators.Stats.parquetFileStats(spark,
+        "/tmp/graft-demo-warehouse/demo_docs_sorted")
+      .where(col("column") === "doc_id").show(5, 80)
+
+    println("== regime-auto as-of join (events vs tiny dim history) ==")
+    // events.parquet carries ns timestamps: read as long + convert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val evTs = ev.select(col("event_id"), col("user_id"),
+      org.apache.spark.sql.functions.timestamp_micros(
+        expr("ts div 1000")).as("ts"))
+    val hist = evTs.groupBy((col("user_id") % 5).as("hk"))
+      .agg(min(col("ts")).as("ht")).withColumn("rate", col("hk") * 10)
+    graft.operators.TimeSeries.asofJoinAuto(
+        evTs.withColumn("k5", col("user_id") % 5), hist,
+        "k5", "hk", "ts", "ht")
+      .select(col("event_id"), col("rate")).show(5)
+
     println("== streaming daily max over the raw table directory ==")
     val rawDir = "/tmp/graft-demo-warehouse/raw.db/swell_data"
     val q = graft.streaming.SwellStream
