@@ -122,6 +122,20 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("r_asof_auto picks the window composition at test scale " +
+      "(comparable sides — no custom node, no broadcast job)") {
+    val p = plan("r_asof_auto")
+    assert(!p.contains("AsOfJoin") && p.contains("Window"), p.take(800))
+  }
+
+  test("r_salted_join joins on (key, salt) with a hash join, not a " +
+      "nested loop") {
+    val p = plan("r_salted_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      p.take(1200))
+    assert(p.contains("Join"), p.take(400))
+  }
+
   test("native MinHash/SimHash signatures are exchange-free narrow maps") {
     import org.apache.spark.sql.functions.col
     import graft.queries.ParityQueries.t
