@@ -35,7 +35,10 @@ object Stats {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(path)
+    // recursive: partitioned tables nest data files under dt=... dirs
+    val it = fs.listFiles(path, true)
+    val files = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
         f.getLen > 0)
       .map(_.getPath.toString).toSeq

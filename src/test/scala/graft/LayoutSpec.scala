@@ -87,6 +87,16 @@ class LayoutSpec extends SparkSuite {
     assert(skipRaw == 0, s"raw skippable: $skipRaw")
   }
 
+  test("footer-stats manifest lists partitioned layouts recursively") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    (0L until 1000L).map(i => (i % 4, i))
+      .toDF("dt", "v").write.partitionBy("dt").parquet(s"$base/part")
+    val stats = graft.operators.Stats.parquetFileStats(spark, s"$base/part")
+    assert(stats.where($"column" === "v")
+      .agg(sum($"rows")).head.getLong(0) == 1000L)
+  }
+
   test("compactZOrder fails descriptively on an all-null z-order column") {
     import spark.implicits._
     val base = s"/tmp/graft-layout-${System.nanoTime()}"
