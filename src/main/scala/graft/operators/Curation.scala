@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for raw-crawl → training-corpus refinement:
+  * markup extraction, token-window chunking, eval-set decontamination,
+  * and within-document repetition signals (the Gopher-style quality
+  * rules of Rae et al. 2021, §A1.1).
+  *
+  * Scale design: every per-document computation here is a NARROW map —
+  * n-gram sets are built as per-row arrays (no explode→distinct shuffle
+  * for the within-doc signals), so 100 TB of documents stream through
+  * scan-shaped stages. The only shuffles are the ones the semantics
+  * force: the decontamination join (against a broadcast eval-set) and
+  * its per-doc count aggregate.
+  *
+  * Reproducibility: tokenization is `split(text, " ")` and hashing is
+  * never involved — every output is a pure string/integer function of
+  * the document, so results are engine-independent (DuckDB-oracle-
+  * checkable) and stable across reruns/reorderings.
+  */
+object Curation {
+
+  /** Word n-grams as a per-row array (space tokenization, empty tokens
+    * kept — the same token algebra as TextAnalysis.tokens). Documents
+    * with fewer than n tokens yield an empty array. Narrow — no shuffle.
+    */
+  def ngramArray(text: Column, n: Int): Column = {
+    require(n >= 1, "n must be >= 1")
+    val toks = split(text, " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Extract visible text from HTML: drop <script>/<style> blocks
+    * wholesale, strip remaining tags, decode the common entities, and
+    * collapse whitespace. Pattern syntax is restricted to the subset
+    * java.util.regex and RE2 interpret identically (explicit character
+    * classes, no backreferences), so extraction is reproducible across
+    * engines — the property a dataset card can actually promise.
+    * Narrow map over the scan; no shuffle.
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)\\s*>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) =>
+        replace(c, lit(ent), lit(ch))
+      }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
+  /** Fixed-size token windows with overlap (stride < chunk ⇒ adjacent
+    * chunks share chunk−stride tokens) — the standard pre-tokenization
+    * sharding step for long documents. One output row per (doc, window
+    * start 0, stride, 2·stride, …); the final window may be short.
+    * Implemented as posexplode over a per-row transform — the chunking
+    * itself is narrow; row count grows by ~len/stride.
+    */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  chunk: Int, stride: Int): DataFrame = {
+    require(chunk >= 1, "chunk must be >= 1")
+    require(stride >= 1, "stride must be >= 1")
+    val toks = split(text, " ")
+    val pieces = transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      s => struct(
+        array_join(slice(toks, s + 1, lit(chunk)), " ").as("chunk"),
+        least(size(toks) - s, lit(chunk)).cast("long").as("n_tok")))
+    df.select(id.as("id"), posexplode(pieces).as(Seq("chunk_id", "__c")))
+      .select(col("id"), col("chunk_id"),
+        col("__c.chunk").as("chunk"), col("__c.n_tok").as("n_tok"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word n-gram with an evaluation set (Brown et al. 2020 §C; n=8..13
+    * in practice — the fixtures' vocabulary is tiny so tests use
+    * smaller n). Returns (id, n_shared) for contaminated documents
+    * only, where n_shared counts the doc's DISTINCT n-grams that occur
+    * anywhere in the eval set.
+    *
+    * Scale: the eval side (benchmarks — thousands of docs) aggregates
+    * to a distinct-gram set and BROADCASTS; the 100 TB train side then
+    * joins map-side with no shuffle of the corpus — the only wide op is
+    * the per-doc count aggregate over the (rare) matches. Per-doc gram
+    * dedup happens in the narrow array domain (array_distinct), not via
+    * a distinct shuffle.
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+                    id: Column, text: Column, n: Int): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(ngramArray(text, n)).as("gram")).distinct()
+    val trainGrams = train
+      .select(id.as("id"), explode(array_distinct(ngramArray(text, n)))
+        .as("gram"))
+    trainGrams.join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Within-document repetition signal: total vs distinct word n-gram
+    * counts and a duplicate-fraction flag (duplicate-gram share >
+    * dupPctMax% ⇒ repetitive — Gopher-style quality rule). Integer
+    * arithmetic only (the flag compares n·100 vs n·pct), so the
+    * decision is bit-reproducible — no float fraction thresholds.
+    * Fully narrow: both counts come from the per-row gram array.
+    */
+  def repetitionStats(df: DataFrame, id: Column, text: Column,
+                      n: Int = 3, dupPctMax: Int = 20): DataFrame = {
+    require(dupPctMax >= 0 && dupPctMax <= 100, "dupPctMax in [0,100]")
+    val g = ngramArray(text, n)
+    df.select(id.as("id"),
+        size(g).cast("long").as("n_grams"),
+        size(array_distinct(g)).cast("long").as("n_distinct"))
+      .withColumn("is_repetitive",
+        (col("n_grams") - col("n_distinct")) * 100 >
+          col("n_grams") * dupPctMax)
+  }
+}

@@ -255,4 +255,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("int"))
       .where(col("rank") <= k)
   }
+
+  // ---------- embedding quantization ----------
+
+  /** Per-vector max |x| as double — the symmetric-quantization scale
+    * numerator. Left fold over the elements; exact (max has no
+    * rounding), and the float→double widening is value-preserving, so
+    * the result is bit-reproducible on any engine.
+    */
+  def maxAbs(vec: Column): Column =
+    aggregate(vec, lit(0.0),
+      (acc, x) => greatest(acc, abs(x.cast("double"))))
+
+  /** Symmetric int8 quantization: q_i = round(x_i · 127 / maxAbs),
+    * spelled `floor(v + 0.5)` so rounding is half-up everywhere (SQL
+    * `round` is half-up in some engines, half-even in others — the
+    * explicit form removes the ambiguity). The all-zero vector
+    * quantizes to zeros. 4× storage/bandwidth reduction for ANN
+    * shortlisting; dequantize with q·mx/127. Narrow map — at 100 TB
+    * this rides the scan with no shuffle.
+    */
+  def quantizeInt8(vec: Column, mx: Column): Column =
+    when(mx === 0.0, transform(vec, _ => lit(0)))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * 127.0 / mx + 0.5).cast("int")))
 }

@@ -102,6 +102,55 @@ object Training {
       .drop("__sk")
   }
 
+  /** Weighted Bernoulli sample with integer-exact admission: keep a row
+    * iff `fingerprint mod denom < weight`, i.e. with probability
+    * weight/denom, where the fingerprint is the rolling polynomial
+    * content hash (TextAnalysis.fingerprint — engine-independent,
+    * seed-free). Weights are per-row integer columns (cap at denom for
+    * certainty), so quality-weighted / length-weighted corpus sampling
+    * is a pure function of content — stable under re-ingestion and
+    * reproducible on any engine, unlike rand()-based sampling. Narrow
+    * map: a filter over the scan, no shuffle.
+    */
+  def weightedBernoulli(df: DataFrame, content: Column, weight: Column,
+                        denom: Int): DataFrame = {
+    require(denom >= 1, "denom must be >= 1")
+    df.where(pmod(TextAnalysis.fingerprint(content), lit(denom.toLong)) <
+      weight.cast("long"))
+  }
+
+  /** Resample to a target domain mixture: given a positive integer
+    * weight `parts` per stratum (e.g. web:4, books:2, code:1), keep the
+    * largest total N the availability allows at exactly that mixture —
+    * N = min_s floor(n_s · P / p_s) with P = Σ p_s — and admit the
+    * first k_s = floor(p_s · N / P) rows of each stratum in
+    * deterministic (md5(key), key) order. All-integer arithmetic: the
+    * realized mixture is reproducible bit-for-bit, never a float
+    * fraction rounded differently per engine.
+    *
+    * Scale: stratum counts and quotas are an O(#strata) aggregate
+    * broadcast back; the data-side cost is one window rank per stratum
+    * (a single shuffle of the corpus) plus the broadcast quota join.
+    */
+  def mixToTarget(df: DataFrame, stratum: Column, key: Column,
+                  parts: Column): DataFrame = {
+    val counts = df
+      .groupBy(stratum.as("__s"), parts.cast("long").as("__w"))
+      .agg(count(lit(1)).as("__n"))
+    val tot = counts.agg(sum(col("__w")).as("__tp"))
+    val nb = counts.crossJoin(tot)
+      .agg(min(expr("__n * __tp div __w")).as("__nb"),
+        max(col("__tp")).as("__tp"))
+    val quota = counts.crossJoin(broadcast(nb))
+      .select(col("__s"), expr("__w * __nb div __tp").as("__k"))
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string").cast("binary")), key)
+    df.withColumn("__rn", row_number().over(w).cast("long"))
+      .join(broadcast(quota), stratum === col("__s"))
+      .where(col("__rn") <= col("__k"))
+      .drop("__rn", "__s", "__k")
+  }
+
   /** Stratified 1-in-k sample: within each `stratum`, order rows by
     * (md5(key), key) — a deterministic shuffle — and keep the first
     * ceil(n/k). Integer-exact admission test ((rn−1)·k < n), no float

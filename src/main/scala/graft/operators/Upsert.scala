@@ -28,6 +28,63 @@ object Upsert {
     updates.unionByName(untouched)
   }
 
+  /** Type-2 slowly-changing-dimension merge: history-preserving upsert.
+    * `target` carries the dimension plus SCD bookkeeping columns
+    * (`valid_from`, `valid_to`, `is_current`); `updates` carries the
+    * bare business columns. For keys whose tracked attributes changed,
+    * the current row is CLOSED (`valid_to` = effective, `is_current` =
+    * false) and a new current row opens at `effective`; unchanged keys
+    * and prior history pass through untouched; brand-new keys open
+    * their first row. A closed-world `endOfTime` sentinel (not NULL)
+    * keeps `valid_to` totally ordered — BETWEEN probes need no null
+    * branch.
+    *
+    * Shape: the update batch (small, the incremental case) drives
+    * everything — change detection is one join of updates against
+    * current rows, and the changed-key set applies back to the target
+    * via broadcast semi/anti joins. The 100 TB dimension is never
+    * shuffled: every wide op keys on the broadcast changed-key set.
+    * Null-safe change test (`<=>` over a struct of tracked columns), so
+    * NULL→value transitions version correctly.
+    */
+  def scd2Merge(target: DataFrame, updates: DataFrame, key: Seq[String],
+                track: Seq[String], effective: Column,
+                endOfTime: Column): DataFrame = {
+    val biz = updates.columns.toSeq
+    require(key.forall(biz.contains), s"key $key not in update columns")
+    require(track.forall(biz.contains), s"track $track not in updates")
+    val cur = target.where(col("is_current"))
+    val trackStruct = (side: String) =>
+      struct(track.map(c => col(s"$side.$c")): _*)
+    val changed = updates.alias("u")
+      .join(cur.alias("t"), key)
+      .where(!(trackStruct("u") <=> trackStruct("t")))
+      .select(biz.map(c => col(s"u.$c")): _*)
+    val changedKeys = changed.select(key.map(col): _*).distinct()
+    val closed = cur
+      .join(broadcast(changedKeys), key, "left_semi")
+      .withColumn("valid_to", effective)
+      .withColumn("is_current", lit(false))
+    val opened = changed
+      .withColumn("valid_from", effective)
+      .withColumn("valid_to", endOfTime)
+      .withColumn("is_current", lit(true))
+    // New-key probe: the lookup set is the (large) dimension itself, so
+    // no broadcast hint — the planner shuffles the small update batch
+    // against it, and a Layout.writeBucketed dimension makes this anti
+    // join shuffle-free on the dimension side entirely.
+    val firstSeen = updates
+      .join(target.select(key.map(col): _*).distinct(), key, "left_anti")
+      .withColumn("valid_from", effective)
+      .withColumn("valid_to", endOfTime)
+      .withColumn("is_current", lit(true))
+    target.where(!col("is_current"))
+      .unionByName(cur.join(broadcast(changedKeys), key, "left_anti"))
+      .unionByName(closed)
+      .unionByName(opened)
+      .unionByName(firstSeen)
+  }
+
   /** Merge into a catalog table and swap (overwrite). `localCheckpoint`
     * materializes the merge and severs plan lineage — Spark (rightly)
     * refuses to overwrite a table its own plan still reads.

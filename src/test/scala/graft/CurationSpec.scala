@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Similarity, Training, Upsert}
+
+class CurationSpec extends SparkSuite {
+
+  test("stripHtml: blocks, tags, entities, double-escapes, whitespace") {
+    import spark.implicits._
+    val html = Seq(
+      "<html><head><style>p {color:red}</style></head><body>" +
+        "<SCRIPT src=\"x.js\">var a = 1 < 2 && true;</SCRIPT>" +
+        "<h1 class=\"t\">Title</h1><p>a &amp;lt; b &nbsp; c&#39;s" +
+        " &quot;q&quot;</p>\n\t<br/>tail</body></html>").toDF("h")
+    val got = html.select(Curation.stripHtml(col("h"))).as[String].head()
+    // &amp;lt; decodes to the LITERAL "&lt;" (amp last), not "<"
+    assert(got == "Title a &lt; b c's \"q\" tail")
+  }
+
+  test("stripHtml leaves text without markup unchanged modulo ws") {
+    import spark.implicits._
+    val got = Seq("plain  words   here").toDF("t")
+      .select(Curation.stripHtml(col("t"))).as[String].head()
+    assert(got == "plain words here")
+  }
+
+  test("chunkTokens: stride windows with short tail, exact content") {
+    import spark.implicits._
+    val df = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "text")
+    val got = Curation.chunkTokens(df, col("id"), col("text"),
+        chunk = 4, stride = 3)
+      .select(col("chunk_id"), col("chunk"), col("n_tok"))
+      .as[(Int, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, "w1 w2 w3 w4", 4L), (1, "w4 w5 w6 w7", 4L),
+      (2, "w7 w8 w9 w10", 4L), (3, "w10", 1L)))
+  }
+
+  test("ngramArray: short docs yield empty, repeats kept in order") {
+    import spark.implicits._
+    val g = Seq("a b a b", "a b", "").toDF("t")
+      .select(Curation.ngramArray(col("t"), 3)).as[Seq[String]]
+      .collect().toSeq
+    assert(g(0) == Seq("a b a", "b a b"))
+    assert(g(1).isEmpty && g(2).isEmpty)
+  }
+
+  test("decontaminate counts distinct shared grams once per doc") {
+    import spark.implicits._
+    // train doc 1 repeats the contaminated gram twice — counted ONCE;
+    // doc 2 shares nothing; doc 3 shares two distinct grams
+    val train = Seq(
+      (1L, "x y z q x y z"), // "x y z" twice
+      (2L, "p q r s"),
+      (3L, "x y z w a b c")).toDF("id", "text")
+    val ev = Seq((9L, "x y z h a b c")).toDF("id", "text")
+    val got = Curation.decontaminate(train, ev, col("id"), col("text"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 3L -> 2L))
+  }
+
+  test("decontaminate broadcasts the eval gram set") {
+    import spark.implicits._
+    val train = (0L until 100L).map(i => (i, s"a b c d$i")).toDF("id", "text")
+    val ev = Seq((0L, "a b c")).toDF("id", "text")
+    val df = Curation.decontaminate(train, ev, col("id"), col("text"), 3)
+    df.count()
+    val bhj = physicalNodes(df).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj, "eval-set join should be a broadcast hash join")
+  }
+
+  test("repetitionStats flags the 50%-duplicate doc, not the unique one") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a b a b"), (2L, "a b c d e f"))
+      .toDF("id", "text")
+    val got = Curation.repetitionStats(df, col("id"), col("text"),
+        n = 3, dupPctMax = 20)
+      .select(col("id"), col("n_grams"), col("n_distinct"),
+        col("is_repetitive"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 2L, true), (2L, 4L, 4L, false)))
+  }
+
+  test("weightedBernoulli: weight 0 drops all, weight >= denom keeps all") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => s"doc number $i").toDF("text")
+    assert(Training.weightedBernoulli(df, col("text"), lit(0), 100)
+      .count() == 0L)
+    assert(Training.weightedBernoulli(df, col("text"), lit(100), 100)
+      .count() == 50L)
+    // deterministic: same subset both runs
+    val a = Training.weightedBernoulli(df, col("text"), lit(37), 100)
+      .as[String].collect().sorted.toSeq
+    val b = Training.weightedBernoulli(df, col("text"), lit(37), 100)
+      .as[String].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("mixToTarget realizes the exact integer mixture") {
+    import spark.implicits._
+    val df = ((0 until 10).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b"))).toDF("id", "s")
+    // weights a:2 b:1, P=3; N = min(10*3/2, 10*3/1) = 15; quotas 10/5
+    val got = Training.mixToTarget(df, col("s"), col("id"),
+        when(col("s") === "a", 2).otherwise(1))
+      .groupBy(col("s")).count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 10L, "b" -> 5L))
+  }
+
+  test("scd2Merge: change versions, no-op passes, new key opens, " +
+    "history carried, idempotent on re-run") {
+    import spark.implicits._
+    val eot = to_date(lit("9999-12-31"))
+    val target = Seq(
+      // k=1: history row + current row (attr A1)
+      (1L, "A0", "2020-01-01", "2021-01-01", false),
+      (1L, "A1", "2021-01-01", "9999-12-31", true),
+      // k=2: current B, unchanged by the batch
+      (2L, "B", "2020-01-01", "9999-12-31", true),
+      // k=3: current NULL attr — null-safe change to C
+      (3L, null, "2020-01-01", "9999-12-31", true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_from", to_date(col("valid_from")))
+      .withColumn("valid_to", to_date(col("valid_to")))
+    val updates = Seq((1L, "A2"), (2L, "B"), (3L, "C"), (4L, "D"))
+      .toDF("k", "attr")
+    val eff = to_date(lit("2022-06-01"))
+    val merged = Upsert.scd2Merge(target, updates, Seq("k"), Seq("attr"),
+      eff, eot)
+    val rows = merged
+      .select(col("k"), col("attr"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(Long, String, String, String, Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows == Seq(
+      (1L, "A0", "2020-01-01", "2021-01-01", false),
+      (1L, "A1", "2021-01-01", "2022-06-01", false),
+      (1L, "A2", "2022-06-01", "9999-12-31", true),
+      (2L, "B", "2020-01-01", "9999-12-31", true),
+      (3L, null, "2020-01-01", "2022-06-01", false),
+      (3L, "C", "2022-06-01", "9999-12-31", true),
+      (4L, "D", "2022-06-01", "9999-12-31", true)))
+    // idempotence: applying the same batch to the merged state changes
+    // nothing (every key now current at the update's attributes)
+    val again = Upsert.scd2Merge(merged, updates, Seq("k"), Seq("attr"),
+      to_date(lit("2023-01-01")), eot)
+    assert(again.count() == merged.count())
+    assert(again.where(col("valid_from") === "2023-01-01").count() == 0L)
+  }
+
+  test("quantizeInt8: known values, zero vector, round-trip error bound") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f))).toDF("id", "v")
+      .withColumn("mx", Similarity.maxAbs(col("v")))
+      .withColumn("q", Similarity.quantizeInt8(col("v"), col("mx")))
+    val got = df.select(col("id"), col("q")).as[(Long, Seq[Int])]
+      .collect().toMap
+    assert(got(1L) == Seq(127, -63, 32, 0))
+    assert(got(2L) == Seq(0, 0))
+    // dequantized max abs error <= mx/254 + epsilon (half-step)
+    val err = df.where(col("mx") > 0).select(max(aggregate(
+      zip_with(col("v"), col("q"),
+        (x, q) => abs(x.cast("double") - q * col("mx") / 127.0)),
+      lit(0.0), (a, x) => greatest(a, x)))).as[Double].head()
+    assert(err <= 1.0 / 254.0 + 1e-9)
+  }
+}
