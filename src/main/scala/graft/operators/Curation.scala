@@ -102,6 +102,38 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Character trigrams as a per-row array (sliding window over the
+    * raw string, overlapping, multiplicity kept). Texts shorter than 3
+    * chars yield an empty array. Narrow.
+    */
+  def charTrigrams(text: Column): Column =
+    when(length(text) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), length(text) - 3),
+        i => text.substr(i + 1, lit(3))))
+
+  /** Corpus-trained familiarity score — the integer-exact core of
+    * KenLM-style quality filtering: count every char trigram over the
+    * whole corpus, then score each document by the summed corpus
+    * frequency of its own trigram occurrences (`fam`; normalize by
+    * `n_tri` downstream). Low familiarity ⇒ text unlike the corpus
+    * (boilerplate, mojibake, wrong language). Pure counting — no float
+    * log-probs — so scores are bit-reproducible on any engine.
+    *
+    * Scale: the trigram vocabulary is tiny relative to the corpus
+    * (≤ |charset|³ after counting), so the count table BROADCASTS and
+    * the per-doc score is a map-side join + partial aggregate; the only
+    * corpus-sized shuffles carry (doc, trigram) pairs into the two
+    * aggregates. Documents under 3 chars emit no row.
+    */
+  def charTrigramFamiliarity(df: DataFrame, id: Column,
+                             text: Column): DataFrame = {
+    val tri = df.select(id.as("id"), explode(charTrigrams(text)).as("tg"))
+    val counts = tri.groupBy(col("tg")).agg(count(lit(1)).as("c"))
+    tri.join(broadcast(counts), Seq("tg"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tri"), sum(col("c")).as("fam"))
+  }
+
   /** Within-document repetition signal: total vs distinct word n-gram
     * counts and a duplicate-fraction flag (duplicate-gram share >
     * dupPctMax% ⇒ repetitive — Gopher-style quality rule). Integer

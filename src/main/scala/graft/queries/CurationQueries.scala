@@ -111,6 +111,43 @@ object CurationQueries {
         .orderBy(col("c_custkey"), col("valid_from"))
     }),
 
+    // Corpus-trained char-trigram familiarity (KenLM-style quality
+    // scoring with integer-exact counting): rare-trigram docs score
+    // low. Count table broadcasts; corpus shuffles only into the
+    // aggregates.
+    "x_charlm_score" -> ((s, d) =>
+      Curation.charTrigramFamiliarity(t(s, d, "documents"),
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("n_tri"), col("fam"))
+        .orderBy(col("doc_id"))),
+
+    // Flagship curation pipeline as ONE lazy plan: repetition filter →
+    // eval-slice decontamination (drop any doc sharing a 3-gram with
+    // the held-out slice) → 32/24 token chunking → 256-token bin
+    // packing via the distributed prefix sum. Catalyst sees the whole
+    // chain; the oracle replays it as a DuckDB CTE chain.
+    "x_curation_e2e" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      def grams = Curation.ngramArray(col("text"), 3)
+      val nonRep = docs.where(
+        (size(grams) - size(array_distinct(grams))) * 100 <=
+          size(grams) * 20)
+      val train = nonRep.where(col("doc_id") % 97 =!= 0)
+      val evalSet = docs.where(col("doc_id") % 97 === 0)
+      val cont = Curation.decontaminate(train, evalSet,
+          col("doc_id"), col("text"), n = 3)
+        .select(col("id").as("doc_id"))
+      val clean = train.join(broadcast(cont), Seq("doc_id"), "left_anti")
+      val chunks = Curation.chunkTokens(clean, col("doc_id"),
+          col("text"), chunk = 32, stride = 24)
+        .select(col("id").as("doc_id"), col("chunk_id").cast("long"),
+          col("n_tok"))
+      Training.packBins(chunks, Seq(col("doc_id"), col("chunk_id")),
+          col("n_tok"), budget = 256L)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("bin"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // Symmetric int8 quantization of the embedding column: per-vector
     // max-abs scale + half-up rounding, both spelled in the IEEE-double
     // subset every engine computes identically. Output exploded to
@@ -244,6 +281,57 @@ object CurationQueries {
         |  true AS is_current
         |FROM base WHERE c_custkey % 1000 = 1
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "x_charlm_score" ->
+      """WITH tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(length(text) - 2, 0)),
+        |    i -> substr(text, CAST(i + 1 AS INT), 3))) AS tg
+        |  FROM documents
+        |), c AS (
+        |  SELECT tg, count(*) AS c FROM tri GROUP BY 1)
+        |SELECT tri.doc_id, count(*) AS n_tri,
+        |  CAST(sum(c.c) AS BIGINT) AS fam
+        |FROM tri JOIN c USING (tg)
+        |GROUP BY tri.doc_id ORDER BY doc_id""".stripMargin,
+
+    "x_curation_e2e" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, t, list_transform(
+        |    range(0, greatest(len(t) - 2, 0)),
+        |    i -> array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)],
+        |      ' ')) AS gr
+        |  FROM tk
+        |), rep AS (
+        |  SELECT doc_id, t, gr FROM g
+        |  WHERE (len(gr) - len(list_distinct(gr))) * 100 <= len(gr) * 20
+        |), evg AS (
+        |  SELECT DISTINCT unnest(gr) AS gram FROM g WHERE doc_id % 97 = 0
+        |), cont AS (
+        |  SELECT DISTINCT r.doc_id FROM (
+        |    SELECT doc_id, unnest(list_distinct(gr)) AS gram FROM rep
+        |    WHERE doc_id % 97 <> 0) r
+        |  JOIN evg USING (gram)
+        |), clean AS (
+        |  SELECT doc_id, t FROM rep
+        |  WHERE doc_id % 97 <> 0
+        |    AND doc_id NOT IN (SELECT doc_id FROM cont)
+        |), ch AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM clean
+        |), chk AS (
+        |  SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_id,
+        |    CAST(least(len(t) - s, 32) AS BIGINT) AS n_tok
+        |  FROM ch
+        |), c AS (
+        |  SELECT doc_id, chunk_id, n_tok,
+        |    coalesce(sum(n_tok) OVER (ORDER BY doc_id, chunk_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum
+        |  FROM chk)
+        |SELECT doc_id, chunk_id, n_tok, CAST(cum // 256 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     "x_embed_quantize" ->
       """WITH m AS (

@@ -150,6 +150,28 @@ class CurationSpec extends SparkSuite {
     assert(again.where(col("valid_from") === "2023-01-01").count() == 0L)
   }
 
+  test("repetitionStats is exchange-free — a pure scan-shaped map") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.operators.Curation.repetitionStats(
+      docs, col("doc_id"), col("text"))
+    df.count()
+    val shuffles = physicalNodes(df).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles == 0, s"expected narrow plan, saw $shuffles shuffles")
+  }
+
+  test("charTrigramFamiliarity: hand-computed counts on a toy corpus") {
+    import spark.implicits._
+    // trigrams: doc1 "abcd" -> abc, bcd ; doc2 "abce" -> abc, bce
+    // corpus counts: abc=2, bcd=1, bce=1
+    val df = Seq((1L, "abcd"), (2L, "abce"), (3L, "xy")).toDF("id", "t")
+    val got = graft.operators.Curation.charTrigramFamiliarity(
+        df, col("id"), col("t"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 3 (< 3 chars) emits no row; fam(1)=2+1=3, fam(2)=2+1=3
+    assert(got == Seq((1L, 2L, 3L), (2L, 2L, 3L)))
+  }
+
   test("quantizeInt8: known values, zero vector, round-trip error bound") {
     import spark.implicits._
     val df = Seq(
