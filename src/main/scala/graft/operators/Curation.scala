@@ -152,4 +152,24 @@ object Curation {
         (col("n_grams") - col("n_distinct")) * 100 >
           col("n_grams") * dupPctMax)
   }
+
+  /** Row-level provenance: stamp every row with the basename of the
+    * data file it was read from, via the file-source `_metadata`
+    * struct (zero-cost — populated by the scan, no extra I/O).
+    *
+    * Why it matters for training corpora: dataset ablations,
+    * contamination tracebacks, and takedown requests all ask "which
+    * shard did this example come from" — answerable only if lineage is
+    * stamped at ingest and carried through the pipeline. Basename (not
+    * the full URI) so results are stable across mounts/replicas of the
+    * same layout.
+    *
+    * The input must be a direct file-source scan (parquet/json/csv
+    * read) — `_metadata` is resolved by the scan node, not by derived
+    * plans.
+    */
+  def withSourceFile(df: DataFrame,
+                     colName: String = "src_file"): DataFrame =
+    df.withColumn(colName,
+      regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
 }

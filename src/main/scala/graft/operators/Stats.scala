@@ -30,18 +30,26 @@ object Stats {
     * min_num / max_num (doubles for numeric physical types, null
     * otherwise — usable for range-skipping arithmetic in SQL).
     */
-  def parquetFileStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  /** Recursive data-file listing (partitioned tables nest files under
+    * dt=... dirs). Driver-side, O(files) — the same cost any scan's
+    * file index already pays.
+    */
+  private def listParquetFiles(spark: SparkSession,
+                               dir: String): Seq[String] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    // recursive: partitioned tables nest data files under dt=... dirs
     val it = fs.listFiles(path, true)
-    val files = Iterator.continually(it)
+    Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
         f.getLen > 0)
       .map(_.getPath.toString).toSeq
+  }
+
+  def parquetFileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val files = listParquetFiles(spark, dir)
     val confAccess =
       org.apache.spark.sql.GraftSqlBridge.hadoopConfAccessor(spark)
     spark.createDataset(files)
@@ -104,5 +112,40 @@ object Stats {
         (col("max_num") < lo || col("min_num") > hi)) ||
         (col("nulls") >= 0 && col("nulls") === col("rows")))
       .select(col("file"), col("rows"), col("min_num"), col("max_num"))
+  }
+
+  /** Manifest-driven pruned scan: read ONLY the files whose footer
+    * range can intersect `column BETWEEN lo AND hi`, then apply the
+    * predicate row-exactly on the survivors. This is the consuming
+    * side of [[skippableFiles]] — the poor-man's version of what
+    * Delta/Iceberg do from their persisted manifests, available on
+    * plain parquet directories.
+    *
+    * Layout-independent result: pruning only removes files the
+    * predicate provably rejects, so the output hash-matches the same
+    * predicate over a full scan regardless of clustering. The WIN is
+    * layout-dependent: on a range-clustered layout ([[Layout.compact]]
+    * with cluster columns) a narrow predicate reads a handful of files
+    * instead of the table — at 100 TB the difference between a scan
+    * and a lookup.
+    *
+    * Scope: flat (non-hive-partitioned) directories — for partitioned
+    * layouts, partition pruning already does this from the directory
+    * structure; this operator covers the clustering WITHIN files that
+    * partition columns can't express. Footer reads are distributed;
+    * the driver handles only file-name lists.
+    */
+  def readSkipping(spark: SparkSession, dir: String, column: String,
+                   lo: Double, hi: Double): DataFrame = {
+    val all = listParquetFiles(spark, dir)
+    val skip = skippableFiles(spark, dir, column, lo, hi)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val keep = all.filterNot(skip)
+    val pred = col(column) >= lo && col(column) <= hi
+    if (keep.isEmpty)
+      // schema-preserving empty result (every file pruned)
+      spark.read.parquet(dir).where(lit(false))
+    else
+      spark.read.parquet(keep: _*).where(pred)
   }
 }

@@ -160,7 +160,21 @@ object CurationQueries {
             .as(Seq("pos", "qv")))
         .select(col("vec_id"), col("mx"), col("pos").cast("long"),
           col("qv").cast("long"))
-        .orderBy(col("vec_id"), col("pos"))))
+        .orderBy(col("vec_id"), col("pos"))),
+
+    // Row-level provenance (Curation.withSourceFile): every row stamped
+    // with its source data file via the scan's _metadata struct, then
+    // rolled up per file — the lineage that answers "which shard did
+    // this example come from" for ablations and takedowns. The oracle
+    // knows the testdata layout is one file per table, so the basename
+    // is a constant; the multi-file case is spec-checked.
+    "x_provenance" -> ((s, d) =>
+      graft.operators.Curation.withSourceFile(t(s, d, "events"))
+        .groupBy(col("src_file"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"),
+          max(col("event_id")).as("max_id"))
+        .orderBy(col("src_file"))))
 
   val oracleSql: Map[String, String] = Map(
 
@@ -351,5 +365,10 @@ object CurationQueries {
         |SELECT vec_id, mx,
         |  CAST(generate_subscripts(qarr, 1) - 1 AS BIGINT) AS pos,
         |  CAST(unnest(qarr) AS BIGINT) AS qv
-        |FROM q ORDER BY vec_id, pos""".stripMargin)
+        |FROM q ORDER BY vec_id, pos""".stripMargin,
+
+    "x_provenance" ->
+      """SELECT 'events.parquet' AS src_file, count(*) AS n,
+        |  min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY 1 ORDER BY src_file""".stripMargin)
 }

@@ -18,6 +18,7 @@ object RelationalQueries2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r_asof_native" -> (asofNative(_, _)),
+    "r_asof_bucketed" -> (asofBucketed(_, _)),
     "r_asof_auto" -> (asofAuto(_, _)),
     "r_asof_broadcast" -> (asofBroadcast(_, _)),
     "r_asof_broadcast_win" -> (asofBroadcastWin(_, _)),
@@ -657,6 +658,51 @@ object RelationalQueries2 {
       .orderBy(col("event_id"))
   }
 
+  /** The fact⋈fact as-of regime at 100 TB: BOTH sides too big to
+    * broadcast, re-joined every run. Writing probe and reference ONCE
+    * as bucketed tables on the as-of key (sorted by key, time) lets
+    * the native merge as-of consume the bucket layout directly —
+    * AsOfJoinExec's ClusteredDistribution(key) requirement is
+    * satisfied by the bucket scans' HashPartitioning, so neither side
+    * shuffles, and with one file per bucket the sortBy order also
+    * stands in for the merge's (key, time) sort. Machine-asserted in
+    * PlanAssertionsSpec (0 shuffle exchanges below the presentation
+    * sort under the merge regime); the result is layout- and
+    * regime-independent and hash-matches the ASOF JOIN oracle.
+    */
+  private def asofBucketed(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val probeT = s"graft_bkt_asof_events_$tag"
+    val refT = s"graft_bkt_asof_ref_$tag"
+    if (!s.catalog.tableExists(probeT))
+      graft.operators.Layout.writeBucketed(
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("ts")),
+        probeT, s"/tmp/graft_bucketed/$tag/asof_events", buckets = 8,
+        bucketCols = Seq("user_id"), sortCols = Seq("user_id", "ts"))
+    if (!s.catalog.tableExists(refT)) {
+      val dedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val o = t(s, d, "orders")
+        .withColumn("__rn", row_number().over(dedup))
+        .where(col("__rn") === 1)
+        .select(col("o_custkey").as("k"),
+          col("o_orderdate").cast("timestamp").as("rt"),
+          col("o_orderkey").as("asof_o_orderkey"),
+          col("o_totalprice").as("asof_o_totalprice"))
+      graft.operators.Layout.writeBucketed(o, refT,
+        s"/tmp/graft_bucketed/$tag/asof_ref", buckets = 8,
+        bucketCols = Seq("k"), sortCols = Seq("k", "rt"))
+    }
+    graft.operators.TimeSeries.asofJoinNative(
+        graft.operators.Layout.readBucketed(s, probeT),
+        graft.operators.Layout.readBucketed(s, refT),
+        "user_id", "k", "ts", "rt")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_o_orderkey"), col("asof_o_totalprice"))
+      .orderBy(col("event_id"))
+  }
+
   /** The broadcast as-of's DESIGN regime: a big probe stream against a
     * ~150-row reference history. The native operator answers with a
     * broadcast + per-key binary search — the probe side is never
@@ -800,6 +846,17 @@ object RelationalQueries2 {
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
     "r_asof_native" ->
+      """WITH o AS (
+        |  SELECT * FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |    ORDER BY o_orderkey DESC) = 1)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  o.o_orderkey AS asof_o_orderkey,
+        |  o.o_totalprice AS asof_o_totalprice
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "r_asof_bucketed" ->
       """WITH o AS (
         |  SELECT * FROM orders
         |  QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate

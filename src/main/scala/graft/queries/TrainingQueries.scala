@@ -168,6 +168,18 @@ object TrainingQueries {
         .select(col("n_miss"), col("n_exact"))
     }),
 
+    // Manifest-driven pruned scan (Stats.readSkipping): list files,
+    // drop every file whose footer range provably rejects the
+    // predicate, read only the survivors, then filter row-exactly.
+    // Layout-independent result (hash-equal to the full-scan oracle);
+    // the file-count WIN on a range-clustered layout is machine-
+    // checked in LayoutSpec via df.inputFiles.
+    "x_skipping_scan" -> ((s, d) =>
+      graft.operators.Stats.readSkipping(s, s"$d/events.parquet",
+          "value", 100.0, 150.0)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))),
+
     // Incremental derived-layer materialization as a pure plan: table
     // state before a late-arriving batch, plus the touched-date slice
     // recomputed from FULL data, replacing those dates wholesale
@@ -387,6 +399,11 @@ object TrainingQueries {
     "x_embed_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
+
+    "x_skipping_scan" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 100.0 AND value <= 150.0
+        |ORDER BY event_id""".stripMargin,
 
     "x_incremental_overwrite" ->
       """SELECT o_orderdate AS dt, o_orderpriority AS prio,

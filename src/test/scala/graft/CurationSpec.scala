@@ -190,4 +190,30 @@ class CurationSpec extends SparkSuite {
       lit(0.0), (a, x) => greatest(a, x)))).as[Double].head()
     assert(err <= 1.0 / 254.0 + 1e-9)
   }
+
+  test("withSourceFile stamps each row with its own data file across " +
+      "a multi-file layout") {
+    import spark.implicits._
+    val base = s"/tmp/graft-prov-${System.nanoTime()}"
+    // 4 separate append batches -> at least 4 distinct data files
+    (0 until 4).foreach { b =>
+      (0 until 50).map(i => (b * 50L + i, b))
+        .toDF("id", "batch").coalesce(1)
+        .write.mode("append").parquet(base)
+    }
+    val stamped = Curation.withSourceFile(spark.read.parquet(base))
+    // every row of a batch came from exactly one file, and distinct
+    // batches landed in distinct files
+    val perBatch = stamped.groupBy(col("batch"))
+      .agg(countDistinct(col("src_file")).as("nf"))
+      .as[(Int, Long)].collect().toMap
+    assert(perBatch.values.forall(_ == 1L), perBatch.toString)
+    val files = stamped.select(col("src_file")).distinct().count()
+    assert(files == 4, s"distinct src files: $files")
+    // basenames, not URIs
+    assert(stamped.select(col("src_file")).as[String].head()
+      .endsWith(".parquet"))
+    assert(!stamped.select(col("src_file")).as[String].head()
+      .contains("/"))
+  }
 }

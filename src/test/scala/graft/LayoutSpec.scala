@@ -87,6 +87,33 @@ class LayoutSpec extends SparkSuite {
     assert(skipRaw == 0, s"raw skippable: $skipRaw")
   }
 
+  test("readSkipping reads only surviving files on a clustered layout " +
+      "and is layout-independent in its result") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    (0L until 10000L).map(i => ((i * 7919) % 10000, i))
+      .toDF("k", "payload").write.parquet(s"$base/raw")
+    Layout.compact(spark, s"$base/raw", s"$base/clustered", filesOut = 8,
+      clusterBy = Seq("k"))
+    val expected = spark.read.parquet(s"$base/raw")
+      .where($"k" >= 0 && $"k" <= 99).as[(Long, Long)].collect().toSet
+    // clustered: at most the 1-2 straddling files are opened
+    val pruned = graft.operators.Stats
+      .readSkipping(spark, s"$base/clustered", "k", 0, 99)
+    assert(pruned.inputFiles.length <= 2,
+      s"clustered pruned scan opened ${pruned.inputFiles.length} files")
+    assert(pruned.as[(Long, Long)].collect().toSet == expected)
+    // write-order: nothing prunable, but the result is identical
+    val full = graft.operators.Stats
+      .readSkipping(spark, s"$base/raw", "k", 0, 99)
+    assert(full.as[(Long, Long)].collect().toSet == expected)
+    // every file pruned -> schema-preserving empty result
+    val none = graft.operators.Stats
+      .readSkipping(spark, s"$base/clustered", "k", 20000, 30000)
+    assert(none.columns.toSeq == Seq("k", "payload"))
+    assert(none.count() == 0)
+  }
+
   test("footer-stats manifest lists partitioned layouts recursively") {
     import spark.implicits._
     val base = s"/tmp/graft-layout-${System.nanoTime()}"

@@ -122,6 +122,36 @@ class PlanAssertionsSpec extends SparkSuite {
     }
   }
 
+  test("r_asof_bucketed: bucket layout makes the merge-regime as-of " +
+      "join shuffle-free on both sides") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // force the merge regime (at test scale the reference side would
+    // broadcast) and let the one-file-per-bucket sorted scans report
+    // their order, standing in for the merge's (key, time) sorts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    try {
+      val df = SparkEntry.queries("r_asof_bucketed")(spark, sf0001)
+      df.collect() // finalize the AQE plan
+      val nodes = physicalNodes(df)
+      val str = df.queryExecution.executedPlan.toString()
+      assert(str.contains("AsOfJoin"), str.take(800))
+      val shuffles = nodes.count(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles == 1, s"expected only the orderBy shuffle:\n" +
+        str.take(1500))
+      val sorts = nodes.count(_.isInstanceOf[SortExec])
+      assert(sorts == 1, s"expected only the orderBy sort:\n" +
+        str.take(1500))
+      assert(str.contains("SelectedBucketsCount"), str.take(1500))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering")
+    }
+  }
+
   test("r_asof_auto picks the window composition at test scale " +
       "(comparable sides — no custom node, no broadcast job)") {
     val p = plan("r_asof_auto")
