@@ -13,17 +13,23 @@ object Scratch {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = "/root/testdata/sf0.001"
     val qs = graft.SparkEntry.queries
-    for (q <- Seq("x_cc_chain", "x_dedup_clusters", "x_embed_clusters")) {
-      qs(q)(spark, d).count()
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime(); qs(q)(spark, d).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"$q%-22s min=${times.min}%.2f  " +
-        times.map(x => f"$x%.2f").mkString(" "))
+    // drive PlanLint over shipped queries: report + budget assertion
+    for (q <- Seq("q_join_dims", "r_bucketed_join", "x_skipping_scan")) {
+      val df = qs(q)(spark, d)
+      df.collect()
+      println(s"== $q ==")
+      graft.pipeline.PlanLint.report(df).show(20, truncate = false)
     }
+    val agg = graft.queries.ParityQueries.t(spark, d, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")))
+    agg.collect()
+    val r = graft.pipeline.PlanLint.assertBudget(agg,
+      graft.pipeline.PlanLint.Budget(maxShuffles = 1,
+        allowUnprunedScan = false))
+    println(s"budget ok: $r")
     spark.stop()
   }
 }

@@ -31,17 +31,10 @@ trait SparkSuite extends AnyFunSuite {
   /** Every physical node of an EXECUTED plan, descending into AQE query
     * stages — plain `plan.collect` stops at QueryStageExec leaves and
     * silently misses the exchanges inside them (a shuffle count taken
-    * that way reads 0 on any adaptive plan).
+    * that way reads 0 on any adaptive plan). Delegates to the shipped
+    * linter's traversal.
     */
   def physicalNodes(df: org.apache.spark.sql.DataFrame)
-      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => p +: walk(a.executedPlan)
-      case q: QueryStageExec => p +: walk(q.plan)
-      case _ => p +: p.children.flatMap(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-  }
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    graft.pipeline.PlanLint.nodes(df)
 }
