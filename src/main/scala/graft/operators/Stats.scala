@@ -114,6 +114,24 @@ object Stats {
       .select(col("file"), col("rows"), col("min_num"), col("max_num"))
   }
 
+  /** String twin of [[skippableFiles]]: files a `column = value`
+    * predicate skips entirely, decided on the footer's string min/max.
+    * Sound because the orderings agree end to end: parquet UTF8 stats,
+    * Spark string comparison, and the manifest round trip are all
+    * unsigned-byte-lexicographic on UTF-8; writer-side stat truncation
+    * only WIDENS the bounds (truncated max is incremented), so a
+    * skipped file provably cannot contain the value.
+    */
+  def skippableFilesEq(spark: SparkSession, dir: String, column: String,
+                       value: String): DataFrame = {
+    parquetFileStats(spark, dir)
+      .where(col("column") === column)
+      .where((col("min_str").isNotNull && col("max_str").isNotNull &&
+        (lit(value) < col("min_str") || lit(value) > col("max_str"))) ||
+        (col("nulls") >= 0 && col("nulls") === col("rows")))
+      .select(col("file"), col("rows"), col("min_str"), col("max_str"))
+  }
+
   /** Manifest-driven pruned scan: read ONLY the files whose footer
     * range can intersect `column BETWEEN lo AND hi`, then apply the
     * predicate row-exactly on the survivors. This is the consuming
@@ -147,5 +165,22 @@ object Stats {
       spark.read.parquet(dir).where(lit(false))
     else
       spark.read.parquet(keep: _*).where(pred)
+  }
+
+  /** Categorical twin of [[readSkipping]]: `column = value` over a
+    * string column, pruning on footer string ranges — the read path
+    * for a corpus clustered by language/source/domain, where a
+    * single-category job should touch only that category's files.
+    */
+  def readSkippingEq(spark: SparkSession, dir: String, column: String,
+                     value: String): DataFrame = {
+    val all = listParquetFiles(spark, dir)
+    val skip = skippableFilesEq(spark, dir, column, value)
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    val keep = all.filterNot(skip)
+    if (keep.isEmpty)
+      spark.read.parquet(dir).where(lit(false))
+    else
+      spark.read.parquet(keep: _*).where(col(column) === value)
   }
 }

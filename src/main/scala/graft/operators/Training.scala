@@ -169,4 +169,29 @@ object Training {
       .where((col("__rn") - 1) * k < col("__n"))
       .drop("__rn", "__n")
   }
+
+  /** Per-group percentile gate: keep the best `keepPct` percent of
+    * rows WITHIN each group, ranked by `score` descending with `id` as
+    * the deterministic tiebreak. The standard corpus-curation move —
+    * "drop the worst 20% of each source by quality score" — expressed
+    * so every engine reproduces the same survivor set: the admission
+    * test is integer (rank·100 ≤ n·keepPct), never a float quantile.
+    *
+    * Scale: one shuffle on the group key (row_number + count share the
+    * window). Exact per-group percentiles are inherently group-global;
+    * when an approximate cut is acceptable at 100 TB, compute
+    * per-group thresholds via approx percentile on an aggregate and
+    * broadcast them back — this exact form is also the oracle for
+    * validating that cheaper path.
+    */
+  def percentileGate(df: DataFrame, group: Column, score: Column,
+                     id: Column, keepPct: Int): DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, "keepPct in [0,100]")
+    val w = Window.partitionBy(group).orderBy(score.desc, id)
+    val cw = Window.partitionBy(group)
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .where(col("__rk") * 100 <= col("__n") * keepPct)
+      .drop("__rk", "__n")
+  }
 }

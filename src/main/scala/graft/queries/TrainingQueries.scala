@@ -168,6 +168,17 @@ object TrainingQueries {
         .select(col("n_miss"), col("n_exact"))
     }),
 
+    // Per-source quality-percentile gate (Training.percentileGate):
+    // keep the best half of each source by stopword-ratio score,
+    // integer admission test (rank*100 <= n*keepPct) with doc_id
+    // tiebreak — "drop the worst X% of each source" reproducibly.
+    "x_quality_gate" -> ((s, d) =>
+      Training.percentileGate(
+          TextAnalysis.withQuality(t(s, d, "documents")),
+          col("source"), col("stop_ratio"), col("doc_id"), keepPct = 50)
+        .select(col("doc_id"), col("source"), col("stop_ratio"))
+        .orderBy(col("doc_id"))),
+
     // Manifest-driven pruned scan (Stats.readSkipping): list files,
     // drop every file whose footer range provably rejects the
     // predicate, read only the survivors, then filter row-exactly.
@@ -179,6 +190,16 @@ object TrainingQueries {
           "value", 100.0, 150.0)
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy(col("event_id"))),
+
+    // Categorical pruned scan (Stats.readSkippingEq): single-language
+    // slice of the corpus through footer string-range skipping — on a
+    // lang-clustered layout this touches only that language's files
+    // (machine-checked in LayoutSpec); result is layout-independent.
+    "x_skipping_lang" -> ((s, d) =>
+      graft.operators.Stats.readSkippingEq(s, s"$d/documents.parquet",
+          "lang", "en")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
 
     // Incremental derived-layer materialization as a pure plan: table
     // state before a late-arriving batch, plus the touched-date slice
@@ -400,10 +421,31 @@ object TrainingQueries {
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
 
+    "x_quality_gate" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','it')))
+        |      AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents
+        |), r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY stop_ratio DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q)
+        |SELECT doc_id, source, stop_ratio FROM r
+        |WHERE rk * 100 <= n * 50 ORDER BY doc_id""".stripMargin,
+
     "x_skipping_scan" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value >= 100.0 AND value <= 150.0
         |ORDER BY event_id""".stripMargin,
+
+    "x_skipping_lang" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     "x_incremental_overwrite" ->
       """SELECT o_orderdate AS dt, o_orderpriority AS prio,

@@ -114,6 +114,32 @@ class LayoutSpec extends SparkSuite {
     assert(none.count() == 0)
   }
 
+  test("readSkippingEq prunes a string-clustered layout down to the " +
+      "matching category's files") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    val langs = Seq("de", "en", "es", "fr")
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((0L until 8000L).map(i => (i, langs((i % 4).toInt))))
+      .toDF("id", "lang").write.parquet(s"$base/raw")
+    Layout.compact(spark, s"$base/raw", s"$base/bylang", filesOut = 8,
+      clusterBy = Seq("lang"))
+    val expected = spark.read.parquet(s"$base/raw")
+      .where($"lang" === "en").as[(Long, String)].collect().toSet
+    val pruned = graft.operators.Stats
+      .readSkippingEq(spark, s"$base/bylang", "lang", "en")
+    // 4 uniform categories over 8 files: at most 2 boundary files
+    // beyond the category's own 2
+    assert(pruned.inputFiles.length <= 4,
+      s"opened ${pruned.inputFiles.length} of 8 files")
+    assert(pruned.inputFiles.length < 8)
+    assert(pruned.as[(Long, String)].collect().toSet == expected)
+    // absent category -> everything prunable on the clustered layout
+    val none = graft.operators.Stats
+      .readSkippingEq(spark, s"$base/bylang", "lang", "zz")
+    assert(none.count() == 0)
+  }
+
   test("footer-stats manifest lists partitioned layouts recursively") {
     import spark.implicits._
     val base = s"/tmp/graft-layout-${System.nanoTime()}"

@@ -53,4 +53,22 @@ class TrainingSpec extends SparkSuite {
       .groupBy(col("g")).count().as[(String, Long)].collect().toMap
     assert(got == Map("big" -> 4L, "rare" -> 1L))
   }
+
+  test("percentileGate keeps floor(n*pct/100) best per group with a " +
+      "deterministic tiebreak") {
+    import spark.implicits._
+    // group a: scores 0..9 (10 rows); group b: all-tied scores (4 rows)
+    val df = ((0L until 10L).map(i => (i, "a", i.toDouble)) ++
+      (10L until 14L).map(i => (i, "b", 1.0))).toDF("id", "g", "sc")
+    val got = Training.percentileGate(df, col("g"), col("sc"),
+        col("id"), keepPct = 50)
+      .select(col("id")).as[Long].collect().toSet
+    // a: top 5 scores = ids 5..9; b: ties broken by id asc -> 10, 11
+    assert(got == Set(5L, 6L, 7L, 8L, 9L, 10L, 11L))
+    // keepPct 0 drops everything, 100 keeps everything
+    assert(Training.percentileGate(df, col("g"), col("sc"),
+      col("id"), 0).count() == 0)
+    assert(Training.percentileGate(df, col("g"), col("sc"),
+      col("id"), 100).count() == 14)
+  }
 }
