@@ -119,18 +119,36 @@ object Curation {
     * (boilerplate, mojibake, wrong language). Pure counting — no float
     * log-probs — so scores are bit-reproducible on any engine.
     *
-    * Scale: the trigram vocabulary is tiny relative to the corpus
-    * (≤ |charset|³ after counting), so the count table BROADCASTS and
-    * the per-doc score is a map-side join + partial aggregate; the only
-    * corpus-sized shuffles carry (doc, trigram) pairs into the two
-    * aggregates. Documents under 3 chars emit no row.
+    * Scale: "the trigram vocabulary is tiny" holds for ASCII corpora
+    * but NOT for a multilingual 100 TB crawl — CJK/emoji trigram
+    * vocabularies run to hundreds of millions of entries, an
+    * executor-OOM broadcast. So the join strategy is gated on the
+    * MEASURED vocabulary: the count table is materialized once
+    * (localCheckpoint — it is vocab-sized, not corpus-sized), its row
+    * count decides broadcast vs shuffle-hash join, and the measurement
+    * job is the same aggregation the join needs anyway. `minCount`
+    * optionally frequency-floors the table first (trigrams seen fewer
+    * than minCount times contribute ~nothing to familiarity but
+    * dominate a heavy-tailed vocabulary); with a floor, `n_tri` counts
+    * only the doc's above-floor trigram occurrences — keep the default
+    * 1 for the exact semantics. The corpus side never shuffles beyond
+    * the two aggregates either way.
     */
-  def charTrigramFamiliarity(df: DataFrame, id: Column,
-                             text: Column): DataFrame = {
+  def charTrigramFamiliarity(df: DataFrame, id: Column, text: Column,
+                             minCount: Long = 1L,
+                             broadcastVocabLimit: Long = 4000000L)
+      : DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
     val tri = df.select(id.as("id"), explode(charTrigrams(text)).as("tg"))
-    val counts = tri.groupBy(col("tg")).agg(count(lit(1)).as("c"))
-    tri.join(broadcast(counts), Seq("tg"))
-      .groupBy(col("id"))
+    val all = tri.groupBy(col("tg")).agg(count(lit(1)).as("c"))
+    val counts =
+      (if (minCount > 1) all.where(col("c") >= minCount) else all)
+        .localCheckpoint()
+    val vocab = counts.count()
+    val joined =
+      if (vocab <= broadcastVocabLimit) tri.join(broadcast(counts), Seq("tg"))
+      else tri.join(counts.hint("shuffle_hash"), Seq("tg"))
+    joined.groupBy(col("id"))
       .agg(count(lit(1)).as("n_tri"), sum(col("c")).as("fam"))
   }
 

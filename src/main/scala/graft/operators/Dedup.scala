@@ -226,9 +226,22 @@ object Dedup {
     * to in-bucket pairs, and a (da, db) count gives the intersection.
     * `leftFilter` (a predicate over the da id) bounds the pair space —
     * at scale that's the LSH candidate subset.
+    *
+    * `maxBucket` bounds the in-bucket pair expansion, mirroring
+    * [[minhashCandidates]] / [[embeddingCandidates]]: a shingle shared
+    * by m documents expands m²/2 pairs, so ONE stop-phrase shingle
+    * ("terms of service may") at 100 TB is a job-killing skew task
+    * without the cap. Dropping a df > maxBucket shingle undercounts
+    * `inter` by at most the number of such shingles a pair shares —
+    * for near-dup detection that loss is the right trade: a shingle in
+    * >maxBucket documents is boilerplate carrying ~zero similarity
+    * signal (its presence in both docs says nothing about THEM). Set
+    * maxBucket above the corpus document count to recover the exact
+    * semantics.
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
-                        n: Int, leftFilter: Column => Column): DataFrame = {
+                        n: Int, leftFilter: Column => Column,
+                        maxBucket: Int = 10000): DataFrame = {
     // Single-pass shape: the per-doc distinct-shingle count is computed
     // NARROW (size of the deduped shingle array, before explode) and
     // rides along with every exploded row, so bucket members carry
@@ -248,7 +261,7 @@ object Dedup {
     val members = docs.groupBy(col("sh"))
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
         .as("ms"))
-      .where(size(col("ms")) > 1)
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
     val pairs = members.select(explode(
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.PairCombinationsExpr(

@@ -129,8 +129,16 @@ object Training {
     * fraction rounded differently per engine.
     *
     * Scale: stratum counts and quotas are an O(#strata) aggregate
-    * broadcast back; the data-side cost is one window rank per stratum
-    * (a single shuffle of the corpus) plus the broadcast quota join.
+    * broadcast back. The per-stratum rank is DISTRIBUTED: strata here
+    * are few by construction (web/books/code — 4 to 20 values), so a
+    * `Window.partitionBy(stratum)` would funnel tens of TB through one
+    * reducer per stratum. Instead the corpus is range-partitioned on
+    * the total order (stratum, md5(key), key) via [[withPrefixSum]] —
+    * every partition holds a contiguous SLICE of some stratum — and the
+    * within-stratum rank falls out arithmetically: strata are
+    * contiguous in that order, so rank = global position − the
+    * stratum's first position (an O(#strata) min-aggregate, broadcast
+    * back). No window over the data anywhere in the plan.
     */
   def mixToTarget(df: DataFrame, stratum: Column, key: Column,
                   parts: Column): DataFrame = {
@@ -143,12 +151,16 @@ object Training {
         max(col("__tp")).as("__tp"))
     val quota = counts.crossJoin(broadcast(nb))
       .select(col("__s"), expr("__w * __nb div __tp").as("__k"))
-    val w = Window.partitionBy(stratum)
-      .orderBy(md5(key.cast("string").cast("binary")), key)
-    df.withColumn("__rn", row_number().over(w).cast("long"))
+    val ranked = withPrefixSum(df,
+      Seq(stratum, md5(key.cast("string").cast("binary")), key),
+      lit(1L), "__gpos")
+    val starts = ranked.groupBy(stratum.as("__s2"))
+      .agg(min(col("__gpos")).as("__off"))
+    ranked
       .join(broadcast(quota), stratum === col("__s"))
-      .where(col("__rn") <= col("__k"))
-      .drop("__rn", "__s", "__k")
+      .join(broadcast(starts), stratum === col("__s2"))
+      .where(col("__gpos") - col("__off") < col("__k"))
+      .drop("__gpos", "__s", "__k", "__s2", "__off")
   }
 
   /** Stratified 1-in-k sample: within each `stratum`, order rows by
@@ -193,5 +205,35 @@ object Training {
       .withColumn("__n", count(lit(1)).over(cw))
       .where(col("__rk") * 100 <= col("__n") * keepPct)
       .drop("__rk", "__n")
+  }
+
+  /** The 100 TB production path of [[percentileGate]]: per-group score
+    * thresholds via `approx_percentile` (a mergeable sketch aggregate —
+    * map-side partial, O(#groups × accuracy) state), broadcast back,
+    * then a narrow `score >= threshold` filter. No window, no per-group
+    * sort — the corpus shuffles once into the aggregate and then only
+    * streams through the filter.
+    *
+    * Semantics vs the exact gate: the threshold is the group's
+    * (100−keepPct)th percentile VALUE, and every row at or above it
+    * survives — so ties at the threshold all pass (the exact gate
+    * rank-splits them), and the sketch's rank error (≤ n/accuracy per
+    * group) can shift the boundary by a few rows. When `accuracy`
+    * exceeds the largest group size the sketch holds every value and
+    * the threshold is an exact order statistic. [[percentileGate]] is
+    * the oracle for this path; the shipped disagreement gate
+    * (x_quality_gate_approx_err) machine-checks the bound.
+    */
+  def percentileGateApprox(df: DataFrame, group: Column, score: Column,
+                           keepPct: Int, accuracy: Int = 10000)
+      : DataFrame = {
+    require(keepPct >= 0 && keepPct <= 100, "keepPct in [0,100]")
+    require(accuracy >= 1, "accuracy must be >= 1")
+    val q = (100 - keepPct) / 100.0
+    val th = df.groupBy(group.as("__g"))
+      .agg(percentile_approx(score, lit(q), lit(accuracy)).as("__th"))
+    df.join(broadcast(th), group === col("__g"))
+      .where(score >= col("__th"))
+      .drop("__g", "__th")
   }
 }

@@ -121,6 +121,17 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("n_tri"), col("fam"))
         .orderBy(col("doc_id"))),
 
+    // The same familiarity score through the NON-broadcast arm
+    // (broadcastVocabLimit = 0 forces the shuffle-hash join the
+    // measured-vocab gate picks on a multilingual 100 TB vocabulary) —
+    // hash-equal to x_charlm_score: the gate changes the plan, never
+    // the answer.
+    "x_charlm_shuffle" -> ((s, d) =>
+      Curation.charTrigramFamiliarity(t(s, d, "documents"),
+          col("doc_id"), col("text"), broadcastVocabLimit = 0L)
+        .select(col("id").as("doc_id"), col("n_tri"), col("fam"))
+        .orderBy(col("doc_id"))),
+
     // Flagship curation pipeline as ONE lazy plan: repetition filter →
     // eval-slice decontamination (drop any doc sharing a 3-gram with
     // the held-out slice) → 32/24 token chunking → 256-token bin
@@ -295,6 +306,19 @@ object CurationQueries {
         |  true AS is_current
         |FROM base WHERE c_custkey % 1000 = 1
         |ORDER BY c_custkey, valid_from""".stripMargin,
+
+    "x_charlm_shuffle" ->
+      """WITH tri AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(0, greatest(length(text) - 2, 0)),
+        |    i -> substr(text, CAST(i + 1 AS INT), 3))) AS tg
+        |  FROM documents
+        |), c AS (
+        |  SELECT tg, count(*) AS c FROM tri GROUP BY 1)
+        |SELECT tri.doc_id, count(*) AS n_tri,
+        |  CAST(sum(c.c) AS BIGINT) AS fam
+        |FROM tri JOIN c USING (tg)
+        |GROUP BY tri.doc_id ORDER BY doc_id""".stripMargin,
 
     "x_charlm_score" ->
       """WITH tri AS (

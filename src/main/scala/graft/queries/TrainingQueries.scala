@@ -179,6 +179,41 @@ object TrainingQueries {
         .select(col("doc_id"), col("source"), col("stop_ratio"))
         .orderBy(col("doc_id"))),
 
+    // The 100 TB production path of x_quality_gate: per-source
+    // thresholds via the approx_percentile sketch broadcast back, then
+    // a narrow value filter — no window, no per-group sort. Rows-only
+    // check (the sketch's boundary convention is engine-specific); its
+    // accuracy contract is the oracle-checked gate below.
+    "x_quality_gate_approx" -> ((s, d) =>
+      Training.percentileGateApprox(
+          TextAnalysis.withQuality(t(s, d, "documents")),
+          col("source"), col("stop_ratio"), keepPct = 50)
+        .select(col("doc_id"), col("source"), col("stop_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // Disagreement gate: per source, the approx and exact survivor
+    // sets may differ only at the threshold boundary (value-test ties
+    // all pass; sketch rank error ≤ n/accuracy). Emits sources whose
+    // symmetric difference exceeds max(2, n/20) — expected EMPTY, so
+    // the approximate path ships with an oracle-checked contract
+    // (pattern of x_approx_distinct_err).
+    "x_quality_gate_approx_err" -> ((s, d) => {
+      val q = TextAnalysis.withQuality(t(s, d, "documents"))
+      val exact = Training.percentileGate(q, col("source"),
+          col("stop_ratio"), col("doc_id"), keepPct = 50)
+        .select(col("doc_id"), col("source"))
+      val approx = Training.percentileGateApprox(q, col("source"),
+          col("stop_ratio"), keepPct = 50)
+        .select(col("doc_id"), col("source"))
+      val sizes = q.groupBy(col("source").as("__src"))
+        .agg(count(lit(1)).as("__n"))
+      exact.exceptAll(approx).unionAll(approx.exceptAll(exact))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_diff"))
+        .join(broadcast(sizes), col("source") === col("__src"))
+        .where(col("n_diff") > greatest(lit(2L), col("__n") / 20))
+        .select(col("source"), col("n_diff"))
+    }),
+
     // Manifest-driven pruned scan (Stats.readSkipping): list files,
     // drop every file whose footer range provably rejects the
     // predicate, read only the survivors, then filter row-exactly.
@@ -437,6 +472,10 @@ object TrainingQueries {
         |  FROM q)
         |SELECT doc_id, source, stop_ratio FROM r
         |WHERE rk * 100 <= n * 50 ORDER BY doc_id""".stripMargin,
+
+    "x_quality_gate_approx_err" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_diff
+        |FROM documents GROUP BY 1 HAVING 1 = 0""".stripMargin,
 
     "x_skipping_scan" ->
       """SELECT event_id, user_id, value FROM events

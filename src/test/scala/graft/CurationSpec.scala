@@ -172,6 +172,40 @@ class CurationSpec extends SparkSuite {
     assert(got == Seq((1L, 2L, 3L), (2L, 2L, 3L)))
   }
 
+  test("charTrigramFamiliarity: wide-charset vocab trips the measured " +
+    "gate into the shuffle-join arm, same answer") {
+    import spark.implicits._
+    // synthetic wide-charset corpus: CJK-range codepoints make every
+    // trigram distinct across docs — the vocabulary regime where the
+    // broadcast would OOM an executor at 100 TB
+    val wide = (0 until 40).map { d =>
+      (d.toLong, (0 until 24).map(i =>
+        (0x4E00 + d * 31 + i).toChar).mkString)
+    }.toDF("id", "t")
+    val bArm = Curation.charTrigramFamiliarity(wide, col("id"), col("t"))
+    val sArm = Curation.charTrigramFamiliarity(wide, col("id"), col("t"),
+      broadcastVocabLimit = 10L) // measured vocab (~880) exceeds this
+    val nodes = graft.pipeline.PlanLint.nodes(sArm)
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "vocab over the limit must not broadcast the count table")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]))
+    val b = bArm.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val s = sArm.as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(b == s && b.size == 40)
+  }
+
+  test("charTrigramFamiliarity: minCount floors the vocabulary") {
+    import spark.implicits._
+    val df = Seq((1L, "abcd"), (2L, "abce")).toDF("id", "t")
+    // counts: abc=2, bcd=1, bce=1; floor 2 keeps only abc
+    val got = Curation.charTrigramFamiliarity(df, col("id"), col("t"),
+        minCount = 2L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 1L, 2L), (2L, 1L, 2L)))
+  }
+
   test("quantizeInt8: known values, zero vector, round-trip error bound") {
     import spark.implicits._
     val df = Seq(

@@ -74,6 +74,30 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.contains((0L, 3L)))
   }
 
+  test("ngramJaccardPairs: maxBucket drops stop-shingle buckets, " +
+    "bounding the in-bucket pair expansion") {
+    // adversarial corpus: one 3-gram shared by EVERY doc (the m²/2
+    // blow-up a single stop phrase causes at scale), plus one true
+    // near-dup pair sharing many RARE shingles
+    val adv = ((0 until 30).map(i =>
+        (i.toLong, s"terms of service unique$i filler$i body$i tail$i"))
+      ++ Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    // uncapped: the df=30 stop shingle alone expands 30·29/2 pairs
+    val uncapped = Dedup.ngramJaccardPairs(adv, col("doc_id"),
+      col("text"), n = 3, leftFilter = _ >= 0)
+    assert(uncapped.count() == 30L * 29 / 2 + 1)
+    // capped: the stop-shingle bucket is dropped wholesale; only the
+    // rare-shingle near-dup pair survives, with its jac intact
+    val capped = Dedup.ngramJaccardPairs(adv, col("doc_id"),
+      col("text"), n = 3, leftFilter = _ >= 0, maxBucket = 10)
+      .select($"da", $"db", $"jac").as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
+    assert(math.abs(capped.head._3 - 5.0 / 7.0) < 1e-12)
+  }
+
   test("wordShingles: doc shorter than n yields no shingles") {
     val tiny = Seq((9L, "only two")).toDF("doc_id", "text")
     assert(Dedup.wordShingles(tiny, col("doc_id"), col("text"), 3)

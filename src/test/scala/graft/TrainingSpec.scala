@@ -54,6 +54,38 @@ class TrainingSpec extends SparkSuite {
     assert(got == Map("big" -> 4L, "rare" -> 1L))
   }
 
+  test("mixToTarget: exact integer mixture, matches the window-ranked " +
+      "oracle, and the plan has NO window over the data") {
+    import spark.implicits._
+    // 3 strata with skewed availability: web 60, books 25, code 8;
+    // weights web:4 books:2 code:1 → N = min(60·7/4, 25·7/2, 8·7/1) = 56
+    // → quotas web 32, books 16, code 8
+    val df = ((0L until 60L).map(i => (i, "web")) ++
+      (100L until 125L).map(i => (i, "books")) ++
+      (200L until 208L).map(i => (i, "code"))).toDF("id", "g")
+    val parts = when(col("g") === "web", 4L)
+      .when(col("g") === "books", 2L).otherwise(1L)
+    val out = Training.mixToTarget(df, col("g"), col("id"), parts)
+    // no WindowExec anywhere: the per-stratum rank must be the
+    // range-partitioned prefix count, not a single-reducer window
+    assert(!graft.pipeline.PlanLint.nodes(out).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "mixToTarget must not rank strata through a window")
+    val got = out.select(col("id"), col("g")).as[(Long, String)]
+      .collect().toSet
+    // oracle: the window-ranked formulation on the same order
+    val w = Window.partitionBy(col("g"))
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+    val quotas = Map("web" -> 32, "books" -> 16, "code" -> 8)
+    val expect = df.withColumn("rn", row_number().over(w))
+      .as[(Long, String, Int)].collect()
+      .filter { case (_, g, rn) => rn <= quotas(g) }
+      .map { case (id, g, _) => (id, g) }.toSet
+    assert(got == expect)
+    assert(got.count(_._2 == "web") == 32 &&
+      got.count(_._2 == "books") == 16 && got.count(_._2 == "code") == 8)
+  }
+
   test("percentileGate keeps floor(n*pct/100) best per group with a " +
       "deterministic tiebreak") {
     import spark.implicits._
@@ -70,5 +102,24 @@ class TrainingSpec extends SparkSuite {
       col("id"), 0).count() == 0)
     assert(Training.percentileGate(df, col("g"), col("sc"),
       col("id"), 100).count() == 14)
+  }
+
+  test("percentileGateApprox: threshold filter agrees with the exact " +
+      "gate up to threshold ties, and the plan has no window") {
+    import spark.implicits._
+    val df = ((0L until 10L).map(i => (i, "a", i.toDouble)) ++
+      (10L until 14L).map(i => (i, "b", 1.0))).toDF("id", "g", "sc")
+    val out = Training.percentileGateApprox(df, col("g"), col("sc"),
+      keepPct = 50)
+    assert(!graft.pipeline.PlanLint.nodes(out).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    val got = out.select(col("id")).as[Long].collect().toSet
+    // group a (distinct scores): survivors = exact top-5 modulo one
+    // boundary row; group b (all tied at the threshold VALUE): the
+    // value test keeps all 4 — the documented tie semantics
+    val aGot = got.filter(_ < 10L)
+    assert(aGot.subsetOf(Set(4L, 5L, 6L, 7L, 8L, 9L)) &&
+      Set(5L, 6L, 7L, 8L, 9L).subsetOf(aGot))
+    assert(got.filter(_ >= 10L) == Set(10L, 11L, 12L, 13L))
   }
 }
