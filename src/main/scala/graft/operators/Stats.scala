@@ -47,9 +47,15 @@ object Stats {
       .map(_.getPath.toString).toSeq
   }
 
-  def parquetFileStats(spark: SparkSession, dir: String): DataFrame = {
+  def parquetFileStats(spark: SparkSession, dir: String): DataFrame =
+    statsForFiles(spark, listParquetFiles(spark, dir))
+
+  /** Footer stats for an explicit file list — the unit of incremental
+    * manifest maintenance.
+    */
+  private def statsForFiles(spark: SparkSession,
+                            files: Seq[String]): DataFrame = {
     import spark.implicits._
-    val files = listParquetFiles(spark, dir)
     val confAccess =
       org.apache.spark.sql.GraftSqlBridge.hadoopConfAccessor(spark)
     spark.createDataset(files)
@@ -105,14 +111,20 @@ object Stats {
     * write-order layout almost none are.
     */
   def skippableFiles(spark: SparkSession, dir: String, column: String,
-                     lo: Double, hi: Double): DataFrame = {
-    parquetFileStats(spark, dir)
+                     lo: Double, hi: Double): DataFrame =
+    skippableFilesFrom(parquetFileStats(spark, dir), column, lo, hi)
+
+  /** [[skippableFiles]] over an already-computed stats table — the
+    * form a PERSISTED manifest consumes (no footer sweep).
+    */
+  def skippableFilesFrom(stats: DataFrame, column: String,
+                         lo: Double, hi: Double): DataFrame =
+    stats
       .where(col("column") === column)
       .where((col("min_num").isNotNull && col("max_num").isNotNull &&
         (col("max_num") < lo || col("min_num") > hi)) ||
         (col("nulls") >= 0 && col("nulls") === col("rows")))
       .select(col("file"), col("rows"), col("min_num"), col("max_num"))
-  }
 
   /** String twin of [[skippableFiles]]: files a `column = value`
     * predicate skips entirely, decided on the footer's string min/max.
@@ -123,14 +135,18 @@ object Stats {
     * skipped file provably cannot contain the value.
     */
   def skippableFilesEq(spark: SparkSession, dir: String, column: String,
-                       value: String): DataFrame = {
-    parquetFileStats(spark, dir)
+                       value: String): DataFrame =
+    skippableFilesEqFrom(parquetFileStats(spark, dir), column, value)
+
+  /** [[skippableFilesEq]] over an already-computed stats table. */
+  def skippableFilesEqFrom(stats: DataFrame, column: String,
+                           value: String): DataFrame =
+    stats
       .where(col("column") === column)
       .where((col("min_str").isNotNull && col("max_str").isNotNull &&
         (lit(value) < col("min_str") || lit(value) > col("max_str"))) ||
         (col("nulls") >= 0 && col("nulls") === col("rows")))
       .select(col("file"), col("rows"), col("min_str"), col("max_str"))
-  }
 
   /** Manifest-driven pruned scan: read ONLY the files whose footer
     * range can intersect `column BETWEEN lo AND hi`, then apply the
@@ -154,18 +170,10 @@ object Stats {
     * the driver handles only file-name lists.
     */
   def readSkipping(spark: SparkSession, dir: String, column: String,
-                   lo: Double, hi: Double): DataFrame = {
-    val all = listParquetFiles(spark, dir)
-    val skip = skippableFiles(spark, dir, column, lo, hi)
-      .select(col("file")).collect().map(_.getString(0)).toSet
-    val keep = all.filterNot(skip)
-    val pred = col(column) >= lo && col(column) <= hi
-    if (keep.isEmpty)
-      // schema-preserving empty result (every file pruned)
-      spark.read.parquet(dir).where(lit(false))
-    else
-      spark.read.parquet(keep: _*).where(pred)
-  }
+                   lo: Double, hi: Double): DataFrame =
+    prunedRead(spark, dir,
+      skippableFiles(spark, dir, column, lo, hi),
+      col(column) >= lo && col(column) <= hi)
 
   /** Categorical twin of [[readSkipping]]: `column = value` over a
     * string column, pruning on footer string ranges — the read path
@@ -173,14 +181,99 @@ object Stats {
     * single-category job should touch only that category's files.
     */
   def readSkippingEq(spark: SparkSession, dir: String, column: String,
-                     value: String): DataFrame = {
+                     value: String): DataFrame =
+    prunedRead(spark, dir,
+      skippableFilesEq(spark, dir, column, value),
+      col(column) === value)
+
+  /** Read `dir` minus the files `skippable` names, then apply `pred`
+    * row-exactly. Files the skip report does not mention are ALWAYS
+    * read — so a stale or partial stats source can only lose pruning,
+    * never rows.
+    */
+  private def prunedRead(spark: SparkSession, dir: String,
+                         skippable: DataFrame,
+                         pred: org.apache.spark.sql.Column): DataFrame = {
     val all = listParquetFiles(spark, dir)
-    val skip = skippableFilesEq(spark, dir, column, value)
+    val skip = skippable
       .select(col("file")).collect().map(_.getString(0)).toSet
     val keep = all.filterNot(skip)
     if (keep.isEmpty)
+      // schema-preserving empty result (every file pruned)
       spark.read.parquet(dir).where(lit(false))
     else
-      spark.read.parquet(keep: _*).where(col(column) === value)
+      spark.read.parquet(keep: _*).where(pred)
   }
+
+  // ---------- persisted manifest ----------
+
+  /** The footer-stats manifest PERSISTED as a parquet table — what
+    * Delta/Iceberg keep natively, maintained here for plain parquet
+    * directories. [[parquetFileStats]] recomputed per query is a full
+    * footer sweep + listing every time — minutes of metadata work per
+    * query at 100 TB; the persisted manifest makes pruning a read of
+    * an O(files × columns) table instead.
+    *
+    * Contract: data files are IMMUTABLE once written (the parquet/data
+    * -lake convention — appends add files, compaction writes new ones);
+    * the manifest is keyed by file name, so [[refreshManifest]] carries
+    * existing rows verbatim, reads footers ONLY for files it has not
+    * seen, and drops rows for files that vanished. Consumers treat the
+    * manifest as advisory: [[readSkippingManifest]] never prunes a
+    * file the manifest does not cover, so a stale manifest costs
+    * pruning, never correctness.
+    */
+  def writeManifest(spark: SparkSession, dir: String,
+                    manifestPath: String): Unit = {
+    parquetFileStats(spark, dir).write.mode("overwrite")
+      .parquet(manifestPath)
+    // drop any cached listing of the (just-replaced) manifest files
+    spark.catalog.refreshByPath(manifestPath)
+  }
+
+  /** Incrementally refresh a persisted manifest after appends /
+    * compactions / deletes: footer reads happen only for files not yet
+    * in the manifest. Driver traffic is the file-name lists — the same
+    * O(files) any scan's file index pays.
+    */
+  def refreshManifest(spark: SparkSession, dir: String,
+                      manifestPath: String): Unit = {
+    import spark.implicits._
+    val current = listParquetFiles(spark, dir).toSet
+    val old = spark.read.parquet(manifestPath)
+    val known = old.select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val fresh = (current -- known).toSeq.sorted
+    val kept = old.join(
+      broadcast(spark.createDataset(current.toSeq).toDF("file")),
+      Seq("file"), "left_semi")
+    val refreshed =
+      (if (fresh.isEmpty) kept
+       else kept.unionByName(statsForFiles(spark, fresh)))
+        // manifest-sized, not data-sized: materialize before the
+        // self-overwrite (Spark cannot overwrite a path mid-read)
+        .localCheckpoint()
+    refreshed.write.mode("overwrite").parquet(manifestPath)
+    spark.catalog.refreshByPath(manifestPath)
+  }
+
+  /** [[readSkipping]] through a persisted manifest: no footer sweep,
+    * no listing beyond the one the read itself needs. Files the
+    * manifest does not cover (e.g. appended since the last refresh)
+    * are read unconditionally.
+    */
+  def readSkippingManifest(spark: SparkSession, dir: String,
+                           column: String, lo: Double, hi: Double,
+                           manifestPath: String): DataFrame =
+    prunedRead(spark, dir,
+      skippableFilesFrom(spark.read.parquet(manifestPath), column, lo, hi),
+      col(column) >= lo && col(column) <= hi)
+
+  /** Categorical twin of [[readSkippingManifest]]. */
+  def readSkippingEqManifest(spark: SparkSession, dir: String,
+                             column: String, value: String,
+                             manifestPath: String): DataFrame =
+    prunedRead(spark, dir,
+      skippableFilesEqFrom(spark.read.parquet(manifestPath), column, value),
+      col(column) === value)
 }

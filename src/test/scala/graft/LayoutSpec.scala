@@ -114,6 +114,70 @@ class LayoutSpec extends SparkSuite {
     assert(none.count() == 0)
   }
 
+  test("persisted manifest: incremental refresh reads footers only " +
+      "for NEW files, drops vanished ones, and prunes reads") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    val dir = s"$base/data"
+    val mp = s"$base/manifest"
+    // batch 1: two clustered files over k=0..4999 / 5000..9999
+    (0L until 10000L).map(i => (i, i * 2))
+      .toDF("k", "payload").repartitionByRange(2, $"k")
+      .write.parquet(dir)
+    graft.operators.Stats.writeManifest(spark, dir, mp)
+    val m1 = spark.read.parquet(mp)
+    val files1 = m1.select($"file").distinct().as[String].collect().toSet
+    assert(files1.size == 2)
+    // materialize BEFORE the refresh overwrites the manifest files
+    val victimRows1 = m1.where($"file" === files1.head &&
+      $"column" === "k").select($"rows").as[Long].collect().toSeq
+    // overwrite one existing data file IN PLACE with different content
+    // (violating immutability on purpose): a refresh must NOT re-read
+    // it — name-keyed carry-over is the proof of incrementality
+    val victim = files1.head
+    val tmpSmall = s"$base/small"
+    Seq((999999L, 0L)).toDF("k", "payload").coalesce(1)
+      .write.parquet(tmpSmall)
+    val smallPart = new java.io.File(tmpSmall).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    java.nio.file.Files.copy(smallPart,
+      java.nio.file.Paths.get(new java.net.URI(victim)),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // append batch 2: new file over k=20000..20999
+    (20000L until 21000L).map(i => (i, i)).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    graft.operators.Stats.refreshManifest(spark, dir, mp)
+    val m2 = spark.read.parquet(mp)
+    // carried verbatim: the overwritten file still shows its ORIGINAL
+    // stats (footer not re-read), so rows for k still sum to 10000+1000
+    val oldRows = m2.where($"file" === victim && $"column" === "k")
+      .select($"rows").as[Long].collect()
+    assert(oldRows.toSeq == victimRows1)
+    val files2 = m2.select($"file").distinct().as[String].collect().toSet
+    assert(files2.size == 3 && files1.subsetOf(files2))
+    // vanished files drop out on the next refresh
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(new java.net.URI(victim)))
+    graft.operators.Stats.refreshManifest(spark, dir, mp)
+    val files3 = spark.read.parquet(mp).select($"file").distinct()
+      .as[String].collect().toSet
+    assert(files3 == files2 - victim)
+    // manifest-routed read prunes: k in [20000, 20999] touches ONLY
+    // the appended file (both remaining batch-1 ranges are disjoint)
+    val pruned = graft.operators.Stats.readSkippingManifest(
+      spark, dir, "k", 20000.0, 20999.0, mp)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 file, read ${pruned.inputFiles.length}")
+    assert(pruned.count() == 1000L)
+    // a file the manifest does not cover is NEVER pruned: append one
+    // more batch without refreshing — its rows still arrive
+    (30000L until 30100L).map(i => (i, i)).toDF("k", "payload")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val unseen = graft.operators.Stats.readSkippingManifest(
+      spark, dir, "k", 30000.0, 30099.0, mp)
+    assert(unseen.count() == 100L)
+  }
+
   test("readSkippingEq prunes a string-clustered layout down to the " +
       "matching category's files") {
     import spark.implicits._
