@@ -10,11 +10,16 @@ import org.apache.spark.sql.functions._
   * IMAGE decode is REAL — JDK `javax.imageio` (PNG/JPEG/GIF/BMP), no
   * external dependency: [[decodeImageMeta]] / [[imageMeta]] yield
   * width, height and an exact integer luma sum per image, dead-lettering
-  * undecodable bytes as nulls. Audio/video decode remains STUBBED
-  * (`decodeStub` — no codec libs in this container); its Spark-side
-  * plumbing is real (schema, `Dataset[T]` encoders, partition-iterator
-  * batching, narrow no-shuffle plans), so swapping in a JNI/ffmpeg call
-  * is a one-function change.
+  * undecodable bytes as nulls. AUDIO/VIDEO container METADATA is also
+  * REAL — [[decodeWavMeta]] parses WAV/RIFF headers (channels, sample
+  * rate, bit depth, frame count, duration) and [[decodeMp4Meta]] walks
+  * the MP4 box tree (`moov/mvhd` timescale+duration, `trak/tkhd`
+  * dimensions), both pure-JDK byte arithmetic over the container
+  * headers. Only the SAMPLE/FRAME decode stays stubbed (`decodeStub` —
+  * no codec libs in this container); its Spark-side plumbing is real
+  * (schema, `Dataset[T]` encoders, partition-iterator batching, narrow
+  * no-shuffle plans), so swapping in a JNI/ffmpeg call is a
+  * one-function change.
   */
 object Multimodal {
 
@@ -128,6 +133,206 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  // ---------- audio/video container metadata (pure JDK) ----------
+
+  /** Decoded WAV metadata; all-None = undecodable (dead-letter). */
+  final case class AudioMeta(media_id: Long, channels: Option[Int],
+                             sample_rate: Option[Int], bits: Option[Int],
+                             n_frames: Option[Long],
+                             duration_ms: Option[Long])
+
+  /** Decoded MP4 track metadata; all-None = undecodable. */
+  final case class VideoMeta(media_id: Long, width: Option[Int],
+                             height: Option[Int],
+                             duration_ms: Option[Long])
+
+  /** WAV/RIFF container-header parse — REAL metadata extraction with
+    * zero codec dependency: sample rate, channel count, bit depth, and
+    * frame count are plain little-endian arithmetic over the `fmt ` and
+    * `data` chunk headers (no sample is ever decoded). `duration_ms` is
+    * the integer `frames · 1000 / rate` so results are engine-exact.
+    * `None` for anything malformed — wrong magic, truncated chunks,
+    * zero block-align — never an exception (dead-letter, don't poison
+    * the task).
+    */
+  def decodeWavMeta(payload: Array[Byte]): Option[(Int, Int, Int, Long, Long)] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (payload.length < 44 || fourCC(0) != "RIFF" || fourCC(8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // ch, rate, align, bits
+      var dataSize = -1L
+      while (off + 8 <= payload.length && (fmt.isEmpty || dataSize < 0)) {
+        val id = fourCC(off)
+        val sz = bb.getInt(off + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= payload.length)
+          fmt = Some((bb.getShort(off + 10) & 0xFFFF,
+            bb.getInt(off + 12), bb.getShort(off + 20) & 0xFFFF,
+            bb.getShort(off + 22) & 0xFFFF))
+        else if (id == "data")
+          dataSize = math.min(sz, (payload.length - off - 8).toLong)
+        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+      }
+      fmt match {
+        case Some((ch, rate, align, bits))
+            if dataSize >= 0 && ch > 0 && rate > 0 && align > 0 =>
+          val frames = dataSize / align
+          Some((ch, rate, bits, frames, frames * 1000L / rate))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** MP4 box-tree parse (ISO/IEC 14496-12 subset) — `moov/mvhd` gives
+    * timescale+duration, `moov/trak/tkhd` gives the 16.16-fixed track
+    * width/height; both versions 0 and 1 of the FullBoxes handled. Big-
+    * endian byte arithmetic only; no codec, no frame decode. `None` on
+    * malformed input.
+    */
+  def decodeMp4Meta(payload: Array[Byte]): Option[(Int, Int, Long)] = {
+    def be32(off: Int): Long =
+      ((payload(off) & 0xFFL) << 24) | ((payload(off + 1) & 0xFFL) << 16) |
+        ((payload(off + 2) & 0xFFL) << 8) | (payload(off + 3) & 0xFFL)
+    def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+    def fourCC(off: Int): String =
+      new String(payload, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // find a child box by type within [from, to); returns (payloadOff, end)
+    def findBox(from: Int, to: Int, typ: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val sz = be32(off)
+        if (sz < 8 || off + sz > to) return None
+        if (fourCC(off) == typ) return Some((off + 8, off + sz.toInt))
+        off += sz.toInt
+      }
+      None
+    }
+    try {
+      findBox(0, payload.length, "moov").flatMap { case (mo, mEnd) =>
+        val dur = findBox(mo, mEnd, "mvhd").flatMap { case (o, _) =>
+          val version = payload(o) & 0xFF
+          if (version == 1) Some(be64(o + 24) * 1000L / be32(o + 20))
+          else Some((be32(o + 16) * 1000L) / be32(o + 12))
+        }
+        val wh = findBox(mo, mEnd, "trak").flatMap { case (to, tEnd) =>
+          findBox(to, tEnd, "tkhd").map { case (o, _) =>
+            val version = payload(o) & 0xFF
+            val whOff = o + (if (version == 1) 88 else 76)
+            ((be32(whOff) >> 16).toInt, (be32(whOff + 4) >> 16).toInt)
+          }
+        }
+        for (d <- dur; (w, h) <- wh) yield (w, h, d)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed WAV-metadata extraction over (media_id, payload) —
+    * same narrow per-partition shape as [[imageMeta]].
+    */
+  def audioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeWavMeta(bytes) match {
+          case Some((ch, rate, bits, frames, ms)) =>
+            AudioMeta(id, Some(ch), Some(rate), Some(bits), Some(frames),
+              Some(ms))
+          case None => AudioMeta(id, None, None, None, None, None)
+        }
+      })
+  }
+
+  /** Distributed MP4-metadata extraction. */
+  def videoMeta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        decodeMp4Meta(bytes) match {
+          case Some((w, h, ms)) =>
+            VideoMeta(id, Some(w), Some(h), Some(ms))
+          case None => VideoMeta(id, None, None, None)
+        }
+      })
+  }
+
+  /** Deterministic PCM WAV for id (spec + oracle fixture):
+    * rate 8000·(1 + id mod 3), channels 1 + (id mod 2), 16-bit,
+    * 200 + id mod 100 frames — so the oracle precomputes every decoded
+    * field from id arithmetic alone, and the test round-trips the real
+    * RIFF writer/parser pair.
+    */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val rate = 8000 * (1 + (id % 3).toInt)
+    val channels = 1 + (id % 2).toInt
+    val frames = 200 + (id % 100).toInt
+    val align = channels * 2
+    val dataSize = frames * align
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataSize).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort) // PCM
+      .putShort(channels.toShort).putInt(rate)
+      .putInt(rate * align).putShort(align.toShort).putShort(16.toShort)
+    bb.put("data".getBytes).putInt(dataSize)
+    var i = 0
+    while (i < dataSize) { bb.put(((id * 7 + i) % 256).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Deterministic minimal MP4 (ftyp + moov(mvhd + trak(tkhd))) for id:
+    * timescale 600, duration 600·(5 + id mod 20) + 60·(id mod 7) ticks,
+    * width 320 + 16·(id mod 5), height 240 + 16·(id mod 4).
+    */
+  def syntheticMp4(id: Long): Array[Byte] = {
+    val timescale = 600
+    val duration = 600L * (5 + id % 20) + 60L * (id % 7)
+    val width = 320 + 16 * (id % 5).toInt
+    val height = 240 + 16 * (id % 4).toInt
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+      bb.putInt(8 + payload.length).put(typ.getBytes).put(payload)
+      bb.array()
+    }
+    val mvhd = {
+      val bb = java.nio.ByteBuffer.allocate(100) // version-0 payload
+      bb.putInt(0)                    // version + flags
+        .putInt(0).putInt(0)          // creation, modification
+        .putInt(timescale).putInt(duration.toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0.toShort)
+      bb.position(bb.position() + 8)  // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)           // identity matrix
+      bb.position(bb.position() + 24) // pre_defined
+      bb.putInt(2)                    // next_track_ID
+      bb.array()
+    }
+    val tkhd = {
+      val bb = java.nio.ByteBuffer.allocate(84) // version-0 payload
+      bb.putInt(7)                    // version 0, flags=enabled|in-movie
+        .putInt(0).putInt(0)          // creation, modification
+        .putInt(1).putInt(0)          // track_ID, reserved
+        .putInt(duration.toInt)
+      bb.position(bb.position() + 8)  // reserved
+      bb.putShort(0.toShort).putShort(0.toShort) // layer, alt group
+        .putShort(0.toShort).putShort(0.toShort) // volume, reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(bb.putInt)
+      bb.putInt(width << 16).putInt(height << 16) // 16.16 fixed
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom".getBytes ++
+      Array[Byte](0, 0, 2, 0) ++ "isomiso2".getBytes)
+    val moov = box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+    ftyp ++ moov
   }
 
   /** Frame sampling: chunk the payload into fixed-size frames and keep

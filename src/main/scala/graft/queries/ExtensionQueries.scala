@@ -287,6 +287,45 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio container metadata (WAV/RIFF header arithmetic, no
+    // codec): deterministic PCM WAVs synthesized from doc_id on the
+    // executors, parsed back by Multimodal.audioMeta; every doc_id % 13
+    // payload is truncated garbage and must dead-letter to nulls. The
+    // oracle precomputes all decoded fields (and the null pattern) from
+    // doc_id arithmetic — round-tripping the RIFF writer/parser pair.
+    "x_audio_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 13 == 0) "RIFFbut-truncated".getBytes
+          else Multimodal.syntheticWav(id)))
+        .toDF("media_id", "payload")
+      Multimodal.audioMeta(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("channels"),
+          col("sample_rate"), col("bits"), col("n_frames"),
+          col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // REAL video container metadata (MP4 box-tree walk: moov/mvhd
+    // timescale+duration, trak/tkhd 16.16-fixed dimensions), same
+    // synthesize-and-round-trip pattern; doc_id % 11 payloads are
+    // truncated and dead-letter to nulls.
+    "x_video_meta" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 11 == 0) Multimodal.syntheticMp4(id).take(12)
+          else Multimodal.syntheticMp4(id)))
+        .toDF("media_id", "payload")
+      Multimodal.videoMeta(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"),
+          col("duration_ms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Count-Min heavy hitters (Frequency.heavyHitters): one mergeable-
     // sketch pass + probe-pruned candidates (CMS one-sided error = no
     // false negatives) + exact verify on survivors. Deterministic, so
@@ -606,6 +645,30 @@ object ExtensionQueries {
         |      x -> (doc_id * 31 + x * 7 + y * 13) % 256))))
         |    AS BIGINT) AS luma_sum
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "x_audio_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE CAST(16 AS INT) END AS bits,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE CAST(200 + doc_id % 100 AS BIGINT) END AS n_frames,
+        |  CASE WHEN doc_id % 13 = 0 THEN NULL
+        |    ELSE CAST((200 + doc_id % 100) * 1000
+        |      // (8000 * (1 + doc_id % 3)) AS BIGINT) END AS duration_ms
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "x_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |    ELSE CAST(320 + 16 * (doc_id % 5) AS INT) END AS width,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |    ELSE CAST(240 + 16 * (doc_id % 4) AS INT) END AS height,
+        |  CASE WHEN doc_id % 11 = 0 THEN NULL
+        |    ELSE CAST((600 * (5 + doc_id % 20) + 60 * (doc_id % 7))
+        |      * 1000 // 600 AS BIGINT) END AS duration_ms
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "x_bpe_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,
