@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.PlanLint
+import graft.pipeline.PlanLint.Budget
+
+/** PlanLint over EVERY shipped query: each SparkEntry.queries entry
+  * must stay inside an explicit physical-plan budget (shuffle / sort /
+  * broadcast counts, no cartesian products) — the CI gate that catches
+  * a scale regression (a dropped broadcast hint, a join that degrades
+  * to nested-loop, a new shuffle) at sf0.001 plan-shape cost, before
+  * any big run pays for it.
+  *
+  * Budgets are measured-plus-headroom (survey: graft.tools.PlanSurvey):
+  * tight enough that DOUBLING a query's exchanges fails, loose enough
+  * that AQE/stats jitter does not. Queries allowed a cartesian are the
+  * adjudicated by-design cases: the explicit cross-join query, the
+  * brute-force exact verifiers that license the approximate paths
+  * (cosine top-k baseline, embedding near-dup twin, the three recall
+  * gates), and x_domain_mix's single-row quota cross-joins (bounded by
+  * #strata, never data-sized).
+  */
+class QueryPlanBudgetSpec extends SparkSuite {
+
+  private val default = Budget(maxShuffles = 6, maxSorts = 6,
+    maxBroadcasts = 6, allowCartesian = false)
+
+  /** Per-query overrides; everything not named holds `default`. */
+  private val overrides: Map[String, Budget] = Map(
+    // explicitly a cross join (reference op: unconditioned join)
+    "r_cross_join" -> default.copy(allowCartesian = true),
+    // brute-force exact baselines/verifiers — quadratic BY DESIGN,
+    // they exist to license the LSH/IVF paths
+    "x_cosine_topk" -> default.copy(allowCartesian = true),
+    "x_embed_neardup" -> default.copy(allowCartesian = true),
+    "x_ann_recall_err" -> Budget(maxShuffles = 10, maxSorts = 10,
+      maxBroadcasts = 8, allowCartesian = true),
+    "x_embed_recall_err" -> Budget(maxShuffles = 10, maxSorts = 6,
+      maxBroadcasts = 8, allowCartesian = true),
+    "x_ivf_recall_err" -> Budget(maxShuffles = 12, maxSorts = 10,
+      maxBroadcasts = 8, allowCartesian = true),
+    // quota arithmetic cross-joins against 1-row aggregates
+    "x_domain_mix" -> Budget(maxShuffles = 9, maxSorts = 6,
+      maxBroadcasts = 8, allowCartesian = true),
+    // exact-vs-approx disagreement gate: two gates + exceptAll both ways
+    "x_quality_gate_approx_err" -> Budget(maxShuffles = 10,
+      maxSorts = 6, maxBroadcasts = 8),
+    // SCD2 merge: several broadcast-keyed change-detection joins
+    "r_scd2" -> Budget(maxShuffles = 7, maxSorts = 6, maxBroadcasts = 9),
+    "x_top_terms" -> Budget(maxShuffles = 7, maxSorts = 6,
+      maxBroadcasts = 6),
+    "x_incremental_overwrite" -> Budget(maxShuffles = 7, maxSorts = 6,
+      maxBroadcasts = 6))
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name stays inside its physical-plan budget") {
+      val budget = overrides.getOrElse(name, default)
+      PlanLint.assertBudget(fn(spark, sf0001), budget): Unit
+    }
+  }
+
+  test("the budget actually bites: un-hinted small-dim join with " +
+      "broadcast disabled blows a 1-shuffle budget") {
+    import spark.implicits._
+    val fact = (0L until 1000L).map(i => (i, i % 25)).toDF("id", "k")
+    val dim = (0L until 25L).map(i => (i, s"d$i")).toDF("k", "name")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = fact.join(dim, "k").groupBy($"name").count()
+      val e = intercept[IllegalStateException] {
+        PlanLint.assertBudget(joined, Budget(maxShuffles = 1))
+      }
+      assert(e.getMessage.contains("shuffles"))
+      // the hinted/broadcast form passes the same budget
+      PlanLint.assertBudget(
+        fact.join(broadcast(dim), "k").groupBy($"name").count(),
+        Budget(maxShuffles = 1)): Unit
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
