@@ -47,7 +47,8 @@ object PlanLint {
   }
 
   final case class Report(shuffles: Int, sorts: Int, broadcasts: Int,
-                          cartesians: Int, scans: Seq[ScanInfo]) {
+                          cartesians: Int, scans: Seq[ScanInfo],
+                          globalWindows: Int = 0) {
     def unprunedScans: Seq[ScanInfo] = scans.filter(_.unpruned)
   }
 
@@ -68,7 +69,16 @@ object PlanLint {
       broadcasts = ns.count(_.isInstanceOf[BroadcastExchangeExec]),
       cartesians = ns.count(n => n.isInstanceOf[CartesianProductExec] ||
         n.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      scans = scans)
+      scans = scans,
+      // a window with NO partition spec funnels the whole input through
+      // one task — the single-reducer sort that kills 100 TB jobs
+      globalWindows = ns.count {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          w.partitionSpec.isEmpty
+        case w: org.apache.spark.sql.execution.window
+            .WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _ => false
+      })
   }
 
   /** The report as a DataFrame — joinable with run metadata, writable
@@ -82,7 +92,8 @@ object PlanLint {
       ("shuffles", r.shuffles.toLong, ""),
       ("sorts", r.sorts.toLong, ""),
       ("broadcast_exchanges", r.broadcasts.toLong, ""),
-      ("cartesian_or_nested_loop", r.cartesians.toLong, "")) ++
+      ("cartesian_or_nested_loop", r.cartesians.toLong, ""),
+      ("global_windows", r.globalWindows.toLong, "")) ++
       r.scans.map(s => ("scan_columns_read", s.colsRead.toLong,
         s"${s.table}: ${s.colsRead}/${s.colsTotal}" +
           (if (s.unpruned) " UNPRUNED" else "")))
@@ -97,7 +108,8 @@ object PlanLint {
                           maxSorts: Int = Int.MaxValue,
                           maxBroadcasts: Int = Int.MaxValue,
                           allowCartesian: Boolean = false,
-                          allowUnprunedScan: Boolean = true)
+                          allowUnprunedScan: Boolean = true,
+                          allowGlobalWindow: Boolean = true)
 
   /** Fail fast (IllegalStateException naming every violation, with the
     * offending plan attached) when the plan exceeds its budget. Run it
@@ -116,7 +128,10 @@ object PlanLint {
       (!budget.allowCartesian && r.cartesians > 0) ->
         s"${r.cartesians} cartesian/nested-loop join(s)",
       (!budget.allowUnprunedScan && r.unprunedScans.nonEmpty) ->
-        s"unpruned scan(s): ${r.unprunedScans.map(_.table).mkString(", ")}")
+        s"unpruned scan(s): ${r.unprunedScans.map(_.table).mkString(", ")}",
+      (!budget.allowGlobalWindow && r.globalWindows > 0) ->
+        (s"${r.globalWindows} global (no-partition) window(s) — " +
+          "single-task sort of the whole input"))
       .collect { case (true, msg) => msg }
     if (violations.nonEmpty)
       throw new IllegalStateException(

@@ -21,6 +21,25 @@ class PlanLintSpec extends SparkSuite {
     assert(r.cartesians >= 1)
   }
 
+  test("global (no-partition) windows are flagged; partitioned " +
+      "windows pass") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, i % 5)).toDF("id", "g")
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
+    val global = df.withColumn("rn", row_number().over(w))
+    val ex = intercept[IllegalStateException] {
+      PlanLint.assertBudget(global,
+        PlanLint.Budget(allowGlobalWindow = false))
+    }
+    assert(ex.getMessage.contains("global"), ex.getMessage.take(200))
+    val part = df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy($"g")
+        .orderBy($"id")))
+    val r = PlanLint.assertBudget(part,
+      PlanLint.Budget(allowGlobalWindow = false))
+    assert(r.globalWindows == 0)
+  }
+
   test("shuffle budget counts exchanges inside AQE stages") {
     val agg = t(spark, sf0001, "lineitem")
       .groupBy(col("l_returnflag")).agg(sum(col("l_quantity")).as("q"))

@@ -23,7 +23,8 @@ import graft.pipeline.PlanLint.Budget
 class QueryPlanBudgetSpec extends SparkSuite {
 
   private val default = Budget(maxShuffles = 6, maxSorts = 6,
-    maxBroadcasts = 6, allowCartesian = false)
+    maxBroadcasts = 6, allowCartesian = false,
+    allowGlobalWindow = false)
 
   /** Per-query overrides; everything not named holds `default`. */
   private val overrides: Map[String, Budget] = Map(
