@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{MinHashSigExpr, ShinglesExpr, SimHash64Expr, SimHashFpExpr, VecDot}
+import graft.functions.{CharTrigramsExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, SimHashFpExpr, VecDot}
 
 /** SparkSessionExtensions entry point: exposes the engine's native
   * expressions to SQL users.
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       (args: Seq[Expression]) =>
         ShinglesExpr(args(0), intArg(args(1), "shingle size"))))
+    ext.injectFunction((
+      FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigramsExpr].getName, "char_trigrams"),
+      (args: Seq[Expression]) => CharTrigramsExpr(args(0))))
     ext.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),

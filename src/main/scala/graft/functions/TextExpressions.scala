@@ -50,6 +50,37 @@ case class ShinglesExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Character trigrams: equivalent to
+  * `transform(sequence(0, length(text)-3), i -> substr(text, i+1, 3))`
+  * — overlapping char windows, multiplicity kept, empty for texts
+  * shorter than 3 chars. One compiled loop per row instead of an
+  * interpreted lambda per character position.
+  */
+case class CharTrigramsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_trigrams"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val count = s.numChars() - 2
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        out(i) = s.substringSQL(i + 1, 3)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigramsExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over whitespace tokens, one call per row — replaces an
   * explode + 64-aggregate groupBy (i.e. removes a whole shuffle). Token
   * hash = XXH64(utf8 bytes, seed 42), identical to Spark's

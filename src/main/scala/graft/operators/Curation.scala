@@ -25,13 +25,15 @@ object Curation {
   /** Word n-grams as a per-row array (space tokenization, empty tokens
     * kept — the same token algebra as TextAnalysis.tokens). Documents
     * with fewer than n tokens yield an empty array. Narrow — no shuffle.
+    * Evaluated by the native ShinglesExpr (one compiled loop per row);
+    * the interpreted transform/slice/concat_ws lambda chain it replaces
+    * is ~10× slower per row (NativeExprSpec pins the equivalence).
     */
   def ngramArray(text: Column, n: Int): Column = {
     require(n >= 1, "n must be >= 1")
-    val toks = split(text, " ")
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text), n))
   }
 
   /** Extract visible text from HTML: drop <script>/<style> blocks
@@ -107,9 +109,9 @@ object Curation {
     * chars yield an empty array. Narrow.
     */
   def charTrigrams(text: Column): Column =
-    when(length(text) < 3, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), length(text) - 3),
-        i => text.substr(i + 1, lit(3))))
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.CharTrigramsExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
 
   /** Corpus-trained familiarity score — the integer-exact core of
     * KenLM-style quality filtering: count every char trigram over the
@@ -139,7 +141,11 @@ object Curation {
                              broadcastVocabLimit: Long = 4000000L)
       : DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
-    val tri = df.select(id.as("id"), explode(charTrigrams(text)).as("tg"))
+    // Two corpus passes (count, then score) of per-row-expensive
+    // trigram expansion: make sure a small scan doesn't serialize them
+    // on one task (no-op at scale — see Layout.fanOutSmallScan).
+    val src = Layout.fanOutSmallScan(df.select(id.as("id"), text.as("__t")))
+    val tri = src.select(col("id"), explode(charTrigrams(col("__t"))).as("tg"))
     val all = tri.groupBy(col("tg")).agg(count(lit(1)).as("c"))
     val counts =
       (if (minCount > 1) all.where(col("c") >= minCount) else all)

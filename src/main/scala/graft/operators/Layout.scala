@@ -21,6 +21,22 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Ensure a compute-heavy narrow stage downstream runs with at least
+    * the session's default parallelism. A scan of a few small files —
+    * or one small file: a single parquet row group is unsplittable —
+    * yields fewer partitions than cores, and a per-row-expensive
+    * operator over it (n-gram/trigram expansion, decode) then
+    * serializes on one task while the rest of the cluster idles. When
+    * the input already has >= defaultParallelism partitions (any real
+    * at-scale scan: 100 TB is hundreds of thousands of splits), this
+    * is a NO-OP — the conditional repartition only ever fires on
+    * small inputs, where the shuffle it adds is by construction cheap.
+    */
+  def fanOutSmallScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Rewrite `sourceDir`'s parquet data into `destDir` as ~`filesOut`
     * files of row-count-balanced size, each internally sorted by
     * `clusterBy` (empty = no sort). Returns the rewritten row count.

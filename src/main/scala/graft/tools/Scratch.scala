@@ -1,26 +1,29 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Ad-hoc probe main (contents vary across sessions). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", 4)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val df = (0L until 100L).map(i => (i, i % 5)).toDF("id", "g")
-    val w = org.apache.spark.sql.expressions.Window.orderBy($"id")
-    val global = df.withColumn("rn", row_number().over(w))
-    println(global.queryExecution.executedPlan.toString)
-    println("nodes:")
-    graft.pipeline.PlanLint.nodes(global)
-      .foreach(n => println("  " + n.getClass.getName))
-    println(graft.pipeline.PlanLint.analyze(global))
+    val d = "/root/testdata/sf0.1"
+    val qs = graft.SparkEntry.queries
+    for (q <- Seq("x_charlm_score", "x_charlm_shuffle", "x_curation_e2e",
+        "x_decontaminate", "x_chunk_overlap", "x_repetition")) {
+      val times = (1 to 4).map { _ =>
+        val t0 = System.nanoTime()
+        qs(q)(spark, d).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"TIME $q%-20s " + times.map(t => f"$t%.2f").mkString(" "))
+    }
     spark.stop()
   }
 }

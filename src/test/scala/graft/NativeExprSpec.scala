@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
 import org.apache.spark.sql.functions._
-import graft.functions.{ShinglesExpr, SimHash64Expr}
+import graft.functions.{CharTrigramsExpr, ShinglesExpr, SimHash64Expr}
 import graft.queries.ParityQueries.t
 
 /** The native expressions must match their composable (lambda-based)
@@ -26,6 +26,22 @@ class NativeExprSpec extends SparkSuite {
     assert(diff == 0)
     // edge cases: short doc, empty text, consecutive spaces
     val edge = Seq("one two", "", "a  b  c d", "x y z").toDF("text")
+    val ediff = edge.select(lambdaForm.as("a"), nativeForm.as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(ediff == 0)
+  }
+
+  test("CharTrigramsExpr ≡ sequence/transform/substr lambdas") {
+    val lambdaForm = when(length($"text") < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), length($"text") - 3),
+        i => $"text".substr(i + lit(1), lit(3))))
+    val nativeForm = toColumn(CharTrigramsExpr(toExpression($"text")))
+    val diff = docs.select($"doc_id", lambdaForm.as("a"), nativeForm.as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(diff == 0)
+    // edge cases: short/empty text, multi-byte chars (char not byte windows)
+    val edge = Seq("", "ab", "abc", "abcd", "héllo wörld", "日本語テキスト")
+      .toDF("text")
     val ediff = edge.select(lambdaForm.as("a"), nativeForm.as("b"))
       .where(not($"a" <=> $"b")).count()
     assert(ediff == 0)
