@@ -81,6 +81,47 @@ case class CharTrigramsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Drop exact-match lines from a document in one compiled pass: split on
+  * the LITERAL separator, drop every segment present in `drop` (hash-set
+  * lookup), re-join survivors with the same separator. Returns null when
+  * no line survives (caller filters — the doc was pure boilerplate).
+  *
+  * The drop set ships inside the expression (serialized once per task,
+  * not per row) — the narrow arm of [[graft.operators.Curation.dropFrequentLines]],
+  * used when the measured boilerplate set is small enough to inline.
+  */
+case class DropLinesExpr(child: Expression, sep: String, drop: Array[String])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "drop_lines"
+
+  @transient private lazy val sepRaw = UTF8String.fromString(sep)
+  @transient private lazy val sepPat =
+    UTF8String.fromString(java.util.regex.Pattern.quote(sep))
+  @transient private lazy val dropSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](drop.length * 2 + 1)
+    drop.foreach(d => s.add(UTF8String.fromString(d)))
+    s
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val parts = v.asInstanceOf[UTF8String].split(sepPat, -1)
+    val kept = new java.util.ArrayList[UTF8String](parts.length)
+    var i = 0
+    while (i < parts.length) {
+      if (!dropSet.contains(parts(i))) kept.add(parts(i))
+      i += 1
+    }
+    if (kept.isEmpty) null
+    else UTF8String.concatWs(sepRaw, kept.toArray(new Array[UTF8String](kept.size())): _*)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DropLinesExpr =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over whitespace tokens, one call per row — replaces an
   * explode + 64-aggregate groupBy (i.e. removes a whole shuffle). Token
   * hash = XXH64(utf8 bytes, seed 42), identical to Spark's

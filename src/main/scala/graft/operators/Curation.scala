@@ -104,6 +104,109 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-gated decontamination — identical results to
+    * [[decontaminate]], different 100 TB posture. The exact form
+    * broadcasts the full distinct eval-gram STRING set; a real eval
+    * harness (dozens of benchmarks × 8..13-grams) makes that a
+    * multi-GB broadcast. Here the eval grams fold into a Bloom filter
+    * over xxhash64(gram) (Spark's own BloomFilterAggregate — the
+    * engine's runtime-filter sketch), whose fixed `numBits/8` bytes
+    * ship as a literal: the corpus is pre-filtered map-side by the
+    * sketch, and only the (rare) might-contain survivors flow into an
+    * exact confirm join — a shuffle-hash join, so the exact gram set
+    * is never broadcast at all. False positives cost confirm-join
+    * rows, never rows in the answer; the result is bit-identical to
+    * [[decontaminate]] and shares its oracle.
+    *
+    * The sketch collect is O(numBits/8) driver traffic by construction
+    * (default 4 MiB), independent of eval-set size — the fitCentroids
+    * pattern. Sizing: fpp ≈ 0.6185^(numBits/items); the defaults give
+    * ~2% at 4M distinct grams. Both defaults sit at Spark's
+    * runtime-filter caps (spark.sql.optimizer.runtime.bloomFilter.*).
+    */
+  def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
+                         id: Column, text: Column, n: Int,
+                         expectedGrams: Long = 4000000L,
+                         numBits: Long = 33554432L): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val evalGrams = evalSet
+      .select(explode(ngramArray(text, n)).as("gram")).distinct()
+      .localCheckpoint()
+    // Null sketch (empty eval set) keeps working: might_contain(null)
+    // is null, the filter keeps nothing, and the empty answer matches
+    // the exact form's.
+    val sketch = evalGrams.agg(bridge.toColumn(
+        new BloomFilterAggregate(
+          bridge.toExpression(xxhash64(col("gram"))),
+          Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+        .as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val trainGrams = train
+      .select(id.as("id"), explode(array_distinct(ngramArray(text, n)))
+        .as("gram"))
+    val pre = trainGrams.where(bridge.toColumn(BloomFilterMightContain(
+      Literal.create(sketch, BinaryType),
+      bridge.toExpression(xxhash64(col("gram"))))))
+    pre.join(evalGrams.hint("shuffle_hash"), Seq("gram"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Corpus-level line deduplication (RefinedWeb/C4-style boilerplate
+    * removal): drop every line whose total occurrence count across the
+    * corpus exceeds `maxDf` — navigation chrome, cookie banners,
+    * "subscribe" calls-to-action repeat across millions of pages while
+    * content lines are near-unique. Lines are exact-match segments on
+    * the LITERAL `sep`; surviving lines are re-joined in their
+    * original order; documents with no surviving line (pure
+    * boilerplate) are dropped.
+    *
+    * Scale: pass 1 is the unavoidable line-frequency aggregate
+    * (map-side combine collapses the boilerplate that motivates the
+    * op). The frequent set it yields is boilerplate-sized — small by
+    * the op's own premise — so the MEASURED-size gate (the
+    * charTrigramFamiliarity pattern) inlines it into a narrow
+    * hash-set filter expression: pass 2 is then a pure map with
+    * document order preserved for free — no anti-join, no collect_list
+    * reassembly shuffle, the 100 TB corpus crosses the wire zero more
+    * times. Only when the set exceeds `inlineLimit` (collected via a
+    * limit, so the driver never holds more than that) does it fall
+    * back to the relational form: anti-join on line + ordered re-join
+    * per doc (2 corpus shuffles). Both arms are row-identical.
+    */
+  def dropFrequentLines(df: DataFrame, id: Column, text: Column,
+                        maxDf: Long, sep: String = "\n",
+                        inlineLimit: Int = 100000): DataFrame = {
+    require(maxDf >= 1, "maxDf must be >= 1")
+    val pat = java.util.regex.Pattern.quote(sep)
+    val src = Layout.fanOutSmallScan(df.select(id.as("id"), text.as("__t")))
+    val freq = src
+      .select(explode(split(col("__t"), pat)).as("line"))
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+    val set = freq.select(col("line")).limit(inlineLimit + 1)
+      .collect().map(_.getString(0))
+    if (set.length <= inlineLimit) {
+      val bridge = org.apache.spark.sql.GraftSqlBridge
+      val cleaned = bridge.toColumn(graft.functions.DropLinesExpr(
+        bridge.toExpression(col("__t")), sep, set))
+      src.select(col("id"), cleaned.as("text"))
+        .where(col("text").isNotNull)
+    } else {
+      val lines = src.select(col("id"),
+        posexplode(split(col("__t"), pat)).as(Seq("pos", "line")))
+      lines.join(freq.select(col("line")).hint("shuffle_hash"),
+          Seq("line"), "left_anti")
+        .groupBy(col("id"))
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")), sep).as("text"))
+    }
+  }
+
   /** Character trigrams as a per-row array (sliding window over the
     * raw string, overlapping, multiplicity kept). Texts shorter than 3
     * chars yield an empty array. Narrow.

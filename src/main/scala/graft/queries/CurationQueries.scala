@@ -28,6 +28,18 @@ object CurationQueries {
     lit("</h1><p>"), col("text"),
     lit(" &amp; <b>more</b> &lt;raw&gt;</p></body></html>"))
 
+  /** Multi-line corpus with planted boilerplate for the line-dedup
+    * queries: every doc gains a universal subscribe line, every 7th a
+    * social line, and two per-doc-unique lines. Oracle builds the
+    * identical corpus in SQL.
+    */
+  private def lineDedupCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat_ws("\n", col("text"), lit("subscribe to our newsletter"),
+        when(col("doc_id") % 7 === 0, lit("follow us on social media"))
+          .otherwise(concat(lit("doc "), col("doc_id"))),
+        concat(lit("ref "), col("doc_id"))).as("text"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Visible-text extraction from markup: block-element removal
@@ -59,6 +71,43 @@ object CurationQueries {
         .select(col("id").as("doc_id"), col("n_shared"))
         .orderBy(col("doc_id"))
     }),
+
+    // The same decontamination through the Bloom-gated 100 TB path:
+    // eval grams fold into a 4 MiB sketch literal (never a multi-GB
+    // exact-set broadcast), the corpus pre-filters map-side, and a
+    // shuffle-hash confirm join makes the answer exact — hash-equal to
+    // x_decontaminate by construction, so it shares the oracle.
+    "x_decon_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Curation.decontaminateBloom(
+          docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0),
+          col("doc_id"), col("text"), n = 3)
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // RefinedWeb/C4-style line-level boilerplate removal over a corpus
+    // with planted chrome (a subscribe line on every doc, a social
+    // line on every 7th, unique doc/ref lines): lines occurring > 20
+    // times corpus-wide vanish, content survives in order, measured
+    // small boilerplate set ⇒ the narrow inlined-set arm (zero extra
+    // corpus shuffles).
+    "x_line_dedup" -> ((s, d) =>
+      Curation.dropFrequentLines(lineDedupCorpus(t(s, d, "documents")),
+          col("doc_id"), col("text"), maxDf = 20)
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
+    // The same removal forced through the relational fallback arm
+    // (inlineLimit = 0: anti-join + ordered reassembly — the path a
+    // beyond-inline boilerplate set takes). Hash-equal to x_line_dedup:
+    // the gate changes the plan, never the answer.
+    "x_line_dedup_shuffle" -> ((s, d) =>
+      Curation.dropFrequentLines(lineDedupCorpus(t(s, d, "documents")),
+          col("doc_id"), col("text"), maxDf = 20, inlineLimit = 0)
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
 
     // Gopher-style repetition signal: duplicate 3-gram share > 20% ⇒
     // repetitive. Integer-exact flag, fully narrow.
@@ -187,6 +236,44 @@ object CurationQueries {
           max(col("event_id")).as("max_id"))
         .orderBy(col("src_file"))))
 
+  private val deconSql =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(t) - 2, 0)),
+      |    i -> array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)],
+      |      ' ')))) AS gram
+      |  FROM tk
+      |), ev AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+      |), tr AS (
+      |  SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+      |SELECT tr.doc_id, count(*) AS n_shared
+      |FROM tr JOIN ev USING (gram)
+      |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin
+
+  private val lineDedupSql =
+    """WITH src AS (
+      |  SELECT doc_id, text || chr(10) || 'subscribe to our newsletter'
+      |    || chr(10) || (CASE WHEN doc_id % 7 = 0
+      |      THEN 'follow us on social media'
+      |      ELSE 'doc ' || doc_id END)
+      |    || chr(10) || 'ref ' || doc_id AS text
+      |  FROM documents
+      |), lx AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS l FROM src
+      |), lines AS (
+      |  SELECT doc_id, pos, l[pos] AS line
+      |  FROM lx, LATERAL (SELECT unnest(generate_series(1, len(l)))
+      |    AS pos) p
+      |), freq AS (
+      |  SELECT line FROM lines GROUP BY line HAVING count(*) > 20
+      |)
+      |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+      |FROM lines WHERE line NOT IN (SELECT line FROM freq)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "x_html_strip" ->
@@ -221,22 +308,16 @@ object CurationQueries {
         |  CAST(least(len(t) - s, 32) AS BIGINT) AS n_tok
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
-    "x_decontaminate" ->
-      """WITH tk AS (
-        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        |), g AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(0, greatest(len(t) - 2, 0)),
-        |    i -> array_to_string(t[CAST(i+1 AS INT):CAST(i+3 AS INT)],
-        |      ' ')))) AS gram
-        |  FROM tk
-        |), ev AS (
-        |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
-        |), tr AS (
-        |  SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
-        |SELECT tr.doc_id, count(*) AS n_shared
-        |FROM tr JOIN ev USING (gram)
-        |GROUP BY tr.doc_id ORDER BY doc_id""".stripMargin,
+    "x_decontaminate" -> deconSql,
+
+    // The Bloom-gated path is exact by construction (sketch prefilter
+    // + exact confirm join) — same oracle as x_decontaminate.
+    "x_decon_bloom" -> deconSql,
+
+    "x_line_dedup" -> lineDedupSql,
+
+    // The relational fallback arm answers identically — same oracle.
+    "x_line_dedup_shuffle" -> lineDedupSql,
 
     "x_repetition" ->
       """WITH tk AS (

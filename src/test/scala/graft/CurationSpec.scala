@@ -71,6 +71,83 @@ class CurationSpec extends SparkSuite {
     assert(bhj, "eval-set join should be a broadcast hash join")
   }
 
+  test("decontaminateBloom ≡ decontaminate, even with a 64-bit sketch " +
+      "full of false positives; never broadcasts the exact gram set") {
+    import spark.implicits._
+    val train = (0L until 200L)
+      .map(i => (i, if (i % 5 == 0) s"x y z tail$i" else s"u$i v$i w$i t$i"))
+      .toDF("id", "text")
+    val ev = Seq((9L, "x y z")).toDF("id", "text")
+    val exact = Curation.decontaminate(train, ev, col("id"), col("text"), 3)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Curation.decontaminateBloom(train, ev,
+      col("id"), col("text"), 3)
+    assert(bloom.as[(Long, Long)].collect().toMap == exact)
+    // a 64-bit sketch saturates -> nearly every gram is a might-contain
+    // hit; the exact confirm join still yields the identical answer
+    val tiny = Curation.decontaminateBloom(train, ev,
+      col("id"), col("text"), 3, expectedGrams = 4L, numBits = 64L)
+    assert(tiny.as[(Long, Long)].collect().toMap == exact)
+    // the 100 TB posture: the exact eval-gram set is joined
+    // shuffle-hash, never broadcast
+    val nodes = physicalNodes(bloom)
+    assert(!nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "bloom path must not broadcast the exact gram set")
+    assert(nodes.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]),
+      "confirm join should be shuffle-hash")
+  }
+
+  test("decontaminateBloom: empty eval set yields the empty answer") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d")).toDF("id", "text")
+    val ev = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Curation.decontaminateBloom(train, ev,
+      col("id"), col("text"), 3).count() == 0)
+  }
+
+  test("dropFrequentLines: boilerplate gone, order kept, all-boiler doc " +
+      "dropped, narrow and relational arms row-identical") {
+    import spark.implicits._
+    val docs = (
+      (0L until 30L).map(i => (i, s"intro $i\nSUBSCRIBE\ncontent line $i")) :+
+        (98L, "SUBSCRIBE") :+ // pure boilerplate -> dropped entirely
+        (99L, "keep me\nSUBSCRIBE\nkeep me too")
+      ).toDF("id", "text")
+    val narrow = Curation.dropFrequentLines(docs, col("id"), col("text"),
+      maxDf = 5)
+    val got = narrow.as[(Long, String)].collect().toMap
+    assert(got.size == 31 && !got.contains(98L))
+    assert(got(0L) == "intro 0\ncontent line 0")
+    assert(got(99L) == "keep me\nkeep me too")
+    assert(!got.values.exists(_.contains("SUBSCRIBE")))
+    // relational fallback arm (inlineLimit = 0) answers identically
+    val rel = Curation.dropFrequentLines(docs, col("id"), col("text"),
+      maxDf = 5, inlineLimit = 0)
+    assert(rel.as[(Long, String)].collect().toMap == got)
+    // narrow arm's output side is a pure map: no join, no reassembly
+    // aggregate — at most the fanOutSmallScan round-robin exchange
+    val nNodes = physicalNodes(narrow)
+    assert(nNodes.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) <= 1,
+      "inlined-set arm must not reshuffle the corpus beyond fan-out")
+    assert(!nNodes.exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] ||
+        n.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      "inlined-set arm must not join or aggregate the corpus")
+  }
+
+  test("dropFrequentLines: below-threshold repeats survive") {
+    import spark.implicits._
+    val docs = (0L until 4L).map(i => (i, s"common\nunique $i"))
+      .toDF("id", "text")
+    val got = Curation.dropFrequentLines(docs, col("id"), col("text"),
+        maxDf = 5)
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "common\nunique 1")
+  }
+
   test("repetitionStats flags the 50%-duplicate doc, not the unique one") {
     import spark.implicits._
     val df = Seq((1L, "a b a b a b"), (2L, "a b c d e f"))
