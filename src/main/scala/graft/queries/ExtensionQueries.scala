@@ -277,8 +277,11 @@ object ExtensionQueries {
     // actual PNG codec end to end.
     "x_image_meta" -> ((s, d) => {
       import s.implicits._
-      val media = t(s, d, "documents").where(col("doc_id") < 200)
-        .select(col("doc_id")).as[Long]
+      // PNG encode+decode is per-row expensive: spread the small id
+      // scan across the cores (no-op on an at-scale media table)
+      val media = graft.operators.Layout.fanOutSmallScan(
+          t(s, d, "documents").where(col("doc_id") < 200)
+            .select(col("doc_id"))).as[Long]
         .map(id => (id, Multimodal.syntheticPng(id)))
         .toDF("media_id", "payload")
       Multimodal.imageMeta(s, media).toDF()
