@@ -81,6 +81,67 @@ case class CharTrigramsExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Hashing-trick linear text-classifier inference (the fasttext-style
+  * quality-filter shape): every whitespace token hashes to a feature id
+  * via the oracle-reproducible polynomial fingerprint
+  * (`PolyFp.mix mod weights.length`), and the document score is the sum
+  * of the hashed features' weights — integer arithmetic end to end, so
+  * a DuckDB oracle reproduces scores bit-exactly. One pass over the
+  * document bytes: token fingerprints fold inline (single-byte 0x20
+  * never occurs inside a multi-byte UTF-8 sequence), no token array is
+  * materialized. Empty tokens (split semantics: consecutive spaces)
+  * hash like the empty string, matching the composable
+  * split→transform→aggregate formulation element for element.
+  *
+  * The weight vector is the model: learned weights ship here as a
+  * literal (serialized once per task). Null text scores null.
+  */
+case class LinearTextScoreExpr(child: Expression, weights: Array[Long])
+    extends UnaryExpression with CodegenFallback {
+
+  require(weights.nonEmpty, "weights must be non-empty")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "linear_text_score"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val dim = weights.length
+    val n = s.numBytes
+    var score = 0L
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val b0 = s.getByte(i) & 0xFF
+      if (b0 == 0x20) {
+        score += weights((h % dim).toInt)
+        h = 0L
+        i += 1
+      } else {
+        var cp = 0
+        var len = 1
+        if (b0 < 0x80) cp = b0
+        else if ((b0 & 0xE0) == 0xC0) {
+          cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); len = 2
+        } else if ((b0 & 0xF0) == 0xE0) {
+          cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+            (s.getByte(i + 2) & 0x3F); len = 3
+        } else {
+          cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+            ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
+          len = 4
+        }
+        h = (h * 31 + cp) % PolyFp.Mod
+        i += len
+      }
+    }
+    score += weights((h % dim).toInt)
+    score
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LinearTextScoreExpr =
+    copy(child = newChild)
+}
+
 /** Drop exact-match lines from a document in one compiled pass: split on
   * the LITERAL separator, drop every segment present in `drop` (hash-set
   * lookup), re-join survivors with the same separator. Returns null when

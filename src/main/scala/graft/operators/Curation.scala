@@ -118,16 +118,17 @@ object Curation {
     * rows, never rows in the answer; the result is bit-identical to
     * [[decontaminate]] and shares its oracle.
     *
-    * The sketch collect is O(numBits/8) driver traffic by construction
-    * (default 4 MiB), independent of eval-set size — the fitCentroids
-    * pattern. Sizing: fpp ≈ 0.6185^(numBits/items); the defaults give
-    * ~2% at 4M distinct grams. Both defaults sit at Spark's
-    * runtime-filter caps (spark.sql.optimizer.runtime.bloomFilter.*).
+    * The sketch is sized from the MEASURED distinct eval-gram count
+    * (already materialized for the confirm join): 8 bits per gram
+    * ≈ 2% fpp, never above `maxBits` — so a toy eval set ships
+    * kilobytes while the cap (Spark's runtime-filter default, 8 MiB)
+    * bounds the 100 TB regime. The collect is O(bits/8) driver
+    * traffic by construction — the fitCentroids pattern.
     */
   def decontaminateBloom(train: DataFrame, evalSet: DataFrame,
                          id: Column, text: Column, n: Int,
-                         expectedGrams: Long = 4000000L,
-                         numBits: Long = 33554432L): DataFrame = {
+                         maxItems: Long = 4000000L,
+                         maxBits: Long = 67108864L): DataFrame = {
     val bridge = org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
@@ -135,13 +136,15 @@ object Curation {
     val evalGrams = evalSet
       .select(explode(ngramArray(text, n)).as("gram")).distinct()
       .localCheckpoint()
+    val items = math.max(1L, math.min(evalGrams.count(), maxItems))
+    val bits = math.max(64L, math.min(items * 8L, maxBits))
     // Null sketch (empty eval set) keeps working: might_contain(null)
     // is null, the filter keeps nothing, and the empty answer matches
     // the exact form's.
     val sketch = evalGrams.agg(bridge.toColumn(
         new BloomFilterAggregate(
           bridge.toExpression(xxhash64(col("gram"))),
-          Literal(expectedGrams), Literal(numBits)).toAggregateExpression())
+          Literal(items), Literal(bits)).toAggregateExpression())
         .as("bf"))
       .head.getAs[Array[Byte]]("bf")
     val trainGrams = train

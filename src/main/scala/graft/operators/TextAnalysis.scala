@@ -105,6 +105,28 @@ object TextAnalysis {
       graft.functions.PolyFingerprintExpr(
         org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
 
+  /** Score every document with a hashing-trick linear classifier —
+    * the inference half of a fasttext-style learned quality filter
+    * (the production replacement for [[withQuality]]'s heuristics):
+    * token → polynomial fingerprint → feature id (mod weights.length)
+    * → weight, summed per document. `weights` IS the model; training
+    * happens offline, inference here is a narrow codegen-friendly map
+    * over the corpus — no shuffle, no model service in the loop.
+    * Integer weights keep scores bit-reproducible on any engine (the
+    * DuckDB oracle recomputes them exactly), unlike float dot
+    * products whose sum order would differ. Gate downstream by
+    * comparing `score` against `n_tokens`-scaled integer thresholds.
+    */
+  def linearQualityScore(df: DataFrame, id: Column, text: Column,
+                         weights: Array[Long]): DataFrame = {
+    val score = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.LinearTextScoreExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text), weights))
+    df.select(id.as("id"),
+      size(tokens(text)).cast("long").as("n_tokens"),
+      score.as("score"))
+  }
+
   /** Canonical text normalization: collapse whitespace runs to a single
     * space, trim, lowercase. Run BEFORE exact/near dedup so that
     * whitespace-only variants collapse to one digest. Narrow map,

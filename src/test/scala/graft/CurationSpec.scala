@@ -86,7 +86,7 @@ class CurationSpec extends SparkSuite {
     // a 64-bit sketch saturates -> nearly every gram is a might-contain
     // hit; the exact confirm join still yields the identical answer
     val tiny = Curation.decontaminateBloom(train, ev,
-      col("id"), col("text"), 3, expectedGrams = 4L, numBits = 64L)
+      col("id"), col("text"), 3, maxItems = 4L, maxBits = 64L)
     assert(tiny.as[(Long, Long)].collect().toMap == exact)
     // the 100 TB posture: the exact eval-gram set is joined
     // shuffle-hash, never broadcast

@@ -47,6 +47,32 @@ class NativeExprSpec extends SparkSuite {
     assert(ediff == 0)
   }
 
+  test("LinearTextScoreExpr ≡ explode + per-token fingerprint weight sum; " +
+      "hand values on empty/multi-space/multi-byte") {
+    val weights = Array.tabulate(256)(j =>
+      ((j * 2654435761L + 12345L) % 2003L) - 1001L)
+    val native = graft.operators.TextAnalysis.linearQualityScore(
+      docs, $"doc_id", $"text", weights)
+    val composed = docs
+      .select($"doc_id".as("id"), explode(split($"text", " ")).as("tok"))
+      .withColumn("f", graft.operators.TextAnalysis.fingerprint($"tok"))
+      .withColumn("w", (($"f" % 256) * 2654435761L + 12345L) % 2003L - 1001L)
+      .groupBy($"id").agg(sum($"w").as("score"))
+    val diff = native.as("a").join(composed.as("b"), Seq("id"))
+      .where($"a.score" =!= $"b.score").count()
+    assert(diff == 0)
+    // hand-computed (independent python reference, incl. DuckDB parity):
+    // empty text = one empty token = w(0); consecutive spaces add empty
+    // tokens; é folds as one code point
+    val edge = Seq((0L, "the cat"), (1L, ""), (2L, "a  b"), (3L, "héllo"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.linearQualityScore(
+        edge, $"doc_id", $"text", weights)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 2L, -164L), (1L, 1L, -674L),
+      (2L, 3L, -195L), (3L, 1L, -69L)))
+  }
+
   test("SimHash64Expr ≡ explode + 64 bit-sum aggregates over xxhash64") {
     val tok = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
       .withColumn("h", xxhash64($"tok"))
