@@ -171,6 +171,82 @@ object Dedup {
       .where(col("est_jaccard") >= minEstJaccard)
   }
 
+  /** Incremental near-dup gate for continuous ingestion: drop new-batch
+    * docs whose MinHash signature near-matches (estimated Jaccard ≥
+    * `minEstJaccard`) any doc in the PERSISTED signature store or any
+    * smaller-id doc of the same batch. Returns the surviving new rows.
+    *
+    * `storeSigs` is the (id, sig) output of [[minhashSigsNative]]
+    * persisted for the historical corpus — the point of the operator:
+    * at 100 TB the history is never re-read, re-tokenized, or
+    * re-hashed per batch; a batch pays
+    *  - one map-only signature pass over the NEW docs,
+    *  - one narrow band/bucket projection over the store's sig table
+    *    (k longs per doc, ~0.3% of a text corpus's bytes) filtered
+    *    map-side by a BROADCAST semi-join on the new batch's touched
+    *    (band, bucket) set — no store shuffle anywhere,
+    *  - pair expansion proportional to |touched-bucket members| ×
+    *    |new docs in bucket| — NOT bucket², unlike re-running the
+    *    batch [[minhashCandidates]] over history ∪ batch.
+    * (Persisting the BANDED form bucketed by (band, bucket) would
+    * additionally let file skipping prune the store scan itself —
+    * the same manifest pattern as [[Stats]].)
+    *
+    * Semantics match the batch path exactly: the result equals
+    * [[minhashCandidates]] over history ∪ batch restricted to pairs
+    * whose larger id is new — including the `maxBucket` skew cap,
+    * which here counts the TOTAL (store + new) bucket size. New docs
+    * never displace history (history ids precede batch ids by the
+    * ingestion-order contract, enforced nowhere cheaper than upstream
+    * id assignment).
+    */
+  def minhashIncremental(newDocs: DataFrame, id: Column, text: Column,
+                         storeSigs: DataFrame, n: Int = 3, k: Int = 32,
+                         rowsPerBand: Int = 4,
+                         minEstJaccard: Double = 0.8,
+                         maxBucket: Int = 10000): DataFrame = {
+    val newSigs = minhashSigsNative(newDocs, id, text, n, k)
+    val allSigs = storeSigs.select(col("id"), col("sig"))
+      .unionByName(newSigs)
+    val newBands = lshBuckets(newSigs, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+    // buckets the new batch lands in — batch-sized, broadcastable
+    // (a semi join needs no distinct build side, so none is paid)
+    val touched = newBands.select(col("band"), col("bucket"))
+    // every (store ∪ new) member of a touched bucket; map-side filter,
+    // the store never shuffles
+    val members = lshBuckets(allSigs, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+    // the batch path drops over-cap buckets wholesale — count the
+    // TOTAL bucket size (touched buckets only, so this stays tiny)
+    val inCap = members.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucket)
+      .select(col("band"), col("bucket"))
+    val older = members
+      .join(broadcast(inCap), Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("id_a"),
+        col("sig").as("sa"))
+    val newer = newBands
+      .join(broadcast(inCap), Seq("band", "bucket"), "left_semi")
+      .select(col("band"), col("bucket"), col("id").as("id_b"),
+        col("sig").as("sb"))
+    // batch side broadcast: the members stream never shuffles for pair
+    // formation. A pair recurring across bands passes the est filter
+    // identically each time, so no pair-level distinct is needed —
+    // only the final removal-id set is deduplicated.
+    val removed = older.join(broadcast(newer), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .where((VectorFunctions.foldSum(zip_with(col("sa"), col("sb"),
+        (x, y) => when(x === y, 1.0).otherwise(0.0))) /
+        size(col("sa"))) >= minEstJaccard)
+      .select(col("id_b").as("__rm_id")).distinct()
+    // removals are batch-bounded → broadcast anti join; the new batch
+    // itself never shuffles either
+    newDocs.join(broadcast(removed), id === col("__rm_id"), "left_anti")
+  }
+
   // ---------- SimHash ----------
 
   /** 64-bit SimHash: per bit, sum +1/-1 across tokens, sign → bit. A

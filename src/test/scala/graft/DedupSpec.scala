@@ -158,4 +158,65 @@ class DedupSpec extends SparkSuite {
     val allPairs = 1000L * 999 / 2
     assert(cand < allPairs / 20, s"candidates $cand of $allPairs")
   }
+
+  // ---------- incremental signature-store near-dup ----------
+
+  val histIncr = Seq(
+    (0L, base),
+    (1L, "completely different content about spark catalyst optimizer " * 8),
+    (2L, "another unrelated document mentioning shuffles and joins " * 8)
+  ).toDF("doc_id", "text")
+  val batchIncr = Seq(
+    // base has ~9 distinct shingles (repeated phrase); ONE appended
+    // word adds a single shingle → J ≈ 0.9, decisively over 0.8
+    (10L, base + "tail"),                    // near-dup of history 0
+    (11L, base),                             // exact dup of history 0
+    (12L, "fresh survey of watermark semantics in stream joins " * 8),
+    (13L, "fresh survey of watermark semantics in stream joins " * 8
+      + "appendix"),                         // near-dup of batch 12
+    (14L, "a genuinely novel page on bucketed table layouts " * 8)
+  ).toDF("doc_id", "text")
+
+  def storeOf(df: org.apache.spark.sql.DataFrame) =
+    Dedup.minhashSigsNative(df, col("doc_id"), col("text"))
+
+  test("minhashIncremental: batch dups of history AND of earlier batch " +
+      "docs drop; history is never touched; unique docs survive") {
+    val out = Dedup.minhashIncremental(batchIncr, col("doc_id"),
+        col("text"), storeOf(histIncr))
+      .select($"doc_id").as[Long].collect().toSet
+    // 10, 11 collide with history doc 0; 13 with batch doc 12
+    assert(out == Set(12L, 14L))
+  }
+
+  test("minhashIncremental ≡ batch minhashCandidates over history ∪ " +
+      "batch restricted to new larger-ids") {
+    val all = histIncr.unionByName(batchIncr)
+    val removedFull = Dedup.minhashCandidates(
+        Dedup.minhashSigsNative(all, col("doc_id"), col("text")))
+      .where($"est_jaccard" >= 0.8 && $"id_b" >= 10)
+      .select($"id_b").as[Long].collect().toSet
+    val expect = Set(10L, 11L, 12L, 13L, 14L) -- removedFull
+    val incr = Dedup.minhashIncremental(batchIncr, col("doc_id"),
+        col("text"), storeOf(histIncr))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(incr == expect)
+  }
+
+  test("minhashIncremental maxBucket counts the TOTAL (store + new) " +
+      "bucket size, matching the batch cap") {
+    // 12 identical history docs + 1 identical new doc: every bucket
+    // holding them has 13 members
+    val hist = (0L until 12L).map(i => (i, base)).toDF("doc_id", "text")
+    val nw = Seq((100L, base), (101L, "unrelated talk about codegen " * 8))
+      .toDF("doc_id", "text")
+    def run(cap: Int) = Dedup.minhashIncremental(nw, col("doc_id"),
+        col("text"), storeOf(hist), maxBucket = cap)
+      .select($"doc_id").as[Long].collect().toSet
+    // cap below 13: the degenerate bucket is dropped wholesale, the
+    // duplicate slips through (exact dedup's job, not LSH's) — same as
+    // the batch path's skew guard
+    assert(run(10) == Set(100L, 101L))
+    assert(run(100) == Set(101L))
+  }
 }

@@ -48,6 +48,13 @@ class QueryPlanBudgetSpec extends SparkSuite {
       maxSorts = 6, maxBroadcasts = 8),
     // SCD2 merge: several broadcast-keyed change-detection joins
     "r_scd2" -> Budget(maxShuffles = 7, maxSorts = 6, maxBroadcasts = 9),
+    // incremental sig-store near-dup: 2 shuffles total (cap aggregate +
+    // removal-id distinct); everything else rides batch-sized
+    // broadcasts BY DESIGN — touched-bucket semi joins ×3, the pair
+    // join's batch side, and the removal anti join (7 broadcasts,
+    // each bounded by the new batch, never the store)
+    "x_minhash_incremental" -> Budget(maxShuffles = 4, maxSorts = 6,
+      maxBroadcasts = 8),
     "x_top_terms" -> Budget(maxShuffles = 7, maxSorts = 6,
       maxBroadcasts = 6),
     "x_incremental_overwrite" -> Budget(maxShuffles = 7, maxSorts = 6,
