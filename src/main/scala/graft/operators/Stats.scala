@@ -269,6 +269,29 @@ object Stats {
       skippableFilesFrom(spark.read.parquet(manifestPath), column, lo, hi),
       col(column) >= lo && col(column) <= hi)
 
+  /** Conjunctive multi-range pruned read through a persisted manifest:
+    * `c₁ BETWEEN lo₁ AND hi₁ AND c₂ BETWEEN lo₂ AND hi₂ AND …`. A file
+    * provably disjoint on ANY conjunct cannot satisfy the conjunction,
+    * so the skip set is the UNION of the per-column skip sets — this is
+    * where a Z-ordered layout ([[Layout.compactZOrder]]) earns its
+    * keep: every file covers a small hyper-rectangle, so EVERY
+    * predicate column prunes, where a linearly-sorted layout prunes
+    * only on its leading column.
+    */
+  def readSkippingAndManifest(spark: SparkSession, dir: String,
+                              ranges: Seq[(String, Double, Double)],
+                              manifestPath: String): DataFrame = {
+    require(ranges.nonEmpty, "readSkippingAndManifest: need >= 1 range")
+    val stats = spark.read.parquet(manifestPath)
+    val skippable = ranges
+      .map { case (c, lo, hi) => skippableFilesFrom(stats, c, lo, hi) }
+      .reduce(_ unionByName _)
+    val pred = ranges
+      .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
+    prunedRead(spark, dir, skippable, pred)
+  }
+
   /** Categorical twin of [[readSkippingManifest]]. */
   def readSkippingEqManifest(spark: SparkSession, dir: String,
                              column: String, value: String,

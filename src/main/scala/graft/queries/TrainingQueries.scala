@@ -32,6 +32,15 @@ object TrainingQueries {
     */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** Per-data-dir compacted / z-ordered layout copies (written once,
+    * scanned on every later call — maintenance is amortized exactly as
+    * in production, where OPTIMIZE runs on a cadence, not per query).
+    */
+  private val compactCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val zLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def manifestFor(s: SparkSession, dir: String): String =
     manifestCache.compute(dir, (_, prev) =>
       if (prev == null) {
@@ -264,6 +273,54 @@ object TrainingQueries {
           manifestFor(s, s"$d/documents.parquet"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
+
+    // Small-file compaction, driver-checked end to end: a 64-fragment
+    // write (the layout continuous ingestion leaves behind) compacted
+    // once per data dir into 4 lang-clustered files, then scanned —
+    // content must hash-match the source table exactly (compaction is
+    // a pure layout rewrite). The file-count and clustering WINS are
+    // machine-checked in LayoutSpec; this query pins the zero-loss
+    // contract under the driver's oracle.
+    "x_compact_scan" -> ((s, d) => {
+      val cp = compactCache.computeIfAbsent(d, _ => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-compact-").toString
+        t(s, d, "documents").repartition(64)
+          .write.parquet(s"$base/frag")
+        graft.operators.Layout.compact(s, s"$base/frag",
+          s"$base/compacted", filesOut = 4,
+          clusterBy = Seq("lang", "doc_id")): Unit
+        s"$base/compacted"
+      })
+      s.read.parquet(cp)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Z-order + conjunctive pruning, driver-checked end to end: events
+    // rewritten once per data dir as a (value, user_id) Morton-
+    // interleaved layout, manifested, then read through the 2-range
+    // pruned path — each file covers a small (value, user_id)
+    // rectangle, so BOTH conjuncts prune files (a linear sort prunes
+    // only its leading column; machine-checked in LayoutSpec). Result
+    // is layout-independent: hash-equal to the plain conjunctive
+    // filter over the source table.
+    "x_zorder_scan" -> ((s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val zp = zLayoutCache.computeIfAbsent(d, _ => {
+        val base = java.nio.file.Files
+          .createTempDirectory("graft-zorder-").toString
+        graft.operators.Layout.compactZOrder(s, s"$d/events.parquet",
+          s"$base/events_z", filesOut = 16,
+          cols = Seq("value", "user_id"), bits = 16): Unit
+        s"$base/events_z"
+      })
+      graft.operators.Stats.readSkippingAndManifest(s, zp,
+          Seq(("value", 100.0, 150.0), ("user_id", 30.0, 60.0)),
+          manifestFor(s, zp))
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id"))
+    }),
 
     // Incremental derived-layer materialization as a pure plan: table
     // state before a late-arriving batch, plus the touched-date slice
@@ -514,6 +571,16 @@ object TrainingQueries {
     "x_skipping_lang" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "x_compact_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "x_zorder_scan" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE value >= 100.0 AND value <= 150.0
+        |  AND user_id >= 30 AND user_id <= 60
+        |ORDER BY event_id""".stripMargin,
 
     "x_incremental_overwrite" ->
       """SELECT o_orderdate AS dt, o_orderpriority AS prio,

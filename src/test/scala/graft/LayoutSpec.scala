@@ -241,4 +241,37 @@ class LayoutSpec extends SparkSuite {
     assert(scan.queryExecution.executedPlan.toString
       .contains("PushedFilters: [IsNotNull(k), LessThan(k,100)"))
   }
+
+  test("readSkippingAndManifest: on a z-ordered layout BOTH conjuncts " +
+      "prune files; result equals the plain conjunctive filter") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    val rnd = new scala.util.Random(13)
+    val rows = rnd.shuffle(
+      (for (x <- 0L until 128L; y <- 0L until 128L) yield (x, y)).toVector)
+    rows.toDF("x", "y").write.parquet(s"$base/raw")
+    Layout.compactZOrder(spark, s"$base/raw", s"$base/z",
+      filesOut = 16, cols = Seq("x", "y"), bits = 8): Unit
+    val mp = s"$base/manifest"
+    graft.operators.Stats.writeManifest(spark, s"$base/z", mp)
+    val stats = spark.read.parquet(mp)
+    // an eighth-of-domain square: each single dimension prunes files
+    // on the z layout (per-file hyper-rectangles), and the union
+    // strictly beats either alone
+    def skips(c: String) = graft.operators.Stats
+      .skippableFilesFrom(stats, c, 0, 15).select("file")
+      .as[String].collect().toSet
+    val (sx, sy) = (skips("x"), skips("y"))
+    assert(sx.nonEmpty && sy.nonEmpty, s"x=${sx.size} y=${sy.size}")
+    assert((sx ++ sy).size > math.max(sx.size, sy.size))
+    val nFiles = Layout.dataFileCount(spark, s"$base/z")
+    val pruned = graft.operators.Stats.readSkippingAndManifest(spark,
+      s"$base/z", Seq(("x", 0, 15), ("y", 0, 15)), mp)
+    // opens exactly the non-skippable files — fewer than either
+    // single-dimension prune would leave
+    assert(pruned.inputFiles.length == nFiles - (sx ++ sy).size)
+    assert(pruned.inputFiles.length < nFiles - math.max(sx.size, sy.size))
+    assert(pruned.as[(Long, Long)].collect().toSet ==
+      (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)).toSet)
+  }
 }
