@@ -412,16 +412,9 @@ object Dedup {
   def embeddingCandidates(base: DataFrame, planes: Int, tables: Int,
                           multiprobe: Int, dim: Int,
                           maxBucket: Int): DataFrame = {
-    val ent0 = base.select(col("id"),
-      posexplode(Similarity.signBucketsExpr(col("vec"), planes, tables, dim)))
-      .withColumnRenamed("pos", "table")
-      .withColumnRenamed("col", "bucket")
-    val masks: Seq[Column] = lit(0L) +:
-      (if (multiprobe >= 1) (0 until planes).map(p => lit(1L << p))
-       else Seq.empty[Column])
-    val ent = ent0.select(col("id"), col("table"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
-        .as("bucket"))
+    val ent = expandProbes(
+      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim),
+      planes, multiprobe)
     val members = ent.groupBy(col("table"), col("bucket"))
       .agg(sort_array(collect_set(col("id"))).as("ms"))
       .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
@@ -432,5 +425,99 @@ object Dedup {
       .as("pr"))
       .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
       .distinct()
+  }
+
+  /** Unexpanded sign-LSH codes (id, table, bucket) — `tables` 24-byte
+    * rows per vector, the PERSISTABLE store form for
+    * [[embeddingIncremental]] (~0.1% of the vectors' bytes; probes are
+    * re-expanded narrowly at read time, so multiprobe remains a read
+    * parameter instead of baked into storage).
+    */
+  def embeddingCodes(embs: DataFrame, id: Column, vec: Column,
+                     planes: Int, tables: Int,
+                     dim: Int = 64): DataFrame =
+    embs.select(id.as("id"),
+      posexplode(Similarity.signBucketsExpr(vec, planes, tables, dim)))
+      .withColumnRenamed("pos", "table")
+      .withColumnRenamed("col", "bucket")
+
+  /** Multiprobe expansion: every code also lands in each 1-bit-flip
+    * bucket, so codes within Hamming ≤ 2·multiprobe share a bucket.
+    */
+  private def expandProbes(codes: DataFrame, planes: Int,
+                           multiprobe: Int): DataFrame = {
+    val masks: Seq[Column] = lit(0L) +:
+      (if (multiprobe >= 1) (0 until planes).map(p => lit(1L << p))
+       else Seq.empty[Column])
+    codes.select(col("id"), col("table"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
+        .as("bucket"))
+  }
+
+  /** Incremental embedding near-dup against a PERSISTED code store —
+    * the [[minhashIncremental]] pattern for vectors: new-batch
+    * embeddings are scored only against history they LSH-collide with,
+    * and history pays neither re-hashing (codes are read back, not
+    * recomputed from 100 TB of vectors) nor a shuffle (the code scan is
+    * filtered map-side by a broadcast semi join on the batch's touched
+    * (table, bucket) set). Pair expansion is |bucket| × |new in
+    * bucket|; candidate verification fetches vectors only for the
+    * batch-bounded candidate ids. Returns (id_a, id_b, cos) near-dup
+    * pairs with the new doc on the `id_b` side — equal to
+    * [[embeddingNearDup]] over history ∪ batch restricted to pairs
+    * whose larger id is new (history ids precede batch ids by the
+    * ingestion-order contract), including the total-bucket-size cap.
+    *
+    * `storeCodes` is [[embeddingCodes]] output persisted for history;
+    * `storeVecs` the historical (id, vec) table (only candidate
+    * partners' vectors are ever fetched from it).
+    */
+  def embeddingIncremental(newEmbs: DataFrame, id: Column, vec: Column,
+                           storeCodes: DataFrame, storeVecs: DataFrame,
+                           threshold: Double, planes: Int = 8,
+                           tables: Int = 8, multiprobe: Int = 1,
+                           dim: Int = 64,
+                           maxBucket: Int = 100000): DataFrame = {
+    val base = newEmbs.select(id.as("id"), vec.as("vec"))
+    val newEnt = expandProbes(
+      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim),
+      planes, multiprobe)
+    val allEnt = expandProbes(
+        storeCodes.select(col("id"), col("table"), col("bucket")),
+        planes, multiprobe)
+      .unionByName(newEnt)
+    val touched = newEnt.select(col("table"), col("bucket"))
+    val members = allEnt
+      .join(broadcast(touched), Seq("table", "bucket"), "left_semi")
+    // (id, table, bucket) is unique per vector (probe masks are
+    // distinct XORs), so count(1) IS the distinct-member count the
+    // batch path caps on
+    val inCap = members.groupBy(col("table"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") <= maxBucket)
+      .select(col("table"), col("bucket"))
+    val older = members
+      .join(broadcast(inCap), Seq("table", "bucket"), "left_semi")
+      .select(col("table"), col("bucket"), col("id").as("id_a"))
+    val newer = newEnt
+      .join(broadcast(inCap), Seq("table", "bucket"), "left_semi")
+      .select(col("table"), col("bucket"), col("id").as("id_b"))
+    val cand = older.join(broadcast(newer), Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val allVecs = storeVecs.select(col("id"), col("vec"))
+      .unionByName(base)
+    val va = allVecs.select(col("id").as("id_a"), col("vec").as("va"))
+      .withColumn("na", VectorFunctions.l2Norm(col("va")))
+    val vb = base.select(col("id").as("id_b"), col("vec").as("vb_"))
+      .withColumn("nb", VectorFunctions.l2Norm(col("vb_")))
+    val denom = col("na") * col("nb")
+    // candidates are batch-bounded → they broadcast into the vector
+    // fetches; neither vector table shuffles
+    broadcast(cand).join(va, "id_a").join(broadcast(vb), "id_b")
+      .select(col("id_a"), col("id_b"),
+        when(denom =!= 0.0,
+          VectorFunctions.dot(col("va"), col("vb_")) / denom).as("cos"))
+      .where(col("cos") >= threshold)
   }
 }

@@ -41,6 +41,26 @@ object TrainingQueries {
   private val zLayoutCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Persisted sign-LSH code store for the "historical" embedding slice
+    * (vec_id < 400) — written once per data dir; batches read codes
+    * back instead of re-hashing history.
+    */
+  private val embedStoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def embedStoreFor(s: SparkSession, d: String): DataFrame = {
+    val p = embedStoreCache.computeIfAbsent(d, _ => {
+      val sp = java.nio.file.Files
+        .createTempDirectory("graft-embedstore-").toString + "/codes"
+      Dedup.embeddingCodes(
+          t(s, d, "embeddings").where(col("vec_id") < 400),
+          col("vec_id"), col("embedding"), LshPlanes, LshTables)
+        .write.parquet(sp)
+      sp
+    })
+    s.read.parquet(p)
+  }
+
   private def manifestFor(s: SparkSession, dir: String): String =
     manifestCache.compute(dir, (_, prev) =>
       if (prev == null) {
@@ -159,6 +179,22 @@ object TrainingQueries {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       Dedup.embeddingNearDup(e, col("id"), col("vec"), 0.42,
+          planes = LshPlanes, tables = LshTables, multiprobe = 1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Incremental embedding near-dup: new vectors (vec_id ≥ 400)
+    // against the PERSISTED code store of history — history is neither
+    // re-hashed nor shuffled; only LSH-collided candidates fetch
+    // vectors for the exact cosine verify. Hash-checked against the
+    // full-recompute oracle restricted to new larger-ids, so the
+    // store path is provably equivalent to rerunning the batch LSH.
+    "x_embed_incremental" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Dedup.embeddingIncremental(e.where(col("id") >= 400),
+          col("id"), col("vec"), embedStoreFor(s, d),
+          e.where(col("id") < 400), 0.42,
           planes = LshPlanes, tables = LshTables, multiprobe = 1)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -523,6 +559,11 @@ object TrainingQueries {
 
     "x_embed_lsh_neardup" -> (lshPairsCte("0.42") +
       "\nSELECT id_a, id_b, cos FROM sel ORDER BY id_a, id_b"),
+
+    "x_embed_incremental" -> (lshPairsCte("0.42") +
+      """
+        |SELECT id_a, id_b, cos FROM sel
+        |WHERE id_b >= 400 ORDER BY id_a, id_b""".stripMargin),
 
     "x_embed_lsh_clusters" -> (lshPairsCte("0.42")
       .replaceFirst("WITH ", "WITH RECURSIVE ") +

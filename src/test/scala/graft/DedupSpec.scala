@@ -219,4 +219,39 @@ class DedupSpec extends SparkSuite {
     assert(run(10) == Set(100L, 101L))
     assert(run(100) == Set(101L))
   }
+
+  test("embeddingIncremental ≡ batch embeddingNearDup over history ∪ " +
+      "batch restricted to new larger-ids; planted cross-era dups found") {
+    val rnd = new scala.util.Random(19)
+    def gauss(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // history 0..99; batch 100..149 where 100..119 are near-clones of
+    // history 0..19 and 140/141 are near-clones of each other
+    val hist = (0 until 100).map(i => (i.toLong, gauss()))
+    val cloneOf = (0 until 20).map { i =>
+      ((100 + i).toLong,
+        hist(i)._2.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val batchBase = gauss()
+    val batch = cloneOf ++
+      Seq((140L, batchBase),
+        (141L, batchBase.map(x => x + 0.03f * rnd.nextGaussian().toFloat))) ++
+      (0 until 8).map(i => ((150 + i).toLong, gauss()))
+    val histDf = hist.toDF("id", "vec")
+    val batchDf = batch.toDF("id", "vec")
+    val store = Dedup.embeddingCodes(histDf, col("id"), col("vec"),
+      planes = 16, tables = 8)
+    val incr = Dedup.embeddingIncremental(batchDf, col("id"), col("vec"),
+        store, histDf, 0.9, planes = 16, tables = 8, multiprobe = 1)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.embeddingNearDup(histDf.unionByName(batchDf),
+        col("id"), col("vec"), 0.9, planes = 16, tables = 8,
+        multiprobe = 1)
+      .where($"id_b" >= 100)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(incr == full)
+    // every planted cross-era clone pair and the intra-batch pair found
+    val planted = (0 until 20).map(i => (i.toLong, (100 + i).toLong))
+      .toSet + ((140L, 141L))
+    assert(planted.subsetOf(incr), s"missed ${(planted -- incr).size}")
+  }
 }

@@ -55,6 +55,14 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // each bounded by the new batch, never the store)
     "x_minhash_incremental" -> Budget(maxShuffles = 4, maxSorts = 6,
       maxBroadcasts = 8),
+    // incremental embedding near-dup: 3 shuffles (cap aggregate +
+    // candidate distinct + output sort); the touched-bucket semi
+    // joins, pair join, and both vector fetches all ride batch-sized
+    // broadcasts BY DESIGN — the probe-expansion subtree recurs under
+    // several of them pre-reuse, hence the high exchange count (every
+    // one bounded by the new batch, never the store)
+    "x_embed_incremental" -> Budget(maxShuffles = 5, maxSorts = 6,
+      maxBroadcasts = 16),
     "x_top_terms" -> Budget(maxShuffles = 7, maxSorts = 6,
       maxBroadcasts = 6),
     "x_incremental_overwrite" -> Budget(maxShuffles = 7, maxSorts = 6,
