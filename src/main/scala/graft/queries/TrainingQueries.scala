@@ -352,7 +352,7 @@ object TrainingQueries {
         s"$base/events_z"
       })
       graft.operators.Stats.readSkippingAndManifest(s, zp,
-          Seq(("value", 100.0, 150.0), ("user_id", 30.0, 60.0)),
+          Seq(("value", 100.0, 150.0), ("user_id", 0.0, 10.0)),
           manifestFor(s, zp))
         .select(col("event_id"), col("user_id"), col("value"))
         .orderBy(col("event_id"))
@@ -620,7 +620,7 @@ object TrainingQueries {
     "x_zorder_scan" ->
       """SELECT event_id, user_id, value FROM events
         |WHERE value >= 100.0 AND value <= 150.0
-        |  AND user_id >= 30 AND user_id <= 60
+        |  AND user_id >= 0 AND user_id <= 10
         |ORDER BY event_id""".stripMargin,
 
     "x_incremental_overwrite" ->
