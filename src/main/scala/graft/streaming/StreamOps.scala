@@ -74,6 +74,62 @@ object StreamOps {
       .select(col(keyCol), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n_events"))
 
+  /** Continuous-ingestion near-dup gate: every micro-batch is gated
+    * against the PERSISTED MinHash signature store
+    * ([[graft.operators.Dedup.minhashIncremental]]); survivors land in
+    * `outPath` and their signatures append to the store, so later
+    * batches dedup against everything RETAINED so far — history is
+    * never re-read or re-hashed, per the incremental operator's
+    * contract. The streaming face of the batch near-dup pipeline.
+    *
+    * Durability shape: both writes go to `batch=<batchId>` sub-dirs in
+    * OVERWRITE mode, so a foreachBatch retry rewrites the same files —
+    * idempotent end to end (the directory name doubles as a partition
+    * column on read; consumers of `outPath` should select the data
+    * columns). Survivors are materialized (localCheckpoint) BEFORE the
+    * store append: the gate must not observe the batch's own
+    * signatures mid-write.
+    *
+    * Policy: a dropped doc never enters the store, so near-dups are
+    * checked against kept docs only (keep-one-per-neighborhood —
+    * near-dup is not transitive, and gating against dropped docs would
+    * cascade removals). Contract: ids are monotone across batches
+    * (stored ids < new ids) — the incremental operator forms pairs
+    * with the new doc on the larger-id side; derive ids from
+    * (batchId, offset) when natural ids are not monotone.
+    */
+  def nearDupGateSink(spark: SparkSession, stream: DataFrame,
+                      id: String, text: String, storePath: String,
+                      outPath: String, checkpoint: String, n: Int = 3,
+                      k: Int = 32, rowsPerBand: Int = 4,
+                      minEstJaccard: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val store =
+            if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+              spark.read.parquet(storePath).select(col("id"), col("sig"))
+            else
+              Dedup.minhashSigsNative(batch.limit(0), col(id), col(text),
+                n, k)
+          val survivors = Dedup.minhashIncremental(batch, col(id),
+              col(text), store, n, k, rowsPerBand, minEstJaccard)
+            .localCheckpoint()
+          Dedup.minhashSigsNative(survivors, col(id), col(text), n, k)
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          survivors.write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** foreachBatch MERGE sink: each micro-batch upserts into `table` by
     * `key` (last write per key wins within a batch via the batch's own
     * dedup; across batches, newest batch wins).

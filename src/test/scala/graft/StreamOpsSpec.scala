@@ -99,4 +99,39 @@ class StreamOpsSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS stream_target")
     }
   }
+
+  test("nearDupGateSink drops cross-batch and intra-batch near-dups " +
+      "against the persisted signature store; store holds survivors only") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-ndgate-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained simply " * 8
+    val docC = "bucketed table layouts and zero shuffle joins " * 8
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/store", s"$base/out", s"$base/ckpt")
+    try {
+      in.addData((1L, docA), (2L, docB))
+      q.processAllAvailable()
+      // 11 = exact dup of stored 1 → dropped; 12 fresh
+      in.addData((11L, docA), (12L, docC))
+      q.processAllAvailable()
+      // 21 dup of batch-2 survivor, 22 dup of batch-1 survivor,
+      // 23/24 an intra-batch dup pair (first id wins), 25 fresh-ish
+      in.addData((21L, docC), (22L, docB),
+        (23L, docA.replace("dog", "cat")), (24L, docA.replace("dog", "cat")),
+        (25L, "an entirely novel page about catalyst rules " * 8))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select($"doc_id").as[Long].collect().toSet
+      // 23 survives (near-dup of A in SHINGLE space is weak: the
+      // repeated-phrase base has ~9 distinct shingles and 'dog'→'cat'
+      // changes 3 — est jaccard ~0.67 < 0.8); 24, its exact dup, drops
+      assert(out == Set(1L, 2L, 12L, 23L, 25L))
+      val store = spark.read.parquet(s"$base/store")
+        .select($"id").as[Long].collect().toSet
+      assert(store == out) // survivors' sigs and nothing else
+    } finally q.stop()
+  }
 }
