@@ -1,17 +1,26 @@
 #!/usr/bin/env python3
 """Compare two bench outputs per query (round-over-round regressions).
 
-Usage: python3 tools/bench_compare.py <old> <new> [threshold]
+Usage: python3 tools/bench_compare.py <old> <new> [threshold] [--norm]
 
 Each argument is either a driver BENCH_r{N}.json (the JSON line is
 recovered from "parsed" or the "tail" text) or a raw one-line JSON file
 from `graft.Bench`. Prints per-query deltas sorted by regression,
 flagging changes beyond the threshold factor (default 1.5×).
 
+--norm divides every ratio by the MEDIAN ratio over the common query
+set before flagging. This container's background load swings whole-run
+timings ±30% between rounds (r6 adjudication); the median over ~100+
+common queries estimates that environment multiplier, so normalized
+ratios isolate per-query code effects. Only meaningful when most
+common queries are code-untouched between the two runs — after a
+broad optimization pass, the median absorbs part of the real win.
+
 Driver-side python only; never a library dependency.
 """
 import json
 import re
+import statistics
 import sys
 
 
@@ -35,13 +44,23 @@ def load(path):
 
 
 def main():
-    old, new = load(sys.argv[1]), load(sys.argv[2])
-    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    argv = [a for a in sys.argv[1:] if a != "--norm"]
+    norm = "--norm" in sys.argv
+    old, new = load(argv[0]), load(argv[1])
+    thr = float(argv[2]) if len(argv) > 2 else 1.5
     oq, nq = old["queries"], new["queries"]
+    env = 1.0
+    if norm:
+        common = [nq[k] / oq[k] for k in set(oq) & set(nq) if oq[k] > 0]
+        if len(common) >= 5:
+            env = statistics.median(common)
+            print(f"environment multiplier (median over {len(common)} "
+                  f"common queries): {env:.3f} — ratios below are "
+                  "divided by it\n")
     rows = []
     for k in sorted(set(oq) | set(nq)):
         a, b = oq.get(k), nq.get(k)
-        ratio = (b / a) if (a and b and a > 0) else None
+        ratio = (b / a / env) if (a and b and a > 0) else None
         rows.append((k, a, b, ratio))
     rows.sort(key=lambda r: -(r[3] or 0))
     flagged = 0
@@ -59,7 +78,8 @@ def main():
         fr = f"{ratio:5.2f}x" if ratio is not None else "     -"
         print(f"{k:28s} {fa} -> {fb}  {fr}{mark}")
     print(f"\ntotal {old.get('value', 0):.2f}s -> {new.get('value', 0):.2f}s"
-          f" over {len(oq)} -> {len(nq)} queries; {flagged} flagged >= {thr}x")
+          f" over {len(oq)} -> {len(nq)} queries; {flagged} flagged >= {thr}x"
+          + (f" (env-normalized by {env:.3f})" if norm else ""))
     sys.exit(0)
 
 
