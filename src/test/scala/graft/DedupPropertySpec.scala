@@ -73,4 +73,44 @@ class DedupPropertySpec extends SparkSuite {
       .select($"rs").as[Seq[Int]].collect()
     ranks.foreach(rs => assert(rs.sorted == (1 to rs.length)))
   }
+
+  test("minhashIncremental ≡ batch restriction over random corpora " +
+      "with planted dup classes, across seeds and split points") {
+    for (seed <- Seq(17, 23, 31)) {
+      val rnd = new scala.util.Random(seed)
+      // random corpus with planted exact dups, appended-tail near-dups,
+      // and mutation-gradient pairs, shuffled across the split point
+      val originals = (0 until 40)
+        .map(i => (i.toLong, randDoc(rnd, 30 + rnd.nextInt(60))))
+      val planted = originals.take(12).zipWithIndex.map {
+        case ((_, text), j) =>
+          val mutated = j % 3 match {
+            case 0 => text // exact dup
+            case 1 => text + " " + randDoc(rnd, 2) // appended tail
+            case _ => // mutate ~1 in 6 tokens
+              text.split(" ").map(w =>
+                if (rnd.nextInt(6) == 0) vocab(rnd.nextInt(vocab.length))
+                else w).mkString(" ")
+          }
+          ((100 + j).toLong, mutated)
+      }
+      val docs = (originals ++ planted).toDF("doc_id", "text")
+      val split = 20 + rnd.nextInt(80)
+      val hist = docs.where($"doc_id" < split)
+      val batch = docs.where($"doc_id" >= split)
+      val incr = Dedup.minhashIncremental(batch, col("doc_id"),
+          col("text"),
+          Dedup.minhashSigsNative(hist, col("doc_id"), col("text")))
+        .select($"doc_id").as[Long].collect().toSet
+      val removedFull = Dedup.minhashCandidates(
+          Dedup.minhashSigsNative(docs, col("doc_id"), col("text")))
+        .where($"est_jaccard" >= 0.8 && $"id_b" >= split)
+        .select($"id_b").as[Long].collect().toSet
+      val expect = batch.select($"doc_id").as[Long].collect().toSet --
+        removedFull
+      assert(incr == expect,
+        s"seed=$seed split=$split diff=${(incr diff expect) ++
+          (expect diff incr)}")
+    }
+  }
 }
