@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -211,6 +211,28 @@ object Similarity {
     }
     cents
   }
+
+  /** Persist a fitted centroid matrix as a tiny (cell, vec) parquet
+    * table — the production IVF artifact: fit once (on a sample, on a
+    * cadence), every query session [[loadCentroids]] instead of
+    * re-running Lloyd's. Doubles round-trip parquet bit-exactly, so a
+    * loaded matrix reproduces [[ivfTopK]]'s assignments identically.
+    */
+  def saveCentroids(spark: SparkSession, cents: Array[Array[Double]],
+                    path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a [[saveCentroids]] matrix, cells in fitted order. */
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path)
+      .orderBy(col("cell"))
+      .select(col("vec"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
 
   /** Approximate top-k: L independent hash tables of `planes` sign bits;
     * candidates = bucket collisions in any table; exact cosine re-rank on

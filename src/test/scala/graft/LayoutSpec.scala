@@ -242,6 +242,43 @@ class LayoutSpec extends SparkSuite {
       .contains("PushedFilters: [IsNotNull(k), LessThan(k,100)"))
   }
 
+  test("compaction + refreshManifest: rewritten layout swaps into the " +
+      "manifest atomically from the consumer's view; pruning follows " +
+      "the NEW clustering") {
+    import spark.implicits._
+    val base = s"/tmp/graft-layout-${System.nanoTime()}"
+    val dir = s"$base/t"
+    val mp = s"$base/manifest"
+    // scrambled write order: nothing prunable
+    (0L until 10000L).map(i => ((i * 7919) % 10000, i))
+      .toDF("k", "payload").repartition(8).write.parquet(dir)
+    graft.operators.Stats.writeManifest(spark, dir, mp)
+    assert(graft.operators.Stats
+      .skippableFilesFrom(spark.read.parquet(mp), "k", 0, 99)
+      .count() == 0)
+    // OPTIMIZE: compact in place (write clustered to a side dir, swap)
+    val side = s"$base/side"
+    Layout.compact(spark, dir, side, filesOut = 8, clusterBy = Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(side),
+      new org.apache.hadoop.fs.Path(dir))
+    spark.catalog.refreshByPath(dir)
+    // one refresh: every old file dropped, every new file added
+    graft.operators.Stats.refreshManifest(spark, dir, mp)
+    val m = spark.read.parquet(mp)
+    assert(m.where($"column" === "k").agg(sum($"rows")).head.getLong(0)
+      == 10000L)
+    // pruning now follows the clustered layout: a 1% predicate opens
+    // at most the straddling file(s)
+    val pruned = graft.operators.Stats.readSkippingManifest(
+      spark, dir, "k", 0, 99, mp)
+    assert(pruned.inputFiles.length <= 2,
+      s"opened ${pruned.inputFiles.length}")
+    assert(pruned.count() == 100L)
+  }
+
   test("readSkippingAndManifest: on a z-ordered layout BOTH conjuncts " +
       "prune files; result equals the plain conjunctive filter") {
     import spark.implicits._

@@ -66,6 +66,13 @@ class SimilaritySpec extends SparkSuite {
     info(s"IVF recall@5 fitted=$rFit random=$rRandom")
     assert(rFit >= rRandom - 0.05) // data-adaptive cells: never much worse
     assert(rFit >= 0.2)
+    // the persisted artifact reproduces the fit bit-exactly, so a
+    // loading session gets identical IVF assignments
+    val cp = s"/tmp/graft-cents-${System.nanoTime()}"
+    Similarity.saveCentroids(spark, cents, cp)
+    val loaded = Similarity.loadCentroids(spark, cp)
+    assert(loaded.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq)
+    assert(recallOf(Some(loaded)) == rFit)
   }
 
   test("LSH ANN recall@5 ≥ 0.4 vs brute force on 500 vectors") {
