@@ -254,4 +254,26 @@ class DedupSpec extends SparkSuite {
       .toSet + ((140L, 141L))
     assert(planted.subsetOf(incr), s"missed ${(planted -- incr).size}")
   }
+
+  test("embeddingIncremental maxBucket counts the TOTAL (store + new) " +
+      "bucket size, matching the batch cap") {
+    val rnd = new scala.util.Random(29)
+    val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+    // 12 identical history vectors + 1 identical new one: every bucket
+    // holding them has 13 distinct members
+    val hist = (0L until 12L).map(i => (i, v)).toDF("id", "vec")
+    val nw = Seq((100L, v),
+      (101L, Array.fill(64)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val store = Dedup.embeddingCodes(hist, col("id"), col("vec"),
+      planes = 16, tables = 8)
+    def dups(cap: Int) = Dedup.embeddingIncremental(nw, col("id"),
+        col("vec"), store, hist, 0.9, planes = 16, tables = 8,
+        multiprobe = 1, maxBucket = cap)
+      .select($"id_b").as[Long].collect().toSet
+    // cap below 13: the degenerate bucket drops wholesale — the dup
+    // slips through, exactly the batch path's skew guard
+    assert(dups(10) == Set.empty)
+    assert(dups(100) == Set(100L))
+  }
 }
