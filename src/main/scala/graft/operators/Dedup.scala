@@ -199,25 +199,39 @@ object Dedup {
     * never displace history (history ids precede batch ids by the
     * ingestion-order contract, enforced nowhere cheaper than upstream
     * id assignment).
+    *
+    * Regime gate: the batch's signatures are materialized once
+    * (batch-sized localCheckpoint, reused across every join below) and
+    * COUNTED; at ≤ `broadcastLimit` rows the batch side rides
+    * broadcasts end to end (steady-state ingestion — the store never
+    * shuffles), above it every broadcast degrades to a shuffle join
+    * (a 10 TB backfill "batch" must not be broadcast). Both arms are
+    * row-identical; only the physical shapes differ.
     */
   def minhashIncremental(newDocs: DataFrame, id: Column, text: Column,
                          storeSigs: DataFrame, n: Int = 3, k: Int = 32,
                          rowsPerBand: Int = 4,
                          minEstJaccard: Double = 0.8,
-                         maxBucket: Int = 10000): DataFrame = {
+                         maxBucket: Int = 10000,
+                         broadcastLimit: Long = 4000000L): DataFrame = {
     val newSigs = minhashSigsNative(newDocs, id, text, n, k)
+      .localCheckpoint()
+    val small = newSigs.count() <= broadcastLimit
+    def batchSide(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     val allSigs = storeSigs.select(col("id"), col("sig"))
       .unionByName(newSigs)
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
-    // buckets the new batch lands in — batch-sized, broadcastable
-    // (a semi join needs no distinct build side, so none is paid)
+    // buckets the new batch lands in — batch-sized, broadcastable in
+    // the small regime (a semi join needs no distinct build side, so
+    // none is paid)
     val touched = newBands.select(col("band"), col("bucket"))
-    // every (store ∪ new) member of a touched bucket; map-side filter,
-    // the store never shuffles
+    // every (store ∪ new) member of a touched bucket; in the small
+    // regime a map-side filter — the store never shuffles
     val members = lshBuckets(allSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
-      .join(broadcast(touched), Seq("band", "bucket"), "left_semi")
+      .join(batchSide(touched), Seq("band", "bucket"), "left_semi")
     // the batch path drops over-cap buckets wholesale — count the
     // TOTAL bucket size (touched buckets only, so this stays tiny)
     val inCap = members.groupBy(col("band"), col("bucket"))
@@ -225,26 +239,26 @@ object Dedup {
       .where(col("__bsz") <= maxBucket)
       .select(col("band"), col("bucket"))
     val older = members
-      .join(broadcast(inCap), Seq("band", "bucket"), "left_semi")
+      .join(batchSide(inCap), Seq("band", "bucket"), "left_semi")
       .select(col("band"), col("bucket"), col("id").as("id_a"),
         col("sig").as("sa"))
     val newer = newBands
-      .join(broadcast(inCap), Seq("band", "bucket"), "left_semi")
+      .join(batchSide(inCap), Seq("band", "bucket"), "left_semi")
       .select(col("band"), col("bucket"), col("id").as("id_b"),
         col("sig").as("sb"))
-    // batch side broadcast: the members stream never shuffles for pair
+    // small regime: the members stream never shuffles for pair
     // formation. A pair recurring across bands passes the est filter
     // identically each time, so no pair-level distinct is needed —
     // only the final removal-id set is deduplicated.
-    val removed = older.join(broadcast(newer), Seq("band", "bucket"))
+    val removed = older.join(batchSide(newer), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .where((VectorFunctions.foldSum(zip_with(col("sa"), col("sb"),
         (x, y) => when(x === y, 1.0).otherwise(0.0))) /
         size(col("sa"))) >= minEstJaccard)
       .select(col("id_b").as("__rm_id")).distinct()
-    // removals are batch-bounded → broadcast anti join; the new batch
-    // itself never shuffles either
-    newDocs.join(broadcast(removed), id === col("__rm_id"), "left_anti")
+    // removals are batch-bounded → broadcast anti join in the small
+    // regime; the new batch itself never shuffles either
+    newDocs.join(batchSide(removed), id === col("__rm_id"), "left_anti")
   }
 
   // ---------- SimHash ----------
@@ -471,24 +485,33 @@ object Dedup {
     * `storeCodes` is [[embeddingCodes]] output persisted for history;
     * `storeVecs` the historical (id, vec) table (only candidate
     * partners' vectors are ever fetched from it).
+    *
+    * Regime gate, as in [[minhashIncremental]]: the batch's codes are
+    * materialized once and counted; batches over `broadcastLimit`
+    * entries trade every broadcast for a shuffle join (both arms
+    * row-identical).
     */
   def embeddingIncremental(newEmbs: DataFrame, id: Column, vec: Column,
                            storeCodes: DataFrame, storeVecs: DataFrame,
                            threshold: Double, planes: Int = 8,
                            tables: Int = 8, multiprobe: Int = 1,
-                           dim: Int = 64,
-                           maxBucket: Int = 100000): DataFrame = {
+                           dim: Int = 64, maxBucket: Int = 100000,
+                           broadcastLimit: Long = 4000000L): DataFrame = {
     val base = newEmbs.select(id.as("id"), vec.as("vec"))
-    val newEnt = expandProbes(
-      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim),
-      planes, multiprobe)
+    val newCodes =
+      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim)
+        .localCheckpoint()
+    val small = newCodes.count() <= broadcastLimit
+    def batchSide(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    val newEnt = expandProbes(newCodes, planes, multiprobe)
     val allEnt = expandProbes(
         storeCodes.select(col("id"), col("table"), col("bucket")),
         planes, multiprobe)
       .unionByName(newEnt)
     val touched = newEnt.select(col("table"), col("bucket"))
     val members = allEnt
-      .join(broadcast(touched), Seq("table", "bucket"), "left_semi")
+      .join(batchSide(touched), Seq("table", "bucket"), "left_semi")
     // (id, table, bucket) is unique per vector (probe masks are
     // distinct XORs), so count(1) IS the distinct-member count the
     // batch path caps on
@@ -497,12 +520,12 @@ object Dedup {
       .where(col("__bsz") <= maxBucket)
       .select(col("table"), col("bucket"))
     val older = members
-      .join(broadcast(inCap), Seq("table", "bucket"), "left_semi")
+      .join(batchSide(inCap), Seq("table", "bucket"), "left_semi")
       .select(col("table"), col("bucket"), col("id").as("id_a"))
     val newer = newEnt
-      .join(broadcast(inCap), Seq("table", "bucket"), "left_semi")
+      .join(batchSide(inCap), Seq("table", "bucket"), "left_semi")
       .select(col("table"), col("bucket"), col("id").as("id_b"))
-    val cand = older.join(broadcast(newer), Seq("table", "bucket"))
+    val cand = older.join(batchSide(newer), Seq("table", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     val allVecs = storeVecs.select(col("id"), col("vec"))
@@ -512,9 +535,9 @@ object Dedup {
     val vb = base.select(col("id").as("id_b"), col("vec").as("vb_"))
       .withColumn("nb", VectorFunctions.l2Norm(col("vb_")))
     val denom = col("na") * col("nb")
-    // candidates are batch-bounded → they broadcast into the vector
-    // fetches; neither vector table shuffles
-    broadcast(cand).join(va, "id_a").join(broadcast(vb), "id_b")
+    // candidates are batch-bounded → in the small regime they
+    // broadcast into the vector fetches; neither vector table shuffles
+    batchSide(cand).join(va, "id_a").join(batchSide(vb), "id_b")
       .select(col("id_a"), col("id_b"),
         when(denom =!= 0.0,
           VectorFunctions.dot(col("va"), col("vb_")) / denom).as("cos"))

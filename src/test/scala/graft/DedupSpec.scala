@@ -220,6 +220,29 @@ class DedupSpec extends SparkSuite {
     assert(run(100) == Set(101L))
   }
 
+  test("minhashIncremental shuffle arm (batch over broadcastLimit): " +
+      "row-identical to the broadcast arm, zero broadcast exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def run(limit: Long) = Dedup.minhashIncremental(batchIncr,
+        col("doc_id"), col("text"), storeOf(histIncr),
+        broadcastLimit = limit)
+      val bc = run(Long.MaxValue)
+      val sh = run(0L)
+      assert(sh.select($"doc_id").as[Long].collect().toSet ==
+        bc.select($"doc_id").as[Long].collect().toSet)
+      // with auto-broadcast off and no hints taken, the large-batch
+      // arm must not build a single broadcast relation
+      assert(!sh.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+      // ...while the small arm's hints still force them
+      assert(bc.queryExecution.executedPlan.toString
+        .contains("BroadcastExchange"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("embeddingIncremental ≡ batch embeddingNearDup over history ∪ " +
       "batch restricted to new larger-ids; planted cross-era dups found") {
     val rnd = new scala.util.Random(19)
@@ -275,5 +298,27 @@ class DedupSpec extends SparkSuite {
     // slips through, exactly the batch path's skew guard
     assert(dups(10) == Set.empty)
     assert(dups(100) == Set(100L))
+  }
+
+  test("embeddingIncremental shuffle arm (batch over broadcastLimit) " +
+      "is row-identical to the broadcast arm") {
+    val rnd = new scala.util.Random(37)
+    def gauss(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val hist = (0 until 50).map(i => (i.toLong, gauss()))
+    val batch = hist.take(5).map { case (i, v) =>
+      (100 + i, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    } ++ (0 until 5).map(i => ((200 + i).toLong, gauss()))
+    val histDf = hist.toDF("id", "vec")
+    val batchDf = batch.toDF("id", "vec")
+    val store = Dedup.embeddingCodes(histDf, col("id"), col("vec"),
+      planes = 16, tables = 8)
+    def run(limit: Long) = Dedup.embeddingIncremental(batchDf, col("id"),
+        col("vec"), store, histDf, 0.9, planes = 16, tables = 8,
+        multiprobe = 1, broadcastLimit = limit)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val bc = run(Long.MaxValue)
+    assert(run(0L) == bc)
+    assert((0 until 5).map(i => (i.toLong, (100 + i).toLong)).toSet
+      .subsetOf(bc))
   }
 }
