@@ -213,25 +213,45 @@ object Dedup {
                          rowsPerBand: Int = 4,
                          minEstJaccard: Double = 0.8,
                          maxBucket: Int = 10000,
-                         broadcastLimit: Long = 4000000L): DataFrame = {
-    val newSigs = minhashSigsNative(newDocs, id, text, n, k)
-      .localCheckpoint()
+                         broadcastLimit: Long = 4000000L): DataFrame =
+    minhashIncrementalFromSigs(newDocs, id,
+      minhashSigsNative(newDocs, id, text, n, k), storeSigs,
+      rowsPerBand, minEstJaccard, maxBucket, broadcastLimit)
+
+  /** [[minhashIncremental]] over PRE-COMPUTED batch signatures — the
+    * form callers that also persist the batch's signatures use (e.g.
+    * the streaming gate), so the batch is hashed exactly once.
+    * `newSigs` must be `minhashSigsNative(newDocs, id, text)` output;
+    * it is materialized here (batch-sized localCheckpoint) to measure
+    * the regime and reuse the rows across every join below.
+    */
+  def minhashIncrementalFromSigs(newDocs: DataFrame, id: Column,
+                                 newSigsIn: DataFrame,
+                                 storeSigs: DataFrame,
+                                 rowsPerBand: Int = 4,
+                                 minEstJaccard: Double = 0.8,
+                                 maxBucket: Int = 10000,
+                                 broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    val newSigs = newSigsIn.localCheckpoint()
     val small = newSigs.count() <= broadcastLimit
     def batchSide(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
-    val allSigs = storeSigs.select(col("id"), col("sig"))
-      .unionByName(newSigs)
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
     // buckets the new batch lands in — batch-sized, broadcastable in
     // the small regime (a semi join needs no distinct build side, so
     // none is paid)
     val touched = newBands.select(col("band"), col("bucket"))
-    // every (store ∪ new) member of a touched bucket; in the small
-    // regime a map-side filter — the store never shuffles
-    val members = lshBuckets(allSigs, rowsPerBand)
+    // touched-bucket members = the store's entries in touched buckets
+    // (map-side semi filter in the small regime — the store never
+    // shuffles) plus the batch's own entries, which are ALL in touched
+    // buckets by construction; the batch is band-hashed exactly once
+    val members = lshBuckets(storeSigs.select(col("id"), col("sig")),
+        rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
       .join(batchSide(touched), Seq("band", "bucket"), "left_semi")
+      .unionByName(newBands)
     // the batch path drops over-cap buckets wholesale — count the
     // TOTAL bucket size (touched buckets only, so this stays tiny)
     val inCap = members.groupBy(col("band"), col("bucket"))
@@ -505,13 +525,16 @@ object Dedup {
     def batchSide(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
     val newEnt = expandProbes(newCodes, planes, multiprobe)
-    val allEnt = expandProbes(
+    val touched = newEnt.select(col("table"), col("bucket"))
+    // store entries in touched buckets (map-side semi filter in the
+    // small regime) plus the batch's own entries, all touched by
+    // construction — the batch's codes are expanded once, not re-
+    // derived under the union
+    val members = expandProbes(
         storeCodes.select(col("id"), col("table"), col("bucket")),
         planes, multiprobe)
-      .unionByName(newEnt)
-    val touched = newEnt.select(col("table"), col("bucket"))
-    val members = allEnt
       .join(batchSide(touched), Seq("table", "bucket"), "left_semi")
+      .unionByName(newEnt)
     // (id, table, bucket) is unique per vector (probe masks are
     // distinct XORs), so count(1) IS the distinct-member count the
     // batch path caps on

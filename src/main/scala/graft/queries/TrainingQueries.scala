@@ -32,34 +32,17 @@ object TrainingQueries {
     */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** Per-data-dir compacted / z-ordered layout copies (written once,
-    * scanned on every later call — maintenance is amortized exactly as
-    * in production, where OPTIMIZE runs on a cadence, not per query).
-    */
-  private val compactCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val zLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Persisted sign-LSH code store for the "historical" embedding slice
     * (vec_id < 400) — written once per data dir; batches read codes
     * back instead of re-hashing history.
     */
-  private val embedStoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def embedStoreFor(s: SparkSession, d: String): DataFrame = {
-    val p = embedStoreCache.computeIfAbsent(d, _ => {
-      val sp = java.nio.file.Files
-        .createTempDirectory("graft-embedstore-").toString + "/codes"
+  private def embedStoreFor(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(ArtifactMemo.dirFor("embedstore", d) { p =>
       Dedup.embeddingCodes(
           t(s, d, "embeddings").where(col("vec_id") < 400),
           col("vec_id"), col("embedding"), LshPlanes, LshTables)
-        .write.parquet(sp)
-      sp
+        .write.parquet(p)
     })
-    s.read.parquet(p)
-  }
 
   private def manifestFor(s: SparkSession, dir: String): String =
     manifestCache.compute(dir, (_, prev) =>
@@ -318,16 +301,13 @@ object TrainingQueries {
     // machine-checked in LayoutSpec; this query pins the zero-loss
     // contract under the driver's oracle.
     "x_compact_scan" -> ((s, d) => {
-      val cp = compactCache.computeIfAbsent(d, _ => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-compact-").toString
-        t(s, d, "documents").repartition(64)
-          .write.parquet(s"$base/frag")
-        graft.operators.Layout.compact(s, s"$base/frag",
-          s"$base/compacted", filesOut = 4,
+      val cp = ArtifactMemo.dirFor("compact", d) { p =>
+        val frag = java.nio.file.Files
+          .createTempDirectory("graft-frag-").toString + "/frag"
+        t(s, d, "documents").repartition(64).write.parquet(frag)
+        graft.operators.Layout.compact(s, frag, p, filesOut = 4,
           clusterBy = Seq("lang", "doc_id")): Unit
-        s"$base/compacted"
-      })
+      }
       s.read.parquet(cp)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -343,14 +323,11 @@ object TrainingQueries {
     // filter over the source table.
     "x_zorder_scan" -> ((s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val zp = zLayoutCache.computeIfAbsent(d, _ => {
-        val base = java.nio.file.Files
-          .createTempDirectory("graft-zorder-").toString
+      val zp = ArtifactMemo.dirFor("zorder", d) { p =>
         graft.operators.Layout.compactZOrder(s, s"$d/events.parquet",
-          s"$base/events_z", filesOut = 16,
-          cols = Seq("value", "user_id"), bits = 16): Unit
-        s"$base/events_z"
-      })
+          p, filesOut = 16, cols = Seq("value", "user_id"),
+          bits = 16): Unit
+      }
       graft.operators.Stats.readSkippingAndManifest(s, zp,
           Seq(("value", 100.0, 150.0), ("user_id", 0.0, 10.0)),
           manifestFor(s, zp))

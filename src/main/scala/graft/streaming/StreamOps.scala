@@ -86,17 +86,29 @@ object StreamOps {
     * OVERWRITE mode, so a foreachBatch retry rewrites the same files —
     * idempotent end to end (the directory name doubles as a partition
     * column on read; consumers of `outPath` should select the data
-    * columns). Survivors are materialized (localCheckpoint) BEFORE the
-    * store append: the gate must not observe the batch's own
-    * signatures mid-write.
+    * columns). Store presence is decided by COMMITTED data files, not
+    * directory existence — an interrupted first write (dir created,
+    * nothing committed) bootstraps cleanly on retry instead of
+    * poisoning every later batch with an unreadable store. Survivors
+    * are materialized (localCheckpoint) BEFORE the store append: the
+    * gate must not observe the batch's own signatures mid-write. The
+    * batch is MinHash-hashed exactly once ([[graft.operators.Dedup
+    * .minhashIncrementalFromSigs]]); survivors' signatures are the
+    * surviving subset of that same pass, never recomputed from text.
     *
-    * Policy: a dropped doc never enters the store, so near-dups are
-    * checked against kept docs only (keep-one-per-neighborhood —
-    * near-dup is not transitive, and gating against dropped docs would
-    * cascade removals). Contract: ids are monotone across batches
-    * (stored ids < new ids) — the incremental operator forms pairs
-    * with the new doc on the larger-id side; derive ids from
-    * (batchId, offset) when natural ids are not monotone.
+    * Policy: ACROSS batches, gating is against retained docs only — a
+    * dropped doc never enters the store, so it never blocks later
+    * docs (near-dup is not transitive). WITHIN a batch, removal
+    * follows the batch operator's pairwise rule: a doc is dropped for
+    * near-matching ANY smaller-id batch doc, even one that is itself
+    * dropped — so survivor sets depend on micro-batch boundaries
+    * exactly and only through this within-batch rule (the price of
+    * single-pass batch semantics; run the graph-CC cluster resolution
+    * offline when transitive-cluster policy matters). Contract: ids
+    * are monotone across batches (stored ids < new ids) — the
+    * incremental operator forms pairs with the new doc on the
+    * larger-id side; derive ids from (batchId, offset) when natural
+    * ids are not monotone.
     */
   def nearDupGateSink(spark: SparkSession, stream: DataFrame,
                       id: String, text: String, storePath: String,
@@ -110,18 +122,30 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val fs = new org.apache.hadoop.fs.Path(storePath)
-            .getFileSystem(spark.sessionState.newHadoopConf())
+          val root = new org.apache.hadoop.fs.Path(storePath)
+          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+          val hasCommitted = fs.exists(root) && {
+            val it = fs.listFiles(root, true)
+            Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+              .exists(f => f.isFile &&
+                f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
+          }
+          // ONE hash pass over the batch, materialized here and reused
+          // by the gate, the store write, and the regime count
+          val batchSigs = Dedup.minhashSigsNative(batch, col(id),
+            col(text), n, k).localCheckpoint()
           val store =
-            if (fs.exists(new org.apache.hadoop.fs.Path(storePath)))
+            if (hasCommitted)
               spark.read.parquet(storePath).select(col("id"), col("sig"))
-            else
-              Dedup.minhashSigsNative(batch.limit(0), col(id), col(text),
-                n, k)
-          val survivors = Dedup.minhashIncremental(batch, col(id),
-              col(text), store, n, k, rowsPerBand, minEstJaccard)
+            else batchSigs.limit(0)
+          val survivors = Dedup.minhashIncrementalFromSigs(batch,
+              col(id), batchSigs, store, rowsPerBand, minEstJaccard)
             .localCheckpoint()
-          Dedup.minhashSigsNative(survivors, col(id), col(text), n, k)
+          // surviving subset of the same materialized pass — no second
+          // tokenize/hash of the text
+          batchSigs
+            .join(survivors.select(col(id).as("__sid")),
+              col("id") === col("__sid"), "left_semi")
             .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
           survivors.write.mode("overwrite")
             .parquet(s"$outPath/batch=$batchId")

@@ -48,13 +48,14 @@ class QueryPlanBudgetSpec extends SparkSuite {
       maxSorts = 6, maxBroadcasts = 8),
     // SCD2 merge: several broadcast-keyed change-detection joins
     "r_scd2" -> Budget(maxShuffles = 7, maxSorts = 6, maxBroadcasts = 9),
-    // incremental sig-store near-dup: 2 shuffles total (cap aggregate +
-    // removal-id distinct); everything else rides batch-sized
-    // broadcasts BY DESIGN — touched-bucket semi joins ×3, the pair
-    // join's batch side, and the removal anti join (7 broadcasts,
-    // each bounded by the new batch, never the store)
-    "x_minhash_incremental" -> Budget(maxShuffles = 4, maxSorts = 6,
-      maxBroadcasts = 8),
+    // incremental sig-store near-dup: shuffles = cap aggregate +
+    // removal-id distinct + the store∪batch union alignment;
+    // everything else rides batch-sized broadcasts BY DESIGN —
+    // touched-bucket semi joins, the pair join's batch side, and the
+    // removal anti join (measured 5/9, each broadcast bounded by the
+    // new batch, never the store)
+    "x_minhash_incremental" -> Budget(maxShuffles = 6, maxSorts = 6,
+      maxBroadcasts = 10),
     // incremental embedding near-dup: 3 shuffles (cap aggregate +
     // candidate distinct + output sort); the touched-bucket semi
     // joins, pair join, and both vector fetches all ride batch-sized

@@ -57,6 +57,11 @@ def main():
             print(f"environment multiplier (median over {len(common)} "
                   f"common queries): {env:.3f} — ratios below are "
                   "divided by it\n")
+        else:
+            norm = False
+            print(f"only {len(common)} common queries — too few to "
+                  "estimate the environment multiplier; showing RAW "
+                  "ratios\n")
     rows = []
     for k in sorted(set(oq) | set(nq)):
         a, b = oq.get(k), nq.get(k)
