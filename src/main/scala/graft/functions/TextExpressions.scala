@@ -119,17 +119,22 @@ case class LinearTextScoreExpr(child: Expression, weights: Array[Long])
       } else {
         var cp = 0
         var len = 1
+        // Continuation reads are clamped to numBytes: a truncated or
+        // invalid multi-byte sequence at the end of the string must not
+        // read past the buffer (unchecked unsafe access for off-heap
+        // UTF8Strings). A lead byte short of continuation bytes — or an
+        // invalid lead byte — scores as a single-byte codepoint.
         if (b0 < 0x80) cp = b0
-        else if ((b0 & 0xE0) == 0xC0) {
+        else if ((b0 & 0xE0) == 0xC0 && i + 1 < n) {
           cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); len = 2
-        } else if ((b0 & 0xF0) == 0xE0) {
+        } else if ((b0 & 0xF0) == 0xE0 && i + 2 < n) {
           cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
             (s.getByte(i + 2) & 0x3F); len = 3
-        } else {
+        } else if ((b0 & 0xF8) == 0xF0 && i + 3 < n) {
           cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
             ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
           len = 4
-        }
+        } else cp = b0
         h = (h * 31 + cp) % PolyFp.Mod
         i += len
       }

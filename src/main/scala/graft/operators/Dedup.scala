@@ -345,13 +345,14 @@ object Dedup {
     * `inter` by at most the number of such shingles a pair shares —
     * for near-dup detection that loss is the right trade: a shingle in
     * >maxBucket documents is boilerplate carrying ~zero similarity
-    * signal (its presence in both docs says nothing about THEM). Set
-    * maxBucket above the corpus document count to recover the exact
-    * semantics.
+    * signal (its presence in both docs says nothing about THEM). The
+    * DEFAULT is Int.MaxValue — exact semantics, no silent undercount
+    * for existing callers; scale-posture call sites opt into the cap
+    * explicitly (the shipped `x_ngram_jaccard` query passes 10000).
     */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column,
                         n: Int, leftFilter: Column => Column,
-                        maxBucket: Int = 10000): DataFrame = {
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     // Single-pass shape: the per-doc distinct-shingle count is computed
     // NARROW (size of the deduped shingle array, before explode) and
     // rides along with every exploded row, so bucket members carry

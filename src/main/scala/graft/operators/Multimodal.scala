@@ -177,7 +177,12 @@ object Multimodal {
             bb.getShort(off + 22) & 0xFFFF))
         else if (id == "data")
           dataSize = math.min(sz, (payload.length - off - 8).toLong)
-        off += 8 + sz.toInt + (sz.toInt & 1) // chunks are 2-byte aligned
+        // Advance in Long: a crafted size near 0xFFFFFFFF would make the
+        // Int advance zero/negative and hang the executor task forever
+        // (NonFatal can't stop a loop). Truncated trailing chunks clamp
+        // to payload end, which terminates the walk.
+        val next = off.toLong + 8L + sz + (sz & 1L) // chunks 2-byte aligned
+        off = if (next > payload.length) payload.length else next.toInt
       }
       fmt match {
         case Some((ch, rate, align, bits))

@@ -169,17 +169,29 @@ object Training {
     * fractions. Every stratum keeps at least one row, so rare strata
     * (languages, sources) survive — the property plain `TABLESAMPLE`
     * does not give.
+    *
+    * Scale: strata are FEW by this operator's premise (languages,
+    * sources), so a `Window.partitionBy(stratum)` funnels each
+    * stratum — tens of TB at 100 TB corpus scale — through one
+    * reducer. The per-stratum rank is instead DISTRIBUTED exactly as
+    * [[mixToTarget]]: range-partition on the total order (stratum,
+    * md5(key), key) via [[withPrefixSum]] — strata are contiguous in
+    * that order — and rank = global position − the stratum's first
+    * position, recovered from an O(#strata) min/count aggregate
+    * broadcast back. No window over the data anywhere in the plan.
     */
   def stratifiedEveryK(df: DataFrame, stratum: Column, key: Column,
                        k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val w = Window.partitionBy(stratum)
-      .orderBy(md5(key.cast("string").cast("binary")), key)
-    val cw = Window.partitionBy(stratum)
-    df.withColumn("__rn", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(cw))
-      .where((col("__rn") - 1) * k < col("__n"))
-      .drop("__rn", "__n")
+    val ranked = withPrefixSum(df,
+      Seq(stratum, md5(key.cast("string").cast("binary")), key),
+      lit(1L), "__gpos")
+    val stats = ranked.groupBy(stratum.as("__s"))
+      .agg(min(col("__gpos")).as("__off"), count(lit(1)).as("__n"))
+    ranked
+      .join(broadcast(stats), stratum === col("__s"))
+      .where((col("__gpos") - col("__off")) * k < col("__n"))
+      .drop("__gpos", "__s", "__off", "__n")
   }
 
   /** Per-group percentile gate: keep the best `keepPct` percent of

@@ -48,7 +48,7 @@ object PlanLint {
 
   final case class Report(shuffles: Int, sorts: Int, broadcasts: Int,
                           cartesians: Int, scans: Seq[ScanInfo],
-                          globalWindows: Int = 0) {
+                          globalWindows: Int = 0, windows: Int = 0) {
     def unprunedScans: Seq[ScanInfo] = scans.filter(_.unpruned)
   }
 
@@ -78,7 +78,15 @@ object PlanLint {
         case w: org.apache.spark.sql.execution.window
             .WindowGroupLimitExec => w.partitionSpec.isEmpty
         case _ => false
-      })
+      },
+      // ANY window — a partitioned window over FEW large strata (e.g.
+      // per-language) is still one reducer per stratum; the partition
+      // spec being non-empty is invisible to the globalWindows check,
+      // so operators that promise a distributed rank pin windows == 0
+      windows = ns.count(n =>
+        n.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec] ||
+          n.isInstanceOf[org.apache.spark.sql.execution.window
+            .WindowGroupLimitExec]))
   }
 
   /** The report as a DataFrame — joinable with run metadata, writable
@@ -93,7 +101,8 @@ object PlanLint {
       ("sorts", r.sorts.toLong, ""),
       ("broadcast_exchanges", r.broadcasts.toLong, ""),
       ("cartesian_or_nested_loop", r.cartesians.toLong, ""),
-      ("global_windows", r.globalWindows.toLong, "")) ++
+      ("global_windows", r.globalWindows.toLong, ""),
+      ("windows", r.windows.toLong, "")) ++
       r.scans.map(s => ("scan_columns_read", s.colsRead.toLong,
         s"${s.table}: ${s.colsRead}/${s.colsTotal}" +
           (if (s.unpruned) " UNPRUNED" else "")))
@@ -109,7 +118,8 @@ object PlanLint {
                           maxBroadcasts: Int = Int.MaxValue,
                           allowCartesian: Boolean = false,
                           allowUnprunedScan: Boolean = true,
-                          allowGlobalWindow: Boolean = true)
+                          allowGlobalWindow: Boolean = true,
+                          maxWindows: Int = Int.MaxValue)
 
   /** Fail fast (IllegalStateException naming every violation, with the
     * offending plan attached) when the plan exceeds its budget. Run it
@@ -131,7 +141,9 @@ object PlanLint {
         s"unpruned scan(s): ${r.unprunedScans.map(_.table).mkString(", ")}",
       (!budget.allowGlobalWindow && r.globalWindows > 0) ->
         (s"${r.globalWindows} global (no-partition) window(s) — " +
-          "single-task sort of the whole input"))
+          "single-task sort of the whole input"),
+      (r.windows > budget.maxWindows) ->
+        s"windows ${r.windows} > ${budget.maxWindows}")
       .collect { case (true, msg) => msg }
     if (violations.nonEmpty)
       throw new IllegalStateException(

@@ -124,12 +124,8 @@ object StreamOps {
         if (!batch.isEmpty) {
           val root = new org.apache.hadoop.fs.Path(storePath)
           val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-          val hasCommitted = fs.exists(root) && {
-            val it = fs.listFiles(root, true)
-            Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-              .exists(f => f.isFile &&
-                f.getPath.getName.endsWith(".parquet") && f.getLen > 0)
-          }
+          val hasCommitted = fs.exists(root) &&
+            StreamOps.hasCommittedParquet(fs, root)
           // ONE hash pass over the batch, materialized here and reused
           // by the gate, the store write, and the regime count
           val batchSigs = Dedup.minhashSigsNative(batch, col(id),
@@ -152,6 +148,33 @@ object StreamOps {
         }
       }
       .start()
+  }
+
+  /** True iff `root` holds at least one READER-VISIBLE committed parquet
+    * data file. Files under any path component starting with `_` or `.`
+    * (e.g. a crashed write's `_temporary/` attempt dirs, `_SUCCESS`,
+    * hidden files) are invisible to Spark's parquet reader, so counting
+    * them as "committed" would make the bootstrap probe claim a store
+    * exists while `spark.read.parquet` finds zero files — permanently
+    * poisoning every retry after a first-batch crash.
+    */
+  private[streaming] def hasCommittedParquet(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val qRoot = fs.makeQualified(root)
+    def readerVisible(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qRoot) {
+        val nm = cur.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
+    val it = fs.listFiles(qRoot, true)
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .exists(f => f.isFile && f.getLen > 0 &&
+        f.getPath.getName.endsWith(".parquet") && readerVisible(f.getPath))
   }
 
   /** foreachBatch MERGE sink: each micro-batch upserts into `table` by

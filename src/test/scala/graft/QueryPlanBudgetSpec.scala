@@ -40,9 +40,6 @@ class QueryPlanBudgetSpec extends SparkSuite {
       maxBroadcasts = 8, allowCartesian = true),
     "x_ivf_recall_err" -> Budget(maxShuffles = 12, maxSorts = 10,
       maxBroadcasts = 8, allowCartesian = true),
-    // quota arithmetic cross-joins against 1-row aggregates
-    "x_domain_mix" -> Budget(maxShuffles = 9, maxSorts = 6,
-      maxBroadcasts = 8, allowCartesian = true),
     // exact-vs-approx disagreement gate: two gates + exceptAll both ways
     "x_quality_gate_approx_err" -> Budget(maxShuffles = 10,
       maxSorts = 6, maxBroadcasts = 8),
@@ -66,6 +63,14 @@ class QueryPlanBudgetSpec extends SparkSuite {
       maxBroadcasts = 16),
     "x_top_terms" -> Budget(maxShuffles = 7, maxSorts = 6,
       maxBroadcasts = 6),
+    // distributed per-stratum rank (withPrefixSum): re-introducing ANY
+    // window — even a partitioned one — would mean one reducer per
+    // stratum, the defect class mixToTarget/stratifiedEveryK cleared
+    "x_stratified" -> default.copy(maxWindows = 0),
+    // quota arithmetic cross-joins against 1-row aggregates
+    "x_domain_mix" -> Budget(maxShuffles = 9, maxSorts = 6,
+      maxBroadcasts = 8, allowCartesian = true, maxWindows = 0),
+    "x_pipeline_e2e" -> default.copy(maxWindows = 0),
     "x_incremental_overwrite" -> Budget(maxShuffles = 7, maxSorts = 6,
       maxBroadcasts = 6))
 

@@ -45,13 +45,30 @@ class TrainingSpec extends SparkSuite {
     assert((0L until 64L).exists(i => a(i) != i))
   }
 
-  test("stratifiedEveryK keeps ceil(n/k) per stratum incl. rare strata") {
+  test("stratifiedEveryK keeps ceil(n/k) per stratum incl. rare strata, " +
+      "matches the window-ranked oracle, and the plan has NO window") {
     import spark.implicits._
     val df = ((0L until 20L).map(i => (i, "big")) ++ Seq((100L, "rare")))
       .toDF("id", "g")
-    val got = Training.stratifiedEveryK(df, col("g"), col("id"), 5)
+    val out = Training.stratifiedEveryK(df, col("g"), col("id"), 5)
+    // no WindowExec anywhere: the per-stratum rank must be the
+    // range-partitioned prefix count, not a one-reducer-per-stratum
+    // window (strata are few by the operator's premise)
+    assert(!graft.pipeline.PlanLint.nodes(out).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "stratifiedEveryK must not rank strata through a window")
+    val got = out
       .groupBy(col("g")).count().as[(String, Long)].collect().toMap
     assert(got == Map("big" -> 4L, "rare" -> 1L))
+    // survivor SET (not just counts) matches the window-ranked oracle
+    val w = Window.partitionBy(col("g"))
+      .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
+    val expect = df
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where((col("rn") - 1) * 5 < col("n"))
+      .select(col("id")).as[Long].collect().toSet
+    assert(out.select(col("id")).as[Long].collect().toSet == expect)
   }
 
   test("mixToTarget: exact integer mixture, matches the window-ranked " +
