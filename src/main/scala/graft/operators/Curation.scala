@@ -167,10 +167,18 @@ object Curation {
     * original order; documents with no surviving line (pure
     * boilerplate) are dropped.
     *
-    * Scale: pass 1 is the unavoidable line-frequency aggregate
-    * (map-side combine collapses the boilerplate that motivates the
-    * op). The frequent set it yields is boilerplate-sized — small by
-    * the op's own premise — so the MEASURED-size gate (the
+    * Scale: the line-frequency pass counts on `xxhash64(line)` — the
+    * exchange carries an 8-byte key + count, never line STRINGS
+    * (content lines are near-unique, so a string-keyed aggregate would
+    * push ~the whole corpus as text through the wire; the
+    * ngramJaccardPairs shuffle-payload rule). Over-`maxDf` hash
+    * candidates are then exact-confirmed against real lines — the
+    * decontaminateBloom prefilter-then-confirm pattern: a second
+    * map-side scan keeps only candidate-hash lines (a broadcast semi
+    * join on the boilerplate-sized hash set) and recounts them BY
+    * STRING, so a hash collision can only add a confirm-join row,
+    * never drop a rare line. The confirmed set is boilerplate-sized —
+    * small by the op's own premise — so the MEASURED-size gate (the
     * charTrigramFamiliarity pattern) inlines it into a narrow
     * hash-set filter expression: pass 2 is then a pure map with
     * document order preserved for free — no anti-join, no collect_list
@@ -186,10 +194,7 @@ object Curation {
     require(maxDf >= 1, "maxDf must be >= 1")
     val pat = java.util.regex.Pattern.quote(sep)
     val src = Layout.fanOutSmallScan(df.select(id.as("id"), text.as("__t")))
-    val freq = src
-      .select(explode(split(col("__t"), pat)).as("line"))
-      .groupBy(col("line")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf)
+    val freq = confirmedFrequentLines(src, pat, maxDf)
     val set = freq.select(col("line")).limit(inlineLimit + 1)
       .collect().map(_.getString(0))
     if (set.length <= inlineLimit) {
@@ -208,6 +213,29 @@ object Curation {
           transform(array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line")), sep).as("text"))
     }
+  }
+
+  /** The two-pass frequent-line set of [[dropFrequentLines]]: hash-keyed
+    * frequency (fixed-width exchange over the full corpus) → exact
+    * string recount of the candidate hashes only. Returns (line, df)
+    * with the EXACT per-string df > maxDf — hash collisions can inflate
+    * a candidate hash's count (adding a confirm row) but the string
+    * recount makes the final set collision-proof. `src` must expose the
+    * line source as `__t`.
+    */
+  private[graft] def confirmedFrequentLines(src: DataFrame, pat: String,
+                                            maxDf: Long): DataFrame = {
+    val lines = src.select(explode(split(col("__t"), pat)).as("line"))
+    val candHashes = lines
+      .select(xxhash64(col("line")).as("lh"))
+      .groupBy(col("lh")).agg(count(lit(1)).as("hdf"))
+      .where(col("hdf") > maxDf)
+      .select(col("lh"))
+    lines
+      .join(broadcast(candHashes), xxhash64(col("line")) === col("lh"),
+        "left_semi")
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
   }
 
   /** Character trigrams as a per-row array (sliding window over the

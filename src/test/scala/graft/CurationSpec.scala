@@ -138,6 +138,40 @@ class CurationSpec extends SparkSuite {
       "inlined-set arm must not join or aggregate the corpus")
   }
 
+  test("dropFrequentLines frequency pass: the corpus-wide exchange " +
+      "carries fixed-width hashes; string exchanges only ever carry " +
+      "broadcast-prefiltered candidate lines") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.types.StringType
+    val docs = (0L until 30L)
+      .map(i => (i, s"intro $i\nSUBSCRIBE\ncontent line $i"))
+      .toDF("id", "text")
+    val src = docs.select(col("id"), col("text").as("__t"))
+    val freq = Curation.confirmedFrequentLines(src,
+      java.util.regex.Pattern.quote("\n"), maxDf = 5)
+    // exact per-string df, collision-proof by the string recount
+    assert(freq.as[(String, Long)].collect().toMap ==
+      Map("SUBSCRIBE" -> 30L))
+    val exchanges = physicalNodes(freq)
+      .collect { case e: ShuffleExchangeExec => e }
+    def carriesString(e: ShuffleExchangeExec): Boolean =
+      e.output.exists(_.dataType == StringType)
+    // the full-corpus frequency aggregate must exchange 8-byte hashes,
+    // never line text (content lines are near-unique — a string-keyed
+    // aggregate would push ~the whole corpus through the wire)
+    assert(exchanges.exists(e => !carriesString(e)),
+      "no fixed-width (hash-keyed) frequency exchange in the plan")
+    exchanges.filter(carriesString).foreach { e =>
+      assert(graft.pipeline.PlanLint
+        .nodes(e: org.apache.spark.sql.execution.SparkPlan)
+        .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "a string-carrying exchange must sit above the broadcast " +
+          "candidate-hash prefilter (confirm pass), not over the corpus")
+    }
+  }
+
   test("dropFrequentLines: below-threshold repeats survive") {
     import spark.implicits._
     val docs = (0L until 4L).map(i => (i, s"common\nunique $i"))

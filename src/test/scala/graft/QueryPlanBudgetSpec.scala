@@ -67,6 +67,11 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // window — even a partitioned one — would mean one reducer per
     // stratum, the defect class mixToTarget/stratifiedEveryK cleared
     "x_stratified" -> default.copy(maxWindows = 0),
+    // relational fallback arm: the 2 corpus shuffles (anti-join +
+    // ordered reassembly) plus the two-pass frequency subtree — the
+    // hash-keyed aggregate (fixed-width keys) and the candidate-only
+    // string confirm aggregate, both bounded BY DESIGN
+    "x_line_dedup_shuffle" -> default.copy(maxShuffles = 8),
     // quota arithmetic cross-joins against 1-row aggregates
     "x_domain_mix" -> Budget(maxShuffles = 9, maxSorts = 6,
       maxBroadcasts = 8, allowCartesian = true, maxWindows = 0),
