@@ -235,10 +235,27 @@ object Dedup {
       : DataFrame = {
     val newSigs = newSigsIn.localCheckpoint()
     val small = newSigs.count() <= broadcastLimit
-    def batchSide(df: DataFrame): DataFrame =
-      if (small) broadcast(df) else df
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
+    val storeBands = lshBuckets(storeSigs.select(col("id"), col("sig")),
+        rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+    bandedIncrementalCore(newDocs, id, newBands, storeBands, small,
+      minEstJaccard, maxBucket)
+  }
+
+  /** The shared tail of the incremental MinHash gates, over batch and
+    * store entries ALREADY in banded (band, bucket, id, sig) form.
+    * `small` is the measured regime (batch rides broadcasts vs every
+    * broadcast degraded to a shuffle join).
+    */
+  private def bandedIncrementalCore(newDocs: DataFrame, id: Column,
+                                    newBands: DataFrame,
+                                    storeBands: DataFrame, small: Boolean,
+                                    minEstJaccard: Double,
+                                    maxBucket: Int): DataFrame = {
+    def batchSide(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     // buckets the new batch lands in — batch-sized, broadcastable in
     // the small regime (a semi join needs no distinct build side, so
     // none is paid)
@@ -247,9 +264,7 @@ object Dedup {
     // (map-side semi filter in the small regime — the store never
     // shuffles) plus the batch's own entries, which are ALL in touched
     // buckets by construction; the batch is band-hashed exactly once
-    val members = lshBuckets(storeSigs.select(col("id"), col("sig")),
-        rowsPerBand)
-      .select(col("band"), col("bucket"), col("id"), col("sig"))
+    val members = storeBands
       .join(batchSide(touched), Seq("band", "bucket"), "left_semi")
       .unionByName(newBands)
     // the batch path drops over-cap buckets wholesale — count the
@@ -279,6 +294,96 @@ object Dedup {
     // removals are batch-bounded → broadcast anti join in the small
     // regime; the new batch itself never shuffles either
     newDocs.join(batchSide(removed), id === col("__rm_id"), "left_anti")
+  }
+
+  // ---------- banded signature store (persisted, manifest-pruned) ----
+
+  /** Persist `sigs` (the [[minhashSigsNative]] (id, sig) table) as the
+    * BANDED signature store: (band, bucket, id, sig) range-clustered by
+    * (band, bucket) into `filesOut` files, plus a footer-stats manifest
+    * ([[Stats.writeManifest]]). This is the store layout the scaladoc
+    * of [[minhashIncremental]] names: each file covers a narrow
+    * (band, bucket) range, so a batch's store scan — routed through
+    * [[Stats.readTouchedPairsManifest]] — OPENS only touched-bucket
+    * files instead of reading the store end to end. At 100 TB of
+    * history the store is ~300 GB; per-batch reads shrink to the
+    * touched slice.
+    */
+  def writeBandedSigStore(sigs: DataFrame, storeDir: String,
+                          manifestPath: String, filesOut: Int,
+                          rowsPerBand: Int = 4): Unit = {
+    val spark = sigs.sparkSession
+    lshBuckets(sigs.select(col("id"), col("sig")), rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .repartitionByRange(filesOut, col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeDir)
+    Stats.writeManifest(spark, storeDir, manifestPath)
+  }
+
+  /** Append a batch's signatures to an existing banded store (the
+    * continuous-ingestion write path): the appended slice is clustered
+    * by (band, bucket) within its own files, and the manifest refresh
+    * reads footers ONLY for the new files ([[Stats.refreshManifest]]).
+    * Appends accumulate one file set per batch — fold them with
+    * [[Layout.compact]] (cluster by band, bucket) + [[Stats
+    * .writeManifest]] on the cadence listing cost warrants.
+    */
+  def appendBandedSigStore(sigs: DataFrame, storeDir: String,
+                           manifestPath: String, filesOut: Int,
+                           rowsPerBand: Int = 4): Unit = {
+    val spark = sigs.sparkSession
+    lshBuckets(sigs.select(col("id"), col("sig")), rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .repartitionByRange(filesOut, col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    Stats.refreshManifest(spark, storeDir, manifestPath)
+  }
+
+  /** [[minhashIncremental]] against a PERSISTED banded store written by
+    * [[writeBandedSigStore]]: identical semantics, but the store scan
+    * is manifest-pruned to touched-bucket FILES before the row-level
+    * touched semi join — the batch opens a slice of the store, not the
+    * store. The store arrives pre-banded, so the per-batch band
+    * projection of the flat path disappears too.
+    */
+  def minhashIncrementalBanded(newDocs: DataFrame, id: Column,
+                               text: Column, storeDir: String,
+                               manifestPath: String, n: Int = 3,
+                               k: Int = 32, rowsPerBand: Int = 4,
+                               minEstJaccard: Double = 0.8,
+                               maxBucket: Int = 10000,
+                               broadcastLimit: Long = 4000000L): DataFrame =
+    minhashIncrementalBandedFromSigs(newDocs, id,
+      minhashSigsNative(newDocs, id, text, n, k), storeDir, manifestPath,
+      rowsPerBand, minEstJaccard, maxBucket, broadcastLimit)
+
+  /** [[minhashIncrementalBanded]] over pre-computed batch signatures
+    * (the hash-once form the streaming gate uses).
+    */
+  def minhashIncrementalBandedFromSigs(newDocs: DataFrame, id: Column,
+                                       newSigsIn: DataFrame,
+                                       storeDir: String,
+                                       manifestPath: String,
+                                       rowsPerBand: Int = 4,
+                                       minEstJaccard: Double = 0.8,
+                                       maxBucket: Int = 10000,
+                                       broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = newSigsIn.localCheckpoint()
+    val small = newSigs.count() <= broadcastLimit
+    val newBands = lshBuckets(newSigs, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+    val storeBands = Stats.readTouchedPairsManifest(spark, storeDir,
+        manifestPath, "band", "bucket",
+        newBands.select(col("band"), col("bucket")))
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+    bandedIncrementalCore(newDocs, id, newBands, storeBands, small,
+      minEstJaccard, maxBucket)
   }
 
   // ---------- SimHash ----------
@@ -522,6 +627,23 @@ object Dedup {
     val newCodes =
       embeddingCodes(base, col("id"), col("vec"), planes, tables, dim)
         .localCheckpoint()
+    embeddingIncrementalFromCodes(base, newCodes, storeCodes, storeVecs,
+      threshold, planes, tables, multiprobe, maxBucket, broadcastLimit)
+  }
+
+  /** The shared tail of the incremental embedding gates: `base` is the
+    * batch's (id, vec), `newCodes` its ALREADY-materialized
+    * [[embeddingCodes]] output (hashed exactly once by the caller).
+    */
+  private def embeddingIncrementalFromCodes(base: DataFrame,
+                                            newCodes: DataFrame,
+                                            storeCodes: DataFrame,
+                                            storeVecs: DataFrame,
+                                            threshold: Double, planes: Int,
+                                            tables: Int, multiprobe: Int,
+                                            maxBucket: Int,
+                                            broadcastLimit: Long)
+      : DataFrame = {
     val small = newCodes.count() <= broadcastLimit
     def batchSide(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
@@ -566,5 +688,76 @@ object Dedup {
         when(denom =!= 0.0,
           VectorFunctions.dot(col("va"), col("vb_")) / denom).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  // ---------- persisted code store (manifest-pruned) ----------
+
+  /** Persist an [[embeddingCodes]] (id, table, bucket) table as the
+    * clustered code store: range-clustered by (table, bucket) into
+    * `filesOut` files plus a footer-stats manifest — the embedding twin
+    * of [[writeBandedSigStore]]. Codes are stored UNEXPANDED (probes
+    * re-expand at read time), so storage stays ~0.1% of the vectors'
+    * bytes and multiprobe remains a read parameter.
+    */
+  def writeCodeStore(codes: DataFrame, storeDir: String,
+                     manifestPath: String, filesOut: Int): Unit = {
+    val spark = codes.sparkSession
+    codes.select(col("id"), col("table"), col("bucket"))
+      .repartitionByRange(filesOut, col("table"), col("bucket"))
+      .sortWithinPartitions(col("table"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeDir)
+    Stats.writeManifest(spark, storeDir, manifestPath)
+  }
+
+  /** Append a batch's codes to an existing clustered code store; the
+    * manifest refresh reads footers only for the new files. Compact on
+    * the cadence listing cost warrants ([[Layout.compact]] clustered by
+    * (table, bucket) + [[Stats.writeManifest]]).
+    */
+  def appendCodeStore(codes: DataFrame, storeDir: String,
+                      manifestPath: String, filesOut: Int): Unit = {
+    val spark = codes.sparkSession
+    codes.select(col("id"), col("table"), col("bucket"))
+      .repartitionByRange(filesOut, col("table"), col("bucket"))
+      .sortWithinPartitions(col("table"), col("bucket"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    Stats.refreshManifest(spark, storeDir, manifestPath)
+  }
+
+  /** [[embeddingIncremental]] against a PERSISTED clustered code store
+    * written by [[writeCodeStore]]: identical semantics, but the store
+    * scan is manifest-pruned to the files that can hold a colliding
+    * RAW bucket before the row-level probe join. The prune probe set
+    * is the batch's codes expanded through the probe masks TWICE —
+    * store entry b collides with the batch iff b XOR m₁ XOR m₂ hits a
+    * raw batch code for probe masks m₁ (store-side expansion) and m₂
+    * (batch-side expansion), so the double expansion is exactly the
+    * set of raw store buckets a match can live in. Batch-bounded:
+    * (1 + planes)² entries per (vector, table) at multiprobe = 1.
+    */
+  def embeddingIncrementalStored(newEmbs: DataFrame, id: Column,
+                                 vec: Column, storeDir: String,
+                                 manifestPath: String,
+                                 storeVecs: DataFrame, threshold: Double,
+                                 planes: Int = 8, tables: Int = 8,
+                                 multiprobe: Int = 1, dim: Int = 64,
+                                 maxBucket: Int = 100000,
+                                 broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    val spark = newEmbs.sparkSession
+    val base = newEmbs.select(id.as("id"), vec.as("vec"))
+    val newCodes =
+      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim)
+        .localCheckpoint()
+    val pruneProbes = expandProbes(
+        expandProbes(newCodes, planes, multiprobe), planes, multiprobe)
+      .select(col("table"), col("bucket"))
+    val storeCodes = Stats.readTouchedPairsManifest(spark, storeDir,
+        manifestPath, "table", "bucket", pruneProbes)
+      .select(col("id"), col("table"), col("bucket"))
+    embeddingIncrementalFromCodes(base, newCodes, storeCodes, storeVecs,
+      threshold, planes, tables, multiprobe, maxBucket, broadcastLimit)
   }
 }

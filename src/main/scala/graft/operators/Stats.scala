@@ -299,4 +299,78 @@ object Stats {
     prunedRead(spark, dir,
       skippableFilesEqFrom(spark.read.parquet(manifestPath), column, value),
       col(column) === value)
+
+  // ---------- touched-pair pruning (banded signature stores) ----------
+
+  /** The data files of `dir` a probe SET over the integer cluster pair
+    * (c1, c2) cannot prune — the store-scan accounting unit of
+    * [[readTouchedPairsManifest]], exposed so tests and maintenance
+    * jobs can audit exactly which files a batch's store scan opens.
+    *
+    * Soundness: a file with footer ranges [a_mn, a_mx] × [b_mn, b_mx]
+    * can contain probe (p1, p2) only if p1 ∈ [a_mn, a_mx]; when the
+    * file holds a SINGLE c1 value (a_mn = a_mx — the common case for a
+    * (c1, c2)-range-clustered layout with more files than c1 values),
+    * additionally only if p2 ∈ [b_mn, b_mx]. A file spanning several
+    * c1 values is kept on the c1 test alone (its c2 footer range does
+    * not bound any single c1 slice). Files the manifest does not cover
+    * are ALWAYS kept — stale manifests cost pruning, never rows. Int64
+    * bounds are decoded from the footer's decimal-string stats
+    * (`min_num`/`max_num` are doubles — lossy past 2^53 for xxhash64
+    * bucket keys).
+    */
+  def touchedPairsKeptFiles(spark: SparkSession, dir: String,
+                            manifestPath: String, c1: String, c2: String,
+                            probes: DataFrame): Seq[String] = {
+    val stats = spark.read.parquet(manifestPath)
+    def ranges(c: String, a: String): DataFrame =
+      stats
+        .where(col("column") === c &&
+          col("ptype").isin("INT32", "INT64"))
+        .select(col("file"),
+          col("min_str").cast("long").as(s"__${a}_mn"),
+          col("max_str").cast("long").as(s"__${a}_mx"),
+          (col("nulls") >= 0 && col("nulls") === col("rows"))
+            .as(s"__${a}_nul"))
+    val withStats = ranges(c1, "a").join(ranges(c2, "b"), "file")
+    // all-null cluster columns cannot match any (non-null) probe; a
+    // file with absent bounds is unprunable and simply never skipped
+    val prunable = withStats.where(
+      (!col("__a_nul") && !col("__b_nul") &&
+        col("__a_mn").isNotNull && col("__a_mx").isNotNull &&
+        col("__b_mn").isNotNull && col("__b_mx").isNotNull) ||
+        col("__a_nul") || col("__b_nul"))
+    val p = probes
+      .select(col(c1).cast("long").as("__p1"),
+        col(c2).cast("long").as("__p2"))
+      .where(col("__p1").isNotNull && col("__p2").isNotNull)
+      .distinct()
+    val hit = !col("__a_nul") && !col("__b_nul") &&
+      col("__p1") >= col("__a_mn") && col("__p1") <= col("__a_mx") &&
+      (col("__a_mn") < col("__a_mx") ||
+        (col("__p2") >= col("__b_mn") && col("__p2") <= col("__b_mx")))
+    // metadata × batch-bounded probe set — never data-sized; collected
+    // as file NAMES only (the prunedRead driver-traffic contract)
+    val skip = prunable.join(p, hit, "left_anti")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    listParquetFiles(spark, dir).filterNot(skip)
+  }
+
+  /** Store scan pruned to the files a touched-(c1, c2) set can live in
+    * — the read path for incremental near-dup signature/code stores
+    * persisted range-clustered by (c1, c2) ([[Dedup.writeBandedSigStore]]
+    * / [[Dedup.writeCodeStore]]): a batch's store scan opens only
+    * touched-bucket files instead of the whole store. File-granular:
+    * the result is a SUPERSET of the touched rows, so callers keep
+    * their exact row-level filter (the incremental operators' touched
+    * semi join). Empty kept set → schema-preserving empty result.
+    */
+  def readTouchedPairsManifest(spark: SparkSession, dir: String,
+                               manifestPath: String, c1: String,
+                               c2: String, probes: DataFrame): DataFrame = {
+    val keep = touchedPairsKeptFiles(spark, dir, manifestPath, c1, c2,
+      probes)
+    if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(keep: _*)
+  }
 }

@@ -32,17 +32,24 @@ object TrainingQueries {
     */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** Persisted sign-LSH code store for the "historical" embedding slice
-    * (vec_id < 400) — written once per data dir; batches read codes
-    * back instead of re-hashing history.
+  /** Persisted CLUSTERED sign-LSH code store for the "historical"
+    * embedding slice (vec_id < 400) — written once per data dir,
+    * clustered by (table, bucket) with a footer-stats manifest, so a
+    * batch's store scan opens only collidable-bucket files
+    * (Dedup.writeCodeStore / Stats.readTouchedPairsManifest). Returns
+    * (storeDir, manifestPath).
     */
-  private def embedStoreFor(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(ArtifactMemo.dirFor("embedstore", d) { p =>
-      Dedup.embeddingCodes(
+  private def embedStoreFor(s: SparkSession, d: String)
+      : (String, String) = {
+    val p = ArtifactMemo.dirFor("embedstore", d) { p =>
+      Dedup.writeCodeStore(
+        Dedup.embeddingCodes(
           t(s, d, "embeddings").where(col("vec_id") < 400),
-          col("vec_id"), col("embedding"), LshPlanes, LshTables)
-        .write.parquet(p)
-    })
+          col("vec_id"), col("embedding"), LshPlanes, LshTables),
+        s"$p/store", s"$p/manifest", filesOut = 16)
+    }
+    (s"$p/store", s"$p/manifest")
+  }
 
   private def manifestFor(s: SparkSession, dir: String): String =
     manifestCache.compute(dir, (_, prev) =>
@@ -167,16 +174,19 @@ object TrainingQueries {
     }),
 
     // Incremental embedding near-dup: new vectors (vec_id ≥ 400)
-    // against the PERSISTED code store of history — history is neither
-    // re-hashed nor shuffled; only LSH-collided candidates fetch
-    // vectors for the exact cosine verify. Hash-checked against the
-    // full-recompute oracle restricted to new larger-ids, so the
-    // store path is provably equivalent to rerunning the batch LSH.
+    // against the PERSISTED CLUSTERED code store of history — history
+    // is neither re-hashed nor shuffled, the store scan is manifest-
+    // pruned to collidable-bucket FILES, and only LSH-collided
+    // candidates fetch vectors for the exact cosine verify.
+    // Hash-checked against the full-recompute oracle restricted to new
+    // larger-ids, so the pruned-store path is provably equivalent to
+    // rerunning the batch LSH.
     "x_embed_incremental" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Dedup.embeddingIncremental(e.where(col("id") >= 400),
-          col("id"), col("vec"), embedStoreFor(s, d),
+      val (store, manifest) = embedStoreFor(s, d)
+      Dedup.embeddingIncrementalStored(e.where(col("id") >= 400),
+          col("id"), col("vec"), store, manifest,
           e.where(col("id") < 400), 0.42,
           planes = LshPlanes, tables = LshTables, multiprobe = 1)
         .orderBy(col("id_a"), col("id_b"))
