@@ -114,7 +114,8 @@ object StreamOps {
                       id: String, text: String, storePath: String,
                       outPath: String, checkpoint: String, n: Int = 3,
                       k: Int = 32, rowsPerBand: Int = 4,
-                      minEstJaccard: Double = 0.8)
+                      minEstJaccard: Double = 0.8,
+                      compactEvery: Int = 0, compactFilesOut: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     stream.writeStream
@@ -122,18 +123,12 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val root = new org.apache.hadoop.fs.Path(storePath)
-          val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-          val hasCommitted = fs.exists(root) &&
-            StreamOps.hasCommittedParquet(fs, root)
           // ONE hash pass over the batch, materialized here and reused
           // by the gate, the store write, and the regime count
           val batchSigs = Dedup.minhashSigsNative(batch, col(id),
             col(text), n, k).localCheckpoint()
-          val store =
-            if (hasCommitted)
-              spark.read.parquet(storePath).select(col("id"), col("sig"))
-            else batchSigs.limit(0)
+          val store = nearDupStoreView(spark, storePath)
+            .getOrElse(batchSigs.limit(0))
           val survivors = Dedup.minhashIncrementalFromSigs(batch,
               col(id), batchSigs, store, rowsPerBand, minEstJaccard)
             .localCheckpoint()
@@ -145,9 +140,93 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
           survivors.write.mode("overwrite")
             .parquet(s"$outPath/batch=$batchId")
+          // in-sink maintenance: foreachBatch is serial, so compacting
+          // here can never race a reading batch
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactNearDupStore(spark, storePath, compactFilesOut): Unit
         }
       }
       .start()
+  }
+
+  /** The signature store's current READ VIEW: the newest committed
+    * `gen=<t>` compaction (if any) plus the `batch=<id>` appends with
+    * id > t. Generation selection is what makes compaction atomic from
+    * the reader's side — a reader either still resolves the old
+    * generation + its batch dirs or the new generation, never a mix
+    * (folded batch dirs are excluded by the id > t rule, so the
+    * post-compaction duplicate window can never double-count a store
+    * row). Commit state is judged per sub-directory by reader-visible
+    * parquet ([[hasCommittedParquet]]), so a crashed generation or
+    * batch write is ignored until its retry commits it. None = no
+    * committed store content (first-batch bootstrap).
+    */
+  private[graft] def nearDupStoreView(spark: SparkSession,
+                                          storePath: String)
+      : Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => hasCommittedParquet(fs, p))
+    val gens = dirs.filter(_.getName.startsWith("gen="))
+      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
+    val tok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
+    val batches = dirs
+      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong > tok)
+    val paths = (gens.filter(_._1 == tok).map(_._2) ++ batches)
+      .map(_.toString).toSeq
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*).select(col("id"), col("sig")))
+  }
+
+  /** Fold the near-dup gate's per-micro-batch `batch=<id>` store
+    * appends into a compacted generation: after 10⁵ micro-batches the
+    * store is 10⁵ small file sets and every batch's store scan is
+    * listing-bound — the maintenance this performs. Writes the current
+    * view (newest generation + newer batch dirs) as `gen=<maxBatchId>`
+    * in `filesOut` files, then vacuums only what a FULL compaction
+    * cycle has already superseded: generations and batch dirs folded
+    * into the PREVIOUS generation. The one-cycle grace period is the
+    * retention story for readers racing the compactor — an in-flight
+    * scan that resolved the previous generation still has every file
+    * it listed; the [[nearDupGateSink]] `compactEvery` hook runs this
+    * serially between micro-batches, where even that race cannot
+    * occur. Overwrite-idempotent: a crashed or retried compaction
+    * rewrites the same generation; an uncommitted generation dir is
+    * invisible to readers. Returns the new generation token, or None
+    * when there was nothing to fold.
+    */
+  def compactNearDupStore(spark: SparkSession, storePath: String,
+                          filesOut: Int): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => hasCommittedParquet(fs, p))
+    val gens = dirs.filter(_.getName.startsWith("gen="))
+      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
+    val prevTok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
+    val foldable = dirs.filter(_.getName.startsWith("batch="))
+      .map(p => (p.getName.stripPrefix("batch=").toLong, p))
+      .filter(_._1 > prevTok)
+    if (foldable.isEmpty) return None
+    val newTok = foldable.map(_._1).max
+    val viewPaths = (gens.filter(_._1 == prevTok).map(_._2) ++
+      foldable.map(_._2)).map(_.toString).toSeq
+    spark.read.parquet(viewPaths: _*).select(col("id"), col("sig"))
+      .repartition(filesOut)
+      .write.mode("overwrite").parquet(s"$storePath/gen=$newTok")
+    // vacuum: only dirs superseded since BEFORE this compaction began
+    // (folded into gen=prevTok a full cycle ago) — never what an
+    // in-flight reader of the previous view could still be scanning
+    val stale =
+      gens.filter(_._1 < prevTok).map(_._2) ++
+        dirs.filter(_.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong <= prevTok)
+    stale.foreach(p => fs.delete(p, true))
+    Some(newTok)
   }
 
   /** True iff `root` holds at least one READER-VISIBLE committed parquet

@@ -134,4 +134,56 @@ class StreamOpsSpec extends SparkSuite {
       assert(store == out) // survivors' sigs and nothing else
     } finally q.stop()
   }
+
+  test("nearDupGateSink with compactEvery: per-batch store dirs fold " +
+      "into generations mid-stream, later batches still gate, and the " +
+      "one-cycle-old dirs are vacuumed") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-ndcompact-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained simply " * 8
+    val docC = "bucketed table layouts and zero shuffle joins " * 8
+    val docD = "completely fresh content about parquet footer stats " * 8
+    val docE = "another novel document about shuffle partition sizing " * 8
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/store", s"$base/out", s"$base/ckpt",
+      compactEvery = 2, compactFilesOut = 2)
+    try {
+      in.addData((1L, docA), (2L, docB)) // batch 0
+      q.processAllAvailable()
+      in.addData((11L, docA), (12L, docC)) // batch 1 → compacts to gen=1
+      q.processAllAvailable()
+      // batch 2 gates against the COMPACTED generation: 21 dups the
+      // batch-1 survivor (now living only in gen=1's files)
+      in.addData((21L, docC), (22L, docD))
+      q.processAllAvailable()
+      in.addData((31L, docD), (32L, docE)) // batch 3 → compacts to gen=3
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 12L, 22L, 32L))
+      // the read view resolves the newest generation only — identical
+      // content to the survivors, never a duplicate row
+      val view = StreamOps.nearDupStoreView(spark, s"$base/store").get
+      val viewIds = view.select($"id").as[Long].collect()
+      assert(viewIds.toSet == out && viewIds.length == out.size)
+      // vacuum: batch dirs folded a full cycle ago (<= gen=1) are gone;
+      // the fresh fold keeps its one-cycle grace
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dirNames = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$base/store"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(dirNames.contains("gen=3"))
+      assert(!dirNames.contains("batch=0") && !dirNames.contains("batch=1"),
+        s"one-cycle-old batch dirs must be vacuumed, got $dirNames")
+      assert(dirNames.contains("batch=2") && dirNames.contains("batch=3"),
+        "freshly folded dirs keep a one-cycle grace period")
+      // a third compaction folds nothing new but is a safe no-op
+      assert(StreamOps.compactNearDupStore(spark, s"$base/store", 2)
+        .isEmpty)
+    } finally q.stop()
+  }
 }
