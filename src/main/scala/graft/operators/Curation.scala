@@ -133,9 +133,8 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    val evalGrams = evalSet
-      .select(explode(ngramArray(text, n)).as("gram")).distinct()
-      .localCheckpoint()
+    val evalGrams = Checkpoints.stage(evalSet
+      .select(explode(ngramArray(text, n)).as("gram")).distinct())
     val items = math.max(1L, math.min(evalGrams.count(), maxItems))
     val bits = math.max(64L, math.min(items * 8L, maxBits))
     // Null sketch (empty eval set) keeps working: might_contain(null)
@@ -281,9 +280,8 @@ object Curation {
     val src = Layout.fanOutSmallScan(df.select(id.as("id"), text.as("__t")))
     val tri = src.select(col("id"), explode(charTrigrams(col("__t"))).as("tg"))
     val all = tri.groupBy(col("tg")).agg(count(lit(1)).as("c"))
-    val counts =
-      (if (minCount > 1) all.where(col("c") >= minCount) else all)
-        .localCheckpoint()
+    val counts = Checkpoints.stage(
+      if (minCount > 1) all.where(col("c") >= minCount) else all)
     val vocab = counts.count()
     val joined =
       if (vocab <= broadcastVocabLimit) tri.join(broadcast(counts), Seq("tg"))

@@ -233,7 +233,7 @@ object Dedup {
                                  maxBucket: Int = 10000,
                                  broadcastLimit: Long = 4000000L)
       : DataFrame = {
-    val newSigs = newSigsIn.localCheckpoint()
+    val newSigs = Checkpoints.stage(newSigsIn)
     val small = newSigs.count() <= broadcastLimit
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
@@ -374,7 +374,7 @@ object Dedup {
                                        broadcastLimit: Long = 4000000L)
       : DataFrame = {
     val spark = newDocs.sparkSession
-    val newSigs = newSigsIn.localCheckpoint()
+    val newSigs = Checkpoints.stage(newSigsIn)
     val small = newSigs.count() <= broadcastLimit
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
@@ -624,9 +624,8 @@ object Dedup {
                            dim: Int = 64, maxBucket: Int = 100000,
                            broadcastLimit: Long = 4000000L): DataFrame = {
     val base = newEmbs.select(id.as("id"), vec.as("vec"))
-    val newCodes =
-      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim)
-        .localCheckpoint()
+    val newCodes = Checkpoints.stage(
+      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim))
     embeddingIncrementalFromCodes(base, newCodes, storeCodes, storeVecs,
       threshold, planes, tables, multiprobe, maxBucket, broadcastLimit)
   }
@@ -748,9 +747,8 @@ object Dedup {
       : DataFrame = {
     val spark = newEmbs.sparkSession
     val base = newEmbs.select(id.as("id"), vec.as("vec"))
-    val newCodes =
-      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim)
-        .localCheckpoint()
+    val newCodes = Checkpoints.stage(
+      embeddingCodes(base, col("id"), col("vec"), planes, tables, dim))
     val pruneProbes = expandProbes(
         expandProbes(newCodes, planes, multiprobe), planes, multiprobe)
       .select(col("table"), col("bucket"))

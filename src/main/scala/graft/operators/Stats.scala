@@ -252,7 +252,7 @@ object Stats {
        else kept.unionByName(statsForFiles(spark, fresh)))
         // manifest-sized, not data-sized: materialize before the
         // self-overwrite (Spark cannot overwrite a path mid-read)
-        .localCheckpoint()
+        .transform(Checkpoints.stage)
     refreshed.write.mode("overwrite").parquet(manifestPath)
     spark.catalog.refreshByPath(manifestPath)
   }

@@ -36,9 +36,10 @@ object Training {
     * per-partition-imperative case where mapPartitions is the right
     * tool. `repartitionByRange` samples boundaries with deterministic
     * seeds, so the split — and with a unique order key the result —
-    * is reproducible; the localCheckpoint shares the one
-    * materialization between the two phases (use reliable
-    * `checkpoint()` on a cluster).
+    * is reproducible; the staged materialization is shared between the
+    * two phases ([[Checkpoints.stage]] — reliable `checkpoint()` when a
+    * checkpoint dir is set, so a cluster run survives executor loss;
+    * executor-local `localCheckpoint()` otherwise).
     */
   def withPrefixSum(df: DataFrame, order: Seq[Column], value: Column,
                     out: String, parts: Int = 0): DataFrame = {
@@ -46,11 +47,10 @@ object Training {
     val p =
       if (parts > 0) parts
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val prepared = df
+    val prepared = Checkpoints.stage(df
       .withColumn("__v", coalesce(value.cast("long"), lit(0L)))
       .repartitionByRange(p, order: _*)
-      .sortWithinPartitions(order: _*)
-      .localCheckpoint()
+      .sortWithinPartitions(order: _*))
     val partSums = prepared
       .groupBy(spark_partition_id().as("__pid"))
       .agg(sum(col("__v")).as("__t"))
