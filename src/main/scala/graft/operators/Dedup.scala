@@ -256,6 +256,27 @@ object Dedup {
                                     maxBucket: Int): DataFrame = {
     def batchSide(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
+    // the gate needs only the removal-id side of the candidate edges.
+    // A pair recurring across bands passes the est filter identically
+    // each time, so no pair-level distinct is needed — only the final
+    // removal-id set is deduplicated.
+    val removed = bandedCandidateEdges(newBands, storeBands, small,
+        minEstJaccard, maxBucket)
+      .select(col("id_b").as("__rm_id")).distinct()
+    // removals are batch-bounded → broadcast anti join in the small
+    // regime; the new batch itself never shuffles either
+    newDocs.join(batchSide(removed), id === col("__rm_id"), "left_anti")
+  }
+
+  /** The candidate EDGES behind the incremental gates, pre-distinct:
+    * (id_a, id_b, est_jaccard) with the new doc on the id_b side.
+    */
+  private def bandedCandidateEdges(newBands: DataFrame,
+                                   storeBands: DataFrame, small: Boolean,
+                                   minEstJaccard: Double,
+                                   maxBucket: Int): DataFrame = {
+    def batchSide(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     // buckets the new batch lands in — batch-sized, broadcastable in
     // the small regime (a semi join needs no distinct build side, so
     // none is paid)
@@ -282,18 +303,44 @@ object Dedup {
       .select(col("band"), col("bucket"), col("id").as("id_b"),
         col("sig").as("sb"))
     // small regime: the members stream never shuffles for pair
-    // formation. A pair recurring across bands passes the est filter
-    // identically each time, so no pair-level distinct is needed —
-    // only the final removal-id set is deduplicated.
-    val removed = older.join(batchSide(newer), Seq("band", "bucket"))
+    // formation
+    older.join(batchSide(newer), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .where((VectorFunctions.foldSum(zip_with(col("sa"), col("sb"),
-        (x, y) => when(x === y, 1.0).otherwise(0.0))) /
-        size(col("sa"))) >= minEstJaccard)
-      .select(col("id_b").as("__rm_id")).distinct()
-    // removals are batch-bounded → broadcast anti join in the small
-    // regime; the new batch itself never shuffles either
-    newDocs.join(batchSide(removed), id === col("__rm_id"), "left_anti")
+      .select(col("id_a"), col("id_b"),
+        (VectorFunctions.foldSum(zip_with(col("sa"), col("sb"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0))) /
+          size(col("sa"))).as("est_jaccard"))
+      .where(col("est_jaccard") >= minEstJaccard)
+  }
+
+  /** Distinct candidate edges of one incremental batch against the
+    * banded store — the RECONCILIATION feed: the gates enforce pairwise
+    * removal in-line; accumulating these edges per batch and running
+    * [[Graph.connectedComponents]] over the union periodically gives
+    * transitive-policy users the cluster-exact resolution offline
+    * (edges ∘ CC over accumulated batches ≡ the full-corpus batch
+    * clustering — driver-checked by x_incremental_reconcile). Returns
+    * (id_a, id_b, est_jaccard), new doc on the id_b side.
+    */
+  def minhashIncrementalCandidatesBanded(newSigsIn: DataFrame,
+                                         storeDir: String,
+                                         manifestPath: String,
+                                         rowsPerBand: Int = 4,
+                                         minEstJaccard: Double = 0.8,
+                                         maxBucket: Int = 10000,
+                                         broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    val spark = newSigsIn.sparkSession
+    val newSigs = Checkpoints.stage(newSigsIn)
+    val small = newSigs.count() <= broadcastLimit
+    val newBands = lshBuckets(newSigs, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+    val storeBands = Stats.readTouchedPairsManifest(spark, storeDir,
+        manifestPath, "band", "bucket",
+        newBands.select(col("band"), col("bucket")))
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+    bandedCandidateEdges(newBands, storeBands, small, minEstJaccard,
+      maxBucket).distinct()
   }
 
   // ---------- banded signature store (persisted, manifest-pruned) ----

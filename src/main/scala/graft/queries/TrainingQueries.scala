@@ -144,6 +144,36 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Offline reconciliation of the INCREMENTAL gates: the gates
+    // enforce pairwise removal in-line; transitive-policy users
+    // periodically run connected components over the ACCUMULATED
+    // candidate edges instead. Edges here are accumulated exactly as
+    // ingestion would record them — history's own in-corpus pairs
+    // (recorded when history was ingested) plus the new batch's edges
+    // from the manifest-pruned banded store
+    // (Dedup.minhashIncrementalCandidatesBanded) — and the CC
+    // resolution over their union must equal the full-corpus batch
+    // clustering: this query shares x_dedup_clusters' recursive-CTE
+    // oracle verbatim.
+    "x_incremental_reconcile" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val (store, manifest) = ExtensionQueries.bandedSigStoreFor(s, d)
+      val histEdges = Dedup.minhashCandidates(
+          Dedup.minhashSigsNative(docs.where(col("doc_id") < 400),
+            col("doc_id"), col("text"), n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val batchEdges = Dedup.minhashIncrementalCandidatesBanded(
+          Dedup.minhashSigsNative(docs.where(col("doc_id") >= 400),
+            col("doc_id"), col("text"), n = 3, k = 32),
+          store, manifest)
+        .select(col("id_a"), col("id_b"))
+      Graph.dedupClusters(histEdges.unionByName(batchEdges),
+          col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cluster resolution over EMBEDDING near-dups with exact cosine
     // >= 0.42 pairs as edges — the ground-truth VERIFIER form (O(n²),
     // like x_embed_neardup). The shipping scale path is
@@ -494,11 +524,14 @@ object TrainingQueries {
           col("term"), col("tf"), col("df"))
         .orderBy(col("doc_id"), col("rnk"))))
 
-  val oracleSql: Map[String, String] = Map(
-
-    "x_dedup_clusters" -> (
-      ExtensionQueries.minhashCandCte
-        .replaceFirst("WITH ", "WITH RECURSIVE ") +
+  /** Recursive-CTE clustering over the full-corpus >= 0.8 candidate
+    * edges — the shared oracle of x_dedup_clusters AND
+    * x_incremental_reconcile: the incremental accumulated-edge path
+    * must resolve to the identical clustering.
+    */
+  private val dedupClustersSql: String =
+    ExtensionQueries.minhashCandCte
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, scored AS (
         |  SELECT id_a, id_b,
         |    CAST(len(list_filter(range(32),
@@ -515,7 +548,16 @@ object TrainingQueries {
         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
         |)
         |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x_dedup_clusters" -> dedupClustersSql,
+
+    // The incremental accumulated-edge reconciliation answers the SAME
+    // clustering question — shared oracle, different (store-pruned,
+    // per-batch) edge machinery on the engine side.
+    "x_incremental_reconcile" -> dedupClustersSql,
 
     "x_embed_clusters" ->
       """WITH RECURSIVE n AS (
