@@ -169,6 +169,88 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Memory-bound IVF — the [[ivfTopK]] probe structure composed with
+    * [[quantizeInt8]]: candidates inside the probed cells are SHORTLISTED
+    * on int8-quantized vectors (4× less candidate bandwidth — at 100 TB
+    * the quantized corpus is what fits executor memory), then only the
+    * top `shortlist` per query are re-ranked with the exact float
+    * cosine. The standard production ANN shape (IVF + scalar
+    * quantization + re-rank).
+    *
+    * Determinism: the quantized score is integer-exact — int8 products
+    * (≤ 127² = 16129) and their ≤ dim-length sums are exactly
+    * representable, so the dequantization scale factors
+    * (mx_a·mx_b/127², norms) and the shortlist order are bit-stable on
+    * any engine; ties break on vb. With `shortlist` ≥ the probed cell
+    * population and `nprobe` = centroids this equals [[bruteForceTopK]]
+    * exactly (SimilaritySpec pins it); recall at production settings is
+    * licensed by the x_ivf_q8_recall_err gate.
+    */
+  def ivfTopKQuantized(queries: DataFrame, corpus: DataFrame, k: Int,
+                       shortlist: Int, centroids: Int = 16,
+                       nprobe: Int = 4, dim: Int = 64, seed: Long = 42L,
+                       fitted: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val cents: Array[Array[Double]] = fitted.getOrElse {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(centroids, dim)(rnd.nextGaussian())
+    }
+    def centroidScores(vec: Column): Column =
+      array(cents.map(c => dot(vec, lit(c))).toSeq: _*)
+    def topCells(vec: Column, n: Int): Column =
+      slice(
+        transform(
+          array_sort(
+            zip_with(centroidScores(vec),
+              sequence(lit(0), lit(cents.length - 1)),
+              (s, i) => struct(negate(s).as("ns"), i.as("i")))),
+          e => e.getField("i")),
+        1, n)
+    // int8 side: quantized array (as array<double> — values are small
+    // integers, every product/sum below is exact) + its integer norm
+    def quantized(vec: Column): Column =
+      quantizeInt8(vec, maxAbs(vec)).cast("array<double>")
+    val cs = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+      .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
+      .withColumn("qc", quantized(col("cv")))
+      .withColumn("qcn", l2Norm(col("qc")))
+      .drop("cv")
+    val qs = queries.select(col("id").as("qa"), col("vec").as("qv"))
+      .withColumn("cell", explode(topCells(col("qv"), nprobe)))
+      .withColumn("qq", quantized(col("qv")))
+      .withColumn("qqn", l2Norm(col("qq")))
+      .drop("qv")
+    // shortlist on the quantized cosine only — float vectors are NOT
+    // carried through the candidate join
+    val qdenom = col("qqn") * col("qcn")
+    val sw = Window.partitionBy(col("qa"))
+      .orderBy(col("qcos").desc, col("vb"))
+    val shortlisted = broadcast(qs).join(cs, Seq("cell"))
+      .where(col("qa") =!= col("vb"))
+      .select(col("qa"), col("vb"),
+        when(qdenom =!= 0.0, dot(col("qq"), col("qc")) / qdenom)
+          .as("qcos"))
+      .distinct()
+      .withColumn("srank", row_number().over(sw))
+      .where(col("srank") <= shortlist)
+      .select(col("qa"), col("vb"))
+    // exact float re-rank of the shortlist only
+    val qv = broadcast(queries.select(col("id").as("qa"),
+        col("vec").as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
+    val cv = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val denom = col("qn") * col("cn")
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("cos").desc, col("vb"))
+    shortlisted.join(qv, "qa").join(cv, "vb")
+      .select(col("qa"), col("vb"),
+        when(denom =!= 0.0, dot(col("qv"), col("cv")) / denom).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Deterministic distributed k-means (Lloyd's) for IVF coarse
     * centroids: init from the first `k` corpus vectors by id (stable),
     * then `iters` rounds of assign (narrow argmax over centroid dots) +

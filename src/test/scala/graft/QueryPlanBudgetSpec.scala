@@ -40,6 +40,13 @@ class QueryPlanBudgetSpec extends SparkSuite {
       maxBroadcasts = 8, allowCartesian = true),
     "x_ivf_recall_err" -> Budget(maxShuffles = 12, maxSorts = 10,
       maxBroadcasts = 8, allowCartesian = true),
+    // quantized-IVF gate: contains the same brute-force exact baseline
+    // BY DESIGN plus the two-stage (shortlist + re-rank) windows
+    "x_ivf_q8_recall_err" -> Budget(maxShuffles = 14, maxSorts = 12,
+      maxBroadcasts = 10, allowCartesian = true),
+    // two ranking windows (quantized shortlist, float re-rank)
+    "x_cosine_ivf_q8" -> Budget(maxShuffles = 8, maxSorts = 8,
+      maxBroadcasts = 8),
     // exact-vs-approx disagreement gate: two gates + exceptAll both ways
     "x_quality_gate_approx_err" -> Budget(maxShuffles = 10,
       maxSorts = 6, maxBroadcasts = 8),

@@ -46,6 +46,48 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.2) // random corpus, random centroids: weak cells
   }
 
+  test("quantized IVF: with full probe and full shortlist the exact " +
+      "float re-rank reproduces bruteForceTopK bit-for-bit") {
+    val q = embs.where($"id" < 5)
+    val n = embs.count().toInt
+    val full = Similarity.ivfTopKQuantized(q, embs, k = 5,
+        shortlist = n, centroids = 16, nprobe = 16)
+      .select($"qa", $"rank", $"vb", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"rank", $"vb", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == bf,
+      "full-probe full-shortlist quantized IVF must equal brute force")
+  }
+
+  test("quantized IVF at production settings (fitted centroids): " +
+      "recall@5 >= 0.8 vs brute force, and the int8 shortlist costs " +
+      "almost nothing vs the float IVF path") {
+    val q = embs.where($"id" < 20)
+    val cents = Similarity.fitCentroids(embs, k = 16, iters = 3)
+    val ivfq = Similarity.ivfTopKQuantized(q, embs, k = 5,
+        shortlist = 20, nprobe = 6, fitted = Some(cents))
+      .select($"qa", $"rank", $"vb").collect()
+    ivfq.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.length))
+    }
+    val got = ivfq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bf = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    val recall = bf.count(got.contains).toDouble / bf.size
+    assert(recall >= 0.8, s"quantized-IVF recall $recall < 0.8")
+    // isolate the quantization cost from probe misses: the int8
+    // shortlist + exact re-rank must agree with the float IVF on >= 90%
+    // of pairs at the same probe settings
+    val ivf = Similarity.ivfTopK(q, embs, k = 5, nprobe = 6,
+        fitted = Some(cents))
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    val agree = ivf.count(got.contains).toDouble / ivf.size
+    assert(agree >= 0.9, s"quantized vs float IVF agreement $agree < 0.9")
+  }
+
   test("IVF with fitted k-means centroids matches or beats random cells") {
     val q = embs.where($"id" < 20)
     val exact = Similarity.bruteForceTopK(q, embs, 5)
