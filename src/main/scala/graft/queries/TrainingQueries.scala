@@ -128,6 +128,24 @@ object TrainingQueries {
        |)""".stripMargin
   }
 
+  /** Recursive-CTE clustering over the full-corpus >= 0.42 LSH edges —
+    * the shared oracle of x_embed_lsh_clusters AND x_embed_reconcile.
+    */
+  private lazy val embedClustersSql: String =
+    lshPairsCte("0.42")
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """, ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM sel
+        |), sym AS (
+        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT id AS vec_id, min(r) AS cluster, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Near-dup cluster resolution: MinHash-LSH candidate pairs >= 0.8
@@ -231,6 +249,32 @@ object TrainingQueries {
       val pairs = Dedup.embeddingNearDup(e, col("id"), col("vec"), 0.42,
         planes = LshPlanes, tables = LshTables, multiprobe = 1)
       Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
+        .select(col("id").as("vec_id"), col("cluster"), col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Embedding twin of x_incremental_reconcile: the incremental gate
+    // already RETURNS its candidate edges ((id_a, id_b, cos) pairs);
+    // accumulate history's own in-corpus LSH edges (recorded when
+    // history was ingested) with the batch's manifest-pruned
+    // store edges, resolve with connected components — and the result
+    // must equal the full-corpus LSH clustering: shares
+    // x_embed_lsh_clusters' recursive-CTE oracle verbatim.
+    "x_embed_reconcile" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val hist = e.where(col("id") < 400)
+      val (store, manifest) = embedStoreFor(s, d)
+      val histEdges = Dedup.embeddingNearDup(hist, col("id"), col("vec"),
+          0.42, planes = LshPlanes, tables = LshTables, multiprobe = 1)
+        .select(col("id_a"), col("id_b"))
+      val batchEdges = Dedup.embeddingIncrementalStored(
+          e.where(col("id") >= 400), col("id"), col("vec"), store,
+          manifest, hist, 0.42, planes = LshPlanes, tables = LshTables,
+          multiprobe = 1)
+        .select(col("id_a"), col("id_b"))
+      Graph.dedupClusters(histEdges.unionByName(batchEdges),
+          col("id_a"), col("id_b"))
         .select(col("id").as("vec_id"), col("cluster"), col("keep"))
         .orderBy(col("vec_id"))
     }),
@@ -594,19 +638,12 @@ object TrainingQueries {
         |SELECT id_a, id_b, cos FROM sel
         |WHERE id_b >= 400 ORDER BY id_a, id_b""".stripMargin),
 
-    "x_embed_lsh_clusters" -> (lshPairsCte("0.42")
-      .replaceFirst("WITH ", "WITH RECURSIVE ") +
-      """, ed AS (
-        |  SELECT id_a AS a, id_b AS b FROM sel
-        |), sym AS (
-        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
-        |), reach(id, r) AS (
-        |  SELECT DISTINCT a AS id, a AS r FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
-        |)
-        |SELECT id AS vec_id, min(r) AS cluster, (id = min(r)) AS keep
-        |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
+    "x_embed_lsh_clusters" -> embedClustersSql,
+
+    // Incremental accumulated-edge reconciliation — same clustering
+    // question, shared oracle (the engine side differs: per-batch
+    // pruned-store edges instead of one full-corpus pass).
+    "x_embed_reconcile" -> embedClustersSql,
 
     "x_embed_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
