@@ -13,9 +13,19 @@ import org.apache.spark.sql.DataFrame
   * 10-hour backfill batch survives executor loss mid-join instead of
   * recomputing the lineage from the source; without one it is the fast
   * executor-local `localCheckpoint()` (single-process runs, tests).
-  * One-shot stages supersede nothing, so there is nothing to vacuum
-  * mid-operator; reliable checkpoint files live under the caller's
-  * checkpoint dir and follow its retention.
+  *
+  * Retention: Spark does NOT delete reliable checkpoint data on its
+  * own — each stage leaves one rdd-* dir under the checkpoint dir.
+  * One-shot batch jobs drop the dir when they finish (the
+  * CheckpointModeSpec pattern). LONG-LIVED apps that set a checkpoint
+  * dir must either enable
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark then
+  * deletes a stage's files once its RDD is garbage-collected) or
+  * accept per-call accumulation; a per-micro-batch caller (the
+  * streaming near-dup gate) that wants neither should simply leave the
+  * checkpoint dir unset — micro-batches are retried whole by the
+  * stream runner, so executor-loss recovery does not need reliable
+  * stages there.
   */
 private[graft] object Checkpoints {
   def stage(df: DataFrame): DataFrame =

@@ -221,21 +221,43 @@ object Curation {
     * a candidate hash's count (adding a confirm row) but the string
     * recount makes the final set collision-proof. `src` must expose the
     * line source as `__t`.
+    *
+    * The candidate-hash set is boilerplate-sized by the op's premise,
+    * but the premise is MEASURED, not assumed (the charTrigram gate
+    * pattern): the staged hash set is counted, and only under
+    * `broadcastCandLimit` does it broadcast into the confirm semi
+    * join — a duplicate-heavy corpus with a low maxDf (candidates ≈
+    * distinct lines) takes a shuffle-hash semi join instead of an
+    * over-limit broadcast.
     */
-  private[graft] def confirmedFrequentLines(src: DataFrame, pat: String,
-                                            maxDf: Long): DataFrame = {
+  private[graft] def confirmedFrequentLines(
+      src: DataFrame, pat: String, maxDf: Long,
+      broadcastCandLimit: Long = 4000000L): DataFrame = {
     val lines = src.select(explode(split(col("__t"), pat)).as("line"))
-    val candHashes = lines
+    val candHashes =
+      Checkpoints.stage(lineHashFrequencies(src, pat, maxDf))
+    val candSide =
+      if (candHashes.count() <= broadcastCandLimit) broadcast(candHashes)
+      else candHashes.hint("shuffle_hash")
+    lines
+      .join(candSide, xxhash64(col("line")) === col("lh"), "left_semi")
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+  }
+
+  /** Pass 1 of [[confirmedFrequentLines]], pre-staging: the over-maxDf
+    * xxhash64(line) candidate set. Exposed (package-test) so the plan
+    * spec can assert the corpus-wide frequency exchange carries
+    * fixed-width keys, which staging would otherwise hide from the
+    * consuming plan.
+    */
+  private[graft] def lineHashFrequencies(src: DataFrame, pat: String,
+                                         maxDf: Long): DataFrame =
+    src.select(explode(split(col("__t"), pat)).as("line"))
       .select(xxhash64(col("line")).as("lh"))
       .groupBy(col("lh")).agg(count(lit(1)).as("hdf"))
       .where(col("hdf") > maxDf)
       .select(col("lh"))
-    lines
-      .join(broadcast(candHashes), xxhash64(col("line")) === col("lh"),
-        "left_semi")
-      .groupBy(col("line")).agg(count(lit(1)).as("df"))
-      .where(col("df") > maxDf)
-  }
 
   /** Character trigrams as a per-row array (sliding window over the
     * raw string, overlapping, multiplicity kept). Texts shorter than 3

@@ -235,7 +235,11 @@ object Similarity {
       .withColumn("srank", row_number().over(sw))
       .where(col("srank") <= shortlist)
       .select(col("qa"), col("vb"))
-    // exact float re-rank of the shortlist only
+    // exact float re-rank of the shortlist only. The shortlist side is
+    // |Q|·shortlist rows — BROADCAST it into the corpus vector fetch so
+    // the float corpus never shuffles (the embeddingIncremental
+    // candidate-fetch pattern); left to Catalyst, a sort-merge join
+    // here would shuffle the whole corpus vector table.
     val qv = broadcast(queries.select(col("id").as("qa"),
         col("vec").as("qv"))
       .withColumn("qn", l2Norm(col("qv"))))
@@ -244,7 +248,7 @@ object Similarity {
     val denom = col("qn") * col("cn")
     val w = Window.partitionBy(col("qa"))
       .orderBy(col("cos").desc, col("vb"))
-    shortlisted.join(qv, "qa").join(cv, "vb")
+    broadcast(shortlisted.join(qv, "qa")).join(cv, "vb")
       .select(col("qa"), col("vb"),
         when(denom =!= 0.0, dot(col("qv"), col("cv")) / denom).as("cos"))
       .withColumn("rank", row_number().over(w).cast("int"))

@@ -79,6 +79,17 @@ object Stats {
                   case n: java.lang.Number => Some(n.doubleValue())
                   case _ => None
                 }
+                // exact integral bounds: INT32/INT64 stats surface as
+                // boxed Integer/Long — kept as Long so 64-bit hash keys
+                // (xxhash64 buckets) never round through a double, and
+                // row groups merge NUMERICALLY (the string min/max
+                // merge below is lexicographic — correct for UTF8
+                // stats, wrong for decimal renders of integers)
+                def intg(v: AnyRef): Option[Long] = v match {
+                  case n: java.lang.Integer => Some(n.longValue())
+                  case n: java.lang.Long => Some(n.longValue())
+                  case _ => None
+                }
                 (p, cc.getPath.toDotString,
                   cc.getPrimitiveType.getPrimitiveTypeName.name(),
                   cc.getValueCount,
@@ -88,6 +99,10 @@ object Stats {
                   if (hasVals) num(st.genericGetMin.asInstanceOf[AnyRef])
                   else None,
                   if (hasVals) num(st.genericGetMax.asInstanceOf[AnyRef])
+                  else None,
+                  if (hasVals) intg(st.genericGetMin.asInstanceOf[AnyRef])
+                  else None,
+                  if (hasVals) intg(st.genericGetMax.asInstanceOf[AnyRef])
                   else None)
               }
             }.iterator
@@ -95,13 +110,15 @@ object Stats {
         }
       }
       .toDF("file", "column", "ptype", "rows", "nulls",
-        "min_str", "max_str", "min_num", "max_num")
+        "min_str", "max_str", "min_num", "max_num",
+        "min_int", "max_int")
       // one row per (file, column): merge row groups
       .groupBy($"file", $"column", $"ptype")
       .agg(sum($"rows").as("rows"),
         sum($"nulls").as("nulls"),
         min($"min_str").as("min_str"), max($"max_str").as("max_str"),
-        min($"min_num").as("min_num"), max($"max_num").as("max_num"))
+        min($"min_num").as("min_num"), max($"max_num").as("max_num"),
+        min($"min_int").as("min_int"), max($"max_int").as("max_int"))
   }
 
   /** Files a `column BETWEEN lo AND hi` predicate would skip entirely
@@ -314,10 +331,12 @@ object Stats {
     * additionally only if p2 ∈ [b_mn, b_mx]. A file spanning several
     * c1 values is kept on the c1 test alone (its c2 footer range does
     * not bound any single c1 slice). Files the manifest does not cover
-    * are ALWAYS kept — stale manifests cost pruning, never rows. Int64
-    * bounds are decoded from the footer's decimal-string stats
-    * (`min_num`/`max_num` are doubles — lossy past 2^53 for xxhash64
-    * bucket keys).
+    * are ALWAYS kept — stale manifests cost pruning, never rows.
+    * Bounds come from the manifest's EXACT integral columns
+    * (`min_int`/`max_int` — boxed footer values merged numerically
+    * across row groups; `min_num`/`max_num` doubles are lossy past
+    * 2^53 for xxhash64 bucket keys, and the string stats merge
+    * lexicographically, which is wrong for decimal integer renders).
     */
   def touchedPairsKeptFiles(spark: SparkSession, dir: String,
                             manifestPath: String, c1: String, c2: String,
@@ -328,8 +347,8 @@ object Stats {
         .where(col("column") === c &&
           col("ptype").isin("INT32", "INT64"))
         .select(col("file"),
-          col("min_str").cast("long").as(s"__${a}_mn"),
-          col("max_str").cast("long").as(s"__${a}_mx"),
+          col("min_int").as(s"__${a}_mn"),
+          col("max_int").as(s"__${a}_mx"),
           (col("nulls") >= 0 && col("nulls") === col("rows"))
             .as(s"__${a}_nul"))
     val withStats = ranges(c1, "a").join(ranges(c2, "b"), "file")

@@ -156,9 +156,12 @@ object Training {
       lit(1L), "__gpos")
     val starts = ranked.groupBy(stratum.as("__s2"))
       .agg(min(col("__gpos")).as("__off"))
+    // null-SAFE joins: a NULL stratum is a stratum (the window-ranked
+    // formulation partitions it as one; a plain === join would silently
+    // drop every null-stratum row)
     ranked
-      .join(broadcast(quota), stratum === col("__s"))
-      .join(broadcast(starts), stratum === col("__s2"))
+      .join(broadcast(quota), stratum <=> col("__s"))
+      .join(broadcast(starts), stratum <=> col("__s2"))
       .where(col("__gpos") - col("__off") < col("__k"))
       .drop("__gpos", "__s", "__k", "__s2", "__off")
   }
@@ -188,8 +191,11 @@ object Training {
       lit(1L), "__gpos")
     val stats = ranked.groupBy(stratum.as("__s"))
       .agg(min(col("__gpos")).as("__off"), count(lit(1)).as("__n"))
+    // null-SAFE join: a NULL stratum is a stratum (rare-strata-safe
+    // includes the rows that LOST their stratum label; === would
+    // silently drop them where the window formulation kept them)
     ranked
-      .join(broadcast(stats), stratum === col("__s"))
+      .join(broadcast(stats), stratum <=> col("__s"))
       .where((col("__gpos") - col("__off")) * k < col("__n"))
       .drop("__gpos", "__s", "__off", "__n")
   }

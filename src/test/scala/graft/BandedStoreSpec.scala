@@ -59,6 +59,47 @@ class BandedStoreSpec extends SparkSuite {
       s"pruning must drop files: kept ${kept.size} of $total")
   }
 
+  test("multi-row-group store files: integral footer bounds merge " +
+      "NUMERICALLY across row groups, so pruning stays sound (the " +
+      "lexicographic string-merge trap: xxhash64 buckets render with " +
+      "mixed signs and digit counts)") {
+    import spark.implicits._
+    val hist = (0L until 200L)
+      .map(i => (i, s"row group test doc $i payload tail $i"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft-bandedrg-")
+    val store = s"$root/store"
+    val manifest = s"$root/manifest"
+    // few files, TINY row groups: every file spans many (band, bucket)
+    // row groups whose string-rendered bounds merge lexicographically
+    // wrong — only the exact min_int/max_int columns are sound
+    Dedup.lshBuckets(
+        Dedup.minhashSigsNative(hist, col("doc_id"), col("text")), 4)
+      .select(col("band"), col("bucket"), col("id"), col("sig"))
+      .repartitionByRange(4, col("band"), col("bucket"))
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.option("parquet.block.size", "1024").parquet(store)
+    Stats.writeManifest(spark, store, manifest)
+    // the fixture must actually exercise multi-row-group files
+    val conf = spark.sessionState.newHadoopConf()
+    val aFile = new java.io.File(store).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(aFile.getAbsolutePath), conf))
+    val nGroups = try rdr.getFooter.getBlocks.size() finally rdr.close()
+    assert(nGroups > 1, s"fixture needs multi-row-group files, got $nGroups")
+    // every one of 40 batch dups must be caught through the pruned scan
+    val batch = (0L until 40L)
+      .map(i => (1000L + i, s"row group test doc $i payload tail $i"))
+      .toDF("doc_id", "text")
+    val banded = Dedup.minhashIncrementalBanded(batch, col("doc_id"),
+        col("text"), store, manifest)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(banded.isEmpty,
+      s"unsound pruning admitted dups: survivors=$banded")
+  }
+
   test("banded store: a data file the manifest does not cover is always " +
       "read (stale manifest loses pruning, never rows)") {
     import spark.implicits._

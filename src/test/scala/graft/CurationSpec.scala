@@ -154,22 +154,29 @@ class CurationSpec extends SparkSuite {
     // exact per-string df, collision-proof by the string recount
     assert(freq.as[(String, Long)].collect().toMap ==
       Map("SUBSCRIBE" -> 30L))
-    val exchanges = physicalNodes(freq)
-      .collect { case e: ShuffleExchangeExec => e }
     def carriesString(e: ShuffleExchangeExec): Boolean =
       e.output.exists(_.dataType == StringType)
-    // the full-corpus frequency aggregate must exchange 8-byte hashes,
-    // never line text (content lines are near-unique — a string-keyed
-    // aggregate would push ~the whole corpus through the wire)
-    assert(exchanges.exists(e => !carriesString(e)),
-      "no fixed-width (hash-keyed) frequency exchange in the plan")
-    exchanges.filter(carriesString).foreach { e =>
-      assert(graft.pipeline.PlanLint
-        .nodes(e: org.apache.spark.sql.execution.SparkPlan)
-        .exists(_.isInstanceOf[BroadcastHashJoinExec]),
-        "a string-carrying exchange must sit above the broadcast " +
-          "candidate-hash prefilter (confirm pass), not over the corpus")
-    }
+    // pass 1 (asserted pre-staging — the staged materialization hides
+    // it from the consuming plan): the full-corpus frequency aggregate
+    // must exchange 8-byte hashes, never line text (content lines are
+    // near-unique — a string-keyed aggregate would push ~the whole
+    // corpus through the wire)
+    val p1 = physicalNodes(Curation.lineHashFrequencies(src,
+        java.util.regex.Pattern.quote("\n"), maxDf = 5))
+      .collect { case e: ShuffleExchangeExec => e }
+    assert(p1.nonEmpty && p1.forall(e => !carriesString(e)),
+      "the frequency pass must exchange only fixed-width hash keys")
+    // confirm pass: any string-carrying exchange sits above the
+    // broadcast candidate prefilter, never over the raw corpus
+    physicalNodes(freq)
+      .collect { case e: ShuffleExchangeExec => e }
+      .filter(carriesString).foreach { e =>
+        assert(graft.pipeline.PlanLint
+          .nodes(e: org.apache.spark.sql.execution.SparkPlan)
+          .exists(_.isInstanceOf[BroadcastHashJoinExec]),
+          "a string-carrying exchange must sit above the broadcast " +
+            "candidate-hash prefilter (confirm pass), not over the corpus")
+      }
   }
 
   test("dropFrequentLines: below-threshold repeats survive") {

@@ -48,7 +48,11 @@ class TrainingSpec extends SparkSuite {
   test("stratifiedEveryK keeps ceil(n/k) per stratum incl. rare strata, " +
       "matches the window-ranked oracle, and the plan has NO window") {
     import spark.implicits._
-    val df = ((0L until 20L).map(i => (i, "big")) ++ Seq((100L, "rare")))
+    // includes a NULL stratum: rows that lost their label are a stratum
+    // of their own (the window formulation partitions them as one — the
+    // prefix-sum form must not silently drop them through a === join)
+    val df = ((0L until 20L).map(i => (i, "big")) ++ Seq((100L, "rare"))
+      ++ (200L until 203L).map(i => (i, null: String)))
       .toDF("id", "g")
     val out = Training.stratifiedEveryK(df, col("g"), col("id"), 5)
     // no WindowExec anywhere: the per-stratum rank must be the
@@ -58,8 +62,10 @@ class TrainingSpec extends SparkSuite {
       _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
       "stratifiedEveryK must not rank strata through a window")
     val got = out
-      .groupBy(col("g")).count().as[(String, Long)].collect().toMap
-    assert(got == Map("big" -> 4L, "rare" -> 1L))
+      .groupBy(col("g")).count().as[(Option[String], Long)]
+      .collect().toMap
+    assert(got == Map(Some("big") -> 4L, Some("rare") -> 1L,
+      None -> 1L))
     // survivor SET (not just counts) matches the window-ranked oracle
     val w = Window.partitionBy(col("g"))
       .orderBy(md5(col("id").cast("string").cast("binary")), col("id"))
@@ -101,6 +107,18 @@ class TrainingSpec extends SparkSuite {
     assert(got == expect)
     assert(got.count(_._2 == "web") == 32 &&
       got.count(_._2 == "books") == 16 && got.count(_._2 == "code") == 8)
+  }
+
+  test("mixToTarget keeps a NULL stratum (null-safe quota/start joins)") {
+    import spark.implicits._
+    val df = ((0L until 8L).map(i => (i, "a")) ++
+      (100L until 104L).map(i => (i, null: String))).toDF("id", "g")
+    // equal weights: N = min(8·2/1, 4·2/1) = 8 → quota 4 per stratum,
+    // INCLUDING the null one
+    val got = Training.mixToTarget(df, col("g"), col("id"), lit(1L))
+      .groupBy(col("g")).count().as[(Option[String], Long)]
+      .collect().toMap
+    assert(got == Map(Some("a") -> 4L, None -> 4L))
   }
 
   test("percentileGate keeps floor(n*pct/100) best per group with a " +
