@@ -268,6 +268,24 @@ object Dedup {
     newDocs.join(batchSide(removed), id === col("__rm_id"), "left_anti")
   }
 
+  /** The gate over an ALREADY-banded store slice and the batch's own
+    * pre-computed banded entries — the streaming-banded form
+    * ([[graft.streaming.StreamOps.nearDupGateSinkBanded]]): the caller
+    * owns the store read (generation view + manifest pruning) and the
+    * one banding pass of the batch, reused for the gate AND the store
+    * append. `batchRows` is the batch's MEASURED size (its sig count)
+    * for the broadcast-vs-shuffle regime gate.
+    */
+  def minhashIncrementalFromBands(newDocs: DataFrame, id: Column,
+                                  newBands: DataFrame,
+                                  storeBands: DataFrame, batchRows: Long,
+                                  minEstJaccard: Double = 0.8,
+                                  maxBucket: Int = 10000,
+                                  broadcastLimit: Long = 4000000L)
+      : DataFrame =
+    bandedIncrementalCore(newDocs, id, newBands, storeBands,
+      batchRows <= broadcastLimit, minEstJaccard, maxBucket)
+
   /** The candidate EDGES behind the incremental gates, pre-distinct:
     * (id_a, id_b, est_jaccard) with the new doc on the id_b side.
     */

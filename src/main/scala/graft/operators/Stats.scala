@@ -340,7 +340,20 @@ object Stats {
     */
   def touchedPairsKeptFiles(spark: SparkSession, dir: String,
                             manifestPath: String, c1: String, c2: String,
-                            probes: DataFrame): Seq[String] = {
+                            probes: DataFrame): Seq[String] =
+    touchedPairsKeptFilesUnder(spark, Seq(dir), manifestPath, c1, c2,
+      probes)
+
+  /** [[touchedPairsKeptFiles]] over an EXPLICIT set of directories —
+    * the streaming-store form, where the candidate files are the
+    * current generation view's dirs rather than everything under one
+    * root (a superseded generation awaiting vacuum must not be read
+    * even though the manifest may still cover it).
+    */
+  def touchedPairsKeptFilesUnder(spark: SparkSession, dirs: Seq[String],
+                                 manifestPath: String, c1: String,
+                                 c2: String,
+                                 probes: DataFrame): Seq[String] = {
     val stats = spark.read.parquet(manifestPath)
     def ranges(c: String, a: String): DataFrame =
       stats
@@ -372,7 +385,7 @@ object Stats {
     // as file NAMES only (the prunedRead driver-traffic contract)
     val skip = prunable.join(p, hit, "left_anti")
       .select(col("file")).collect().map(_.getString(0)).toSet
-    listParquetFiles(spark, dir).filterNot(skip)
+    dirs.flatMap(d => listParquetFiles(spark, d)).filterNot(skip)
   }
 
   /** Store scan pruned to the files a touched-(c1, c2) set can live in

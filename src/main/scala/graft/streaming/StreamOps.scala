@@ -164,9 +164,19 @@ object StreamOps {
   private[graft] def nearDupStoreView(spark: SparkSession,
                                           storePath: String)
       : Option[DataFrame] = {
+    val paths = storeViewDirs(spark, storePath).map(_.toString)
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*).select(col("id"), col("sig")))
+  }
+
+  /** The view's directories: newest committed generation (if any) plus
+    * committed `batch=<id>` dirs with id > its token.
+    */
+  private def storeViewDirs(spark: SparkSession, storePath: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return None
+    if (!fs.exists(root)) return Nil
     val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .filter(p => hasCommittedParquet(fs, p))
     val gens = dirs.filter(_.getName.startsWith("gen="))
@@ -175,10 +185,7 @@ object StreamOps {
     val batches = dirs
       .filter(_.getName.startsWith("batch="))
       .filter(_.getName.stripPrefix("batch=").toLong > tok)
-    val paths = (gens.filter(_._1 == tok).map(_._2) ++ batches)
-      .map(_.toString).toSeq
-    if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*).select(col("id"), col("sig")))
+    (gens.filter(_._1 == tok).map(_._2) ++ batches).toSeq
   }
 
   /** Fold the near-dup gate's per-micro-batch `batch=<id>` store
@@ -199,7 +206,31 @@ object StreamOps {
     * when there was nothing to fold.
     */
   def compactNearDupStore(spark: SparkSession, storePath: String,
-                          filesOut: Int): Option[Long] = {
+                          filesOut: Int): Option[Long] =
+    compactStoreShaped(spark, storePath,
+      _.select(col("id"), col("sig")).repartition(filesOut))
+
+  /** [[compactNearDupStore]] for a BANDED store
+    * ([[nearDupGateSinkBanded]]): the generation is rewritten
+    * range-clustered by (band, bucket) — the layout the manifest-pruned
+    * store scan needs — and the footer manifest is refreshed afterwards
+    * (footers read only for the new generation's files; vacuumed dirs
+    * drop out of the manifest).
+    */
+  def compactNearDupStoreBanded(spark: SparkSession, storePath: String,
+                                manifestPath: String,
+                                filesOut: Int): Option[Long] = {
+    val tok = compactStoreShaped(spark, storePath,
+      _.select(col("band"), col("bucket"), col("id"), col("sig"))
+        .repartitionByRange(filesOut, col("band"), col("bucket"))
+        .sortWithinPartitions(col("band"), col("bucket")))
+    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
+    tok
+  }
+
+  private def compactStoreShaped(spark: SparkSession, storePath: String,
+                                 shape: DataFrame => DataFrame)
+      : Option[Long] = {
     val root = new org.apache.hadoop.fs.Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return None
@@ -215,8 +246,7 @@ object StreamOps {
     val newTok = foldable.map(_._1).max
     val viewPaths = (gens.filter(_._1 == prevTok).map(_._2) ++
       foldable.map(_._2)).map(_.toString).toSeq
-    spark.read.parquet(viewPaths: _*).select(col("id"), col("sig"))
-      .repartition(filesOut)
+    shape(spark.read.parquet(viewPaths: _*))
       .write.mode("overwrite").parquet(s"$storePath/gen=$newTok")
     // vacuum: only dirs superseded since BEFORE this compaction began
     // (folded into gen=prevTok a full cycle ago) — never what an
@@ -227,6 +257,99 @@ object StreamOps {
           .filter(_.getName.stripPrefix("batch=").toLong <= prevTok)
     stale.foreach(p => fs.delete(p, true))
     Some(newTok)
+  }
+
+  /** Write-or-refresh the store's footer manifest: refresh when a
+    * committed manifest exists (footers read only for unknown files),
+    * full write otherwise (bootstrap, or a crashed first manifest
+    * write).
+    */
+  private def refreshStoreManifest(spark: SparkSession, storePath: String,
+                                   manifestPath: String): Unit = {
+    val mp = new org.apache.hadoop.fs.Path(manifestPath)
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+      graft.operators.Stats.refreshManifest(spark, storePath, manifestPath)
+    else
+      graft.operators.Stats.writeManifest(spark, storePath, manifestPath)
+  }
+
+  /** [[nearDupGateSink]] over a BANDED, manifest-pruned store — the
+    * streaming composition of the batch pipeline's banded signature
+    * store ([[graft.operators.Dedup.writeBandedSigStore]] family):
+    * store dirs hold (band, bucket, id, sig) rows range-clustered by
+    * (band, bucket), a footer manifest rides beside the store (default
+    * `<storePath>_manifest` — OUTSIDE the store tree, so store reads
+    * never see it), and each micro-batch's store scan OPENS only the
+    * files its touched buckets can live in
+    * ([[graft.operators.Stats.touchedPairsKeptFilesUnder]] over the
+    * current generation view). Everything else matches
+    * [[nearDupGateSink]]: same gate semantics (the shared banded core),
+    * same idempotent batch-keyed appends, same generation/vacuum
+    * protocol (compaction rewrites generations clustered and refreshes
+    * the manifest). A missing or crashed manifest only costs pruning —
+    * the view is then read unpruned, never wrongly skipped.
+    */
+  def nearDupGateSinkBanded(spark: SparkSession, stream: DataFrame,
+                            id: String, text: String, storePath: String,
+                            outPath: String, checkpoint: String,
+                            n: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+                            minEstJaccard: Double = 0.8,
+                            compactEvery: Int = 0,
+                            compactFilesOut: Int = 4,
+                            appendFilesOut: Int = 2,
+                            manifestPath: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, Stats}
+    val mPath =
+      if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // ONE hash pass + ONE banding pass over the batch, reused by
+          // the prune probes, the gate, and the store append
+          val batchSigs = Dedup.minhashSigsNative(batch, col(id),
+            col(text), n, k).localCheckpoint()
+          val batchRows = batchSigs.count()
+          val newBands = Dedup.lshBuckets(batchSigs, rowsPerBand)
+            .select(col("band"), col("bucket"), col("id"), col("sig"))
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val viewDirs = storeViewDirs(spark, storePath)
+          val storeBands =
+            if (viewDirs.isEmpty) newBands.limit(0)
+            else {
+              val mp = new org.apache.hadoop.fs.Path(mPath)
+              val files =
+                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+                  Stats.touchedPairsKeptFilesUnder(spark,
+                    viewDirs.map(_.toString), mPath, "band", "bucket",
+                    newBands.select(col("band"), col("bucket")))
+                else viewDirs.map(_.toString)
+              if (files.isEmpty) newBands.limit(0)
+              else spark.read.parquet(files: _*)
+                .select(col("band"), col("bucket"), col("id"), col("sig"))
+            }
+          val survivors = Dedup.minhashIncrementalFromBands(batch,
+              col(id), newBands, storeBands, batchRows, minEstJaccard)
+            .localCheckpoint()
+          newBands
+            .join(survivors.select(col(id).as("__sid")),
+              col("id") === col("__sid"), "left_semi")
+            .repartitionByRange(appendFilesOut, col("band"), col("bucket"))
+            .sortWithinPartitions(col("band"), col("bucket"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          survivors.write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
+          refreshStoreManifest(spark, storePath, mPath)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactNearDupStoreBanded(spark, storePath, mPath,
+              compactFilesOut): Unit
+        }
+      }
+      .start()
   }
 
   /** True iff `root` holds at least one READER-VISIBLE committed parquet

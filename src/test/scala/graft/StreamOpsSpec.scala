@@ -186,4 +186,60 @@ class StreamOpsSpec extends SparkSuite {
         .isEmpty)
     } finally q.stop()
   }
+
+  test("nearDupGateSinkBanded: banded manifest-pruned store — same gate " +
+      "answers, store scans open a pruned file subset, compaction " +
+      "keeps the clustered layout and the manifest current") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-ndbanded-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained simply " * 8
+    val docC = "bucketed table layouts and zero shuffle joins " * 8
+    val docD = "completely fresh content about parquet footer stats " * 8
+    val docE = "another novel document about shuffle partition sizing " * 8
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.nearDupGateSinkBanded(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/store", s"$base/out", s"$base/ckpt",
+      compactEvery = 2, compactFilesOut = 16)
+    try {
+      in.addData((1L, docA), (2L, docB)) // batch 0
+      q.processAllAvailable()
+      in.addData((11L, docA), (12L, docC)) // batch 1 → gen=1
+      q.processAllAvailable()
+      in.addData((21L, docC), (22L, docD)) // batch 2: 21 dups gen content
+      q.processAllAvailable()
+      in.addData((31L, docD), (32L, docE)) // batch 3 → gen=3
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 12L, 22L, 32L))
+      // the store view holds exactly the survivors' banded entries
+      // (8 bands per doc), resolved through the newest generation
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dirNames = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$base/store"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(dirNames.contains("gen=3"))
+      assert(!dirNames.contains("batch=0") && !dirNames.contains("batch=1"))
+      val gen = spark.read.parquet(s"$base/store/gen=3")
+      assert(gen.select($"id").distinct().as[Long].collect().toSet == out)
+      assert(gen.columns.toSeq ==
+        Seq("band", "bucket", "id", "sig"))
+      // manifest lives OUTSIDE the store tree and covers the view; a
+      // narrow probe set prunes the view's files
+      val viewFiles = gen.inputFiles.length
+      val probe = graft.operators.Dedup.lshBuckets(
+        graft.operators.Dedup.minhashSigsNative(
+          Seq((999L, docE)).toDF("doc_id", "text"),
+          col("doc_id"), col("text")), 4)
+        .select($"band", $"bucket")
+      val kept = graft.operators.Stats.touchedPairsKeptFilesUnder(spark,
+        Seq(s"$base/store/gen=3"), s"$base/store_manifest",
+        "band", "bucket", probe)
+      assert(viewFiles >= 8 && kept.size < viewFiles,
+        s"pruning must drop files: kept ${kept.size} of $viewFiles")
+    } finally q.stop()
+  }
 }
