@@ -111,6 +111,21 @@ class DedupPropertySpec extends SparkSuite {
       assert(incr == expect,
         s"seed=$seed split=$split diff=${(incr diff expect) ++
           (expect diff incr)}")
+      // the manifest-pruned BANDED store path must agree with the flat
+      // path on the same corpus/split — property-guards the file
+      // pruning (a wrongly skipped store file would silently admit a
+      // dup only on some random layout)
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-prop-banded-$seed-").toString
+      Dedup.writeBandedSigStore(
+        Dedup.minhashSigsNative(hist, col("doc_id"), col("text")),
+        s"$root/store", s"$root/manifest", filesOut = 16)
+      val banded = Dedup.minhashIncrementalBanded(batch, col("doc_id"),
+          col("text"), s"$root/store", s"$root/manifest")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(banded == expect,
+        s"banded seed=$seed split=$split diff=${(banded diff expect) ++
+          (expect diff banded)}")
     }
   }
 }
