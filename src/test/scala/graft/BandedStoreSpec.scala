@@ -166,6 +166,45 @@ class BandedStoreSpec extends SparkSuite {
       "refreshManifest must cover the appended files")
   }
 
+  test("appendCodeStore: appended batch codes gate later batches; " +
+      "manifest covers the appended files") {
+    import spark.implicits._
+    // seeded gaussians: distinct seeds give near-orthogonal vectors
+    // (same-stride sinusoid families are just phase shifts — any two
+    // can correlate arbitrarily)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)(r.nextGaussian().toFloat)
+    }
+    val hist = (0 until 60).map(i => (i.toLong, vec(i))).toDF("id", "vec")
+    val root = tmp("graft-codeappend-")
+    val store = s"$root/store"
+    val manifest = s"$root/manifest"
+    Dedup.writeCodeStore(
+      Dedup.embeddingCodes(hist, col("id"), col("vec"), planes = 8,
+        tables = 4),
+      store, manifest, filesOut = 8)
+    val b1 = Seq((100L, vec(7777))).toDF("id", "vec")
+    Dedup.appendCodeStore(
+      Dedup.embeddingCodes(b1, col("id"), col("vec"), planes = 8,
+        tables = 4),
+      store, manifest, filesOut = 2)
+    // a later batch duplicating the appended vector collides through
+    // the pruned store read; an unrelated vector does not
+    val b2 = Seq((200L, vec(7777)), (201L, vec(8888))).toDF("id", "vec")
+    val vecs = hist.unionByName(b1)
+    val pairs = Dedup.embeddingIncrementalStored(b2, col("id"),
+        col("vec"), store, manifest, vecs, threshold = 0.99,
+        planes = 8, tables = 4, multiprobe = 0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 200L)), s"got $pairs")
+    assert(!pairs.exists(_._2 == 201L))
+    val covered = spark.read.parquet(manifest)
+      .select(col("file")).distinct().count().toInt
+    assert(covered == Layout.dataFileCount(spark, store),
+      "refreshManifest must cover the appended files")
+  }
+
   test("embedding clustered code store: pruned-store gate ≡ flat-store " +
       "gate, with strictly fewer files opened") {
     import spark.implicits._
