@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{CurationQueries, ExtensionQueries, ParityQueries,
-  RelationalQueries, RelationalQueries2, TrainingQueries}
+  RelationalQueries, RelationalQueries2, RetrievalQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ParityQueries.queries ++ RelationalQueries.queries ++
       RelationalQueries2.queries ++ ExtensionQueries.queries ++
-      TrainingQueries.queries ++ CurationQueries.queries
+      TrainingQueries.queries ++ CurationQueries.queries ++
+      RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -30,5 +31,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
       RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql ++
-      TrainingQueries.oracleSql ++ CurationQueries.oracleSql
+      TrainingQueries.oracleSql ++ CurationQueries.oracleSql ++
+      RetrievalQueries.oracleSql
 }

@@ -230,3 +230,82 @@ case class SimHash64Expr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 }
+
+/** Content-defined chunk windows for substring-level dedup: at every
+  * char position whose `anchorLen`-char polynomial fingerprint
+  * (`(h*31+cp) % 1e9+7`, the PolyFp/x_fingerprint hash) is ≡ 0 mod
+  * `anchorMod`, emit the `window`-char substring starting there.
+  * Anchor positions are a pure function of LOCAL content, so two
+  * documents sharing any run of ≥ `window + anchorMod·anchorLen`-ish
+  * chars emit at least one IDENTICAL window regardless of where the
+  * run sits in each document — the alignment-free property fixed-stride
+  * sampling lacks (a shared suffix at different offsets never lines up
+  * with stride-k grid positions). Expected density: one window per
+  * `anchorMod` positions.
+  *
+  * Oracle-reproducible in SQL:
+  * `list_transform(list_filter(generate_series(1, len(text)-window+1),
+  *    p -> poly(substr(text, p, anchorLen)) % anchorMod = 0),
+  *  p -> substr(text, p, window))`.
+  * One compiled pass per row: codepoints decode once, each anchor
+  * probe re-mixes `anchorLen` codepoints (no rolling-hash shortcut, so
+  * the SQL mirror stays trivially identical).
+  */
+case class CdcWindowsExpr(child: Expression, window: Int, anchorLen: Int,
+                          anchorMod: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 1, "window must be >= 1")
+  require(anchorLen >= 1 && anchorLen <= window,
+    "need 1 <= anchorLen <= window")
+  require(anchorMod >= 1, "anchorMod must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_windows"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val nBytes = s.numBytes
+    // Decode codepoints once (the PolyFp.mix UTF-8 walk).
+    val cps = new Array[Long](math.max(nBytes, 1))
+    var nChars = 0
+    var i = 0
+    while (i < nBytes) {
+      val b0 = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xE0) == 0xC0) {
+        cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); len = 2
+      } else if ((b0 & 0xF0) == 0xE0) {
+        cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
+          (s.getByte(i + 2) & 0x3F); len = 3
+      } else {
+        cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
+          ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
+        len = 4
+      }
+      cps(nChars) = cp.toLong
+      nChars += 1
+      i += len
+    }
+    val count = nChars - window + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var p = 0
+    while (p < count) {
+      var h = 0L
+      var j = 0
+      while (j < anchorLen) {
+        h = (h * 31L + cps(p + j)) % 1000000007L
+        j += 1
+      }
+      if (h % anchorMod == 0L) out += s.substringSQL(p + 1, window)
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcWindowsExpr =
+    copy(child = newChild)
+}

@@ -350,4 +350,82 @@ object Curation {
                      colName: String = "src_file"): DataFrame =
     df.withColumn(colName,
       regexp_extract(col("_metadata.file_path"), "[^/]+$", 0))
+
+  /** Content-defined chunk windows (CdcWindowsExpr): the `window`-char
+    * substrings starting at every anchor position — positions whose
+    * `anchorLen`-char polynomial fingerprint is ≡ 0 mod `anchorMod`.
+    * Anchors are a pure function of local content, so a passage shared
+    * by two documents emits identical windows in both REGARDLESS of
+    * its offset in each — the property that makes substring-level
+    * dedup (Lee et al. 2022's axis: repeated PASSAGES, not repeated
+    * documents) detectable without quadratic alignment. Narrow map.
+    */
+  def cdcWindows(text: Column, window: Int = 40, anchorLen: Int = 8,
+                 anchorMod: Int = 16): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.CdcWindowsExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text),
+        window, anchorLen, anchorMod))
+
+  /** Substring-level duplicate pairs: documents sharing at least one
+    * identical content-defined window ([[cdcWindows]]), with the count
+    * of distinct shared window strings per pair. The span-level dedup
+    * axis document/near-dup operators miss: two long documents that
+    * each embed the same boilerplate passage are flagged here even
+    * when their overall similarity is far below any near-dup
+    * threshold.
+    *
+    * Scale shape (the ngramJaccardPairs shuffle-payload rule):
+    * 1. windows emit per-row, then only (id, xxhash64(window)) rides
+    *    the candidate shuffles — 12 bytes/window, never window TEXT;
+    * 2. buckets keyed by window hash pair up in-bucket (docs sharing
+    *    that hash), `maxBucket`-capped against degenerate boilerplate
+    *    (a window shared by >maxBucket docs is dropped — it is
+    *    boilerplate for dropFrequentLines, not a pair signal);
+    * 3. candidate pairs are exact-confirmed BY STRING: window text is
+    *    re-derived only for candidate documents (a semi join on the
+    *    candidate id set), so an xxhash64 collision can only add a
+    *    candidate row that string-equality then rejects — never a
+    *    false pair, and colliding-but-distinct windows inside one
+    *    document cannot shadow each other because the confirm pass
+    *    re-expands ALL of a candidate document's windows.
+    * Output: (id_a, id_b, n_shared), id_a < id_b.
+    */
+  def substringDupPairs(df: DataFrame, id: Column, text: Column,
+                        window: Int = 40, anchorLen: Int = 8,
+                        anchorMod: Int = 16,
+                        maxBucket: Int = 10000): DataFrame = {
+    val wins = df.select(id.as("id"),
+      cdcWindows(text, window, anchorLen, anchorMod).as("wins"))
+    // (id, h): one row per distinct (doc, window-hash) — fixed width.
+    val idHash = wins
+      .select(col("id"), explode(col("wins")).as("win"))
+      .select(col("id"), xxhash64(col("win")).as("h"))
+      .distinct()
+    val okBuckets = idHash.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2 && col("n_docs") <= maxBucket)
+      .select(col("h"))
+    val hot = idHash.join(okBuckets.hint("shuffle_hash"), Seq("h"))
+    // Staged: the pair set feeds both the confirm scan's id set and
+    // the final join — materialize the bucket self-join once.
+    val candPairs = Checkpoints.stage(hot.as("a")
+      .join(hot.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct())
+    // Exact confirm: re-derive window STRINGS only for candidate docs.
+    val candIds = candPairs.select(col("ida").as("id"))
+      .union(candPairs.select(col("idb").as("id"))).distinct()
+    val candWins = wins
+      .join(candIds.hint("shuffle_hash"), Seq("id"), "left_semi")
+      .select(col("id"), explode(col("wins")).as("win"))
+      .distinct()
+    candPairs
+      .join(candWins.as("wa"), col("ida") === col("wa.id"))
+      .join(candWins.as("wb"),
+        col("idb") === col("wb.id") && col("wa.win") === col("wb.win"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count_distinct(col("wa.win")).as("n_shared"))
+  }
 }

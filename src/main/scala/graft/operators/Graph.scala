@@ -238,4 +238,73 @@ object Graph {
     connectedComponents(edges, a, b)
       .select(col("id"), col("comp").as("cluster"),
         (col("id") === col("comp")).as("keep"))
+
+  /** Fixed-point PageRank: authority scores over a directed edge list,
+    * for source/domain weighting in corpus curation (a crawl that
+    * ranks domains by link authority feeds the quality prior of its
+    * sampling weights). `iters` synchronous iterations of
+    *
+    *   rank'(v) = (scale·(dampDen−dampNum)) div (dampDen·N)
+    *            + (dampNum · Σ_{u→v} (rank(u) div outdeg(u))) div dampDen
+    *
+    * ENTIRELY in scaled-integer arithmetic (ranks are fixed-point
+    * longs, `scale` = 1.0): every operation is a BIGINT multiply/add
+    * or a floor division of non-negatives, so the result is
+    * bit-deterministic, independent of partitioning and summation
+    * order — a float PageRank cannot hash-match an oracle, THIS one
+    * matches an unrolled-CTE SQL mirror exactly. Dangling mass is not
+    * redistributed (the PageRank-lite variant: leaked mass uniformly
+    * shrinks ranks without reordering them); floor-truncation loses
+    * < 1 ulp of the fixed point per hop, bounded and identical on
+    * every engine.
+    *
+    * Scale shape: each iteration is one shuffle (contribution
+    * aggregate on dst) plus a broadcast-sized join of ranks to the
+    * edge list's src side — ranks are |V|-sized, edges |E|-sized; the
+    * rank table is re-keyed, never the edges. Lineage is cut per
+    * iteration with [[Checkpoints.stage]], so long runs honor the
+    * session's reliable-checkpoint mode like every other iterative
+    * operator here.
+    */
+  def pageRank(edges: DataFrame, src: Column, dst: Column,
+               iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
+               scale: Long = 1000000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "need 0 <= dampNum <= dampDen")
+    val e = Checkpoints.stage(
+      edges.select(src.as("src"), dst.as("dst")).distinct())
+    // nodes/outdeg are |V|-sized and re-joined every iteration — stage
+    // them once instead of recomputing their aggregates per round.
+    val nodes = Checkpoints.stage(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val outdeg = Checkpoints.stage(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val base = scale * (dampDen - dampNum) / (dampDen * n)
+    var ranks = Checkpoints.stage(
+      nodes.select(col("id"), lit(scale / n).as("rank")))
+    var it = 0
+    while (it < iters) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst").as("id"),
+          expr("rank DIV outdeg").as("share"))
+        .groupBy(col("id"))
+        .agg(sum(col("share")).as("inflow"))
+      val next = nodes
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"($dampNum * coalesce(inflow, 0L)) DIV $dampDen"))
+            .as("rank"))
+      val staged = Checkpoints.stage(next)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(ranks)
+      ranks = staged
+      it += 1
+    }
+    ranks
+  }
 }

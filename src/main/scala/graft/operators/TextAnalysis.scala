@@ -151,6 +151,98 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       LongNumberPattern, "<NUM>")
 
+  /** BM25 relevance of every matching document against a literal query
+    * term set — the scoring half of full-text retrieval over a corpus
+    * (the ranking a training-data pipeline uses to mine topic-focused
+    * subsets or to audit eval-set leakage by query).
+    *
+    * Shape, built for 100 TB: per-term term frequencies come from ONE
+    * native tokenize pass (MarkerVotesExpr over singleton marker sets —
+    * no explode, no token shuffle); corpus statistics (N, Σdl, per-term
+    * document frequency) reduce to a single 1-row aggregate that
+    * broadcasts back; scoring is then a narrow codegen-friendly map and
+    * the top-k is a TakeOrdered. Total cost: two columnar scans (stats
+    * pass + score pass, the dropFrequentLines two-pass pattern) and one
+    * 1-row exchange — nothing data-sized ever shuffles. A dedicated
+    * inverted index would only change the SCAN side (posting-list
+    * pruning); the scoring algebra here is what it would feed.
+    *
+    * `idfMode`:
+    *  - "rational" (default): idf = (2N − 2df + 1)/(2df + 1) — the
+    *    Robertson–Sparck-Jones odds WITHOUT the log. Monotone in the
+    *    same direction, and — being a single division of exact
+    *    integers — bit-reproducible on any IEEE-754 engine, so the
+    *    DuckDB oracle can hash-match scores exactly. (ln differs in the
+    *    last ulp across libm implementations; a hash gate cannot
+    *    tolerate that.)
+    *  - "lucene": idf = ln(1 + (N − df + 0.5)/(df + 0.5)) — the
+    *    textbook BM25+ idf, for production ranking where
+    *    cross-engine bit-equality is not required. Spec-covered
+    *    (ranking agreement with the rational arm on fixtures).
+    *
+    * Every float literal is built as the same EXPRESSION the oracle
+    * spells (`1.2 + 1.0`, `1.0 - 0.75`) rather than a pre-evaluated
+    * constant, so both engines round identically. Per-doc totals sum
+    * the per-term scores left-to-right in query-term order — a fixed
+    * association, never a float aggregate over rows.
+    */
+  def bm25Scores(df: DataFrame, id: Column, text: Column,
+                 queryTerms: Seq[String], k1: Double = 1.2,
+                 b: Double = 0.75,
+                 idfMode: String = "rational"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(idfMode == "rational" || idfMode == "lucene",
+      s"unknown idfMode: $idfMode")
+    val tfsExpr = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.MarkerVotesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text),
+        queryTerms.map(Seq(_))))
+    val idx = queryTerms.indices
+    val base = df.select(id.as("id"),
+      size(tokens(text)).cast("long").as("dl"), tfsExpr.as("__tf"))
+    val withTf = base.select(
+      col("id") +: col("dl") +:
+        idx.map(i => element_at(col("__tf"), i + 1).as(s"tf_$i")): _*)
+    val statCols = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).as("sum_dl") +:
+      idx.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def idf(i: Int): Column = idfMode match {
+      case "rational" =>
+        (lit(2L) * col("n_docs") - lit(2L) * col(s"df_$i") + lit(1L))
+          .cast("double") /
+          (lit(2L) * col(s"df_$i") + lit(1L)).cast("double")
+      case "lucene" =>
+        log(lit(1.0) +
+          (col("n_docs").cast("double") - col(s"df_$i") + lit(0.5)) /
+            (col(s"df_$i").cast("double") + lit(0.5)))
+    }
+    def termScore(i: Int): Column =
+      idf(i) * (col(s"tf_$i").cast("double") * (lit(k1) + lit(1.0))) /
+        (col(s"tf_$i").cast("double") +
+          lit(k1) * ((lit(1.0) - lit(b)) +
+            lit(b) * col("dl").cast("double") / avgdl))
+    val score = idx.map(termScore).reduceLeft(_ + _)
+    scored
+      .where(idx.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .select(col("id") +: idx.map(i => col(s"tf_$i")) :+
+        col("dl") :+ score.as("score"): _*)
+  }
+
+  /** Top-k BM25 retrieval: [[bm25Scores]] then a TakeOrdered on
+    * (score desc, id asc) — the doc-id tiebreak makes the k-boundary
+    * cut deterministic under equal scores.
+    */
+  def bm25TopK(df: DataFrame, id: Column, text: Column,
+               queryTerms: Seq[String], k: Int, k1: Double = 1.2,
+               b: Double = 0.75,
+               idfMode: String = "rational"): DataFrame =
+    bm25Scores(df, id, text, queryTerms, k1, b, idfMode)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+
   /** Top-k salient terms per document by an integer-exact TF-IDF-style
     * rank: term frequency desc, corpus document-frequency asc (rarer =
     * more salient), term asc as tiebreak — no float log-idf, so the

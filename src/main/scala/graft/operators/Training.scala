@@ -254,4 +254,86 @@ object Training {
       .where(score >= col("__th"))
       .drop("__g", "__th")
   }
+
+  /** Normal-equation moments for distributed linear-model training —
+    * the training half of the learned quality filter
+    * (TextAnalysis.linearQualityScore is the inference half). For
+    * INTEGER-valued features f_0..f_{k-1} and label y, emits the
+    * sufficient statistics of least squares as rows
+    * (i, j, s = Σ f_i·f_j) for 0 ≤ i ≤ j < k (the upper triangle of
+    * XᵀX) and (i, −1, s = Σ f_i·y) (Xᵀy): everything a solver needs,
+    * REDUCED — the model fit touches the corpus exactly once, in one
+    * map-side-combined aggregate whose exchange carries
+    * k(k+1)/2 + k longs, never rows. Integer features keep every sum
+    * exact (BIGINT — caller must keep |f_i·f_j·n| < 2⁶³, true for
+    * count-style text features at any corpus size that fits a Long),
+    * so the statistics are bit-reproducible on any engine — the
+    * training data-pass is oracle-checkable even though the solve is
+    * not SQL-expressible.
+    */
+  def linearMoments(df: DataFrame, features: Seq[Column],
+                    label: Column): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val k = features.length
+    val f = df.select(
+      features.zipWithIndex.map { case (c, i) =>
+        c.cast("long").as(s"f_$i") } :+ label.cast("long").as("y"): _*)
+    val sums = (for { i <- 0 until k; j <- i until k }
+      yield sum(col(s"f_$i") * col(s"f_$j")).as(s"xtx_${i}_$j")) ++
+      (0 until k).map(i => sum(col(s"f_$i") * col("y")).as(s"xty_$i"))
+    val agg = f.agg(sums.head, sums.tail: _*)
+    val entries =
+      (for { i <- 0 until k; j <- i until k }
+        yield struct(lit(i).as("i"), lit(j).as("j"),
+          col(s"xtx_${i}_$j").as("s"))) ++
+      (0 until k).map(i => struct(lit(i).as("i"), lit(-1).as("j"),
+        col(s"xty_$i").as("s")))
+    agg.select(explode(array(entries: _*)).as("__v"))
+      .select(col("__v.i").as("i"), col("__v.j").as("j"),
+        col("__v.s").as("s"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Solve (XᵀX + ridge·I)·w = Xᵀy from [[linearMoments]] output —
+    * Gaussian elimination with partial pivoting on the k×k system,
+    * driver-side: the moments are O(k²) BY CONSTRUCTION (k = feature
+    * count, never data-sized), the adjudicated bounded-collect class.
+    * Returns the weight vector. `ridge > 0` guarantees a non-singular
+    * system for degenerate (collinear-feature) corpora.
+    */
+  def solveNormalEquations(moments: DataFrame, k: Int,
+                           ridge: Double = 0.0): Array[Double] = {
+    val rows = moments.select(col("i"), col("j"), col("s")).collect()
+    val a = Array.ofDim[Double](k, k + 1)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1); val s = r.getLong(2)
+      if (j < 0) a(i)(k) = s.toDouble
+      else { a(i)(j) = s.toDouble; a(j)(i) = s.toDouble }
+    }
+    var d = 0
+    while (d < k) { a(d)(d) += ridge; d += 1 }
+    var c = 0
+    while (c < k) {
+      var piv = c
+      var r = c + 1
+      while (r < k) {
+        if (math.abs(a(r)(c)) > math.abs(a(piv)(c))) piv = r
+        r += 1
+      }
+      require(math.abs(a(piv)(c)) > 1e-12,
+        s"singular normal equations at column $c (add ridge)")
+      if (piv != c) { val t = a(piv); a(piv) = a(c); a(c) = t }
+      r = 0
+      while (r < k) {
+        if (r != c) {
+          val m = a(r)(c) / a(c)(c)
+          var j2 = c
+          while (j2 <= k) { a(r)(j2) -= m * a(c)(j2); j2 += 1 }
+        }
+        r += 1
+      }
+      c += 1
+    }
+    Array.tabulate(k)(i => a(i)(k) / a(i)(i))
+  }
 }

@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Graph, TextAnalysis, Training}
+import ParityQueries.t
+
+/** Round-8 retrieval/training tier: BM25 full-text relevance ranking,
+  * content-defined-chunk substring dedup (the repeated-PASSAGE axis of
+  * Lee et al. 2022, complementary to document/near-dup), normal-equation
+  * moments for distributed linear-model training, and fixed-point
+  * PageRank for source-authority curation weighting. All DuckDB-oracle-
+  * checked: scores are either exact integers or single-expression IEEE
+  * doubles with every literal spelled as the same expression in both
+  * engines (no transcendental idf in the oracle arm, no cross-row float
+  * sums anywhere).
+  */
+object RetrievalQueries {
+
+  private val Bm25Terms = Seq("merge", "window", "spark")
+
+  /** Corpus with planted shared passages for the substring-dedup
+    * fixture: every 11th doc gains passage A, every remaining 13th
+    * passage B (doc_id divisible by both takes A — the `when` chain
+    * and SQL CASE agree). The original word-soup text stays in front,
+    * so shared passages sit at DIFFERENT offsets in every doc — the
+    * alignment regime stride sampling cannot catch and content-defined
+    * anchors exist for.
+    */
+  private val PassageA =
+    " quality data pipelines deduplicate repeated passages before training large language models"
+  private val PassageB =
+    " retrieval systems rank documents by lexical and semantic relevance signals at scale"
+
+  private def passageCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(PassageA))
+          .when(col("doc_id") % 13 === 0, lit(PassageB))
+          .otherwise(lit(""))).as("text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // BM25 top-25 retrieval for a 3-term query: per-term tfs from one
+    // native tokenize pass, corpus stats (N, Σdl, dfs) as a single
+    // 1-row broadcast, rational-idf scoring (bit-reproducible — the
+    // ln-idf production arm is spec-checked for ranking agreement).
+    "x_bm25" -> ((s, d) =>
+      TextAnalysis.bm25TopK(t(s, d, "documents"), col("doc_id"),
+          col("text"), Bm25Terms, k = 25)
+        .select(col("id").as("doc_id"), col("tf_0").as("tf_merge"),
+          col("tf_1").as("tf_window"), col("tf_2").as("tf_spark"),
+          col("dl"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // The CdcWindowsExpr surface directly: every content-defined
+    // 40-char window of every document (8-char anchors, density 1/16).
+    "x_cdc_windows" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(Curation.cdcWindows(col("text"))).as("win"))
+        .distinct()
+        .orderBy(col("doc_id"), col("win"))),
+
+    // Substring-level duplicate pairs over the planted-passage corpus:
+    // hash-candidate buckets pair up (8-byte shuffle keys), then exact
+    // string confirm — docs sharing any identical content-defined
+    // window, with the distinct shared-window count.
+    "x_substring_dup" -> ((s, d) =>
+      Curation.substringDupPairs(passageCorpus(t(s, d, "documents")),
+          col("doc_id"), col("text"))
+        .select(col("ida").as("da"), col("idb").as("db"),
+          col("n_shared"))
+        .orderBy(col("da"), col("db"))),
+
+    // Normal-equation sufficient statistics for the learned quality
+    // filter: features (bias, n_tokens, n_stop, n_chars), label
+    // lang='en' — one map-side-combined pass, exchange carries 14
+    // longs. The solve (Training.solveNormalEquations) is spec-checked;
+    // this oracle-checks the data pass bit-for-bit.
+    "x_normal_eq" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Training.linearMoments(t(s, d, "documents"),
+        Seq(lit(1L), size(toks).cast("long"),
+          size(filter(toks,
+            x => x.isin(TextAnalysis.stopwords: _*))).cast("long"),
+          length(col("text")).cast("long")),
+        (col("lang") === "en").cast("long"))
+    }),
+
+    // Fixed-point PageRank over the customer-nation → supplier-nation
+    // trade graph (sparse slice: low-quantity lineitems only):
+    // 5 synchronous iterations of scaled-integer rank flow, one
+    // contribution shuffle per iteration, bit-deterministic — the
+    // oracle unrolls the same 5 iterations as chained CTEs.
+    "x_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "lineitem").where(col("l_quantity") <= 2)
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .where(col("src") =!= col("dst"))
+      Graph.pageRank(edges, col("src"), col("dst"), iters = 5)
+        .select(col("id").as("nationkey"), col("rank"))
+        .orderBy(col("nationkey"))
+    }))
+
+  /** DuckDB window-emission mirror of CdcWindowsExpr over `src`:
+    * positions whose 8-char polynomial fingerprint ≡ 0 mod 16, mapped
+    * to their 40-char windows.
+    */
+  private def cdcWinsSql(src: String): String =
+    s"""SELECT doc_id, unnest(list_transform(list_filter(
+       |    generate_series(1, len(text) - 39),
+       |    p -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |           list_transform(string_split(substr(text, CAST(p AS INT), 8), ''),
+       |             c -> CAST(unicode(c) AS BIGINT))),
+       |           (h, c) -> (h * 31 + c) % 1000000007) % 16 = 0),
+       |  p -> substr(text, CAST(p AS INT), 40))) AS win
+       |FROM $src""".stripMargin
+
+  private val passageCorpusSql =
+    s"""SELECT doc_id, text ||
+       |  CASE WHEN doc_id % 11 = 0 THEN '$PassageA'
+       |       WHEN doc_id % 13 = 0 THEN '$PassageB'
+       |       ELSE '' END AS text
+       |FROM documents""".stripMargin
+
+  private def bm25TermSql(i: Int): String =
+    s"""(CAST(2 * n_docs - 2 * df_$i + 1 AS DOUBLE) /
+       |   CAST(2 * df_$i + 1 AS DOUBLE))
+       | * (CAST(tf_$i AS DOUBLE) * (1.2 + 1.0))
+       | / (CAST(tf_$i AS DOUBLE) + 1.2 * ((1.0 - 0.75)
+       |     + 0.75 * CAST(dl AS DOUBLE)
+       |       / (CAST(sum_dl AS DOUBLE) / n_docs)))""".stripMargin
+
+  private val normalEqSql: String = {
+    val k = 4
+    val feats = Seq("CAST(1 AS BIGINT)",
+      "CAST(len(string_split(text, ' ')) AS BIGINT)",
+      "CAST(len(list_filter(string_split(text, ' '), " +
+        "x -> x IN ('the','a','of','and','to','in','is','it'))) AS BIGINT)",
+      "CAST(len(text) AS BIGINT)")
+    val f = feats.zipWithIndex
+      .map { case (e, i) => s"$e AS f_$i" }
+      .mkString(",\n    ")
+    val rows =
+      (for { i <- 0 until k; j <- i until k } yield
+        s"SELECT $i AS i, $j AS j, CAST(sum(f_$i * f_$j) AS BIGINT) AS s FROM f") ++
+      (0 until k).map(i =>
+        s"SELECT $i AS i, -1 AS j, CAST(sum(f_$i * y) AS BIGINT) AS s FROM f")
+    s"""WITH f AS (
+       |  SELECT $f,
+       |    CAST(lang = 'en' AS BIGINT) AS y
+       |  FROM documents)
+       |SELECT i, j, s FROM (
+       |${rows.mkString("\n  UNION ALL ")})
+       |ORDER BY i, j""".stripMargin
+  }
+
+  private val pageRankSql: String = {
+    val iterCte = (1 to 5).map { it =>
+      val prev = s"r${it - 1}"
+      s"""r$it AS (
+         |  SELECT nodes.id,
+         |    CAST((1000000 * 15) // (100 * n)
+         |      + (85 * coalesce(inf.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes CROSS JOIN params
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(sum(r.rank // od.outdeg) AS BIGINT) AS inflow
+         |    FROM e JOIN $prev r ON e.src = r.id
+         |      JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) inf ON nodes.id = inf.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, CAST(1000000 // n AS BIGINT) AS rank
+       |       FROM nodes CROSS JOIN params),
+       |$iterCte
+       |SELECT id AS nationkey, rank FROM r5 ORDER BY nationkey""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "x_bm25" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = 'merge')) AS BIGINT) AS tf_0,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = 'window')) AS BIGINT) AS tf_1,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = 'spark')) AS BIGINT) AS tf_2
+         |  FROM documents),
+         |st AS (
+         |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+         |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+         |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+         |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+         |  FROM tf)
+         |SELECT doc_id, tf_0 AS tf_merge, tf_1 AS tf_window,
+         |  tf_2 AS tf_spark, dl,
+         |  ${bm25TermSql(0)}
+         |  + ${bm25TermSql(1)}
+         |  + ${bm25TermSql(2)} AS score
+         |FROM tf CROSS JOIN st
+         |WHERE tf_0 + tf_1 + tf_2 > 0
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "x_cdc_windows" ->
+      s"""WITH w AS (
+         |${cdcWinsSql("documents")})
+         |SELECT DISTINCT doc_id, win FROM w
+         |ORDER BY doc_id, win""".stripMargin,
+    "x_substring_dup" ->
+      s"""WITH corpus AS (
+         |$passageCorpusSql),
+         |w AS (
+         |${cdcWinsSql("corpus")}),
+         |d AS (SELECT DISTINCT doc_id, win FROM w),
+         |p AS (SELECT a.doc_id AS da, b.doc_id AS db, a.win
+         |      FROM d a JOIN d b
+         |        ON a.win = b.win AND a.doc_id < b.doc_id)
+         |SELECT da, db, count(*) AS n_shared
+         |FROM p GROUP BY da, db ORDER BY da, db""".stripMargin,
+    "x_normal_eq" -> normalEqSql,
+    "x_pagerank" -> pageRankSql)
+}

@@ -84,7 +84,14 @@ class QueryPlanBudgetSpec extends SparkSuite {
       maxBroadcasts = 8, allowCartesian = true, maxWindows = 0),
     "x_pipeline_e2e" -> default.copy(maxWindows = 0),
     "x_incremental_overwrite" -> Budget(maxShuffles = 7, maxSorts = 6,
-      maxBroadcasts = 6))
+      maxBroadcasts = 6),
+    // BM25's corpus stats (N, Σdl, per-term df) are a 1-row aggregate
+    // cross-joined back — bounded by construction, never data-sized
+    "x_bm25" -> default.copy(allowCartesian = true),
+    // hash-candidate buckets + exact string confirm: measured 7
+    // exchanges (idHash distinct, bucket agg+join, confirm semi join +
+    // distinct, pair-count agg, output sort)
+    "x_substring_dup" -> default.copy(maxShuffles = 9))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name stays inside its physical-plan budget") {

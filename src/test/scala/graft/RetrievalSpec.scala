@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Graph, TextAnalysis, Training}
+
+/** Round-8 retrieval/training tier: BM25 (both idf arms), content-
+  * defined-chunk substring dedup (vs an independent in-memory
+  * reference), normal-equation training (exact recovery of a planted
+  * linear model), and fixed-point PageRank (hand-computed graphs,
+  * determinism, mass conservation).
+  */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- BM25 --
+
+  private def bm25Fixture = Seq(
+    (1L, "cat dog cat cat fish"),
+    (2L, "cat dog"),
+    (3L, "dog dog dog bird"),
+    (4L, "fish bird tuna heron stork crane egret"),
+    (5L, "cat cat cat cat cat cat cat cat")).toDF("id", "text")
+
+  test("bm25: higher tf wins at equal dl; absent terms score zero docs out") {
+    val r = TextAnalysis.bm25Scores(bm25Fixture, col("id"), col("text"),
+      Seq("cat")).collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // docs 1,2,5 contain 'cat'; 3 and 4 must be absent
+    assert(r.keySet == Set(1L, 2L, 5L))
+    // doc 5 is pure 'cat' (tf 8), doc 2 tf 1 at shorter dl, doc 1 tf 3
+    assert(r(5L) > r(1L) && r(1L) > r(2L))
+  }
+
+  test("bm25: rational and lucene idf arms agree where they must") {
+    def ranking(mode: String, terms: Seq[String]): Seq[Long] =
+      TextAnalysis.bm25TopK(bm25Fixture, col("id"), col("text"),
+        terms, k = 5, idfMode = mode)
+        .select(col("id")).collect().map(_.getLong(0)).toSeq
+    // single term: idf is a constant positive factor — the arms MUST
+    // produce the identical ordering
+    assert(ranking("rational", Seq("cat")) ==
+      ranking("lucene", Seq("cat")))
+    // multi-term: the retrieved SET is idf-independent (docs matching
+    // any term); ordering may differ (log damping reweights terms)
+    assert(ranking("rational", Seq("cat", "bird")).toSet ==
+      ranking("lucene", Seq("cat", "bird")).toSet)
+  }
+
+  test("bm25: term missing from the corpus contributes nothing and breaks nothing") {
+    val r = TextAnalysis.bm25TopK(bm25Fixture, col("id"), col("text"),
+      Seq("zebra", "cat"), k = 10).collect()
+    assert(r.map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+  }
+
+  // ------------------------------------------- CDC substring dedup --
+
+  /** Independent in-memory mirror of CdcWindowsExpr (codepoint poly
+    * anchors), for reference-checking the distributed operator.
+    */
+  private def refWindows(s: String, window: Int = 40, anchorLen: Int = 8,
+                         anchorMod: Int = 16): Set[String] = {
+    val cps = s.codePoints().toArray
+    (0 to cps.length - window).flatMap { p =>
+      var h = 0L
+      (0 until anchorLen).foreach { j =>
+        h = (h * 31 + cps(p + j)) % 1000000007L
+      }
+      if (h % anchorMod == 0)
+        Some(new String(cps, p, window))
+      else None
+    }.toSet
+  }
+
+  private val sharedPassage =
+    "the quick brown fox jumps over the lazy dog while counting tokens"
+
+  test("cdcWindows: alignment-free — shared passage at different offsets emits identical windows") {
+    val a = s"unique prefix alpha $sharedPassage"
+    val b = s"a completely different and much longer prefix beta gamma $sharedPassage"
+    assert(refWindows(sharedPassage).nonEmpty,
+      "fixture passage must contain at least one anchor")
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val wins = df.select(col("id"),
+        explode(Curation.cdcWindows(col("text"))).as("win"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, v) => k -> v.map(_.getString(1)).toSet }
+    // expression matches the reference mirror exactly
+    assert(wins(1L) == refWindows(a))
+    assert(wins(2L) == refWindows(b))
+    // and the shared passage yields at least one common window
+    assert((wins(1L) intersect wins(2L)).nonEmpty)
+  }
+
+  test("cdcWindows: short text yields no windows") {
+    val df = Seq((1L, "tiny")).toDF("id", "text")
+    assert(df.select(explode(Curation.cdcWindows(col("text"))))
+      .count() == 0)
+  }
+
+  test("substringDupPairs matches a brute-force reference on a mixed corpus") {
+    val docs = Seq(
+      1L -> s"first document intro $sharedPassage and a tail",
+      2L -> s"second doc other words before $sharedPassage trailing",
+      3L -> "entirely unrelated content with no repeated passage inside here at all",
+      4L -> s"third member that also embeds $sharedPassage somewhere",
+      5L -> "short one")
+    val expected = {
+      val w = docs.map { case (id, t) => id -> refWindows(t) }.toMap
+      (for {
+        (a, wa) <- w; (b, wb) <- w if a < b
+        shared = (wa intersect wb).size if shared > 0
+      } yield (a, b, shared.toLong)).toSet
+    }
+    val got = Curation.substringDupPairs(
+        docs.toDF("id", "text"), col("id"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected)
+    assert(expected.exists { case (a, b, _) =>
+      Set(a, b).subsetOf(Set(1L, 2L, 4L)) },
+      "fixture must actually produce shared-passage pairs")
+    assert(!got.exists { case (a, b, _) => a == 3L || b == 3L || a == 5L || b == 5L })
+  }
+
+  test("substringDupPairs: maxBucket drops ubiquitous boilerplate windows") {
+    // 6 docs all share the passage; cap 5 < 6 → the shared windows are
+    // boilerplate-dropped, so no pairs survive unless docs share
+    // something else (they don't).
+    val docs = (1L to 6L).map(i => i -> s"doc number $i padding $sharedPassage")
+    val got = Curation.substringDupPairs(docs.toDF("id", "text"),
+      col("id"), col("text"), maxBucket = 5)
+    assert(got.count() == 0)
+  }
+
+  // ---------------------------------- normal equations / training --
+
+  test("linearMoments + solveNormalEquations recover a planted integer model") {
+    // y = 3 + 2*f1 - f2, exactly
+    val rows = for (i <- 1 to 50) yield {
+      val f1 = (i * 7) % 13; val f2 = (i * 3) % 5
+      (1L, f1.toLong, f2.toLong, 3L + 2L * f1 - f2)
+    }
+    val df = rows.toDF("b", "f1", "f2", "y")
+    val m = Training.linearMoments(df,
+      Seq(col("b"), col("f1"), col("f2")), col("y"))
+    val w = Training.solveNormalEquations(m, k = 3)
+    assert(math.abs(w(0) - 3.0) < 1e-8, w.mkString(","))
+    assert(math.abs(w(1) - 2.0) < 1e-8, w.mkString(","))
+    assert(math.abs(w(2) + 1.0) < 1e-8, w.mkString(","))
+  }
+
+  test("linearMoments emits the full upper triangle plus Xty, exact") {
+    val df = Seq((1L, 2L, 1L), (1L, 3L, 0L)).toDF("b", "f", "y")
+    val got = Training.linearMoments(df, Seq(col("b"), col("f")), col("y"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    // XtX: [[2, 5], [5, 13]]; Xty: [1, 2]
+    assert(got == Set((0, 0, 2L), (0, 1, 5L), (1, 1, 13L),
+      (0, -1, 1L), (1, -1, 2L)))
+  }
+
+  test("solveNormalEquations: ridge rescues collinear features") {
+    val df = Seq((1L, 2L, 2L, 5L), (1L, 3L, 3L, 7L), (1L, 4L, 4L, 9L))
+      .toDF("b", "f1", "f2", "y")
+    val m = Training.linearMoments(df,
+      Seq(col("b"), col("f1"), col("f2")), col("y"))
+    intercept[IllegalArgumentException] {
+      Training.solveNormalEquations(m, k = 3)
+    }
+    val w = Training.solveNormalEquations(m, k = 3, ridge = 1e-6)
+    // prediction still recovers the data (f1 == f2, weight mass splits)
+    val pred = 1.0 * w(0) + 3.0 * w(1) + 3.0 * w(2)
+    assert(math.abs(pred - 7.0) < 1e-3, w.mkString(","))
+  }
+
+  // ----------------------------------------------------- PageRank --
+
+  test("pageRank: 2-cycle fixed point stays uniform") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, col("src"), col("dst"), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r == Map(1L -> 500000L, 2L -> 500000L))
+  }
+
+  test("pageRank: inflow-rich hub outranks its spokes; mass never grows") {
+    // acyclic: converges exactly once the longest path has propagated
+    val e = Seq((1L, 3L), (2L, 3L), (4L, 3L), (4L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(e, col("src"), col("dst"), iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r(3L) > r(2L) && r(2L) > r(1L))
+    assert(r(1L) == r(4L), "inflow-free sources must tie exactly")
+    assert(r.values.sum <= 1000000L)
+  }
+
+  test("pageRank: bit-deterministic across runs and partitionings") {
+    val edges = (1L to 60L).map(i => (i, (i * i + 3) % 60 + 1))
+    val a = Graph.pageRank(edges.toDF("src", "dst"),
+      col("src"), col("dst"), iters = 4).collect().toSet
+    val b = Graph.pageRank(
+      edges.toDF("src", "dst").repartition(7),
+      col("src"), col("dst"), iters = 4).collect().toSet
+    assert(a == b)
+  }
+
+  test("pageRank: iters = 0 returns the uniform start") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val r = Graph.pageRank(e, col("src"), col("dst"), iters = 0)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(r == Set(333333L))
+  }
+}
