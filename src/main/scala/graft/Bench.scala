@@ -33,7 +33,13 @@ object Bench {
     // container shows multi-second scheduler/JIT jitter; min-of-N is the
     // standard noise floor). Measures execution — the quantity that
     // scales with data — not single-shot compile latency.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated name filter (local iteration only — the
+    // driver always benches the full set)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val warm = (System.nanoTime() - w0) / 1e9

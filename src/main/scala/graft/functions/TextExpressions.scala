@@ -266,7 +266,10 @@ case class CdcWindowsExpr(child: Expression, window: Int, anchorLen: Int,
   override protected def nullSafeEval(v: Any): Any = {
     val s = v.asInstanceOf[UTF8String]
     val nBytes = s.numBytes
-    // Decode codepoints once (the PolyFp.mix UTF-8 walk).
+    // Decode codepoints once (the PolyFp.mix UTF-8 walk). Continuation
+    // reads are clamped to numBytes: a truncated/invalid multi-byte
+    // tail decodes as a single byte instead of reading past the buffer
+    // (unsafe for off-heap strings — the LinearTextScoreExpr rule).
     val cps = new Array[Long](math.max(nBytes, 1))
     var nChars = 0
     var i = 0
@@ -275,16 +278,16 @@ case class CdcWindowsExpr(child: Expression, window: Int, anchorLen: Int,
       var cp = 0
       var len = 1
       if (b0 < 0x80) cp = b0
-      else if ((b0 & 0xE0) == 0xC0) {
+      else if ((b0 & 0xE0) == 0xC0 && i + 1 < nBytes) {
         cp = ((b0 & 0x1F) << 6) | (s.getByte(i + 1) & 0x3F); len = 2
-      } else if ((b0 & 0xF0) == 0xE0) {
+      } else if ((b0 & 0xF0) == 0xE0 && i + 2 < nBytes) {
         cp = ((b0 & 0x0F) << 12) | ((s.getByte(i + 1) & 0x3F) << 6) |
           (s.getByte(i + 2) & 0x3F); len = 3
-      } else {
+      } else if ((b0 & 0xF8) == 0xF0 && i + 3 < nBytes) {
         cp = ((b0 & 0x07) << 18) | ((s.getByte(i + 1) & 0x3F) << 12) |
           ((s.getByte(i + 2) & 0x3F) << 6) | (s.getByte(i + 3) & 0x3F)
         len = 4
-      }
+      } else cp = b0
       cps(nChars) = cp.toLong
       nChars += 1
       i += len

@@ -33,7 +33,7 @@ object RetrievalQueries {
     " retrieval systems rank documents by lexical and semantic relevance signals at scale"
 
   private def passageCorpus(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), col("source"),
       concat(col("text"),
         when(col("doc_id") % 11 === 0, lit(PassageA))
           .when(col("doc_id") % 13 === 0, lit(PassageB))
@@ -88,6 +88,23 @@ object RetrievalQueries {
         (col("lang") === "en").cast("long"))
     }),
 
+    // Composition: substring-sharing graph between SOURCES (the same
+    // CDC machinery with source as the entity key — mirror-site /
+    // boilerplate-farm detection), symmetrized, then fixed-point
+    // PageRank: sources that share passages with many peers rank high
+    // — the authority prior a curation pipeline feeds into sampling
+    // weights. Node ids are strings; the operator is key-type-generic.
+    "x_source_authority" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("source"), col("text"))
+      val edges = pairs
+        .select(col("ida").as("src"), col("idb").as("dst"))
+        .union(pairs.select(col("idb").as("src"), col("ida").as("dst")))
+      Graph.pageRank(edges, col("src"), col("dst"), iters = 5)
+        .select(col("id").as("source"), col("rank"))
+        .orderBy(col("source"))
+    }),
+
     // Fixed-point PageRank over the customer-nation → supplier-nation
     // trade graph (sparse slice: low-quantity lineitems only):
     // 5 synchronous iterations of scaled-integer rank flow, one
@@ -109,8 +126,8 @@ object RetrievalQueries {
     * positions whose 8-char polynomial fingerprint ≡ 0 mod 16, mapped
     * to their 40-char windows.
     */
-  private def cdcWinsSql(src: String): String =
-    s"""SELECT doc_id, unnest(list_transform(list_filter(
+  private def cdcWinsSql(src: String, key: String = "doc_id"): String =
+    s"""SELECT $key, unnest(list_transform(list_filter(
        |    generate_series(1, len(text) - 39),
        |    p -> list_reduce(list_prepend(CAST(0 AS BIGINT),
        |           list_transform(string_split(substr(text, CAST(p AS INT), 8), ''),
@@ -120,7 +137,7 @@ object RetrievalQueries {
        |FROM $src""".stripMargin
 
   private val passageCorpusSql =
-    s"""SELECT doc_id, text ||
+    s"""SELECT doc_id, source, text ||
        |  CASE WHEN doc_id % 11 = 0 THEN '$PassageA'
        |       WHEN doc_id % 13 = 0 THEN '$PassageB'
        |       ELSE '' END AS text
@@ -158,7 +175,11 @@ object RetrievalQueries {
        |ORDER BY i, j""".stripMargin
   }
 
-  private val pageRankSql: String = {
+  /** Unrolled 5-iteration fixed-point PageRank mirror over a caller-
+    * supplied CTE chain whose LAST member is `e (src, dst)`.
+    */
+  private def pageRankSqlOver(leadingCtes: String,
+                              idName: String): String = {
     val iterCte = (1 to 5).map { it =>
       val prev = s"r${it - 1}"
       s"""r$it AS (
@@ -174,21 +195,38 @@ object RetrievalQueries {
          |    GROUP BY e.dst) inf ON nodes.id = inf.id
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH e AS (
-       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
-       |  FROM lineitem
-       |    JOIN orders ON l_orderkey = o_orderkey
-       |    JOIN customer ON o_custkey = c_custkey
-       |    JOIN supplier ON l_suppkey = s_suppkey
-       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey),
+    s"""WITH $leadingCtes,
        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |params AS (SELECT count(*) AS n FROM nodes),
        |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
        |r0 AS (SELECT id, CAST(1000000 // n AS BIGINT) AS rank
        |       FROM nodes CROSS JOIN params),
        |$iterCte
-       |SELECT id AS nationkey, rank FROM r5 ORDER BY nationkey""".stripMargin
+       |SELECT id AS $idName, rank FROM r5 ORDER BY $idName""".stripMargin
   }
+
+  private val pageRankSql: String = pageRankSqlOver(
+    s"""e AS (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey)""".stripMargin,
+    "nationkey")
+
+  private val sourceAuthoritySql: String = pageRankSqlOver(
+    s"""corpus AS (
+       |$passageCorpusSql),
+       |w AS (
+       |${cdcWinsSql("corpus", "source")}),
+       |d AS (SELECT DISTINCT source, win FROM w),
+       |p AS (SELECT DISTINCT a.source AS sa, b.source AS sb
+       |      FROM d a JOIN d b
+       |        ON a.win = b.win AND a.source < b.source),
+       |e AS (SELECT sa AS src, sb AS dst FROM p
+       |      UNION SELECT sb, sa FROM p)""".stripMargin,
+    "source")
 
   val oracleSql: Map[String, String] = Map(
     "x_bm25" ->
@@ -233,5 +271,6 @@ object RetrievalQueries {
          |SELECT da, db, count(*) AS n_shared
          |FROM p GROUP BY da, db ORDER BY da, db""".stripMargin,
     "x_normal_eq" -> normalEqSql,
-    "x_pagerank" -> pageRankSql)
+    "x_pagerank" -> pageRankSql,
+    "x_source_authority" -> sourceAuthoritySql)
 }
