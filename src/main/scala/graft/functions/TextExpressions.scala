@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -251,25 +251,15 @@ case class SimHash64Expr(child: Expression)
   * probe re-mixes `anchorLen` codepoints (no rolling-hash shortcut, so
   * the SQL mirror stays trivially identical).
   */
-case class CdcWindowsExpr(child: Expression, window: Int, anchorLen: Int,
-                          anchorMod: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  require(window >= 1, "window must be >= 1")
-  require(anchorLen >= 1 && anchorLen <= window,
-    "need 1 <= anchorLen <= window")
-  require(anchorMod >= 1, "anchorMod must be >= 1")
-
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def prettyName: String = "cdc_windows"
-
-  override protected def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String]
+private[functions] object CdcUtil {
+  /** Decode `s`'s codepoints (the PolyFp.mix UTF-8 walk). Continuation
+    * reads are clamped to numBytes: a truncated/invalid multi-byte
+    * tail decodes as a single byte instead of reading past the buffer
+    * (unsafe for off-heap strings — the LinearTextScoreExpr rule).
+    * Returns (codepoints, count).
+    */
+  def decode(s: UTF8String): (Array[Long], Int) = {
     val nBytes = s.numBytes
-    // Decode codepoints once (the PolyFp.mix UTF-8 walk). Continuation
-    // reads are clamped to numBytes: a truncated/invalid multi-byte
-    // tail decodes as a single byte instead of reading past the buffer
-    // (unsafe for off-heap strings — the LinearTextScoreExpr rule).
     val cps = new Array[Long](math.max(nBytes, 1))
     var nChars = 0
     var i = 0
@@ -292,9 +282,18 @@ case class CdcWindowsExpr(child: Expression, window: Int, anchorLen: Int,
       nChars += 1
       i += len
     }
+    (cps, nChars)
+  }
+
+  /** 1-based anchor positions: p where the `anchorLen`-codepoint
+    * polynomial fingerprint at p is ≡ 0 mod `anchorMod`, for p ranging
+    * over full-window starts only.
+    */
+  def anchors(cps: Array[Long], nChars: Int, window: Int,
+              anchorLen: Int, anchorMod: Int): Array[Int] = {
     val count = nChars - window + 1
-    if (count <= 0) return new GenericArrayData(Array.empty[Any])
-    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    if (count <= 0) return Array.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
     var p = 0
     while (p < count) {
       var h = 0L
@@ -303,12 +302,100 @@ case class CdcWindowsExpr(child: Expression, window: Int, anchorLen: Int,
         h = (h * 31L + cps(p + j)) % 1000000007L
         j += 1
       }
-      if (h % anchorMod == 0L) out += s.substringSQL(p + 1, window)
+      if (h % anchorMod == 0L) out += p + 1
       p += 1
     }
-    new GenericArrayData(out.toArray)
+    out.toArray
+  }
+}
+
+case class CdcWindowsExpr(child: Expression, window: Int, anchorLen: Int,
+                          anchorMod: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 1, "window must be >= 1")
+  require(anchorLen >= 1 && anchorLen <= window,
+    "need 1 <= anchorLen <= window")
+  require(anchorMod >= 1, "anchorMod must be >= 1")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_windows"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val (cps, nChars) = CdcUtil.decode(s)
+    val ps = CdcUtil.anchors(cps, nChars, window, anchorLen, anchorMod)
+    new GenericArrayData(
+      ps.map(p => s.substringSQL(p, window): Any))
   }
 
   override protected def withNewChildInternal(newChild: Expression): CdcWindowsExpr =
     copy(child = newChild)
+}
+
+/** The 1-based anchor POSITIONS of [[CdcWindowsExpr]] (same predicate,
+  * positions instead of window strings) — for span-level operations
+  * that need to know WHERE a shared window sits (scrubbing, interval
+  * accounting). `array_position`-compatible ints.
+  */
+case class CdcAnchorsExpr(child: Expression, window: Int, anchorLen: Int,
+                          anchorMod: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 1, "window must be >= 1")
+  require(anchorLen >= 1 && anchorLen <= window,
+    "need 1 <= anchorLen <= window")
+  require(anchorMod >= 1, "anchorMod must be >= 1")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_anchors"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val (cps, nChars) = CdcUtil.decode(s)
+    new GenericArrayData(
+      CdcUtil.anchors(cps, nChars, window, anchorLen, anchorMod)
+        .map(p => p: Any))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcAnchorsExpr =
+    copy(child = newChild)
+}
+
+/** Remove the union of `window`-char spans starting at the given
+  * 1-based char positions from `text` — the rebuild step of substring
+  * scrubbing. Overlapping/adjacent spans merge; positions need not be
+  * sorted (sorted defensively — they arrive from collect_set). A fully
+  * covered text returns the empty string.
+  */
+case class DropSpansExpr(left: Expression, right: Expression, window: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(window >= 1, "window must be >= 1")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "drop_spans"
+
+  override protected def nullSafeEval(t: Any, arr: Any): Any = {
+    val s = t.asInstanceOf[UTF8String]
+    val ps = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().clone().sorted
+    val n = s.numChars
+    val segs = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var cur = 1
+    var i = 0
+    while (i < ps.length) {
+      val start = ps(i)
+      val end = start + window // exclusive
+      if (start > cur) segs += s.substringSQL(cur, start - cur)
+      if (end > cur) cur = end
+      i += 1
+    }
+    if (cur <= n) segs += s.substringSQL(cur, n - cur + 1)
+    if (segs.isEmpty) UTF8String.EMPTY_UTF8
+    else UTF8String.concat(segs.toSeq: _*)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DropSpansExpr =
+    copy(left = newLeft, right = newRight)
 }

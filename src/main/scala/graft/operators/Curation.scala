@@ -391,6 +391,78 @@ object Curation {
     *    re-expands ALL of a candidate document's windows.
     * Output: (id_a, id_b, n_shared), id_a < id_b.
     */
+  /** The 1-based anchor positions behind [[cdcWindows]] (same
+    * predicate, positions instead of strings) — for span operations.
+    */
+  def cdcAnchorPositions(text: Column, window: Int = 40,
+                         anchorLen: Int = 8,
+                         anchorMod: Int = 16): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.CdcAnchorsExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text),
+        window, anchorLen, anchorMod))
+
+  /** Substring-level SCRUB — the action half of [[substringDupPairs]]:
+    * for every content-defined window string shared by ≥ 2 documents,
+    * the minimum-id document KEEPS its text; every other occurrence of
+    * that window is removed (span union, overlaps merged, remaining
+    * segments concatenated in order). The passage-level analog of
+    * dropFrequentLines' maxDf rule: repeated PASSAGES vanish from all
+    * but one canonical holder while unique content survives untouched.
+    *
+    * Exactness and scale follow [[substringDupPairs]]: the corpus-wide
+    * bucket pass shuffles only (id, pos, xxhash64(win)); keeper
+    * election and span selection run on re-derived window STRINGS for
+    * candidate documents only, so a hash collision can only add a
+    * candidate row that string comparison then ignores. Windows shared
+    * by more than `maxBucket` documents are boilerplate
+    * (dropFrequentLines' domain) and are left unscrubbed here.
+    * Output: (id, text) for EVERY input document, scrubbed where
+    * spans applied.
+    */
+  def scrubSharedWindows(df: DataFrame, id: Column, text: Column,
+                         window: Int = 40, anchorLen: Int = 8,
+                         anchorMod: Int = 16,
+                         maxBucket: Int = 10000): DataFrame = {
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    val base = df.select(id.as("id"), text.as("text"))
+    def expand(src: DataFrame): DataFrame = src
+      .select(col("id"), col("text"),
+        explode(cdcAnchorPositions(col("text"), window, anchorLen,
+          anchorMod)).as("pos"))
+      .select(col("id"), col("pos"),
+        col("text").substr(col("pos"), lit(window)).as("win"))
+    // corpus pass: fixed-width (id, pos, h) only
+    val posH = expand(base)
+      .select(col("id"), col("pos"), xxhash64(col("win")).as("h"))
+    val okBuckets = posH.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2 && col("n_docs") <= maxBucket)
+      .select(col("h"))
+    val candIds = posH.join(okBuckets.hint("shuffle_hash"), Seq("h"))
+      .select(col("id")).distinct()
+    // confirm pass: window STRINGS for candidate docs only
+    val candWins = Checkpoints.stage(expand(
+      base.join(candIds.hint("shuffle_hash"), Seq("id"), "left_semi")))
+    val shared = candWins.select(col("id"), col("win")).distinct()
+      .groupBy(col("win"))
+      .agg(min(col("id")).as("keeper"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("win"), col("keeper"))
+    val spans = candWins
+      .join(shared.hint("shuffle_hash"), Seq("win"))
+      .where(col("id") =!= col("keeper"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("pos"))).as("ps"))
+    val scrubbed = bridge.toColumn(graft.functions.DropSpansExpr(
+      bridge.toExpression(col("text")),
+      bridge.toExpression(col("ps")), window))
+    base.join(spans, Seq("id"), "left")
+      .select(col("id"),
+        when(col("ps").isNull, col("text"))
+          .otherwise(scrubbed).as("text"))
+  }
+
   def substringDupPairs(df: DataFrame, id: Column, text: Column,
                         window: Int = 40, anchorLen: Int = 8,
                         anchorMod: Int = 16,

@@ -259,16 +259,20 @@ object Graph {
     * every engine.
     *
     * Scale shape: each iteration is one shuffle (contribution
-    * aggregate on dst) plus a broadcast-sized join of ranks to the
-    * edge list's src side — ranks are |V|-sized, edges |E|-sized; the
-    * rank table is re-keyed, never the edges. Lineage is cut per
-    * iteration with [[Checkpoints.stage]], so long runs honor the
-    * session's reliable-checkpoint mode like every other iterative
-    * operator here.
+    * aggregate on dst) plus the ranks⋈edges join. The join strategy is
+    * gated on the MEASURED node count (already in hand for the base
+    * term): at or below `broadcastLimit` the |V|-sized rank and outdeg
+    * tables broadcast, so the |E|-sized edge list never crosses the
+    * wire — the domain-authority regime (|V| = #domains ≪ |E|). Above
+    * the limit it degrades to shuffle joins, correct at any |V|.
+    * Lineage is cut per iteration with [[Checkpoints.stage]], so long
+    * runs honor the session's reliable-checkpoint mode like every
+    * other iterative operator here.
     */
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L,
+               broadcastLimit: Long = 4000000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need 0 <= dampNum <= dampDen")
@@ -285,11 +289,14 @@ object Graph {
     val base = scale * (dampDen - dampNum) / (dampDen * n)
     var ranks = Checkpoints.stage(
       nodes.select(col("id"), lit(scale / n).as("rank")))
+    val small = n <= broadcastLimit
+    def vSized(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     var it = 0
     while (it < iters) {
       val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
+        .join(vSized(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .join(vSized(outdeg), Seq("src"))
         .select(col("dst").as("id"),
           expr("rank DIV outdeg").as("share"))
         .groupBy(col("id"))

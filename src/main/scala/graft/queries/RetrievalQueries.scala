@@ -88,6 +88,17 @@ object RetrievalQueries {
         (col("lang") === "en").cast("long"))
     }),
 
+    // The action half of substring dedup: every shared content-defined
+    // window keeps its minimum-doc occurrence and is scrubbed (span
+    // union, merged overlaps) from every other document — repeated
+    // passages vanish from all but one canonical holder, unique
+    // content survives byte-for-byte.
+    "x_substring_scrub" -> ((s, d) =>
+      Curation.scrubSharedWindows(passageCorpus(t(s, d, "documents")),
+          col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
     // Composition: substring-sharing graph between SOURCES (the same
     // CDC machinery with source as the entity key — mirror-site /
     // boilerplate-farm detection), symmetrized, then fixed-point
@@ -270,6 +281,45 @@ object RetrievalQueries {
          |        ON a.win = b.win AND a.doc_id < b.doc_id)
          |SELECT da, db, count(*) AS n_shared
          |FROM p GROUP BY da, db ORDER BY da, db""".stripMargin,
+    "x_substring_scrub" ->
+      s"""WITH corpus AS (
+         |$passageCorpusSql),
+         |ap AS (
+         |  SELECT doc_id, text,
+         |    unnest(list_filter(generate_series(1, len(text) - 39),
+         |      p -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |             list_transform(string_split(substr(text, CAST(p AS INT), 8), ''),
+         |               c -> CAST(unicode(c) AS BIGINT))),
+         |             (h, c) -> (h * 31 + c) % 1000000007) % 16 = 0)) AS p
+         |  FROM corpus),
+         |w AS (SELECT doc_id, p,
+         |        substr(text, CAST(p AS INT), 40) AS win FROM ap),
+         |shared AS (
+         |  SELECT win, min(doc_id) AS keeper
+         |  FROM (SELECT DISTINCT doc_id, win FROM w) dw
+         |  GROUP BY win HAVING count(*) >= 2),
+         |spans AS (
+         |  SELECT DISTINCT w.doc_id, w.p
+         |  FROM w JOIN shared ON w.win = shared.win
+         |  WHERE w.doc_id <> shared.keeper),
+         |chars AS (
+         |  SELECT doc_id,
+         |    CAST(generate_subscripts(string_split(text, ''), 1)
+         |      AS BIGINT) AS cp,
+         |    unnest(string_split(text, '')) AS c
+         |  FROM corpus),
+         |uncovered AS (
+         |  SELECT c.doc_id, c.cp, c.c
+         |  FROM chars c
+         |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+         |    WHERE s.doc_id = c.doc_id
+         |      AND c.cp >= s.p AND c.cp < s.p + 40)),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(c, '' ORDER BY cp) AS text
+         |  FROM uncovered GROUP BY doc_id)
+         |SELECT corpus.doc_id, coalesce(r.text, '') AS text
+         |FROM corpus LEFT JOIN rebuilt r ON corpus.doc_id = r.doc_id
+         |ORDER BY corpus.doc_id""".stripMargin,
     "x_normal_eq" -> normalEqSql,
     "x_pagerank" -> pageRankSql,
     "x_source_authority" -> sourceAuthoritySql)

@@ -132,6 +132,69 @@ class RetrievalSpec extends SparkSuite {
     assert(got.count() == 0)
   }
 
+  test("scrubSharedWindows: keeper keeps text byte-for-byte, others lose the shared spans") {
+    val docs = Seq(
+      1L -> s"alpha leading words $sharedPassage trailing bits",
+      2L -> s"totally different preamble here $sharedPassage and more",
+      3L -> "no shared passage in this one at all just unique words")
+    val out = Curation.scrubSharedWindows(
+        docs.toDF("id", "text"), col("id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byId = docs.toMap
+    // keeper (min id) and the untouched doc survive byte-for-byte
+    assert(out(1L) == byId(1L))
+    assert(out(3L) == byId(3L))
+    // doc 2 lost every window it shares with doc 1, kept its preamble
+    val shared = refWindows(byId(1L)) intersect refWindows(byId(2L))
+    assert(shared.nonEmpty)
+    shared.foreach(w => assert(!out(2L).contains(w), s"window [$w] not scrubbed"))
+    assert(out(2L).startsWith("totally different preamble here"))
+    // scrubbing is position-exact: rebuild expectation by hand
+    val spans = refWindows(byId(2L)).filter(shared.contains).flatMap { w =>
+      val cps = byId(2L)
+      // every anchor occurrence of w in doc 2
+      (0 to cps.length - 40).filter(p => cps.substring(p, p + 40) == w &&
+        refAnchors(cps).contains(p + 1))
+    }
+    val covered = spans.flatMap(p => p until p + 40).toSet
+    val manual = byId(2L).zipWithIndex
+      .collect { case (ch, i) if !covered.contains(i) => ch }.mkString
+    assert(out(2L) == manual)
+  }
+
+  /** 1-based anchor positions of the reference mirror. */
+  private def refAnchors(s: String, anchorLen: Int = 8,
+                         anchorMod: Int = 16, window: Int = 40): Set[Int] = {
+    val cps = s.codePoints().toArray
+    (0 to cps.length - window).flatMap { p =>
+      var h = 0L
+      (0 until anchorLen).foreach { j =>
+        h = (h * 31 + cps(p + j)) % 1000000007L
+      }
+      if (h % anchorMod == 0) Some(p + 1) else None
+    }.toSet
+  }
+
+  test("DropSpansExpr: overlap merge, unsorted input, full coverage") {
+    val bridge = org.apache.spark.sql.GraftSqlBridge
+    def drop(text: String, ps: Seq[Int], window: Int): String = {
+      val df = Seq((text, ps)).toDF("t", "ps")
+      df.select(bridge.toColumn(graft.functions.DropSpansExpr(
+          bridge.toExpression(col("t")),
+          bridge.toExpression(col("ps")), window)).as("out"))
+        .collect().head.getString(0)
+    }
+    assert(drop("abcdefghij", Seq(3), 4) == "abghij")
+    // overlapping + unsorted: [3,6) ∪ [5,8) = [3,8)
+    assert(drop("abcdefghij", Seq(5, 3), 3) == "abhij")
+    // adjacent spans
+    assert(drop("abcdefghij", Seq(1, 4), 3) == "ghij")
+    // full coverage → empty string
+    assert(drop("abcd", Seq(1), 10) == "")
+    // duplicate positions are harmless
+    assert(drop("abcdefghij", Seq(2, 2), 2) == "adefghij")
+  }
+
   // ---------------------------------- normal equations / training --
 
   test("linearMoments + solveNormalEquations recover a planted integer model") {
@@ -200,6 +263,16 @@ class RetrievalSpec extends SparkSuite {
       edges.toDF("src", "dst").repartition(7),
       col("src"), col("dst"), iters = 4).collect().toSet
     assert(a == b)
+  }
+
+  test("pageRank: broadcast and shuffle join regimes agree exactly") {
+    val edges = (1L to 40L).map(i => (i, (i * 5 + 2) % 40 + 1))
+      .toDF("src", "dst")
+    val bcast = Graph.pageRank(edges, col("src"), col("dst"), iters = 4)
+      .collect().toSet
+    val shuffled = Graph.pageRank(edges, col("src"), col("dst"),
+      iters = 4, broadcastLimit = 0).collect().toSet
+    assert(bcast == shuffled)
   }
 
   test("pageRank: iters = 0 returns the uniform start") {
