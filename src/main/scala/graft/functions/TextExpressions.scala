@@ -362,6 +362,52 @@ case class CdcAnchorsExpr(child: Expression, window: Int, anchorLen: Int,
     copy(child = newChild)
 }
 
+/** Polynomial fingerprints of the content-defined windows of
+  * [[CdcWindowsExpr]]: for each anchor position, the PolyFp hash
+  * (`(h*31+cp) % 1e9+7`) of the full `window`-codepoint substring —
+  * the persistable form of a window for incremental substring-dedup
+  * stores. Unlike xxhash64, the fingerprint is ORACLE-COMPUTABLE
+  * (DuckDB `list_reduce` over `unicode()`, the x_fingerprint idiom),
+  * so a store gate matching on it is hash-checkable end to end.
+  * Duplicate fingerprints within one document are kept (callers
+  * distinct at the (id, fp) level).
+  */
+case class CdcFingerprintsExpr(child: Expression, window: Int,
+                               anchorLen: Int, anchorMod: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 1, "window must be >= 1")
+  require(anchorLen >= 1 && anchorLen <= window,
+    "need 1 <= anchorLen <= window")
+  require(anchorMod >= 1, "anchorMod must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_fingerprints"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String]
+    val (cps, nChars) = CdcUtil.decode(s)
+    val ps = CdcUtil.anchors(cps, nChars, window, anchorLen, anchorMod)
+    val out = new Array[Any](ps.length)
+    var i = 0
+    while (i < ps.length) {
+      val p0 = ps(i) - 1
+      var h = 0L
+      var j = 0
+      while (j < window) {
+        h = (h * 31L + cps(p0 + j)) % 1000000007L
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcFingerprintsExpr =
+    copy(child = newChild)
+}
+
 /** Remove the union of `window`-char spans starting at the given
   * 1-based char positions from `text` — the rebuild step of substring
   * scrubbing. Overlapping/adjacent spans merge; positions need not be

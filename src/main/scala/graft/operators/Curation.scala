@@ -463,6 +463,109 @@ object Curation {
           .otherwise(scrubbed).as("text"))
   }
 
+  /** Window fingerprints behind the incremental substring store: the
+    * PolyFp hash of each content-defined window (CdcFingerprintsExpr)
+    * — oracle-computable, unlike xxhash64, so the store gate below is
+    * hash-checkable against a full-recompute SQL mirror.
+    */
+  def cdcFingerprints(text: Column, window: Int = 40, anchorLen: Int = 8,
+                      anchorMod: Int = 16): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.CdcFingerprintsExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text),
+        window, anchorLen, anchorMod))
+
+  private def windowFpRows(df: DataFrame, id: Column, text: Column,
+                           window: Int, anchorLen: Int,
+                           anchorMod: Int): DataFrame =
+    df.select(id.as("id"),
+        explode(cdcFingerprints(text, window, anchorLen, anchorMod))
+          .as("fp"))
+      .distinct()
+
+  /** Persist a corpus's content-defined window fingerprints as the
+    * substring-dedup STORE: (fp, id) rows range-clustered by fp into
+    * `filesOut` files plus a footer-stats manifest — the same layout
+    * discipline as the banded MinHash store, on the single key the
+    * substring axis needs. A batch gate's store scan routed through
+    * [[graft.operators.Stats.readTouchedKeysManifest]] opens only the
+    * files whose fp range intersects the batch's fingerprints.
+    */
+  def writeWindowStore(df: DataFrame, id: Column, text: Column,
+                       storeDir: String, manifestPath: String,
+                       filesOut: Int, window: Int = 40,
+                       anchorLen: Int = 8, anchorMod: Int = 16): Unit = {
+    val spark = df.sparkSession
+    windowFpRows(df, id, text, window, anchorLen, anchorMod)
+      .select(col("fp"), col("id"))
+      .repartitionByRange(filesOut, col("fp"))
+      .sortWithinPartitions(col("fp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeDir)
+    Stats.writeManifest(spark, storeDir, manifestPath)
+  }
+
+  /** Append a batch's window fingerprints to an existing store
+    * (continuous ingestion); the manifest refresh reads footers only
+    * for the new files. Fold accumulated appends with
+    * [[Layout.compact]] (cluster by fp) on the usual cadence.
+    */
+  def appendWindowStore(df: DataFrame, id: Column, text: Column,
+                        storeDir: String, manifestPath: String,
+                        filesOut: Int, window: Int = 40,
+                        anchorLen: Int = 8, anchorMod: Int = 16): Unit = {
+    val spark = df.sparkSession
+    windowFpRows(df, id, text, window, anchorLen, anchorMod)
+      .select(col("fp"), col("id"))
+      .repartitionByRange(filesOut, col("fp"))
+      .sortWithinPartitions(col("fp"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    Stats.refreshManifest(spark, storeDir, manifestPath)
+  }
+
+  /** Incremental substring-dedup gate: for each NEW document, the
+    * number of distinct window fingerprints it shares with the
+    * persisted store — history is never re-read end to end, never
+    * re-fingerprinted, never shuffled:
+    * 1. the batch fingerprints once ([[cdcFingerprints]], staged);
+    * 2. the store scan opens only touched-fp files
+    *    ([[graft.operators.Stats.readTouchedKeysManifest]] over the
+    *    fp-clustered layout — a stale/missing-coverage manifest costs
+    *    pruning, never rows);
+    * 3. the surviving store slice is row-filtered by a semi join on
+    *    the batch's fp set, then counted per new doc. The join rides
+    *    a batch-sized broadcast below `broadcastLimit` (the measured
+    *    regime gate of the MinHash incremental path) and degrades to
+    *    shuffle-hash above it.
+    * Returns (id, n_shared), n_shared > 0 — the x_decontaminate shape;
+    * gate downstream by dropping or routing flagged docs.
+    */
+  def substringIncremental(newDocs: DataFrame, id: Column, text: Column,
+                           storeDir: String, manifestPath: String,
+                           window: Int = 40, anchorLen: Int = 8,
+                           anchorMod: Int = 16,
+                           broadcastLimit: Long = 4000000L): DataFrame = {
+    val spark = newDocs.sparkSession
+    val batchFps = Checkpoints.stage(
+      windowFpRows(newDocs, id, text, window, anchorLen, anchorMod))
+    val small = batchFps.count() <= broadcastLimit
+    val probe = batchFps.select(col("fp")).distinct()
+    val storeSlice = Stats.readTouchedKeysManifest(spark, storeDir,
+        manifestPath, "fp", probe)
+      .select(col("fp"))
+    val storeTouched =
+      (if (small) storeSlice.join(broadcast(probe), Seq("fp"), "left_semi")
+       else storeSlice.join(probe.hint("shuffle_hash"), Seq("fp"),
+         "left_semi"))
+        .distinct()
+    val joined =
+      if (small) batchFps.join(broadcast(storeTouched), Seq("fp"))
+      else batchFps.join(storeTouched.hint("shuffle_hash"), Seq("fp"))
+    joined.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def substringDupPairs(df: DataFrame, id: Column, text: Column,
                         window: Int = 40, anchorLen: Int = 8,
                         anchorMod: Int = 16,

@@ -405,4 +405,45 @@ object Stats {
     if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
     else spark.read.parquet(keep: _*)
   }
+
+  // ---------- touched-key pruning (single-key stores) ----------
+
+  /** Single-key twin of [[touchedPairsKeptFilesUnder]]: the data files
+    * a probe SET over one integer column cannot prune — for stores
+    * range-clustered by a single key (the window-fingerprint store).
+    * Same soundness contract: a file the manifest does not cover, or
+    * whose bounds are absent, is always read.
+    */
+  def touchedKeysKeptFiles(spark: SparkSession, dir: String,
+                           manifestPath: String, c: String,
+                           probes: DataFrame): Seq[String] = {
+    val stats = spark.read.parquet(manifestPath)
+    val ranges = stats
+      .where(col("column") === c && col("ptype").isin("INT32", "INT64"))
+      .select(col("file"), col("min_int").as("__mn"),
+        col("max_int").as("__mx"),
+        (col("nulls") >= 0 && col("nulls") === col("rows")).as("__nul"))
+    val prunable = ranges.where(
+      (!col("__nul") && col("__mn").isNotNull && col("__mx").isNotNull)
+        || col("__nul"))
+    val p = probes.select(col(c).cast("long").as("__p"))
+      .where(col("__p").isNotNull).distinct()
+    val hit = !col("__nul") &&
+      col("__p") >= col("__mn") && col("__p") <= col("__mx")
+    val skip = prunable.join(p, hit, "left_anti")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    listParquetFiles(spark, dir).filterNot(skip)
+  }
+
+  /** Store scan pruned to the files a touched-key set can live in —
+    * single-key twin of [[readTouchedPairsManifest]]. File-granular
+    * superset: callers keep their exact row-level filter.
+    */
+  def readTouchedKeysManifest(spark: SparkSession, dir: String,
+                              manifestPath: String, c: String,
+                              probes: DataFrame): DataFrame = {
+    val keep = touchedKeysKeptFiles(spark, dir, manifestPath, c, probes)
+    if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
+    else spark.read.parquet(keep: _*)
+  }
 }

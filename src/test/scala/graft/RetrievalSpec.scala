@@ -195,6 +195,76 @@ class RetrievalSpec extends SparkSuite {
     assert(drop("abcdefghij", Seq(2, 2), 2) == "adefghij")
   }
 
+  // ------------------------------- incremental substring store --
+
+  private def polyRef(s: String): Long =
+    s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+
+  private def refFps(s: String): Set[Long] =
+    refWindows(s).map(polyRef)
+
+  test("substringIncremental: pruned store gate equals full recompute; scan opens fewer files") {
+    val passB = "another rather long shared passage that repeats across documents verbatim"
+    val hist = (1L to 60L).map { i =>
+      val extra =
+        if (i % 5 == 0) s" $sharedPassage" else if (i % 7 == 0) s" $passB" else ""
+      i -> s"history document number $i with filler words making it long enough$extra"
+    }
+    val batch = Seq(
+      101L -> s"new doc embedding the passage $sharedPassage tail",
+      102L -> s"fresh unique content with nothing repeated from history at all dramatically",
+      103L -> s"another newcomer carrying $passB inside")
+    val dir = java.nio.file.Files.createTempDirectory("winstore-spec-").toString
+    val (store, manifest) = (s"$dir/store", s"$dir/manifest")
+    Curation.writeWindowStore(hist.toDF("id", "text"), col("id"),
+      col("text"), store, manifest, filesOut = 16)
+    val got = Curation.substringIncremental(batch.toDF("id", "text"),
+        col("id"), col("text"), store, manifest)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent full recompute
+    val histFps = hist.flatMap(h => refFps(h._2)).toSet
+    val expected = batch
+      .map { case (id, t) => id -> (refFps(t) intersect histFps).size.toLong }
+      .filter(_._2 > 0).toMap
+    assert(got == expected)
+    assert(expected.keySet == Set(101L, 103L),
+      "fixture must flag exactly the passage-carrying newcomers")
+    // file accounting: the batch's store scan opens strictly fewer
+    // files than the store holds
+    val batchFps = batch.flatMap(b => refFps(b._2)).toSet.toSeq
+    val kept = graft.operators.Stats.touchedKeysKeptFiles(spark, store,
+      manifest, "fp", batchFps.toDF("fp"))
+    val total = spark.read.parquet(store).inputFiles.length
+    assert(kept.nonEmpty && kept.size < total,
+      s"kept ${kept.size} of $total")
+    // append a new history slice; refreshed manifest covers it
+    val extra = Seq(200L -> s"appended history also holding $sharedPassage here")
+    Curation.appendWindowStore(extra.toDF("id", "text"), col("id"),
+      col("text"), store, manifest, filesOut = 2)
+    val got2 = Curation.substringIncremental(batch.toDF("id", "text"),
+        col("id"), col("text"), store, manifest)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val histFps2 = histFps ++ refFps(extra.head._2)
+    val expected2 = batch
+      .map { case (id, t) => id -> (refFps(t) intersect histFps2).size.toLong }
+      .filter(_._2 > 0).toMap
+    assert(got2 == expected2)
+  }
+
+  test("substringIncremental: shuffle regime (broadcastLimit = 0) agrees") {
+    val hist = Seq(1L -> s"base holder of $sharedPassage right here")
+    val batch = Seq(2L -> s"newcomer also with $sharedPassage attached")
+    val dir = java.nio.file.Files.createTempDirectory("winstore-spec2-").toString
+    Curation.writeWindowStore(hist.toDF("id", "text"), col("id"),
+      col("text"), s"$dir/store", s"$dir/manifest", filesOut = 4)
+    def run(limit: Long) = Curation.substringIncremental(
+        batch.toDF("id", "text"), col("id"), col("text"),
+        s"$dir/store", s"$dir/manifest", broadcastLimit = limit)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(run(4000000L) == run(0L))
+    assert(run(0L).nonEmpty)
+  }
+
   // ---------------------------------- normal equations / training --
 
   test("linearMoments + solveNormalEquations recover a planted integer model") {
