@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators for raw-crawl → training-corpus refinement:
@@ -522,6 +522,28 @@ object Curation {
       .write.mode(org.apache.spark.sql.SaveMode.Append)
       .parquet(storeDir)
     Stats.refreshManifest(spark, storeDir, manifestPath)
+  }
+
+  /** OPTIMIZE cycle for the window-fingerprint store: fold accumulated
+    * appends back into `filesOut` fp-range-clustered files (side-dir
+    * write + swap — a reader of the old listing keeps every file it
+    * resolved until the delete; run on the maintenance cadence, not
+    * per batch) and rebuild the manifest so touched-key pruning
+    * follows the NEW clustering. Returns the rewritten row count.
+    */
+  def compactWindowStore(spark: SparkSession, storeDir: String,
+                         manifestPath: String, filesOut: Int): Long = {
+    val side = s"$storeDir.compacting"
+    val n = Layout.compact(spark, storeDir, side, filesOut,
+      clusterBy = Seq("fp"))
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(side),
+      new org.apache.hadoop.fs.Path(storeDir))
+    spark.catalog.refreshByPath(storeDir)
+    Stats.writeManifest(spark, storeDir, manifestPath)
+    n
   }
 
   /** Incremental substring-dedup gate: for each NEW document, the

@@ -251,6 +251,45 @@ class RetrievalSpec extends SparkSuite {
     assert(got2 == expected2)
   }
 
+  test("compactWindowStore: appends fold into a clustered layout; gate " +
+      "results identical, fewer files, pruning follows the new layout") {
+    val hist = (1L to 40L).map(i =>
+      i -> s"history doc $i long enough for anchors${
+        if (i % 4 == 0) s" $sharedPassage" else ""}")
+    val batch = Seq(
+      900L -> s"newcomer with the $sharedPassage embedded",
+      901L -> "completely novel content nothing shared with any history")
+    val dir = java.nio.file.Files.createTempDirectory("wincompact-").toString
+    val (store, manifest) = (s"$dir/store", s"$dir/manifest")
+    Curation.writeWindowStore(hist.take(10).toDF("id", "text"), col("id"),
+      col("text"), store, manifest, filesOut = 4)
+    // fragment: three appends of 10 docs each
+    hist.drop(10).grouped(10).foreach { g =>
+      Curation.appendWindowStore(g.toDF("id", "text"), col("id"),
+        col("text"), store, manifest, filesOut = 4)
+    }
+    val before = Curation.substringIncremental(batch.toDF("id", "text"),
+        col("id"), col("text"), store, manifest)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val filesBefore = spark.read.parquet(store).inputFiles.length
+    val n = Curation.compactWindowStore(spark, store, manifest, filesOut = 4)
+    val filesAfter = spark.read.parquet(store).inputFiles.length
+    assert(filesAfter < filesBefore, s"$filesAfter vs $filesBefore")
+    assert(n == spark.read.parquet(store).count())
+    val after = Curation.substringIncremental(batch.toDF("id", "text"),
+        col("id"), col("text"), store, manifest)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before)
+    assert(after.keySet == Set(900L))
+    // the rebuilt manifest covers exactly the compacted files, so the
+    // touched-key scan still prunes (batch fps hit a strict subset)
+    val batchFps = batch.flatMap(b => refFps(b._2)).toSet.toSeq
+    val kept = graft.operators.Stats.touchedKeysKeptFiles(spark, store,
+      manifest, "fp", batchFps.toDF("fp"))
+    assert(kept.nonEmpty && kept.size < filesAfter,
+      s"kept ${kept.size} of $filesAfter")
+  }
+
   test("substringIncremental: shuffle regime (broadcastLimit = 0) agrees") {
     val hist = Seq(1L -> s"base holder of $sharedPassage right here")
     val batch = Seq(2L -> s"newcomer also with $sharedPassage attached")
