@@ -2,7 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Graph, TextAnalysis, Training}
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Curation, Graph, Retrieval, Similarity,
+  TextAnalysis, Training}
 import ParityQueries.t
 
 // (store artifacts are memoized per data dir via ArtifactMemo — bench
@@ -83,6 +85,27 @@ object RetrievalQueries {
           col("tf_1").as("tf_window"), col("tf_2").as("tf_spark"),
           col("dl"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))),
+
+    // Hybrid retrieval: the BM25 sparse arm and a brute-force dense
+    // arm (query = vec_id 1's embedding; the exact baseline that
+    // licenses the ANN arms) fused by reciprocal rank. Both rank
+    // windows run over limit(50)-bounded inputs — k-row sorts by
+    // construction, never corpus-sized (hence the budget's window
+    // allowance); 2 arms keep the fused double bit-reproducible.
+    "x_hybrid_rrf" -> ((s, d) => {
+      val sparse = TextAnalysis.bm25TopK(t(s, d, "documents"),
+          col("doc_id"), col("text"), Bm25Terms, k = 50)
+        .select(col("id"), row_number().over(
+            Window.orderBy(col("score").desc, col("id")))
+          .cast("long").as("rank"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dense = Similarity.bruteForceTopK(e.where(col("id") === 1), e,
+          k = 50)
+        .select(col("vb").as("id"), col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 25)
+        .select(col("id").as("doc_id"), col("rrf"), col("n_arms"))
+    }),
 
     // The CdcWindowsExpr surface directly: every content-defined
     // 40-char window of every document (8-char anchors, density 1/16).
@@ -279,24 +302,28 @@ object RetrievalQueries {
        |      UNION SELECT sb, sa FROM p)""".stripMargin,
     "source")
 
+  /** The tf + corpus-stats CTE pair shared by the BM25 oracles. */
+  private val bm25TfStSql: String =
+    s"""tf AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x = 'merge')) AS BIGINT) AS tf_0,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x = 'window')) AS BIGINT) AS tf_1,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      x -> x = 'spark')) AS BIGINT) AS tf_2
+       |  FROM documents),
+       |st AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+       |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+       |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+       |  FROM tf)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x_bm25" ->
-      s"""WITH tf AS (
-         |  SELECT doc_id,
-         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      x -> x = 'merge')) AS BIGINT) AS tf_0,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      x -> x = 'window')) AS BIGINT) AS tf_1,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      x -> x = 'spark')) AS BIGINT) AS tf_2
-         |  FROM documents),
-         |st AS (
-         |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
-         |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
-         |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
-         |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
-         |  FROM tf)
+      s"""WITH $bm25TfStSql
          |SELECT doc_id, tf_0 AS tf_merge, tf_1 AS tf_window,
          |  tf_2 AS tf_spark, dl,
          |  ${bm25TermSql(0)}
@@ -305,6 +332,48 @@ object RetrievalQueries {
          |FROM tf CROSS JOIN st
          |WHERE tf_0 + tf_1 + tf_2 > 0
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "x_hybrid_rrf" ->
+      s"""WITH $bm25TfStSql,
+         |sp AS (
+         |  SELECT doc_id,
+         |    ${bm25TermSql(0)}
+         |    + ${bm25TermSql(1)}
+         |    + ${bm25TermSql(2)} AS score
+         |  FROM tf CROSS JOIN st
+         |  WHERE tf_0 + tf_1 + tf_2 > 0
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |sparse AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM sp),
+         |sc AS (
+         |  SELECT b.vec_id AS vb,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(a.embedding) + 1),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])),
+         |      (x, y) -> x + y)
+         |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(a.embedding) + 1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])),
+         |        (x, y) -> x + y))
+         |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(b.embedding) + 1),
+         |          i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i])),
+         |        (x, y) -> x + y))) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id = 1
+         |  ORDER BY cos DESC, vb LIMIT 50),
+         |dense AS (
+         |  SELECT vb AS doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, vb) AS r
+         |  FROM sc),
+         |u AS (
+         |  SELECT doc_id, 1.0 / (60 + r) AS contrib FROM sparse
+         |  UNION ALL
+         |  SELECT doc_id, 1.0 / (60 + r) FROM dense)
+         |SELECT doc_id, sum(contrib) AS rrf, count(*) AS n_arms
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin,
     "x_cdc_windows" ->
       s"""WITH w AS (
          |${cdcWinsSql("documents")})

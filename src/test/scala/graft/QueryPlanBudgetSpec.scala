@@ -88,6 +88,12 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // BM25's corpus stats (N, Σdl, per-term df) are a 1-row aggregate
     // cross-joined back — bounded by construction, never data-sized
     "x_bm25" -> default.copy(allowCartesian = true),
+    // hybrid fusion: the BM25 stats cross-join plus the dense arm's
+    // brute-force exact baseline (licenses the ANN arms) BY DESIGN;
+    // the global rank window sorts a limit(50)-bounded input — a k-row
+    // single task by construction, never corpus-sized
+    "x_hybrid_rrf" -> default.copy(allowCartesian = true,
+      allowGlobalWindow = true),
     // hash-candidate buckets + exact string confirm: measured 7
     // exchanges (idHash distinct, bucket agg+join, confirm semi join +
     // distinct, pair-count agg, output sort)

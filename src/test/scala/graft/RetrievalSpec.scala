@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Graph, TextAnalysis, Training}
+import graft.operators.{Curation, Graph, Retrieval, TextAnalysis, Training}
 
 /** Round-8 retrieval/training tier: BM25 (both idf arms), content-
   * defined-chunk substring dedup (vs an independent in-memory
@@ -302,6 +302,34 @@ class RetrievalSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
     assert(run(4000000L) == run(0L))
     assert(run(0L).nonEmpty)
+  }
+
+  // ------------------------------------------------- rank fusion --
+
+  test("rrfFuse: hand-computed 2-arm fusion; arm order is irrelevant " +
+      "bit-for-bit") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    def run(arms: Seq[org.apache.spark.sql.DataFrame]) =
+      Retrieval.rrfFuse(arms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val got = run(Seq(a, b))
+    val expected = Seq(
+      (2L, 1.0 / 62 + 1.0 / 61, 2L),
+      (1L, 1.0 / 61, 1L),
+      (4L, 1.0 / 62, 1L),
+      (3L, 1.0 / 63, 1L))
+    assert(got.toSeq == expected)
+    assert(run(Seq(b, a)).toSeq == expected)
+  }
+
+  test("rrfFuse: k truncates after fusion, not per arm") {
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    // doc 2 fuses both arms and overtakes each arm's rank-1 doc
+    assert(got == Seq(2L, 1L))
   }
 
   // ---------------------------------- normal equations / training --
