@@ -475,9 +475,9 @@ object Curation {
         org.apache.spark.sql.GraftSqlBridge.toExpression(text),
         window, anchorLen, anchorMod))
 
-  private def windowFpRows(df: DataFrame, id: Column, text: Column,
-                           window: Int, anchorLen: Int,
-                           anchorMod: Int): DataFrame =
+  private[graft] def windowFpRows(df: DataFrame, id: Column, text: Column,
+                                  window: Int, anchorLen: Int,
+                                  anchorMod: Int): DataFrame =
     df.select(id.as("id"),
         explode(cdcFingerprints(text, window, anchorLen, anchorMod))
           .as("fp"))

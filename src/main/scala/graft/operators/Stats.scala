@@ -416,7 +416,15 @@ object Stats {
     */
   def touchedKeysKeptFiles(spark: SparkSession, dir: String,
                            manifestPath: String, c: String,
-                           probes: DataFrame): Seq[String] = {
+                           probes: DataFrame): Seq[String] =
+    touchedKeysKeptFilesUnder(spark, Seq(dir), manifestPath, c, probes)
+
+  /** [[touchedKeysKeptFiles]] over an EXPLICIT set of directories —
+    * the streaming-store form (see [[touchedPairsKeptFilesUnder]]).
+    */
+  def touchedKeysKeptFilesUnder(spark: SparkSession, dirs: Seq[String],
+                                manifestPath: String, c: String,
+                                probes: DataFrame): Seq[String] = {
     val stats = spark.read.parquet(manifestPath)
     val ranges = stats
       .where(col("column") === c && col("ptype").isin("INT32", "INT64"))
@@ -432,7 +440,7 @@ object Stats {
       col("__p") >= col("__mn") && col("__p") <= col("__mx")
     val skip = prunable.join(p, hit, "left_anti")
       .select(col("file")).collect().map(_.getString(0)).toSet
-    listParquetFiles(spark, dir).filterNot(skip)
+    dirs.flatMap(d => listParquetFiles(spark, d)).filterNot(skip)
   }
 
   /** Store scan pruned to the files a touched-key set can live in —

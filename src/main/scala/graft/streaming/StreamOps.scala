@@ -352,6 +352,122 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming substring-dedup gate: each micro-batch is gated against
+    * the PERSISTED window-fingerprint store (the streaming face of
+    * [[graft.operators.Curation.substringIncremental]]) — a doc is
+    * dropped when it shares at least `minShared` distinct content-
+    * defined window fingerprints with retained history OR with a
+    * smaller-id doc of the same batch (the fp's min-id batch holder
+    * plays the store's role within the batch, so a passage's first
+    * holder survives — the batch scrub's canonical-holder policy).
+    * Survivors land in `outPath`; survivors' fingerprints append to
+    * the store fp-clustered, and the manifest refresh keeps each later
+    * batch's store scan opening only touched-fp files. Same
+    * durability/maintenance protocol as [[nearDupGateSinkBanded]]:
+    * batch-keyed idempotent writes, committed-file store view,
+    * generation compaction + one-cycle vacuum grace, manifest loss
+    * costs pruning never rows. The batch is fingerprinted exactly
+    * once; survivors' store rows are the surviving subset of that same
+    * pass.
+    */
+  def substringGateSink(spark: SparkSession, stream: DataFrame,
+                        id: String, text: String, storePath: String,
+                        outPath: String, checkpoint: String,
+                        window: Int = 40, anchorLen: Int = 8,
+                        anchorMod: Int = 16, minShared: Long = 1L,
+                        compactEvery: Int = 0, compactFilesOut: Int = 4,
+                        appendFilesOut: Int = 2, manifestPath: String = "",
+                        broadcastLimit: Long = 4000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Curation, Stats}
+    val mPath =
+      if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // ONE fingerprint pass over the batch, reused by the prune
+          // probes, the gate, and the store append
+          val batchFps = Curation.windowFpRows(batch, col(id), col(text),
+            window, anchorLen, anchorMod).localCheckpoint()
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val viewDirs = storeViewDirs(spark, storePath)
+          val storeFps =
+            if (viewDirs.isEmpty) batchFps.select(col("fp")).limit(0)
+            else {
+              val mp = new org.apache.hadoop.fs.Path(mPath)
+              val files =
+                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+                  Stats.touchedKeysKeptFilesUnder(spark,
+                    viewDirs.map(_.toString), mPath, "fp",
+                    batchFps.select(col("fp")))
+                else viewDirs.map(_.toString)
+              if (files.isEmpty) batchFps.select(col("fp")).limit(0)
+              else spark.read.parquet(files: _*).select(col("fp"))
+            }
+          // store-arm membership + within-batch min-id holder, then
+          // one per-doc distinct-fp count against both arms; every
+          // join side below is batch-bounded (the store side is first
+          // semi-joined down to the batch's own fp set). Measured
+          // regime gate: a normal micro-batch rides broadcasts; a
+          // backfill-sized batch degrades every one to shuffle-hash.
+          val small = batchFps.count() <= broadcastLimit
+          def bc(df: DataFrame): DataFrame =
+            if (small) broadcast(df) else df.hint("shuffle_hash")
+          val probe = batchFps.select(col("fp")).distinct()
+          val inStore = storeFps
+            .join(bc(probe), Seq("fp"), "left_semi")
+            .distinct().withColumn("__in_store", lit(true))
+          val minHolder = batchFps.groupBy(col("fp"))
+            .agg(min(col("id")).as("__min_id"))
+          val shared = batchFps
+            .join(bc(minHolder), Seq("fp"))
+            .join(bc(inStore), Seq("fp"), "left")
+            .where(col("__in_store").isNotNull ||
+              col("__min_id") < col("id"))
+            .groupBy(col("id"))
+            .agg(count(lit(1)).as("__n_shared"))
+          val dropIds = shared.where(col("__n_shared") >= minShared)
+            .select(col("id").as("__did"))
+          val survivors = batch
+            .join(bc(dropIds), col(id) === col("__did"), "left_anti")
+            .localCheckpoint()
+          batchFps
+            .join(survivors.select(col(id).as("__sid")),
+              col("id") === col("__sid"), "left_semi")
+            .select(col("fp"), col("id"))
+            .repartitionByRange(appendFilesOut, col("fp"))
+            .sortWithinPartitions(col("fp"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          survivors.write.mode("overwrite")
+            .parquet(s"$outPath/batch=$batchId")
+          refreshStoreManifest(spark, storePath, mPath)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactWindowStoreGen(spark, storePath, mPath,
+              compactFilesOut): Unit
+        }
+      }
+      .start()
+  }
+
+  /** [[compactNearDupStoreBanded]] for the substring gate's window-
+    * fingerprint store: the generation is rewritten fp-range-clustered
+    * (the layout [[graft.operators.Stats.touchedKeysKeptFilesUnder]]
+    * prunes) and the manifest refreshed afterwards.
+    */
+  def compactWindowStoreGen(spark: SparkSession, storePath: String,
+                            manifestPath: String,
+                            filesOut: Int): Option[Long] = {
+    val tok = compactStoreShaped(spark, storePath,
+      _.select(col("fp"), col("id"))
+        .repartitionByRange(filesOut, col("fp"))
+        .sortWithinPartitions(col("fp")))
+    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
+    tok
+  }
+
   /** True iff `root` holds at least one READER-VISIBLE committed parquet
     * data file. Files under any path component starting with `_` or `.`
     * (e.g. a crashed write's `_temporary/` attempt dirs, `_SUCCESS`,

@@ -242,4 +242,61 @@ class StreamOpsSpec extends SparkSuite {
         s"pruning must drop files: kept ${kept.size} of $viewFiles")
     } finally q.stop()
   }
+
+  test("substringGateSink: passage-sharing docs drop against the " +
+      "persisted fingerprint store across and within batches; store " +
+      "compacts fp-clustered mid-stream and keeps pruning") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-subgate-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained simply " * 8
+    val docC = "bucketed table layouts and zero shuffle joins " * 8
+    val docD = "completely fresh content about parquet footer stats " * 8
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.substringGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/store", s"$base/out", s"$base/ckpt",
+      compactEvery = 2, compactFilesOut = 8)
+    try {
+      // batch 0: 2 shares doc 1's windows (identical prefix) — the
+      // min-id holder survives, the larger id drops; 3 is fresh
+      in.addData((1L, docA), (2L, docA + " with a unique tail"),
+        (3L, docB))
+      q.processAllAvailable()
+      // batch 1: 11 dups stored content → dropped; 12 fresh → gen=1
+      in.addData((11L, docA), (12L, docC))
+      q.processAllAvailable()
+      // batch 2 gates against the COMPACTED generation: 21 embeds the
+      // batch-1 survivor's content (now only in gen=1), 22 fresh
+      in.addData((21L, docC + " plus an appended paragraph"), (22L, docD))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(out == Set(1L, 3L, 12L, 22L))
+      // survivors-only store: distinct ids in the view == survivors
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dirNames = fs
+        .listStatus(new org.apache.hadoop.fs.Path(s"$base/store"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(dirNames.contains("gen=1"), s"got $dirNames")
+      val gen = spark.read.parquet(s"$base/store/gen=1")
+      assert(gen.columns.toSeq == Seq("fp", "id"))
+      val storeIds = spark.read.parquet(
+          (Seq(s"$base/store/gen=1") ++
+            dirNames.filter(_ == "batch=2").map(d => s"$base/store/$d")): _*)
+        .select($"id").distinct().as[Long].collect().toSet
+      assert(storeIds == out)
+      // the manifest covers the compacted fp-clustered layout: one
+      // doc's fp probe set prunes the generation's files
+      val probe = graft.operators.Curation.windowFpRows(
+        Seq((999L, docB)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 40, 8, 16).select($"fp")
+      val kept = graft.operators.Stats.touchedKeysKeptFilesUnder(spark,
+        Seq(s"$base/store/gen=1"), s"$base/store_manifest", "fp", probe)
+      val genFiles = gen.inputFiles.length
+      assert(genFiles >= 4 && kept.size < genFiles,
+        s"pruning must drop files: kept ${kept.size} of $genFiles")
+    } finally q.stop()
+  }
 }
