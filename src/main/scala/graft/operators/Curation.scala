@@ -588,6 +588,61 @@ object Curation {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Fingerprint-level duplicate pairs from (id, fp) rows: every
+    * (id_a < id_b) pair sharing at least one window fingerprint — the
+    * edge generator for transitive substring-cluster resolution, on
+    * the same fp algebra as the incremental store gate. The shuffle
+    * carries 8-byte fp keys; `maxBucket` caps the per-fp expansion
+    * (a boilerplate window shared by >maxBucket docs is skipped, the
+    * ngramJaccardPairs skew guard).
+    */
+  def substringPairsFromFps(fps: DataFrame,
+                            maxBucket: Int = Int.MaxValue): DataFrame = {
+    val sized = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 && col("__n") <= maxBucket)
+      .select(col("fp"))
+    val kept = fps.join(sized, Seq("fp"), "left_semi")
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** The PAIR form of [[substringIncremental]]: (store id, new id)
+    * edges for every store×batch doc pair sharing a window
+    * fingerprint — feed these plus the within-batch and within-history
+    * edges to [[Graph.dedupClusters]] for the offline transitive
+    * reconciliation of the gate's pairwise decisions. Same store
+    * contract: manifest-pruned touched-fp scan, measured
+    * broadcast-vs-shuffle regime, history never re-fingerprinted.
+    */
+  def substringIncrementalPairs(newDocs: DataFrame, id: Column,
+                                text: Column, storeDir: String,
+                                manifestPath: String, window: Int = 40,
+                                anchorLen: Int = 8, anchorMod: Int = 16,
+                                broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    val spark = newDocs.sparkSession
+    val batchFps = Checkpoints.stage(
+      windowFpRows(newDocs, id, text, window, anchorLen, anchorMod))
+    val small = batchFps.count() <= broadcastLimit
+    val probe = batchFps.select(col("fp")).distinct()
+    val storeSlice = Stats.readTouchedKeysManifest(spark, storeDir,
+        manifestPath, "fp", probe)
+      .select(col("fp"), col("id").as("id_a"))
+    val storeTouched =
+      (if (small) storeSlice.join(broadcast(probe), Seq("fp"), "left_semi")
+       else storeSlice.join(probe.hint("shuffle_hash"), Seq("fp"),
+         "left_semi"))
+    val batchSide = batchFps.select(col("fp"), col("id").as("id_b"))
+    (if (small) storeTouched.join(broadcast(batchSide), Seq("fp"))
+     else storeTouched.join(batchSide.hint("shuffle_hash"), Seq("fp")))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
   def substringDupPairs(df: DataFrame, id: Column, text: Column,
                         window: Int = 40, anchorLen: Int = 8,
                         anchorMod: Int = 16,

@@ -86,6 +86,30 @@ object RetrievalQueries {
           col("dl"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // Offline transitive reconciliation of the substring gate: the
+    // within-history, within-batch, and store×batch fp-sharing edges
+    // (the last via the manifest-pruned incremental PAIR form) feed
+    // connected components — and the result must equal the full-corpus
+    // fp-level clustering, which the recursive-CTE oracle recomputes
+    // from scratch. Min-id canonical holder per cluster (keep flag).
+    "x_substring_reconcile" -> ((s, d) => {
+      val (store, manifest) = windowStoreFor(s, d)
+      val corpus = passageCorpus(t(s, d, "documents"))
+      def fps(df: org.apache.spark.sql.DataFrame) =
+        Curation.windowFpRows(df, col("doc_id"), col("text"), 40, 8, 16)
+      val histEdges = Curation.substringPairsFromFps(
+        fps(corpus.where(col("doc_id") < 400)))
+      val batchSlice = corpus.where(col("doc_id") >= 400)
+      val batchEdges = Curation.substringPairsFromFps(fps(batchSlice))
+      val crossEdges = Curation.substringIncrementalPairs(batchSlice,
+        col("doc_id"), col("text"), store, manifest)
+      Graph.dedupClusters(
+          histEdges.unionByName(batchEdges).unionByName(crossEdges),
+          col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Hybrid retrieval: the BM25 sparse arm and a brute-force dense
     // arm (query = vec_id 1's embedding; the exact baseline that
     // licenses the ANN arms) fused by reciprocal rank. Both rank
@@ -405,6 +429,26 @@ object RetrievalQueries {
          |FROM d b JOIN hist h ON b.fp = h.fp
          |WHERE b.doc_id >= 400
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "x_substring_reconcile" ->
+      s"""WITH RECURSIVE corpus AS (
+         |$passageCorpusSql),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_transform(list_filter(
+         |    generate_series(1, len(text) - 39),
+         |    p -> ${polySql("substr(text, CAST(p AS INT), 8)")} % 16 = 0),
+         |    p -> ${polySql("substr(text, CAST(p AS INT), 40)")})) AS fp
+         |  FROM corpus),
+         |d AS (SELECT DISTINCT doc_id, fp FROM fp),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |      FROM d x JOIN d y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+         |sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a AS id, a AS r FROM sym
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+         |)
+         |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "x_substring_scrub" ->
       s"""WITH corpus AS (
          |$passageCorpusSql),

@@ -290,6 +290,36 @@ class RetrievalSpec extends SparkSuite {
       s"kept ${kept.size} of $filesAfter")
   }
 
+  test("substringIncrementalPairs: store-vs-batch edges equal the " +
+      "full-recompute cross pairs, in both join regimes") {
+    val passB = "another rather long shared passage that repeats across documents verbatim"
+    val hist = (1L to 30L).map { i =>
+      val extra =
+        if (i % 4 == 0) s" $sharedPassage" else if (i % 9 == 0) s" $passB" else ""
+      i -> s"history item $i padded with enough words to anchor$extra"
+    }
+    val batch = Seq(
+      101L -> s"carrier of $sharedPassage right here",
+      102L -> "totally original content sharing nothing with the past corpus",
+      103L -> s"late arrival with $passB and then some")
+    val dir = java.nio.file.Files.createTempDirectory("winpairs-").toString
+    val (store, manifest) = (s"$dir/store", s"$dir/manifest")
+    Curation.writeWindowStore(hist.toDF("id", "text"), col("id"),
+      col("text"), store, manifest, filesOut = 8)
+    def run(limit: Long) = Curation.substringIncrementalPairs(
+        batch.toDF("id", "text"), col("id"), col("text"), store, manifest,
+        broadcastLimit = limit)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (hi, ht) <- hist; (bi, bt) <- batch
+      if (refFps(ht) intersect refFps(bt)).nonEmpty
+    } yield (hi, bi)).toSet
+    assert(run(4000000L) == expected)
+    assert(run(0L) == expected)
+    assert(expected.nonEmpty &&
+      expected.map(_._2) == Set(101L, 103L))
+  }
+
   test("substringIncremental: shuffle regime (broadcastLimit = 0) agrees") {
     val hist = Seq(1L -> s"base holder of $sharedPassage right here")
     val batch = Seq(2L -> s"newcomer also with $sharedPassage attached")
