@@ -131,6 +131,41 @@ object RetrievalQueries {
         .select(col("id").as("doc_id"), col("rrf"), col("n_arms"))
     }),
 
+    // The ANN-armed production form of x_hybrid_rrf: the dense arm is
+    // fitted-centroid IVF instead of brute force — the shape that runs
+    // at 100 TB. Rows-only (the ANN arm is engine-specific); licensed
+    // by the oracle-checked x_hybrid_rrf_err agreement floor below.
+    "x_hybrid_rrf_ann" -> ((s, d) => {
+      val sparse = TextAnalysis.bm25TopK(t(s, d, "documents"),
+          col("doc_id"), col("text"), Bm25Terms, k = 50)
+        .select(col("id"), row_number().over(
+            Window.orderBy(col("score").desc, col("id")))
+          .cast("long").as("rank"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = ExtensionQueries.fittedCents(d, e)
+      val dense = Similarity.ivfTopK(e.where(col("id") === 1), e, k = 50,
+          nprobe = 6, fitted = Some(cents))
+        .select(col("vb").as("id"), col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 25)
+        .select(col("id").as("doc_id"), col("rrf"), col("n_arms"))
+    }),
+
+    // Agreement floor licensing x_hybrid_rrf_ann (empty-set oracle,
+    // the recall-gate pattern): fires a row iff the ANN-armed fusion
+    // recovers fewer than 80% of the exact fusion's top-25 ids —
+    // integer-exact comparison (5·hits < 4·n_exact), no float recall.
+    "x_hybrid_rrf_err" -> ((s, d) => {
+      val exact = queries("x_hybrid_rrf")(s, d).select(col("doc_id"))
+      val ann = queries("x_hybrid_rrf_ann")(s, d).select(col("doc_id"))
+      val hits = exact.join(ann, Seq("doc_id"))
+        .agg(count(lit(1)).as("hits"))
+      val nEx = exact.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(nEx)
+        .where(col("hits") * 5 < col("n_exact") * 4)
+        .select(col("hits"), col("n_exact"))
+    }),
+
     // The CdcWindowsExpr surface directly: every content-defined
     // 40-char window of every document (8-char anchors, density 1/16).
     "x_cdc_windows" -> ((s, d) =>
@@ -429,6 +464,9 @@ object RetrievalQueries {
          |FROM d b JOIN hist h ON b.fp = h.fp
          |WHERE b.doc_id >= 400
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "x_hybrid_rrf_err" ->
+      """SELECT CAST(0 AS BIGINT) AS hits, CAST(0 AS BIGINT) AS n_exact
+        |WHERE 1 = 0""".stripMargin,
     "x_substring_reconcile" ->
       s"""WITH RECURSIVE corpus AS (
          |$passageCorpusSql),

@@ -94,6 +94,15 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // single task by construction, never corpus-sized
     "x_hybrid_rrf" -> default.copy(allowCartesian = true,
       allowGlobalWindow = true),
+    // same justification, IVF dense arm (centroid-probe broadcasts)
+    "x_hybrid_rrf_ann" -> default.copy(allowCartesian = true,
+      allowGlobalWindow = true),
+    // the agreement gate contains BOTH fusions (the exact one's brute
+    // arm included) BY DESIGN — the license-the-ANN-path pattern of
+    // x_ivf_q8_recall_err; all windows remain limit(50)-bounded
+    "x_hybrid_rrf_err" -> Budget(maxShuffles = 14, maxSorts = 12,
+      maxBroadcasts = 10, allowCartesian = true,
+      allowGlobalWindow = true),
     // hash-candidate buckets + exact string confirm: measured 7
     // exchanges (idHash distinct, bucket agg+join, confirm semi join +
     // distinct, pair-count agg, output sort)
