@@ -39,4 +39,78 @@ object Retrieval {
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)
   }
+
+  /** Maximal-marginal-relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) of a retrieval SHORTLIST: greedily pick the candidate
+    * maximizing `λ·score − (1−λ)·max_{s∈selected} cos(vec, vec_s)` —
+    * relevance traded against redundancy with what is already picked.
+    *
+    * `candidates` is `(id, score, vec)` — a top-m shortlist from an
+    * upstream arm ([[rrfFuse]], the ANN paths), NEVER a corpus: the
+    * greedy argmax is inherently sequential, so the shortlist is
+    * collected (bounded O(m·dim) driver traffic — the adjudicated
+    * bounded-collect class; `maxShortlist` guards the contract) and
+    * re-ranked locally. Deterministic: left-fold double cosine, ties
+    * broken by min id. Returns `(id, mmr_rank, mmr_score)`.
+    */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double = 0.5,
+                maxShortlist: Int = 10000): DataFrame = {
+    val spark = candidates.sparkSession
+    val rows = candidates
+      .select(col("id").cast("long"), col("score").cast("double"),
+        col("vec"))
+      .limit(maxShortlist + 1).collect()
+    require(rows.length <= maxShortlist,
+      s"mmrRerank: shortlist exceeds maxShortlist=$maxShortlist — " +
+        "re-rank a top-m shortlist, not a corpus")
+    val ids = rows.map(_.getLong(0))
+    val scores = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Any](2).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map(v => math.sqrt(dot(v, v)))
+    def cos(i: Int, j: Int): Double =
+      if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+      else dot(vecs(i), vecs(j)) / (norms(i) * norms(j))
+    val n = ids.length
+    val picked = new scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]
+    val maxSim = Array.fill(n)(0.0)
+    val used = Array.fill(n)(false)
+    var round = 0
+    while (round < math.min(k, n)) {
+      var best = -1; var bestVal = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val v =
+            if (round == 0) scores(i)
+            else lambda * scores(i) - (1.0 - lambda) * maxSim(i)
+          if (v > bestVal || (v == bestVal && best >= 0 &&
+              ids(i) < ids(best))) {
+            best = i; bestVal = v
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      picked += ((ids(best), round + 1, bestVal))
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val c = cos(best, j)
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+      round += 1
+    }
+    import spark.implicits._
+    picked.toSeq.toDF("id", "mmr_rank", "mmr_score")
+  }
 }

@@ -353,6 +353,41 @@ class RetrievalSpec extends SparkSuite {
     assert(run(Seq(b, a)).toSeq == expected)
   }
 
+  test("mmrRerank: redundancy is penalized — the diverse candidate " +
+      "overtakes a near-duplicate of the top pick") {
+    // doc 1 (top score) and doc 2 are near-identical vectors; doc 3 is
+    // orthogonal with slightly lower score than 2. Pure relevance
+    // ranks (1, 2, 3); MMR at λ=0.5 ranks (1, 3, 2).
+    val cand = Seq(
+      (1L, 1.00, Seq(1.0f, 0.0f)),
+      (2L, 0.90, Seq(0.999f, 0.01f)),
+      (3L, 0.85, Seq(0.0f, 1.0f))).toDF("id", "score", "vec")
+    val got = Retrieval.mmrRerank(cand, k = 3)
+      .orderBy(col("mmr_rank"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 3L, 2L))
+    assert(got.map(_._2) == Seq(1, 2, 3))
+  }
+
+  test("mmrRerank: λ=1 reduces to pure relevance order; shortlist " +
+      "guard trips on oversized input") {
+    val cand = Seq(
+      (1L, 0.5, Seq(1.0f, 0.0f)),
+      (2L, 0.9, Seq(1.0f, 0.0f)),
+      (3L, 0.7, Seq(1.0f, 0.0f))).toDF("id", "score", "vec")
+    val got = Retrieval.mmrRerank(cand, k = 3, lambda = 1.0)
+      .orderBy(col("mmr_rank"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 3L, 1L))
+    val big = spark.range(0, 50)
+      .select(col("id"), lit(1.0).as("score"),
+        array(lit(1.0f), lit(0.0f)).as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mmrRerank(big, k = 3, maxShortlist = 10)
+    }
+    assert(e.getMessage.contains("shortlist"))
+  }
+
   test("rrfFuse: k truncates after fusion, not per arm") {
     val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
     val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
