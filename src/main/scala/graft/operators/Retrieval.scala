@@ -80,7 +80,11 @@ object Retrieval {
       else dot(vecs(i), vecs(j)) / (norms(i) * norms(j))
     val n = ids.length
     val picked = new scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]
-    val maxSim = Array.fill(n)(0.0)
+    // -inf, not 0: the true max cosine to the selected set can be
+    // negative, and clipping it at 0 would silently under-penalize
+    // (the first pick never reads maxSim, and every entry is
+    // overwritten by a real cosine right after it)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val used = Array.fill(n)(false)
     var round = 0
     while (round < math.min(k, n)) {

@@ -166,6 +166,24 @@ object RetrievalQueries {
         .select(col("hits"), col("n_exact"))
     }),
 
+    // MMR diversification, oracle-checked: the inherently-sequential
+    // greedy re-rank over a cosine top-10 shortlist (query = vec 1),
+    // k=5, λ=0.5 — the DuckDB mirror unrolls the five greedy steps as
+    // chained CTEs; every arithmetic step is per-row IEEE or an exact
+    // max, so the picks AND scores hash-match bit-for-bit.
+    "x_mmr" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val short = Similarity.bruteForceTopK(e.where(col("id") === 1), e,
+          k = 10)
+        .select(col("vb").as("id"), col("cos").as("score"))
+        .join(e, Seq("id"))
+      Retrieval.mmrRerank(short, k = 5)
+        .select(col("id").as("doc_id"), col("mmr_rank"),
+          col("mmr_score"))
+        .orderBy(col("mmr_rank"))
+    }),
+
     // The CdcWindowsExpr surface directly: every content-defined
     // 40-char window of every document (8-char anchors, density 1/16).
     "x_cdc_windows" -> ((s, d) =>
@@ -380,7 +398,64 @@ object RetrievalQueries {
        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
        |  FROM tf)""".stripMargin
 
+  /** DuckDB left-fold cosine between two `embeddings` aliases — the
+    * x_cosine_topk idiom, factored for reuse.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len($a.embedding) + 1),
+       |        i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i])),
+       |      (x, y) -> x + y)
+       |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, len($a.embedding) + 1),
+       |          i -> CAST($a.embedding[i] AS DOUBLE) * $a.embedding[i])),
+       |        (x, y) -> x + y))
+       |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, len($b.embedding) + 1),
+       |          i -> CAST($b.embedding[i] AS DOUBLE) * $b.embedding[i])),
+       |        (x, y) -> x + y)))""".stripMargin
+
+  /** The five greedy MMR steps unrolled as chained CTEs: pick i's
+    * marginal value is `0.5·score − 0.5·max cos(·, picks_{i-1})` —
+    * per-row IEEE arithmetic and exact maxes only, so the mirror is
+    * bit-exact against the operator's driver-side greedy loop.
+    */
+  private val mmrSql: String = {
+    val k = 5
+    val steps = (2 to k).map { i =>
+      s"""cand$i AS (
+         |  SELECT s.id, s.score,
+         |    0.5 * s.score - 0.5 * (
+         |      SELECT max(pr.s) FROM pair pr
+         |      WHERE pr.ia = s.id
+         |        AND pr.ib IN (SELECT id FROM picks${i - 1})) AS v
+         |  FROM short s
+         |  WHERE s.id NOT IN (SELECT id FROM picks${i - 1})),
+         |p$i AS (SELECT id, $i AS r, v FROM cand$i
+         |        ORDER BY v DESC, id LIMIT 1),
+         |picks$i AS (SELECT * FROM picks${i - 1}
+         |            UNION ALL SELECT * FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sc AS (
+       |  SELECT b.vec_id AS id, ${cosSql("a", "b")} AS score
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id = 1),
+       |short AS (SELECT id, score FROM sc ORDER BY score DESC, id LIMIT 10),
+       |pair AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, ${cosSql("a", "b")} AS s
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (SELECT id FROM short)
+       |    AND b.vec_id IN (SELECT id FROM short)),
+       |p1 AS (SELECT id, 1 AS r, score AS v FROM short
+       |       ORDER BY score DESC, id LIMIT 1),
+       |picks1 AS (SELECT * FROM p1),
+       |$steps
+       |SELECT id AS doc_id, r AS mmr_rank, v AS mmr_score
+       |FROM picks$k ORDER BY mmr_rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "x_mmr" -> mmrSql,
     "x_bm25" ->
       s"""WITH $bm25TfStSql
          |SELECT doc_id, tf_0 AS tf_merge, tf_1 AS tf_window,

@@ -94,6 +94,8 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // single task by construction, never corpus-sized
     "x_hybrid_rrf" -> default.copy(allowCartesian = true,
       allowGlobalWindow = true),
+    // the MMR shortlist rides the brute-force dense arm BY DESIGN
+    "x_mmr" -> default.copy(allowCartesian = true),
     // same justification, IVF dense arm (centroid-probe broadcasts)
     "x_hybrid_rrf_ann" -> default.copy(allowCartesian = true,
       allowGlobalWindow = true),
