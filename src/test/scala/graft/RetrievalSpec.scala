@@ -195,6 +195,32 @@ class RetrievalSpec extends SparkSuite {
     assert(drop("abcdefghij", Seq(2, 2), 2) == "adefghij")
   }
 
+  test("cdcFingerprints: property — matches the codepoint reference on " +
+      "random multi-script corpora (ASCII, CJK, emoji, 1-4 byte UTF-8)") {
+    val rnd = new scala.util.Random(4217)
+    val alphabets = Seq(
+      ('a' to 'z').map(_.toString) :+ " ",
+      Seq("漢", "字", "語", "言", " ", "の", "テ", "ス", "ト"),
+      Seq("a", " ", "é", "ß", "👍", "🚀", "中", "z"),
+      Seq("α", "β", " ", "γ"))
+    val docs = (1L to 60L).map { i =>
+      val ab = alphabets(rnd.nextInt(alphabets.length))
+      val len = 30 + rnd.nextInt(120)
+      i -> Seq.fill(len)(ab(rnd.nextInt(ab.length))).mkString
+    }
+    val got = docs.toDF("id", "text")
+      .select(col("id"),
+        Curation.cdcFingerprints(col("text")).as("fps"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == refFps(text), s"doc $id mismatch")
+    }
+    // the corpus must actually exercise anchors on non-ASCII docs
+    assert(docs.exists { case (id, t) =>
+      t.exists(_ > 127) && got(id).nonEmpty })
+  }
+
   // ------------------------------- incremental substring store --
 
   private def polyRef(s: String): Long =
