@@ -162,6 +162,33 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Keep-BEST cluster policy: same connected components, but the
+    // canonical doc per duplicate cluster is the argmax-quality one
+    // (longest text, doc_id tiebreak) rather than min-id — the policy
+    // production dedup actually wants. The argmax is a struct-max
+    // aggregate ((n_chars, -doc_id, doc_id) lexicographic max — total
+    // order, no window, no max_by tie ambiguity) joined back on the
+    // O(#clusters) keeper table.
+    "x_cluster_keep_best" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashCandidates(
+        Dedup.minhashSigsNative(docs, col("doc_id"), col("text"),
+          n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+      val clusters = Graph.dedupClusters(cand, col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster"))
+      val withQ = clusters
+        .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val keeper = withQ.groupBy(col("cluster"))
+        .agg(max(struct(col("n_chars"), (-col("doc_id")).as("neg"),
+          col("doc_id").as("kid"))).as("m"))
+        .select(col("cluster"), col("m.kid").as("keep_id"))
+      withQ.join(broadcast(keeper), Seq("cluster"))
+        .select(col("doc_id"), col("cluster"), col("n_chars"),
+          (col("doc_id") === col("keep_id")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Offline reconciliation of the INCREMENTAL gates: the gates
     // enforce pairwise removal in-line; transitive-policy users
     // periodically run connected components over the ACCUMULATED
@@ -573,7 +600,7 @@ object TrainingQueries {
     * x_incremental_reconcile: the incremental accumulated-edge path
     * must resolve to the identical clustering.
     */
-  private val dedupClustersSql: String =
+  private val dedupReachCte: String =
     ExtensionQueries.minhashCandCte
       .replaceFirst("WITH ", "WITH RECURSIVE ") +
       """, scored AS (
@@ -590,13 +617,37 @@ object TrainingQueries {
         |  SELECT DISTINCT a AS id, a AS r FROM sym
         |  UNION
         |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
-        |)
+        |)""".stripMargin
+
+  private val dedupClustersSql: String =
+    dedupReachCte +
+      """
         |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** Keep-best policy over the same clustering: canonical doc =
+    * longest (n_chars desc, doc_id tiebreak) instead of min-id.
+    */
+  private val clusterKeepBestSql: String =
+    dedupReachCte +
+      """, cl AS (
+        |  SELECT id AS doc_id, min(r) AS cluster FROM reach GROUP BY id
+        |), wq AS (
+        |  SELECT cl.doc_id, cl.cluster, d.n_chars
+        |  FROM cl JOIN documents d ON cl.doc_id = d.doc_id
+        |), kp AS (
+        |  SELECT cluster, doc_id AS keep_id, row_number() OVER (
+        |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM wq)
+        |SELECT wq.doc_id, wq.cluster, wq.n_chars,
+        |  (wq.doc_id = kp.keep_id) AS keep
+        |FROM wq JOIN kp ON wq.cluster = kp.cluster AND kp.rn = 1
+        |ORDER BY wq.doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
     "x_dedup_clusters" -> dedupClustersSql,
+    "x_cluster_keep_best" -> clusterKeepBestSql,
 
     // The incremental accumulated-edge reconciliation answers the SAME
     // clustering question — shared oracle, different (store-pruned,
