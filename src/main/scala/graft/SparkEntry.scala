@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{CurationQueries, ExtensionQueries, ParityQueries,
   RelationalQueries, RelationalQueries2, RetrievalQueries,
-  TokenizerQueries, TrainingQueries}
+  SelectionQueries, TokenizerQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
     ParityQueries.queries ++ RelationalQueries.queries ++
       RelationalQueries2.queries ++ ExtensionQueries.queries ++
       TrainingQueries.queries ++ CurationQueries.queries ++
-      RetrievalQueries.queries ++ TokenizerQueries.queries
+      RetrievalQueries.queries ++ TokenizerQueries.queries ++
+      SelectionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -33,5 +34,6 @@ object SparkEntry {
     ParityQueries.oracleSql ++ RelationalQueries.oracleSql ++
       RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql ++
       TrainingQueries.oracleSql ++ CurationQueries.oracleSql ++
-      RetrievalQueries.oracleSql ++ TokenizerQueries.oracleSql
+      RetrievalQueries.oracleSql ++ TokenizerQueries.oracleSql ++
+      SelectionQueries.oracleSql
 }
