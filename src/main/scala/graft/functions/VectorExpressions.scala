@@ -126,3 +126,61 @@ case class SignBucketsVec(child: Expression, planesFlat: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): SignBucketsVec =
     copy(child = newChild)
 }
+
+/** Deterministic text → vector embedding via the hashing trick: each
+  * whitespace token maps to bucket `polyFp(tok) mod dim` with sign
+  * `+1` when `(polyFp(tok) / dim)` is even else `-1`, accumulated into
+  * an integer count vector — a signed feature-hashing embedding
+  * (Weinberger et al. 2009), the model-free arm of the similarity
+  * stack: text → vector → ANN with no external encoder in the loop.
+  *
+  * `normalize = false` returns the raw signed counts as integer-valued
+  * doubles: every downstream dot/norm is then EXACT integer arithmetic
+  * carried in doubles (order-free below 2^53), so cosine scores are
+  * bit-reproducible on any engine with no fold-order caveat at all.
+  * `normalize = true` divides by the L2 norm (one exact int→double
+  * conversion, one correctly-rounded sqrt and divide — still
+  * bit-stable) for direct composition with [[SignBucketsVec]] / IVF.
+  * Empty tokens are skipped. One JVM call per row, narrow.
+  */
+case class HashEmbedExpr(child: Expression, dim: Int, normalize: Boolean)
+    extends UnaryExpression with CodegenFallback {
+
+  require(dim >= 2, "dim must be >= 2")
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "hash_embed"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .split(PolyFp.space, -1)
+    val counts = new Array[Long](dim)
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).numBytes > 0) {
+        val fp = PolyFp.mix(0L, toks(t))
+        val f = (fp % dim).toInt
+        if ((fp / dim) % 2 == 0L) counts(f) += 1 else counts(f) -= 1
+      }
+      t += 1
+    }
+    val out = new Array[Any](dim)
+    if (!normalize) {
+      var i = 0
+      while (i < dim) { out(i) = counts(i).toDouble; i += 1 }
+    } else {
+      var ss = 0L
+      var i = 0
+      while (i < dim) { ss += counts(i) * counts(i); i += 1 }
+      val norm = math.sqrt(ss.toDouble)
+      i = 0
+      while (i < dim) {
+        out(i) = if (norm == 0.0) 0.0 else counts(i).toDouble / norm
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashEmbedExpr =
+    copy(child = newChild)
+}

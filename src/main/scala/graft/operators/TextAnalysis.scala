@@ -105,6 +105,22 @@ object TextAnalysis {
       graft.functions.PolyFingerprintExpr(
         org.apache.spark.sql.GraftSqlBridge.toExpression(text)))
 
+  /** Deterministic text → vector embedding (signed feature hashing,
+    * [[graft.functions.HashEmbedExpr]]): the model-free arm of the
+    * similarity stack — text → `hashEmbed` → cosine ANN runs with no
+    * external encoder, and the whole embedding step is a narrow map.
+    * `normalize = false` yields integer-count vectors whose cosines
+    * are exact integer arithmetic (order-free, oracle-hashable);
+    * `normalize = true` composes directly with
+    * [[Similarity.signBuckets]] / IVF for the 100 TB ANN path.
+    */
+  def hashEmbed(text: Column, dim: Int = 64,
+                normalize: Boolean = true): Column =
+    org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.HashEmbedExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text),
+        dim, normalize))
+
   /** Score every document with a hashing-trick linear classifier —
     * the inference half of a fasttext-style learned quality filter
     * (the production replacement for [[withQuality]]'s heuristics):

@@ -60,6 +60,35 @@ object RetrievalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Deterministic text → vector embedding (signed feature hashing,
+    // 64 dims): normalized sparse form — the model-free text→vector
+    // step, fully narrow (one native call + posexplode, no shuffle)
+    "x_hash_embed" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.hashEmbed(col("text"), 64)))
+        .where(col("col") =!= 0.0)
+        .select(col("doc_id"), col("pos").cast("long").as("f"),
+          col("col").as("val"))),
+
+    // End-to-end text ANN with no external encoder: hash-embed both
+    // sides as INTEGER count vectors (cosines are then exact integer
+    // arithmetic — order-free, oracle-hashable bit-for-bit), brute
+    // top-5 per query doc. Brute force is the licensed exact baseline
+    // (x_cosine_topk pattern); the 100 TB path composes the normalized
+    // form with Similarity.signBuckets / ivfTopK instead.
+    "x_text_ann" -> ((s, d) => {
+      def side(target: Boolean) =
+        t(s, d, "documents")
+          .where(if (target) col("doc_id") % 19 === 0
+                 else col("doc_id") % 19 =!= 0)
+          .select(col("doc_id").as("id"),
+            TextAnalysis.hashEmbed(col("text"), 64, normalize = false)
+              .as("vec"))
+      Similarity.bruteForceTopK(side(target = true),
+          side(target = false), 5)
+    }),
+
     // Incremental substring-dedup gate: batch docs (doc_id >= 400)
     // against the persisted window-fingerprint store of history —
     // history is never re-read end to end (manifest-pruned fp-clustered
@@ -454,7 +483,59 @@ object RetrievalQueries {
        |FROM picks$k ORDER BY mmr_rank""".stripMargin
   }
 
+  /** Sparse signed hash-embed counts per (doc, bucket) + per-doc L2
+    * norms — the shared front of both hash-embedding oracles. All
+    * integer until the final sqrt/divide (correctly rounded in both
+    * engines), so values hash-match bit-for-bit.
+    */
+  private def hashEmbedCtes: String =
+    """sp AS (
+      |  SELECT doc_id, f, CAST(sum(sgn) AS BIGINT) AS c FROM (
+      |    SELECT doc_id, fp % 64 AS f,
+      |      CASE WHEN (fp // 64) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+      |    FROM (
+      |      SELECT doc_id, list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(string_split(tok, ''),
+      |            c -> CAST(unicode(c) AS BIGINT))),
+      |        (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |            FROM documents)
+      |      WHERE tok <> ''))
+      |  GROUP BY doc_id, f
+      |), nrm AS (
+      |  SELECT doc_id, sqrt(CAST(sum(c * c) AS DOUBLE)) AS norm
+      |  FROM sp GROUP BY doc_id
+      |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "x_hash_embed" ->
+      ("WITH " + hashEmbedCtes + """
+        |SELECT sp.doc_id, f, CAST(c AS DOUBLE) / norm AS val
+        |FROM sp JOIN nrm USING (doc_id) WHERE c <> 0
+        |ORDER BY doc_id, f""".stripMargin),
+    "x_text_ann" ->
+      ("WITH " + hashEmbedCtes + """, qd AS (
+        |  SELECT DISTINCT doc_id FROM documents WHERE doc_id % 19 = 0
+        |), rd AS (
+        |  SELECT DISTINCT doc_id FROM documents WHERE doc_id % 19 <> 0
+        |), dots AS (
+        |  SELECT a.doc_id AS qa, b.doc_id AS vb,
+        |    CAST(sum(a.c * b.c) AS DOUBLE) AS d
+        |  FROM sp a JOIN sp b ON a.f = b.f
+        |  WHERE a.doc_id % 19 = 0 AND b.doc_id % 19 <> 0
+        |  GROUP BY a.doc_id, b.doc_id
+        |), scored AS (
+        |  SELECT qd.doc_id AS qa, rd.doc_id AS vb,
+        |    COALESCE(d, CAST(0 AS DOUBLE)) / (qn.norm * vn.norm) AS cos
+        |  FROM qd CROSS JOIN rd
+        |  LEFT JOIN dots ON dots.qa = qd.doc_id AND dots.vb = rd.doc_id
+        |  JOIN nrm qn ON qn.doc_id = qd.doc_id
+        |  JOIN nrm vn ON vn.doc_id = rd.doc_id
+        |)
+        |SELECT qa, CAST(row_number() OVER (PARTITION BY qa
+        |    ORDER BY cos DESC, vb) AS INT) AS rank, vb, cos
+        |FROM scored QUALIFY rank <= 5 ORDER BY qa, rank""".stripMargin),
     "x_mmr" -> mmrSql,
     "x_bm25" ->
       s"""WITH $bm25TfStSql

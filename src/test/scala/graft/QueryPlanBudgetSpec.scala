@@ -33,6 +33,9 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // brute-force exact baselines/verifiers — quadratic BY DESIGN,
     // they exist to license the LSH/IVF paths
     "x_cosine_topk" -> default.copy(allowCartesian = true),
+    // hash-embed text ANN: same licensed brute-force exact baseline
+    // (the scale path composes hashEmbed with signBuckets/ivfTopK)
+    "x_text_ann" -> default.copy(allowCartesian = true),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
     "x_ann_recall_err" -> Budget(maxShuffles = 10, maxSorts = 10,
       maxBroadcasts = 8, allowCartesian = true),
