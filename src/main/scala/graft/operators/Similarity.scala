@@ -169,6 +169,68 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the k
+    * most-similar vectors with a DIFFERENT label — the "looks like a
+    * positive, isn't one" set that makes embedding-model training
+    * examples hard. Inputs carry (id, vec, label); label semantics are
+    * the caller's (class, cluster id, source domain, dedup-cluster
+    * id). Exact brute-force form — the oracle-checkable baseline, with
+    * the same broadcast + repartition shape as [[bruteForceTopK]];
+    * null-labeled anchors mine nothing (null-strict inequality, the
+    * SQL `<>` they'd get in any engine).
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int)
+      : DataFrame = {
+    val q = broadcast(anchors
+      .select(col("id").as("qa"), col("vec").as("qv"),
+        col("label").as("ql"))
+      .withColumn("qn", l2Norm(col("qv"))))
+    val parallelism = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val c = corpus.select(col("id").as("vb"), col("vec").as("cv"),
+        col("label").as("cl"))
+      .withColumn("cn", l2Norm(col("cv")))
+      .repartition(parallelism)
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("cos").desc, col("vb"))
+    val denom = col("qn") * col("cn")
+    q.join(c, col("qa") =!= col("vb") && col("ql") =!= col("cl"))
+      .select(col("qa"), col("vb"),
+        when(denom =!= 0.0, dot(col("qv"), col("cv")) / denom).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
+  /** The 100 TB arm of [[hardNegatives]]: IVF-probed candidates
+    * OVERFETCHED by `overfetch`× (same-label candidates occupy
+    * shortlist slots before the anti-filter — overfetch buys back the
+    * recall), label anti-filtered, then re-ranked per anchor. The
+    * label join streams the corpus once against the broadcast
+    * candidate set (bounded by anchors × k·overfetch) — no shuffle of
+    * the corpus, no label column riding the probe join.
+    */
+  def hardNegativesIvf(anchors: DataFrame, corpus: DataFrame, k: Int,
+                       overfetch: Int = 4, centroids: Int = 16,
+                       nprobe: Int = 4, dim: Int = 64, seed: Long = 42L,
+                       fitted: Option[Array[Array[Double]]] = None)
+      : DataFrame = {
+    require(overfetch >= 1, "overfetch must be >= 1")
+    val cand = ivfTopK(anchors.select(col("id"), col("vec")),
+      corpus.select(col("id"), col("vec")), k * overfetch, centroids,
+      nprobe, dim, seed, fitted)
+    val withQl = cand.join(broadcast(
+      anchors.select(col("id").as("qa"), col("label").as("ql"))),
+      Seq("qa"))
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("cos").desc, col("vb"))
+    corpus.select(col("id").as("vb"), col("label").as("cl"))
+      .join(broadcast(withQl), Seq("vb"))
+      .where(col("ql") =!= col("cl"))
+      .select(col("qa"), col("vb"), col("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
+
   /** Memory-bound IVF — the [[ivfTopK]] probe structure composed with
     * [[quantizeInt8]]: candidates inside the probed cells are SHORTLISTED
     * on int8-quantized vectors (4× less candidate bandwidth — at 100 TB

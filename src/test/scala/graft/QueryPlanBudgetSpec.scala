@@ -36,6 +36,9 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // hash-embed text ANN: same licensed brute-force exact baseline
     // (the scale path composes hashEmbed with signBuckets/ivfTopK)
     "x_text_ann" -> default.copy(allowCartesian = true),
+    // hard-negative mining: brute exact baseline (scale arm is
+    // hardNegativesIvf, probed + broadcast-filtered)
+    "x_hard_negatives" -> default.copy(allowCartesian = true),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
     "x_ann_recall_err" -> Budget(maxShuffles = 10, maxSorts = 10,
       maxBroadcasts = 8, allowCartesian = true),
