@@ -39,6 +39,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // hard-negative mining: brute exact baseline (scale arm is
     // hardNegativesIvf, probed + broadcast-filtered)
     "x_hard_negatives" -> default.copy(allowCartesian = true),
+    // quantile rank-error gate: the 4-row sketch aggregate is
+    // cross-joined back for the rank recount — bounded by the
+    // quantile count, never data-sized (the BM25-stats pattern)
+    "x_quantile_err" -> default.copy(allowCartesian = true),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
     "x_ann_recall_err" -> Budget(maxShuffles = 10, maxSorts = 10,
       maxBroadcasts = 8, allowCartesian = true),
