@@ -200,6 +200,30 @@ object Training {
       .drop("__gpos", "__s", "__off", "__n")
   }
 
+  /** Curriculum ordering: a global training order by ascending
+    * difficulty `score`, with a deterministic content-hash shuffle
+    * within equal scores, plus an integer band id for
+    * schedule-dependent treatment (band k = rows with pos·bands div N
+    * = k — e.g. "anneal the hardest band last", "oversample band 0
+    * early"). All integer arithmetic; pure function of the corpus.
+    *
+    * Scale: NO window anywhere — the global position comes from the
+    * range-partitioned prefix sum ([[withPrefixSum]], the mixToTarget
+    * machinery: a global window over 100 TB would funnel the corpus
+    * through one reducer), and N is a 1-row aggregate broadcast back.
+    */
+  def curriculumOrder(df: DataFrame, key: Column, score: Column,
+                      bands: Int): DataFrame = {
+    require(bands >= 1, "bands must be >= 1")
+    val ranked = withPrefixSum(df,
+      Seq(score, md5(key.cast("string").cast("binary")), key),
+      lit(1L), "pos")
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("band", expr(s"pos * $bands div __n"))
+      .drop("__n")
+  }
+
   /** Per-group percentile gate: keep the best `keepPct` percent of
     * rows WITHIN each group, ranked by `score` descending with `id` as
     * the deterministic tiebreak. The standard corpus-curation move —

@@ -536,6 +536,19 @@ object TrainingQueries {
         .select(col("doc_id"), col("pos"))
         .orderBy(col("doc_id"))),
 
+    // Curriculum ordering: global order by ascending difficulty
+    // (token count as the proxy), content-hash shuffle within ties,
+    // 4 integer schedule bands — window-free (prefix-sum rank, pinned
+    // by the maxWindows = 0 budget like x_stratified).
+    "x_curriculum" -> ((s, d) =>
+      Training.curriculumOrder(
+          t(s, d, "documents")
+            .select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n_tok")),
+          col("doc_id"), col("n_tok"), bands = 4)
+        .select(col("doc_id"), col("pos"), col("band"))
+        .orderBy(col("doc_id"))),
+
     // Stratified 1-in-5 sample per language: deterministic md5 order,
     // integer-exact admission, rare strata always keep >= 1 row.
     "x_stratified" -> ((s, d) =>
@@ -802,6 +815,16 @@ object TrainingQueries {
         |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
         |    doc_id) - 1 AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x_curriculum" ->
+      """WITH ranked AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY len(string_split(text, ' ')),
+        |      md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos
+        |  FROM documents
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, pos, (pos * 4) // n AS band
+        |FROM ranked CROSS JOIN n ORDER BY doc_id""".stripMargin,
 
     "x_stratified" ->
       """SELECT doc_id, lang, source FROM (

@@ -43,6 +43,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // cross-joined back for the rank recount — bounded by the
     // quantile count, never data-sized (the BM25-stats pattern)
     "x_quantile_err" -> default.copy(allowCartesian = true),
+    // curriculum: window-free BY CONSTRUCTION (prefix-sum rank,
+    // pinned like x_stratified); the 1-row N aggregate cross-joins
+    "x_curriculum" -> default.copy(allowCartesian = true,
+      maxWindows = 0),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
     "x_ann_recall_err" -> Budget(maxShuffles = 10, maxSorts = 10,
       maxBroadcasts = 8, allowCartesian = true),

@@ -157,4 +157,32 @@ class TrainingSpec extends SparkSuite {
       Set(5L, 6L, 7L, 8L, 9L).subsetOf(aGot))
     assert(got.filter(_ >= 10L) == Set(10L, 11L, 12L, 13L))
   }
+
+  test("curriculumOrder: positions ascend with score; bands are even; " +
+      "window-free and deterministic") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, (i % 10).toLong))
+      .toDF("id", "difficulty")
+    val out = Training.curriculumOrder(docs, col("id"),
+      col("difficulty"), bands = 4)
+    out.collect()
+    // no WindowExec anywhere (the 100 TB point of the prefix-sum form)
+    assert(!physicalNodes(out).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    val rows = out.select("id", "difficulty", "pos", "band")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // pos is a 0..n-1 permutation, ordered by score first
+    assert(rows.map(_._3).sorted.toSeq === (0L until 40L))
+    val byPos = rows.sortBy(_._3).map(_._2)
+    assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
+    // 4 bands of exactly 10 on an evenly divisible corpus
+    assert(rows.groupBy(_._4).view.mapValues(_.length).toMap ===
+      Map(0L -> 10, 1L -> 10, 2L -> 10, 3L -> 10))
+    // deterministic: same order on recompute
+    val again = Training.curriculumOrder(docs, col("id"),
+      col("difficulty"), bands = 4)
+      .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toMap === rows.map(r => (r._1, r._3)).toMap)
+  }
 }
