@@ -118,6 +118,38 @@ object Selection {
       .select(col("id"), (col("__s") + col("__n") * corr).as("logw"))
   }
 
+  /** Persist a fitted bucket table (≤ B rows — a TINY artifact
+    * regardless of corpus size; the DSIR analog of
+    * [[Similarity.saveCentroids]]).
+    */
+  def saveBucketTable(bucketTable: DataFrame, path: String): Unit =
+    bucketTable.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def loadBucketTable(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Incremental model refresh: bucket counts are an additive monoid,
+    * so a new raw-corpus batch folds into a persisted table by
+    * summing per-bucket counts — the history is NEVER re-featurized
+    * or re-read beyond the ≤B-row table itself. The refreshed model
+    * is bit-identical to a from-scratch fit over history ∪ batch
+    * (spec-pinned), which is what licenses running it on a cadence at
+    * 100 TB: per batch the cost is one batch-sized aggregation plus a
+    * ≤B-row merge.
+    */
+  def refreshBucketTable(stored: DataFrame, newRawFeats: DataFrame)
+      : DataFrame = {
+    val delta = newRawFeats.groupBy(col("f"))
+      .agg(count(lit(1)).as("rcnt"))
+    stored.select(col("f"), col("tcnt"), col("rcnt"))
+      .unionByName(delta.select(col("f"), lit(0L).as("tcnt"),
+        col("rcnt")))
+      .groupBy(col("f"))
+      .agg(sum(col("tcnt")).as("tcnt"), sum(col("rcnt")).as("rcnt"))
+  }
+
   /** Deterministic top-k selection on a score column: (score DESC, id
     * ASC) — TakeOrdered, total order, bit-reproducible.
     */

@@ -93,6 +93,26 @@ class SelectionSpec extends SparkSuite {
     assert(cold === det)
   }
 
+  test("incremental model refresh equals the from-scratch fit; " +
+      "persisted table round-trips") {
+    val batch = (100 to 110).map(i =>
+      (i.toLong, s"def struct compile $i parse")).toDF("doc_id", "text")
+    val batchFeats =
+      Selection.dsirFeatures(batch, col("doc_id"), col("text"), 1024)
+    val refreshed = Selection.refreshBucketTable(bt, batchFeats)
+    val scratch = Selection.dsirBucketTable(
+      rawFeats.unionByName(batchFeats), tgtFeats)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(key(refreshed) === key(scratch)) // bit-identical model
+    // persisted artifact round-trips exactly
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dsir-").toString + "/bt"
+    Selection.saveBucketTable(refreshed, dir)
+    assert(key(Selection.loadBucketTable(spark, dir)) === key(refreshed))
+  }
+
   test("scoring joins the model by broadcast; one shuffle for the doc sum") {
     val scored = Selection.dsirQuantizedScores(rawFeats, bt)
     scored.collect()
