@@ -68,14 +68,15 @@ object RangeJoin {
       .drop("__bin")
   }
 
-  /** Timestamp convenience: bins on `unix_micros`. */
+  /** Timestamp convenience: bins on epoch micros (NTZ-tolerant via
+    * [[TimeSeries.epochMicros]]). */
   def intervalJoinTs(points: DataFrame, t: Column,
                      intervals: DataFrame, lo: Column, hi: Column,
                      binWidthMicros: Long, maxBins: Int = 1000): DataFrame = {
-    val p = points.withColumn("__t_us", unix_micros(t))
+    val p = points.withColumn("__t_us", TimeSeries.epochMicros(t))
     val iv = intervals
-      .withColumn("__lo_us", unix_micros(lo))
-      .withColumn("__hi_us", unix_micros(hi))
+      .withColumn("__lo_us", TimeSeries.epochMicros(lo))
+      .withColumn("__hi_us", TimeSeries.epochMicros(hi))
     intervalJoin(p, col("__t_us"), iv, col("__lo_us"), col("__hi_us"),
         binWidthMicros, maxBins)
       .drop("__t_us", "__lo_us", "__hi_us")

@@ -14,6 +14,16 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
+  /** Epoch micros for TIMESTAMP or TIMESTAMP_NTZ columns alike:
+    * `unix_micros` only accepts the LTZ type, so NTZ values (how
+    * Spark 4 reads un-annotated parquet `timestamp[us]`) are first
+    * reinterpreted as session-zone instants — a no-op for LTZ input,
+    * and under the engine's fixed UTC session the naive wall clock
+    * maps 1:1 onto the epoch. All downstream uses take differences or
+    * bin offsets, so the interpretation constant cancels regardless.
+    */
+  def epochMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
   /** Left as-of join: for each left row, the LATEST right row with
     * `rightTime <= leftTime` on the same key (inclusive). Right rows tied
     * on (key, time) should be pre-deduplicated for determinism.
@@ -30,7 +40,8 @@ object TimeSeries {
       .withColumn("__t", leftTime)
       .withColumn("__side", lit(1))
     val r2 = right.select(
-      rightKey.as("__k"), rightTime.cast("timestamp").as("__t"),
+      rightKey.as("__k"),
+      rightTime.cast(l2.schema("__t").dataType).as("__t"),
       struct(rightCols.map(col): _*).as("__r"), lit(0).as("__side"))
     // right rows sort BEFORE left rows at equal time (side 0 < 1), so an
     // exactly-simultaneous right row is visible to the left row
@@ -141,7 +152,7 @@ object TimeSeries {
     df.withColumn("__prev", lag(time, 1).over(order))
       .withColumn("__new",
         when(col("__prev").isNull ||
-          unix_micros(time) - unix_micros(col("__prev")) >
+          epochMicros(time) - epochMicros(col("__prev")) >
             gapSeconds * 1000000L, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("__new")).over(cum))
       .drop("__prev", "__new")

@@ -622,7 +622,7 @@ object RelationalQueries2 {
       .withColumn("__rn", row_number().over(dedup))
       .where(col("__rn") === 1)
       .select(col("o_custkey").as("k"),
-        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_orderdate").cast("timestamp_ntz").as("rt"),
         col("o_orderkey").as("asof_o_orderkey"),
         col("o_totalprice").as("asof_o_totalprice"))
     val e = t(s, d, "events")
@@ -646,7 +646,7 @@ object RelationalQueries2 {
       .withColumn("__rn", row_number().over(dedup))
       .where(col("__rn") === 1)
       .select(col("o_custkey").as("k"),
-        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_orderdate").cast("timestamp_ntz").as("rt"),
         col("o_orderkey").as("asof_o_orderkey"),
         col("o_totalprice").as("asof_o_totalprice"))
     val e = t(s, d, "events")
@@ -687,7 +687,7 @@ object RelationalQueries2 {
         .withColumn("__rn", row_number().over(dedup))
         .where(col("__rn") === 1)
         .select(col("o_custkey").as("k"),
-          col("o_orderdate").cast("timestamp").as("rt"),
+          col("o_orderdate").cast("timestamp_ntz").as("rt"),
           col("o_orderkey").as("asof_o_orderkey"),
           col("o_totalprice").as("asof_o_totalprice"))
       graft.operators.Layout.writeBucketed(o, refT,
@@ -741,7 +741,7 @@ object RelationalQueries2 {
     val r = t(s, d, "orders")
       .where(col("o_orderkey") % 997 === 0)
       .select((col("o_custkey") % 25).as("k"),
-        col("o_orderdate").cast("timestamp").as("rt"),
+        col("o_orderdate").cast("timestamp_ntz").as("rt"),
         col("o_orderkey").as("ref_orderkey"),
         col("o_totalprice").as("ref_price"))
       .withColumn("__rn", rank().over(dedup))
