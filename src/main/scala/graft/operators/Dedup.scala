@@ -559,6 +559,164 @@ object Dedup {
           (col("na") + col("nb") - col("inter"))).as("jac"))
   }
 
+  /** EXACT all-pairs Jaccard ≥ `theta` via df-ordered prefix filtering
+    * (Chaudhuri, Ganti & Kaushik, "A primitive operator for similarity
+    * joins", ICDE 2006; Bayardo, Ma & Srikant, "Scaling up all pairs
+    * similarity search", WWW 2007) — the scale path to EXACT results
+    * that [[ngramJaccardPairs]]'s `maxBucket` cap trades away:
+    *
+    *  - Every shingle set is sorted by the GLOBAL (document frequency,
+    *    hash) order; a doc's candidate key set is only its PREFIX —
+    *    the `n − ⌈θ·n⌉ + 1` RAREST shingles. Pairs with J ≥ θ must
+    *    share a prefix shingle (prefix-filter lemma with required
+    *    overlap α = max(⌈θ·na⌉, ⌈θ·nb⌉): J ≥ θ ⇒ inter ≥ θ·max(na,nb)
+    *    ⇒ inter ≥ α, and disjoint (n−α+1)-prefixes bound inter ≤ α−1).
+    *  - Boilerplate shingles ("terms of service …", df in the
+    *    millions) sort LAST, so they never enter a prefix at any
+    *    realistic θ — the stop-shingle m²/2 blow-up that forced the
+    *    cap is pruned by construction, with zero undercount.
+    *  - The candidate join carries 8-byte hashes + sizes; full sets
+    *    are fetched ONCE per surviving candidate for the exact
+    *    `array_intersect` verify (sorted long arrays, narrow).
+    *
+    * Ceils are computed as `ceil(x − 1e-9)`: an FP error can only
+    * LENGTHEN a prefix / weaken a size filter (extra candidates, which
+    * the exact verify discards) — never lose a qualifying pair.
+    *
+    * Returns (da, db, inter, na, nb, jac) with jac ≥ theta, exact —
+    * the same contract as the uncapped [[ngramJaccardPairs]] filtered
+    * at θ (spec-pinned equal on random corpora).
+    */
+  def allPairsJaccard(df: DataFrame, id: Column, text: Column,
+                      n: Int, theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, "theta must be in (0, 1]")
+    val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text), n))
+    def ceilTheta(c: Column): Column = ceil(lit(theta) * c - lit(1e-9))
+    // (id, n_sh, set): per-doc deduped shingle hashes, sorted — staged,
+    // it feeds the df count, the prefix ranks, and both verify fetches
+    val docs = Checkpoints.stage(df
+      .select(id.as("id"), array_distinct(shs).as("shs"))
+      .select(col("id"),
+        sort_array(transform(col("shs"), s => xxhash64(s))).as("set"))
+      .select(col("id"), size(col("set")).as("n_sh"), col("set"))
+      .where(col("n_sh") > 0))
+    val tokens = docs.select(col("id"), col("n_sh"),
+      explode(col("set")).as("sh"))
+    val dfs = tokens.groupBy(col("sh")).agg(count(lit(1)).as("df_sh"))
+    // prefix = the p rarest shingles per doc under the global
+    // (df, hash) order; the rank window partitions by doc id —
+    // corpus-cardinality, never a few-groups reducer
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("df_sh"), col("sh"))
+    val prefix = tokens.join(dfs, Seq("sh"))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("n_sh") - ceilTheta(col("n_sh")) + 1)
+      .select(col("sh"), col("id"), col("n_sh"))
+    // candidates: prefix-bucket co-occurrence + the size filter
+    // (J ≥ θ forces θ·na ≤ nb and θ·nb ≤ na) — fixed-width rows only
+    val cands = prefix.select(col("sh"), col("id").as("da"),
+        col("n_sh").as("na"))
+      .join(prefix.select(col("sh"), col("id").as("db"),
+        col("n_sh").as("nb")), Seq("sh"))
+      .where(col("da") < col("db") &&
+        col("nb") >= ceilTheta(col("na")) &&
+        col("na") >= ceilTheta(col("nb")))
+      .select(col("da"), col("db")).distinct()
+    // exact verify: fetch each candidate's full sorted hash set once
+    cands
+      .join(docs.select(col("id").as("da"), col("n_sh").as("na"),
+        col("set").as("seta")), Seq("da"))
+      .join(docs.select(col("id").as("db"), col("n_sh").as("nb"),
+        col("set").as("setb")), Seq("db"))
+      .select(col("da"), col("db"),
+        size(array_intersect(col("seta"), col("setb"))).cast("long")
+          .as("inter"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")))
+      .where(col("jac") >= theta)
+  }
+
+  // ---------- semantic dedup (SemDeDup) ----------
+
+  /** Candidate near-dup pairs for SemDeDup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): assign every embedding to its `probes`
+    * nearest k-means cells (the fitted [[Similarity.fitCentroids]] /
+    * [[Similarity.loadCentroids]] matrix — the IVF artifact, reused),
+    * then EXACT cosine ≥ `threshold` within each cell. Clustering only
+    * decides which pairs get scored — no false positives, only misses
+    * for pairs split across cells, which multi-assignment (`probes` ≥
+    * 2, the IVF nprobe idea applied corpus-side) makes rare.
+    *
+    * Scale shape (the point of SemDeDup): pairwise work is confined to
+    * cells (n²/k per cell in expectation, `maxCell` bounds the
+    * degenerate case); candidate ID pairs are DEDUPED before vectors
+    * are fetched, so the float vectors never ride the multi-probe pair
+    * expansion — the [[embeddingNearDupLsh]] dedup-then-fetch pattern
+    * with data-adaptive cells instead of random hyperplanes.
+    */
+  def semDedupPairs(embs: DataFrame, cents: Array[Array[Double]],
+                    threshold: Double, probes: Int = 2,
+                    maxCell: Int = 100000): DataFrame = {
+    import graft.functions.VectorFunctions.{dot, l2Norm}
+    require(probes >= 1 && probes <= cents.length,
+      "probes must be in [1, #cells]")
+    def centroidScores(vec: Column): Column =
+      array(cents.map(c => dot(vec, lit(c))).toSeq: _*)
+    def topCells(vec: Column, n: Int): Column =
+      slice(
+        transform(
+          array_sort(
+            zip_with(centroidScores(vec),
+              sequence(lit(0), lit(cents.length - 1)),
+              (s, i) => struct(negate(s).as("ns"), i.as("i")))),
+          e => e.getField("i")),
+        1, n)
+    val assigned = embs
+      .select(col("id"), explode(topCells(col("vec"), probes)).as("cell"))
+    val inCap = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("__csz"))
+      .where(col("__csz") <= maxCell)
+      .select(col("cell"))
+    val members = assigned.join(inCap, Seq("cell"), "left_semi")
+    // candidate id pairs, deduped across probe cells BEFORE any vector
+    // is fetched — the pair join carries 16-byte rows only
+    val cands = members.select(col("cell"), col("id").as("id_a"))
+      .join(members.select(col("cell"), col("id").as("id_b")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val va = embs.select(col("id").as("id_a"), col("vec").as("va"))
+      .withColumn("na", l2Norm(col("va")))
+    val vb = embs.select(col("id").as("id_b"), col("vec").as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    cands.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        when(col("na") * col("nb") =!= 0.0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Full SemDeDup resolution: cluster the ≥-threshold pairs with
+    * connected components and keep ONE doc per semantic group (min id;
+    * compose with the keep-best argmax join for a quality policy).
+    * Returns every input id with (cluster, keep) — singletons keep
+    * themselves.
+    */
+  def semDedup(embs: DataFrame, cents: Array[Array[Double]],
+               threshold: Double, probes: Int = 2,
+               maxCell: Int = 100000): DataFrame = {
+    val pairs = semDedupPairs(embs, cents, threshold, probes, maxCell)
+    val cl = Graph.dedupClusters(pairs, col("id_a"), col("id_b"))
+    embs.select(col("id")).join(cl, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster"), col("id")).as("cluster"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+  }
+
   // ---------- embedding near-dup ----------
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold via

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Ad-hoc probe main (contents vary across sessions). */
 object Scratch {
@@ -12,16 +13,18 @@ object Scratch {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    val qs = graft.SparkEntry.queries
-    for (q <- Seq("x_image_meta", "x_incremental_overwrite", "x_audio_meta",
-        "x_video_meta", "x_decon_bloom", "x_line_dedup", "x_line_dedup_shuffle")) {
-      val times = (1 to 4).map { _ =>
-        val t0 = System.nanoTime()
-        qs(q)(spark, d).count()
-        (System.nanoTime() - t0) / 1e9
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      val e = graft.queries.ParityQueries.t(spark, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = graft.operators.Similarity.fitCentroids(e, k = 16, iters = 3)
+      val exact = graft.operators.Similarity.bruteForcePairs(e, 0.42)
+        .count()
+      for (p <- Seq(1, 2, 3, 4)) {
+        val found = graft.operators.Dedup.semDedupPairs(e, cents, 0.42,
+          probes = p).count()
+        println(s"SEMDEDUP $sf probes=$p found=$found exact=$exact")
       }
-      println(f"TIME $q%-24s " + times.map(t => f"$t%.2f").mkString(" "))
     }
     spark.stop()
   }

@@ -32,6 +32,44 @@ class DedupPropertySpec extends SparkSuite {
     }
   }
 
+  test("allPairsJaccard ≡ uncapped exact pairs at theta, random corpora") {
+    // prefix filtering is an exactness-preserving PRUNING — across
+    // seeds, sizes, and thresholds the result must equal the uncapped
+    // quadratic-candidate path filtered at theta, tuple for tuple
+    for ((seed, theta) <- Seq((3, 0.3), (17, 0.5), (29, 0.7))) {
+      val rnd = new scala.util.Random(seed)
+      // random docs PLUS planted mutated copies — guarantees pairs
+      // above every tested threshold (non-vacuous fixture)
+      val docs = ((0 until 40)
+        .map(i => (i.toLong, randDoc(rnd, 3 + rnd.nextInt(15))))
+        ++ (0 until 10).flatMap { i =>
+          val words = randDoc(rnd, 12 + rnd.nextInt(8)).split(" ")
+          // i ≡ 0 (mod 3): exact duplicate — non-vacuous at ANY θ;
+          // otherwise progressively heavier mutation
+          val mutated =
+            if (i % 3 == 0) words
+            else words.zipWithIndex.map { case (w, j) =>
+              if (j % (3 + i % 4) == 0) vocab(rnd.nextInt(vocab.length))
+              else w
+            }
+          Seq((100L + 2 * i, words.mkString(" ")),
+            (101L + 2 * i, mutated.mkString(" ")))
+        }).toDF("doc_id", "text")
+      val got = Dedup.allPairsJaccard(docs, col("doc_id"), col("text"),
+        n = 2, theta = theta)
+        .select($"da", $"db", $"inter", $"na", $"nb")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = Dedup.ngramJaccardPairs(docs, col("doc_id"),
+        col("text"), n = 2, leftFilter = _ >= 0)
+        .where($"jac" >= theta)
+        .select($"da", $"db", $"inter", $"na".cast("long"),
+          $"nb".cast("long"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want, s"seed=$seed theta=$theta")
+      assert(want.nonEmpty, s"vacuous fixture at seed=$seed") // sanity
+    }
+  }
+
   test("minhash estimate tracks true jaccard for near-dup pairs") {
     val rnd = new scala.util.Random(11)
     // pairs of docs sharing a controlled fraction of a base document

@@ -98,6 +98,73 @@ class DedupSpec extends SparkSuite {
     assert(math.abs(capped.head._3 - 5.0 / 7.0) < 1e-12)
   }
 
+  test("allPairsJaccard: exact at theta, stop-shingle prefix-pruned") {
+    // same adversarial corpus as the maxBucket test: a df=30 stop
+    // shingle that the df-ordered prefix must EXCLUDE (it sorts last),
+    // so the only candidate is the rare-shingle near-dup pair — yet
+    // the result is EXACT: the stop-shingle pairs have jac = 1/11 < θ
+    // and are correctly absent, not silently dropped
+    val adv = ((0 until 30).map(i =>
+        (i.toLong, s"terms of service unique$i filler$i body$i tail$i"))
+      ++ Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val got = Dedup.allPairsJaccard(adv, col("doc_id"), col("text"),
+      n = 3, theta = 0.5)
+      .select($"da", $"db", $"inter", $"jac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.map(p => (p._1, p._2)).toSet == Set((100L, 101L)))
+    assert(got.head._3 == 5L)
+    assert(math.abs(got.head._4 - 5.0 / 7.0) < 1e-12)
+    // and it agrees with the uncapped exact path filtered at theta
+    val exact = Dedup.ngramJaccardPairs(adv, col("doc_id"), col("text"),
+      n = 3, leftFilter = _ >= 0).where($"jac" >= 0.5)
+      .select($"da", $"db", $"inter").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got.map(p => (p._1, p._2, p._3)).toSet == exact)
+  }
+
+  test("semDedup: full-probe form ≡ brute force; keep marks min per group") {
+    // 2 semantic triples (near-identical vectors) + 2 singletons
+    def vec(seed: Int, eps: Double): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 97 + i + 1) +
+        (if (i == 0) eps else 0.0)).toFloat)
+    val embs = Seq(
+      (0L, vec(1, 0)), (1L, vec(1, 0.01)), (2L, vec(1, 0.02)),
+      (10L, vec(2, 0)), (11L, vec(2, 0.01)), (12L, vec(2, 0.02)),
+      (20L, vec(3, 0)), (21L, vec(4, 0))).toDF("id", "vec")
+    val cents = graft.operators.Similarity.fitCentroids(embs, k = 4,
+      iters = 2)
+    // probes = #cells: every vector in every cell → candidate space is
+    // complete, so the result must equal brute force BIT-FOR-BIT (same
+    // dot/l2Norm expressions on both paths)
+    val full = Dedup.semDedupPairs(embs, cents, threshold = 0.9,
+        probes = cents.length)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().toSet
+    val brute = graft.operators.Similarity.bruteForcePairs(embs, 0.9)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(full == brute)
+    assert(brute.map(p => (p._1, p._2)) ==
+      Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L), (10L, 12L),
+        (11L, 12L)))
+    // production probes: a SUBSET of brute force (exact verify ⇒ no
+    // false positives, clustering can only miss)
+    val prod = Dedup.semDedupPairs(embs, cents, threshold = 0.9,
+        probes = 2)
+      .select($"id_a", $"id_b", $"cos").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(prod.subsetOf(brute))
+    // near-identical triples land in one cell: nothing is missed here
+    assert(prod == brute)
+    // resolution: min id survives per group, singletons keep themselves
+    val kept = Dedup.semDedup(embs, cents, threshold = 0.9, probes = 2)
+      .select($"id", $"keep").as[(Long, Boolean)].collect().toMap
+    assert(kept.filter(_._2).keySet == Set(0L, 10L, 20L, 21L))
+  }
+
   test("wordShingles: doc shorter than n yields no shingles") {
     val tiny = Seq((9L, "only two")).toDF("doc_id", "text")
     assert(Dedup.wordShingles(tiny, col("doc_id"), col("text"), 3)

@@ -48,6 +48,13 @@ class QueryPlanBudgetSpec extends SparkSuite {
     "x_curriculum" -> default.copy(allowCartesian = true,
       maxWindows = 0),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
+    // SemDeDup gates: each contains the brute-force exact baseline
+    // (cartesian BY DESIGN — it licenses the cell-confined pass) plus
+    // the CC-resolved clustered arm
+    "x_semdedup_drop_err" -> Budget(maxShuffles = 12, maxSorts = 8,
+      maxBroadcasts = 10, allowCartesian = true),
+    "x_semdedup_recall_err" -> Budget(maxShuffles = 12, maxSorts = 8,
+      maxBroadcasts = 10, allowCartesian = true),
     "x_ann_recall_err" -> Budget(maxShuffles = 10, maxSorts = 10,
       maxBroadcasts = 8, allowCartesian = true),
     "x_embed_recall_err" -> Budget(maxShuffles = 10, maxSorts = 6,
