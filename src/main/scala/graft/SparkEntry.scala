@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CurationQueries, ExtensionQueries, ParityQueries,
-  RelationalQueries, RelationalQueries2, RetrievalQueries,
+import graft.queries.{CurationQueries, ExtensionQueries, OverlapQueries,
+  ParityQueries, RelationalQueries, RelationalQueries2, RetrievalQueries,
   SelectionQueries, TokenizerQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
       RelationalQueries2.queries ++ ExtensionQueries.queries ++
       TrainingQueries.queries ++ CurationQueries.queries ++
       RetrievalQueries.queries ++ TokenizerQueries.queries ++
-      SelectionQueries.queries
+      SelectionQueries.queries ++ OverlapQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -35,5 +35,5 @@ object SparkEntry {
       RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql ++
       TrainingQueries.oracleSql ++ CurationQueries.oracleSql ++
       RetrievalQueries.oracleSql ++ TokenizerQueries.oracleSql ++
-      SelectionQueries.oracleSql
+      SelectionQueries.oracleSql ++ OverlapQueries.oracleSql
 }

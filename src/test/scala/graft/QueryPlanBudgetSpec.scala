@@ -48,6 +48,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     "x_curriculum" -> default.copy(allowCartesian = true,
       maxWindows = 0),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
+    // KMV pairwise overlap: the ga < gb pair join is over the
+    // #sources-row SKETCH table (k longs each) — a planning-table
+    // cross, bounded like x_domain_mix's quota joins, never data-sized
+    "x_kmv_overlap" -> default.copy(allowCartesian = true),
     // SemDeDup gates: each contains the brute-force exact baseline
     // (cartesian BY DESIGN — it licenses the cell-confined pass) plus
     // the CC-resolved clustered arm
