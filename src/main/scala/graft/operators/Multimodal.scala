@@ -356,6 +356,109 @@ object Multimodal {
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
   }
 
+  // ---------- perceptual hash (dHash) image near-dup ----------
+
+  /** 56-bit difference hash (dHash, the standard perceptual hash for
+    * near-identical image detection): decode (REAL codec), pool lumas
+    * into an 8×8 grid of integer means (block [c·w/8, (c+1)·w/8) ×
+    * [r·h/8, (r+1)·h/8), sum div count — all integer, so the hash is
+    * bit-reproducible on any JVM and precomputable by the SQL oracle
+    * for arithmetic fixtures), then bit r·7+c = 1 iff cell(c+1,r) >
+    * cell(c,r). Robust to re-encoding and brightness shifts (constant
+    * offsets cancel in the differences); `None` for undecodable or
+    * sub-8×8 payloads (dead-letter).
+    */
+  def decodeImageDHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val m = Array.ofDim[Long](8, 8)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            val x0 = c * w / 8; val x1 = (c + 1) * w / 8
+            val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) +
+                  (rgb & 0xff)) / 3
+                x += 1
+              }
+              y += 1
+            }
+            m(r)(c) = sum / ((x1 - x0).toLong * (y1 - y0))
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 7) {
+            if (m(r)(c + 1) > m(r)(c)) bits |= 1L << (r * 7 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (media_id, dhash) row; null dhash = undecodable payload. */
+  final case class ImageHash(media_id: Long, dhash: Option[Long])
+
+  /** Distributed dHash extraction — narrow partition-iterator pass,
+    * decode cost rides the scan like [[imageMeta]].
+    */
+  def imageDHash(spark: SparkSession, media: DataFrame)
+      : Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageHash(id, decodeImageDHash(bytes))
+      })
+  }
+
+  /** EXACT near-dup image pairs at Hamming ≤ `maxDist` over dHashes:
+    * 4 windows of 14 bits block the pair space (equality join, the
+    * [[Dedup.simhashCandidates]] scheme), and by pigeonhole any pair
+    * within distance ≤ 3 shares an untouched window — so for
+    * maxDist ≤ 3 the blocked result EQUALS the brute-force O(n²) scan
+    * (oracle-checked), at equality-join cost.
+    */
+  def dhashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "maxDist > 3 breaks the 4-window pigeonhole exactness guarantee")
+    val windows = hashes
+      .select(col("media_id").as("id"), col("dhash"))
+      .where(col("dhash").isNotNull)
+      .select(col("id"), col("dhash"),
+        posexplode(array((0 until 4).map(w =>
+          shiftrightunsigned(col("dhash"), w * 14)
+            .bitwiseAND(0x3FFFL)): _*)))
+      .withColumnRenamed("pos", "w").withColumnRenamed("col", "wk")
+    val l = windows.select(col("id").as("id_a"),
+      col("dhash").as("ha"), col("w"), col("wk"))
+    val r = windows.select(col("id").as("id_b"),
+      col("dhash").as("hb"), col("w"), col("wk"))
+    l.join(r, Seq("w", "wk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("ha"), col("hb")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
   /** Wrap any table's text column as a synthetic media table — exercises
     * the binary-column path with the data we have.
     */

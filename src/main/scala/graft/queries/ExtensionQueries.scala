@@ -47,6 +47,40 @@ object ExtensionQueries {
     (s"$p/store", s"$p/manifest")
   }
 
+  /** DuckDB twin of [[graft.operators.Multimodal.decodeImageDHash]]
+    * over the synthetic-gradient fixture: reconstruct the pixel grid
+    * from doc_id arithmetic (the codec is lossless, so decoded lumas
+    * equal the formula), pool into the same 8×8 integer-mean grid, and
+    * pack the same 56 difference bits — yields a CTE `dh(id, dhash)`.
+    */
+  private def dhashSql(maxId: Int): String =
+    s"""WITH ids AS (
+      |  SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      |  FROM documents WHERE doc_id < $maxId
+      |), px AS (
+      |  SELECT id, w, h, t1.x AS x, t2.y AS y,
+      |    (31 * id + 7 * t1.x + 13 * t2.y) % 256 AS v
+      |  FROM ids, range(0, 16) t1(x), range(0, 14) t2(y)
+      |  WHERE t1.x < w AND t2.y < h
+      |), cells AS (
+      |  SELECT p.id, tc.c AS c, tr.r AS r,
+      |    CAST(sum(p.v) // count(*) AS BIGINT) AS m
+      |  FROM px p, range(0, 8) tc(c), range(0, 8) tr(r)
+      |  WHERE p.x >= tc.c * p.w // 8 AND p.x < (tc.c + 1) * p.w // 8
+      |    AND p.y >= tr.r * p.h // 8 AND p.y < (tr.r + 1) * p.h // 8
+      |  GROUP BY 1, 2, 3
+      |), bits AS (
+      |  SELECT a.id, a.r * 7 + a.c AS pos,
+      |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
+      |  WHERE a.c < 7
+      |), dh AS (
+      |  SELECT id,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY id
+      |)""".stripMargin
+
   /** Deterministic 256-dim integer weight vector for x_quality_model:
     * w(j) = ((j·2654435761 + 12345) mod 2003) − 1001, values in
     * [−1001, 1001] — the oracle regenerates the identical model in SQL.
@@ -455,6 +489,40 @@ object ExtensionQueries {
         .select(col("media_id").as("doc_id"), col("width"), col("height"),
           col("luma_sum"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Perceptual-hash (dHash) over REAL decoded PNGs: 8×8 integer luma
+    // pooling + horizontal difference bits — the oracle reconstructs
+    // the synthetic pixel grid from doc_id arithmetic and computes the
+    // identical 56-bit hash in SQL, round-tripping codec + pooling +
+    // bit packing end to end.
+    "x_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.operators.Layout.fanOutSmallScan(
+          t(s, d, "documents").where(col("doc_id") < 200)
+            .select(col("doc_id"))).as[Long]
+        .map(id => (id, Multimodal.syntheticPng(id)))
+        .toDF("media_id", "payload")
+      Multimodal.imageDHash(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("dhash"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT image near-dup at Hamming ≤ 3 via 4×14-bit window blocking
+    // (pigeonhole: ≤ 3 flipped bits leave one window untouched, so the
+    // equality-join blocked result EQUALS the brute-force pair scan —
+    // the oracle computes it by brute force over its SQL dHashes).
+    "x_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = graft.operators.Layout.fanOutSmallScan(
+          t(s, d, "documents").where(col("doc_id") < 100)
+            .select(col("doc_id"))).as[Long]
+        .map(id => (id, Multimodal.syntheticPng(id)))
+        .toDF("media_id", "payload")
+      Multimodal.dhashPairs(
+          Multimodal.imageDHash(s, media).toDF(), maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // REAL audio container metadata (WAV/RIFF header arithmetic, no
@@ -948,6 +1016,16 @@ object ExtensionQueries {
         |ORDER BY tok""".stripMargin,
     "x_cms_err" ->
       """SELECT '' AS tok WHERE 1 = 0""",
+    "x_image_dhash" ->
+      s"""${dhashSql(200)}
+        |SELECT id AS doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin,
+    "x_image_neardup" ->
+      s"""${dhashSql(100)}
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
+        |FROM dh a JOIN dh b ON a.id < b.id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "x_image_meta" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 9 AS INT) AS width,
