@@ -495,6 +495,79 @@ object StreamOps {
         f.getPath.getName.endsWith(".parquet") && readerVisible(f.getPath))
   }
 
+  /** Streaming DSIR selection gate ([[graft.operators.Selection]], the
+    * importance-resampling quality filter): every micro-batch is
+    * featurized ONCE, scored against the model as of the PRIOR batches
+    * (fixed target counts + accumulated raw counts), docs with
+    * quantized importance score ≥ `minScore` append to `outPath`, and
+    * the batch's raw counts fold into the persisted model.
+    *
+    * Scale/retry design, the [[nearDupGateSink]] protocol applied to a
+    * ≤ `buckets`-row model instead of a signature store:
+    *  - Model state is CUMULATIVE and idempotently keyed: batch k
+    *    overwrites `model=k` = (newest committed model < k) folded with
+    *    its own counts — a Structured Streaming retry rewrites the same
+    *    dir with the same content, never double-counts. Readers take
+    *    the newest COMMITTED dir ([[hasCommittedParquet]] — crashed
+    *    writes invisible), so the store survives mid-write failures.
+    *  - Bootstrap: no committed model → the target-only table
+    *    (`targetBt`, the [[graft.operators.Selection.dsirBucketTable]]
+    *    target side with rcnt = 0) — a caller-fitted TINY artifact.
+    *  - Per batch the work is one batch-sized featurize + aggregate, a
+    *    broadcast join against ≤ `buckets` rows, and a ≤ `buckets`-row
+    *    model write: history is NEVER re-featurized (the bucket counts
+    *    are an additive monoid — final model ≡ from-scratch fit,
+    *    spec-pinned).
+    */
+  def dsirGateSink(spark: SparkSession, stream: DataFrame,
+                   id: String, text: String, targetBt: DataFrame,
+                   modelPath: String, outPath: String, checkpoint: String,
+                   buckets: Int, minScore: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Selection
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val feats = Selection.dsirFeatures(batch, col(id), col(text),
+            buckets).localCheckpoint()
+          val model = dsirModelView(spark, modelPath, batchId)
+            .getOrElse(targetBt.select(col("f"), col("tcnt"),
+              lit(0L).as("rcnt")))
+          val scores = Selection.dsirQuantizedScores(feats, model)
+          batch.join(scores.where(col("score") >= minScore)
+              .select(col("id").as("__sid"), col("score")),
+              col(id) === col("__sid"))
+            .drop("__sid")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          Selection.refreshBucketTable(model, feats)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$modelPath/model=$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** Newest committed cumulative DSIR model with id < `beforeBatch`
+    * (retry safety: a re-run of batch k must not see its own crashed
+    * or previous `model=k` write). None = bootstrap.
+    */
+  private[graft] def dsirModelView(spark: SparkSession, modelPath: String,
+                                   beforeBatch: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(modelPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val committed = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("model=") &&
+        p.getName.drop(6).toLong < beforeBatch &&
+        hasCommittedParquet(fs, p))
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(
+      committed.maxBy(_.getName.drop(6).toLong).toString))
+  }
+
   /** foreachBatch MERGE sink: each micro-batch upserts into `table` by
     * `key` (last write per key wins within a batch via the batch's own
     * dedup; across batches, newest batch wins).

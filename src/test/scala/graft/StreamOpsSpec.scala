@@ -299,4 +299,77 @@ class StreamOpsSpec extends SparkSuite {
         s"pruning must drop files: kept ${kept.size} of $genFiles")
     } finally q.stop()
   }
+
+  test("dsirGateSink: batches score against the model-so-far, " +
+      "survivors filter by importance, final model ≡ from-scratch fit") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = s"/tmp/graft-dsirgate-${System.nanoTime()}"
+    // code docs share unigrams AND bigrams with the target (same word
+    // order), scoring far above hash-collision noise at B = 1024
+    def code(i: Int) = (i.toLong,
+      s"def compile return type struct parse value link item$i")
+    // sports docs share NO token with the target corpus (no numerals:
+    // target texts contain 1..6), so their target-side score is 0 at
+    // bootstrap and negative once raw counts accumulate
+    def sport(i: Int) = (i.toLong,
+      s"match goal team win league play fans crowd$i")
+    // target: purely code-flavored → code docs must out-score sports
+    val target = (1 to 6).map(i =>
+      (100L + i, s"def compile return type $i struct parse value link"))
+      .toDF("doc_id", "text")
+    val tgtFeats = graft.operators.Selection.dsirFeatures(target,
+      col("doc_id"), col("text"), 1024)
+    val targetBt = tgtFeats.groupBy(col("f"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("tcnt"))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.dsirGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", targetBt,
+      s"$base/model", s"$base/out", s"$base/ckpt",
+      buckets = 1024, minScore = 30L)
+    try {
+      in.addData(code(1), sport(2)); q.processAllAvailable()
+      in.addData(code(3), sport(4)); q.processAllAvailable()
+      in.addData(code(5), sport(6), code(7)); q.processAllAvailable()
+      // survivors: exactly the code-flavored docs in every batch
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(out == Set(1L, 3L, 5L, 7L))
+      // batch-twin check: batch 3's survivors equal scoring its docs
+      // against the model accumulated from batches 1-2
+      val hist = Seq(code(1), sport(2), code(3), sport(4))
+        .toDF("doc_id", "text")
+      val histFeats = graft.operators.Selection.dsirFeatures(hist,
+        col("doc_id"), col("text"), 1024)
+      val model2 = graft.operators.Selection.dsirBucketTable(
+        histFeats, tgtFeats)
+      val b3 = Seq(code(5), sport(6), code(7)).toDF("doc_id", "text")
+      val b3Feats = graft.operators.Selection.dsirFeatures(b3,
+        col("doc_id"), col("text"), 1024)
+      val want3 = graft.operators.Selection
+        .dsirQuantizedScores(b3Feats, model2)
+        .where(col("score") >= 30L).select(col("id")).as[Long]
+        .collect().toSet
+      val got3 = spark.read.parquet(s"$base/out/batch=2")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(got3 == want3)
+      // monoid law across the stream: the newest persisted model is
+      // bit-identical to a from-scratch fit over ALL streamed docs
+      val allFeats = graft.operators.Selection.dsirFeatures(
+        Seq(code(1), sport(2), code(3), sport(4), code(5), sport(6),
+          code(7)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 1024)
+      val scratch = graft.operators.Selection.dsirBucketTable(
+        allFeats, tgtFeats)
+      val persisted = StreamOps.dsirModelView(spark, s"$base/model",
+        Long.MaxValue).get
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("f"), col("tcnt"), col("rcnt"))
+          .as[(Long, Long, Long)].collect().toSet
+      assert(key(persisted) == key(scratch))
+      // bootstrap + retry-safety view rule: batch 0 sees no model
+      assert(StreamOps.dsirModelView(spark, s"$base/model", 0L).isEmpty)
+    } finally q.stop()
+  }
 }
