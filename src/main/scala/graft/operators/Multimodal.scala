@@ -356,6 +356,91 @@ object Multimodal {
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
   }
 
+  // ---------- acoustic fingerprint (energy-delta) audio near-dup ----
+
+  /** 63-bit acoustic fingerprint (the sign-of-energy-delta scheme of
+    * Haitsma & Kalker, "A highly robust audio fingerprinting system",
+    * ISMIR 2002, reduced to one band): REAL RIFF/fmt/data parse (16-bit
+    * PCM), channel-0 samples split into 64 equal frame blocks
+    * [b·n/64, (b+1)·n/64), block energy = Σ |sample| (exact longs),
+    * bit b = 1 iff energy(b+1) > energy(b). Integer end to end, so the
+    * SQL oracle precomputes it for arithmetic fixtures; gain-robust up
+    * to clipping (a constant scale preserves every comparison).
+    * `None` for undecodable, non-PCM-16, or < 64-frame payloads.
+    */
+  def decodeAudioFingerprint(payload: Array[Byte]): Option[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourCC(off: Int): String =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      if (payload.length < 44 || fourCC(0) != "RIFF" || fourCC(8) != "WAVE")
+        return None
+      var off = 12
+      var fmt: Option[(Int, Int)] = None // align, bits
+      var dataOff = -1
+      var dataSize = -1L
+      while (off + 8 <= payload.length && (fmt.isEmpty || dataOff < 0)) {
+        val id = fourCC(off)
+        val sz = bb.getInt(off + 4).toLong & 0xFFFFFFFFL
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= payload.length)
+          fmt = Some((bb.getShort(off + 20) & 0xFFFF,
+            bb.getShort(off + 22) & 0xFFFF))
+        else if (id == "data") {
+          dataOff = off + 8
+          dataSize = math.min(sz, (payload.length - off - 8).toLong)
+        }
+        // clamped Long advance — see decodeWavMeta
+        val next = off.toLong + 8L + sz + (sz & 1L)
+        off = if (next > payload.length) payload.length else next.toInt
+      }
+      fmt match {
+        case Some((align, bits))
+            if bits == 16 && align >= 2 && dataOff >= 0 && dataSize > 0 =>
+          val frames = (dataSize / align).toInt
+          if (frames < 64) return None
+          val energy = new Array[Long](64)
+          var b = 0
+          while (b < 64) {
+            val f0 = b * frames / 64; val f1 = (b + 1) * frames / 64
+            var sum = 0L
+            var f = f0
+            while (f < f1) {
+              val s = bb.getShort(dataOff + f * align).toLong // channel 0
+              sum += math.abs(s)
+              f += 1
+            }
+            energy(b) = sum
+            b += 1
+          }
+          var bitsOut = 0L
+          b = 0
+          while (b < 63) {
+            if (energy(b + 1) > energy(b)) bitsOut |= 1L << b
+            b += 1
+          }
+          Some(bitsOut)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Distributed acoustic-fingerprint extraction — same narrow
+    * partition-iterator shape as [[imageDHash]]; emits (media_id,
+    * dhash) so [[dhashPairs]]' blocked Hamming pairing applies
+    * unchanged (the pigeonhole bound only needs diffs in the low 56
+    * bits ≤ total distance, which holds for any hash width ≥ 56).
+    */
+  def audioFingerprint(spark: SparkSession, media: DataFrame)
+      : Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        ImageHash(id, decodeAudioFingerprint(bytes))
+      })
+  }
+
   // ---------- perceptual hash (dHash) image near-dup ----------
 
   /** 56-bit difference hash (dHash, the standard perceptual hash for

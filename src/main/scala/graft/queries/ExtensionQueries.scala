@@ -81,6 +81,44 @@ object ExtensionQueries {
       |  FROM bits GROUP BY id
       |)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.Multimodal
+    * .decodeAudioFingerprint]] over the synthetic-PCM fixture: rebuild
+    * channel-0 samples of `syntheticWav(baseExpr)` from id arithmetic
+    * (byte j of data = (7·base + j) mod 256, 16-bit LE), 64 block
+    * energies, 63 delta bits — CTE `afp(id, fp)` with NULL for the
+    * id % 13 dead-letter rows.
+    */
+  private def audioFpSql(maxId: Int, baseExpr: String): String =
+    s"""WITH ids AS (
+      |  SELECT doc_id AS id, $baseExpr AS b,
+      |    2 * (1 + ($baseExpr) % 2) AS align,
+      |    200 + ($baseExpr) % 100 AS n
+      |  FROM documents WHERE doc_id < $maxId AND doc_id % 13 <> 0
+      |), smp AS (
+      |  SELECT id, n, t.f AS f,
+      |    (7 * b + f * align) % 256
+      |      + 256 * ((7 * b + f * align + 1) % 256) AS v
+      |  FROM ids, range(0, 300) t(f) WHERE t.f < n
+      |), sgn AS (
+      |  SELECT id, n, f,
+      |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+      |  FROM smp
+      |), eng AS (
+      |  SELECT g.id, tb.b AS blk, sum(abs(s)) AS e
+      |  FROM sgn g, range(0, 64) tb(b)
+      |  WHERE g.f >= tb.b * g.n // 64 AND g.f < (tb.b + 1) * g.n // 64
+      |  GROUP BY 1, 2
+      |), bits AS (
+      |  SELECT a.id, a.blk AS pos,
+      |    CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+      |  FROM eng a JOIN eng nx ON a.id = nx.id AND nx.blk = a.blk + 1
+      |  WHERE a.blk < 63
+      |), afp AS (
+      |  SELECT id,
+      |    CAST(sum(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS fp
+      |  FROM bits GROUP BY id
+      |)""".stripMargin
+
   /** Deterministic 256-dim integer weight vector for x_quality_model:
     * w(j) = ((j·2654435761 + 12345) mod 2003) − 1001, values in
     * [−1001, 1001] — the oracle regenerates the identical model in SQL.
@@ -521,6 +559,42 @@ object ExtensionQueries {
         .toDF("media_id", "payload")
       Multimodal.dhashPairs(
           Multimodal.imageDHash(s, media).toDF(), maxDist = 3)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Acoustic fingerprint (Haitsma-Kalker energy-delta bits) over
+    // REAL RIFF-parsed PCM: the oracle reconstructs channel-0 samples
+    // from doc_id arithmetic and recomputes block energies + bits in
+    // SQL; doc_id % 13 payloads are truncated garbage and dead-letter
+    // to null (the x_audio_meta pattern).
+    "x_audio_fp" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").where(col("doc_id") < 300)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 13 == 0) "RIFFbut-truncated".getBytes
+          else Multimodal.syntheticWav(id)))
+        .toDF("media_id", "payload")
+      Multimodal.audioFingerprint(s, media).toDF()
+        .select(col("media_id").as("doc_id"), col("dhash").as("afp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACT audio near-dup at Hamming ≤ 3 via the same 4×14-bit window
+    // blocking as images: odd ids re-use their even sibling's payload
+    // (the re-crawled-duplicate shape), so the exact pair set is the
+    // sibling pairs — oracle-verified by SQL brute force.
+    "x_audio_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").where(col("doc_id") < 150)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 13 == 0) "RIFFbut-truncated".getBytes
+          else Multimodal.syntheticWav(id - id % 2)))
+        .toDF("media_id", "payload")
+      Multimodal.dhashPairs(
+          Multimodal.audioFingerprint(s, media).toDF(), maxDist = 3)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1019,6 +1093,18 @@ object ExtensionQueries {
     "x_image_dhash" ->
       s"""${dhashSql(200)}
         |SELECT id AS doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin,
+    "x_audio_fp" ->
+      s"""${audioFpSql(300, "doc_id")}
+        |SELECT d.doc_id, afp.fp AS afp
+        |FROM documents d LEFT JOIN afp ON d.doc_id = afp.id
+        |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin,
+    "x_audio_neardup" ->
+      s"""${audioFpSql(150, "doc_id - doc_id % 2")}
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist
+        |FROM afp a JOIN afp b ON a.id < b.id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "x_image_neardup" ->
       s"""${dhashSql(100)}
         |SELECT a.id AS id_a, b.id AS id_b,
