@@ -657,6 +657,12 @@ object Dedup {
     * are fetched, so the float vectors never ride the multi-probe pair
     * expansion — the [[embeddingNearDupLsh]] dedup-then-fetch pattern
     * with data-adaptive cells instead of random hyperplanes.
+    *
+    * The pair join's parallelism equals the CELL count — size k to the
+    * corpus: SemDeDup itself fits tens of thousands of clusters for
+    * 10⁸ docs (k ≈ n / target cell size, fit on a sample via
+    * [[Similarity.fitCentroids]]); a 16-cell fixture k is a fixture
+    * choice, not the operator's posture.
     */
   def semDedupPairs(embs: DataFrame, cents: Array[Array[Double]],
                     threshold: Double, probes: Int = 2,

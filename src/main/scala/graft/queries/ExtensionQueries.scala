@@ -358,10 +358,9 @@ object ExtensionQueries {
       val dropped = Dedup.semDedup(e, fittedCents(d, e),
           threshold = 0.42, probes = 4)
         .where(!col("keep")).select(col("id"))
+      // ONE brute-force pass; both pair sides explode from it
       val witnesses = Similarity.bruteForcePairs(e, 0.42)
-        .select(col("id_a").as("id"))
-        .unionByName(Similarity.bruteForcePairs(e, 0.42)
-          .select(col("id_b").as("id")))
+        .select(explode(array(col("id_a"), col("id_b"))).as("id"))
         .distinct()
       dropped.join(witnesses, Seq("id"), "left_anti")
         .select(col("id")).orderBy(col("id"))
