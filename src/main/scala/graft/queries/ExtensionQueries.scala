@@ -53,32 +53,34 @@ object ExtensionQueries {
     * equal the formula), pool into the same 8×8 integer-mean grid, and
     * pack the same 56 difference bits — yields a CTE `dh(id, dhash)`.
     */
-  private def dhashSql(maxId: Int): String =
-    s"""WITH ids AS (
-      |  SELECT doc_id AS id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+  private def dhashSql(maxId: Int, baseExpr: String = "doc_id",
+                       p: String = ""): String =
+    s"""${p}ids AS (
+      |  SELECT doc_id AS id, 8 + ($baseExpr) % 9 AS w,
+      |    8 + ($baseExpr) % 7 AS h, $baseExpr AS bid
       |  FROM documents WHERE doc_id < $maxId
-      |), px AS (
+      |), ${p}px AS (
       |  SELECT id, w, h, t1.x AS x, t2.y AS y,
-      |    (31 * id + 7 * t1.x + 13 * t2.y) % 256 AS v
-      |  FROM ids, range(0, 16) t1(x), range(0, 14) t2(y)
+      |    (31 * bid + 7 * t1.x + 13 * t2.y) % 256 AS v
+      |  FROM ${p}ids, range(0, 16) t1(x), range(0, 14) t2(y)
       |  WHERE t1.x < w AND t2.y < h
-      |), cells AS (
-      |  SELECT p.id, tc.c AS c, tr.r AS r,
-      |    CAST(sum(p.v) // count(*) AS BIGINT) AS m
-      |  FROM px p, range(0, 8) tc(c), range(0, 8) tr(r)
-      |  WHERE p.x >= tc.c * p.w // 8 AND p.x < (tc.c + 1) * p.w // 8
-      |    AND p.y >= tr.r * p.h // 8 AND p.y < (tr.r + 1) * p.h // 8
+      |), ${p}cells AS (
+      |  SELECT q.id, tc.c AS c, tr.r AS r,
+      |    CAST(sum(q.v) // count(*) AS BIGINT) AS m
+      |  FROM ${p}px q, range(0, 8) tc(c), range(0, 8) tr(r)
+      |  WHERE q.x >= tc.c * q.w // 8 AND q.x < (tc.c + 1) * q.w // 8
+      |    AND q.y >= tr.r * q.h // 8 AND q.y < (tr.r + 1) * q.h // 8
       |  GROUP BY 1, 2, 3
-      |), bits AS (
+      |), ${p}bits AS (
       |  SELECT a.id, a.r * 7 + a.c AS pos,
       |    CASE WHEN b.m > a.m THEN 1 ELSE 0 END AS bit
-      |  FROM cells a JOIN cells b
+      |  FROM ${p}cells a JOIN ${p}cells b
       |    ON a.id = b.id AND a.r = b.r AND b.c = a.c + 1
       |  WHERE a.c < 7
-      |), dh AS (
+      |), ${p}dh AS (
       |  SELECT id,
       |    CAST(sum(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS dhash
-      |  FROM bits GROUP BY id
+      |  FROM ${p}bits GROUP BY id
       |)""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Multimodal
@@ -88,35 +90,36 @@ object ExtensionQueries {
     * energies, 63 delta bits — CTE `afp(id, fp)` with NULL for the
     * id % 13 dead-letter rows.
     */
-  private def audioFpSql(maxId: Int, baseExpr: String): String =
-    s"""WITH ids AS (
+  private def audioFpSql(maxId: Int, baseExpr: String,
+                         p: String = ""): String =
+    s"""${p}aids AS (
       |  SELECT doc_id AS id, $baseExpr AS b,
       |    2 * (1 + ($baseExpr) % 2) AS align,
       |    200 + ($baseExpr) % 100 AS n
       |  FROM documents WHERE doc_id < $maxId AND doc_id % 13 <> 0
-      |), smp AS (
+      |), ${p}smp AS (
       |  SELECT id, n, t.f AS f,
       |    (7 * b + f * align) % 256
       |      + 256 * ((7 * b + f * align + 1) % 256) AS v
-      |  FROM ids, range(0, 300) t(f) WHERE t.f < n
-      |), sgn AS (
+      |  FROM ${p}aids, range(0, 300) t(f) WHERE t.f < n
+      |), ${p}sgn AS (
       |  SELECT id, n, f,
       |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
-      |  FROM smp
-      |), eng AS (
+      |  FROM ${p}smp
+      |), ${p}eng AS (
       |  SELECT g.id, tb.b AS blk, sum(abs(s)) AS e
-      |  FROM sgn g, range(0, 64) tb(b)
+      |  FROM ${p}sgn g, range(0, 64) tb(b)
       |  WHERE g.f >= tb.b * g.n // 64 AND g.f < (tb.b + 1) * g.n // 64
       |  GROUP BY 1, 2
-      |), bits AS (
+      |), ${p}abits AS (
       |  SELECT a.id, a.blk AS pos,
       |    CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
-      |  FROM eng a JOIN eng nx ON a.id = nx.id AND nx.blk = a.blk + 1
+      |  FROM ${p}eng a JOIN ${p}eng nx ON a.id = nx.id AND nx.blk = a.blk + 1
       |  WHERE a.blk < 63
-      |), afp AS (
+      |), ${p}afp AS (
       |  SELECT id,
       |    CAST(sum(bit * (CAST(1 AS BIGINT) << pos)) AS BIGINT) AS fp
-      |  FROM bits GROUP BY id
+      |  FROM ${p}abits GROUP BY id
       |)""".stripMargin
 
   /** Deterministic 256-dim integer weight vector for x_quality_model:
@@ -596,6 +599,46 @@ object ExtensionQueries {
           Multimodal.audioFingerprint(s, media).toDF(), maxDist = 3)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // CROSS-MODAL dedup capstone: a doc is duplicate-linked if ANY
+    // modality matches — text MinHash est ≥ 0.8, image dHash dist = 0
+    // (payloads shared in base-of-3 groups), or audio fingerprint
+    // dist ≤ 3 (base-of-5 groups) — and connected components over the
+    // UNION of the three edge sets resolve the groups (a text-dup of
+    // an image-dup of an audio-dup all collapse to one kept doc). The
+    // oracle rebuilds all three edge sets in SQL (PolyFp MinHash,
+    // pixel-arithmetic dHash, PCM-arithmetic fingerprint) and runs the
+    // same recursive-CTE clustering — the full composition
+    // hash-checks.
+    "x_multimodal_dedup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").where(col("doc_id") < 100)
+      val textE = Dedup.minhashCandidates(
+          Dedup.minhashSigsNative(docs, col("doc_id"), col("text"),
+            n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val imgMedia = graft.operators.Layout.fanOutSmallScan(
+          docs.select(col("doc_id"))).as[Long]
+        .map(id => (id, Multimodal.syntheticPng(id - id % 3)))
+        .toDF("media_id", "payload")
+      val imgE = Multimodal.dhashPairs(
+          Multimodal.imageDHash(s, imgMedia).toDF(), maxDist = 0)
+        .select(col("id_a"), col("id_b"))
+      val audMedia = docs.select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 13 == 0) "RIFFbut-truncated".getBytes
+          else Multimodal.syntheticWav(id - id % 5)))
+        .toDF("media_id", "payload")
+      val audE = Multimodal.dhashPairs(
+          Multimodal.audioFingerprint(s, audMedia).toDF(), maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Graph.dedupClusters(
+          textE.unionByName(imgE).unionByName(audE),
+          col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
     }),
 
     // REAL audio container metadata (WAV/RIFF header arithmetic, no
@@ -1089,23 +1132,52 @@ object ExtensionQueries {
         |ORDER BY tok""".stripMargin,
     "x_cms_err" ->
       """SELECT '' AS tok WHERE 1 = 0""",
+    "x_multimodal_dedup" -> (minhashCandCte
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(32),
+        |      i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+        |      AS DOUBLE) / 32 AS est
+        |  FROM cand
+        |), ${dhashSql(100, "doc_id - doc_id % 3", "i_")},
+        |${audioFpSql(100, "doc_id - doc_id % 5", "a_")},
+        |ed AS (
+        |  SELECT id_a AS a, id_b AS b FROM scored
+        |  WHERE est >= 0.8 AND id_a < 100 AND id_b < 100
+        |  UNION
+        |  SELECT x.id AS a, y.id AS b FROM i_dh x JOIN i_dh y
+        |    ON x.id < y.id AND x.dhash = y.dhash
+        |  UNION
+        |  SELECT x.id AS a, y.id AS b FROM a_afp x JOIN a_afp y
+        |    ON x.id < y.id
+        |  WHERE bit_count(xor(x.fp, y.fp)) <= 3
+        |), sym AS (
+        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
     "x_image_dhash" ->
-      s"""${dhashSql(200)}
+      s"""WITH ${dhashSql(200)}
         |SELECT id AS doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin,
     "x_audio_fp" ->
-      s"""${audioFpSql(300, "doc_id")}
+      s"""WITH ${audioFpSql(300, "doc_id")}
         |SELECT d.doc_id, afp.fp AS afp
         |FROM documents d LEFT JOIN afp ON d.doc_id = afp.id
         |WHERE d.doc_id < 300 ORDER BY d.doc_id""".stripMargin,
     "x_audio_neardup" ->
-      s"""${audioFpSql(150, "doc_id - doc_id % 2")}
+      s"""WITH ${audioFpSql(150, "doc_id - doc_id % 2")}
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS dist
         |FROM afp a JOIN afp b ON a.id < b.id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "x_image_neardup" ->
-      s"""${dhashSql(100)}
+      s"""WITH ${dhashSql(100)}
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
         |FROM dh a JOIN dh b ON a.id < b.id
