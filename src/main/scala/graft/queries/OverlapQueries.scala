@@ -53,6 +53,37 @@ object OverlapQueries {
           col("dhat_u"), col("jac_est"), col("inter_est"))
         .orderBy(col("ga"), col("gb"))),
 
+    // Incremental sketch maintenance: the history slice's sketches
+    // persist ONCE (ArtifactMemo — bench reruns measure the read+fold
+    // path); a batch's sketches fold in via the merge semigroup, and
+    // the refreshed estimates must equal the from-scratch fit over the
+    // WHOLE corpus — the oracle computes exactly that (merge ≡ whole
+    // is the spec-pinned law; here the driver hash-checks it through a
+    // real persisted artifact). History is never re-shingled: per
+    // refresh the cost is one batch pass + a k·#sources-long merge.
+    "x_kmv_incremental" -> ((s, d) => {
+      def slice(s2: SparkSession, hist: Boolean) = {
+        val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+          graft.functions.ShinglesExpr(
+            org.apache.spark.sql.GraftSqlBridge
+              .toExpression(col("text")), 3))
+        t(s2, d, "documents")
+          .where(if (hist) col("doc_id") < 400 else col("doc_id") >= 400)
+          .select(col("source"), explode(shs).as("shingle"))
+      }
+      val store = ArtifactMemo.dirFor("kmvstore", d) { p =>
+        Overlap.kmvSketch(slice(s, hist = true),
+            col("source"), col("shingle"), K)
+          .write.mode("overwrite").parquet(p)
+      }
+      val batch = Overlap.kmvSketch(slice(s, hist = false),
+        col("source"), col("shingle"), K)
+      Overlap.kmvDistinct(
+          Overlap.kmvMerge(s.read.parquet(store), batch, K), K)
+        .select(col("grp").as("source"), col("n_seen"), col("dhat"))
+        .orderBy(col("source"))
+    }),
+
     // Accuracy gate (empty-set oracle, integer-exact): fires when any
     // source's KMV estimate misses its exact distinct-shingle count by
     // more than 50% relative — ~4 standard errors at k = 64 (12.7%);
@@ -108,6 +139,14 @@ object OverlapQueries {
 
   val oracleSql: Map[String, String] = Map(
     "x_kmv_distinct" ->
+      s"""$sketchSql
+        |SELECT source, len(sketch) AS n_seen,
+        |  CASE WHEN len(sketch) < $K THEN len(sketch)
+        |       ELSE (${K - 1} * CAST(1000000007 AS BIGINT)) // sketch[$K] END AS dhat
+        |FROM sk ORDER BY source""".stripMargin,
+    // merge ≡ whole: the oracle is simply the from-scratch sketch
+    // estimate over the full corpus (same SQL as x_kmv_distinct)
+    "x_kmv_incremental" ->
       s"""$sketchSql
         |SELECT source, len(sketch) AS n_seen,
         |  CASE WHEN len(sketch) < $K THEN len(sketch)
