@@ -495,6 +495,77 @@ object StreamOps {
         f.getPath.getName.endsWith(".parquet") && readerVisible(f.getPath))
   }
 
+  /** Streaming MEDIA near-dup gate: the [[nearDupGateSink]] protocol
+    * on perceptual hashes — each micro-batch's binary payloads hash
+    * once ([[graft.operators.Multimodal.imageDHash]] for images,
+    * [[graft.operators.Multimodal.audioFingerprint]] via `hashFn`),
+    * a batch doc drops when its hash is within `maxDist` of any
+    * STORED hash or any smaller-id batch doc's, survivors' (id, hash)
+    * rows append to the store and survivor ids to `outPath`.
+    *
+    * Same contracts as the text gate: monotone ids across batches
+    * (store < new); `batch=<id>` store appends are overwrite-
+    * idempotent under retries; readers resolve committed generations
+    * + newer batch dirs, so [[compactNearDupStore]]-shaped
+    * maintenance applies (the store rows are (id, dhash) — 16 bytes,
+    * listing cost dominates long before data size). UNDECODABLE
+    * payloads SURVIVE and are never stored (a doc that cannot be
+    * hashed cannot be proven a duplicate — the dead-letter stance of
+    * the batch operators); the blocked pairing is EXACT for
+    * maxDist ≤ 3 ([[graft.operators.Multimodal.dhashPairs]]'
+    * pigeonhole bound), so gate results are micro-batch-boundary
+    * deterministic.
+    */
+  def mediaDedupGateSink(spark: SparkSession, stream: DataFrame,
+                         id: String, payload: String, storePath: String,
+                         outPath: String, checkpoint: String,
+                         maxDist: Int = 3,
+                         hashFn: (SparkSession, DataFrame) => DataFrame =
+                           (s, df) => graft.operators.Multimodal
+                             .imageDHash(s, df).toDF())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Multimodal
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // ONE hash pass; dead-letters keep a null dhash
+          val hashes = hashFn(spark,
+              batch.select(col(id).cast("long").as("media_id"),
+                col(payload))).localCheckpoint()
+          val store = mediaStoreView(spark, storePath)
+            .getOrElse(hashes.limit(0))
+          val pool = store.unionByName(hashes)
+          // blocked exact pairs over store ∪ batch; a batch doc is
+          // dropped when it is the LARGER side of any qualifying pair
+          // (store ids are smaller by the monotonicity contract)
+          val dropIds = Multimodal.dhashPairs(pool, maxDist)
+            .select(col("id_b").as("media_id")).distinct()
+          val survivors = hashes
+            .join(dropIds, Seq("media_id"), "left_anti")
+            .localCheckpoint()
+          survivors.where(col("dhash").isNotNull)
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          survivors.select(col("media_id"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** The media gate's committed store view ((media_id, dhash) rows):
+    * newest committed generation + newer batch dirs — the
+    * [[nearDupStoreView]] resolution on the media store shape.
+    */
+  private[graft] def mediaStoreView(spark: SparkSession,
+                                    storePath: String): Option[DataFrame] = {
+    val paths = storeViewDirs(spark, storePath).map(_.toString)
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*)
+      .select(col("media_id"), col("dhash")))
+  }
+
   /** Streaming DSIR selection gate ([[graft.operators.Selection]], the
     * importance-resampling quality filter): every micro-batch is
     * featurized ONCE, scored against the model as of the PRIOR batches

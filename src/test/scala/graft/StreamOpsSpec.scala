@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import graft.streaming.StreamOps
+import graft.operators.Multimodal
 import java.sql.Timestamp
 
 /** Streaming dedup / stream-static join / foreachBatch MERGE sink. */
@@ -370,6 +371,39 @@ class StreamOpsSpec extends SparkSuite {
       assert(key(persisted) == key(scratch))
       // bootstrap + retry-safety view rule: batch 0 sees no model
       assert(StreamOps.dsirModelView(spark, s"$base/model", 0L).isEmpty)
+    } finally q.stop()
+  }
+
+  test("mediaDedupGateSink: perceptual-hash gate drops cross- and " +
+      "intra-batch dups, dead-letters survive unstored") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = s"/tmp/graft-mediagate-${System.nanoTime()}"
+    // payload seeds 0/4/5/6: mutually > 6 dHash bits apart (measured)
+    val (pa, pb, pc, pd) = (Multimodal.syntheticPng(0L),
+      Multimodal.syntheticPng(4L), Multimodal.syntheticPng(5L),
+      Multimodal.syntheticPng(6L))
+    val junk = "not an image".getBytes
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mediaDedupGateSink(spark,
+      in.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/store", s"$base/out", s"$base/ckpt")
+    try {
+      in.addData((1L, pa), (2L, pb), (3L, junk))
+      q.processAllAvailable()
+      // 11 = re-crawl of 1's image -> dropped; 12 fresh
+      in.addData((11L, pa), (12L, pc)); q.processAllAvailable()
+      // 21 dup of batch-2 survivor, 22 fresh, 23 intra-batch dup of
+      // 22 (smaller id wins), 24 garbage
+      in.addData((21L, pc), (22L, pd), (23L, pd), (24L, junk))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("media_id")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 3L, 12L, 22L, 24L))
+      // store holds exactly the HASHABLE survivors (no dead-letters)
+      val store = spark.read.parquet(s"$base/store")
+        .select(col("media_id")).as[Long].collect().toSet
+      assert(store == Set(1L, 2L, 12L, 22L))
     } finally q.stop()
   }
 }
