@@ -670,19 +670,9 @@ object Dedup {
     import graft.functions.VectorFunctions.{dot, l2Norm}
     require(probes >= 1 && probes <= cents.length,
       "probes must be in [1, #cells]")
-    def centroidScores(vec: Column): Column =
-      array(cents.map(c => dot(vec, lit(c))).toSeq: _*)
-    def topCells(vec: Column, n: Int): Column =
-      slice(
-        transform(
-          array_sort(
-            zip_with(centroidScores(vec),
-              sequence(lit(0), lit(cents.length - 1)),
-              (s, i) => struct(negate(s).as("ns"), i.as("i")))),
-          e => e.getField("i")),
-        1, n)
     val assigned = embs
-      .select(col("id"), explode(topCells(col("vec"), probes)).as("cell"))
+      .select(col("id"), explode(
+        Similarity.topCellsCol(col("vec"), cents, probes)).as("cell"))
     val inCap = assigned.groupBy(col("cell"))
       .agg(count(lit(1)).as("__csz"))
       .where(col("__csz") <= maxCell)

@@ -402,7 +402,11 @@ object Multimodal {
           val energy = new Array[Long](64)
           var b = 0
           while (b < 64) {
-            val f0 = b * frames / 64; val f1 = (b + 1) * frames / 64
+            // block bounds in Long: b·frames overflows Int past ~34M
+            // frames (a 13-minute 44.1 kHz mono WAV), silently
+            // wrapping offsets
+            val f0 = (b.toLong * frames / 64).toInt
+            val f1 = ((b + 1).toLong * frames / 64).toInt
             var sum = 0L
             var f = f0
             while (f < f1) {
@@ -466,8 +470,12 @@ object Multimodal {
         while (r < 8) {
           var c = 0
           while (c < 8) {
-            val x0 = c * w / 8; val x1 = (c + 1) * w / 8
-            val y0 = r * h / 8; val y1 = (r + 1) * h / 8
+            // Long bounds for the same reason as the audio blocks —
+            // c·w wraps Int on a ~270M-pixel-wide decode
+            val x0 = (c.toLong * w / 8).toInt
+            val x1 = ((c + 1).toLong * w / 8).toInt
+            val y0 = (r.toLong * h / 8).toInt
+            val y1 = ((r + 1).toLong * h / 8).toInt
             var sum = 0L
             var y = y0
             while (y < y1) {
@@ -525,7 +533,21 @@ object Multimodal {
   def dhashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "maxDist > 3 breaks the 4-window pigeonhole exactness guarantee")
-    val windows = hashes
+    val windows = dhashWindows(hashes)
+    val l = windows.select(col("id").as("id_a"),
+      col("dhash").as("ha"), col("w"), col("wk"))
+    val r = windows.select(col("id").as("id_b"),
+      col("dhash").as("hb"), col("w"), col("wk"))
+    l.join(r, Seq("w", "wk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("ha"), col("hb")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** The 4×14-bit window entries of a (media_id, dhash) table. */
+  private def dhashWindows(hashes: DataFrame): DataFrame =
+    hashes
       .select(col("media_id").as("id"), col("dhash"))
       .where(col("dhash").isNotNull)
       .select(col("id"), col("dhash"),
@@ -533,9 +555,28 @@ object Multimodal {
           shiftrightunsigned(col("dhash"), w * 14)
             .bitwiseAND(0x3FFFL)): _*)))
       .withColumnRenamed("pos", "w").withColumnRenamed("col", "wk")
-    val l = windows.select(col("id").as("id_a"),
+
+  /** EXACT near-dup pairs at Hamming ≤ `maxDist` where the LARGER id
+    * side comes from `probe` — the incremental form of [[dhashPairs]]:
+    * the `store` side is pruned to PROBE-TOUCHED window keys before
+    * any pairing (a left-semi join, the banded-store scheme of
+    * [[Dedup.bandedCandidateEdges]]), so per-batch cost scales with
+    * the batch's window footprint, never store². Exactness is
+    * preserved: a qualifying (store, probe) pair shares a window by
+    * pigeonhole, and that window key is in the probe's set by
+    * construction. Returns (id_a, id_b, dist) with id_b ∈ probe.
+    */
+  def dhashPairsAgainst(store: DataFrame, probe: DataFrame,
+                        maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "maxDist > 3 breaks the 4-window pigeonhole exactness guarantee")
+    val pw = dhashWindows(probe)
+    val sw = dhashWindows(store)
+      .join(pw.select(col("w"), col("wk")).distinct(),
+        Seq("w", "wk"), "left_semi")
+    val l = sw.unionByName(pw).select(col("id").as("id_a"),
       col("dhash").as("ha"), col("w"), col("wk"))
-    val r = windows.select(col("id").as("id_b"),
+    val r = pw.select(col("id").as("id_b"),
       col("dhash").as("hb"), col("w"), col("wk"))
     l.join(r, Seq("w", "wk")).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -60,7 +60,11 @@ object Overlap {
       : DataFrame = {
     require(k >= 2, "k must be >= 2")
     val minK = udaf(new MinKAggregator(k))
+    // null keys hash to null, which the Long-typed aggregator input
+    // encoder would reject at runtime — a null key carries no distinct
+    // value, so it is ignored (the dead-letter stance), not a crash
     df.select(group.as("grp"), kmvHash(key).as("fp"))
+      .where(col("fp").isNotNull)
       .groupBy(col("grp"))
       .agg(minK(col("fp")).as("sketch"))
   }

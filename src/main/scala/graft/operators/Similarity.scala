@@ -120,6 +120,29 @@ object Similarity {
     df.withColumn("bucket",
       element_at(signBucketsExpr(vec, planes, 1, dim, seed), 1))
 
+  /** Dot scores of `vec` against every centroid, as an array column —
+    * the shared assignment primitive of [[ivfTopK]] /
+    * [[ivfTopKQuantized]] / [[graft.operators.Dedup.semDedupPairs]]
+    * (one definition, so the three operators cannot silently diverge).
+    */
+  def centroidScoresCol(vec: Column,
+                        cents: Array[Array[Double]]): Column =
+    array(cents.map(c => dot(vec, lit(c))).toSeq: _*)
+
+  /** Indices (0-based) of the `n` highest-scoring centroids for
+    * `vec`, deterministic under score ties (index ascends).
+    */
+  def topCellsCol(vec: Column, cents: Array[Array[Double]],
+                  n: Int): Column =
+    slice(
+      transform(
+        array_sort(
+          zip_with(centroidScoresCol(vec, cents),
+            sequence(lit(0), lit(cents.length - 1)),
+            (s, i) => struct(negate(s).as("ns"), i.as("i")))),
+        e => e.getField("i")),
+      1, n)
+
   /** IVF-style ANN: assign every vector to its nearest coarse centroid
     * (deterministic seeded gaussians — at scale these come from a k-means
     * fit, the assignment/probe machinery is identical), then score
@@ -138,19 +161,8 @@ object Similarity {
     }
     // nearest-centroid ids by dot product (unit-free; fine for cosine
     // geometry). Scored via the native VecDot against literal centroids.
-    def centroidScores(vec: Column): Column =
-      array(cents.map(c => dot(vec, lit(c))).toSeq: _*)
-    def topCells(vec: Column, n: Int): Column = {
-      val scored = centroidScores(vec)
-      // indices of the n largest scores
-      slice(
-        transform(
-          array_sort(
-            zip_with(scored, sequence(lit(0), lit(cents.length - 1)),
-              (s, i) => struct(negate(s).as("ns"), i.as("i")))),
-          e => e.getField("i")),
-        1, n)
-    }
+    def topCells(vec: Column, n: Int): Column =
+      topCellsCol(vec, cents, n)
     val cs = corpus.select(col("id").as("vb"), col("vec").as("cv"))
       .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
       .withColumn("cn", l2Norm(col("cv")))
@@ -258,17 +270,8 @@ object Similarity {
       val rnd = new scala.util.Random(seed)
       Array.fill(centroids, dim)(rnd.nextGaussian())
     }
-    def centroidScores(vec: Column): Column =
-      array(cents.map(c => dot(vec, lit(c))).toSeq: _*)
     def topCells(vec: Column, n: Int): Column =
-      slice(
-        transform(
-          array_sort(
-            zip_with(centroidScores(vec),
-              sequence(lit(0), lit(cents.length - 1)),
-              (s, i) => struct(negate(s).as("ns"), i.as("i")))),
-          e => e.getField("i")),
-        1, n)
+      topCellsCol(vec, cents, n)
     // int8 side: quantized array (as array<double> — values are small
     // integers, every product/sum below is exact) + its integer norm
     def quantized(vec: Column): Column =

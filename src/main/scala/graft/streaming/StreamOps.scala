@@ -536,11 +536,12 @@ object StreamOps {
                 col(payload))).localCheckpoint()
           val store = mediaStoreView(spark, storePath)
             .getOrElse(hashes.limit(0))
-          val pool = store.unionByName(hashes)
-          // blocked exact pairs over store ∪ batch; a batch doc is
-          // dropped when it is the LARGER side of any qualifying pair
-          // (store ids are smaller by the monotonicity contract)
-          val dropIds = Multimodal.dhashPairs(pool, maxDist)
+          // exact blocked pairs with the batch on the larger-id side;
+          // the store prunes to BATCH-TOUCHED window keys before any
+          // pairing, so per-batch cost never scales with store² (store
+          // ids are smaller by the monotonicity contract)
+          val dropIds = Multimodal
+            .dhashPairsAgainst(store, hashes, maxDist)
             .select(col("id_b").as("media_id")).distinct()
           val survivors = hashes
             .join(dropIds, Seq("media_id"), "left_anti")
@@ -606,10 +607,16 @@ object StreamOps {
           val model = dsirModelView(spark, modelPath, batchId)
             .getOrElse(targetBt.select(col("f"), col("tcnt"),
               lit(0L).as("rcnt")))
+          // LEFT join + coalesce-0: a doc with no bucket overlap with
+          // the model (or no grams at all) has score 0 — absent
+          // buckets contribute qlog3(1) − qlog3(1) = 0 — and must
+          // survive when minScore <= 0, not be silently dropped by an
+          // inner join that produced no score row for it
           val scores = Selection.dsirQuantizedScores(feats, model)
-          batch.join(scores.where(col("score") >= minScore)
-              .select(col("id").as("__sid"), col("score")),
-              col(id) === col("__sid"))
+          batch.join(scores.select(col("id").as("__sid"),
+                col("score")), col(id) === col("__sid"), "left")
+            .withColumn("score", coalesce(col("score"), lit(0L)))
+            .where(col("score") >= minScore)
             .drop("__sid")
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
           Selection.refreshBucketTable(model, feats)

@@ -80,6 +80,18 @@ class OverlapSpec extends SparkSuite {
     assert(interEst == matches * dhatU / ku) // integer identity
   }
 
+  test("null keys are ignored, not a runtime crash") {
+    val withNulls = items.unionByName(
+      Seq(("g1", null.asInstanceOf[String]),
+        ("g2", null.asInstanceOf[String])).toDF("src", "item"))
+    val a = Overlap.kmvSketch(withNulls, col("src"), col("item"), 32)
+      .as[(String, Array[Long])].collect().toMap
+    val b = Overlap.kmvSketch(items, col("src"), col("item"), 32)
+      .as[(String, Array[Long])].collect().toMap
+    assert(a.view.mapValues(_.toSeq).toMap ==
+      b.view.mapValues(_.toSeq).toMap)
+  }
+
   test("sketch aggregation is one bounded-buffer shuffle") {
     val sk = Overlap.kmvSketch(items, col("src"), col("item"), k = 64)
     sk.collect()
