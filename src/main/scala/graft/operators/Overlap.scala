@@ -95,6 +95,45 @@ object Overlap {
             s"(${k - 1}L * ${PolyFp.Mod}L) div element_at(sketch, $k)")))
       .select(col("grp"), col("n_seen"), col("dhat"))
 
+  /** Per-group containment/novelty of a BATCH against HISTORY, from
+    * the two sketch tables alone — the per-ingest curation signal
+    * ("how much of this batch have we already got?") that decides
+    * whether a batch is worth full dedup against a 100 TB store:
+    *   ku / matches / dhat_u — as in [[kmvOverlap]] over (hist, batch),
+    *   dhat_b   — the batch slice's own distinct estimate,
+    *   cont_est — |hist ∩ batch| / |batch| (KMV ratio estimator;
+    *              every product stays < 2⁵³, so the double ratio is
+    *              IEEE-exact and oracle-reproducible),
+    *   novelty  — 1 − cont_est.
+    * Groups missing on either side are omitted (no sketch, no claim).
+    */
+  def kmvContainment(history: DataFrame, batch: DataFrame, k: Int)
+      : DataFrame = {
+    val h = history.select(col("grp"), col("sketch").as("sa"))
+    val b = batch.select(col("grp"), col("sketch").as("sb"))
+    // exact integer division (`div`), matching [[kmvDistinct]] — a
+    // double quotient truncated to long can land one off the exact //
+    def dhat(arrName: String): Column =
+      when(size(col(arrName)) < k, size(col(arrName)).cast("long"))
+        .otherwise(expr(
+          s"(${k - 1}L * ${PolyFp.Mod}L) div element_at($arrName, $k)"))
+    h.join(b, Seq("grp"))
+      .withColumn("ku_arr",
+        slice(array_sort(array_union(col("sa"), col("sb"))), 1, k))
+      .withColumn("ku", size(col("ku_arr")).cast("long"))
+      .withColumn("matches",
+        size(array_intersect(array_intersect(col("ku_arr"), col("sa")),
+          col("sb"))).cast("long"))
+      .withColumn("dhat_u", dhat("ku_arr"))
+      .withColumn("dhat_b", dhat("sb"))
+      .withColumn("cont_est",
+        (col("matches").cast("double") * col("dhat_u")) /
+          (col("ku").cast("double") * col("dhat_b")))
+      .select(col("grp"), col("ku"), col("matches"), col("dhat_u"),
+        col("dhat_b"), col("cont_est"),
+        (lit(1.0) - col("cont_est")).as("novelty"))
+  }
+
   /** Pairwise overlap estimates between groups (ga < gb): from the two
     * sketches alone —
     *   ku       = |K|, the union sketch (min-k of sa ∪ sb),

@@ -84,6 +84,35 @@ object OverlapQueries {
         .orderBy(col("source"))
     }),
 
+    // Batch containment/novelty vs history, from sketches alone: the
+    // per-ingest signal that decides whether a batch is worth full
+    // dedup against the store — cont_est = |hist ∩ batch| / |batch|,
+    // novelty = 1 − cont_est, all integer / exact-ratio arithmetic on
+    // the two sketch tables (hash-green). History sketches come from
+    // the SAME persisted artifact x_kmv_incremental maintains.
+    "x_kmv_novelty" -> ((s, d) => {
+      def slice(hist: Boolean) = {
+        val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+          graft.functions.ShinglesExpr(
+            org.apache.spark.sql.GraftSqlBridge
+              .toExpression(col("text")), 3))
+        t(s, d, "documents")
+          .where(if (hist) col("doc_id") < 400 else col("doc_id") >= 400)
+          .select(col("source"), explode(shs).as("shingle"))
+      }
+      val store = ArtifactMemo.dirFor("kmvstore", d) { p =>
+        Overlap.kmvSketch(slice(hist = true),
+            col("source"), col("shingle"), K)
+          .write.mode("overwrite").parquet(p)
+      }
+      Overlap.kmvContainment(s.read.parquet(store),
+          Overlap.kmvSketch(slice(hist = false),
+            col("source"), col("shingle"), K), K)
+        .select(col("grp").as("source"), col("ku"), col("matches"),
+          col("dhat_u"), col("dhat_b"), col("cont_est"), col("novelty"))
+        .orderBy(col("source"))
+    }),
+
     // Accuracy gate (empty-set oracle, integer-exact): fires when any
     // source's KMV estimate misses its exact distinct-shingle count by
     // more than 50% relative — ~4 standard errors at k = 64 (12.7%);
@@ -114,28 +143,30 @@ object OverlapQueries {
   /** Shared prefix: per-source distinct shingle hashes and the k = 64
     * KMV sketch list per source.
     */
-  private val sketchSql =
-    s"""WITH toks AS (
+  private def sketchCte(docFilter: String, p: String = ""): String =
+    s"""${p}toks AS (
       |  SELECT doc_id, source,
       |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
       |    unnest(string_split(text,' ')) AS tok
-      |  FROM documents
-      |), shg AS (
+      |  FROM documents WHERE $docFilter
+      |), ${p}shg AS (
       |  SELECT source,
       |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
       |      AS shingle
-      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      |), fps AS (
+      |  FROM ${p}toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), ${p}fps AS (
       |  SELECT DISTINCT source, $fpSql AS fp
-      |  FROM shg WHERE shingle IS NOT NULL
-      |), ranked AS (
+      |  FROM ${p}shg WHERE shingle IS NOT NULL
+      |), ${p}ranked AS (
       |  SELECT source, fp,
       |    row_number() OVER (PARTITION BY source ORDER BY fp) AS rn
-      |  FROM fps
-      |), sk AS (
+      |  FROM ${p}fps
+      |), ${p}sk AS (
       |  SELECT source, list(fp ORDER BY fp) AS sketch
-      |  FROM ranked WHERE rn <= $K GROUP BY source
+      |  FROM ${p}ranked WHERE rn <= $K GROUP BY source
       |)""".stripMargin
+
+  private val sketchSql = "WITH " + sketchCte("TRUE")
 
   val oracleSql: Map[String, String] = Map(
     "x_kmv_distinct" ->
@@ -175,6 +206,36 @@ object OverlapQueries {
         |            ELSE (${K - 1} * CAST(1000000007 AS BIGINT)) // ku_arr[$K] END)
         |    // len(ku_arr) AS inter_est
         |FROM pairs ORDER BY ga, gb""".stripMargin,
+    // two sketch CTE blocks (history / batch slices) + the same
+    // integer containment arithmetic as Overlap.kmvContainment
+    "x_kmv_novelty" ->
+      (s"""WITH ${sketchCte("doc_id < 400", "h_")},
+        |${sketchCte("doc_id >= 400", "b_")},
+        |paired AS (
+        |  SELECT h.source, h.sketch AS sa, b.sketch AS sb,
+        |    (list_sort(list_distinct(h.sketch || b.sketch)))[1:$K]
+        |      AS ku_arr
+        |  FROM h_sk h JOIN b_sk b ON h.source = b.source
+        |), est AS (
+        |  SELECT source,
+        |    len(ku_arr) AS ku,
+        |    len(list_filter(ku_arr,
+        |      x -> list_contains(sa, x) AND list_contains(sb, x)))
+        |      AS matches,
+        |    CASE WHEN len(ku_arr) < $K THEN len(ku_arr)
+        |         ELSE (${K - 1} * CAST(1000000007 AS BIGINT))
+        |           // ku_arr[$K] END AS dhat_u,
+        |    CASE WHEN len(sb) < $K THEN len(sb)
+        |         ELSE (${K - 1} * CAST(1000000007 AS BIGINT))
+        |           // sb[$K] END AS dhat_b
+        |  FROM paired
+        |)
+        |SELECT source, ku, matches, dhat_u, dhat_b,
+        |  CAST(matches AS DOUBLE) * dhat_u / (CAST(ku AS DOUBLE) * dhat_b)
+        |    AS cont_est,
+        |  1.0 - CAST(matches AS DOUBLE) * dhat_u /
+        |    (CAST(ku AS DOUBLE) * dhat_b) AS novelty
+        |FROM est ORDER BY source""".stripMargin),
     "x_kmv_err" ->
       """SELECT source, CAST(0 AS BIGINT) AS dhat,
         |  CAST(0 AS BIGINT) AS d_exact

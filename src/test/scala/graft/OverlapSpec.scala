@@ -80,6 +80,24 @@ class OverlapSpec extends SparkSuite {
     assert(interEst == matches * dhatU / ku) // integer identity
   }
 
+  test("containment/novelty track truth (|g1∩g2|/|g2| = 0.5)") {
+    // history = g1's universe, batch = g2's, same group label: half of
+    // g2 (400..799 of 400..1199) already exists in history
+    val hist = Overlap.kmvSketch(
+      items.where(col("src") === "g1").withColumn("src", lit("g")),
+      col("src"), col("item"), 64)
+    val batch = Overlap.kmvSketch(
+      items.where(col("src") === "g2").withColumn("src", lit("g")),
+      col("src"), col("item"), 64)
+    val r = Overlap.kmvContainment(hist, batch, 64)
+      .select(col("cont_est"), col("novelty")).as[(Double, Double)]
+      .collect()
+    assert(r.length == 1)
+    val (cont, nov) = r.head
+    assert(math.abs(cont - 0.5) < 0.35, s"cont_est=$cont")
+    assert(math.abs(nov - 0.5) < 0.35 && nov == 1.0 - cont)
+  }
+
   test("null keys are ignored, not a runtime crash") {
     val withNulls = items.unionByName(
       Seq(("g1", null.asInstanceOf[String]),
