@@ -567,6 +567,71 @@ object StreamOps {
       .select(col("media_id"), col("dhash")))
   }
 
+  /** Streaming EMBEDDING near-dup gate: the [[nearDupGateSink]]
+    * protocol for vectors, executed by the batch pipeline's own
+    * [[graft.operators.Dedup.embeddingIncremental]] — per micro-batch,
+    * codes hash ONCE, the store's code scan is semi-filtered to
+    * batch-touched (table, bucket) entries, exact cosine verifies only
+    * batch-bounded candidates, and a batch doc drops when it
+    * near-matches (cos ≥ `threshold`) any stored vector or smaller-id
+    * batch sibling. Survivors append their CODES (24-byte rows, the
+    * persistable ~0.1%-of-vector-bytes form) and their vectors to the
+    * two store shapes; both appends are overwrite-idempotent
+    * `batch=<id>` dirs under the generation-aware reader, so
+    * [[compactNearDupStore]]-shaped maintenance applies to each.
+    * Same monotone-id contract as the text gate.
+    */
+  def embedDedupGateSink(spark: SparkSession, stream: DataFrame,
+                         id: String, vec: String, storePath: String,
+                         outPath: String, checkpoint: String,
+                         threshold: Double = 0.9, planes: Int = 8,
+                         tables: Int = 8, multiprobe: Int = 1,
+                         dim: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val base = batch.select(col(id).cast("long").as("id"),
+            col(vec).as("vec")).localCheckpoint()
+          val storeCodes = gateStoreView(spark, s"$storePath/codes",
+              Seq("id", "table", "bucket"))
+            .getOrElse(Dedup.embeddingCodes(base.limit(0), col("id"),
+              col("vec"), planes, tables, dim))
+          val storeVecs = gateStoreView(spark, s"$storePath/vecs",
+              Seq("id", "vec"))
+            .getOrElse(base.limit(0))
+          val dropIds = Dedup.embeddingIncremental(base, col("id"),
+              col("vec"), storeCodes, storeVecs, threshold, planes,
+              tables, multiprobe, dim)
+            .select(col("id_b").as("id")).distinct()
+          val survivors = base.join(dropIds, Seq("id"), "left_anti")
+            .localCheckpoint()
+          Dedup.embeddingCodes(survivors, col("id"), col("vec"),
+              planes, tables, dim)
+            .write.mode("overwrite")
+            .parquet(s"$storePath/codes/batch=$batchId")
+          survivors.write.mode("overwrite")
+            .parquet(s"$storePath/vecs/batch=$batchId")
+          survivors.select(col("id"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** Generic committed-store view for a gate store dir: newest
+    * committed generation + newer batch dirs, projected to `cols`.
+    */
+  private[graft] def gateStoreView(spark: SparkSession, storePath: String,
+                                   cols: Seq[String]): Option[DataFrame] = {
+    val paths = storeViewDirs(spark, storePath).map(_.toString)
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*).select(cols.map(col): _*))
+  }
+
   /** Streaming DSIR selection gate ([[graft.operators.Selection]], the
     * importance-resampling quality filter): every micro-batch is
     * featurized ONCE, scored against the model as of the PRIOR batches

@@ -406,4 +406,62 @@ class StreamOpsSpec extends SparkSuite {
       assert(store == Set(1L, 2L, 12L, 22L))
     } finally q.stop()
   }
+
+  test("embedDedupGateSink: vector gate drops cross- and intra-batch " +
+      "near-dups via the code store; zero vectors survive") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = s"/tmp/graft-embgate-${System.nanoTime()}"
+    def v(seed: Int, eps: Double = 0.0): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 131 + i + 1) +
+        (if (i == 0) eps else 0.0)).toFloat)
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.embedDedupGateSink(spark,
+      in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$base/store", s"$base/out", s"$base/ckpt", threshold = 0.95)
+    try {
+      in.addData((1L, v(1)), (2L, v(2))); q.processAllAvailable()
+      // 11 near-dup of stored 1 -> dropped; 12 fresh
+      in.addData((11L, v(1, 0.01)), (12L, v(3))); q.processAllAvailable()
+      // 21 dup of batch-2 survivor 12; 22/23 intra-batch pair (22
+      // wins); 24 zero vector (cos undefined -> survives)
+      in.addData((21L, v(3, 0.02)), (22L, v(4)), (23L, v(4, 0.01)),
+        (24L, Array.fill(64)(0.0f)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("id")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 12L, 22L, 24L))
+      // both store shapes hold exactly the survivors
+      val vecIds = spark.read.parquet(s"$base/store/vecs")
+        .select(col("id")).as[Long].collect().toSet
+      assert(vecIds == out)
+      val codeIds = spark.read.parquet(s"$base/store/codes")
+        .select(col("id")).distinct().as[Long].collect().toSet
+      assert(codeIds == out)
+    } finally q.stop()
+  }
+
+  test("mediaDedupGateSink audio arm: fingerprint hashFn plugs in, " +
+      "re-crawled WAVs drop cross-batch") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val base = s"/tmp/graft-audiogate-${System.nanoTime()}"
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mediaDedupGateSink(spark,
+      in.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/store", s"$base/out", s"$base/ckpt",
+      hashFn = (s2, df) => Multimodal.audioFingerprint(s2, df).toDF())
+    try {
+      in.addData((1L, Multimodal.syntheticWav(0L)),
+        (2L, Multimodal.syntheticWav(20L)))
+      q.processAllAvailable()
+      // 11 = re-crawl of 1's audio -> dropped; 12 fresh; 13 garbage
+      in.addData((11L, Multimodal.syntheticWav(0L)),
+        (12L, Multimodal.syntheticWav(40L)), (13L, "junk".getBytes))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("media_id")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 12L, 13L))
+    } finally q.stop()
+  }
 }
