@@ -356,6 +356,40 @@ object Multimodal {
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
   }
 
+  /** EXACT shared-frame video near-dup — codec-free container-level
+    * duplicate detection (re-uploads, partial re-muxes): payloads
+    * chunk into fixed-size frames ([[sampleFrames]]' chunker), each
+    * frame hashes to 8 bytes, and two videos pair when they share at
+    * least `minShared` DISTINCT frame hashes. Everything after the
+    * narrow chunk+hash pass is the engine's standard bucket-join
+    * shape: frames shuffle as (hash, id) fixed-width rows, in-bucket
+    * pair expansion is `maxBucket`-capped (a frame shared by every
+    * video — a constant container prefix — is boilerplate, same
+    * adjudication as stop-shingles), and `minShared ≥ 2` screens out
+    * single-frame prefix collisions by default.
+    */
+  def videoFrameDupPairs(media: DataFrame, frameBytes: Int = 64,
+                         minShared: Long = 2,
+                         maxBucket: Int = 10000): DataFrame = {
+    val frames = media
+      .select(col("media_id"), lit("video").as("kind"), col("payload"))
+      .transform(m => sampleFrames(m, frameBytes, stride = 1))
+      .select(col("media_id").as("id"), xxhash64(col("frame")).as("fh"))
+      .distinct()
+    val members = frames.groupBy(col("fh"))
+      .agg(sort_array(collect_set(col("id"))).as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    members.select(explode(
+      org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.PairCombinationsExpr(
+          org.apache.spark.sql.GraftSqlBridge.toExpression(col("ms")))))
+      .as("pr"))
+      .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
   // ---------- acoustic fingerprint (energy-delta) audio near-dup ----
 
   /** 63-bit acoustic fingerprint (the sign-of-energy-delta scheme of

@@ -662,6 +662,30 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT shared-frame video near-dup, codec-free: duplicate
+    // containers pair at minShared = 3 — strictly above the ≤ 2
+    // frames mere field coincidences can share (2 constant container
+    // frames; +1 when only the dimension fields coincide) and the
+    // single identical prefix frame of the truncated (doc_id % 11)
+    // payloads. The synthetic fields have period lcm(20,7,5,4) = 140,
+    // so payloads are IDENTICAL exactly when bases agree mod 140 —
+    // the oracle is that by-construction equivalence, which means a
+    // cross-base frame collision OR a missed duplicate pair both
+    // hash-mismatch.
+    "x_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val media = t(s, d, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 11 == 0) Multimodal.syntheticMp4(id).take(12)
+          else Multimodal.syntheticMp4(id - id % 4)))
+        .toDF("media_id", "payload")
+      Multimodal.videoFrameDupPairs(media, frameBytes = 64,
+          minShared = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // REAL video container metadata (MP4 box-tree walk: moov/mvhd
     // timescale+duration, trak/tkhd 16.16-fixed dimensions), same
     // synthesize-and-round-trip pattern; doc_id % 11 payloads are
@@ -1164,6 +1188,17 @@ object ExtensionQueries {
     "x_image_dhash" ->
       s"""WITH ${dhashSql(200)}
         |SELECT id AS doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin,
+    "x_video_neardup" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 11 <> 0
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id < b.doc_id
+        |  AND (a.doc_id - a.doc_id % 4) % 140
+        |    = (b.doc_id - b.doc_id % 4) % 140
+        |ORDER BY id_a, id_b""".stripMargin,
     "x_audio_fp" ->
       s"""WITH ${audioFpSql(300, "doc_id")}
         |SELECT d.doc_id, afp.fp AS afp

@@ -6,26 +6,25 @@ import org.apache.spark.sql.functions._
 /** Ad-hoc probe main (contents vary across sessions). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val d = s"/root/testdata/$sf"
-      val e = graft.queries.ParityQueries.t(spark, d, "embeddings")
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val cents = graft.operators.Similarity.fitCentroids(e, k = 16, iters = 3)
-      val exact = graft.operators.Similarity.bruteForcePairs(e, 0.42)
-        .count()
-      for (p <- Seq(1, 2, 3, 4)) {
-        val found = graft.operators.Dedup.semDedupPairs(e, cents, 0.42,
-          probes = p).count()
-        println(s"SEMDEDUP $sf probes=$p found=$found exact=$exact")
-      }
-    }
+    import spark.implicits._
+    val media = (0L until 48L).map(id =>
+      (id, if (id % 11 == 0) graft.operators.Multimodal.syntheticMp4(id).take(12)
+           else graft.operators.Multimodal.syntheticMp4(id - id % 4)))
+      .toDF("media_id", "payload")
+    val pairs = graft.operators.Multimodal
+      .videoFrameDupPairs(media, frameBytes = 64, minShared = 1)
+      .select($"id_a", $"id_b", $"shared_frames")
+      .as[(Long, Long, Long)].collect()
+    val (same, cross) = pairs.partition { case (a, b, _) =>
+      a - a % 4 == b - b % 4 }
+    println("SAMEBASE shared min/max: " + same.map(_._3).min + "/" + same.map(_._3).max)
+    println("CROSS shared min/max: " + cross.map(_._3).min + "/" + cross.map(_._3).max)
+    println("payload len: " + graft.operators.Multimodal.syntheticMp4(1).length)
     spark.stop()
   }
 }
