@@ -601,16 +601,17 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // CROSS-MODAL dedup capstone: a doc is duplicate-linked if ANY
-    // modality matches — text MinHash est ≥ 0.8, image dHash dist = 0
-    // (payloads shared in base-of-3 groups), or audio fingerprint
-    // dist ≤ 3 (base-of-5 groups) — and connected components over the
-    // UNION of the three edge sets resolve the groups (a text-dup of
-    // an image-dup of an audio-dup all collapse to one kept doc). The
-    // oracle rebuilds all three edge sets in SQL (PolyFp MinHash,
-    // pixel-arithmetic dHash, PCM-arithmetic fingerprint) and runs the
-    // same recursive-CTE clustering — the full composition
-    // hash-checks.
+    // CROSS-MODAL dedup capstone over ALL FOUR modalities: a doc is
+    // duplicate-linked if ANY matches — text MinHash est ≥ 0.8, image
+    // dHash dist = 0 (base-of-3 payload groups), audio fingerprint
+    // dist ≤ 3 (base-of-5), or shared video frames ≥ 3 (base-of-4,
+    // doc_id % 11 truncated) — and connected components over the edge
+    // UNION resolve the groups (a text-dup of an image-dup of a
+    // video-dup all collapse to one kept doc). The oracle rebuilds
+    // every edge set in SQL (PolyFp MinHash, pixel-arithmetic dHash,
+    // PCM-arithmetic fingerprint, the by-construction video
+    // equivalence) and runs the same recursive-CTE clustering — the
+    // full composition hash-checks.
     "x_multimodal_dedup" -> ((s, d) => {
       import s.implicits._
       val docs = t(s, d, "documents").where(col("doc_id") < 100)
@@ -634,8 +635,16 @@ object ExtensionQueries {
       val audE = Multimodal.dhashPairs(
           Multimodal.audioFingerprint(s, audMedia).toDF(), maxDist = 3)
         .select(col("id_a"), col("id_b"))
+      val vidMedia = docs.select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 11 == 0) Multimodal.syntheticMp4(id).take(12)
+          else Multimodal.syntheticMp4(id - id % 4)))
+        .toDF("media_id", "payload")
+      val vidE = Multimodal.videoFrameDupPairs(vidMedia,
+          frameBytes = 64, minShared = 3)
+        .select(col("id_a"), col("id_b"))
       graft.operators.Graph.dedupClusters(
-          textE.unionByName(imgE).unionByName(audE),
+          textE.unionByName(imgE).unionByName(audE).unionByName(vidE),
           col("id_a"), col("id_b"))
         .select(col("id").as("doc_id"), col("cluster"), col("keep"))
         .orderBy(col("doc_id"))
@@ -1176,6 +1185,13 @@ object ExtensionQueries {
         |  SELECT x.id AS a, y.id AS b FROM a_afp x JOIN a_afp y
         |    ON x.id < y.id
         |  WHERE bit_count(xor(x.fp, y.fp)) <= 3
+        |  UNION
+        |  SELECT x.doc_id AS a, y.doc_id AS b
+        |  FROM documents x JOIN documents y
+        |    ON x.doc_id < y.doc_id
+        |    AND x.doc_id - x.doc_id % 4 = y.doc_id - y.doc_id % 4
+        |  WHERE x.doc_id < 100 AND y.doc_id < 100
+        |    AND x.doc_id % 11 <> 0 AND y.doc_id % 11 <> 0
         |), sym AS (
         |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
         |), reach(id, r) AS (
