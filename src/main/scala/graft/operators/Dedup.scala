@@ -140,6 +140,36 @@ object Dedup {
       .withColumnRenamed("col", "bucket")
   }
 
+  /** Bucket-member arrays with the aggregation BUFFER bounded — the
+    * shared shape of every in-bucket pair expansion ([[
+    * minhashCandidates]], [[ngramJaccardPairs]], [[embeddingCandidates]],
+    * [[graft.operators.Multimodal.videoFrameDupPairs]]): member counts
+    * aggregate FIRST (fixed-width rows, map-side combined), keys outside
+    * (1, `maxBucket`] are removed by a semi join BEFORE any collect
+    * buffer forms, and only then do the surviving rows collect into
+    * arrays. A post-collect `size(ms) <= maxBucket` filter caps the pair
+    * EXPANSION but not the buffer: a degenerate bucket (millions of
+    * identical boilerplate docs at 100 TB) would still materialize its
+    * full member array inside one aggregation buffer just to be
+    * size-filtered away — the OOM class this ordering removes. The
+    * groupBy reuses the semi join's hash partitioning on `keys`, so the
+    * full-row shuffle count stays at one; the count pass adds only a
+    * fixed-width exchange. Callers guarantee `rows` are distinct per
+    * (keys, member) so row counts equal member counts.
+    */
+  private[graft] def boundedBucketMembers(rows: DataFrame,
+                                          keys: Seq[String],
+                                          member: Column,
+                                          maxBucket: Int): DataFrame = {
+    val kc = keys.map(col)
+    val eligible = rows.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .select(kc: _*)
+    rows.join(eligible, keys, "left_semi")
+      .groupBy(kc: _*)
+      .agg(sort_array(member).as("ms"))
+  }
+
   /** Candidate pairs from band collisions, verified by exact signature
     * agreement (estimated Jaccard = fraction of equal components).
     *
@@ -149,15 +179,15 @@ object Dedup {
     * cap bounds the quadratic blow-up of degenerate buckets (at 100 TB a
     * bucket holding millions of identical boilerplate docs would
     * otherwise explode; those are better handled by exact dedup first).
+    * The cap binds BEFORE the member arrays form
+    * ([[boundedBucketMembers]]), so it bounds memory, not just work.
     */
   def minhashCandidates(sigs: DataFrame, rowsPerBand: Int = 4,
                         minEstJaccard: Double = 0.0,
                         maxBucket: Int = 10000): DataFrame = {
-    val members = lshBuckets(sigs, rowsPerBand)
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig"))))
-        .as("ms"))
-      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    val members = boundedBucketMembers(lshBuckets(sigs, rowsPerBand),
+      Seq("band", "bucket"), collect_list(struct(col("id"), col("sig"))),
+      maxBucket)
     val pairs = members.select(explode(
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.PairCombinationsExpr(
@@ -539,10 +569,8 @@ object Dedup {
       .select(col("id"), size(col("shs")).as("n_sh"),
         explode(col("shs")).as("shingle"))
       .select(col("id"), col("n_sh"), xxhash64(col("shingle")).as("sh"))
-    val members = docs.groupBy(col("sh"))
-      .agg(sort_array(collect_list(struct(col("id"), col("n_sh"))))
-        .as("ms"))
-      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    val members = boundedBucketMembers(docs, Seq("sh"),
+      collect_list(struct(col("id"), col("n_sh"))), maxBucket)
     val pairs = members.select(explode(
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.PairCombinationsExpr(
@@ -774,9 +802,11 @@ object Dedup {
     val ent = expandProbes(
       embeddingCodes(base, col("id"), col("vec"), planes, tables, dim),
       planes, multiprobe)
-    val members = ent.groupBy(col("table"), col("bucket"))
-      .agg(sort_array(collect_set(col("id"))).as("ms"))
-      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    // (table, bucket, id) rows are distinct by construction: a probe
+    // set per (id, table) is the original bucket plus DISTINCT bit
+    // flips, so the pre-count cap sees true member counts
+    val members = boundedBucketMembers(ent, Seq("table", "bucket"),
+      collect_set(col("id")), maxBucket)
     members.select(explode(
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.PairCombinationsExpr(

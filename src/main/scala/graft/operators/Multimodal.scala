@@ -376,9 +376,12 @@ object Multimodal {
       .transform(m => sampleFrames(m, frameBytes, stride = 1))
       .select(col("media_id").as("id"), xxhash64(col("frame")).as("fh"))
       .distinct()
-    val members = frames.groupBy(col("fh"))
-      .agg(sort_array(collect_set(col("id"))).as("ms"))
-      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    // (fh, id) rows arrive distinct (the .distinct() above), and the
+    // cap binds BEFORE the member array forms (Dedup.
+    // boundedBucketMembers) — a frame shared by every video never
+    // materializes its full holder list in one aggregation buffer
+    val members = Dedup.boundedBucketMembers(frames, Seq("fh"),
+      collect_set(col("id")), maxBucket)
     members.select(explode(
       org.apache.spark.sql.GraftSqlBridge.toColumn(
         graft.functions.PairCombinationsExpr(
@@ -411,14 +414,15 @@ object Multimodal {
       if (payload.length < 44 || fourCC(0) != "RIFF" || fourCC(8) != "WAVE")
         return None
       var off = 12
-      var fmt: Option[(Int, Int)] = None // align, bits
+      var fmt: Option[(Int, Int, Int)] = None // audioFormat, align, bits
       var dataOff = -1
       var dataSize = -1L
       while (off + 8 <= payload.length && (fmt.isEmpty || dataOff < 0)) {
         val id = fourCC(off)
         val sz = bb.getInt(off + 4).toLong & 0xFFFFFFFFL
         if (id == "fmt " && sz >= 16 && off + 8 + 16 <= payload.length)
-          fmt = Some((bb.getShort(off + 20) & 0xFFFF,
+          fmt = Some((bb.getShort(off + 8) & 0xFFFF,
+            bb.getShort(off + 20) & 0xFFFF,
             bb.getShort(off + 22) & 0xFFFF))
         else if (id == "data") {
           dataOff = off + 8
@@ -429,8 +433,12 @@ object Multimodal {
         off = if (next > payload.length) payload.length else next.toInt
       }
       fmt match {
-        case Some((align, bits))
-            if bits == 16 && align >= 2 && dataOff >= 0 && dataSize > 0 =>
+        // audioFormat tag 1 = integer PCM: a 16-bit IEEE-float or
+        // companded WAV is NOT sample-compatible and must dead-letter
+        // (the documented non-PCM-16 stance), not fingerprint garbage
+        case Some((audioFormat, align, bits))
+            if audioFormat == 1 && bits == 16 && align >= 2 &&
+              dataOff >= 0 && dataSize > 0 =>
           val frames = (dataSize / align).toInt
           if (frames < 64) return None
           val energy = new Array[Long](64)
@@ -563,11 +571,21 @@ object Multimodal {
     * within distance ≤ 3 shares an untouched window — so for
     * maxDist ≤ 3 the blocked result EQUALS the brute-force O(n²) scan
     * (oracle-checked), at equality-join cost.
+    *
+    * `maxBucket` (opt-in) caps the per-(w, wk) join bucket: a
+    * DEGENERATE window key — uniform image regions pool to all-zero
+    * difference bits, so 0x0000 windows collect corpus-scale member
+    * sets — is the perceptual-hash stop-shingle, and its n² join
+    * blow-up gets skipped the way [[Dedup.ngramJaccardPairs]] skips
+    * boilerplate shingles. Capping trades exactness for the skew
+    * bound (a pair whose ONLY untouched shared window was capped is
+    * missed), so the default keeps the exact semantics.
     */
-  def dhashPairs(hashes: DataFrame, maxDist: Int = 3): DataFrame = {
+  def dhashPairs(hashes: DataFrame, maxDist: Int = 3,
+                 maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "maxDist > 3 breaks the 4-window pigeonhole exactness guarantee")
-    val windows = dhashWindows(hashes)
+    val windows = cappedWindows(dhashWindows(hashes), maxBucket)
     val l = windows.select(col("id").as("id_a"),
       col("dhash").as("ha"), col("w"), col("wk"))
     val r = windows.select(col("id").as("id_b"),
@@ -578,6 +596,23 @@ object Multimodal {
       .distinct()
       .where(col("dist") <= maxDist)
   }
+
+  /** Window entries with over-`maxBucket` (w, wk) keys removed — the
+    * counts aggregate first (fixed-width, map-side combined) and the
+    * semi join filters rows BEFORE any pairing, so the cap bounds the
+    * join bucket itself, never materializing the degenerate key's
+    * quadratic expansion. `Int.MaxValue` = exact (no extra pass).
+    */
+  private def cappedWindows(windows: DataFrame,
+                            maxBucket: Int): DataFrame =
+    if (maxBucket == Int.MaxValue) windows
+    else {
+      val sized = windows.groupBy(col("w"), col("wk"))
+        .agg(count(lit(1)).as("__n"))
+        .where(col("__n") >= 2 && col("__n") <= maxBucket)
+        .select(col("w"), col("wk"))
+      windows.join(sized, Seq("w", "wk"), "left_semi")
+    }
 
   /** The 4×14-bit window entries of a (media_id, dhash) table. */
   private def dhashWindows(hashes: DataFrame): DataFrame =
@@ -601,15 +636,19 @@ object Multimodal {
     * construction. Returns (id_a, id_b, dist) with id_b ∈ probe.
     */
   def dhashPairsAgainst(store: DataFrame, probe: DataFrame,
-                        maxDist: Int = 3): DataFrame = {
+                        maxDist: Int = 3,
+                        maxBucket: Int = Int.MaxValue): DataFrame = {
     require(maxDist >= 0 && maxDist <= 3,
       "maxDist > 3 breaks the 4-window pigeonhole exactness guarantee")
     val pw = dhashWindows(probe)
     val sw = dhashWindows(store)
       .join(pw.select(col("w"), col("wk")).distinct(),
         Seq("w", "wk"), "left_semi")
-    val l = sw.unionByName(pw).select(col("id").as("id_a"),
-      col("dhash").as("ha"), col("w"), col("wk"))
+    // the cap counts over the FULL joinable side (store slice + probe)
+    // so a window degenerate only in combination is still caught
+    val l = cappedWindows(sw.unionByName(pw), maxBucket)
+      .select(col("id").as("id_a"),
+        col("dhash").as("ha"), col("w"), col("wk"))
     val r = pw.select(col("id").as("id_b"),
       col("dhash").as("hb"), col("w"), col("wk"))
     l.join(r, Seq("w", "wk")).where(col("id_a") < col("id_b"))

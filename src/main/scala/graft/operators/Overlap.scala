@@ -126,9 +126,13 @@ object Overlap {
           col("sb"))).cast("long"))
       .withColumn("dhat_u", dhat("ku_arr"))
       .withColumn("dhat_b", dhat("sb"))
+      // the ratio of two independent estimators can exceed 1 under
+      // sampling noise; clamp so novelty = 1 − cont_est stays in [0,1]
+      // for downstream threshold policies
       .withColumn("cont_est",
-        (col("matches").cast("double") * col("dhat_u")) /
-          (col("ku").cast("double") * col("dhat_b")))
+        least(lit(1.0),
+          (col("matches").cast("double") * col("dhat_u")) /
+            (col("ku").cast("double") * col("dhat_b"))))
       .select(col("grp"), col("ku"), col("matches"), col("dhat_u"),
         col("dhat_b"), col("cont_est"),
         (lit(1.0) - col("cont_est")).as("novelty"))

@@ -559,8 +559,12 @@ object ExtensionQueries {
             .select(col("doc_id"))).as[Long]
         .map(id => (id, Multimodal.syntheticPng(id)))
         .toDF("media_id", "payload")
+      // maxBucket opted in at fixture size: exercises the capped-join
+      // path (pre-count + semi join) while no real window key exceeds
+      // it, so the blocked result still EQUALS the brute-force oracle
       Multimodal.dhashPairs(
-          Multimodal.imageDHash(s, media).toDF(), maxDist = 3)
+          Multimodal.imageDHash(s, media).toDF(), maxDist = 3,
+          maxBucket = 100)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -595,8 +599,10 @@ object ExtensionQueries {
           if (id % 13 == 0) "RIFFbut-truncated".getBytes
           else Multimodal.syntheticWav(id - id % 2)))
         .toDF("media_id", "payload")
+      // same opt-in capped path as x_image_neardup (cap ≥ fixture size)
       Multimodal.dhashPairs(
-          Multimodal.audioFingerprint(s, media).toDF(), maxDist = 3)
+          Multimodal.audioFingerprint(s, media).toDF(), maxDist = 3,
+          maxBucket = 150)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),

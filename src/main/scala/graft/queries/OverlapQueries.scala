@@ -231,10 +231,11 @@ object OverlapQueries {
         |  FROM paired
         |)
         |SELECT source, ku, matches, dhat_u, dhat_b,
-        |  CAST(matches AS DOUBLE) * dhat_u / (CAST(ku AS DOUBLE) * dhat_b)
+        |  LEAST(1.0,
+        |    CAST(matches AS DOUBLE) * dhat_u / (CAST(ku AS DOUBLE) * dhat_b))
         |    AS cont_est,
-        |  1.0 - CAST(matches AS DOUBLE) * dhat_u /
-        |    (CAST(ku AS DOUBLE) * dhat_b) AS novelty
+        |  1.0 - LEAST(1.0, CAST(matches AS DOUBLE) * dhat_u /
+        |    (CAST(ku AS DOUBLE) * dhat_b)) AS novelty
         |FROM est ORDER BY source""".stripMargin),
     "x_kmv_err" ->
       """SELECT source, CAST(0 AS BIGINT) AS dhat,

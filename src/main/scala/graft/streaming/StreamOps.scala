@@ -520,6 +520,7 @@ object StreamOps {
                          id: String, payload: String, storePath: String,
                          outPath: String, checkpoint: String,
                          maxDist: Int = 3,
+                         maxBucket: Int = Int.MaxValue,
                          hashFn: (SparkSession, DataFrame) => DataFrame =
                            (s, df) => graft.operators.Multimodal
                              .imageDHash(s, df).toDF())
@@ -531,9 +532,12 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // ONE hash pass; dead-letters keep a null dhash
+          // alias to "payload" so the hashFn contract (imageDHash /
+          // audioFingerprint select col("payload") by name) holds for
+          // any input column name — the embedDedupGateSink treatment
           val hashes = hashFn(spark,
               batch.select(col(id).cast("long").as("media_id"),
-                col(payload))).localCheckpoint()
+                col(payload).as("payload"))).localCheckpoint()
           val store = mediaStoreView(spark, storePath)
             .getOrElse(hashes.limit(0))
           // exact blocked pairs with the batch on the larger-id side;
@@ -541,7 +545,7 @@ object StreamOps {
           // pairing, so per-batch cost never scales with store² (store
           // ids are smaller by the monotonicity contract)
           val dropIds = Multimodal
-            .dhashPairsAgainst(store, hashes, maxDist)
+            .dhashPairsAgainst(store, hashes, maxDist, maxBucket)
             .select(col("id_b").as("media_id")).distinct()
           val survivors = hashes
             .join(dropIds, Seq("media_id"), "left_anti")
