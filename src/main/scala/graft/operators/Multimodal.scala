@@ -658,6 +658,109 @@ object Multimodal {
       .where(col("dist") <= maxDist)
   }
 
+  // ---------- banded perceptual-hash store (persisted, pruned) ----
+
+  /** Persist (media_id, dhash) hashes as the BANDED media store:
+    * window-expanded to (w, wk, id, dhash) rows range-clustered by
+    * (w, wk) into `filesOut` files, plus a footer-stats manifest
+    * ([[graft.operators.Stats.writeManifest]]) — the
+    * [[Dedup.writeBandedSigStore]] treatment applied to perceptual
+    * hashes. A probe batch's store scan, routed through
+    * [[Stats.readTouchedPairsManifest]], OPENS only the files whose
+    * (w, wk) range its own windows touch: at 100 TB of history the
+    * store is a few hundred GB of 32-byte rows, and per-batch reads
+    * shrink to the touched slice. Null dhashes (dead-letters) carry no
+    * windows and are never stored.
+    */
+  def writeDhashStore(hashes: DataFrame, storeDir: String,
+                      manifestPath: String, filesOut: Int): Unit = {
+    val spark = hashes.sparkSession
+    dhashWindows(hashes)
+      .select(col("w"), col("wk"), col("id"), col("dhash"))
+      .repartitionByRange(filesOut, col("w"), col("wk"))
+      .sortWithinPartitions(col("w"), col("wk"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeDir)
+    Stats.writeManifest(spark, storeDir, manifestPath)
+  }
+
+  /** Append a batch's window-expanded hashes to an existing banded
+    * media store (continuous ingestion); the manifest refresh reads
+    * footers ONLY for the new files. Fold accumulated appends with
+    * [[Layout.compact]] (cluster by w, wk) + [[Stats.writeManifest]]
+    * on the usual maintenance cadence.
+    */
+  def appendDhashStore(hashes: DataFrame, storeDir: String,
+                       manifestPath: String, filesOut: Int): Unit = {
+    val spark = hashes.sparkSession
+    dhashWindows(hashes)
+      .select(col("w"), col("wk"), col("id"), col("dhash"))
+      .repartitionByRange(filesOut, col("w"), col("wk"))
+      .sortWithinPartitions(col("w"), col("wk"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    Stats.refreshManifest(spark, storeDir, manifestPath)
+  }
+
+  /** [[dhashPairsAgainst]] against a PERSISTED banded store written by
+    * [[writeDhashStore]]: identical semantics (exact for maxDist ≤ 3
+    * by the pigeonhole bound; probe ids larger by the monotonicity
+    * contract), but the store scan is manifest-pruned to
+    * touched-window FILES before the row-level touched semi join — the
+    * probe opens a slice of the store, not the store. The store
+    * arrives pre-window-expanded, so the per-batch window projection
+    * of the flat path disappears too.
+    */
+  def dhashPairsAgainstStored(storeDir: String, manifestPath: String,
+                              probe: DataFrame, maxDist: Int = 3,
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
+    val spark = probe.sparkSession
+    val pw = dhashWindows(probe)
+    val sw = Stats.readTouchedPairsManifest(spark, storeDir,
+        manifestPath, "w", "wk",
+        pw.select(col("w"), col("wk")).distinct())
+      .select(col("w"), col("wk"), col("id"), col("dhash"))
+    dhashPairsAgainstBands(sw, pw, maxDist, maxBucket)
+  }
+
+  /** The band-level pairing core shared by [[dhashPairsAgainstStored]]
+    * and the streaming banded media gate: `storeBands` arrives
+    * pre-window-expanded (w, wk, id, dhash) and FILE-pruned by the
+    * caller; the row-level touched semi join, the skew cap, and the
+    * exact blocked pairing happen here. Probe ids are larger by the
+    * monotonicity contract.
+    */
+  private[graft] def dhashPairsAgainstBands(storeBands: DataFrame,
+                                            probeWindows: DataFrame,
+                                            maxDist: Int,
+                                            maxBucket: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 3,
+      "maxDist > 3 breaks the 4-window pigeonhole exactness guarantee")
+    val pw = probeWindows.select(col("w"), col("wk"), col("id"),
+      col("dhash"))
+    val sw = storeBands
+      .join(pw.select(col("w"), col("wk")).distinct(),
+        Seq("w", "wk"), "left_semi")
+    val l = cappedWindows(sw.unionByName(pw), maxBucket)
+      .select(col("id").as("id_a"),
+        col("dhash").as("ha"), col("w"), col("wk"))
+    val r = pw.select(col("id").as("id_b"),
+      col("dhash").as("hb"), col("w"), col("wk"))
+    l.join(r, Seq("w", "wk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.hamming(col("ha"), col("hb")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxDist)
+  }
+
+  /** The (w, wk, id, dhash) window expansion of a hash table — the
+    * banded media store's row shape, exposed for the streaming gate's
+    * hash-once store appends.
+    */
+  private[graft] def dhashWindowRows(hashes: DataFrame): DataFrame =
+    dhashWindows(hashes).select(col("w"), col("wk"), col("id"),
+      col("dhash"))
+
   /** Wrap any table's text column as a synthetic media table — exercises
     * the binary-column path with the data we have.
     */

@@ -47,6 +47,29 @@ object ExtensionQueries {
     (s"$p/store", s"$p/manifest")
   }
 
+  /** Persisted BANDED perceptual-hash store for the "historical" media
+    * slice (doc_id < 121 of the grouped-image fixture), written once
+    * per data dir — (w, wk, id, dhash) rows clustered by (w, wk) with
+    * a footer manifest, so a probe batch's store scan opens only
+    * touched-window files (Multimodal.writeDhashStore /
+    * Stats.readTouchedPairsManifest — the banded-MinHash-store
+    * treatment applied to media). Returns (storeDir, manifestPath).
+    */
+  private def dhashStoreFor(s: SparkSession, d: String)
+      : (String, String) = {
+    val p = ArtifactMemo.dirFor("dhstore", d) { p =>
+      import s.implicits._
+      val hist = graft.operators.Layout.fanOutSmallScan(
+          t(s, d, "documents").where(col("doc_id") < 121)
+            .select(col("doc_id"))).as[Long]
+        .map(id => (id, Multimodal.syntheticPng(id - id % 3)))
+        .toDF("media_id", "payload")
+      Multimodal.writeDhashStore(Multimodal.imageDHash(s, hist).toDF(),
+        s"$p/store", s"$p/manifest", filesOut = 16)
+    }
+    (s"$p/store", s"$p/manifest")
+  }
+
   /** DuckDB twin of [[graft.operators.Multimodal.decodeImageDHash]]
     * over the synthetic-gradient fixture: reconstruct the pixel grid
     * from doc_id arithmetic (the codec is lossless, so decoded lumas
@@ -565,6 +588,29 @@ object ExtensionQueries {
       Multimodal.dhashPairs(
           Multimodal.imageDHash(s, media).toDF(), maxDist = 3,
           maxBucket = 100)
+        .select(col("id_a"), col("id_b"), col("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // Incremental perceptual-hash near-dup: batch images (doc_id in
+    // [121, 200), duplicate groups of 3 straddling the boundary)
+    // against the PERSISTED banded dhash store of history — history is
+    // never re-decoded or re-window-expanded, the store scan is
+    // manifest-pruned to touched-window FILES, and the blocked pairing
+    // stays EXACT (pigeonhole, maxDist ≤ 3). Hash-checked against the
+    // brute-force oracle restricted to batch-side larger ids: the
+    // pruned-store path is provably equivalent to the full pair scan.
+    "x_media_incremental" -> ((s, d) => {
+      import s.implicits._
+      val batch = graft.operators.Layout.fanOutSmallScan(
+          t(s, d, "documents")
+            .where(col("doc_id") >= 121 && col("doc_id") < 200)
+            .select(col("doc_id"))).as[Long]
+        .map(id => (id, Multimodal.syntheticPng(id - id % 3)))
+        .toDF("media_id", "payload")
+      val (store, manifest) = dhashStoreFor(s, d)
+      Multimodal.dhashPairsAgainstStored(store, manifest,
+          Multimodal.imageDHash(s, batch).toDF(), maxDist = 3)
         .select(col("id_a"), col("id_b"), col("dist"))
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1238,6 +1284,16 @@ object ExtensionQueries {
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
         |FROM dh a JOIN dh b ON a.id < b.id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // incremental ≡ batch: every near pair whose LARGER id is in the
+    // probe batch, recomputed from scratch by brute force — the
+    // pruned-store path must reproduce it exactly
+    "x_media_incremental" ->
+      s"""WITH ${dhashSql(200, "doc_id - doc_id % 3")}
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INT) AS dist
+        |FROM dh a JOIN dh b ON a.id < b.id AND b.id >= 121
         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "x_image_meta" ->

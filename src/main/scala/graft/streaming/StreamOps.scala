@@ -571,6 +571,104 @@ object StreamOps {
       .select(col("media_id"), col("dhash")))
   }
 
+  /** [[mediaDedupGateSink]] over a BANDED, manifest-pruned store — the
+    * r8 treatment of the MinHash store applied to perceptual hashes:
+    * store dirs hold (w, wk, id, dhash) rows range-clustered by
+    * (w, wk) (the [[graft.operators.Multimodal.writeDhashStore]]
+    * layout), a footer manifest rides beside the store (default
+    * `<storePath>_manifest`), and each micro-batch's store scan OPENS
+    * only the files its own window keys can live in
+    * ([[graft.operators.Stats.touchedPairsKeptFilesUnder]] over the
+    * current generation view). Gate semantics are
+    * [[mediaDedupGateSink]]'s exactly (the shared band-level core, so
+    * results are micro-batch-boundary deterministic and exact for
+    * maxDist ≤ 3); appends are batch-keyed and overwrite-idempotent;
+    * `compactEvery` folds batches into (w, wk)-clustered generations
+    * with a one-cycle vacuum grace. A missing or crashed manifest only
+    * costs pruning, never rows.
+    */
+  def mediaDedupGateSinkBanded(spark: SparkSession, stream: DataFrame,
+                               id: String, payload: String,
+                               storePath: String, outPath: String,
+                               checkpoint: String, maxDist: Int = 3,
+                               maxBucket: Int = Int.MaxValue,
+                               hashFn: (SparkSession, DataFrame)
+                                 => DataFrame = (s, df) =>
+                                 graft.operators.Multimodal
+                                   .imageDHash(s, df).toDF(),
+                               compactEvery: Int = 0,
+                               compactFilesOut: Int = 4,
+                               appendFilesOut: Int = 2,
+                               manifestPath: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Multimodal, Stats}
+    val mPath =
+      if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // ONE hash pass + ONE window expansion, reused by the prune
+          // probes, the gate, and the store append
+          val hashes = hashFn(spark,
+              batch.select(col(id).cast("long").as("media_id"),
+                col(payload).as("payload"))).localCheckpoint()
+          val pw = Multimodal.dhashWindowRows(hashes)
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val viewDirs = storeViewDirs(spark, storePath)
+          val storeBands =
+            if (viewDirs.isEmpty) pw.limit(0)
+            else {
+              val mp = new org.apache.hadoop.fs.Path(mPath)
+              val files =
+                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+                  Stats.touchedPairsKeptFilesUnder(spark,
+                    viewDirs.map(_.toString), mPath, "w", "wk",
+                    pw.select(col("w"), col("wk")))
+                else viewDirs.map(_.toString)
+              if (files.isEmpty) pw.limit(0)
+              else spark.read.parquet(files: _*)
+                .select(col("w"), col("wk"), col("id"), col("dhash"))
+            }
+          val dropIds = Multimodal
+            .dhashPairsAgainstBands(storeBands, pw, maxDist, maxBucket)
+            .select(col("id_b").as("media_id")).distinct()
+          val survivors = hashes
+            .join(dropIds, Seq("media_id"), "left_anti")
+            .localCheckpoint()
+          Multimodal.dhashWindowRows(
+              survivors.where(col("dhash").isNotNull))
+            .repartitionByRange(appendFilesOut, col("w"), col("wk"))
+            .sortWithinPartitions(col("w"), col("wk"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          survivors.select(col("media_id"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          refreshStoreManifest(spark, storePath, mPath)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactMediaStoreBanded(spark, storePath, mPath,
+              compactFilesOut): Unit
+        }
+      }
+      .start()
+  }
+
+  /** [[compactNearDupStoreBanded]] for the banded MEDIA store: fold
+    * batch dirs into a (w, wk)-range-clustered generation and refresh
+    * the footer manifest (one-cycle vacuum grace, as everywhere).
+    */
+  def compactMediaStoreBanded(spark: SparkSession, storePath: String,
+                              manifestPath: String,
+                              filesOut: Int): Option[Long] = {
+    val tok = compactStoreShaped(spark, storePath,
+      _.select(col("w"), col("wk"), col("id"), col("dhash"))
+        .repartitionByRange(filesOut, col("w"), col("wk"))
+        .sortWithinPartitions(col("w"), col("wk")))
+    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
+    tok
+  }
+
   /** Streaming EMBEDDING near-dup gate: the [[nearDupGateSink]]
     * protocol for vectors, executed by the batch pipeline's own
     * [[graft.operators.Dedup.embeddingIncremental]] — per micro-batch,

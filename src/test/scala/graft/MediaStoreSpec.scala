@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Layout, Multimodal, Stats}
+import graft.streaming.StreamOps
+
+/** The banded perceptual-hash store: incremental media near-dup through
+  * the manifest-pruned (w, wk)-clustered store must (a) answer
+  * identically to the flat in-memory path, and (b) OPEN strictly fewer
+  * store files than the store holds — the BandedStoreSpec accounting
+  * applied to the media axis.
+  */
+class MediaStoreSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // deterministic 56-bit spread hashes — window keys scatter across
+  // the (w, wk) range like real dHashes
+  private def spread(i: Long): Long =
+    (i * 0x9E3779B97F4A7C15L) & ((1L << 56) - 1)
+
+  test("dhash banded store: pruned-store pairing ≡ flat pairing, and " +
+      "the probe's store scan opens strictly fewer files than the " +
+      "store holds") {
+    import spark.implicits._
+    val hist = (0L until 200L).map(i => (i, spread(i)))
+      .toDF("media_id", "dhash")
+    // probe: an exact re-upload of hist 7 plus a genuinely new hash
+    val probe = Seq((1000L, spread(7L)), (1001L, spread(5000L)))
+      .toDF("media_id", "dhash")
+    val root = tmp("graft-dhstore-")
+    val store = s"$root/store"
+    val manifest = s"$root/manifest"
+    Multimodal.writeDhashStore(hist, store, manifest, filesOut = 64)
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("dist"))
+        .as[(Long, Long, Int)].collect().toSet
+    val stored = key(Multimodal.dhashPairsAgainstStored(store, manifest,
+      probe, maxDist = 3))
+    val flat = key(Multimodal.dhashPairsAgainst(hist, probe, maxDist = 3))
+    assert(stored == flat, s"stored=$stored flat=$flat")
+    assert(stored.exists { case (a, b, d) => a == 7L && b == 1000L &&
+      d == 0 }, s"stored=$stored")
+
+    val total = Layout.dataFileCount(spark, store)
+    val touched = Seq((1000L, spread(7L)), (1001L, spread(5000L)))
+      .toDF("media_id", "dhash")
+    val kept = Stats.touchedPairsKeptFiles(spark, store, manifest,
+      "w", "wk",
+      // the probe's own window keys, via the store's public row shape
+      Multimodal.dhashWindowRows(touched).select(col("w"), col("wk")))
+    assert(total >= 32, s"store should be many files, got $total")
+    assert(kept.size < total,
+      s"pruning must drop files: kept ${kept.size} of $total")
+  }
+
+  test("mediaDedupGateSinkBanded: gate semantics match the flat media " +
+      "gate across 3 batches, appends cluster + refresh the manifest, " +
+      "compaction folds batches into a generation") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = s"/tmp/graft-mediabanded-${System.nanoTime()}"
+    val (pa, pb, pc, pd) = (Multimodal.syntheticPng(0L),
+      Multimodal.syntheticPng(4L), Multimodal.syntheticPng(5L),
+      Multimodal.syntheticPng(6L))
+    val junk = "not an image".getBytes
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.mediaDedupGateSinkBanded(spark,
+      in.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/store", s"$base/out", s"$base/ckpt",
+      compactEvery = 2)
+    try {
+      in.addData((1L, pa), (2L, pb), (3L, junk))
+      q.processAllAvailable()
+      in.addData((11L, pa), (12L, pc)); q.processAllAvailable()
+      in.addData((21L, pc), (22L, pd), (23L, pd), (24L, junk))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("media_id")).as[Long].collect().toSet
+      // same decisions as the flat gate's spec fixture: 11 re-crawl of
+      // 1 dropped; 21 dup of survivor 12; 23 intra-batch dup of 22
+      assert(out == Set(1L, 2L, 3L, 12L, 22L, 24L), s"out: $out")
+      // store rows are window-expanded survivors: 4 windows per
+      // hashable survivor, none for dead-letters — read via the
+      // generation-aware committed view (the gate's own reader; the
+      // root mixes gen=/batch= dirs during the vacuum grace cycle)
+      val store = StreamOps.gateStoreView(spark, s"$base/store",
+        Seq("w", "wk", "id", "dhash")).get
+      val ids = store.select(col("id")).distinct()
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 12L, 22L), s"store ids: $ids")
+      assert(store.count() == 4 * 4, s"rows: ${store.count()}")
+      // compactEvery = 2 folded batches 0-1 into gen=1 after batch 1
+      val fs = new org.apache.hadoop.fs.Path(s"$base/store")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dirNames = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$base/store"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(dirNames.exists(_.startsWith("gen=")), s"dirs: $dirNames")
+      // manifest exists and covers the store: pruning with an
+      // impossible window key keeps no data files
+      val none = Stats.touchedPairsKeptFilesUnder(spark,
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/store"))
+          .filter(_.isDirectory).map(_.getPath.toString).toSeq,
+        s"$base/store_manifest", "w", "wk",
+        Seq((99L, 99L)).toDF("w", "wk"))
+      val all = Stats.touchedPairsKeptFilesUnder(spark,
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/store"))
+          .filter(_.isDirectory).map(_.getPath.toString).toSeq,
+        s"$base/store_manifest", "w", "wk",
+        store.select(col("w"), col("wk")))
+      assert(none.size < all.size,
+        s"manifest must prune: ${none.size} vs ${all.size}")
+    } finally q.stop()
+  }
+}
