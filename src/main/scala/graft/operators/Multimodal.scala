@@ -371,11 +371,7 @@ object Multimodal {
   def videoFrameDupPairs(media: DataFrame, frameBytes: Int = 64,
                          minShared: Long = 2,
                          maxBucket: Int = 10000): DataFrame = {
-    val frames = media
-      .select(col("media_id"), lit("video").as("kind"), col("payload"))
-      .transform(m => sampleFrames(m, frameBytes, stride = 1))
-      .select(col("media_id").as("id"), xxhash64(col("frame")).as("fh"))
-      .distinct()
+    val frames = videoFrameRows(media, frameBytes)
     // (fh, id) rows arrive distinct (the .distinct() above), and the
     // cap binds BEFORE the member array forms (Dedup.
     // boundedBucketMembers) — a frame shared by every video never
@@ -388,6 +384,121 @@ object Multimodal {
           org.apache.spark.sql.GraftSqlBridge.toExpression(col("ms")))))
       .as("pr"))
       .select(col("pr.a").as("id_a"), col("pr.b").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
+  /** The (id, fh) DISTINCT frame-hash rows of a media table — one
+    * fixed-size chunk pass + one 8-byte hash per frame, the narrow map
+    * stage everything on the video axis shares. A payload shorter than
+    * one frame yields no rows (undecodable videos carry no evidence —
+    * the dead-letter stance).
+    */
+  private[graft] def videoFrameRows(media: DataFrame,
+                                    frameBytes: Int): DataFrame =
+    media
+      .select(col("media_id"), lit("video").as("kind"), col("payload"))
+      .transform(m => sampleFrames(m, frameBytes, stride = 1))
+      .select(col("media_id").as("id"), xxhash64(col("frame")).as("fh"))
+      .distinct()
+
+  // ---------- persisted frame-hash store (video incremental) ----------
+
+  /** Persist a video corpus's frame hashes as the VIDEO near-dup
+    * STORE: (fh, id) rows range-clustered by fh into `filesOut` files
+    * plus a footer-stats manifest — MULTI-hash per doc, the substring
+    * window-fingerprint store's shape ([[graft.operators.Curation
+    * .writeWindowStore]]), not the dhash store's one-hash-per-doc
+    * shape, because shared-frame evidence accumulates per frame. A
+    * probe batch's store scan, routed through
+    * [[Stats.readTouchedKeysManifest]], opens only files whose fh
+    * range the batch's own frames touch.
+    */
+  def writeFrameStore(media: DataFrame, storeDir: String,
+                      manifestPath: String, filesOut: Int,
+                      frameBytes: Int = 64): Unit = {
+    val spark = media.sparkSession
+    videoFrameRows(media, frameBytes)
+      .select(col("fh"), col("id"))
+      .repartitionByRange(filesOut, col("fh"))
+      .sortWithinPartitions(col("fh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeDir)
+    Stats.writeManifest(spark, storeDir, manifestPath)
+  }
+
+  /** Append a batch's frame hashes to an existing frame store
+    * (continuous ingestion); the manifest refresh reads footers only
+    * for the new files. Fold accumulated appends with
+    * [[Layout.compact]] (cluster by fh) on the usual cadence.
+    */
+  def appendFrameStore(media: DataFrame, storeDir: String,
+                       manifestPath: String, filesOut: Int,
+                       frameBytes: Int = 64): Unit = {
+    val spark = media.sparkSession
+    videoFrameRows(media, frameBytes)
+      .select(col("fh"), col("id"))
+      .repartitionByRange(filesOut, col("fh"))
+      .sortWithinPartitions(col("fh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(storeDir)
+    Stats.refreshManifest(spark, storeDir, manifestPath)
+  }
+
+  /** [[videoFrameDupPairs]] where the LARGER id side comes from
+    * `probeMedia` and history lives in a PERSISTED frame store — the
+    * incremental form: the store scan is manifest-pruned to
+    * touched-fh FILES, the surviving slice is row-filtered by a semi
+    * join on the batch's frame set, and history is never re-chunked,
+    * re-hashed, or scanned end to end. Returns (id_a, id_b,
+    * shared_frames) with id_b ∈ probe — both store×batch and
+    * within-batch pairs, so gate decisions and batch reconciliation
+    * read one result. Store ids are smaller by the monotonicity
+    * contract.
+    */
+  def videoFrameDupPairsAgainstStored(storeDir: String,
+                                      manifestPath: String,
+                                      probeMedia: DataFrame,
+                                      frameBytes: Int = 64,
+                                      minShared: Long = 2,
+                                      maxBucket: Int = 10000)
+      : DataFrame = {
+    val spark = probeMedia.sparkSession
+    val batchFrames = videoFrameRows(probeMedia, frameBytes)
+    val storeSlice = Stats.readTouchedKeysManifest(spark, storeDir,
+        manifestPath, "fh",
+        batchFrames.select(col("fh")).distinct())
+      .select(col("fh"), col("id"))
+    frameDupPairsAgainstRows(storeSlice, batchFrames, minShared,
+      maxBucket)
+  }
+
+  /** The frame-level pairing core shared by
+    * [[videoFrameDupPairsAgainstStored]] and the streaming video gate:
+    * `storeFrames` arrives (fh, id) and FILE-pruned by the caller; the
+    * row-level touched semi join, the boilerplate-frame cap (counted
+    * over the COMBINED store+batch holders, matching the batch twin),
+    * and the shared-frame count happen here.
+    */
+  private[graft] def frameDupPairsAgainstRows(storeFrames: DataFrame,
+                                              batchFrames: DataFrame,
+                                              minShared: Long,
+                                              maxBucket: Int)
+      : DataFrame = {
+    val bf = batchFrames.select(col("fh"), col("id"))
+    val sf = storeFrames.select(col("fh"), col("id"))
+      .join(bf.select(col("fh")).distinct(), Seq("fh"), "left_semi")
+    val all = sf.unionByName(bf)
+    val sized = all.groupBy(col("fh"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1 && col("__n") <= maxBucket)
+      .select(col("fh"))
+    val kept = all.join(sized, Seq("fh"), "left_semi")
+    kept.select(col("fh"), col("id").as("id_a"))
+      .join(bf.join(sized, Seq("fh"), "left_semi")
+        .select(col("fh"), col("id").as("id_b")), Seq("fh"))
+      .where(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_frames"))
       .where(col("shared_frames") >= minShared)

@@ -70,6 +70,27 @@ object ExtensionQueries {
     (s"$p/store", s"$p/manifest")
   }
 
+  /** Persisted frame-hash store for the "historical" video slice
+    * (doc_id < 121 of the shared-frame fixture): (fh, id) rows
+    * fh-clustered with a footer manifest — multi-hash per doc, the
+    * substring window-store shape (Multimodal.writeFrameStore).
+    */
+  private def frameStoreFor(s: SparkSession, d: String)
+      : (String, String) = {
+    val p = ArtifactMemo.dirFor("framestore", d) { p =>
+      import s.implicits._
+      val hist = t(s, d, "documents").where(col("doc_id") < 121)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 11 == 0) Multimodal.syntheticMp4(id).take(12)
+          else Multimodal.syntheticMp4(id - id % 4)))
+        .toDF("media_id", "payload")
+      Multimodal.writeFrameStore(hist, s"$p/store", s"$p/manifest",
+        filesOut = 16)
+    }
+    (s"$p/store", s"$p/manifest")
+  }
+
   /** DuckDB twin of [[graft.operators.Multimodal.decodeImageDHash]]
     * over the synthetic-gradient fixture: reconstruct the pixel grid
     * from doc_id arithmetic (the codec is lossless, so decoded lumas
@@ -747,6 +768,31 @@ object ExtensionQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Incremental shared-frame video near-dup: batch videos (doc_id in
+    // [121, 200), duplicate base-of-4 groups straddling the boundary)
+    // against the PERSISTED fh-clustered frame store of history —
+    // history is never re-chunked or re-hashed, the store scan is
+    // manifest-pruned to touched-fh FILES, and the boilerplate-frame
+    // cap counts over combined holders exactly as the batch twin does.
+    // The oracle is the same by-construction mod-140 payload
+    // equivalence as x_video_neardup, restricted to batch-side larger
+    // ids: incremental ≡ batch, machine-checked.
+    "x_video_incremental" -> ((s, d) => {
+      import s.implicits._
+      val batch = t(s, d, "documents")
+        .where(col("doc_id") >= 121 && col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id,
+          if (id % 11 == 0) Multimodal.syntheticMp4(id).take(12)
+          else Multimodal.syntheticMp4(id - id % 4)))
+        .toDF("media_id", "payload")
+      val (store, manifest) = frameStoreFor(s, d)
+      Multimodal.videoFrameDupPairsAgainstStored(store, manifest, batch,
+          frameBytes = 64, minShared = 3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // REAL video container metadata (MP4 box-tree walk: moov/mvhd
     // timescale+duration, trak/tkhd 16.16-fixed dimensions), same
     // synthesize-and-round-trip pattern; doc_id % 11 payloads are
@@ -1264,6 +1310,19 @@ object ExtensionQueries {
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |FROM ids a JOIN ids b
         |  ON a.doc_id < b.doc_id
+        |  AND (a.doc_id - a.doc_id % 4) % 140
+        |    = (b.doc_id - b.doc_id % 4) % 140
+        |ORDER BY id_a, id_b""".stripMargin,
+    // incremental ≡ batch: the same by-construction equivalence,
+    // restricted to pairs whose LARGER id is in the probe batch
+    "x_video_incremental" ->
+      """WITH ids AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 11 <> 0
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM ids a JOIN ids b
+        |  ON a.doc_id < b.doc_id AND b.doc_id >= 121
         |  AND (a.doc_id - a.doc_id % 4) % 140
         |    = (b.doc_id - b.doc_id % 4) % 140
         |ORDER BY id_a, id_b""".stripMargin,

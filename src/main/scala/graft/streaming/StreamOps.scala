@@ -654,6 +654,111 @@ object StreamOps {
       .start()
   }
 
+  /** The VIDEO arm of the media gate family: shared-frame near-dup
+    * gating against a PERSISTED frame-hash store — multi-hash per doc
+    * (the substring gate's store shape, [[substringGateSink]]), not
+    * the dhash store's one-hash-per-doc shape. Per micro-batch the
+    * payloads chunk+hash ONCE ([[graft.operators.Multimodal
+    * .videoFrameRows]]); a batch doc drops when it shares at least
+    * `minShared` distinct frame hashes with retained history OR with a
+    * smaller-id doc of the same batch; survivors' ids land in
+    * `outPath` and survivors' (fh, id) rows append fh-clustered so
+    * each later batch's store scan opens only touched-fh files
+    * ([[graft.operators.Stats.touchedKeysKeptFilesUnder]]).
+    * EMPTY payloads chunk to no frames: they survive and are never
+    * stored — the dead-letter stance. (A truncated payload's partial
+    * prefix frame IS evidence, deliberately: re-muxed prefixes are the
+    * shape shared-frame detection exists for; `minShared ≥ 2` screens
+    * single-frame prefix coincidences.)
+    * Same durability protocol as every gate here: batch-keyed
+    * overwrite-idempotent appends, committed-file store view,
+    * generation compaction with one-cycle vacuum grace, manifest loss
+    * costs pruning never rows.
+    */
+  def videoDedupGateSink(spark: SparkSession, stream: DataFrame,
+                         id: String, payload: String, storePath: String,
+                         outPath: String, checkpoint: String,
+                         frameBytes: Int = 64, minShared: Long = 2,
+                         maxBucket: Int = 10000,
+                         compactEvery: Int = 0,
+                         compactFilesOut: Int = 4,
+                         appendFilesOut: Int = 2,
+                         manifestPath: String = "")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Multimodal, Stats}
+    val mPath =
+      if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val media = batch.select(
+            col(id).cast("long").as("media_id"),
+            col(payload).as("payload"))
+          // ONE chunk+hash pass, reused by the prune probes, the
+          // gate, and the store append
+          val frames = Multimodal.videoFrameRows(media, frameBytes)
+            .localCheckpoint()
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val viewDirs = storeViewDirs(spark, storePath)
+          val storeFrames =
+            if (viewDirs.isEmpty) frames.select(col("fh"), col("id"))
+              .limit(0)
+            else {
+              val mp = new org.apache.hadoop.fs.Path(mPath)
+              val files =
+                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+                  Stats.touchedKeysKeptFilesUnder(spark,
+                    viewDirs.map(_.toString), mPath, "fh",
+                    frames.select(col("fh")).distinct())
+                else viewDirs.map(_.toString)
+              if (files.isEmpty)
+                frames.select(col("fh"), col("id")).limit(0)
+              else spark.read.parquet(files: _*)
+                .select(col("fh"), col("id"))
+            }
+          val dropIds = Multimodal
+            .frameDupPairsAgainstRows(storeFrames, frames, minShared,
+              maxBucket)
+            .select(col("id_b").as("media_id")).distinct()
+          val survivors = media.select(col("media_id")).distinct()
+            .join(dropIds, Seq("media_id"), "left_anti")
+            .localCheckpoint()
+          frames
+            .join(survivors.select(col("media_id").as("id")),
+              Seq("id"), "left_semi")
+            .select(col("fh"), col("id"))
+            .repartitionByRange(appendFilesOut, col("fh"))
+            .sortWithinPartitions(col("fh"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          survivors
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          refreshStoreManifest(spark, storePath, mPath)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactFrameStore(spark, storePath, mPath,
+              compactFilesOut): Unit
+        }
+      }
+      .start()
+  }
+
+  /** [[compactNearDupStoreBanded]] for the VIDEO frame store: fold
+    * batch dirs into an fh-range-clustered generation and refresh the
+    * footer manifest (one-cycle vacuum grace, as everywhere).
+    */
+  def compactFrameStore(spark: SparkSession, storePath: String,
+                        manifestPath: String,
+                        filesOut: Int): Option[Long] = {
+    val tok = compactStoreShaped(spark, storePath,
+      _.select(col("fh"), col("id"))
+        .repartitionByRange(filesOut, col("fh"))
+        .sortWithinPartitions(col("fh")))
+    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
+    tok
+  }
+
   /** [[compactNearDupStoreBanded]] for the banded MEDIA store: fold
     * batch dirs into a (w, wk)-range-clustered generation and refresh
     * the footer manifest (one-cycle vacuum grace, as everywhere).

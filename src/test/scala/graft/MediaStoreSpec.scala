@@ -56,6 +56,94 @@ class MediaStoreSpec extends SparkSuite {
       s"pruning must drop files: kept ${kept.size} of $total")
   }
 
+  // collision-free synthetic video: every 64-byte frame embeds
+  // (seed, frame index) literally, so frames are equal IFF seed and
+  // index agree — no cross-seed coincidences
+  private def vid(seed: Int, frames: Int): Array[Byte] =
+    Array.tabulate(64 * frames) { j =>
+      (j % 64) match {
+        case 0 => seed.toByte
+        case 1 => (seed >> 8).toByte
+        case 2 => (j / 64).toByte
+        case _ => 0x5A.toByte
+      }
+    }
+
+  test("video frame store: pruned-store pairing ≡ the batch twin " +
+      "restricted to batch-side larger ids, and the probe opens " +
+      "strictly fewer files than the store holds") {
+    import spark.implicits._
+    val hist = (0 until 50).map(i => (i.toLong, vid(i, 3)))
+      .toDF("media_id", "payload")
+    val batch = Seq((1000L, vid(7, 3)), (1001L, vid(999, 3)))
+      .toDF("media_id", "payload")
+    val root = tmp("graft-framestore-")
+    val store = s"$root/store"
+    val manifest = s"$root/manifest"
+    Multimodal.writeFrameStore(hist, store, manifest, filesOut = 32)
+
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id_a"), col("id_b"), col("shared_frames"))
+        .as[(Long, Long, Long)].collect().toSet
+    val stored = key(Multimodal.videoFrameDupPairsAgainstStored(
+      store, manifest, batch, frameBytes = 64, minShared = 2))
+    val twin = key(Multimodal.videoFrameDupPairs(
+        hist.unionByName(batch), frameBytes = 64, minShared = 2)
+      .where(col("id_b") >= 1000L))
+    assert(stored == twin && stored == Set((7L, 1000L, 3L)),
+      s"stored=$stored twin=$twin")
+
+    val total = Layout.dataFileCount(spark, store)
+    val kept = Stats.touchedKeysKeptFiles(spark, store, manifest, "fh",
+      Multimodal.videoFrameRows(batch, 64).select(col("fh")))
+    assert(total >= 16, s"store should be many files, got $total")
+    assert(kept.size < total,
+      s"pruning must drop files: kept ${kept.size} of $total")
+  }
+
+  test("videoDedupGateSink: shared-frame gate drops cross- and intra-" +
+      "batch dups through the fh-clustered store; empty payloads " +
+      "survive unstored; compaction folds a generation") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = s"/tmp/graft-videogate-${System.nanoTime()}"
+    val junk = Array.empty[Byte] // no bytes: no frames, dead-letter
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = StreamOps.videoDedupGateSink(spark,
+      in.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/store", s"$base/out", s"$base/ckpt",
+      frameBytes = 64, minShared = 2, compactEvery = 2)
+    try {
+      in.addData((1L, vid(10, 3)), (2L, vid(20, 3)), (3L, junk))
+      q.processAllAvailable()
+      // 11 re-upload of 1's video -> dropped; 12 fresh
+      in.addData((11L, vid(10, 3)), (12L, vid(30, 3)))
+      q.processAllAvailable()
+      // 21 dup of batch-2 survivor 12; 22/23 intra-batch pair
+      // (smaller id 22 wins); 24 junk survives
+      in.addData((21L, vid(30, 3)), (22L, vid(40, 3)),
+        (23L, vid(40, 3)), (24L, junk))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("media_id")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 3L, 12L, 22L, 24L), s"out: $out")
+      // store holds 3 frame rows per hashable survivor, none for junk
+      val store = StreamOps.gateStoreView(spark, s"$base/store",
+        Seq("fh", "id")).get
+      val ids = store.select(col("id")).distinct()
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 12L, 22L), s"store ids: $ids")
+      assert(store.count() == 4 * 3, s"rows: ${store.count()}")
+      val fs = new org.apache.hadoop.fs.Path(s"$base/store")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dirNames = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$base/store"))
+        .filter(_.isDirectory).map(_.getPath.getName).toSet
+      assert(dirNames.exists(_.startsWith("gen=")), s"dirs: $dirNames")
+    } finally q.stop()
+  }
+
   test("mediaDedupGateSinkBanded: gate semantics match the flat media " +
       "gate across 3 batches, appends cluster + refresh the manifest, " +
       "compaction folds batches into a generation") {
