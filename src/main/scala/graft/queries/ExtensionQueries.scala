@@ -70,6 +70,114 @@ object ExtensionQueries {
     (s"$p/store", s"$p/manifest")
   }
 
+  /** The cross-modal capstone's per-modality media fixtures over a doc
+    * slice: images in base-of-3 payload groups, audio base-of-5 with
+    * %13 truncation, video base-of-4 with %11 truncation — shared by
+    * the batch capstone, its incremental form, and the history stores.
+    */
+  private def mmImgMedia(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    graft.operators.Layout.fanOutSmallScan(docs.select(col("doc_id")))
+      .as[Long].map(id => (id, Multimodal.syntheticPng(id - id % 3)))
+      .toDF("media_id", "payload")
+  }
+  private def mmAudMedia(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => (id,
+        if (id % 13 == 0) "RIFFbut-truncated".getBytes
+        else Multimodal.syntheticWav(id - id % 5)))
+      .toDF("media_id", "payload")
+  }
+  private def mmVidMedia(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id")).as[Long]
+      .map(id => (id,
+        if (id % 11 == 0) Multimodal.syntheticMp4(id).take(12)
+        else Multimodal.syntheticMp4(id - id % 4)))
+      .toDF("media_id", "payload")
+  }
+
+  /** The capstone's history stores (doc_id < 61 — a boundary chosen so
+    * image (3), audio (5), and video (4) duplicate groups all straddle
+    * it): a banded MinHash signature store, a banded dhash store, and
+    * an fh-clustered frame store, written once per data dir.
+    */
+  private def mmSigStoreFor(s: SparkSession, d: String)
+      : (String, String) = {
+    val p = ArtifactMemo.dirFor("mmsig", d) { p =>
+      Dedup.writeBandedSigStore(
+        Dedup.minhashSigsNative(
+          t(s, d, "documents").where(col("doc_id") < 61),
+          col("doc_id"), col("text"), n = 3, k = 32),
+        s"$p/store", s"$p/manifest", filesOut = 8)
+    }
+    (s"$p/store", s"$p/manifest")
+  }
+  private def mmDhStoreFor(s: SparkSession, d: String)
+      : (String, String) = {
+    val p = ArtifactMemo.dirFor("mmdh", d) { p =>
+      Multimodal.writeDhashStore(
+        Multimodal.imageDHash(s, mmImgMedia(s,
+          t(s, d, "documents").where(col("doc_id") < 61))).toDF(),
+        s"$p/store", s"$p/manifest", filesOut = 8)
+    }
+    (s"$p/store", s"$p/manifest")
+  }
+  private def mmFrameStoreFor(s: SparkSession, d: String)
+      : (String, String) = {
+    val p = ArtifactMemo.dirFor("mmframe", d) { p =>
+      Multimodal.writeFrameStore(
+        mmVidMedia(s, t(s, d, "documents").where(col("doc_id") < 61)),
+        s"$p/store", s"$p/manifest", filesOut = 8)
+    }
+    (s"$p/store", s"$p/manifest")
+  }
+
+  /** The cross-modal capstone's DuckDB oracle: every modality's edge
+    * set rebuilt in SQL (PolyFp MinHash, pixel-arithmetic dHash,
+    * PCM-arithmetic fingerprint, the by-construction video
+    * equivalence) + the same recursive-CTE clustering. Shared verbatim
+    * by x_multimodal_dedup (batch) and x_multimodal_incremental
+    * (accumulated per-slice edges): incremental ≡ batch is the claim.
+    */
+  private lazy val multimodalDedupSql: String = (minhashCandCte
+    .replaceFirst("WITH ", "WITH RECURSIVE ") +
+    s""", scored AS (
+      |  SELECT id_a, id_b,
+      |    CAST(len(list_filter(range(32),
+      |      i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+      |      AS DOUBLE) / 32 AS est
+      |  FROM cand
+      |), ${dhashSql(100, "doc_id - doc_id % 3", "i_")},
+      |${audioFpSql(100, "doc_id - doc_id % 5", "a_")},
+      |ed AS (
+      |  SELECT id_a AS a, id_b AS b FROM scored
+      |  WHERE est >= 0.8 AND id_a < 100 AND id_b < 100
+      |  UNION
+      |  SELECT x.id AS a, y.id AS b FROM i_dh x JOIN i_dh y
+      |    ON x.id < y.id AND x.dhash = y.dhash
+      |  UNION
+      |  SELECT x.id AS a, y.id AS b FROM a_afp x JOIN a_afp y
+      |    ON x.id < y.id
+      |  WHERE bit_count(xor(x.fp, y.fp)) <= 3
+      |  UNION
+      |  SELECT x.doc_id AS a, y.doc_id AS b
+      |  FROM documents x JOIN documents y
+      |    ON x.doc_id < y.doc_id
+      |    AND x.doc_id - x.doc_id % 4 = y.doc_id - y.doc_id % 4
+      |  WHERE x.doc_id < 100 AND y.doc_id < 100
+      |    AND x.doc_id % 11 <> 0 AND y.doc_id % 11 <> 0
+      |), sym AS (
+      |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+      |), reach(id, r) AS (
+      |  SELECT DISTINCT a AS id, a AS r FROM sym
+      |  UNION
+      |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+      |)
+      |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+
   /** Persisted frame-hash store for the "historical" video slice
     * (doc_id < 121 of the shared-frame fixture): (fh, id) rows
     * fh-clustered with a footer manifest — multi-hash per doc, the
@@ -686,38 +794,83 @@ object ExtensionQueries {
     // equivalence) and runs the same recursive-CTE clustering — the
     // full composition hash-checks.
     "x_multimodal_dedup" -> ((s, d) => {
-      import s.implicits._
       val docs = t(s, d, "documents").where(col("doc_id") < 100)
       val textE = Dedup.minhashCandidates(
           Dedup.minhashSigsNative(docs, col("doc_id"), col("text"),
             n = 3, k = 32))
         .where(col("est_jaccard") >= 0.8)
         .select(col("id_a"), col("id_b"))
-      val imgMedia = graft.operators.Layout.fanOutSmallScan(
-          docs.select(col("doc_id"))).as[Long]
-        .map(id => (id, Multimodal.syntheticPng(id - id % 3)))
-        .toDF("media_id", "payload")
       val imgE = Multimodal.dhashPairs(
-          Multimodal.imageDHash(s, imgMedia).toDF(), maxDist = 0)
+          Multimodal.imageDHash(s, mmImgMedia(s, docs)).toDF(),
+          maxDist = 0)
         .select(col("id_a"), col("id_b"))
-      val audMedia = docs.select(col("doc_id")).as[Long]
-        .map(id => (id,
-          if (id % 13 == 0) "RIFFbut-truncated".getBytes
-          else Multimodal.syntheticWav(id - id % 5)))
-        .toDF("media_id", "payload")
       val audE = Multimodal.dhashPairs(
-          Multimodal.audioFingerprint(s, audMedia).toDF(), maxDist = 3)
+          Multimodal.audioFingerprint(s, mmAudMedia(s, docs)).toDF(),
+          maxDist = 3)
         .select(col("id_a"), col("id_b"))
-      val vidMedia = docs.select(col("doc_id")).as[Long]
-        .map(id => (id,
-          if (id % 11 == 0) Multimodal.syntheticMp4(id).take(12)
-          else Multimodal.syntheticMp4(id - id % 4)))
-        .toDF("media_id", "payload")
-      val vidE = Multimodal.videoFrameDupPairs(vidMedia,
+      val vidE = Multimodal.videoFrameDupPairs(mmVidMedia(s, docs),
           frameBytes = 64, minShared = 3)
         .select(col("id_a"), col("id_b"))
       graft.operators.Graph.dedupClusters(
           textE.unionByName(imgE).unionByName(audE).unionByName(vidE),
+          col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("cluster"), col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // INCREMENTAL cross-modal reconciliation — the x_incremental_
+    // reconcile pattern applied to the capstone: history-internal
+    // edges per modality plus each modality's incremental feed
+    // (batch-internal + store×batch, larger id on the batch side,
+    // through the PERSISTED history stores: banded MinHash sigs,
+    // banded dhashes, fh-clustered frames; audio rides the in-memory
+    // against form). Connected components over the accumulated edge
+    // union must equal the batch capstone's clustering — the shared
+    // recursive-CTE oracle machine-checks incremental ≡ batch across
+    // all four modalities at once.
+    "x_multimodal_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents").where(col("doc_id") < 100)
+      val hist = docs.where(col("doc_id") < 61)
+      val batch = docs.where(col("doc_id") >= 61)
+      val textHist = Dedup.minhashCandidates(
+          Dedup.minhashSigsNative(hist, col("doc_id"), col("text"),
+            n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b"))
+      val (sigStore, sigMan) = mmSigStoreFor(s, d)
+      val textInc = Dedup.minhashIncrementalCandidatesBanded(
+          Dedup.minhashSigsNative(batch, col("doc_id"), col("text"),
+            n = 3, k = 32), sigStore, sigMan)
+        .select(col("id_a"), col("id_b"))
+      val imgHist = Multimodal.dhashPairs(
+          Multimodal.imageDHash(s, mmImgMedia(s, hist)).toDF(),
+          maxDist = 0)
+        .select(col("id_a"), col("id_b"))
+      val (dhStore, dhMan) = mmDhStoreFor(s, d)
+      val imgInc = Multimodal.dhashPairsAgainstStored(dhStore, dhMan,
+          Multimodal.imageDHash(s, mmImgMedia(s, batch)).toDF(),
+          maxDist = 0)
+        .select(col("id_a"), col("id_b"))
+      val audHistFp = Multimodal.audioFingerprint(s,
+        mmAudMedia(s, hist)).toDF()
+      val audHist = Multimodal.dhashPairs(audHistFp, maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      val audInc = Multimodal.dhashPairsAgainst(audHistFp,
+          Multimodal.audioFingerprint(s, mmAudMedia(s, batch)).toDF(),
+          maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      val vidHist = Multimodal.videoFrameDupPairs(mmVidMedia(s, hist),
+          frameBytes = 64, minShared = 3)
+        .select(col("id_a"), col("id_b"))
+      val (frStore, frMan) = mmFrameStoreFor(s, d)
+      val vidInc = Multimodal.videoFrameDupPairsAgainstStored(frStore,
+          frMan, mmVidMedia(s, batch), frameBytes = 64, minShared = 3)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Graph.dedupClusters(
+          textHist.unionByName(textInc).unionByName(imgHist)
+            .unionByName(imgInc).unionByName(audHist)
+            .unionByName(audInc).unionByName(vidHist)
+            .unionByName(vidInc),
           col("id_a"), col("id_b"))
         .select(col("id").as("doc_id"), col("cluster"), col("keep"))
         .orderBy(col("doc_id"))
@@ -1263,42 +1416,10 @@ object ExtensionQueries {
         |ORDER BY tok""".stripMargin,
     "x_cms_err" ->
       """SELECT '' AS tok WHERE 1 = 0""",
-    "x_multimodal_dedup" -> (minhashCandCte
-      .replaceFirst("WITH ", "WITH RECURSIVE ") +
-      s""", scored AS (
-        |  SELECT id_a, id_b,
-        |    CAST(len(list_filter(range(32),
-        |      i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
-        |      AS DOUBLE) / 32 AS est
-        |  FROM cand
-        |), ${dhashSql(100, "doc_id - doc_id % 3", "i_")},
-        |${audioFpSql(100, "doc_id - doc_id % 5", "a_")},
-        |ed AS (
-        |  SELECT id_a AS a, id_b AS b FROM scored
-        |  WHERE est >= 0.8 AND id_a < 100 AND id_b < 100
-        |  UNION
-        |  SELECT x.id AS a, y.id AS b FROM i_dh x JOIN i_dh y
-        |    ON x.id < y.id AND x.dhash = y.dhash
-        |  UNION
-        |  SELECT x.id AS a, y.id AS b FROM a_afp x JOIN a_afp y
-        |    ON x.id < y.id
-        |  WHERE bit_count(xor(x.fp, y.fp)) <= 3
-        |  UNION
-        |  SELECT x.doc_id AS a, y.doc_id AS b
-        |  FROM documents x JOIN documents y
-        |    ON x.doc_id < y.doc_id
-        |    AND x.doc_id - x.doc_id % 4 = y.doc_id - y.doc_id % 4
-        |  WHERE x.doc_id < 100 AND y.doc_id < 100
-        |    AND x.doc_id % 11 <> 0 AND y.doc_id % 11 <> 0
-        |), sym AS (
-        |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
-        |), reach(id, r) AS (
-        |  SELECT DISTINCT a AS id, a AS r FROM sym
-        |  UNION
-        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
-        |)
-        |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+    "x_multimodal_dedup" -> multimodalDedupSql,
+    // incremental accumulated-edge reconciliation ≡ the batch
+    // capstone clustering — same recursive-CTE oracle
+    "x_multimodal_incremental" -> multimodalDedupSql,
     "x_image_dhash" ->
       s"""WITH ${dhashSql(200)}
         |SELECT id AS doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin,
