@@ -918,6 +918,102 @@ object StreamOps {
       committed.maxBy(_.getName.drop(6).toLong).toString))
   }
 
+  /** Streaming KMV NOVELTY gate — the per-ingest curation signal
+    * ("how much of this batch have we already got?") as a running
+    * stream stage: every micro-batch is shingled and KMV-sketched
+    * ONCE per group ([[graft.operators.Overlap.kmvSketch]] — one
+    * bounded-buffer shuffle of ≤ k longs per group), containment vs
+    * the PERSISTED sketch store prices the batch
+    * ([[graft.operators.Overlap.kmvContainment]]), and docs route by
+    * their group's novelty: ≥ `minNovelty` → `outPath` (worth full
+    * downstream dedup), below → `lowPath` (mostly-seen content, the
+    * cheaper path). Groups with no history sketch are FULLY novel
+    * (novelty 1.0), as are docs too short to shingle — nothing is
+    * silently dropped; both outputs carry the novelty column so
+    * downstream stages can re-threshold.
+    *
+    * State protocol is [[dsirGateSink]]'s cumulative-artifact pattern
+    * applied to the sketch semigroup: batch k overwrites `sketch=k` =
+    * (newest committed sketch < k) merged with its own batch sketch —
+    * [[graft.operators.Overlap.kmvMerge]] is min-k of the
+    * concatenation, so a Structured Streaming retry rewrites the same
+    * dir with the same content and the final store ≡ sketching all
+    * batches from scratch (the merge-semigroup law, spec-pinned).
+    * Readers take the newest COMMITTED dir with id < their own batch
+    * ([[hasCommittedParquet]]), so crashed writes are invisible and
+    * batch 0 always bootstraps empty. The store is ≤ #groups · k
+    * longs — a planning artifact, never data-sized; history is never
+    * re-read or re-shingled.
+    */
+  def kmvNoveltyGateSink(spark: SparkSession, stream: DataFrame,
+                         grp: String, text: String, sketchPath: String,
+                         outPath: String, lowPath: String,
+                         checkpoint: String, k: Int = 64, n: Int = 3,
+                         minNovelty: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Overlap
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint()
+          val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+            graft.functions.ShinglesExpr(
+              org.apache.spark.sql.GraftSqlBridge
+                .toExpression(col(text)), n))
+          val keys = b.select(col(grp).as("grp"),
+            explode(shs).as("key"))
+          val batchSk = Overlap.kmvSketch(keys, col("grp"), col("key"),
+            k).localCheckpoint()
+          val hist = kmvSketchView(spark, sketchPath, batchId)
+          val novelty = hist match {
+            case Some(h) => Overlap.kmvContainment(h, batchSk, k)
+              .select(col("grp").as("__grp"), col("novelty"))
+            case None => batchSk.limit(0)
+              .select(col("grp").as("__grp"), lit(1.0).as("novelty"))
+          }
+          val withNv = b.join(novelty, col(grp) === col("__grp"),
+              "left")
+            .withColumn("novelty", coalesce(col("novelty"), lit(1.0)))
+            .drop("__grp")
+          withNv.where(col("novelty") >= minNovelty)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          withNv.where(col("novelty") < minNovelty)
+            .write.mode("overwrite").parquet(s"$lowPath/batch=$batchId")
+          val merged = hist match {
+            case Some(h) => Overlap.kmvMerge(h, batchSk, k)
+            case None => batchSk
+          }
+          merged.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$sketchPath/sketch=$batchId")
+        }
+      }
+      .start()
+  }
+
+  /** Newest committed cumulative sketch store with id < `beforeBatch`
+    * (retry safety: a re-run of batch k must not see its own crashed
+    * or previous `sketch=k` write — the [[dsirModelView]] rule).
+    * None = bootstrap.
+    */
+  private[graft] def kmvSketchView(spark: SparkSession,
+                                   sketchPath: String,
+                                   beforeBatch: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(sketchPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val committed = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("sketch=") &&
+        p.getName.drop(7).toLong < beforeBatch &&
+        hasCommittedParquet(fs, p))
+    if (committed.isEmpty) None
+    else Some(spark.read.parquet(
+      committed.maxBy(_.getName.drop(7).toLong).toString))
+  }
+
   /** foreachBatch MERGE sink: each micro-batch upserts into `table` by
     * `key` (last write per key wins within a batch via the batch's own
     * dedup; across batches, newest batch wins).

@@ -441,6 +441,68 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kmvNoveltyGateSink: per-group novelty routes docs against the " +
+      "persisted sketch store; folded store ≡ from-scratch sketch; " +
+      "bootstrap + retry view rules hold") {
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Overlap
+    val base = s"/tmp/graft-kmvgate-${System.nanoTime()}"
+    def doc(i: Int) =
+      s"document number $i carrying its own distinct words tail$i " +
+        s"and some more unique content body$i"
+    val in = MemoryStream[(Long, String, String)]
+    val q = StreamOps.kmvNoveltyGateSink(spark,
+      in.toDF().toDF("doc_id", "source", "text"), "source", "text",
+      s"$base/sketch", s"$base/out", s"$base/low", s"$base/ckpt",
+      k = 64, n = 3, minNovelty = 0.5)
+    try {
+      // batch 0: source A, fresh → bootstrap, fully novel → out
+      in.addData((1L, "A", doc(1)), (2L, "A", doc(2)))
+      q.processAllAvailable()
+      // batch 1: A repeats batch-0 content verbatim → containment 1,
+      // novelty 0 → low path; B unseen → novelty 1 → out
+      in.addData((11L, "A", doc(1)), (12L, "A", doc(2)),
+        (13L, "B", doc(99)))
+      q.processAllAvailable()
+      // batch 2: A ships genuinely new content → novel again → out
+      in.addData((21L, "A", doc(50)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      val low = spark.read.parquet(s"$base/low")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 13L, 21L), s"out: $out")
+      assert(low == Set(11L, 12L), s"low: $low")
+      // both outputs carry the novelty signal for re-thresholding
+      assert(spark.read.parquet(s"$base/low")
+        .select(col("novelty")).as[Double].collect().forall(_ == 0.0))
+      // cumulative store ≡ sketching every batch from scratch (the
+      // merge-semigroup law, end to end through the gate)
+      val allDocs = Seq((1L, "A", doc(1)), (2L, "A", doc(2)),
+        (11L, "A", doc(1)), (12L, "A", doc(2)), (13L, "B", doc(99)),
+        (21L, "A", doc(50))).toDF("doc_id", "source", "text")
+      val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+        graft.functions.ShinglesExpr(
+          org.apache.spark.sql.GraftSqlBridge
+            .toExpression(col("text")), 3))
+      val scratch = Overlap.kmvSketch(
+          allDocs.select(col("source").as("grp"),
+            explode(shs).as("key")),
+          col("grp"), col("key"), 64)
+        .as[(String, Seq[Long])].collect().toMap
+      val stored = StreamOps.kmvSketchView(spark, s"$base/sketch", 99L)
+        .get.as[(String, Seq[Long])].collect().toMap
+      assert(stored == scratch,
+        s"stored=${stored.keySet} scratch=${scratch.keySet}")
+      // bootstrap + retry-safety view rule: batch 0 sees no store;
+      // batch k never sees sketch=k
+      assert(StreamOps.kmvSketchView(spark, s"$base/sketch", 0L).isEmpty)
+      assert(StreamOps.kmvSketchView(spark, s"$base/sketch", 2L)
+        .isDefined)
+    } finally q.stop()
+  }
+
   test("mediaDedupGateSink audio arm: fingerprint hashFn plugs in, " +
       "re-crawled WAVs drop cross-batch") {
     implicit val sc = spark.sqlContext
