@@ -616,7 +616,8 @@ object Dedup {
     * at θ (spec-pinned equal on random corpora).
     */
   def allPairsJaccard(df: DataFrame, id: Column, text: Column,
-                      n: Int, theta: Double): DataFrame = {
+                      n: Int, theta: Double,
+                      dfStats: Option[DataFrame] = None): DataFrame = {
     require(theta > 0.0 && theta <= 1.0, "theta must be in (0, 1]")
     val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
       graft.functions.ShinglesExpr(
@@ -632,13 +633,32 @@ object Dedup {
       .where(col("n_sh") > 0))
     val tokens = docs.select(col("id"), col("n_sh"),
       explode(col("set")).as("sh"))
-    val dfs = tokens.groupBy(col("sh")).agg(count(lit(1)).as("df_sh"))
+    // df source: recomputed per run by default, or the PERSISTED
+    // merge-refreshed stats table ([[writeDfStats]]/[[mergeDfStats]]).
+    // Correctness needs only a CONSISTENT global order — the
+    // prefix-filter lemma holds for ANY fixed total order over
+    // shingles, df-descending is purely the efficiency heuristic — so
+    // a shingle absent from the stats (left join) safely defaults to
+    // df 1 (rarest): candidates may grow, the exact verify still
+    // discards them, and no qualifying pair is ever lost. At 100 TB
+    // the savings is the full-corpus tokens exchange the df groupBy
+    // would otherwise pay on every incremental run.
+    val ranked = dfStats match {
+      case Some(stats) => tokens
+        .join(stats.select(col("sh"),
+          col("df_sh").cast("long").as("df_sh")), Seq("sh"), "left")
+        .withColumn("df_sh", coalesce(col("df_sh"), lit(1L)))
+      case None =>
+        val dfs = tokens.groupBy(col("sh"))
+          .agg(count(lit(1)).as("df_sh"))
+        tokens.join(dfs, Seq("sh"))
+    }
     // prefix = the p rarest shingles per doc under the global
     // (df, hash) order; the rank window partitions by doc id —
     // corpus-cardinality, never a few-groups reducer
     val w = Window.partitionBy(col("id"))
       .orderBy(col("df_sh"), col("sh"))
-    val prefix = tokens.join(dfs, Seq("sh"))
+    val prefix = ranked
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= col("n_sh") - ceilTheta(col("n_sh")) + 1)
       .select(col("sh"), col("id"), col("n_sh"))
@@ -666,6 +686,47 @@ object Dedup {
         (col("na") + col("nb") - col("inter")))
       .where(col("jac") >= theta)
   }
+
+  /** The (sh, df_sh) document-frequency table [[allPairsJaccard]]'s
+    * prefix order reads — one deduped-shingle hash + count pass over
+    * `docs`, the same hashing as the operator itself.
+    */
+  private def dfStatsOf(docs: DataFrame, id: Column, text: Column,
+                        n: Int): DataFrame = {
+    val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+      graft.functions.ShinglesExpr(
+        org.apache.spark.sql.GraftSqlBridge.toExpression(text), n))
+    docs.select(id.as("id"), array_distinct(shs).as("shs"))
+      .select(explode(col("shs")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df_sh"))
+  }
+
+  /** Persist the corpus document-frequency table for
+    * [[allPairsJaccard]]'s prefix order: (sh, df_sh) sh-range-
+    * clustered — the artifact an incremental corpus REUSES instead of
+    * re-aggregating frequencies over 100 TB of history on every run.
+    */
+  def writeDfStats(docs: DataFrame, id: Column, text: Column, n: Int,
+                   statsDir: String, filesOut: Int = 4): Unit =
+    dfStatsOf(docs, id, text, n)
+      .repartitionByRange(filesOut, col("sh"))
+      .sortWithinPartitions(col("sh"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(statsDir)
+
+  /** Merge-refresh: stored stats + a new batch's counts, additively —
+    * document frequencies are a sum monoid, so stored(hist) ⊕
+    * counts(batch) ≡ from-scratch counts over hist ∪ batch (the
+    * [[graft.operators.Selection.refreshBucketTable]] law). Persist
+    * the result back with [[writeDfStats]]'s layout on the usual
+    * cadence, or feed it straight to [[allPairsJaccard]]'s `dfStats`.
+    */
+  def mergeDfStats(stored: DataFrame, batch: DataFrame, id: Column,
+                   text: Column, n: Int): DataFrame =
+    stored.select(col("sh"), col("df_sh"))
+      .unionByName(dfStatsOf(batch, id, text, n))
+      .groupBy(col("sh")).agg(sum(col("df_sh")).as("df_sh"))
 
   // ---------- semantic dedup (SemDeDup) ----------
 

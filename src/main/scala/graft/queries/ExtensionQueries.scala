@@ -134,6 +134,36 @@ object ExtensionQueries {
     (s"$p/store", s"$p/manifest")
   }
 
+  /** The exact all-pairs Jaccard oracle (brute-force shingle join),
+    * shared by the from-scratch and the persisted-df-stats runs: the
+    * two must be value-identical.
+    */
+  private lazy val allPairsJaccardSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
+      |    unnest(string_split(text,' ')) AS tok
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
+      |      AS shingle
+      |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |), sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle
+      |    AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, inter, sa.n AS na, sb.n AS nb,
+      |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+      |FROM pairs
+      |JOIN sizes sa ON da = sa.doc_id
+      |JOIN sizes sb ON db = sb.doc_id
+      |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+      |ORDER BY da, db""".stripMargin
+
   /** The cross-modal capstone's DuckDB oracle: every modality's edge
     * set rebuilt in SQL (PolyFp MinHash, pixel-arithmetic dHash,
     * PCM-arithmetic fingerprint, the by-construction video
@@ -361,6 +391,29 @@ object ExtensionQueries {
       Dedup.allPairsJaccard(t(s, d, "documents"),
           col("doc_id"), col("text"), n = 3, theta = 0.5)
         .orderBy(col("da"), col("db"))),
+
+    // The incremental form: the prefix order reads the PERSISTED
+    // df-stats table (history written once, batch counts folded in by
+    // the additive merge) instead of re-aggregating frequencies over
+    // the full corpus — at 100 TB that groupBy is the run's dominant
+    // exchange, and the store amortizes it to batch-sized work. The
+    // result is IDENTICAL to the from-scratch run (same oracle): the
+    // prefix-filter lemma needs only a consistent global order, and
+    // the exact verify discards any extra candidates.
+    "x_allpairs_incremental" -> ((s, d) => {
+      val stats = ArtifactMemo.dirFor("dfstats", d) { p =>
+        Dedup.writeDfStats(
+          t(s, d, "documents").where(col("doc_id") < 400),
+          col("doc_id"), col("text"), n = 3, p)
+      }
+      val merged = Dedup.mergeDfStats(s.read.parquet(stats),
+        t(s, d, "documents").where(col("doc_id") >= 400),
+        col("doc_id"), col("text"), n = 3)
+      Dedup.allPairsJaccard(t(s, d, "documents"),
+          col("doc_id"), col("text"), n = 3, theta = 0.5,
+          dfStats = Some(merged))
+        .orderBy(col("da"), col("db"))
+    }),
 
     // Brute-force cosine top-5 for the first 10 vectors (fold-based dot
     // product → bit-identical to the DuckDB list_reduce oracle).
@@ -1219,31 +1272,9 @@ object ExtensionQueries {
         |JOIN sizes sa ON da = sa.doc_id
         |JOIN sizes sb ON db = sb.doc_id
         |ORDER BY jac DESC, da, db LIMIT 20""".stripMargin,
-    "x_allpairs_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
-        |    unnest(string_split(text,' ')) AS tok
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
-        |      AS shingle
-        |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        |), sh2 AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
-        |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle
-        |    AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT da, db, inter, sa.n AS na, sb.n AS nb,
-        |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
-        |FROM pairs
-        |JOIN sizes sa ON da = sa.doc_id
-        |JOIN sizes sb ON db = sb.doc_id
-        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-        |ORDER BY da, db""".stripMargin,
+    "x_allpairs_jaccard" -> allPairsJaccardSql,
+    // stats-backed prefix order, identical exact result — same oracle
+    "x_allpairs_incremental" -> allPairsJaccardSql,
     "x_hard_negatives" ->
       """WITH scored AS (
         |  SELECT a.vec_id AS qa, b.vec_id AS vb,

@@ -125,6 +125,39 @@ class DedupSpec extends SparkSuite {
     assert(got.map(p => (p._1, p._2, p._3)).toSet == exact)
   }
 
+  test("allPairsJaccard df-stats: persisted+merged stats reproduce the " +
+      "from-scratch result exactly, and even STALE stats (batch " +
+      "shingles absent) stay exact — any consistent order works") {
+    val hist = ((0 until 30).map(i =>
+        (i.toLong, s"terms of service unique$i filler$i body$i tail$i"))
+      ++ Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (102L, "wholly fresh content never seen before anywhere else"))
+      .toDF("doc_id", "text")
+    val corpus = hist.unionByName(batch)
+    val statsDir = java.nio.file.Files
+      .createTempDirectory("graft-dfstats-").toString + "/stats"
+    Dedup.writeDfStats(hist, col("doc_id"), col("text"), 3, statsDir)
+    def run(stats: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.allPairsJaccard(corpus, col("doc_id"), col("text"),
+        n = 3, theta = 0.5, dfStats = stats)
+        .select($"da", $"db", $"inter", $"na", $"nb")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val scratch = run(None)
+    // merged stats ≡ from-scratch counts over hist ∪ batch (sum monoid)
+    val merged = Dedup.mergeDfStats(spark.read.parquet(statsDir),
+      batch, col("doc_id"), col("text"), 3)
+    assert(run(Some(merged)) == scratch, "merged-stats run diverged")
+    assert(scratch.map(p => (p._1, p._2)) == Set((100L, 101L)))
+    // stale stats: history-only frequencies, batch shingles default to
+    // df 1 — candidates may grow, the exact verify keeps results equal
+    assert(run(Some(spark.read.parquet(statsDir))) == scratch,
+      "stale-stats run diverged")
+  }
+
   test("semDedup: full-probe form ≡ brute force; keep marks min per group") {
     // 2 semantic triples (near-identical vectors) + 2 singletons
     def vec(seed: Int, eps: Double): Array[Float] =
