@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{CurationQueries, ExtensionQueries, OverlapQueries,
-  ParityQueries, RelationalQueries, RelationalQueries2, RetrievalQueries,
+import graft.queries.{CurationQueries, ExtensionQueries,
+  LanguageModelQueries, OverlapQueries, ParityQueries, RelationalQueries,
+  RelationalQueries2, ResolutionQueries, RetrievalQueries,
   SelectionQueries, TokenizerQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +25,8 @@ object SparkEntry {
       RelationalQueries2.queries ++ ExtensionQueries.queries ++
       TrainingQueries.queries ++ CurationQueries.queries ++
       RetrievalQueries.queries ++ TokenizerQueries.queries ++
-      SelectionQueries.queries ++ OverlapQueries.queries
+      SelectionQueries.queries ++ OverlapQueries.queries ++
+      LanguageModelQueries.queries ++ ResolutionQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -35,5 +37,6 @@ object SparkEntry {
       RelationalQueries2.oracleSql ++ ExtensionQueries.oracleSql ++
       TrainingQueries.oracleSql ++ CurationQueries.oracleSql ++
       RetrievalQueries.oracleSql ++ TokenizerQueries.oracleSql ++
-      SelectionQueries.oracleSql ++ OverlapQueries.oracleSql
+      SelectionQueries.oracleSql ++ OverlapQueries.oracleSql ++
+      LanguageModelQueries.oracleSql ++ ResolutionQueries.oracleSql
 }

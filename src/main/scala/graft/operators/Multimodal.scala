@@ -486,14 +486,17 @@ object Multimodal {
                                               minShared: Long,
                                               maxBucket: Int)
       : DataFrame = {
-    val bf = batchFrames.select(col("fh"), col("id"))
+    // the batch frames feed three consumers (the store probe, the
+    // union, and the id_b pair side) and the cap table feeds two —
+    // stage both so frame hashing and the count pass run once
+    val bf = Checkpoints.stage(batchFrames.select(col("fh"), col("id")))
     val sf = storeFrames.select(col("fh"), col("id"))
       .join(bf.select(col("fh")).distinct(), Seq("fh"), "left_semi")
     val all = sf.unionByName(bf)
-    val sized = all.groupBy(col("fh"))
+    val sized = Checkpoints.stage(all.groupBy(col("fh"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1 && col("__n") <= maxBucket)
-      .select(col("fh"))
+      .select(col("fh")))
     val kept = all.join(sized, Seq("fh"), "left_semi")
     kept.select(col("fh"), col("id").as("id_a"))
       .join(bf.join(sized, Seq("fh"), "left_semi")

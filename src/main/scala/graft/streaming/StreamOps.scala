@@ -918,6 +918,62 @@ object StreamOps {
       committed.maxBy(_.getName.drop(6).toLong).toString))
   }
 
+  /** Streaming LM perplexity gate ([[graft.operators.LanguageModel]],
+    * the CCNet-style quality filter as a running stream stage): every
+    * micro-batch is bigram-featurized ONCE, scored against the bigram
+    * model as of the PRIOR batches (quantized-log arm), docs whose
+    * mean score clears the rational floor `num/den` append to
+    * `outPath`, and the batch's counts fold into the persisted model.
+    *
+    * State protocol is [[dsirGateSink]]'s cumulative-artifact pattern
+    * on the count monoid: batch k overwrites `model=k` = (newest
+    * committed model < k) + its own counts — a retry rewrites the same
+    * dir with the same content; readers take the newest COMMITTED dir,
+    * so crashed writes are invisible. Per batch the work is one
+    * featurize + aggregate, a measured-regime join against the pruned
+    * model, and a model-sized write: history is never re-tokenized
+    * (final model ≡ from-scratch fit — the monoid law, spec-pinned).
+    * Bootstrap (no committed model): V = 0 and every term is
+    * qlog3(1) − qlog3(0) = 0, so batch 0 passes whole — no model, no
+    * evidence to reject, the same stance as the novelty gates. Docs
+    * with < 2 tokens carry no bigrams and score 0 (vacuously
+    * predictable — route by token count separately if needed).
+    */
+  def lmGateSink(spark: SparkSession, stream: DataFrame,
+                 id: String, text: String, modelPath: String,
+                 outPath: String, checkpoint: String,
+                 num: Long, den: Long)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.LanguageModel
+    require(den > 0, "den must be > 0")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val feats = LanguageModel.lmFeatures(batch, col(id),
+            col(text)).localCheckpoint()
+          val model = dsirModelView(spark, modelPath, batchId)
+            .getOrElse(LanguageModel.lmModel(feats.limit(0)))
+          val scores = LanguageModel.lmScoreFromFeatures(feats, model)
+          batch.join(scores.select(col("id").as("__sid"),
+                col("n_bigrams"), col("score")),
+              col(id) === col("__sid"), "left")
+            .withColumn("score", coalesce(col("score"), lit(0L)))
+            .withColumn("n_bigrams",
+              coalesce(col("n_bigrams"), lit(0L)))
+            .where(col("score") * den >= lit(num) * col("n_bigrams"))
+            .drop("__sid")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          LanguageModel.refreshModel(model, feats)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(s"$modelPath/model=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Streaming KMV NOVELTY gate — the per-ingest curation signal
     * ("how much of this batch have we already got?") as a running
     * stream stage: every micro-batch is shingled and KMV-sketched

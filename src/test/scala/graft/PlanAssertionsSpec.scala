@@ -199,10 +199,18 @@ class PlanAssertionsSpec extends SparkSuite {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p.take(1200))
   }
 
-  test("x_ngram_jaccard plans exactly two shuffles (single-pass shape)") {
+  test("x_ngram_jaccard: two full-row shuffles plus the fixed-width cap pass") {
     val p = plan("x_ngram_jaccard")
-    val n = "Exchange".r.findAllIn(p).size
-    assert(n == 2, s"expected 2 exchanges, got $n:\n${p.take(1200)}")
+    // single-pass core: the bucket member collect and the pair-count
+    // aggregate (full rows); the boundedBucketMembers cap adds ONE
+    // 8-byte count pre-pass whose eligible-key set rides a broadcast
+    // into the semi join — the buffer-bounding trade adopted round 9
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    val bcasts = "BroadcastExchange".r.findAllIn(p).size
+    assert(shuffles == 3,
+      s"expected 3 shuffle exchanges, got $shuffles:\n${p.take(1600)}")
+    assert(bcasts <= 1,
+      s"expected <= 1 broadcast, got $bcasts:\n${p.take(1600)}")
   }
 
   test("flagship pipeline scan reads only the referenced columns") {

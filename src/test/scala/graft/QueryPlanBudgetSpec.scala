@@ -133,7 +133,23 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // hash-candidate buckets + exact string confirm: measured 7
     // exchanges (idHash distinct, bucket agg+join, confirm semi join +
     // distinct, pair-count agg, output sort)
-    "x_substring_dup" -> default.copy(maxShuffles = 9))
+    "x_substring_dup" -> default.copy(maxShuffles = 9),
+    // persisted df-stats path: the from-scratch shuffles plus the
+    // stats-store merge-refresh aggregate (measured 7)
+    "x_allpairs_incremental" -> default.copy(maxShuffles = 7),
+    // blocked Hamming pairing with the round-9 skew cap: the window
+    // pre-count (fixed-width) and its semi join add 2 exchanges over
+    // the uncapped shape (measured 8) — the buffer-bounding trade
+    "x_image_neardup" -> default.copy(maxShuffles = 8),
+    // entity-grain ER: exact-collapse aggregate + block-cap pre-count
+    // + both pair sides + pair distinct + output sort (measured 7);
+    // every exchange is entity-grain, never record-grain
+    "x_er_pairs" -> default.copy(maxShuffles = 7),
+    // the LM scorer's context-vocabulary V is a 1-row aggregate
+    // cross-joined back — bounded by construction (the x_bm25 pattern)
+    "x_lm_score" -> default.copy(allowCartesian = true),
+    "x_lm_quality" -> default.copy(allowCartesian = true),
+    "x_lm_incremental" -> default.copy(allowCartesian = true))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name stays inside its physical-plan budget") {

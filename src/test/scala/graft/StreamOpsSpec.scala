@@ -526,4 +526,61 @@ class StreamOpsSpec extends SparkSuite {
       assert(out == Set(1L, 2L, 12L, 13L))
     } finally q.stop()
   }
+
+  test("lmGateSink: bootstrap passes whole, repeat-phrase docs clear the " +
+      "floor while alien docs fail, final model ≡ from-scratch fit") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.LanguageModel
+    val base = s"/tmp/graft-lmgate-${System.nanoTime()}"
+    // a fixed phrase the model learns: its bigram/context count ratios
+    // keep per-term qlog scores around −5..−6 once fitted
+    def good(i: Int) =
+      (i.toLong, "the quick brown fox jumps over the lazy dog")
+    // all-novel tokens: every bigram AND context unseen → each term is
+    // qlog3(1) − qlog3(V) ≈ −8..−10 at this fixture's V
+    def alien(i: Int) =
+      (i.toLong, s"zxq$i wvu$i ponm$i lkj$i hgfe$i dcba$i")
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.lmGateSink(spark, in.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$base/model", s"$base/out", s"$base/ckpt",
+      num = -7L, den = 1L)
+    try {
+      in.addData(good(1), good(2)); q.processAllAvailable()
+      in.addData(good(3), alien(4)); q.processAllAvailable()
+      in.addData(good(5), alien(6)); q.processAllAvailable()
+      // batch 0 bootstraps: no model, no evidence to reject
+      val b0 = spark.read.parquet(s"$base/out/batch=0")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(b0 == Set(1L, 2L))
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 3L, 5L))
+      // batch twin: batch 2's survivors equal scoring its docs against
+      // the model accumulated from batches 0-1
+      val hist = Seq(good(1), good(2), good(3), alien(4))
+        .toDF("doc_id", "text")
+      val model01 = LanguageModel.lmModel(LanguageModel.lmFeatures(
+        hist, col("doc_id"), col("text")))
+      val b2 = Seq(good(5), alien(6)).toDF("doc_id", "text")
+      val want = LanguageModel.lmQualityFilter(
+          LanguageModel.lmScoreQuantized(b2, col("doc_id"), col("text"),
+            model01), -7L, 1L)
+        .select(col("id")).as[Long].collect().toSet
+      val got = spark.read.parquet(s"$base/out/batch=2")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(got == want && want == Set(5L))
+      // monoid law: the newest persisted model ≡ a from-scratch fit
+      // over every streamed doc
+      val scratch = LanguageModel.lmModel(LanguageModel.lmFeatures(
+          Seq(good(1), good(2), good(3), alien(4), good(5), alien(6))
+            .toDF("doc_id", "text"), col("doc_id"), col("text")))
+        .select("h", "kind", "cnt").as[(Long, Int, Long)]
+        .collect().toSet
+      val persisted = StreamOps.dsirModelView(spark, s"$base/model",
+          Long.MaxValue).get
+        .select("h", "kind", "cnt").as[(Long, Int, Long)]
+        .collect().toSet
+      assert(persisted == scratch)
+    } finally q.stop()
+  }
 }
