@@ -54,7 +54,8 @@ object Resolution {
   /** Default block key: the first whitespace token of the name. */
   def firstTokenBlock(nm: Column): Column = substring_index(nm, " ", 1)
 
-  private def keyed(ents: DataFrame, block: Column => Column): DataFrame =
+  private[graft] def keyed(ents: DataFrame,
+                           block: Column => Column): DataFrame =
     ents.select(col("eid"), col("nm"),
       TextAnalysis.fingerprint(block(col("nm"))).as("blkh"))
 
@@ -63,7 +64,7 @@ object Resolution {
     * the fixed-width exchange bounds both the join fan-out and every
     * buffer, never a collect of members.
     */
-  private def capBlocks(k: DataFrame, maxBlock: Int): DataFrame = {
+  private[graft] def capBlocks(k: DataFrame, maxBlock: Int): DataFrame = {
     val sized = k.groupBy(col("blkh"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 2 && col("__n") <= maxBlock)

@@ -974,6 +974,154 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ENTITY-RESOLUTION gate
+    * ([[graft.operators.Resolution]]): a stream of (record id, name)
+    * rows maintains a deduplicated entity dictionary — per micro-batch
+    * the batch collapses to distinct-name entities ONCE, a batch
+    * entity drops when its name is within levenshtein `maxDist` of any
+    * STORED entity (distance 0 = the name is already known) or of a
+    * smaller-eid batch sibling, surviving entities append to the
+    * dictionary, and records of surviving entities append to
+    * `outPath`. The standard store protocol throughout: the dictionary
+    * persists blkh-range-clustered `batch=<id>` dirs
+    * (overwrite-idempotent) with a footer manifest, each batch's store
+    * scan opens only touched-block files
+    * ([[graft.operators.Stats.touchedKeysKeptFilesUnder]]), the
+    * in-block compare is capped by `maxBlock` pre-counted over the
+    * combined slice∪batch (the batch-twin cap semantics), and
+    * `compactEvery` folds batch dirs into blkh-clustered generations
+    * ([[compactEntityStoreGen]]). Same monotone-id contract as the
+    * other gates; store entities never drop.
+    */
+  def erGateSink(spark: SparkSession, stream: DataFrame,
+                 id: String, name: String, storePath: String,
+                 outPath: String, checkpoint: String,
+                 maxDist: Int = 3, maxBlock: Int = Int.MaxValue,
+                 compactEvery: Int = 0, compactFilesOut: Int = 4,
+                 appendFilesOut: Int = 2, manifestPath: String = "",
+                 broadcastLimit: Long = 4000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Resolution, Stats}
+    val mPath =
+      if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val batchRec = batch.select(col(id).cast("long").as("rid"),
+            col(name).as("nm")).localCheckpoint()
+          // ONE collapse + block-key pass, reused by the prune probe,
+          // the gate compare, and the store append
+          val batchK = Resolution.keyed(
+            Resolution.entities(batchRec, col("rid"), col("nm")),
+            Resolution.firstTokenBlock).localCheckpoint()
+          val small = batchK.count() <= broadcastLimit
+          def bc(df: DataFrame): DataFrame =
+            if (small) broadcast(df) else df.hint("shuffle_hash")
+          val fs = new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val viewDirs = storeViewDirs(spark, storePath)
+          val storeSlice =
+            if (viewDirs.isEmpty) batchK.limit(0)
+            else {
+              val mp = new org.apache.hadoop.fs.Path(mPath)
+              val files =
+                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+                  Stats.touchedKeysKeptFilesUnder(spark,
+                    viewDirs.map(_.toString), mPath, "blkh",
+                    batchK.select(col("blkh")))
+                else viewDirs.map(_.toString)
+              if (files.isEmpty) batchK.limit(0)
+              else spark.read.parquet(files: _*)
+                .select(col("eid"), col("nm"), col("blkh"))
+            }
+          val storeTouched = storeSlice
+            .join(bc(batchK.select(col("blkh")).distinct()),
+              Seq("blkh"), "left_semi")
+          val combined = storeTouched
+            .withColumn("__st", lit(true))
+            .unionByName(batchK.withColumn("__st", lit(false)))
+          val cand = Resolution.capBlocks(combined, maxBlock)
+          val d = levenshtein(col("nm_a"), col("nm_b"), maxDist)
+          val dropEids = cand.select(col("blkh"),
+              col("eid").as("eid_a"), col("nm").as("nm_a"),
+              col("__st").as("st_a"))
+            .join(cand.select(col("blkh"), col("eid").as("eid_b"),
+              col("nm").as("nm_b"), col("__st").as("st_b")), Seq("blkh"))
+            .where(!col("st_b") && d >= 0 &&
+              (col("st_a") || col("eid_a") < col("eid_b")))
+            .select(col("eid_b").as("eid")).distinct()
+          val survEnts = batchK
+            .join(bc(dropEids), Seq("eid"), "left_anti")
+            .localCheckpoint()
+          batchRec
+            .join(survEnts.select(col("nm")), Seq("nm"), "left_semi")
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          survEnts.select(col("blkh"), col("eid"), col("nm"))
+            .repartitionByRange(appendFilesOut, col("blkh"))
+            .sortWithinPartitions(col("blkh"))
+            .write.mode("overwrite").parquet(s"$storePath/batch=$batchId")
+          refreshStoreManifest(spark, storePath, mPath)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactEntityStoreGen(spark, storePath, mPath,
+              compactFilesOut): Unit
+        }
+      }
+      .start()
+  }
+
+  /** [[compactWindowStoreGen]] for the ER gate's entity dictionary:
+    * fold batch dirs into a blkh-range-clustered generation and
+    * refresh the footer manifest (one-cycle vacuum grace, as
+    * everywhere).
+    */
+  def compactEntityStoreGen(spark: SparkSession, storePath: String,
+                            manifestPath: String,
+                            filesOut: Int): Option[Long] = {
+    val tok = compactStoreShaped(spark, storePath,
+      _.select(col("blkh"), col("eid"), col("nm"))
+        .repartitionByRange(filesOut, col("blkh"))
+        .sortWithinPartitions(col("blkh")))
+    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
+    tok
+  }
+
+  /** SNAPSHOT (as-of) read of any gate store or survivor output dir:
+    * the committed state as of micro-batch `asOf` — the newest
+    * committed generation with token ≤ `asOf` plus committed
+    * `batch=<id>` dirs with token < id ≤ `asOf`. Because a generation
+    * token IS the max batch id it folded, this reconstructs the exact
+    * post-batch-`asOf` view: the reproducible-training-corpus read
+    * ("train on the corpus as of batch k", pinned in the run's
+    * metadata). Retention bound: vacuum deletes dirs one FULL
+    * compaction cycle after they are folded, so any `asOf` at or after
+    * the second-newest generation token is always reconstructible;
+    * older snapshots need vacuum disabled (an explicit retention
+    * policy), exactly Delta/Iceberg's time-travel-vs-VACUUM trade.
+    */
+  def gateStoreViewAsOf(spark: SparkSession, storePath: String,
+                        cols: Seq[String], asOf: Long)
+      : Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => hasCommittedParquet(fs, p))
+    val gens = dirs.filter(_.getName.startsWith("gen="))
+      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
+      .filter(_._1 <= asOf)
+    val tok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
+    val batches = dirs.filter(_.getName.startsWith("batch="))
+      .map(p => (p.getName.stripPrefix("batch=").toLong, p))
+      .filter(t => t._1 > tok && t._1 <= asOf)
+    val paths =
+      (gens.filter(_._1 == tok).map(_._2) ++ batches.map(_._2)).toSeq
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths.map(_.toString): _*)
+      .select(cols.map(col): _*))
+  }
+
   /** Streaming KMV NOVELTY gate — the per-ingest curation signal
     * ("how much of this batch have we already got?") as a running
     * stream stage: every micro-batch is shingled and KMV-sketched

@@ -583,4 +583,60 @@ class StreamOpsSpec extends SparkSuite {
       assert(persisted == scratch)
     } finally q.stop()
   }
+
+  test("erGateSink: entity dictionary dedups exact and near names across " +
+      "and within batches; mid-stream compaction; as-of snapshots") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-ergate-${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.erGateSink(spark, in.toDF().toDF("rid", "nm"),
+      "rid", "nm", s"$base/store", s"$base/out", s"$base/ckpt",
+      maxDist = 2, compactEvery = 2)
+    try {
+      // batch 0: two records of one entity + one other entity
+      in.addData((1L, "acme corp"), (2L, "acme corp"), (3L, "zeta llc"))
+      q.processAllAvailable()
+      // batch 1: exact dup, near dup (d=1), new entity, near dup (d=1)
+      in.addData((10L, "acme corp"), (11L, "acme corp."),
+        (12L, "beta corp"), (13L, "zeta lld"))
+      q.processAllAvailable()
+      // compaction ran after batch 1; batch 2 gates against the
+      // generation: near dup of a COMPACTED entity + a new one
+      in.addData((20L, "beta corq"), (21L, "gamma inc"))
+      q.processAllAvailable()
+
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("rid")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 3L, 12L, 21L))
+      // dictionary = exactly the four surviving entities
+      val ents = StreamOps.gateStoreView(spark, s"$base/store",
+          Seq("eid", "nm")).get
+        .as[(Long, String)].collect().toSet
+      assert(ents == Set((1L, "acme corp"), (3L, "zeta llc"),
+        (12L, "beta corp"), (21L, "gamma inc")))
+      // a generation dir exists and older batch dirs folded into it
+      val gens = new java.io.File(s"$base/store").listFiles()
+        .filter(_.getName.startsWith("gen=")).map(_.getName).toSeq
+      assert(gens == Seq("gen=1"))
+
+      // as-of snapshots: the survivor output as of each batch
+      def outAsOf(k: Long) = StreamOps.gateStoreViewAsOf(spark,
+          s"$base/out", Seq("rid"), k).get
+        .as[Long].collect().toSet
+      assert(outAsOf(0L) == Set(1L, 2L, 3L))
+      assert(outAsOf(1L) == Set(1L, 2L, 3L, 12L))
+      assert(outAsOf(Long.MaxValue) == out)
+      // the dictionary as of batch 0 (pre-compaction dirs retained by
+      // the one-cycle vacuum grace)
+      val entsAsOf0 = StreamOps.gateStoreViewAsOf(spark,
+          s"$base/store", Seq("eid", "nm"), 0L).get
+        .as[(Long, String)].collect().toSet
+      assert(entsAsOf0 == Set((1L, "acme corp"), (3L, "zeta llc")))
+      // as-of the newest generation ≡ the live view
+      val entsNow = StreamOps.gateStoreViewAsOf(spark, s"$base/store",
+          Seq("eid", "nm"), Long.MaxValue).get
+        .as[(Long, String)].collect().toSet
+      assert(entsNow == ents)
+    } finally q.stop()
+  }
 }
