@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.queries.{CurationQueries, ExtensionQueries,
   LanguageModelQueries, OverlapQueries, ParityQueries, RelationalQueries,
   RelationalQueries2, ResolutionQueries, RetrievalQueries,
-  SelectionQueries, TokenizerQueries, TrainingQueries}
+  ScaleOpsQueries, SelectionQueries, TokenizerQueries, TrainingQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
       TrainingQueries.queries ++ CurationQueries.queries ++
       RetrievalQueries.queries ++ TokenizerQueries.queries ++
       SelectionQueries.queries ++ OverlapQueries.queries ++
-      LanguageModelQueries.queries ++ ResolutionQueries.queries
+      LanguageModelQueries.queries ++ ResolutionQueries.queries ++
+      ScaleOpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for hash-based operators
@@ -38,5 +39,6 @@ object SparkEntry {
       TrainingQueries.oracleSql ++ CurationQueries.oracleSql ++
       RetrievalQueries.oracleSql ++ TokenizerQueries.oracleSql ++
       SelectionQueries.oracleSql ++ OverlapQueries.oracleSql ++
-      LanguageModelQueries.oracleSql ++ ResolutionQueries.oracleSql
+      LanguageModelQueries.oracleSql ++ ResolutionQueries.oracleSql ++
+      ScaleOpsQueries.oracleSql
 }

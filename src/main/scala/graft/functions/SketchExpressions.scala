@@ -52,3 +52,56 @@ case class CmsProbeExpr(child: Expression, sketchBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): CmsProbeExpr =
     copy(child = newChild)
 }
+
+/** Membership probe of a serialized Bloom filter (the binary produced
+  * by `DataFrameStatFunctions.bloomFilter`) — the read half of Spark's
+  * public sketch builder, as a plan-literal predicate.
+  *
+  * This is the runtime-filter primitive: build the filter over a join's
+  * SMALL side (one distributed pass, O(filter bits) driver traffic via
+  * treeAggregate — never the rows), then probe the BIG side map-side,
+  * before its shuffle. The Bloom guarantee is one-sided: a true member
+  * NEVER probes false (no false negatives), so pre-filtering a join
+  * input with this predicate drops only rows that cannot match; an
+  * exact join/anti-join over the survivors removes the ≤ fpp false
+  * positives. See graft.operators.RuntimeFilter.
+  *
+  * Hashing mirrors BloomFilter.put's runtime dispatch exactly: strings
+  * are probed as their UTF-8 bytes (putString hashes the same bytes),
+  * integral types as longs, binary as-is — so probe(x) ⊇ put(x) holds
+  * for every supported key type.
+  */
+case class BloomProbeExpr(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+          BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"bloom_might_contain: unsupported type $t")
+    }
+
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case s: UTF8String => bloom.mightContainBinary(s.getBytes)
+    case b: Array[Byte] => bloom.mightContainBinary(b)
+    case l: Long => bloom.mightContainLong(l)
+    case i: Int => bloom.mightContainLong(i.toLong)
+    case s: Short => bloom.mightContainLong(s.toLong)
+    case b: Byte => bloom.mightContainLong(b.toLong)
+    case other => bloom.mightContain(other)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbeExpr =
+    copy(child = newChild)
+}

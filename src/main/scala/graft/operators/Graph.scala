@@ -314,4 +314,84 @@ object Graph {
     }
     ranks
   }
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani CMU-CALD-02-107;
+    * the synchronous variant of Raghavan et al. 2007's LPA): spread
+    * seed labels over an undirected edge list for `iters` rounds. The
+    * corpus-curation use: a few documents carry a trusted label
+    * (language, domain, license) and the near-dup / shared-passage
+    * graph extends it to the rest — mirror sites inherit their seed's
+    * label without any per-doc classifier.
+    *
+    * Per round, every NON-seed node adopts the label carried by the
+    * most labeled neighbors; a node with no labeled neighbor keeps its
+    * current label (initially null). Seeds never change. Unlike
+    * classic LPA's random tie-break, ties are resolved to the MAXIMUM
+    * label (after max count) — the whole fixpoint is a pure function
+    * of the graph, independent of partitioning, so an unrolled-CTE SQL
+    * mirror hash-matches it (the x_label_prop oracle).
+    *
+    * Scale shape: one map-side-combined (node, label) count shuffle
+    * per round — the argmax over (count, label) folds into the SAME
+    * aggregation via max(struct) — plus the |V|-sized label join,
+    * broadcast below `broadcastLimit` measured node count (the
+    * pageRank gate). Lineage cut per round via [[Checkpoints.stage]].
+    *
+    * `seeds`: (id, label) with non-null labels; ids absent from the
+    * edge list still appear in the output (isolated seeds). Label type
+    * is any orderable Spark type; node ids are key-type-generic.
+    */
+  def labelPropagation(edges: DataFrame, a: Column, b: Column,
+                       seeds: DataFrame, seedId: Column, seedLabel: Column,
+                       iters: Int = 3,
+                       broadcastLimit: Long = 4000000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val e0 = edges.select(a.as("src"), b.as("dst"))
+    val sym = Checkpoints.stage(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val sd = Checkpoints.stage(
+      seeds.select(seedId.as("id"), seedLabel.as("__seed"))
+        .where(col("__seed").isNotNull)
+        .groupBy(col("id")).agg(min(col("__seed")).as("__seed")))
+    val nodes = Checkpoints.stage(
+      sym.select(col("src").as("id"))
+        .union(sym.select(col("dst").as("id")))
+        .union(sd.select(col("id")))
+        .distinct())
+    val n = nodes.count()
+    val small = n <= broadcastLimit
+    def vSized(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    var labels = Checkpoints.stage(
+      nodes.join(vSized(sd), Seq("id"), "left")
+        .select(col("id"), col("__seed").as("label"),
+          col("__seed").isNotNull.as("__fixed")))
+    var it = 0
+    while (it < iters) {
+      // (dst, label) neighbor counts and their argmax in ONE shuffle:
+      // max(struct(cnt, label)) = max count, then max label on ties.
+      val best = sym
+        .join(vSized(labels.where(col("label").isNotNull)
+          .select(col("id").as("src"), col("label").as("__l"))),
+          Seq("src"))
+        .groupBy(col("dst"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("__c"), col("__l"))).as("__b"))
+        .select(col("dst").as("id"), col("__b.__l").as("__nl"))
+      val next = labels
+        .join(vSized(best), Seq("id"), "left")
+        .select(col("id"),
+          when(col("__fixed"), col("label"))
+            .otherwise(coalesce(col("__nl"), col("label"))).as("label"),
+          col("__fixed"))
+      val staged = Checkpoints.stage(next)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(labels)
+      labels = staged
+      it += 1
+    }
+    labels.select(col("id"), col("label"))
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection: median / MAD (median absolute
+  * deviation — Hampel 1974, the robust dispersion estimator that
+  * tolerates up to 50% contamination, unlike mean/stddev z-scores
+  * which the outliers themselves inflate) over integer-valued metrics.
+  * The corpus-curation use: flag documents whose length / token count
+  * / score is wildly atypical FOR THEIR GROUP (source, language) —
+  * truncated crawls, concatenation blowups, spam — without a
+  * distribution assumption.
+  *
+  * Determinism: medians are DISCRETE lower medians — the value at
+  * 0-based rank (n−1) div 2 in (value, tiebreak-key) order — so every
+  * number in the output is a stored value or an integer |x − med|,
+  * never an interpolated float; the whole result hash-matches a
+  * row_number-CTE SQL mirror (the x_outlier_mad oracle).
+  *
+  * Scale shape: groups are FEW by this operator's premise (sources,
+  * languages), so a `Window.partitionBy(group)` rank would funnel each
+  * group through one reducer — the defect class stratifiedEveryK
+  * cleared. Ranks come instead from the range-partitioned distributed
+  * prefix sum ([[Training.withPrefixSum]]): two ranked passes (values,
+  * then deviations), each one range shuffle; everything else is
+  * O(#groups) aggregates broadcast back. No window anywhere.
+  */
+object Outliers {
+
+  /** Rows of `df` whose `|value − median|` exceeds `k × MAD` within
+    * their `group`, annotated with the group's `med`, `mad`, and the
+    * row's `dev`. `value` must be integer-valued (cast to long); `key`
+    * columns are the deterministic tiebreak (unique per row). Groups
+    * with MAD = 0 (over half the rows at the median) flag every
+    * off-median row — the documented Hampel-filter degenerate case,
+    * still deterministic.
+    */
+  def madOutliers(df: DataFrame, group: Column, value: Column,
+                  key: Seq[Column], k: Long): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    val base = df.withColumn("__g", group)
+      .withColumn("__x", value.cast("long"))
+    val order = col("__g") +: col("__x") +: key
+    val ranked = Training.withPrefixSum(base, order, lit(1L), "__gpos")
+    val stats = ranked.groupBy(col("__g").as("__s"))
+      .agg(min(col("__gpos")).as("__off"), count(lit(1)).as("__n"))
+    // lower median: the unique row at 0-based in-group rank (n−1) div 2
+    val med = ranked
+      .join(broadcast(stats), col("__g") <=> col("__s"))
+      .where(col("__gpos") - col("__off") === expr("(__n - 1) div 2"))
+      .select(col("__s").as("__sm"), col("__x").as("med"))
+    val withDev = ranked.drop("__gpos")
+      .join(broadcast(med), col("__g") <=> col("__sm"))
+      .withColumn("dev", abs(col("__x") - col("med")))
+      .drop("__sm")
+    val devOrder = col("__g") +: col("dev") +: key
+    val ranked2 =
+      Training.withPrefixSum(withDev, devOrder, lit(1L), "__dpos")
+    // __off/`stats` are reusable for the deviation pass: both prefix
+    // sums lead with __g, so group blocks are contiguous, identically
+    // ordered, and identically sized — each group STARTS at the same
+    // global position in both rankings.
+    val mad = ranked2
+      .join(broadcast(stats), col("__g") <=> col("__s"))
+      .where(col("__dpos") - col("__off") === expr("(__n - 1) div 2"))
+      .select(col("__s").as("__sm"), col("dev").as("mad"))
+    ranked2.drop("__dpos")
+      .join(broadcast(mad), col("__g") <=> col("__sm"))
+      .where(col("dev") > col("mad") * k)
+      .drop("__g", "__x", "__sm")
+  }
+}

@@ -32,12 +32,12 @@ object RetrievalQueries {
     * alignment regime stride sampling cannot catch and content-defined
     * anchors exist for.
     */
-  private val PassageA =
+  private[queries] val PassageA =
     " quality data pipelines deduplicate repeated passages before training large language models"
-  private val PassageB =
+  private[queries] val PassageB =
     " retrieval systems rank documents by lexical and semantic relevance signals at scale"
 
-  private def passageCorpus(docs: DataFrame): DataFrame =
+  private[queries] def passageCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
       concat(col("text"),
         when(col("doc_id") % 11 === 0, lit(PassageA))
@@ -297,7 +297,7 @@ object RetrievalQueries {
     * positions whose 8-char polynomial fingerprint ≡ 0 mod 16, mapped
     * to their 40-char windows.
     */
-  private def cdcWinsSql(src: String, key: String = "doc_id"): String =
+  private[queries] def cdcWinsSql(src: String, key: String = "doc_id"): String =
     s"""SELECT $key, unnest(list_transform(list_filter(
        |    generate_series(1, len(text) - 39),
        |    p -> list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -310,13 +310,13 @@ object RetrievalQueries {
   /** DuckDB PolyFp mirror (the x_fingerprint idiom) over a string
     * expression.
     */
-  private def polySql(e: String): String =
+  private[queries] def polySql(e: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(string_split($e, ''),
        |    c -> CAST(unicode(c) AS BIGINT))),
        |  (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
-  private val passageCorpusSql =
+  private[queries] val passageCorpusSql =
     s"""SELECT doc_id, source, text ||
        |  CASE WHEN doc_id % 11 = 0 THEN '$PassageA'
        |       WHEN doc_id % 13 = 0 THEN '$PassageB'

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Curation, Graph, Outliers, RuntimeFilter}
+import ParityQueries.t
+import RetrievalQueries.{cdcWinsSql, passageCorpus, passageCorpusSql}
+
+/** Round-9 scale operators as driver queries: explicit runtime-filter
+  * (Bloom) joins, semi-supervised label propagation, and robust
+  * median/MAD outlier detection — each oracle-checked exactly (the
+  * Bloom operators return bit-identical rows to their naive twins; the
+  * graph and outlier fixpoints are integer/discrete arithmetic a CTE
+  * chain mirrors).
+  */
+object ScaleOpsQueries {
+
+  /** Seed slice for label propagation: every 3rd document's language
+    * column is trusted; the shared-passage graph spreads it.
+    */
+  private def langSeeds(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("lang"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Runtime-filter inner join: lineitem ⋈ (6%-selective part slice)
+    // with the fact side Bloom-pre-filtered on the dim's surviving
+    // keys BEFORE its exchange — the fact shuffle carries ~6% + fpp of
+    // the rows, not the table. Result ≡ the naive join exactly (the
+    // exact join removes Bloom false positives), aggregated per part.
+    "x_bloom_join" -> ((s, d) => {
+      val dim = t(s, d, "part").where(col("p_size") > 47)
+      RuntimeFilter.bloomJoin(t(s, d, "lineitem"), dim,
+          col("l_partkey"), col("p_partkey"),
+          expectedItems = 200000L, fpp = 0.01)
+        .groupBy(col("p_partkey"), col("p_brand"))
+        .agg(count(lit(1)).as("n_li"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Runtime-filter left-semi: keep only fact rows whose key is in
+    // the dim slice — the 100 TB allowlist shape (the allowlist's
+    // Bloom broadcasts where the allowlist itself could not).
+    "x_bloom_semi" -> ((s, d) => {
+      val dim = t(s, d, "part").where(col("p_size") > 47)
+      RuntimeFilter.bloomSemiJoin(t(s, d, "lineitem"), dim,
+          col("l_partkey"), col("p_partkey"),
+          expectedItems = 200000L, fpp = 0.01)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // Runtime-filter anti join — blocklist decontamination: orders
+    // from customers NOT in the BUILDING segment. The Bloom's
+    // no-false-negative side emits ~80% of orders WITHOUT shuffling
+    // them (definitely-absent keys skip the join entirely); only the
+    // maybe-contained sliver pays the exact anti join.
+    "x_bloom_anti" -> ((s, d) => {
+      val block = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+      RuntimeFilter.bloomAntiJoin(t(s, d, "orders"), block,
+          col("o_custkey"), col("c_custkey"),
+          expectedItems = 100000L, fpp = 0.01)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Semi-supervised label propagation over the shared-passage graph:
+    // every 3rd doc seeds its language; 3 synchronous rounds spread it
+    // across the planted-passage cliques (mirror docs inherit their
+    // neighbors' majority label, ties to the max label). Deterministic
+    // fixpoint — the oracle unrolls the same 3 rounds as CTEs.
+    "x_label_prop" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      Graph.labelPropagation(
+          pairs, col("ida"), col("idb"),
+          langSeeds(s, d), col("doc_id"), col("lang"), iters = 3)
+        .select(col("id").as("doc_id"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Robust per-source length outliers: documents whose character
+    // count deviates from their source's discrete median by more than
+    // 2× the median absolute deviation — truncated crawls and
+    // concatenation blowups, flagged without a distribution
+    // assumption. All integer arithmetic; no window anywhere (ranks
+    // ride the distributed prefix sum).
+    "x_outlier_mad" -> ((s, d) =>
+      Outliers.madOutliers(t(s, d, "documents"),
+          group = col("source"), value = col("n_chars"),
+          key = Seq(col("doc_id")), k = 2L)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("med"), col("mad"), col("dev"))
+        .orderBy(col("source"), col("doc_id"))))
+
+  /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
+    * idiom): per round, per-(node, label) neighbor counts, argmax by
+    * (count, label), seeds pinned, no-labeled-neighbor keeps previous.
+    */
+  private val labelPropSql: String = {
+    val rounds = (1 to 3).map { k =>
+      val prev = s"l${k - 1}"
+      s"""c$k AS (
+         |  SELECT e.dst AS id, p.label AS l, count(*) AS c
+         |  FROM e JOIN $prev p ON e.src = p.id
+         |  WHERE p.label IS NOT NULL GROUP BY e.dst, p.label),
+         |b$k AS (
+         |  SELECT c.id, max(c.l) AS bl
+         |  FROM c$k c JOIN (SELECT id, max(c) AS mc FROM c$k GROUP BY id) m
+         |    ON c.id = m.id AND c.c = m.mc
+         |  GROUP BY c.id),
+         |l$k AS (
+         |  SELECT n.id,
+         |    CASE WHEN s.label IS NOT NULL THEN s.label
+         |         ELSE coalesce(b.bl, p.label) END AS label
+         |  FROM nodes n
+         |  LEFT JOIN seeds s ON n.id = s.id
+         |  LEFT JOIN $prev p ON n.id = p.id
+         |  LEFT JOIN b$k b ON n.id = b.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (
+       |$passageCorpusSql),
+       |w AS (
+       |${cdcWinsSql("corpus", "doc_id")}),
+       |dw AS (SELECT DISTINCT doc_id, win FROM w),
+       |p AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |      FROM dw a JOIN dw b
+       |        ON a.win = b.win AND a.doc_id < b.doc_id),
+       |e AS (SELECT ida AS src, idb AS dst FROM p
+       |      UNION SELECT idb, ida FROM p),
+       |seeds AS (SELECT doc_id AS id, lang AS label FROM documents
+       |          WHERE doc_id % 3 = 0),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+       |          UNION SELECT id FROM seeds),
+       |l0 AS (SELECT n.id, s.label FROM nodes n
+       |       LEFT JOIN seeds s ON n.id = s.id),
+       |$rounds
+       |SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Discrete median/MAD mirror: row_number ranks (the oracle may use
+    * windows; the Spark side must not), lower median at 0-based rank
+    * (n−1)//2.
+    */
+  private val outlierMadSql: String =
+    """WITH b AS (SELECT source AS g, n_chars AS x, doc_id FROM documents),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY g ORDER BY x, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY g) AS n FROM b),
+      |med AS (SELECT g, x AS med FROM r WHERE rn - 1 = (n - 1) // 2),
+      |dv AS (SELECT r.g, r.x, r.doc_id, med.med,
+      |         abs(r.x - med.med) AS dev FROM r JOIN med USING (g)),
+      |r2 AS (SELECT *,
+      |        row_number() OVER (PARTITION BY g ORDER BY dev, doc_id) AS rn2,
+      |        count(*) OVER (PARTITION BY g) AS n2 FROM dv),
+      |mad AS (SELECT g, dev AS mad FROM r2 WHERE rn2 - 1 = (n2 - 1) // 2)
+      |SELECT dv.g AS source, dv.doc_id, dv.x AS n_chars,
+      |  dv.med, mad.mad, dv.dev
+      |FROM dv JOIN mad USING (g) WHERE dv.dev > 2 * mad.mad
+      |ORDER BY source, doc_id""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "x_bloom_join" ->
+      """SELECT p_partkey, p_brand, count(*) AS n_li,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size > 47
+        |GROUP BY p_partkey, p_brand
+        |ORDER BY p_partkey""".stripMargin,
+    "x_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |  CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 47)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "x_bloom_anti" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "x_label_prop" -> labelPropSql,
+    "x_outlier_mad" -> outlierMadSql)
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Graph, Outliers}
+
+/** Label propagation and MAD outliers: hand-computed fixpoints,
+  * determinism properties, and the degenerate cases the Scaladocs
+  * promise.
+  */
+class LabelPropOutlierSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def lp(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)],
+                 iters: Int): Map[Long, String] =
+    Graph.labelPropagation(
+        edges.toDF("a", "b"), col("a"), col("b"),
+        seeds.toDF("id", "l"), col("id"), col("l"), iters)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+
+  test("labelPropagation: majority wins; ties go to the max label") {
+    // node 0 has neighbors: two 'en' seeds, one 'de' seed → majority en.
+    // node 10 has one 'en' and one 'de' neighbor → tie → max label 'en'.
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (10L, 1L), (10L, 4L))
+    val seeds = Seq((1L, "en"), (2L, "en"), (3L, "de"), (4L, "de"))
+    val got = lp(edges, seeds, 1)
+    assert(got(0L) == "en")
+    assert(got(10L) == "en") // tie 1-1 → max("de","en") = "en"
+  }
+
+  test("labelPropagation: seeds never change; unreached nodes stay null") {
+    // 5-6-7 chain seeded at 5 with 'fr'; node 9 isolated in a 9-8 pair
+    // with no seed anywhere → null forever.
+    val edges = Seq((5L, 6L), (6L, 7L), (8L, 9L))
+    val seeds = Seq((5L, "fr"), (6L, "xx"))
+    val got = lp(edges, seeds, 2)
+    assert(got(5L) == "fr" && got(6L) == "xx")
+    // 7's only neighbor is the 'xx' seed
+    assert(got(7L) == "xx")
+    assert(got(8L) == null && got(9L) == null)
+  }
+
+  test("labelPropagation: labels spread one hop per round over a chain") {
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val seeds = Seq((0L, "en"))
+    assert(lp(edges, seeds, 1)(2L) == null)
+    assert(lp(edges, seeds, 2)(2L) == "en")
+    assert(lp(edges, seeds, 4)(4L) == "en")
+  }
+
+  test("labelPropagation: isolated seeds appear in the output; " +
+      "result is independent of partitioning") {
+    val edges = Seq((1L, 2L))
+    val seeds = Seq((99L, "zz"), (1L, "aa"))
+    val got = lp(edges, seeds, 3)
+    assert(got(99L) == "zz")
+    val edgesSkewed = spark.createDataFrame(
+      Seq((1L, 2L), (2L, 1L), (1L, 2L))).toDF("a", "b").repartition(7)
+    val again = Graph.labelPropagation(edgesSkewed, col("a"), col("b"),
+        Seq((99L, "zz"), (1L, "aa")).toDF("id", "l"),
+        col("id"), col("l"), 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == got)
+  }
+
+  test("madOutliers: hand-computed medians, MADs, and survivors") {
+    // group g1: values 10,10,10,10,100 → med=10 (rank (5-1)/2=2 0-based),
+    // devs 0,0,0,0,90 → mad=0 → every off-median row flags (k*0=0 < 90).
+    // group g2: 1..7 → med=4, devs 3,2,1,0,1,2,3 sorted 0,1,1,2,2,3,3
+    // → mad=2; k=1 → dev>2 flags values 1 and 7.
+    val df = (Seq.fill(4)(10L) :+ 100L).zipWithIndex
+      .map { case (v, i) => ("g1", v, i.toLong) }
+      .++((1L to 7L).zipWithIndex.map { case (v, i) =>
+        ("g2", v, (10 + i).toLong) })
+      .toDF("g", "v", "id")
+    val got = Outliers.madOutliers(df, col("g"), col("v"),
+        Seq(col("id")), k = 1L)
+      .select(col("g"), col("v"), col("med"), col("mad"), col("dev"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == Set(
+      ("g1", 100L, 10L, 0L, 90L),
+      ("g2", 1L, 4L, 2L, 3L),
+      ("g2", 7L, 4L, 2L, 3L)))
+  }
+
+  test("madOutliers: k scales the fence; even-count groups use the " +
+      "lower median") {
+    // 1,2,3,4: lower med = 2 (0-based rank 1), devs 1,0,1,2 sorted
+    // 0,1,1,2 → mad = 1 (0-based rank 1)
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L)).toDF("g", "v", "id")
+    val k1 = Outliers.madOutliers(df, col("g"), col("v"),
+      Seq(col("id")), k = 1L).collect()
+    assert(k1.map(_.getAs[Long]("v")).toSet == Set(4L))
+    val k2 = Outliers.madOutliers(df, col("g"), col("v"),
+      Seq(col("id")), k = 2L).collect()
+    assert(k2.isEmpty)
+  }
+
+  test("madOutliers: no window in the plan (prefix-sum ranks only)") {
+    val df = Seq(("g", 1L, 1L), ("g", 5L, 2L), ("h", 2L, 3L))
+      .toDF("g", "v", "id")
+    val res = Outliers.madOutliers(df, col("g"), col("v"),
+      Seq(col("id")), k = 1L)
+    val windows = physicalNodes(res).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty)
+  }
+}

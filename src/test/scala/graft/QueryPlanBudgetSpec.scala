@@ -99,6 +99,11 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // window — even a partitioned one — would mean one reducer per
     // stratum, the defect class mixToTarget/stratifiedEveryK cleared
     "x_stratified" -> default.copy(maxWindows = 0),
+    // MAD outliers: ranks are prefix-sum BY CONSTRUCTION (a
+    // per-source window would funnel each source through one reducer)
+    "x_outlier_mad" -> default.copy(maxWindows = 0),
+    // label propagation: per-round count-argmax aggregates, no window
+    "x_label_prop" -> default.copy(maxWindows = 0),
     // relational fallback arm: the 2 corpus shuffles (anti-join +
     // ordered reassembly) plus the two-pass frequency subtree — the
     // hash-keyed aggregate (fixed-width keys) and the candidate-only
