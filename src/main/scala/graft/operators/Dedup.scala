@@ -316,6 +316,24 @@ object Dedup {
     bandedIncrementalCore(newDocs, id, newBands, storeBands,
       batchRows <= broadcastLimit, minEstJaccard, maxBucket)
 
+  /** [[bandedCandidateEdges]] over caller-owned banded inputs — the
+    * edge-level face of [[minhashIncrementalFromBands]] for gates that
+    * combine SEVERAL modalities' evidence before deciding drops (the
+    * unified multimodal gate): (id_a, id_b, est_jaccard), new doc on
+    * the id_b side, pre-distinct (a pair recurring across bands passes
+    * the est filter identically each time — callers deduplicate the
+    * id set they act on, as the single-arm gate does).
+    */
+  def minhashCandidateEdgesFromBands(newBands: DataFrame,
+                                     storeBands: DataFrame,
+                                     batchRows: Long,
+                                     minEstJaccard: Double = 0.8,
+                                     maxBucket: Int = 10000,
+                                     broadcastLimit: Long = 4000000L)
+      : DataFrame =
+    bandedCandidateEdges(newBands, storeBands,
+      batchRows <= broadcastLimit, minEstJaccard, maxBucket)
+
   /** The candidate EDGES behind the incremental gates, pre-distinct:
     * (id_a, id_b, est_jaccard) with the new doc on the id_b side.
     */

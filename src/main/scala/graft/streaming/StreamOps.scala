@@ -774,6 +774,208 @@ object StreamOps {
     tok
   }
 
+  /** A gate store's committed, manifest-pruned slice for a probe over
+    * a (ka, kb) clustering key pair — the store-read block every
+    * banded gate repeats, factored: committed generation view, footer
+    * manifest file pruning when a committed manifest exists (falling
+    * back to the unpruned view — manifest loss costs pruning, never
+    * rows), `None` when the store is empty or no file can match.
+    */
+  private def prunedPairsSlice(spark: SparkSession, storePath: String,
+                               manifestPath: String, ka: String,
+                               kb: String, probe: DataFrame,
+                               cols: Seq[String]): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val viewDirs = storeViewDirs(spark, storePath)
+    if (viewDirs.isEmpty) None
+    else {
+      val mp = new org.apache.hadoop.fs.Path(manifestPath)
+      val files =
+        if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+          graft.operators.Stats.touchedPairsKeptFilesUnder(spark,
+            viewDirs.map(_.toString), manifestPath, ka, kb, probe)
+        else viewDirs.map(_.toString)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*)
+        .select(cols.map(col): _*))
+    }
+  }
+
+  /** [[prunedPairsSlice]] for a single clustering key. */
+  private def prunedKeysSlice(spark: SparkSession, storePath: String,
+                              manifestPath: String, key: String,
+                              probe: DataFrame,
+                              cols: Seq[String]): Option[DataFrame] = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val viewDirs = storeViewDirs(spark, storePath)
+    if (viewDirs.isEmpty) None
+    else {
+      val mp = new org.apache.hadoop.fs.Path(manifestPath)
+      val files =
+        if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+          graft.operators.Stats.touchedKeysKeptFilesUnder(spark,
+            viewDirs.map(_.toString), manifestPath, key, probe)
+        else viewDirs.map(_.toString)
+      if (files.isEmpty) None
+      else Some(spark.read.parquet(files: _*)
+        .select(cols.map(col): _*))
+    }
+  }
+
+  /** The UNIFIED cross-modal dedup gate — the streaming face of the
+    * x_multimodal_dedup capstone: one stream whose rows carry ALL FOUR
+    * modality payloads (text + image + audio + video columns), gated
+    * per micro-batch against four persisted per-modality stores at
+    * once. A batch doc is dropped when ANY arm links it to retained
+    * history or to a smaller-id doc of the same batch:
+    *
+    *   - text: banded-MinHash candidates at `minEstJaccard` (the
+    *     [[nearDupGateSinkBanded]] core);
+    *   - image: dHash windows at Hamming ≤ `imgMaxDist`
+    *     ([[mediaDedupGateSinkBanded]] core);
+    *   - audio: acoustic-fingerprint windows at ≤ `audMaxDist`
+    *     (same core, separate store);
+    *   - video: ≥ `minShared` shared frame hashes
+    *     ([[videoDedupGateSink]] core).
+    *
+    * Each arm hashes the batch ONCE; each store scan opens only
+    * manifest-touched files; each arm's evidence is a candidate-edge
+    * set and the drop decision is their UNION — so a text-dup of an
+    * image-dup of a video-dup all fall to the same survivor, exactly
+    * the composition the batch capstone clusters. Survivors' artifacts
+    * append to all four stores (dead-letters — null hash / no frames —
+    * survive unstored per arm, the established stance); a dropped
+    * doc's artifacts are stored NOWHERE, so as with every gate here
+    * the pairwise-removal policy is chain-blind within a modality —
+    * accumulate [[graft.operators.Dedup.minhashIncrementalCandidatesBanded]]
+    * -style edges and reconcile offline (x_multimodal_incremental) for
+    * the transitive policy. Durability protocol unchanged: batch-keyed
+    * overwrite-idempotent appends, committed-file store views,
+    * per-store generation compaction with one-cycle vacuum grace,
+    * manifest loss costs pruning never rows. Monotone ids across
+    * batches, as every gate here.
+    */
+  def multimodalGateSink(spark: SparkSession, stream: DataFrame,
+                         id: String, text: String, image: String,
+                         audio: String, video: String, storeRoot: String,
+                         outPath: String, checkpoint: String,
+                         n: Int = 3, k: Int = 32, rowsPerBand: Int = 4,
+                         minEstJaccard: Double = 0.8,
+                         imgMaxDist: Int = 0, audMaxDist: Int = 3,
+                         frameBytes: Int = 64, minShared: Long = 3,
+                         maxBucket: Int = 10000,
+                         compactEvery: Int = 0, compactFilesOut: Int = 4,
+                         appendFilesOut: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Dedup, Multimodal}
+    val (tStore, iStore, aStore, vStore) = (s"$storeRoot/text",
+      s"$storeRoot/img", s"$storeRoot/aud", s"$storeRoot/vid")
+    val (tMan, iMan, aMan, vMan) = (s"$storeRoot/text_manifest",
+      s"$storeRoot/img_manifest", s"$storeRoot/aud_manifest",
+      s"$storeRoot/vid_manifest")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.select(col(id).cast("long").as("mid"),
+              col(text).as("text"), col(image).as("img"),
+              col(audio).as("aud"), col(video).as("vid"))
+            .localCheckpoint()
+          val batchRows = b.count()
+          // text arm: band once, prune store, edge set
+          val newBands = Dedup.lshBuckets(
+              Dedup.minhashSigsNative(b, col("mid"), col("text"), n, k),
+              rowsPerBand)
+            .select(col("band"), col("bucket"), col("id"), col("sig"))
+            .localCheckpoint()
+          val tSlice = prunedPairsSlice(spark, tStore, tMan, "band",
+              "bucket", newBands.select(col("band"), col("bucket")),
+              Seq("band", "bucket", "id", "sig"))
+            .getOrElse(newBands.limit(0))
+          val tDrop = Dedup.minhashCandidateEdgesFromBands(newBands,
+              tSlice, batchRows, minEstJaccard, maxBucket)
+            .select(col("id_b").as("mid"))
+          // image arm: hash once, window-expand once
+          val imgHashes = Multimodal.imageDHash(spark,
+              b.select(col("mid").as("media_id"),
+                col("img").as("payload"))).toDF().localCheckpoint()
+          val ipw = Multimodal.dhashWindowRows(
+            imgHashes.where(col("dhash").isNotNull))
+          val iSlice = prunedPairsSlice(spark, iStore, iMan, "w", "wk",
+              ipw.select(col("w"), col("wk")).distinct(),
+              Seq("w", "wk", "id", "dhash"))
+            .getOrElse(ipw.limit(0))
+          val iDrop = Multimodal.dhashPairsAgainstBands(iSlice, ipw,
+              imgMaxDist, maxBucket)
+            .select(col("id_b").as("mid"))
+          // audio arm: same window machinery over the acoustic bits
+          val audHashes = Multimodal.audioFingerprint(spark,
+              b.select(col("mid").as("media_id"),
+                col("aud").as("payload"))).toDF().localCheckpoint()
+          val apw = Multimodal.dhashWindowRows(
+            audHashes.where(col("dhash").isNotNull))
+          val aSlice = prunedPairsSlice(spark, aStore, aMan, "w", "wk",
+              apw.select(col("w"), col("wk")).distinct(),
+              Seq("w", "wk", "id", "dhash"))
+            .getOrElse(apw.limit(0))
+          val aDrop = Multimodal.dhashPairsAgainstBands(aSlice, apw,
+              audMaxDist, maxBucket)
+            .select(col("id_b").as("mid"))
+          // video arm: chunk+hash once
+          val frames = Multimodal.videoFrameRows(
+              b.select(col("mid").as("media_id"),
+                col("vid").as("payload")), frameBytes)
+            .localCheckpoint()
+          val vSlice = prunedKeysSlice(spark, vStore, vMan, "fh",
+              frames.select(col("fh")).distinct(), Seq("fh", "id"))
+            .getOrElse(frames.select(col("fh"), col("id")).limit(0))
+          val vDrop = Multimodal.frameDupPairsAgainstRows(vSlice,
+              frames, minShared, maxBucket)
+            .select(col("id_b").as("mid"))
+          // the union IS the cross-modal composition
+          val dropIds = tDrop.unionAll(iDrop).unionAll(aDrop)
+            .unionAll(vDrop).distinct()
+          val survivors = b.select(col("mid"))
+            .join(dropIds, Seq("mid"), "left_anti")
+            .localCheckpoint()
+          val keepIds = survivors.select(col("mid").as("id"))
+          newBands.join(keepIds, Seq("id"), "left_semi")
+            .repartitionByRange(appendFilesOut, col("band"), col("bucket"))
+            .sortWithinPartitions(col("band"), col("bucket"))
+            .write.mode("overwrite").parquet(s"$tStore/batch=$batchId")
+          ipw.join(keepIds, Seq("id"), "left_semi")
+            .repartitionByRange(appendFilesOut, col("w"), col("wk"))
+            .sortWithinPartitions(col("w"), col("wk"))
+            .write.mode("overwrite").parquet(s"$iStore/batch=$batchId")
+          apw.join(keepIds, Seq("id"), "left_semi")
+            .repartitionByRange(appendFilesOut, col("w"), col("wk"))
+            .sortWithinPartitions(col("w"), col("wk"))
+            .write.mode("overwrite").parquet(s"$aStore/batch=$batchId")
+          frames.join(keepIds, Seq("id"), "left_semi")
+            .select(col("fh"), col("id"))
+            .repartitionByRange(appendFilesOut, col("fh"))
+            .sortWithinPartitions(col("fh"))
+            .write.mode("overwrite").parquet(s"$vStore/batch=$batchId")
+          survivors.select(col("mid"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          refreshStoreManifest(spark, tStore, tMan)
+          refreshStoreManifest(spark, iStore, iMan)
+          refreshStoreManifest(spark, aStore, aMan)
+          refreshStoreManifest(spark, vStore, vMan)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1) {
+            compactNearDupStoreBanded(spark, tStore, tMan, compactFilesOut)
+            compactMediaStoreBanded(spark, iStore, iMan, compactFilesOut)
+            compactMediaStoreBanded(spark, aStore, aMan, compactFilesOut)
+            compactFrameStore(spark, vStore, vMan, compactFilesOut): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming EMBEDDING near-dup gate: the [[nearDupGateSink]]
     * protocol for vectors, executed by the batch pipeline's own
     * [[graft.operators.Dedup.embeddingIncremental]] — per micro-batch,
