@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Rank-fusion operators for hybrid retrieval — combining a sparse
@@ -116,5 +116,100 @@ object Retrieval {
     }
     import spark.implicits._
     picked.toSeq.toDF("id", "mmr_rank", "mmr_score")
+  }
+
+  /** Persist a corpus's BM25 artifacts as an INVERTED INDEX:
+    *
+    *   - `postings/`  (th, term, id, tf) range-clustered by
+    *     th = xxhash64(term), with a footer manifest — a query's
+    *     store scan OPENS only the files its own terms' hashes can
+    *     live in, then row-filters on the exact term (hash collisions
+    *     only cost reading, never correctness);
+    *   - `doclen/`    (id, dl) id-clustered + manifest — fetched only
+    *     for candidate docs;
+    *   - `stats/`     one (n_docs, sum_dl) row.
+    *
+    * This is the structural fix for full-scan BM25 at corpus scale:
+    * [[TextAnalysis.bm25Scores]] re-reads and re-tokenizes 100 TB of
+    * text PER QUERY; through the index a query touches
+    * O(Σ postings of its terms) — the classic inverted-file bound —
+    * plus a candidate-pruned doclen fetch. Tokenization is
+    * [[TextAnalysis.tokens]] exactly, so tf/df/dl agree with the
+    * full-scan path token for token.
+    */
+  def writeBm25Index(df: DataFrame, id: Column, text: Column,
+                     indexDir: String, filesOut: Int = 16): Unit = {
+    val spark = df.sparkSession
+    val toks = df.select(id.as("id"),
+      explode(TextAnalysis.tokens(text)).as("term"))
+    toks.where(col("term") =!= "")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(xxhash64(col("term")).as("th"), col("term"), col("id"),
+        col("tf"))
+      .repartitionByRange(filesOut, col("th"))
+      .sortWithinPartitions(col("th"), col("term"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/postings")
+    Stats.writeManifest(spark, s"$indexDir/postings",
+      s"$indexDir/postings_manifest")
+    val doclen = df.select(id.as("id"),
+      size(TextAnalysis.tokens(text)).cast("long").as("dl"))
+    doclen
+      .repartitionByRange(math.max(1, filesOut / 2), col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/doclen")
+    Stats.writeManifest(spark, s"$indexDir/doclen",
+      s"$indexDir/doclen_manifest")
+    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/stats")
+  }
+
+  /** [[TextAnalysis.bm25TopK]] answered FROM the persisted index —
+    * bit-identical results (shared [[TextAnalysis.bm25ScoreExpr]]
+    * expression tree, same df/tf/dl integers, same (score desc, id)
+    * cut), but the corpus is never touched: the postings scan is
+    * manifest-pruned to the query terms' hash files, per-term df is
+    * recovered from the slice itself (the slice holds EVERY posting of
+    * a matched term), and doc lengths are fetched manifest-pruned for
+    * candidates only. Per-query cost is postings-of-terms, not corpus.
+    */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, queryTerms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75,
+                      idfMode: String = "rational"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    import spark.implicits._
+    val idx = queryTerms.indices
+    val probe = queryTerms.toDF("term")
+      .select(xxhash64(col("term")).as("th"))
+    val slice = Checkpoints.stage(
+      Stats.readTouchedKeysManifest(spark, s"$indexDir/postings",
+          s"$indexDir/postings_manifest", "th", probe)
+        .where(col("term").isin(queryTerms: _*))
+        .select(col("term"), col("id"), col("tf")))
+    val dfAggs = idx.map(i =>
+      sum(when(col("term") === queryTerms(i), 1L).otherwise(0L))
+        .as(s"df_$i"))
+    val dfsRow = slice.agg(dfAggs.head, dfAggs.tail: _*)
+    val tfAggs = idx.map(i =>
+      coalesce(max(when(col("term") === queryTerms(i), col("tf"))),
+        lit(0L)).as(s"tf_$i"))
+    val tfs = slice.groupBy(col("id")).agg(tfAggs.head, tfAggs.tail: _*)
+    val dl = Stats.readTouchedKeysManifest(spark, s"$indexDir/doclen",
+        s"$indexDir/doclen_manifest", "id",
+        tfs.select(col("id")))
+      .select(col("id"), col("dl"))
+    val consts = broadcast(
+      spark.read.parquet(s"$indexDir/stats").crossJoin(dfsRow))
+    tfs.join(dl, Seq("id"))
+      .crossJoin(consts)
+      .select(col("id") +: idx.map(i => col(s"tf_$i")) :+ col("dl") :+
+        TextAnalysis.bm25ScoreExpr(idx, k1, b, idfMode).as("score"): _*)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
   }
 }

@@ -224,6 +224,23 @@ object TextAnalysis {
       idx.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
     val stats = withTf.agg(statCols.head, statCols.tail: _*)
     val scored = withTf.crossJoin(broadcast(stats))
+    val score = bm25ScoreExpr(idx, k1, b, idfMode)
+    scored
+      .where(idx.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
+      .select(col("id") +: idx.map(i => col(s"tf_$i")) :+
+        col("dl") :+ score.as("score"): _*)
+  }
+
+  /** The BM25 scoring expression over columns `tf_i`, `dl`, `n_docs`,
+    * `sum_dl`, `df_i` — ONE expression tree shared by the full-scan
+    * path ([[bm25Scores]]) and the inverted-index path
+    * ([[Retrieval.bm25TopKIndexed]]), so the two produce
+    * bit-identical doubles (same casts, same operation order, same
+    * left-fold over terms) and can share one oracle.
+    */
+  private[operators] def bm25ScoreExpr(idx: Seq[Int], k1: Double,
+                                       b: Double,
+                                       idfMode: String): Column = {
     val avgdl = col("sum_dl").cast("double") / col("n_docs")
     def idf(i: Int): Column = idfMode match {
       case "rational" =>
@@ -240,11 +257,7 @@ object TextAnalysis {
         (col(s"tf_$i").cast("double") +
           lit(k1) * ((lit(1.0) - lit(b)) +
             lit(b) * col("dl").cast("double") / avgdl))
-    val score = idx.map(termScore).reduceLeft(_ + _)
-    scored
-      .where(idx.map(i => col(s"tf_$i")).reduce(_ + _) > 0)
-      .select(col("id") +: idx.map(i => col(s"tf_$i")) :+
-        col("dl") :+ score.as("score"): _*)
+    idx.map(termScore).reduceLeft(_ + _)
   }
 
   /** Top-k BM25 retrieval: [[bm25Scores]] then a TakeOrdered on

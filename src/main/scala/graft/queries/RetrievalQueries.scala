@@ -115,6 +115,25 @@ object RetrievalQueries {
           col("dl"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))),
 
+    // The same BM25 top-25 answered FROM the persisted inverted index
+    // (built once per data dir): the postings scan opens only the
+    // query terms' manifest-touched hash files, df comes from the
+    // slice itself, doc lengths fetch manifest-pruned for candidates —
+    // per-query cost is postings-of-terms, not corpus. Shares x_bm25's
+    // oracle verbatim: the scoring expression tree is the SAME object,
+    // so the doubles are bit-identical.
+    "x_bm25_indexed" -> ((s, d) => {
+      val idxDir = ArtifactMemo.dirFor("bm25idx", d) { p =>
+        Retrieval.writeBm25Index(t(s, d, "documents"), col("doc_id"),
+          col("text"), p)
+      }
+      Retrieval.bm25TopKIndexed(s, idxDir, Bm25Terms, k = 25)
+        .select(col("id").as("doc_id"), col("tf_0").as("tf_merge"),
+          col("tf_1").as("tf_window"), col("tf_2").as("tf_spark"),
+          col("dl"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // Offline transitive reconciliation of the substring gate: the
     // within-history, within-batch, and store×batch fp-sharing edges
     // (the last via the manifest-pruned incremental PAIR form) feed
@@ -385,6 +404,17 @@ object RetrievalQueries {
        |SELECT id AS $idName, rank FROM r5 ORDER BY $idName""".stripMargin
   }
 
+  private lazy val bm25TopSql: String =
+    s"""WITH $bm25TfStSql
+       |SELECT doc_id, tf_0 AS tf_merge, tf_1 AS tf_window,
+       |  tf_2 AS tf_spark, dl,
+       |  ${bm25TermSql(0)}
+       |  + ${bm25TermSql(1)}
+       |  + ${bm25TermSql(2)} AS score
+       |FROM tf CROSS JOIN st
+       |WHERE tf_0 + tf_1 + tf_2 > 0
+       |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
   private val pageRankSql: String = pageRankSqlOver(
     s"""e AS (
        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
@@ -537,16 +567,8 @@ object RetrievalQueries {
         |    ORDER BY cos DESC, vb) AS INT) AS rank, vb, cos
         |FROM scored QUALIFY rank <= 5 ORDER BY qa, rank""".stripMargin),
     "x_mmr" -> mmrSql,
-    "x_bm25" ->
-      s"""WITH $bm25TfStSql
-         |SELECT doc_id, tf_0 AS tf_merge, tf_1 AS tf_window,
-         |  tf_2 AS tf_spark, dl,
-         |  ${bm25TermSql(0)}
-         |  + ${bm25TermSql(1)}
-         |  + ${bm25TermSql(2)} AS score
-         |FROM tf CROSS JOIN st
-         |WHERE tf_0 + tf_1 + tf_2 > 0
-         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+    "x_bm25" -> bm25TopSql,
+    "x_bm25_indexed" -> bm25TopSql,
     "x_hybrid_rrf" ->
       s"""WITH $bm25TfStSql,
          |sp AS (

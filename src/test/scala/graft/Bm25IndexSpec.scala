@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Retrieval, Stats, TextAnalysis}
+
+/** The persisted BM25 inverted index: bit-identical answers to the
+  * full-scan path, and the manifest actually prunes postings files.
+  */
+class Bm25IndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "merge sort beats bubble sort on large inputs"),
+    (2L, "window functions rank rows within partitions"),
+    (3L, "spark executes the merge join after the exchange"),
+    (4L, "the window slides and the window tumbles"),
+    (5L, "spark spark spark tuning notes"),
+    (6L, "entirely unrelated prose about gardening"),
+    (7L, "merge window spark all three terms appear here"),
+    (8L, ""))
+    .toDF("doc_id", "text")
+
+  private def buildIndex(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25idx-").toString + "/idx"
+    Retrieval.writeBm25Index(corpus, col("doc_id"), col("text"), dir,
+      filesOut = 8)
+    dir
+  }
+
+  test("bm25TopKIndexed ≡ bm25TopK bit for bit, both idf modes") {
+    val dir = buildIndex()
+    for (mode <- Seq("rational", "lucene")) {
+      val want = TextAnalysis.bm25TopK(corpus, col("doc_id"),
+          col("text"), Seq("merge", "window", "spark"), k = 10,
+          idfMode = mode)
+        .orderBy(col("score").desc, col("id")).collect()
+      val got = Retrieval.bm25TopKIndexed(spark, dir,
+          Seq("merge", "window", "spark"), k = 10, idfMode = mode)
+        .orderBy(col("score").desc, col("id")).collect()
+      assert(got.toSeq == want.toSeq, s"mode=$mode")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("a term matching no document returns the other terms' docs " +
+      "with identical scores (df 0 contributes 0 tf everywhere)") {
+    val dir = buildIndex()
+    val want = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("merge", "zzz_absent"), k = 10).collect()
+    val got = Retrieval.bm25TopKIndexed(spark, dir,
+      Seq("merge", "zzz_absent"), k = 10).collect()
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("postings manifest prunes: a single-term query opens fewer " +
+      "files than the store holds") {
+    val dir = buildIndex()
+    val all = spark.read.parquet(s"$dir/postings").inputFiles.toSeq
+    val kept = Stats.touchedKeysKeptFiles(spark, s"$dir/postings",
+      s"$dir/postings_manifest", "th",
+      Seq("merge").toDF("term").select(xxhash64(col("term")).as("th")))
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"kept ${kept.size} of ${all.size}")
+  }
+}
