@@ -168,6 +168,59 @@ object Retrieval {
       .parquet(s"$indexDir/stats")
   }
 
+  /** Append a NEW batch of documents to an existing BM25 index (the
+    * continuous-ingestion write path): postings and doc lengths append
+    * as new clustered files with footer-only manifest refreshes (the
+    * [[graft.operators.Dedup.appendBandedSigStore]] protocol), and the
+    * one-row stats table folds additively — n_docs and sum_dl are a
+    * merge semigroup, so history is never re-read or re-tokenized.
+    * Batch doc ids must be new (an id re-ingest would double-count its
+    * postings — upstream exact-dedup owns that invariant, as with
+    * every incremental store here). After the append,
+    * [[bm25TopKIndexed]] answers over the UNION corpus exactly
+    * (driver-checked: x_bm25_incremental shares the full-corpus
+    * oracle).
+    */
+  def appendBm25Index(df: DataFrame, id: Column, text: Column,
+                      indexDir: String, filesOut: Int = 4): Unit = {
+    val spark = df.sparkSession
+    df.select(id.as("id"), explode(TextAnalysis.tokens(text)).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .select(xxhash64(col("term")).as("th"), col("term"), col("id"),
+        col("tf"))
+      .repartitionByRange(filesOut, col("th"))
+      .sortWithinPartitions(col("th"), col("term"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/postings")
+    Stats.refreshManifest(spark, s"$indexDir/postings",
+      s"$indexDir/postings_manifest")
+    val doclen = df.select(id.as("id"),
+      size(TextAnalysis.tokens(text)).cast("long").as("dl"))
+    doclen
+      .repartitionByRange(math.max(1, filesOut / 2), col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .parquet(s"$indexDir/doclen")
+    Stats.refreshManifest(spark, s"$indexDir/doclen",
+      s"$indexDir/doclen_manifest")
+    // additive stats fold: one old row + one batch row, via a staged
+    // read so the overwrite never races its own input
+    val old = spark.read.parquet(s"$indexDir/stats")
+      .select(col("n_docs"), col("sum_dl")).head
+    val batch = doclen
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head
+    val batchSum = if (batch.isNullAt(1)) 0L else batch.getLong(1)
+    import spark.implicits._
+    Seq((old.getLong(0) + batch.getLong(0),
+        old.getLong(1) + batchSum))
+      .toDF("n_docs", "sum_dl")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/stats")
+  }
+
   /** [[TextAnalysis.bm25TopK]] answered FROM the persisted index —
     * bit-identical results (shared [[TextAnalysis.bm25ScoreExpr]]
     * expression tree, same df/tf/dl integers, same (score desc, id)

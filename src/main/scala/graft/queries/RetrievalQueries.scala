@@ -134,6 +134,27 @@ object RetrievalQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // INCREMENTAL index maintenance: the history slice (doc_id < 400)
+    // indexes once; the batch appends postings/doclen files with
+    // footer-only manifest refreshes and folds the stats row
+    // additively - history is never re-tokenized. The refreshed index
+    // must answer exactly as a from-scratch index over the WHOLE
+    // corpus: the full-corpus x_bm25 oracle is shared verbatim.
+    "x_bm25_incremental" -> ((s, d) => {
+      val idxDir = ArtifactMemo.dirFor("bm25idxinc", d) { p =>
+        val docs = t(s, d, "documents")
+        Retrieval.writeBm25Index(docs.where(col("doc_id") < 400),
+          col("doc_id"), col("text"), p)
+        Retrieval.appendBm25Index(docs.where(col("doc_id") >= 400),
+          col("doc_id"), col("text"), p)
+      }
+      Retrieval.bm25TopKIndexed(s, idxDir, Bm25Terms, k = 25)
+        .select(col("id").as("doc_id"), col("tf_0").as("tf_merge"),
+          col("tf_1").as("tf_window"), col("tf_2").as("tf_spark"),
+          col("dl"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // Offline transitive reconciliation of the substring gate: the
     // within-history, within-batch, and store×batch fp-sharing edges
     // (the last via the manifest-pruned incremental PAIR form) feed
@@ -569,6 +590,7 @@ object RetrievalQueries {
     "x_mmr" -> mmrSql,
     "x_bm25" -> bm25TopSql,
     "x_bm25_indexed" -> bm25TopSql,
+    "x_bm25_incremental" -> bm25TopSql,
     "x_hybrid_rrf" ->
       s"""WITH $bm25TfStSql,
          |sp AS (

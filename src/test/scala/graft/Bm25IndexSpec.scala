@@ -53,6 +53,23 @@ class Bm25IndexSpec extends SparkSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("appendBm25Index: incremental index ≡ from-scratch index over " +
+      "the union corpus, stats fold additively") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25inc-").toString + "/idx"
+    Retrieval.writeBm25Index(corpus.where(col("doc_id") < 5),
+      col("doc_id"), col("text"), dir, filesOut = 4)
+    Retrieval.appendBm25Index(corpus.where(col("doc_id") >= 5),
+      col("doc_id"), col("text"), dir)
+    val want = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("merge", "window", "spark"), k = 10).collect()
+    val got = Retrieval.bm25TopKIndexed(spark, dir,
+      Seq("merge", "window", "spark"), k = 10).collect()
+    assert(got.toSeq == want.toSeq)
+    val stats = spark.read.parquet(s"$dir/stats").head
+    assert(stats.getLong(0) == 8)
+  }
+
   test("postings manifest prunes: a single-term query opens fewer " +
       "files than the store holds") {
     val dir = buildIndex()
