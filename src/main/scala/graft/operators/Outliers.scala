@@ -39,6 +39,34 @@ object Outliers {
   def madOutliers(df: DataFrame, group: Column, value: Column,
                   key: Seq[Column], k: Long): DataFrame = {
     require(k >= 0, "k must be >= 0")
+    withMadStats(df, group, value, key)
+      .where(col("dev") > col("mad") * k)
+      .drop("__g", "__x")
+  }
+
+  /** Winsorization through the same machinery: every row annotated
+    * with its group's med/mad/dev plus `clipped` — the value clamped
+    * to [med − k·mad, med + k·mad]. The curation shape for metrics
+    * that feed downstream arithmetic (sampling weights, quality
+    * priors) where dropping rows is too blunt but a single truncated
+    * crawl must not drag a source's mean. Integer in, integer out.
+    */
+  def madClip(df: DataFrame, group: Column, value: Column,
+              key: Seq[Column], k: Long): DataFrame = {
+    require(k >= 0, "k must be >= 0")
+    withMadStats(df, group, value, key)
+      .withColumn("clipped",
+        greatest(least(col("__x"), col("med") + col("mad") * k),
+          col("med") - col("mad") * k))
+      .drop("__g", "__x")
+  }
+
+  /** Every row of `df` + (med, mad, dev) for its group — the shared
+    * two-prefix-sum core of [[madOutliers]] and [[madClip]]. Keeps the
+    * internal __g/__x columns for the caller's final projection.
+    */
+  private def withMadStats(df: DataFrame, group: Column, value: Column,
+                           key: Seq[Column]): DataFrame = {
     val base = df.withColumn("__g", group)
       .withColumn("__x", value.cast("long"))
     val order = col("__g") +: col("__x") +: key
@@ -67,7 +95,6 @@ object Outliers {
       .select(col("__s").as("__sm"), col("dev").as("mad"))
     ranked2.drop("__dpos")
       .join(broadcast(mad), col("__g") <=> col("__sm"))
-      .where(col("dev") > col("mad") * k)
-      .drop("__g", "__x", "__sm")
+      .drop("__sm")
   }
 }

@@ -95,6 +95,17 @@ object ScaleOpsQueries {
           key = Seq(col("doc_id")), k = 2L)
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("med"), col("mad"), col("dev"))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Winsorization twin: every doc keeps a length CLIPPED to its
+    // source's [med - 2*mad, med + 2*mad] fence - the gentler curation
+    // arm for metrics feeding downstream arithmetic.
+    "x_outlier_clip" -> ((s, d) =>
+      Outliers.madClip(t(s, d, "documents"),
+          group = col("source"), value = col("n_chars"),
+          key = Seq(col("doc_id")), k = 2L)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("med"), col("mad"), col("clipped"))
         .orderBy(col("source"), col("doc_id"))))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
@@ -163,6 +174,28 @@ object ScaleOpsQueries {
       |FROM dv JOIN mad USING (g) WHERE dv.dev > 2 * mad.mad
       |ORDER BY source, doc_id""".stripMargin
 
+  /** The winsorization mirror: same median/MAD CTEs, clamp instead of
+    * filter.
+    */
+  private val outlierClipSql: String =
+    """WITH b AS (SELECT source AS g, n_chars AS x, doc_id FROM documents),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY g ORDER BY x, doc_id) AS rn,
+      |        count(*) OVER (PARTITION BY g) AS n FROM b),
+      |med AS (SELECT g, x AS med FROM r WHERE rn - 1 = (n - 1) // 2),
+      |dv AS (SELECT r.g, r.x, r.doc_id, med.med,
+      |         abs(r.x - med.med) AS dev FROM r JOIN med USING (g)),
+      |r2 AS (SELECT *,
+      |        row_number() OVER (PARTITION BY g ORDER BY dev, doc_id) AS rn2,
+      |        count(*) OVER (PARTITION BY g) AS n2 FROM dv),
+      |mad AS (SELECT g, dev AS mad FROM r2 WHERE rn2 - 1 = (n2 - 1) // 2)
+      |SELECT dv.g AS source, dv.doc_id, dv.x AS n_chars,
+      |  dv.med, mad.mad,
+      |  greatest(least(dv.x, dv.med + 2 * mad.mad),
+      |    dv.med - 2 * mad.mad) AS clipped
+      |FROM dv JOIN mad USING (g)
+      |ORDER BY source, doc_id""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x_bloom_join" ->
       """SELECT p_partkey, p_brand, count(*) AS n_li,
@@ -184,5 +217,6 @@ object ScaleOpsQueries {
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
     "x_label_prop" -> labelPropSql,
-    "x_outlier_mad" -> outlierMadSql)
+    "x_outlier_mad" -> outlierMadSql,
+    "x_outlier_clip" -> outlierClipSql)
 }

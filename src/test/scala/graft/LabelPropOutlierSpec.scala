@@ -99,6 +99,20 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(k2.isEmpty)
   }
 
+  test("madClip: values clamp to [med − k·mad, med + k·mad]; " +
+      "in-fence rows pass through unchanged") {
+    // 1,2,3,4: med=2, mad=1; k=1 → fence [1, 3]: 4 clips to 3
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L)).toDF("g", "v", "id")
+    val got = Outliers.madClip(df, col("g"), col("v"),
+        Seq(col("id")), k = 1L)
+      .select(col("id"), col("v"), col("clipped"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L),
+      (4L, 4L, 3L)))
+  }
+
   test("madOutliers: no window in the plan (prefix-sum ranks only)") {
     val df = Seq(("g", 1L, 1L), ("g", 5L, 2L), ("h", 2L, 3L))
       .toDF("g", "v", "id")

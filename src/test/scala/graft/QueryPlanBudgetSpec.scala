@@ -102,6 +102,7 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // MAD outliers: ranks are prefix-sum BY CONSTRUCTION (a
     // per-source window would funnel each source through one reducer)
     "x_outlier_mad" -> default.copy(maxWindows = 0),
+    "x_outlier_clip" -> default.copy(maxWindows = 0),
     // label propagation: per-round count-argmax aggregates, no window
     "x_label_prop" -> default.copy(maxWindows = 0),
     // relational fallback arm: the 2 corpus shuffles (anti-join +
@@ -118,6 +119,11 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // BM25's corpus stats (N, Σdl, per-term df) are a 1-row aggregate
     // cross-joined back — bounded by construction, never data-sized
     "x_bm25" -> default.copy(allowCartesian = true),
+    // the indexed paths carry the same 1-row stats cross-join, twice
+    // (corpus stats ⨯ slice-derived dfs) — both single-row by
+    // construction
+    "x_bm25_indexed" -> default.copy(allowCartesian = true),
+    "x_bm25_incremental" -> default.copy(allowCartesian = true),
     // hybrid fusion: the BM25 stats cross-join plus the dense arm's
     // brute-force exact baseline (licenses the ANN arms) BY DESIGN;
     // the global rank window sorts a limit(50)-bounded input — a k-row
