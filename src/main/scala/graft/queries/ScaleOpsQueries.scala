@@ -106,7 +106,21 @@ object ScaleOpsQueries {
           key = Seq(col("doc_id")), k = 2L)
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("med"), col("mad"), col("clipped"))
-        .orderBy(col("source"), col("doc_id"))))
+        .orderBy(col("source"), col("doc_id"))),
+
+    // Per-node triangle counts over the shared-passage graph
+    // (degree-oriented wedge counting): planted-passage cliques close
+    // C(m-1, 2) triangles per member - the local-clustering signal
+    // that separates dense duplicate cliques (collapse safely) from
+    // lone bridge edges (distrust under a transitive policy). The
+    // oracle recounts every triangle with a canonical 3-way edge join.
+    "x_triangles" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      Graph.triangleCounts(pairs, col("ida"), col("idb"))
+        .select(col("id").as("doc_id"), col("n_tri"))
+        .orderBy(col("doc_id"))
+    }))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
@@ -152,6 +166,32 @@ object ScaleOpsQueries {
        |$rounds
        |SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin
   }
+
+  /** Canonical 3-way-join triangle recount over the same
+    * shared-passage pair CTEs the label-prop oracle builds.
+    */
+  private val trianglesSql: String =
+    s"""WITH corpus AS (
+       |$passageCorpusSql),
+       |w AS (
+       |${cdcWinsSql("corpus", "doc_id")}),
+       |dw AS (SELECT DISTINCT doc_id, win FROM w),
+       |p AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |      FROM dw a JOIN dw b
+       |        ON a.win = b.win AND a.doc_id < b.doc_id),
+       |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+       |       FROM p e1 JOIN p e2 ON e1.u = e2.u AND e1.v < e2.v
+       |       JOIN p e3 ON e3.u = e1.v AND e3.v = e2.v),
+       |corners AS (SELECT a AS id FROM tr
+       |            UNION ALL SELECT b FROM tr
+       |            UNION ALL SELECT c FROM tr),
+       |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+       |        FROM corners GROUP BY id),
+       |nodes AS (SELECT u AS id FROM p UNION SELECT v FROM p)
+       |SELECT n.id AS doc_id,
+       |  coalesce(cnt.n_tri, CAST(0 AS BIGINT)) AS n_tri
+       |FROM nodes n LEFT JOIN cnt ON n.id = cnt.id
+       |ORDER BY doc_id""".stripMargin
 
   /** Discrete median/MAD mirror: row_number ranks (the oracle may use
     * windows; the Spark side must not), lower median at 0-based rank
@@ -218,5 +258,6 @@ object ScaleOpsQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "x_label_prop" -> labelPropSql,
     "x_outlier_mad" -> outlierMadSql,
-    "x_outlier_clip" -> outlierClipSql)
+    "x_outlier_clip" -> outlierClipSql,
+    "x_triangles" -> trianglesSql)
 }

@@ -64,6 +64,44 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(again == got)
   }
 
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: hand graphs — triangle, path, K4, star") {
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(tri(Seq((1L, 2L), (2L, 3L))) ==
+      Map(1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // K4: every vertex sits in C(3,2) = 3 triangles
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    assert(tri(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val star = (2L to 6L).map(i => (1L, i))
+    assert(tri(star) == (1L to 6L).map(_ -> 0L).toMap)
+  }
+
+  test("triangleCounts: parallel/reversed/self edges collapse; " +
+      "result independent of partitioning") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L), (4L, 5L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 0L)
+    assert(tri(messy) == want)
+    val skewed = Graph.triangleCounts(
+        messy.toDF("a", "b").repartition(7), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(skewed == want)
+  }
+
+  test("triangleCounts: hub + closures — orientation caps the wedge " +
+      "fanout at the hub but counts stay exact") {
+    // hub 1 connects to 2..9; only (2,3) and (4,5) close
+    val edges = (2L to 9L).map(i => (1L, i)) ++
+      Seq((2L, 3L), (4L, 5L))
+    val got = tri(edges)
+    assert(got(1L) == 2L && got(2L) == 1L && got(3L) == 1L &&
+      got(4L) == 1L && got(5L) == 1L && got(6L) == 0L)
+  }
+
   test("madOutliers: hand-computed medians, MADs, and survivors") {
     // group g1: values 10,10,10,10,100 → med=10 (rank (5-1)/2=2 0-based),
     // devs 0,0,0,0,90 → mad=0 → every off-median row flags (k*0=0 < 90).
