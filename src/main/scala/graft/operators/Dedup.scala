@@ -1086,4 +1086,57 @@ object Dedup {
     embeddingIncrementalFromCodes(base, newCodes, storeCodes, storeVecs,
       threshold, planes, tables, multiprobe, maxBucket, broadcastLimit)
   }
+
+  /** Precision/recall audit of the MinHash+LSH near-dup pipeline
+    * against exact ground truth, per threshold — the quality
+    * measurement a production dedup pipeline ships next to its dedup
+    * decisions (is the LSH recall floor holding on THIS corpus?).
+    *
+    * Ground truth: [[allPairsJaccard]] at `exactTheta` (exact by the
+    * prefix-filter guarantee). Predictions: [[minhashCandidates]]'
+    * banded candidates with their signature-agreement estimate. For
+    * each θ in `thetas` (every θ ≥ exactTheta, so no qualifying true
+    * pair is missed): tp = pairs both arms place at ≥ θ, fp =
+    * predicted-only, fn = truth-only (LSH banding misses + estimator
+    * undershoot). Counts are integers; precision/recall are left to
+    * the reader as exact ratios — emitting them as floats would trade
+    * an oracle-checkable row for a rounding story.
+    *
+    * Scale: both arms are the library's own sub-quadratic paths; the
+    * audit joins two PAIR sets (near-dup-sized, not corpus-sized) and
+    * the θ sweep rides one broadcast cross join over them.
+    */
+  def neardupPrCurve(df: DataFrame, id: Column, text: Column,
+                     thetas: Seq[Double], n: Int = 3, k: Int = 32,
+                     rowsPerBand: Int = 4,
+                     exactTheta: Double = 0.5): DataFrame = {
+    require(thetas.nonEmpty, "thetas must be non-empty")
+    require(thetas.forall(_ >= exactTheta),
+      "every theta must be >= exactTheta or true pairs are missed")
+    val spark = df.sparkSession
+    val exact = allPairsJaccard(df, id, text, n, exactTheta)
+      .select(col("da"), col("db"), col("jac"))
+    val pred = minhashCandidates(
+        minhashSigsNative(df, id, text, n, k), rowsPerBand)
+      .select(col("id_a").as("da"), col("id_b").as("db"),
+        col("est_jaccard").as("est"))
+    val joined = Checkpoints.stage(
+      exact.join(pred, Seq("da", "db"), "full_outer"))
+    import spark.implicits._
+    val th = thetas.toDF("theta")
+    joined.crossJoin(broadcast(th))
+      .groupBy(col("theta"))
+      .agg(
+        // coalesce: SQL sum over an all-NULL condition column is NULL
+        // where the oracle's count(*) FILTER is 0
+        coalesce(sum((col("jac") >= col("theta") &&
+          col("est") >= col("theta")).cast("long")), lit(0L)).as("tp"),
+        coalesce(sum((col("est") >= col("theta") &&
+          (col("jac").isNull || col("jac") < col("theta")))
+          .cast("long")), lit(0L)).as("fp"),
+        coalesce(sum((col("jac") >= col("theta") &&
+          (col("est").isNull || col("est") < col("theta")))
+          .cast("long")), lit(0L)).as("fn"))
+      .orderBy(col("theta"))
+  }
 }

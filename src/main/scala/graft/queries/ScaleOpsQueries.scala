@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Graph, Outliers, RuntimeFilter}
+import graft.operators.{Curation, Dedup, Graph, Outliers, RuntimeFilter}
 import ParityQueries.t
 import RetrievalQueries.{cdcWinsSql, passageCorpus, passageCorpusSql}
 
@@ -120,7 +120,17 @@ object ScaleOpsQueries {
       Graph.triangleCounts(pairs, col("ida"), col("idb"))
         .select(col("id").as("doc_id"), col("n_tri"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // Precision/recall audit of the MinHash+LSH pipeline vs exact
+    // all-pairs ground truth at five thresholds: tp/fp/fn counts per
+    // theta, the recall-floor measurement a dedup pipeline ships next
+    // to its decisions. The oracle rebuilds BOTH arms in SQL (the
+    // PolyFp MinHash candidate CTE and the exact string-shingle
+    // Jaccard) and recounts.
+    "x_neardup_pr" -> ((s, d) =>
+      Dedup.neardupPrCurve(t(s, d, "documents"), col("doc_id"),
+          col("text"), thetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9))))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
@@ -166,6 +176,51 @@ object ScaleOpsQueries {
        |$rounds
        |SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin
   }
+
+  /** Both near-dup arms rebuilt in SQL: the PolyFp MinHash candidate
+    * CTE (ExtensionQueries.minhashCandCte, shared with x_minhash_*)
+    * scored to signature-agreement estimates, the exact string-shingle
+    * Jaccard pairs at >= 0.5, full-outer joined and recounted per
+    * threshold.
+    */
+  private lazy val neardupPrSql: String =
+    ExtensionQueries.minhashCandCte +
+      """, est AS (
+        |  SELECT id_a AS da, id_b AS db,
+        |    CAST(len(list_filter(range(32),
+        |      i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+        |      AS DOUBLE) / 32 AS est
+        |  FROM cand
+        |), sh2 AS (
+        |  SELECT DISTINCT doc_id, shingle FROM sh
+        |  WHERE shingle IS NOT NULL
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+        |expairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |  FROM sh2 a JOIN sh2 b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT da, db,
+        |    CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jac
+        |  FROM expairs
+        |  JOIN sizes sa ON da = sa.doc_id
+        |  JOIN sizes sb ON db = sb.doc_id
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
+        |j AS (
+        |  SELECT coalesce(ex.da, est.da) AS da,
+        |    coalesce(ex.db, est.db) AS db, ex.jac, est.est
+        |  FROM ex FULL JOIN est ON ex.da = est.da AND ex.db = est.db),
+        |th AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+        |       AS theta)
+        |SELECT theta,
+        |  CAST(count(*) FILTER (WHERE jac >= theta AND est >= theta)
+        |    AS BIGINT) AS tp,
+        |  CAST(count(*) FILTER (WHERE est >= theta
+        |    AND (jac IS NULL OR jac < theta)) AS BIGINT) AS fp,
+        |  CAST(count(*) FILTER (WHERE jac >= theta
+        |    AND (est IS NULL OR est < theta)) AS BIGINT) AS fn
+        |FROM j CROSS JOIN th GROUP BY theta ORDER BY theta""".stripMargin
 
   /** Canonical 3-way-join triangle recount over the same
     * shared-passage pair CTEs the label-prop oracle builds.
@@ -259,5 +314,6 @@ object ScaleOpsQueries {
     "x_label_prop" -> labelPropSql,
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
-    "x_triangles" -> trianglesSql)
+    "x_triangles" -> trianglesSql,
+    "x_neardup_pr" -> neardupPrSql)
 }

@@ -421,4 +421,46 @@ class DedupSpec extends SparkSuite {
     assert((0 until 5).map(i => (i.toLong, (100 + i).toLong)).toSet
       .subsetOf(bc))
   }
+
+  test("neardupPrCurve: counts match an independent recount of both " +
+      "arms on a corpus with real misses and estimator noise") {
+    // word-soup docs with graded overlap: pairs land at jaccard
+    // 0.4-1.0 so the 32-perm estimate disagrees with truth near the
+    // thresholds, exercising fp/fn, not just tp
+    val vocab = (0 until 60).map(i => s"w$i")
+    def doc(start: Int, len: Int): String =
+      (start until start + len).map(i => vocab(i % 60)).mkString(" ")
+    val docs = Seq(
+      1L -> doc(0, 30), 2L -> doc(0, 30),      // exact dup
+      3L -> doc(0, 30), 4L -> doc(3, 30),      // high overlap
+      5L -> doc(10, 24), 6L -> doc(14, 24),    // mid overlap
+      7L -> doc(30, 20), 8L -> doc(36, 20),    // lower overlap
+      9L -> doc(0, 12), 10L -> doc(48, 12)
+    ).toDF("doc_id", "text")
+    val thetas = Seq(0.5, 0.7, 0.9)
+    val got = Dedup.neardupPrCurve(docs, col("doc_id"), col("text"),
+        thetas)
+      .collect().map(r => (r.getDouble(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // independent recount from the arms' own outputs
+    val ex = Dedup.allPairsJaccard(docs, col("doc_id"), col("text"),
+        n = 3, theta = 0.5)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Double]("jac")).toMap
+    val pr = Dedup.minhashCandidates(Dedup.minhashSigsNative(docs,
+        col("doc_id"), col("text")))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("est_jaccard")).toMap
+    thetas.foreach { t =>
+      val tp = (ex.keySet ++ pr.keySet).count(k =>
+        ex.get(k).exists(_ >= t) && pr.get(k).exists(_ >= t))
+      val fp = pr.count { case (k, e) => e >= t && !ex.get(k).exists(_ >= t) }
+      val fn = ex.count { case (k, j) => j >= t && !pr.get(k).exists(_ >= t) }
+      assert(got(t) == ((tp.toLong, fp.toLong, fn.toLong)), s"theta=$t")
+    }
+    // the fixture is adversarial enough to move every counter somewhere
+    assert(got.values.map(_._1).sum > 0)
+    assert(got.values.map(_._2).sum + got.values.map(_._3).sum > 0,
+      "fixture produced no disagreement - weaken it and re-derive")
+  }
 }

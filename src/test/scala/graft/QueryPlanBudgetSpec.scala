@@ -103,6 +103,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // per-source window would funnel each source through one reducer)
     "x_outlier_mad" -> default.copy(maxWindows = 0),
     "x_outlier_clip" -> default.copy(maxWindows = 0),
+    // PR audit: the θ sweep is a 5-row broadcast cross join over the
+    // PAIR table (near-dup-sized, never corpus-sized — the
+    // x_domain_mix quota-join class)
+    "x_neardup_pr" -> default.copy(allowCartesian = true),
     // label propagation: per-round count-argmax aggregates, no window
     "x_label_prop" -> default.copy(maxWindows = 0),
     // relational fallback arm: the 2 corpus shuffles (anti-join +
