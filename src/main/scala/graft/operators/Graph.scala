@@ -470,4 +470,67 @@ object Graph {
       .join(corners, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** The k-core of an undirected graph (Seidman, "Network structure
+    * and minimum degree", Social Networks 1983): the maximal subgraph
+    * where every node keeps degree ≥ k — computed by synchronous
+    * peeling (drop all under-degree nodes, recount, repeat to the
+    * fixpoint). On a near-dup graph the k-core is the dense duplicate
+    * COMMUNITY: template farms and mirror families survive peeling;
+    * chains and lone bridge edges — the pairs a transitive policy
+    * should distrust — do not. The fixpoint is unique (the k-core is
+    * the union of all subgraphs with min degree ≥ k), so the result is
+    * independent of peeling order and an unrolled-CTE oracle that runs
+    * AT LEAST the convergence rounds matches exactly — extra rounds
+    * are identity.
+    *
+    * Scale shape: per round, two semi joins restrict edges to
+    * surviving nodes (the |V|-sized survivor set broadcast below
+    * `broadcastLimit` measured nodes) and one map-side-combined degree
+    * count; rounds are bounded by `maxRounds` with an early exit on
+    * the measured survivor count, and lineage is cut per round
+    * ([[Checkpoints.stage]]). Synchronous peeling converges in at most
+    * the graph's degeneracy-peeling depth; dedup graphs (dense cores,
+    * shallow chains) converge in a few rounds.
+    *
+    * Returns the surviving nodes: (id).
+    */
+  def kCore(edges: DataFrame, a: Column, b: Column, k: Int,
+            maxRounds: Int = 50,
+            broadcastLimit: Long = 4000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = Checkpoints.stage(
+      edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
+    var nodes = Checkpoints.stage(
+      e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+        .distinct())
+    var n = nodes.count()
+    def vSized(df: DataFrame): DataFrame =
+      if (n <= broadcastLimit) broadcast(df) else df
+    var it = 0
+    var converged = false
+    while (it < maxRounds && !converged && n > 0) {
+      val live = e
+        .join(vSized(nodes.select(col("id").as("u"))), Seq("u"),
+          "left_semi")
+        .join(vSized(nodes.select(col("id").as("v"))), Seq("v"),
+          "left_semi")
+      val next = live.select(col("u").as("id"))
+        .unionAll(live.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k)
+        .select(col("id"))
+      val staged = Checkpoints.stage(next)
+      val m = staged.count()
+      converged = m == n
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(nodes)
+      nodes = staged
+      n = m
+      it += 1
+    }
+    nodes
+  }
 }

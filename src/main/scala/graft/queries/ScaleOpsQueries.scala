@@ -130,7 +130,25 @@ object ScaleOpsQueries {
     // Jaccard) and recounts.
     "x_neardup_pr" -> ((s, d) =>
       Dedup.neardupPrCurve(t(s, d, "documents"), col("doc_id"),
-          col("text"), thetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9))))
+          col("text"), thetas = Seq(0.5, 0.6, 0.7, 0.8, 0.9))),
+
+    // 3-core of the low-quantity customer-supplier trade graph
+    // (synchronous peeling to the unique fixpoint): the dense
+    // community that survives after chains and pendants peel away -
+    // on a dup graph, the template-farm detector. Oracle unrolls 8
+    // peel rounds (the fixture converges in 2; extra rounds are
+    // identity by the fixpoint property).
+    "x_kcore" -> ((s, d) => {
+      val e = t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_quantity") <= 2)
+        .select((col("o_custkey") * 2).as("u"),
+          (col("l_suppkey") * 2 + 1).as("v"))
+      Graph.kCore(e, col("u"), col("v"), k = 3)
+        .select(col("id").as("node_id"))
+        .orderBy(col("node_id"))
+    }))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
@@ -175,6 +193,31 @@ object ScaleOpsQueries {
        |       LEFT JOIN seeds s ON n.id = s.id),
        |$rounds
        |SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unrolled synchronous peeling (8 rounds >= the fixture's 2-round
+    * convergence; extra rounds are identity at the fixpoint).
+    */
+  private val kcoreSql: String = {
+    val rounds = (1 to 8).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT x.id, count(*) AS c FROM (
+         |      SELECT e.u AS id FROM e
+         |        JOIN $prev a ON e.u = a.id JOIN $prev b ON e.v = b.id
+         |      UNION ALL
+         |      SELECT e.v FROM e
+         |        JOIN $prev a ON e.u = a.id JOIN $prev b ON e.v = b.id
+         |    ) x GROUP BY x.id) WHERE c >= 3)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  WHERE l_quantity <= 2),
+       |r0 AS (SELECT u AS id FROM e UNION SELECT v FROM e),
+       |$rounds
+       |SELECT id AS node_id FROM r8 ORDER BY node_id""".stripMargin
   }
 
   /** Both near-dup arms rebuilt in SQL: the PolyFp MinHash candidate
@@ -315,5 +358,6 @@ object ScaleOpsQueries {
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,
-    "x_neardup_pr" -> neardupPrSql)
+    "x_neardup_pr" -> neardupPrSql,
+    "x_kcore" -> kcoreSql)
 }

@@ -102,6 +102,34 @@ class LabelPropOutlierSpec extends SparkSuite {
       got(4L) == 1L && got(5L) == 1L && got(6L) == 0L)
   }
 
+  private def core(edges: Seq[(Long, Long)], k: Int): Set[Long] =
+    Graph.kCore(edges.toDF("a", "b"), col("a"), col("b"), k)
+      .collect().map(_.getLong(0)).toSet
+
+  test("kCore: paths peel to empty, cycles survive, cliques survive " +
+      "at k = m−1, pendants peel off a clique") {
+    val path = (1L to 7L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(core(path, 2) == Set.empty)
+    val cycle = path :+ ((7L, 1L))
+    assert(core(cycle, 2) == (1L to 7L).toSet)
+    val k4 = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    assert(core(k4, 3) == Set(1L, 2L, 3L, 4L))
+    assert(core(k4, 4) == Set.empty)
+    // clique + pendant chain: the chain peels over several rounds,
+    // the clique stays
+    val chained = k4 ++ Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    assert(core(chained, 2) == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("kCore: deterministic under partitioning and messy edges") {
+    val k4 = (for { i <- 1L to 4L; j <- (i + 1) to 4L }
+      yield (i, j)) ++ Seq((2L, 1L), (3L, 3L), (4L, 10L))
+    val a = core(k4, 3)
+    val b = Graph.kCore(k4.toDF("a", "b").repartition(7), col("a"),
+      col("b"), 3).collect().map(_.getLong(0)).toSet
+    assert(a == Set(1L, 2L, 3L, 4L) && a == b)
+  }
+
   test("madOutliers: hand-computed medians, MADs, and survivors") {
     // group g1: values 10,10,10,10,100 → med=10 (rank (5-1)/2=2 0-based),
     // devs 0,0,0,0,90 → mad=0 → every off-median row flags (k*0=0 < 90).
