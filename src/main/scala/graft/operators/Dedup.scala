@@ -162,10 +162,17 @@ object Dedup {
                                           member: Column,
                                           maxBucket: Int): DataFrame = {
     val kc = keys.map(col)
-    val eligible = rows.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
+    // staged: the rows feed BOTH the count pass and the collect pass —
+    // without materialization the upstream (shingling / signature
+    // hashing / frame chunking, the CPU-heavy map) recomputes once per
+    // consumer. At sf0.1 the A/B reads ~1.0–1.2× (the upstream is
+    // cheap there); at corpus scale the upstream IS the cost, and one
+    // materialized pass is strictly less compute.
+    val staged = Checkpoints.stage(rows)
+    val eligible = staged.groupBy(kc: _*).agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1 && col("__n") <= maxBucket)
       .select(kc: _*)
-    rows.join(eligible, keys, "left_semi")
+    staged.join(eligible, keys, "left_semi")
       .groupBy(kc: _*)
       .agg(sort_array(member).as("ms"))
   }
