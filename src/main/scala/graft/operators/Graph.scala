@@ -315,6 +315,76 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PageRank (the random-walk-with-restart variant:
+    * Jeh & Widom, "Scaling personalized web search", WWW 2003):
+    * teleport mass returns to a SEED set instead of the uniform
+    * distribution, so ranks measure proximity to the seeds — the
+    * trusted-source weighting of corpus curation ("how close is this
+    * domain to the vetted allowlist" feeds the sampling prior), where
+    * global PageRank measures only popularity.
+    *
+    * Same scaled-integer arithmetic, broadcast gating, and per-round
+    * staging as [[pageRank]] — the ONLY differences are the base term
+    * (scale·(1−d)/|S| on seed nodes, 0 elsewhere) and the start vector
+    * (uniform over seeds). Bit-deterministic; the x_ppr oracle unrolls
+    * the same iterations.
+    */
+  def pageRankPersonalized(edges: DataFrame, src: Column, dst: Column,
+                           seeds: DataFrame, seedId: Column,
+                           iters: Int = 5, dampNum: Long = 85,
+                           dampDen: Long = 100, scale: Long = 1000000L,
+                           broadcastLimit: Long = 4000000L): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
+      "need 0 <= dampNum <= dampDen")
+    val e = Checkpoints.stage(
+      edges.select(src.as("src"), dst.as("dst")).distinct())
+    val sd = Checkpoints.stage(
+      seeds.select(seedId.as("id")).distinct())
+    val nodes = Checkpoints.stage(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .union(sd.select(col("id"))).distinct())
+    val n = nodes.count()
+    val ns = sd.count()
+    require(ns > 0, "empty seed set")
+    val outdeg = Checkpoints.stage(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val base = scale * (dampDen - dampNum) / (dampDen * ns)
+    val small = n <= broadcastLimit
+    def vSized(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    def seeded(rank: Long): DataFrame = nodes
+      .join(vSized(sd.withColumn("__s", lit(1))), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s").isNotNull, lit(rank)).otherwise(lit(0L))
+          .as("__seed_term"))
+    var ranks = Checkpoints.stage(
+      seeded(scale / ns).select(col("id"),
+        col("__seed_term").as("rank")))
+    val baseTerms = Checkpoints.stage(seeded(base))
+    var it = 0
+    while (it < iters) {
+      val contrib = e
+        .join(vSized(ranks.withColumnRenamed("id", "src")), Seq("src"))
+        .join(vSized(outdeg), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("rank DIV outdeg").as("share"))
+        .groupBy(col("id"))
+        .agg(sum(col("share")).as("inflow"))
+      val next = baseTerms
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (col("__seed_term") +
+            expr(s"($dampNum * coalesce(inflow, 0L)) DIV $dampDen"))
+            .as("rank"))
+      val staged = Checkpoints.stage(next)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(ranks)
+      ranks = staged
+      it += 1
+    }
+    ranks
+  }
+
   /** Semi-supervised label propagation (Zhu & Ghahramani CMU-CALD-02-107;
     * the synchronous variant of Raghavan et al. 2007's LPA): spread
     * seed labels over an undirected edge list for `iters` rounds. The

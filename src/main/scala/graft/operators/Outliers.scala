@@ -61,6 +61,43 @@ object Outliers {
       .drop("__g", "__x")
   }
 
+  /** EXACT per-group discrete quantiles, window-free: for each q in
+    * `qs`, the smallest group value whose cumulative distribution
+    * reaches q (the PERCENTILE_DISC definition — 1-based rank
+    * ceil(q·n)), recovered from ONE distributed prefix-sum ranking
+    * plus O(#groups) broadcast aggregates. The exact-quantile
+    * counterpart of the approx-sketch gates: at 100 TB a per-group
+    * sort window funnels each group through one reducer and
+    * interpolated percentiles stop being oracle-exact; discrete ranks
+    * over the range-partitioned global order give bit-exact stored
+    * values with one data shuffle.
+    *
+    * Returns (group, q, value) — one row per (group, quantile).
+    */
+  def discreteQuantiles(df: DataFrame, group: Column, value: Column,
+                        key: Seq[Column], qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      "quantiles must be in (0, 1]")
+    val spark = df.sparkSession
+    val base = df.withColumn("__g", group)
+      .withColumn("__x", value.cast("long"))
+    val order = col("__g") +: col("__x") +: key
+    val ranked = Training.withPrefixSum(base, order, lit(1L), "__gpos")
+    val stats = ranked.groupBy(col("__g").as("__s"))
+      .agg(min(col("__gpos")).as("__off"), count(lit(1)).as("__n"))
+    import spark.implicits._
+    val qdf = qs.toDF("q")
+    // 1-based in-group rank = ceil(q·n): the same double multiply +
+    // ceil on both engines (n exact below 2^53), so the rank integer
+    // — and therefore the emitted stored value — is bit-deterministic
+    ranked
+      .join(broadcast(stats), col("__g") <=> col("__s"))
+      .crossJoin(broadcast(qdf))
+      .where(col("__gpos") - col("__off") + 1 ===
+        ceil(col("q") * col("__n")).cast("long"))
+      .select(col("__g").as("group"), col("q"), col("__x").as("value"))
+  }
+
   /** Every row of `df` + (med, mad, dev) for its group — the shared
     * two-prefix-sum core of [[madOutliers]] and [[madClip]]. Keeps the
     * internal __g/__x columns for the caller's final projection.

@@ -148,6 +148,42 @@ object ScaleOpsQueries {
       Graph.kCore(e, col("u"), col("v"), k = 3)
         .select(col("id").as("node_id"))
         .orderBy(col("node_id"))
+    }),
+
+    // EXACT per-group discrete quantiles of price cents, window-free:
+    // one prefix-sum ranking + O(#groups) broadcast stats; the
+    // PERCENTILE_DISC rank ceil(q*n) emits only stored values, so the
+    // result hash-matches bit for bit where interpolated percentiles
+    // cannot. Tiebreak = the 4-column unique lineitem key.
+    "x_quantile_disc" -> ((s, d) =>
+      Outliers.discreteQuantiles(t(s, d, "lineitem"),
+          group = col("l_returnflag"),
+          value = round(col("l_extendedprice") * 100),
+          key = Seq(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+          qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+        .select(col("group").as("l_returnflag"), col("q"),
+          col("value").as("cents"))
+        .orderBy(col("l_returnflag"), col("q"))),
+
+    // Personalized PageRank over the trade graph: teleport mass
+    // returns to the seed nations (< 5) instead of the uniform
+    // distribution, so ranks measure proximity to the trusted set -
+    // the allowlist-weighting prior. Scaled-integer arithmetic; the
+    // oracle unrolls the same 5 iterations.
+    "x_ppr" -> ((s, d) => {
+      val edges = t(s, d, "lineitem").where(col("l_quantity") <= 2)
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .where(col("src") =!= col("dst"))
+      val seeds = t(s, d, "customer").where(col("c_nationkey") < 5)
+        .select(col("c_nationkey"))
+      Graph.pageRankPersonalized(edges, col("src"), col("dst"),
+          seeds, col("c_nationkey"), iters = 5)
+        .select(col("id").as("nationkey"), col("rank"))
+        .orderBy(col("nationkey"))
     }))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
@@ -193,6 +229,49 @@ object ScaleOpsQueries {
        |       LEFT JOIN seeds s ON n.id = s.id),
        |$rounds
        |SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
+  /** Unrolled 5-iteration personalized-PageRank mirror: the pageRank
+    * oracle's shape with the base term and start vector confined to
+    * the seed set.
+    */
+  private val pprSql: String = {
+    val rounds = (1 to 5).map { i =>
+      val prev = s"r${i - 1}"
+      s"""r$i AS MATERIALIZED (
+         |  SELECT n.id,
+         |    CAST(CASE WHEN s.id IS NOT NULL
+         |           THEN (1000000 * 15) // (100 * ns) ELSE 0 END
+         |      + (85 * coalesce(inf.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN params
+         |  LEFT JOIN seeds s ON n.id = s.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id,
+         |      CAST(sum(r.rank // od.outdeg) AS BIGINT) AS inflow
+         |    FROM e JOIN $prev r ON e.src = r.id
+         |      JOIN od ON e.src = od.src
+         |    GROUP BY e.dst) inf ON n.id = inf.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey),
+       |seeds AS (SELECT DISTINCT c_nationkey AS id FROM customer
+       |          WHERE c_nationkey < 5),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
+       |          UNION SELECT id FROM seeds),
+       |params AS (SELECT count(*) AS ns FROM seeds),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |r0 AS (SELECT n.id,
+       |         CAST(CASE WHEN s.id IS NOT NULL THEN 1000000 // ns
+       |              ELSE 0 END AS BIGINT) AS rank
+       |       FROM nodes n CROSS JOIN params
+       |       LEFT JOIN seeds s ON n.id = s.id),
+       |$rounds
+       |SELECT id AS nationkey, rank FROM r5 ORDER BY nationkey""".stripMargin
   }
 
   /** Unrolled synchronous peeling (8 rounds >= the fixture's 2-round
@@ -359,5 +438,22 @@ object ScaleOpsQueries {
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,
     "x_neardup_pr" -> neardupPrSql,
-    "x_kcore" -> kcoreSql)
+    "x_kcore" -> kcoreSql,
+    "x_ppr" -> pprSql,
+    "x_quantile_disc" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS x,
+        |    l_orderkey, l_linenumber, l_partkey, l_suppkey
+        |  FROM lineitem),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY g ORDER BY x,
+        |          l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n FROM b),
+        |qv AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99])
+        |         AS DOUBLE) AS q)
+        |SELECT r.g AS l_returnflag, qv.q, r.x AS cents
+        |FROM r CROSS JOIN qv
+        |WHERE r.rn = CAST(ceil(qv.q * r.n) AS BIGINT)
+        |ORDER BY l_returnflag, qv.q""".stripMargin)
 }

@@ -64,6 +64,21 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("pageRankPersonalized: hand-computed scaled-integer ranks; " +
+      "teleport mass returns only to seeds") {
+    def ppr(iters: Int): Map[Long, Long] =
+      Graph.pageRankPersonalized(
+          Seq((1L, 2L), (2L, 3L)).toDF("s", "d"), col("s"), col("d"),
+          Seq(Tuple1(1L)).toDF("id"), col("id"), iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // seeds start with ALL the mass: r0(1) = 10^6
+    assert(ppr(0) == Map(1L -> 1000000L, 2L -> 0L, 3L -> 0L))
+    // round 1: seed keeps base 150000; 2 inherits 85% of 1's mass
+    assert(ppr(1) == Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+    // round 2: the walk moves one more hop; only 1 gets teleport mass
+    assert(ppr(2) == Map(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+  }
+
   private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
     Graph.triangleCounts(edges.toDF("a", "b"), col("a"), col("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -163,6 +178,27 @@ class LabelPropOutlierSpec extends SparkSuite {
     val k2 = Outliers.madOutliers(df, col("g"), col("v"),
       Seq(col("id")), k = 2L).collect()
     assert(k2.isEmpty)
+  }
+
+  test("discreteQuantiles: PERCENTILE_DISC ranks, hand-checked; " +
+      "q = 1.0 is the max; no window in the plan") {
+    // group g: 10,20,30,40 → q=0.25→rank 1→10; 0.5→rank 2→20;
+    // 0.75→rank 3→30; 1.0→rank 4→40. group h: 7 → every q→7.
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 30L, 3L),
+      ("g", 40L, 4L), ("h", 7L, 5L)).toDF("g", "v", "id")
+    val res = Outliers.discreteQuantiles(df, col("g"), col("v"),
+      Seq(col("id")), Seq(0.25, 0.5, 0.75, 1.0))
+    val got = res.collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("g", 0.25) -> 10L, ("g", 0.5) -> 20L, ("g", 0.75) -> 30L,
+      ("g", 1.0) -> 40L,
+      ("h", 0.25) -> 7L, ("h", 0.5) -> 7L, ("h", 0.75) -> 7L,
+      ("h", 1.0) -> 7L))
+    val windows = physicalNodes(res).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty)
   }
 
   test("madClip: values clamp to [med − k·mad, med + k·mad]; " +

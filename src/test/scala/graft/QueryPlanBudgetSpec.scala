@@ -107,6 +107,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // PAIR table (near-dup-sized, never corpus-sized — the
     // x_domain_mix quota-join class)
     "x_neardup_pr" -> default.copy(allowCartesian = true),
+    // discrete quantiles: the q sweep is a 5-row broadcast cross join
+    // over the ranked rows; ranks are prefix-sum (no window)
+    "x_quantile_disc" -> default.copy(allowCartesian = true,
+      maxWindows = 0),
     // label propagation: per-round count-argmax aggregates, no window
     "x_label_prop" -> default.copy(maxWindows = 0),
     // relational fallback arm: the 2 corpus shuffles (anti-join +
