@@ -200,6 +200,30 @@ object RetrievalQueries {
         .select(col("id").as("doc_id"), col("rrf"), col("n_arms"))
     }),
 
+    // x_hybrid_rrf with the sparse arm answered FROM the persisted
+    // inverted index: bm25TopKIndexed is bit-identical to bm25TopK
+    // (shared scoring tree), so the fused ranks - and the oracle -
+    // are shared verbatim. The full production shape: neither arm
+    // re-reads the corpus text at query time.
+    "x_hybrid_rrf_indexed" -> ((s, d) => {
+      val idxDir = ArtifactMemo.dirFor("bm25idx", d) { p =>
+        Retrieval.writeBm25Index(t(s, d, "documents"), col("doc_id"),
+          col("text"), p)
+      }
+      val sparse = Retrieval.bm25TopKIndexed(s, idxDir, Bm25Terms,
+          k = 50)
+        .select(col("id"), row_number().over(
+            Window.orderBy(col("score").desc, col("id")))
+          .cast("long").as("rank"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val dense = Similarity.bruteForceTopK(e.where(col("id") === 1), e,
+          k = 50)
+        .select(col("vb").as("id"), col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuse(Seq(sparse, dense), k = 25)
+        .select(col("id").as("doc_id"), col("rrf"), col("n_arms"))
+    }),
+
     // The ANN-armed production form of x_hybrid_rrf: the dense arm is
     // fitted-centroid IVF instead of brute force — the shape that runs
     // at 100 TB. Rows-only (the ANN arm is engine-specific); licensed
@@ -459,6 +483,49 @@ object RetrievalQueries {
        |      UNION SELECT sb, sa FROM p)""".stripMargin,
     "source")
 
+  private lazy val hybridRrfSql: String =
+      s"""WITH $bm25TfStSql,
+         |sp AS (
+         |  SELECT doc_id,
+         |    ${bm25TermSql(0)}
+         |    + ${bm25TermSql(1)}
+         |    + ${bm25TermSql(2)} AS score
+         |  FROM tf CROSS JOIN st
+         |  WHERE tf_0 + tf_1 + tf_2 > 0
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |sparse AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+         |  FROM sp),
+         |sc AS (
+         |  SELECT b.vec_id AS vb,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(a.embedding) + 1),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])),
+         |      (x, y) -> x + y)
+         |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(a.embedding) + 1),
+         |          i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])),
+         |        (x, y) -> x + y))
+         |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(range(1, len(b.embedding) + 1),
+         |          i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i])),
+         |        (x, y) -> x + y))) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id = 1
+         |  ORDER BY cos DESC, vb LIMIT 50),
+         |dense AS (
+         |  SELECT vb AS doc_id,
+         |    row_number() OVER (ORDER BY cos DESC, vb) AS r
+         |  FROM sc),
+         |u AS (
+         |  SELECT doc_id, 1.0 / (60 + r) AS contrib FROM sparse
+         |  UNION ALL
+         |  SELECT doc_id, 1.0 / (60 + r) FROM dense)
+         |SELECT doc_id, sum(contrib) AS rrf, count(*) AS n_arms
+         |FROM u GROUP BY doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin
+
   /** The tf + corpus-stats CTE pair shared by the BM25 oracles. */
   private val bm25TfStSql: String =
     s"""tf AS (
@@ -591,48 +658,8 @@ object RetrievalQueries {
     "x_bm25" -> bm25TopSql,
     "x_bm25_indexed" -> bm25TopSql,
     "x_bm25_incremental" -> bm25TopSql,
-    "x_hybrid_rrf" ->
-      s"""WITH $bm25TfStSql,
-         |sp AS (
-         |  SELECT doc_id,
-         |    ${bm25TermSql(0)}
-         |    + ${bm25TermSql(1)}
-         |    + ${bm25TermSql(2)} AS score
-         |  FROM tf CROSS JOIN st
-         |  WHERE tf_0 + tf_1 + tf_2 > 0
-         |  ORDER BY score DESC, doc_id LIMIT 50),
-         |sparse AS (
-         |  SELECT doc_id,
-         |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
-         |  FROM sp),
-         |sc AS (
-         |  SELECT b.vec_id AS vb,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(range(1, len(a.embedding) + 1),
-         |        i -> CAST(a.embedding[i] AS DOUBLE) * b.embedding[i])),
-         |      (x, y) -> x + y)
-         |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(range(1, len(a.embedding) + 1),
-         |          i -> CAST(a.embedding[i] AS DOUBLE) * a.embedding[i])),
-         |        (x, y) -> x + y))
-         |      * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(range(1, len(b.embedding) + 1),
-         |          i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i])),
-         |        (x, y) -> x + y))) AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-         |  WHERE a.vec_id = 1
-         |  ORDER BY cos DESC, vb LIMIT 50),
-         |dense AS (
-         |  SELECT vb AS doc_id,
-         |    row_number() OVER (ORDER BY cos DESC, vb) AS r
-         |  FROM sc),
-         |u AS (
-         |  SELECT doc_id, 1.0 / (60 + r) AS contrib FROM sparse
-         |  UNION ALL
-         |  SELECT doc_id, 1.0 / (60 + r) FROM dense)
-         |SELECT doc_id, sum(contrib) AS rrf, count(*) AS n_arms
-         |FROM u GROUP BY doc_id
-         |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin,
+    "x_hybrid_rrf" -> hybridRrfSql,
+    "x_hybrid_rrf_indexed" -> hybridRrfSql,
     "x_cdc_windows" ->
       s"""WITH w AS (
          |${cdcWinsSql("documents")})

@@ -138,6 +138,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // single task by construction, never corpus-sized
     "x_hybrid_rrf" -> default.copy(allowCartesian = true,
       allowGlobalWindow = true),
+    // indexed form: same bounded shapes + the index path's 1-row
+    // stats cross joins
+    "x_hybrid_rrf_indexed" -> default.copy(allowCartesian = true,
+      allowGlobalWindow = true),
     // the MMR shortlist rides the brute-force dense arm BY DESIGN
     "x_mmr" -> default.copy(allowCartesian = true),
     // same justification, IVF dense arm (centroid-probe broadcasts)
