@@ -454,4 +454,42 @@ object Stats {
     if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
     else spark.read.parquet(keep: _*)
   }
+
+  // ---------- corpus profile + drift ----------
+
+  /** Long-format exact profile of `cols`: one row per column with
+    * (column, n_rows, n_nulls, n_distinct) — all integers, one
+    * aggregation pass (count_distinct columns share the same job;
+    * Spark plans multi-distinct via expand, map-side partials intact).
+    * The measurement half of drift detection.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "cols must be non-empty")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
+      sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
+      count_distinct(col(c)).as(s"__ndv_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', __n, __nulls_$c, __ndv_$c").mkString(", ")
+    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+      "(column, n_rows, n_nulls, n_distinct)")
+  }
+
+  /** Drift report between two snapshots of the same schema (the
+    * ingest regression alarm: a crawler change that halves a source's
+    * language diversity or starts emitting null text shows up here
+    * before it poisons training): [[profileTable]] of each side,
+    * full-outer joined per column. All integer columns — exact,
+    * oracle-checkable; thresholding is the caller's policy.
+    */
+  def profileDrift(a: DataFrame, b: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    val pa = profileTable(a, cols)
+      .select(col("column"), col("n_rows").as("n_a"),
+        col("n_nulls").as("nulls_a"), col("n_distinct").as("ndv_a"))
+    val pb = profileTable(b, cols)
+      .select(col("column"), col("n_rows").as("n_b"),
+        col("n_nulls").as("nulls_b"), col("n_distinct").as("ndv_b"))
+    pa.join(pb, Seq("column"), "full_outer")
+  }
 }

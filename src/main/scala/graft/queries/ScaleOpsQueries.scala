@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Graph, Outliers, RuntimeFilter}
+import graft.operators.{Curation, Dedup, Graph, Outliers, RuntimeFilter, Stats}
 import ParityQueries.t
 import RetrievalQueries.{cdcWinsSql, passageCorpus, passageCorpusSql}
 
@@ -184,6 +184,16 @@ object ScaleOpsQueries {
           seeds, col("c_nationkey"), iters = 5)
         .select(col("id").as("nationkey"), col("rank"))
         .orderBy(col("nationkey"))
+    }),
+
+    // Corpus drift report between the history slice and the full
+    // corpus: per-column exact (rows, nulls, distinct) profiles
+    // full-outer joined - the ingest regression alarm, all integers.
+    "x_profile_drift" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Stats.profileDrift(docs.where(col("doc_id") < 400), docs,
+          Seq("lang", "source", "n_chars"))
+        .orderBy(col("column"))
     }))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
@@ -440,6 +450,43 @@ object ScaleOpsQueries {
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     "x_ppr" -> pprSql,
+    "x_profile_drift" ->
+      """WITH pa AS (
+        |  SELECT * FROM (
+        |    SELECT 'lang' AS column, count(*) AS n_a,
+        |      CAST(sum(CAST(lang IS NULL AS BIGINT)) AS BIGINT) AS nulls_a,
+        |      count(DISTINCT lang) AS ndv_a
+        |    FROM documents WHERE doc_id < 400
+        |    UNION ALL
+        |    SELECT 'source', count(*),
+        |      CAST(sum(CAST(source IS NULL AS BIGINT)) AS BIGINT),
+        |      count(DISTINCT source)
+        |    FROM documents WHERE doc_id < 400
+        |    UNION ALL
+        |    SELECT 'n_chars', count(*),
+        |      CAST(sum(CAST(n_chars IS NULL AS BIGINT)) AS BIGINT),
+        |      count(DISTINCT n_chars)
+        |    FROM documents WHERE doc_id < 400)),
+        |pb AS (
+        |  SELECT * FROM (
+        |    SELECT 'lang' AS column, count(*) AS n_b,
+        |      CAST(sum(CAST(lang IS NULL AS BIGINT)) AS BIGINT) AS nulls_b,
+        |      count(DISTINCT lang) AS ndv_b
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'source', count(*),
+        |      CAST(sum(CAST(source IS NULL AS BIGINT)) AS BIGINT),
+        |      count(DISTINCT source)
+        |    FROM documents
+        |    UNION ALL
+        |    SELECT 'n_chars', count(*),
+        |      CAST(sum(CAST(n_chars IS NULL AS BIGINT)) AS BIGINT),
+        |      count(DISTINCT n_chars)
+        |    FROM documents))
+        |SELECT pa.column, pa.n_a, pa.nulls_a, pa.ndv_a,
+        |  pb.n_b, pb.nulls_b, pb.ndv_b
+        |FROM pa FULL JOIN pb ON pa.column = pb.column
+        |ORDER BY pa.column""".stripMargin,
     "x_quantile_disc" ->
       """WITH b AS (
         |  SELECT l_returnflag AS g,

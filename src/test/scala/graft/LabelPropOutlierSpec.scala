@@ -64,6 +64,23 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("profileTable/profileDrift: exact counts incl. nulls; drift " +
+      "joins per column") {
+    val a = Seq(("en", 10L), ("en", 20L), (null, 30L))
+      .toDF("lang", "n")
+    val b = Seq(("en", 10L), ("de", 10L), ("fr", 40L), (null, 50L))
+      .toDF("lang", "n")
+    val prof = graft.operators.Stats.profileTable(a, Seq("lang", "n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(prof == Map("lang" -> ((3L, 1L, 1L)), "n" -> ((3L, 0L, 3L))))
+    val drift = graft.operators.Stats.profileDrift(a, b, Seq("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getLong(6))).toSet
+    // (column, n_a, ndv_a, n_b, ndv_b)
+    assert(drift == Set(("lang", 3L, 1L, 4L, 3L)))
+  }
+
   test("pageRankPersonalized: hand-computed scaled-integer ranks; " +
       "teleport mass returns only to seeds") {
     def ppr(iters: Int): Map[Long, Long] =
