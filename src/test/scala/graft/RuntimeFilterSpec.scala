@@ -54,6 +54,36 @@ class RuntimeFilterSpec extends SparkSuite {
     assert(got.count(_.isNullAt(0)) == 400)
   }
 
+  test("property: all three Bloom joins ≡ their naive twins on " +
+      "seeded-random key sets (varied overlap, duplicates, tiny fpp " +
+      "budgets)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { round =>
+      val factKeys = Seq.fill(300)(rnd.nextInt(120).toLong)
+      val dimKeys = Seq.fill(40 * round)(rnd.nextInt(200).toLong)
+      val f = factKeys.zipWithIndex
+        .map { case (k, i) => (k, i.toLong) }.toDF("k", "row")
+      val dm = dimKeys.distinct.map(k => (k, s"d$k")).toDF("dk", "tag")
+      // deliberately undersized filter: raises fpp, never correctness
+      val items = math.max(1L, dimKeys.length / (round * 2L))
+      val j = RuntimeFilter.bloomJoin(f, dm, col("k"), col("dk"),
+        items, fpp = 0.3).orderBy("row", "dk").collect()
+      val jw = f.join(dm, col("k") === col("dk"))
+        .orderBy("row", "dk").collect()
+      assert(j.toSeq == jw.toSeq, s"join round $round")
+      val sj = RuntimeFilter.bloomSemiJoin(f, dm, col("k"), col("dk"),
+        items, fpp = 0.3).orderBy("row").collect()
+      val sw = f.join(dm, col("k") === col("dk"), "left_semi")
+        .orderBy("row").collect()
+      assert(sj.toSeq == sw.toSeq, s"semi round $round")
+      val aj = RuntimeFilter.bloomAntiJoin(f, dm, col("k"), col("dk"),
+        items, fpp = 0.3).orderBy("row").collect()
+      val aw = f.join(dm, col("k") === col("dk"), "left_anti")
+        .orderBy("row").collect()
+      assert(aj.toSeq == aw.toSeq, s"anti round $round")
+    }
+  }
+
   test("no false negatives: every dim key probes true") {
     val bytes = RuntimeFilter.bloomBytes(dim, col("dk"), 1000L)
     val misses = dim
