@@ -70,12 +70,11 @@ object Demo {
       .where(col("column") === "doc_id").show(5, 80)
 
     println("== regime-auto as-of join (events vs tiny dim history) ==")
-    // events.parquet carries ns timestamps: read as long + convert
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val evTs = ev.select(col("event_id"), col("user_id"),
-      org.apache.spark.sql.functions.timestamp_micros(
-        expr("ts div 1000")).as("ts"))
+    // ParityQueries.t handles either events.ts encoding (the ns-long
+    // legacy read or the current TIMESTAMP_NTZ testdata)
+    val evTs = graft.queries.ParityQueries
+      .t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
     val hist = evTs.groupBy((col("user_id") % 5).as("hk"))
       .agg(min(col("ts")).as("ht")).withColumn("rate", col("hk") * 10)
     graft.operators.TimeSeries.asofJoinAuto(
