@@ -1399,6 +1399,80 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming corpus-profile drift gate — the continuous form of
+    * [[graft.operators.Stats.profileDrift]]: per micro-batch, each
+    * monitored column's exact (rows, nulls, batch-distinct) profile is
+    * computed once, folded into a persisted CUMULATIVE state (row and
+    * null counts are additive; the distinct dimension rides one KMV
+    * sketch per column — the [[graft.operators.Overlap.kmvMerge]]
+    * semigroup, so history is never re-read), and a drift report row
+    * per column lands in `outPath/batch=<id>`: batch profile next to
+    * the running totals and the cumulative distinct ESTIMATE (exact
+    * while the sketch is unsaturated). The alarm wiring for "the
+    * crawler started emitting null text / one-language batches"
+    * upstream of any training run. Same durability protocol as
+    * [[dsirGateSink]]/[[kmvNoveltyGateSink]]: overwrite-idempotent
+    * `sketch=<id>` state generations read via the strictly-older
+    * committed view, so retried batches fold exactly once.
+    */
+  def profileDriftGateSink(spark: SparkSession, stream: DataFrame,
+                           cols: Seq[String], statePath: String,
+                           outPath: String, checkpoint: String,
+                           k: Int = 64)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Overlap, Stats}
+    require(cols.nonEmpty, "cols must be non-empty")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = batch.localCheckpoint()
+          val prof = Stats.profileTable(b, cols).localCheckpoint()
+          val keys = cols.map(c =>
+              b.select(lit(c).as("grp"), col(c).cast("string").as("key")))
+            .reduce(_ unionByName _)
+          val batchSk = Overlap.kmvSketch(keys, col("grp"), col("key"),
+            k).localCheckpoint()
+          val batchCounts = prof.select(col("column").as("grp"),
+            col("n_rows").as("n"), col("n_nulls").as("nulls"))
+          val prior = kmvSketchView(spark, statePath, batchId)
+          val (mergedSk, mergedCounts) = prior match {
+            case Some(p) =>
+              (Overlap.kmvMerge(p.select(col("grp"), col("sketch"))
+                  .where(size(col("sketch")) > 0), batchSk, k),
+                p.select(col("grp"), col("n"), col("nulls"))
+                  .unionByName(batchCounts)
+                  .groupBy(col("grp"))
+                  .agg(sum(col("n")).as("n"),
+                    sum(col("nulls")).as("nulls")))
+            case None => (batchSk, batchCounts)
+          }
+          // left join: an all-null column has NO sketch (null keys
+          // carry no distinct value) but must keep its count row
+          val state = mergedCounts
+            .join(mergedSk, Seq("grp"), "left")
+            .withColumn("sketch", coalesce(col("sketch"),
+              array().cast("array<long>")))
+            .localCheckpoint()
+          val cumNdv = Overlap.kmvDistinct(
+            state.select(col("grp"), col("sketch")), k)
+          prof.select(col("column"), col("n_rows").as("n_batch"),
+              col("n_nulls").as("nulls_batch"),
+              col("n_distinct").as("ndv_batch"))
+            .join(state.select(col("grp").as("column"),
+              col("n").as("n_total"), col("nulls").as("nulls_total")),
+              Seq("column"))
+            .join(cumNdv.select(col("grp").as("column"),
+              col("dhat").as("ndv_total_est")), Seq("column"))
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          state.coalesce(1).write.mode("overwrite")
+            .parquet(s"$statePath/sketch=$batchId")
+        }
+      }
+      .start()
+  }
+
   /** Newest committed cumulative sketch store with id < `beforeBatch`
     * (retry safety: a re-run of batch k must not see its own crashed
     * or previous `sketch=k` write — the [[dsirModelView]] rule).

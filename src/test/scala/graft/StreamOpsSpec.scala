@@ -639,4 +639,45 @@ class StreamOpsSpec extends SparkSuite {
       assert(entsNow == ents)
     } finally q.stop()
   }
+
+  test("profileDriftGateSink: per-column batch profiles fold into a " +
+      "cumulative KMV-backed state; drift reports carry exact counts " +
+      "and the cumulative distinct estimate") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = s"/tmp/graft-profgate-${System.nanoTime()}"
+    val in = MemoryStream[(String, Long)]
+    val q = StreamOps.profileDriftGateSink(spark,
+      in.toDF().toDF("lang", "n"), Seq("lang", "n"),
+      s"$base/state", s"$base/out", s"$base/ckpt")
+    try {
+      in.addData(("en", 1L), ("en", 2L), (null, 3L))
+      q.processAllAvailable()
+      in.addData(("de", 1L), ("fr", 9L)); q.processAllAvailable()
+      in.addData(("en", 1L)); q.processAllAvailable()
+      def report(b: Int): Map[String, (Long, Long, Long, Long, Long, Long)] =
+        spark.read.parquet(s"$base/out/batch=$b")
+          .collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+              r.getLong(5), r.getLong(6)))).toMap
+      // (n_batch, nulls_batch, ndv_batch, n_total, nulls_total,
+      //  ndv_total_est) — sketches unsaturated, so estimates are exact
+      assert(report(0) == Map(
+        "lang" -> ((3L, 1L, 1L, 3L, 1L, 1L)),
+        "n" -> ((3L, 0L, 3L, 3L, 0L, 3L))))
+      assert(report(1) == Map(
+        "lang" -> ((2L, 0L, 2L, 5L, 1L, 3L)),
+        "n" -> ((2L, 0L, 2L, 5L, 0L, 4L))))
+      assert(report(2) == Map(
+        "lang" -> ((1L, 0L, 1L, 6L, 1L, 3L)),
+        "n" -> ((1L, 0L, 1L, 6L, 0L, 4L))))
+      // state generations are batch-keyed and committed
+      val fs = new org.apache.hadoop.fs.Path(s"$base/state")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val gens = fs.listStatus(new org.apache.hadoop.fs.Path(
+          s"$base/state")).filter(_.isDirectory)
+        .map(_.getPath.getName).toSet
+      assert(gens == Set("sketch=0", "sketch=1", "sketch=2"))
+    } finally q.stop()
+  }
 }
