@@ -89,6 +89,35 @@ object Training {
       .withColumn("bin", expr(s"__cum div ${budget}L"))
       .drop("__cum")
 
+  /** Deterministic categorical encoding: dense integer codes for a
+    * string/categorical column, assigned by the SORTED order of the
+    * distinct values (code 1 = smallest value) — the StringIndexer
+    * shape with a reproducibility contract: codes are a pure function
+    * of the value SET, independent of row order, partitioning, and
+    * frequencies (ML StringIndexer's frequency ordering reshuffles
+    * codes whenever the distribution drifts; sorted-order codes only
+    * change when the vocabulary itself does). Null values get a null
+    * code (left join — the dead-letter stance).
+    *
+    * Scale: one distinct shuffle over values, a vocab-sized prefix-sum
+    * rank (no global window), and a broadcast-gated join back on the
+    * MEASURED vocab size.
+    */
+  def encodeCategorical(df: DataFrame, value: Column, out: String,
+                        broadcastLimit: Long = 4000000L): DataFrame = {
+    // __cat, not __v: withPrefixSum claims __v internally
+    val vocab = Checkpoints.stage(
+      df.select(value.as("__cat")).where(col("__cat").isNotNull)
+        .distinct())
+    // the prefix sum is EXCLUSIVE (first value ranks 0); +1 for the
+    // documented 1-based codes
+    val coded = withPrefixSum(vocab, Seq(col("__cat")), lit(1L), out)
+      .withColumn(out, col(out) + 1)
+    val side =
+      if (vocab.count() <= broadcastLimit) broadcast(coded) else coded
+    df.join(side, value <=> col("__cat"), "left").drop("__cat")
+  }
+
   /** Deterministic global shuffle: order by a cryptographic hash of the
     * unique `key` (md5 — engine-independent, seed-free) and emit the
     * 0-based position. Training-data loaders want a reproducible random

@@ -194,6 +194,21 @@ object ScaleOpsQueries {
       Stats.profileDrift(docs.where(col("doc_id") < 400), docs,
           Seq("lang", "source", "n_chars"))
         .orderBy(col("column"))
+    }),
+
+    // Deterministic categorical encoding: dense codes by SORTED vocab
+    // order (pure function of the value set - re-ingestion and
+    // distribution drift never reshuffle codes, unlike
+    // frequency-ordered indexers). Vocab rank via prefix sum, joined
+    // back broadcast-gated.
+    "x_categorical" -> ((s, d) => {
+      val withSrc = graft.operators.Training.encodeCategorical(
+        t(s, d, "documents"), col("source"), "source_code")
+      graft.operators.Training.encodeCategorical(
+          withSrc, col("lang"), "lang_code")
+        .select(col("doc_id"), col("source"), col("source_code"),
+          col("lang"), col("lang_code"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
@@ -450,6 +465,23 @@ object ScaleOpsQueries {
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     "x_ppr" -> pprSql,
+    "x_categorical" ->
+      """WITH sv AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)
+        |    AS code
+        |  FROM (SELECT DISTINCT source AS v FROM documents
+        |        WHERE source IS NOT NULL)),
+        |lv AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)
+        |    AS code
+        |  FROM (SELECT DISTINCT lang AS v FROM documents
+        |        WHERE lang IS NOT NULL))
+        |SELECT d.doc_id, d.source, sv.code AS source_code,
+        |  d.lang, lv.code AS lang_code
+        |FROM documents d
+        |LEFT JOIN sv ON d.source = sv.v
+        |LEFT JOIN lv ON d.lang = lv.v
+        |ORDER BY d.doc_id""".stripMargin,
     "x_profile_drift" ->
       """WITH pa AS (
         |  SELECT * FROM (

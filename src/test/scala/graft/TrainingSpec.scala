@@ -185,4 +185,24 @@ class TrainingSpec extends SparkSuite {
       .select("id", "pos").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toMap === rows.map(r => (r._1, r._3)).toMap)
   }
+
+  test("encodeCategorical: sorted-vocab 1-based codes, null-safe, " +
+      "order/partitioning independent") {
+    import spark.implicits._
+    val df = Seq(("b", 1L), ("a", 2L), ("c", 3L), ("a", 4L),
+      (null, 5L)).toDF("v", "id")
+    val got = graft.operators.Training
+      .encodeCategorical(df, org.apache.spark.sql.functions.col("v"),
+        "code")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 1L,
+      5L -> -1L))
+    val skewed = graft.operators.Training
+      .encodeCategorical(df.repartition(7),
+        org.apache.spark.sql.functions.col("v"), "code")
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(skewed == got)
+  }
 }
