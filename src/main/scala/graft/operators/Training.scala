@@ -118,6 +118,61 @@ object Training {
     df.join(side, value <=> col("__cat"), "left").drop("__cat")
   }
 
+  /** Incremental [[encodeCategorical]] with STABLE codes — the
+    * contract that matters once codes index embedding tables: values
+    * already in the persisted vocabulary keep their codes FOREVER;
+    * genuinely new values get dense codes after the current maximum,
+    * in sorted order among themselves. Re-running a batch is
+    * idempotent (no new values → no store change). The vocab store is
+    * a tiny (value, code) parquet dir, overwritten atomically per
+    * refresh from driver-side bounded state — vocabularies are
+    * O(distinct values), not corpus-sized, by this operator's premise.
+    *
+    * Returns the encoded batch through the REFRESHED vocabulary.
+    */
+  def encodeCategoricalIncremental(df: DataFrame, value: Column,
+                                   out: String, storeDir: String,
+                                   broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val prior =
+      if (fs.exists(new org.apache.hadoop.fs.Path(storeDir)))
+        Some(spark.read.parquet(storeDir)
+          .select(col("__cat"), col("__code")))
+      else None
+    val batchVocab = df.select(value.as("__cat"))
+      .where(col("__cat").isNotNull).distinct()
+    val fresh = prior match {
+      case Some(p) => batchVocab.join(p.select(col("__cat")),
+        Seq("__cat"), "left_anti")
+      case None => batchVocab
+    }
+    val maxCode = prior
+      .map(_.agg(max(col("__code"))).head.getLong(0))
+      .getOrElse(0L)
+    val freshCoded = Checkpoints.stage(
+      withPrefixSum(fresh, Seq(col("__cat")), lit(1L), "__code")
+        .withColumn("__code", col("__code") + 1 + maxCode))
+    val merged = Checkpoints.stage(prior match {
+      case Some(p) => p.unionByName(freshCoded)
+      case None => freshCoded
+    })
+    // `merged` is STAGED (materialized) above, so overwriting the dir
+    // it was read from is safe; the write is overwrite-idempotent —
+    // a crashed refresh is re-done identically on retry
+    merged.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeDir)
+    val vocabNow = spark.read.parquet(storeDir)
+      .select(col("__cat"), col("__code").as(out))
+    val side =
+      if (vocabNow.count() <= broadcastLimit) broadcast(vocabNow)
+      else vocabNow
+    df.join(side, value <=> col("__cat"), "left").drop("__cat")
+  }
+
   /** Deterministic global shuffle: order by a cryptographic hash of the
     * unique `key` (md5 — engine-independent, seed-free) and emit the
     * 0-based position. Training-data loaders want a reproducible random

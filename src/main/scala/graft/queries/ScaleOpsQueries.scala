@@ -209,6 +209,26 @@ object ScaleOpsQueries {
         .select(col("doc_id"), col("source"), col("source_code"),
           col("lang"), col("lang_code"))
         .orderBy(col("doc_id"))
+    }),
+
+    // STABLE incremental encoding: the history slice (doc_id < 10,
+    // sources src0-src9) seeds the persisted vocabulary; the batch
+    // introduces 10 genuinely new sources, which get dense codes
+    // AFTER the existing maximum while every old code is untouched -
+    // the contract that keeps embedding-table indices valid across
+    // ingests. Re-running the batch is a no-op (idempotent refresh).
+    "x_categorical_incremental" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = ArtifactMemo.dirFor("catvocab", d) { p =>
+        graft.operators.Training.encodeCategoricalIncremental(
+          docs.where(col("doc_id") < 10), col("source"),
+          "source_code", s"$p/vocab").count(): Unit
+      }
+      graft.operators.Training.encodeCategoricalIncremental(
+          docs.where(col("doc_id") >= 10), col("source"),
+          "source_code", s"$dir/vocab")
+        .select(col("doc_id"), col("source"), col("source_code"))
+        .orderBy(col("doc_id"))
     }))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
@@ -465,6 +485,24 @@ object ScaleOpsQueries {
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     "x_ppr" -> pprSql,
+    "x_categorical_incremental" ->
+      """WITH hv AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)
+        |    AS code
+        |  FROM (SELECT DISTINCT source AS v FROM documents
+        |        WHERE doc_id < 10 AND source IS NOT NULL)),
+        |mx AS (SELECT coalesce(max(code), 0) AS m FROM hv),
+        |nv AS (
+        |  SELECT v, CAST(m + row_number() OVER (ORDER BY v) AS BIGINT)
+        |    AS code
+        |  FROM (SELECT DISTINCT source AS v FROM documents
+        |        WHERE doc_id >= 10 AND source IS NOT NULL
+        |          AND source NOT IN (SELECT v FROM hv))
+        |  CROSS JOIN mx),
+        |vv AS (SELECT v, code FROM hv UNION ALL SELECT v, code FROM nv)
+        |SELECT d.doc_id, d.source, vv.code AS source_code
+        |FROM documents d LEFT JOIN vv ON d.source = vv.v
+        |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
     "x_categorical" ->
       """WITH sv AS (
         |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)

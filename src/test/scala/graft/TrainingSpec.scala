@@ -205,4 +205,27 @@ class TrainingSpec extends SparkSuite {
         (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
     assert(skewed == got)
   }
+
+  test("encodeCategoricalIncremental: old codes never move, new " +
+      "values extend densely after the max, refresh is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-catinc-").toString + "/vocab"
+    val enc = (vals: Seq[String]) => graft.operators.Training
+      .encodeCategoricalIncremental(
+        vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+          .toDF("v", "id"), col("v"), "code", dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val first = enc(Seq("b", "a", "c"))
+    assert(first == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    // batch 2: one old value + two new; old codes untouched, new
+    // codes dense after 3, sorted among themselves ("aa" < "z")
+    val second = enc(Seq("c", "z", "aa"))
+    assert(second == Map("c" -> 3L, "aa" -> 4L, "z" -> 5L))
+    // idempotent retry: same batch, same codes, store unchanged
+    assert(enc(Seq("c", "z", "aa")) == second)
+    val store = spark.read.parquet(dir).count()
+    assert(store == 5L)
+  }
 }
