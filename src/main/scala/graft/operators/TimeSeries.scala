@@ -157,4 +157,87 @@ object TimeSeries {
       .withColumn("session_idx", sum(col("__new")).over(cum))
       .drop("__prev", "__new")
   }
+
+  /** Sequential funnel analysis with strict-ordering semantics: a user
+    * reaches stage k at the EARLIEST event of `stages(k-1)`'s type
+    * that is strictly after their stage-(k−1) time (stage 1 = their
+    * earliest stage-1 event) — the product-analytics conversion
+    * funnel, which also reads as a data-pipeline lifecycle audit
+    * (ingested → validated → deduped per document id). Returns long
+    * format (user, stage, stage_name, ts) for every reached stage.
+    *
+    * Scale shape: one filtered min-aggregate per stage (map-side
+    * combined; the scan is shared and each stage's filter prunes to
+    * its type), each joined to the previous stage's |reached-users|
+    * table broadcast-gated on the MEASURED count — never a window
+    * over the event stream. Deterministic: min() over event times.
+    * `horizonMicros` (optional) bounds each hop: the stage-k event
+    * must also fall within the horizon after stage k−1.
+    */
+  def funnel(df: DataFrame, user: Column, ts: Column, etype: Column,
+             stages: Seq[String], horizonMicros: Long = Long.MaxValue,
+             broadcastLimit: Long = 4000000L): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val spark = df.sparkSession
+    val ev = df.select(user.as("user"), ts.as("ts"),
+      etype.as("etype"))
+    def gated(d: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastLimit) broadcast(d) else d
+    var reached = graft.operators.Checkpoints.stage(
+      ev.where(col("etype") === stages.head)
+        .groupBy(col("user")).agg(min(col("ts")).as("t")))
+    var out = reached.select(col("user"), lit(1).as("stage"),
+      lit(stages.head).as("stage_name"), col("t").as("ts"))
+    var k = 2
+    while (k <= stages.length) {
+      val prev = gated(reached.select(col("user"),
+        col("t").as("__pt")), reached.count())
+      // the horizon predicate is built only when bounded — timestampadd
+      // stays off the plan (and off NTZ type checking) otherwise
+      val ordered = col("ts") > col("__pt")
+      val within =
+        if (horizonMicros == Long.MaxValue) ordered
+        else ordered && col("ts") <=
+          expr(s"timestampadd(MICROSECOND, $horizonMicros, __pt)")
+      val hop = ev.where(col("etype") === stages(k - 1))
+        .join(prev, Seq("user"))
+        .where(within)
+      reached = graft.operators.Checkpoints.stage(
+        hop.groupBy(col("user")).agg(min(col("ts")).as("t")))
+      out = out.unionByName(reached.select(col("user"),
+        lit(k).as("stage"), lit(stages(k - 1)).as("stage_name"),
+        col("t").as("ts")))
+      k += 1
+    }
+    out
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * FIRST event (the cohort), counted in every subsequent week they
+    * were active — (cohort, week_offset, n_users), offset 0 = the
+    * cohort week itself. The churn/health read-out over any
+    * (user, ts) activity stream; integer week arithmetic
+    * (datediff div 7 on Monday-truncated dates), so the table is
+    * bit-deterministic and oracle-checkable.
+    *
+    * Scale shape: one per-user min aggregate, one distinct over
+    * (user, week), one broadcast-gated join on the measured user
+    * count, one counting aggregate — no windows.
+    */
+  def cohortRetention(df: DataFrame, user: Column, ts: Column,
+                      broadcastLimit: Long = 4000000L): DataFrame = {
+    val ev = df.select(user.as("user"),
+      to_date(date_trunc("week", ts)).as("wk"))
+    val firsts = graft.operators.Checkpoints.stage(
+      ev.groupBy(col("user")).agg(min(col("wk")).as("cohort")))
+    val active = ev.distinct()
+    val side =
+      if (firsts.count() <= broadcastLimit) broadcast(firsts)
+      else firsts
+    active.join(side, Seq("user"))
+      .groupBy(col("cohort"),
+        (datediff(col("wk"), col("cohort")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

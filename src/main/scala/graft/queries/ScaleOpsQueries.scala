@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Curation, Dedup, Graph, Outliers, RuntimeFilter, Stats}
+import graft.operators.{Curation, Dedup, Graph, Outliers, RuntimeFilter, Stats, TimeSeries}
 import ParityQueries.t
 import RetrievalQueries.{cdcWinsSql, passageCorpus, passageCorpusSql}
 
@@ -229,7 +229,27 @@ object ScaleOpsQueries {
           "source_code", s"$dir/vocab")
         .select(col("doc_id"), col("source"), col("source_code"))
         .orderBy(col("doc_id"))
-    }))
+    }),
+
+    // Sequential conversion funnel over the event stream: earliest
+    // view, then the earliest click strictly after it, then the
+    // earliest purchase after that - one filtered min-aggregate per
+    // stage joined broadcast-gated to the previous stage's reach, no
+    // window over the stream. Long-format per-user output.
+    "x_funnel" -> ((s, d) =>
+      TimeSeries.funnel(t(s, d, "events"), col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"))
+        .select(col("user").as("user_id"), col("stage"),
+          col("stage_name"), col("ts"))
+        .orderBy(col("user_id"), col("stage"))),
+
+    // Weekly cohort retention: users bucketed by the ISO week of
+    // their first event, counted in each later active week - integer
+    // week arithmetic on Monday-truncated dates, bit-deterministic.
+    "x_cohort" -> ((s, d) =>
+      TimeSeries.cohortRetention(t(s, d, "events"), col("user_id"),
+          col("ts"))
+        .orderBy(col("cohort"), col("week_offset"))))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
@@ -485,6 +505,32 @@ object ScaleOpsQueries {
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     "x_ppr" -> pprSql,
+    "x_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT user_id, 1 AS stage, 'view' AS stage_name, t AS ts
+        |FROM s1
+        |UNION ALL SELECT user_id, 2, 'click', t FROM s2
+        |UNION ALL SELECT user_id, 3, 'purchase', t FROM s3
+        |ORDER BY user_id, stage""".stripMargin,
+    "x_cohort" ->
+      """WITH ev AS (SELECT user_id AS u,
+        |              CAST(date_trunc('week', ts) AS DATE) AS wk
+        |            FROM events),
+        |f AS (SELECT u, min(wk) AS cohort FROM ev GROUP BY u),
+        |a AS (SELECT DISTINCT u, wk FROM ev)
+        |SELECT f.cohort,
+        |  CAST(datediff('day', f.cohort, a.wk) // 7 AS BIGINT)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f ON a.u = f.u
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "x_categorical_incremental" ->
       """WITH hv AS (
         |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)

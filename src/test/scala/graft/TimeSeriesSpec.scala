@@ -86,4 +86,47 @@ class TimeSeriesSpec extends SparkSuite {
       .select($"eid", $"session_idx").as[(Long, Long)].collect().toMap
     assert(out == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("funnel: strict sequential ordering, horizon bound, per-stage " +
+      "earliest times") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    // u1 completes A->B->C in order; u2 did B BEFORE A (no stage 2);
+    // u3 reaches B but its C precedes B; u4 never does A
+    val ev = Seq(
+      (1L, t(1), "A"), (1L, t(5), "B"), (1L, t(3), "B"), (1L, t(9), "C"),
+      (2L, t(2), "B"), (2L, t(4), "A"),
+      (3L, t(1), "A"), (3L, t(6), "B"), (3L, t(4), "C"),
+      (4L, t(7), "B")).toDF("u", "ts", "et")
+    val got = TimeSeries.funnel(ev, col("u"), col("ts"), col("et"),
+        Seq("A", "B", "C"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        r.getTimestamp(3)).toMap
+    assert(got.keySet == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1),
+      (3L, 1), (3L, 2)))
+    // stage 2 for u1 is the EARLIEST B after A (minute 3, not 5)
+    assert(got((1L, 2)) == t(3))
+    assert(got((1L, 3)) == t(9))
+    // a 60-second horizon kills u1's A(1)->B(3) hop
+    val tight = TimeSeries.funnel(ev, col("u"), col("ts"), col("et"),
+        Seq("A", "B", "C"), horizonMicros = 60L * 1000000L)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(tight == Set((1L, 1), (2L, 1), (3L, 1)))
+  }
+
+  test("cohortRetention: cohorts by first-activity week, offsets in " +
+      "whole weeks, distinct users per cell") {
+    def d(s0: String) = Timestamp.valueOf(s0 + " 12:00:00")
+    // 2024-01-01 is a Monday. u1: weeks 0 and 2; u2: week 0 only
+    // (two events same week count once); u3 joins in week 1.
+    val ev = Seq(
+      (1L, d("2024-01-01")), (1L, d("2024-01-16")),
+      (2L, d("2024-01-02")), (2L, d("2024-01-03")),
+      (3L, d("2024-01-10"))).toDF("u", "ts")
+    val got = TimeSeries.cohortRetention(ev, col("u"), col("ts"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        r.getLong(2)).toMap
+    assert(got == Map(
+      ("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-08", 0L) -> 1L))
+  }
 }
