@@ -89,6 +89,20 @@ object Training {
       .withColumn("bin", expr(s"__cum div ${budget}L"))
       .drop("__cum")
 
+  /** [[packBins]] with the loader-facing POSITION metadata exposed:
+    * `start`/`end` are the document's global token interval in corpus
+    * order (exclusive prefix sum), `bin` its shard, and `offset` its
+    * starting position WITHIN the shard — what a sequence-packing
+    * loader needs to place attention-boundary resets without
+    * re-scanning the shard. Same single-prefix-sum cost as packBins.
+    */
+  def packBinsWithOffsets(df: DataFrame, order: Seq[Column],
+                          tokens: Column, budget: Long): DataFrame =
+    withPrefixSum(df, order, tokens, "start")
+      .withColumn("end", col("start") + tokens.cast("long"))
+      .withColumn("bin", expr(s"start div ${budget}L"))
+      .withColumn("offset", expr(s"start % ${budget}L"))
+
   /** Deterministic categorical encoding: dense integer codes for a
     * string/categorical column, assigned by the SORTED order of the
     * distinct values (code 1 = smallest value) — the StringIndexer

@@ -249,7 +249,20 @@ object ScaleOpsQueries {
     "x_cohort" -> ((s, d) =>
       TimeSeries.cohortRetention(t(s, d, "events"), col("user_id"),
           col("ts"))
-        .orderBy(col("cohort"), col("week_offset"))))
+        .orderBy(col("cohort"), col("week_offset"))),
+
+    // packBins with loader-facing positions: global token interval,
+    // shard, and within-shard offset from ONE prefix sum - the
+    // sequence-packing metadata attention-boundary resets need.
+    "x_pack_offsets" -> ((s, d) =>
+      graft.operators.Training.packBinsWithOffsets(
+          t(s, d, "documents").select(col("doc_id"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast("long").as("n_tokens")),
+          Seq(col("doc_id")), col("n_tokens"), budget = 2048L)
+        .select(col("doc_id"), col("n_tokens"), col("start"),
+          col("end"), col("bin"), col("offset"))
+        .orderBy(col("doc_id"))))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
@@ -505,6 +518,44 @@ object ScaleOpsQueries {
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     "x_ppr" -> pprSql,
+    "x_pack_offsets" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + n_tokens AS BIGINT) AS "end",
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 2048 AS BIGINT) AS bin,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    % 2048 AS BIGINT) AS offset
+        |FROM tk ORDER BY doc_id""".stripMargin,
+    "x_pack_offsets" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS start,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + n_tokens AS BIGINT) AS "end",
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    // 2048 AS BIGINT) AS bin,
+        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    % 2048 AS BIGINT) AS offset
+        |FROM tk ORDER BY doc_id""".stripMargin,
     "x_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),
