@@ -212,6 +212,25 @@ object TimeSeries {
     out
   }
 
+  /** Per-user consecutive-event transition counts — the Markov-chain
+    * read of an event stream ((from, to, n) over each user's
+    * time-ordered event sequence): the "what do users do next"
+    * product question, and the lifecycle-anomaly alarm on pipeline
+    * event logs (a validated→ingested transition is a bug). The
+    * ordering window partitions BY USER — corpus-cardinality keys,
+    * never a few-groups reducer — and ties break on the unique event
+    * id, so the chain is deterministic.
+    */
+  def transitionCounts(df: DataFrame, user: Column, ts: Column,
+                       etype: Column, eventId: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, eventId)
+    df.select(user.as("user"), etype.as("from_type"),
+        lead(etype, 1).over(w).as("to_type"))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Weekly cohort retention: users grouped by the ISO week of their
     * FIRST event (the cohort), counted in every subsequent week they
     * were active — (cohort, week_offset, n_users), offset 0 = the

@@ -262,7 +262,27 @@ object ScaleOpsQueries {
           Seq(col("doc_id")), col("n_tokens"), budget = 2048L)
         .select(col("doc_id"), col("n_tokens"), col("start"),
           col("end"), col("bin"), col("offset"))
-        .orderBy(col("doc_id"))))
+        .orderBy(col("doc_id"))),
+
+    // The funnel's bounded-hop arm: each stage must follow within 48
+    // hours of the previous - exercises the horizon predicate the
+    // unbounded query never builds.
+    "x_funnel_horizon" -> ((s, d) =>
+      TimeSeries.funnel(t(s, d, "events"), col("user_id"), col("ts"),
+          col("event_type"), Seq("view", "click", "purchase"),
+          horizonMicros = 48L * 3600L * 1000000L)
+        .select(col("user").as("user_id"), col("stage"),
+          col("stage_name"), col("ts"))
+        .orderBy(col("user_id"), col("stage"))),
+
+    // Markov transition counts over each user's time-ordered event
+    // chain: the "what happens next" matrix. The ordering window
+    // partitions by user (corpus-cardinality keys), ties break on the
+    // unique event id.
+    "x_transitions" -> ((s, d) =>
+      TimeSeries.transitionCounts(t(s, d, "events"), col("user_id"),
+          col("ts"), col("event_type"), col("event_id"))
+        .orderBy(col("from_type"), col("to_type"))))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
@@ -556,6 +576,32 @@ object ScaleOpsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    % 2048 AS BIGINT) AS offset
         |FROM tk ORDER BY doc_id""".stripMargin,
+    "x_funnel_horizon" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |         AND e.ts <= s1.t + INTERVAL 48 HOUR
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |         AND e.ts <= s2.t + INTERVAL 48 HOUR
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT user_id, 1 AS stage, 'view' AS stage_name, t AS ts
+        |FROM s1
+        |UNION ALL SELECT user_id, 2, 'click', t FROM s2
+        |UNION ALL SELECT user_id, 3, 'purchase', t FROM s3
+        |ORDER BY user_id, stage""".stripMargin,
+    "x_transitions" ->
+      """WITH chain AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events)
+        |SELECT from_type, to_type, count(*) AS n
+        |FROM chain WHERE to_type IS NOT NULL
+        |GROUP BY from_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
     "x_funnel" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

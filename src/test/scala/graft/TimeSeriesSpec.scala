@@ -129,4 +129,18 @@ class TimeSeriesSpec extends SparkSuite {
       ("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
       ("2024-01-08", 0L) -> 1L))
   }
+
+  test("transitionCounts: per-user chains with deterministic ties; " +
+      "chain ends emit nothing") {
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, t(1), "A", 10L), (1L, t(2), "B", 11L), (1L, t(3), "A", 12L),
+      (2L, t(1), "A", 20L), (2L, t(1), "B", 21L), // tie: id order A->B
+      (3L, t(5), "C", 30L)).toDF("u", "ts", "et", "eid")
+    val got = TimeSeries.transitionCounts(ev, col("u"), col("ts"),
+        col("et"), col("eid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    assert(got == Map(("A", "B") -> 2L, ("B", "A") -> 1L))
+  }
 }
