@@ -541,6 +541,45 @@ object Graph {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  /** [[connectedComponents]] for ARBITRARY key types (URLs, source
+    * names, entity strings): endpoints are densely re-labeled through
+    * [[Training.encodeCategorical]]'s sorted-vocabulary codes, the
+    * long-keyed CC machinery runs unchanged, and components decode
+    * back — the canonical member is the LEXICOGRAPHICALLY smallest id
+    * of each component (sorted codes make code-min ≡ value-min), so a
+    * recursive-CTE oracle over the raw strings matches exactly.
+    * Collision-free by construction where hashing string ids to longs
+    * could not be. Returns (id, comp) in the original key type.
+    */
+  def connectedComponentsGeneric(edges: DataFrame, a: Column,
+                                 b: Column,
+                                 broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    val e = Checkpoints.stage(
+      edges.select(a.as("ga"), b.as("gb")).distinct())
+    val vocab = Checkpoints.stage(
+      e.select(col("ga").as("__cat"))
+        .union(e.select(col("gb").as("__cat")))
+        .where(col("__cat").isNotNull).distinct())
+    val coded = Checkpoints.stage(
+      Training.withPrefixSum(vocab, Seq(col("__cat")), lit(1L),
+        "__code"))
+    val side =
+      if (vocab.count() <= broadcastLimit) broadcast(coded) else coded
+    val codedEdges = e
+      .join(side.select(col("__cat").as("ga"),
+        col("__code").as("ca")), Seq("ga"))
+      .join(side.select(col("__cat").as("gb"),
+        col("__code").as("cb")), Seq("gb"))
+      .select(col("ca"), col("cb"))
+    connectedComponents(codedEdges, col("ca"), col("cb"))
+      .join(side.select(col("__code").as("id"),
+        col("__cat").as("__id_v")), Seq("id"))
+      .join(side.select(col("__code").as("comp"),
+        col("__cat").as("__comp_v")), Seq("comp"))
+      .select(col("__id_v").as("id"), col("__comp_v").as("comp"))
+  }
+
   /** The k-core of an undirected graph (Seidman, "Network structure
     * and minimum degree", Social Networks 1983): the maximal subgraph
     * where every node keeps degree ≥ k — computed by synchronous

@@ -282,7 +282,20 @@ object ScaleOpsQueries {
     "x_transitions" -> ((s, d) =>
       TimeSeries.transitionCounts(t(s, d, "events"), col("user_id"),
           col("ts"), col("event_type"), col("event_id"))
-        .orderBy(col("from_type"), col("to_type"))))
+        .orderBy(col("from_type"), col("to_type"))),
+
+    // Connected components over STRING ids: the source-level
+    // substring-sharing graph clusters mirror-site families, with
+    // sorted-vocab dense codes making the canonical member the
+    // lexicographically smallest source - collision-free where
+    // hashing string ids could not be.
+    "x_cc_generic" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("source"), col("text"))
+      Graph.connectedComponentsGeneric(pairs, col("ida"), col("idb"))
+        .select(col("id").as("source"), col("comp"))
+        .orderBy(col("source"))
+    }))
 
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
@@ -576,6 +589,23 @@ object ScaleOpsQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    % 2048 AS BIGINT) AS offset
         |FROM tk ORDER BY doc_id""".stripMargin,
+    "x_cc_generic" ->
+      s"""WITH RECURSIVE corpus AS (
+        |$passageCorpusSql),
+        |w AS (
+        |${cdcWinsSql("corpus", "source")}),
+        |dw AS (SELECT DISTINCT source, win FROM w),
+        |p AS (SELECT DISTINCT a.source AS sa, b.source AS sb
+        |      FROM dw a JOIN dw b
+        |        ON a.win = b.win AND a.source < b.source),
+        |sym AS (SELECT sa AS a, sb AS b FROM p
+        |        UNION SELECT sb, sa FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a)
+        |SELECT id AS source, min(r) AS comp
+        |FROM reach GROUP BY id ORDER BY source""".stripMargin,
     "x_funnel_horizon" ->
       """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
         |            WHERE event_type = 'view' GROUP BY user_id),

@@ -242,4 +242,16 @@ class LabelPropOutlierSpec extends SparkSuite {
     }
     assert(windows.isEmpty)
   }
+
+  test("connectedComponentsGeneric: string components resolve to the " +
+      "lexicographically smallest member; messy edges collapse") {
+    val edges = Seq(("beta", "alpha"), ("alpha", "beta"),
+      ("beta", "gamma"), ("x", "y"), ("z", "z"))
+      .toDF("a", "b")
+    val got = Graph.connectedComponentsGeneric(edges, col("a"),
+        col("b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("alpha" -> "alpha", "beta" -> "alpha",
+      "gamma" -> "alpha", "x" -> "x", "y" -> "x"))
+  }
 }
