@@ -59,18 +59,22 @@ object Resolution {
     ents.select(col("eid"), col("nm"),
       TextAnalysis.fingerprint(block(col("nm"))).as("blkh"))
 
-  /** Drop entities in blocks larger than `maxBlock` BEFORE any pair
-    * expansion: one map-side-combined count per 8-byte block hash —
-    * the fixed-width exchange bounds both the join fan-out and every
+  /** Block hashes whose member count (over `k`) is in [2, maxBlock]:
+    * one map-side-combined count per 8-byte block hash — the
+    * fixed-width exchange bounds both the join fan-out and every
     * buffer, never a collect of members.
     */
-  private[graft] def capBlocks(k: DataFrame, maxBlock: Int): DataFrame = {
-    val sized = k.groupBy(col("blkh"))
+  private[graft] def keptBlocks(k: DataFrame, maxBlock: Int): DataFrame =
+    k.groupBy(col("blkh"))
       .agg(count(lit(1)).as("__n"))
       .where(col("__n") >= 2 && col("__n") <= maxBlock)
       .select(col("blkh"))
-    k.join(sized, Seq("blkh"), "left_semi")
-  }
+
+  /** Drop entities in blocks larger than `maxBlock` BEFORE any pair
+    * expansion (semi join against [[keptBlocks]]).
+    */
+  private[graft] def capBlocks(k: DataFrame, maxBlock: Int): DataFrame =
+    k.join(keptBlocks(k, maxBlock), Seq("blkh"), "left_semi")
 
   /** Confirmed candidate edges at entity grain: (eid_a, eid_b, nm_a,
     * nm_b, dist) for in-block pairs with levenshtein ≤ `maxDist`
@@ -121,14 +125,52 @@ object Resolution {
     Stats.writeManifest(spark, storeDir, manifestPath)
   }
 
+  /** Candidate in-block pairs with at least one batch endpoint BY
+    * CONSTRUCTION: the join is batch ⋈ (store-slice ∪ batch), never
+    * (slice ∪ batch)² — a store×store pair structurally cannot form,
+    * so history work is never re-expanded inside touched blocks (the
+    * same one-sided shape as `Multimodal.dhashPairsAgainstBands`).
+    * Block sizes are counted over the UNION (history members count
+    * toward the skew cap, exactly as in the batch path), then each
+    * side is semi-joined against the kept block set before pairing.
+    * Output is canonical (eid_a < eid_b); batch×batch pairs appear
+    * once (self-join keeps eid_a < eid_b), batch×slice pairs are
+    * order-normalized with a conditional swap.
+    */
+  private[graft] def candidatePairs(batchK: DataFrame, sliceK: DataFrame,
+                                    maxBlock: Int): DataFrame = {
+    val kept = keptBlocks(sliceK.unionByName(batchK), maxBlock)
+    val b = batchK.join(kept, Seq("blkh"), "left_semi")
+    val s = sliceK.join(kept, Seq("blkh"), "left_semi")
+    val swap = col("__e1") < col("__e2")
+    val bs = b.select(col("blkh"), col("eid").as("__e1"),
+        col("nm").as("__n1"))
+      .join(s.select(col("blkh"), col("eid").as("__e2"),
+        col("nm").as("__n2")), Seq("blkh"))
+      .where(col("__e1") =!= col("__e2"))
+      .select(least(col("__e1"), col("__e2")).as("eid_a"),
+        greatest(col("__e1"), col("__e2")).as("eid_b"),
+        when(swap, col("__n1")).otherwise(col("__n2")).as("nm_a"),
+        when(swap, col("__n2")).otherwise(col("__n1")).as("nm_b"))
+    val bb = b.select(col("blkh"), col("eid").as("eid_a"),
+        col("nm").as("nm_a"))
+      .join(b.select(col("blkh"), col("eid").as("eid_b"),
+        col("nm").as("nm_b")), Seq("blkh"))
+      .where(col("eid_a") < col("eid_b"))
+      .select(col("eid_a"), col("eid_b"), col("nm_a"), col("nm_b"))
+    bs.unionByName(bb)
+  }
+
   /** Confirmed edges TOUCHING a batch of new entities, against the
-    * persisted dictionary: store-slice×batch + batch×batch. The store
-    * scan opens only files whose blkh range intersects the batch's
-    * block set (manifest pruning; uncovered files are always read),
-    * then row-filters on a measured broadcast-vs-shuffle-hash semi
-    * join. History×history is NEVER recomputed here — accumulate its
-    * edges once at store-build time and reconcile by CC
-    * ([[Graph.dedupClusters]]).
+    * persisted dictionary: store-slice×batch + batch×batch, built as
+    * batch ⋈ (slice ∪ batch) so a history×history pair never forms
+    * and never reaches the levenshtein evaluation
+    * ([[candidatePairs]]). The store scan opens only files whose blkh
+    * range intersects the batch's block set (manifest pruning;
+    * uncovered files are always read), then row-filters on a measured
+    * broadcast-vs-shuffle-hash semi join. History×history edges are
+    * the store-build artifact — accumulate them once and reconcile by
+    * CC ([[Graph.dedupClusters]]).
     */
   def erIncrementalPairs(newEnts: DataFrame, storeDir: String,
                          manifestPath: String,
@@ -147,29 +189,9 @@ object Resolution {
       if (small) slice0.join(broadcast(probe), Seq("blkh"), "left_semi")
       else slice0.join(probe.hint("shuffle_hash"), Seq("blkh"),
         "left_semi")
-    val both = slice.unionByName(batch)
-    val cappedB = capBlocks(both, maxBlock)
     val d = levenshtein(col("nm_a"), col("nm_b"), maxDist)
-    val aIds = batch.select(col("eid").as("eid_a"))
-      .withColumn("__ba", lit(1))
-    val bIds = batch.select(col("eid").as("eid_b"))
-      .withColumn("__bb", lit(1))
-    val raw = cappedB.select(col("blkh"), col("eid").as("eid_a"),
-        col("nm").as("nm_a"))
-      .join(cappedB.select(col("blkh"), col("eid").as("eid_b"),
-        col("nm").as("nm_b")), Seq("blkh"))
-      .where(col("eid_a") < col("eid_b") && d >= 0)
-    // keep only edges with at least one batch endpoint (history
-    // pairs are the store-build artifact, not re-derived per batch);
-    // the batch id tables ride the same measured regime
-    val tagged =
-      if (small)
-        raw.join(broadcast(aIds), Seq("eid_a"), "left")
-          .join(broadcast(bIds), Seq("eid_b"), "left")
-      else
-        raw.join(aIds.hint("shuffle_hash"), Seq("eid_a"), "left")
-          .join(bIds.hint("shuffle_hash"), Seq("eid_b"), "left")
-    tagged.where(col("__ba").isNotNull || col("__bb").isNotNull)
+    candidatePairs(batch, slice, maxBlock)
+      .where(d >= 0)
       .select(col("eid_a"), col("eid_b"), col("nm_a"), col("nm_b"),
         d.as("dist"))
   }

@@ -114,6 +114,62 @@ class ResolutionSpec extends SparkSuite {
     assert(inc == full && inc.nonEmpty)
   }
 
+  test("incremental pair join never forms store×store pairs inside touched blocks") {
+    // store block "acme" holds TWO confirmable history entities (the
+    // old (slice ∪ batch)² shape would expand their pair and throw it
+    // away); the batch touches the block with one new entity. The
+    // candidate output must contain exactly the two batch-touching
+    // pairs — the history×history pair (1,2) must be ABSENT, i.e. it
+    // never reached the levenshtein stage at all.
+    val storeK = Seq(
+      (1L, "acme corp"), (2L, "acme corp."), (7L, "zeta llc")
+    ).toDF("eid", "nm")
+      .withColumn("blkh", graft.operators.TextAnalysis.fingerprint(
+        Resolution.firstTokenBlock(col("nm"))))
+    val batchK = Seq((3L, "acme corpse")).toDF("eid", "nm")
+      .withColumn("blkh", graft.operators.TextAnalysis.fingerprint(
+        Resolution.firstTokenBlock(col("nm"))))
+    val cands = Resolution.candidatePairs(batchK, storeK,
+        maxBlock = 1000)
+      .select("eid_a", "eid_b").as[(Long, Long)].collect().toSet
+    assert(cands == Set((1L, 3L), (2L, 3L)),
+      s"store×store pair must never form; got $cands")
+
+    // and end-to-end through the persisted store: same edge set after
+    // the levenshtein confirm (d(corp,corpse)=2, d(corp.,corpse)=2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-er3-").toString
+    Resolution.writeEntityStore(
+      Seq((1L, "acme corp", 1L), (2L, "acme corp.", 1L),
+        (7L, "zeta llc", 1L)).toDF("eid", "nm", "support"),
+      s"$dir/store", s"$dir/manifest", filesOut = 2)
+    val edges = Resolution.erIncrementalPairs(
+        Seq((3L, "acme corpse", 1L)).toDF("eid", "nm", "support"),
+        s"$dir/store", s"$dir/manifest", maxDist = 3)
+      .select("eid_a", "eid_b").as[(Long, Long)].collect().toSet
+    assert(edges == Set((1L, 3L), (2L, 3L)))
+  }
+
+  test("batch×batch pairs appear once and store entities count toward the block cap") {
+    // two batch entities + one store entity in one block: cap 2 drops
+    // the block entirely (3 members over the union); cap 3 keeps it
+    // with all three pairs touching the batch
+    val storeK = Seq((1L, "acme corp")).toDF("eid", "nm")
+      .withColumn("blkh", graft.operators.TextAnalysis.fingerprint(
+        Resolution.firstTokenBlock(col("nm"))))
+    val batchK = Seq((2L, "acme corp."), (3L, "acme corpse"))
+      .toDF("eid", "nm")
+      .withColumn("blkh", graft.operators.TextAnalysis.fingerprint(
+        Resolution.firstTokenBlock(col("nm"))))
+    val capped = Resolution.candidatePairs(batchK, storeK, maxBlock = 2)
+      .collect()
+    assert(capped.isEmpty, "union-counted cap must drop the block")
+    val cands = Resolution.candidatePairs(batchK, storeK, maxBlock = 3)
+      .select("eid_a", "eid_b").as[(Long, Long)].collect().toList
+    assert(cands.sorted == List((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"each pair exactly once, canonical order; got $cands")
+  }
+
   test("broadcast and shuffle-hash regimes produce identical incremental edges") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-er2-").toString
