@@ -1241,19 +1241,8 @@ object StreamOps {
           val storeTouched = storeSlice
             .join(bc(batchK.select(col("blkh")).distinct()),
               Seq("blkh"), "left_semi")
-          val combined = storeTouched
-            .withColumn("__st", lit(true))
-            .unionByName(batchK.withColumn("__st", lit(false)))
-          val cand = Resolution.capBlocks(combined, maxBlock)
-          val d = levenshtein(col("nm_a"), col("nm_b"), maxDist)
-          val dropEids = cand.select(col("blkh"),
-              col("eid").as("eid_a"), col("nm").as("nm_a"),
-              col("__st").as("st_a"))
-            .join(cand.select(col("blkh"), col("eid").as("eid_b"),
-              col("nm").as("nm_b"), col("__st").as("st_b")), Seq("blkh"))
-            .where(!col("st_b") && d >= 0 &&
-              (col("st_a") || col("eid_a") < col("eid_b")))
-            .select(col("eid_b").as("eid")).distinct()
+          val dropEids = erGateDropEids(storeTouched, batchK,
+            maxDist, maxBlock)
           val survEnts = batchK
             .join(bc(dropEids), Seq("eid"), "left_anti")
             .localCheckpoint()
@@ -1271,6 +1260,47 @@ object StreamOps {
         }
       }
       .start()
+  }
+
+  /** The ER gate's candidate pair expansion, BEFORE the levenshtein
+    * confirm: (eid_a, nm_a, st_a, eid_b, nm_b) in-block pairs whose
+    * right side is STRUCTURALLY batch-only — the right relation is
+    * `cand.where(!__st)`, a filter applied below the join rather than
+    * above it, so a store×store pair cannot form and cannot reach the
+    * edit-distance evaluation regardless of optimizer pushdown (the
+    * same one-sided law as [[graft.operators.Resolution.candidatePairs]]).
+    * Block sizes are pre-counted over the combined slice∪batch, the
+    * batch-twin cap semantics.
+    */
+  private[graft] def erGatePairs(storeTouched: DataFrame,
+                                 batchK: DataFrame,
+                                 maxBlock: Int): DataFrame = {
+    import graft.operators.Resolution
+    val combined = storeTouched
+      .withColumn("__st", lit(true))
+      .unionByName(batchK.withColumn("__st", lit(false)))
+    val cand = Resolution.capBlocks(combined, maxBlock)
+    cand.select(col("blkh"), col("eid").as("eid_a"),
+        col("nm").as("nm_a"), col("__st").as("st_a"))
+      .join(cand.where(!col("__st"))
+        .select(col("blkh"), col("eid").as("eid_b"),
+          col("nm").as("nm_b")), Seq("blkh"))
+      .select(col("eid_a"), col("nm_a"), col("st_a"),
+        col("eid_b"), col("nm_b"))
+  }
+
+  /** Batch eids the ER gate drops: a batch entity is within `maxDist`
+    * of a STORED entity (any order) or of a smaller-eid batch sibling.
+    * The confirm filter runs over [[erGatePairs]]' batch-sided
+    * candidates only.
+    */
+  private[graft] def erGateDropEids(storeTouched: DataFrame,
+                                    batchK: DataFrame, maxDist: Int,
+                                    maxBlock: Int): DataFrame = {
+    val d = levenshtein(col("nm_a"), col("nm_b"), maxDist)
+    erGatePairs(storeTouched, batchK, maxBlock)
+      .where(d >= 0 && (col("st_a") || col("eid_a") < col("eid_b")))
+      .select(col("eid_b").as("eid")).distinct()
   }
 
   /** [[compactWindowStoreGen]] for the ER gate's entity dictionary:

@@ -640,6 +640,33 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("erGatePairs: candidate right side is batch-only — store×store " +
+      "pairs never form, never reach the levenshtein confirm") {
+    import graft.operators.{Resolution, TextAnalysis}
+    // store block "acme" holds a confirmable store×store pair (1,2);
+    // the batch touches the block with entity 3. Observed BEFORE the
+    // edit-distance filter: every candidate's right endpoint must be
+    // the batch entity — (1,2)/(2,1) must be absent.
+    def k(rows: Seq[(Long, String)]) = rows.toDF("eid", "nm")
+      .withColumn("blkh", TextAnalysis.fingerprint(
+        Resolution.firstTokenBlock(col("nm"))))
+    val store = k(Seq((1L, "acme corp"), (2L, "acme corp.")))
+    val batchK = k(Seq((3L, "acme corpse")))
+    val pairs = StreamOps.erGatePairs(store, batchK, maxBlock = 1000)
+      .select("eid_a", "eid_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L), (2L, 3L), (3L, 3L)),
+      s"right side must be batch-only; got $pairs")
+    // and the drop set through the confirm: 3 is near stored 1 and 2
+    val drops = StreamOps.erGateDropEids(store, batchK, maxDist = 3,
+        maxBlock = 1000)
+      .as[Long].collect().toSet
+    assert(drops == Set(3L))
+    // store members count toward the union block cap: cap 2 drops the
+    // 3-member block entirely
+    assert(StreamOps.erGatePairs(store, batchK, maxBlock = 2)
+      .collect().isEmpty)
+  }
+
   test("profileDriftGateSink: per-column batch profiles fold into a " +
       "cumulative KMV-backed state; drift reports carry exact counts " +
       "and the cumulative distinct estimate") {
