@@ -408,8 +408,11 @@ object Graph {
     * pageRank gate). Lineage cut per round via [[Checkpoints.stage]].
     *
     * `seeds`: (id, label) with non-null labels; ids absent from the
-    * edge list still appear in the output (isolated seeds). Label type
-    * is any orderable Spark type; node ids are key-type-generic.
+    * edge list still appear in the output (isolated seeds). A node
+    * seeded more than once keeps the MAXIMUM label — the same
+    * direction as the neighbor-vote tie-break, so the duplicate-seed
+    * contract and the propagation tie policy agree. Label type is any
+    * orderable Spark type; node ids are key-type-generic.
     */
   def labelPropagation(edges: DataFrame, a: Column, b: Column,
                        seeds: DataFrame, seedId: Column, seedLabel: Column,
@@ -424,7 +427,7 @@ object Graph {
     val sd = Checkpoints.stage(
       seeds.select(seedId.as("id"), seedLabel.as("__seed"))
         .where(col("__seed").isNotNull)
-        .groupBy(col("id")).agg(min(col("__seed")).as("__seed")))
+        .groupBy(col("id")).agg(max(col("__seed")).as("__seed")))
     val nodes = Checkpoints.stage(
       sym.select(col("src").as("id"))
         .union(sym.select(col("dst").as("id")))

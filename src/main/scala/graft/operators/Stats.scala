@@ -465,14 +465,22 @@ object Stats {
     */
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "cols must be non-empty")
-    val aggs = count(lit(1)).as("__n") +: cols.flatMap(c => Seq(
-      sum(col(c).isNull.cast("long")).as(s"__nulls_$c"),
-      count_distinct(col(c)).as(s"__ndv_$c")))
+    // internal aliases are INDEX-based and the long-format rows are
+    // built programmatically (structs + inline), never via
+    // selectExpr/stack — a column named with quotes, spaces, or
+    // reserved words must not reach the SQL parser, and the label
+    // rides as a lit(), not an interpolated string literal
+    val aggs = count(lit(1)).as("__n") +:
+      cols.zipWithIndex.flatMap { case (c, i) => Seq(
+        sum(df.col(c).isNull.cast("long")).as(s"__nulls_$i"),
+        count_distinct(df.col(c)).as(s"__ndv_$i")) }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __n, __nulls_$c, __ndv_$c").mkString(", ")
-    one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-      "(column, n_rows, n_nulls, n_distinct)")
+    val rows = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nulls_$i").as("n_nulls"),
+        col(s"__ndv_$i").as("n_distinct"))
+    }: _*)
+    one.select(inline(rows))
   }
 
   /** Drift report between two snapshots of the same schema (the

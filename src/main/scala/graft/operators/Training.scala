@@ -163,8 +163,11 @@ object Training {
         Seq("__cat"), "left_anti")
       case None => batchVocab
     }
+    // coalesce guards the empty-store case (a first batch of only
+    // nulls writes a zero-row store; max over it is null, and a bare
+    // getLong would wedge every subsequent ingest)
     val maxCode = prior
-      .map(_.agg(max(col("__code"))).head.getLong(0))
+      .map(_.agg(coalesce(max(col("__code")), lit(0L))).head.getLong(0))
       .getOrElse(0L)
     val freshCoded = Checkpoints.stage(
       withPrefixSum(fresh, Seq(col("__cat")), lit(1L), "__code")

@@ -332,8 +332,8 @@ object ScaleOpsQueries {
        |        ON a.win = b.win AND a.doc_id < b.doc_id),
        |e AS (SELECT ida AS src, idb AS dst FROM p
        |      UNION SELECT idb, ida FROM p),
-       |seeds AS (SELECT doc_id AS id, lang AS label FROM documents
-       |          WHERE doc_id % 3 = 0),
+       |seeds AS (SELECT doc_id AS id, max(lang) AS label FROM documents
+       |          WHERE doc_id % 3 = 0 GROUP BY doc_id),
        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e
        |          UNION SELECT id FROM seeds),
        |l0 AS (SELECT n.id, s.label FROM nodes n
@@ -551,25 +551,6 @@ object ScaleOpsQueries {
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     "x_ppr" -> pprSql,
-    "x_pack_offsets" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents)
-        |SELECT doc_id, n_tokens,
-        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS BIGINT) AS start,
-        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    + n_tokens AS BIGINT) AS "end",
-        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    // 2048 AS BIGINT) AS bin,
-        |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    % 2048 AS BIGINT) AS offset
-        |FROM tk ORDER BY doc_id""".stripMargin,
     "x_pack_offsets" ->
       """WITH tk AS (
         |  SELECT doc_id,

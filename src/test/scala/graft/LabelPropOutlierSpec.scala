@@ -29,6 +29,15 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(got(10L) == "en") // tie 1-1 → max("de","en") = "en"
   }
 
+  test("labelPropagation: a node seeded twice keeps the MAX label — " +
+      "the same direction as the neighbor-vote tie-break") {
+    val edges = Seq((1L, 2L))
+    val seeds = Seq((1L, "de"), (1L, "en"), (1L, "aa"))
+    val got = lp(edges, seeds, 1)
+    assert(got(1L) == "en")
+    assert(got(2L) == "en")
+  }
+
   test("labelPropagation: seeds never change; unreached nodes stay null") {
     // 5-6-7 chain seeded at 5 with 'fr'; node 9 isolated in a 9-8 pair
     // with no seed anywhere → null forever.
@@ -62,6 +71,20 @@ class LabelPropOutlierSpec extends SparkSuite {
         col("id"), col("l"), 3)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(again == got)
+  }
+
+  test("profileTable: hostile column names (quotes, spaces, reserved " +
+      "words) never reach the SQL parser") {
+    val df = Seq(("x", 1L, "q"), (null, 2L, "q"))
+      .toDF("it's", "a b", "select")
+    val prof = graft.operators.Stats
+      .profileTable(df, Seq("it's", "a b", "select"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(prof == Map(
+      "it's" -> ((2L, 1L, 1L)),
+      "a b" -> ((2L, 0L, 2L)),
+      "select" -> ((2L, 0L, 1L))))
   }
 
   test("profileTable/profileDrift: exact counts incl. nulls; drift " +

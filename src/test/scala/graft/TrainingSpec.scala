@@ -228,4 +228,25 @@ class TrainingSpec extends SparkSuite {
     val store = spark.read.parquet(dir).count()
     assert(store == 5L)
   }
+
+  test("encodeCategoricalIncremental: an all-null first batch writes an " +
+      "empty store without wedging subsequent ingests") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-catinc0-").toString + "/vocab"
+    val nulls = Seq((null.asInstanceOf[String], 1L), (null, 2L))
+      .toDF("v", "id")
+    val first = graft.operators.Training
+      .encodeCategoricalIncremental(nulls, col("v"), "code", dir)
+      .collect()
+    assert(first.length == 2 && first.forall(_.isNullAt(2)))
+    assert(spark.read.parquet(dir).count() == 0L)
+    // the empty store must not NPE the next batch; codes start at 1
+    val second = graft.operators.Training
+      .encodeCategoricalIncremental(
+        Seq(("b", 3L), ("a", 4L)).toDF("v", "id"), col("v"), "code", dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(second == Map("a" -> 1L, "b" -> 2L))
+  }
 }
