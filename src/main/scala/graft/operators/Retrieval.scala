@@ -137,53 +137,15 @@ object Retrieval {
     * [[TextAnalysis.tokens]] exactly, so tf/df/dl agree with the
     * full-scan path token for token.
     */
-  def writeBm25Index(df: DataFrame, id: Column, text: Column,
-                     indexDir: String, filesOut: Int = 16): Unit = {
-    val spark = df.sparkSession
-    val toks = df.select(id.as("id"),
-      explode(TextAnalysis.tokens(text)).as("term"))
-    toks.where(col("term") =!= "")
-      .groupBy(col("id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-      .select(xxhash64(col("term")).as("th"), col("term"), col("id"),
-        col("tf"))
-      .repartitionByRange(filesOut, col("th"))
-      .sortWithinPartitions(col("th"), col("term"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/postings")
-    Stats.writeManifest(spark, s"$indexDir/postings",
-      s"$indexDir/postings_manifest")
-    val doclen = df.select(id.as("id"),
-      size(TextAnalysis.tokens(text)).cast("long").as("dl"))
-    doclen
-      .repartitionByRange(math.max(1, filesOut / 2), col("id"))
-      .sortWithinPartitions(col("id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/doclen")
-    Stats.writeManifest(spark, s"$indexDir/doclen",
-      s"$indexDir/doclen_manifest")
-    doclen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/stats")
-  }
-
-  /** Append a NEW batch of documents to an existing BM25 index (the
-    * continuous-ingestion write path): postings and doc lengths append
-    * as new clustered files with footer-only manifest refreshes (the
-    * [[graft.operators.Dedup.appendBandedSigStore]] protocol), and the
-    * one-row stats table folds additively — n_docs and sum_dl are a
-    * merge semigroup, so history is never re-read or re-tokenized.
-    * Batch doc ids must be new (an id re-ingest would double-count its
-    * postings — upstream exact-dedup owns that invariant, as with
-    * every incremental store here). After the append,
-    * [[bm25TopKIndexed]] answers over the UNION corpus exactly
-    * (driver-checked: x_bm25_incremental shares the full-corpus
-    * oracle).
+  /** One ingest's postings/doclen/stats written under `batch=<id>` in
+    * each artifact dir with mode Overwrite — the gate-store protocol:
+    * a crashed write leaves an uncommitted dir readers ignore, and a
+    * RETRY of the same batch id overwrites it identically instead of
+    * double-appending postings or double-folding stats.
     */
-  def appendBm25Index(df: DataFrame, id: Column, text: Column,
-                      indexDir: String, filesOut: Int = 4): Unit = {
-    val spark = df.sparkSession
+  private def writeBm25Batch(df: DataFrame, id: Column, text: Column,
+                             indexDir: String, batchId: Long,
+                             filesOut: Int): Unit = {
     df.select(id.as("id"), explode(TextAnalysis.tokens(text)).as("term"))
       .where(col("term") =!= "")
       .groupBy(col("id"), col("term"))
@@ -192,33 +154,104 @@ object Retrieval {
         col("tf"))
       .repartitionByRange(filesOut, col("th"))
       .sortWithinPartitions(col("th"), col("term"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexDir/postings")
-    Stats.refreshManifest(spark, s"$indexDir/postings",
-      s"$indexDir/postings_manifest")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/postings/batch=$batchId")
     val doclen = df.select(id.as("id"),
       size(TextAnalysis.tokens(text)).cast("long").as("dl"))
     doclen
       .repartitionByRange(math.max(1, filesOut / 2), col("id"))
       .sortWithinPartitions(col("id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Append)
-      .parquet(s"$indexDir/doclen")
-    Stats.refreshManifest(spark, s"$indexDir/doclen",
-      s"$indexDir/doclen_manifest")
-    // additive stats fold: one old row + one batch row, via a staged
-    // read so the overwrite never races its own input
-    val old = spark.read.parquet(s"$indexDir/stats")
-      .select(col("n_docs"), col("sum_dl")).head
-    val batch = doclen
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")).head
-    val batchSum = if (batch.isNullAt(1)) 0L else batch.getLong(1)
-    import spark.implicits._
-    Seq((old.getLong(0) + batch.getLong(0),
-        old.getLong(1) + batchSum))
-      .toDF("n_docs", "sum_dl")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/doclen/batch=$batchId")
+    // per-batch stats row; the GLOBAL (n_docs, sum_dl) is derived by
+    // folding committed batch rows at read time ([[bm25IndexStats]]) —
+    // no read-modify-overwrite step exists to race or double-fold
+    doclen.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$indexDir/stats")
+      .parquet(s"$indexDir/stats/batch=$batchId")
+  }
+
+  def writeBm25Index(df: DataFrame, id: Column, text: Column,
+                     indexDir: String, filesOut: Int = 16): Unit = {
+    val spark = df.sparkSession
+    writeBm25Batch(df, id, text, indexDir, batchId = 0L, filesOut)
+    Stats.writeManifest(spark, s"$indexDir/postings",
+      s"$indexDir/postings_manifest")
+    Stats.writeManifest(spark, s"$indexDir/doclen",
+      s"$indexDir/doclen_manifest")
+  }
+
+  /** Append a NEW batch of documents to an existing BM25 index (the
+    * continuous-ingestion write path): postings, doc lengths, and the
+    * batch's (n_docs, sum_dl) stats row land in `batch=<batchId>` dirs
+    * with mode Overwrite and footer-only manifest refreshes — each
+    * step is overwrite-idempotent, so a crash mid-append (or a retried
+    * batch) can never double-append postings or double-fold stats;
+    * history is never re-read or re-tokenized. `batchId` must be
+    * strictly greater than every previously appended id (the gate
+    * stores' monotone-id contract). Batch doc ids must be new (an id
+    * re-ingest would double-count its postings — upstream exact-dedup
+    * owns that invariant, as with every incremental store here). After
+    * the append, [[bm25TopKIndexed]] answers over the UNION corpus
+    * exactly (driver-checked: x_bm25_incremental shares the
+    * full-corpus oracle).
+    */
+  def appendBm25Index(df: DataFrame, id: Column, text: Column,
+                      indexDir: String, batchId: Long,
+                      filesOut: Int = 4): Unit = {
+    val spark = df.sparkSession
+    require(batchId > 0L, "appendBm25Index: batchId 0 is the base write")
+    writeBm25Batch(df, id, text, indexDir, batchId, filesOut)
+    Stats.refreshManifest(spark, s"$indexDir/postings",
+      s"$indexDir/postings_manifest")
+    Stats.refreshManifest(spark, s"$indexDir/doclen",
+      s"$indexDir/doclen_manifest")
+  }
+
+  /** Fold accumulated postings/doclen batch appends into ONE clustered
+    * generation each (`gen=<maxBatchId>`, the
+    * [[graft.operators.Stats.compactCommittedStore]] OPTIMIZE cycle)
+    * and refresh both manifests. This is what keeps the th-range
+    * clustering sharp under nightly ingest: every append spans the
+    * full th range, so per-term file pruning degrades linearly with
+    * batch count until the fold rewrites the view as `filesOut`
+    * th-clustered files (doclen: id-clustered). Stats batch rows are
+    * left untouched — they are the additive doc-count source, one tiny
+    * row per batch, and the global fold happens at read time. Returns
+    * the new generation token, or None when there was nothing to fold.
+    */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, filesOut: Int = 16)
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, s"$indexDir/postings",
+      _.select(col("th"), col("term"), col("id"), col("tf"))
+        .repartitionByRange(filesOut, col("th"))
+        .sortWithinPartitions(col("th"), col("term")))
+    if (tok.isDefined) {
+      Stats.compactCommittedStore(spark, s"$indexDir/doclen",
+        _.select(col("id"), col("dl"))
+          .repartitionByRange(math.max(1, filesOut / 2), col("id"))
+          .sortWithinPartitions(col("id"))): Unit
+      Stats.refreshManifest(spark, s"$indexDir/postings",
+        s"$indexDir/postings_manifest")
+      Stats.refreshManifest(spark, s"$indexDir/doclen",
+        s"$indexDir/doclen_manifest")
+    }
+    tok
+  }
+
+  /** The index's global (n_docs, sum_dl) — committed per-batch stats
+    * rows folded additively at read time (batch-count-sized, never
+    * corpus-sized).
+    */
+  private def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, s"$indexDir/stats")
+    spark.read.parquet(dirs: _*)
+      .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
   }
 
   /** [[TextAnalysis.bm25TopK]] answered FROM the persisted index —
@@ -230,6 +263,22 @@ object Retrieval {
     * a matched term), and doc lengths are fetched manifest-pruned for
     * candidates only. Per-query cost is postings-of-terms, not corpus.
     */
+  /** Manifest-pruned read of one index artifact's committed view
+    * (newest generation + newer batch dirs): opens only the files the
+    * probe key set can live in; empty kept set → schema-preserving
+    * empty result.
+    */
+  private def readTouchedKeysView(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String, manifestPath: String,
+                                  c: String, probes: DataFrame): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, dir)
+    require(dirs.nonEmpty, s"bm25 index: no committed content under $dir")
+    val keep = Stats.touchedKeysKeptFilesUnder(spark, dirs, manifestPath,
+      c, probes)
+    if (keep.isEmpty) spark.read.parquet(dirs: _*).where(lit(false))
+    else spark.read.parquet(keep: _*)
+  }
+
   def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, queryTerms: Seq[String], k: Int,
                       k1: Double = 1.2, b: Double = 0.75,
@@ -240,7 +289,7 @@ object Retrieval {
     val probe = queryTerms.toDF("term")
       .select(xxhash64(col("term")).as("th"))
     val slice = Checkpoints.stage(
-      Stats.readTouchedKeysManifest(spark, s"$indexDir/postings",
+      readTouchedKeysView(spark, s"$indexDir/postings",
           s"$indexDir/postings_manifest", "th", probe)
         .where(col("term").isin(queryTerms: _*))
         .select(col("term"), col("id"), col("tf")))
@@ -252,12 +301,12 @@ object Retrieval {
       coalesce(max(when(col("term") === queryTerms(i), col("tf"))),
         lit(0L)).as(s"tf_$i"))
     val tfs = slice.groupBy(col("id")).agg(tfAggs.head, tfAggs.tail: _*)
-    val dl = Stats.readTouchedKeysManifest(spark, s"$indexDir/doclen",
+    val dl = readTouchedKeysView(spark, s"$indexDir/doclen",
         s"$indexDir/doclen_manifest", "id",
         tfs.select(col("id")))
       .select(col("id"), col("dl"))
     val consts = broadcast(
-      spark.read.parquet(s"$indexDir/stats").crossJoin(dfsRow))
+      bm25IndexStats(spark, indexDir).crossJoin(dfsRow))
     tfs.join(dl, Seq("id"))
       .crossJoin(consts)
       .select(col("id") +: idx.map(i => col(s"tf_$i")) :+ col("dl") :+

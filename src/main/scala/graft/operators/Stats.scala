@@ -274,6 +274,103 @@ object Stats {
     spark.catalog.refreshByPath(manifestPath)
   }
 
+  // ---------- committed gen=/batch= store protocol ----------
+
+  /** True iff `root` holds at least one READER-VISIBLE committed
+    * parquet data file. Files under any path component starting with
+    * `_` or `.` (a crashed write's `_temporary/` attempt dirs,
+    * `_SUCCESS`, hidden files) are invisible to Spark's parquet
+    * reader, so counting them as "committed" would make a bootstrap
+    * probe claim a store exists while `spark.read.parquet` finds zero
+    * files — permanently poisoning every retry after a first-batch
+    * crash.
+    */
+  def hasCommittedParquet(fs: org.apache.hadoop.fs.FileSystem,
+                          root: org.apache.hadoop.fs.Path): Boolean = {
+    val qRoot = fs.makeQualified(root)
+    def readerVisible(p: org.apache.hadoop.fs.Path): Boolean = {
+      var cur = p
+      while (cur != null && cur != qRoot) {
+        val nm = cur.getName
+        if (nm.startsWith("_") || nm.startsWith(".")) return false
+        cur = cur.getParent
+      }
+      true
+    }
+    val it = fs.listFiles(qRoot, true)
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .exists(f => f.isFile && f.getLen > 0 &&
+        f.getPath.getName.endsWith(".parquet") &&
+        readerVisible(f.getPath))
+  }
+
+  /** The committed READ VIEW of a `gen=`/`batch=` store: the newest
+    * committed `gen=<t>` compaction (if any) plus committed
+    * `batch=<id>` dirs with id > t. Generation selection makes
+    * compaction atomic from the reader's side — a reader resolves
+    * either the old generation + its batch dirs or the new generation,
+    * never a mix. Commit state is judged per sub-directory by
+    * reader-visible parquet ([[hasCommittedParquet]]), so a crashed
+    * write is ignored until its retry commits it. Empty = no committed
+    * store content.
+    */
+  def committedViewDirs(spark: SparkSession, root: String): Seq[String] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootP)) return Nil
+    val dirs = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
+      .filter(p => hasCommittedParquet(fs, p))
+    val gens = dirs.filter(_.getName.startsWith("gen="))
+      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
+    val tok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
+    val batches = dirs
+      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName.stripPrefix("batch=").toLong > tok)
+    (gens.filter(_._1 == tok).map(_._2) ++ batches)
+      .map(_.toString).toSeq
+  }
+
+  /** Fold a `gen=`/`batch=` store's committed view into one compacted
+    * `gen=<maxBatchId>` generation shaped by `shape` (the OPTIMIZE
+    * primitive behind every incremental store's compaction path), then
+    * vacuum only what a FULL compaction cycle has already superseded:
+    * generations and batch dirs folded into the PREVIOUS generation.
+    * The one-cycle grace period is the retention story for readers
+    * racing the compactor — an in-flight scan that resolved the
+    * previous generation still has every file it listed.
+    * Overwrite-idempotent: a crashed or retried compaction rewrites
+    * the same generation; an uncommitted generation dir is invisible
+    * to readers. Returns the new generation token, or None when there
+    * was nothing to fold.
+    */
+  def compactCommittedStore(spark: SparkSession, root: String,
+                            shape: DataFrame => DataFrame)
+      : Option[Long] = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootP)) return None
+    val dirs = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
+      .filter(p => hasCommittedParquet(fs, p))
+    val gens = dirs.filter(_.getName.startsWith("gen="))
+      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
+    val prevTok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
+    val foldable = dirs.filter(_.getName.startsWith("batch="))
+      .map(p => (p.getName.stripPrefix("batch=").toLong, p))
+      .filter(_._1 > prevTok)
+    if (foldable.isEmpty) return None
+    val newTok = foldable.map(_._1).max
+    val viewPaths = (gens.filter(_._1 == prevTok).map(_._2) ++
+      foldable.map(_._2)).map(_.toString).toSeq
+    shape(spark.read.parquet(viewPaths: _*))
+      .write.mode("overwrite").parquet(s"$root/gen=$newTok")
+    val stale =
+      gens.filter(_._1 < prevTok).map(_._2) ++
+        dirs.filter(_.getName.startsWith("batch="))
+          .filter(_.getName.stripPrefix("batch=").toLong <= prevTok)
+    stale.foreach(p => fs.delete(p, true))
+    Some(newTok)
+  }
+
   /** [[readSkipping]] through a persisted manifest: no footer sweep,
     * no listing beyond the one the read itself needs. Files the
     * manifest does not cover (e.g. appended since the last refresh)

@@ -135,18 +135,21 @@ object RetrievalQueries {
     }),
 
     // INCREMENTAL index maintenance: the history slice (doc_id < 400)
-    // indexes once; the batch appends postings/doclen files with
-    // footer-only manifest refreshes and folds the stats row
-    // additively - history is never re-tokenized. The refreshed index
-    // must answer exactly as a from-scratch index over the WHOLE
-    // corpus: the full-corpus x_bm25 oracle is shared verbatim.
+    // indexes once; the batch lands as an overwrite-idempotent
+    // batch=1 append (postings/doclen/stats-row) with footer-only
+    // manifest refreshes - history is never re-tokenized - and the
+    // OPTIMIZE cycle then folds the appends into one th-clustered
+    // generation. The compacted index must answer exactly as a
+    // from-scratch index over the WHOLE corpus: the full-corpus
+    // x_bm25 oracle is shared verbatim.
     "x_bm25_incremental" -> ((s, d) => {
       val idxDir = ArtifactMemo.dirFor("bm25idxinc", d) { p =>
         val docs = t(s, d, "documents")
         Retrieval.writeBm25Index(docs.where(col("doc_id") < 400),
           col("doc_id"), col("text"), p)
         Retrieval.appendBm25Index(docs.where(col("doc_id") >= 400),
-          col("doc_id"), col("text"), p)
+          col("doc_id"), col("text"), p, batchId = 1L)
+        Retrieval.compactBm25Index(s, p): Unit
       }
       Retrieval.bm25TopKIndexed(s, idxDir, Bm25Terms, k = 25)
         .select(col("id").as("doc_id"), col("tf_0").as("tf_merge"),

@@ -170,23 +170,13 @@ object StreamOps {
   }
 
   /** The view's directories: newest committed generation (if any) plus
-    * committed `batch=<id>` dirs with id > its token.
+    * committed `batch=<id>` dirs with id > its token (the shared
+    * [[graft.operators.Stats.committedViewDirs]] protocol).
     */
   private def storeViewDirs(spark: SparkSession, storePath: String)
-      : Seq[org.apache.hadoop.fs.Path] = {
-    val root = new org.apache.hadoop.fs.Path(storePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return Nil
-    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => hasCommittedParquet(fs, p))
-    val gens = dirs.filter(_.getName.startsWith("gen="))
-      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
-    val tok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
-    val batches = dirs
-      .filter(_.getName.startsWith("batch="))
-      .filter(_.getName.stripPrefix("batch=").toLong > tok)
-    (gens.filter(_._1 == tok).map(_._2) ++ batches).toSeq
-  }
+      : Seq[org.apache.hadoop.fs.Path] =
+    graft.operators.Stats.committedViewDirs(spark, storePath)
+      .map(new org.apache.hadoop.fs.Path(_))
 
   /** Fold the near-dup gate's per-micro-batch `batch=<id>` store
     * appends into a compacted generation: after 10⁵ micro-batches the
@@ -230,34 +220,8 @@ object StreamOps {
 
   private def compactStoreShaped(spark: SparkSession, storePath: String,
                                  shape: DataFrame => DataFrame)
-      : Option[Long] = {
-    val root = new org.apache.hadoop.fs.Path(storePath)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(root)) return None
-    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
-      .filter(p => hasCommittedParquet(fs, p))
-    val gens = dirs.filter(_.getName.startsWith("gen="))
-      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
-    val prevTok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
-    val foldable = dirs.filter(_.getName.startsWith("batch="))
-      .map(p => (p.getName.stripPrefix("batch=").toLong, p))
-      .filter(_._1 > prevTok)
-    if (foldable.isEmpty) return None
-    val newTok = foldable.map(_._1).max
-    val viewPaths = (gens.filter(_._1 == prevTok).map(_._2) ++
-      foldable.map(_._2)).map(_.toString).toSeq
-    shape(spark.read.parquet(viewPaths: _*))
-      .write.mode("overwrite").parquet(s"$storePath/gen=$newTok")
-    // vacuum: only dirs superseded since BEFORE this compaction began
-    // (folded into gen=prevTok a full cycle ago) — never what an
-    // in-flight reader of the previous view could still be scanning
-    val stale =
-      gens.filter(_._1 < prevTok).map(_._2) ++
-        dirs.filter(_.getName.startsWith("batch="))
-          .filter(_.getName.stripPrefix("batch=").toLong <= prevTok)
-    stale.foreach(p => fs.delete(p, true))
-    Some(newTok)
-  }
+      : Option[Long] =
+    graft.operators.Stats.compactCommittedStore(spark, storePath, shape)
 
   /** Write-or-refresh the store's footer manifest: refresh when a
     * committed manifest exists (footers read only for unknown files),
@@ -468,32 +432,14 @@ object StreamOps {
     tok
   }
 
-  /** True iff `root` holds at least one READER-VISIBLE committed parquet
-    * data file. Files under any path component starting with `_` or `.`
-    * (e.g. a crashed write's `_temporary/` attempt dirs, `_SUCCESS`,
-    * hidden files) are invisible to Spark's parquet reader, so counting
-    * them as "committed" would make the bootstrap probe claim a store
-    * exists while `spark.read.parquet` finds zero files — permanently
-    * poisoning every retry after a first-batch crash.
+  /** True iff `root` holds at least one READER-VISIBLE committed
+    * parquet data file (the shared
+    * [[graft.operators.Stats.hasCommittedParquet]] probe).
     */
   private[streaming] def hasCommittedParquet(
       fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Boolean = {
-    val qRoot = fs.makeQualified(root)
-    def readerVisible(p: org.apache.hadoop.fs.Path): Boolean = {
-      var cur = p
-      while (cur != null && cur != qRoot) {
-        val nm = cur.getName
-        if (nm.startsWith("_") || nm.startsWith(".")) return false
-        cur = cur.getParent
-      }
-      true
-    }
-    val it = fs.listFiles(qRoot, true)
-    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-      .exists(f => f.isFile && f.getLen > 0 &&
-        f.getPath.getName.endsWith(".parquet") && readerVisible(f.getPath))
-  }
+      root: org.apache.hadoop.fs.Path): Boolean =
+    graft.operators.Stats.hasCommittedParquet(fs, root)
 
   /** Streaming MEDIA near-dup gate: the [[nearDupGateSink]] protocol
     * on perceptual hashes — each micro-batch's binary payloads hash

@@ -60,14 +60,85 @@ class Bm25IndexSpec extends SparkSuite {
     Retrieval.writeBm25Index(corpus.where(col("doc_id") < 5),
       col("doc_id"), col("text"), dir, filesOut = 4)
     Retrieval.appendBm25Index(corpus.where(col("doc_id") >= 5),
-      col("doc_id"), col("text"), dir)
+      col("doc_id"), col("text"), dir, batchId = 1L)
     val want = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
       Seq("merge", "window", "spark"), k = 10).collect()
     val got = Retrieval.bm25TopKIndexed(spark, dir,
       Seq("merge", "window", "spark"), k = 10).collect()
     assert(got.toSeq == want.toSeq)
-    val stats = spark.read.parquet(s"$dir/stats").head
-    assert(stats.getLong(0) == 8)
+    val nDocs = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(nDocs == 8)
+  }
+
+  test("appendBm25Index is overwrite-idempotent: retrying a batch " +
+      "never double-appends postings or double-folds stats") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25rty-").toString + "/idx"
+    Retrieval.writeBm25Index(corpus.where(col("doc_id") < 5),
+      col("doc_id"), col("text"), dir, filesOut = 4)
+    val batch = corpus.where(col("doc_id") >= 5)
+    Retrieval.appendBm25Index(batch, col("doc_id"), col("text"), dir,
+      batchId = 1L)
+    // the crashed-then-retried batch: same id, same content, run again
+    Retrieval.appendBm25Index(batch, col("doc_id"), col("text"), dir,
+      batchId = 1L)
+    val want = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("merge", "window", "spark"), k = 10).collect()
+    val got = Retrieval.bm25TopKIndexed(spark, dir,
+      Seq("merge", "window", "spark"), k = 10).collect()
+    assert(got.toSeq == want.toSeq)
+    val nDocs = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs"))).head.getLong(0)
+    assert(nDocs == 8, "retried batch must not double-count docs")
+  }
+
+  test("compactBm25Index: OPTIMIZE cycle folds appends into one " +
+      "generation — fewer files, identical answers, pruning intact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25cpt-").toString + "/idx"
+    Retrieval.writeBm25Index(corpus.where(col("doc_id") < 4),
+      col("doc_id"), col("text"), dir, filesOut = 4)
+    Retrieval.appendBm25Index(corpus.where(col("doc_id") >= 4 &&
+        col("doc_id") < 6),
+      col("doc_id"), col("text"), dir, batchId = 1L, filesOut = 4)
+    Retrieval.appendBm25Index(corpus.where(col("doc_id") >= 6),
+      col("doc_id"), col("text"), dir, batchId = 2L, filesOut = 4)
+    val filesBefore = Stats.committedViewDirs(spark, s"$dir/postings")
+      .flatMap(p => spark.read.parquet(p).inputFiles).size
+    val tok = Retrieval.compactBm25Index(spark, dir, filesOut = 4)
+    assert(tok.contains(2L))
+    val viewDirs = Stats.committedViewDirs(spark, s"$dir/postings")
+    assert(viewDirs.size == 1 && viewDirs.head.endsWith("gen=2"),
+      s"view must resolve the new generation only; got $viewDirs")
+    val filesAfter = viewDirs
+      .flatMap(p => spark.read.parquet(p).inputFiles).size
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the view: $filesBefore -> $filesAfter")
+    // identical answers through the compacted store
+    val want = TextAnalysis.bm25TopK(corpus, col("doc_id"), col("text"),
+      Seq("merge", "window", "spark"), k = 10).collect()
+    val got = Retrieval.bm25TopKIndexed(spark, dir,
+      Seq("merge", "window", "spark"), k = 10).collect()
+    assert(got.toSeq == want.toSeq)
+    // the refreshed manifest still prunes single-term probes, and the
+    // generation re-sharpened th-clustering: one term keeps < all
+    val all = viewDirs.flatMap(p => spark.read.parquet(p).inputFiles)
+    val kept = Stats.touchedKeysKeptFilesUnder(spark, viewDirs,
+      s"$dir/postings_manifest", "th",
+      Seq("merge").toDF("term").select(xxhash64(col("term")).as("th")))
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"kept ${kept.size} of ${all.size}")
+    // a second cycle with a fresh append vacuums the superseded dirs
+    Retrieval.appendBm25Index(corpus.where(col("doc_id") === 8),
+      col("doc_id"), col("text"), dir, batchId = 3L)
+    Retrieval.compactBm25Index(spark, dir, filesOut = 4): Unit
+    val names = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).toSet
+    assert(names.contains("gen=3"))
+    assert(!names.contains("batch=0") && !names.contains("batch=1") &&
+      !names.contains("batch=2"),
+      s"one-cycle vacuum must drop dirs folded into gen=2; got $names")
   }
 
   test("postings manifest prunes: a single-term query opens fewer " +
