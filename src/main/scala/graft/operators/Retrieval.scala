@@ -314,4 +314,111 @@ object Retrieval {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** SET-ORIENTED [[bm25TopKIndexed]]: score a whole batch of queries
+    * against the index in ONE pass — the retrieval-eval / batch
+    * re-ranking shape (10⁴ queries × corpus), where looping the
+    * single-query form on the driver would pay manifest prune + stats
+    * read + two jobs PER query.
+    *
+    * `queries` is (query_id, pos, term) — pos is the term's 0-based
+    * position within its query, the order the single-query path would
+    * receive the terms in. One manifest prune serves the UNION of all
+    * query terms; per-term df aggregates off the slice once; candidate
+    * (query, doc) pairs form by joining query terms into the slice
+    * (bounded by Σ_q postings-of-terms(q), never |queries| × corpus);
+    * doc lengths fetch manifest-pruned for candidate docs only; and
+    * the per-query cut is a bounded-buffer top-k aggregate
+    * ([[graft.functions.TopKPairsAggregator]]) — map-side partials, no
+    * per-query sort window.
+    *
+    * Scores are BIT-IDENTICAL to [[bm25TopKIndexed]] run per query:
+    * each term's contribution is the SAME single-term expression tree
+    * ([[TextAnalysis.bm25ScoreExpr]] at index 0), and the per-doc
+    * total left-folds the contributions in pos order from 0.0 — IEEE
+    * addition of +0.0 is exact identity and absent terms contribute
+    * exactly +0.0, so dropping them from the fold changes no bits
+    * (x_bm25_many shares the per-query oracle arithmetic verbatim).
+    * The pos-ordered fold runs over collect_list arrays bounded by the
+    * query's term count — interpreted HOF cost on k-terms-sized data,
+    * not corpus-sized.
+    *
+    * Returns (query_id, rank, id, score), rank 1-based per query by
+    * (score desc, id asc).
+    */
+  def bm25TopKIndexedMany(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, queries: DataFrame, k: Int,
+                          k1: Double = 1.2, b: Double = 0.75,
+                          idfMode: String = "rational"): DataFrame = {
+    val q = Checkpoints.stage(queries.select(col("query_id"),
+      col("pos").cast("int").as("pos"), col("term")))
+    val terms = q.select(col("term")).distinct()
+    val probe = terms.select(xxhash64(col("term")).as("th"))
+    val slice = Checkpoints.stage(
+      readTouchedKeysView(spark, s"$indexDir/postings",
+          s"$indexDir/postings_manifest", "th", probe)
+        .join(broadcast(terms), Seq("term"), "left_semi")
+        .select(col("term"), col("id"), col("tf").as("tf_0")))
+    // postings are unique per (id, term), so rows-per-term = docs
+    // containing the term — the same df the single-query agg derives
+    val dfs = slice.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_0"))
+    val dl = readTouchedKeysView(spark, s"$indexDir/doclen",
+        s"$indexDir/doclen_manifest", "id",
+        slice.select(col("id")).distinct())
+      .select(col("id"), col("dl"))
+    val stats = broadcast(bm25IndexStats(spark, indexDir))
+    val contrib = TextAnalysis.bm25ScoreExpr(Seq(0), k1, b, idfMode)
+    val perDoc = q.join(slice, Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .join(dl, Seq("id"))
+      .crossJoin(stats)
+      .select(col("query_id"), col("id"),
+        struct(col("pos"), contrib.as("c")).as("pc"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(aggregate(sort_array(collect_list(col("pc"))),
+        lit(0.0), (acc, x) => acc + x.getField("c")).as("score"))
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    perDoc
+      .groupBy(col("query_id"))
+      .agg(topk(col("score"), col("id").cast("long")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col._2").as("id"), col("col._1").as("score"))
+  }
+
+  /** Per-query [[rrfFuse]]: arms carry (query_id, id, rank) and fuse
+    * per (query_id, id); the per-query top-k cut rides the same
+    * bounded-buffer aggregate as [[bm25TopKIndexedMany]]. n_arms is
+    * recovered by re-joining the fused winners back to the k-row
+    * contribution union (bounded both sides). Returns (query_id, id,
+    * rrf, n_arms).
+    */
+  def rrfFuseMany(arms: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(arms.nonEmpty, "rrfFuseMany: need at least one arm")
+    val contribs = arms.map(_.select(col("query_id"), col("id"),
+        (lit(1.0) / (col("rank").cast("double") + lit(c.toDouble)))
+          .as("contrib")))
+      .reduce(_ unionByName _)
+    // staged: the winners' n_arms lookup below re-reads this table,
+    // and without the cut the whole arm subtree would recompute for
+    // it. Bounded by construction — arms are top-k lists, so the
+    // fused table holds ≤ k·|arms| rows per query.
+    val fused = Checkpoints.stage(contribs
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("contrib")).as("rrf"), count(lit(1)).as("n_arms")))
+    val topk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    fused
+      .groupBy(col("query_id"))
+      .agg(topk(col("rrf"), col("id").cast("long")).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e._2").as("id"),
+        col("e._1").as("rrf"))
+      .join(fused.select(col("query_id"), col("id"),
+        col("n_arms")), Seq("query_id", "id"))
+  }
 }

@@ -24,6 +24,24 @@ object RetrievalQueries {
 
   private val Bm25Terms = Seq("merge", "window", "spark")
 
+  /** The batch-retrieval fixture: three queries of different lengths;
+    * query 1 is [[Bm25Terms]] verbatim, so the set-oriented path's
+    * bit-identity to the single-query path is visible in the driver
+    * data itself. Query ids double as the dense arm's query vec_ids in
+    * x_hybrid_rrf_many.
+    */
+  private val Bm25ManyQueries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("merge", "window", "spark"),
+    2L -> Seq("join", "hash"),
+    3L -> Seq("vector", "stream", "sort", "customer"))
+
+  private def bm25ManyDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Bm25ManyQueries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (tm, p) => (qid, p, tm) }
+    }.toDF("query_id", "pos", "term")
+  }
+
   /** Corpus with planted shared passages for the substring-dedup
     * fixture: every 11th doc gains passage A, every remaining 13th
     * passage B (doc_id divisible by both takes A — the `when` chain
@@ -156,6 +174,51 @@ object RetrievalQueries {
           col("tf_1").as("tf_window"), col("tf_2").as("tf_spark"),
           col("dl"), col("score"))
         .orderBy(col("score").desc, col("doc_id"))
+    }),
+
+    // SET-ORIENTED retrieval: three queries of different lengths score
+    // against the index in ONE pass - one manifest prune for the union
+    // of terms, per-term dfs off the shared slice, candidate pairs by
+    // joining (query_id, pos, term) rows into the postings, per-query
+    // top-25 via the bounded-buffer TopKPairsAggregator (no per-query
+    // driver loop, no sort window). Scores are bit-identical to the
+    // single-query path: same single-term expression tree, pos-ordered
+    // left fold.
+    "x_bm25_many" -> ((s, d) => {
+      val idxDir = ArtifactMemo.dirFor("bm25idx", d) { p =>
+        Retrieval.writeBm25Index(t(s, d, "documents"), col("doc_id"),
+          col("text"), p)
+      }
+      Retrieval.bm25TopKIndexedMany(s, idxDir, bm25ManyDf(s), k = 25)
+        .select(col("query_id"), col("rank"), col("id").as("doc_id"),
+          col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // The hybrid composition of the set-oriented path: per-query BM25
+    // top-50 from the index fused (reciprocal rank, 2 arms - the
+    // bit-reproducible regime) with a per-query dense top-50 whose
+    // query vector is the query's own id - bruteForceTopK is already
+    // set-oriented, so BOTH arms run all queries in one pass each.
+    "x_hybrid_rrf_many" -> ((s, d) => {
+      val idxDir = ArtifactMemo.dirFor("bm25idx", d) { p =>
+        Retrieval.writeBm25Index(t(s, d, "documents"), col("doc_id"),
+          col("text"), p)
+      }
+      val sparse = Retrieval.bm25TopKIndexedMany(s, idxDir,
+          bm25ManyDf(s), k = 50)
+        .select(col("query_id"), col("id"), col("rank"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qids = Bm25ManyQueries.map(_._1)
+      val dense = Similarity.bruteForceTopK(
+          e.where(col("id").isin(qids: _*)), e, k = 50)
+        .select(col("qa").as("query_id"), col("vb").as("id"),
+          col("rank").cast("long").as("rank"))
+      Retrieval.rrfFuseMany(Seq(sparse, dense), k = 25)
+        .select(col("query_id"), col("id").as("doc_id"), col("rrf"),
+          col("n_arms"))
+        .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
     // Offline transitive reconciliation of the substring gate: the
@@ -548,6 +611,104 @@ object RetrievalQueries {
        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
        |  FROM tf)""".stripMargin
 
+  /** [[bm25TfStSql]] generalized: tf + corpus-stats CTE pair for an
+    * arbitrary term list, suffixed so several queries share one WITH
+    * clause (the x_bm25_many / x_hybrid_rrf_many oracles).
+    */
+  private def bm25TfStSqlFor(terms: Seq[String], sfx: String): String = {
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
+      s"""CAST(len(list_filter(string_split(text, ' '),
+         |      x -> x = '$tm')) AS BIGINT) AS tf_$i""".stripMargin }
+      .mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i")
+      .mkString(",\n    ")
+    s"""tf$sfx AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM documents),
+       |st$sfx AS (
+       |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+       |    $dfCols
+       |  FROM tf$sfx)""".stripMargin
+  }
+
+  /** One query's ranked BM25 block over its suffixed tf/st CTEs. */
+  private def bm25RankedSql(qid: Long, terms: Seq[String],
+                            k: Int): String = {
+    val sfx = s"_q$qid"
+    val scoreExpr = terms.indices.map(bm25TermSql).mkString("\n  + ")
+    val anyTf = terms.indices.map(i => s"tf_$i").mkString(" + ")
+    s"""r$sfx AS (
+       |  SELECT CAST($qid AS BIGINT) AS query_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+       |      AS BIGINT) AS rank,
+       |    doc_id, score
+       |  FROM (
+       |    SELECT doc_id, $scoreExpr AS score
+       |    FROM tf$sfx CROSS JOIN st$sfx
+       |    WHERE $anyTf > 0
+       |    ORDER BY score DESC, doc_id LIMIT $k))""".stripMargin
+  }
+
+  private lazy val bm25ManySql: String = {
+    val ctes = Bm25ManyQueries.map { case (qid, ts) =>
+      bm25TfStSqlFor(ts, s"_q$qid") + ",\n" +
+        bm25RankedSql(qid, ts, 25)
+    }.mkString(",\n")
+    val sel = Bm25ManyQueries
+      .map { case (qid, _) => s"SELECT * FROM r_q$qid" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $ctes
+       |SELECT query_id, rank, doc_id, score FROM (
+       |  $sel)
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private lazy val hybridRrfManySql: String = {
+    val ctes = Bm25ManyQueries.map { case (qid, ts) =>
+      val sfx = s"_q$qid"
+      val scoreExpr = ts.indices.map(bm25TermSql).mkString("\n  + ")
+      val anyTf = ts.indices.map(i => s"tf_$i").mkString(" + ")
+      bm25TfStSqlFor(ts, sfx) + ",\n" +
+        s"""sp$sfx AS (
+           |  SELECT doc_id, $scoreExpr AS score
+           |  FROM tf$sfx CROSS JOIN st$sfx
+           |  WHERE $anyTf > 0
+           |  ORDER BY score DESC, doc_id LIMIT 50),
+           |sparse$sfx AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS r
+           |  FROM sp$sfx),
+           |sc$sfx AS (
+           |  SELECT b.vec_id AS vb, ${cosSql("a", "b")} AS cos
+           |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+           |  WHERE a.vec_id = $qid
+           |  ORDER BY cos DESC, vb LIMIT 50),
+           |dense$sfx AS (
+           |  SELECT vb AS doc_id,
+           |    row_number() OVER (ORDER BY cos DESC, vb) AS r
+           |  FROM sc$sfx),
+           |f$sfx AS (
+           |  SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+           |    sum(contrib) AS rrf, count(*) AS n_arms
+           |  FROM (
+           |    SELECT doc_id, 1.0 / (60 + r) AS contrib FROM sparse$sfx
+           |    UNION ALL
+           |    SELECT doc_id, 1.0 / (60 + r) FROM dense$sfx)
+           |  GROUP BY doc_id
+           |  ORDER BY rrf DESC, doc_id LIMIT 25)""".stripMargin
+    }.mkString(",\n")
+    val sel = Bm25ManyQueries
+      .map { case (qid, _) => s"SELECT * FROM f_q$qid" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $ctes
+       |SELECT query_id, doc_id, rrf, n_arms FROM (
+       |  $sel)
+       |ORDER BY query_id, rrf DESC, doc_id""".stripMargin
+  }
+
   /** DuckDB left-fold cosine between two `embeddings` aliases — the
     * x_cosine_topk idiom, factored for reuse.
     */
@@ -661,8 +822,10 @@ object RetrievalQueries {
     "x_bm25" -> bm25TopSql,
     "x_bm25_indexed" -> bm25TopSql,
     "x_bm25_incremental" -> bm25TopSql,
+    "x_bm25_many" -> bm25ManySql,
     "x_hybrid_rrf" -> hybridRrfSql,
     "x_hybrid_rrf_indexed" -> hybridRrfSql,
+    "x_hybrid_rrf_many" -> hybridRrfManySql,
     "x_cdc_windows" ->
       s"""WITH w AS (
          |${cdcWinsSql("documents")})

@@ -141,6 +141,61 @@ class Bm25IndexSpec extends SparkSuite {
       s"one-cycle vacuum must drop dirs folded into gen=2; got $names")
   }
 
+  test("bm25TopKIndexedMany ≡ bm25TopKIndexed per query, bit for bit — " +
+      "shared slice, one manifest prune, absent terms change nothing") {
+    val dir = buildIndex()
+    val qs = Seq(
+      1L -> Seq("merge", "window", "spark"),
+      2L -> Seq("sort", "rank"),
+      3L -> Seq("gardening", "zzz_absent"),
+      4L -> Seq("zzz_absent"))
+    val qdf = qs.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, p) => (qid, p, t) }
+    }.toDF("query_id", "pos", "term")
+    for (mode <- Seq("rational", "lucene")) {
+      val many = Retrieval.bm25TopKIndexedMany(spark, dir, qdf, k = 10,
+          idfMode = mode)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .groupBy(_._1)
+      for ((qid, terms) <- qs) {
+        val single = Retrieval.bm25TopKIndexed(spark, dir, terms, k = 10,
+            idfMode = mode)
+          .orderBy(col("score").desc, col("id"))
+          .collect().zipWithIndex
+          .map { case (r, i) =>
+            (qid, i + 1L, r.getLong(0), r.getDouble(r.length - 1)) }
+        val got = many.getOrElse(qid, Array.empty).sortBy(_._2).toSeq
+        assert(got == single.toSeq,
+          s"query $qid mode $mode: $got != ${single.toSeq}")
+      }
+      // the all-absent query contributes no rows, not garbage
+      assert(!many.contains(4L))
+    }
+  }
+
+  test("rrfFuseMany ≡ rrfFuse per query on identical arms") {
+    val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
+      .toDF("query_id", "id", "rank")
+    val armB = Seq((1L, 11L, 1L), (1L, 12L, 2L), (2L, 21L, 1L))
+      .toDF("query_id", "id", "rank")
+    val many = Retrieval.rrfFuseMany(Seq(armA, armB), k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1)
+    for (qid <- Seq(1L, 2L)) {
+      val want = Retrieval.rrfFuse(
+          Seq(armA.where(col("query_id") === qid).drop("query_id"),
+            armB.where(col("query_id") === qid).drop("query_id")),
+          k = 3)
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+      assert(many(qid).toSet == want, s"query $qid")
+    }
+  }
+
   test("postings manifest prunes: a single-term query opens fewer " +
       "files than the store holds") {
     val dir = buildIndex()

@@ -132,6 +132,17 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // construction
     "x_bm25_indexed" -> default.copy(allowCartesian = true),
     "x_bm25_incremental" -> default.copy(allowCartesian = true),
+    // set-oriented retrieval: the same 1-row stats cross-join plus the
+    // batch joins (query terms ⋈ slice ⋈ dfs ⋈ dl), the pos-fold
+    // aggregate, and the bounded-buffer per-query top-k — NO window
+    // anywhere (the TopKPairsAggregator replaces the per-query sort)
+    "x_bm25_many" -> default.copy(allowCartesian = true,
+      maxShuffles = 10, maxWindows = 0),
+    // hybrid many: sparse arm above + the dense arm's licensed
+    // brute-force baseline (its rank window partitions by query) +
+    // per-query fusion joins
+    "x_hybrid_rrf_many" -> Budget(maxShuffles = 14, maxSorts = 12,
+      maxBroadcasts = 10, allowCartesian = true),
     // hybrid fusion: the BM25 stats cross-join plus the dense arm's
     // brute-force exact baseline (licenses the ANN arms) BY DESIGN;
     // the global rank window sorts a limit(50)-bounded input — a k-row
