@@ -468,6 +468,201 @@ object Graph {
     labels.select(col("id"), col("label"))
   }
 
+  // ---------- warm-start incremental label propagation ----------
+
+  /** The persisted round-r label view: committed store rows for round
+    * `r` from batches BEFORE `beforeBatch` (a retry of batch b must
+    * never read its own prior attempt's rows), newest batch wins per
+    * id. The argmax rides max(struct(__b, label)) — batch ids are
+    * unique per (round, id), so the label field never decides.
+    */
+  private def labelStateView(spark: org.apache.spark.sql.SparkSession,
+                             storeDir: String, r: Int,
+                             beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__round") === r && col("__b") < beforeBatch)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("label"))).as("m"))
+      .select(col("id"), col("m.label").as("label"))
+  }
+
+  /** Run [[labelPropagation]] and persist EVERY round's (id, label)
+    * state — not just the final one — as `batch=0` of a label store.
+    * The per-round states are what make warm-starting EXACT: a node
+    * clean at round r needs its old round-r label (the final state is
+    * not enough, since a node can turn dirty mid-run and its
+    * neighbors' mid-run labels then matter). Store rows are
+    * (__round, id, label, __b), round-then-id clustered so a round's
+    * read is a contiguous footer-pruned slice. (Each round state is
+    * derived by an r-round [[labelPropagation]] run — O(iters²) rounds
+    * total at build time, paid once; iters is 3-5 in practice.)
+    */
+  def writeLabelState(edges: DataFrame, a: Column, b: Column,
+                      seeds: DataFrame, seedId: Column, seedLabel: Column,
+                      iters: Int, storeDir: String,
+                      filesOut: Int = 4,
+                      broadcastLimit: Long = 4000000L): Unit = {
+    require(iters >= 1, "iters must be >= 1")
+    val rounds = (1 to iters).map(r =>
+      labelPropagation(edges, a, b, seeds, seedId, seedLabel, r,
+        broadcastLimit)
+        .select(lit(r).as("__round"), col("id"), col("label"),
+          lit(0L).as("__b")))
+    rounds.reduce(_ unionByName _)
+      .repartitionByRange(filesOut, col("__round"), col("id"))
+      .sortWithinPartitions(col("__round"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+  }
+
+  /** WARM-START label propagation: the k-round result over the UNION
+    * graph (old edges + `newEdges`), recomputing ONLY the frontier —
+    * per round r, the dirty set is the nodes within r hops of a new
+    * edge, and only their votes are re-aggregated; every other node's
+    * round-r label is read from the persisted store
+    * ([[writeLabelState]]). EXACTLY ≡ the from-scratch fixed-round run
+    * (x_label_prop_incremental shares x_label_prop's unrolled-CTE
+    * oracle), by induction: a node outside dirty_r has an unchanged
+    * edge set and only clean round-(r-1) neighbors, so its stored
+    * round-r label is the union-graph value; a dirty node's vote reads
+    * neighbors' round-(r-1) labels from the store overridden by the
+    * recomputed dirty slice.
+    *
+    * Contract: `allEdges` is the full union edge list (the accumulated
+    * candidate feed the dedup stores already maintain), `newEdges` the
+    * batch's additions; the seed set is FIXED across runs for existing
+    * nodes (new nodes may arrive seeded — they are dirty from round 1).
+    * `batchId` must exceed every previously appended batch. The store
+    * append is overwrite-idempotent (`batch=<id>` dirs; the state view
+    * reads only batches < batchId, so a retry never sees its own prior
+    * attempt) and holds only the frontier slices, not |V| rows per
+    * batch.
+    *
+    * Scale shape per round: one frontier-expansion semi join, one vote
+    * shuffle bounded by edges INTO the frontier (not the full edge
+    * list), one |V|-row-narrow state-view aggregate (id-clustered
+    * store; [[compactLabelState]] folds delta batches). Frontier sets
+    * and slices are staged per round ([[Checkpoints]]).
+    */
+  def labelPropagationIncremental(allEdges: DataFrame, a: Column, b: Column,
+                                  newEdges: DataFrame, na: Column, nb: Column,
+                                  seeds: DataFrame, seedId: Column,
+                                  seedLabel: Column, iters: Int,
+                                  storeDir: String, batchId: Long,
+                                  broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(batchId >= 1L, "batchId 0 is the writeLabelState base")
+    val spark = allEdges.sparkSession
+    val e0 = allEdges.select(a.as("src"), b.as("dst"))
+    val sym = Checkpoints.stage(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val en = newEdges.select(na.as("src"), nb.as("dst"))
+    val sd = Checkpoints.stage(
+      seeds.select(seedId.as("id"), seedLabel.as("__seed"))
+        .where(col("__seed").isNotNull)
+        .groupBy(col("id")).agg(max(col("__seed")).as("__seed")))
+    def gated(df: DataFrame, n: Long): DataFrame =
+      if (n <= broadcastLimit) broadcast(df) else df
+    // dirty_1: endpoints of the new edges (new nodes arrive only here)
+    var dirty = Checkpoints.stage(
+      en.select(col("src").as("id"))
+        .union(en.select(col("dst").as("id")))
+        .distinct())
+    var nDirty = dirty.count()
+    // round-0 labels are the seed labels — no store read needed
+    var prevSlice: DataFrame = null // labels of dirty_{r-1}
+    val slices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    while (r <= iters) {
+      // full round-(r-1) labels where votes need them: store state
+      // overridden by the recomputed dirty_{r-1} slice (round 1 votes
+      // read seed labels directly)
+      val prevLabels =
+        if (r == 1) sd.select(col("id"), col("__seed").as("label"))
+        else labelStateView(spark, storeDir, r - 1, batchId)
+          .join(gated(dirty.select(col("id")), nDirty), Seq("id"),
+            "left_anti")
+          .unionByName(prevSlice)
+      // frontier for THIS round: last round's dirty set plus its
+      // neighbors (their votes read a changed label)
+      val dirtyNow =
+        if (r == 1) dirty
+        else Checkpoints.stage(
+          sym.join(gated(dirty.select(col("id").as("src")), nDirty),
+              Seq("src"), "left_semi")
+            .select(col("dst").as("id"))
+            .union(dirty.select(col("id")))
+            .distinct())
+      val nNow = dirtyNow.count()
+      // votes only for dirty nodes: edge scan pruned to edges INTO the
+      // frontier, labels joined on the source side
+      val votes = sym
+        .join(gated(dirtyNow.select(col("id").as("dst")), nNow),
+          Seq("dst"), "left_semi")
+        .join(prevLabels.where(col("label").isNotNull)
+          .select(col("id").as("src"), col("label").as("__l")),
+          Seq("src"))
+        .groupBy(col("dst"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("__c"), col("__l"))).as("__bst"))
+        .select(col("dst").as("id"), col("__bst.__l").as("__nl"))
+      // current (round r-1) labels of the dirty nodes themselves
+      val cur =
+        if (r == 1)
+          dirty.join(gated(sd, sd.count()), Seq("id"), "left")
+            .select(col("id"), col("__seed").as("__cur"))
+        else dirtyNow
+          .join(prevLabels.select(col("id"), col("label").as("__cur")),
+            Seq("id"), "left")
+          .select(col("id"), col("__cur"))
+      val slice = Checkpoints.stage(cur
+        .join(gated(votes, nNow), Seq("id"), "left")
+        .join(gated(sd, nNow), Seq("id"), "left")
+        .select(col("id"),
+          when(col("__seed").isNotNull, col("__seed"))
+            .otherwise(coalesce(col("__nl"), col("__cur")))
+            .as("label")))
+      slices += slice.select(lit(r).as("__round"), col("id"),
+        col("label"), lit(batchId).as("__b"))
+      prevSlice = slice
+      dirty = dirtyNow
+      nDirty = nNow
+      r += 1
+    }
+    // persist the frontier slices (overwrite-idempotent batch append —
+    // frontier-sized, never |V|-sized); the state view reads only
+    // batches < batchId, so the result below is retry-stable
+    slices.reduce(_ unionByName _)
+      .repartitionByRange(1, col("__round"), col("id"))
+      .sortWithinPartitions(col("__round"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    labelStateView(spark, storeDir, iters, batchId)
+      .join(gated(dirty.select(col("id")), nDirty), Seq("id"),
+        "left_anti")
+      .unionByName(prevSlice.select(col("id"), col("label")))
+  }
+
+  /** Fold the label store's delta batches into one round-clustered
+    * generation, newest batch winning per (round, id) — the OPTIMIZE
+    * cycle every incremental store here carries.
+    */
+  def compactLabelState(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String, filesOut: Int = 4)
+      : Option[Long] =
+    Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("__round"), col("id"))
+        .agg(max(struct(col("__b"), col("label"))).as("m"))
+        .select(col("__round"), col("id"), col("m.label").as("label"),
+          col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("__round"), col("id"))
+        .sortWithinPartitions(col("__round"), col("id")))
+
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal of a near-dup graph: a candidate edge whose
     * endpoints close many triangles sits inside a dense duplicate

@@ -83,6 +83,32 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WARM-START label propagation: the history slice's per-round
+    // label states persist once (writeLabelState); the batch adds the
+    // >= 400-touching edges and only the frontier within r hops of
+    // them recomputes per round - every clean node's round label reads
+    // from the store. Must equal the from-scratch 3-round run over the
+    // union graph: x_label_prop's unrolled-CTE oracle is shared
+    // verbatim.
+    "x_label_prop_incremental" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      val store = ArtifactMemo.dirFor("lpstate", d) { p =>
+        Graph.writeLabelState(
+          pairs.where(col("ida") < 400 && col("idb") < 400),
+          col("ida"), col("idb"),
+          langSeeds(s, d), col("doc_id"), col("lang"), iters = 3, p)
+      }
+      val newPairs = pairs.where(col("ida") >= 400 || col("idb") >= 400)
+      Graph.labelPropagationIncremental(
+          pairs, col("ida"), col("idb"),
+          newPairs, col("ida"), col("idb"),
+          langSeeds(s, d), col("doc_id"), col("lang"),
+          iters = 3, store, batchId = 1L)
+        .select(col("id").as("doc_id"), col("label"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Robust per-source length outliers: documents whose character
     // count deviates from their source's discrete median by more than
     // 2× the median absolute deviation — truncated crawls and
@@ -545,6 +571,8 @@ object ScaleOpsQueries {
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
     "x_label_prop" -> labelPropSql,
+    // warm-start ≡ from-scratch: the full-graph oracle is shared
+    "x_label_prop_incremental" -> labelPropSql,
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,

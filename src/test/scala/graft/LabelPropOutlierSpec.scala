@@ -73,6 +73,52 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(again == got)
   }
 
+  test("labelPropagationIncremental ≡ from-scratch over the union " +
+      "graph; store deltas hold only the frontier; retries idempotent") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lpinc-").toString + "/state"
+    // old graph: chain 0-1-2-3-4 seeded 'en' at 0; far pair 10-11
+    // seeded 'de' at 10. New edges extend the chain: 4-5, 5-6.
+    val oldE = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+    val newE = Seq((4L, 5L), (5L, 6L))
+    val seeds = Seq((0L, "en"), (10L, "de"))
+    Graph.writeLabelState(oldE.toDF("a", "b"), col("a"), col("b"),
+      seeds.toDF("id", "l"), col("id"), col("l"), iters = 3, dir)
+    def runInc() = Graph.labelPropagationIncremental(
+        (oldE ++ newE).toDF("a", "b"), col("a"), col("b"),
+        newE.toDF("a", "b"), col("a"), col("b"),
+        seeds.toDF("id", "l"), col("id"), col("l"),
+        iters = 3, dir, batchId = 1L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    val inc = runInc()
+    val full = lp(oldE ++ newE, seeds, 3)
+    assert(inc == full && full(3L) == "en" && full(11L) == "de"
+      && full(5L) == null)
+    // the delta batch holds ONLY frontier nodes (within 3 hops of a
+    // new edge): 0, 1, 10, 11 stay clean and never re-enter the store
+    val delta = spark.read.parquet(s"$dir/batch=1")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(delta.subsetOf(Set(2L, 3L, 4L, 5L, 6L)) &&
+      Set(5L, 6L).subsetOf(delta), s"delta = $delta")
+    // a retried batch (same id) reproduces the same result
+    assert(runInc() == inc)
+    // OPTIMIZE fold, then a SECOND batch chained through the compacted
+    // generation: still ≡ the from-scratch run over the extended graph
+    assert(Graph.compactLabelState(spark, dir).contains(1L))
+    val newE2 = Seq((6L, 7L), (2L, 20L))
+    val inc2 = Graph.labelPropagationIncremental(
+        (oldE ++ newE ++ newE2).toDF("a", "b"), col("a"), col("b"),
+        newE2.toDF("a", "b"), col("a"), col("b"),
+        seeds.toDF("id", "l"), col("id"), col("l"),
+        iters = 3, dir, batchId = 2L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(inc2 == lp(oldE ++ newE ++ newE2, seeds, 3))
+  }
+
   test("profileTable: hostile column names (quotes, spaces, reserved " +
       "words) never reach the SQL parser") {
     val df = Seq(("x", 1L, "q"), (null, 2L, "q"))

@@ -113,6 +113,9 @@ class QueryPlanBudgetSpec extends SparkSuite {
       maxWindows = 0),
     // label propagation: per-round count-argmax aggregates, no window
     "x_label_prop" -> default.copy(maxWindows = 0),
+    // warm-start form: the final plan is the store's state-view argmax
+    // + the staged frontier slice union (rounds already checkpointed)
+    "x_label_prop_incremental" -> default.copy(maxWindows = 0),
     // relational fallback arm: the 2 corpus shuffles (anti-join +
     // ordered reassembly) plus the two-pass frequency subtree — the
     // hash-keyed aggregate (fixed-width keys) and the candidate-only
