@@ -37,9 +37,34 @@ object Bench {
     // driver always benches the full set)
     val only: Set[String] = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet).getOrElse(Set.empty)
+    // Between-queries block hygiene (default ON): every query's staged
+    // localCheckpoints are transient, but nothing ever unpersisted them
+    // — over a ~240-query window thousands of blocks accumulated and
+    // the storage-memory pressure landed on whichever query ran near
+    // the cliff (the r9 driver-window x_dedup_near 8× gap). Memoized
+    // cross-query artifacts are pinned (Checkpoints.stagePinned) and
+    // survive. SPARK_GRAFT_FREE=false restores the old behavior for
+    // A/B runs.
+    val freeBetween =
+      sys.env.getOrElse("SPARK_GRAFT_FREE", "true").toBoolean
+    // per-query shuffle-spill accounting (stderr diagnostics only)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcTime = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+            gcTime.addAndGet(m.jvmGCTime): Unit
+          }
+        }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
+      val sp0 = spilled.get(); val gc0 = gcTime.get()
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val warm = (System.nanoTime() - w0) / 1e9
@@ -48,9 +73,15 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      val stor = spark.sparkContext.getRDDStorageInfo
       System.err.println(f"[bench] $name warm=$warm%.2f " +
         times.zipWithIndex.map { case (t, i) => f"t${i + 1}=$t%.2f" }
-          .mkString(" "))
+          .mkString(" ") +
+        f" rdds=${stor.length}%d memMB=${
+          stor.map(_.memSize).sum / (1024 * 1024)}%d" +
+        f" spillMB=${(spilled.get() - sp0) / (1024 * 1024)}%d" +
+        f" gcSec=${(gcTime.get() - gc0) / 1000.0}%.1f")
+      if (freeBetween) graft.operators.Checkpoints.freeTransient(spark)
       name -> times.min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

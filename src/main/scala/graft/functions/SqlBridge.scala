@@ -52,6 +52,15 @@ object GraftSqlBridge {
     * PeriodicCheckpointer problem; its fix — delete superseded
     * checkpoint files — applied here).
     */
+  /** RDD ids of the checkpoint(s) backing a staged Dataset — the
+    * handle the bench harness uses to PIN memoized cross-query
+    * artifacts while freeing everything else between queries.
+    */
+  def checkpointRddIds(df: Dataset[_]): Seq[Int] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.collect {
+      case l: execution.LogicalRDD => l.rdd.id
+    }
+
   def freeLocalCheckpoint(df: Dataset[_]): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed.foreach {
       case l: execution.LogicalRDD =>

@@ -37,8 +37,10 @@ object SelectionQueries {
   private def bucketTable(s: SparkSession, d: String): DataFrame =
     // keyed per session: a staged DataFrame is bound to the session
     // that materialized it
+    // stagePinned: this staged table must survive the harness's
+    // between-queries freeTransient sweep
     memo.computeIfAbsent(System.identityHashCode(s) + "|" + d,
-      _ => Checkpoints.stage(
+      _ => Checkpoints.stagePinned(
         Selection.dsirBucketTable(feats(s, d, target = false),
           feats(s, d, target = true))))
 
