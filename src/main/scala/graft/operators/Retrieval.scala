@@ -389,6 +389,39 @@ object Retrieval {
         col("col._2").as("id"), col("col._1").as("score"))
   }
 
+  /** Batch retrieval evaluation against a relevance-judgment table —
+    * the standard index-quality regression check (run the eval query
+    * set through [[bm25TopKIndexedMany]] nightly, alarm when a
+    * metric drops). `results` is (query_id, rank, id) ranked lists;
+    * `qrels` is (query_id, id) relevant pairs. Returns one row per
+    * JUDGED query: (query_id, n_rel, hits_at_k, first_rel_rank) —
+    * recall@k = hits_at_k / n_rel and MRR's reciprocal rank =
+    * 1 / first_rel_rank are one division away, kept integer here so
+    * the whole surface is exact and oracle-hashable (no float means
+    * over queries inside the operator).
+    *
+    * Scale: two map-side-combined aggregates and one (query_id, id)
+    * hash join bounded by k·|queries| result rows — never corpus-
+    * sized; queries with no relevant docs retrieved keep hits_at_k = 0
+    * and a null first_rel_rank (absent ≠ zero).
+    */
+  def retrievalEval(results: DataFrame, qrels: DataFrame,
+                    k: Int): DataFrame = {
+    val r = results.where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"))
+    val rel = qrels.select(col("query_id"), col("id")).distinct()
+    val nRel = rel.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel"))
+    val hits = r.join(rel, Seq("query_id", "id"))
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("hits_at_k"),
+        min(col("rank")).as("first_rel_rank"))
+    nRel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        col("first_rel_rank"))
+  }
+
   /** Per-query [[rrfFuse]]: arms carry (query_id, id, rank) and fuse
     * per (query_id, id); the per-query top-k cut rides the same
     * bounded-buffer aggregate as [[bm25TopKIndexedMany]]. n_arms is

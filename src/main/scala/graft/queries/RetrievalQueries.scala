@@ -221,6 +221,36 @@ object RetrievalQueries {
         .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
     }),
 
+    // Batch retrieval EVALUATION: the set-oriented top-25 lists scored
+    // against an AND-semantics relevance table (a doc is relevant to a
+    // query iff it contains EVERY query term - derivable exactly in
+    // both engines). Per judged query: n_rel, hits@25, and the first
+    // relevant rank - recall@k and MRR are one division away, kept
+    // integer so the surface hashes exactly.
+    "x_retrieval_eval" -> ((s, d) => {
+      val idxDir = ArtifactMemo.dirFor("bm25idx", d) { p =>
+        Retrieval.writeBm25Index(t(s, d, "documents"), col("doc_id"),
+          col("text"), p)
+      }
+      val results = Retrieval.bm25TopKIndexedMany(s, idxDir,
+        bm25ManyDf(s), k = 25)
+      val docTerms = t(s, d, "documents")
+        .select(col("doc_id").as("id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("term"))
+      val qt = bm25ManyDf(s)
+      val qsize = qt.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("__nq"))
+      val qrels = qt.join(docTerms, Seq("term"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(count(lit(1)).as("__m"))
+        .join(broadcast(qsize), Seq("query_id"))
+        .where(col("__m") === col("__nq"))
+        .select(col("query_id"), col("id"))
+      Retrieval.retrievalEval(results, qrels, k = 25)
+        .orderBy(col("query_id"))
+    }),
+
     // Offline transitive reconciliation of the substring gate: the
     // within-history, within-batch, and store×batch fp-sharing edges
     // (the last via the manifest-pruned incremental PAIR form) feed
@@ -666,6 +696,31 @@ object RetrievalQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  private lazy val retrievalEvalSql: String = {
+    val ctes = Bm25ManyQueries.map { case (qid, ts) =>
+      val sfx = s"_q$qid"
+      val allTf = ts.indices.map(i => s"tf_$i > 0").mkString(" AND ")
+      bm25TfStSqlFor(ts, sfx) + ",\n" +
+        bm25RankedSql(qid, ts, 25) + ",\n" +
+        s"""rel$sfx AS (SELECT doc_id FROM tf$sfx WHERE $allTf),
+           |ev$sfx AS (
+           |  SELECT CAST($qid AS BIGINT) AS query_id,
+           |    (SELECT count(*) FROM rel$sfx) AS n_rel,
+           |    count(rel.doc_id) AS hits_at_k,
+           |    CAST(min(CASE WHEN rel.doc_id IS NOT NULL
+           |      THEN r.rank END) AS BIGINT) AS first_rel_rank
+           |  FROM r$sfx r
+           |  LEFT JOIN rel$sfx rel ON r.doc_id = rel.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val sel = Bm25ManyQueries
+      .map { case (qid, _) => s"SELECT * FROM ev_q$qid" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $ctes
+       |SELECT query_id, n_rel, hits_at_k, first_rel_rank FROM (
+       |  $sel)
+       |ORDER BY query_id""".stripMargin
+  }
+
   private lazy val hybridRrfManySql: String = {
     val ctes = Bm25ManyQueries.map { case (qid, ts) =>
       val sfx = s"_q$qid"
@@ -823,6 +878,7 @@ object RetrievalQueries {
     "x_bm25_indexed" -> bm25TopSql,
     "x_bm25_incremental" -> bm25TopSql,
     "x_bm25_many" -> bm25ManySql,
+    "x_retrieval_eval" -> retrievalEvalSql,
     "x_hybrid_rrf" -> hybridRrfSql,
     "x_hybrid_rrf_indexed" -> hybridRrfSql,
     "x_hybrid_rrf_many" -> hybridRrfManySql,

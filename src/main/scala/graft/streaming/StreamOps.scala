@@ -1249,6 +1249,50 @@ object StreamOps {
       .select(col("eid_b").as("eid")).distinct()
   }
 
+  /** Streaming BM25 INDEX MAINTENANCE: each micro-batch of (id, text)
+    * documents lands in the persisted inverted index
+    * ([[graft.operators.Retrieval.writeBm25Index]] /
+    * [[graft.operators.Retrieval.appendBm25Index]]) — batch 0
+    * bootstraps, later batches append overwrite-idempotently
+    * (`batch=<micro-batch id>` dirs for postings/doclen/stats, footer-
+    * only manifest refreshes, history never re-tokenized), and
+    * `compactEvery` folds the accumulated appends into th-clustered
+    * generations ([[graft.operators.Retrieval.compactBm25Index]])
+    * serially between micro-batches. [[graft.operators.Retrieval
+    * .bm25TopKIndexed]] and the set-oriented
+    * [[graft.operators.Retrieval.bm25TopKIndexedMany]] answer over
+    * everything ingested so far at any point. Doc ids must be globally
+    * new (upstream exact-dedup owns that, as everywhere); restarting
+    * the stream WITHOUT its checkpoint over an existing index would
+    * reuse micro-batch ids — the standard gate-store contract.
+    */
+  def bm25IndexGateSink(spark: SparkSession, stream: DataFrame,
+                        id: String, text: String, indexDir: String,
+                        checkpoint: String, compactEvery: Int = 0,
+                        compactFilesOut: Int = 16,
+                        appendFilesOut: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Retrieval
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (batchId == 0L)
+            Retrieval.writeBm25Index(batch, col(id), col(text),
+              indexDir, filesOut = appendFilesOut)
+          else
+            Retrieval.appendBm25Index(batch, col(id), col(text),
+              indexDir, batchId, filesOut = appendFilesOut)
+          if (compactEvery > 0 &&
+              batchId % compactEvery == compactEvery - 1)
+            Retrieval.compactBm25Index(spark, indexDir,
+              compactFilesOut): Unit
+        }
+      }
+      .start()
+  }
+
   /** [[compactWindowStoreGen]] for the ER gate's entity dictionary:
     * fold batch dirs into a blkh-range-clustered generation and
     * refresh the footer manifest (one-cycle vacuum grace, as

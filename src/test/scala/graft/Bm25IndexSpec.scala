@@ -175,6 +175,25 @@ class Bm25IndexSpec extends SparkSuite {
     }
   }
 
+  test("retrievalEval: hits@k, n_rel, first relevant rank; judged-only " +
+      "rows; a no-hit query keeps hits 0 and a null rank") {
+    val results = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L), (9L, 1L, 90L))
+      .toDF("query_id", "rank", "id")
+    val qrels = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 77L),
+      (3L, 5L)).toDF("query_id", "id")
+    val got = Retrieval.retrievalEval(results, qrels, k = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    // q1: top-2 {10,11} → 1 hit at rank 2 of 3 relevant; q2: no hits;
+    // q3: judged but nothing retrieved; q9: unjudged → absent
+    assert(got == Map(
+      1L -> ((3L, 1L, 2L)),
+      2L -> ((1L, 0L, -1L)),
+      3L -> ((1L, 0L, -1L))))
+  }
+
   test("rrfFuseMany ≡ rrfFuse per query on identical arms") {
     val armA = Seq((1L, 10L, 1L), (1L, 11L, 2L), (2L, 20L, 1L))
       .toDF("query_id", "id", "rank")

@@ -141,6 +141,12 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // anywhere (the TopKPairsAggregator replaces the per-query sort)
     "x_bm25_many" -> default.copy(allowCartesian = true,
       maxShuffles = 10, maxWindows = 0),
+    // eval = the many-path's shapes + the qrels derivation aggregates
+    // + the two integer metric aggregates; still window-free (measured
+    // 9 broadcasts — the tiny query/qsize tables ride under several
+    // joins by design, each bounded by the query set, never the corpus)
+    "x_retrieval_eval" -> default.copy(allowCartesian = true,
+      maxShuffles = 14, maxBroadcasts = 11, maxWindows = 0),
     // hybrid many: sparse arm above + the dense arm's licensed
     // brute-force baseline (its rank window partitions by query) +
     // per-query fusion joins

@@ -640,6 +640,44 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("bm25IndexGateSink: streamed batches maintain the inverted " +
+      "index; mid-stream OPTIMIZE; answers ≡ a from-scratch index") {
+    import graft.operators.{Retrieval, TextAnalysis}
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-bm25gate-${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.bm25IndexGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/idx", s"$base/ckpt", compactEvery = 2,
+      compactFilesOut = 2, appendFilesOut = 2)
+    try {
+      val b0 = Seq((1L, "merge sort beats bubble sort"),
+        (2L, "window functions rank rows"))
+      val b1 = Seq((3L, "spark executes the merge join"),
+        (4L, "the window slides and tumbles"))
+      val b2 = Seq((5L, "spark spark tuning notes"),
+        (6L, "unrelated gardening prose"))
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable() // OPTIMIZE after b1
+      in.addData(b2: _*); q.processAllAvailable()
+      val corpus = (b0 ++ b1 ++ b2).toDF("doc_id", "text")
+      val want = TextAnalysis.bm25TopK(corpus, col("doc_id"),
+        col("text"), Seq("merge", "window", "spark"), k = 10).collect()
+      val got = Retrieval.bm25TopKIndexed(spark, s"$base/idx",
+        Seq("merge", "window", "spark"), k = 10).collect()
+      assert(got.toSeq == want.toSeq && got.nonEmpty)
+      // the mid-stream compaction left a generation; batch 2 rides on
+      // top of it and the set-oriented path answers through both
+      val names = new java.io.File(s"$base/idx/postings").listFiles()
+        .map(_.getName)
+      assert(names.exists(_.startsWith("gen=")), names.mkString(","))
+      val many = Retrieval.bm25TopKIndexedMany(spark, s"$base/idx",
+          Seq((7L, 0, "spark")).toDF("query_id", "pos", "term"), k = 3)
+        .select("id").as[Long].collect().toSet
+      assert(many == Set(3L, 5L))
+    } finally q.stop()
+  }
+
   test("erGatePairs: candidate right side is batch-only — store×store " +
       "pairs never form, never reach the levenshtein confirm") {
     import graft.operators.{Resolution, TextAnalysis}
