@@ -744,6 +744,141 @@ object Graph {
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
 
+  // ---------- incremental triangle counts ----------
+
+  /** Persist [[triangleCounts]]' per-node totals as `batch=0` of an
+    * incremental store (id-clustered (id, n_tri, __b) rows — the
+    * label-store protocol).
+    */
+  def writeTriangleStore(edges: DataFrame, a: Column, b: Column,
+                         storeDir: String, filesOut: Int = 4,
+                         broadcastLimit: Long = 4000000L): Unit =
+    triangleCounts(edges, a, b, broadcastLimit)
+      .select(col("id"), col("n_tri"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+
+  private def triangleStoreView(spark: org.apache.spark.sql.SparkSession,
+                                storeDir: String,
+                                beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("n_tri"))).as("m"))
+      .select(col("id"), col("m.n_tri").as("n_tri"))
+  }
+
+  /** WARM-START triangle counting: per-node totals over the UNION
+    * graph, counting ONLY the triangles a new edge creates — old
+    * triangles are never re-enumerated (the one-sided law of every
+    * incremental path here). A union-graph triangle containing ≥ 1 new
+    * edge is counted EXACTLY once, at its canonically-smallest new
+    * edge: for new edge (u, v), common neighbors w qualify iff each of
+    * the other two edges is old, or new AND canonically greater than
+    * (u, v) — so multi-new-edge triangles never double-count. Work is
+    * Σ over new edges of deg(u) + deg(v) common-neighbor candidates,
+    * never the old wedge volume.
+    *
+    * Contract (the monotone gate-store contract everywhere):
+    * `allEdges` is the full union edge list, `newEdges` the batch's
+    * GENUINELY new edges (an edge re-sent from history would re-count
+    * its triangles — upstream exact-dedup owns that, as with doc ids
+    * in the BM25 index); `batchId` exceeds every prior append. The
+    * store append holds only touched nodes (new-edge endpoints and
+    * credited corners); retries are overwrite-idempotent because the
+    * prior view reads only batches < batchId.
+    *
+    * Returns (id, n_tri) for every node of the union edge list,
+    * ≡ [[triangleCounts]] over the union (x_triangles_incremental
+    * shares x_triangles' canonical 3-way-join oracle).
+    */
+  def triangleCountsIncremental(allEdges: DataFrame, a: Column, b: Column,
+                                newEdges: DataFrame, na: Column,
+                                nb: Column, storeDir: String,
+                                batchId: Long,
+                                broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writeTriangleStore base")
+    val spark = allEdges.sparkSession
+    def canon(df: DataFrame, x: Column, y: Column): DataFrame =
+      df.select(least(x, y).as("u"), greatest(x, y).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    val all = Checkpoints.stage(canon(allEdges, a, b))
+    val n = Checkpoints.stage(canon(newEdges, na, nb))
+    val nCnt = n.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nCnt <= broadcastLimit) broadcast(df) else df
+    val old = all.join(n, Seq("u", "v"), "left_anti")
+    val tagged = old.withColumn("__new", lit(false))
+      .unionByName(n.withColumn("__new", lit(true)))
+    // adjacency rows carrying the edge's canonical pair + new flag
+    val adjRows = tagged.select(col("u").as("p"), col("v").as("w"),
+        struct(col("u"), col("v")).as("ce"), col("__new"))
+      .unionByName(tagged.select(col("v").as("p"), col("u").as("w"),
+        struct(col("u"), col("v")).as("ce"), col("__new")))
+    val canonUV = struct(col("u"), col("v"))
+    // the new-edge side rides the measured broadcast gate — the
+    // common-neighbor expansion then never shuffles the adjacency
+    val newTris = adjRows
+      .select(col("p").as("u"), col("w"),
+        col("ce").as("eu"), col("__new").as("nu"))
+      .join(gated(n), Seq("u"))
+      .where(col("w") =!= col("v") && col("w") =!= col("u"))
+      .join(adjRows.select(col("p").as("v"), col("w"),
+        col("ce").as("ev"), col("__new").as("nv")), Seq("v", "w"))
+      .where((!col("nu") || col("eu") > canonUV) &&
+        (!col("nv") || col("ev") > canonUV))
+    val credits = Checkpoints.stage(newTris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("__d")))
+    val touched = Checkpoints.stage(
+      n.select(col("u").as("id"))
+        .union(n.select(col("v").as("id")))
+        .union(credits.select(col("id")))
+        .distinct())
+    val prior = triangleStoreView(spark, storeDir, batchId)
+    // prior totals only for touched nodes: the store scan row-filters
+    // on a broadcast-gated semi join, then the merge is a
+    // touched-sized join — never a |V|-sized side
+    val priorTouched = prior.join(gated(touched), Seq("id"), "left_semi")
+    val slice = Checkpoints.stage(touched
+      .join(priorTouched, Seq("id"), "left")
+      .join(credits, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("n_tri"), lit(0L)) + coalesce(col("__d"), lit(0L)))
+          .as("n_tri")))
+    slice.select(col("id"), col("n_tri"), lit(batchId).as("__b"))
+      .repartitionByRange(1, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    // the returned view is REBUILT after the write: a retry's
+    // overwrite of batch=<id> invalidates any file listing captured
+    // before it (slice itself is staged, so its data predates the
+    // overwrite safely)
+    triangleStoreView(spark, storeDir, batchId)
+      .join(gated(touched), Seq("id"), "left_anti")
+      .unionByName(slice)
+  }
+
+  /** Fold the triangle store's delta batches, newest batch winning per
+    * id — the OPTIMIZE cycle every incremental store here carries.
+    */
+  def compactTriangleStore(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String, filesOut: Int = 4)
+      : Option[Long] =
+    Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("id"))
+        .agg(max(struct(col("__b"), col("n_tri"))).as("m"))
+        .select(col("id"), col("m.n_tri").as("n_tri"),
+          col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id")))
+
   /** [[connectedComponents]] for ARBITRARY key types (URLs, source
     * names, entity strings): endpoints are densely re-labeled through
     * [[Training.encodeCategorical]]'s sorted-vocabulary codes, the

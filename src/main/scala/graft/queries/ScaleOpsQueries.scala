@@ -148,6 +148,28 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // WARM-START triangle counting: the history slice's per-node
+    // totals persist once; the batch adds the >= 400-touching edges
+    // and only the triangles a new edge CREATES are enumerated -
+    // counted exactly once at the canonically-smallest new edge, so
+    // multi-new-edge triangles never double-count and old wedge
+    // volume is never re-expanded. Must equal the from-scratch count
+    // over the union graph: x_triangles' oracle shared verbatim.
+    "x_triangles_incremental" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      val store = ArtifactMemo.dirFor("tristore", d) { p =>
+        Graph.writeTriangleStore(
+          pairs.where(col("ida") < 400 && col("idb") < 400),
+          col("ida"), col("idb"), p)
+      }
+      val newPairs = pairs.where(col("ida") >= 400 || col("idb") >= 400)
+      Graph.triangleCountsIncremental(pairs, col("ida"), col("idb"),
+          newPairs, col("ida"), col("idb"), store, batchId = 1L)
+        .select(col("id").as("doc_id"), col("n_tri"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Precision/recall audit of the MinHash+LSH pipeline vs exact
     // all-pairs ground truth at five thresholds: tp/fp/fn counts per
     // theta, the recall-floor measurement a dedup pipeline ships next
@@ -576,6 +598,8 @@ object ScaleOpsQueries {
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,
+    // warm-start ≡ from-scratch: the full-graph oracle is shared
+    "x_triangles_incremental" -> trianglesSql,
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     "x_ppr" -> pprSql,

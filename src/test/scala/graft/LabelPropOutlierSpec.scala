@@ -119,6 +119,50 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(inc2 == lp(oldE ++ newE ++ newE2, seeds, 3))
   }
 
+  private def triCounts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("a", "b"), col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCountsIncremental ≡ from-scratch; multi-new-edge " +
+      "triangles count once; deltas touch only affected nodes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-trinc-").toString + "/tri"
+    // old graph: square 1-2-3-4 (no triangles) + lone edge 5-6 + far
+    // triangle 20-21-22 (must never be re-enumerated or re-counted)
+    val oldE = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (5L, 6L),
+      (20L, 21L), (21L, 22L), (20L, 22L))
+    Graph.writeTriangleStore(oldE.toDF("a", "b"), col("a"), col("b"),
+      dir)
+    // batch 1: the diagonal 1-3 (two new triangles through old edges)
+    // plus 5-7 AND 6-7 (ONE new triangle with TWO new edges — the
+    // double-count trap) plus an all-new triangle 8-9-10
+    val new1 = Seq((1L, 3L), (5L, 7L), (6L, 7L),
+      (8L, 9L), (8L, 10L), (9L, 10L))
+    val all1 = oldE ++ new1
+    def runInc(all: Seq[(Long, Long)], nw: Seq[(Long, Long)],
+               bid: Long): Map[Long, Long] =
+      Graph.triangleCountsIncremental(all.toDF("a", "b"), col("a"),
+          col("b"), nw.toDF("a", "b"), col("a"), col("b"), dir, bid)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inc1 = runInc(all1, new1, 1L)
+    val full1 = triCounts(all1)
+    assert(inc1 == full1, s"$inc1 vs $full1")
+    assert(full1(1L) == 2L && full1(7L) == 1L && full1(5L) == 1L
+      && full1(8L) == 1L && full1(20L) == 1L && full1(2L) == 1L)
+    // the delta batch holds only touched nodes — the far triangle and
+    // the untouched square corner never re-enter the store
+    val delta = spark.read.parquet(s"$dir/batch=1")
+      .select("id").as[Long].collect().toSet
+    assert(!delta(20L) && !delta(21L) && !delta(22L), s"$delta")
+    // retry idempotence
+    assert(runInc(all1, new1, 1L) == inc1)
+    // OPTIMIZE fold, then a second batch through the generation
+    assert(Graph.compactTriangleStore(spark, dir).contains(1L))
+    val new2 = Seq((4L, 2L)) // second diagonal: two more triangles
+    val inc2 = runInc(all1 ++ new2, new2, 2L)
+    assert(inc2 == triCounts(all1 ++ new2))
+  }
+
   test("profileTable: hostile column names (quotes, spaces, reserved " +
       "words) never reach the SQL parser") {
     val df = Seq(("x", 1L, "q"), (null, 2L, "q"))

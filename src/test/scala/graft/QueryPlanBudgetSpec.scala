@@ -116,6 +116,15 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // warm-start form: the final plan is the store's state-view argmax
     // + the staged frontier slice union (rounds already checkpointed)
     "x_label_prop_incremental" -> default.copy(maxWindows = 0),
+    // warm-start triangles: store-view argmax + anti join + staged
+    // delta slice; the common-neighbor expansion is checkpointed
+    "x_triangles_incremental" -> default.copy(maxWindows = 0),
+    // batch triangles: the r10 single-pass corner-credit rewrite keeps
+    // the closing join + credit aggregate in ONE un-checkpointed plan
+    // (measured 7 exchanges; the staged triangle list it replaced hid
+    // two of them behind a 2 GB checkpoint — the GC cost that
+    // motivated the rewrite)
+    "x_triangles" -> default.copy(maxShuffles = 8),
     // relational fallback arm: the 2 corpus shuffles (anti-join +
     // ordered reassembly) plus the two-pass frequency subtree — the
     // hash-keyed aggregate (fixed-width keys) and the candidate-only
