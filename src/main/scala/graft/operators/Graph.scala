@@ -980,4 +980,151 @@ object Graph {
     }
     nodes
   }
+
+  // ---------- warm-start incremental k-core ----------
+
+  /** Persist [[kCore]]'s member set as `batch=0` of an incremental
+    * store. Membership is MONOTONE under edge insertion (the k-core
+    * only grows), so the store is append-only member ids — no
+    * newest-wins merge needed; the view is the union of committed
+    * batches.
+    */
+  def writeKCoreStore(edges: DataFrame, a: Column, b: Column, k: Int,
+                      storeDir: String, filesOut: Int = 4,
+                      maxRounds: Int = 50,
+                      broadcastLimit: Long = 4000000L): Unit =
+    kCore(edges, a, b, k, maxRounds, broadcastLimit)
+      .select(col("id"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+
+  private def kCoreStoreView(spark: org.apache.spark.sql.SparkSession,
+                             storeDir: String,
+                             beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__b") < beforeBatch)
+      .select(col("id")).distinct()
+  }
+
+  /** WARM-START k-core: the fixed-k core of the UNION graph, peeling
+    * ONLY a candidate frontier — the persisted members never re-peel.
+    * Soundness rests on two facts: (1) edge insertion never shrinks
+    * the k-core, so stored members stay members and are FROZEN; (2) a
+    * node can flip INTO the core only through a chain of flipped
+    * nodes reaching a new edge, every one with union-degree ≥ k — so
+    * the candidate set is the closure of the new edges' endpoints
+    * through ≥ k-degree non-members, grown to a fixpoint, and the
+    * synchronous peel then runs over candidates alone with degrees
+    * counted into (frozen members ∪ surviving candidates). Unlike the
+    * triangle path, a re-sent historical edge is HARMLESS here — it
+    * only seeds closure from nodes that then peel away.
+    *
+    * Survivors append as an overwrite-idempotent `batch=<id>` member
+    * delta (monotone store; retries read only batches < batchId).
+    * Returns the full member set, ≡ [[kCore]] over the union
+    * (x_kcore_incremental shares x_kcore's unrolled-peel oracle).
+    */
+  def kCoreIncremental(allEdges: DataFrame, a: Column, b: Column,
+                       newEdges: DataFrame, na: Column, nb: Column,
+                       k: Int, storeDir: String, batchId: Long,
+                       maxRounds: Int = 50,
+                       broadcastLimit: Long = 4000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(batchId >= 1L, "batchId 0 is the writeKCoreStore base")
+    val spark = allEdges.sparkSession
+    val e = Checkpoints.stage(
+      allEdges.select(least(a, b).as("u"), greatest(a, b).as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
+    val en = newEdges.select(least(na, nb).as("u"),
+      greatest(na, nb).as("v")).where(col("u") =!= col("v"))
+    val oldCore = Checkpoints.stage(
+      kCoreStoreView(spark, storeDir, batchId))
+    val nOld = oldCore.count()
+    def gated(df: DataFrame, sz: Long): DataFrame =
+      if (sz <= broadcastLimit) broadcast(df) else df
+    // union-degree eligibility: only ≥ k-degree non-members can flip
+    val eligible = Checkpoints.stage(
+      e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k)
+        .select(col("id"))
+        .join(gated(oldCore, nOld), Seq("id"), "left_anti"))
+    var cand = Checkpoints.stage(
+      en.select(col("u").as("id")).union(en.select(col("v").as("id")))
+        .distinct()
+        .join(eligible, Seq("id"), "left_semi"))
+    var nc = cand.count()
+    // closure: grow through eligible neighbors to a fixpoint — flips
+    // propagate only along such chains
+    var it = 0
+    var grown = nc > 0
+    while (it < maxRounds && grown) {
+      val nbrs = e.join(gated(cand.select(col("id").as("u")), nc),
+          Seq("u"), "left_semi")
+        .select(col("v").as("id"))
+        .union(e.join(gated(cand.select(col("id").as("v")), nc),
+          Seq("v"), "left_semi")
+          .select(col("u").as("id")))
+      val next = Checkpoints.stage(
+        cand.unionByName(nbrs.join(eligible, Seq("id"), "left_semi"))
+          .distinct())
+      val m = next.count()
+      grown = m > nc
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(cand)
+      cand = next
+      nc = m
+      it += 1
+    }
+    // peel candidates with members frozen: survive iff degree into
+    // (oldCore ∪ surviving candidates) ≥ k
+    var surv = cand
+    var ns = nc
+    it = 0
+    var converged = ns == 0
+    while (it < maxRounds && !converged) {
+      val anchor = oldCore.unionByName(surv)
+      val na2 = nOld + ns
+      val live = e
+        .join(gated(anchor.select(col("id").as("u")), na2), Seq("u"),
+          "left_semi")
+        .join(gated(anchor.select(col("id").as("v")), na2), Seq("v"),
+          "left_semi")
+      val next = Checkpoints.stage(
+        live.select(col("u").as("id"))
+          .unionAll(live.select(col("v").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+          .where(col("__d") >= k)
+          .select(col("id"))
+          .join(gated(surv, ns), Seq("id"), "left_semi"))
+      val m = next.count()
+      converged = m == ns
+      if (surv ne cand)
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(surv)
+      surv = next
+      ns = m
+      it += 1
+    }
+    surv.select(col("id"), lit(batchId).as("__b"))
+      .repartitionByRange(1, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    oldCore.unionByName(surv)
+  }
+
+  /** Fold the k-core store's member deltas into one id-clustered
+    * generation (set union — membership is monotone).
+    */
+  def compactKCoreStore(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String, filesOut: Int = 4)
+      : Option[Long] =
+    Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("id"))
+        .agg(max(col("__b")).as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id")))
 }

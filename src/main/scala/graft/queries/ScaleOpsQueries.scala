@@ -198,6 +198,33 @@ object ScaleOpsQueries {
         .orderBy(col("node_id"))
     }),
 
+    // WARM-START k-core: the history slice's members persist once
+    // (membership is monotone under edge insertion, so the store is
+    // append-only); the batch's edges seed a candidate closure through
+    // >= k-degree non-members and ONLY that frontier peels, degrees
+    // counted into frozen members + surviving candidates. Batch edge
+    // slices may overlap history here (the order-key split re-derives
+    // some pairs) - harmless for k-core, unlike the triangle path.
+    // Must equal the from-scratch peel: x_kcore's oracle shared.
+    "x_kcore_incremental" -> ((s, d) => {
+      def pairs(f: org.apache.spark.sql.Column): DataFrame =
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_quantity") <= 2 && f)
+          .select((col("o_custkey") * 2).as("u"),
+            (col("l_suppkey") * 2 + 1).as("v"))
+      val store = ArtifactMemo.dirFor("kcstore", d) { p =>
+        Graph.writeKCoreStore(pairs(col("o_orderkey") < 30000),
+          col("u"), col("v"), k = 3, p)
+      }
+      Graph.kCoreIncremental(pairs(lit(true)), col("u"), col("v"),
+          pairs(col("o_orderkey") >= 30000), col("u"), col("v"),
+          k = 3, store, batchId = 1L)
+        .select(col("id").as("node_id"))
+        .orderBy(col("node_id"))
+    }),
+
     // EXACT per-group discrete quantiles of price cents, window-free:
     // one prefix-sum ranking + O(#groups) broadcast stats; the
     // PERCENTILE_DISC rank ceil(q*n) emits only stored values, so the
@@ -602,6 +629,8 @@ object ScaleOpsQueries {
     "x_triangles_incremental" -> trianglesSql,
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
+    // warm-start ≡ from-scratch: the full-graph oracle is shared
+    "x_kcore_incremental" -> kcoreSql,
     "x_ppr" -> pprSql,
     "x_pack_offsets" ->
       """WITH tk AS (

@@ -163,6 +163,40 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(inc2 == triCounts(all1 ++ new2))
   }
 
+  test("kCoreIncremental ≡ from-scratch: frontier flips in, cascades, " +
+      "peel-aways, and re-sent historical edges are harmless") {
+    def kc(edges: Seq[(Long, Long)]): Set[Long] =
+      Graph.kCore(edges.toDF("a", "b"), col("a"), col("b"), k = 3)
+        .as[Long].collect().toSet
+    def inc(dir: String, all: Seq[(Long, Long)], nw: Seq[(Long, Long)],
+            bid: Long): Set[Long] =
+      Graph.kCoreIncremental(all.toDF("a", "b"), col("a"), col("b"),
+          nw.toDF("a", "b"), col("a"), col("b"), k = 3, dir, bid)
+        .as[Long].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kcinc-").toString + "/kc"
+    // old graph: K4 on 1-4 (the 3-core) + path 5-6-7 (peels away)
+    val oldE = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (6L, 7L))
+    Graph.writeKCoreStore(oldE.toDF("a", "b"), col("a"), col("b"),
+      k = 3, dir)
+    // batch 1: a mutual two-node cascade — 8 and 9 each reach degree 3
+    // only if BOTH survive (1,2 core + each other)
+    val new1 = Seq((1L, 8L), (2L, 8L), (8L, 9L), (1L, 9L), (2L, 9L))
+    val all1 = oldE ++ new1
+    val got1 = inc(dir, all1, new1, 1L)
+    assert(got1 == kc(all1) && got1 == Set(1L, 2L, 3L, 4L, 8L, 9L))
+    // retry idempotence
+    assert(inc(dir, all1, new1, 1L) == got1)
+    // OPTIMIZE fold, then: a batch of only peel-away edges (5-7 closes
+    // a path triangle but degrees stay 2) INCLUDING a re-sent
+    // historical edge — membership unchanged
+    assert(Graph.compactKCoreStore(spark, dir).contains(1L))
+    val new2 = Seq((5L, 7L), (1L, 2L))
+    val got2 = inc(dir, all1 ++ Seq((5L, 7L)), new2, 2L)
+    assert(got2 == got1 && got2 == kc(all1 ++ Seq((5L, 7L))))
+  }
+
   test("profileTable: hostile column names (quotes, spaces, reserved " +
       "words) never reach the SQL parser") {
     val df = Seq(("x", 1L, "q"), (null, 2L, "q"))
