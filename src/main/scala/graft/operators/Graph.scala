@@ -470,21 +470,25 @@ object Graph {
 
   // ---------- warm-start incremental label propagation ----------
 
-  /** The persisted round-r label view: committed store rows for round
-    * `r` from batches BEFORE `beforeBatch` (a retry of batch b must
-    * never read its own prior attempt's rows), newest batch wins per
-    * id. The argmax rides max(struct(__b, label)) — batch ids are
-    * unique per (round, id), so the label field never decides.
+  /** The persisted label state, ALL rounds merged in one pass:
+    * committed store rows from batches BEFORE `beforeBatch` (a retry
+    * of batch b must never read its own prior attempt's rows), newest
+    * batch wins per (round, id). The argmax rides
+    * max(struct(__b, label)) — batch ids are unique per (round, id),
+    * so the label field never decides. ONE aggregate serves every
+    * round's reads (callers stage the result and filter per round —
+    * three per-round aggregates over a mostly-history store cost more
+    * than the whole frontier recompute).
     */
-  private def labelStateView(spark: org.apache.spark.sql.SparkSession,
-                             storeDir: String, r: Int,
-                             beforeBatch: Long): DataFrame = {
+  private def labelStateAll(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String,
+                            beforeBatch: Long): DataFrame = {
     val dirs = Stats.committedViewDirs(spark, storeDir)
     spark.read.parquet(dirs: _*)
-      .where(col("__round") === r && col("__b") < beforeBatch)
-      .groupBy(col("id"))
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("__round"), col("id"))
       .agg(max(struct(col("__b"), col("label"))).as("m"))
-      .select(col("id"), col("m.label").as("label"))
+      .select(col("__round"), col("id"), col("m.label").as("label"))
   }
 
   /** Run [[labelPropagation]] and persist EVERY round's (id, label)
@@ -573,6 +577,10 @@ object Graph {
         .union(en.select(col("dst").as("id")))
         .distinct())
     var nDirty = dirty.count()
+    // the persisted state, merged ONCE for all rounds and staged —
+    // every per-round read below is a filter on this
+    val state = Checkpoints.stage(
+      labelStateAll(spark, storeDir, batchId))
     // round-0 labels are the seed labels — no store read needed
     var prevSlice: DataFrame = null // labels of dirty_{r-1}
     val slices = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -583,7 +591,8 @@ object Graph {
       // read seed labels directly)
       val prevLabels =
         if (r == 1) sd.select(col("id"), col("__seed").as("label"))
-        else labelStateView(spark, storeDir, r - 1, batchId)
+        else state.where(col("__round") === (r - 1))
+          .select(col("id"), col("label"))
           .join(gated(dirty.select(col("id")), nDirty), Seq("id"),
             "left_anti")
           .unionByName(prevSlice)
@@ -642,7 +651,10 @@ object Graph {
       .sortWithinPartitions(col("__round"), col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
-    labelStateView(spark, storeDir, iters, batchId)
+    // final view off the STAGED state (materialized before the write,
+    // so a retry's overwrite cannot invalidate its file listing)
+    state.where(col("__round") === iters)
+      .select(col("id"), col("label"))
       .join(gated(dirty.select(col("id")), nDirty), Seq("id"),
         "left_anti")
       .unionByName(prevSlice.select(col("id"), col("label")))

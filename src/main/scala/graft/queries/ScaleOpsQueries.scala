@@ -93,16 +93,16 @@ object ScaleOpsQueries {
     "x_label_prop_incremental" -> ((s, d) => {
       val pairs = Curation.substringDupPairs(
         passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      // SF-invariant ~10% batch slice (see x_triangles_incremental)
+      val isNew = col("ida") % 10 === 3 || col("idb") % 10 === 3
       val store = ArtifactMemo.dirFor("lpstate", d) { p =>
-        Graph.writeLabelState(
-          pairs.where(col("ida") < 400 && col("idb") < 400),
+        Graph.writeLabelState(pairs.where(!isNew),
           col("ida"), col("idb"),
           langSeeds(s, d), col("doc_id"), col("lang"), iters = 3, p)
       }
-      val newPairs = pairs.where(col("ida") >= 400 || col("idb") >= 400)
       Graph.labelPropagationIncremental(
           pairs, col("ida"), col("idb"),
-          newPairs, col("ida"), col("idb"),
+          pairs.where(isNew), col("ida"), col("idb"),
           langSeeds(s, d), col("doc_id"), col("lang"),
           iters = 3, store, batchId = 1L)
         .select(col("id").as("doc_id"), col("label"))
@@ -155,17 +155,20 @@ object ScaleOpsQueries {
     // multi-new-edge triangles never double-count and old wedge
     // volume is never re-expanded. Must equal the from-scratch count
     // over the union graph: x_triangles' oracle shared verbatim.
+    // The batch is the docs ≡ 3 (mod 10) — an SF-INVARIANT ~10% slice
+    // (a doc_id cutoff would make the "batch" 92% of the corpus at
+    // sf0.1, the pathology warm-starting exists to avoid).
     "x_triangles_incremental" -> ((s, d) => {
       val pairs = Curation.substringDupPairs(
         passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      val isNew = col("ida") % 10 === 3 || col("idb") % 10 === 3
       val store = ArtifactMemo.dirFor("tristore", d) { p =>
-        Graph.writeTriangleStore(
-          pairs.where(col("ida") < 400 && col("idb") < 400),
+        Graph.writeTriangleStore(pairs.where(!isNew),
           col("ida"), col("idb"), p)
       }
-      val newPairs = pairs.where(col("ida") >= 400 || col("idb") >= 400)
       Graph.triangleCountsIncremental(pairs, col("ida"), col("idb"),
-          newPairs, col("ida"), col("idb"), store, batchId = 1L)
+          pairs.where(isNew), col("ida"), col("idb"), store,
+          batchId = 1L)
         .select(col("id").as("doc_id"), col("n_tri"))
         .orderBy(col("doc_id"))
     }),
@@ -214,12 +217,14 @@ object ScaleOpsQueries {
           .where(col("l_quantity") <= 2 && f)
           .select((col("o_custkey") * 2).as("u"),
             (col("l_suppkey") * 2 + 1).as("v"))
+      // SF-invariant ~12% batch slice (an order-key cutoff would make
+      // the "batch" 95% of the graph at sf0.1)
       val store = ArtifactMemo.dirFor("kcstore", d) { p =>
-        Graph.writeKCoreStore(pairs(col("o_orderkey") < 30000),
+        Graph.writeKCoreStore(pairs(col("o_orderkey") % 8 =!= 0),
           col("u"), col("v"), k = 3, p)
       }
       Graph.kCoreIncremental(pairs(lit(true)), col("u"), col("v"),
-          pairs(col("o_orderkey") >= 30000), col("u"), col("v"),
+          pairs(col("o_orderkey") % 8 === 0), col("u"), col("v"),
           k = 3, store, batchId = 1L)
         .select(col("id").as("node_id"))
         .orderBy(col("node_id"))
