@@ -993,6 +993,127 @@ object Graph {
     nodes
   }
 
+  // ---------- incremental connected components ----------
+
+  /** Persist [[connectedComponents]]' (id, comp) labeling as `batch=0`
+    * of an incremental store (id-clustered, newest-batch-wins rows —
+    * the label-store protocol).
+    */
+  def writeCCStore(edges: DataFrame, a: Column, b: Column,
+                   storeDir: String, filesOut: Int = 4): Unit =
+    connectedComponents(edges, a, b)
+      .select(col("id"), col("comp"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+
+  private def ccStoreView(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String,
+                          beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("comp"))).as("m"))
+      .select(col("id"), col("m.comp").as("comp"))
+  }
+
+  /** INCREMENTAL connected components — the truly sublinear warm
+    * start: edge insertion only MERGES components, so a batch is
+    * processed by contracting its edges through the stored labels and
+    * running CC on the contracted graph, which has at most one node
+    * per TOUCHED component plus the batch's new nodes — never the
+    * corpus. Because a stored component label is the MIN member id,
+    * the min over merged contracted nodes is the min over all merged
+    * members, so relabeling through the contraction is EXACT
+    * (x_cc_incremental shares a full-graph recursive-CTE oracle).
+    *
+    * Only rows of LOSING components rewrite: members of the component
+    * whose label is the merged min keep their stored row untouched;
+    * the delta holds losing-component members and the batch's new
+    * nodes. Retries are overwrite-idempotent (the view reads only
+    * batches < batchId); [[compactCCStore]] folds newest-wins.
+    *
+    * Scale shape: one broadcast-gated relabel join of the batch edges
+    * against the store (manifest-style pruning rides the id-clustered
+    * layout), CC on the contracted batch-sized graph, one semi join to
+    * fetch losing-component rows. No full-graph pass anywhere.
+    *
+    * Returns the full (id, comp) labeling over old ∪ new nodes.
+    */
+  def connectedComponentsIncremental(newEdges: DataFrame, na: Column,
+                                     nb: Column, storeDir: String,
+                                     batchId: Long,
+                                     broadcastLimit: Long = 4000000L)
+      : DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writeCCStore base")
+    val spark = newEdges.sparkSession
+    val en = Checkpoints.stage(
+      newEdges.select(na.cast("long").as("u"), nb.cast("long").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct())
+    val nNew = en.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNew <= broadcastLimit) broadcast(df) else df
+    val state = ccStoreView(spark, storeDir, batchId)
+    // relabel batch endpoints through the stored components; unknown
+    // (new) nodes keep their own id — the store scan row-filters on a
+    // batch-sized semi join
+    val ids = en.select(col("u").as("id"))
+      .union(en.select(col("v").as("id"))).distinct()
+    val touchedState = Checkpoints.stage(
+      state.join(gated(ids), Seq("id"), "left_semi"))
+    val relabeled = en
+      .join(gated(touchedState.select(col("id").as("u"),
+        col("comp").as("cu"))), Seq("u"), "left")
+      .join(gated(touchedState.select(col("id").as("v"),
+        col("comp").as("cv"))), Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("ca"),
+        coalesce(col("cv"), col("v")).as("cb"))
+      .where(col("ca") =!= col("cb"))
+    // CC over the CONTRACTED graph: batch-sized by construction
+    val merged = Checkpoints.stage(
+      connectedComponents(relabeled, col("ca"), col("cb"))
+        .where(col("id") =!= col("comp"))
+        .select(col("id").as("__old"), col("comp").as("__new")))
+    // losing components' members rewrite; winners keep their rows —
+    // one component-keyed broadcast join against the batch-sized
+    // remap fetches exactly the losing rows
+    val losers = state
+      .join(gated(merged), col("comp") === col("__old"))
+      .select(col("id"), col("__new").as("comp"))
+    // the batch's NEW nodes: absent from the store, so each appears in
+    // the contracted graph under its OWN id — its final component is
+    // its merged remap (when its contracted node lost) or itself (it
+    // is the min of its merged group, or untouched)
+    val newNodes = ids
+      .join(gated(touchedState.select(col("id"))), Seq("id"),
+        "left_anti")
+      .join(gated(merged), col("id") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("id")).as("comp"))
+    val slice = Checkpoints.stage(newNodes.unionByName(losers))
+    slice.select(col("id"), col("comp"), lit(batchId).as("__b"))
+      .repartitionByRange(1, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    ccStoreView(spark, storeDir, batchId)
+      .join(gated(slice.select(col("id"))), Seq("id"), "left_anti")
+      .unionByName(slice.select(col("id"), col("comp")))
+  }
+
+  /** Fold the CC store's delta batches, newest batch winning per id. */
+  def compactCCStore(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, filesOut: Int = 4): Option[Long] =
+    Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("id"))
+        .agg(max(struct(col("__b"), col("comp"))).as("m"))
+        .select(col("id"), col("m.comp").as("comp"),
+          col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id")))
+
   // ---------- warm-start incremental k-core ----------
 
   /** Persist [[kCore]]'s member set as `batch=0` of an incremental

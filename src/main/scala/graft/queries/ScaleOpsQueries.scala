@@ -83,6 +83,25 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL connected components - the truly sublinear warm
+    // start: the batch's edges contract through the stored labels, CC
+    // runs on the batch-sized contracted graph, and only LOSING
+    // components' rows rewrite. Must equal the from-scratch labeling
+    // over the union graph (recursive-CTE oracle).
+    "x_cc_incremental" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      val isNew = col("ida") % 10 === 3 || col("idb") % 10 === 3
+      val store = ArtifactMemo.dirFor("ccstore", d) { p =>
+        Graph.writeCCStore(pairs.where(!isNew),
+          col("ida"), col("idb"), p)
+      }
+      Graph.connectedComponentsIncremental(pairs.where(isNew),
+          col("ida"), col("idb"), store, batchId = 1L)
+        .select(col("id").as("doc_id"), col("comp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARM-START label propagation: the history slice's per-round
     // label states persist once (writeLabelState); the batch adds the
     // >= 400-touching edges and only the frontier within r hops of
@@ -377,6 +396,29 @@ object ScaleOpsQueries {
         .orderBy(col("source"))
     }))
 
+  /** Recursive-CTE connected components over the doc-level shared-
+    * passage pair graph — the full-graph mirror the incremental CC
+    * must equal (min reachable id per node, the resolveSql idiom).
+    */
+  private val ccIncSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |$passageCorpusSql),
+       |w AS (
+       |${cdcWinsSql("corpus", "doc_id")}),
+       |dw AS (SELECT DISTINCT doc_id, win FROM w),
+       |p AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |      FROM dw a JOIN dw b
+       |        ON a.win = b.win AND a.doc_id < b.doc_id),
+       |sym AS (SELECT ida AS a, idb AS b FROM p
+       |        UNION SELECT idb, ida FROM p),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a AS id, a AS r FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+       |)
+       |SELECT id AS doc_id, min(r) AS comp FROM reach
+       |GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
     * (count, label), seeds pinned, no-labeled-neighbor keeps previous.
@@ -627,6 +669,7 @@ object ScaleOpsQueries {
     "x_label_prop" -> labelPropSql,
     // warm-start ≡ from-scratch: the full-graph oracle is shared
     "x_label_prop_incremental" -> labelPropSql,
+    "x_cc_incremental" -> ccIncSql,
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,

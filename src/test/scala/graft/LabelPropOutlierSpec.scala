@@ -197,6 +197,47 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(got2 == got1 && got2 == kc(all1 ++ Seq((5L, 7L))))
   }
 
+  test("connectedComponentsIncremental ≡ from-scratch: bridges, new " +
+      "pairs, attachments; only losing components rewrite") {
+    def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Graph.connectedComponents(edges.toDF("a", "b"), col("a"),
+          col("b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def inc(dir: String, nw: Seq[(Long, Long)],
+            bid: Long): Map[Long, Long] =
+      Graph.connectedComponentsIncremental(nw.toDF("a", "b"),
+          col("a"), col("b"), dir, bid)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ccinc-").toString + "/cc"
+    // old components: {1,2,3}, {10,11}, {20,21,22}
+    val oldE = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L))
+    Graph.writeCCStore(oldE.toDF("a", "b"), col("a"), col("b"), dir)
+    // batch 1: a bridge merging two old components, an all-new pair,
+    // and a new node attaching to an old component
+    val new1 = Seq((3L, 10L), (30L, 31L), (40L, 22L))
+    val got1 = inc(dir, new1, 1L)
+    assert(got1 == cc(oldE ++ new1))
+    assert(got1(11L) == 1L && got1(40L) == 20L && got1(31L) == 30L)
+    // ONLY the losing component's members and the new nodes are in
+    // the delta — winners ({1,2,3}, {20,21,22}) never rewrite
+    val delta = spark.read.parquet(s"$dir/batch=1")
+      .select("id").as[Long].collect().toSet
+    assert(delta == Set(10L, 11L, 30L, 31L, 40L), s"$delta")
+    // retry idempotence
+    assert(inc(dir, new1, 1L) == got1)
+    // OPTIMIZE fold, then a second batch: a merge of two previously-
+    // touched components plus a pure-internal no-op edge
+    assert(Graph.compactCCStore(spark, dir).contains(1L))
+    val new2 = Seq((22L, 31L), (1L, 2L))
+    val got2 = inc(dir, new2, 2L)
+    assert(got2 == cc(oldE ++ new1 ++ new2) && got2(31L) == 20L)
+    val delta2 = spark.read.parquet(s"$dir/batch=2")
+      .select("id").as[Long].collect().toSet
+    assert(delta2 == Set(30L, 31L), s"$delta2")
+  }
+
   test("profileTable: hostile column names (quotes, spaces, reserved " +
       "words) never reach the SQL parser") {
     val df = Seq(("x", 1L, "q"), (null, 2L, "q"))
