@@ -786,7 +786,11 @@ object Graph {
   /** WARM-START triangle counting: per-node totals over the UNION
     * graph, counting ONLY the triangles a new edge creates — old
     * triangles are never re-enumerated (the one-sided law of every
-    * incremental path here). A union-graph triangle containing ≥ 1 new
+    * incremental path here; the per-insertion common-neighbor delta
+    * is the classic dynamic-graph step — Eppstein & Spiro, "The
+    * h-index of a graph and its application to dynamic subgraph
+    * statistics", WADS 2009 — batched here with canonical
+    * attribution so a whole edge batch lands in one pass). A union-graph triangle containing ≥ 1 new
     * edge is counted EXACTLY once, at its canonically-smallest new
     * edge: for new edge (u, v), common neighbors w qualify iff each of
     * the other two edges is old, or new AND canonically greater than
@@ -1024,7 +1028,11 @@ object Graph {
     * processed by contracting its edges through the stored labels and
     * running CC on the contracted graph, which has at most one node
     * per TOUCHED component plus the batch's new nodes — never the
-    * corpus. Because a stored component label is the MIN member id,
+    * corpus (the union-find "link by canonical representative" step,
+    * distributed as one contraction round of Kiveris et al.,
+    * "Connected components in MapReduce and beyond", SoCC 2014 —
+    * whose large/small-star machinery [[connectedComponentsStar]]
+    * also finishes the contracted graph here). Because a stored component label is the MIN member id,
     * the min over merged contracted nodes is the min over all merged
     * members, so relabeling through the contraction is EXACT
     * (x_cc_incremental shares a full-graph recursive-CTE oracle).
@@ -1143,8 +1151,10 @@ object Graph {
   }
 
   /** WARM-START k-core: the fixed-k core of the UNION graph, peeling
-    * ONLY a candidate frontier — the persisted members never re-peel.
-    * Soundness rests on two facts: (1) edge insertion never shrinks
+    * ONLY a candidate frontier — the persisted members never re-peel
+    * (the insertion-locality idea of Sarıyüce et al., "Streaming
+    * algorithms for k-core decomposition", VLDB 2013, specialized to
+    * fixed-k membership). Soundness rests on two facts: (1) edge insertion never shrinks
     * the k-core, so stored members stay members and are FROZEN; (2) a
     * node can flip INTO the core only through a chain of flipped
     * nodes reaching a new edge, every one with union-degree ≥ k — so
