@@ -63,59 +63,10 @@ object Retrieval {
     require(rows.length <= maxShortlist,
       s"mmrRerank: shortlist exceeds maxShortlist=$maxShortlist — " +
         "re-rank a top-m shortlist, not a corpus")
-    val ids = rows.map(_.getLong(0))
-    val scores = rows.map(_.getDouble(1))
-    val vecs = rows.map(_.getSeq[Any](2).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-    }.toArray)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val norms = vecs.map(v => math.sqrt(dot(v, v)))
-    def cos(i: Int, j: Int): Double =
-      if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
-      else dot(vecs(i), vecs(j)) / (norms(i) * norms(j))
-    val n = ids.length
-    val picked = new scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]
-    // -inf, not 0: the true max cosine to the selected set can be
-    // negative, and clipping it at 0 would silently under-penalize
-    // (the first pick never reads maxSim, and every entry is
-    // overwritten by a real cosine right after it)
-    val maxSim = Array.fill(n)(Double.NegativeInfinity)
-    val used = Array.fill(n)(false)
-    var round = 0
-    while (round < math.min(k, n)) {
-      var best = -1; var bestVal = Double.NegativeInfinity
-      var i = 0
-      while (i < n) {
-        if (!used(i)) {
-          val v =
-            if (round == 0) scores(i)
-            else lambda * scores(i) - (1.0 - lambda) * maxSim(i)
-          if (v > bestVal || (v == bestVal && best >= 0 &&
-              ids(i) < ids(best))) {
-            best = i; bestVal = v
-          }
-        }
-        i += 1
-      }
-      used(best) = true
-      picked += ((ids(best), round + 1, bestVal))
-      var j = 0
-      while (j < n) {
-        if (!used(j)) {
-          val c = cos(best, j)
-          if (c > maxSim(j)) maxSim(j) = c
-        }
-        j += 1
-      }
-      round += 1
-    }
     import spark.implicits._
-    picked.toSeq.toDF("id", "mmr_rank", "mmr_score")
+    mmrLocal(rows.map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Any](2))), k, lambda)
+      .toDF("id", "mmr_rank", "mmr_score")
   }
 
   /** Persist a corpus's BM25 artifacts as an INVERTED INDEX:
@@ -387,6 +338,101 @@ object Retrieval {
       .select(col("query_id"), posexplode(col("tk")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("col._2").as("id"), col("col._1").as("score"))
+  }
+
+  /** SET-ORIENTED [[mmrRerank]]: re-rank MANY per-query shortlists in
+    * one call. Candidates carry (query_id, id, score, vec); each
+    * query's shortlist is greedily re-ranked exactly as the
+    * single-query path (same fold arithmetic, same min-id tiebreak),
+    * so per-query results are identical. The greedy argmax is
+    * inherently sequential PER QUERY, so shortlists are collected and
+    * re-ranked on the driver — bounded O(|queries|·m·dim) traffic by
+    * the shortlist contract (`maxShortlist` guards EACH query's m;
+    * shortlists come from top-m arms, never corpora). Returns
+    * (query_id, id, mmr_rank, mmr_score).
+    */
+  def mmrRerankMany(candidates: DataFrame, k: Int,
+                    lambda: Double = 0.5,
+                    maxShortlist: Int = 10000): DataFrame = {
+    val spark = candidates.sparkSession
+    val rows = candidates
+      .select(col("query_id").cast("long"), col("id").cast("long"),
+        col("score").cast("double"), col("vec"))
+      .collect()
+    import spark.implicits._
+    val out = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
+      case (qid, qrows) =>
+        require(qrows.length <= maxShortlist,
+          s"mmrRerankMany: query $qid shortlist exceeds " +
+            s"maxShortlist=$maxShortlist — re-rank top-m shortlists, " +
+            "not corpora")
+        val local = qrows.map(r => (r.getLong(1), r.getDouble(2),
+          r.getSeq[Any](3)))
+        mmrLocal(local, k, lambda).map { case (id, rk, sc) =>
+          (qid, id, rk, sc)
+        }
+    }
+    out.toDF("query_id", "id", "mmr_rank", "mmr_score")
+  }
+
+  /** The sequential greedy MMR core over one collected shortlist —
+    * shared verbatim by [[mmrRerank]] and [[mmrRerankMany]] so the two
+    * cannot diverge.
+    */
+  private def mmrLocal(rows: Array[(Long, Double, Seq[Any])], k: Int,
+                       lambda: Double): Seq[(Long, Int, Double)] = {
+    val ids = rows.map(_._1)
+    val scores = rows.map(_._2)
+    val vecs = rows.map(_._3.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length && i < b.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val norms = vecs.map(v => math.sqrt(dot(v, v)))
+    def cos(i: Int, j: Int): Double =
+      if (norms(i) == 0.0 || norms(j) == 0.0) 0.0
+      else dot(vecs(i), vecs(j)) / (norms(i) * norms(j))
+    val n = ids.length
+    val picked = new scala.collection.mutable.ArrayBuffer[(Long, Int, Double)]
+    // -inf, not 0: the true max cosine to the selected set can be
+    // negative, and clipping it at 0 would silently under-penalize
+    // (the first pick never reads maxSim, and every entry is
+    // overwritten by a real cosine right after it)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val used = Array.fill(n)(false)
+    var round = 0
+    while (round < math.min(k, n)) {
+      var best = -1; var bestVal = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!used(i)) {
+          val v =
+            if (round == 0) scores(i)
+            else lambda * scores(i) - (1.0 - lambda) * maxSim(i)
+          if (v > bestVal || (v == bestVal && best >= 0 &&
+              ids(i) < ids(best))) {
+            best = i; bestVal = v
+          }
+        }
+        i += 1
+      }
+      used(best) = true
+      picked += ((ids(best), round + 1, bestVal))
+      var j = 0
+      while (j < n) {
+        if (!used(j)) {
+          val c = cos(best, j)
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+      round += 1
+    }
+    picked.toSeq
   }
 
   /** Batch retrieval evaluation against a relevance-judgment table —

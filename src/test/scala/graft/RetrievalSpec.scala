@@ -414,6 +414,41 @@ class RetrievalSpec extends SparkSuite {
     assert(e.getMessage.contains("shortlist"))
   }
 
+  test("mmrRerankMany ≡ mmrRerank per query; per-query shortlist " +
+      "guard; queries never cross-penalize") {
+    // query 1: the redundancy fixture; query 2: pure-relevance ties —
+    // doc ids deliberately OVERLAP across queries, so any cross-query
+    // leakage in the similarity penalty would change a ranking
+    val cand = Seq(
+      (1L, 1L, 1.00, Seq(1.0f, 0.0f)),
+      (1L, 2L, 0.90, Seq(0.999f, 0.01f)),
+      (1L, 3L, 0.85, Seq(0.0f, 1.0f)),
+      (2L, 1L, 0.5, Seq(1.0f, 0.0f)),
+      (2L, 2L, 0.9, Seq(1.0f, 0.0f)),
+      (2L, 3L, 0.7, Seq(1.0f, 0.0f)))
+      .toDF("query_id", "id", "score", "vec")
+    val many = Retrieval.mmrRerankMany(cand, k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3)))
+      .groupBy(_._1)
+    for (qid <- Seq(1L, 2L)) {
+      val want = Retrieval.mmrRerank(
+          cand.where(col("query_id") === qid).drop("query_id"), k = 3)
+        .collect()
+        .map(r => (qid, r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .toSeq
+      assert(many(qid).sortBy(_._3).toSeq == want, s"query $qid")
+    }
+    val big = spark.range(0, 50)
+      .select(lit(7L).as("query_id"), col("id"), lit(1.0).as("score"),
+        array(lit(1.0f), lit(0.0f)).as("vec"))
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.mmrRerankMany(big, k = 3, maxShortlist = 10)
+    }
+    assert(e.getMessage.contains("query 7"))
+  }
+
   test("rrfFuse: k truncates after fusion, not per arm") {
     val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
     val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
