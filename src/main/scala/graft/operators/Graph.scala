@@ -498,9 +498,9 @@ object Graph {
     * not enough, since a node can turn dirty mid-run and its
     * neighbors' mid-run labels then matter). Store rows are
     * (__round, id, label, __b), round-then-id clustered so a round's
-    * read is a contiguous footer-pruned slice. (Each round state is
-    * derived by an r-round [[labelPropagation]] run — O(iters²) rounds
-    * total at build time, paid once; iters is 3-5 in practice.)
+    * read is a contiguous footer-pruned slice. Single pass: ONE
+    * propagation run captures every round's staged state on the way
+    * to the fixpoint (k rounds total, not k²).
     */
   def writeLabelState(edges: DataFrame, a: Column, b: Column,
                       seeds: DataFrame, seedId: Column, seedLabel: Column,
@@ -508,11 +508,51 @@ object Graph {
                       filesOut: Int = 4,
                       broadcastLimit: Long = 4000000L): Unit = {
     require(iters >= 1, "iters must be >= 1")
-    val rounds = (1 to iters).map(r =>
-      labelPropagation(edges, a, b, seeds, seedId, seedLabel, r,
-        broadcastLimit)
-        .select(lit(r).as("__round"), col("id"), col("label"),
-          lit(0L).as("__b")))
+    // the labelPropagation loop, with each round's staged labels kept
+    val e0 = edges.select(a.as("src"), b.as("dst"))
+    val sym = Checkpoints.stage(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val sd = Checkpoints.stage(
+      seeds.select(seedId.as("id"), seedLabel.as("__seed"))
+        .where(col("__seed").isNotNull)
+        .groupBy(col("id")).agg(max(col("__seed")).as("__seed")))
+    val nodes = Checkpoints.stage(
+      sym.select(col("src").as("id"))
+        .union(sym.select(col("dst").as("id")))
+        .union(sd.select(col("id")))
+        .distinct())
+    val n = nodes.count()
+    def vSized(df: DataFrame): DataFrame =
+      if (n <= broadcastLimit) broadcast(df) else df
+    var labels = Checkpoints.stage(
+      nodes.join(vSized(sd), Seq("id"), "left")
+        .select(col("id"), col("__seed").as("label"),
+          col("__seed").isNotNull.as("__fixed")))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var it = 0
+    while (it < iters) {
+      val best = sym
+        .join(vSized(labels.where(col("label").isNotNull)
+          .select(col("id").as("src"), col("label").as("__l"))),
+          Seq("src"))
+        .groupBy(col("dst"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("__c"), col("__l"))).as("__b"))
+        .select(col("dst").as("id"), col("__b.__l").as("__nl"))
+      val next = labels
+        .join(vSized(best), Seq("id"), "left")
+        .select(col("id"),
+          when(col("__fixed"), col("label"))
+            .otherwise(coalesce(col("__nl"), col("label"))).as("label"),
+          col("__fixed"))
+      labels = Checkpoints.stage(next)
+      rounds += labels.select(lit(it + 1).as("__round"), col("id"),
+        col("label"), lit(0L).as("__b"))
+      it += 1
+    }
     rounds.reduce(_ unionByName _)
       .repartitionByRange(filesOut, col("__round"), col("id"))
       .sortWithinPartitions(col("__round"), col("id"))
