@@ -343,36 +343,47 @@ object Retrieval {
   /** SET-ORIENTED [[mmrRerank]]: re-rank MANY per-query shortlists in
     * one call. Candidates carry (query_id, id, score, vec); each
     * query's shortlist is greedily re-ranked exactly as the
-    * single-query path (same fold arithmetic, same min-id tiebreak),
-    * so per-query results are identical. The greedy argmax is
-    * inherently sequential PER QUERY, so shortlists are collected and
-    * re-ranked on the driver — bounded O(|queries|·m·dim) traffic by
-    * the shortlist contract (`maxShortlist` guards EACH query's m;
-    * shortlists come from top-m arms, never corpora). Returns
+    * single-query path (the shared [[mmrLocal]] core — same fold
+    * arithmetic, same min-id tiebreak — and the result is
+    * permutation-invariant: ties break on id, not arrival order), so
+    * per-query results are identical. The greedy argmax is inherently
+    * sequential PER QUERY, but queries are independent: shortlists are
+    * shuffled to executors by query_id and re-ranked there in
+    * parallel — NOTHING is collected to the driver, so total traffic
+    * scales with the cluster, not the driver heap. Each group's buffer
+    * is counted against `maxShortlist` WHILE buffering and fails loud
+    * before materializing an oversized group (shortlists come from
+    * top-m arms, never corpora). Returns
     * (query_id, id, mmr_rank, mmr_score).
     */
   def mmrRerankMany(candidates: DataFrame, k: Int,
                     lambda: Double = 0.5,
                     maxShortlist: Int = 10000): DataFrame = {
     val spark = candidates.sparkSession
-    val rows = candidates
-      .select(col("query_id").cast("long"), col("id").cast("long"),
-        col("score").cast("double"), col("vec"))
-      .collect()
     import spark.implicits._
-    val out = rows.groupBy(_.getLong(0)).toSeq.sortBy(_._1).flatMap {
-      case (qid, qrows) =>
-        require(qrows.length <= maxShortlist,
-          s"mmrRerankMany: query $qid shortlist exceeds " +
-            s"maxShortlist=$maxShortlist — re-rank top-m shortlists, " +
-            "not corpora")
-        val local = qrows.map(r => (r.getLong(1), r.getDouble(2),
-          r.getSeq[Any](3)))
-        mmrLocal(local, k, lambda).map { case (id, rk, sc) =>
-          (qid, id, rk, sc)
+    candidates
+      .select(col("query_id").cast("long"), col("id").cast("long"),
+        col("score").cast("double"),
+        col("vec").cast("array<double>").as("vec"))
+      .as[(Long, Long, Double, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid: Long,
+                        it: Iterator[(Long, Long, Double, Seq[Double])]) =>
+        val buf =
+          new scala.collection.mutable.ArrayBuffer[(Long, Double, Seq[Any])]
+        while (it.hasNext) {
+          val r = it.next()
+          require(buf.length < maxShortlist,
+            s"mmrRerankMany: query $qid shortlist exceeds " +
+              s"maxShortlist=$maxShortlist — re-rank top-m shortlists, " +
+              "not corpora")
+          buf += ((r._2, r._3, r._4))
         }
-    }
-    out.toDF("query_id", "id", "mmr_rank", "mmr_score")
+        mmrLocal(buf.toArray, k, lambda).iterator.map {
+          case (id, rk, sc) => (qid, id, rk, sc)
+        }
+      }
+      .toDF("query_id", "id", "mmr_rank", "mmr_score")
   }
 
   /** The sequential greedy MMR core over one collected shortlist —

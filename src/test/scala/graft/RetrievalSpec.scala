@@ -427,7 +427,16 @@ class RetrievalSpec extends SparkSuite {
       (2L, 2L, 0.9, Seq(1.0f, 0.0f)),
       (2L, 3L, 0.7, Seq(1.0f, 0.0f)))
       .toDF("query_id", "id", "score", "vec")
-    val many = Retrieval.mmrRerankMany(cand, k = 3)
+    val manyDf = Retrieval.mmrRerankMany(cand, k = 3)
+    // distributed shape: the many path is a lazy plan whose greedy
+    // re-rank runs inside a MapGroups node on executors — a driver
+    // collect would instead yield a pre-materialized LocalRelation
+    // with no MapGroups anywhere
+    assert(manyDf.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.catalyst.plans.logical.MapGroups => m
+      }.nonEmpty,
+      "mmrRerankMany must re-rank inside the plan, not on the driver")
+    val many = manyDf
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
         r.getDouble(3)))
@@ -443,10 +452,14 @@ class RetrievalSpec extends SparkSuite {
     val big = spark.range(0, 50)
       .select(lit(7L).as("query_id"), col("id"), lit(1.0).as("score"),
         array(lit(1.0f), lit(0.0f)).as("vec"))
-    val e = intercept[IllegalArgumentException] {
-      Retrieval.mmrRerankMany(big, k = 3, maxShortlist = 10)
+    // the guard now fires inside a task (while buffering the group),
+    // so Spark surfaces it wrapped — walk the cause chain
+    val e = intercept[Exception] {
+      Retrieval.mmrRerankMany(big, k = 3, maxShortlist = 10).collect()
     }
-    assert(e.getMessage.contains("query 7"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("query 7"))
   }
 
   test("rrfFuse: k truncates after fusion, not per arm") {
