@@ -798,19 +798,45 @@ object Graph {
 
   // ---------- incremental triangle counts ----------
 
+  /** Sibling footer-manifest path for a gen=/batch= graph store — the
+    * BM25-index convention (`postings` + `postings_manifest`): outside
+    * the store root so the manifest's own parquet never pollutes the
+    * store's recursive listings.
+    */
+  private def storeManifestPath(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_manifest"
+
+  /** The store's committed view opened ONLY on the files the probe id
+    * set can live in ([[Stats.readTouchedKeysUnder]] over the
+    * id-clustered batch/gen layout). File-granular superset of the
+    * probed ids' rows — every row of a probed id survives pruning, so
+    * per-id newest-wins folds over the pruned set are exact; callers
+    * keep their row-level filters. Absent manifest = full view.
+    */
+  private def prunedStoreView(spark: org.apache.spark.sql.SparkSession,
+                              storeDir: String, keyCol: String,
+                              probes: DataFrame): DataFrame =
+    Stats.readTouchedKeysUnder(spark,
+      Stats.committedViewDirs(spark, storeDir),
+      storeManifestPath(storeDir), keyCol, probes)
+
   /** Persist [[triangleCounts]]' per-node totals as `batch=0` of an
     * incremental store (id-clustered (id, n_tri, __b) rows — the
-    * label-store protocol).
+    * label-store protocol), plus its sibling footer manifest so
+    * warm-start batches open only touched-id files.
     */
   def writeTriangleStore(edges: DataFrame, a: Column, b: Column,
                          storeDir: String, filesOut: Int = 4,
-                         broadcastLimit: Long = 4000000L): Unit =
+                         broadcastLimit: Long = 4000000L): Unit = {
     triangleCounts(edges, a, b, broadcastLimit)
       .select(col("id"), col("n_tri"), lit(0L).as("__b"))
       .repartitionByRange(filesOut, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=0")
+    Stats.upsertManifest(edges.sparkSession, storeDir,
+      storeManifestPath(storeDir))
+  }
 
   private def triangleStoreView(spark: org.apache.spark.sql.SparkSession,
                                 storeDir: String,
@@ -896,10 +922,19 @@ object Graph {
         .union(n.select(col("v").as("id")))
         .union(credits.select(col("id")))
         .distinct())
-    val prior = triangleStoreView(spark, storeDir, batchId)
-    // prior totals only for touched nodes: the store scan row-filters
-    // on a broadcast-gated semi join, then the merge is a
-    // touched-sized join — never a |V|-sized side
+    // prior totals only for touched nodes: the store scan OPENS only
+    // the files the touched id set can live in (footer manifest over
+    // the id-clustered layout — a batch touching 0.1% of nodes reads
+    // ~0.1% of the store, not all of it), then row-filters on a
+    // broadcast-gated semi join; the merge is a touched-sized join —
+    // never a |V|-sized side. Newest-wins is exact over the pruned
+    // set: pruning keeps EVERY file a probed id can live in, so every
+    // one of its rows survives
+    val prior = prunedStoreView(spark, storeDir, "id", touched)
+      .where(col("__b") < batchId)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("n_tri"))).as("m"))
+      .select(col("id"), col("m.n_tri").as("n_tri"))
     val priorTouched = prior.join(gated(touched), Seq("id"), "left_semi")
     val slice = Checkpoints.stage(touched
       .join(priorTouched, Seq("id"), "left")
@@ -912,6 +947,7 @@ object Graph {
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
     // the returned view is REBUILT after the write: a retry's
     // overwrite of batch=<id> invalidates any file listing captured
     // before it (slice itself is staged, so its data predates the
@@ -926,14 +962,18 @@ object Graph {
     */
   def compactTriangleStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, filesOut: Int = 4)
-      : Option[Long] =
-    Stats.compactCommittedStore(spark, storeDir,
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("n_tri"))).as("m"))
         .select(col("id"), col("m.n_tri").as("n_tri"),
           col("m.__b").as("__b"))
         .repartitionByRange(filesOut, col("id"))
         .sortWithinPartitions(col("id")))
+    if (tok.isDefined)
+      Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
 
   /** [[connectedComponents]] for ARBITRARY key types (URLs, source
     * names, entity strings): endpoints are densely re-labeled through
@@ -1039,18 +1079,47 @@ object Graph {
 
   // ---------- incremental connected components ----------
 
+  /** The CC store's comp-clustered PROJECTION root — the same
+    * (id, comp, __b) rows re-clustered by comp, so the losers lookup
+    * (probe: a batch-sized set of LOSING component ids) opens only
+    * loser-comp files instead of scanning the id-clustered store.
+    * Projection rows go stale when an id later moves component — the
+    * reader confirms every candidate through an id-pruned newest-wins
+    * lookup, so staleness costs reading, never correctness;
+    * [[compactCCStore]] folds the staleness away.
+    */
+  private def ccByCompDir(storeDir: String): String =
+    storeDir.stripSuffix("/") + "_bycomp"
+
   /** Persist [[connectedComponents]]' (id, comp) labeling as `batch=0`
     * of an incremental store (id-clustered, newest-batch-wins rows —
-    * the label-store protocol).
+    * the label-store protocol), plus the comp-clustered projection and
+    * both sibling footer manifests.
     */
   def writeCCStore(edges: DataFrame, a: Column, b: Column,
-                   storeDir: String, filesOut: Int = 4): Unit =
-    connectedComponents(edges, a, b)
-      .select(col("id"), col("comp"), lit(0L).as("__b"))
+                   storeDir: String, filesOut: Int = 4): Unit = {
+    val spark = edges.sparkSession
+    val labels = Checkpoints.stage(connectedComponents(edges, a, b)
+      .select(col("id"), col("comp"), lit(0L).as("__b")))
+    // projection FIRST, main store second: a committed main row must
+    // always have its projection mirror (loser-lookup completeness),
+    // so the main write is the commit point — a crash between the two
+    // leaves only an orphan projection batch, whose extra candidates
+    // the confirm step filters harmlessly
+    labels
+      .repartitionByRange(filesOut, col("comp"))
+      .sortWithinPartitions(col("comp"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${ccByCompDir(storeDir)}/batch=0")
+    labels
       .repartitionByRange(filesOut, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=0")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    Stats.upsertManifest(spark, ccByCompDir(storeDir),
+      storeManifestPath(ccByCompDir(storeDir)))
+  }
 
   private def ccStoreView(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String,
@@ -1104,14 +1173,21 @@ object Graph {
     val nNew = en.count()
     def gated(df: DataFrame): DataFrame =
       if (nNew <= broadcastLimit) broadcast(df) else df
-    val state = ccStoreView(spark, storeDir, batchId)
     // relabel batch endpoints through the stored components; unknown
-    // (new) nodes keep their own id — the store scan row-filters on a
-    // batch-sized semi join
+    // (new) nodes keep their own id — the store scan OPENS only the
+    // files the batch endpoints can live in (sibling footer manifest
+    // over the id-clustered layout), then row-filters on a batch-sized
+    // semi join. Newest-wins is exact over the pruned set: every row
+    // of a probed id survives file pruning
     val ids = en.select(col("u").as("id"))
       .union(en.select(col("v").as("id"))).distinct()
     val touchedState = Checkpoints.stage(
-      state.join(gated(ids), Seq("id"), "left_semi"))
+      prunedStoreView(spark, storeDir, "id", ids)
+        .where(col("__b") < batchId)
+        .groupBy(col("id"))
+        .agg(max(struct(col("__b"), col("comp"))).as("m"))
+        .select(col("id"), col("m.comp").as("comp"))
+        .join(gated(ids), Seq("id"), "left_semi"))
     val relabeled = en
       .join(gated(touchedState.select(col("id").as("u"),
         col("comp").as("cu"))), Seq("u"), "left")
@@ -1125,12 +1201,40 @@ object Graph {
       connectedComponents(relabeled, col("ca"), col("cb"))
         .where(col("id") =!= col("comp"))
         .select(col("id").as("__old"), col("comp").as("__new")))
-    // losing components' members rewrite; winners keep their rows —
-    // one component-keyed broadcast join against the batch-sized
-    // remap fetches exactly the losing rows
-    val losers = state
-      .join(gated(merged), col("comp") === col("__old"))
-      .select(col("id"), col("__new").as("comp"))
+    // losing components' members rewrite; winners keep their rows.
+    // Member candidates come from the comp-clustered projection —
+    // probe: the batch-sized losing-comp set, so only loser-comp
+    // FILES open — then each candidate's CURRENT label is confirmed
+    // through an id-pruned newest-wins lookup (projection rows go
+    // stale when an id later moves component; the confirm step makes
+    // staleness cost reading, never correctness; compaction folds it
+    // away). Stores written before the projection existed fall back
+    // to the id-clustered scan, and never grow a partial projection.
+    val byComp = ccByCompDir(storeDir)
+    val hasProjection = Stats.committedViewDirs(spark, byComp).nonEmpty
+    val losers =
+      if (!hasProjection)
+        ccStoreView(spark, storeDir, batchId)
+          .join(gated(merged), col("comp") === col("__old"))
+          .select(col("id"), col("__new").as("comp"))
+      else {
+        val loserComps = merged.select(col("__old").as("comp"))
+        val candIds = Checkpoints.stage(
+          Stats.readTouchedKeysUnder(spark,
+              Stats.committedViewDirs(spark, byComp),
+              storeManifestPath(byComp), "comp", loserComps)
+            .where(col("__b") < batchId)
+            .join(gated(loserComps), Seq("comp"), "left_semi")
+            .select(col("id")).distinct())
+        prunedStoreView(spark, storeDir, "id", candIds)
+          .where(col("__b") < batchId)
+          .join(candIds, Seq("id"), "left_semi")
+          .groupBy(col("id"))
+          .agg(max(struct(col("__b"), col("comp"))).as("m"))
+          .select(col("id"), col("m.comp").as("comp"))
+          .join(gated(merged), col("comp") === col("__old"))
+          .select(col("id"), col("__new").as("comp"))
+      }
     // the batch's NEW nodes: absent from the store, so each appears in
     // the contracted graph under its OWN id — its final component is
     // its merged remap (when its contracted node lost) or itself (it
@@ -1141,26 +1245,60 @@ object Graph {
       .join(gated(merged), col("id") === col("__old"), "left")
       .select(col("id"), coalesce(col("__new"), col("id")).as("comp"))
     val slice = Checkpoints.stage(newNodes.unionByName(losers))
+    // projection mirror FIRST, main store second: a committed main row
+    // must always have its projection mirror (loser-lookup
+    // completeness — the main write is the commit point; an orphan
+    // projection batch from a crash in between only adds candidates
+    // the confirm step filters). A store without a projection base
+    // skips the mirror and stays on the fallback scan.
+    if (hasProjection)
+      slice.select(col("id"), col("comp"), lit(batchId).as("__b"))
+        .repartitionByRange(1, col("comp"))
+        .sortWithinPartitions(col("comp"), col("id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$byComp/batch=$batchId")
     slice.select(col("id"), col("comp"), lit(batchId).as("__b"))
       .repartitionByRange(1, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
+    if (hasProjection)
+      Stats.upsertManifest(spark, byComp, storeManifestPath(byComp))
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
     ccStoreView(spark, storeDir, batchId)
       .join(gated(slice.select(col("id"))), Seq("id"), "left_anti")
       .unionByName(slice.select(col("id"), col("comp")))
   }
 
-  /** Fold the CC store's delta batches, newest batch winning per id. */
+  /** Fold the CC store's delta batches, newest batch winning per id —
+    * and fold the comp-clustered projection the same way (the per-id
+    * newest-wins fold is what evicts its stale rows), refreshing both
+    * manifests.
+    */
   def compactCCStore(spark: org.apache.spark.sql.SparkSession,
-                     storeDir: String, filesOut: Int = 4): Option[Long] =
-    Stats.compactCommittedStore(spark, storeDir,
-      _.groupBy(col("id"))
+                     storeDir: String, filesOut: Int = 4): Option[Long] = {
+    def currentRows(df: DataFrame): DataFrame =
+      df.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("comp"))).as("m"))
         .select(col("id"), col("m.comp").as("comp"),
           col("m.__b").as("__b"))
+    val tok = Stats.compactCommittedStore(spark, storeDir,
+      currentRows(_)
         .repartitionByRange(filesOut, col("id"))
         .sortWithinPartitions(col("id")))
+    if (tok.isDefined) {
+      val byComp = ccByCompDir(storeDir)
+      if (Stats.committedViewDirs(spark, byComp).nonEmpty) {
+        Stats.compactCommittedStore(spark, byComp,
+          currentRows(_)
+            .repartitionByRange(filesOut, col("comp"))
+            .sortWithinPartitions(col("comp"), col("id"))): Unit
+        Stats.upsertManifest(spark, byComp, storeManifestPath(byComp))
+      }
+      Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    }
+    tok
+  }
 
   // ---------- warm-start incremental k-core ----------
 
@@ -1173,13 +1311,16 @@ object Graph {
   def writeKCoreStore(edges: DataFrame, a: Column, b: Column, k: Int,
                       storeDir: String, filesOut: Int = 4,
                       maxRounds: Int = 50,
-                      broadcastLimit: Long = 4000000L): Unit =
+                      broadcastLimit: Long = 4000000L): Unit = {
     kCore(edges, a, b, k, maxRounds, broadcastLimit)
       .select(col("id"), lit(0L).as("__b"))
       .repartitionByRange(filesOut, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=0")
+    Stats.upsertManifest(edges.sparkSession, storeDir,
+      storeManifestPath(storeDir))
+  }
 
   private def kCoreStoreView(spark: org.apache.spark.sql.SparkSession,
                              storeDir: String,
@@ -1224,22 +1365,35 @@ object Graph {
         .distinct())
     val en = newEdges.select(least(na, nb).as("u"),
       greatest(na, nb).as("v")).where(col("u") =!= col("v"))
-    val oldCore = Checkpoints.stage(
-      kCoreStoreView(spark, storeDir, batchId))
-    val nOld = oldCore.count()
     def gated(df: DataFrame, sz: Long): DataFrame =
       if (sz <= broadcastLimit) broadcast(df) else df
-    // union-degree eligibility: only ≥ k-degree non-members can flip
-    val eligible = Checkpoints.stage(
+    // union-degree eligibility: only ≥ k-degree nodes can flip into
+    // the core — computed from the input edge list (data-sized and
+    // inherent: the union graph is an argument), staged once
+    val degreeOK = Checkpoints.stage(
       e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k)
+        .select(col("id")))
+    // membership is consulted BY PROBE: the store scan OPENS only the
+    // files the probe ids can live in (sibling footer manifest over
+    // the id-clustered layout) — the member store is never scanned
+    // whole during the compute; the only full-view read left is the
+    // RETURN, whose output is the full member set by contract
+    def memberOf(probe: DataFrame): DataFrame =
+      prunedStoreView(spark, storeDir, "id", probe)
+        .where(col("__b") < batchId)
         .select(col("id"))
-        .join(gated(oldCore, nOld), Seq("id"), "left_anti"))
-    var cand = Checkpoints.stage(
+        .join(probe, Seq("id"), "left_semi")
+    // the eligible slice of a frontier: its ≥ k-degree NON-members —
+    // flips propagate only along such chains
+    def eligibleOf(probe: DataFrame): DataFrame = {
+      val pk = probe.join(degreeOK, Seq("id"), "left_semi")
+      pk.join(memberOf(pk), Seq("id"), "left_anti")
+    }
+    var cand = Checkpoints.stage(eligibleOf(
       en.select(col("u").as("id")).union(en.select(col("v").as("id")))
-        .distinct()
-        .join(eligible, Seq("id"), "left_semi"))
+        .distinct()))
     var nc = cand.count()
     // closure: grow through eligible neighbors to a fixpoint — flips
     // propagate only along such chains
@@ -1253,8 +1407,7 @@ object Graph {
           Seq("v"), "left_semi")
           .select(col("u").as("id")))
       val next = Checkpoints.stage(
-        cand.unionByName(nbrs.join(eligible, Seq("id"), "left_semi"))
-          .distinct())
+        cand.unionByName(eligibleOf(nbrs.distinct())).distinct())
       val m = next.count()
       grown = m > nc
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(cand)
@@ -1262,27 +1415,31 @@ object Graph {
       nc = m
       it += 1
     }
-    // peel candidates with members frozen: survive iff degree into
-    // (oldCore ∪ surviving candidates) ≥ k
+    // peel candidates with members frozen: a candidate survives iff
+    // its degree into (frozen members ∪ surviving candidates) ≥ k.
+    // Only edges INCIDENT to candidates are enumerated, and only the
+    // candidates' current neighbor set probes the member store —
+    // per-round work is frontier-sized on both the edge and store side
     var surv = cand
     var ns = nc
     it = 0
     var converged = ns == 0
     while (it < maxRounds && !converged) {
-      val anchor = oldCore.unionByName(surv)
-      val na2 = nOld + ns
-      val live = e
-        .join(gated(anchor.select(col("id").as("u")), na2), Seq("u"),
-          "left_semi")
-        .join(gated(anchor.select(col("id").as("v")), na2), Seq("v"),
-          "left_semi")
+      // one (c, w) row per candidate endpoint of each incident edge
+      // (a candidate–candidate edge credits both endpoints)
+      val inc = e.join(gated(surv.select(col("id").as("u")), ns),
+          Seq("u"))
+        .select(col("u").as("c"), col("v").as("w"))
+        .unionAll(e.join(gated(surv.select(col("id").as("v")), ns),
+          Seq("v"))
+          .select(col("v").as("c"), col("u").as("w")))
+      val nbrIds = inc.select(col("w").as("id")).distinct()
+      val live = surv.unionByName(memberOf(nbrIds))
       val next = Checkpoints.stage(
-        live.select(col("u").as("id"))
-          .unionAll(live.select(col("v").as("id")))
-          .groupBy(col("id")).agg(count(lit(1)).as("__d"))
+        inc.join(live.select(col("id").as("w")), Seq("w"), "left_semi")
+          .groupBy(col("c")).agg(count(lit(1)).as("__d"))
           .where(col("__d") >= k)
-          .select(col("id"))
-          .join(gated(surv, ns), Seq("id"), "left_semi"))
+          .select(col("c").as("id")))
       val m = next.count()
       converged = m == ns
       if (surv ne cand)
@@ -1296,7 +1453,11 @@ object Graph {
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
-    oldCore.unionByName(surv)
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    // the one full-view read, REBUILT after the write (a retry's
+    // overwrite invalidates listings captured before it; surv is
+    // staged, so its data predates the overwrite safely)
+    kCoreStoreView(spark, storeDir, batchId).unionByName(surv)
   }
 
   /** Fold the k-core store's member deltas into one id-clustered
@@ -1304,10 +1465,14 @@ object Graph {
     */
   def compactKCoreStore(spark: org.apache.spark.sql.SparkSession,
                         storeDir: String, filesOut: Int = 4)
-      : Option[Long] =
-    Stats.compactCommittedStore(spark, storeDir,
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"))
         .agg(max(col("__b")).as("__b"))
         .repartitionByRange(filesOut, col("id"))
         .sortWithinPartitions(col("id")))
+    if (tok.isDefined)
+      Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
 }

@@ -274,6 +274,42 @@ object Stats {
     spark.catalog.refreshByPath(manifestPath)
   }
 
+  /** [[writeManifest]] when no manifest exists yet, [[refreshManifest]]
+    * otherwise — the one maintenance call every store append/compact
+    * site needs, tolerant of stores created before their manifest
+    * existed (absent manifest = first write, full footer sweep once).
+    */
+  def upsertManifest(spark: SparkSession, dir: String,
+                     manifestPath: String): Unit =
+    if (pathExists(spark, manifestPath))
+      refreshManifest(spark, dir, manifestPath)
+    else writeManifest(spark, dir, manifestPath)
+
+  private def pathExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Manifest-pruned read of an EXPLICIT directory set keyed on one
+    * integer column — [[readTouchedKeysManifest]] for gen=/batch=
+    * stores ([[committedViewDirs]] supplies `dirs`), tolerant of an
+    * ABSENT manifest: no manifest = full read of `dirs`, pruning is
+    * only ever an optimization (the advisory-manifest contract —
+    * stale or missing costs reading, never rows). File-granular
+    * superset: callers keep their exact row-level filters.
+    */
+  def readTouchedKeysUnder(spark: SparkSession, dirs: Seq[String],
+                           manifestPath: String, c: String,
+                           probes: DataFrame): DataFrame = {
+    require(dirs.nonEmpty, "readTouchedKeysUnder: empty committed view")
+    if (!pathExists(spark, manifestPath))
+      return spark.read.parquet(dirs: _*)
+    val keep = touchedKeysKeptFilesUnder(spark, dirs, manifestPath, c,
+      probes)
+    if (keep.isEmpty) spark.read.parquet(dirs: _*).where(lit(false))
+    else spark.read.parquet(keep: _*)
+  }
+
   // ---------- committed gen=/batch= store protocol ----------
 
   /** True iff `root` holds at least one READER-VISIBLE committed
