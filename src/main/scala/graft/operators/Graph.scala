@@ -700,6 +700,17 @@ object Graph {
       .unionByName(prevSlice.select(col("id"), col("label")))
   }
 
+  /** The label store's CURRENT (id, label) state at `round` (rounds
+    * are 1-based; pass the run's `iters` for the final labels) — the
+    * committed view folded newest-wins per (round, id); the read the
+    * streaming gate's consumers (and specs) use between micro-batches.
+    */
+  def labelStoreLabels(spark: org.apache.spark.sql.SparkSession,
+                       storeDir: String, round: Int): DataFrame =
+    labelStateAll(spark, storeDir, Long.MaxValue)
+      .where(col("__round") === round)
+      .select(col("id"), col("label"))
+
   /** Fold the label store's delta batches into one round-clustered
     * generation, newest batch winning per (round, id) — the OPTIMIZE
     * cycle every incremental store here carries.
@@ -1131,6 +1142,14 @@ object Graph {
       .agg(max(struct(col("__b"), col("comp"))).as("m"))
       .select(col("id"), col("m.comp").as("comp"))
   }
+
+  /** The CC store's CURRENT (id, comp) labeling — the committed view
+    * folded newest-wins per id; the read the streaming gate's
+    * consumers (and specs) use between micro-batches.
+    */
+  def ccStoreLabels(spark: org.apache.spark.sql.SparkSession,
+                    storeDir: String): DataFrame =
+    ccStoreView(spark, storeDir, Long.MaxValue)
 
   /** INCREMENTAL connected components — the truly sublinear warm
     * start: edge insertion only MERGES components, so a batch is

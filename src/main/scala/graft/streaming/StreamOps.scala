@@ -1293,6 +1293,99 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming GRAPH-ANALYTICS maintenance — the foreachBatch gate for
+    * the warm-start graph stores, completing the symmetry with the
+    * dedup/media/ER/BM25 gates: each micro-batch of candidate edges
+    * (the dedup stores' natural output) lands in
+    *
+    *   - an append-only EDGE store (`batch=<micro-batch id>` dirs —
+    *     label propagation's frontier machinery needs the union edge
+    *     list, and the accumulated batches ARE it; history is never
+    *     re-derived),
+    *   - the CC label store via
+    *     [[graft.operators.Graph.connectedComponentsIncremental]]
+    *     (contract-through-stored-labels: per-batch work is
+    *     batch-sized, only losing components rewrite),
+    *   - the per-round label-propagation state store via
+    *     [[graft.operators.Graph.labelPropagationIncremental]]
+    *     (frontier-only vote recompute against the union edges).
+    *
+    * The first NON-EMPTY batch bootstraps all three stores
+    * ([[graft.operators.Graph.writeCCStore]] /
+    * [[graft.operators.Graph.writeLabelState]]); later batches append
+    * overwrite-idempotently (each store's view reads only batches
+    * below its own id, so a Structured Streaming retry never sees its
+    * prior attempt), and `compactEvery` folds all three stores
+    * serially between micro-batches ([[graft.operators.Graph
+    * .compactCCStore]] / [[graft.operators.Graph.compactLabelState]] +
+    * a distinct-edge fold) — mid-stream OPTIMIZE never changes answers
+    * (spec-pinned ≡ from-scratch). Read the current state between
+    * batches via [[graft.operators.Graph.ccStoreLabels]] /
+    * [[graft.operators.Graph.labelStoreLabels]]. Edges re-sent across
+    * batches are harmless for CC and label prop (both are
+    * set-semantics over the union edge list); the seed set is fixed
+    * across the stream for existing nodes, per the warm-start
+    * contract. Restarting the stream WITHOUT its checkpoint over
+    * existing stores would reuse micro-batch ids — the standard
+    * gate-store contract.
+    */
+  def graphGateSink(spark: SparkSession, stream: DataFrame,
+                    a: String, b: String, seeds: DataFrame,
+                    seedId: String, seedLabel: String, iters: Int,
+                    edgesPath: String, ccStorePath: String,
+                    labelStorePath: String, checkpoint: String,
+                    compactEvery: Int = 0, filesOut: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Graph, Stats}
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val edges = batch.select(col(a).as("u"), col(b).as("v"))
+          // retain the batch's edges FIRST (overwrite-idempotent; a
+          // crash before the analytics appends re-runs the whole
+          // batch, overwriting identically)
+          edges.withColumn("__b", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$edgesPath/batch=$batchId")
+          val bootstrap = batchId == 0L ||
+            Stats.committedViewDirs(spark, ccStorePath).isEmpty
+          if (bootstrap) {
+            Graph.writeCCStore(edges, col("u"), col("v"), ccStorePath,
+              filesOut)
+            Graph.writeLabelState(edges, col("u"), col("v"), seeds,
+              col(seedId), col(seedLabel), iters, labelStorePath,
+              filesOut)
+          } else {
+            // union edge list: committed history batches (excluding a
+            // retry's own prior attempt) plus this batch in-memory
+            val all = spark.read
+              .parquet(Stats.committedViewDirs(spark, edgesPath): _*)
+              .where(col("__b") < batchId)
+              .select(col("u"), col("v"))
+              .unionByName(edges)
+            Graph.connectedComponentsIncremental(edges, col("u"),
+              col("v"), ccStorePath, batchId): Unit
+            Graph.labelPropagationIncremental(all, col("u"), col("v"),
+              edges, col("u"), col("v"), seeds, col(seedId),
+              col(seedLabel), iters, labelStorePath, batchId): Unit
+            if (compactEvery > 0 &&
+                batchId % compactEvery == compactEvery - 1) {
+              Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
+              Graph.compactLabelState(spark, labelStorePath,
+                filesOut): Unit
+              Stats.compactCommittedStore(spark, edgesPath,
+                _.select(col("u"), col("v"), col("__b"))
+                  .repartitionByRange(filesOut, col("u"), col("v"))
+                  .sortWithinPartitions(col("u"), col("v"))): Unit
+            }
+          }
+        }
+      }
+      .start()
+  }
+
   /** [[compactWindowStoreGen]] for the ER gate's entity dictionary:
     * fold batch dirs into a blkh-range-clustered generation and
     * refresh the footer manifest (one-cycle vacuum grace, as

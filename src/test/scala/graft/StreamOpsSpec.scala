@@ -678,6 +678,57 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("graphGateSink: streamed edge batches maintain the CC and " +
+      "label-prop stores; mid-stream OPTIMIZE; final state ≡ " +
+      "from-scratch over the union graph") {
+    import graft.operators.Graph
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-graphgate-${System.nanoTime()}"
+    val seeds = Seq((1L, "en"), (10L, "de"), (20L, "fr"))
+      .toDF("sid", "slabel")
+    val in = MemoryStream[(Long, Long)]
+    val q = StreamOps.graphGateSink(spark,
+      in.toDF().toDF("a", "b"), "a", "b", seeds, "sid", "slabel",
+      iters = 2, s"$base/edges", s"$base/cc", s"$base/lp",
+      s"$base/ckpt", compactEvery = 2, filesOut = 2)
+    try {
+      // b0: components {1,2,3} and {10,11}; seed 20 is edge-isolated
+      val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+      // b1: bridge the two components + an all-new pair → the
+      // compaction hook fires AFTER this batch (compactEvery = 2)
+      val b1 = Seq((3L, 10L), (20L, 21L))
+      // b2: merge the pair into the big component through a
+      // POST-COMPACTION append + attach a brand-new node
+      val b2 = Seq((21L, 1L), (30L, 11L))
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable() // OPTIMIZE after b1
+      in.addData(b2: _*); q.processAllAvailable()
+      val union = (b0 ++ b1 ++ b2).toDF("a", "b")
+      // mid-stream OPTIMIZE left generations; batch 2 rode on top
+      def names(p: String) = new java.io.File(p).listFiles()
+        .map(_.getName).toSeq
+      assert(names(s"$base/cc").exists(_.startsWith("gen=")))
+      assert(names(s"$base/lp").exists(_.startsWith("gen=")))
+      assert(names(s"$base/cc").contains("batch=2"))
+      // CC state ≡ from-scratch over the union edge list
+      val gotCC = Graph.ccStoreLabels(spark, s"$base/cc")
+        .as[(Long, Long)].collect().toMap
+      val wantCC = Graph.connectedComponents(union, col("a"), col("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotCC == wantCC)
+      assert(gotCC(21L) == 1L && gotCC(30L) == 1L)
+      // final-round labels ≡ from-scratch 2-round propagation
+      def toM(rows: Array[(Long, String)]) = rows.toMap
+      val gotL = toM(Graph.labelStoreLabels(spark, s"$base/lp", 2)
+        .as[(Long, String)].collect())
+      val wantL = toM(Graph.labelPropagation(union, col("a"), col("b"),
+          seeds, col("sid"), col("slabel"), iters = 2)
+        .as[(Long, String)].collect())
+      assert(gotL == wantL, s"$gotL vs $wantL")
+      assert(gotL(2L) == "en" && gotL(21L) == "fr")
+    } finally q.stop()
+  }
+
   test("erGatePairs: candidate right side is batch-only — store×store " +
       "pairs never form, never reach the levenshtein confirm") {
     import graft.operators.{Resolution, TextAnalysis}
