@@ -573,9 +573,15 @@ object Graph {
     * neighbors' round-(r-1) labels from the store overridden by the
     * recomputed dirty slice.
     *
-    * Contract: `allEdges` is the full union edge list (the accumulated
-    * candidate feed the dedup stores already maintain), `newEdges` the
-    * batch's additions; the seed set is FIXED across runs for existing
+    * Contract: `allEdges` is any SUPERSET of the union edges with an
+    * endpoint within `iters` hops of a new edge — the dirty closure
+    * never expands past that radius and clean nodes' votes are never
+    * recomputed, so farther edges can never matter; pass the full
+    * union list (the accumulated candidate feed the dedup stores
+    * already maintain) when reach slicing isn't cheap, or just the
+    * batch itself when new edges land on otherwise-untouched nodes
+    * (per-user chains, new-source ingests). `newEdges` is the batch's
+    * additions; the seed set is FIXED across runs for existing
     * nodes (new nodes may arrive seeded — they are dirty from round 1).
     * `batchId` must exceed every previously appended batch. The store
     * append is overwrite-idempotent (`batch=<id>` dirs; the state view
@@ -876,7 +882,13 @@ object Graph {
     * never the old wedge volume.
     *
     * Contract (the monotone gate-store contract everywhere):
-    * `allEdges` is the full union edge list, `newEdges` the batch's
+    * `allEdges` is any SUPERSET of the union edges incident to the
+    * batch's endpoints, drawn from the union graph — a triangle
+    * containing a new edge (u, v) consists of edges incident to u or
+    * v, so edges touching neither endpoint can never matter; pass the
+    * full union list when incident slicing isn't cheap, or just the
+    * batch itself when new edges land on otherwise-untouched nodes
+    * (per-user chains, new-source ingests). `newEdges` is the batch's
     * GENUINELY new edges (an edge re-sent from history would re-count
     * its triangles — upstream exact-dedup owns that, as with doc ids
     * in the BM25 index); `batchId` exceeds every prior append. The
@@ -900,8 +912,13 @@ object Graph {
       df.select(least(x, y).as("u"), greatest(x, y).as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
-    val all = Checkpoints.stage(canon(allEdges, a, b))
     val n = Checkpoints.stage(canon(newEdges, na, nb))
+    // same DataFrame reference for both args = "every incident edge
+    // is new" (fresh chains, new-source ingests) — skip re-deriving
+    // and re-staging the identical edge set
+    val all =
+      if (allEdges eq newEdges) n
+      else Checkpoints.stage(canon(allEdges, a, b))
     val nCnt = n.count()
     def gated(df: DataFrame): DataFrame =
       if (nCnt <= broadcastLimit) broadcast(df) else df
@@ -958,7 +975,8 @@ object Graph {
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
-    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    Stats.upsertManifestFor(spark, storeDir, storeManifestPath(storeDir),
+      s"$storeDir/batch=$batchId")
     // the returned view is REBUILT after the write: a retry's
     // overwrite of batch=<id> invalidates any file listing captured
     // before it (slice itself is staged, so its data predates the
@@ -1282,8 +1300,10 @@ object Graph {
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
     if (hasProjection)
-      Stats.upsertManifest(spark, byComp, storeManifestPath(byComp))
-    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+      Stats.upsertManifestFor(spark, byComp, storeManifestPath(byComp),
+        s"$byComp/batch=$batchId")
+    Stats.upsertManifestFor(spark, storeDir, storeManifestPath(storeDir),
+      s"$storeDir/batch=$batchId")
     ccStoreView(spark, storeDir, batchId)
       .join(gated(slice.select(col("id"))), Seq("id"), "left_anti")
       .unionByName(slice.select(col("id"), col("comp")))
@@ -1472,7 +1492,8 @@ object Graph {
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
-    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    Stats.upsertManifestFor(spark, storeDir, storeManifestPath(storeDir),
+      s"$storeDir/batch=$batchId")
     // the one full-view read, REBUILT after the write (a retry's
     // overwrite invalidates listings captured before it; surv is
     // staged, so its data predates the overwrite safely)

@@ -285,6 +285,36 @@ object Stats {
       refreshManifest(spark, dir, manifestPath)
     else writeManifest(spark, dir, manifestPath)
 
+  /** [[upsertManifest]] scoped to ONE changed subdirectory — the
+    * batch-append fast path: manifest rows under `changedDir` are
+    * replaced wholesale with fresh footer stats (exact under retry
+    * overwrites, which swap that dir's files), every other row carries
+    * verbatim, and nothing else is listed or footer-read. A store-wide
+    * [[refreshManifest]] pays a full recursive listing plus a
+    * known-file collect per append; this pays one small-dir listing.
+    * Falls back to a full [[writeManifest]] when no manifest exists.
+    */
+  def upsertManifestFor(spark: SparkSession, dir: String,
+                        manifestPath: String,
+                        changedDir: String): Unit = {
+    if (!pathExists(spark, manifestPath)) {
+      writeManifest(spark, dir, manifestPath); return
+    }
+    val p = new org.apache.hadoop.fs.Path(changedDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+    val files = listParquetFiles(spark, changedDir)
+    val kept = spark.read.parquet(manifestPath)
+      .where(!col("file").startsWith(prefix))
+    val refreshed =
+      (if (files.isEmpty) kept
+       else kept.unionByName(statsForFiles(spark, files)))
+        // manifest-sized; materialize before the self-overwrite
+        .transform(Checkpoints.stage)
+    refreshed.write.mode("overwrite").parquet(manifestPath)
+    spark.catalog.refreshByPath(manifestPath)
+  }
+
   private def pathExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)

@@ -22,6 +22,48 @@ object ScaleOpsQueries {
     t(s, d, "documents").where(col("doc_id") % 3 === 0)
       .select(col("doc_id"), col("lang"))
 
+  /** Per-user CO-OCCURRENCE WINDOW graph — the standard session
+    * construction: an edge between two events within w = 24 positions
+    * of each other in a user's timeline (skip-1 is x_cc_chain's
+    * successor edge). Every (i, i+j, i+k) with j < k ≤ 24 closes a
+    * triangle (all three gaps ≤ 24): C(24,2) = 276 triangles per
+    * position — enough per-node wedge volume that the from-scratch
+    * twin pays real compute at bench scale. Degree ≤ 48, long
+    * diameter, and every edge lives wholly inside one user's
+    * timeline, so a user-sliced batch touches ONLY its own chains. This is the fixture the warm-start graph
+    * queries measure on: the passage-clique corpus makes every batch
+    * span every planted clique, so measured runs there pay near-batch
+    * volume and the frontier locality the operators deliver never
+    * shows in the bench. `f` slices rows (by user) AFTER the per-user
+    * window, so history and batch partitions of the edge set are
+    * exact complements — and, because chains never cross users, the
+    * batch slice IS the union graph's incident-edge set for its own
+    * endpoints (what the warm-start operators' edge contract needs).
+    */
+  private def chainEdges(s: SparkSession, d: String,
+                         f: org.apache.spark.sql.Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pos = t(s, d, "events")
+      .select(Seq(col("user_id"), col("event_id")) ++
+        (1 to 24).map(k =>
+          lead(col("event_id"), k).over(w).as(s"n$k")): _*)
+      .where(f)
+    // ONE pass over the windowed rows (a per-skip unionAll would
+    // re-execute the window once per branch — Catalyst does not dedupe
+    // the common subtree)
+    pos.select(col("event_id").as("ida"),
+        explode(array((1 to 24).map(k => col(s"n$k")): _*)).as("idb"))
+      .where(col("idb").isNotNull)
+  }
+
+  /** Seed slice for chain-graph label propagation: every 5th event's
+    * type is trusted; chains spread it along the timeline.
+    */
+  private def chainSeeds(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events").where(col("event_id") % 5 === 0)
+      .select(col("event_id"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Runtime-filter inner join: lineitem ⋈ (6%-selective part slice)
@@ -102,31 +144,49 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // WARM-START label propagation: the history slice's per-round
-    // label states persist once (writeLabelState); the batch adds the
-    // >= 400-touching edges and only the frontier within r hops of
-    // them recomputes per round - every clean node's round label reads
-    // from the store. Must equal the from-scratch 3-round run over the
-    // union graph: x_label_prop's unrolled-CTE oracle is shared
-    // verbatim.
+    // WARM-START label propagation on the SPARSE chain fixture: the
+    // history users' per-round label states persist once
+    // (writeLabelState); the batch adds the user ≡ 3 (mod 100) chains
+    // and only the frontier within r hops of them recomputes per
+    // round — every clean node's round label reads from the store.
+    // The chain topology is what lets the bench SHOW the frontier
+    // locality (clique corpora make every batch span every clique).
+    // Must equal the from-scratch 3-round run over the union graph:
+    // x_label_prop_chain's unrolled-CTE oracle is shared verbatim.
     "x_label_prop_incremental" -> ((s, d) => {
-      val pairs = Curation.substringDupPairs(
-        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
-      // SF-invariant ~10% batch slice (see x_triangles_incremental)
-      val isNew = col("ida") % 10 === 3 || col("idb") % 10 === 3
-      val store = ArtifactMemo.dirFor("lpstate", d) { p =>
-        Graph.writeLabelState(pairs.where(!isNew),
+      // SF-invariant ~1% batch slice by USER — chains are per-user,
+      // so batch edges are disjoint from history by construction
+      val isNew = col("user_id") % 100 === 3
+      val store = ArtifactMemo.dirFor("lpstate_chain", d) { p =>
+        Graph.writeLabelState(chainEdges(s, d, !isNew),
           col("ida"), col("idb"),
-          langSeeds(s, d), col("doc_id"), col("lang"), iters = 3, p)
+          chainSeeds(s, d), col("event_id"), col("event_type"),
+          iters = 3, p)
       }
+      // chains never cross users, so the batch slice already covers
+      // every union edge within iters hops of a new edge — the
+      // operator's edge contract — and the warm start never derives
+      // or scans the history graph at all
+      val batch = chainEdges(s, d, isNew)
       Graph.labelPropagationIncremental(
-          pairs, col("ida"), col("idb"),
-          pairs.where(isNew), col("ida"), col("idb"),
-          langSeeds(s, d), col("doc_id"), col("lang"),
+          batch, col("ida"), col("idb"),
+          batch, col("ida"), col("idb"),
+          chainSeeds(s, d), col("event_id"), col("event_type"),
           iters = 3, store, batchId = 1L)
-        .select(col("id").as("doc_id"), col("label"))
-        .orderBy(col("doc_id"))
+        .select(col("id").as("event_id"), col("label"))
+        .orderBy(col("event_id"))
     }),
+
+    // BATCH TWIN of x_label_prop_incremental on the SAME chain graph:
+    // the from-scratch 3-round run the warm start must beat — the
+    // bench pair that demonstrates frontier locality end to end.
+    "x_label_prop_chain" -> ((s, d) =>
+      Graph.labelPropagation(
+          chainEdges(s, d, lit(true)), col("ida"), col("idb"),
+          chainSeeds(s, d), col("event_id"), col("event_type"),
+          iters = 3)
+        .select(col("id").as("event_id"), col("label"))
+        .orderBy(col("event_id"))),
 
     // Robust per-source length outliers: documents whose character
     // count deviates from their source's discrete median by more than
@@ -167,30 +227,45 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // WARM-START triangle counting: the history slice's per-node
-    // totals persist once; the batch adds the >= 400-touching edges
-    // and only the triangles a new edge CREATES are enumerated -
-    // counted exactly once at the canonically-smallest new edge, so
-    // multi-new-edge triangles never double-count and old wedge
-    // volume is never re-expanded. Must equal the from-scratch count
-    // over the union graph: x_triangles' oracle shared verbatim.
-    // The batch is the docs ≡ 3 (mod 10) — an SF-INVARIANT ~10% slice
-    // (a doc_id cutoff would make the "batch" 92% of the corpus at
-    // sf0.1, the pathology warm-starting exists to avoid).
+    // WARM-START triangle counting on the SPARSE chain fixture: the
+    // history users' per-node totals persist once; the batch adds the
+    // user ≡ 3 (mod 10) chains and only the triangles a new edge
+    // CREATES are enumerated — counted exactly once at the
+    // canonically-smallest new edge, so multi-new-edge triangles
+    // (every skip-closure triangle here: all three edges arrive
+    // together) never double-count, and old wedge volume is never
+    // re-expanded. The chain topology is what lets the bench SHOW the
+    // frontier locality — an SF-INVARIANT ~10% user slice touches
+    // ~10% of the graph, where the passage-clique corpus made every
+    // batch span every planted clique. Must equal the from-scratch
+    // count over the union graph: x_triangles_chain's oracle shared
+    // verbatim.
     "x_triangles_incremental" -> ((s, d) => {
-      val pairs = Curation.substringDupPairs(
-        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
-      val isNew = col("ida") % 10 === 3 || col("idb") % 10 === 3
-      val store = ArtifactMemo.dirFor("tristore", d) { p =>
-        Graph.writeTriangleStore(pairs.where(!isNew),
+      val isNew = col("user_id") % 100 === 3
+      val store = ArtifactMemo.dirFor("tristore_chain", d) { p =>
+        Graph.writeTriangleStore(chainEdges(s, d, !isNew),
           col("ida"), col("idb"), p)
       }
-      Graph.triangleCountsIncremental(pairs, col("ida"), col("idb"),
-          pairs.where(isNew), col("ida"), col("idb"), store,
+      // chains never cross users, so the batch slice IS the union
+      // graph's incident-edge set for its own endpoints — the
+      // operator's edge contract — and the warm start never derives
+      // or scans the history graph at all
+      val batch = chainEdges(s, d, isNew)
+      Graph.triangleCountsIncremental(
+          batch, col("ida"), col("idb"),
+          batch, col("ida"), col("idb"), store,
           batchId = 1L)
-        .select(col("id").as("doc_id"), col("n_tri"))
-        .orderBy(col("doc_id"))
+        .select(col("id").as("event_id"), col("n_tri"))
+        .orderBy(col("event_id"))
     }),
+
+    // BATCH TWIN of x_triangles_incremental on the SAME chain graph:
+    // the from-scratch count the warm start must beat in the bench.
+    "x_triangles_chain" -> ((s, d) =>
+      Graph.triangleCounts(chainEdges(s, d, lit(true)),
+          col("ida"), col("idb"))
+        .select(col("id").as("event_id"), col("n_tri"))
+        .orderBy(col("event_id"))),
 
     // Precision/recall audit of the MinHash+LSH pipeline vs exact
     // all-pairs ground truth at five thresholds: tp/fp/fn counts per
@@ -419,23 +494,27 @@ object ScaleOpsQueries {
        |SELECT id AS doc_id, min(r) AS comp FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
-  /** Unrolled 3-round label-propagation mirror (the pageRankSqlOver
+  /** The unrolled label-propagation round CTEs (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
     * (count, label), seeds pinned, no-labeled-neighbor keeps previous.
+    * References CTEs `e` (symmetric edges src/dst), `seeds` (id,
+    * label), `nodes` (id), and `l0` (the seed state) — shared by the
+    * passage-graph and chain-graph oracles so the round arithmetic
+    * cannot diverge.
     */
-  private val labelPropSql: String = {
-    val rounds = (1 to 3).map { k =>
+  private def lpRoundsSql(iters: Int): String =
+    (1 to iters).map { k =>
       val prev = s"l${k - 1}"
-      s"""c$k AS (
+      s"""c$k AS MATERIALIZED (
          |  SELECT e.dst AS id, p.label AS l, count(*) AS c
          |  FROM e JOIN $prev p ON e.src = p.id
          |  WHERE p.label IS NOT NULL GROUP BY e.dst, p.label),
-         |b$k AS (
+         |b$k AS MATERIALIZED (
          |  SELECT c.id, max(c.l) AS bl
          |  FROM c$k c JOIN (SELECT id, max(c) AS mc FROM c$k GROUP BY id) m
          |    ON c.id = m.id AND c.c = m.mc
          |  GROUP BY c.id),
-         |l$k AS (
+         |l$k AS MATERIALIZED (
          |  SELECT n.id,
          |    CASE WHEN s.label IS NOT NULL THEN s.label
          |         ELSE coalesce(b.bl, p.label) END AS label
@@ -444,6 +523,11 @@ object ScaleOpsQueries {
          |  LEFT JOIN $prev p ON n.id = p.id
          |  LEFT JOIN b$k b ON n.id = b.id)""".stripMargin
     }.mkString(",\n")
+
+  /** Unrolled 3-round label-propagation mirror over the shared-passage
+    * graph.
+    */
+  private val labelPropSql: String =
     s"""WITH corpus AS (
        |$passageCorpusSql),
        |w AS (
@@ -460,9 +544,64 @@ object ScaleOpsQueries {
        |          UNION SELECT id FROM seeds),
        |l0 AS (SELECT n.id, s.label FROM nodes n
        |       LEFT JOIN seeds s ON n.id = s.id),
-       |$rounds
+       |${lpRoundsSql(3)}
        |SELECT id AS doc_id, label FROM l3 ORDER BY doc_id""".stripMargin
-  }
+
+  /** The sparse chain fixture's canonical edge CTE (`p` with ida <
+    * idb): per-user chain successors plus every-3rd-position skip
+    * edges — the SQL mirror of `chainEdges`.
+    */
+  private val chainEdgesSql: String =
+    s"""pos AS (
+      |  SELECT user_id, event_id,
+      |${(1 to 24).map(k =>
+        s"    lead(event_id, $k) OVER (PARTITION BY user_id\n" +
+        s"      ORDER BY ts, event_id) AS n$k").mkString(",\n")}
+      |  FROM events),
+      |ed AS MATERIALIZED (
+      |${(1 to 24).map(k =>
+        s"  SELECT event_id AS a, n$k AS b FROM pos WHERE n$k IS NOT NULL")
+        .mkString("\n  UNION ALL\n")}),
+      |p AS MATERIALIZED (
+      |  SELECT DISTINCT least(a, b) AS ida, greatest(a, b) AS idb
+      |  FROM ed WHERE a <> b)""".stripMargin
+
+  /** Canonical 3-way-join triangle recount over the chain fixture —
+    * shared by x_triangles_chain and its warm-start twin.
+    */
+  private val trianglesChainSql: String =
+    s"""WITH $chainEdgesSql,
+       |tr AS (SELECT e1.ida AS a, e1.idb AS b, e2.idb AS c
+       |       FROM p e1 JOIN p e2 ON e1.ida = e2.ida AND e1.idb < e2.idb
+       |       JOIN p e3 ON e3.ida = e1.idb AND e3.idb = e2.idb),
+       |corners AS (SELECT a AS id FROM tr
+       |            UNION ALL SELECT b FROM tr
+       |            UNION ALL SELECT c FROM tr),
+       |cnt AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri
+       |        FROM corners GROUP BY id),
+       |nodes AS (SELECT ida AS id FROM p UNION SELECT idb FROM p)
+       |SELECT n.id AS event_id,
+       |  coalesce(cnt.n_tri, CAST(0 AS BIGINT)) AS n_tri
+       |FROM nodes n LEFT JOIN cnt ON n.id = cnt.id
+       |ORDER BY event_id""".stripMargin
+
+  /** Unrolled 3-round label-propagation mirror over the chain fixture
+    * — shared by x_label_prop_chain and its warm-start twin.
+    */
+  private val labelPropChainSql: String =
+    s"""WITH $chainEdgesSql,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM p
+       |      UNION SELECT idb, ida FROM p),
+       |seeds AS MATERIALIZED (SELECT event_id AS id,
+       |          max(event_type) AS label
+       |          FROM events WHERE event_id % 5 = 0 GROUP BY event_id),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e
+       |          UNION SELECT dst FROM e
+       |          UNION SELECT id FROM seeds),
+       |l0 AS MATERIALIZED (SELECT n.id, s.label FROM nodes n
+       |       LEFT JOIN seeds s ON n.id = s.id),
+       |${lpRoundsSql(3)}
+       |SELECT id AS event_id, label FROM l3 ORDER BY event_id""".stripMargin
 
   /** Unrolled 5-iteration personalized-PageRank mirror: the pageRank
     * oracle's shape with the base term and start vector confined to
@@ -667,14 +806,16 @@ object ScaleOpsQueries {
         |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |ORDER BY o_orderkey""".stripMargin,
     "x_label_prop" -> labelPropSql,
-    // warm-start ≡ from-scratch: the full-graph oracle is shared
-    "x_label_prop_incremental" -> labelPropSql,
+    "x_label_prop_chain" -> labelPropChainSql,
+    // warm-start ≡ from-scratch: the chain twin's oracle is shared
+    "x_label_prop_incremental" -> labelPropChainSql,
     "x_cc_incremental" -> ccIncSql,
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,
-    // warm-start ≡ from-scratch: the full-graph oracle is shared
-    "x_triangles_incremental" -> trianglesSql,
+    "x_triangles_chain" -> trianglesChainSql,
+    // warm-start ≡ from-scratch: the chain twin's oracle is shared
+    "x_triangles_incremental" -> trianglesChainSql,
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
     // warm-start ≡ from-scratch: the full-graph oracle is shared

@@ -125,6 +125,8 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // two of them behind a 2 GB checkpoint — the GC cost that
     // motivated the rewrite)
     "x_triangles" -> default.copy(maxShuffles = 8),
+    // same single-pass corner-credit shape over the chain fixture
+    "x_triangles_chain" -> default.copy(maxShuffles = 8),
     // relational fallback arm: the 2 corpus shuffles (anti-join +
     // ordered reassembly) plus the two-pass frequency subtree — the
     // hash-keyed aggregate (fixed-width keys) and the candidate-only
