@@ -618,6 +618,109 @@ object Stats {
     else spark.read.parquet(keep: _*)
   }
 
+  // ---------- per-file bloom manifest (point-lookup pruning) ----------
+
+  /** Per-file BLOOM manifest over one key column — the pruning index
+    * min/max footer stats cannot be for point probes on a
+    * hash-distributed key (every file's [min, max] spans the whole id
+    * domain, so range stats keep everything; this is the gap Delta's
+    * bloom file index fills). One column-pruned scan of `(c,
+    * input_file_name)` builds a fixed-size bloom per data file
+    * ([[graft.functions.BloomAggregator]] — blobs merge as byte-OR, so
+    * partials are map-side and the blob is partitioning-independent);
+    * blob size is MEASURED, not guessed: m = nextPow2(bitsPerKey ×
+    * largest file's key count), uniform across files so merge never
+    * sees mixed widths. Default 16 bits/key ≈ 0.05 % false-positive
+    * per probe per file (k = 6): a 20-id lookup over a 100k-file store
+    * expects ≈ 1 false file open. Keys are hashed with Spark's
+    * `xxhash64` on BOTH build and probe side — callers must probe with
+    * the same column TYPE they built with (xxhash64 is type-sensitive).
+    * Nulls never enter the bloom and null probes never match. Rebuild
+    * after compaction like every manifest; a stale manifest costs
+    * pruning, never rows (uncovered files are always read).
+    */
+  def writeKeyBloomManifest(spark: SparkSession, dir: String, c: String,
+                            manifestPath: String, bitsPerKey: Int = 16,
+                            numHashes: Int = 6): Unit = {
+    import spark.implicits._
+    require(bitsPerKey >= 1 && numHashes >= 1)
+    val keyed = spark.read.parquet(dir)
+      .where(col(c).isNotNull)
+      .select(input_file_name().as("file"), xxhash64(col(c)).as("__h"))
+    val maxKeys = keyed.groupBy(col("file"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n")))
+      .as[Option[Long]].head().getOrElse(0L)
+    val mBits =
+      graft.functions.BloomFilters.sizeBits(maxKeys * bitsPerKey)
+    val bloomAgg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BloomAggregator(mBits, numHashes))
+    keyed.groupBy(col("file"))
+      .agg(bloomAgg(col("__h")).as("bloom"),
+        count(lit(1)).as("n_keys"))
+      .withColumn("m", lit(mBits))
+      .withColumn("k", lit(numHashes))
+      .write.mode("overwrite").parquet(manifestPath)
+    spark.catalog.refreshByPath(manifestPath)
+  }
+
+  /** The data files a POINT-PROBE set over `c` can possibly touch,
+    * per the bloom manifest: a file is kept iff some probe's k bit
+    * positions are all set in its blob — or the manifest does not
+    * cover it (soundness: bloom misses are impossible by construction,
+    * manifest gaps always read). Probe hashes are computed by the same
+    * `xxhash64` the build used and collected driver-side (point
+    * lookups are small by contract — `maxProbes` guards the collect
+    * BEFORE it runs); the blob test itself runs distributed over the
+    * manifest rows, so blobs never reach the driver. File-granular
+    * superset: callers keep their exact row filter.
+    */
+  def pointLookupKeptFiles(spark: SparkSession, dirs: Seq[String],
+                           manifestPath: String, c: String,
+                           probes: DataFrame,
+                           maxProbes: Int = 65536): Seq[String] = {
+    import spark.implicits._
+    val pdf = probes.where(col(c).isNotNull)
+      .select(xxhash64(col(c)).as("__h")).distinct()
+    val guarded = pdf.limit(maxProbes + 1).as[Long].collect()
+    require(guarded.length <= maxProbes,
+      s"point-lookup probe set exceeds $maxProbes keys — " +
+        "use the clustered/manifest range paths for batch probes")
+    val hs = guarded
+    val man = spark.read.parquet(manifestPath)
+      .select(col("file"), col("m"), col("k"), col("bloom"))
+      .as[(String, Int, Int, Array[Byte])]
+    // `input_file_name()` (build side) renders file:///p, the Hadoop
+    // listing (probe side) file:/p — compare through Path, which
+    // normalizes both to one form
+    def norm(s: String): String =
+      new org.apache.hadoop.fs.Path(s).toString
+    val covered = man.map(_._1).collect().map(norm).toSet
+    val hit = man.filter { r =>
+      hs.exists(h =>
+        graft.functions.BloomFilters.mightContain(r._4, r._2, r._3, h))
+    }.map(_._1).collect().map(norm).toSet
+    dirs.flatMap(d => listParquetFiles(spark, d))
+      .filter(f => !covered(norm(f)) || hit(norm(f)))
+  }
+
+  /** Point-lookup read through the bloom manifest: the probed rows of
+    * `dir`, opening only the files [[pointLookupKeptFiles]] keeps.
+    * Row-exact via a broadcast semi join on the (small, bounded) probe
+    * set — bloom false positives cost a file open, never a row.
+    */
+  def readPointLookup(spark: SparkSession, dir: String,
+                      manifestPath: String, c: String,
+                      probes: DataFrame,
+                      maxProbes: Int = 65536): DataFrame = {
+    val keep = pointLookupKeptFiles(spark, Seq(dir), manifestPath, c,
+      probes, maxProbes)
+    val base =
+      if (keep.isEmpty) spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(keep: _*)
+    base.join(broadcast(probes.select(col(c)).distinct()),
+      Seq(c), "left_semi")
+  }
+
   // ---------- corpus profile + drift ----------
 
   /** Long-format exact profile of `cols`: one row per column with

@@ -404,6 +404,32 @@ object TrainingQueries {
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))),
 
+    // Point lookup through the per-file BLOOM manifest, driver-checked
+    // end to end: events rewritten once per data dir as a HASH-
+    // distributed 16-file layout (every file's event_id range spans
+    // the whole domain — range stats prune NOTHING here; this is the
+    // Delta-bloom-index case), bloom-manifested, then probed with the
+    // ~60 audit ids. File-level pruning is machine-checked in
+    // BloomManifestSpec; the result is layout-independent and
+    // row-exact (false positives cost file opens, never rows).
+    "x_point_lookup" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("bloomstore", d) { p =>
+        t(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"))
+          .repartition(16, col("event_id")).write.parquet(p)
+        graft.operators.Stats.writeKeyBloomManifest(s, p, "event_id",
+          p + "_bloom")
+      }
+      val probes = t(s, d, "events")
+        .where(col("event_id") % 997 === 0).select(col("event_id"))
+      graft.operators.Stats.readPointLookup(s, store, store + "_bloom",
+          "event_id", probes)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Small-file compaction, driver-checked end to end: a 64-fragment
     // write (the layout continuous ingestion leaves behind) compacted
     // once per data dir into 4 lang-clustered files, then scanned —
@@ -742,6 +768,10 @@ object TrainingQueries {
     "x_skipping_lang" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "x_point_lookup" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE event_id % 997 = 0 ORDER BY event_id""".stripMargin,
 
     "x_compact_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
