@@ -1199,7 +1199,8 @@ object Graph {
   def connectedComponentsIncremental(newEdges: DataFrame, na: Column,
                                      nb: Column, storeDir: String,
                                      batchId: Long,
-                                     broadcastLimit: Long = 4000000L)
+                                     broadcastLimit: Long = 4000000L,
+                                     smallStoreBytes: Long = 32L << 20)
       : DataFrame = {
     require(batchId >= 1L, "batchId 0 is the writeCCStore base")
     val spark = newEdges.sparkSession
@@ -1218,8 +1219,22 @@ object Graph {
     // of a probed id survives file pruning
     val ids = en.select(col("u").as("id"))
       .union(en.select(col("v").as("id"))).distinct()
+    // one pruner for both id-keyed probes below (endpoint relabel +
+    // loser-candidate confirm): manifest + listing load once. Regime
+    // gate on MEASURED store bytes, as in kCoreIncremental: a small
+    // store reads whole (fewer scheduler round trips than per-probe
+    // pruning), a big one only by manifest-pruned probe.
+    val idPruner = Stats.keyPruner(spark,
+      Stats.committedViewDirs(spark, storeDir),
+      storeManifestPath(storeDir), "id")
+    val smallStore = idPruner.totalBytes <= smallStoreBytes
+    def idProbeView(probe: DataFrame): DataFrame =
+      if (smallStore)
+        spark.read.parquet(
+          Stats.committedViewDirs(spark, storeDir): _*)
+      else idPruner.read(probe)
     val touchedState = Checkpoints.stage(
-      prunedStoreView(spark, storeDir, "id", ids)
+      idProbeView(ids)
         .where(col("__b") < batchId)
         .groupBy(col("id"))
         .agg(max(struct(col("__b"), col("comp"))).as("m"))
@@ -1250,7 +1265,7 @@ object Graph {
     val byComp = ccByCompDir(storeDir)
     val hasProjection = Stats.committedViewDirs(spark, byComp).nonEmpty
     val losers =
-      if (!hasProjection)
+      if (!hasProjection || smallStore)
         ccStoreView(spark, storeDir, batchId)
           .join(gated(merged), col("comp") === col("__old"))
           .select(col("id"), col("__new").as("comp"))
@@ -1263,7 +1278,7 @@ object Graph {
             .where(col("__b") < batchId)
             .join(gated(loserComps), Seq("comp"), "left_semi")
             .select(col("id")).distinct())
-        prunedStoreView(spark, storeDir, "id", candIds)
+        idPruner.read(candIds)
           .where(col("__b") < batchId)
           .join(candIds, Seq("id"), "left_semi")
           .groupBy(col("id"))
@@ -1299,11 +1314,18 @@ object Graph {
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
-    if (hasProjection)
-      Stats.upsertManifestFor(spark, byComp, storeManifestPath(byComp),
-        s"$byComp/batch=$batchId")
-    Stats.upsertManifestFor(spark, storeDir, storeManifestPath(storeDir),
-      s"$storeDir/batch=$batchId")
+    // manifest upkeep only in the big regime (stale manifests are
+    // sound — uncovered files always read — and compactCCStore
+    // restores full coverage); the PROJECTION batch itself is always
+    // appended above: its completeness is a correctness invariant for
+    // future big-regime loser lookups, the manifest is only an index
+    if (!smallStore) {
+      if (hasProjection)
+        Stats.upsertManifestFor(spark, byComp, storeManifestPath(byComp),
+          s"$byComp/batch=$batchId")
+      Stats.upsertManifestFor(spark, storeDir,
+        storeManifestPath(storeDir), s"$storeDir/batch=$batchId")
+    }
     ccStoreView(spark, storeDir, batchId)
       .join(gated(slice.select(col("id"))), Seq("id"), "left_anti")
       .unionByName(slice.select(col("id"), col("comp")))
@@ -1394,7 +1416,8 @@ object Graph {
                        newEdges: DataFrame, na: Column, nb: Column,
                        k: Int, storeDir: String, batchId: Long,
                        maxRounds: Int = 50,
-                       broadcastLimit: Long = 4000000L): DataFrame = {
+                       broadcastLimit: Long = 4000000L,
+                       smallStoreBytes: Long = 32L << 20): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(batchId >= 1L, "batchId 0 is the writeKCoreStore base")
     val spark = allEdges.sparkSession
@@ -1414,21 +1437,51 @@ object Graph {
         .groupBy(col("id")).agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k)
         .select(col("id")))
-    // membership is consulted BY PROBE: the store scan OPENS only the
-    // files the probe ids can live in (sibling footer manifest over
-    // the id-clustered layout) — the member store is never scanned
-    // whole during the compute; the only full-view read left is the
-    // RETURN, whose output is the full member set by contract
-    def memberOf(probe: DataFrame): DataFrame =
-      prunedStoreView(spark, storeDir, "id", probe)
-        .where(col("__b") < batchId)
-        .select(col("id"))
-        .join(probe, Seq("id"), "left_semi")
+    // membership regime, gated on MEASURED store bytes (from the
+    // listing the pruner already paid, never a scan). SMALL store:
+    // stage the whole member set once — membership then fuses into
+    // each round's plan as a broadcast semi join, ZERO extra jobs per
+    // round. BIG store (the 100 TB arm): consult membership BY PROBE —
+    // the store scan OPENS only the files the probe ids can live in
+    // (sibling footer manifest over the id-clustered layout) and the
+    // member store is never scanned whole; each round's probe pays
+    // one pruning job, which is the right trade exactly when the
+    // bytes it skips dwarf scheduler latency. The r11 bench window
+    // caught the un-gated pruned shape at 143 scheduler round trips
+    // per run (2.9× on x_kcore_incremental) — per-round pruning of a
+    // megabyte-sized store is pure fixed cost.
+    val memberPruner = Stats.keyPruner(spark,
+      Stats.committedViewDirs(spark, storeDir),
+      storeManifestPath(storeDir), "id")
+    val smallStore = memberPruner.totalBytes <= smallStoreBytes
+    val oldCoreSmall: Option[DataFrame] =
+      if (!smallStore) None
+      else Some(Checkpoints.stage(
+        spark.read.parquet(Stats.committedViewDirs(spark, storeDir): _*)
+          .where(col("__b") < batchId)
+          .select(col("id")).distinct()))
+    def memberOf(probe: DataFrame): DataFrame = oldCoreSmall match {
+      case Some(oc) =>
+        probe.join(broadcast(oc), Seq("id"), "left_semi")
+      case None =>
+        memberPruner.read(probe)
+          .where(col("__b") < batchId)
+          .select(col("id"))
+          .join(probe, Seq("id"), "left_semi")
+    }
+    // small regime: the whole eligible set (≥ k-degree non-members)
+    // stages ONCE, so each closure round is a single semi join against
+    // it — no per-round membership broadcast
+    val eligibleSmall: Option[DataFrame] = oldCoreSmall.map(oc =>
+      Checkpoints.stage(
+        degreeOK.join(broadcast(oc), Seq("id"), "left_anti")))
     // the eligible slice of a frontier: its ≥ k-degree NON-members —
     // flips propagate only along such chains
-    def eligibleOf(probe: DataFrame): DataFrame = {
-      val pk = probe.join(degreeOK, Seq("id"), "left_semi")
-      pk.join(memberOf(pk), Seq("id"), "left_anti")
+    def eligibleOf(probe: DataFrame): DataFrame = eligibleSmall match {
+      case Some(el) => probe.join(el, Seq("id"), "left_semi")
+      case None =>
+        val pk = probe.join(degreeOK, Seq("id"), "left_semi")
+        pk.join(memberOf(pk), Seq("id"), "left_anti")
     }
     var cand = Checkpoints.stage(eligibleOf(
       en.select(col("u").as("id")).union(en.select(col("v").as("id")))
@@ -1492,8 +1545,13 @@ object Graph {
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
-    Stats.upsertManifestFor(spark, storeDir, storeManifestPath(storeDir),
-      s"$storeDir/batch=$batchId")
+    // manifest upkeep only in the big regime: a stale manifest is
+    // SOUND (uncovered files always read), the small regime never
+    // consults it, and the next compactKCoreStore refreshes coverage
+    // in full — so the small regime pays zero index maintenance
+    if (!smallStore)
+      Stats.upsertManifestFor(spark, storeDir,
+        storeManifestPath(storeDir), s"$storeDir/batch=$batchId")
     // the one full-view read, REBUILT after the write (a retry's
     // overwrite invalidates listings captured before it; surv is
     // staged, so its data predates the overwrite safely)

@@ -35,7 +35,12 @@ object Stats {
     * file index already pays.
     */
   private def listParquetFiles(spark: SparkSession,
-                               dir: String): Seq[String] = {
+                               dir: String): Seq[String] =
+    listParquetFilesWithSize(spark, dir).map(_._1)
+
+  private def listParquetFilesWithSize(spark: SparkSession,
+                                       dir: String)
+      : Seq[(String, Long)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
@@ -44,7 +49,7 @@ object Stats {
       .takeWhile(_.hasNext).map(_.next())
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet") &&
         f.getLen > 0)
-      .map(_.getPath.toString).toSeq
+      .map(f => (f.getPath.toString, f.getLen)).toSeq
   }
 
   def parquetFileStats(spark: SparkSession, dir: String): DataFrame =
@@ -587,8 +592,17 @@ object Stats {
     */
   def touchedKeysKeptFilesUnder(spark: SparkSession, dirs: Seq[String],
                                 manifestPath: String, c: String,
-                                probes: DataFrame): Seq[String] = {
-    val stats = spark.read.parquet(manifestPath)
+                                probes: DataFrame): Seq[String] =
+    touchedKeysKeptFilesFrom(spark.read.parquet(manifestPath),
+      dirs.flatMap(d => listParquetFiles(spark, d)), c, probes)
+
+  /** The pruning core over an ALREADY-LOADED stats table and file
+    * list — what [[KeyPruner]] calls per probe after paying the
+    * manifest read and the listing once.
+    */
+  def touchedKeysKeptFilesFrom(stats: DataFrame, files: Seq[String],
+                               c: String,
+                               probes: DataFrame): Seq[String] = {
     val ranges = stats
       .where(col("column") === c && col("ptype").isin("INT32", "INT64"))
       .select(col("file"), col("min_int").as("__mn"),
@@ -603,8 +617,60 @@ object Stats {
       col("__p") >= col("__mn") && col("__p") <= col("__mx")
     val skip = prunable.join(p, hit, "left_anti")
       .select(col("file")).collect().map(_.getString(0)).toSet
-    dirs.flatMap(d => listParquetFiles(spark, d)).filterNot(skip)
+    files.filterNot(skip)
   }
+
+  /** Per-CALL cached key pruner: ONE manifest read (staged in memory)
+    * and ONE store listing serve every later probe — the form the
+    * ITERATIVE incremental operators need. k-core's closure and peel
+    * loops probe the member store every round; routing each probe
+    * through [[readTouchedKeysUnder]] re-reads the manifest parquet
+    * and re-lists the store per round, a fixed cost that outweighed
+    * the pruning at bench scale (x_kcore_incremental 2.9× in the r11
+    * window — root-caused to exactly this). The capture is pinned at
+    * construction: build one pruner per operator call, AFTER any
+    * store write its probes must observe.
+    */
+  final class KeyPruner private[operators] (spark: SparkSession,
+                                            dirs: Seq[String],
+                                            manifestPath: String,
+                                            c: String) {
+    require(dirs.nonEmpty, "KeyPruner: empty committed view")
+    private val sized: Seq[(String, Long)] =
+      dirs.flatMap(d => listParquetFilesWithSize(spark, d))
+    private val files: Seq[String] = sized.map(_._1)
+
+    /** Total committed data bytes — the regime signal callers gate
+      * on: below a threshold a single staged full-view read beats
+      * per-probe pruning (each probe is a scheduler round trip), above
+      * it pruning is the only shape that scales. Comes from the
+      * listing already paid; never a data scan.
+      */
+    val totalBytes: Long = sized.map(_._2).sum
+
+    private lazy val stats: Option[DataFrame] =
+      if (!pathExists(spark, manifestPath)) None
+      else Some(Checkpoints.stage(spark.read.parquet(manifestPath)))
+
+    def keptFiles(probes: DataFrame): Seq[String] = stats match {
+      case None => files
+      case Some(st) => touchedKeysKeptFilesFrom(st, files, c, probes)
+    }
+
+    /** Pruned store scan for one probe set — [[readTouchedKeysUnder]]
+      * semantics (uncovered files always read; file-granular superset,
+      * callers keep their row filter) at per-probe join cost only.
+      */
+    def read(probes: DataFrame): DataFrame = {
+      val keep = keptFiles(probes)
+      if (keep.isEmpty) spark.read.parquet(dirs: _*).where(lit(false))
+      else spark.read.parquet(keep: _*)
+    }
+  }
+
+  def keyPruner(spark: SparkSession, dirs: Seq[String],
+                manifestPath: String, c: String): KeyPruner =
+    new KeyPruner(spark, dirs, manifestPath, c)
 
   /** Store scan pruned to the files a touched-key set can live in —
     * single-key twin of [[readTouchedPairsManifest]]. File-granular

@@ -87,15 +87,22 @@ class GraphStorePruneSpec extends SparkSuite {
     assert(kept.size < total.size,
       s"pruned scan must skip files: kept ${kept.size} of ${total.size}")
     val all1 = oldE ++ new1
-    val got = Graph.kCoreIncremental(all1.toDF("a", "b"), col("a"),
-        col("b"), new1.toDF("a", "b"), col("a"), col("b"), k = 3, dir,
-        batchId = 1L)
-      .as[Long].collect().toSet
+    // both regimes, same batch id (overwrite-idempotent retries):
+    // first the default SMALL arm (staged member set, zero per-round
+    // prune jobs), then the forced BIG arm (per-probe manifest-pruned
+    // reads — the 100 TB shape this spec exists to exercise)
+    def inc(ssb: Long): Set[Long] =
+      Graph.kCoreIncremental(all1.toDF("a", "b"), col("a"),
+          col("b"), new1.toDF("a", "b"), col("a"), col("b"), k = 3, dir,
+          batchId = 1L, smallStoreBytes = ssb)
+        .as[Long].collect().toSet
     val want = Graph.kCore(all1.toDF("a", "b"), col("a"), col("b"),
         k = 3)
       .as[Long].collect().toSet
-    assert(got == want)
-    assert(got.contains(100L) && got.size == 33)
+    val gotSmall = inc(32L << 20)
+    val gotBig = inc(0L)
+    assert(gotSmall == want && gotBig == want)
+    assert(want.contains(100L) && want.size == 33)
   }
 
   test("CC store: the losers lookup probes the comp-clustered " +
@@ -122,17 +129,25 @@ class GraphStorePruneSpec extends SparkSuite {
         s"${totalComp.size}")
     val keptId = keptFor(dir, "id", Seq(2L, 3L).toDF("id"))
     assert(keptId.size < totalId.size)
-    def inc(nw: Seq[(Long, Long)], bid: Long): Map[Long, Long] =
+    // forced BIG regime: the projection-probe + manifest arms are
+    // what this spec exercises (the default small regime reads the
+    // store whole; its equality is pinned below via an idempotent
+    // batch-1 retry)
+    def inc(nw: Seq[(Long, Long)], bid: Long,
+            ssb: Long = 0L): Map[Long, Long] =
       Graph.connectedComponentsIncremental(nw.toDF("a", "b"), col("a"),
-          col("b"), dir, bid)
+          col("b"), dir, bid, smallStoreBytes = ssb)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
       Graph.connectedComponents(edges.toDF("a", "b"), col("a"),
           col("b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val new1 = Seq((0L, 2L))
+    // small regime first, then the big-arm retry of the SAME batch —
+    // overwrite-idempotent, so both regimes must answer identically
+    val got1Small = inc(new1, 1L, ssb = 32L << 20)
     val got1 = inc(new1, 1L)
-    assert(got1 == cc(oldE ++ new1))
+    assert(got1 == cc(oldE ++ new1) && got1Small == got1)
     // the projection mirrored the delta: comp-0 rows now include the
     // relabeled ids 2 and 3
     val projRows = spark.read
