@@ -1,0 +1,62 @@
+package graft
+
+/** Determinism under PARALLELISM change — the cluster-resize audit.
+  * Every shipped query must return bit-identical rows when the shuffle
+  * partition count, input split size, and AQE mode all change: on a
+  * real cluster those vary per run (executor count, file layout,
+  * adaptive re-planning), and any order-dependent float fold, non-total
+  * tiebreak, or partition-id dependence would make "same query, same
+  * data" silently return different answers — poisoning the oracle
+  * story and any incremental ≡ batch claim built on it.
+  *
+  * The sample below is chosen adversarially: float scoring folds
+  * (cosine, BM25, LM, DSIR), scaled-integer iteration (PageRank),
+  * argmax ties, sketch/quantile cuts, sampling, and the prefix-sum
+  * machinery — the query families where partition order is most
+  * tempting to lean on. Comparison is on collected row multisets
+  * (queries already end in ORDER BY; a non-total sort may legitimately
+  * permute equal rows between runs, exactly as the driver's hash
+  * compare allows).
+  */
+class DeterminismSpec extends SparkSuite {
+
+  private val sample = Seq(
+    "x_cosine_topk",      // IEEE-exact left-fold dot products
+    "x_pagerank",         // scaled-integer fixed point
+    "x_lm_score",         // quantized log-prob sums
+    "x_bm25_indexed",     // per-term float fold through the index
+    "x_dsir_select_q",    // quantized importance weights + gumbel keys
+    "x_quantile_disc",    // discrete quantile cuts
+    "x_curriculum",       // prefix-sum ranks, window-free
+    "x_weighted_sample",  // hash-keyed sampling
+    "q_argmax_daily",     // argmax with tie-break contract
+    "x_dedup_clusters",   // CC label convergence
+    "x_minhash_sigs",     // permutation-hash signatures
+    "x_triangles_chain")  // corner-credit aggregation over windows
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sf0001)
+      .collect().map(_.toString).sorted.toSeq
+
+  sample.foreach { name =>
+    test(s"$name is bit-identical under shuffle/split/AQE change") {
+      val conf = spark.conf
+      val before = rows(name)
+      val saved = Seq(
+        "spark.sql.shuffle.partitions",
+        "spark.sql.files.maxPartitionBytes",
+        "spark.sql.adaptive.enabled").map(k => k -> conf.get(k))
+      try {
+        conf.set("spark.sql.shuffle.partitions", "7")
+        conf.set("spark.sql.files.maxPartitionBytes", "131072")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        val after = rows(name)
+        assert(after == before,
+          s"$name drifted under parallelism change: " +
+            s"${before.size} vs ${after.size} rows; first diff: " +
+            after.zip(before).find(p => p._1 != p._2)
+              .orElse(Some(("size", "mismatch"))).get)
+      } finally saved.foreach { case (k, v) => conf.set(k, v) }
+    }
+  }
+}
