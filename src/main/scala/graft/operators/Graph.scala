@@ -866,6 +866,14 @@ object Graph {
       .select(col("id"), col("m.n_tri").as("n_tri"))
   }
 
+  /** The triangle store's CURRENT per-node totals (newest committed
+    * batch wins per id); the read the streaming gate's consumers (and
+    * specs) use between micro-batches.
+    */
+  def triangleStoreCounts(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String): DataFrame =
+    triangleStoreView(spark, storeDir, Long.MaxValue)
+
   /** WARM-START triangle counting: per-node totals over the UNION
     * graph, counting ONLY the triangles a new edge creates — old
     * triangles are never re-enumerated (the one-sided law of every
@@ -1391,6 +1399,14 @@ object Graph {
       .where(col("__b") < beforeBatch)
       .select(col("id")).distinct()
   }
+
+  /** The k-core store's CURRENT member set (union of committed member
+    * deltas — membership is monotone); the read the streaming gate's
+    * consumers (and specs) use between micro-batches.
+    */
+  def kCoreStoreMembers(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String): DataFrame =
+    kCoreStoreView(spark, storeDir, Long.MaxValue)
 
   /** WARM-START k-core: the fixed-k core of the UNION graph, peeling
     * ONLY a candidate frontier — the persisted members never re-peel

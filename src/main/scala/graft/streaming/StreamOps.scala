@@ -1328,13 +1328,32 @@ object StreamOps {
     * contract. Restarting the stream WITHOUT its checkpoint over
     * existing stores would reuse micro-batch ids — the standard
     * gate-store contract.
+    *
+    * `triStorePath` / `kcoreStorePath` opt the remaining two graph
+    * warm starts into the same gate (all four incremental graph
+    * operators then maintain under one stream). Triangle counting is
+    * the one NON-idempotent op under re-sent edges, so its base is
+    * built from HISTORY ONLY (the batch always rides the
+    * overwrite-idempotent incremental append — a crash-retry of the
+    * bootstrapping micro-batch replays instead of double-counting)
+    * and each batch is exact-deduped against committed history in
+    * canonical endpoint order before it counts. The anti join prices
+    * that exactness at one probe of the (u, v)-clustered edge store
+    * per batch; feed pre-deduped edges upstream to make it a cheap
+    * no-op. Store-batch ids are stream-batch + 1 (batch=0 is each
+    * store's bootstrap base); read current state via
+    * [[graft.operators.Graph.triangleStoreCounts]] /
+    * [[graft.operators.Graph.kCoreStoreMembers]].
     */
   def graphGateSink(spark: SparkSession, stream: DataFrame,
                     a: String, b: String, seeds: DataFrame,
                     seedId: String, seedLabel: String, iters: Int,
                     edgesPath: String, ccStorePath: String,
                     labelStorePath: String, checkpoint: String,
-                    compactEvery: Int = 0, filesOut: Int = 4)
+                    compactEvery: Int = 0, filesOut: Int = 4,
+                    triStorePath: Option[String] = None,
+                    kcoreStorePath: Option[String] = None,
+                    kcoreK: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     stream.writeStream
@@ -1349,6 +1368,17 @@ object StreamOps {
           edges.withColumn("__b", lit(batchId))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
             .parquet(s"$edgesPath/batch=$batchId")
+          // committed HISTORY (excluding a retry's own prior attempt)
+          // and the union edge list with this batch in-memory
+          val hist = spark.read
+            .parquet(Stats.committedViewDirs(spark, edgesPath): _*)
+            .where(col("__b") < batchId)
+            .select(col("u"), col("v"))
+          val all = hist.unionByName(edges)
+          // store-batch ids are stream-batch + 1: batch=0 is reserved
+          // for each store's bootstrap base, and stream batch 0's
+          // append must still exceed it
+          val sb = batchId + 1
           val bootstrap = batchId == 0L ||
             Stats.committedViewDirs(spark, ccStorePath).isEmpty
           if (bootstrap) {
@@ -1358,28 +1388,58 @@ object StreamOps {
               col(seedId), col(seedLabel), iters, labelStorePath,
               filesOut)
           } else {
-            // union edge list: committed history batches (excluding a
-            // retry's own prior attempt) plus this batch in-memory
-            val all = spark.read
-              .parquet(Stats.committedViewDirs(spark, edgesPath): _*)
-              .where(col("__b") < batchId)
-              .select(col("u"), col("v"))
-              .unionByName(edges)
             Graph.connectedComponentsIncremental(edges, col("u"),
               col("v"), ccStorePath, batchId): Unit
             Graph.labelPropagationIncremental(all, col("u"), col("v"),
               edges, col("u"), col("v"), seeds, col(seedId),
               col(seedLabel), iters, labelStorePath, batchId): Unit
-            if (compactEvery > 0 &&
-                batchId % compactEvery == compactEvery - 1) {
-              Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
-              Graph.compactLabelState(spark, labelStorePath,
-                filesOut): Unit
-              Stats.compactCommittedStore(spark, edgesPath,
-                _.select(col("u"), col("v"), col("__b"))
-                  .repartitionByRange(filesOut, col("u"), col("v"))
-                  .sortWithinPartitions(col("u"), col("v"))): Unit
-            }
+          }
+          // triangle maintenance: unlike CC/label prop, a RE-SENT edge
+          // is not harmless here (it would re-count its triangles), so
+          // (a) the bootstrap base is built from HISTORY ONLY and the
+          // batch always rides the overwrite-idempotent incremental
+          // append — a crash-retry of the bootstrapping micro-batch
+          // replays identically instead of double-counting through a
+          // base that already absorbed it — and (b) the batch is
+          // exact-deduped against committed history (canonical
+          // endpoint order) before it counts
+          triStorePath.foreach { tp =>
+            if (Stats.committedViewDirs(spark, tp).isEmpty)
+              Graph.writeTriangleStore(hist, col("u"), col("v"), tp,
+                filesOut)
+            def canon(df: DataFrame): DataFrame =
+              df.select(least(col("u"), col("v")).as("u"),
+                greatest(col("u"), col("v")).as("v"))
+                .where(col("u") =!= col("v")).distinct()
+            val genuinelyNew =
+              canon(edges).join(canon(hist), Seq("u", "v"), "left_anti")
+            Graph.triangleCountsIncremental(all, col("u"), col("v"),
+              genuinelyNew, col("u"), col("v"), tp, sb): Unit
+          }
+          // k-core maintenance: re-sent edges are harmless (they seed
+          // closure from nodes that peel away), so the bootstrap may
+          // absorb the first batch and retries go incremental
+          kcoreStorePath.foreach { kp =>
+            if (Stats.committedViewDirs(spark, kp).isEmpty)
+              Graph.writeKCoreStore(all, col("u"), col("v"), kcoreK,
+                kp, filesOut)
+            else
+              Graph.kCoreIncremental(all, col("u"), col("v"), edges,
+                col("u"), col("v"), kcoreK, kp, sb): Unit
+          }
+          if (!bootstrap && compactEvery > 0 &&
+              batchId % compactEvery == compactEvery - 1) {
+            Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
+            Graph.compactLabelState(spark, labelStorePath,
+              filesOut): Unit
+            triStorePath.foreach(tp =>
+              Graph.compactTriangleStore(spark, tp, filesOut): Unit)
+            kcoreStorePath.foreach(kp =>
+              Graph.compactKCoreStore(spark, kp, filesOut): Unit)
+            Stats.compactCommittedStore(spark, edgesPath,
+              _.select(col("u"), col("v"), col("__b"))
+                .repartitionByRange(filesOut, col("u"), col("v"))
+                .sortWithinPartitions(col("u"), col("v"))): Unit
           }
         }
       }

@@ -690,7 +690,9 @@ class StreamOpsSpec extends SparkSuite {
     val q = StreamOps.graphGateSink(spark,
       in.toDF().toDF("a", "b"), "a", "b", seeds, "sid", "slabel",
       iters = 2, s"$base/edges", s"$base/cc", s"$base/lp",
-      s"$base/ckpt", compactEvery = 2, filesOut = 2)
+      s"$base/ckpt", compactEvery = 2, filesOut = 2,
+      triStorePath = Some(s"$base/tri"),
+      kcoreStorePath = Some(s"$base/kc"), kcoreK = 2)
     try {
       // b0: components {1,2,3} and {10,11}; seed 20 is edge-isolated
       val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
@@ -698,8 +700,13 @@ class StreamOpsSpec extends SparkSuite {
       // compaction hook fires AFTER this batch (compactEvery = 2)
       val b1 = Seq((3L, 10L), (20L, 21L))
       // b2: merge the pair into the big component through a
-      // POST-COMPACTION append + attach a brand-new node
-      val b2 = Seq((21L, 1L), (30L, 11L))
+      // POST-COMPACTION append + attach a brand-new node + close a
+      // triangle on 1-2 AND re-send b0's (1,2) REVERSED — the gate
+      // must exact-dedup it before triangle counting (a re-count
+      // would double (1,2)'s triangles), while CC/LP/k-core absorb
+      // it harmlessly
+      val b2 = Seq((21L, 1L), (30L, 11L), (1L, 31L), (31L, 2L),
+        (2L, 1L))
       in.addData(b0: _*); q.processAllAvailable()
       in.addData(b1: _*); q.processAllAvailable() // OPTIMIZE after b1
       in.addData(b2: _*); q.processAllAvailable()
@@ -726,6 +733,23 @@ class StreamOpsSpec extends SparkSuite {
         .as[(Long, String)].collect())
       assert(gotL == wantL, s"$gotL vs $wantL")
       assert(gotL(2L) == "en" && gotL(21L) == "fr")
+      // triangle totals ≡ from-scratch over the union — the re-sent
+      // (2,1) counted ONCE (the gate's exact-dedup), the (1,2,31)
+      // triangle closed through a HISTORICAL edge counted exactly once
+      val gotT = Graph.triangleStoreCounts(spark, s"$base/tri")
+        .as[(Long, Long)].collect().toMap
+      val wantT = Graph.triangleCounts(union, col("a"), col("b"))
+        .as[(Long, Long)].collect().toMap
+      assert(gotT == wantT, s"$gotT vs $wantT")
+      assert(gotT(31L) == 1L && gotT(1L) == 1L && gotT(2L) == 1L)
+      // k-core members ≡ from-scratch (k = 2): the 1-2-3-10-11-30?…
+      // ring plus 31's wedge — compared structurally, not by hand
+      val gotK = Graph.kCoreStoreMembers(spark, s"$base/kc")
+        .as[Long].collect().toSet
+      val wantK = Graph.kCore(union, col("a"), col("b"), k = 2)
+        .as[Long].collect().toSet
+      assert(gotK == wantK, s"$gotK vs $wantK")
+      assert(gotK.contains(31L))
     } finally q.stop()
   }
 
