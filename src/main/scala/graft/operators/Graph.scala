@@ -1177,6 +1177,25 @@ object Graph {
                     storeDir: String): DataFrame =
     ccStoreView(spark, storeDir, Long.MaxValue)
 
+  /** SNAPSHOT read of the CC store: the (id, comp) labeling AS OF
+    * batch `asOf` (batches ≤ asOf, newest wins per id) — the
+    * reproducible-corpus read ("the dedup clusters the training run
+    * saw at batch k"), and the inputs of [[graft.operators.Stats
+    * .keyedDiff]]'s snapshot audit. Exact for any `asOf` at or after
+    * the newest generation token: compaction's newest-wins fold keeps
+    * one row per id (row-level `__b` intact), so ids whose label
+    * changed AFTER an older snapshot lose their older row — the
+    * standard time-travel-vs-OPTIMIZE retention trade (pin the
+    * snapshot read before compacting, or keep pre-compaction batch
+    * dirs under an explicit retention policy, exactly as
+    * Delta/Iceberg do).
+    */
+  def ccStoreLabelsAsOf(spark: org.apache.spark.sql.SparkSession,
+                        storeDir: String, asOf: Long): DataFrame = {
+    require(asOf >= 0L, "asOf is a committed batch id")
+    ccStoreView(spark, storeDir, asOf + 1)
+  }
+
   /** INCREMENTAL connected components — the truly sublinear warm
     * start: edge insertion only MERGES components, so a batch is
     * processed by contracting its edges through the stored labels and

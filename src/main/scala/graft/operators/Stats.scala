@@ -787,6 +787,46 @@ object Stats {
       Seq(c), "left_semi")
   }
 
+  // ---------- snapshot diff ----------
+
+  /** Keyed DIFF between two snapshots of the same schema — the audit
+    * read behind every store's time travel ("what changed between the
+    * corpus batch 3 trained on and batch 7"): one full-outer join on
+    * `keys`, each non-key column carried as `old_<c>` / `new_<c>`,
+    * classified `added` / `removed` / `changed` (null-safe value
+    * compare, so a value going null is a change, not a phantom
+    * removal) with unchanged rows dropped. Both inputs must share the
+    * exact column set; presence rides explicit flags, never value
+    * nullability. One shuffle per side plus the join — the diff of
+    * two 100 TB snapshots is a co-partitioned join on the key, and
+    * unchanged keys (the overwhelming mass) produce no output rows.
+    */
+  def keyedDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "keyedDiff needs at least one key column")
+    require(oldSnap.columns.sorted.sameElements(newSnap.columns.sorted),
+      s"snapshot schemas differ: ${oldSnap.columns.mkString(",")} vs " +
+        newSnap.columns.mkString(","))
+    val vals = oldSnap.columns.filterNot(keys.contains).toSeq
+    val a = oldSnap.select(keys.map(col) ++
+      vals.map(c => col(c).as(s"old_$c")) :+ lit(true).as("__ina"): _*)
+    val b = newSnap.select(keys.map(col) ++
+      vals.map(c => col(c).as(s"new_$c")) :+ lit(true).as("__inb"): _*)
+    val changed = vals
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .foldLeft(lit(false))(_ || _)
+    a.join(b, keys, "full_outer")
+      .withColumn("status",
+        when(col("__inb").isNull, lit("removed"))
+          .when(col("__ina").isNull, lit("added"))
+          .when(changed, lit("changed"))
+          .otherwise(lit("unchanged")))
+      .where(col("status") =!= "unchanged")
+      .select(keys.map(col) ++
+        vals.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))) :+
+        col("status"): _*)
+  }
+
   // ---------- corpus profile + drift ----------
 
   /** Long-format exact profile of `cols`: one row per column with

@@ -144,6 +144,35 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SNAPSHOT DIFF — the reproducibility audit every store's time
+    // travel exists for: the dedup clusters AS OF batch 0 (history
+    // only) vs AS OF batch 1 (after the ≡ 3 (mod 10) edges landed),
+    // keyed-diffed to exactly the docs whose cluster CHANGED or that
+    // first APPEARED — "what moved between the corpus snapshot run A
+    // trained on and run B's". The store builds once per data dir
+    // (base + one incremental batch inside the memo, so the query is
+    // order-independent of x_cc_incremental); both snapshot reads and
+    // the diff are the measured path. Oracle: two recursive-CTE CC
+    // runs (history / union) full-outer joined.
+    "x_snapshot_diff" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("diffstore", d) { p =>
+        val pairs = Curation.substringDupPairs(
+          passageCorpus(t(s, d, "documents")), col("doc_id"),
+          col("text"))
+        val isNew = col("ida") % 10 === 3 || col("idb") % 10 === 3
+        Graph.writeCCStore(pairs.where(!isNew), col("ida"), col("idb"),
+          p)
+        Graph.connectedComponentsIncremental(pairs.where(isNew),
+          col("ida"), col("idb"), p, batchId = 1L): Unit
+      }
+      graft.operators.Stats.keyedDiff(
+          Graph.ccStoreLabelsAsOf(s, store, 0L),
+          Graph.ccStoreLabelsAsOf(s, store, 1L), Seq("id"))
+        .select(col("id").as("doc_id"), col("old_comp"),
+          col("new_comp"), col("status"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARM-START label propagation on the SPARSE chain fixture: the
     // history users' per-round label states persist once
     // (writeLabelState); the batch adds the user ≡ 3 (mod 100) chains
@@ -494,6 +523,49 @@ object ScaleOpsQueries {
        |SELECT id AS doc_id, min(r) AS comp FROM reach
        |GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Snapshot-diff mirror: CC over the HISTORY slice and over the
+    * union, full-outer joined to the changed/added rows — the SQL
+    * twin of the ccStoreLabelsAsOf(0) vs asOf(1) keyedDiff.
+    */
+  private val ccDiffSql: String =
+    s"""WITH RECURSIVE corpus AS (
+       |$passageCorpusSql),
+       |w AS (
+       |${cdcWinsSql("corpus", "doc_id")}),
+       |dw AS (SELECT DISTINCT doc_id, win FROM w),
+       |p AS MATERIALIZED (
+       |      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |      FROM dw a JOIN dw b
+       |        ON a.win = b.win AND a.doc_id < b.doc_id),
+       |ph AS MATERIALIZED (
+       |      SELECT ida, idb FROM p
+       |      WHERE NOT (ida % 10 = 3 OR idb % 10 = 3)),
+       |symh AS (SELECT ida AS a, idb AS b FROM ph
+       |         UNION SELECT idb, ida FROM ph),
+       |reachh(id, r) AS (
+       |  SELECT DISTINCT a AS id, a AS r FROM symh
+       |  UNION
+       |  SELECT reachh.id, symh.b FROM reachh JOIN symh
+       |    ON reachh.r = symh.a
+       |),
+       |oldc AS MATERIALIZED (
+       |  SELECT id, min(r) AS comp FROM reachh GROUP BY id),
+       |sym AS (SELECT ida AS a, idb AS b FROM p
+       |        UNION SELECT idb, ida FROM p),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a AS id, a AS r FROM sym
+       |  UNION
+       |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+       |),
+       |newc AS MATERIALIZED (
+       |  SELECT id, min(r) AS comp FROM reach GROUP BY id)
+       |SELECT n.id AS doc_id, o.comp AS old_comp, n.comp AS new_comp,
+       |  CASE WHEN o.comp IS NULL THEN 'added' ELSE 'changed' END
+       |    AS status
+       |FROM newc n LEFT JOIN oldc o ON n.id = o.id
+       |WHERE o.comp IS NULL OR o.comp <> n.comp
+       |ORDER BY doc_id""".stripMargin
+
   /** The unrolled label-propagation round CTEs (the pageRankSqlOver
     * idiom): per round, per-(node, label) neighbor counts, argmax by
     * (count, label), seeds pinned, no-labeled-neighbor keeps previous.
@@ -810,6 +882,7 @@ object ScaleOpsQueries {
     // warm-start ≡ from-scratch: the chain twin's oracle is shared
     "x_label_prop_incremental" -> labelPropChainSql,
     "x_cc_incremental" -> ccIncSql,
+    "x_snapshot_diff" -> ccDiffSql,
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,
