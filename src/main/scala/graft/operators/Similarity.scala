@@ -326,19 +326,28 @@ object Similarity {
     * re-center (one groupBy per round, map-side partial sums). Returns
     * the centroid matrix for [[ivfTopK]]'s `cents` — at 100 TB this
     * runs on a sample, the assign/probe machinery is unchanged.
+    *
+    * `l2` switches the assignment metric to squared Euclidean (argmin
+    * ‖x − c‖² via the 2·x·c − ‖c‖² surrogate) — what product-quantizer
+    * codebooks need; the dot-product default is the IVF coarse metric.
     */
   def fitCentroids(corpus: DataFrame, k: Int, iters: Int,
-                   dim: Int = 64): Array[Array[Double]] = {
+                   dim: Int = 64, l2: Boolean = false)
+      : Array[Array[Double]] = {
     var cents: Array[Array[Double]] = corpus
       .select(col("id"), col("vec")).orderBy(col("id")).limit(k)
-      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .collect().map(_.getSeq[Number](1).map(_.doubleValue()).toArray)
+    def scoresOf(cs: Array[Array[Double]]): Column =
+      array(cs.map { c =>
+        if (l2) lit(2.0) * dot(col("vec"), lit(c)) -
+          lit(c.map(x => x * x).sum)
+        else dot(col("vec"), lit(c))
+      }.toSeq: _*)
     for (_ <- 0 until iters) {
       val assign = corpus.select(col("vec"),
         array_position(
-          transform(
-            array(cents.map(c => dot(col("vec"), lit(c))).toSeq: _*),
-            s => s === array_max(
-              array(cents.map(c => dot(col("vec"), lit(c))).toSeq: _*))),
+          transform(scoresOf(cents),
+            s => s === array_max(scoresOf(cents))),
           true).as("cell"))
       val sums = assign
         .select(col("cell"), posexplode(col("vec")))
@@ -384,6 +393,173 @@ object Similarity {
       .select(col("vec"))
       .collect()
       .map(_.getSeq[Double](0).toArray)
+
+  // ---------- product quantization (IVF-PQ) ----------
+
+  /** Per-subspace codebooks for PRODUCT QUANTIZATION (Jégou, Douze &
+    * Schmid, "Product quantization for nearest neighbor search",
+    * TPAMI 2011): `vec` splits into `m` contiguous dim/m-wide
+    * subvectors, each subspace fit with its own `ks`-entry L2 Lloyd's
+    * codebook ([[fitCentroids]] with the argmin-‖x−c‖² surrogate) — a
+    * vector then compresses to `m` small codes (m·log₂ks bits instead
+    * of dim·32), the memory ratio that makes billion-scale shortlists
+    * RAM-resident. Fit on a sample at 100 TB; encode/score unchanged.
+    */
+  def fitPqCodebooks(corpus: DataFrame, m: Int = 8, ks: Int = 16,
+                     iters: Int = 3, dim: Int = 64)
+      : Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = corpus.select(col("id"),
+        slice(col("vec"), j * dsub + 1, dsub).cast("array<double>")
+          .as("vec"))
+      fitCentroids(sub, ks, iters, dsub, l2 = true)
+    }
+  }
+
+  /** Persist / load PQ codebooks as a (sub, cell, vec) parquet table —
+    * the fit-once production artifact, like [[saveCentroids]].
+    */
+  def savePqCodebooks(spark: SparkSession,
+                      books: Array[Array[Array[Double]]],
+                      path: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (c, i) => (j, i, c.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadPqCodebooks(spark: SparkSession, path: String)
+      : Array[Array[Array[Double]]] =
+    spark.read.parquet(path).orderBy(col("sub"), col("cell"))
+      .select(col("sub"), col("vec")).collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(_.getSeq[Double](1).toArray)).toArray
+
+  /** PQ encoding: the vector's `m` per-subspace code indices
+    * (1-based, argmin ‖x_j − c‖² with first-index tiebreak —
+    * deterministic under any partitioning), as an array<int> column.
+    */
+  def pqCodesCol(vec: Column,
+                 books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length
+    val dsub = books(0)(0).length
+    array((0 until m).map { j =>
+      val sub = slice(vec, j * dsub + 1, dsub).cast("array<double>")
+      // argmin ‖x−c‖² ≡ argmax 2·x·c − ‖c‖² (the ‖x‖² term cancels)
+      val scores = array(books(j).map(c =>
+        lit(2.0) * dot(sub, lit(c)) -
+          lit(c.map(x => x * x).sum)).toSeq: _*)
+      array_position(
+        transform(scores, s => s === array_max(scores)), true)
+        .cast("int")
+    }: _*)
+  }
+
+  /** Σ_j ‖codebook_j[code_j]‖² — the reconstruction's squared norm
+    * (subspaces are orthogonal coordinate blocks, so norms add),
+    * looked up from an m·ks literal table: codegen'd element_at
+    * arithmetic unrolled over m, no lambda in the hot path.
+    */
+  private def pqReconNormSq(codes: Column,
+                            books: Array[Array[Array[Double]]]): Column = {
+    val ks = books(0).length
+    val tbl = lit(books.flatMap(_.map(_.map(x => x * x).sum)))
+    books.indices
+      .map(j => element_at(tbl, lit(j * ks) + element_at(codes, j + 1)))
+      .reduce(_ + _)
+  }
+
+  /** The query's ADC table (asymmetric distance computation): dot of
+    * each query subvector with every codebook entry, flattened to
+    * m·ks doubles — computed ONCE per (query, probe-cell) row; each
+    * candidate then scores with m table lookups instead of a
+    * dim-wide dot.
+    */
+  private def pqAdcTable(vec: Column,
+                         books: Array[Array[Array[Double]]]): Column = {
+    val dsub = books(0)(0).length
+    array(books.zipWithIndex.flatMap { case (book, j) =>
+      val sub = slice(vec, j * dsub + 1, dsub).cast("array<double>")
+      book.map(c => dot(sub, lit(c)))
+    }.toSeq: _*)
+  }
+
+  /** IVF-PQ top-k: coarse-quantize into IVF cells, shortlist inside
+    * the probed cells on PQ-compressed codes (each candidate costs m
+    * element_at lookups into the query's ADC table — the float corpus
+    * never enters the candidate join, and the code side is m·log₂ks
+    * bits per vector), exact float re-rank of the shortlist only —
+    * the billion-scale layout (IVFADC in the PQ paper; what FAISS
+    * ships as IndexIVFPQ). cos_pq = (Σ_j q_j·cb_j[code_j]) /
+    * (‖q‖·‖recon‖) — deterministic per row given fitted artifacts, so
+    * the shortlist cut (pqcos desc, id) is partitioning-independent;
+    * final scores are EXACT cosines of the shortlist, the approx-path
+    * contract every recall gate here prices.
+    */
+  def ivfTopKPq(queries: DataFrame, corpus: DataFrame, k: Int,
+                shortlist: Int, centroids: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ks: Int = 16, dim: Int = 64,
+                seed: Long = 42L,
+                fittedCoarse: Option[Array[Array[Double]]] = None,
+                fittedPq: Option[Array[Array[Array[Double]]]] = None)
+      : DataFrame = {
+    require(shortlist >= k, "shortlist must be >= k")
+    val cents: Array[Array[Double]] = fittedCoarse.getOrElse {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(centroids, dim)(rnd.nextGaussian())
+    }
+    val books: Array[Array[Array[Double]]] = fittedPq.getOrElse {
+      val rnd = new scala.util.Random(seed + 1)
+      require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
+      Array.fill(m, ks, dim / m)(rnd.nextGaussian())
+    }
+    def topCells(vec: Column, n: Int): Column =
+      topCellsCol(vec, cents, n)
+    val cs = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+      .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
+      .withColumn("codes", pqCodesCol(col("cv"), books))
+      .withColumn("rn", sqrt(pqReconNormSq(col("codes"), books)))
+      .drop("cv")
+    val qs = queries.select(col("id").as("qa"), col("vec").as("qv"))
+      .withColumn("cell", explode(topCells(col("qv"), nprobe)))
+      .withColumn("adc", pqAdcTable(col("qv"), books))
+      .withColumn("qn", l2Norm(col("qv").cast("array<double>")))
+      .drop("qv")
+    val pqdot = books.indices
+      .map(j => element_at(col("adc"),
+        lit(j * ks) + element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
+    val qdenom = col("qn") * col("rn")
+    val sw = Window.partitionBy(col("qa"))
+      .orderBy(col("pqcos").desc, col("vb"))
+    val shortlisted = broadcast(qs).join(cs, Seq("cell"))
+      .where(col("qa") =!= col("vb"))
+      .select(col("qa"), col("vb"),
+        when(qdenom =!= 0.0, pqdot / qdenom).as("pqcos"))
+      .distinct()
+      .withColumn("srank", row_number().over(sw))
+      .where(col("srank") <= shortlist)
+      .select(col("qa"), col("vb"))
+    // exact float re-rank of the shortlist only — the
+    // ivfTopKQuantized broadcast-fetch shape: the float corpus never
+    // shuffles, the |Q|·shortlist side rides the broadcast
+    val qv = broadcast(queries.select(col("id").as("qa"),
+        col("vec").as("qv"))
+      .withColumn("qn", l2Norm(col("qv"))))
+    val cv = corpus.select(col("id").as("vb"), col("vec").as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
+    val denom = col("qn") * col("cn")
+    val w = Window.partitionBy(col("qa"))
+      .orderBy(col("cos").desc, col("vb"))
+    broadcast(shortlisted.join(qv, "qa")).join(cv, "vb")
+      .select(col("qa"), col("vb"),
+        when(denom =!= 0.0, dot(col("qv"), col("cv")) / denom).as("cos"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+  }
 
   /** Approximate top-k: L independent hash tables of `planes` sign bits;
     * candidates = bucket collisions in any table; exact cosine re-rank on

@@ -29,6 +29,14 @@ object ExtensionQueries {
     centsMemo.computeIfAbsent(d,
       _ => Similarity.fitCentroids(e, k = 16, iters = 3))
 
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[Array[Double]]]]()
+
+  private[queries] def fittedPqBooks(d: String, e: => DataFrame)
+      : Array[Array[Array[Double]]] =
+    pqMemo.computeIfAbsent(d,
+      _ => Similarity.fitPqCodebooks(e, m = 16, ks = 16, iters = 2))
+
   /** Persisted BANDED MinHash signature store for the "historical"
     * corpus slice (doc_id < 400), written once per data dir — clustered
     * by (band, bucket) with a footer-stats manifest, so a batch's store
@@ -478,6 +486,23 @@ object ExtensionQueries {
         .orderBy(col("qa"), col("rank"))
     }),
 
+    // IVF-PQ top-k (Jégou et al. — the billion-scale ANN layout, what
+    // FAISS ships as IndexIVFPQ): 16 subspace codebooks of 16 entries
+    // compress each vector to 64 bits for the in-cell shortlist; the
+    // exact float re-rank makes final scores true cosines. Rows-only
+    // here; the approximation is licensed by the x_ivf_pq_recall_err
+    // gate below.
+    "x_cosine_ivf_pq" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopKPq(e.where(col("id") < 10), e, k = 5,
+          shortlist = 40, nprobe = 6, m = 16,
+          fittedCoarse = Some(fittedCents(d, e)),
+          fittedPq = Some(fittedPqBooks(d, e)))
+        .select(col("qa"), col("rank"), col("vb"), col("cos"))
+        .orderBy(col("qa"), col("rank"))
+    }),
+
     // MinHash signatures — native per-row expression (no explode, no
     // shuffle), PolyFp hash family → full DuckDB oracle.
     "x_minhash_sigs" -> ((s, d) =>
@@ -658,6 +683,28 @@ object ExtensionQueries {
       misses.agg(count(lit(1)).as("n_miss"))
         .crossJoin(bf.agg(count(lit(1)).as("n_exact")))
         .where(col("n_miss") * 10 > col("n_exact") * 2)
+        .select(col("n_miss"), col("n_exact"))
+    }),
+
+    // IVF-PQ recall gate: misses vs the brute-force exact top-5 must
+    // stay under 30% (PQ compresses to 64 bits/vector — coarser than
+    // int8's 512, priced by a correspondingly wider shortlist) — the
+    // empty-set oracle that licenses x_cosine_ivf_pq.
+    "x_ivf_pq_recall_err" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val q = e.where(col("id") < 10)
+      val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("qa"), col("vb"))
+      val pq = Similarity.ivfTopKPq(q, e, k = 5, shortlist = 40,
+          nprobe = 6, m = 16,
+          fittedCoarse = Some(fittedCents(d, e)),
+          fittedPq = Some(fittedPqBooks(d, e)))
+        .select(col("qa"), col("vb"))
+      val misses = bf.join(pq, Seq("qa", "vb"), "left_anti")
+      misses.agg(count(lit(1)).as("n_miss"))
+        .crossJoin(bf.agg(count(lit(1)).as("n_exact")))
+        .where(col("n_miss") * 10 > col("n_exact") * 3)
         .select(col("n_miss"), col("n_exact"))
     }),
 
@@ -1434,6 +1481,9 @@ object ExtensionQueries {
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
     "x_ivf_q8_recall_err" ->
+      """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
+        |WHERE 1 = 0""".stripMargin,
+    "x_ivf_pq_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
     "x_heavy_hitters" ->

@@ -72,6 +72,13 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // two ranking windows (quantized shortlist, float re-rank)
     "x_cosine_ivf_q8" -> Budget(maxShuffles = 8, maxSorts = 8,
       maxBroadcasts = 8),
+    // PQ gate: brute-force exact baseline BY DESIGN + the two-stage
+    // PQ shortlist/re-rank windows (the q8 gate's shape)
+    "x_ivf_pq_recall_err" -> Budget(maxShuffles = 14, maxSorts = 12,
+      maxBroadcasts = 10, allowCartesian = true),
+    // same two-stage windows as x_cosine_ivf_q8
+    "x_cosine_ivf_pq" -> Budget(maxShuffles = 8, maxSorts = 8,
+      maxBroadcasts = 8),
     // exact-vs-approx disagreement gate: two gates + exceptAll both ways
     "x_quality_gate_approx_err" -> Budget(maxShuffles = 10,
       maxSorts = 6, maxBroadcasts = 8),

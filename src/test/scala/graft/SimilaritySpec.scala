@@ -88,6 +88,49 @@ class SimilaritySpec extends SparkSuite {
     assert(agree >= 0.9, s"quantized vs float IVF agreement $agree < 0.9")
   }
 
+  test("IVF-PQ: with full probe and full shortlist the exact re-rank " +
+      "reproduces bruteForceTopK bit-for-bit") {
+    val q = embs.where($"id" < 5)
+    val n = embs.count().toInt
+    val books = Similarity.fitPqCodebooks(embs, m = 8, ks = 16,
+      iters = 2)
+    val full = Similarity.ivfTopKPq(q, embs, k = 5, shortlist = n,
+        centroids = 16, nprobe = 16, fittedPq = Some(books))
+      .select($"qa", $"rank", $"vb", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"rank", $"vb", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == bf,
+      "full-probe full-shortlist IVF-PQ must equal brute force")
+  }
+
+  test("IVF-PQ at production settings (fitted coarse + codebooks): " +
+      "recall@5 >= 0.7 vs brute force; codebooks round-trip parquet " +
+      "bit-exactly") {
+    val q = embs.where($"id" < 20)
+    val cents = Similarity.fitCentroids(embs, k = 16, iters = 3)
+    val books = Similarity.fitPqCodebooks(embs, m = 16, ks = 16,
+      iters = 2)
+    val got = Similarity.ivfTopKPq(q, embs, k = 5, shortlist = 40,
+        nprobe = 6, m = 16, fittedCoarse = Some(cents),
+        fittedPq = Some(books))
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    val bf = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    val recall = bf.count(got.contains).toDouble / bf.size
+    assert(recall >= 0.7, s"IVF-PQ recall $recall < 0.7")
+    // fit-once artifact: save/load reproduces the codes (and so every
+    // downstream score) exactly
+    val p = java.nio.file.Files
+      .createTempDirectory("graft-pqbooks-").toString + "/books"
+    Similarity.savePqCodebooks(spark, books, p)
+    val loaded = Similarity.loadPqCodebooks(spark, p)
+    assert(loaded.length == books.length &&
+      loaded.zip(books).forall { case (a, b) =>
+        a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
+
   test("IVF with fitted k-means centroids matches or beats random cells") {
     val q = embs.where($"id" < 20)
     val exact = Similarity.bruteForceTopK(q, embs, 5)
