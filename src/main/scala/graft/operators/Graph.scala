@@ -272,7 +272,8 @@ object Graph {
   def pageRank(edges: DataFrame, src: Column, dst: Column,
                iters: Int = 5, dampNum: Long = 85, dampDen: Long = 100,
                scale: Long = 1000000L,
-               broadcastLimit: Long = 4000000L): DataFrame = {
+               broadcastLimit: Long = 4000000L,
+               start: Option[DataFrame] = None): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need 0 <= dampNum <= dampDen")
@@ -287,8 +288,20 @@ object Graph {
     val outdeg = Checkpoints.stage(
       e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val base = scale * (dampDen - dampNum) / (dampDen * n)
-    var ranks = Checkpoints.stage(
-      nodes.select(col("id"), lit(scale / n).as("rank")))
+    // `start` WARM-STARTS the iteration: known ids take their stored
+    // rank, unseen (new) ids the uniform prior — power iteration
+    // converges from any start vector, a near-fixed-point start just
+    // needs fewer rounds (the warm-start contract [[pageRankWarm]]
+    // prices). The arithmetic stays bit-deterministic either way.
+    var ranks = Checkpoints.stage(start match {
+      case None =>
+        nodes.select(col("id"), lit(scale / n).as("rank"))
+      case Some(s0) =>
+        nodes.join(s0.select(col("id"), col("rank").as("__r0")),
+            Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__r0"), lit(scale / n)).as("rank"))
+    })
     val small = n <= broadcastLimit
     def vSized(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
@@ -383,6 +396,106 @@ object Graph {
       it += 1
     }
     ranks
+  }
+
+  // ---------- warm-start PageRank ----------
+
+  /** Persist [[pageRank]]'s converged ranks as `batch=0` of an
+    * incremental store (id-clustered (id, rank, __b) rows — the
+    * label-store protocol), the warm-start base for
+    * [[pageRankWarm]].
+    */
+  def writePageRankStore(edges: DataFrame, src: Column, dst: Column,
+                         iters: Int, storeDir: String,
+                         filesOut: Int = 4, dampNum: Long = 85,
+                         dampDen: Long = 100, scale: Long = 1000000L,
+                         broadcastLimit: Long = 4000000L): Unit = {
+    pageRank(edges, src, dst, iters, dampNum, dampDen, scale,
+        broadcastLimit)
+      .select(col("id"), col("rank"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+    Stats.upsertManifest(edges.sparkSession, storeDir,
+      storeManifestPath(storeDir))
+  }
+
+  private def prStoreView(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String,
+                          beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("rank"))).as("m"))
+      .select(col("id"), col("m.rank").as("rank"))
+  }
+
+  /** The PageRank store's CURRENT ranks (newest batch wins per id). */
+  def pageRankStoreRanks(spark: org.apache.spark.sql.SparkSession,
+                         storeDir: String): DataFrame =
+    prStoreView(spark, storeDir, Long.MaxValue)
+
+  /** WARM-START PageRank over an EVOLVED graph: power iteration on
+    * the union edge list initialized from the STORED ranks (new nodes
+    * take the uniform prior), run for `rounds` < a cold run's iters.
+    *
+    * What the warm start buys — and what it cannot: rank mass
+    * redistributes globally (the teleport base shifts with |V|, every
+    * inflow sum spans the graph), so PER-ROUND work is inherently
+    * graph-sized; no frontier slicing is sound (why rounds 9 and 10
+    * EXCLUDED an incremental PageRank rather than fake one). What IS
+    * sound is round-count: from a near-fixed-point start the residual
+    * contracts by the damping factor per round, so a handful of warm
+    * rounds replaces a cold run's full ladder — the standard
+    * restart treatment for evolving graphs (Langville & Meyer, "Deep
+    * Inside PageRank", updating chapter). The arithmetic is the same
+    * bit-deterministic scaled-integer iteration, a pure function of
+    * (store contents, union graph, rounds) — so the driver's oracle
+    * can unroll history's iterations AND the warm rounds in SQL and
+    * hash-match exactly; approximation quality vs a longer cold run
+    * is pinned separately in GraphSpec.
+    *
+    * Survivor ranks append as an overwrite-idempotent `batch=<id>`
+    * (newest-wins store; retries read only batches < batchId).
+    */
+  def pageRankWarm(allEdges: DataFrame, src: Column, dst: Column,
+                   storeDir: String, batchId: Long, rounds: Int = 2,
+                   filesOut: Int = 4, dampNum: Long = 85,
+                   dampDen: Long = 100, scale: Long = 1000000L,
+                   broadcastLimit: Long = 4000000L): DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writePageRankStore base")
+    val spark = allEdges.sparkSession
+    val start = prStoreView(spark, storeDir, batchId)
+    val ranks = Checkpoints.stage(
+      pageRank(allEdges, src, dst, rounds, dampNum, dampDen, scale,
+        broadcastLimit, start = Some(start)))
+    ranks.select(col("id"), col("rank"), lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    Stats.upsertManifestFor(spark, storeDir,
+      storeManifestPath(storeDir), s"$storeDir/batch=$batchId")
+    // ranks is staged, so its data predates the overwrite safely
+    ranks
+  }
+
+  /** Fold the PageRank store's batches, newest winning per id. */
+  def compactPageRankStore(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String, filesOut: Int = 4)
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("id"))
+        .agg(max(struct(col("__b"), col("rank"))).as("m"))
+        .select(col("id"), col("m.rank").as("rank"),
+          col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id")))
+    if (tok.isDefined)
+      Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani CMU-CALD-02-107;
@@ -873,6 +986,15 @@ object Graph {
   def triangleStoreCounts(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String): DataFrame =
     triangleStoreView(spark, storeDir, Long.MaxValue)
+
+  /** Snapshot read of the triangle store as of batch `asOf` — same
+    * contract and retention trade as [[ccStoreLabelsAsOf]].
+    */
+  def triangleStoreCountsAsOf(spark: org.apache.spark.sql.SparkSession,
+                              storeDir: String, asOf: Long): DataFrame = {
+    require(asOf >= 0L, "asOf is a committed batch id")
+    triangleStoreView(spark, storeDir, asOf + 1)
+  }
 
   /** WARM-START triangle counting: per-node totals over the UNION
     * graph, counting ONLY the triangles a new edge creates — old
@@ -1426,6 +1548,18 @@ object Graph {
   def kCoreStoreMembers(spark: org.apache.spark.sql.SparkSession,
                         storeDir: String): DataFrame =
     kCoreStoreView(spark, storeDir, Long.MaxValue)
+
+  /** Snapshot read of the k-core member set as of batch `asOf` —
+    * membership is monotone, so (unlike the newest-wins stores) every
+    * historical snapshot survives compaction exactly: the fold keeps
+    * each id's max batch, which is ≤ asOf iff the id was a member by
+    * then. No retention trade here.
+    */
+  def kCoreStoreMembersAsOf(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, asOf: Long): DataFrame = {
+    require(asOf >= 0L, "asOf is a committed batch id")
+    kCoreStoreView(spark, storeDir, asOf + 1)
+  }
 
   /** WARM-START k-core: the fixed-k core of the UNION graph, peeling
     * ONLY a candidate frontier — the persisted members never re-peel

@@ -441,17 +441,45 @@ object RetrievalQueries {
     // 5 synchronous iterations of scaled-integer rank flow, one
     // contribution shuffle per iteration, bit-deterministic — the
     // oracle unrolls the same 5 iterations as chained CTEs.
-    "x_pagerank" -> ((s, d) => {
-      val edges = t(s, d, "lineitem").where(col("l_quantity") <= 2)
-        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .where(col("src") =!= col("dst"))
-      Graph.pageRank(edges, col("src"), col("dst"), iters = 5)
+    "x_pagerank" -> ((s, d) =>
+      Graph.pageRank(nationTradeEdges(s, d, maxQty = 2), col("src"),
+          col("dst"), iters = 5)
+        .select(col("id").as("nationkey"), col("rank"))
+        .orderBy(col("nationkey"))),
+
+    // WARM-START PageRank: the quantity ≤ 1 trade graph's converged
+    // ranks persist once (writePageRankStore, 5 iterations); the
+    // union (quantity ≤ 2) then runs THREE warm rounds from the
+    // stored vector instead of a cold five — the round-count saving
+    // that is the only sound incremental form for PageRank (per-round
+    // work is inherently global; rounds 9-10's exclusion argument,
+    // priced instead of dodged). Bit-deterministic end to end, so the
+    // oracle unrolls history's five rounds AND the three warm rounds
+    // in SQL and hash-matches exactly.
+    "x_pagerank_warm" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("prstore", d) { p =>
+        Graph.writePageRankStore(nationTradeEdges(s, d, maxQty = 1),
+          col("src"), col("dst"), iters = 5, p)
+      }
+      Graph.pageRankWarm(nationTradeEdges(s, d, maxQty = 2),
+          col("src"), col("dst"), store, batchId = 1L, rounds = 3)
         .select(col("id").as("nationkey"), col("rank"))
         .orderBy(col("nationkey"))
     }))
+
+  /** The customer-nation → supplier-nation trade graph over sparse
+    * (low-quantity) lineitems — the x_pagerank fixture; `maxQty`
+    * slices it SF-invariantly (a value threshold, so history/union
+    * proportions hold at every scale factor).
+    */
+  private def nationTradeEdges(s: SparkSession, d: String,
+                               maxQty: Int): DataFrame =
+    t(s, d, "lineitem").where(col("l_quantity") <= maxQty)
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .where(col("src") =!= col("dst"))
 
   /** DuckDB window-emission mirror of CdcWindowsExpr over `src`:
     * positions whose 8-char polynomial fingerprint ≡ 0 mod 16, mapped
@@ -555,6 +583,66 @@ object RetrievalQueries {
        |FROM tf CROSS JOIN st
        |WHERE tf_0 + tf_1 + tf_2 > 0
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
+  /** One scaled-integer PageRank round as a CTE, over caller-named
+    * nodes/params/edges/outdeg CTEs — the [[pageRankSqlOver]] round
+    * body parameterized so the warm-start oracle can chain a history
+    * phase and a warm phase with different graphs.
+    */
+  private def prRoundSql(nodes: String, params: String, e: String,
+                         od: String, prev: String,
+                         next: String): String =
+    s"""$next AS (
+       |  SELECT $nodes.id,
+       |    CAST((1000000 * 15) // (100 * n)
+       |      + (85 * coalesce(inf.inflow, 0)) // 100 AS BIGINT) AS rank
+       |  FROM $nodes CROSS JOIN $params
+       |  LEFT JOIN (
+       |    SELECT $e.dst AS id,
+       |      CAST(sum(r.rank // od.outdeg) AS BIGINT) AS inflow
+       |    FROM $e JOIN $prev r ON $e.src = r.id
+       |      JOIN $od od ON $e.src = od.src
+       |    GROUP BY $e.dst) inf ON $nodes.id = inf.id
+       |)""".stripMargin
+
+  /** Warm-start mirror: history's 5 rounds over the quantity ≤ 1
+    * graph, then 3 warm rounds over the quantity ≤ 2 union starting
+    * from the history fixed point (new nodes at the union uniform
+    * prior) — the exact arithmetic of writePageRankStore +
+    * pageRankWarm, unrolled.
+    */
+  private val pageRankWarmSql: String = {
+    def edgesCte(maxQty: Int, name: String): String =
+      s"""$name AS (
+         |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE l_quantity <= $maxQty
+         |    AND c_nationkey <> s_nationkey)""".stripMargin
+    val histRounds = (1 to 5).map(i => prRoundSql("nodesh", "paramsh",
+      "eh", "odh", s"r${i - 1}h", s"r${i}h")).mkString(",\n")
+    val warmRounds = (1 to 3).map(i => prRoundSql("nodes", "params",
+      "e", "od", s"w${i - 1}", s"w$i")).mkString(",\n")
+    s"""WITH ${edgesCte(1, "eh")},
+       |${edgesCte(2, "e")},
+       |nodesh AS (SELECT src AS id FROM eh UNION SELECT dst FROM eh),
+       |paramsh AS (SELECT count(*) AS n FROM nodesh),
+       |odh AS (SELECT src, count(*) AS outdeg FROM eh GROUP BY src),
+       |r0h AS (SELECT id, CAST(1000000 // n AS BIGINT) AS rank
+       |        FROM nodesh CROSS JOIN paramsh),
+       |$histRounds,
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |params AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+       |w0 AS (SELECT nodes.id,
+       |         CAST(coalesce(h.rank, 1000000 // n) AS BIGINT) AS rank
+       |       FROM nodes CROSS JOIN params
+       |       LEFT JOIN r5h h ON nodes.id = h.id),
+       |$warmRounds
+       |SELECT id AS nationkey, rank FROM w3 ORDER BY nationkey""".stripMargin
+  }
 
   private val pageRankSql: String = pageRankSqlOver(
     s"""e AS (
@@ -977,5 +1065,6 @@ object RetrievalQueries {
          |ORDER BY corpus.doc_id""".stripMargin,
     "x_normal_eq" -> normalEqSql,
     "x_pagerank" -> pageRankSql,
+    "x_pagerank_warm" -> pageRankWarmSql,
     "x_source_authority" -> sourceAuthoritySql)
 }

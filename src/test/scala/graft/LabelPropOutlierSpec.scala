@@ -288,6 +288,46 @@ class LabelPropOutlierSpec extends SparkSuite {
     Graph.triangleCounts(edges.toDF("a", "b"), col("a"), col("b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("pageRankWarm: warm rounds from a stored fixed point land at " +
+      "least as close to the converged union ranks as a cold run of " +
+      "the same length; idempotent under same-batch retry") {
+    import org.apache.spark.sql.functions.col
+    // history: a 20-node directed ring with chords; the delta adds a
+    // hub node feeding and drawing from the ring
+    val hist = (0L until 20L).map(i => (i, (i + 1) % 20)) ++
+      (0L until 20L by 4L).map(i => (i, (i + 7) % 20))
+    val delta = Seq((100L, 3L), (100L, 11L), (5L, 100L), (17L, 100L))
+    val union = (hist ++ delta).toDF("a", "b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-prwarm-").toString + "/pr"
+    Graph.writePageRankStore(hist.toDF("a", "b"), col("a"), col("b"),
+      iters = 8, dir)
+    def ranksOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select(col("id"), col("rank")).as[(Long, Long)]
+        .collect().toMap
+    val ref = ranksOf(Graph.pageRank(union, col("a"), col("b"),
+      iters = 16))
+    def dist(m: Map[Long, Long]): Long =
+      ref.map { case (k, v) => math.abs(m.getOrElse(k, 0L) - v) }.max
+    val warm = ranksOf(Graph.pageRankWarm(union, col("a"), col("b"),
+      dir, batchId = 1L, rounds = 3))
+    val cold = ranksOf(Graph.pageRank(union, col("a"), col("b"),
+      iters = 3))
+    assert(dist(warm) <= dist(cold),
+      s"warm ${dist(warm)} worse than cold ${dist(cold)}")
+    // a hub insertion shifts every node's teleport base (n 20 → 21)
+    // AND reroutes mass: 3 warm rounds land within 1% of scale of the
+    // 16-round fixed point on this adversarial delta
+    assert(dist(warm) <= 10000L,
+      s"3 warm rounds still ${dist(warm)} ulp from converged")
+    // retry of the same batch id is overwrite-idempotent, and the
+    // store view now serves the warm ranks
+    val retry = ranksOf(Graph.pageRankWarm(union, col("a"), col("b"),
+      dir, batchId = 1L, rounds = 3))
+    assert(retry == warm)
+    assert(ranksOf(Graph.pageRankStoreRanks(spark, dir)) == warm)
+  }
+
   test("triangleCounts: hand graphs — triangle, path, K4, star") {
     assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

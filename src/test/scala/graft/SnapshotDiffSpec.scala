@@ -58,4 +58,29 @@ class SnapshotDiffSpec extends SparkSuite {
     assert(diff == Set((10L, "changed", Some(1L)),
       (11L, "changed", Some(1L))))
   }
+
+  test("k-core snapshots survive compaction exactly (monotone " +
+      "member deltas keep their batch)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kcasof-").toString + "/kc"
+    // base: one K3 {1,2,3}; batch 1 attaches 4 with degree 2 → flips
+    val hist = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    Graph.writeKCoreStore(hist, col("a"), col("b"), k = 2, dir,
+      filesOut = 2)
+    val all = (Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 4L)))
+      .toDF("a", "b")
+    Graph.kCoreIncremental(all, col("a"), col("b"),
+      Seq((1L, 4L), (2L, 4L)).toDF("a", "b"), col("a"), col("b"),
+      k = 2, dir, batchId = 1L): Unit
+    def members(asOf: Long) =
+      Graph.kCoreStoreMembersAsOf(spark, dir, asOf)
+        .as[Long].collect().toSet
+    assert(members(0L) == Set(1L, 2L, 3L))
+    assert(members(1L) == Set(1L, 2L, 3L, 4L))
+    // OPTIMIZE, then replay BOTH snapshots — monotone membership
+    // means compaction loses nothing
+    assert(Graph.compactKCoreStore(spark, dir).contains(1L))
+    assert(members(0L) == Set(1L, 2L, 3L))
+    assert(members(1L) == Set(1L, 2L, 3L, 4L))
+  }
 }
