@@ -1353,7 +1353,9 @@ object StreamOps {
                     compactEvery: Int = 0, filesOut: Int = 4,
                     triStorePath: Option[String] = None,
                     kcoreStorePath: Option[String] = None,
-                    kcoreK: Int = 3)
+                    kcoreK: Int = 3,
+                    prStorePath: Option[String] = None,
+                    prRounds: Int = 2, prIters: Int = 5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     stream.writeStream
@@ -1427,6 +1429,20 @@ object StreamOps {
               Graph.kCoreIncremental(all, col("u"), col("v"), edges,
                 col("u"), col("v"), kcoreK, kp, sb): Unit
           }
+          // PageRank maintenance: a cold `prIters` ladder on
+          // bootstrap, then `prRounds` warm rounds per batch from the
+          // stored vector over the union (directed edges as streamed;
+          // the round-count saving is PageRank's one sound
+          // incremental form — see pageRankWarm). Re-sent edges are
+          // harmless (the union edge list is distinct'd inside).
+          prStorePath.foreach { pp =>
+            if (Stats.committedViewDirs(spark, pp).isEmpty)
+              Graph.writePageRankStore(all, col("u"), col("v"),
+                prIters, pp, filesOut)
+            else
+              Graph.pageRankWarm(all, col("u"), col("v"), pp, sb,
+                prRounds, filesOut): Unit
+          }
           if (!bootstrap && compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
@@ -1436,6 +1452,8 @@ object StreamOps {
               Graph.compactTriangleStore(spark, tp, filesOut): Unit)
             kcoreStorePath.foreach(kp =>
               Graph.compactKCoreStore(spark, kp, filesOut): Unit)
+            prStorePath.foreach(pp =>
+              Graph.compactPageRankStore(spark, pp, filesOut): Unit)
             Stats.compactCommittedStore(spark, edgesPath,
               _.select(col("u"), col("v"), col("__b"))
                 .repartitionByRange(filesOut, col("u"), col("v"))

@@ -692,7 +692,8 @@ class StreamOpsSpec extends SparkSuite {
       iters = 2, s"$base/edges", s"$base/cc", s"$base/lp",
       s"$base/ckpt", compactEvery = 2, filesOut = 2,
       triStorePath = Some(s"$base/tri"),
-      kcoreStorePath = Some(s"$base/kc"), kcoreK = 2)
+      kcoreStorePath = Some(s"$base/kc"), kcoreK = 2,
+      prStorePath = Some(s"$base/pr"), prRounds = 2, prIters = 5)
     try {
       // b0: components {1,2,3} and {10,11}; seed 20 is edge-isolated
       val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
@@ -750,6 +751,23 @@ class StreamOpsSpec extends SparkSuite {
         .as[Long].collect().toSet
       assert(gotK == wantK, s"$gotK vs $wantK")
       assert(gotK.contains(31L))
+      // PageRank: the gate's state is a PURE function of the batch
+      // sequence (cold 5-round base on b0, then 2 warm rounds per
+      // batch over the growing union) — replay it operator-by-operator
+      // into a second store and demand bit-equality, mid-stream
+      // OPTIMIZE and all
+      val rdir = s"$base/pr-replay"
+      Graph.writePageRankStore(b0.toDF("a", "b"), col("a"), col("b"),
+        iters = 5, rdir)
+      Graph.pageRankWarm((b0 ++ b1).toDF("a", "b"), col("a"),
+        col("b"), rdir, batchId = 2L, rounds = 2): Unit
+      Graph.pageRankWarm(union, col("a"), col("b"), rdir,
+        batchId = 3L, rounds = 2): Unit
+      val gotR = Graph.pageRankStoreRanks(spark, s"$base/pr")
+        .as[(Long, Long)].collect().toMap
+      val wantR = Graph.pageRankStoreRanks(spark, rdir)
+        .as[(Long, Long)].collect().toMap
+      assert(gotR == wantR, s"$gotR vs $wantR")
     } finally q.stop()
   }
 
