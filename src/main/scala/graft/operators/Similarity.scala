@@ -448,13 +448,19 @@ object Similarity {
     val dsub = books(0)(0).length
     array((0 until m).map { j =>
       val sub = slice(vec, j * dsub + 1, dsub).cast("array<double>")
-      // argmin ‖x−c‖² ≡ argmax 2·x·c − ‖c‖² (the ‖x‖² term cancels)
-      val scores = array(books(j).map(c =>
-        lit(2.0) * dot(sub, lit(c)) -
-          lit(c.map(x => x * x).sum)).toSeq: _*)
-      array_position(
-        transform(scores, s => s === array_max(scores)), true)
-        .cast("int")
+      // argmin ‖x−c‖² ≡ min of (‖c‖² − 2·x·c, index) structs — the
+      // ‖x‖² term cancels, struct ordering breaks ties to the first
+      // index, and array_min over structs is a codegen'd builtin (a
+      // transform/array_position lambda here evaluated the 256-dot
+      // score array TWICE per row, interpreted — the r11 bench caught
+      // it at 7.5 s/query)
+      val scored = array(books(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, lit(c)))
+            .as("d"),
+          lit(i + 1).as("c"))
+      }.toSeq: _*)
+      array_min(scored).getField("c").cast("int")
     }: _*)
   }
 
@@ -487,6 +493,22 @@ object Similarity {
     }.toSeq: _*)
   }
 
+  /** PQ-ENCODE a corpus against fitted coarse centroids + codebooks:
+    * (vb, cell, codes, rn) — the persistable index artifact (what
+    * FAISS serializes as the IVFPQ inverted lists). Write it
+    * cell-clustered once per corpus generation and feed it to
+    * [[ivfTopKPq]]'s `encoded` so queries pay the probe path only,
+    * never a re-encode of the corpus.
+    */
+  def pqEncode(corpus: DataFrame, cents: Array[Array[Double]],
+               books: Array[Array[Array[Double]]]): DataFrame =
+    corpus.select(col("id").as("vb"), col("vec").as("cv"))
+      .withColumn("cell",
+        element_at(topCellsCol(col("cv"), cents, 1), 1))
+      .withColumn("codes", pqCodesCol(col("cv"), books))
+      .withColumn("rn", sqrt(pqReconNormSq(col("codes"), books)))
+      .drop("cv")
+
   /** IVF-PQ top-k: coarse-quantize into IVF cells, shortlist inside
     * the probed cells on PQ-compressed codes (each candidate costs m
     * element_at lookups into the query's ADC table — the float corpus
@@ -504,7 +526,8 @@ object Similarity {
                 m: Int = 8, ks: Int = 16, dim: Int = 64,
                 seed: Long = 42L,
                 fittedCoarse: Option[Array[Array[Double]]] = None,
-                fittedPq: Option[Array[Array[Array[Double]]]] = None)
+                fittedPq: Option[Array[Array[Array[Double]]]] = None,
+                encoded: Option[DataFrame] = None)
       : DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val cents: Array[Array[Double]] = fittedCoarse.getOrElse {
@@ -518,11 +541,10 @@ object Similarity {
     }
     def topCells(vec: Column, n: Int): Column =
       topCellsCol(vec, cents, n)
-    val cs = corpus.select(col("id").as("vb"), col("vec").as("cv"))
-      .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
-      .withColumn("codes", pqCodesCol(col("cv"), books))
-      .withColumn("rn", sqrt(pqReconNormSq(col("codes"), books)))
-      .drop("cv")
+    // `encoded` must be a [[pqEncode]] artifact built with the SAME
+    // cents/books (the fit-once contract shared by every persisted
+    // artifact here)
+    val cs = encoded.getOrElse(pqEncode(corpus, cents, books))
     val qs = queries.select(col("id").as("qa"), col("vec").as("qv"))
       .withColumn("cell", explode(topCells(col("qv"), nprobe)))
       .withColumn("adc", pqAdcTable(col("qv"), books))

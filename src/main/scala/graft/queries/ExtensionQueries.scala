@@ -37,6 +37,23 @@ object ExtensionQueries {
     pqMemo.computeIfAbsent(d,
       _ => Similarity.fitPqCodebooks(e, m = 16, ks = 16, iters = 2))
 
+  /** PERSISTED PQ code store (the FAISS-style inverted-list artifact,
+    * cell-clustered): encoded once per data dir; queries pay only the
+    * probe + shortlist + exact-re-rank path.
+    */
+  private[queries] def pqCodeStore(s: SparkSession,
+                                   d: String): DataFrame = {
+    val dir = ArtifactMemo.dirFor("pqcodes", d) { p =>
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.pqEncode(e, fittedCents(d, e), fittedPqBooks(d, e))
+        .repartitionByRange(4, col("cell"))
+        .sortWithinPartitions(col("cell"), col("vb"))
+        .write.parquet(p)
+    }
+    s.read.parquet(dir)
+  }
+
   /** Persisted BANDED MinHash signature store for the "historical"
     * corpus slice (doc_id < 400), written once per data dir — clustered
     * by (band, bucket) with a footer-stats manifest, so a batch's store
@@ -498,7 +515,8 @@ object ExtensionQueries {
       Similarity.ivfTopKPq(e.where(col("id") < 10), e, k = 5,
           shortlist = 40, nprobe = 6, m = 16,
           fittedCoarse = Some(fittedCents(d, e)),
-          fittedPq = Some(fittedPqBooks(d, e)))
+          fittedPq = Some(fittedPqBooks(d, e)),
+          encoded = Some(pqCodeStore(s, d)))
         .select(col("qa"), col("rank"), col("vb"), col("cos"))
         .orderBy(col("qa"), col("rank"))
     }),
@@ -699,7 +717,8 @@ object ExtensionQueries {
       val pq = Similarity.ivfTopKPq(q, e, k = 5, shortlist = 40,
           nprobe = 6, m = 16,
           fittedCoarse = Some(fittedCents(d, e)),
-          fittedPq = Some(fittedPqBooks(d, e)))
+          fittedPq = Some(fittedPqBooks(d, e)),
+          encoded = Some(pqCodeStore(s, d)))
         .select(col("qa"), col("vb"))
       val misses = bf.join(pq, Seq("qa", "vb"), "left_anti")
       misses.agg(count(lit(1)).as("n_miss"))
