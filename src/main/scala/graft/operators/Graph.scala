@@ -398,6 +398,106 @@ object Graph {
     ranks
   }
 
+  /** LOCAL personalized PageRank by synchronous FORWARD PUSH
+    * (Andersen, Chung & Lang, "Local graph partitioning using
+    * PageRank vectors", FOCS 2006 — the lazy-walk push, batched into
+    * deterministic synchronous rounds): seed mass diffuses over the
+    * UNDIRECTED edge list, each round pushing every active node whose
+    * residual clears the degree-scaled threshold
+    * (r·epsDen ≥ epsNum·scale·deg).
+    *
+    * Why this exists next to [[pageRankPersonalized]]: power-iteration
+    * PPR touches EVERY node EVERY round — |V|-sized work regardless of
+    * how local the answer is. Forward push's work is proportional to
+    * the mass actually moved: the state table starts seeds-only and
+    * grows exactly by push receivers, so a 10-seed query on a 100 TB
+    * graph does frontier-sized joins over the seeds' neighborhoods
+    * and never reads the far side. The eps threshold is the work
+    * bound — residuals below deg·eps·scale stop pushing (ACL's
+    * guarantee: |π(v) − p(v)| ≤ eps·deg(v) at the converged cut);
+    * `rounds` caps rounds for a fixed, oracle-unrollable plan.
+    *
+    * Per push of node v (ALL scaled-integer, floor division —
+    * deterministic, partitioning-independent, and mass only ever
+    * leaks DOWNWARD, never inflates):
+    *   ar = (alphaNum·r) div alphaDen   → p += ar
+    *   rem = r − ar; keep = rem div 2 stays (the lazy half)
+    *   give = (rem − keep) div deg to EACH neighbor
+    * (an isolated pusher keeps the whole remainder). Returns
+    * (id, p, r) for every TOUCHED node — p is the unnormalized
+    * per-seed-scale mass (multi-seed runs are sums of per-seed
+    * vectors; seeds start at r = scale each).
+    */
+  def pprForwardPush(edges: DataFrame, a: Column, b: Column,
+                     seeds: DataFrame, seedId: Column,
+                     rounds: Int = 4, alphaNum: Long = 15,
+                     alphaDen: Long = 100, epsNum: Long = 1,
+                     epsDen: Long = 10000L, scale: Long = 1000000L,
+                     broadcastLimit: Long = 4000000L): DataFrame = {
+    require(rounds >= 0 && alphaDen > 0 && alphaNum >= 0 &&
+      alphaNum <= alphaDen && epsDen > 0 && epsNum >= 0 && scale > 0,
+      "need 0 <= alphaNum <= alphaDen, epsDen > 0, scale > 0")
+    val spark = edges.sparkSession
+    val e0 = edges.select(a.as("src"), b.as("dst"))
+    val sym = Checkpoints.stage(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val deg = Checkpoints.stage(
+      sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg")))
+    var state = Checkpoints.stage(
+      seeds.select(seedId.as("id")).where(col("id").isNotNull)
+        .distinct()
+        .select(col("id"), lit(0L).as("p"), lit(scale).as("r")))
+    var nActive = state.count()
+    var it = 0
+    while (it < rounds && nActive > 0) {
+      def gated(df: DataFrame): DataFrame =
+        if (nActive <= broadcastLimit) broadcast(df) else df
+      // the degree table narrows to the ACTIVE slice through a
+      // broadcast semi join (a scan of the staged deg table, never a
+      // |V|-sized shuffle), then joins state at state size
+      val degActive = deg.join(gated(state.select(col("id"))),
+        Seq("id"), "left_semi")
+      val st = state.join(gated(degActive), Seq("id"), "left")
+        .select(col("id"), col("p"), col("r"),
+          coalesce(col("deg"), lit(0L)).as("deg"))
+      val pusher = col("r") > 0 &&
+        col("r") * epsDen >= lit(epsNum * scale) * col("deg")
+      val ar = expr(s"($alphaNum * r) DIV $alphaDen")
+      val rem = col("r") - ar
+      val keep = expr(s"(r - ($alphaNum * r) DIV $alphaDen) DIV 2")
+      val updated = st.select(col("id"),
+        when(pusher, col("p") + ar).otherwise(col("p")).as("p"),
+        when(!pusher, col("r"))
+          .when(col("deg") === 0, rem)
+          .otherwise(keep).as("r"),
+        when(pusher && col("deg") > 0,
+          expr(s"(r - ($alphaNum * r) DIV $alphaDen" +
+            s" - (r - ($alphaNum * r) DIV $alphaDen) DIV 2) DIV deg"))
+          .otherwise(lit(0L)).as("give"),
+        pusher.as("__push"))
+      val shares = gated(updated.where(col("__push") && col("give") > 0)
+          .select(col("id").as("src"), col("give")))
+        .join(sym, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("give")).as("inc"))
+        .select(col("dst").as("id"), col("inc"))
+      val next = Checkpoints.stage(
+        updated.select(col("id"), col("p"), col("r"))
+          .join(shares, Seq("id"), "full_outer")
+          .select(col("id"),
+            coalesce(col("p"), lit(0L)).as("p"),
+            (coalesce(col("r"), lit(0L)) +
+              coalesce(col("inc"), lit(0L))).as("r")))
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(state)
+      state = next
+      nActive = state.count()
+      it += 1
+    }
+    state
+  }
+
   // ---------- warm-start PageRank ----------
 
   /** Persist [[pageRank]]'s converged ranks as `batch=0` of an

@@ -206,6 +206,22 @@ object ScaleOpsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // LOCAL personalized PageRank by synchronous forward push
+    // (Andersen-Chung-Lang) on the chain fixture: seed mass from
+    // every 1000th event diffuses 3 rounds; work is frontier-sized —
+    // the state table holds only touched nodes, and the eps threshold
+    // freezes sub-threshold residuals (power-iteration PPR touches
+    // |V| every round; this is the single-seed-query scale path).
+    // Scaled-integer throughout → the oracle unrolls the push rounds
+    // exactly.
+    "x_ppr_push" -> ((s, d) =>
+      Graph.pprForwardPush(chainEdges(s, d, lit(true)),
+          col("ida"), col("idb"),
+          t(s, d, "events").where(col("event_id") % 1000 === 0),
+          col("event_id"), rounds = 3)
+        .select(col("id").as("event_id"), col("p"), col("r"))
+        .orderBy(col("event_id"))),
+
     // BATCH TWIN of x_label_prop_incremental on the SAME chain graph:
     // the from-scratch 3-round run the warm start must beat — the
     // bench pair that demonstrates frontier locality end to end.
@@ -657,6 +673,58 @@ object ScaleOpsQueries {
        |FROM nodes n LEFT JOIN cnt ON n.id = cnt.id
        |ORDER BY event_id""".stripMargin
 
+  /** Unrolled 3-round forward-push PPR mirror over the chain fixture:
+    * per round — degree-joined state, threshold test
+    * (r·10⁴ ≥ 10⁶·deg), the push arithmetic (ar = (15·r)//100 settles;
+    * half the remainder stays lazily; the rest splits by degree), and
+    * the share fan-out folded back through a full outer join. Every
+    * operation is BIGINT floor division on non-negatives — identical
+    * to the operator's scaled-integer path.
+    */
+  private val pprPushSql: String = {
+    val roundCtes = (1 to 3).map { k =>
+      val prev = s"s${k - 1}"
+      s"""up$k AS MATERIALIZED (
+         |  SELECT id,
+         |    CASE WHEN push THEN p + (15 * r) // 100 ELSE p END AS p,
+         |    CASE WHEN NOT push THEN r
+         |         WHEN deg = 0 THEN r - (15 * r) // 100
+         |         ELSE (r - (15 * r) // 100) // 2 END AS r,
+         |    CASE WHEN push AND deg > 0
+         |         THEN (r - (15 * r) // 100
+         |               - (r - (15 * r) // 100) // 2) // deg
+         |         ELSE CAST(0 AS BIGINT) END AS give
+         |  FROM (SELECT s.id, s.p, s.r,
+         |          coalesce(d.deg, CAST(0 AS BIGINT)) AS deg,
+         |          s.r > 0 AND s.r * 10000 >=
+         |            1000000 * coalesce(d.deg, CAST(0 AS BIGINT))
+         |            AS push
+         |        FROM $prev s LEFT JOIN deg d ON s.id = d.id)),
+         |sh$k AS MATERIALIZED (
+         |  SELECT e.dst AS id, CAST(sum(u.give) AS BIGINT) AS inc
+         |  FROM up$k u JOIN e ON u.id = e.src
+         |  WHERE u.give > 0 GROUP BY e.dst),
+         |s$k AS MATERIALIZED (
+         |  SELECT coalesce(u.id, h.id) AS id,
+         |    CAST(coalesce(u.p, 0) AS BIGINT) AS p,
+         |    CAST(coalesce(u.r, 0) + coalesce(h.inc, 0) AS BIGINT) AS r
+         |  FROM up$k u FULL OUTER JOIN sh$k h ON u.id = h.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $chainEdgesSql,
+       |e AS MATERIALIZED (SELECT ida AS src, idb AS dst FROM p
+       |      UNION SELECT idb, ida FROM p),
+       |deg AS MATERIALIZED (SELECT src AS id,
+       |        CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |s0 AS (SELECT event_id AS id, CAST(0 AS BIGINT) AS p,
+       |         CAST(1000000 AS BIGINT) AS r
+       |       FROM events WHERE event_id % 1000 = 0
+       |       GROUP BY event_id),
+       |$roundCtes
+       |SELECT id AS event_id, p, r FROM s3 ORDER BY event_id"""
+      .stripMargin
+  }
+
   /** Unrolled 3-round label-propagation mirror over the chain fixture
     * — shared by x_label_prop_chain and its warm-start twin.
     */
@@ -879,6 +947,7 @@ object ScaleOpsQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "x_label_prop" -> labelPropSql,
     "x_label_prop_chain" -> labelPropChainSql,
+    "x_ppr_push" -> pprPushSql,
     // warm-start ≡ from-scratch: the chain twin's oracle is shared
     "x_label_prop_incremental" -> labelPropChainSql,
     "x_cc_incremental" -> ccIncSql,

@@ -32,7 +32,8 @@ class DeterminismSpec extends SparkSuite {
     "q_argmax_daily",     // argmax with tie-break contract
     "x_dedup_clusters",   // CC label convergence
     "x_minhash_sigs",     // permutation-hash signatures
-    "x_triangles_chain")  // corner-credit aggregation over windows
+    "x_triangles_chain",  // corner-credit aggregation over windows
+    "x_ppr_push")         // frontier growth + integer push rounds
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

@@ -328,6 +328,45 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(ranksOf(Graph.pageRankStoreRanks(spark, dir)) == warm)
   }
 
+  test("pprForwardPush: hand-computed star pushes; locality — the " +
+      "eps threshold freezes the frontier strictly inside the graph") {
+    import org.apache.spark.sql.functions.col
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val seed = Seq(Tuple1(0L)).toDF("sid")
+    def stateOf(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, Long)] =
+      df.select(col("id"), col("p"), col("r"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    // round 1: seed pushes — ar=150000, keep=425000, give=141666
+    val one = stateOf(Graph.pprForwardPush(star, col("a"), col("b"),
+      seed, col("sid"), rounds = 1, epsNum = 0))
+    assert(one == Map(
+      0L -> ((150000L, 425000L)), 1L -> ((0L, 141666L)),
+      2L -> ((0L, 141666L)), 3L -> ((0L, 141666L))))
+    // round 2: center ar=63750 keep=180625 give=60208; leaves
+    // ar=21249 keep=60208 give=60209 back to the center
+    val two = stateOf(Graph.pprForwardPush(star, col("a"), col("b"),
+      seed, col("sid"), rounds = 2, epsNum = 0))
+    assert(two == Map(
+      0L -> ((213750L, 180625L + 3 * 60209L)),
+      1L -> ((21249L, 120416L)), 2L -> ((21249L, 120416L)),
+      3L -> ((21249L, 120416L))))
+    // locality: on a 40-node path with a real threshold, residuals
+    // decay geometrically per hop and freeze BELOW deg·eps·scale —
+    // the far side of the graph is never touched, rounds to spare
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val local = stateOf(Graph.pprForwardPush(path, col("a"), col("b"),
+      seed, col("sid"), rounds = 12, epsNum = 1, epsDen = 100))
+    assert(local.keys.max < 12L,
+      s"frontier reached ${local.keys.max} — eps bound not local")
+    assert(local.size < 15 && local.contains(0L))
+    // mass only leaks downward: total p + r never exceeds the seed
+    assert(local.values.map(v => v._1 + v._2).sum <= 1000000L)
+    // ranking sanity: closer to the seed = more settled mass
+    assert(local(0L)._1 > local(1L)._1 && local(1L)._1 > local(2L)._1)
+  }
+
   test("triangleCounts: hand graphs — triangle, path, K4, star") {
     assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L))) ==
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
