@@ -406,12 +406,31 @@ object Similarity {
     * RAM-resident. Fit on a sample at 100 TB; encode/score unchanged.
     */
   def fitPqCodebooks(corpus: DataFrame, m: Int = 8, ks: Int = 16,
-                     iters: Int = 3, dim: Int = 64)
+                     iters: Int = 3, dim: Int = 64,
+                     coarse: Option[Array[Array[Double]]] = None)
       : Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val dsub = dim / m
+    // RESIDUAL mode (IVFADC proper): codebooks fit on x − c(cell), so
+    // their capacity spends on within-cell variation instead of
+    // re-describing the coarse structure. Fit-time only — interpreted
+    // zip_with is fine here; the ENCODE path looks the coarse terms
+    // up from literal tables and stays codegen'd.
+    val base = coarse match {
+      case None => corpus
+      case Some(cents) =>
+        val cellCol = element_at(topCellsCol(col("vec"), cents, 1), 1)
+        // topCellsCol cells are 0-based; element_at is 1-based
+        val centSel = element_at(
+          typedlit(cents.map(_.toSeq).toSeq), col("__cell") + 1)
+        corpus.withColumn("__cell", cellCol)
+          .withColumn("vec",
+            zip_with(col("vec").cast("array<double>"), centSel,
+              (x, c) => x - c))
+          .drop("__cell")
+    }
     Array.tabulate(m) { j =>
-      val sub = corpus.select(col("id"),
+      val sub = base.select(col("id"),
         slice(col("vec"), j * dsub + 1, dsub).cast("array<double>")
           .as("vec"))
       fitCentroids(sub, ks, iters, dsub, l2 = true)
@@ -493,21 +512,99 @@ object Similarity {
     }.toSeq: _*)
   }
 
+  /** dot(cent[cell] restricted to subspace j, books[j][c]) for every
+    * (cell, j, c) — the flat literal table that makes RESIDUAL
+    * encoding and scoring pure codegen'd element_at arithmetic
+    * (centroids·m·ks doubles; 4096 at the defaults).
+    */
+  private def centSubDotFlat(cents: Array[Array[Double]],
+                             books: Array[Array[Array[Double]]])
+      : Array[Double] = {
+    val dsub = books(0)(0).length
+    cents.flatMap { cent =>
+      books.zipWithIndex.flatMap { case (book, j) =>
+        book.map { c =>
+          var s = 0.0
+          var i = 0
+          while (i < dsub) { s += cent(j * dsub + i) * c(i); i += 1 }
+          s
+        }
+      }
+    }
+  }
+
+  /** RESIDUAL PQ codes: argmin over ‖(x_j − cent_j) − cb‖², expanded
+    * so the cell-dependent term is one literal-table lookup —
+    * d = ‖cb‖² − 2·x_j·cb + 2·cent_j·cb (the ‖x_j − cent_j‖² constant
+    * cancels inside the argmin). Same struct-min shape as
+    * [[pqCodesCol]].
+    */
+  private def pqCodesColResidual(vec: Column, cell: Column,
+                                 cents: Array[Array[Double]],
+                                 books: Array[Array[Array[Double]]])
+      : Column = {
+    val m = books.length
+    val ks = books(0).length
+    val dsub = books(0)(0).length
+    val cd = lit(centSubDotFlat(cents, books))
+    array((0 until m).map { j =>
+      val sub = slice(vec, j * dsub + 1, dsub).cast("array<double>")
+      val scored = array(books(j).zipWithIndex.map { case (c, i) =>
+        struct(
+          (lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, lit(c)) +
+            // cell is 0-based (topCellsCol), element_at 1-based
+            lit(2.0) * element_at(cd,
+              cell * lit(m * ks) + lit(j * ks + i + 1)))
+            .as("d"),
+          lit(i + 1).as("c"))
+      }.toSeq: _*)
+      array_min(scored).getField("c").cast("int")
+    }: _*)
+  }
+
   /** PQ-ENCODE a corpus against fitted coarse centroids + codebooks:
     * (vb, cell, codes, rn) — the persistable index artifact (what
     * FAISS serializes as the IVFPQ inverted lists). Write it
     * cell-clustered once per corpus generation and feed it to
     * [[ivfTopKPq]]'s `encoded` so queries pay the probe path only,
     * never a re-encode of the corpus.
+    *
+    * `residual = true` is IVFADC proper: codes describe x − c(cell)
+    * (books must have been fit with `coarse = Some(cents)`), and the
+    * reconstruction is c(cell) + Σ_j cb_j[code_j] — its norm folds the
+    * coarse/code cross terms in from the [[centSubDotFlat]] literal
+    * table, still pure element_at arithmetic.
     */
   def pqEncode(corpus: DataFrame, cents: Array[Array[Double]],
-               books: Array[Array[Array[Double]]]): DataFrame =
-    corpus.select(col("id").as("vb"), col("vec").as("cv"))
+               books: Array[Array[Array[Double]]],
+               residual: Boolean = false): DataFrame = {
+    val base = corpus.select(col("id").as("vb"), col("vec").as("cv"))
       .withColumn("cell",
         element_at(topCellsCol(col("cv"), cents, 1), 1))
-      .withColumn("codes", pqCodesCol(col("cv"), books))
-      .withColumn("rn", sqrt(pqReconNormSq(col("codes"), books)))
-      .drop("cv")
+    if (!residual)
+      base.withColumn("codes", pqCodesCol(col("cv"), books))
+        .withColumn("rn", sqrt(pqReconNormSq(col("codes"), books)))
+        .drop("cv")
+    else {
+      val m = books.length
+      val ks = books(0).length
+      val cd = lit(centSubDotFlat(cents, books))
+      val centNorm = lit(cents.map(c => c.map(x => x * x).sum))
+      val withCodes = base.withColumn("codes",
+        pqCodesColResidual(col("cv"), col("cell"), cents, books))
+      // ‖c(cell) + Σ_j cb_j‖² = ‖c‖² + 2·Σ_j c_j·cb_j + Σ_j ‖cb_j‖²
+      // cell is 0-based (topCellsCol), element_at 1-based
+      val cross = books.indices.map(j =>
+        element_at(cd, col("cell") * lit(m * ks) +
+          lit(j * ks) + element_at(col("codes"), j + 1)))
+        .reduce(_ + _)
+      withCodes.withColumn("rn",
+          sqrt(element_at(centNorm, col("cell") + 1) +
+            lit(2.0) * cross +
+            pqReconNormSq(col("codes"), books)))
+        .drop("cv")
+    }
+  }
 
   /** IVF-PQ top-k: coarse-quantize into IVF cells, shortlist inside
     * the probed cells on PQ-compressed codes (each candidate costs m
@@ -527,7 +624,8 @@ object Similarity {
                 seed: Long = 42L,
                 fittedCoarse: Option[Array[Array[Double]]] = None,
                 fittedPq: Option[Array[Array[Array[Double]]]] = None,
-                encoded: Option[DataFrame] = None)
+                encoded: Option[DataFrame] = None,
+                residual: Boolean = false)
       : DataFrame = {
     require(shortlist >= k, "shortlist must be >= k")
     val cents: Array[Array[Double]] = fittedCoarse.getOrElse {
@@ -544,13 +642,22 @@ object Similarity {
     // `encoded` must be a [[pqEncode]] artifact built with the SAME
     // cents/books (the fit-once contract shared by every persisted
     // artifact here)
-    val cs = encoded.getOrElse(pqEncode(corpus, cents, books))
+    val cs = encoded.getOrElse(pqEncode(corpus, cents, books, residual))
+    // residual mode adds the query·cell-centroid dot to every
+    // candidate of that probe cell: q·recon = q·c(cell) + Σ_j adc —
+    // computed once per (query, probe-cell) row
+    val qcdot =
+      if (!residual) lit(0.0)
+      else element_at(
+        array(cents.map(c => dot(col("qv"), lit(c))).toSeq: _*),
+        col("cell") + 1)
     val qs = queries.select(col("id").as("qa"), col("vec").as("qv"))
       .withColumn("cell", explode(topCells(col("qv"), nprobe)))
       .withColumn("adc", pqAdcTable(col("qv"), books))
+      .withColumn("qcdot", qcdot)
       .withColumn("qn", l2Norm(col("qv").cast("array<double>")))
       .drop("qv")
-    val pqdot = books.indices
+    val pqdot = col("qcdot") + books.indices
       .map(j => element_at(col("adc"),
         lit(j * ks) + element_at(col("codes"), j + 1)))
       .reduce(_ + _)

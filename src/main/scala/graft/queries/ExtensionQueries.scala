@@ -35,7 +35,8 @@ object ExtensionQueries {
   private[queries] def fittedPqBooks(d: String, e: => DataFrame)
       : Array[Array[Array[Double]]] =
     pqMemo.computeIfAbsent(d,
-      _ => Similarity.fitPqCodebooks(e, m = 16, ks = 16, iters = 2))
+      _ => Similarity.fitPqCodebooks(e, m = 16, ks = 16, iters = 2,
+        coarse = Some(fittedCents(d, e))))
 
   /** PERSISTED PQ code store (the FAISS-style inverted-list artifact,
     * cell-clustered): encoded once per data dir; queries pay only the
@@ -46,7 +47,8 @@ object ExtensionQueries {
     val dir = ArtifactMemo.dirFor("pqcodes", d) { p =>
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.pqEncode(e, fittedCents(d, e), fittedPqBooks(d, e))
+      Similarity.pqEncode(e, fittedCents(d, e), fittedPqBooks(d, e),
+          residual = true)
         .repartitionByRange(4, col("cell"))
         .sortWithinPartitions(col("cell"), col("vb"))
         .write.parquet(p)
@@ -504,9 +506,11 @@ object ExtensionQueries {
     }),
 
     // IVF-PQ top-k (Jégou et al. — the billion-scale ANN layout, what
-    // FAISS ships as IndexIVFPQ): 16 subspace codebooks of 16 entries
-    // compress each vector to 64 bits for the in-cell shortlist; the
-    // exact float re-rank makes final scores true cosines. Rows-only
+    // FAISS ships as IndexIVFPQ, RESIDUAL encoding included): 16
+    // subspace codebooks of 16 entries, fit on x − c(cell), compress
+    // each vector to 64 bits for the in-cell shortlist against the
+    // persisted cell-clustered code store; the exact float re-rank
+    // makes final scores true cosines. Rows-only
     // here; the approximation is licensed by the x_ivf_pq_recall_err
     // gate below.
     "x_cosine_ivf_pq" -> ((s, d) => {
@@ -516,7 +520,7 @@ object ExtensionQueries {
           shortlist = 40, nprobe = 6, m = 16,
           fittedCoarse = Some(fittedCents(d, e)),
           fittedPq = Some(fittedPqBooks(d, e)),
-          encoded = Some(pqCodeStore(s, d)))
+          encoded = Some(pqCodeStore(s, d)), residual = true)
         .select(col("qa"), col("rank"), col("vb"), col("cos"))
         .orderBy(col("qa"), col("rank"))
     }),
@@ -718,7 +722,7 @@ object ExtensionQueries {
           nprobe = 6, m = 16,
           fittedCoarse = Some(fittedCents(d, e)),
           fittedPq = Some(fittedPqBooks(d, e)),
-          encoded = Some(pqCodeStore(s, d)))
+          encoded = Some(pqCodeStore(s, d)), residual = true)
         .select(col("qa"), col("vb"))
       val misses = bf.join(pq, Seq("qa", "vb"), "left_anti")
       misses.agg(count(lit(1)).as("n_miss"))

@@ -131,6 +131,44 @@ class SimilaritySpec extends SparkSuite {
         a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
+  test("IVF-PQ residual mode (IVFADC proper): full probe ≡ brute " +
+      "force bit-for-bit; production recall matches or beats raw " +
+      "encoding") {
+    val cents = Similarity.fitCentroids(embs, k = 16, iters = 3)
+    val rbooks = Similarity.fitPqCodebooks(embs, m = 16, ks = 16,
+      iters = 2, coarse = Some(cents))
+    val q5 = embs.where($"id" < 5)
+    val n = embs.count().toInt
+    val full = Similarity.ivfTopKPq(q5, embs, k = 5, shortlist = n,
+        nprobe = 16, m = 16, fittedCoarse = Some(cents),
+        fittedPq = Some(rbooks), residual = true)
+      .select($"qa", $"rank", $"vb", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val bf5 = Similarity.bruteForceTopK(q5, embs, 5)
+      .select($"qa", $"rank", $"vb", $"cos")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(full == bf5,
+      "full-probe full-shortlist residual IVF-PQ must equal brute force")
+    val q = embs.where($"id" < 20)
+    val bf = Similarity.bruteForceTopK(q, embs, 5)
+      .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+    def recallOf(books: Array[Array[Array[Double]]],
+                 res: Boolean): Double = {
+      val got = Similarity.ivfTopKPq(q, embs, k = 5, shortlist = 40,
+          nprobe = 6, m = 16, fittedCoarse = Some(cents),
+          fittedPq = Some(books), residual = res)
+        .select($"qa", $"vb").as[(Long, Long)].collect().toSet
+      bf.count(got.contains).toDouble / bf.size
+    }
+    val rRes = recallOf(rbooks, res = true)
+    val rRaw = recallOf(Similarity.fitPqCodebooks(embs, m = 16,
+      ks = 16, iters = 2), res = false)
+    info(s"PQ recall@5 residual=$rRes raw=$rRaw")
+    assert(rRes >= 0.7, s"residual-PQ recall $rRes < 0.7")
+    assert(rRes >= rRaw - 0.05,
+      s"residual encoding lost recall: $rRes vs raw $rRaw")
+  }
+
   test("IVF with fitted k-means centroids matches or beats random cells") {
     val q = embs.where($"id" < 20)
     val exact = Similarity.bruteForceTopK(q, embs, 5)
