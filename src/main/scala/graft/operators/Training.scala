@@ -461,4 +461,38 @@ object Training {
     }
     Array.tabulate(k)(i => a(i)(k) / a(i)(i))
   }
+
+  /** SFT CONVERSATION ASSEMBLY with loss masks — the packing step
+    * every instruction-tuning pipeline runs between raw dialogue rows
+    * and the trainer: turns group by conversation, order by turn
+    * index, render as `<role>text` segments, and each turn reports
+    * its exact character span [start, end) in the assembled sequence
+    * plus whether the loss is MASKED there (train only on the
+    * `trainRoles` turns — the standard assistant-only loss).
+    *
+    * Spans come from one per-conversation prefix sum (window over the
+    * conversation partition — conversations are small by construction,
+    * so the window state is turns-per-conversation, never data-sized);
+    * integer lengths + deterministic ordering make the whole surface
+    * oracle-hashable. Downstream, [[packBinsWithOffsets]] packs whole
+    * conversations into token budgets; the mask column rides along.
+    * Returns one row per turn: (conv, turn, role, start, end, mask)
+    * with `start`/`end` in characters of the rendered conversation.
+    */
+  def assembleConversations(df: DataFrame, conv: Column, turn: Column,
+                            role: Column, text: Column,
+                            trainRoles: Seq[String]): DataFrame = {
+    val rendered = concat(lit("<"), role, lit(">"), text)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__conv")).orderBy(col("__turn"))
+    df.select(conv.as("__conv"), turn.as("__turn"),
+        role.as("__role"), length(rendered).cast("long").as("__len"))
+      .withColumn("__start",
+        coalesce(sum(col("__len")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__conv").as("conv"), col("__turn").as("turn"),
+        col("__role").as("role"), col("__start").as("start"),
+        (col("__start") + col("__len")).as("end"),
+        (!col("__role").isin(trainRoles: _*)).as("mask"))
+  }
 }

@@ -430,6 +430,21 @@ object TrainingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // SFT conversation assembly: users' event streams as dialogues
+    // (turn = event id, role = event type, text synthesized
+    // deterministically), rendered as <role>text segments with exact
+    // per-turn character spans from a per-conversation prefix sum and
+    // the assistant-only loss mask (train on 'click'/'purchase'
+    // turns, mask the rest) — the packing step every
+    // instruction-tuning pipeline runs before the trainer.
+    "x_sft_assemble" -> ((s, d) =>
+      graft.operators.Training.assembleConversations(
+          t(s, d, "events"), col("user_id"), col("event_id"),
+          col("event_type"),
+          concat(col("event_type"), lit(":"), col("event_id")),
+          trainRoles = Seq("click", "purchase"))
+        .orderBy(col("conv"), col("turn"))),
+
     // Small-file compaction, driver-checked end to end: a 64-fragment
     // write (the layout continuous ingestion leaves behind) compacted
     // once per data dir into 4 lang-clustered files, then scanned —
@@ -772,6 +787,23 @@ object TrainingQueries {
     "x_point_lookup" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_id % 997 = 0 ORDER BY event_id""".stripMargin,
+
+    "x_sft_assemble" ->
+      """WITH t AS (
+        |  SELECT user_id AS conv, event_id AS turn,
+        |    event_type AS role,
+        |    CAST(len('<' || event_type || '>' || event_type || ':'
+        |      || CAST(event_id AS VARCHAR)) AS BIGINT) AS l
+        |  FROM events),
+        |s AS (
+        |  SELECT conv, turn, role,
+        |    CAST(coalesce(sum(l) OVER (PARTITION BY conv ORDER BY turn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start, l
+        |  FROM t)
+        |SELECT conv, turn, role, start, start + l AS "end",
+        |  role NOT IN ('click', 'purchase') AS mask
+        |FROM s ORDER BY conv, turn""".stripMargin,
 
     "x_compact_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

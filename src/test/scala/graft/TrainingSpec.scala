@@ -249,4 +249,35 @@ class TrainingSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(second == Map("a" -> 1L, "b" -> 2L))
   }
+
+  test("assembleConversations: hand-computed spans and assistant-only " +
+      "mask; conversations independent; out-of-order input irrelevant") {
+    import spark.implicits._
+    // turns arrive SHUFFLED — assembly orders by turn index
+    val turns = Seq(
+      ("a", 3L, "user", "ok"), ("a", 1L, "user", "hi"),
+      ("a", 2L, "assistant", "yo"),
+      ("b", 1L, "assistant", "solo")).toDF("c", "t", "r", "x")
+    val got = graft.operators.Training.assembleConversations(
+        turns, col("c"), col("t"), col("r"), col("x"),
+        trainRoles = Seq("assistant"))
+      .orderBy(col("conv"), col("turn"))
+      .as[(String, Long, String, Long, Long, Boolean)].collect().toSeq
+    // <user>hi = 8, <assistant>yo = 13, <user>ok = 8
+    assert(got == Seq(
+      ("a", 1L, "user", 0L, 8L, true),
+      ("a", 2L, "assistant", 8L, 21L, false),
+      ("a", 3L, "user", 21L, 29L, true),
+      ("b", 1L, "assistant", 0L, 15L, false)))
+    // spans tile the rendered conversation exactly: contiguous,
+    // gap-free, starting at 0 per conversation
+    got.groupBy(_._1).values.foreach { turnsOf =>
+      val sorted = turnsOf.sortBy(_._2)
+      assert(sorted.head._4 == 0L)
+      sorted.sliding(2).foreach {
+        case Seq(p, n) => assert(p._5 == n._4)
+        case _ =>
+      }
+    }
+  }
 }
