@@ -495,4 +495,42 @@ object Training {
         (col("__start") + col("__len")).as("end"),
         (!col("__role").isin(trainRoles: _*)).as("mask"))
   }
+
+  /** Packs ASSEMBLED conversations ([[assembleConversations]] output)
+    * into the contiguous training stream with `budget`-sized shards —
+    * the GPT-style concatenate-everything layout: conversations lay
+    * end-to-end in conversation order, `bin` is the fixed-size shard
+    * window holding each turn's START, and the loader's attention
+    * resets come from conversation offsets, not shard edges (a
+    * conversation may straddle a shard boundary; true atomic next-fit
+    * packing is a sequential fold and would not distribute). Every
+    * turn lands at `offset = conversation start in the stream + local
+    * span start`, so the loss mask rides each turn with its exact
+    * global character interval. Returns one row per turn:
+    * (conv, turn, role, bin, offset, end_offset, mask).
+    *
+    * Scale: conversation lengths are a conv-sized aggregate (max of
+    * `end` — spans tile the conversation, so the last end IS the
+    * length); the pack is one [[packBinsWithOffsets]] prefix sum over
+    * that conv-sized table, joined back count-gated-broadcast. No
+    * data-sized shuffle beyond the groupBy; the turn table itself is
+    * never globally sorted.
+    */
+  def packConversations(turns: DataFrame, budget: Long,
+                        broadcastLimit: Long = 4000000L): DataFrame = {
+    val convLens = Checkpoints.stage(
+      turns.groupBy(col("conv").as("__pconv"))
+        .agg(max(col("end")).as("__clen")))
+    val packed = packBinsWithOffsets(convLens, Seq(col("__pconv")),
+        col("__clen"), budget)
+      .select(col("__pconv"), col("start").as("__cstart"))
+    val side =
+      if (convLens.count() <= broadcastLimit) broadcast(packed)
+      else packed
+    turns.join(side, col("conv") === col("__pconv"))
+      .select(col("conv"), col("turn"), col("role"),
+        expr(s"(__cstart + start) div ${budget}L").as("bin"),
+        (col("__cstart") + col("start")).as("offset"),
+        (col("__cstart") + col("end")).as("end_offset"), col("mask"))
+  }
 }

@@ -445,6 +445,22 @@ object TrainingQueries {
           trainRoles = Seq("click", "purchase"))
         .orderBy(col("conv"), col("turn"))),
 
+    // SFT packing: the assembled dialogues laid end-to-end into the
+    // contiguous training stream (conversation order), 512-char shard
+    // windows, per-turn GLOBAL character intervals + loss mask — what
+    // a sequence-packing loader consumes directly. One conv-sized
+    // prefix sum + a count-gated broadcast join; the turn table never
+    // globally sorts.
+    "x_sft_pack" -> ((s, d) =>
+      graft.operators.Training.packConversations(
+          graft.operators.Training.assembleConversations(
+            t(s, d, "events"), col("user_id"), col("event_id"),
+            col("event_type"),
+            concat(col("event_type"), lit(":"), col("event_id")),
+            trainRoles = Seq("click", "purchase")),
+          budget = 512L)
+        .orderBy(col("conv"), col("turn"))),
+
     // Small-file compaction, driver-checked end to end: a 64-fragment
     // write (the layout continuous ingestion leaves behind) compacted
     // once per data dir into 4 lang-clustered files, then scanned —
@@ -804,6 +820,36 @@ object TrainingQueries {
         |SELECT conv, turn, role, start, start + l AS "end",
         |  role NOT IN ('click', 'purchase') AS mask
         |FROM s ORDER BY conv, turn""".stripMargin,
+
+    "x_sft_pack" ->
+      """WITH t AS (
+        |  SELECT user_id AS conv, event_id AS turn,
+        |    event_type AS role,
+        |    CAST(len('<' || event_type || '>' || event_type || ':'
+        |      || CAST(event_id AS VARCHAR)) AS BIGINT) AS l
+        |  FROM events),
+        |s AS (
+        |  SELECT conv, turn, role,
+        |    CAST(coalesce(sum(l) OVER (PARTITION BY conv ORDER BY turn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS start, l
+        |  FROM t),
+        |cl AS (
+        |  SELECT conv, CAST(sum(l) AS BIGINT) AS clen
+        |  FROM t GROUP BY conv),
+        |cs AS (
+        |  SELECT conv,
+        |    CAST(coalesce(sum(clen) OVER (ORDER BY conv
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cstart
+        |  FROM cl)
+        |SELECT s.conv, s.turn, s.role,
+        |  (cs.cstart + s.start) // 512 AS bin,
+        |  cs.cstart + s.start AS "offset",
+        |  cs.cstart + s.start + s.l AS end_offset,
+        |  s.role NOT IN ('click', 'purchase') AS mask
+        |FROM s JOIN cs ON s.conv = cs.conv
+        |ORDER BY s.conv, s.turn""".stripMargin,
 
     "x_compact_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -280,4 +280,37 @@ class TrainingSpec extends SparkSuite {
       }
     }
   }
+
+  test("packConversations: conversations lay end-to-end in conv " +
+      "order; bin = global start div budget; spans tile the stream") {
+    import spark.implicits._
+    val turns = Seq(
+      ("a", 1L, "user", "hi"), ("a", 2L, "assistant", "yo"),
+      ("b", 1L, "user", "xxxxx"), ("c", 1L, "assistant", "k"))
+      .toDF("c", "t", "r", "x")
+    val assembled = graft.operators.Training.assembleConversations(
+      turns, col("c"), col("t"), col("r"), col("x"),
+      trainRoles = Seq("assistant"))
+    // conv lens: a = 8 + 13 = 21, b = 11, c = 12; budget 16
+    val got = graft.operators.Training
+      .packConversations(assembled, budget = 16L)
+      .orderBy(col("conv"), col("turn"))
+      .as[(String, Long, String, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(got == Seq(
+      // a starts at 0: <user>hi [0,8) bin 0, <assistant>yo [8,21) bin 0
+      ("a", 1L, "user", 0L, 0L, 8L, true),
+      ("a", 2L, "assistant", 0L, 8L, 21L, false),
+      // b starts at 21: [21,32) bin 1 (straddles into window 2)
+      ("b", 1L, "user", 1L, 21L, 32L, true),
+      // c starts at 32: [32,44) bin 2
+      ("c", 1L, "assistant", 2L, 32L, 44L, false)))
+    // global spans tile the stream with no gaps in (conv, turn) order
+    val ordered = got.sortBy(r => (r._1, r._2))
+    assert(ordered.head._5 == 0L)
+    ordered.sliding(2).foreach {
+      case Seq(p, n) => assert(p._6 == n._5)
+      case _ =>
+    }
+  }
 }
