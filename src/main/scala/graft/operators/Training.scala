@@ -533,4 +533,34 @@ object Training {
         (col("__cstart") + col("start")).as("offset"),
         (col("__cstart") + col("end")).as("end_offset"), col("mask"))
   }
+
+  /** PREFERENCE-PAIR ASSEMBLY (the DPO/RLHF data step): from scored
+    * candidate responses per prompt, emit one (chosen, rejected) pair
+    * per prompt — the highest- vs lowest-scored candidate — keeping
+    * only prompts with ≥2 candidates and a score margin ≥ `margin`
+    * (near-tied pairs teach the reward model nothing and add label
+    * noise). Ties break deterministically toward the larger (chosen)
+    * / smaller (rejected) candidate id via lexicographic struct
+    * ordering, so the pair set is a pure function of the input set.
+    *
+    * Scale: ONE hash aggregate with map-side partials — per-prompt
+    * state is two (score, id) structs and a count, never the
+    * candidate list; no window, no join, no driver state.
+    */
+  def preferencePairs(df: DataFrame, prompt: Column, cand: Column,
+                      score: Column, margin: Double): DataFrame =
+    df.select(prompt.as("__p"), cand.as("__c"),
+        score.cast("double").as("__s"))
+      .groupBy(col("__p"))
+      .agg(max(struct(col("__s"), col("__c"))).as("__hi"),
+        min(struct(col("__s"), col("__c"))).as("__lo"),
+        count(lit(1)).as("__n"))
+      .where(col("__n") >= 2 &&
+        (col("__hi.__s") - col("__lo.__s")) >= margin)
+      .select(col("__p").as("prompt"),
+        col("__hi.__c").as("chosen"),
+        col("__hi.__s").as("chosen_score"),
+        col("__lo.__c").as("rejected"),
+        col("__lo.__s").as("rejected_score"),
+        (col("__hi.__s") - col("__lo.__s")).as("margin"))
 }

@@ -461,6 +461,17 @@ object TrainingQueries {
           budget = 512L)
         .orderBy(col("conv"), col("turn"))),
 
+    // DPO preference pairs: each user's event stream as scored
+    // candidate responses (prompt = user, candidate = event, score =
+    // value) — chosen/rejected = best/worst with deterministic
+    // struct tie-breaks, margin-gated at 0.5. One map-side-partial
+    // hash aggregate; per-prompt state is two structs and a count.
+    "x_dpo_pairs" -> ((s, d) =>
+      graft.operators.Training.preferencePairs(
+          t(s, d, "events"), col("user_id"), col("event_id"),
+          col("value"), margin = 0.5)
+        .orderBy(col("prompt"))),
+
     // Small-file compaction, driver-checked end to end: a 64-fragment
     // write (the layout continuous ingestion leaves behind) compacted
     // once per data dir into 4 lang-clustered files, then scanned —
@@ -850,6 +861,31 @@ object TrainingQueries {
         |  s.role NOT IN ('click', 'purchase') AS mask
         |FROM s JOIN cs ON s.conv = cs.conv
         |ORDER BY s.conv, s.turn""".stripMargin,
+
+    "x_dpo_pairs" ->
+      """WITH b AS (
+        |  SELECT user_id AS prompt, event_id AS c,
+        |    CAST(value AS DOUBLE) AS s
+        |  FROM events),
+        |hi AS (
+        |  SELECT prompt, c, s FROM (
+        |    SELECT prompt, c, s, row_number() OVER (
+        |      PARTITION BY prompt ORDER BY s DESC, c DESC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |lo AS (
+        |  SELECT prompt, c, s FROM (
+        |    SELECT prompt, c, s, row_number() OVER (
+        |      PARTITION BY prompt ORDER BY s ASC, c ASC) AS rn
+        |    FROM b) WHERE rn = 1),
+        |n AS (SELECT prompt, count(*) AS cnt FROM b GROUP BY prompt)
+        |SELECT hi.prompt, hi.c AS chosen, hi.s AS chosen_score,
+        |  lo.c AS rejected, lo.s AS rejected_score,
+        |  hi.s - lo.s AS margin
+        |FROM hi
+        |JOIN lo ON hi.prompt = lo.prompt
+        |JOIN n ON hi.prompt = n.prompt
+        |WHERE n.cnt >= 2 AND hi.s - lo.s >= CAST(0.5 AS DOUBLE)
+        |ORDER BY hi.prompt""".stripMargin,
 
     "x_compact_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

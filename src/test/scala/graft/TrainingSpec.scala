@@ -313,4 +313,21 @@ class TrainingSpec extends SparkSuite {
       case _ =>
     }
   }
+
+  test("preferencePairs: best vs worst per prompt, struct tie-breaks, " +
+      "margin and n>=2 gates") {
+    import spark.implicits._
+    val cands = Seq(
+      ("p1", 1L, 2.0), ("p1", 2L, 5.0), ("p1", 3L, 5.0), // tie at top
+      ("p2", 6L, 9.0),                  // single candidate: dropped
+      ("p3", 7L, 1.0), ("p3", 8L, 1.2), // margin 0.2 < 0.5: dropped
+      ("p4", 4L, 2.0), ("p4", 5L, 2.0)  // all tied: margin 0, dropped
+    ).toDF("p", "c", "s")
+    val got = graft.operators.Training.preferencePairs(
+        cands, col("p"), col("c"), col("s"), margin = 0.5)
+      .as[(String, Long, Double, Long, Double, Double)]
+      .collect().toSeq
+    // top tie (5.0 at c=2,3) breaks toward the LARGER id
+    assert(got == Seq(("p1", 3L, 5.0, 1L, 2.0, 3.0)))
+  }
 }
