@@ -297,4 +297,49 @@ object TextAnalysis {
       .where(col("rnk") <= k)
       .select(col("id"), col("rnk"), col("term"), col("tf"), col("df"))
   }
+
+  /** COLLOCATION MINING by pointwise mutual information over adjacent
+    * token pairs — the corpus-analysis step that surfaces multiword
+    * expressions ("new york", "machine learning") worth atomic
+    * treatment in a tokenizer or worth indexing as phrases. The score
+    * is `lift = N·c(x,y) / (c(x,·)·c(·,y))` over the bigram-position
+    * event space (left/right marginals, N = bigram positions);
+    * PMI = log2(lift), but lift itself ships because it is ONE IEEE
+    * division of two exact integer products — bit-identical on any
+    * engine, no platform-log drift — and log is monotone, so the
+    * ranking is the PMI ranking. `minCount` drops sparse-count pairs
+    * (PMI's classic failure mode: two hapaxes that co-occur once get
+    * an enormous score).
+    *
+    * Scale: ONE data-sized aggregate (pairs → bigram vocab, map-side
+    * partials); the marginals and N are re-aggregates of the STAGED
+    * bigram-vocab table, never of the data; the 1-row N broadcast
+    * cross join is bounded by construction. Integer products stay
+    * exact below 2^53 — at corpus sizes beyond ~10^15 bigrams move
+    * the score to log space; the ranking tolerates that, the
+    * hash-exact oracle contract is what pins this formulation.
+    */
+  def collocations(df: DataFrame, id: Column, text: Column,
+                   minCount: Long = 5L, k: Int = 20): DataFrame = {
+    val pairCounts = Checkpoints.stage(
+      Dedup.wordShingles(df, id, text, n = 2, dedup = false)
+        .select(split(col("shingle"), " ").as("__p"))
+        .select(element_at(col("__p"), 1).as("x"),
+          element_at(col("__p"), 2).as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy")))
+    val left = pairCounts.groupBy(col("x"))
+      .agg(sum(col("c_xy")).as("c_left"))
+    val right = pairCounts.groupBy(col("y"))
+      .agg(sum(col("c_xy")).as("c_right"))
+    val n = pairCounts.agg(sum(col("c_xy")).as("__n"))
+    pairCounts.where(col("c_xy") >= minCount)
+      .join(left, "x").join(right, "y")
+      .crossJoin(broadcast(n))
+      .select(col("x"), col("y"), col("c_xy"), col("c_left"),
+        col("c_right"),
+        ((col("__n") * col("c_xy")).cast("double") /
+          (col("c_left") * col("c_right")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("x"), col("y"))
+      .limit(k)
+  }
 }

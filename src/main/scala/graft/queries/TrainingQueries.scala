@@ -674,7 +674,16 @@ object TrainingQueries {
           col("doc_id"), col("text"), k = 3, docFilter = _ < 50)
         .select(col("id").as("doc_id"), col("rnk").cast("long").as("rnk"),
           col("term"), col("tf"), col("df"))
-        .orderBy(col("doc_id"), col("rnk"))))
+        .orderBy(col("doc_id"), col("rnk"))),
+
+    // PMI collocation mining: top-40 adjacent-pair collocations by
+    // lift = N·c(x,y)/(c(x,·)·c(·,y)) over bigram positions, min
+    // count 5 — one data-sized aggregate, marginals re-aggregated
+    // from the staged bigram vocab, score a single IEEE division of
+    // exact integer products (hash-exact vs the oracle).
+    "x_collocations" -> ((s, d) =>
+      TextAnalysis.collocations(t(s, d, "documents"),
+        col("doc_id"), col("text"), minCount = 5L, k = 40)))
 
   /** Recursive-CTE clustering over the full-corpus >= 0.8 candidate
     * edges — the shared oracle of x_dedup_clusters AND
@@ -1053,5 +1062,37 @@ object TrainingQueries {
         |      ORDER BY tf.tf DESC, dfreq.df ASC, tf.term) AS rnk
         |  FROM tf JOIN dfreq USING (term)
         |  WHERE tf.doc_id < 50)
-        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin))
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin),
+
+    "x_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CAST(generate_subscripts(string_split(text,' '),1) AS INT)
+        |      AS pos,
+        |    unnest(string_split(text,' ')) AS tok
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, tok AS x,
+        |    lead(tok,1) OVER (PARTITION BY doc_id ORDER BY pos) AS y
+        |  FROM toks),
+        |p AS (SELECT x, y FROM sh WHERE y IS NOT NULL),
+        |cxy AS (
+        |  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy
+        |  FROM p GROUP BY 1, 2),
+        |cl AS (
+        |  SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_left
+        |  FROM cxy GROUP BY 1),
+        |cr AS (
+        |  SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_right
+        |  FROM cxy GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS nn FROM cxy)
+        |SELECT cxy.x, cxy.y, c_xy, c_left, c_right,
+        |  CAST(nn * c_xy AS DOUBLE) / CAST(c_left * c_right AS DOUBLE)
+        |    AS lift
+        |FROM cxy
+        |JOIN cl ON cxy.x = cl.x
+        |JOIN cr ON cxy.y = cr.y
+        |CROSS JOIN n
+        |WHERE c_xy >= 5
+        |ORDER BY lift DESC, cxy.x, cxy.y LIMIT 40""".stripMargin)
 }

@@ -47,6 +47,11 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // pinned like x_stratified); the 1-row N aggregate cross-joins
     "x_curriculum" -> default.copy(allowCartesian = true,
       maxWindows = 0),
+    // collocations: the 1-row N aggregate broadcast cross join is
+    // bounded by construction; marginal re-aggregates + two
+    // vocab-table joins push the exchange count past default
+    "x_collocations" -> default.copy(allowCartesian = true,
+      maxShuffles = 12, maxBroadcasts = 8),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
     // KMV pairwise overlap: the ga < gb pair join is over the
     // #sources-row SKETCH table (k longs each) — a planning-table
