@@ -757,4 +757,166 @@ object Similarity {
     when(mx === 0.0, transform(vec, _ => lit(0)))
       .otherwise(transform(vec,
         x => floor(x.cast("double") * 127.0 / mx + 0.5).cast("int")))
+
+  // ---------- PCA (distributed moments, driver-side eigen) ----------
+
+  /** Exact second-moment sufficient statistics for PCA over a
+    * QUANTIZED copy of the embeddings: q_i = round(v_i · scale) as
+    * int64, so every sum is an integer sum — order-independent,
+    * partitioning-independent, and hash-exact against a SQL oracle
+    * (float sums would drift with reduction order; the quantization
+    * error the basis inherits is 2^-20 per coordinate, far below any
+    * embedding's own noise floor). Output rows, one relation for the
+    * whole statistic: (i, j, v) = Σ q_i·q_j over the upper triangle
+    * i ≤ j; (i, -1, Σ q_i) first moments; (-1, -1, n) the count.
+    *
+    * Scale: the d²/2 per-row pair explode is CPU inside codegen; the
+    * hash aggregate collapses it map-side to d(d+3)/2 groups PER
+    * PARTITION, so the exchange carries ~2k rows per task regardless
+    * of data size — the classic outer-product-accumulate shape.
+    * Products accumulate in decimal(38,0): |q| ≤ scale·|v|, so
+    * products sit near 2^42 and a 64-bit sum would overflow around
+    * 10^6 rows — decimal keeps the pass exact to ~10^26 rows.
+    */
+  def pcaMoments(corpus: DataFrame, vec: Column,
+                 scale: Long = 1L << 20): DataFrame = {
+    val q = corpus.select(transform(vec,
+      x => round(x.cast("double") * scale.toDouble).cast("long")).as("__q"))
+    val toks = q.select(posexplode(col("__q")).as(Seq("i", "__qi")),
+      col("__q"))
+    val second = toks
+      .select(col("i"), col("__qi"),
+        posexplode(col("__q")).as(Seq("j", "__qj")))
+      .where(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("__qi") * col("__qj")).cast("decimal(28,0)"))
+        .cast("decimal(38,0)").as("v"))
+    val first = toks.groupBy(col("i"))
+      .agg(sum(col("__qi").cast("decimal(28,0)"))
+        .cast("decimal(38,0)").as("v"))
+      .select(col("i"), lit(-1).as("j"), col("v"))
+    val nRow = q.agg(count(lit(1)).cast("decimal(38,0)").as("v"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
+    second.select(col("i"), col("j"), col("v"))
+      .unionAll(first).unionAll(nRow)
+  }
+
+  /** Fits a PCA basis from [[pcaMoments]]: assembles the covariance
+    * C = E[qqᵀ]/scale² − m mᵀ on the driver (d(d+3)/2 numbers — never
+    * data), runs cyclic Jacobi to convergence (deterministic sweep
+    * order, machine-precision off-diagonals), and returns the top-k
+    * eigenpairs sorted by eigenvalue descending with a sign
+    * convention (largest-|coordinate| positive, first such index on
+    * ties) so the basis is a pure function of the input SET.
+    * Returns (mean, basis rows = components, eigenvalues).
+    */
+  def fitPca(corpus: DataFrame, vec: Column, k: Int,
+             scale: Long = 1L << 20)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
+    val rows = pcaMoments(corpus, vec, scale).collect()
+    val d = rows.iterator.map(_.getInt(0)).max + 1
+    require(d > 0 && k <= d, s"k=$k must be <= dim=$d")
+    val n = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
+      .get.getDecimal(2).doubleValue()
+    require(n > 0, "pca: empty corpus")
+    val s1 = new Array[Double](d)
+    val s2 = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1),
+        r.getDecimal(2).doubleValue())
+      if (i >= 0 && j == -1) s1(i) = v
+      else if (i >= 0 && j >= 0) { s2(i)(j) = v; s2(j)(i) = v }
+    }
+    val sc = scale.toDouble
+    val mean = s1.map(_ / n / sc)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      s2(i)(j) / n / (sc * sc) - mean(i) * mean(j))
+    val (valsAll, vecsAll) = jacobiEigen(cov)
+    val order = valsAll.indices
+      .sortBy(i => (-valsAll(i), i)).take(k)
+    val basis = order.map { c =>
+      val v = Array.tabulate(d)(r => vecsAll(r)(c))
+      val pivot = v.indices.maxBy(i => (math.abs(v(i)), -i))
+      if (v(pivot) < 0) v.map(x => -x) else v
+    }.toArray
+    (mean, basis, order.map(valsAll).toArray)
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * deterministic (fixed sweep order, fixed rotation formulas), so
+    * repeated fits on the same moments are bit-identical. Returns
+    * (eigenvalues, eigenvector COLUMNS). O(d³) per sweep on the
+    * driver; d is an embedding dimension, never data-sized.
+    */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val d = m.length
+    val a = m.map(_.clone())
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 64 && off > 1e-14) {
+      off = 0.0
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          if (math.abs(a(p)(q)) > 1e-300) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // sign(0) must be +1 here: theta = 0 is the 45-degree
+            // rotation, not "skip" (signum would zero the rotation
+            // and the off-diagonal would never shrink)
+            val sgn = if (theta >= 0) 1.0 else -1.0
+            val t = sgn /
+              (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < d) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < d) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { off = math.max(off, math.abs(a(i)(j))); j += 1 }
+        i += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(d)(i => a(i)(i)), v)
+  }
+
+  /** Projects embeddings onto a fitted PCA basis: out_c =
+    * ⟨v, b_c⟩ − ⟨mean, b_c⟩ per component — k codegen'd [[VecDot]]s
+    * against broadcast literal planes plus a per-component constant
+    * folded at plan time. Narrow map, rides the scan, no shuffle;
+    * output is `array<double>` of length k.
+    */
+  def pcaProject(df: DataFrame, id: Column, vec: Column,
+                 mean: Array[Double], basis: Array[Array[Double]])
+      : DataFrame = {
+    val comps = basis.map { b =>
+      val c = b.zip(mean).map { case (bi, mi) => bi * mi }.sum
+      (dot(vec, lit(b)) - lit(c))
+    }
+    df.select(id.as("id"), array(comps: _*).as("proj"))
+  }
 }

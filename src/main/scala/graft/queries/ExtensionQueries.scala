@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Frequency, Multimodal, Similarity, TextAnalysis}
+import graft.functions.VectorFunctions
 import ParityQueries.t
 
 /** Training-data-pipeline extensions (dedup, similarity, text analysis,
@@ -37,6 +38,14 @@ object ExtensionQueries {
     pqMemo.computeIfAbsent(d,
       _ => Similarity.fitPqCodebooks(e, m = 16, ks = 16, iters = 2,
         coarse = Some(fittedCents(d, e))))
+
+  private val pcaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Array[Double]], Array[Double])]()
+
+  private[queries] def fittedPca(d: String, e: => DataFrame)
+      : (Array[Double], Array[Array[Double]], Array[Double]) =
+    pcaMemo.computeIfAbsent(d,
+      _ => Similarity.fitPca(e, col("vec"), k = 8))
 
   /** PERSISTED PQ code store (the FAISS-style inverted-list artifact,
     * cell-clustered): encoded once per data dir; queries pay only the
@@ -450,6 +459,62 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(e.where(col("id") < 10), e, k = 5)
         .select(col("qa"), col("rank"), col("vb"), col("cos"))
         .orderBy(col("qa"), col("rank"))
+    }),
+
+    // PCA sufficient statistics: integer-quantized second moments of
+    // the embedding corpus (upper triangle + means + count) — the one
+    // data pass behind fitPca, hash-exact vs the oracle because every
+    // sum is an integer sum. The exchange carries d(d+3)/2 rows per
+    // task regardless of corpus size (map-side hash agg).
+    "x_pca_moments" -> ((s, d) =>
+      Similarity.pcaMoments(t(s, d, "embeddings"),
+          col("embedding"))
+        .select(col("i"), col("j"), col("v").cast("long").as("v"))
+        .orderBy(col("i"), col("j"))),
+
+    // PCA projection: the 64-dim embeddings onto the fitted top-8
+    // basis — k codegen'd VecDot's against plan-time literal planes,
+    // a narrow map riding the scan. Driver-side eigen is not SQL-
+    // expressible → rows-only here; licensed by the x_pca_err gate
+    // (Bessel + variance-capture identities, oracle-green empty set)
+    // and the SimilaritySpec eigen/orthonormality/recovery pins.
+    "x_pca_project" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (mean, basis, _) = fittedPca(d, e)
+      Similarity.pcaProject(e, col("id"), col("vec"), mean, basis)
+        .orderBy(col("id"))
+    }),
+
+    // PCA gate (empty-set oracle): fires a row per vector whose
+    // projected energy exceeds its centered norm (Bessel violation —
+    // a non-orthonormal basis would trip this), plus one corpus-level
+    // row if the mean projected energy drifts from the top-k
+    // eigenvalue mass (the trace identity) by > 0.5% of total
+    // variance. Licenses x_pca_project's rows-only check.
+    "x_pca_err" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (mean, basis, evals) = fittedPca(d, e)
+      val proj = Similarity.pcaProject(e, col("id"), col("vec"),
+        mean, basis)
+      val centered = e.select(col("id"),
+        (VectorFunctions.dot(col("vec"), col("vec"))
+          - lit(2.0) * VectorFunctions.dot(col("vec"), lit(mean))
+          + lit(mean.map(x => x * x).sum)).as("csq"))
+      val energies = proj
+        .select(col("id"),
+          VectorFunctions.dot(col("proj"), col("proj")).as("psq"))
+        .join(centered, "id")
+      val bessel = energies
+        .where(col("psq") > col("csq") * 1.000001 + 1e-6)
+        .select(col("id"))
+      val kmass = evals.sum
+      val drift = energies
+        .agg(avg(col("psq")).as("mpsq"), avg(col("csq")).as("mcsq"))
+        .where(abs(col("mpsq") - lit(kmass)) > col("mcsq") * 0.005)
+        .select(lit(-1L).as("id"))
+      bessel.unionAll(drift)
     }),
 
     // Hard-negative mining: per anchor (vec_id < 20), the 3 most
@@ -1509,6 +1574,32 @@ object ExtensionQueries {
     "x_ivf_pq_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
+    "x_pca_moments" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+        |      AS BIGINT) AS qv
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.i AS i, b.i AS j, a.qv * b.qv AS p
+        |  FROM q a JOIN q b
+        |    ON a.vec_id = b.vec_id AND b.i >= a.i),
+        |sec AS (
+        |  SELECT i, j, CAST(sum(p) AS BIGINT) AS v
+        |  FROM pairs GROUP BY 1, 2),
+        |fst AS (
+        |  SELECT i, -1 AS j, CAST(sum(qv) AS BIGINT) AS v
+        |  FROM q GROUP BY 1),
+        |cnt AS (
+        |  SELECT -1 AS i, -1 AS j, CAST(count(*) AS BIGINT) AS v
+        |  FROM embeddings)
+        |SELECT i, j, v FROM sec
+        |UNION ALL SELECT i, j, v FROM fst
+        |UNION ALL SELECT i, j, v FROM cnt
+        |ORDER BY i, j""".stripMargin,
+    "x_pca_err" ->
+      """SELECT CAST(-1 AS BIGINT) AS id WHERE 1 = 0""",
     "x_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents

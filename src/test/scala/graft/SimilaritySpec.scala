@@ -208,4 +208,65 @@ class SimilaritySpec extends SparkSuite {
     info(s"recall@5 = $recall, candidates returned = ${approx.size}")
     assert(recall >= 0.4) // random gaussian corpus: buckets thin out fast
   }
+
+  test("jacobiEigen: known 2x2 and 3x3 spectra to machine precision") {
+    // [[2,1],[1,2]] -> eigenvalues 3, 1
+    val (v2, _) = Similarity.jacobiEigen(
+      Array(Array(2.0, 1.0), Array(1.0, 2.0)))
+    assert(v2.sorted.zip(Seq(1.0, 3.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // diag(5, 2, 7) permuted by a rotation keeps its spectrum
+    val m = Array(
+      Array(4.0, -2.0, 0.0),
+      Array(-2.0, 4.0, 0.0),
+      Array(0.0, 0.0, 7.0))
+    val (v3, vecs) = Similarity.jacobiEigen(m)
+    assert(v3.sorted.zip(Seq(2.0, 6.0, 7.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // eigen equation: M v = lambda v for each column
+    for (c <- 0 until 3; r <- 0 until 3) {
+      val mv = (0 until 3).map(k => m(r)(k) * vecs(k)(c)).sum
+      assert(math.abs(mv - v3(c) * vecs(r)(c)) < 1e-10)
+    }
+  }
+
+  test("fitPca: recovers the planted principal direction; basis " +
+      "orthonormal; projection energy obeys Bessel; deterministic " +
+      "under repartitioning") {
+    // points along (3,4)/5 in 4-d space + tiny fixed jitter on axis 2
+    val dir = Array(0.6, 0.8, 0.0, 0.0)
+    val pts = (0 until 40).map { i =>
+      val a = (i - 20).toDouble / 4.0
+      (i.toLong, Array(
+        (a * dir(0)).toFloat, (a * dir(1)).toFloat,
+        (if (i % 2 == 0) 0.01f else -0.01f), 0.0f))
+    }
+    val df = pts.toDF("id", "vec")
+    val (mean, basis, evals) = Similarity.fitPca(df, $"vec", k = 2)
+    // top component is the planted direction (sign-fixed positive)
+    assert(math.abs(math.abs(basis(0)(0)) - 0.6) < 1e-4 &&
+      math.abs(math.abs(basis(0)(1)) - 0.8) < 1e-4)
+    assert(basis(0)(1) > 0) // sign convention: largest |coord| positive
+    assert(evals(0) > evals(1) && evals(1) >= -1e-12)
+    // orthonormal rows
+    for (a <- basis.indices; b <- basis.indices) {
+      val d = basis(a).zip(basis(b)).map { case (x, y) => x * y }.sum
+      assert(math.abs(d - (if (a == b) 1.0 else 0.0)) < 1e-9)
+    }
+    // Bessel per point: projected energy <= centered energy
+    val proj = Similarity.pcaProject(df, $"id", $"vec", mean, basis)
+      .as[(Long, Seq[Double])].collect()
+    val byId = pts.toMap
+    proj.foreach { case (id, p) =>
+      val v = byId(id).map(_.toDouble)
+      val csq = v.zip(mean).map { case (x, m) =>
+        (x - m) * (x - m) }.sum
+      assert(p.map(x => x * x).sum <= csq + 1e-9)
+    }
+    // pure function of the input set: repartitioned fit bit-equal
+    val (m2, b2, e2) = Similarity.fitPca(df.repartition(7), $"vec", 2)
+    assert(m2.toSeq == mean.toSeq &&
+      b2.map(_.toSeq).toSeq == basis.map(_.toSeq).toSeq &&
+      e2.toSeq == evals.toSeq)
+  }
 }
