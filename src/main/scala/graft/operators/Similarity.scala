@@ -919,4 +919,81 @@ object Similarity {
     }
     df.select(id.as("id"), array(comps: _*).as("proj"))
   }
+
+  // ---------- Late interaction (MaxSim, ColBERT-style) ----------
+
+  /** Exact LATE-INTERACTION retrieval over multi-vector entities —
+    * score(q, d) = Σ_{i ∈ q tokens} max_{j ∈ d tokens} ⟨q_i, d_j⟩,
+    * per Khattab & Zaharia, "ColBERT" (SIGIR 2020). Inputs are
+    * token-level rows: `qToks` (qa, qpos, vec), `dToks` (id, vec).
+    *
+    * Exact arm semantics and the oracle contract: the per-token dot
+    * is the codegen'd left-fold [[VecDot]] (bit-exact vs a SQL
+    * list_reduce), the per-(query, qtoken, doc) max is rounding-free,
+    * and the final sum folds in ASCENDING qpos order from a +0.0 seed
+    * — reduction-order-free, so scores hash-match an oracle
+    * bit-for-bit. Quadratic in tokens BY DESIGN (the licensed
+    * baseline, x_cosine_topk pattern); [[maxSimTopKIvf]] is the
+    * scale path.
+    */
+  def maxSimTopK(qToks: DataFrame, dToks: DataFrame, k: Int)
+      : DataFrame = {
+    val q = qToks.select(col("qa"), col("qpos"), col("vec").as("__qv"))
+    val c = dToks.select(col("id"), col("vec").as("__dv"))
+    rankTopK(maxSimFold(c.crossJoin(broadcast(q))), k)
+  }
+
+  /** Shared exact-MaxSim scoring core over a (qa, qpos, id, __qv,
+    * __dv) token-pair table: per-(qa, qpos, id) max dot, then the
+    * qpos-ordered +0.0-seeded fold. Both arms run this identical
+    * path, so the pruned arm cannot drift from the exact one on the
+    * candidates it does score.
+    */
+  private def maxSimFold(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("qa"), col("qpos"), col("id"))
+      .agg(max(dot(col("__qv"), col("__dv"))).as("__md"))
+      .groupBy(col("qa"), col("id"))
+      .agg(array_sort(collect_list(struct(col("qpos"), col("__md"))))
+        .as("__l"))
+      .select(col("qa"), col("id"),
+        aggregate(col("__l"), lit(0.0),
+          (acc, x) => acc + x.getField("__md")).as("score"))
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qa"))
+          .orderBy(col("score").desc, col("id"))).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("qa"), col("rank"), col("id"), col("score"))
+
+  /** The 100 TB MaxSim arm: IVF candidate generation at the TOKEN
+    * level — corpus tokens route to their nearest coarse cell (narrow
+    * pass), query tokens probe `nprobe` cells, and only documents
+    * owning at least one co-celled token are scored, by the same
+    * exact [[maxSimScore]] core (full-fidelity re-rank on the
+    * candidate set, approximate only in which documents reach it).
+    * The cell join's fan-out is bounded by cell occupancy, not
+    * |Q|·|C|; candidates dedup BEFORE the scoring join so each
+    * (query, doc) pair is scored once.
+    */
+  def maxSimTopKIvf(qToks: DataFrame, dToks: DataFrame, k: Int,
+                    cents: Array[Array[Double]], nprobe: Int = 4)
+      : DataFrame = {
+    val q = qToks.select(col("qa"), col("qpos"), col("vec").as("__qv"))
+    val c = dToks.select(col("id"), col("vec").as("__dv"))
+    val dCell = c.withColumn("__cell",
+      element_at(topCellsCol(col("__dv"), cents, 1), 1))
+    val qCell = q.withColumn("__cell",
+      explode(topCellsCol(col("__qv"), cents, nprobe)))
+    val cand = broadcast(qCell.select(col("qa"), col("__cell")))
+      .join(dCell.select(col("id"), col("__cell")), Seq("__cell"))
+      .select(col("qa"), col("id")).distinct()
+    val pairs = c.join(cand, Seq("id"))
+      .select(col("qa").as("__ca"), col("id"), col("__dv"))
+      .join(broadcast(q), col("__ca") === col("qa"))
+      .select(col("qa"), col("qpos"), col("id"), col("__qv"),
+        col("__dv"))
+    rankTopK(maxSimFold(pairs), k)
+  }
 }

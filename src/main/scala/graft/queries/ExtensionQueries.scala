@@ -517,6 +517,55 @@ object ExtensionQueries {
       bessel.unionAll(drift)
     }),
 
+    // Late-interaction (MaxSim, ColBERT-style) retrieval over
+    // multi-vector entities: embeddings grouped into 50-per-modulus
+    // entities (SF-invariant entity count), entities < 5 as queries.
+    // Per-token dots are codegen'd VecDot left-folds, the final sum
+    // folds in qpos order from a +0.0 seed — reduction-order-free,
+    // hash-exact vs the oracle. Exact arm = licensed baseline
+    // (x_cosine_topk pattern); the IVF arm is gate-licensed below.
+    "x_maxsim" -> ((s, d) => {
+      val tok = t(s, d, "embeddings")
+        .select((col("vec_id") % 50).as("ent"), col("vec_id"),
+          col("embedding"))
+      val q = tok.where(col("ent") < 5)
+        .select(col("ent").as("qa"), col("vec_id").as("qpos"),
+          col("embedding").as("vec"))
+      val c = tok.where(col("ent") >= 5)
+        .select(col("ent").as("id"), col("embedding").as("vec"))
+      Similarity.maxSimTopK(q, c, k = 5)
+        .orderBy(col("qa"), col("rank"))
+    }),
+
+    // MaxSim IVF recall gate (empty-set oracle): token-level IVF
+    // candidate routing + the SAME exact scoring core on candidates;
+    // fires iff the pruned arm misses > 20% of the exact top-5
+    // (query, doc) pairs in aggregate. Integer-compare, no float
+    // recall arithmetic. Licenses maxSimTopKIvf as the 100 TB arm.
+    "x_maxsim_ivf_err" -> ((s, d) => {
+      val tok = t(s, d, "embeddings")
+        .select((col("vec_id") % 50).as("ent"), col("vec_id"),
+          col("embedding"))
+      val q = tok.where(col("ent") < 5)
+        .select(col("ent").as("qa"), col("vec_id").as("qpos"),
+          col("embedding").as("vec"))
+      val c = tok.where(col("ent") >= 5)
+        .select(col("ent").as("id"), col("embedding").as("vec"))
+      val cents = fittedCents(d,
+        t(s, d, "embeddings").select(col("vec_id").as("id"),
+          col("embedding").as("vec")))
+      val exact = Similarity.maxSimTopK(q, c, k = 5)
+        .select(col("qa"), col("id"))
+      val pruned = Similarity.maxSimTopKIvf(q, c, k = 5, cents,
+          nprobe = 6)
+        .select(col("qa"), col("id"))
+      exact.join(pruned, Seq("qa", "id"), "left_anti")
+        .agg(count(lit(1)).as("n_miss"))
+        .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+        .where(col("n_miss") * 10 > col("n_exact") * 2)
+        .select(col("n_miss"), col("n_exact"))
+    }),
+
     // Hard-negative mining: per anchor (vec_id < 20), the 3 most
     // cosine-similar vectors with a DIFFERENT label — the contrastive-
     // training negative set. Exact brute arm (licensed baseline; the
@@ -1600,6 +1649,33 @@ object ExtensionQueries {
         |ORDER BY i, j""".stripMargin,
     "x_pca_err" ->
       """SELECT CAST(-1 AS BIGINT) AS id WHERE 1 = 0""",
+    "x_maxsim" ->
+      """WITH tok AS (
+        |  SELECT vec_id % 50 AS ent, vec_id, embedding
+        |  FROM embeddings),
+        |q AS (SELECT ent AS qa, vec_id AS qpos, embedding AS v
+        |      FROM tok WHERE ent < 5),
+        |d AS (SELECT ent AS id, embedding AS v
+        |      FROM tok WHERE ent >= 5),
+        |md AS (
+        |  SELECT q.qa, q.qpos, d.id,
+        |    max(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(q.v) + 1),
+        |        i -> CAST(q.v[i] AS DOUBLE) * d.v[i])),
+        |      (x, y) -> x + y)) AS mdot
+        |  FROM q CROSS JOIN d
+        |  GROUP BY 1, 2, 3),
+        |sc AS (
+        |  SELECT qa, id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list(mdot ORDER BY qpos)), (x, y) -> x + y) AS score
+        |  FROM md GROUP BY qa, id)
+        |SELECT qa, CAST(row_number() OVER (PARTITION BY qa
+        |    ORDER BY score DESC, id) AS INT) AS rank, id, score
+        |FROM sc QUALIFY rank <= 5 ORDER BY qa, rank""".stripMargin,
+    "x_maxsim_ivf_err" ->
+      """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
+        |WHERE 1 = 0""".stripMargin,
     "x_heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents

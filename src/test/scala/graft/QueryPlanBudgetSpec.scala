@@ -52,6 +52,13 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // vocab-table joins push the exchange count past default
     "x_collocations" -> default.copy(allowCartesian = true,
       maxShuffles = 12, maxBroadcasts = 8),
+    // MaxSim exact arm: token-pair cross join BY DESIGN (licensed
+    // baseline, x_cosine_topk pattern)
+    "x_maxsim" -> default.copy(allowCartesian = true),
+    // MaxSim gate runs BOTH arms (exact cartesian + IVF candidate
+    // routing) plus the anti-join compare
+    "x_maxsim_ivf_err" -> Budget(maxShuffles = 16, maxSorts = 10,
+      maxBroadcasts = 12, allowCartesian = true),
     "x_embed_neardup" -> default.copy(allowCartesian = true),
     // KMV pairwise overlap: the ga < gb pair join is over the
     // #sources-row SKETCH table (k longs each) — a planning-table

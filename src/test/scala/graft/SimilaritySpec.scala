@@ -269,4 +269,55 @@ class SimilaritySpec extends SparkSuite {
       b2.map(_.toSeq).toSeq == basis.map(_.toSeq).toSeq &&
       e2.toSeq == evals.toSeq)
   }
+
+  test("maxSimTopK: hand-computed late-interaction scores") {
+    val q = Seq(
+      (100L, 0L, Array(1.0f, 0.0f)),
+      (100L, 1L, Array(0.0f, 1.0f)))
+      .toDF("qa", "qpos", "vec")
+    val c = Seq(
+      (1L, Array(1.0f, 0.0f)), (1L, Array(0.0f, -1.0f)),
+      (2L, Array(0.6f, 0.7f)))
+      .toDF("id", "vec")
+    val got = Similarity.maxSimTopK(q, c, k = 2)
+      .orderBy($"qa", $"rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // doc1: max(1,0) + max(0,-1) = 1.0; doc2: 0.6 + 0.7 (floats
+    // widened exactly) = the double sum of 0.6f and 0.7f
+    val d2 = 0.0 + 0.6f.toDouble + 0.7f.toDouble
+    assert(got == Seq((100L, 1, 2L, d2), (100L, 2, 1L, 1.0)))
+  }
+
+  test("maxSimTopKIvf: recall ≥ 0.8 vs exact on entity corpus; " +
+      "shared pairs score bit-identically") {
+    val tok = t(spark, sf0001, "embeddings")
+      .select((col("vec_id") % 50).as("ent"), col("vec_id"),
+        col("embedding"))
+    val q = tok.where($"ent" < 5)
+      .select($"ent".as("qa"), $"vec_id".as("qpos"),
+        $"embedding".as("vec"))
+    val c = tok.where($"ent" >= 5)
+      .select($"ent".as("id"), $"embedding".as("vec"))
+    val cents = Similarity.fitCentroids(
+      t(spark, sf0001, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 16, iters = 3)
+    val exact = Similarity.maxSimTopK(q, c, k = 5)
+      .select($"qa", $"id", $"score")
+      .as[(Long, Long, Double)].collect()
+    val pruned = Similarity.maxSimTopKIvf(q, c, k = 5, cents,
+        nprobe = 6)
+      .select($"qa", $"id", $"score")
+      .as[(Long, Long, Double)].collect()
+    val ePairs = exact.map(r => (r._1, r._2)).toSet
+    val pPairs = pruned.map(r => (r._1, r._2)).toSet
+    val recall = (ePairs & pPairs).size.toDouble / ePairs.size
+    info(s"maxsim ivf recall@5 = $recall")
+    assert(recall >= 0.8)
+    // identical scoring core: shared pairs agree bit-for-bit
+    val eScore = exact.map(r => (r._1, r._2) -> r._3).toMap
+    pruned.foreach { case (qa, id, s) =>
+      eScore.get((qa, id)).foreach(es => assert(es == s))
+    }
+  }
 }
