@@ -812,8 +812,17 @@ object Similarity {
     */
   def fitPca(corpus: DataFrame, vec: Column, k: Int,
              scale: Long = 1L << 20)
+      : (Array[Double], Array[Array[Double]], Array[Double]) =
+    fitPcaFromMoments(pcaMoments(corpus, vec, scale), k, scale)
+
+  /** [[fitPca]] from an already-materialized moments relation (the
+    * direct pass or [[pcaMomentsFromStore]] — identical statistics,
+    * identical fit).
+    */
+  def fitPcaFromMoments(moments: DataFrame, k: Int,
+                        scale: Long = 1L << 20)
       : (Array[Double], Array[Array[Double]], Array[Double]) = {
-    val rows = pcaMoments(corpus, vec, scale).collect()
+    val rows = moments.collect()
     val d = rows.iterator.map(_.getInt(0)).max + 1
     require(d > 0 && k <= d, s"k=$k must be <= dim=$d")
     val n = rows.find(r => r.getInt(0) == -1 && r.getInt(1) == -1)
@@ -841,6 +850,47 @@ object Similarity {
     }.toArray
     (mean, basis, order.map(valsAll).toArray)
   }
+
+  /** Appends one batch's [[pcaMoments]] to an ADDITIVE `gen=`/`batch=`
+    * moment store (the shared protocol in
+    * [[Stats.committedViewDirs]]): PCA's sufficient statistics are
+    * integer sums, so incremental maintenance is EXACT — the summed
+    * store view equals the from-scratch moments of the union corpus
+    * bit-for-bit, a hash-checkable contract, not an approximation.
+    * Overwrite-idempotent per `batchId` (a retried batch replaces its
+    * own directory, never double-counts). The store is tiny —
+    * d(d+3)/2 + 1 rows per batch — so upkeep cost is metadata, not
+    * data.
+    */
+  def appendPcaMoments(batch: DataFrame, vec: Column, storeDir: String,
+                       batchId: Long, scale: Long = 1L << 20): Unit =
+    pcaMoments(batch, vec, scale)
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+
+  /** The store's current total moments — same relation shape as
+    * [[pcaMoments]] over the union of all committed batches.
+    */
+  def pcaMomentsFromStore(spark: SparkSession, storeDir: String)
+      : DataFrame =
+    Stats.committedViewDirs(spark, storeDir) match {
+      case Nil => spark.emptyDataFrame
+      case dirs => spark.read.parquet(dirs: _*)
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("v")).cast("decimal(38,0)").as("v"))
+    }
+
+  /** OPTIMIZE for the moment store: folds committed batches into one
+    * pre-summed generation via the shared compaction primitive —
+    * readers then sum one directory regardless of batch count.
+    */
+  def compactPcaMoments(spark: SparkSession, storeDir: String)
+      : Option[Long] =
+    Stats.compactCommittedStore(spark, storeDir, df =>
+      df.groupBy(col("i"), col("j"))
+        .agg(sum(col("v")).cast("decimal(38,0)").as("v"))
+        .coalesce(1))
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
     * deterministic (fixed sweep order, fixed rotation formulas), so

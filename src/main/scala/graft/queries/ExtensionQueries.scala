@@ -478,6 +478,28 @@ object ExtensionQueries {
     // expressible → rows-only here; licensed by the x_pca_err gate
     // (Bessel + variance-capture identities, oracle-green empty set)
     // and the SimilaritySpec eigen/orthonormality/recovery pins.
+    // Incremental PCA: the moment store answered through three
+    // batch appends (SF-invariant modulus split) with an OPTIMIZE
+    // between them — integer statistics make incremental ≡ batch
+    // EXACT, so this hash-matches the same full-corpus oracle as
+    // x_pca_moments.
+    "x_pca_incremental" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = ArtifactMemo.dirFor("pcamoments", d) { p =>
+        Similarity.appendPcaMoments(
+          e.where(col("vec_id") % 10 < 7 && col("vec_id") % 10 =!= 3),
+          col("embedding"), p, 1L)
+        Similarity.appendPcaMoments(
+          e.where(col("vec_id") % 10 >= 7), col("embedding"), p, 2L)
+        Similarity.compactPcaMoments(s, p)
+        Similarity.appendPcaMoments(
+          e.where(col("vec_id") % 10 === 3), col("embedding"), p, 3L)
+      }
+      Similarity.pcaMomentsFromStore(s, dir)
+        .select(col("i"), col("j"), col("v").cast("long").as("v"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     "x_pca_project" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1310,6 +1332,36 @@ object ExtensionQueries {
     * candidate pairs (ends at `cand(id_a, id_b, sa, sb)` so callers can
     * append further CTEs or the final SELECT).
     */
+  /** Full-corpus quantized PCA moments — the shared oracle of
+    * x_pca_moments (direct pass) AND x_pca_incremental (the additive
+    * store view after appends + OPTIMIZE): both must hash-match the
+    * from-scratch statistics exactly.
+    */
+  private val pcaMomentsSql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS i,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
+      |      AS BIGINT) AS qv
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.i AS i, b.i AS j, a.qv * b.qv AS p
+      |  FROM q a JOIN q b
+      |    ON a.vec_id = b.vec_id AND b.i >= a.i),
+      |sec AS (
+      |  SELECT i, j, CAST(sum(p) AS BIGINT) AS v
+      |  FROM pairs GROUP BY 1, 2),
+      |fst AS (
+      |  SELECT i, -1 AS j, CAST(sum(qv) AS BIGINT) AS v
+      |  FROM q GROUP BY 1),
+      |cnt AS (
+      |  SELECT -1 AS i, -1 AS j, CAST(count(*) AS BIGINT) AS v
+      |  FROM embeddings)
+      |SELECT i, j, v FROM sec
+      |UNION ALL SELECT i, j, v FROM fst
+      |UNION ALL SELECT i, j, v FROM cnt
+      |ORDER BY i, j""".stripMargin
+
   private[queries] val minhashCandCte: String =
     """WITH toks AS (
       |  SELECT doc_id,
@@ -1623,30 +1675,10 @@ object ExtensionQueries {
     "x_ivf_pq_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
-    "x_pca_moments" ->
-      """WITH q AS (
-        |  SELECT vec_id,
-        |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS i,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
-        |      AS BIGINT) AS qv
-        |  FROM embeddings),
-        |pairs AS (
-        |  SELECT a.i AS i, b.i AS j, a.qv * b.qv AS p
-        |  FROM q a JOIN q b
-        |    ON a.vec_id = b.vec_id AND b.i >= a.i),
-        |sec AS (
-        |  SELECT i, j, CAST(sum(p) AS BIGINT) AS v
-        |  FROM pairs GROUP BY 1, 2),
-        |fst AS (
-        |  SELECT i, -1 AS j, CAST(sum(qv) AS BIGINT) AS v
-        |  FROM q GROUP BY 1),
-        |cnt AS (
-        |  SELECT -1 AS i, -1 AS j, CAST(count(*) AS BIGINT) AS v
-        |  FROM embeddings)
-        |SELECT i, j, v FROM sec
-        |UNION ALL SELECT i, j, v FROM fst
-        |UNION ALL SELECT i, j, v FROM cnt
-        |ORDER BY i, j""".stripMargin,
+    "x_pca_moments" -> pcaMomentsSql,
+    // incremental moment store ≡ from-scratch: the SAME full-corpus
+    // oracle, answered through three appends + a mid-stream OPTIMIZE
+    "x_pca_incremental" -> pcaMomentsSql,
     "x_pca_err" ->
       """SELECT CAST(-1 AS BIGINT) AS id WHERE 1 = 0""",
     "x_maxsim" ->

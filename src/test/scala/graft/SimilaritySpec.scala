@@ -270,6 +270,35 @@ class SimilaritySpec extends SparkSuite {
       e2.toSeq == evals.toSeq)
   }
 
+  test("pca moment store: appends + retry + OPTIMIZE ≡ from-scratch " +
+      "moments bit-for-bit; store-backed fit ≡ direct fit") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pcainc-").toString + "/store"
+    val e = embs
+    Similarity.appendPcaMoments(e.where($"id" % 3 === 0), $"vec",
+      dir, 1L)
+    Similarity.appendPcaMoments(e.where($"id" % 3 === 1), $"vec",
+      dir, 2L)
+    // retried batch overwrites, never double-counts
+    Similarity.appendPcaMoments(e.where($"id" % 3 === 1), $"vec",
+      dir, 2L)
+    assert(Similarity.compactPcaMoments(spark, dir).contains(2L))
+    Similarity.appendPcaMoments(e.where($"id" % 3 === 2), $"vec",
+      dir, 3L)
+    val stored = Similarity.pcaMomentsFromStore(spark, dir)
+      .select($"i", $"j", $"v".cast("long"))
+      .as[(Int, Int, Long)].collect().toSet
+    val direct = Similarity.pcaMoments(e, $"vec")
+      .select($"i", $"j", $"v".cast("long"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(stored == direct)
+    val (m1, b1, v1) = Similarity.fitPcaFromMoments(
+      Similarity.pcaMomentsFromStore(spark, dir), k = 4)
+    val (m2, b2, v2) = Similarity.fitPca(e, $"vec", k = 4)
+    assert(m1.toSeq == m2.toSeq && v1.toSeq == v2.toSeq &&
+      b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
+  }
+
   test("maxSimTopK: hand-computed late-interaction scores") {
     val q = Seq(
       (100L, 0L, Array(1.0f, 0.0f)),
