@@ -498,6 +498,75 @@ object Graph {
     state
   }
 
+  /** HITS hubs & authorities (Kleinberg, "Authoritative sources in a
+    * hyperlinked environment", JACM 1999) by scaled-integer power
+    * iteration with MAX-normalization after each half-step: raw
+    * scores divide (floor) by the round's maximum, scaled back to
+    * [0, scale]. Max-normalization instead of the classical L2 keeps
+    * every operation in exact integer arithmetic — no sqrt, no float
+    * accumulation — so the whole iteration is a pure function of the
+    * edge SET and unrolls into an exact SQL oracle (the x_pagerank
+    * discipline); the normalization choice rescales each round but
+    * the iteration still converges toward the principal left/right
+    * singular directions of the adjacency, which is what HITS ranks
+    * by.
+    *
+    * Scale: per round, two edge-sized shuffles (inflow/outflow sums
+    * with map-side partials), a |V|-sized left join (broadcast-gated
+    * on the measured node count), and a 1-row max broadcast — the
+    * pageRank shape exactly; per-round state staged and freed.
+    * Returns (id, hub, auth).
+    */
+  def hits(edges: DataFrame, src: Column, dst: Column,
+           iters: Int = 5, scale: Long = 1000000L,
+           broadcastLimit: Long = 4000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = Checkpoints.stage(
+      edges.select(src.as("src"), dst.as("dst")).distinct())
+    val nodes = Checkpoints.stage(e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val small = n <= broadcastLimit
+    def vSized(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    def normalized(raw: DataFrame, out: String): DataFrame = {
+      val m = raw.agg(greatest(max(col("raw")), lit(1L)).as("__m"))
+      raw.crossJoin(broadcast(m))
+        .select(col("id"), expr(s"(raw * ${scale}L) DIV __m").as(out))
+    }
+    var hub = Checkpoints.stage(
+      nodes.select(col("id"), lit(scale).as("hub")))
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val rawA = nodes.join(
+          e.join(vSized(hub.withColumnRenamed("id", "src")),
+              Seq("src"))
+            .groupBy(col("dst")).agg(sum(col("hub")).as("__x"))
+            .withColumnRenamed("dst", "id"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__x"), lit(0L)).as("raw"))
+      val nextAuth = Checkpoints.stage(normalized(rawA, "auth"))
+      if (auth != null)
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(auth)
+      auth = nextAuth
+      val rawH = nodes.join(
+          e.join(vSized(auth.withColumnRenamed("id", "dst")),
+              Seq("dst"))
+            .groupBy(col("src")).agg(sum(col("auth")).as("__x"))
+            .withColumnRenamed("src", "id"),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("__x"), lit(0L)).as("raw"))
+      val nextHub = Checkpoints.stage(normalized(rawH, "hub"))
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(hub)
+      hub = nextHub
+      it += 1
+    }
+    nodes.join(hub, Seq("id")).join(auth, Seq("id"))
+      .select(col("id"), col("hub"), col("auth"))
+  }
+
   // ---------- warm-start PageRank ----------
 
   /** Persist [[pageRank]]'s converged ranks as `batch=0` of an

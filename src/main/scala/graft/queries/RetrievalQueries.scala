@@ -447,6 +447,16 @@ object RetrievalQueries {
         .select(col("id").as("nationkey"), col("rank"))
         .orderBy(col("nationkey"))),
 
+    // HITS hubs & authorities over the same trade graph — scaled-
+    // integer power iteration with max-normalization per half-step
+    // (no sqrt, no float accumulation), so like x_pagerank the five
+    // rounds unroll into an exact SQL oracle and hash-match.
+    "x_hits" -> ((s, d) =>
+      Graph.hits(nationTradeEdges(s, d, maxQty = 2), col("src"),
+          col("dst"), iters = 5)
+        .select(col("id").as("nationkey"), col("hub"), col("auth"))
+        .orderBy(col("nationkey"))),
+
     // WARM-START PageRank: the quantity ≤ 1 trade graph's converged
     // ranks persist once (writePageRankStore, 5 iterations); the
     // union (quantity ≤ 2) then runs THREE warm rounds from the
@@ -653,6 +663,50 @@ object RetrievalQueries {
        |    JOIN supplier ON l_suppkey = s_suppkey
        |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey)""".stripMargin,
     "nationkey")
+
+  /** One HITS round, unrolled: authority half-step (inflow of hubs,
+    * max-normalized) then hub half-step (outflow of authorities,
+    * max-normalized) — the exact integer arithmetic of Graph.hits.
+    */
+  private def hitsRoundSql(i: Int): String =
+    s"""ra$i AS (
+       |  SELECT nodes.id, CAST(coalesce(s.x, 0) AS BIGINT) AS raw
+       |  FROM nodes LEFT JOIN (
+       |    SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS x
+       |    FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst) s
+       |    ON nodes.id = s.id),
+       |ma$i AS (SELECT greatest(max(raw), 1) AS m FROM ra$i),
+       |a$i AS (SELECT id, CAST((raw * 1000000) // m AS BIGINT) AS auth
+       |        FROM ra$i CROSS JOIN ma$i),
+       |rh$i AS (
+       |  SELECT nodes.id, CAST(coalesce(s.x, 0) AS BIGINT) AS raw
+       |  FROM nodes LEFT JOIN (
+       |    SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS x
+       |    FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src) s
+       |    ON nodes.id = s.id),
+       |mh$i AS (SELECT greatest(max(raw), 1) AS m FROM rh$i),
+       |h$i AS (SELECT id, CAST((raw * 1000000) // m AS BIGINT) AS hub
+       |        FROM rh$i CROSS JOIN mh$i)""".stripMargin
+
+  private val hitsSql: String = {
+    val rounds = (1 to 5).map(hitsRoundSql).mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodes),
+       |$rounds
+       |SELECT nodes.id AS nationkey, h5.hub, a5.auth
+       |FROM nodes
+       |JOIN h5 ON nodes.id = h5.id
+       |JOIN a5 ON nodes.id = a5.id
+       |ORDER BY nationkey""".stripMargin
+  }
 
   private val sourceAuthoritySql: String = pageRankSqlOver(
     s"""corpus AS (
@@ -1065,6 +1119,7 @@ object RetrievalQueries {
          |ORDER BY corpus.doc_id""".stripMargin,
     "x_normal_eq" -> normalEqSql,
     "x_pagerank" -> pageRankSql,
+    "x_hits" -> hitsSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_source_authority" -> sourceAuthoritySql)
 }

@@ -139,4 +139,21 @@ class GraphSpec extends SparkSuite {
     assert(got == Set((5L, 5L, true), (6L, 5L, false), (7L, 5L, false),
       (8L, 8L, true), (9L, 8L, false)))
   }
+
+  test("hits: hand-computed scaled-integer hubs/authorities; " +
+      "deterministic under repartitioning") {
+    import spark.implicits._
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = Graph.hits(edges, col("s"), col("d"), iters = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    // pure hubs 1,2 at full scale; 3 is the sole authority (max-
+    // normalized to scale); the 3->4 tail halves per half-step:
+    // after 5 rounds hub(3) = auth(4) = scale / 32
+    val s = 1000000L
+    assert(got == Set((1L, s, 0L), (2L, s, 0L),
+      (3L, s / 32, s), (4L, 0L, s / 32)))
+    val re = Graph.hits(edges.repartition(5), col("s"), col("d"),
+      iters = 5).as[(Long, Long, Long)].collect().toSet
+    assert(re == got)
+  }
 }
