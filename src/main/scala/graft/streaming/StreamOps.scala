@@ -1293,6 +1293,37 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming PCA-moment maintenance: each micro-batch of vectors
+    * appends its [[graft.operators.Similarity.pcaMoments]] to the
+    * additive moment store — integer sufficient statistics make the
+    * streamed store EXACTLY the from-scratch moments of everything
+    * streamed so far (not an approximation), so a periodic
+    * [[graft.operators.Similarity.fitPcaFromMoments]] refit reads
+    * d(d+3)/2 rows, never the corpus. Micro-batch ids are the
+    * overwrite-idempotent batch keys (a replayed batch after a crash
+    * rewrites its own directory); `compactEvery` folds batches into
+    * one pre-summed generation via the shared OPTIMIZE primitive.
+    */
+  def pcaMomentsGateSink(spark: SparkSession, stream: DataFrame,
+                         vec: String, storeDir: String,
+                         checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Similarity
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Similarity.appendPcaMoments(batch, col(vec), storeDir,
+            batchId)
+          if (compactEvery > 0 &&
+              batchId % compactEvery == compactEvery - 1)
+            Similarity.compactPcaMoments(spark, storeDir): Unit
+        }
+      }
+      .start()
+  }
+
   /** Streaming GRAPH-ANALYTICS maintenance — the foreachBatch gate for
     * the warm-start graph stores, completing the symmetry with the
     * dedup/media/ER/BM25 gates: each micro-batch of candidate edges

@@ -678,6 +678,44 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("pcaMomentsGateSink: three vector micro-batches + mid-stream " +
+      "OPTIMIZE accumulate moments ≡ from-scratch bit-for-bit; " +
+      "store-backed refit ≡ direct fit") {
+    import graft.operators.Similarity
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-pcagate-${System.nanoTime()}"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.pcaMomentsGateSink(spark,
+      in.toDF().toDF("id", "vec"), "vec", s"$base/store",
+      s"$base/ckpt", compactEvery = 2)
+    try {
+      def mk(seed: Int) = (0 until 8).map(i =>
+        ((seed * 100 + i).toLong,
+          Seq.tabulate(4)(j => (seed * 0.3f + i * 0.1f - j * 0.2f))))
+      val b0 = mk(1); val b1 = mk(2); val b2 = mk(3)
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable() // OPTIMIZE after b1
+      in.addData(b2: _*); q.processAllAvailable()
+      val all = (b0 ++ b1 ++ b2).toDF("id", "vec")
+      val want = Similarity.pcaMoments(all, col("vec"))
+        .select(col("i"), col("j"), col("v").cast("long"))
+        .as[(Int, Int, Long)].collect().toSet
+      val got = Similarity.pcaMomentsFromStore(spark, s"$base/store")
+        .select(col("i"), col("j"), col("v").cast("long"))
+        .as[(Int, Int, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+      // the mid-stream compaction left a generation behind
+      val names = new java.io.File(s"$base/store").listFiles()
+        .map(_.getName)
+      assert(names.exists(_.startsWith("gen=")), names.mkString(","))
+      val (m1, bs1, v1) = Similarity.fitPcaFromMoments(
+        Similarity.pcaMomentsFromStore(spark, s"$base/store"), k = 2)
+      val (m2, bs2, v2) = Similarity.fitPca(all, col("vec"), k = 2)
+      assert(m1.toSeq == m2.toSeq && v1.toSeq == v2.toSeq &&
+        bs1.map(_.toSeq).toSeq == bs2.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("graphGateSink: streamed edge batches maintain the CC and " +
       "label-prop stores; mid-stream OPTIMIZE; final state ≡ " +
       "from-scratch over the union graph") {
