@@ -567,6 +567,73 @@ object Graph {
       .select(col("id"), col("hub"), col("auth"))
   }
 
+  /** DETERMINISTIC random-walk corpus generation (the DeepWalk /
+    * node2vec data step — Perozzi et al., KDD 2014: walk sequences
+    * become skip-gram training text): `walksPerNode` walks of up to
+    * `len` steps start at every node; at step t the walk at node v
+    * moves to v's sorted-neighbor number
+    * `PolyFp("start_walk_t_v") mod outdeg(v)`. No RNG state — the
+    * "randomness" is the same engine-portable polynomial fingerprint
+    * the deterministic samplers use, so the full walk corpus is a
+    * pure function of the edge SET (reproducible across runs,
+    * partitionings, and engines — the SQL oracle replays every hop).
+    * Dead-end nodes end their walk (shorter sequences, the DeepWalk
+    * convention for directed graphs). Returns (start, walk, step,
+    * node), step 0 = the start node.
+    *
+    * Scale: per step, one join against the outdeg table and one
+    * (node, idx) equality join against the neighbor index — both
+    * broadcast-gated on the measured node count, walk-state-sized
+    * shuffles otherwise; the neighbor index builds once (the only
+    * per-node window, partitioned by src). Walk state is
+    * |V|·walksPerNode rows regardless of step count.
+    */
+  def randomWalks(edges: DataFrame, src: Column, dst: Column,
+                  walksPerNode: Int = 2, len: Int = 4,
+                  broadcastLimit: Long = 4000000L): DataFrame = {
+    require(walksPerNode >= 1 && len >= 0, "need walks >= 1, len >= 0")
+    val e = Checkpoints.stage(
+      edges.select(src.as("src"), dst.as("dst")).distinct())
+    val nbr = Checkpoints.stage(e.select(col("src").as("__ns"),
+      col("dst").as("__nd"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))) - 1).as("idx")))
+    val od = Checkpoints.stage(
+      nbr.groupBy(col("__ns")).agg(count(lit(1)).as("deg"))
+        .select(col("__ns").as("__ds"), col("deg")))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val n = nodes.count()
+    val small = n <= broadcastLimit
+    def vSized(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    var cur = Checkpoints.stage(nodes
+      .select(col("id").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
+      .select(col("start"), col("walk"), lit(0).as("step"),
+        col("start").as("node")))
+    val outs = scala.collection.mutable.ArrayBuffer(cur)
+    var t = 1
+    while (t <= len) {
+      val key = concat_ws("_", col("start"), col("walk"), lit(t),
+        col("node"))
+      val next = Checkpoints.stage(cur
+        .join(vSized(od), col("node") === col("__ds"))
+        .select(col("start"), col("walk"),
+          pmod(TextAnalysis.fingerprint(key), col("deg")).as("__i"),
+          col("node"))
+        .join(vSized(nbr),
+          col("node") === col("__ns") && col("__i") === col("idx"))
+        .select(col("start"), col("walk"), lit(t).as("step"),
+          col("__nd").as("node")))
+      outs += next
+      cur = next
+      t += 1
+    }
+    outs.reduce(_.unionAll(_))
+      .select(col("start"), col("walk"), col("step"), col("node"))
+  }
+
   // ---------- warm-start PageRank ----------
 
   /** Persist [[pageRank]]'s converged ranks as `batch=0` of an

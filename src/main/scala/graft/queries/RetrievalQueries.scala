@@ -457,6 +457,15 @@ object RetrievalQueries {
         .select(col("id").as("nationkey"), col("hub"), col("auth"))
         .orderBy(col("nationkey"))),
 
+    // DeepWalk-style walk corpus over the trade graph: 2 walks × 4
+    // steps per node, every hop decided by the engine-portable
+    // polynomial fingerprint mod outdegree — zero RNG state, so the
+    // oracle replays the exact hop sequence hop by hop.
+    "x_random_walks" -> ((s, d) =>
+      Graph.randomWalks(nationTradeEdges(s, d, maxQty = 2),
+          col("src"), col("dst"), walksPerNode = 2, len = 4)
+        .orderBy(col("start"), col("walk"), col("step"))),
+
     // WARM-START PageRank: the quantity ≤ 1 trade graph's converged
     // ranks persist once (writePageRankStore, 5 iterations); the
     // union (quantity ≤ 2) then runs THREE warm rounds from the
@@ -706,6 +715,57 @@ object RetrievalQueries {
        |JOIN h5 ON nodes.id = h5.id
        |JOIN a5 ON nodes.id = a5.id
        |ORDER BY nationkey""".stripMargin
+  }
+
+  /** PolyFp fingerprint of a SQL string expression — the DuckDB
+    * mirror of TextAnalysis.fingerprint (x_sample_hash pattern).
+    */
+  private def fpSql(keySql: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(string_split($keySql, ''),
+       |          c -> CAST(unicode(c) AS BIGINT))),
+       |      (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
+
+  private val randomWalksSql: String = {
+    def step(t: Int): String = {
+      val key = s"CAST(c.start AS VARCHAR) || '_' || " +
+        s"CAST(c.walk AS VARCHAR) || '_$t' || '_' || " +
+        s"CAST(c.node AS VARCHAR)"
+      s"""w$t AS (
+         |  SELECT c.start, c.walk, $t AS step, nbr.dst AS node
+         |  FROM w${t - 1} c
+         |  JOIN od ON c.node = od.src
+         |  JOIN nbr ON nbr.src = c.node
+         |    AND nbr.idx = ${fpSql(key)} % od.deg)""".stripMargin
+    }
+    val steps = (1 to 4).map(step).mkString(",\n")
+    val unions = (0 to 4)
+      .map(t => s"SELECT start, walk, step, node FROM w$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey),
+       |nbr AS MATERIALIZED (
+       |  SELECT src, dst, CAST(row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+       |  FROM e),
+       |od AS MATERIALIZED (
+       |  SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |  FROM e GROUP BY src),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |w0 AS (
+       |  SELECT id AS start, CAST(w AS INTEGER) AS walk,
+       |    0 AS step, id AS node
+       |  FROM nodes CROSS JOIN
+       |    (SELECT unnest(range(0, 2)) AS w) ws),
+       |$steps
+       |$unions
+       |ORDER BY start, walk, step""".stripMargin
   }
 
   private val sourceAuthoritySql: String = pageRankSqlOver(
@@ -1120,6 +1180,7 @@ object RetrievalQueries {
     "x_normal_eq" -> normalEqSql,
     "x_pagerank" -> pageRankSql,
     "x_hits" -> hitsSql,
+    "x_random_walks" -> randomWalksSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_source_authority" -> sourceAuthoritySql)
 }

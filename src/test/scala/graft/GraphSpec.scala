@@ -156,4 +156,43 @@ class GraphSpec extends SparkSuite {
       iters = 5).as[(Long, Long, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("randomWalks: hops replay the fingerprint rule; dead ends " +
+      "truncate; deterministic under repartitioning") {
+    import spark.implicits._
+    // 1 -> {2, 3}; 2 -> {3}; 3 dead end
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    val got = Graph.randomWalks(edges, col("s"), col("d"),
+        walksPerNode = 2, len = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // replay the rule in plain Scala
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val nbrs = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L))
+    val want = scala.collection.mutable.Set[(Long, Int, Int, Long)]()
+    for (start <- Seq(1L, 2L, 3L); w <- 0 to 1) {
+      var node = start
+      want += ((start, w, 0, node))
+      var t = 1
+      var alive = true
+      while (t <= 3 && alive) {
+        nbrs.get(node) match {
+          case Some(ns) =>
+            node = ns((fp(s"${start}_${w}_${t}_$node") % ns.size).toInt)
+            want += ((start, w, t, node))
+          case None => alive = false
+        }
+        t += 1
+      }
+    }
+    assert(got == want.toSet)
+    // at least one walk actually took the hash-dependent branch from
+    // node 1 (both neighbors reachable across the 4 walk contexts)
+    val firstHops = got.filter(r => r._1 == 1L && r._3 == 1).map(_._4)
+    assert(firstHops.nonEmpty)
+    val re = Graph.randomWalks(edges.repartition(5), col("s"),
+        col("d"), walksPerNode = 2, len = 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(re == got)
+  }
 }
