@@ -634,6 +634,28 @@ object Graph {
       .select(col("start"), col("walk"), col("step"), col("node"))
   }
 
+  /** SKIP-GRAM pair counts from a [[randomWalks]] corpus — the
+    * trainable artifact of the DeepWalk pipeline: for every walk,
+    * every ordered (center, context) node pair within `window` steps
+    * of each other, aggregated to co-occurrence counts (what a
+    * skip-gram/NCE trainer or an implicit-matrix factorization
+    * consumes). Window pairing is a self-equality-join on the walk
+    * key — co-partitioned, walk-local fan-out ≤ 2·window per row,
+    * never a data-sized window function; counts aggregate map-side.
+    */
+  def skipGramPairs(walks: DataFrame, window: Int = 2): DataFrame = {
+    val a = walks.select(col("start").as("__s"), col("walk").as("__w"),
+      col("step").as("__ta"), col("node").as("center"))
+    val b = walks.select(col("start").as("__s2"),
+      col("walk").as("__w2"), col("step").as("__tb"),
+      col("node").as("context"))
+    a.join(b, col("__s") === col("__s2") && col("__w") === col("__w2")
+        && col("__ta") =!= col("__tb")
+        && abs(col("__ta") - col("__tb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // ---------- warm-start PageRank ----------
 
   /** Persist [[pageRank]]'s converged ranks as `batch=0` of an

@@ -466,6 +466,17 @@ object RetrievalQueries {
           col("src"), col("dst"), walksPerNode = 2, len = 4)
         .orderBy(col("start"), col("walk"), col("step"))),
 
+    // Skip-gram co-occurrence counts over the walk corpus (window 2)
+    // — the DeepWalk pipeline's trainable artifact, walk-local
+    // self-join + map-side-counted aggregate, same replayed-hop
+    // oracle front.
+    "x_walk_skipgrams" -> ((s, d) =>
+      Graph.skipGramPairs(
+          Graph.randomWalks(nationTradeEdges(s, d, maxQty = 2),
+            col("src"), col("dst"), walksPerNode = 2, len = 4),
+          window = 2)
+        .orderBy(col("center"), col("context"))),
+
     // WARM-START PageRank: the quantity ≤ 1 trade graph's converged
     // ranks persist once (writePageRankStore, 5 iterations); the
     // union (quantity ≤ 2) then runs THREE warm rounds from the
@@ -727,7 +738,11 @@ object RetrievalQueries {
        |          c -> CAST(unicode(c) AS BIGINT))),
        |      (h, c) -> (h * 31 + c) % 1000000007)""".stripMargin
 
-  private val randomWalksSql: String = {
+  /** The shared walk-corpus CTE block (through `wl`, the union of all
+    * step relations) — the oracle front of x_random_walks AND
+    * x_walk_skipgrams.
+    */
+  private val walkCorpusCtes: String = {
     def step(t: Int): String = {
       val key = s"CAST(c.start AS VARCHAR) || '_' || " +
         s"CAST(c.walk AS VARCHAR) || '_$t' || '_' || " +
@@ -743,7 +758,7 @@ object RetrievalQueries {
     val unions = (0 to 4)
       .map(t => s"SELECT start, walk, step, node FROM w$t")
       .mkString("\nUNION ALL ")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
        |  FROM lineitem
        |    JOIN orders ON l_orderkey = o_orderkey
@@ -763,10 +778,24 @@ object RetrievalQueries {
        |    0 AS step, id AS node
        |  FROM nodes CROSS JOIN
        |    (SELECT unnest(range(0, 2)) AS w) ws),
-       |$steps
-       |$unions
-       |ORDER BY start, walk, step""".stripMargin
+       |$steps,
+       |wl AS MATERIALIZED ($unions)""".stripMargin
   }
+
+  private val randomWalksSql: String =
+    s"""WITH $walkCorpusCtes
+       |SELECT start, walk, step, node FROM wl
+       |ORDER BY start, walk, step""".stripMargin
+
+  private val walkSkipgramsSql: String =
+    s"""WITH $walkCorpusCtes
+       |SELECT a.node AS center, b.node AS context,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM wl a JOIN wl b
+       |  ON a.start = b.start AND a.walk = b.walk
+       |  AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |GROUP BY 1, 2
+       |ORDER BY center, context""".stripMargin
 
   private val sourceAuthoritySql: String = pageRankSqlOver(
     s"""corpus AS (
@@ -1181,6 +1210,7 @@ object RetrievalQueries {
     "x_pagerank" -> pageRankSql,
     "x_hits" -> hitsSql,
     "x_random_walks" -> randomWalksSql,
+    "x_walk_skipgrams" -> walkSkipgramsSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_source_authority" -> sourceAuthoritySql)
 }

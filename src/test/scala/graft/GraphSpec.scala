@@ -195,4 +195,17 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Int, Int, Long)].collect().toSet
     assert(re == got)
   }
+
+  test("skipGramPairs: window-2 ordered pairs over one walk, counted") {
+    import spark.implicits._
+    val walks = Seq((1L, 0, 0, 10L), (1L, 0, 1, 20L),
+      (1L, 0, 2, 30L), (1L, 0, 3, 40L))
+      .toDF("start", "walk", "step", "node")
+    val got = Graph.skipGramPairs(walks, window = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Set((10L, 20L), (10L, 30L), (20L, 10L), (20L, 30L),
+      (20L, 40L), (30L, 10L), (30L, 20L), (30L, 40L), (40L, 20L),
+      (40L, 30L)).map { case (a, b) => (a, b, 1L) }
+    assert(got == want)
+  }
 }
