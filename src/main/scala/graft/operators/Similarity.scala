@@ -970,6 +970,73 @@ object Similarity {
     df.select(id.as("id"), array(comps: _*).as("proj"))
   }
 
+  // ---------- k-center coreset selection ----------
+
+  /** GREEDY k-CENTER selection (Gonzalez, "Clustering to minimize the
+    * maximum intercluster distance", TCS 1985 — the 2-approximation
+    * behind coreset/diversity data pruning): start from the
+    * smallest-id point, then k−1 times pick the point FARTHEST (in
+    * squared L2) from its nearest already-selected center, ties to
+    * the smaller id. Returns (rank, id, radius): radius is the
+    * selected point's distance-to-selected-set at pick time — the
+    * shrinking coverage radius a data-selection budget reads.
+    *
+    * Deterministic end to end: distances are the fixed expression
+    * `dxx − 2⟨x,c⟩ + dcc` over codegen'd [[VecDot]] folds (the same
+    * IEEE operation sequence the SQL oracle runs), argmax breaks ties
+    * by id — so for fixed k the whole greedy trace is oracle-exact.
+    *
+    * Scale: k rounds, each one corpus-sized narrow pass against a
+    * 1-row broadcast center plus a TakeOrdered(1) — no shuffle of the
+    * corpus, state staged and freed per round. Greedy k-center is
+    * inherently k sequential maxima; the per-round work is what
+    * distributes, and k is a selection budget, not data-sized.
+    */
+  def kCenterSelect(corpus: DataFrame, id: Column, vec: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = Checkpoints.stage(
+      corpus.select(id.as("id"), vec.as("__v"))
+        .withColumn("__dxx", dot(col("__v"), col("__v"))))
+    // 1-row centers are STAGED: later rounds free the state they were
+    // selected from, and the final union must not re-run their plans
+    val c1 = Checkpoints.stage(base.orderBy(col("id")).limit(1)
+      .select(col("id"), col("__v"), col("__dxx"),
+        lit(0.0).as("radius")))
+    val centers = scala.collection.mutable.ArrayBuffer(
+      c1.select(lit(1).as("rank"), col("id"), col("radius")))
+    // squared L2 to the joined center: dxx − 2⟨x,c⟩ + dcc (the fixed
+    // IEEE operation sequence the oracle mirrors)
+    val distToCenter: Column =
+      col("__dxx") - lit(2.0) * dot(col("__v"), col("__cv")) +
+        col("__cdxx")
+    def centerSide(c: DataFrame): DataFrame =
+      broadcast(c.select(col("__v").as("__cv"),
+        col("__dxx").as("__cdxx")))
+    var state = Checkpoints.stage(
+      base.crossJoin(centerSide(c1))
+        .select(col("id"), col("__v"), col("__dxx"),
+          distToCenter.as("__d2")))
+    var i = 2
+    while (i <= k) {
+      val ci = Checkpoints.stage(
+        state.orderBy(col("__d2").desc, col("id")).limit(1)
+          .select(col("id"), col("__v"), col("__dxx"),
+            col("__d2").as("radius")))
+      centers += ci.select(lit(i).as("rank"), col("id"), col("radius"))
+      if (i < k) {
+        val next = Checkpoints.stage(
+          state.crossJoin(centerSide(ci))
+            .select(col("id"), col("__v"), col("__dxx"),
+              least(col("__d2"), distToCenter).as("__d2")))
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(state)
+        state = next
+      }
+      i += 1
+    }
+    centers.reduce(_.unionAll(_))
+  }
+
   // ---------- Late interaction (MaxSim, ColBERT-style) ----------
 
   /** Exact LATE-INTERACTION retrieval over multi-vector entities —

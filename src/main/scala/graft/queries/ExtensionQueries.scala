@@ -500,6 +500,16 @@ object ExtensionQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // Greedy k-center coreset selection (Gonzalez 2-approx): the 6
+    // most mutually-distant embeddings with the shrinking coverage
+    // radius at each pick — diversity-based data pruning. Fixed IEEE
+    // distance expression + id tie-breaks make the whole greedy
+    // trace oracle-exact (the unrolled 6-round SQL replays it).
+    "x_kcenter" -> ((s, d) =>
+      Similarity.kCenterSelect(t(s, d, "embeddings"),
+          col("vec_id"), col("embedding"), k = 6)
+        .orderBy(col("rank"))),
+
     "x_pca_project" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1332,6 +1342,52 @@ object ExtensionQueries {
     * candidate pairs (ends at `cand(id_a, id_b, sa, sb)` so callers can
     * append further CTEs or the final SELECT).
     */
+  /** DuckDB mirror of the VecDot left fold (double-promoted
+    * elements, +0.0 seed) — the x_cosine_topk dot, parameterized.
+    */
+  private def dotFoldSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * $b[i])),
+       |    (x, y) -> x + y)""".stripMargin
+
+  /** Unrolled greedy k-center trace (k = 6) over the embeddings —
+    * replays the exact pick-farthest/tie-to-smaller-id iteration of
+    * Similarity.kCenterSelect, same IEEE distance expression.
+    */
+  private val kCenterSql: String = {
+    def round(i: Int): String =
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.id, s.v, s.dxx,
+         |    least(s.d2, s.dxx - CAST(2.0 AS DOUBLE) *
+         |      ${dotFoldSql("s.v", "c.v")} + c.dxx) AS d2
+         |  FROM s${i - 1} s CROSS JOIN c$i c),
+         |c${i + 1} AS (
+         |  SELECT id, v, dxx, d2 AS radius FROM s$i
+         |  ORDER BY d2 DESC, id LIMIT 1)""".stripMargin
+    val rounds = (2 to 5).map(round).mkString(",\n")
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding AS v,
+       |    ${dotFoldSql("embedding", "embedding")} AS dxx
+       |  FROM embeddings),
+       |c1 AS (
+       |  SELECT id, v, dxx, CAST(0.0 AS DOUBLE) AS radius
+       |  FROM base ORDER BY id LIMIT 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT b.id, b.v, b.dxx,
+       |    b.dxx - CAST(2.0 AS DOUBLE) * ${dotFoldSql("b.v", "c.v")}
+       |      + c.dxx AS d2
+       |  FROM base b CROSS JOIN c1 c),
+       |c2 AS (
+       |  SELECT id, v, dxx, d2 AS radius FROM s1
+       |  ORDER BY d2 DESC, id LIMIT 1),
+       |$rounds
+       |${(1 to 6).map(i =>
+            s"SELECT $i AS rank, id, radius FROM c$i")
+            .mkString("\nUNION ALL ")}
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Full-corpus quantized PCA moments — the shared oracle of
     * x_pca_moments (direct pass) AND x_pca_incremental (the additive
     * store view after appends + OPTIMIZE): both must hash-match the
@@ -1675,6 +1731,7 @@ object ExtensionQueries {
     "x_ivf_pq_recall_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
+    "x_kcenter" -> kCenterSql,
     "x_pca_moments" -> pcaMomentsSql,
     // incremental moment store ≡ from-scratch: the SAME full-corpus
     // oracle, answered through three appends + a mid-stream OPTIMIZE

@@ -55,6 +55,11 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // MaxSim exact arm: token-pair cross join BY DESIGN (licensed
     // baseline, x_cosine_topk pattern)
     "x_maxsim" -> default.copy(allowCartesian = true),
+    // greedy k-center: each round cross-joins the corpus against ONE
+    // broadcast 1-row center — bounded by construction; the final
+    // plan unions six staged 1-row picks
+    "x_kcenter" -> default.copy(allowCartesian = true,
+      maxBroadcasts = 8),
     // MaxSim gate runs BOTH arms (exact cartesian + IVF candidate
     // routing) plus the anti-join compare
     "x_maxsim_ivf_err" -> Budget(maxShuffles = 16, maxSorts = 10,

@@ -299,6 +299,33 @@ class SimilaritySpec extends SparkSuite {
       b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
   }
 
+  test("kCenterSelect: hand-computed greedy trace (farthest-first, " +
+      "id tie-breaks); deterministic under repartitioning") {
+    val pts = Seq(
+      (0L, Array(0.0f, 0.0f)), (1L, Array(0.1f, 0.0f)),
+      (2L, Array(10.0f, 0.0f)), (3L, Array(0.0f, 6.0f)),
+      (4L, Array(5.0f, 5.0f))).toDF("id", "vec")
+    val got = Similarity.kCenterSelect(pts, $"id", $"vec", k = 4)
+      .orderBy($"rank").as[(Int, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3, 4))
+    // greedy: start 0, then 2 (d2 100), then 4 (d2 50), then 3 (26)
+    assert(got.map(_._2) == Seq(0L, 2L, 4L, 3L))
+    val radii = got.map(_._3)
+    assert(math.abs(radii(0)) < 1e-9 &&
+      math.abs(radii(1) - 100.0) < 1e-3 &&
+      math.abs(radii(2) - 50.0) < 1e-3 &&
+      math.abs(radii(3) - 26.0) < 1e-3)
+    // coverage radius never grows along the greedy trace
+    radii.drop(1).sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b)
+      case _ =>
+    }
+    val re = Similarity.kCenterSelect(pts.repartition(5), $"id",
+      $"vec", k = 4).orderBy($"rank")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(re == got)
+  }
+
   test("maxSimTopK: hand-computed late-interaction scores") {
     val q = Seq(
       (100L, 0L, Array(1.0f, 0.0f)),
