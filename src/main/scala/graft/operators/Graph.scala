@@ -519,7 +519,8 @@ object Graph {
     */
   def hits(edges: DataFrame, src: Column, dst: Column,
            iters: Int = 5, scale: Long = 1000000L,
-           broadcastLimit: Long = 4000000L): DataFrame = {
+           broadcastLimit: Long = 4000000L,
+           start: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val e = Checkpoints.stage(
       edges.select(src.as("src"), dst.as("dst")).distinct())
@@ -535,8 +536,21 @@ object Graph {
       raw.crossJoin(broadcast(m))
         .select(col("id"), expr(s"(raw * ${scale}L) DIV __m").as(out))
     }
-    var hub = Checkpoints.stage(
-      nodes.select(col("id"), lit(scale).as("hub")))
+    // `start` WARM-STARTS the iteration from a stored hub vector
+    // (the [[hitsWarm]] contract): known ids take their stored hub,
+    // unseen (new) ids the cold prior `scale` — power iteration
+    // converges from any non-zero start, a near-fixed-point start
+    // just needs fewer rounds. Only the HUB vector seeds: each round
+    // derives auth from hub first, so a stored auth would be
+    // overwritten before it was ever read.
+    var hub = Checkpoints.stage(start match {
+      case None => nodes.select(col("id"), lit(scale).as("hub"))
+      case Some(s0) =>
+        nodes.join(s0.select(col("id"), col("hub").as("__h0")),
+            Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__h0"), lit(scale)).as("hub"))
+    })
     var auth: DataFrame = null
     var it = 0
     while (it < iters) {
@@ -754,6 +768,235 @@ object Graph {
     if (tok.isDefined)
       Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
     tok
+  }
+
+  // ---------- warm-start HITS ----------
+
+  /** Persist [[hits]]'s converged hub/auth vectors as `batch=0` of an
+    * incremental store (id-clustered (id, hub, auth, __b) rows — the
+    * PageRank-store protocol), the warm-start base for [[hitsWarm]].
+    */
+  def writeHitsStore(edges: DataFrame, src: Column, dst: Column,
+                     iters: Int, storeDir: String, filesOut: Int = 4,
+                     scale: Long = 1000000L,
+                     broadcastLimit: Long = 4000000L): Unit = {
+    hits(edges, src, dst, iters, scale, broadcastLimit)
+      .select(col("id"), col("hub"), col("auth"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+    Stats.upsertManifest(edges.sparkSession, storeDir,
+      storeManifestPath(storeDir))
+  }
+
+  private def hitsStoreView(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String,
+                            beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("hub"), col("auth"))).as("m"))
+      .select(col("id"), col("m.hub").as("hub"),
+        col("m.auth").as("auth"))
+  }
+
+  /** The HITS store's CURRENT scores (newest batch wins per id). */
+  def hitsStoreScores(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String): DataFrame =
+    hitsStoreView(spark, storeDir, Long.MaxValue)
+
+  /** WARM-START HITS over an EVOLVED graph: power iteration on the
+    * union edge list initialized from the STORED hub vector (new
+    * nodes take the cold prior), run for `rounds` < a cold run's
+    * iters — the same round-count contract as [[pageRankWarm]], and
+    * for the same reason: each half-step's inflow/outflow sums span
+    * the whole graph (max-normalization is global), so per-round work
+    * is inherently graph-sized and the only sound saving is fewer
+    * rounds from a near-fixed-point start. Only the hub vector seeds
+    * the iteration (auth is re-derived from hub in the first
+    * half-step, so a stored auth would never be read). The arithmetic
+    * is the same bit-deterministic scaled-integer iteration, a pure
+    * function of (store contents, union graph, rounds) — the driver's
+    * oracle unrolls history's iterations AND the warm rounds in SQL
+    * and hash-matches exactly.
+    *
+    * Survivor scores append as an overwrite-idempotent `batch=<id>`
+    * (newest-wins store; retries read only batches < batchId).
+    */
+  def hitsWarm(allEdges: DataFrame, src: Column, dst: Column,
+               storeDir: String, batchId: Long, rounds: Int = 2,
+               filesOut: Int = 4, scale: Long = 1000000L,
+               broadcastLimit: Long = 4000000L): DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writeHitsStore base")
+    val spark = allEdges.sparkSession
+    val start = hitsStoreView(spark, storeDir, batchId)
+    val scores = Checkpoints.stage(
+      hits(allEdges, src, dst, rounds, scale, broadcastLimit,
+        start = Some(start)))
+    scores.select(col("id"), col("hub"), col("auth"),
+        lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    Stats.upsertManifestFor(spark, storeDir,
+      storeManifestPath(storeDir), s"$storeDir/batch=$batchId")
+    // scores is staged, so its data predates the overwrite safely
+    scores
+  }
+
+  /** Fold the HITS store's batches, newest winning per id. */
+  def compactHitsStore(spark: org.apache.spark.sql.SparkSession,
+                       storeDir: String, filesOut: Int = 4)
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("id"))
+        .agg(max(struct(col("__b"), col("hub"), col("auth"))).as("m"))
+        .select(col("id"), col("m.hub").as("hub"),
+          col("m.auth").as("auth"), col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id")))
+    if (tok.isDefined)
+      Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
+
+  /** DETERMINISTIC one-level Louvain (the modularity-gain label
+    * update of Blondel et al., "Fast unfolding of communities in
+    * large networks", J. Stat. Mech. 2008 — the community-detection
+    * counterpart of label propagation, which optimizes nothing):
+    * every node starts in its own community; each SYNCHRONOUS round,
+    * every node moves to the candidate community (its neighbors'
+    * communities plus its own) maximizing the modularity gain
+    *
+    *   score(i → C) = 2m·w(i,C) − d(i)·(D(C) − [i ∈ C]·d(i))
+    *
+    * — the standard ΔQ numerator scaled by (2m)² so the comparison is
+    * EXACT integer arithmetic (computed in decimal(38,0): with
+    * trillion-edge graphs 2m·w ≈ 10²⁴, past int64 but far inside 38
+    * digits). Ties break (score DESC, community ASC), so the whole
+    * run is a pure function of the weighted edge SET — the oracle
+    * unrolls every round in SQL and hash-matches. Synchronous update
+    * is what makes the rounds engine-replayable; the classic
+    * sequential sweep is order-dependent and would pin the result to
+    * one partitioning. The known trade: on exactly-symmetric
+    * structures synchronous moves can swap instead of settle (the
+    * parallel-LPA oscillation), so `rounds` is a budget, not a
+    * convergence promise — on modular graphs the asymmetric pulls
+    * settle fast (GraphSpec pins the bridged-cliques partition in 3
+    * rounds). Input edges are folded to a canonical
+    * undirected weighted graph (least/greatest endpoints, self-loops
+    * dropped, weights summed); `weight` defaults to 1 per input row.
+    * Returns (id, community) after `rounds` rounds.
+    *
+    * Scale: per round — one |C|-sized community-degree aggregate, one
+    * edge-sized neighbor-community sum, one candidate argmax
+    * aggregate (all map-side-partial; the |V|-sized label table
+    * broadcast-gated below `broadcastLimit` measured nodes); no
+    * windows, state staged and freed per round. Multi-level Louvain
+    * composes this with [[contractGraph]]: run a level, contract
+    * communities to super-nodes — internal mass becomes SELF-LOOPS
+    * (counted twice into the super-node's degree, the Blondel et al.
+    * convention, so 2m is invariant under contraction) — and run the
+    * next level on the quotient graph. Self-loops never enter w(i,C)
+    * (a node is not its own neighbor; its self mass moves with it, a
+    * constant across candidates), only the degree.
+    */
+  def louvain(edges: DataFrame, a: Column, b: Column,
+              rounds: Int = 3, weight: Option[Column] = None,
+              broadcastLimit: Long = 4000000L): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val w0 = weight.getOrElse(lit(1L)).cast("long")
+    val eAll = Checkpoints.stage(
+      edges.select(least(a, b).as("u"), greatest(a, b).as("v"),
+          w0.as("w"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")))
+    val e = eAll.where(col("u") =!= col("v"))
+    val sym = e.unionAll(
+      e.select(col("v").as("u"), col("u").as("v"), col("w")))
+    // weighted degree: neighbor mass + TWICE the self-loop mass
+    val deg = Checkpoints.stage(
+      sym.select(col("u"), col("w"))
+        .unionAll(eAll.where(col("u") === col("v"))
+          .select(col("u"), (col("w") * 2).as("w")))
+        .groupBy(col("u")).agg(sum(col("w")).as("d"))
+        .select(col("u").as("id"), col("d")))
+    val n = deg.count()
+    require(n > 0, "empty graph")
+    val m2 = deg.agg(sum(col("d"))).head.getLong(0)
+    def vSized(df: DataFrame): DataFrame =
+      if (n <= broadcastLimit) broadcast(df) else df
+    val dec = "decimal(38,0)"
+    var comm = Checkpoints.stage(
+      deg.select(col("id"), col("id").as("c")))
+    var it = 0
+    while (it < rounds) {
+      // community weighted-degree sums (|C|-sized)
+      val dc = comm.join(vSized(deg), Seq("id"))
+        .groupBy(col("c")).agg(sum(col("d")).as("dc"))
+        .select(col("c").as("cand"), col("dc"))
+      // w(i, C): weight from each node into each neighbor community
+      val wic = sym
+        .join(vSized(comm.select(col("id").as("v"), col("c").as("cand"))),
+          Seq("v"))
+        .groupBy(col("u"), col("cand")).agg(sum(col("w")).as("wi"))
+        .select(col("u").as("id"), col("cand"), col("wi"))
+      // the node's own community is always a candidate (w = 0 when it
+      // has no intra-community edges — the "staying" score)
+      val own = comm.select(col("id"), col("c").as("cand"))
+        .join(wic.select(col("id"), col("cand")), Seq("id", "cand"),
+          "left_anti")
+        .select(col("id"), col("cand"), lit(0L).as("wi"))
+      val scored = wic.unionAll(own)
+        .join(vSized(deg), Seq("id"))
+        .join(vSized(dc), Seq("cand"))
+        .join(vSized(comm.select(col("id"), col("c").as("__cur"))),
+          Seq("id"))
+        .select(col("id"), col("cand"),
+          (lit(m2).cast(dec) * col("wi").cast(dec) -
+            col("d").cast(dec) *
+              (col("dc").cast(dec) -
+                when(col("__cur") === col("cand"), col("d"))
+                  .otherwise(lit(0L)).cast(dec))).as("score"))
+      val next = scored
+        .groupBy(col("id"))
+        .agg(max(struct(col("score"), (-col("cand")).as("nc"),
+          col("cand").as("pick"))).as("m"))
+        .select(col("id"), col("m.pick").as("c"))
+      val staged = Checkpoints.stage(next)
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(comm)
+      comm = staged
+      it += 1
+    }
+    comm.select(col("id"), col("c").as("community"))
+  }
+
+  /** Contract a weighted undirected graph by a community assignment:
+    * edges fold to their endpoint communities (canonical order,
+    * weights summed) — Louvain's level-2 quotient graph. Intra-
+    * community edges become SELF-LOOPS (cu = cv), which [[louvain]]
+    * counts twice into the super-node's degree per the Blondel et al.
+    * convention — so 2m is invariant under contraction and the
+    * level-2 modularity arithmetic is exactly the level-1 arithmetic
+    * on the quotient. Input self-loops fold through like any edge.
+    */
+  def contractGraph(edges: DataFrame, a: Column, b: Column,
+                    assign: DataFrame, id: Column, community: Column,
+                    weight: Option[Column] = None): DataFrame = {
+    val w0 = weight.getOrElse(lit(1L)).cast("long")
+    val e = edges.select(least(a, b).as("u"), greatest(a, b).as("v"),
+        w0.as("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val asg = assign.select(id.as("__id"), community.as("__c"))
+    e.join(asg.select(col("__id").as("u"), col("__c").as("cu")),
+        Seq("u"))
+      .join(asg.select(col("__id").as("v"), col("__c").as("cv")),
+        Seq("v"))
+      .select(least(col("cu"), col("cv")).as("cu"),
+        greatest(col("cu"), col("cv")).as("cv"), col("w"))
+      .groupBy(col("cu"), col("cv")).agg(sum(col("w")).as("w"))
   }
 
   /** Semi-supervised label propagation (Zhu & Ghahramani CMU-CALD-02-107;

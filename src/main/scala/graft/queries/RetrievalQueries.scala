@@ -495,6 +495,59 @@ object RetrievalQueries {
           col("src"), col("dst"), store, batchId = 1L, rounds = 3)
         .select(col("id").as("nationkey"), col("rank"))
         .orderBy(col("nationkey"))
+    }),
+
+    // WARM-START HITS: the quantity ≤ 1 trade graph's converged
+    // hub/auth vectors persist once (writeHitsStore, 5 iterations);
+    // the union (quantity ≤ 2) then runs TWO warm rounds seeded from
+    // the stored hub vector instead of a cold five — the same
+    // round-count contract as x_pagerank_warm (max-normalization is
+    // global, so per-round work is inherently graph-sized; the only
+    // sound saving is fewer rounds). Bit-deterministic end to end:
+    // the oracle unrolls history's five rounds AND the two warm
+    // rounds in SQL and hash-matches exactly.
+    "x_hits_warm" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("hitsstore", d) { p =>
+        Graph.writeHitsStore(nationTradeEdges(s, d, maxQty = 1),
+          col("src"), col("dst"), iters = 5, p)
+      }
+      Graph.hitsWarm(nationTradeEdges(s, d, maxQty = 2),
+          col("src"), col("dst"), store, batchId = 1L, rounds = 2)
+        .select(col("id").as("nationkey"), col("hub"), col("auth"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // LOUVAIN community detection (one level, 3 synchronous rounds)
+    // over the WEIGHTED trade graph — duplicate (src, dst) lineitem
+    // rows fold to edge weights, so modularity sees trade VOLUME, not
+    // mere adjacency (what label propagation, which optimizes
+    // nothing, cannot express). Exact decimal(38,0) gain arithmetic
+    // with (score DESC, community ASC) ties — the oracle unrolls all
+    // three rounds in SQL (HUGEINT) and hash-matches.
+    "x_louvain" -> ((s, d) =>
+      Graph.louvain(nationTradeEdges(s, d, maxQty = 2), col("src"),
+          col("dst"), rounds = 3)
+        .select(col("id").as("nationkey"), col("community"))
+        .orderBy(col("nationkey"))),
+
+    // MULTI-LEVEL Louvain: level 1 (3 rounds) contracts communities
+    // to super-nodes — internal mass becomes self-loops, 2m invariant
+    // — and level 2 re-runs the same arithmetic on the quotient graph
+    // (2 rounds); each node's final community is its level-1
+    // community's level-2 assignment. The oracle replays BOTH levels
+    // and the contraction in SQL.
+    "x_louvain2" -> ((s, d) => {
+      val edges = nationTradeEdges(s, d, maxQty = 2)
+      val l1 = Graph.louvain(edges, col("src"), col("dst"), rounds = 3)
+      val qg = Graph.contractGraph(edges, col("src"), col("dst"),
+        l1, col("id"), col("community"))
+      val l2 = Graph.louvain(qg, col("cu"), col("cv"), rounds = 2,
+        weight = Some(col("w")))
+      l1.join(l2.select(col("id").as("community"),
+          col("community").as("__final")), Seq("community"))
+        .select(col("id").as("nationkey"),
+          col("__final").as("community"))
+        .orderBy(col("nationkey"))
     }))
 
   /** The customer-nation → supplier-nation trade graph over sparse
@@ -686,30 +739,36 @@ object RetrievalQueries {
 
   /** One HITS round, unrolled: authority half-step (inflow of hubs,
     * max-normalized) then hub half-step (outflow of authorities,
-    * max-normalized) — the exact integer arithmetic of Graph.hits.
+    * max-normalized) — the exact integer arithmetic of Graph.hits,
+    * over caller-named nodes/edges CTEs with a caller prefix on every
+    * round CTE so the warm-start oracle can chain a history phase and
+    * a warm phase with different graphs (the prRoundSql discipline).
     */
-  private def hitsRoundSql(i: Int): String =
-    s"""ra$i AS (
-       |  SELECT nodes.id, CAST(coalesce(s.x, 0) AS BIGINT) AS raw
-       |  FROM nodes LEFT JOIN (
-       |    SELECT e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS x
-       |    FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst) s
-       |    ON nodes.id = s.id),
-       |ma$i AS (SELECT greatest(max(raw), 1) AS m FROM ra$i),
-       |a$i AS (SELECT id, CAST((raw * 1000000) // m AS BIGINT) AS auth
-       |        FROM ra$i CROSS JOIN ma$i),
-       |rh$i AS (
-       |  SELECT nodes.id, CAST(coalesce(s.x, 0) AS BIGINT) AS raw
-       |  FROM nodes LEFT JOIN (
-       |    SELECT e.src AS id, CAST(sum(a.auth) AS BIGINT) AS x
-       |    FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src) s
-       |    ON nodes.id = s.id),
-       |mh$i AS (SELECT greatest(max(raw), 1) AS m FROM rh$i),
-       |h$i AS (SELECT id, CAST((raw * 1000000) // m AS BIGINT) AS hub
-       |        FROM rh$i CROSS JOIN mh$i)""".stripMargin
+  private def hitsRoundSql(i: Int, nodes: String = "nodes",
+                           e: String = "e", p: String = ""): String =
+    s"""${p}ra$i AS MATERIALIZED (
+       |  SELECT $nodes.id, CAST(coalesce(s.x, 0) AS BIGINT) AS raw
+       |  FROM $nodes LEFT JOIN (
+       |    SELECT $e.dst AS id, CAST(sum(h.hub) AS BIGINT) AS x
+       |    FROM $e JOIN ${p}h${i - 1} h ON $e.src = h.id GROUP BY $e.dst) s
+       |    ON $nodes.id = s.id),
+       |${p}ma$i AS (SELECT greatest(max(raw), 1) AS m FROM ${p}ra$i),
+       |${p}a$i AS MATERIALIZED (
+       |  SELECT id, CAST((raw * 1000000) // m AS BIGINT) AS auth
+       |        FROM ${p}ra$i CROSS JOIN ${p}ma$i),
+       |${p}rh$i AS MATERIALIZED (
+       |  SELECT $nodes.id, CAST(coalesce(s.x, 0) AS BIGINT) AS raw
+       |  FROM $nodes LEFT JOIN (
+       |    SELECT $e.src AS id, CAST(sum(a.auth) AS BIGINT) AS x
+       |    FROM $e JOIN ${p}a$i a ON $e.dst = a.id GROUP BY $e.src) s
+       |    ON $nodes.id = s.id),
+       |${p}mh$i AS (SELECT greatest(max(raw), 1) AS m FROM ${p}rh$i),
+       |${p}h$i AS MATERIALIZED (
+       |  SELECT id, CAST((raw * 1000000) // m AS BIGINT) AS hub
+       |        FROM ${p}rh$i CROSS JOIN ${p}mh$i)""".stripMargin
 
   private val hitsSql: String = {
-    val rounds = (1 to 5).map(hitsRoundSql).mkString(",\n")
+    val rounds = (1 to 5).map(i => hitsRoundSql(i)).mkString(",\n")
     s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
        |  FROM lineitem
@@ -727,6 +786,147 @@ object RetrievalQueries {
        |JOIN a5 ON nodes.id = a5.id
        |ORDER BY nationkey""".stripMargin
   }
+
+  /** Warm-start HITS mirror: history's 5 rounds over the quantity ≤ 1
+    * graph, then 2 warm rounds over the quantity ≤ 2 union starting
+    * from the history hub vector (new nodes at the cold prior) — the
+    * exact arithmetic of writeHitsStore + hitsWarm, unrolled
+    * (the pageRankWarmSql discipline).
+    */
+  private val hitsWarmSql: String = {
+    def edgesCte(maxQty: Int, name: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE l_quantity <= $maxQty
+         |    AND c_nationkey <> s_nationkey)""".stripMargin
+    val histRounds = (1 to 5)
+      .map(i => hitsRoundSql(i, "nodesh", "eh", "x")).mkString(",\n")
+    val warmRounds = (1 to 2)
+      .map(i => hitsRoundSql(i, "nodes", "e", "w")).mkString(",\n")
+    s"""WITH ${edgesCte(1, "eh")},
+       |${edgesCte(2, "e")},
+       |nodesh AS MATERIALIZED (
+       |  SELECT src AS id FROM eh UNION SELECT dst FROM eh),
+       |xh0 AS (SELECT id, CAST(1000000 AS BIGINT) AS hub FROM nodesh),
+       |$histRounds,
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |wh0 AS (SELECT nodes.id,
+       |          CAST(coalesce(h.hub, 1000000) AS BIGINT) AS hub
+       |        FROM nodes LEFT JOIN xh5 h ON nodes.id = h.id),
+       |$warmRounds
+       |SELECT nodes.id AS nationkey, wh2.hub, wa2.auth
+       |FROM nodes
+       |JOIN wh2 ON nodes.id = wh2.id
+       |JOIN wa2 ON nodes.id = wa2.id
+       |ORDER BY nationkey""".stripMargin
+  }
+
+  /** One synchronous Louvain round, unrolled: community weighted
+    * degrees, neighbor-community weights, the own-community fallback
+    * candidate, the HUGEINT gain score (mirror of the engine's
+    * decimal(38,0) arithmetic — both exact, identical ordering), and
+    * the (score DESC, cand ASC) argmax. Over caller-named
+    * sym/deg/params CTEs with a prefix so the multi-level oracle can
+    * chain level-2 rounds on the contracted graph.
+    */
+  private def louvainRoundSql(i: Int, sym: String, deg: String,
+                              params: String, p: String): String =
+    s"""${p}dc$i AS (
+       |  SELECT c.c AS cand, CAST(sum(d.d) AS BIGINT) AS dc
+       |  FROM ${p}c${i - 1} c JOIN $deg d ON c.id = d.id GROUP BY c.c),
+       |${p}wic$i AS MATERIALIZED (
+       |  SELECT s.u AS id, cj.c AS cand, CAST(sum(s.w) AS BIGINT) AS wi
+       |  FROM $sym s JOIN ${p}c${i - 1} cj ON s.v = cj.id
+       |  GROUP BY s.u, cj.c),
+       |${p}cd$i AS (
+       |  SELECT id, cand, wi FROM ${p}wic$i
+       |  UNION ALL
+       |  SELECT c.id, c.c AS cand, CAST(0 AS BIGINT) AS wi
+       |  FROM ${p}c${i - 1} c
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}wic$i w
+       |                    WHERE w.id = c.id AND w.cand = c.c)),
+       |${p}sc$i AS (
+       |  SELECT x.id, x.cand,
+       |    CAST(m2 AS HUGEINT) * x.wi
+       |      - CAST(d.d AS HUGEINT) * (dc.dc -
+       |          CASE WHEN cur.c = x.cand THEN d.d ELSE 0 END) AS score
+       |  FROM ${p}cd$i x
+       |    JOIN $deg d ON x.id = d.id
+       |    JOIN ${p}dc$i dc ON dc.cand = x.cand
+       |    JOIN ${p}c${i - 1} cur ON cur.id = x.id
+       |    CROSS JOIN $params),
+       |${p}c$i AS MATERIALIZED (
+       |  SELECT id, cand AS c FROM (
+       |    SELECT id, cand, row_number() OVER (
+       |      PARTITION BY id ORDER BY score DESC, cand ASC) AS rn
+       |    FROM ${p}sc$i) WHERE rn = 1)""".stripMargin
+
+  /** Level-1 base: the weighted trade graph (row multiplicity folds
+    * to edge weights), its symmetrized view, self-loop-doubled
+    * weighted degrees, 2m, and the singleton start.
+    */
+  private val louvainBaseSql: String =
+    s"""WITH eall AS MATERIALIZED (
+       |  SELECT least(c_nationkey, s_nationkey) AS u,
+       |    greatest(c_nationkey, s_nationkey) AS v,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey
+       |  GROUP BY 1, 2),
+       |sym AS MATERIALIZED (
+       |  SELECT u, v, w FROM eall WHERE u <> v
+       |  UNION ALL SELECT v AS u, u AS v, w FROM eall WHERE u <> v),
+       |deg AS MATERIALIZED (
+       |  SELECT id, CAST(sum(w) AS BIGINT) AS d FROM (
+       |    SELECT u AS id, w FROM sym
+       |    UNION ALL SELECT u AS id, w * 2 AS w FROM eall WHERE u = v)
+       |  GROUP BY id),
+       |params AS (SELECT CAST(sum(d) AS BIGINT) AS m2 FROM deg),
+       |c0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
+       |""".stripMargin +
+      (1 to 3).map(i => louvainRoundSql(i, "sym", "deg", "params", ""))
+        .mkString(",\n")
+
+  private val louvainSql: String =
+    louvainBaseSql +
+      "\nSELECT id AS nationkey, c AS community FROM c3 ORDER BY nationkey"
+
+  /** Multi-level mirror: contract level-1 communities (internal mass
+    * becomes self-loops; 2m invariant), rebuild sym/deg/2m on the
+    * quotient, run two more rounds, compose node → c1 → c2.
+    */
+  private val louvain2Sql: String =
+    louvainBaseSql + ",\n" +
+      s"""e2 AS MATERIALIZED (
+         |  SELECT least(cu.c, cv.c) AS u, greatest(cu.c, cv.c) AS v,
+         |    CAST(sum(e.w) AS BIGINT) AS w
+         |  FROM eall e JOIN c3 cu ON e.u = cu.id
+         |    JOIN c3 cv ON e.v = cv.id
+         |  GROUP BY 1, 2),
+         |sym2 AS MATERIALIZED (
+         |  SELECT u, v, w FROM e2 WHERE u <> v
+         |  UNION ALL SELECT v AS u, u AS v, w FROM e2 WHERE u <> v),
+         |deg2 AS MATERIALIZED (
+         |  SELECT id, CAST(sum(w) AS BIGINT) AS d FROM (
+         |    SELECT u AS id, w FROM sym2
+         |    UNION ALL SELECT u AS id, w * 2 AS w FROM e2 WHERE u = v)
+         |  GROUP BY id),
+         |params2 AS (SELECT CAST(sum(d) AS BIGINT) AS m2 FROM deg2),
+         |yc0 AS MATERIALIZED (SELECT id, id AS c FROM deg2),
+         |""".stripMargin +
+      (1 to 2).map(i => louvainRoundSql(i, "sym2", "deg2", "params2", "y"))
+        .mkString(",\n") +
+      """
+        |SELECT c3.id AS nationkey, y.c AS community
+        |FROM c3 JOIN yc2 y ON c3.c = y.id ORDER BY nationkey""".stripMargin
 
   /** PolyFp fingerprint of a SQL string expression — the DuckDB
     * mirror of TextAnalysis.fingerprint (x_sample_hash pattern).
@@ -1212,5 +1412,8 @@ object RetrievalQueries {
     "x_random_walks" -> randomWalksSql,
     "x_walk_skipgrams" -> walkSkipgramsSql,
     "x_pagerank_warm" -> pageRankWarmSql,
+    "x_hits_warm" -> hitsWarmSql,
+    "x_louvain" -> louvainSql,
+    "x_louvain2" -> louvain2Sql,
     "x_source_authority" -> sourceAuthoritySql)
 }

@@ -1360,9 +1360,11 @@ object StreamOps {
     * existing stores would reuse micro-batch ids — the standard
     * gate-store contract.
     *
-    * `triStorePath` / `kcoreStorePath` opt the remaining two graph
-    * warm starts into the same gate (all four incremental graph
-    * operators then maintain under one stream). Triangle counting is
+    * `triStorePath` / `kcoreStorePath` / `prStorePath` /
+    * `hitsStorePath` opt the remaining graph warm starts into the
+    * same gate (all six graph maintenance forms — CC, label prop,
+    * triangles, k-core, warm PageRank, warm HITS — then run under
+    * one stream). Triangle counting is
     * the one NON-idempotent op under re-sent edges, so its base is
     * built from HISTORY ONLY (the batch always rides the
     * overwrite-idempotent incremental append — a crash-retry of the
@@ -1386,7 +1388,9 @@ object StreamOps {
                     kcoreStorePath: Option[String] = None,
                     kcoreK: Int = 3,
                     prStorePath: Option[String] = None,
-                    prRounds: Int = 2, prIters: Int = 5)
+                    prRounds: Int = 2, prIters: Int = 5,
+                    hitsStorePath: Option[String] = None,
+                    hitsRounds: Int = 2, hitsIters: Int = 5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     stream.writeStream
@@ -1474,6 +1478,19 @@ object StreamOps {
               Graph.pageRankWarm(all, col("u"), col("v"), pp, sb,
                 prRounds, filesOut): Unit
           }
+          // HITS maintenance: same contract as PageRank — a cold
+          // `hitsIters` ladder on bootstrap, then `hitsRounds` warm
+          // rounds per batch seeded from the stored hub vector over
+          // the union (re-sent edges harmless: the edge list is
+          // distinct'd inside)
+          hitsStorePath.foreach { hp =>
+            if (Stats.committedViewDirs(spark, hp).isEmpty)
+              Graph.writeHitsStore(all, col("u"), col("v"),
+                hitsIters, hp, filesOut)
+            else
+              Graph.hitsWarm(all, col("u"), col("v"), hp, sb,
+                hitsRounds, filesOut): Unit
+          }
           if (!bootstrap && compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
@@ -1485,6 +1502,8 @@ object StreamOps {
               Graph.compactKCoreStore(spark, kp, filesOut): Unit)
             prStorePath.foreach(pp =>
               Graph.compactPageRankStore(spark, pp, filesOut): Unit)
+            hitsStorePath.foreach(hp =>
+              Graph.compactHitsStore(spark, hp, filesOut): Unit)
             Stats.compactCommittedStore(spark, edgesPath,
               _.select(col("u"), col("v"), col("__b"))
                 .repartitionByRange(filesOut, col("u"), col("v"))

@@ -208,4 +208,58 @@ class GraphSpec extends SparkSuite {
       (40L, 30L)).map { case (a, b) => (a, b, 1L) }
     assert(got == want)
   }
+
+  private def k4(base: Long): Seq[(Long, Long)] =
+    (for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)).toSeq
+
+  test("louvain: two bridged 4-cliques resolve to the planted " +
+      "partition in 3 synchronous rounds; deterministic under " +
+      "repartitioning") {
+    import spark.implicits._
+    val edges = (k4(0L) ++ k4(4L) :+ ((3L, 4L))).toDF("a", "b")
+    val got = Graph.louvain(edges, col("a"), col("b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val groups = got.groupBy(_._2).values.map(_.keySet).toSet
+    assert(groups == Set(Set(0L, 1L, 2L, 3L), Set(4L, 5L, 6L, 7L)),
+      s"got $got")
+    val re = Graph.louvain(edges.repartition(7), col("a"), col("b"),
+      rounds = 3).as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
+
+  test("louvain: duplicate rows fold to edge weights — bit-equal to " +
+      "the same graph expressed as an explicit weight column") {
+    import spark.implicits._
+    // the bridged cliques with the bridge sent 3 times: weight 3
+    val dup = (k4(0L) ++ k4(4L) ++ Seq.fill(3)((3L, 4L)))
+      .toDF("a", "b")
+    val g1 = Graph.louvain(dup, col("a"), col("b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val w = (k4(0L) ++ k4(4L)).map { case (a, b) => (a, b, 1L) } :+
+      ((3L, 4L, 3L))
+    val g2 = Graph.louvain(w.toDF("a", "b", "w"), col("a"), col("b"),
+        rounds = 3, weight = Some(col("w")))
+      .as[(Long, Long)].collect().toMap
+    assert(g2 == g1)
+  }
+
+  test("contractGraph: weights fold per community pair, internal " +
+      "mass becomes self-loops; 2m invariant through the quotient") {
+    import spark.implicits._
+    val edges = (k4(0L) ++ k4(4L) :+ ((3L, 4L))).toDF("a", "b")
+    val asg = (0L to 3L).map((_, 0L)) ++ (4L to 7L).map((_, 5L))
+    val q = Graph.contractGraph(edges, col("a"), col("b"),
+        asg.toDF("id", "c"), col("id"), col("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    // each K4's 6 internal edges fold to a self-loop of weight 6
+    assert(q == Set((0L, 0L, 6L), (0L, 5L, 1L), (5L, 5L, 6L)))
+    // 2m invariance: Σ inter-weight·2 + self-weight·2 both levels
+    val m2l1 = 2L * (6 + 6 + 1)
+    val m2l2 = q.toSeq.map { case (u, v, w) =>
+      if (u == v) 2L * w else 2L * w
+    }.sum
+    assert(m2l2 == m2l1)
+  }
 }

@@ -328,6 +328,50 @@ class LabelPropOutlierSpec extends SparkSuite {
     assert(ranksOf(Graph.pageRankStoreRanks(spark, dir)) == warm)
   }
 
+  test("hitsWarm: warm rounds from stored hubs land at least as " +
+      "close to the converged union scores as a cold run of the same " +
+      "length; idempotent retry; compaction preserves the view") {
+    import org.apache.spark.sql.functions.col
+    // same ring-with-chords history and hub-insertion delta as the
+    // pageRankWarm spec — the adversarial case where the new node
+    // rewires mass through the whole graph
+    val hist = (0L until 20L).map(i => (i, (i + 1) % 20)) ++
+      (0L until 20L by 4L).map(i => (i, (i + 7) % 20))
+    val delta = Seq((100L, 3L), (100L, 11L), (5L, 100L), (17L, 100L))
+    val union = (hist ++ delta).toDF("a", "b")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hitswarm-").toString + "/hits"
+    Graph.writeHitsStore(hist.toDF("a", "b"), col("a"), col("b"),
+      iters = 8, dir)
+    def scoresOf(df: org.apache.spark.sql.DataFrame)
+        : Map[Long, (Long, Long)] =
+      df.select(col("id"), col("hub"), col("auth"))
+        .as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+    val ref = scoresOf(Graph.hits(union, col("a"), col("b"),
+      iters = 12))
+    def dist(m: Map[Long, (Long, Long)]): Long =
+      ref.map { case (k, (h, a)) =>
+        val (gh, ga) = m.getOrElse(k, (0L, 0L))
+        math.max(math.abs(gh - h), math.abs(ga - a))
+      }.max
+    val warm = scoresOf(Graph.hitsWarm(union, col("a"), col("b"),
+      dir, batchId = 1L, rounds = 2))
+    val cold = scoresOf(Graph.hits(union, col("a"), col("b"),
+      iters = 2))
+    assert(dist(warm) <= dist(cold),
+      s"warm ${dist(warm)} worse than cold ${dist(cold)}")
+    // retry of the same batch id is overwrite-idempotent, and the
+    // store view serves the warm scores
+    val retry = scoresOf(Graph.hitsWarm(union, col("a"), col("b"),
+      dir, batchId = 1L, rounds = 2))
+    assert(retry == warm)
+    assert(scoresOf(Graph.hitsStoreScores(spark, dir)) == warm)
+    // compaction folds batches without changing the view
+    assert(Graph.compactHitsStore(spark, dir).isDefined)
+    assert(scoresOf(Graph.hitsStoreScores(spark, dir)) == warm)
+  }
+
   test("pprForwardPush: hand-computed star pushes; locality — the " +
       "eps threshold freezes the frontier strictly inside the graph") {
     import org.apache.spark.sql.functions.col

@@ -731,7 +731,9 @@ class StreamOpsSpec extends SparkSuite {
       s"$base/ckpt", compactEvery = 2, filesOut = 2,
       triStorePath = Some(s"$base/tri"),
       kcoreStorePath = Some(s"$base/kc"), kcoreK = 2,
-      prStorePath = Some(s"$base/pr"), prRounds = 2, prIters = 5)
+      prStorePath = Some(s"$base/pr"), prRounds = 2, prIters = 5,
+      hitsStorePath = Some(s"$base/hits"), hitsRounds = 2,
+      hitsIters = 5)
     try {
       // b0: components {1,2,3} and {10,11}; seed 20 is edge-isolated
       val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
@@ -806,6 +808,21 @@ class StreamOpsSpec extends SparkSuite {
       val wantR = Graph.pageRankStoreRanks(spark, rdir)
         .as[(Long, Long)].collect().toMap
       assert(gotR == wantR, s"$gotR vs $wantR")
+      // HITS: same pure-function replay contract as PageRank — cold
+      // 5-round base on b0, then 2 warm rounds per batch over the
+      // growing union, bit-equal through the mid-stream OPTIMIZE
+      val hdir = s"$base/hits-replay"
+      Graph.writeHitsStore(b0.toDF("a", "b"), col("a"), col("b"),
+        iters = 5, hdir)
+      Graph.hitsWarm((b0 ++ b1).toDF("a", "b"), col("a"),
+        col("b"), hdir, batchId = 2L, rounds = 2): Unit
+      Graph.hitsWarm(union, col("a"), col("b"), hdir,
+        batchId = 3L, rounds = 2): Unit
+      val gotH = Graph.hitsStoreScores(spark, s"$base/hits")
+        .as[(Long, Long, Long)].collect().toSet
+      val wantH = Graph.hitsStoreScores(spark, hdir)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotH == wantH, s"$gotH vs $wantH")
     } finally q.stop()
   }
 
