@@ -563,4 +563,80 @@ object Training {
         col("__lo.__c").as("rejected"),
         col("__lo.__s").as("rejected_score"),
         (col("__hi.__s") - col("__lo.__s")).as("margin"))
+
+  /** LEAKAGE-SAFE train/val/test assignment: a fingerprint split (the
+    * x_split_assign discipline) is stable per document, but near-
+    * duplicate documents have DIFFERENT texts — a naive per-doc split
+    * scatters a duplicate cluster across train and test, and the
+    * model is then evaluated on paraphrases of its own training data
+    * (the dedup-then-split ordering bug every eval-contamination
+    * audit hunts for). Here the unit of assignment is the DUPLICATE
+    * CLUSTER: connected components over the near-dup pair edges give
+    * the clusters (docs in no pair are singletons), each cluster's
+    * split key is the MINIMUM member fingerprint — a pure function of
+    * the cluster's CONTENT set, independent of ids, ingestion order,
+    * and partitioning — and every member inherits the cluster's
+    * bucket (`< trainPct` → train, `< trainPct+valPct` → val, else
+    * test, over fingerprint mod 100). Singleton clusters reproduce
+    * the naive split exactly, so enabling safety never reshuffles the
+    * unduplicated mass.
+    *
+    * `docs` rows are (id, key) with `key` the per-doc content
+    * fingerprint (non-negative); `pairs` the near-dup edge list.
+    * Returns (id, split).
+    *
+    * Scale: the CC machinery is the proven log-round hybrid
+    * ([[Graph.connectedComponents]], pair-sized); the cluster key is
+    * one map-side-combinable min aggregate; the join back is
+    * cluster-keyed with fixed-width rows. No windows, no driver
+    * state.
+    */
+  def leakageSafeSplit(docs: DataFrame, id: Column, key: Column,
+                       pairs: DataFrame, a: Column, b: Column,
+                       trainPct: Int = 90, valPct: Int = 5)
+      : DataFrame = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
+      "need 0 <= trainPct + valPct <= 100")
+    val d = docs.select(id.as("__id"), key.as("__k"))
+    val comp = Graph.connectedComponents(pairs, a, b)
+      .select(col("id").as("__id"), col("comp").as("__c0"))
+    val withC = d.join(comp, Seq("__id"), "left")
+      .select(col("__id"), col("__k"),
+        coalesce(col("__c0"), col("__id")).as("__c"))
+    val ck = withC.groupBy(col("__c"))
+      .agg(min(col("__k")).as("__ck"))
+    withC.join(ck, Seq("__c"))
+      .select(col("__id").as("id"),
+        when(pmod(col("__ck"), lit(100)) < trainPct, "train")
+          .when(pmod(col("__ck"), lit(100)) < trainPct + valPct, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** SPLIT-LEAKAGE AUDIT: for an assignment (id, split) and the
+    * near-dup pair edges, count the pairs whose endpoints landed in
+    * DIFFERENT splits — the contamination a leakage-safe split must
+    * drive to zero (and a naive per-doc split leaves behind). Returns
+    * one row per (split_a, split_b) combination with split_a <
+    * split_b plus the crossing count; an empty result means no
+    * leakage.
+    *
+    * Scale: two id-keyed joins of the pair list against the
+    * assignment (pair-sized shuffles, fixed-width rows) and one
+    * combination-keyed count — never corpus² anything.
+    */
+  def splitLeakage(assign: DataFrame, id: Column, split: Column,
+                   pairs: DataFrame, a: Column, b: Column)
+      : DataFrame = {
+    val s = assign.select(id.as("__id"), split.as("__s"))
+    pairs.select(a.as("__pa"), b.as("__pb"))
+      .join(s.select(col("__id").as("__pa"), col("__s").as("__sa")),
+        Seq("__pa"))
+      .join(s.select(col("__id").as("__pb"), col("__s").as("__sb")),
+        Seq("__pb"))
+      .where(col("__sa") =!= col("__sb"))
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("crossing"))
+  }
 }

@@ -570,6 +570,63 @@ object TrainingQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // LEAKAGE-SAFE split: near-dup CLUSTERS (not documents) are the
+    // unit of train/val/test assignment — a naive per-doc fingerprint
+    // split scatters paraphrase clusters across train and test (eval
+    // contamination); here every cluster member inherits the bucket
+    // of the cluster's MINIMUM member fingerprint (content-determined,
+    // id-free), and singletons reproduce x_split_assign's naive
+    // bucket exactly. Oracle: the shared recursive-CTE clustering +
+    // the fingerprint mirror, min-folded per cluster.
+    "x_split_safe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cand = Dedup.minhashCandidates(
+        Dedup.minhashSigsNative(docs, col("doc_id"), col("text"),
+          n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+      Training.leakageSafeSplit(
+          docs.select(col("doc_id"),
+            TextAnalysis.fingerprint(col("text")).as("fp")),
+          col("doc_id"), col("fp"), cand, col("id_a"), col("id_b"))
+        .select(col("id").as("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The LEAKAGE AUDIT the safe split exists to pass: count near-dup
+    // pairs whose endpoints landed in different splits, for the naive
+    // per-doc split AND the cluster-aware one — the safe method must
+    // contribute ZERO rows (every cluster is split-atomic by
+    // construction), the naive method's crossings are the measured
+    // contamination. One staged candidate set feeds the clustering
+    // and both audits.
+    "x_split_leakage" -> ((s, d) => {
+      import graft.operators.Checkpoints
+      val docs = t(s, d, "documents")
+      val fp = docs.select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))
+      val cand = Checkpoints.stage(Dedup.minhashCandidates(
+        Dedup.minhashSigsNative(docs, col("doc_id"), col("text"),
+          n = 3, k = 32))
+        .where(col("est_jaccard") >= 0.8)
+        .select(col("id_a"), col("id_b")))
+      val naive = fp.select(col("doc_id"),
+        when(pmod(col("fp"), lit(100)) < 90, "train")
+          .when(pmod(col("fp"), lit(100)) < 95, "val")
+          .otherwise("test").as("split"))
+      // the safe assignment feeds BOTH endpoints of its audit join —
+      // stage it once instead of re-deriving the clustering per side
+      val safe = Checkpoints.stage(Training.leakageSafeSplit(fp,
+        col("doc_id"), col("fp"), cand, col("id_a"), col("id_b")))
+      def audit(asg: DataFrame, idc: String, m: String): DataFrame =
+        Training.splitLeakage(asg, col(idc), col("split"), cand,
+            col("id_a"), col("id_b"))
+          .select(lit(m).as("method"), col("split_a"), col("split_b"),
+            col("crossing"))
+      audit(naive, "doc_id", "naive")
+        .unionByName(audit(safe, "id", "safe"))
+        .orderBy(col("method"), col("split_a"), col("split_b"))
+    }),
+
     // Incremental-ingest dedup: drop new-batch docs whose content
     // digest already exists in the historical corpus (digest anti-join
     // — the shuffle carries 16-byte keys, the standard continuous-
@@ -715,6 +772,71 @@ object TrainingQueries {
         |SELECT id AS doc_id, min(r) AS cluster, (id = min(r)) AS keep
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Cluster-aware split CTEs over the shared clustering: cluster =
+    * min reachable id (the CC contract), split key = min member
+    * fingerprint, singletons fall back to their own fingerprint —
+    * the exact arithmetic of Training.leakageSafeSplit. `ed` is
+    * MATERIALIZED because the leakage oracle references it three
+    * times (sym + both audit joins).
+    */
+  private val splitSafeCtes: String =
+    dedupReachCte.replace(", ed AS (", ", ed AS MATERIALIZED (") +
+      """, cl AS (
+        |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        |), fpt AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ''),
+        |        c -> CAST(unicode(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS k
+        |  FROM documents
+        |), wc AS MATERIALIZED (
+        |  SELECT fpt.doc_id, fpt.k,
+        |    coalesce(cl.cluster, fpt.doc_id) AS c
+        |  FROM fpt LEFT JOIN cl ON fpt.doc_id = cl.id
+        |), ck AS (SELECT c, min(k) AS ck FROM wc GROUP BY c),
+        |asg_safe AS MATERIALIZED (
+        |  SELECT wc.doc_id,
+        |    CASE WHEN ck.ck % 100 < 90 THEN 'train'
+        |         WHEN ck.ck % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM wc JOIN ck ON wc.c = ck.c)""".stripMargin
+
+  private val splitSafeSql: String =
+    splitSafeCtes +
+      """
+        |SELECT doc_id, split FROM asg_safe ORDER BY doc_id""".stripMargin
+
+  private val splitLeakageSql: String =
+    splitSafeCtes +
+      """, asg_naive AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN k % 100 < 90 THEN 'train'
+        |         WHEN k % 100 < 95 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM fpt)
+        |SELECT method, split_a, split_b, crossing FROM (
+        |  SELECT 'naive' AS method,
+        |    least(sa.split, sb.split) AS split_a,
+        |    greatest(sa.split, sb.split) AS split_b,
+        |    count(*) AS crossing
+        |  FROM ed JOIN asg_naive sa ON ed.a = sa.doc_id
+        |          JOIN asg_naive sb ON ed.b = sb.doc_id
+        |  WHERE sa.split <> sb.split
+        |  GROUP BY least(sa.split, sb.split),
+        |    greatest(sa.split, sb.split)
+        |  UNION ALL
+        |  SELECT 'safe' AS method,
+        |    least(sa.split, sb.split) AS split_a,
+        |    greatest(sa.split, sb.split) AS split_b,
+        |    count(*) AS crossing
+        |  FROM ed JOIN asg_safe sa ON ed.a = sa.doc_id
+        |          JOIN asg_safe sb ON ed.b = sb.doc_id
+        |  WHERE sa.split <> sb.split
+        |  GROUP BY least(sa.split, sb.split),
+        |    greatest(sa.split, sb.split))
+        |ORDER BY method, split_a, split_b""".stripMargin
+
   /** Keep-best policy over the same clustering: canonical doc =
     * longest (n_chars desc, doc_id tiebreak) instead of min-id.
     */
@@ -738,6 +860,8 @@ object TrainingQueries {
 
     "x_dedup_clusters" -> dedupClustersSql,
     "x_cluster_keep_best" -> clusterKeepBestSql,
+    "x_split_safe" -> splitSafeSql,
+    "x_split_leakage" -> splitLeakageSql,
 
     // The incremental accumulated-edge reconciliation answers the SAME
     // clustering question — shared oracle, different (store-pruned,

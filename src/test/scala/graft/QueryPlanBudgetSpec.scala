@@ -135,6 +135,16 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // over the ranked rows; ranks are prefix-sum (no window)
     "x_quantile_disc" -> default.copy(allowCartesian = true,
       maxWindows = 0),
+    // cluster-aware split: the staged CC labels left-join + the
+    // cluster-key min aggregate + the cluster join-back + output sort
+    // — each shuffle corpus-keyed fixed-width rows, one pass
+    "x_split_safe" -> Budget(maxShuffles = 8, maxSorts = 8,
+      maxBroadcasts = 6),
+    // the audit unions two assignment pipelines (naive + the staged
+    // safe split), each joining the staged pair list twice — breadth,
+    // not depth: every shuffle is pair- or corpus-sized, fixed-width
+    "x_split_leakage" -> Budget(maxShuffles = 14, maxSorts = 12,
+      maxBroadcasts = 10),
     // label propagation: per-round count-argmax aggregates, no window
     "x_label_prop" -> default.copy(maxWindows = 0),
     // warm-start form: the final plan is the store's state-view argmax

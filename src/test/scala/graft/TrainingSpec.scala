@@ -330,4 +330,40 @@ class TrainingSpec extends SparkSuite {
     // top tie (5.0 at c=2,3) breaks toward the LARGER id
     assert(got == Seq(("p1", 3L, 5.0, 1L, 2.0, 3.0)))
   }
+
+  test("leakageSafeSplit: clusters are split-atomic on the min member " +
+      "fingerprint, singletons reproduce the naive bucket, the audit " +
+      "reads zero for safe and the planted crossing for naive") {
+    import spark.implicits._
+    import graft.operators.Training
+    // keys ARE the fingerprints (mod-100 buckets in comments);
+    // cluster {1,2,3} spans naive buckets train(10)/val(93)/test(97) —
+    // chained pairs (1-2, 2-3): transitivity must pull 3 into the
+    // cluster even though (1,3) was never a pair
+    val docs = Seq((1L, 10L), (2L, 93L), (3L, 97L),
+      (4L, 94L), (5L, 42L)).toDF("id", "k")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val asg = Training.leakageSafeSplit(docs, col("id"), col("k"),
+        pairs, col("a"), col("b"))
+      .as[(Long, String)].collect().toMap
+    // cluster key = min(10, 93, 97) = 10 → train for all members
+    assert(asg(1L) == "train" && asg(2L) == "train" &&
+      asg(3L) == "train")
+    // singletons: naive buckets (94 → val, 42 → train)
+    assert(asg(4L) == "val" && asg(5L) == "train")
+    // audit: the safe assignment has zero crossings...
+    val safeAsg = Training.leakageSafeSplit(docs, col("id"), col("k"),
+      pairs, col("a"), col("b"))
+    assert(Training.splitLeakage(safeAsg, col("id"), col("split"),
+      pairs, col("a"), col("b")).isEmpty)
+    // ...while the naive per-doc split leaks both planted pairs
+    val naive = docs.select(col("id"),
+      when(pmod(col("k"), lit(100)) < 90, "train")
+        .when(pmod(col("k"), lit(100)) < 95, "val")
+        .otherwise("test").as("split"))
+    val leaks = Training.splitLeakage(naive, col("id"), col("split"),
+        pairs, col("a"), col("b"))
+      .as[(String, String, Long)].collect().toSet
+    assert(leaks == Set(("train", "val", 1L), ("test", "val", 1L)))
+  }
 }
