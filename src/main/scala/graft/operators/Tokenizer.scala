@@ -126,4 +126,33 @@ object Tokenizer {
       .select(col("id"), size(bpeTokens(col("word"), merges)).as("n"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_sym"))
+
+  /** TOKENIZER COMPRESSION AUDIT: per-group (language, domain, …)
+    * characters-per-token under the learned merges — the vocabulary-
+    * coverage metric a multilingual corpus release is judged by (a
+    * language the tokenizer undersegments pays more tokens per char
+    * of content, skewing its effective epoch weight; tokenizer
+    * fairness audits track exactly this ratio per language). Returns
+    * (grp, n_words, n_chars, n_tokens, chars_per_token) with the
+    * ratio a SINGLE IEEE division of exact integer sums
+    * (engine-portable — the x_collocations discipline).
+    *
+    * Scale: one explode + one hash aggregate with map-side partials;
+    * the merge list is a driver-side constant compiled into the
+    * tokenization expression (codegen'd, no join). No windows.
+    */
+  def bpeCompressionStats(df: DataFrame, group: Column, text: Column,
+                          merges: Seq[BpeMerge]): DataFrame =
+    df.select(group.as("grp"), explode(split(text, " ")).as("word"))
+      .where(cleanWord(col("word")))
+      .select(col("grp"),
+        length(col("word")).cast("long").as("nc"),
+        size(bpeTokens(col("word"), merges)).cast("long").as("nt"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("grp"), col("n_words"), col("n_chars"),
+        col("n_tokens"),
+        (col("n_chars").cast("double") / col("n_tokens"))
+          .as("chars_per_token"))
 }

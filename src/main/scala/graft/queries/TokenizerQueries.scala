@@ -40,7 +40,18 @@ object TokenizerQueries {
     "x_bpe_apply" -> ((s, d) =>
       Tokenizer.bpeTokenStats(t(s, d, "documents"), col("doc_id"),
           col("text"), mergesFor(s, d))
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+
+    // Tokenizer-fairness audit: per-language characters-per-token
+    // under the learned merges — the undersegmented language pays
+    // more tokens per char of content (skewed effective epoch
+    // weight). One explode + one map-side-partial aggregate; ratio =
+    // a single IEEE division of exact integer sums.
+    "x_bpe_compression" -> ((s, d) =>
+      Tokenizer.bpeCompressionStats(t(s, d, "documents"), col("lang"),
+          col("text"), mergesFor(s, d))
+        .withColumnRenamed("grp", "lang")
+        .orderBy(col("lang")))
   )
 
   // ---- DuckDB oracle ----------------------------------------------
@@ -127,8 +138,45 @@ object TokenizerQueries {
         |FROM d$Merges GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language compression audit: the applySql merge chain over
+    * (lang, word) occurrences with the clean word's char count
+    * carried through, folded per language.
+    */
+  private def compressionSql: String = {
+    val docSteps = (1 to Merges).map { k =>
+      s"""d$k AS (
+         |  SELECT lang, nc, replace(s, chr(31)||l||chr(30)||chr(31)||r||chr(30),
+         |                 chr(31)||l||r||chr(30)) AS s
+         |  FROM d${k - 1} CROSS JOIN m$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + vocabCtes + ",\n" +
+      (1 to Merges).map(stepCtes).mkString(",\n") + ",\n" +
+      """dw AS (
+        |  SELECT lang, word FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' AND NOT contains(word, chr(30))
+        |    AND NOT contains(word, chr(31))
+        |), d0 AS (
+        |  SELECT lang, len(word) AS nc, array_to_string(list_transform(
+        |    list_filter(string_split(word, ''), c -> c <> ''),
+        |    c -> chr(31) || c || chr(30)), '') AS s FROM dw
+        |),
+        |""".stripMargin + docSteps + s"""
+        |SELECT lang, count(*) AS n_words,
+        |  CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(len(list_filter(string_split(s, chr(31)),
+        |    x -> x <> ''))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nc) AS DOUBLE) /
+        |    CAST(sum(len(list_filter(string_split(s, chr(31)),
+        |      x -> x <> ''))) AS DOUBLE) AS chars_per_token
+        |FROM d$Merges GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "x_bpe_train" -> trainSql,
-    "x_bpe_apply" -> applySql
+    "x_bpe_apply" -> applySql,
+    "x_bpe_compression" -> compressionSql
   )
 }

@@ -103,4 +103,25 @@ class TokenizerSpec extends SparkSuite {
     assert(ms.head.lhs === "a" && ms.head.rhs === "l" &&
       ms.head.freq === 600L)
   }
+
+  test("bpeCompressionStats: per-group chars-per-token; the merged " +
+      "group compresses, the unmergeable one stays at 1 char/token") {
+    // merges learned on the union: (e,s) then (e,w) (all "newest"
+    // pairs tie at 3, bytewise-min l wins each round) — "en" docs are
+    // all "newest" (6 chars → n ew es t = 4 tokens), "xx" docs are
+    // single chars (no pair ever forms inside a 1-char word)
+    val docs = Seq(
+      (1L, "en", "newest newest"), (2L, "en", "newest"),
+      (3L, "xx", "a b c"), (4L, "xx", "d e")
+    ).toDF("doc_id", "lang", "text")
+    val ms = Tokenizer.bpeTrain(docs, col("text"), 2)
+    val got = Tokenizer.bpeCompressionStats(docs, col("lang"),
+        col("text"), ms)
+      .orderBy("grp")
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // en: 3 words × 6 chars = 18 chars, 3 × 4 tokens = 12 → 1.5
+    // xx: 5 words × 1 char, 5 tokens → 1.0
+    assert(got === Seq(("en", 3L, 18L, 12L, 1.5),
+      ("xx", 5L, 5L, 5L, 1.0)))
+  }
 }
