@@ -973,6 +973,63 @@ object Graph {
     comm.select(col("id"), col("c").as("community"))
   }
 
+  /** EXACT modularity decomposition of a community assignment
+    * (Newman & Girvan's Q, the quantity [[louvain]] climbs): per
+    * community C,
+    *
+    *   Q_C = in_C/(2m) − (D_C/(2m))²,  Q = Σ_C Q_C
+    *
+    * reported as the EXACT integer numerator q_num = 2m·in_C − D_C²
+    * (Q_C = q_num/(2m)²; decimal(38,0), same bounds argument as the
+    * gain arithmetic) alongside in_C (= Σ_{i,j∈C} A_ij: twice the
+    * intra-community weight, self-loops counted twice — the Blondel
+    * convention matching [[louvain]]'s degrees) and D_C. Exact
+    * integers end to end, so the oracle replays it; callers wanting
+    * the float Q divide once at the end. The audit pairing for
+    * community detection: detect with [[louvain]], QUANTIFY the
+    * partition with this — e.g. compare level-1 vs level-2 cuts, or
+    * track drift of a stored partition as the graph evolves.
+    *
+    * Scale: one canonical weight fold, two assignment joins, three
+    * aggregates — all map-side-partial, |C|-sized outputs, no
+    * windows.
+    */
+  def modularity(edges: DataFrame, a: Column, b: Column,
+                 assign: DataFrame, id: Column, community: Column,
+                 weight: Option[Column] = None): DataFrame = {
+    val w0 = weight.getOrElse(lit(1L)).cast("long")
+    val eAll = edges.select(least(a, b).as("u"), greatest(a, b).as("v"),
+        w0.as("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    val asg = assign.select(id.as("__id"), community.as("__c"))
+    val eC = eAll
+      .join(asg.select(col("__id").as("u"), col("__c").as("cu")),
+        Seq("u"))
+      .join(asg.select(col("__id").as("v"), col("__c").as("cv")),
+        Seq("v"))
+    val intra = eC.where(col("cu") === col("cv"))
+      .groupBy(col("cu")).agg((sum(col("w")) * 2).as("in_w2"))
+      .select(col("cu").as("community"), col("in_w2"))
+    val e = eAll.where(col("u") =!= col("v"))
+    val deg = e.select(col("u").as("id"), col("w"))
+      .unionAll(e.select(col("v").as("id"), col("w")))
+      .unionAll(eAll.where(col("u") === col("v"))
+        .select(col("u").as("id"), (col("w") * 2).as("w")))
+      .groupBy(col("id")).agg(sum(col("w")).as("d"))
+    val m2 = deg.agg(sum(col("d"))).head.getLong(0)
+    val dec = "decimal(38,0)"
+    deg.join(asg, col("id") === col("__id"))
+      .groupBy(col("__c")).agg(sum(col("d")).as("deg_sum"))
+      .select(col("__c").as("community"), col("deg_sum"))
+      .join(intra, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("in_w2"), lit(0L)).as("in_w2"), col("deg_sum"),
+        (lit(m2).cast(dec) *
+            coalesce(col("in_w2"), lit(0L)).cast(dec) -
+          col("deg_sum").cast(dec) * col("deg_sum").cast(dec))
+          .as("q_num"))
+  }
+
   /** Contract a weighted undirected graph by a community assignment:
     * edges fold to their endpoint communities (canonical order,
     * weights summed) — Louvain's level-2 quotient graph. Intra-

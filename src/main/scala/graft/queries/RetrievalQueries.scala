@@ -548,6 +548,22 @@ object RetrievalQueries {
         .select(col("id").as("nationkey"),
           col("__final").as("community"))
         .orderBy(col("nationkey"))
+    }),
+
+    // MODULARITY audit of the level-1 Louvain partition: per
+    // community the exact integer numerator 2m·in_C − D_C² (Q_C
+    // scaled by (2m)² — detect with x_louvain, QUANTIFY with this).
+    // Exact integers end to end; the long cast is sound at any test
+    // scale (q_num ≈ m2·in ≲ 10¹² here; the operator itself carries
+    // decimal(38,0) for trillion-edge graphs).
+    "x_modularity" -> ((s, d) => {
+      val edges = nationTradeEdges(s, d, maxQty = 2)
+      val l1 = Graph.louvain(edges, col("src"), col("dst"), rounds = 3)
+      Graph.modularity(edges, col("src"), col("dst"), l1, col("id"),
+          col("community"))
+        .select(col("community"), col("in_w2"), col("deg_sum"),
+          col("q_num").cast("long").as("q_num"))
+        .orderBy(col("community"))
     }))
 
   /** The customer-nation → supplier-nation trade graph over sparse
@@ -898,6 +914,29 @@ object RetrievalQueries {
   private val louvainSql: String =
     louvainBaseSql +
       "\nSELECT id AS nationkey, c AS community FROM c3 ORDER BY nationkey"
+
+  /** Modularity decomposition of the level-1 partition: in_C (twice
+    * the intra weight, self-loops twice), D_C, and the exact
+    * numerator m2·in_C − D_C².
+    */
+  private val modularitySql: String =
+    louvainBaseSql + ",\n" +
+      """intra AS (
+        |  SELECT cu.c AS community, CAST(2 * sum(e.w) AS BIGINT) AS iw
+        |  FROM eall e JOIN c3 cu ON e.u = cu.id
+        |    JOIN c3 cv ON e.v = cv.id
+        |  WHERE cu.c = cv.c GROUP BY cu.c),
+        |dsum AS (
+        |  SELECT c.c AS community, CAST(sum(d.d) AS BIGINT) AS ds
+        |  FROM c3 c JOIN deg d ON c.id = d.id GROUP BY c.c)
+        |SELECT ds.community,
+        |  coalesce(intra.iw, 0) AS in_w2, ds.ds AS deg_sum,
+        |  CAST(CAST(m2 AS HUGEINT) * coalesce(intra.iw, 0)
+        |    - CAST(ds.ds AS HUGEINT) * ds.ds AS BIGINT) AS q_num
+        |FROM dsum ds
+        |  LEFT JOIN intra ON ds.community = intra.community
+        |  CROSS JOIN params
+        |ORDER BY ds.community""".stripMargin
 
   /** Multi-level mirror: contract level-1 communities (internal mass
     * becomes self-loops; 2m invariant), rebuild sym/deg/2m on the
@@ -1415,5 +1454,6 @@ object RetrievalQueries {
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,
     "x_louvain2" -> louvain2Sql,
+    "x_modularity" -> modularitySql,
     "x_source_authority" -> sourceAuthoritySql)
 }

@@ -262,4 +262,28 @@ class GraphSpec extends SparkSuite {
     }.sum
     assert(m2l2 == m2l1)
   }
+
+  test("modularity: hand-computed numerators on the planted " +
+      "partition; singleton partition pays -d^2 per node") {
+    import spark.implicits._
+    val edges = (k4(0L) ++ k4(4L) :+ ((3L, 4L))).toDF("a", "b")
+    val asg = ((0L to 3L).map((_, 0L)) ++ (4L to 7L).map((_, 5L)))
+      .toDF("id", "c")
+    val got = Graph.modularity(edges, col("a"), col("b"), asg,
+        col("id"), col("c"))
+      .select(col("community"), col("in_w2"), col("deg_sum"),
+        col("q_num").cast("long"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // 2m = 26; per clique: in = 12, D = 13, q_num = 26*12 - 169 = 143
+    assert(got == Set((0L, 12L, 13L, 143L), (5L, 12L, 13L, 143L)))
+    // all-singletons on a triangle: in = 0, d = 2 → q_num = -4 each
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val single = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "c")
+    val gt = Graph.modularity(tri, col("a"), col("b"), single,
+        col("id"), col("c"))
+      .select(col("community"), col("in_w2"),
+        col("q_num").cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gt == Set((1L, 0L, -4L), (2L, 0L, -4L), (3L, 0L, -4L)))
+  }
 }
