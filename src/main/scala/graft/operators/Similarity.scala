@@ -993,7 +993,27 @@ object Similarity {
     * distributes, and k is a selection budget, not data-sized.
     */
   def kCenterSelect(corpus: DataFrame, id: Column, vec: Column,
-                    k: Int): DataFrame = {
+                    k: Int): DataFrame =
+    kCenterTrace(corpus, id, vec, k)
+      .select(col("rank"), col("id"), col("radius"))
+
+  /** The squared-L2-to-center expression shared by the greedy trace
+    * and the warm extension: dxx − 2⟨x,c⟩ + dcc, the fixed IEEE
+    * operation sequence the SQL oracle mirrors.
+    */
+  private val kcDistToCenter: Column =
+    col("__dxx") - lit(2.0) * dot(col("__v"), col("__cv")) +
+      col("__cdxx")
+
+  private def kcCenterSide(c: DataFrame): DataFrame =
+    broadcast(c.select(col("__v").as("__cv"),
+      col("__dxx").as("__cdxx")))
+
+  /** [[kCenterSelect]]'s full trace, vectors included — what the
+    * incremental store persists: (rank, id, __v, __dxx, radius).
+    */
+  private def kCenterTrace(corpus: DataFrame, id: Column, vec: Column,
+                           k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
     val base = Checkpoints.stage(
       corpus.select(id.as("id"), vec.as("__v"))
@@ -1004,37 +1024,133 @@ object Similarity {
       .select(col("id"), col("__v"), col("__dxx"),
         lit(0.0).as("radius")))
     val centers = scala.collection.mutable.ArrayBuffer(
-      c1.select(lit(1).as("rank"), col("id"), col("radius")))
-    // squared L2 to the joined center: dxx − 2⟨x,c⟩ + dcc (the fixed
-    // IEEE operation sequence the oracle mirrors)
-    val distToCenter: Column =
-      col("__dxx") - lit(2.0) * dot(col("__v"), col("__cv")) +
-        col("__cdxx")
-    def centerSide(c: DataFrame): DataFrame =
-      broadcast(c.select(col("__v").as("__cv"),
-        col("__dxx").as("__cdxx")))
+      c1.select(lit(1).as("rank"), col("id"), col("__v"),
+        col("__dxx"), col("radius")))
     var state = Checkpoints.stage(
-      base.crossJoin(centerSide(c1))
+      base.crossJoin(kcCenterSide(c1))
         .select(col("id"), col("__v"), col("__dxx"),
-          distToCenter.as("__d2")))
+          kcDistToCenter.as("__d2")))
     var i = 2
     while (i <= k) {
       val ci = Checkpoints.stage(
         state.orderBy(col("__d2").desc, col("id")).limit(1)
           .select(col("id"), col("__v"), col("__dxx"),
             col("__d2").as("radius")))
-      centers += ci.select(lit(i).as("rank"), col("id"), col("radius"))
+      centers += ci.select(lit(i).as("rank"), col("id"), col("__v"),
+        col("__dxx"), col("radius"))
       if (i < k) {
         val next = Checkpoints.stage(
-          state.crossJoin(centerSide(ci))
+          state.crossJoin(kcCenterSide(ci))
             .select(col("id"), col("__v"), col("__dxx"),
-              least(col("__d2"), distToCenter).as("__d2")))
+              least(col("__d2"), kcDistToCenter).as("__d2")))
         org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(state)
         state = next
       }
       i += 1
     }
     centers.reduce(_.unionAll(_))
+  }
+
+  /** Persist the greedy k-center coreset (trace WITH vectors) as
+    * `batch=0` of an incremental store — the warm-start base for
+    * [[kCenterExtend]]. The store is k rows by construction; batches
+    * hold DISJOINT rank ranges (extensions append ranks k+1…), so the
+    * view is a plain union and a same-batch retry overwrites its own
+    * directory idempotently.
+    */
+  def writeKCenterStore(corpus: DataFrame, id: Column, vec: Column,
+                        k: Int, storeDir: String): Unit =
+    kCenterTrace(corpus, id, vec, k)
+      .withColumn("__b", lit(0L))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+
+  /** The store's current coreset: (rank, id, radius), rank-ordered. */
+  def kCenterStoreCenters(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String): DataFrame =
+    spark.read.parquet(Stats.committedViewDirs(spark, storeDir): _*)
+      .select(col("rank"), col("id"), col("radius"))
+
+  /** INCREMENTAL k-center coreset maintenance: extend the STORED
+    * coreset with `kNew` farthest-first picks drawn from the new
+    * batch only. Sound because adding centers never worsens any
+    * point's distance-to-nearest-center: history points stay covered
+    * within the stored radii, and the batch's escapes are exactly
+    * what the new picks chase — the per-batch work is batch-sized
+    * (never corpus-sized), the incremental contract every other
+    * store here honors. The batch state seeds from ALL stored
+    * centers via the same least-folded distance expression (least is
+    * an exact min — order-insensitive — but the fold still runs in
+    * rank order, matching the oracle's nest), then runs the standard
+    * pick loop; new centers append as `batch=<id>` with ranks
+    * continuing where the store ends. Deterministic end to end, so
+    * the driver oracle replays history's trace AND the extension in
+    * SQL and hash-matches.
+    *
+    * Returns the FULL coreset (rank, id, radius) through the new
+    * picks. The rank scan of the store is a k-row driver collect —
+    * bounded by the selection budget, never by data.
+    */
+  def kCenterExtend(batch: DataFrame, id: Column, vec: Column,
+                    storeDir: String, batchId: Long, kNew: Int)
+      : DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writeKCenterStore base")
+    require(kNew >= 1, "kNew must be >= 1")
+    val spark = batch.sparkSession
+    val stored = Checkpoints.stage(
+      spark.read.parquet(Stats.committedViewDirs(spark, storeDir): _*)
+        .where(col("__b") < batchId)
+        .select(col("rank"), col("id"), col("__v"), col("__dxx"),
+          col("radius")))
+    val ranks = stored.select(col("rank"))
+      .as[Int](org.apache.spark.sql.Encoders.scalaInt)
+      .collect().sorted
+    require(ranks.nonEmpty, "empty k-center store")
+    val base = Checkpoints.stage(
+      batch.select(id.as("id"), vec.as("__v"))
+        .withColumn("__dxx", dot(col("__v"), col("__v"))))
+    // seed: least-fold the batch's distance over stored centers in
+    // rank order (each a 1-row broadcast slice of the staged store)
+    def centerAt(r: Int): DataFrame =
+      kcCenterSide(stored.where(col("rank") === r))
+    var state = Checkpoints.stage(
+      ranks.tail.foldLeft(
+        base.crossJoin(centerAt(ranks.head))
+          .select(col("id"), col("__v"), col("__dxx"),
+            kcDistToCenter.as("__d2"))) { (st, r) =>
+        st.crossJoin(centerAt(r))
+          .select(col("id"), col("__v"), col("__dxx"),
+            least(col("__d2"), kcDistToCenter).as("__d2"))
+      })
+    val newCenters = scala.collection.mutable.ArrayBuffer
+      .empty[DataFrame]
+    var i = ranks.max + 1
+    val last = ranks.max + kNew
+    while (i <= last) {
+      val ci = Checkpoints.stage(
+        state.orderBy(col("__d2").desc, col("id")).limit(1)
+          .select(col("id"), col("__v"), col("__dxx"),
+            col("__d2").as("radius")))
+      newCenters += ci.select(lit(i).as("rank"), col("id"),
+        col("__v"), col("__dxx"), col("radius"))
+      if (i < last) {
+        val next = Checkpoints.stage(
+          state.crossJoin(kcCenterSide(ci))
+            .select(col("id"), col("__v"), col("__dxx"),
+              least(col("__d2"), kcDistToCenter).as("__d2")))
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(state)
+        state = next
+      }
+      i += 1
+    }
+    val added = Checkpoints.stage(newCenters.reduce(_.unionAll(_)))
+    added.withColumn("__b", lit(batchId))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    stored.select(col("rank"), col("id"), col("radius"))
+      .unionAll(added.select(col("rank"), col("id"), col("radius")))
   }
 
   // ---------- Late interaction (MaxSim, ColBERT-style) ----------

@@ -510,6 +510,27 @@ object ExtensionQueries {
           col("vec_id"), col("embedding"), k = 6)
         .orderBy(col("rank"))),
 
+    // INCREMENTAL coreset maintenance: the history slice's greedy
+    // 5-center trace persists once; the new batch (vec_id % 10 = 3,
+    // the SF-invariant modulus split) then extends it with 3
+    // farthest-first picks drawn from the BATCH ONLY — sound because
+    // adding centers never worsens any point's coverage, so per-batch
+    // work is batch-sized. The oracle replays history's trace AND the
+    // seeded extension.
+    "x_kcenter_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val store = ArtifactMemo.dirFor("kcstore", d) { p =>
+        Similarity.writeKCenterStore(
+          emb.where(pmod(col("vec_id"), lit(10)) =!= 3),
+          col("vec_id"), col("embedding"), k = 5, p)
+      }
+      Similarity.kCenterExtend(
+          emb.where(pmod(col("vec_id"), lit(10)) === 3),
+          col("vec_id"), col("embedding"), store, batchId = 1L,
+          kNew = 3)
+        .orderBy(col("rank"))
+    }),
+
     "x_pca_project" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -1388,6 +1409,67 @@ object ExtensionQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Incremental-coreset mirror: history's 5-pick greedy trace over
+    * the vec_id % 10 <> 3 slice, then the batch slice seeded with the
+    * least-folded distance to ALL five history centers (rank-order
+    * nest, matching the engine) and 3 more picks.
+    */
+  private val kCenterIncSql: String = {
+    def d2(b: String, c: String): String =
+      s"""$b.dxx - CAST(2.0 AS DOUBLE) *
+         |      ${dotFoldSql(s"$b.v", s"$c.v")} + $c.dxx""".stripMargin
+    def round(i: Int): String =
+      s"""s$i AS MATERIALIZED (
+         |  SELECT s.id, s.v, s.dxx,
+         |    least(s.d2, ${d2("s", "c")}) AS d2
+         |  FROM s${i - 1} s CROSS JOIN c$i c),
+         |c${i + 1} AS (
+         |  SELECT id, v, dxx, d2 AS radius FROM s$i
+         |  ORDER BY d2 DESC, id LIMIT 1)""".stripMargin
+    def wround(i: Int): String =
+      s"""t${i - 5} AS MATERIALIZED (
+         |  SELECT t.id, t.v, t.dxx,
+         |    least(t.d2, ${d2("t", "c")}) AS d2
+         |  FROM t${i - 6} t CROSS JOIN c$i c),
+         |c${i + 1} AS (
+         |  SELECT id, v, dxx, d2 AS radius FROM t${i - 5}
+         |  ORDER BY d2 DESC, id LIMIT 1)""".stripMargin
+    val seed = (2 to 5).foldLeft(d2("b", "x1")) { (acc, j) =>
+      s"least($acc, ${d2("b", s"x$j")})"
+    }
+    s"""WITH baseh AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding AS v,
+       |    ${dotFoldSql("embedding", "embedding")} AS dxx
+       |  FROM embeddings WHERE vec_id % 10 <> 3),
+       |c1 AS (
+       |  SELECT id, v, dxx, CAST(0.0 AS DOUBLE) AS radius
+       |  FROM baseh ORDER BY id LIMIT 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT b.id, b.v, b.dxx, ${d2("b", "c")} AS d2
+       |  FROM baseh b CROSS JOIN c1 c),
+       |c2 AS (
+       |  SELECT id, v, dxx, d2 AS radius FROM s1
+       |  ORDER BY d2 DESC, id LIMIT 1),
+       |${(2 to 4).map(round).mkString(",\n")},
+       |baseb AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding AS v,
+       |    ${dotFoldSql("embedding", "embedding")} AS dxx
+       |  FROM embeddings WHERE vec_id % 10 = 3),
+       |t0 AS MATERIALIZED (
+       |  SELECT b.id, b.v, b.dxx,
+       |    $seed AS d2
+       |  FROM baseb b CROSS JOIN c1 x1 CROSS JOIN c2 x2
+       |    CROSS JOIN c3 x3 CROSS JOIN c4 x4 CROSS JOIN c5 x5),
+       |c6 AS (
+       |  SELECT id, v, dxx, d2 AS radius FROM t0
+       |  ORDER BY d2 DESC, id LIMIT 1),
+       |${Seq(6, 7).map(wround).mkString(",\n")}
+       |${(1 to 8).map(i =>
+            s"SELECT $i AS rank, id, radius FROM c$i")
+            .mkString("\nUNION ALL ")}
+       |ORDER BY rank""".stripMargin
+  }
+
   /** Full-corpus quantized PCA moments — the shared oracle of
     * x_pca_moments (direct pass) AND x_pca_incremental (the additive
     * store view after appends + OPTIMIZE): both must hash-match the
@@ -1732,6 +1814,7 @@ object ExtensionQueries {
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
     "x_kcenter" -> kCenterSql,
+    "x_kcenter_incremental" -> kCenterIncSql,
     "x_pca_moments" -> pcaMomentsSql,
     // incremental moment store ≡ from-scratch: the SAME full-corpus
     // oracle, answered through three appends + a mid-stream OPTIMIZE

@@ -326,6 +326,33 @@ class SimilaritySpec extends SparkSuite {
     assert(re == got)
   }
 
+  test("kCenterExtend: batch-only farthest-first picks seeded by the " +
+      "stored coreset; ranks continue; retry idempotent; store view") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kcstore-").toString + "/kc"
+    // history on a line: greedy picks 1 (min id, r 0) then 2 (r 16)
+    val hist = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(4.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    Similarity.writeKCenterStore(hist, $"id", $"vec", k = 2, dir)
+    // batch: 10 at x=10 (d2 36 to center 2) and 11 at x=2 (d2 4 to
+    // both centers); extension must pick 10 (rank 3, r 36) then 11
+    // (rank 4, r 4 — unchanged by center 10 at d2 64)
+    val batch = Seq((10L, Array(10.0f, 0.0f)),
+      (11L, Array(2.0f, 0.0f))).toDF("id", "vec")
+    def run() = Similarity.kCenterExtend(batch, $"id", $"vec", dir,
+        batchId = 1L, kNew = 2)
+      .orderBy($"rank").as[(Int, Long, Double)].collect().toSeq
+    val got = run()
+    assert(got == Seq((1, 1L, 0.0), (2, 2L, 16.0), (3, 10L, 36.0),
+      (4, 11L, 4.0)), s"got $got")
+    // same-batch retry overwrites its own directory, bit-identically
+    assert(run() == got)
+    // the store view serves the extended coreset
+    val view = Similarity.kCenterStoreCenters(spark, dir)
+      .orderBy($"rank").as[(Int, Long, Double)].collect().toSeq
+    assert(view == got)
+  }
+
   test("maxSimTopK: hand-computed late-interaction scores") {
     val q = Seq(
       (100L, 0L, Array(1.0f, 0.0f)),
