@@ -612,6 +612,37 @@ object Training {
           .otherwise("test").as("split"))
   }
 
+  /** LENGTH-BUCKETED BATCH ASSEMBLY (dynamic batching): order
+    * sequences by (length, id), cut into fixed-size batches of
+    * `batchSize`, and report each batch's padding waste — the cost a
+    * padded-batch trainer pays is batchSize·max(len) − Σlen, and
+    * sorting by length before cutting is the standard way to drive it
+    * toward zero (unsorted batches pay the global max). Returns one
+    * row per batch: (batch, n_seqs, max_len, sum_len, padding).
+    *
+    * Scale: the global rank is the distributed prefix sum (range-
+    * partitioned, never a single-task window); the per-batch fold is
+    * one map-side-partial aggregate. The ORDER (length, id) must be
+    * total — id uniqueness is the caller's contract, as everywhere
+    * the prefix-sum machinery is used.
+    */
+  def lengthBatches(df: DataFrame, id: Column, len: Column,
+                    batchSize: Long): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    val base = df.select(id.as("__id"),
+      len.cast("long").as("__len"))
+    withPrefixSum(base, Seq(col("__len"), col("__id")), lit(1L),
+        "__rank")
+      .withColumn("batch", expr(s"__rank div ${batchSize}L"))
+      .groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_seqs"), max(col("__len")).as("max_len"),
+        sum(col("__len")).as("sum_len"))
+      .select(col("batch"), col("n_seqs"), col("max_len"),
+        col("sum_len"),
+        (col("n_seqs") * col("max_len") - col("sum_len"))
+          .as("padding"))
+  }
+
   /** SPLIT-LEAKAGE AUDIT: for an assignment (id, split) and the
     * near-dup pair edges, count the pairs whose endpoints landed in
     * DIFFERENT splits — the contamination a leakage-safe split must

@@ -653,6 +653,18 @@ object TrainingQueries {
         .select(col("doc_id"), col("n_tokens"), col("bin"))
         .orderBy(col("doc_id"))),
 
+    // LENGTH-BUCKETED BATCHES (dynamic batching): sequences sorted by
+    // (length, id), cut into fixed 32-row batches, padding waste
+    // reported per batch (batchSize·max − Σlen — what sorting by
+    // length exists to minimize). Global rank = the distributed
+    // prefix sum, per-batch stats one map-side-partial aggregate.
+    "x_length_batches" -> ((s, d) =>
+      Training.lengthBatches(
+          t(s, d, "documents").select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).as("len")),
+          col("doc_id"), col("len"), batchSize = 32L)
+        .orderBy(col("batch"))),
+
     // Deterministic global shuffle: position by md5(key) order —
     // reproducible training-data order with no RNG state.
     "x_shuffle_order" -> ((s, d) =>
@@ -1072,6 +1084,21 @@ object TrainingQueries {
         |  SELECT 1 FROM documents h
         |  WHERE h.doc_id < 400 AND md5(h.text) = md5(b.text))
         |ORDER BY b.doc_id""".stripMargin,
+
+    "x_length_batches" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, len,
+        |    row_number() OVER (ORDER BY len, doc_id) - 1 AS rnk
+        |  FROM tk)
+        |SELECT CAST(rnk // 32 AS BIGINT) AS batch,
+        |  count(*) AS n_seqs, max(len) AS max_len,
+        |  CAST(sum(len) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(len) - sum(len) AS BIGINT) AS padding
+        |FROM r GROUP BY 1 ORDER BY batch""".stripMargin,
 
     "x_pack_bins" ->
       """WITH tk AS (

@@ -1324,6 +1324,39 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming CORESET maintenance: the first non-empty micro-batch
+    * bootstraps the greedy k-center store
+    * ([[graft.operators.Similarity.writeKCenterStore]], `k` picks);
+    * every later batch extends it with `kNew` batch-only
+    * farthest-first picks ([[graft.operators.Similarity
+    * .kCenterExtend]] — per-batch work is batch-sized, adding centers
+    * never worsens coverage). Store-batch ids are stream-batch + 1
+    * (batch=0 is the bootstrap base), ranks are disjoint across
+    * batches, and a replayed micro-batch overwrites its own directory
+    * — the shared gate-store contract. Read the coreset between
+    * batches via [[graft.operators.Similarity.kCenterStoreCenters]].
+    */
+  def kCenterGateSink(spark: SparkSession, stream: DataFrame,
+                      id: String, vec: String, k: Int, kNew: Int,
+                      storeDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Similarity, Stats}
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          if (Stats.committedViewDirs(spark, storeDir).isEmpty)
+            Similarity.writeKCenterStore(batch, col(id), col(vec), k,
+              storeDir)
+          else
+            Similarity.kCenterExtend(batch, col(id), col(vec),
+              storeDir, batchId + 1, kNew): Unit
+        }
+      }
+      .start()
+  }
+
   /** Streaming GRAPH-ANALYTICS maintenance — the foreachBatch gate for
     * the warm-start graph stores, completing the symmetry with the
     * dedup/media/ER/BM25 gates: each micro-batch of candidate edges

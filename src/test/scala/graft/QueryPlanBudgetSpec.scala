@@ -135,6 +135,9 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // over the ranked rows; ranks are prefix-sum (no window)
     "x_quantile_disc" -> default.copy(allowCartesian = true,
       maxWindows = 0),
+    // dynamic batching: rank = the distributed prefix sum; any window
+    // would re-introduce the single-reducer global sort it replaces
+    "x_length_batches" -> default.copy(maxWindows = 0),
     // cluster-aware split: the staged CC labels left-join + the
     // cluster-key min aggregate + the cluster join-back + output sort
     // — each shuffle corpus-keyed fixed-width rows, one pass

@@ -716,6 +716,45 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("kCenterGateSink: first batch bootstraps the coreset, later " +
+      "batches extend with batch-only picks; final state is bit-equal " +
+      "to an operator-by-operator replay") {
+    import graft.operators.Similarity
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-kcgate-${System.nanoTime()}"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamOps.kCenterGateSink(spark,
+      in.toDF().toDF("id", "vec"), "id", "vec", k = 2, kNew = 2,
+      s"$base/store", s"$base/ckpt")
+    try {
+      val b0 = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(4.0f, 0.0f)),
+        (3L, Seq(1.0f, 0.0f)))
+      val b1 = Seq((10L, Seq(10.0f, 0.0f)), (11L, Seq(2.0f, 0.0f)))
+      val b2 = Seq((20L, Seq(0.0f, 7.0f)), (21L, Seq(4.1f, 0.0f)))
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      val got = Similarity.kCenterStoreCenters(spark, s"$base/store")
+        .orderBy(col("rank"))
+        .as[(Int, Long, Double)].collect().toSeq
+      // replay: bootstrap on b0, extend per batch with store-batch
+      // ids = stream-batch + 1
+      val rdir = s"$base/replay"
+      Similarity.writeKCenterStore(b0.toDF("id", "vec"), col("id"),
+        col("vec"), k = 2, rdir)
+      Similarity.kCenterExtend(b1.toDF("id", "vec"), col("id"),
+        col("vec"), rdir, batchId = 2L, kNew = 2): Unit
+      Similarity.kCenterExtend(b2.toDF("id", "vec"), col("id"),
+        col("vec"), rdir, batchId = 3L, kNew = 2): Unit
+      val want = Similarity.kCenterStoreCenters(spark, rdir)
+        .orderBy(col("rank"))
+        .as[(Int, Long, Double)].collect().toSeq
+      assert(got == want && got.size == 6, s"$got vs $want")
+      // ranks are contiguous and the coverage radii are batch-local
+      assert(got.map(_._1) == (1 to 6))
+    } finally q.stop()
+  }
+
   test("graphGateSink: streamed edge batches maintain the CC and " +
       "label-prop stores; mid-stream OPTIMIZE; final state ≡ " +
       "from-scratch over the union graph") {

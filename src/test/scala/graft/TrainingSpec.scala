@@ -331,6 +331,19 @@ class TrainingSpec extends SparkSuite {
     assert(got == Seq(("p1", 3L, 5.0, 1L, 2.0, 3.0)))
   }
 
+  test("lengthBatches: sorted cut into fixed batches, per-batch " +
+      "padding = n*max - sum; the tail batch may run short") {
+    import spark.implicits._
+    val seqs = Seq(("a", 1L), ("b", 2L), ("c", 2L), ("d", 5L),
+      ("e", 9L)).toDF("id", "len")
+    val got = graft.operators.Training.lengthBatches(seqs, col("id"),
+        col("len"), batchSize = 2L)
+      .orderBy(col("batch"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 2L, 3L, 1L), (1L, 2L, 5L, 7L, 3L),
+      (2L, 1L, 9L, 9L, 0L)))
+  }
+
   test("leakageSafeSplit: clusters are split-atomic on the min member " +
       "fingerprint, singletons reproduce the naive bucket, the audit " +
       "reads zero for safe and the planted crossing for naive") {
