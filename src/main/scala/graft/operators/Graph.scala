@@ -906,7 +906,8 @@ object Graph {
     */
   def louvain(edges: DataFrame, a: Column, b: Column,
               rounds: Int = 3, weight: Option[Column] = None,
-              broadcastLimit: Long = 4000000L): DataFrame = {
+              broadcastLimit: Long = 4000000L,
+              start: Option[DataFrame] = None): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
     val w0 = weight.getOrElse(lit(1L)).cast("long")
     val eAll = Checkpoints.stage(
@@ -929,8 +930,20 @@ object Graph {
     def vSized(df: DataFrame): DataFrame =
       if (n <= broadcastLimit) broadcast(df) else df
     val dec = "decimal(38,0)"
-    var comm = Checkpoints.stage(
-      deg.select(col("id"), col("id").as("c")))
+    // `start` WARM-STARTS the rounds from a stored assignment (the
+    // [[louvainWarm]] contract): known ids keep their stored
+    // community, unseen (new) ids start as singletons — the gain
+    // arithmetic is valid from ANY assignment, a near-converged start
+    // just needs fewer rounds.
+    var comm = Checkpoints.stage(start match {
+      case None => deg.select(col("id"), col("id").as("c"))
+      case Some(s0) =>
+        deg.select(col("id"))
+          .join(s0.select(col("id"), col("c").as("__c0")),
+            Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__c0"), col("id")).as("c"))
+    })
     var it = 0
     while (it < rounds) {
       // community weighted-degree sums (|C|-sized)
@@ -1028,6 +1041,94 @@ object Graph {
             coalesce(col("in_w2"), lit(0L)).cast(dec) -
           col("deg_sum").cast(dec) * col("deg_sum").cast(dec))
           .as("q_num"))
+  }
+
+  // ---------- warm-start Louvain ----------
+
+  /** Persist [[louvain]]'s assignment as `batch=0` of an incremental
+    * store (id-clustered (id, c, __b) rows — the PageRank-store
+    * protocol), the warm-start base for [[louvainWarm]].
+    */
+  def writeLouvainStore(edges: DataFrame, a: Column, b: Column,
+                        rounds: Int, storeDir: String,
+                        filesOut: Int = 4,
+                        weight: Option[Column] = None,
+                        broadcastLimit: Long = 4000000L): Unit = {
+    louvain(edges, a, b, rounds, weight, broadcastLimit)
+      .select(col("id"), col("community").as("c"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+    Stats.upsertManifest(edges.sparkSession, storeDir,
+      storeManifestPath(storeDir))
+  }
+
+  private def louvainStoreView(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("c"))).as("m"))
+      .select(col("id"), col("m.c").as("c"))
+  }
+
+  /** The Louvain store's CURRENT assignment (newest batch wins). */
+  def louvainStoreCommunities(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String)
+      : DataFrame =
+    louvainStoreView(spark, storeDir, Long.MaxValue)
+
+  /** WARM-START Louvain over an EVOLVED graph: gain rounds on the
+    * union edge list initialized from the STORED assignment (new
+    * nodes start as singletons), run for `rounds` < a cold run's
+    * budget — the same round-count contract as [[pageRankWarm]] /
+    * [[hitsWarm]], for the same reason: every round's community-
+    * degree sums and 2m span the whole graph, so per-round work is
+    * inherently graph-sized and the sound saving is fewer rounds from
+    * a near-converged start. Bit-deterministic, a pure function of
+    * (store contents, union weighted graph, rounds) — the driver's
+    * oracle unrolls history's rounds AND the warm rounds in SQL and
+    * hash-matches. The assignment appends as an overwrite-idempotent
+    * `batch=<id>` (newest-wins; retries read only batches < batchId).
+    */
+  def louvainWarm(allEdges: DataFrame, a: Column, b: Column,
+                  storeDir: String, batchId: Long, rounds: Int = 1,
+                  filesOut: Int = 4, weight: Option[Column] = None,
+                  broadcastLimit: Long = 4000000L): DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writeLouvainStore base")
+    val spark = allEdges.sparkSession
+    val start = louvainStoreView(spark, storeDir, batchId)
+    val asg = Checkpoints.stage(
+      louvain(allEdges, a, b, rounds, weight, broadcastLimit,
+        start = Some(start)))
+    asg.select(col("id"), col("community").as("c"),
+        lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    Stats.upsertManifestFor(spark, storeDir,
+      storeManifestPath(storeDir), s"$storeDir/batch=$batchId")
+    // asg is staged, so its data predates the overwrite safely
+    asg
+  }
+
+  /** Fold the Louvain store's batches, newest winning per id. */
+  def compactLouvainStore(spark: org.apache.spark.sql.SparkSession,
+                          storeDir: String, filesOut: Int = 4)
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("id"))
+        .agg(max(struct(col("__b"), col("c"))).as("m"))
+        .select(col("id"), col("m.c").as("c"), col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id")))
+    if (tok.isDefined)
+      Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
   }
 
   /** Contract a weighted undirected graph by a community assignment:

@@ -550,6 +550,25 @@ object RetrievalQueries {
         .orderBy(col("nationkey"))
     }),
 
+    // WARM-START Louvain: the quantity ≤ 1 graph's 3-round assignment
+    // persists once (writeLouvainStore); the union (quantity ≤ 2)
+    // then runs ONE warm gain round from the stored communities (new
+    // nodes start singleton) instead of a cold three — the same
+    // round-count contract as x_pagerank_warm / x_hits_warm
+    // (community-degree sums and 2m are global; the sound saving is
+    // fewer rounds). The oracle unrolls history's three rounds AND
+    // the warm round and hash-matches.
+    "x_louvain_warm" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("louvainstore", d) { p =>
+        Graph.writeLouvainStore(nationTradeEdges(s, d, maxQty = 1),
+          col("src"), col("dst"), rounds = 3, p)
+      }
+      Graph.louvainWarm(nationTradeEdges(s, d, maxQty = 2),
+          col("src"), col("dst"), store, batchId = 1L, rounds = 1)
+        .select(col("id").as("nationkey"), col("community"))
+        .orderBy(col("nationkey"))
+    }),
+
     // MODULARITY audit of the level-1 Louvain partition: per
     // community the exact integer numerator 2m·in_C − D_C² (Q_C
     // scaled by (2m)² — detect with x_louvain, QUANTIFY with this).
@@ -882,12 +901,14 @@ object RetrievalQueries {
        |      PARTITION BY id ORDER BY score DESC, cand ASC) AS rn
        |    FROM ${p}sc$i) WHERE rn = 1)""".stripMargin
 
-  /** Level-1 base: the weighted trade graph (row multiplicity folds
-    * to edge weights), its symmetrized view, self-loop-doubled
-    * weighted degrees, 2m, and the singleton start.
+  /** The weighted trade graph's CTEs at one quantity slice (row
+    * multiplicity folds to edge weights), its symmetrized view,
+    * self-loop-doubled weighted degrees, and 2m — prefixed so the
+    * warm-start oracle can hold the history and union graphs side by
+    * side.
     */
-  private val louvainBaseSql: String =
-    s"""WITH eall AS MATERIALIZED (
+  private def louvainGraphCtes(maxQty: Int, p: String): String =
+    s"""${p}eall AS MATERIALIZED (
        |  SELECT least(c_nationkey, s_nationkey) AS u,
        |    greatest(c_nationkey, s_nationkey) AS v,
        |    CAST(count(*) AS BIGINT) AS w
@@ -895,25 +916,52 @@ object RetrievalQueries {
        |    JOIN orders ON l_orderkey = o_orderkey
        |    JOIN customer ON o_custkey = c_custkey
        |    JOIN supplier ON l_suppkey = s_suppkey
-       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey
+       |  WHERE l_quantity <= $maxQty AND c_nationkey <> s_nationkey
        |  GROUP BY 1, 2),
-       |sym AS MATERIALIZED (
-       |  SELECT u, v, w FROM eall WHERE u <> v
-       |  UNION ALL SELECT v AS u, u AS v, w FROM eall WHERE u <> v),
-       |deg AS MATERIALIZED (
+       |${p}sym AS MATERIALIZED (
+       |  SELECT u, v, w FROM ${p}eall WHERE u <> v
+       |  UNION ALL
+       |  SELECT v AS u, u AS v, w FROM ${p}eall WHERE u <> v),
+       |${p}deg AS MATERIALIZED (
        |  SELECT id, CAST(sum(w) AS BIGINT) AS d FROM (
-       |    SELECT u AS id, w FROM sym
-       |    UNION ALL SELECT u AS id, w * 2 AS w FROM eall WHERE u = v)
+       |    SELECT u AS id, w FROM ${p}sym
+       |    UNION ALL
+       |    SELECT u AS id, w * 2 AS w FROM ${p}eall WHERE u = v)
        |  GROUP BY id),
-       |params AS (SELECT CAST(sum(d) AS BIGINT) AS m2 FROM deg),
-       |c0 AS MATERIALIZED (SELECT id, id AS c FROM deg),
-       |""".stripMargin +
+       |${p}params AS (
+       |  SELECT CAST(sum(d) AS BIGINT) AS m2 FROM ${p}deg)""".stripMargin
+
+  /** Level-1 base: the quantity ≤ 2 graph with the singleton start. */
+  private val louvainBaseSql: String =
+    "WITH " + louvainGraphCtes(2, "") + ",\n" +
+      "c0 AS MATERIALIZED (SELECT id, id AS c FROM deg),\n" +
       (1 to 3).map(i => louvainRoundSql(i, "sym", "deg", "params", ""))
         .mkString(",\n")
 
   private val louvainSql: String =
     louvainBaseSql +
       "\nSELECT id AS nationkey, c AS community FROM c3 ORDER BY nationkey"
+
+  /** Warm-start mirror: history's 3 rounds over the quantity ≤ 1
+    * graph (prefix h), then ONE warm round over the quantity ≤ 2
+    * union starting from the stored assignment (new nodes singleton)
+    * — the exact arithmetic of writeLouvainStore + louvainWarm.
+    */
+  private val louvainWarmSql: String = {
+    val histRounds = (1 to 3)
+      .map(i => louvainRoundSql(i, "hsym", "hdeg", "hparams", "h"))
+      .mkString(",\n")
+    "WITH " + louvainGraphCtes(1, "h") + ",\n" +
+      "hc0 AS MATERIALIZED (SELECT id, id AS c FROM hdeg),\n" +
+      histRounds + ",\n" +
+      louvainGraphCtes(2, "") + ",\n" +
+      """c0 AS MATERIALIZED (
+        |  SELECT deg.id, CAST(coalesce(h.c, deg.id) AS BIGINT) AS c
+        |  FROM deg LEFT JOIN hc3 h ON deg.id = h.id),
+        |""".stripMargin +
+      louvainRoundSql(1, "sym", "deg", "params", "") +
+      "\nSELECT id AS nationkey, c AS community FROM c1 ORDER BY nationkey"
+  }
 
   /** Modularity decomposition of the level-1 partition: in_C (twice
     * the intra weight, self-loops twice), D_C, and the exact
@@ -1454,6 +1502,7 @@ object RetrievalQueries {
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,
     "x_louvain2" -> louvain2Sql,
+    "x_louvain_warm" -> louvainWarmSql,
     "x_modularity" -> modularitySql,
     "x_source_authority" -> sourceAuthoritySql)
 }

@@ -1395,9 +1395,9 @@ object StreamOps {
     *
     * `triStorePath` / `kcoreStorePath` / `prStorePath` /
     * `hitsStorePath` opt the remaining graph warm starts into the
-    * same gate (all six graph maintenance forms — CC, label prop,
-    * triangles, k-core, warm PageRank, warm HITS — then run under
-    * one stream). Triangle counting is
+    * same gate (all seven graph maintenance forms — CC, label prop,
+    * triangles, k-core, warm PageRank, warm HITS, warm Louvain —
+    * then run under one stream). Triangle counting is
     * the one NON-idempotent op under re-sent edges, so its base is
     * built from HISTORY ONLY (the batch always rides the
     * overwrite-idempotent incremental append — a crash-retry of the
@@ -1423,7 +1423,9 @@ object StreamOps {
                     prStorePath: Option[String] = None,
                     prRounds: Int = 2, prIters: Int = 5,
                     hitsStorePath: Option[String] = None,
-                    hitsRounds: Int = 2, hitsIters: Int = 5)
+                    hitsRounds: Int = 2, hitsIters: Int = 5,
+                    louvainStorePath: Option[String] = None,
+                    louvainRounds: Int = 1, louvainIters: Int = 3)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     stream.writeStream
@@ -1524,6 +1526,20 @@ object StreamOps {
               Graph.hitsWarm(all, col("u"), col("v"), hp, sb,
                 hitsRounds, filesOut): Unit
           }
+          // Louvain maintenance: a cold `louvainIters` ladder on
+          // bootstrap, then `louvainRounds` warm gain rounds per
+          // batch from the stored assignment over the union (edge
+          // multiplicity folds to weights inside; re-sent edges DO
+          // add weight — feed pre-deduped edges upstream if the
+          // stream can replay content)
+          louvainStorePath.foreach { lp =>
+            if (Stats.committedViewDirs(spark, lp).isEmpty)
+              Graph.writeLouvainStore(all, col("u"), col("v"),
+                louvainIters, lp, filesOut)
+            else
+              Graph.louvainWarm(all, col("u"), col("v"), lp, sb,
+                louvainRounds, filesOut): Unit
+          }
           if (!bootstrap && compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
@@ -1537,6 +1553,8 @@ object StreamOps {
               Graph.compactPageRankStore(spark, pp, filesOut): Unit)
             hitsStorePath.foreach(hp =>
               Graph.compactHitsStore(spark, hp, filesOut): Unit)
+            louvainStorePath.foreach(lp =>
+              Graph.compactLouvainStore(spark, lp, filesOut): Unit)
             Stats.compactCommittedStore(spark, edgesPath,
               _.select(col("u"), col("v"), col("__b"))
                 .repartitionByRange(filesOut, col("u"), col("v"))

@@ -263,6 +263,36 @@ class GraphSpec extends SparkSuite {
     assert(m2l2 == m2l1)
   }
 
+  test("louvainWarm: one warm round absorbs a new node into its " +
+      "clique's stored community and preserves the partition; retry " +
+      "idempotent; compaction preserves the view") {
+    import spark.implicits._
+    val hist = k4(0L) ++ k4(4L) :+ ((3L, 4L))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-louvwarm-").toString + "/lv"
+    Graph.writeLouvainStore(hist.toDF("a", "b"), col("a"), col("b"),
+      rounds = 3, dir)
+    val stored = Graph.louvainStoreCommunities(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(stored.groupBy(_._2).values.map(_.keySet).toSet ==
+      Set(Set(0L, 1L, 2L, 3L), Set(4L, 5L, 6L, 7L)))
+    // delta: node 8 wired into clique A
+    val union = (hist ++ Seq((8L, 0L), (8L, 1L))).toDF("a", "b")
+    def run() = Graph.louvainWarm(union, col("a"), col("b"), dir,
+        batchId = 1L, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    val warm = run()
+    assert(warm(8L) == warm(0L), s"got $warm")
+    assert(warm.groupBy(_._2).values.map(_.keySet).toSet ==
+      Set(Set(0L, 1L, 2L, 3L, 8L), Set(4L, 5L, 6L, 7L)), s"got $warm")
+    assert(run() == warm)
+    assert(Graph.louvainStoreCommunities(spark, dir)
+      .as[(Long, Long)].collect().toMap == warm)
+    assert(Graph.compactLouvainStore(spark, dir).isDefined)
+    assert(Graph.louvainStoreCommunities(spark, dir)
+      .as[(Long, Long)].collect().toMap == warm)
+  }
+
   test("modularity: hand-computed numerators on the planted " +
       "partition; singleton partition pays -d^2 per node") {
     import spark.implicits._

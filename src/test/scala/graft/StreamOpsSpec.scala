@@ -772,7 +772,9 @@ class StreamOpsSpec extends SparkSuite {
       kcoreStorePath = Some(s"$base/kc"), kcoreK = 2,
       prStorePath = Some(s"$base/pr"), prRounds = 2, prIters = 5,
       hitsStorePath = Some(s"$base/hits"), hitsRounds = 2,
-      hitsIters = 5)
+      hitsIters = 5,
+      louvainStorePath = Some(s"$base/lv"), louvainRounds = 1,
+      louvainIters = 3)
     try {
       // b0: components {1,2,3} and {10,11}; seed 20 is edge-isolated
       val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
@@ -862,6 +864,20 @@ class StreamOpsSpec extends SparkSuite {
       val wantH = Graph.hitsStoreScores(spark, hdir)
         .as[(Long, Long, Long)].collect().toSet
       assert(gotH == wantH, s"$gotH vs $wantH")
+      // Louvain: same pure-function replay contract — cold 3 rounds
+      // on b0, then 1 warm gain round per batch over the growing union
+      val ldir = s"$base/lv-replay"
+      Graph.writeLouvainStore(b0.toDF("a", "b"), col("a"), col("b"),
+        rounds = 3, ldir)
+      Graph.louvainWarm((b0 ++ b1).toDF("a", "b"), col("a"),
+        col("b"), ldir, batchId = 2L, rounds = 1): Unit
+      Graph.louvainWarm(union, col("a"), col("b"), ldir,
+        batchId = 3L, rounds = 1): Unit
+      val gotLv = Graph.louvainStoreCommunities(spark, s"$base/lv")
+        .as[(Long, Long)].collect().toSet
+      val wantLv = Graph.louvainStoreCommunities(spark, ldir)
+        .as[(Long, Long)].collect().toSet
+      assert(gotLv == wantLv, s"$gotLv vs $wantLv")
     } finally q.stop()
   }
 
