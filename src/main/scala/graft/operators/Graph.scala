@@ -670,6 +670,52 @@ object Graph {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** DETERMINISTIC NEGATIVE SAMPLING for a skip-gram pair corpus —
+    * the third artifact of the word2vec/DeepWalk data pipeline
+    * (Mikolov et al., NeurIPS 2013: each positive (center, context)
+    * pair trains against k sampled non-context nodes): negative j of
+    * a pair is the node whose rank in the id-ordered node list equals
+    * `PolyFp("center_context_j") mod |V|` — no RNG state, the same
+    * engine-portable fingerprint the walk generator uses, so the
+    * sample set is a pure function of the pair SET and the oracle
+    * replays every draw. Draws that collide with the pair's own
+    * center or context are DROPPED (not resampled — resampling would
+    * chain data-dependent rounds; the uniform-draw collision mass is
+    * ≤ 2/|V| per draw and the drop is itself deterministic), so each
+    * pair yields ≤ k negatives. Returns (center, context, j, neg).
+    *
+    * Scale: the node index is the distributed prefix-sum rank (never
+    * a global window); draws explode k-wide off the pair list and
+    * resolve through one rank-equality join (broadcast-gated on the
+    * measured node count). Uniform sampling, not degree^0.75 — the
+    * unigram tilt needs float pow, which is not engine-portable; a
+    * caller wanting it can weight downstream.
+    */
+  def negativeSamples(pairs: DataFrame, center: Column,
+                      context: Column, k: Int,
+                      broadcastLimit: Long = 4000000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val p = Checkpoints.stage(
+      pairs.select(center.as("center"), context.as("context")))
+    val nodes = p.select(col("center").as("id"))
+      .union(p.select(col("context").as("id"))).distinct()
+    val idx = Checkpoints.stage(Training.withPrefixSum(
+      nodes, Seq(col("id")), lit(1L), "__idx"))
+    val n = idx.count()
+    def vSized(df: DataFrame): DataFrame =
+      if (n <= broadcastLimit) broadcast(df) else df
+    p.select(col("center"), col("context"),
+        explode(sequence(lit(0), lit(k - 1))).as("j"))
+      .withColumn("__draw",
+        pmod(TextAnalysis.fingerprint(concat_ws("_", col("center"),
+          col("context"), col("j"))), lit(n)))
+      .join(vSized(idx.select(col("__idx"), col("id").as("neg"))),
+        col("__draw") === col("__idx"))
+      .where(col("neg") =!= col("center") &&
+        col("neg") =!= col("context"))
+      .select(col("center"), col("context"), col("j"), col("neg"))
+  }
+
   // ---------- warm-start PageRank ----------
 
   /** Persist [[pageRank]]'s converged ranks as `batch=0` of an

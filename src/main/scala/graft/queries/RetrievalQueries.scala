@@ -477,6 +477,20 @@ object RetrievalQueries {
           window = 2)
         .orderBy(col("center"), col("context"))),
 
+    // Deterministic NEGATIVE SAMPLING for the skip-gram pairs — the
+    // word2vec data step: 3 fingerprint-mod draws per (center,
+    // context) pair into the id-ordered node index (the distributed
+    // prefix-sum rank, no global window), own-pair collisions dropped
+    // deterministically. The oracle replays every draw.
+    "x_neg_samples" -> ((s, d) =>
+      Graph.negativeSamples(
+          Graph.skipGramPairs(
+            Graph.randomWalks(nationTradeEdges(s, d, maxQty = 2),
+              col("src"), col("dst"), walksPerNode = 2, len = 4),
+            window = 2),
+          col("center"), col("context"), k = 3)
+        .orderBy(col("center"), col("context"), col("j"))),
+
     // WARM-START PageRank: the quantity ≤ 1 trade graph's converged
     // ranks persist once (writePageRankStore, 5 iterations); the
     // union (quantity ≤ 2) then runs THREE warm rounds from the
@@ -1084,6 +1098,39 @@ object RetrievalQueries {
        |GROUP BY 1, 2
        |ORDER BY center, context""".stripMargin
 
+  /** Negative-sampling mirror: the skip-gram pair set, the id-ordered
+    * node index, and k fingerprint-mod draws per pair, own-pair
+    * collisions dropped — the exact arithmetic of
+    * Graph.negativeSamples.
+    */
+  private val negSamplesSql: String = {
+    val key = "CAST(pr.center AS VARCHAR) || '_' || " +
+      "CAST(pr.context AS VARCHAR) || '_' || CAST(js.j AS VARCHAR)"
+    s"""WITH $walkCorpusCtes,
+       |pr AS MATERIALIZED (
+       |  SELECT a.node AS center, b.node AS context
+       |  FROM wl a JOIN wl b
+       |    ON a.start = b.start AND a.walk = b.walk
+       |    AND a.step <> b.step AND abs(a.step - b.step) <= 2
+       |  GROUP BY 1, 2),
+       |vn AS MATERIALIZED (
+       |  SELECT id, CAST(row_number() OVER (ORDER BY id) - 1
+       |    AS BIGINT) AS idx
+       |  FROM (SELECT center AS id FROM pr
+       |        UNION SELECT context FROM pr)),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vn),
+       |dr AS (
+       |  SELECT pr.center, pr.context, js.j,
+       |    ${fpSql(key)} % np.n AS draw
+       |  FROM pr CROSS JOIN (SELECT unnest(range(0, 3)) AS j) js
+       |    CROSS JOIN np)
+       |SELECT d.center, d.context, CAST(d.j AS INTEGER) AS j,
+       |  vn.id AS neg
+       |FROM dr d JOIN vn ON d.draw = vn.idx
+       |WHERE vn.id <> d.center AND vn.id <> d.context
+       |ORDER BY center, context, j""".stripMargin
+  }
+
   private val sourceAuthoritySql: String = pageRankSqlOver(
     s"""corpus AS (
        |$passageCorpusSql),
@@ -1498,6 +1545,7 @@ object RetrievalQueries {
     "x_hits" -> hitsSql,
     "x_random_walks" -> randomWalksSql,
     "x_walk_skipgrams" -> walkSkipgramsSql,
+    "x_neg_samples" -> negSamplesSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

@@ -33,7 +33,10 @@ class DeterminismSpec extends SparkSuite {
     "x_dedup_clusters",   // CC label convergence
     "x_minhash_sigs",     // permutation-hash signatures
     "x_triangles_chain",  // corner-credit aggregation over windows
-    "x_ppr_push")         // frontier growth + integer push rounds
+    "x_ppr_push",         // frontier growth + integer push rounds
+    "x_louvain2",         // modularity-gain argmax ties through TWO
+                          // levels + the contraction in between
+    "x_kcenter_incremental") // greedy picks seeded from the store
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

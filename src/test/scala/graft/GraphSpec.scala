@@ -263,6 +263,31 @@ class GraphSpec extends SparkSuite {
     assert(m2l2 == m2l1)
   }
 
+  test("negativeSamples: draws replay the fingerprint rule over the " +
+      "id-ordered index; own-pair collisions dropped; deterministic " +
+      "under repartitioning") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 1L), (2L, 5L)).toDF("c", "x")
+    val got = Graph.negativeSamples(pairs, col("c"), col("x"), k = 3)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    // replay: nodes sorted = (1, 2, 5) with idx (0, 1, 2)
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val nodes = Seq(1L, 2L, 5L)
+    val want = (for {
+      (c, x) <- Seq((1L, 2L), (2L, 1L), (2L, 5L))
+      j <- 0 to 2
+      neg = nodes((fp(s"${c}_${x}_$j") % 3).toInt)
+      if neg != c && neg != x
+    } yield (c, x, j, neg)).toSet
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+    // every emitted draw is a genuine negative
+    assert(got.forall { case (c, x, _, n) => n != c && n != x })
+    val re = Graph.negativeSamples(pairs.repartition(5), col("c"),
+      col("x"), k = 3).as[(Long, Long, Int, Long)].collect().toSet
+    assert(re == got)
+  }
+
   test("louvainWarm: one warm round absorbs a new node into its " +
       "clique's stored community and preserves the partition; retry " +
       "idempotent; compaction preserves the view") {
