@@ -648,6 +648,107 @@ object Graph {
       .select(col("start"), col("walk"), col("step"), col("node"))
   }
 
+  /** NODE2VEC biased walks (Grover & Leskovec, KDD 2016): like
+    * [[randomWalks]] but the hop distribution at step t ≥ 2 is tilted
+    * by where the walk CAME from — candidate c leaving node v with
+    * predecessor u weighs
+    *
+    *   wReturn   if c = u            (the 1/p return bias)
+    *   wCommon   if edge u→c exists  (distance-1: stay local)
+    *   wExplore  otherwise           (the 1/q exploration bias)
+    *
+    * with INTEGER weights (the paper's 1/p, 1, 1/q scaled by a common
+    * denominator — exact arithmetic, no float sampling): candidates
+    * sort by the neighbor index, the draw is
+    * `PolyFp("start_walk_t_u_v") mod Σw`, and the candidate whose
+    * exclusive cumulative-weight range contains the draw wins. Step 1
+    * has no predecessor and draws uniformly (all weights 1, the
+    * DeepWalk rule). Zero RNG state — the corpus is a pure function
+    * of the edge SET and the three weights, so the SQL oracle replays
+    * every biased hop. Directed adaptation: "distance 1" means the
+    * directed edge u→c exists. Returns (start, walk, step, node) —
+    * the [[skipGramPairs]]-composable schema.
+    *
+    * Scale: per step, one neighbor-index join (walk-local fanout ≤
+    * outdeg), one LEFT probe of the distinct edge set for the u→c
+    * flag, and one WALK-LOCAL window (partitioned by the walk state —
+    * bounded by outdeg, never data-wide) computing the cumulative
+    * ranges. Walk state carries (node, prev) only.
+    */
+  def node2vecWalks(edges: DataFrame, src: Column, dst: Column,
+                    walksPerNode: Int = 2, len: Int = 4,
+                    wReturn: Long = 1L, wCommon: Long = 4L,
+                    wExplore: Long = 2L,
+                    broadcastLimit: Long = 4000000L): DataFrame = {
+    require(walksPerNode >= 1 && len >= 0, "need walks >= 1, len >= 0")
+    require(wReturn >= 1 && wCommon >= 1 && wExplore >= 1,
+      "weights must be >= 1")
+    val e = Checkpoints.stage(
+      edges.select(src.as("src"), dst.as("dst")).distinct())
+    val nbr = Checkpoints.stage(e.select(col("src").as("__ns"),
+      col("dst").as("__nd"),
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))) - 1).as("idx")))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val n = nodes.count()
+    val small = n <= broadcastLimit
+    def vSized(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    val prevEdge = e.select(col("src").as("__pu"),
+      col("dst").as("__pc"), lit(true).as("__adj"))
+    // walk state: (start, walk, step, prev, node); prev = -1 at step 0
+    var cur = Checkpoints.stage(nodes
+      .select(col("id").as("start"),
+        explode(sequence(lit(0), lit(walksPerNode - 1))).as("walk"))
+      .select(col("start"), col("walk"), lit(0).as("step"),
+        lit(-1L).as("prev"), col("start").as("node")))
+    val outs = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("start"), col("walk"), col("step"), col("node")))
+    val wKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("start"), col("walk"), col("prev"), col("node"))
+    var t = 1
+    while (t <= len) {
+      val cands = cur
+        .join(vSized(nbr), col("node") === col("__ns"))
+        .select(col("start"), col("walk"), col("prev"), col("node"),
+          col("__nd").as("cand"), col("idx"))
+      val weighted = (
+          if (t == 1)
+            cands.withColumn("__w", lit(1L))
+          else
+            cands.join(vSized(prevEdge),
+                col("prev") === col("__pu") &&
+                  col("cand") === col("__pc"), "left")
+              .withColumn("__w",
+                when(col("cand") === col("prev"), lit(wReturn))
+                  .when(col("__adj"), lit(wCommon))
+                  .otherwise(lit(wExplore)))
+        )
+        .withColumn("__cum",
+          coalesce(sum(col("__w")).over(
+            wKey.orderBy(col("idx"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__tot", sum(col("__w")).over(wKey))
+      val key = concat_ws("_", col("start"), col("walk"), lit(t),
+        col("prev"), col("node"))
+      val next = Checkpoints.stage(weighted
+        .withColumn("__draw",
+          pmod(TextAnalysis.fingerprint(key), col("__tot")))
+        .where(col("__draw") >= col("__cum") &&
+          col("__draw") < col("__cum") + col("__w"))
+        .select(col("start"), col("walk"), lit(t).as("step"),
+          col("node").as("prev"), col("cand").as("node")))
+      outs += next.select(col("start"), col("walk"), col("step"),
+        col("node"))
+      cur = next
+      t += 1
+    }
+    outs.reduce(_.unionAll(_))
+      .select(col("start"), col("walk"), col("step"), col("node"))
+  }
+
   /** SKIP-GRAM pair counts from a [[randomWalks]] corpus — the
     * trainable artifact of the DeepWalk pipeline: for every walk,
     * every ordered (center, context) node pair within `window` steps
@@ -1057,9 +1158,13 @@ object Graph {
                  assign: DataFrame, id: Column, community: Column,
                  weight: Option[Column] = None): DataFrame = {
     val w0 = weight.getOrElse(lit(1L)).cast("long")
-    val eAll = edges.select(least(a, b).as("u"), greatest(a, b).as("v"),
-        w0.as("w"))
-      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+    // staged: the folded edge table feeds the intra aggregate AND all
+    // three degree branches — without the cut, the raw edge
+    // derivation would replay once per branch
+    val eAll = Checkpoints.stage(
+      edges.select(least(a, b).as("u"), greatest(a, b).as("v"),
+          w0.as("w"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")))
     val asg = assign.select(id.as("__id"), community.as("__c"))
     val eC = eAll
       .join(asg.select(col("__id").as("u"), col("__c").as("cu")),

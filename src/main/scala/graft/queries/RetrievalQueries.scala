@@ -477,6 +477,17 @@ object RetrievalQueries {
           window = 2)
         .orderBy(col("center"), col("context"))),
 
+    // NODE2VEC biased walks (return weight 1, distance-1 weight 4,
+    // exploration weight 2 — a locality-tilted p/q regime in exact
+    // integer weights): every hop draws by fingerprint mod the
+    // cumulative-weight total over the walk-local candidate window.
+    // The oracle replays all three biased steps hop by hop.
+    "x_node2vec" -> ((s, d) =>
+      Graph.node2vecWalks(nationTradeEdges(s, d, maxQty = 2),
+          col("src"), col("dst"), walksPerNode = 2, len = 3,
+          wReturn = 1L, wCommon = 4L, wExplore = 2L)
+        .orderBy(col("start"), col("walk"), col("step"))),
+
     // Deterministic NEGATIVE SAMPLING for the skip-gram pairs — the
     // word2vec data step: 3 fingerprint-mod draws per (center,
     // context) pair into the id-ordered node index (the distributed
@@ -1088,6 +1099,74 @@ object RetrievalQueries {
        |SELECT start, walk, step, node FROM wl
        |ORDER BY start, walk, step""".stripMargin
 
+  /** node2vec mirror: three biased steps, each a candidate CTE (with
+    * the u→c adjacency flag and the integer bias weight), a walk-
+    * local cumulative-weight window, and the fingerprint-range pick —
+    * the exact arithmetic of Graph.node2vecWalks at (1, 4, 2).
+    */
+  private val node2vecSql: String = {
+    def key(t: Int): String =
+      s"CAST(c.start AS VARCHAR) || '_' || " +
+        s"CAST(c.walk AS VARCHAR) || '_$t' || '_' || " +
+        s"CAST(c.prev AS VARCHAR) || '_' || CAST(c.node AS VARCHAR)"
+    def step(t: Int): String = {
+      val w =
+        if (t == 1) "CAST(1 AS BIGINT)"
+        else
+          """CASE WHEN nbr.dst = c.prev THEN CAST(1 AS BIGINT)
+            |         WHEN pe.src IS NOT NULL THEN CAST(4 AS BIGINT)
+            |         ELSE CAST(2 AS BIGINT) END""".stripMargin
+      val prevJoin =
+        if (t == 1) ""
+        else
+          "\n  LEFT JOIN e pe ON pe.src = c.prev AND pe.dst = nbr.dst"
+      s"""cd$t AS (
+         |  SELECT c.start, c.walk, c.prev, c.node, nbr.dst AS cand,
+         |    nbr.idx, $w AS w,
+         |    ${fpSql(key(t))} AS fpv
+         |  FROM v${t - 1} c
+         |  JOIN nbr ON nbr.src = c.node$prevJoin),
+         |wt$t AS (
+         |  SELECT *,
+         |    coalesce(sum(w) OVER (
+         |      PARTITION BY start, walk, prev, node ORDER BY idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS cum,
+         |    sum(w) OVER (
+         |      PARTITION BY start, walk, prev, node) AS tot
+         |  FROM cd$t),
+         |v$t AS (
+         |  SELECT start, walk, $t AS step, node AS prev,
+         |    cand AS node
+         |  FROM wt$t
+         |  WHERE fpv % tot >= cum AND fpv % tot < cum + w)""".stripMargin
+    }
+    val steps = (1 to 3).map(step).mkString(",\n")
+    val unions = (0 to 3)
+      .map(t => s"SELECT start, walk, step, node FROM v$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey),
+       |nbr AS MATERIALIZED (
+       |  SELECT src, dst, CAST(row_number() OVER (
+       |    PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+       |  FROM e),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |v0 AS (
+       |  SELECT id AS start, CAST(w AS INTEGER) AS walk,
+       |    0 AS step, CAST(-1 AS BIGINT) AS prev, id AS node
+       |  FROM nodes CROSS JOIN
+       |    (SELECT unnest(range(0, 2)) AS w) ws),
+       |$steps
+       |SELECT start, walk, step, node FROM ($unions)
+       |ORDER BY start, walk, step""".stripMargin
+  }
+
   private val walkSkipgramsSql: String =
     s"""WITH $walkCorpusCtes
        |SELECT a.node AS center, b.node AS context,
@@ -1546,6 +1625,7 @@ object RetrievalQueries {
     "x_random_walks" -> randomWalksSql,
     "x_walk_skipgrams" -> walkSkipgramsSql,
     "x_neg_samples" -> negSamplesSql,
+    "x_node2vec" -> node2vecSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

@@ -196,6 +196,53 @@ class GraphSpec extends SparkSuite {
     assert(re == got)
   }
 
+  test("node2vecWalks: biased hops replay the cumulative-weight " +
+      "fingerprint rule; uniform first step; deterministic under " +
+      "repartitioning") {
+    import spark.implicits._
+    // 1 -> {2, 3}; 2 -> {1, 3}; 3 -> {1}: from state (prev=1, cur=2)
+    // candidate 1 is a return (w=1), candidate 3 has edge 1->3 (w=4)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("s", "d")
+    val (wr, wc, we) = (1L, 4L, 2L)
+    val got = Graph.node2vecWalks(edges, col("s"), col("d"),
+        walksPerNode = 2, len = 3, wr, wc, we)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    def fp(s: String): Long =
+      s.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L)
+    val nbrs = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L),
+      3L -> Seq(1L))
+    val adj = Set((1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L))
+    val want = scala.collection.mutable.Set[(Long, Int, Int, Long)]()
+    for (start <- Seq(1L, 2L, 3L); w <- 0 to 1) {
+      var prev = -1L
+      var node = start
+      want += ((start, w, 0, node))
+      for (t <- 1 to 3) {
+        val cands = nbrs(node)
+        val ws = cands.map { c =>
+          if (t == 1) 1L
+          else if (c == prev) wr
+          else if (adj((prev, c))) wc
+          else we
+        }
+        val tot = ws.sum
+        val draw = fp(s"${start}_${w}_${t}_${prev}_$node") % tot
+        val cums = ws.scanLeft(0L)(_ + _)
+        val pick = cands.indices
+          .find(i => draw >= cums(i) && draw < cums(i) + ws(i)).get
+        prev = node
+        node = cands(pick)
+        want += ((start, w, t, node))
+      }
+    }
+    assert(got == want.toSet, s"$got vs $want")
+    val re = Graph.node2vecWalks(edges.repartition(5), col("s"),
+        col("d"), walksPerNode = 2, len = 3, wr, wc, we)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(re == got)
+  }
+
   test("skipGramPairs: window-2 ordered pairs over one walk, counted") {
     import spark.implicits._
     val walks = Seq((1L, 0, 0, 10L), (1L, 0, 1, 20L),

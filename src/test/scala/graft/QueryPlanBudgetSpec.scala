@@ -135,6 +135,12 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // over the ranked rows; ranks are prefix-sum (no window)
     "x_quantile_disc" -> default.copy(allowCartesian = true,
       maxWindows = 0),
+    // modularity decomposition: the staged edge fold feeds the intra
+    // aggregate and three degree branches, each with its assignment
+    // join — breadth of bounded aggregates (|C|-sized outputs), one
+    // pass over the staged table per branch
+    "x_modularity" -> Budget(maxShuffles = 10, maxSorts = 10,
+      maxBroadcasts = 8),
     // dynamic batching: rank = the distributed prefix sum; any window
     // would re-introduce the single-reducer global sort it replaces
     "x_length_batches" -> default.copy(maxWindows = 0),
