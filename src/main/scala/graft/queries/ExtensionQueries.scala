@@ -519,7 +519,7 @@ object ExtensionQueries {
     // seeded extension.
     "x_kcenter_incremental" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val store = ArtifactMemo.dirFor("kcstore", d) { p =>
+      val store = ArtifactMemo.dirFor("kcenterstore", d) { p =>
         Similarity.writeKCenterStore(
           emb.where(pmod(col("vec_id"), lit(10)) =!= 3),
           col("vec_id"), col("embedding"), k = 5, p)
