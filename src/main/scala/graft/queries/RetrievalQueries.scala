@@ -562,7 +562,10 @@ object RetrievalQueries {
     // community's level-2 assignment. The oracle replays BOTH levels
     // and the contraction in SQL.
     "x_louvain2" -> ((s, d) => {
-      val edges = nationTradeEdges(s, d, maxQty = 2)
+      // one lineitem-derivation scan feeds BOTH the level-1 rounds
+      // and the contraction fold
+      val edges = graft.operators.Checkpoints.stage(
+        nationTradeEdges(s, d, maxQty = 2))
       val l1 = Graph.louvain(edges, col("src"), col("dst"), rounds = 3)
       val qg = Graph.contractGraph(edges, col("src"), col("dst"),
         l1, col("id"), col("community"))
@@ -601,7 +604,9 @@ object RetrievalQueries {
     // scale (q_num ≈ m2·in ≲ 10¹² here; the operator itself carries
     // decimal(38,0) for trillion-edge graphs).
     "x_modularity" -> ((s, d) => {
-      val edges = nationTradeEdges(s, d, maxQty = 2)
+      // one scan feeds the detection rounds AND the decomposition
+      val edges = graft.operators.Checkpoints.stage(
+        nationTradeEdges(s, d, maxQty = 2))
       val l1 = Graph.louvain(edges, col("src"), col("dst"), rounds = 3)
       Graph.modularity(edges, col("src"), col("dst"), l1, col("id"),
           col("community"))
