@@ -597,6 +597,33 @@ object RetrievalQueries {
         .orderBy(col("nationkey"))
     }),
 
+    // MODULARITY DRIFT: the history graph's partition re-scored on
+    // the EVOLVED union graph (new nodes as singletons) — "has the
+    // community structure we computed last release gone stale?"; the
+    // per-community q_num deltas against x_modularity's fresh
+    // partition are the re-clustering trigger. Exact integers, both
+    // phases replayed by the oracle.
+    "x_modularity_drift" -> ((s, d) => {
+      val union = graft.operators.Checkpoints.stage(
+        nationTradeEdges(s, d, maxQty = 2))
+      val l1 = Graph.louvain(nationTradeEdges(s, d, maxQty = 1),
+        col("src"), col("dst"), rounds = 3)
+      val nodes = union.select(col("src").as("id"))
+        .union(union.select(col("dst").as("id"))).distinct()
+      // staged: the assignment feeds modularity's intra join (twice)
+      // and its degree-sum branch
+      val asg = graft.operators.Checkpoints.stage(nodes
+        .join(l1.withColumnRenamed("community", "__c"), Seq("id"),
+          "left")
+        .select(col("id"),
+          coalesce(col("__c"), col("id")).as("community")))
+      Graph.modularity(union, col("src"), col("dst"), asg, col("id"),
+          col("community"))
+        .select(col("community"), col("in_w2"), col("deg_sum"),
+          col("q_num").cast("long").as("q_num"))
+        .orderBy(col("community"))
+    }),
+
     // MODULARITY audit of the level-1 Louvain partition: per
     // community the exact integer numerator 2m·in_C − D_C² (Q_C
     // scaled by (2m)² — detect with x_louvain, QUANTIFY with this).
@@ -997,24 +1024,48 @@ object RetrievalQueries {
     * the intra weight, self-loops twice), D_C, and the exact
     * numerator m2·in_C − D_C².
     */
+  /** The modularity-decomposition tail over a caller-named
+    * assignment CTE (id, c) and the unprefixed union-graph CTEs.
+    */
+  private def modularityTailSql(asg: String): String =
+    s"""intra AS (
+       |  SELECT cu.c AS community, CAST(2 * sum(e.w) AS BIGINT) AS iw
+       |  FROM eall e JOIN $asg cu ON e.u = cu.id
+       |    JOIN $asg cv ON e.v = cv.id
+       |  WHERE cu.c = cv.c GROUP BY cu.c),
+       |dsum AS (
+       |  SELECT c.c AS community, CAST(sum(d.d) AS BIGINT) AS ds
+       |  FROM $asg c JOIN deg d ON c.id = d.id GROUP BY c.c)
+       |SELECT ds.community,
+       |  coalesce(intra.iw, 0) AS in_w2, ds.ds AS deg_sum,
+       |  CAST(CAST(m2 AS HUGEINT) * coalesce(intra.iw, 0)
+       |    - CAST(ds.ds AS HUGEINT) * ds.ds AS BIGINT) AS q_num
+       |FROM dsum ds
+       |  LEFT JOIN intra ON ds.community = intra.community
+       |  CROSS JOIN params
+       |ORDER BY ds.community""".stripMargin
+
   private val modularitySql: String =
-    louvainBaseSql + ",\n" +
-      """intra AS (
-        |  SELECT cu.c AS community, CAST(2 * sum(e.w) AS BIGINT) AS iw
-        |  FROM eall e JOIN c3 cu ON e.u = cu.id
-        |    JOIN c3 cv ON e.v = cv.id
-        |  WHERE cu.c = cv.c GROUP BY cu.c),
-        |dsum AS (
-        |  SELECT c.c AS community, CAST(sum(d.d) AS BIGINT) AS ds
-        |  FROM c3 c JOIN deg d ON c.id = d.id GROUP BY c.c)
-        |SELECT ds.community,
-        |  coalesce(intra.iw, 0) AS in_w2, ds.ds AS deg_sum,
-        |  CAST(CAST(m2 AS HUGEINT) * coalesce(intra.iw, 0)
-        |    - CAST(ds.ds AS HUGEINT) * ds.ds AS BIGINT) AS q_num
-        |FROM dsum ds
-        |  LEFT JOIN intra ON ds.community = intra.community
-        |  CROSS JOIN params
-        |ORDER BY ds.community""".stripMargin
+    louvainBaseSql + ",\n" + modularityTailSql("c3")
+
+  /** Drift mirror: the quantity ≤ 1 graph's 3-round partition,
+    * re-scored on the quantity ≤ 2 union (new nodes singleton) — the
+    * stale-partition audit.
+    */
+  private val modularityDriftSql: String = {
+    val histRounds = (1 to 3)
+      .map(i => louvainRoundSql(i, "hsym", "hdeg", "hparams", "h"))
+      .mkString(",\n")
+    "WITH " + louvainGraphCtes(1, "h") + ",\n" +
+      "hc0 AS MATERIALIZED (SELECT id, id AS c FROM hdeg),\n" +
+      histRounds + ",\n" +
+      louvainGraphCtes(2, "") + ",\n" +
+      """drift AS MATERIALIZED (
+        |  SELECT deg.id, CAST(coalesce(h.c, deg.id) AS BIGINT) AS c
+        |  FROM deg LEFT JOIN hc3 h ON deg.id = h.id),
+        |""".stripMargin +
+      modularityTailSql("drift")
+  }
 
   /** Multi-level mirror: contract level-1 communities (internal mass
     * becomes self-loops; 2m invariant), rebuild sym/deg/2m on the
@@ -1637,5 +1688,6 @@ object RetrievalQueries {
     "x_louvain2" -> louvain2Sql,
     "x_louvain_warm" -> louvainWarmSql,
     "x_modularity" -> modularitySql,
+    "x_modularity_drift" -> modularityDriftSql,
     "x_source_authority" -> sourceAuthoritySql)
 }

@@ -141,6 +141,9 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // pass over the staged table per branch
     "x_modularity" -> Budget(maxShuffles = 10, maxSorts = 10,
       maxBroadcasts = 8),
+    // same decomposition over the staged stale assignment
+    "x_modularity_drift" -> Budget(maxShuffles = 10, maxSorts = 10,
+      maxBroadcasts = 8),
     // dynamic batching: rank = the distributed prefix sum; any window
     // would re-introduce the single-reducer global sort it replaces
     "x_length_batches" -> default.copy(maxWindows = 0),
