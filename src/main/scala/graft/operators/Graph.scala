@@ -648,6 +648,68 @@ object Graph {
       .select(col("start"), col("walk"), col("step"), col("node"))
   }
 
+  /** LANDMARK DISTANCE SKETCHES by multi-source BFS (the
+    * landmark/pivot method for shortest-path estimation — Potamias et
+    * al., "Fast shortest path distance estimation in large networks",
+    * CIKM 2009): pick the `landmarks` smallest node ids (a
+    * deterministic, documented pivot rule; degree-weighted selection
+    * is a caller-side substitution), then run ONE layered BFS for all
+    * landmarks simultaneously over the UNDIRECTED graph. Returns
+    * (id, lm, dist) for every node within `maxDepth` of each
+    * landmark — the sketch that answers dist(u, v) ≲ min_lm
+    * d(u,lm) + d(lm,v) without a per-query traversal.
+    *
+    * Deterministic and oracle-replayable: BFS layers are set-valued
+    * (no tie-breaks anywhere), so the result is a pure function of
+    * the edge set; the SQL mirror is a depth-bounded recursive CTE
+    * folded by min(dist).
+    *
+    * Scale: per layer, one frontier×edges join (frontier-sized, never
+    * |V|·L) and one anti join against the accumulated sketch to keep
+    * only first discoveries; the sketch accumulates to ≤ |V|·L rows,
+    * layer state staged and freed per round. Early-exits when a layer
+    * discovers nothing.
+    */
+  def landmarkDistances(edges: DataFrame, a: Column, b: Column,
+                        landmarks: Int = 4, maxDepth: Int = 6)
+      : DataFrame = {
+    require(landmarks >= 1 && maxDepth >= 0,
+      "need landmarks >= 1, maxDepth >= 0")
+    val e0 = edges.select(a.as("src"), b.as("dst"))
+    val sym = Checkpoints.stage(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val lms = Checkpoints.stage(
+      nodes.orderBy(col("id")).limit(landmarks)
+        .select(col("id").as("lm")))
+    var sketch = Checkpoints.stage(
+      lms.select(col("lm").as("id"), col("lm"), lit(0).as("dist")))
+    var frontier = sketch
+    var d = 1
+    var alive = frontier.count() > 0
+    while (d <= maxDepth && alive) {
+      val next = Checkpoints.stage(
+        frontier.join(sym, col("id") === col("src"))
+          .select(col("dst").as("id"), col("lm"), lit(d).as("dist"))
+          .distinct()
+          .join(sketch.select(col("id"), col("lm")), Seq("id", "lm"),
+            "left_anti"))
+      alive = next.count() > 0
+      if (alive) {
+        val merged = Checkpoints.stage(sketch.unionAll(next))
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sketch)
+        org.apache.spark.sql.GraftSqlBridge
+          .freeLocalCheckpoint(frontier)
+        sketch = merged
+        frontier = next
+      }
+      d += 1
+    }
+    sketch
+  }
+
   /** NODE2VEC biased walks (Grover & Leskovec, KDD 2016): like
     * [[randomWalks]] but the hop distribution at step t ≥ 2 is tilted
     * by where the walk CAME from — candidate c leaving node v with

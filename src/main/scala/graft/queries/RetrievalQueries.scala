@@ -477,6 +477,17 @@ object RetrievalQueries {
           window = 2)
         .orderBy(col("center"), col("context"))),
 
+    // LANDMARK DISTANCE SKETCHES: one multi-source BFS from the 4
+    // smallest nodes over the undirected trade graph, depth ≤ 6 —
+    // the pivot table that answers dist(u,v) ≲ min over landmarks of
+    // d(u,lm)+d(lm,v) without per-query traversals. Set-valued BFS
+    // layers (no tie-breaks), mirrored by a depth-bounded recursive
+    // CTE folded by min(dist).
+    "x_landmark_dist" -> ((s, d) =>
+      Graph.landmarkDistances(nationTradeEdges(s, d, maxQty = 2),
+          col("src"), col("dst"), landmarks = 4, maxDepth = 6)
+        .orderBy(col("lm"), col("dist"), col("id"))),
+
     // NODE2VEC biased walks (return weight 1, distance-1 weight 4,
     // exploration weight 2 — a locality-tilted p/q regime in exact
     // integer weights): every hop draws by fingerprint mod the
@@ -1266,6 +1277,34 @@ object RetrievalQueries {
        |ORDER BY center, context, j""".stripMargin
   }
 
+  /** Landmark-BFS mirror: depth-bounded recursive reachability from
+    * the 4 smallest nodes over the symmetrized graph, folded by
+    * min(dist) — the exact layer semantics of Graph.landmarkDistances.
+    */
+  private val landmarkDistSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM e
+       |  UNION SELECT dst AS src, src AS dst FROM e),
+       |lms AS MATERIALIZED (
+       |  SELECT id AS lm FROM (SELECT DISTINCT src AS id FROM sym)
+       |  ORDER BY id LIMIT 4),
+       |walk(id, lm, dist) AS (
+       |  SELECT lm AS id, lm, 0 FROM lms
+       |  UNION
+       |  SELECT sym.dst, w.lm, w.dist + 1
+       |  FROM walk w JOIN sym ON w.id = sym.src
+       |  WHERE w.dist < 6)
+       |SELECT id, lm, CAST(min(dist) AS INTEGER) AS dist
+       |FROM walk GROUP BY id, lm
+       |ORDER BY lm, dist, id""".stripMargin
+
   private val sourceAuthoritySql: String = pageRankSqlOver(
     s"""corpus AS (
        |$passageCorpusSql),
@@ -1682,6 +1721,7 @@ object RetrievalQueries {
     "x_walk_skipgrams" -> walkSkipgramsSql,
     "x_neg_samples" -> negSamplesSql,
     "x_node2vec" -> node2vecSql,
+    "x_landmark_dist" -> landmarkDistSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

@@ -196,6 +196,32 @@ class GraphSpec extends SparkSuite {
     assert(re == got)
   }
 
+  test("landmarkDistances: layered multi-source BFS yields exact " +
+      "shortest distances within the depth bound; deterministic " +
+      "under repartitioning") {
+    import spark.implicits._
+    // undirected path 1-2-3-4-5 (fed directed; the operator
+    // symmetrizes); landmarks = 2 smallest ids; depth cap 2
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val got = Graph.landmarkDistances(edges, col("a"), col("b"),
+        landmarks = 2, maxDepth = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 2),
+      (2L, 2L, 0), (1L, 2L, 1), (3L, 2L, 1), (4L, 2L, 2)))
+    val re = Graph.landmarkDistances(edges.repartition(5), col("a"),
+        col("b"), landmarks = 2, maxDepth = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(re == got)
+    // early-exit: a full-depth run on this component stops by itself
+    val full = Graph.landmarkDistances(edges, col("a"), col("b"),
+        landmarks = 1, maxDepth = 100)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == Set((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 2),
+      (4L, 1L, 3), (5L, 1L, 4)))
+  }
+
   test("node2vecWalks: biased hops replay the cumulative-weight " +
       "fingerprint rule; uniform first step; deterministic under " +
       "repartitioning") {
