@@ -531,12 +531,21 @@ object ExtensionQueries {
         .orderBy(col("rank"))
     }),
 
+    // PCA projection in LONG FORM (id, dim, value): the projection is
+    // a deterministic fixed-fold dot product against the fitted basis,
+    // so the oracle replays it exactly — the mean/basis land in the SQL
+    // as literals (the x_embed_lsh_neardup hyperplane pattern; see
+    // pcaProjectOracle below, built AFTER the fit is memoized). Long
+    // form rather than array<double> because the driver canonicalizer
+    // sorts every output column and an array column is unsortable.
     "x_pca_project" -> ((s, d) => {
       val e = t(s, d, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
       val (mean, basis, _) = fittedPca(d, e)
       Similarity.pcaProject(e, col("id"), col("vec"), mean, basis)
-        .orderBy(col("id"))
+        .select(col("id"),
+          posexplode(col("proj")).as(Seq("dim", "value")))
+        .orderBy(col("id"), col("dim"))
     }),
 
     // PCA gate (empty-set oracle): fires a row per vector whose
@@ -1540,7 +1549,52 @@ object ExtensionQueries {
       |    ON l.band = r.band AND l.bkey = r.bkey AND l.id < r.id
       |)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** Oracle for x_pca_project, built from the MEMOIZED fit — a `def`
+    * because Verify dumps oracleSql AFTER the queries run, so the memo
+    * holds exactly the run dir's (mean, basis). The projection
+    * out_c = fold⟨vec, b_c⟩ − Σ_i b_ci·m_i is a deterministic IEEE
+    * sequence: basis rows and the driver-folded constants land in the
+    * SQL as literals (the x_embed_lsh_neardup hyperplane pattern) and
+    * the DuckDB +0.0-seeded left fold mirrors VecDot exactly. Empty
+    * when no fit is memoized (a filtered local Verify that skipped the
+    * PCA queries) → the driver falls back to a rows-only record.
+    */
+  private def pcaProjectOracle: Map[String, String] =
+    if (pcaMemo.size != 1) Map.empty
+    else {
+      val (mean, basis, _) = pcaMemo.values.iterator.next()
+      // the SAME driver-side fold pcaProject bakes into lit(c)
+      val consts = basis.map(
+        _.zip(mean).map { case (bi, mi) => bi * mi }.sum)
+      // STRING cast, not a bare decimal literal: DuckDB's
+      // DECIMAL→DOUBLE conversion is not correctly rounded (off by
+      // 1 ulp on ~1/3 of 17-digit values), while string→double is
+      // strtod-exact — measured on this corpus, 1368/4000 rows flip
+      def dl(x: Double) = s"CAST('$x' AS DOUBLE)"
+      val basisLists = basis
+        .map(b => "[" + b.map(dl).mkString(", ") + "]")
+        .mkString(",\n    ")
+      Map("x_pca_project" ->
+        s"""WITH pc AS (
+           |  SELECT unnest([${basis.indices.mkString(", ")}]) AS dim,
+           |    unnest([${consts.map(dl).mkString(", ")}]) AS cst,
+           |    unnest([
+           |    $basisLists
+           |    ]) AS bv
+           |)
+           |SELECT e.vec_id AS id, CAST(pc.dim AS INT) AS dim,
+           |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |    list_transform(list_zip(e.embedding, pc.bv),
+           |      z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |    (x, y) -> x + y) - pc.cst AS value
+           |FROM embeddings e CROSS JOIN pc
+           |ORDER BY id, dim""".stripMargin)
+    }
+
+  def oracleSql: Map[String, String] = oracleSqlStatic ++
+    pcaProjectOracle
+
+  private val oracleSqlStatic: Map[String, String] = Map(
     "x_dedup_exact" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
