@@ -1116,7 +1116,21 @@ object Graph {
   def louvain(edges: DataFrame, a: Column, b: Column,
               rounds: Int = 3, weight: Option[Column] = None,
               broadcastLimit: Long = 4000000L,
-              start: Option[DataFrame] = None): DataFrame = {
+              start: Option[DataFrame] = None): DataFrame =
+    louvainRounds(edges, a, b, rounds, weight, broadcastLimit,
+      start)._1
+
+  /** [[louvain]] plus the number of rounds actually executed — the
+    * early-exit observability hook the convergence spec pins
+    * (`earlyExit = false` replays the fixed-round behavior for the
+    * bit-identical A/B).
+    */
+  private[graft] def louvainRounds(
+      edges: DataFrame, a: Column, b: Column,
+      rounds: Int = 3, weight: Option[Column] = None,
+      broadcastLimit: Long = 4000000L,
+      start: Option[DataFrame] = None,
+      earlyExit: Boolean = true): (DataFrame, Int) = {
     require(rounds >= 1, "rounds must be >= 1")
     val w0 = weight.getOrElse(lit(1L)).cast("long")
     val eAll = Checkpoints.stage(
@@ -1154,6 +1168,7 @@ object Graph {
             coalesce(col("__c0"), col("id")).as("c"))
     })
     var it = 0
+    var executed = 0
     while (it < rounds) {
       // community weighted-degree sums (|C|-sized)
       val dc = comm.join(vSized(deg), Seq("id"))
@@ -1188,11 +1203,26 @@ object Graph {
           col("cand").as("pick"))).as("m"))
         .select(col("id"), col("m.pick").as("c"))
       val staged = Checkpoints.stage(next)
+      executed += 1
+      // CONVERGENCE EARLY-EXIT (the CC equal-sums pattern at a
+      // stronger invariant): zero movers means the next round sees
+      // the identical assignment, recomputes the identical scores,
+      // and picks the identical argmax — a fixed point, so skipping
+      // the remaining rounds is bit-identical and saves one full
+      // edge-scale shuffle per skipped round. One cheap |V|-sized
+      // probe per round (broadcast-gated like every label join).
+      if (earlyExit && executed < rounds) {
+        val moved = staged
+          .join(vSized(comm.select(col("id"), col("c").as("__prev"))),
+            Seq("id"))
+          .where(col("c") =!= col("__prev"))
+        if (moved.isEmpty) it = rounds
+      }
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(comm)
       comm = staged
       it += 1
     }
-    comm.select(col("id"), col("c").as("community"))
+    (comm.select(col("id"), col("c").as("community")), executed)
   }
 
   /** EXACT modularity decomposition of a community assignment

@@ -302,6 +302,23 @@ class GraphSpec extends SparkSuite {
     assert(re == got)
   }
 
+  test("louvain: convergence early-exit is bit-identical to the " +
+      "fixed-round run and executes strictly fewer rounds") {
+    import spark.implicits._
+    val edges = (k4(0L) ++ k4(4L) :+ ((3L, 4L))).toDF("a", "b")
+    // on a converged fixture, 6 requested rounds early-exit after the
+    // first no-mover round; the all-rounds run is the ground truth
+    val (fullDf, fullN) = Graph.louvainRounds(edges, col("a"),
+      col("b"), rounds = 6, earlyExit = false)
+    val full = fullDf.as[(Long, Long)].collect().toMap
+    val (exitDf, exitN) = Graph.louvainRounds(edges, col("a"),
+      col("b"), rounds = 6, earlyExit = true)
+    val exit = exitDf.as[(Long, Long)].collect().toMap
+    assert(fullN == 6)
+    assert(exitN < 6, s"expected an early exit, executed $exitN")
+    assert(exit == full)
+  }
+
   test("louvain: duplicate rows fold to edge weights — bit-equal to " +
       "the same graph expressed as an explicit weight column") {
     import spark.implicits._
