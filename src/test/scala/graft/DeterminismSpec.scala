@@ -36,7 +36,10 @@ class DeterminismSpec extends SparkSuite {
     "x_ppr_push",         // frontier growth + integer push rounds
     "x_louvain2",         // modularity-gain argmax ties through TWO
                           // levels + the contraction in between
-    "x_kcenter_incremental") // greedy picks seeded from the store
+    "x_kcenter_incremental", // greedy picks seeded from the store
+    "x_sft_pack",         // greedy first-fit packing over prefix sums
+    "x_dpo_pairs",        // float-scored struct argmax/argmin ties
+    "x_length_batches")   // length-bucketed prefix-sum batch ranks
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)
