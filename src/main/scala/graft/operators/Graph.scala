@@ -671,7 +671,8 @@ object Graph {
     * discovers nothing.
     */
   def landmarkDistances(edges: DataFrame, a: Column, b: Column,
-                        landmarks: Int = 4, maxDepth: Int = 6)
+                        landmarks: Int = 4, maxDepth: Int = 6,
+                        pivots: Option[DataFrame] = None)
       : DataFrame = {
     require(landmarks >= 1 && maxDepth >= 0,
       "need landmarks >= 1, maxDepth >= 0")
@@ -681,9 +682,15 @@ object Graph {
         .where(col("src") =!= col("dst"))
         .distinct())
     val nodes = sym.select(col("src").as("id")).distinct()
-    val lms = Checkpoints.stage(
-      nodes.orderBy(col("id")).limit(landmarks)
-        .select(col("id").as("lm")))
+    // `pivots` (one `lm` column) FREEZES the landmark set — the
+    // incremental path's contract: a store's landmarks are chosen
+    // once at bootstrap and batches extend the same sketch, even if
+    // later nodes would win the smallest-id rule
+    val lms = Checkpoints.stage(pivots match {
+      case Some(p) => p.select(col("lm"))
+      case None => nodes.orderBy(col("id")).limit(landmarks)
+        .select(col("id").as("lm"))
+    })
     var sketch = Checkpoints.stage(
       lms.select(col("lm").as("id"), col("lm"), lit(0).as("dist")))
     var frontier = sketch
@@ -708,6 +715,198 @@ object Graph {
       d += 1
     }
     sketch
+  }
+
+  // ---------- incremental landmark-distance store ----------
+
+  /** Persist [[landmarkDistances]]'s sketch as `batch=0` of an
+    * incremental store (id-clustered (id, lm, dist, __b) rows on the
+    * shared gen=/batch= protocol), the warm base for
+    * [[landmarkDistancesIncremental]]. The landmark set is FROZEN
+    * here: landmarks are recoverable from the store itself as the
+    * dist = 0 rows, so no side artifact is needed.
+    */
+  def writeLandmarkStore(edges: DataFrame, a: Column, b: Column,
+                         landmarks: Int, maxDepth: Int,
+                         storeDir: String, filesOut: Int = 4): Unit = {
+    landmarkDistances(edges, a, b, landmarks, maxDepth)
+      .select(col("id"), col("lm"), col("dist"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"), col("lm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+    Stats.upsertManifest(edges.sparkSession, storeDir,
+      storeManifestPath(storeDir))
+  }
+
+  private def landmarkStoreView(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      beforeBatch: Long): DataFrame = {
+    val dirs = Stats.committedViewDirs(spark, storeDir)
+    spark.read.parquet(dirs: _*)
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("id"), col("lm"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
+  /** The landmark store's CURRENT sketch (distances only shrink under
+    * edge insertion, so the fold is min(dist) per (id, lm)).
+    */
+  def landmarkStoreDistances(spark: org.apache.spark.sql.SparkSession,
+                             storeDir: String): DataFrame =
+    landmarkStoreView(spark, storeDir, Long.MaxValue)
+
+  /** Snapshot read of the landmark store as of batch `asOf` — same
+    * contract and retention trade as [[ccStoreLabelsAsOf]].
+    */
+  def landmarkStoreDistancesAsOf(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String,
+      asOf: Long): DataFrame = {
+    require(asOf >= 0L, "asOf is a committed batch id")
+    landmarkStoreView(spark, storeDir, asOf + 1)
+  }
+
+  /** WARM-START landmark sketch maintenance: distances over the UNION
+    * graph for the store's FROZEN landmark set, relaxing ONLY from the
+    * new edges' endpoints — the incremental-SSSP insertion step
+    * (Ramalingam & Reps, "An incremental algorithm for a
+    * generalization of the shortest-path problem", J. Algorithms
+    * 1996, specialized to unit weights and batched): edge insertion
+    * can only SHRINK distances, so the stored sketch is a valid
+    * upper bound, and any improved node's shortest union path crosses
+    * a new edge — seed candidates d(u)+1 across each new edge in both
+    * directions, keep the ones that beat the store, and propagate
+    * improvements one hop per round. Sound and complete by induction
+    * along the improved path: the first improved vertex on it is a
+    * new-edge endpoint (its predecessor is unimproved, so an old
+    * predecessor edge would contradict the old BFS), and every later
+    * one is reached from the previous improvement.
+    *
+    * Contract (the monotone gate-store contract everywhere):
+    * `allEdges` is any SUPERSET of the union edges within `maxDepth`
+    * hops of a new edge — improvements never propagate farther; pass
+    * the full union list when reach slicing isn't cheap. `newEdges`
+    * is the batch (re-sent edges are harmless: their candidates never
+    * beat the store); `batchId` exceeds every prior append; `maxDepth`
+    * matches the store's bootstrap. The append holds only IMPROVED
+    * (id, lm) rows — frontier-sized, never |V|·L — and retries are
+    * overwrite-idempotent (the prior view reads batches < batchId).
+    *
+    * Returns the full current sketch, ≡ [[landmarkDistances]] over
+    * the union with the store's frozen pivots
+    * (x_landmark_incremental replays it with the shared depth-bounded
+    * recursive-CTE oracle over the union edge list).
+    *
+    * Scale: per round, one frontier×edges join and one improvement
+    * anti-probe of the current sketch — frontier-sized throughout; at
+    * most `maxDepth` rounds (a candidate accepted in round r has
+    * dist ≥ r+1 ≤ maxDepth), early-exit when a round improves
+    * nothing; round state staged and freed ([[Checkpoints]]).
+    */
+  def landmarkDistancesIncremental(
+      allEdges: DataFrame, a: Column, b: Column,
+      newEdges: DataFrame, na: Column, nb: Column,
+      storeDir: String, batchId: Long, maxDepth: Int = 6,
+      filesOut: Int = 4): DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writeLandmarkStore base")
+    require(maxDepth >= 0, "maxDepth must be >= 0")
+    val spark = allEdges.sparkSession
+    val stored = Checkpoints.stage(
+      landmarkStoreView(spark, storeDir, batchId))
+    val e0 = allEdges.select(a.as("src"), b.as("dst"))
+    val sym = Checkpoints.stage(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val en0 = newEdges.select(na.as("src"), nb.as("dst"))
+    val enSym = en0
+      .union(en0.select(col("dst").as("src"), col("src").as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    // improvements that beat the CURRENT sketch (missing = infinity)
+    def improving(cand: DataFrame, cur: DataFrame): DataFrame =
+      cand.where(col("dist") <= maxDepth)
+        .groupBy(col("id"), col("lm"))
+        .agg(min(col("dist")).as("dist"))
+        .join(cur.select(col("id"), col("lm"),
+          col("dist").as("__old")), Seq("id", "lm"), "left")
+        .where(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("id"), col("lm"), col("dist"))
+    var sketch = stored
+    var frontier = Checkpoints.stage(improving(
+      enSym.join(stored.select(col("id").as("src"), col("lm"),
+          col("dist")), Seq("src"))
+        .select(col("dst").as("id"), col("lm"),
+          (col("dist") + 1).as("dist")),
+      stored))
+    val improved =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var d = 0
+    var alive = frontier.count() > 0
+    while (alive && d < maxDepth) {
+      improved += frontier
+      val merged = Checkpoints.stage(
+        sketch.unionAll(frontier)
+          .groupBy(col("id"), col("lm"))
+          .agg(min(col("dist")).as("dist")))
+      if (!(sketch eq stored))
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sketch)
+      sketch = merged
+      val next = Checkpoints.stage(improving(
+        frontier.join(sym, col("id") === col("src"))
+          .select(col("dst").as("id"), col("lm"),
+            (col("dist") + 1).as("dist")),
+        sketch))
+      frontier = next
+      alive = frontier.count() > 0
+      d += 1
+    }
+    if (alive) improved += frontier // dist = maxDepth discoveries
+    if (alive) {
+      val merged = Checkpoints.stage(
+        sketch.unionAll(frontier)
+          .groupBy(col("id"), col("lm"))
+          .agg(min(col("dist")).as("dist")))
+      if (!(sketch eq stored))
+        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sketch)
+      sketch = merged
+    }
+    // delta append: only improved keys, min-folded across rounds
+    // (a later round can re-improve a key); empty batches still
+    // commit a visible empty dir (retry-idempotent)
+    val delta =
+      if (improved.isEmpty) frontier
+      else Checkpoints.stage(improved.reduce(_ unionAll _)
+        .groupBy(col("id"), col("lm"))
+        .agg(min(col("dist")).as("dist")))
+    delta.select(col("id"), col("lm"), col("dist"),
+        lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"), col("lm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    Stats.upsertManifestFor(spark, storeDir,
+      storeManifestPath(storeDir), s"$storeDir/batch=$batchId")
+    // sketch is staged, so its data predates the overwrite safely
+    sketch
+  }
+
+  /** Fold the landmark store's batches (min dist per (id, lm); __b =
+    * the first batch that achieved it) into one generation.
+    */
+  def compactLandmarkStore(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String, filesOut: Int = 4)
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("id"), col("lm"))
+        .agg(min(struct(col("dist"), col("__b"))).as("m"))
+        .select(col("id"), col("lm"), col("m.dist").as("dist"),
+          col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id"), col("lm")))
+    if (tok.isDefined)
+      Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
   }
 
   /** NODE2VEC biased walks (Grover & Leskovec, KDD 2016): like

@@ -488,6 +488,26 @@ object RetrievalQueries {
           col("src"), col("dst"), landmarks = 4, maxDepth = 6)
         .orderBy(col("lm"), col("dist"), col("id"))),
 
+    // INCREMENTAL landmark sketch maintenance: the quantity ≤ 1
+    // graph's sketch persists once (writeLandmarkStore, landmarks
+    // FROZEN there); the quantity = 2 batch then RELAXES stored
+    // distances from its endpoints only (edge insertion is monotone —
+    // distances never grow — so the warm extension is sound and
+    // frontier-sized; the append holds only improved keys). The
+    // oracle replays the union-graph BFS from the history-chosen
+    // landmarks with the same depth-bounded recursive CTE.
+    "x_landmark_incremental" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("lmdstore", d) { p =>
+        Graph.writeLandmarkStore(nationTradeEdges(s, d, maxQty = 1),
+          col("src"), col("dst"), landmarks = 4, maxDepth = 6, p)
+      }
+      Graph.landmarkDistancesIncremental(
+          nationTradeEdges(s, d, maxQty = 2), col("src"), col("dst"),
+          nationTradeEdges(s, d, maxQty = 2, minQty = 1),
+          col("src"), col("dst"), store, batchId = 1L, maxDepth = 6)
+        .orderBy(col("lm"), col("dist"), col("id"))
+    }),
+
     // NODE2VEC biased walks (return weight 1, distance-1 weight 4,
     // exploration weight 2 — a locality-tilted p/q regime in exact
     // integer weights): every hop draws by fingerprint mod the
@@ -659,8 +679,9 @@ object RetrievalQueries {
     * proportions hold at every scale factor).
     */
   private def nationTradeEdges(s: SparkSession, d: String,
-                               maxQty: Int): DataFrame =
-    t(s, d, "lineitem").where(col("l_quantity") <= maxQty)
+                               maxQty: Int, minQty: Int = 0): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_quantity") <= maxQty && col("l_quantity") > minQty)
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
@@ -1305,6 +1326,40 @@ object RetrievalQueries {
        |FROM walk GROUP BY id, lm
        |ORDER BY lm, dist, id""".stripMargin
 
+  /** x_landmark_incremental's mirror: the SAME depth-bounded
+    * recursive-CTE BFS, over the UNION (quantity ≤ 2) graph but from
+    * the HISTORY (quantity ≤ 1) graph's 4 smallest nodes — the frozen
+    * landmark set the store bootstraps with.
+    */
+  private val landmarkIncSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst,
+       |    min(l_quantity) AS q
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey
+       |  GROUP BY c_nationkey, s_nationkey),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM e
+       |  UNION SELECT dst AS src, src AS dst FROM e),
+       |hsym AS MATERIALIZED (
+       |  SELECT src, dst FROM e WHERE q <= 1
+       |  UNION SELECT dst AS src, src AS dst FROM e WHERE q <= 1),
+       |lms AS MATERIALIZED (
+       |  SELECT id AS lm FROM (SELECT DISTINCT src AS id FROM hsym)
+       |  ORDER BY id LIMIT 4),
+       |walk(id, lm, dist) AS (
+       |  SELECT lm AS id, lm, 0 FROM lms
+       |  UNION
+       |  SELECT sym.dst, w.lm, w.dist + 1
+       |  FROM walk w JOIN sym ON w.id = sym.src
+       |  WHERE w.dist < 6)
+       |SELECT id, lm, CAST(min(dist) AS INTEGER) AS dist
+       |FROM walk GROUP BY id, lm
+       |ORDER BY lm, dist, id""".stripMargin
+
   private val sourceAuthoritySql: String = pageRankSqlOver(
     s"""corpus AS (
        |$passageCorpusSql),
@@ -1722,6 +1777,7 @@ object RetrievalQueries {
     "x_neg_samples" -> negSamplesSql,
     "x_node2vec" -> node2vecSql,
     "x_landmark_dist" -> landmarkDistSql,
+    "x_landmark_incremental" -> landmarkIncSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

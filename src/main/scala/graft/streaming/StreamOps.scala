@@ -1425,7 +1425,9 @@ object StreamOps {
                     hitsStorePath: Option[String] = None,
                     hitsRounds: Int = 2, hitsIters: Int = 5,
                     louvainStorePath: Option[String] = None,
-                    louvainRounds: Int = 1, louvainIters: Int = 3)
+                    louvainRounds: Int = 1, louvainIters: Int = 3,
+                    landmarkStorePath: Option[String] = None,
+                    landmarkCount: Int = 4, landmarkDepth: Int = 6)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     stream.writeStream
@@ -1540,6 +1542,20 @@ object StreamOps {
               Graph.louvainWarm(all, col("u"), col("v"), lp, sb,
                 louvainRounds, filesOut): Unit
           }
+          // Landmark-sketch maintenance: a cold multi-source BFS on
+          // bootstrap (landmarks FROZEN there — later smaller ids
+          // never re-pivot the store), then frontier relaxation from
+          // each batch's endpoints (re-sent edges are harmless:
+          // their candidates never beat the stored distances)
+          landmarkStorePath.foreach { mp =>
+            if (Stats.committedViewDirs(spark, mp).isEmpty)
+              Graph.writeLandmarkStore(all, col("u"), col("v"),
+                landmarkCount, landmarkDepth, mp, filesOut)
+            else
+              Graph.landmarkDistancesIncremental(all, col("u"),
+                col("v"), edges, col("u"), col("v"), mp, sb,
+                landmarkDepth, filesOut): Unit
+          }
           if (!bootstrap && compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
@@ -1555,6 +1571,8 @@ object StreamOps {
               Graph.compactHitsStore(spark, hp, filesOut): Unit)
             louvainStorePath.foreach(lp =>
               Graph.compactLouvainStore(spark, lp, filesOut): Unit)
+            landmarkStorePath.foreach(mp =>
+              Graph.compactLandmarkStore(spark, mp, filesOut): Unit)
             Stats.compactCommittedStore(spark, edgesPath,
               _.select(col("u"), col("v"), col("__b"))
                 .repartitionByRange(filesOut, col("u"), col("v"))

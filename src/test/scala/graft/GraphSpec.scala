@@ -222,6 +222,74 @@ class GraphSpec extends SparkSuite {
       (4L, 1L, 3), (5L, 1L, 4)))
   }
 
+  test("landmarkDistancesIncremental: relaxation from new-edge " +
+      "endpoints ≡ from-scratch over the union with the frozen " +
+      "pivots; delta holds only improved keys; retry-idempotent; " +
+      "compaction preserves the view") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lmstore-").toString + "/lm"
+    // history: path 1-2-3-4-5-6-7; landmarks = {1, 2}, depth 3
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (6L, 7L)).toDF("a", "b")
+    Graph.writeLandmarkStore(hist, col("a"), col("b"),
+      landmarks = 2, maxDepth = 3, dir)
+    val stored = Graph.landmarkStoreDistances(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(stored.contains((4L, 1L, 3)) && !stored.exists(_._3 > 3))
+    // batch: a shortcut (1,5) shrinks the tail, (7,8) brings a NEW
+    // node into range-of-nothing (still > depth 3 of both landmarks),
+    // (5,9) brings a new node INTO range, and (2,3) is re-sent
+    val batch = Seq((1L, 5L), (7L, 8L), (5L, 9L), (2L, 3L))
+      .toDF("a", "b")
+    val union = hist.unionByName(batch)
+    def run() = Graph.landmarkDistancesIncremental(union, col("a"),
+      col("b"), batch, col("a"), col("b"), dir, batchId = 1L,
+      maxDepth = 3)
+    val got = run().as[(Long, Long, Int)].collect().toSet
+    val scratch = Graph.landmarkDistances(union, col("a"), col("b"),
+        maxDepth = 3,
+        pivots = Some(Seq(1L, 2L).toDF("lm")))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == scratch, s"warm $got vs scratch $scratch")
+    // the shortcut pulled 5 to dist 1 of lm 1 and 9 to dist 2; 8
+    // stays out of range of both landmarks
+    assert(got.contains((5L, 1L, 1)) && got.contains((9L, 1L, 2)))
+    assert(!got.exists(_._1 == 8L))
+    // delta accounting: only IMPROVED keys in batch=1 (never a row
+    // restating a stored distance)
+    val delta = spark.read.parquet(s"$dir/batch=1")
+      .select(col("id"), col("lm"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(delta.nonEmpty)
+    delta.foreach { case (i, l, dv) =>
+      val old = stored.find(r => r._1 == i && r._2 == l).map(_._3)
+      assert(old.forall(dv < _), s"unimproved delta row ($i,$l,$dv)")
+    }
+    // retry (same batchId) overwrites identically
+    val retry = run().as[(Long, Long, Int)].collect().toSet
+    assert(retry == got)
+    // store view ≡ returned sketch, before and after compaction
+    assert(Graph.landmarkStoreDistances(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet == got)
+    assert(Graph.compactLandmarkStore(spark, dir).isDefined)
+    assert(Graph.landmarkStoreDistances(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet == got)
+    // a second batch extends the compacted store: (8,2) pulls 8 into
+    // range of both landmarks
+    val b2 = Seq((8L, 2L)).toDF("a", "b")
+    val union2 = union.unionByName(b2)
+    val got2 = Graph.landmarkDistancesIncremental(union2, col("a"),
+        col("b"), b2, col("a"), col("b"), dir, batchId = 2L,
+        maxDepth = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val scratch2 = Graph.landmarkDistances(union2, col("a"), col("b"),
+        maxDepth = 3, pivots = Some(Seq(1L, 2L).toDF("lm")))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got2 == scratch2)
+    assert(got2.contains((8L, 2L, 1)))
+  }
+
   test("node2vecWalks: biased hops replay the cumulative-weight " +
       "fingerprint rule; uniform first step; deterministic under " +
       "repartitioning") {

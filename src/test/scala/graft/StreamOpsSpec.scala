@@ -774,7 +774,9 @@ class StreamOpsSpec extends SparkSuite {
       hitsStorePath = Some(s"$base/hits"), hitsRounds = 2,
       hitsIters = 5,
       louvainStorePath = Some(s"$base/lv"), louvainRounds = 1,
-      louvainIters = 3)
+      louvainIters = 3,
+      landmarkStorePath = Some(s"$base/lm"), landmarkCount = 2,
+      landmarkDepth = 3)
     try {
       // b0: components {1,2,3} and {10,11}; seed 20 is edge-isolated
       val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
@@ -878,6 +880,19 @@ class StreamOpsSpec extends SparkSuite {
       val wantLv = Graph.louvainStoreCommunities(spark, ldir)
         .as[(Long, Long)].collect().toSet
       assert(gotLv == wantLv, s"$gotLv vs $wantLv")
+      // Landmark sketch: distances only shrink under insertion, so
+      // the maintained store must equal the FROM-SCRATCH union BFS
+      // with the pivots frozen at bootstrap (b0's 2 smallest nodes =
+      // {1, 2}) — the strongest claim of the eight forms, exact
+      // against the semantic ground truth, not just a replay
+      val gotLm = Graph.landmarkStoreDistances(spark, s"$base/lm")
+        .as[(Long, Long, Int)].collect().toSet
+      val wantLm = Graph.landmarkDistances(union, col("a"), col("b"),
+          maxDepth = 3, pivots = Some(Seq(1L, 2L).toDF("lm")))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(gotLm == wantLm, s"$gotLm vs $wantLm")
+      // b1's bridge (3,10) pulled 10 within reach of both landmarks
+      assert(gotLm.contains((10L, 1L, 3)) && gotLm.contains((10L, 2L, 2)))
     } finally q.stop()
   }
 
