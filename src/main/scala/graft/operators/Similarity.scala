@@ -606,6 +606,96 @@ object Similarity {
     }
   }
 
+  // ---------- incremental PQ-code store ----------
+
+  /** Persist a [[pqEncode]] artifact as `batch=0` of an incremental
+    * store on the shared gen=/batch= protocol, alongside the FROZEN
+    * fit (coarse centroids, codebooks, residual mode) every later
+    * [[pqStoreAppend]] encodes with — the continuously-ingesting ANN
+    * corpus's layout: the billion-vector code table grows per batch,
+    * the fit is a one-time artifact, and codebook drift is priced by
+    * a recall gate instead of a re-encode (the FAISS operational
+    * contract for IndexIVFPQ.add after train).
+    */
+  def writePqCodeStore(corpus: DataFrame,
+                       cents: Array[Array[Double]],
+                       books: Array[Array[Array[Double]]],
+                       storeDir: String, residual: Boolean = false,
+                       filesOut: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    saveCentroids(spark, cents, s"$storeDir/fit_coarse")
+    savePqCodebooks(spark, books, s"$storeDir/fit_books")
+    Seq(residual).toDF("residual").coalesce(1)
+      .write.mode("overwrite").parquet(s"$storeDir/fit_mode")
+    pqEncode(corpus, cents, books, residual)
+      .withColumn("__b", lit(0L))
+      .repartitionByRange(filesOut, col("cell"), col("vb"))
+      .sortWithinPartitions(col("cell"), col("vb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+  }
+
+  /** The store's frozen fit: (coarse centroids, codebooks, residual
+    * mode). Bounded driver state — centroids·dim + m·ks·dsub doubles.
+    */
+  def pqStoreFit(spark: SparkSession, storeDir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], Boolean) =
+    (loadCentroids(spark, s"$storeDir/fit_coarse"),
+      loadPqCodebooks(spark, s"$storeDir/fit_books"),
+      spark.read.parquet(s"$storeDir/fit_mode")
+        .head.getBoolean(0))
+
+  /** Encode a NEW batch with the store's frozen fit and append it as
+    * `batch=<id>` — per-batch work is batch-sized (one narrow
+    * codegen'd encode pass; the existing codes are never touched or
+    * re-read). Re-sent ids are folded newest-wins at read time
+    * ([[pqStoreCodes]]); retries are overwrite-idempotent. Returns
+    * the encoded batch.
+    */
+  def pqStoreAppend(newVecs: DataFrame, storeDir: String,
+                    batchId: Long, filesOut: Int = 4): DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writePqCodeStore base")
+    val spark = newVecs.sparkSession
+    val (cents, books, residual) = pqStoreFit(spark, storeDir)
+    val enc = Checkpoints.stage(
+      pqEncode(newVecs, cents, books, residual))
+    enc.withColumn("__b", lit(batchId))
+      .repartitionByRange(filesOut, col("cell"), col("vb"))
+      .sortWithinPartitions(col("cell"), col("vb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+    // enc is staged, so its data predates the overwrite safely
+    enc
+  }
+
+  /** The PQ-code store's CURRENT view (newest batch wins per vb) —
+    * the `encoded` feed for [[ivfTopKPq]].
+    */
+  def pqStoreCodes(spark: SparkSession, storeDir: String): DataFrame =
+    spark.read
+      .parquet(Stats.committedViewDirs(spark, storeDir): _*)
+      .groupBy(col("vb"))
+      .agg(max(struct(col("__b"), col("cell"), col("codes"),
+        col("rn"))).as("m"))
+      .select(col("vb"), col("m.cell").as("cell"),
+        col("m.codes").as("codes"), col("m.rn").as("rn"))
+
+  /** Fold the PQ-code store's batches (newest per vb) into one
+    * cell-clustered generation.
+    */
+  def compactPqCodeStore(spark: SparkSession, storeDir: String,
+                         filesOut: Int = 4): Option[Long] =
+    Stats.compactCommittedStore(spark, storeDir,
+      _.groupBy(col("vb"))
+        .agg(max(struct(col("__b"), col("cell"), col("codes"),
+          col("rn"))).as("m"))
+        .select(col("vb"), col("m.cell").as("cell"),
+          col("m.codes").as("codes"), col("m.rn").as("rn"),
+          col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("cell"), col("vb"))
+        .sortWithinPartitions(col("cell"), col("vb")))
+
   /** IVF-PQ top-k: coarse-quantize into IVF cells, shortlist inside
     * the probed cells on PQ-compressed codes (each candidate costs m
     * element_at lookups into the query's ADC table — the float corpus

@@ -65,6 +65,43 @@ object ExtensionQueries {
     s.read.parquet(dir)
   }
 
+  private val pqIncMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Array[Double]], Array[Array[Array[Double]]])]()
+
+  /** The INCREMENTAL PQ store's frozen fit: coarse + residual
+    * codebooks fit on the HISTORY slice only (vec_id % 10 ≠ 3, the
+    * SF-invariant modulus split) — appends encode with this, never
+    * refit.
+    */
+  private[queries] def fittedPqInc(d: String, hist: => DataFrame)
+      : (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    pqIncMemo.computeIfAbsent(d, _ => {
+      val cents = Similarity.fitCentroids(hist, k = 16, iters = 3)
+      (cents, Similarity.fitPqCodebooks(hist, m = 16, ks = 16,
+        iters = 2, coarse = Some(cents)))
+    })
+
+  /** Bootstrap the incremental PQ-code store on the history slice
+    * (once per data dir) and append the batch slice as `batch=1`
+    * (every call — overwrite-idempotent by the store contract, so
+    * re-runs exercise the retry path for free). Returns the store
+    * dir; both x_pq_incremental and the drift gate read through it.
+    */
+  private[queries] def pqIncStoreReady(s: SparkSession,
+                                       d: String): String = {
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val hist = e.where(pmod(col("id"), lit(10)) =!= 3)
+    val dir = ArtifactMemo.dirFor("pqincstore", d) { p =>
+      val (cents, books) = fittedPqInc(d, hist)
+      Similarity.writePqCodeStore(hist, cents, books, p,
+        residual = true)
+    }
+    Similarity.pqStoreAppend(
+      e.where(pmod(col("id"), lit(10)) === 3), dir, batchId = 1L): Unit
+    dir
+  }
+
   /** Persisted BANDED MinHash signature store for the "historical"
     * corpus slice (doc_id < 400), written once per data dir — clustered
     * by (band, bucket) with a footer-stats manifest, so a batch's store
@@ -907,6 +944,49 @@ object ExtensionQueries {
         .select(col("n_miss"), col("n_exact"))
     }),
 
+    // INCREMENTAL PQ-code appends: the history slice (vec_id % 10 ≠ 3)
+    // bootstraps the code store and FREEZES the fit (coarse + residual
+    // codebooks); the batch slice then encodes with the frozen fit and
+    // appends as batch=1 — per-batch work is batch-sized, existing
+    // codes never re-encode (the FAISS add-after-train contract).
+    // Output is the store view in LONG form (id, cell, sub, code);
+    // the oracle replays BOTH argmins — coarse cell and per-subspace
+    // residual code — from the fitted artifacts embedded as string-
+    // cast literals (the x_pca_project pattern), so the whole store
+    // is hash-checked, not rows-only.
+    "x_pq_incremental" -> ((s, d) => {
+      Similarity.pqStoreCodes(s, pqIncStoreReady(s, d))
+        .select(col("vb").as("id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy(col("id"), col("sub"))
+    }),
+
+    // PQ codebook-drift gate (empty-set oracle): recall@5 through the
+    // APPENDED store (history-frozen fit scoring history + batch
+    // vectors) must stay within the x_ivf_pq_recall_err budget (30%
+    // misses) vs exact brute force — the alarm that fires when new
+    // data drifts off the frozen codebooks and a re-train is due.
+    "x_pq_drift_err" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val hist = e.where(pmod(col("id"), lit(10)) =!= 3)
+      val (cents, books) = fittedPqInc(d, hist)
+      val q = e.where(col("id") < 10)
+      val bf = Similarity.bruteForceTopK(q, e, k = 5)
+        .select(col("qa"), col("vb"))
+      val pq = Similarity.ivfTopKPq(q, e, k = 5, shortlist = 40,
+          nprobe = 6, m = 16, fittedCoarse = Some(cents),
+          fittedPq = Some(books),
+          encoded = Some(Similarity.pqStoreCodes(s,
+            pqIncStoreReady(s, d))), residual = true)
+        .select(col("qa"), col("vb"))
+      val misses = bf.join(pq, Seq("qa", "vb"), "left_anti")
+      misses.agg(count(lit(1)).as("n_miss"))
+        .crossJoin(bf.agg(count(lit(1)).as("n_exact")))
+        .where(col("n_miss") * 10 > col("n_exact") * 3)
+        .select(col("n_miss"), col("n_exact"))
+    }),
+
     // BPE-ish regex tokenization (word / number / punct-run classes,
     // optional leading space — the GPT-2 pattern family restricted to
     // alternatives both regex engines treat identically).
@@ -1591,8 +1671,99 @@ object ExtensionQueries {
            |ORDER BY id, dim""".stripMargin)
     }
 
+  /** Oracle for x_pq_incremental, built from the MEMOIZED frozen fit
+    * (same Verify-dumps-after-run contract as [[pcaProjectOracle]]).
+    * Replays BOTH deterministic argmins: the coarse cell (max dot,
+    * index tiebreak — Spark's array_sort of (−score, i) structs ≡ a
+    * min_by on the [−dot, ci] list key) and each subspace's residual
+    * code (min of ‖cb‖² − 2·x_j·cb + 2·cd[cell,j,i], code tiebreak).
+    * Every fitted constant lands as a string-cast literal; the folds
+    * mirror VecDot's +0.0-seeded left fold.
+    */
+  private def pqIncrementalOracle: Map[String, String] =
+    if (pqIncMemo.size != 1) Map.empty
+    else {
+      val (cents, books) = pqIncMemo.values.iterator.next()
+      val m = books.length
+      val ks = books(0).length
+      val dsub = books(0)(0).length
+      def dl(x: Double) = s"CAST('$x' AS DOUBLE)"
+      val cvLists = cents
+        .map(c => "[" + c.map(dl).mkString(", ") + "]")
+        .mkString(",\n    ")
+      // flat (sub, code) rows: bn = ‖cb‖², bv = the codebook vector
+      val flat = for (j <- 0 until m; i <- 0 until ks)
+        yield (j, i, books(j)(i))
+      val bns = flat
+        .map { case (_, _, c) => dl(c.map(x => x * x).sum) }
+        .mkString(", ")
+      val bvLists = flat
+        .map { case (_, _, c) =>
+          "[" + c.map(dl).mkString(", ") + "]" }
+        .mkString(",\n    ")
+      // the residual cross-term table, exactly Similarity's
+      // centSubDotFlat layout: index = cell·(m·ks) + j·ks + i
+      val cd = cents.flatMap { cent =>
+        books.zipWithIndex.flatMap { case (book, j) =>
+          book.map { c =>
+            var s2 = 0.0
+            var i = 0
+            while (i < dsub) { s2 += cent(j * dsub + i) * c(i); i += 1 }
+            s2
+          }
+        }
+      }.map(dl).mkString(", ")
+      Map("x_pq_incremental" ->
+        s"""WITH ct AS MATERIALIZED (
+           |  SELECT unnest([${cents.indices.mkString(", ")}]) AS ci,
+           |    unnest([
+           |    $cvLists
+           |    ]) AS cv
+           |), cellsc AS (
+           |  SELECT e.vec_id, ct.ci,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(e.embedding, ct.cv),
+           |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |      (x, y) -> x + y) AS dotc
+           |  FROM embeddings e CROSS JOIN ct
+           |), cellpick AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    CAST(min([-dotc, CAST(ci AS DOUBLE)])[2] AS INT) AS cell
+           |  FROM cellsc GROUP BY vec_id
+           |), cdt AS MATERIALIZED (
+           |  SELECT [$cd] AS cd
+           |), bk AS MATERIALIZED (
+           |  SELECT
+           |    unnest([${flat.map(_._1).mkString(", ")}]) AS sub,
+           |    unnest([${flat.map(_._2).mkString(", ")}]) AS code,
+           |    unnest([$bns]) AS bn,
+           |    unnest([
+           |    $bvLists
+           |    ]) AS bv
+           |), sc AS (
+           |  SELECT e.vec_id, p.cell, b.sub, b.code,
+           |    b.bn - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(
+           |        e.embedding[(b.sub*$dsub+1):(b.sub*$dsub+$dsub)],
+           |        b.bv),
+           |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |      (x, y) -> x + y)
+           |      + 2.0 * cd[p.cell*${m * ks} + b.sub*$ks + b.code + 1]
+           |      AS dd
+           |  FROM embeddings e
+           |    JOIN cellpick p USING (vec_id)
+           |    CROSS JOIN bk b CROSS JOIN cdt
+           |)
+           |SELECT vec_id AS id, CAST(cell AS INT) AS cell,
+           |  CAST(sub AS INT) AS sub,
+           |  CAST(min([dd, CAST(code AS DOUBLE)])[2] + 1 AS INT)
+           |    AS code
+           |FROM sc GROUP BY vec_id, cell, sub
+           |ORDER BY id, sub""".stripMargin)
+    }
+
   def oracleSql: Map[String, String] = oracleSqlStatic ++
-    pcaProjectOracle
+    pcaProjectOracle ++ pqIncrementalOracle
 
   private val oracleSqlStatic: Map[String, String] = Map(
     "x_dedup_exact" ->
@@ -1865,6 +2036,9 @@ object ExtensionQueries {
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
     "x_ivf_pq_recall_err" ->
+      """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
+        |WHERE 1 = 0""".stripMargin,
+    "x_pq_drift_err" ->
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
     "x_kcenter" -> kCenterSql,

@@ -24,7 +24,8 @@ class QueriesSpec extends SparkSuite {
   private val expectEmpty =
     Set("x_approx_distinct_err", "r_approx_pct_err", "x_ann_recall_err",
       "x_embed_recall_err", "x_ivf_recall_err", "x_ivf_q8_recall_err",
-      "x_ivf_pq_recall_err", "x_cms_err", "x_quality_gate_approx_err",
+      "x_ivf_pq_recall_err", "x_pq_drift_err", "x_cms_err",
+      "x_quality_gate_approx_err",
       "x_hybrid_rrf_err", "x_quantile_err", "x_semdedup_drop_err",
       "x_semdedup_recall_err", "x_kmv_err", "x_pca_err",
       "x_maxsim_ivf_err")

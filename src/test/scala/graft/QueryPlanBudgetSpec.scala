@@ -96,6 +96,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // same two-stage windows as x_cosine_ivf_q8
     "x_cosine_ivf_pq" -> Budget(maxShuffles = 8, maxSorts = 8,
       maxBroadcasts = 8),
+    // drift gate = the PQ gate's shape read through the appended
+    // store (one extra newest-wins fold on the store view)
+    "x_pq_drift_err" -> Budget(maxShuffles = 16, maxSorts = 12,
+      maxBroadcasts = 10, allowCartesian = true),
     // exact-vs-approx disagreement gate: two gates + exceptAll both ways
     "x_quality_gate_approx_err" -> Budget(maxShuffles = 10,
       maxSorts = 6, maxBroadcasts = 8),

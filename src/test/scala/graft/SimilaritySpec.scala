@@ -131,6 +131,54 @@ class SimilaritySpec extends SparkSuite {
         a.zip(b).forall { case (x, y) => x.sameElements(y) } })
   }
 
+  test("pq code store: frozen-fit appends ≡ full re-encode " +
+      "bit-exactly; retry-idempotent; newest batch wins a re-sent " +
+      "id; compaction preserves the view; probes read the store") {
+    val hist = embs.where(pmod($"id", lit(10)) =!= 3)
+    val batch = embs.where(pmod($"id", lit(10)) === 3)
+    val cents = Similarity.fitCentroids(hist, k = 16, iters = 3)
+    val books = Similarity.fitPqCodebooks(hist, m = 16, ks = 16,
+      iters = 2, coarse = Some(cents))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pqstore-").toString + "/pq"
+    Similarity.writePqCodeStore(hist, cents, books, dir,
+      residual = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vb", $"cell", $"codes", $"rn")
+      .as[(Long, Int, Seq[Int], Double)].collect().toSet
+    Similarity.pqStoreAppend(batch, dir, batchId = 1L): Unit
+    val want = rows(Similarity.pqEncode(embs, cents, books,
+      residual = true))
+    assert(rows(Similarity.pqStoreCodes(spark, dir)) == want)
+    // retry of the same append overwrites identically
+    Similarity.pqStoreAppend(batch, dir, batchId = 1L): Unit
+    assert(rows(Similarity.pqStoreCodes(spark, dir)) == want)
+    // the probe path reads the appended store bit-equally to a fresh
+    // full encode
+    val q = embs.where($"id" < 10)
+    def ann(enc: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopKPq(q, embs, k = 5, shortlist = 40,
+          nprobe = 6, m = 16, fittedCoarse = Some(cents),
+          fittedPq = Some(books),
+          encoded = Some(enc), residual = true)
+        .select($"qa", $"rank", $"vb", $"cos")
+        .as[(Long, Int, Long, Double)].collect().toSet
+    assert(ann(Similarity.pqStoreCodes(spark, dir)) ==
+      ann(Similarity.pqEncode(embs, cents, books, residual = true)))
+    // compaction folds to one generation, view unchanged
+    assert(Similarity.compactPqCodeStore(spark, dir).isDefined)
+    assert(rows(Similarity.pqStoreCodes(spark, dir)) == want)
+    // a re-sent id is folded newest-wins: id 0 re-encoded with id 1's
+    // vector takes id 1's codes
+    val resent = embs.where($"id" === 1)
+      .select(lit(0L).as("id"), $"vec")
+    Similarity.pqStoreAppend(resent, dir, batchId = 2L): Unit
+    val v = rows(Similarity.pqStoreCodes(spark, dir))
+    val id1 = want.find(_._1 == 1L).get
+    assert(v.contains((0L, id1._2, id1._3, id1._4)))
+    assert(v.size == want.size)
+  }
+
   test("IVF-PQ residual mode (IVFADC proper): full probe ≡ brute " +
       "force bit-for-bit; production recall matches or beats raw " +
       "encoding") {
