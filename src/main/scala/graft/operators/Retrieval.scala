@@ -161,6 +161,74 @@ object Retrieval {
       s"$indexDir/doclen_manifest")
   }
 
+  /** TOMBSTONE deletes for the BM25 index — the takedown /
+    * right-to-be-forgotten path: the doc ids land in a
+    * `deleted/batch=<id>` set the scoring paths anti-join (postings
+    * slices filter BEFORE df recovery, so per-term df is the
+    * SURVIVING count), and one NEGATIVE stats row (−n_docs, −Σdl,
+    * derived from the doclen store by a manifest-pruned id fetch)
+    * folds the global (n_docs, sum_dl) back to the surviving corpus —
+    * the additive-stats protocol absorbs retraction with no
+    * read-modify-overwrite. Already-deleted ids are skipped (a
+    * double-delete must not double-subtract), so the call is
+    * idempotent at the SEMANTIC level on top of the per-batch
+    * overwrite idempotence. `batchId` shares the index's monotone
+    * sequence: it must exceed every previously appended OR deleted
+    * batch (both write a `stats/batch=<id>` row). Deletions apply at
+    * read time until [[compactBm25Index]] drops the rows physically.
+    */
+  def deleteBm25Docs(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, ids: DataFrame,
+                     batchId: Long, filesOut: Int = 1): Unit = {
+    require(batchId > 0L, "deleteBm25Docs: batchId 0 is the base write")
+    val fresh = Checkpoints.stage(
+      bm25DeletedIds(spark, indexDir, batchId) match {
+        case None => ids.select(col("id")).distinct()
+        case Some(del) => ids.select(col("id")).distinct()
+          .join(del, Seq("id"), "left_anti")
+      })
+    // the tombstone set FIRST, the stats correction second: the
+    // correction is derived from exactly the fresh set, and a retry
+    // (same batchId) recomputes the same set because the prior view
+    // reads only batches < batchId
+    fresh.select(col("id"), lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/deleted/batch=$batchId")
+    readTouchedKeysView(spark, s"$indexDir/doclen",
+        s"$indexDir/doclen_manifest", "id", fresh)
+      .join(fresh, Seq("id"), "left_semi")
+      .agg((-count(lit(1))).as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$indexDir/stats/batch=$batchId")
+  }
+
+  /** The index's tombstoned doc ids committed before `beforeBatch`
+    * (None when the index has never seen a delete — the common case
+    * pays one existence check, no join).
+    */
+  private def bm25DeletedIds(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String,
+                             beforeBatch: Long = Long.MaxValue)
+      : Option[DataFrame] =
+    Stats.committedViewDirs(spark, s"$indexDir/deleted") match {
+      case Seq() => None
+      case dirs => Some(spark.read.parquet(dirs: _*)
+        .where(col("__b") < beforeBatch)
+        .select(col("id")))
+    }
+
+  /** Drop tombstoned docs from a postings/doclen slice. */
+  private def minusDeleted(df: DataFrame,
+                           deleted: Option[DataFrame]): DataFrame =
+    deleted match {
+      case None => df
+      case Some(del) => df.join(del, Seq("id"), "left_anti")
+    }
+
   /** Fold accumulated postings/doclen batch appends into ONE clustered
     * generation each (`gen=<maxBatchId>`, the
     * [[graft.operators.Stats.compactCommittedStore]] OPTIMIZE cycle)
@@ -176,15 +244,29 @@ object Retrieval {
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, filesOut: Int = 16)
       : Option[Long] = {
+    // tombstoned docs drop PHYSICALLY here: the folded generations
+    // hold surviving rows only, and the tombstone set is then rewritten
+    // as an empty generation (its corrections live on in the additive
+    // stats rows, which never compact). Staged first — the fold and
+    // the tombstone rewrite race otherwise.
+    val deleted = bm25DeletedIds(spark, indexDir)
+      .map(d => Checkpoints.stage(d))
+    def dropDeleted(df: DataFrame): DataFrame =
+      minusDeleted(df, deleted)
     val tok = Stats.compactCommittedStore(spark, s"$indexDir/postings",
-      _.select(col("th"), col("term"), col("id"), col("tf"))
+      df => dropDeleted(df)
+        .select(col("th"), col("term"), col("id"), col("tf"))
         .repartitionByRange(filesOut, col("th"))
         .sortWithinPartitions(col("th"), col("term")))
     if (tok.isDefined) {
       Stats.compactCommittedStore(spark, s"$indexDir/doclen",
-        _.select(col("id"), col("dl"))
+        df => dropDeleted(df)
+          .select(col("id"), col("dl"))
           .repartitionByRange(math.max(1, filesOut / 2), col("id"))
           .sortWithinPartitions(col("id"))): Unit
+      if (deleted.isDefined)
+        Stats.compactCommittedStore(spark, s"$indexDir/deleted",
+          _.where(lit(false)).select(col("id"), col("__b"))): Unit
       Stats.refreshManifest(spark, s"$indexDir/postings",
         s"$indexDir/postings_manifest")
       Stats.refreshManifest(spark, s"$indexDir/doclen",
@@ -239,11 +321,14 @@ object Retrieval {
     val idx = queryTerms.indices
     val probe = queryTerms.toDF("term")
       .select(xxhash64(col("term")).as("th"))
-    val slice = Checkpoints.stage(
+    // tombstoned docs drop BEFORE the df recovery below, so per-term
+    // df is the SURVIVING document count
+    val slice = Checkpoints.stage(minusDeleted(
       readTouchedKeysView(spark, s"$indexDir/postings",
           s"$indexDir/postings_manifest", "th", probe)
         .where(col("term").isin(queryTerms: _*))
-        .select(col("term"), col("id"), col("tf")))
+        .select(col("term"), col("id"), col("tf")),
+      bm25DeletedIds(spark, indexDir)))
     val dfAggs = idx.map(i =>
       sum(when(col("term") === queryTerms(i), 1L).otherwise(0L))
         .as(s"df_$i"))
@@ -305,11 +390,12 @@ object Retrieval {
       col("pos").cast("int").as("pos"), col("term")))
     val terms = q.select(col("term")).distinct()
     val probe = terms.select(xxhash64(col("term")).as("th"))
-    val slice = Checkpoints.stage(
+    val slice = Checkpoints.stage(minusDeleted(
       readTouchedKeysView(spark, s"$indexDir/postings",
           s"$indexDir/postings_manifest", "th", probe)
         .join(broadcast(terms), Seq("term"), "left_semi")
-        .select(col("term"), col("id"), col("tf").as("tf_0")))
+        .select(col("term"), col("id"), col("tf").as("tf_0")),
+      bm25DeletedIds(spark, indexDir)))
     // postings are unique per (id, term), so rows-per-term = docs
     // containing the term — the same df the single-query agg derives
     val dfs = slice.groupBy(col("term"))

@@ -669,8 +669,31 @@ object Similarity {
     enc
   }
 
-  /** The PQ-code store's CURRENT view (newest batch wins per vb) —
-    * the `encoded` feed for [[ivfTopKPq]].
+  /** TOMBSTONE deletes for the PQ-code store — the retraction path a
+    * training corpus legally needs (takedowns, right-to-be-forgotten)
+    * without a re-encode: append a `batch=<id>` whose rows mark the
+    * ids deleted (cell = −1, a value no real assignment produces —
+    * same schema, so the store protocol is untouched), let the
+    * newest-wins fold hide them at read time, and let compaction drop
+    * them physically (a generation replaces every batch it folded, so
+    * no older live row can resurface a dropped tombstone). A later
+    * re-add of the same id simply wins by batch id.
+    */
+  def pqStoreDelete(ids: DataFrame, storeDir: String,
+                    batchId: Long, filesOut: Int = 4): Unit = {
+    require(batchId >= 1L, "batchId 0 is the writePqCodeStore base")
+    ids.select(col("id").as("vb"), lit(-1).as("cell"),
+        array().cast("array<int>").as("codes"),
+        lit(0.0).as("rn"), lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("vb"))
+      .sortWithinPartitions(col("vb"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** The PQ-code store's CURRENT view (newest batch wins per vb;
+    * tombstoned ids — newest row cell = −1 — are hidden) — the
+    * `encoded` feed for [[ivfTopKPq]].
     */
   def pqStoreCodes(spark: SparkSession, storeDir: String): DataFrame =
     spark.read
@@ -678,11 +701,14 @@ object Similarity {
       .groupBy(col("vb"))
       .agg(max(struct(col("__b"), col("cell"), col("codes"),
         col("rn"))).as("m"))
+      .where(col("m.cell") >= 0)
       .select(col("vb"), col("m.cell").as("cell"),
         col("m.codes").as("codes"), col("m.rn").as("rn"))
 
   /** Fold the PQ-code store's batches (newest per vb) into one
-    * cell-clustered generation.
+    * cell-clustered generation. Tombstoned ids drop PHYSICALLY here:
+    * the new generation supersedes every batch it folded, so no
+    * older live row can resurface them.
     */
   def compactPqCodeStore(spark: SparkSession, storeDir: String,
                          filesOut: Int = 4): Option[Long] =
@@ -690,6 +716,7 @@ object Similarity {
       _.groupBy(col("vb"))
         .agg(max(struct(col("__b"), col("cell"), col("codes"),
           col("rn"))).as("m"))
+        .where(col("m.cell") >= 0)
         .select(col("vb"), col("m.cell").as("cell"),
           col("m.codes").as("codes"), col("m.rn").as("rn"),
           col("m.__b").as("__b"))

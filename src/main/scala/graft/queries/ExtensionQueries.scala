@@ -987,6 +987,34 @@ object ExtensionQueries {
         .select(col("n_miss"), col("n_exact"))
     }),
 
+    // PQ-store TOMBSTONE deletes — the takedown / right-to-be-
+    // forgotten path: bootstrap + append as in x_pq_incremental (its
+    // own store dir, so the two queries stay order-independent), then
+    // delete vec_id % 7 = 0 as batch=2. The view must equal the
+    // frozen-fit encode of the SURVIVING corpus — same literal-replay
+    // oracle, filtered; deleted ids are hidden at read time and drop
+    // physically at compaction.
+    "x_pq_delete" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val hist = e.where(pmod(col("id"), lit(10)) =!= 3)
+      val dir = ArtifactMemo.dirFor("pqdelstore", d) { p =>
+        val (cents, books) = fittedPqInc(d, hist)
+        Similarity.writePqCodeStore(hist, cents, books, p,
+          residual = true)
+      }
+      Similarity.pqStoreAppend(
+        e.where(pmod(col("id"), lit(10)) === 3), dir,
+        batchId = 1L): Unit
+      Similarity.pqStoreDelete(
+        e.select(col("id")).where(pmod(col("id"), lit(7)) === 0),
+        dir, batchId = 2L)
+      Similarity.pqStoreCodes(s, dir)
+        .select(col("vb").as("id"), col("cell"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .orderBy(col("id"), col("sub"))
+    }),
+
     // BPE-ish regex tokenization (word / number / punct-run classes,
     // optional leading space — the GPT-2 pattern family restricted to
     // alternatives both regex engines treat identically).
@@ -1682,7 +1710,15 @@ object ExtensionQueries {
     */
   private def pqIncrementalOracle: Map[String, String] =
     if (pqIncMemo.size != 1) Map.empty
-    else {
+    else Map(
+      "x_pq_incremental" -> pqReplaySql("TRUE"),
+      // the tombstoned store ≡ the replay over the SURVIVING corpus
+      "x_pq_delete" -> pqReplaySql("vec_id % 7 <> 0"))
+
+  /** The shared literal-replay body: PQ codes of every embedding row
+    * satisfying `keep`, from the memoized frozen fit.
+    */
+  private def pqReplaySql(keep: String): String = {
       val (cents, books) = pqIncMemo.values.iterator.next()
       val m = books.length
       val ks = books(0).length
@@ -1713,8 +1749,10 @@ object ExtensionQueries {
           }
         }
       }.map(dl).mkString(", ")
-      Map("x_pq_incremental" ->
-        s"""WITH ct AS MATERIALIZED (
+      (
+        s"""WITH emb AS MATERIALIZED (
+           |  SELECT vec_id, embedding FROM embeddings WHERE $keep
+           |), ct AS MATERIALIZED (
            |  SELECT unnest([${cents.indices.mkString(", ")}]) AS ci,
            |    unnest([
            |    $cvLists
@@ -1725,7 +1763,7 @@ object ExtensionQueries {
            |      list_transform(list_zip(e.embedding, ct.cv),
            |        z -> CAST(z[1] AS DOUBLE) * z[2])),
            |      (x, y) -> x + y) AS dotc
-           |  FROM embeddings e CROSS JOIN ct
+           |  FROM emb e CROSS JOIN ct
            |), cellpick AS MATERIALIZED (
            |  SELECT vec_id,
            |    CAST(min([-dotc, CAST(ci AS DOUBLE)])[2] AS INT) AS cell
@@ -1750,7 +1788,7 @@ object ExtensionQueries {
            |      (x, y) -> x + y)
            |      + 2.0 * cd[p.cell*${m * ks} + b.sub*$ks + b.code + 1]
            |      AS dd
-           |  FROM embeddings e
+           |  FROM emb e
            |    JOIN cellpick p USING (vec_id)
            |    CROSS JOIN bk b CROSS JOIN cdt
            |)
@@ -1760,7 +1798,7 @@ object ExtensionQueries {
            |    AS code
            |FROM sc GROUP BY vec_id, cell, sub
            |ORDER BY id, sub""".stripMargin)
-    }
+  }
 
   def oracleSql: Map[String, String] = oracleSqlStatic ++
     pcaProjectOracle ++ pqIncrementalOracle

@@ -176,6 +176,36 @@ object RetrievalQueries {
         .orderBy(col("score").desc, col("doc_id"))
     }),
 
+    // TOMBSTONE deletes — the takedown path: the full-corpus index
+    // (bootstrapped + batch=1 append inside the memo, its own store so
+    // order-independence holds) takes a doc_id % 9 = 0 delete batch;
+    // scoring must then equal a from-scratch BM25 over the SURVIVING
+    // corpus exactly — per-term df from surviving postings, global
+    // (n_docs, sum_dl) restored by the negative stats row. Deleting
+    // the same set twice must not double-subtract (batch=3 re-delete
+    // is a semantic no-op); compaction drops the rows physically and
+    // must still answer identically (the query reads the compacted
+    // index).
+    "x_bm25_delete" -> ((s, d) => {
+      val idxDir = ArtifactMemo.dirFor("bm25idxdel", d) { p =>
+        val docs = t(s, d, "documents")
+        Retrieval.writeBm25Index(docs.where(col("doc_id") < 400),
+          col("doc_id"), col("text"), p)
+        Retrieval.appendBm25Index(docs.where(col("doc_id") >= 400),
+          col("doc_id"), col("text"), p, batchId = 1L)
+        val del = docs.where(pmod(col("doc_id"), lit(9)) === 0)
+          .select(col("doc_id").as("id"))
+        Retrieval.deleteBm25Docs(s, p, del, batchId = 2L)
+        Retrieval.deleteBm25Docs(s, p, del, batchId = 3L)
+        Retrieval.compactBm25Index(s, p): Unit
+      }
+      Retrieval.bm25TopKIndexed(s, idxDir, Bm25Terms, k = 25)
+        .select(col("id").as("doc_id"), col("tf_0").as("tf_merge"),
+          col("tf_1").as("tf_window"), col("tf_2").as("tf_spark"),
+          col("dl"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // SET-ORIENTED retrieval: three queries of different lengths score
     // against the index in ONE pass - one manifest prune for the union
     // of terms, per-term dfs off the shared slice, candidate pairs by
@@ -780,8 +810,8 @@ object RetrievalQueries {
        |SELECT id AS $idName, rank FROM r5 ORDER BY $idName""".stripMargin
   }
 
-  private lazy val bm25TopSql: String =
-    s"""WITH $bm25TfStSql
+  private def bm25TopSqlKeep(keep: String): String =
+    s"""WITH ${bm25TfStSqlKeep(keep)}
        |SELECT doc_id, tf_0 AS tf_merge, tf_1 AS tf_window,
        |  tf_2 AS tf_spark, dl,
        |  ${bm25TermSql(0)}
@@ -790,6 +820,8 @@ object RetrievalQueries {
        |FROM tf CROSS JOIN st
        |WHERE tf_0 + tf_1 + tf_2 > 0
        |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+
+  private lazy val bm25TopSql: String = bm25TopSqlKeep("TRUE")
 
   /** One scaled-integer PageRank round as a CTE, over caller-named
     * nodes/params/edges/outdeg CTEs — the [[pageRankSqlOver]] round
@@ -1417,7 +1449,11 @@ object RetrievalQueries {
          |ORDER BY rrf DESC, doc_id LIMIT 25""".stripMargin
 
   /** The tf + corpus-stats CTE pair shared by the BM25 oracles. */
-  private val bm25TfStSql: String =
+  /** tf + corpus-stats CTE pair over a filtered corpus — `keep` is
+    * the surviving-document predicate (TRUE for the full corpus; the
+    * delete oracle passes the tombstone complement).
+    */
+  private def bm25TfStSqlKeep(keep: String): String =
     s"""tf AS (
        |  SELECT doc_id,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
@@ -1427,13 +1463,15 @@ object RetrievalQueries {
        |      x -> x = 'window')) AS BIGINT) AS tf_1,
        |    CAST(len(list_filter(string_split(text, ' '),
        |      x -> x = 'spark')) AS BIGINT) AS tf_2
-       |  FROM documents),
+       |  FROM documents WHERE $keep),
        |st AS (
        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
        |    sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
        |    sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
        |    sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
        |  FROM tf)""".stripMargin
+
+  private val bm25TfStSql: String = bm25TfStSqlKeep("TRUE")
 
   /** [[bm25TfStSql]] generalized: tf + corpus-stats CTE pair for an
     * arbitrary term list, suffixed so several queries share one WITH
@@ -1671,6 +1709,8 @@ object RetrievalQueries {
     "x_bm25" -> bm25TopSql,
     "x_bm25_indexed" -> bm25TopSql,
     "x_bm25_incremental" -> bm25TopSql,
+    // the tombstoned index ≡ from-scratch BM25 over the survivors
+    "x_bm25_delete" -> bm25TopSqlKeep("doc_id % 9 <> 0"),
     "x_bm25_many" -> bm25ManySql,
     "x_retrieval_eval" -> retrievalEvalSql,
     "x_hybrid_rrf" -> hybridRrfSql,

@@ -141,6 +141,45 @@ class Bm25IndexSpec extends SparkSuite {
       s"one-cycle vacuum must drop dirs folded into gen=2; got $names")
   }
 
+  test("deleteBm25Docs: tombstoned index ≡ from-scratch index over " +
+      "the survivors bit for bit (df, stats, scores); double-delete " +
+      "is a no-op; compaction drops rows physically and still " +
+      "answers exactly; both scoring paths filter") {
+    val dir = buildIndex()
+    val del = Seq(3L, 5L).toDF("id")
+    Retrieval.deleteBm25Docs(spark, dir, del, batchId = 1L)
+    val survivors = corpus.where(!col("doc_id").isin(3L, 5L))
+    val terms = Seq("merge", "window", "spark")
+    def got() = Retrieval.bm25TopKIndexed(spark, dir, terms, k = 10)
+      .orderBy(col("score").desc, col("id")).collect()
+    val want = TextAnalysis.bm25TopK(survivors, col("doc_id"),
+        col("text"), terms, k = 10)
+      .orderBy(col("score").desc, col("id")).collect()
+    assert(got().toSeq == want.toSeq)
+    assert(got().forall(r => r.getLong(0) != 3L && r.getLong(0) != 5L))
+    // double-delete must not double-subtract the stats correction
+    Retrieval.deleteBm25Docs(spark, dir, del, batchId = 2L)
+    assert(got().toSeq == want.toSeq)
+    // the set-oriented path filters identically
+    val q = Seq((7L, 0, "merge"), (7L, 1, "window"), (7L, 2, "spark"))
+      .toDF("query_id", "pos", "term")
+    val many = Retrieval.bm25TopKIndexedMany(spark, dir, q, k = 10)
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id")).collect()
+    assert(many.map(_.getLong(0)).toSeq ==
+      want.map(_.getAs[Long]("id")).toSeq)
+    assert(many.map(_.getDouble(1)).toSeq ==
+      want.map(_.getAs[Double]("score")).toSeq)
+    // compaction drops the tombstoned rows physically: no deleted id
+    // survives anywhere in the postings view, and answers still match
+    assert(Retrieval.compactBm25Index(spark, dir).isDefined)
+    val folded = spark.read.parquet(
+        Stats.committedViewDirs(spark, s"$dir/postings"): _*)
+      .where(col("id").isin(3L, 5L))
+    assert(folded.isEmpty)
+    assert(got().toSeq == want.toSeq)
+  }
+
   test("bm25TopKIndexedMany ≡ bm25TopKIndexed per query, bit for bit — " +
       "shared slice, one manifest prune, absent terms change nothing") {
     val dir = buildIndex()

@@ -196,6 +196,8 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // construction
     "x_bm25_indexed" -> default.copy(allowCartesian = true),
     "x_bm25_incremental" -> default.copy(allowCartesian = true),
+    // same 1-row stats/df cross joins as its siblings
+    "x_bm25_delete" -> default.copy(allowCartesian = true),
     // set-oriented retrieval: the same 1-row stats cross-join plus the
     // batch joins (query terms ⋈ slice ⋈ dfs ⋈ dl), the pos-fold
     // aggregate, and the bounded-buffer per-query top-k — NO window

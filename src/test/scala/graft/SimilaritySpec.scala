@@ -177,6 +177,29 @@ class SimilaritySpec extends SparkSuite {
     val id1 = want.find(_._1 == 1L).get
     assert(v.contains((0L, id1._2, id1._3, id1._4)))
     assert(v.size == want.size)
+    // tombstone deletes hide ids at read time: view == surviving set
+    Similarity.pqStoreDelete(
+      embs.select($"id").where(pmod($"id", lit(7)) === 0), dir,
+      batchId = 3L)
+    val afterDel = rows(Similarity.pqStoreCodes(spark, dir))
+    assert(afterDel == v.filterNot(_._1 % 7 == 0))
+    assert(afterDel.size < v.size)
+    // the probe path never returns a deleted id
+    val annDel = ann(Similarity.pqStoreCodes(spark, dir))
+    assert(annDel.forall(_._3 % 7 != 0))
+    // a re-add after the delete wins by batch id
+    Similarity.pqStoreAppend(embs.where($"id" === 7L), dir,
+      batchId = 4L): Unit
+    assert(rows(Similarity.pqStoreCodes(spark, dir))
+      .exists(_._1 == 7L))
+    // compaction drops tombstoned ids PHYSICALLY: the folded
+    // generation holds no cell = -1 rows and no deleted id
+    assert(Similarity.compactPqCodeStore(spark, dir).isDefined)
+    val gen = spark.read.parquet(s"$dir/gen=4")
+    assert(gen.where($"cell" < 0).isEmpty)
+    assert(gen.where($"vb" % 7 === 0 && $"vb" =!= 7L).isEmpty)
+    assert(rows(Similarity.pqStoreCodes(spark, dir)) ==
+      v.filterNot(r => r._1 % 7 == 0 && r._1 != 7L))
   }
 
   test("IVF-PQ residual mode (IVFADC proper): full probe ≡ brute " +
