@@ -127,6 +127,84 @@ case class SignBucketsVec(child: Expression, planesFlat: Array[Double],
     copy(child = newChild)
 }
 
+/** PQ code assignment: per subspace j, the 1-based index minimizing
+  *
+  *   d(j,i) = ‖cb_ji‖² − 2·⟨x_j, cb_ji⟩ (+ 2·cd[cell,j,i] residual)
+  *
+  * with ties to the FIRST index. Replaces a per-subspace array_min
+  * over ks literal structs — at m=16, ks=16 that tree's whole-stage
+  * method exceeded the JVM's 64 KB limit, so every containing stage
+  * paid a failed Janino compile and fell back (the ERROR CodeGenerator
+  * lines in r11/r12 logs). One boxed call per row running primitive
+  * loops instead, the [[SignBucketsVec]] trade.
+  *
+  * Bit-contract with the tree it replaces: the same IEEE sequence
+  * (left-fold dot over float→double promotions, (bn − 2·dot) + 2·cd
+  * association) and the same ordering semantics —
+  * `java.lang.Double.compare`, which is exactly Spark's struct-min
+  * double ordering (−0.0 < 0.0, NaN greatest). `cdFlat` empty = plain
+  * PQ (cell ignored); non-empty = residual IVFADC with the
+  * [[graft.operators.Similarity]] centSubDotFlat layout.
+  */
+case class PqCodesExpr(vec: Expression, cell: Expression,
+                       booksFlat: Array[Double], bn: Array[Double],
+                       cdFlat: Array[Double],
+                       m: Int, ks: Int, dsub: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(booksFlat.length == m * ks * dsub && bn.length == m * ks,
+    "PqCodesExpr: fit-table shapes disagree with (m, ks, dsub)")
+
+  override def left: Expression = vec
+  override def right: Expression = cell
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  @transient private lazy val isFloat =
+    vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any, c: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val cl = c.asInstanceOf[Int]
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var bestD = 0.0
+      var bestI = -1
+      var i = 0
+      while (i < ks) {
+        var dot = 0.0
+        val vb = j * dsub
+        val bb = (j * ks + i) * dsub
+        var t = 0
+        while (t < dsub) {
+          val xv =
+            if (isFloat) x.getFloat(vb + t).toDouble
+            else x.getDouble(vb + t)
+          dot += xv * booksFlat(bb + t)
+          t += 1
+        }
+        var d = bn(j * ks + i) - 2.0 * dot
+        if (cdFlat.length > 0)
+          d = d + 2.0 * cdFlat(cl * m * ks + j * ks + i)
+        if (bestI < 0 || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d
+          bestI = i
+        }
+        i += 1
+      }
+      out(j) = bestI + 1
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodesExpr =
+    copy(vec = newLeft, cell = newRight)
+}
+
 /** Deterministic text → vector embedding via the hashing trick: each
   * whitespace token maps to bucket `polyFp(tok) mod dim` with sign
   * `+1` when `(polyFp(tok) / dim)` is even else `-1`, accumulated into

@@ -457,22 +457,42 @@ object Similarity {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.map(_.getSeq[Double](1).toArray)).toArray
 
+  private def booksFlat(books: Array[Array[Array[Double]]])
+      : Array[Double] = books.flatMap(_.flatMap(identity))
+
+  private def booksNormSq(books: Array[Array[Array[Double]]])
+      : Array[Double] = books.flatMap(_.map(_.map(x => x * x).sum))
+
   /** PQ encoding: the vector's `m` per-subspace code indices
     * (1-based, argmin ‖x_j − c‖² with first-index tiebreak —
     * deterministic under any partitioning), as an array<int> column.
+    * One native-expression loop per row ([[graft.functions
+    * .PqCodesExpr]]): the unrolled struct-min tree this replaces blew
+    * the 64 KB whole-stage method limit at production (m, ks), so
+    * every containing stage paid a failed Janino compile and fell
+    * back — bit-identical results, pinned by NativeExprSpec.
     */
   def pqCodesCol(vec: Column,
                  books: Array[Array[Array[Double]]]): Column = {
+    val b = org.apache.spark.sql.GraftSqlBridge
+    b.toColumn(graft.functions.PqCodesExpr(
+      b.toExpression(vec), b.toExpression(lit(0)),
+      booksFlat(books), booksNormSq(books), Array.emptyDoubleArray,
+      books.length, books(0).length, books(0)(0).length))
+  }
+
+  /** The unrolled struct-min tree [[pqCodesCol]] replaced — retained
+    * for the bit-equivalence spec only.
+    */
+  private[graft] def pqCodesColStructMin(
+      vec: Column, books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
     val dsub = books(0)(0).length
     array((0 until m).map { j =>
       val sub = slice(vec, j * dsub + 1, dsub).cast("array<double>")
       // argmin ‖x−c‖² ≡ min of (‖c‖² − 2·x·c, index) structs — the
       // ‖x‖² term cancels, struct ordering breaks ties to the first
-      // index, and array_min over structs is a codegen'd builtin (a
-      // transform/array_position lambda here evaluated the 256-dot
-      // score array TWICE per row, interpreted — the r11 bench caught
-      // it at 7.5 s/query)
+      // index
       val scored = array(books(j).zipWithIndex.map { case (c, i) =>
         struct(
           (lit(c.map(x => x * x).sum) - lit(2.0) * dot(sub, lit(c)))
@@ -539,10 +559,25 @@ object Similarity {
     * cancels inside the argmin). Same struct-min shape as
     * [[pqCodesCol]].
     */
-  private def pqCodesColResidual(vec: Column, cell: Column,
-                                 cents: Array[Array[Double]],
-                                 books: Array[Array[Array[Double]]])
-      : Column = {
+  private[graft] def pqCodesColResidual(
+      vec: Column, cell: Column,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Column = {
+    val b = org.apache.spark.sql.GraftSqlBridge
+    b.toColumn(graft.functions.PqCodesExpr(
+      b.toExpression(vec), b.toExpression(cell),
+      booksFlat(books), booksNormSq(books),
+      centSubDotFlat(cents, books),
+      books.length, books(0).length, books(0)(0).length))
+  }
+
+  /** The unrolled residual struct-min tree [[pqCodesColResidual]]
+    * replaced — retained for the bit-equivalence spec only.
+    */
+  private[graft] def pqCodesColResidualStructMin(
+      vec: Column, cell: Column,
+      cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Column = {
     val m = books.length
     val ks = books(0).length
     val dsub = books(0)(0).length

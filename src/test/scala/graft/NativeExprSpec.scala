@@ -73,6 +73,30 @@ class NativeExprSpec extends SparkSuite {
       (2L, 3L, -195L), (3L, 1L, -69L)))
   }
 
+  test("PqCodesExpr ≡ the unrolled struct-min trees it replaced, " +
+      "bit for bit, plain and residual modes, on real embeddings") {
+    import graft.operators.Similarity
+    val embs = t(spark, sf0001, "embeddings")
+      .select($"vec_id".as("id"), $"embedding".as("vec"))
+    val cents = Similarity.fitCentroids(embs, k = 16, iters = 3)
+    val books = Similarity.fitPqCodebooks(embs, m = 16, ks = 16,
+      iters = 2, coarse = Some(cents))
+    val withCell = embs.withColumn("cell",
+      element_at(Similarity.topCellsCol($"vec", cents, 1), 1))
+    val plain = withCell.select(
+        Similarity.pqCodesCol($"vec", books).as("a"),
+        Similarity.pqCodesColStructMin($"vec", books).as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(plain == 0)
+    val residual = withCell.select(
+        Similarity.pqCodesColResidual($"vec", $"cell", cents, books)
+          .as("a"),
+        Similarity.pqCodesColResidualStructMin($"vec", $"cell",
+          cents, books).as("b"))
+      .where(not($"a" <=> $"b")).count()
+    assert(residual == 0)
+  }
+
   test("SimHash64Expr ≡ explode + 64 bit-sum aggregates over xxhash64") {
     val tok = docs.select($"doc_id", explode(split($"text", " ")).as("tok"))
       .withColumn("h", xxhash64($"tok"))
