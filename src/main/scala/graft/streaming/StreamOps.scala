@@ -1357,6 +1357,55 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming RETRACTION gate — the takedown pipeline as a stream:
+    * each micro-batch of ids to forget applies tombstone deletes to
+    * the serving stores in one hop — the BM25 index
+    * ([[graft.operators.Retrieval.deleteBm25Docs]]: postings hidden
+    * before df recovery, one negative stats row) and the PQ-code
+    * store ([[graft.operators.Similarity.pqStoreDelete]]: cell = −1
+    * rows the newest-wins fold hides). Store batch ids are
+    * `batchIdBase + micro-batch id` — `batchIdBase` must exceed every
+    * batch ever appended OR deleted on both stores (the shared
+    * monotone sequence), and keeps retraction batches disjoint from
+    * ingestion's. Both deletes are overwrite-idempotent per batch and
+    * semantically idempotent per id (a re-streamed id is skipped on
+    * the BM25 side, and on the PQ side a newer tombstone of a dead id
+    * changes nothing), so Structured Streaming retries are safe.
+    * `compactEvery` folds both stores between micro-batches — the
+    * physical drop (until then deletions apply at read time).
+    */
+  def retractionGateSink(spark: SparkSession, stream: DataFrame,
+                         id: String, bm25IndexDir: Option[String],
+                         pqStoreDir: Option[String], checkpoint: String,
+                         batchIdBase: Long = 1000000L,
+                         compactEvery: Int = 0, filesOut: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Retrieval, Similarity}
+    require(bm25IndexDir.isDefined || pqStoreDir.isDefined,
+      "retractionGateSink: nothing to maintain")
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val ids = batch.select(col(id).as("id"))
+          val sb = batchIdBase + batchId
+          bm25IndexDir.foreach(p =>
+            Retrieval.deleteBm25Docs(spark, p, ids, sb, filesOut))
+          pqStoreDir.foreach(p =>
+            Similarity.pqStoreDelete(ids, p, sb, filesOut))
+          if (compactEvery > 0 &&
+              batchId % compactEvery == compactEvery - 1) {
+            bm25IndexDir.foreach(p =>
+              Retrieval.compactBm25Index(spark, p, filesOut): Unit)
+            pqStoreDir.foreach(p =>
+              Similarity.compactPqCodeStore(spark, p, filesOut): Unit)
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming GRAPH-ANALYTICS maintenance — the foreachBatch gate for
     * the warm-start graph stores, completing the symmetry with the
     * dedup/media/ER/BM25 gates: each micro-batch of candidate edges

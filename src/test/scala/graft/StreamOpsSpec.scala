@@ -755,6 +755,66 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("retractionGateSink: streamed takedown batches tombstone the " +
+      "BM25 index and the PQ store; mid-stream compaction; final " +
+      "answers ≡ from-scratch over the survivors on both stores") {
+    import graft.operators.{Retrieval, Similarity, TextAnalysis}
+    import graft.queries.ParityQueries.t
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-retract-${System.nanoTime()}"
+    // corpus under takedown: docs for BM25, embeddings for PQ
+    val docs = Seq(
+      (1L, "merge sort beats bubble sort"),
+      (2L, "window functions rank rows"),
+      (3L, "spark executes the merge join"),
+      (4L, "the window slides and tumbles"),
+      (5L, "spark spark tuning notes"),
+      (6L, "merge window spark all three")).toDF("doc_id", "text")
+    Retrieval.writeBm25Index(docs, col("doc_id"), col("text"),
+      s"$base/bm25", filesOut = 4)
+    val embs = t(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .where(col("id") < 40)
+    val cents = Similarity.fitCentroids(embs, k = 4, iters = 2)
+    val books = Similarity.fitPqCodebooks(embs, m = 16, ks = 4,
+      iters = 1)
+    Similarity.writePqCodeStore(embs, cents, books, s"$base/pq")
+    val in = MemoryStream[Long]
+    val q = StreamOps.retractionGateSink(spark, in.toDF().toDF("id"),
+      "id", Some(s"$base/bm25"), Some(s"$base/pq"), s"$base/ckpt",
+      compactEvery = 2)
+    try {
+      in.addData(3L, 5L, 17L); q.processAllAvailable()
+      in.addData(5L, 23L); q.processAllAvailable() // re-delete + compact
+      val terms = Seq("merge", "window", "spark")
+      val got = Retrieval.bm25TopKIndexed(spark, s"$base/bm25",
+          terms, k = 10)
+        .orderBy(col("score").desc, col("id")).collect().toSeq
+      val want = TextAnalysis.bm25TopK(
+          docs.where(!col("doc_id").isin(3L, 5L)), col("doc_id"),
+          col("text"), terms, k = 10)
+        .orderBy(col("score").desc, col("id")).collect().toSeq
+      assert(got == want, s"$got vs $want")
+      val gotPq = Similarity.pqStoreCodes(spark, s"$base/pq")
+        .select(col("vb"), col("codes"))
+        .as[(Long, Seq[Int])].collect().toSet
+      val wantPq = Similarity.pqEncode(
+          embs.where(!col("id").isin(3L, 5L, 17L, 23L)), cents, books)
+        .select(col("vb"), col("codes"))
+        .as[(Long, Seq[Int])].collect().toSet
+      assert(gotPq == wantPq)
+      // compaction ran (compactEvery = 2): folded generations exist
+      // and the tombstones are physically gone from them
+      def names(p: String) = new java.io.File(p).listFiles()
+        .map(_.getName).toSeq
+      assert(names(s"$base/pq").exists(_.startsWith("gen=")))
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/pq"): _*)
+        .where(col("cell") < 0).isEmpty)
+    } finally q.stop()
+  }
+
   test("graphGateSink: streamed edge batches maintain the CC and " +
       "label-prop stores; mid-stream OPTIMIZE; final state ≡ " +
       "from-scratch over the union graph") {
