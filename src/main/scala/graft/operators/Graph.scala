@@ -2337,6 +2337,143 @@ object Graph {
     nodes
   }
 
+  // ---------- strongly connected components ----------
+
+  /** STRONGLY connected components of a DIRECTED graph by iterated
+    * forward-backward coloring (Fleischer, Hendrickson & Pınar, "On
+    * identifying strongly connected components in parallel", IPDPS
+    * 2000, in the label-propagation form Pregel-style systems use —
+    * Slota, Rajamanickam & Madduri, IPDPS 2014). Each OUTER round over
+    * the remaining subgraph:
+    *
+    *   1. FORWARD color: f(v) = min id that reaches v (including v),
+    *      a min-label fixpoint along edge direction;
+    *   2. BACKWARD reach within each color class: a node v with an
+    *      all-class path v →* f(v) reaches its pivot, and the pivot
+    *      reaches v by f's definition — mutual reachability, so
+    *      {v : f(v) = c, v →*₍f=c₎ c} is EXACTLY SCC(c);
+    *   3. every non-empty color retires its pivot's SCC (labeled by
+    *      the pivot = the SCC's min member id); survivors re-color.
+    *
+    * Deterministic end to end: min-labels and set-valued reachability,
+    * no tie-breaks — the oracle checks it against the mutual-
+    * reachability closure in SQL. Returns (id, scc) for every node of
+    * the edge list; scc = min member id.
+    *
+    * Scale: inner fixpoints are edge-sized min/flag propagations with
+    * sum/count early exits (the CC convergence pattern); outer rounds
+    * retire ≥ 1 SCC per live color, so trees of many small SCCs drain
+    * in parallel — the known adversary is a long chain of SCCs
+    * (diameter-many colors dominated by one pivot per round), the same
+    * topology class x_cc_chain prices. Round state staged and freed.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, src: Column,
+                                  dst: Column, maxRounds: Int = 25,
+                                  maxInner: Int = 50): DataFrame = {
+    val free: DataFrame => Unit =
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint
+    val e0 = Checkpoints.stage(
+      edges.select(src.cast("long").as("src"),
+          dst.cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    var rem = Checkpoints.stage(
+      e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id"))).distinct())
+    var remE = e0
+    var nRem = rem.count()
+    val found =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (nRem > 0 && outer < maxRounds) {
+      // 1. forward min-label fixpoint: f(dst) ≤ f(src)
+      var f = Checkpoints.stage(rem.select(col("id"),
+        col("id").as("f")))
+      var prevSum: java.math.BigDecimal = null
+      var stable = false
+      var it = 0
+      while (!stable && it < maxInner) {
+        val nbrMin = remE
+          .join(f.select(col("id").as("src"), col("f").as("__nf")),
+            Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("__nf")).as("__nbr"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = Checkpoints.stage(f
+          .join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("f"), coalesce(col("__nbr"), col("f")))
+              .as("f"))
+          .observe(obs,
+            coalesce(sum(col("f").cast("decimal(38,0)")),
+              lit(java.math.BigDecimal.ZERO)).as("s")))
+        val sumNow = obs.get("s").asInstanceOf[java.math.BigDecimal]
+        stable = prevSum != null && prevSum.compareTo(sumNow) == 0
+        prevSum = sumNow
+        free(f)
+        f = next
+        it += 1
+      }
+      require(stable, s"scc: forward coloring did not converge in " +
+        s"$maxInner rounds (outer $outer)")
+      // 2. backward reach to the pivot INSIDE each color class
+      val ce = Checkpoints.stage(remE
+        .join(f.select(col("id").as("src"), col("f").as("__fs")),
+          Seq("src"))
+        .join(f.select(col("id").as("dst"), col("f").as("__fd")),
+          Seq("dst"))
+        .where(col("__fs") === col("__fd"))
+        .select(col("src"), col("dst")))
+      var reached = Checkpoints.stage(
+        f.where(col("id") === col("f")).select(col("id")))
+      var nReached = reached.count()
+      stable = false
+      it = 0
+      while (!stable && it < maxInner) {
+        val next = Checkpoints.stage(
+          ce.join(reached.select(col("id").as("dst")), Seq("dst"),
+              "left_semi")
+            .select(col("src").as("id"))
+            .union(reached)
+            .distinct())
+        val n2 = next.count()
+        stable = n2 == nReached
+        free(reached)
+        reached = next
+        nReached = n2
+        it += 1
+      }
+      require(stable, s"scc: backward reach did not converge in " +
+        s"$maxInner rounds (outer $outer)")
+      // 3. retire the found SCCs; survivors re-color next round
+      val scc = Checkpoints.stage(
+        f.join(reached, Seq("id"), "left_semi")
+          .select(col("id"), col("f").as("scc")))
+      found += scc
+      free(ce)
+      free(f)
+      free(reached)
+      val remNext = Checkpoints.stage(
+        rem.join(scc.select(col("id")), Seq("id"), "left_anti"))
+      val remENext = Checkpoints.stage(remE
+        .join(remNext.select(col("id").as("src")), Seq("src"),
+          "left_semi")
+        .join(remNext.select(col("id").as("dst")), Seq("dst"),
+          "left_semi")
+        .select(col("src"), col("dst")))
+      free(rem)
+      if (!(remE eq e0)) free(remE)
+      rem = remNext
+      remE = remENext
+      nRem = rem.count()
+      outer += 1
+    }
+    require(nRem == 0,
+      s"scc did not drain in $maxRounds outer rounds")
+    if (found.isEmpty) rem.select(col("id"), col("id").as("scc"))
+    else found.reduce(_ unionAll _)
+  }
+
   // ---------- incremental connected components ----------
 
   /** The CC store's comp-clustered PROJECTION root — the same

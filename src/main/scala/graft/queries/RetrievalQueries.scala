@@ -518,6 +518,30 @@ object RetrievalQueries {
           col("src"), col("dst"), landmarks = 4, maxDepth = 6)
         .orderBy(col("lm"), col("dist"), col("id"))),
 
+    // STRONGLY connected components of the DIRECTED sparse trade
+    // graph (customer-nation → supplier-nation, quantity ≤ 1 on a
+    // 1/29 orderkey slice — mixed structure: a few multi-node cycles
+    // among trivial SCCs at sf0.01, one giant SCC at sf0.1): iterated
+    // forward-backward coloring, each node labeled by its SCC's min
+    // member id. The oracle computes the mutual-reachability closure
+    // in SQL — ground truth, not a replay.
+    "x_scc" -> ((s, d) =>
+      Graph.stronglyConnectedComponents(
+          t(s, d, "lineitem")
+            .where(col("l_quantity") <= 1 &&
+              col("l_orderkey") % 29 === 0)
+            .join(t(s, d, "orders"),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(t(s, d, "customer"),
+              col("o_custkey") === col("c_custkey"))
+            .join(t(s, d, "supplier"),
+              col("l_suppkey") === col("s_suppkey"))
+            .select(col("c_nationkey").as("src"),
+              col("s_nationkey").as("dst"))
+            .where(col("src") =!= col("dst")),
+          col("src"), col("dst"))
+        .orderBy(col("id"))),
+
     // INCREMENTAL landmark sketch maintenance: the quantity ≤ 1
     // graph's sketch persists once (writeLandmarkStore, landmarks
     // FROZEN there); the quantity = 2 batch then RELAXES stored
@@ -1358,6 +1382,31 @@ object RetrievalQueries {
        |FROM walk GROUP BY id, lm
        |ORDER BY lm, dist, id""".stripMargin
 
+  /** x_scc's ground-truth mirror: the mutual-reachability closure —
+    * scc(v) = min over {v} ∪ {m : m →* v AND v →* m}.
+    */
+  private val sccSql: String =
+    s"""WITH RECURSIVE e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 1 AND l_orderkey % 29 = 0
+       |    AND c_nationkey <> s_nationkey),
+       |r(a, b) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src),
+       |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |p AS (
+       |  SELECT r1.b AS v, r1.a AS m
+       |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a)
+       |SELECT CAST(n.id AS BIGINT) AS id,
+       |  CAST(least(n.id, coalesce(min(p.m), n.id)) AS BIGINT) AS scc
+       |FROM n LEFT JOIN p ON p.v = n.id
+       |GROUP BY n.id ORDER BY n.id""".stripMargin
+
   /** x_landmark_incremental's mirror: the SAME depth-bounded
     * recursive-CTE BFS, over the UNION (quantity ≤ 2) graph but from
     * the HISTORY (quantity ≤ 1) graph's 4 smallest nodes — the frozen
@@ -1818,6 +1867,7 @@ object RetrievalQueries {
     "x_node2vec" -> node2vecSql,
     "x_landmark_dist" -> landmarkDistSql,
     "x_landmark_incremental" -> landmarkIncSql,
+    "x_scc" -> sccSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

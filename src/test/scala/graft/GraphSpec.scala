@@ -222,6 +222,31 @@ class GraphSpec extends SparkSuite {
       (4L, 1L, 3), (5L, 1L, 4)))
   }
 
+  test("stronglyConnectedComponents: hand-built SCCs (3-cycle, " +
+      "2-cycle behind a chain, trivial nodes, multi-round recolor); " +
+      "deterministic under repartitioning") {
+    import spark.implicits._
+    // SCCs: {1,2,3} (cycle), {4,5} (cycle reached from 3), {6}, {7}
+    // (a plain chain). 4,5 take color 1 in round 1 (1 reaches them)
+    // but cannot reach 1 → they must survive to a SECOND outer round.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (6L, 7L)).toDF("s", "d")
+    val got = Graph.stronglyConnectedComponents(edges, col("s"),
+        col("d")).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 6L -> 6L, 7L -> 7L), s"got $got")
+    val re = Graph.stronglyConnectedComponents(edges.repartition(5),
+        col("s"), col("d")).as[(Long, Long)].collect().toMap
+    assert(re == got)
+    // a directed chain is all-trivial SCCs (the adversarial shape:
+    // every node its own component)
+    val chain = (1L to 6L).sliding(2)
+      .map(p => (p.head, p.last)).toSeq.toDF("s", "d")
+    val ch = Graph.stronglyConnectedComponents(chain, col("s"),
+        col("d")).as[(Long, Long)].collect().toMap
+    assert(ch == (1L to 6L).map(i => i -> i).toMap)
+  }
+
   test("landmarkDistancesIncremental: relaxation from new-edge " +
       "endpoints ≡ from-scratch over the union with the frozen " +
       "pivots; delta holds only improved keys; retry-idempotent; " +
