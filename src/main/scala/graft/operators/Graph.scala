@@ -2474,6 +2474,77 @@ object Graph {
     else found.reduce(_ unionAll _)
   }
 
+  /** The CONDENSATION of a directed graph with LONGEST-PATH levels:
+    * contract each SCC ([[stronglyConnectedComponents]]) to one node,
+    * keep the distinct cross-SCC edges (a DAG by construction), and
+    * compute each condensed node's topological LEVEL — the longest
+    * path from any source (level 0 = no incoming edges) — by the
+    * monotone fixpoint level(c) ← max(level(c), 1 + max over
+    * predecessors), converging in DAG-depth rounds with the CC
+    * sum-observation early exit. The dependency-graph readout:
+    * "what can run in parallel, what must wait, where the cycles
+    * collapsed". Returns (scc, level, n_members).
+    *
+    * Scale: one SCC run + per-round edge-sized max propagation over
+    * the CONDENSED graph (≤ #SCCs nodes — usually far smaller than
+    * |V|); state staged and freed per round.
+    */
+  def sccCondensation(edges: DataFrame, src: Column, dst: Column,
+                      maxRounds: Int = 25, maxInner: Int = 50)
+      : DataFrame = {
+    val free: DataFrame => Unit =
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint
+    val e0 = Checkpoints.stage(
+      edges.select(src.cast("long").as("src"),
+          dst.cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val asg = Checkpoints.stage(stronglyConnectedComponents(
+      e0, col("src"), col("dst"), maxRounds, maxInner))
+    val ce = Checkpoints.stage(e0
+      .join(asg.select(col("id").as("src"), col("scc").as("__ca")),
+        Seq("src"))
+      .join(asg.select(col("id").as("dst"), col("scc").as("__cb")),
+        Seq("dst"))
+      .where(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("src"), col("__cb").as("dst"))
+      .distinct())
+    var lvl = Checkpoints.stage(
+      asg.select(col("scc")).distinct()
+        .withColumn("level", lit(0L)))
+    var prevSum: java.math.BigDecimal = null
+    var stable = false
+    var it = 0
+    while (!stable && it < maxInner) {
+      val predMax = ce
+        .join(lvl.select(col("scc").as("src"),
+          col("level").as("__pl")), Seq("src"))
+        .groupBy(col("dst").as("scc"))
+        .agg((max(col("__pl")) + 1).as("__nl"))
+      val obs = org.apache.spark.sql.Observation()
+      val next = Checkpoints.stage(lvl
+        .join(predMax, Seq("scc"), "left")
+        .select(col("scc"),
+          greatest(col("level"), coalesce(col("__nl"), col("level")))
+            .as("level"))
+        .observe(obs,
+          coalesce(sum(col("level").cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("s")))
+      val sumNow = obs.get("s").asInstanceOf[java.math.BigDecimal]
+      stable = prevSum != null && prevSum.compareTo(sumNow) == 0
+      prevSum = sumNow
+      free(lvl)
+      lvl = next
+      it += 1
+    }
+    require(stable,
+      s"sccCondensation: levels did not converge in $maxInner rounds" +
+        " — the condensation must be a DAG, so this is a bug")
+    asg.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+      .join(lvl, Seq("scc"))
+      .select(col("scc"), col("level"), col("n_members"))
+  }
+
   // ---------- incremental connected components ----------
 
   /** The CC store's comp-clustered PROJECTION root — the same

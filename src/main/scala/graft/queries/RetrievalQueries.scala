@@ -527,20 +527,18 @@ object RetrievalQueries {
     // in SQL — ground truth, not a replay.
     "x_scc" -> ((s, d) =>
       Graph.stronglyConnectedComponents(
-          t(s, d, "lineitem")
-            .where(col("l_quantity") <= 1 &&
-              col("l_orderkey") % 29 === 0)
-            .join(t(s, d, "orders"),
-              col("l_orderkey") === col("o_orderkey"))
-            .join(t(s, d, "customer"),
-              col("o_custkey") === col("c_custkey"))
-            .join(t(s, d, "supplier"),
-              col("l_suppkey") === col("s_suppkey"))
-            .select(col("c_nationkey").as("src"),
-              col("s_nationkey").as("dst"))
-            .where(col("src") =!= col("dst")),
-          col("src"), col("dst"))
+          sparseDirectedTrade(s, d), col("src"), col("dst"))
         .orderBy(col("id"))),
+
+    // Condensation DAG of the same directed graph with LONGEST-PATH
+    // topological levels (level 0 = sources) — the dependency-graph
+    // readout: what can run in parallel, what must wait, where the
+    // cycles collapsed. n_members prices each collapsed cycle. The
+    // oracle enumerates DAG paths recursively — ground truth again.
+    "x_scc_levels" -> ((s, d) =>
+      Graph.sccCondensation(
+          sparseDirectedTrade(s, d), col("src"), col("dst"))
+        .orderBy(col("scc"))),
 
     // INCREMENTAL landmark sketch maintenance: the quantity ≤ 1
     // graph's sketch persists once (writeLandmarkStore, landmarks
@@ -732,6 +730,21 @@ object RetrievalQueries {
     * slices it SF-invariantly (a value threshold, so history/union
     * proportions hold at every scale factor).
     */
+  /** The sparse DIRECTED trade graph (customer-nation →
+    * supplier-nation, quantity ≤ 1 on a 1/29 orderkey slice) — the
+    * x_scc / x_scc_levels fixture: mixed SCC structure at sf0.01,
+    * one giant SCC at sf0.1, all-trivial at sf0.001.
+    */
+  private def sparseDirectedTrade(s: SparkSession,
+                                  d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_quantity") <= 1 && col("l_orderkey") % 29 === 0)
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .where(col("src") =!= col("dst"))
+
   private def nationTradeEdges(s: SparkSession, d: String,
                                maxQty: Int, minQty: Int = 0): DataFrame =
     t(s, d, "lineitem")
@@ -1382,10 +1395,11 @@ object RetrievalQueries {
        |FROM walk GROUP BY id, lm
        |ORDER BY lm, dist, id""".stripMargin
 
-  /** x_scc's ground-truth mirror: the mutual-reachability closure —
-    * scc(v) = min over {v} ∪ {m : m →* v AND v →* m}.
+  /** Shared SCC ground-truth core: the mutual-reachability closure —
+    * scc(v) = min over {v} ∪ {m : m →* v AND v →* m} — as a WITH
+    * RECURSIVE prefix ending in a MATERIALIZED per-node assignment.
     */
-  private val sccSql: String =
+  private val sccCoreSql: String =
     s"""WITH RECURSIVE e AS MATERIALIZED (
        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
        |  FROM lineitem
@@ -1401,11 +1415,40 @@ object RetrievalQueries {
        |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
        |p AS (
        |  SELECT r1.b AS v, r1.a AS m
-       |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a)
-       |SELECT CAST(n.id AS BIGINT) AS id,
-       |  CAST(least(n.id, coalesce(min(p.m), n.id)) AS BIGINT) AS scc
-       |FROM n LEFT JOIN p ON p.v = n.id
-       |GROUP BY n.id ORDER BY n.id""".stripMargin
+       |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),
+       |sccmap AS MATERIALIZED (
+       |  SELECT n.id, least(n.id, coalesce(min(p.m), n.id)) AS scc
+       |  FROM n LEFT JOIN p ON p.v = n.id
+       |  GROUP BY n.id)""".stripMargin
+
+  private val sccSql: String =
+    s"""$sccCoreSql
+       |SELECT CAST(id AS BIGINT) AS id, CAST(scc AS BIGINT) AS scc
+       |FROM sccmap ORDER BY id""".stripMargin
+
+  /** x_scc_levels' mirror: condensation edges + longest-path levels
+    * by recursive path enumeration (terminates — the condensation is
+    * a DAG).
+    */
+  private val sccLevelsSql: String =
+    s"""$sccCoreSql,
+       |ce AS MATERIALIZED (
+       |  SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+       |  FROM e
+       |    JOIN sccmap sa ON e.src = sa.id
+       |    JOIN sccmap sb ON e.dst = sb.id
+       |  WHERE sa.scc <> sb.scc),
+       |pth(nd, l) AS (
+       |  SELECT dst, 1 FROM ce
+       |  UNION
+       |  SELECT ce.dst, pth.l + 1 FROM pth JOIN ce ON ce.src = pth.nd),
+       |mem AS (
+       |  SELECT scc, count(*) AS n_members FROM sccmap GROUP BY scc)
+       |SELECT CAST(mem.scc AS BIGINT) AS scc,
+       |  CAST(coalesce(max(pth.l), 0) AS BIGINT) AS level,
+       |  mem.n_members
+       |FROM mem LEFT JOIN pth ON pth.nd = mem.scc
+       |GROUP BY mem.scc, mem.n_members ORDER BY mem.scc""".stripMargin
 
   /** x_landmark_incremental's mirror: the SAME depth-bounded
     * recursive-CTE BFS, over the UNION (quantity ≤ 2) graph but from
@@ -1868,6 +1911,7 @@ object RetrievalQueries {
     "x_landmark_dist" -> landmarkDistSql,
     "x_landmark_incremental" -> landmarkIncSql,
     "x_scc" -> sccSql,
+    "x_scc_levels" -> sccLevelsSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

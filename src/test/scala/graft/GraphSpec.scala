@@ -247,6 +247,20 @@ class GraphSpec extends SparkSuite {
     assert(ch == (1L to 6L).map(i => i -> i).toMap)
   }
 
+  test("sccCondensation: collapsed cycles, cross-SCC DAG edges, " +
+      "longest-path levels, member counts") {
+    import spark.implicits._
+    // condensation of the SCC fixture: 1(×3) → 4(×2); 6 → 7
+    // plus a 2-hop tail 4 → 8 → 9 to force a level-2+ node
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (6L, 7L), (4L, 8L), (8L, 9L))
+      .toDF("s", "d")
+    val got = Graph.sccCondensation(edges, col("s"), col("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 3L), (4L, 1L, 2L), (6L, 0L, 1L),
+      (7L, 1L, 1L), (8L, 2L, 1L), (9L, 3L, 1L)), s"got $got")
+  }
+
   test("landmarkDistancesIncremental: relaxation from new-edge " +
       "endpoints ≡ from-scratch over the union with the frozen " +
       "pivots; delta holds only improved keys; retry-idempotent; " +
