@@ -210,13 +210,52 @@ object StreamOps {
   def compactNearDupStoreBanded(spark: SparkSession, storePath: String,
                                 manifestPath: String,
                                 filesOut: Int): Option[Long] = {
+    // tombstoned docs drop PHYSICALLY here (the BM25-index protocol):
+    // fold survivors only, then rewrite the tombstone store as an
+    // empty generation
+    val deleted = nearDupDeletedIds(spark, storePath)
+      .map(d => graft.operators.Checkpoints.stage(d))
     val tok = compactStoreShaped(spark, storePath,
-      _.select(col("band"), col("bucket"), col("id"), col("sig"))
+      df => deleted.fold(df)(del =>
+          df.join(del, Seq("id"), "left_anti"))
+        .select(col("band"), col("bucket"), col("id"), col("sig"))
         .repartitionByRange(filesOut, col("band"), col("bucket"))
         .sortWithinPartitions(col("band"), col("bucket")))
-    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
+    if (tok.isDefined) {
+      if (deleted.isDefined)
+        compactStoreShaped(spark, s"${storePath}_deleted",
+          _.where(lit(false)).select(col("id"), col("__b"))): Unit
+      refreshStoreManifest(spark, storePath, manifestPath)
+    }
     tok
   }
+
+  /** TOMBSTONE deletes for the banded near-dup signature store — the
+    * retraction rule for dedup state: a taken-down doc's signatures
+    * must stop suppressing future near-duplicates (and stop existing
+    * at all after compaction). The ids land in a
+    * `<storePath>_deleted/batch=<id>` committed set the gate's store
+    * scan anti-joins; [[compactNearDupStoreBanded]] drops the rows
+    * physically and clears the set. Overwrite-idempotent per batch;
+    * `batchId` shares the store's monotone batch sequence.
+    */
+  def deleteFromNearDupStore(spark: SparkSession, storePath: String,
+                             ids: DataFrame, batchId: Long,
+                             filesOut: Int = 1): Unit =
+    ids.select(col("id")).distinct()
+      .select(col("id"), lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"${storePath}_deleted/batch=$batchId")
+
+  private def nearDupDeletedIds(spark: SparkSession,
+                                storePath: String): Option[DataFrame] =
+    graft.operators.Stats
+      .committedViewDirs(spark, s"${storePath}_deleted") match {
+      case Seq() => None
+      case dirs => Some(spark.read.parquet(dirs: _*).select(col("id")))
+    }
 
   private def compactStoreShaped(spark: SparkSession, storePath: String,
                                  shape: DataFrame => DataFrame)
@@ -293,8 +332,15 @@ object StreamOps {
                     newBands.select(col("band"), col("bucket")))
                 else viewDirs.map(_.toString)
               if (files.isEmpty) newBands.limit(0)
-              else spark.read.parquet(files: _*)
-                .select(col("band"), col("bucket"), col("id"), col("sig"))
+              else {
+                // tombstoned docs must not suppress new near-dups
+                val raw = spark.read.parquet(files: _*)
+                  .select(col("band"), col("bucket"), col("id"),
+                    col("sig"))
+                nearDupDeletedIds(spark, storePath)
+                  .fold(raw)(del =>
+                    raw.join(del, Seq("id"), "left_anti"))
+              }
             }
           val survivors = Dedup.minhashIncrementalFromBands(batch,
               col(id), newBands, storeBands, batchRows, minEstJaccard)
@@ -1363,7 +1409,9 @@ object StreamOps {
     * ([[graft.operators.Retrieval.deleteBm25Docs]]: postings hidden
     * before df recovery, one negative stats row) and the PQ-code
     * store ([[graft.operators.Similarity.pqStoreDelete]]: cell = −1
-    * rows the newest-wins fold hides). Store batch ids are
+    * rows the newest-wins fold hides) and the banded near-dup
+    * signature store ([[deleteFromNearDupStore]]: retracted docs stop
+    * suppressing future near-duplicates). Store batch ids are
     * `batchIdBase + micro-batch id` — `batchIdBase` must exceed every
     * batch ever appended OR deleted on both stores (the shared
     * monotone sequence), and keeps retraction batches disjoint from
@@ -1378,11 +1426,12 @@ object StreamOps {
                          id: String, bm25IndexDir: Option[String],
                          pqStoreDir: Option[String], checkpoint: String,
                          batchIdBase: Long = 1000000L,
-                         compactEvery: Int = 0, filesOut: Int = 4)
+                         compactEvery: Int = 0, filesOut: Int = 4,
+                         sigStorePath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Retrieval, Similarity}
-    require(bm25IndexDir.isDefined || pqStoreDir.isDefined,
-      "retractionGateSink: nothing to maintain")
+    require(bm25IndexDir.isDefined || pqStoreDir.isDefined ||
+      sigStorePath.isDefined, "retractionGateSink: nothing to maintain")
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1394,12 +1443,17 @@ object StreamOps {
             Retrieval.deleteBm25Docs(spark, p, ids, sb, filesOut))
           pqStoreDir.foreach(p =>
             Similarity.pqStoreDelete(ids, p, sb, filesOut))
+          sigStorePath.foreach(p =>
+            deleteFromNearDupStore(spark, p, ids, sb))
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             bm25IndexDir.foreach(p =>
               Retrieval.compactBm25Index(spark, p, filesOut): Unit)
             pqStoreDir.foreach(p =>
               Similarity.compactPqCodeStore(spark, p, filesOut): Unit)
+            sigStorePath.foreach(p =>
+              compactNearDupStoreBanded(spark, p, s"${p}_manifest",
+                filesOut): Unit)
           }
         }
       }

@@ -39,7 +39,10 @@ class DeterminismSpec extends SparkSuite {
     "x_kcenter_incremental", // greedy picks seeded from the store
     "x_sft_pack",         // greedy first-fit packing over prefix sums
     "x_dpo_pairs",        // float-scored struct argmax/argmin ties
-    "x_length_batches")   // length-bucketed prefix-sum batch ranks
+    "x_length_batches",   // length-bucketed prefix-sum batch ranks
+    "x_scc",              // fw-bw coloring fixpoints, outer recolors
+    "x_pq_incremental",   // frozen-fit argmin codes through the store
+    "x_landmark_incremental") // monotone relaxation from a store
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

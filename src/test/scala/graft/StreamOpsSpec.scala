@@ -756,8 +756,9 @@ class StreamOpsSpec extends SparkSuite {
   }
 
   test("retractionGateSink: streamed takedown batches tombstone the " +
-      "BM25 index and the PQ store; mid-stream compaction; final " +
-      "answers ≡ from-scratch over the survivors on both stores") {
+      "BM25 index, the PQ store, and the near-dup sig store; " +
+      "mid-stream compaction; final answers ≡ from-scratch over the " +
+      "survivors; retracted docs stop suppressing new near-dups") {
     import graft.operators.{Retrieval, Similarity, TextAnalysis}
     import graft.queries.ParityQueries.t
     implicit val sc = spark.sqlContext
@@ -779,13 +780,39 @@ class StreamOpsSpec extends SparkSuite {
     val books = Similarity.fitPqCodebooks(embs, m = 16, ks = 4,
       iters = 1)
     Similarity.writePqCodeStore(embs, cents, books, s"$base/pq")
+    // sig store under takedown: docs 3 and 40 ingested through the
+    // banded near-dup gate first
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained " * 8
+    val sin = MemoryStream[(Long, String)]
+    val sq = StreamOps.nearDupGateSinkBanded(spark,
+      sin.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/sig", s"$base/sigout", s"$base/sigckpt")
     val in = MemoryStream[Long]
     val q = StreamOps.retractionGateSink(spark, in.toDF().toDF("id"),
       "id", Some(s"$base/bm25"), Some(s"$base/pq"), s"$base/ckpt",
-      compactEvery = 2)
+      compactEvery = 2, sigStorePath = Some(s"$base/sig"))
     try {
+      sin.addData((3L, docA), (40L, docB)); sq.processAllAvailable()
       in.addData(3L, 5L, 17L); q.processAllAvailable()
       in.addData(5L, 23L); q.processAllAvailable() // re-delete + compact
+      // a retracted doc's signatures no longer suppress new near-dups
+      // (100 ~ deleted 3 survives); live history still gates (101 ~ 40
+      // drops)
+      sin.addData((100L, docA), (101L, docB)); sq.processAllAvailable()
+      val sigOut = spark.read.parquet(s"$base/sigout")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(sigOut == Set(3L, 40L, 100L), s"got $sigOut")
+      // compaction physically dropped doc 3's signatures and cleared
+      // the tombstone set
+      val sigIds = spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/sig"): _*)
+        .select(col("id")).distinct().as[Long].collect().toSet
+      assert(sigIds == Set(40L, 100L), s"got $sigIds")
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/sig_deleted"): _*).isEmpty)
       val terms = Seq("merge", "window", "spark")
       val got = Retrieval.bm25TopKIndexed(spark, s"$base/bm25",
           terms, k = 10)
@@ -812,7 +839,7 @@ class StreamOpsSpec extends SparkSuite {
           graft.operators.Stats.committedViewDirs(spark,
             s"$base/pq"): _*)
         .where(col("cell") < 0).isEmpty)
-    } finally q.stop()
+    } finally { q.stop(); sq.stop() }
   }
 
   test("graphGateSink: streamed edge batches maintain the CC and " +
