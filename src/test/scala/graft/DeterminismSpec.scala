@@ -42,7 +42,9 @@ class DeterminismSpec extends SparkSuite {
     "x_length_batches",   // length-bucketed prefix-sum batch ranks
     "x_scc",              // fw-bw coloring fixpoints, outer recolors
     "x_pq_incremental",   // frozen-fit argmin codes through the store
-    "x_landmark_incremental") // monotone relaxation from a store
+    "x_landmark_incremental", // monotone relaxation from a store
+    "x_pq_delete",        // tombstone hiding through newest-wins folds
+    "x_bm25_delete")      // surviving-df recovery + negative stats
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)
