@@ -141,9 +141,12 @@ case class SignBucketsVec(child: Expression, planesFlat: Array[Double],
   * Bit-contract with the tree it replaces: the same IEEE sequence
   * (left-fold dot over float→double promotions, (bn − 2·dot) + 2·cd
   * association) and the same ordering semantics —
-  * `java.lang.Double.compare`, which is exactly Spark's struct-min
-  * double ordering (−0.0 < 0.0, NaN greatest). `cdFlat` empty = plain
-  * PQ (cell ignored); non-empty = residual IVFADC with the
+  * `java.lang.Double.compare`, which matches Spark's struct-min
+  * double ordering on every value these distances produce (NaN
+  * greatest; it additionally orders −0.0 < 0.0 where Spark compares
+  * them equal, but a distance here is never −0.0 unless its 0.0 twin
+  * is bit-identical too, so the argmin cannot differ). `cdFlat` empty
+  * = plain PQ (cell ignored); non-empty = residual IVFADC with the
   * [[graft.operators.Similarity]] centSubDotFlat layout.
   */
 case class PqCodesExpr(vec: Expression, cell: Expression,
@@ -154,6 +157,12 @@ case class PqCodesExpr(vec: Expression, cell: Expression,
 
   require(booksFlat.length == m * ks * dsub && bn.length == m * ks,
     "PqCodesExpr: fit-table shapes disagree with (m, ks, dsub)")
+  // the residual table must hold whole nCells blocks of m·ks entries,
+  // or the cl*m*ks+j*ks+i lookup indexes out of bounds (short table)
+  // or reads another cell's entries (misaligned table) at runtime
+  require(cdFlat.isEmpty || cdFlat.length % (m * ks) == 0,
+    s"PqCodesExpr: residual table length ${cdFlat.length} is not a " +
+      s"multiple of m*ks=${m * ks}")
 
   override def left: Expression = vec
   override def right: Expression = cell
@@ -167,6 +176,10 @@ case class PqCodesExpr(vec: Expression, cell: Expression,
   override protected def nullSafeEval(v: Any, c: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
     val cl = c.asInstanceOf[Int]
+    if (cdFlat.length > 0)
+      require(cl >= 0 && (cl + 1) * m * ks <= cdFlat.length,
+        s"pq_codes: cell $cl outside the residual table's " +
+          s"${cdFlat.length / (m * ks)} cells")
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {

@@ -154,6 +154,10 @@ object Retrieval {
                       filesOut: Int = 4): Unit = {
     val spark = df.sparkSession
     require(batchId > 0L, "appendBm25Index: batchId 0 is the base write")
+    // the stats store sees every append AND delete, so its newest
+    // token is the index's monotone sequence head
+    Stats.requireMonotoneBatch(spark, Seq(s"$indexDir/stats"), batchId,
+      "appendBm25Index")
     writeBm25Batch(df, id, text, indexDir, batchId, filesOut)
     Stats.refreshManifest(spark, s"$indexDir/postings",
       s"$indexDir/postings_manifest")
@@ -174,13 +178,25 @@ object Retrieval {
     * idempotent at the SEMANTIC level on top of the per-batch
     * overwrite idempotence. `batchId` shares the index's monotone
     * sequence: it must exceed every previously appended OR deleted
-    * batch (both write a `stats/batch=<id>` row). Deletions apply at
-    * read time until [[compactBm25Index]] drops the rows physically.
+    * batch (both write a `stats/batch=<id>` row — guarded by
+    * [[Stats.requireMonotoneBatch]]). Deletions apply at read time
+    * until [[compactBm25Index]] drops the rows physically.
+    *
+    * A tombstoned doc id is UNREINSTATABLE: the read-time filter is
+    * not batch-aware (it hides every posting of a deleted id,
+    * whenever appended), so re-ingesting a deleted id would hide the
+    * new postings while their `+n_docs`/`+sum_dl` stats row still
+    * counts them — skewing scores until compaction drops the re-added
+    * rows too. Unlike the PQ store (where a re-add wins by batch id),
+    * delete here is forever; route revived docs through a NEW id
+    * (upstream exact-dedup already owns id uniqueness).
     */
   def deleteBm25Docs(spark: org.apache.spark.sql.SparkSession,
                      indexDir: String, ids: DataFrame,
                      batchId: Long, filesOut: Int = 1): Unit = {
     require(batchId > 0L, "deleteBm25Docs: batchId 0 is the base write")
+    Stats.requireMonotoneBatch(spark, Seq(s"$indexDir/stats"), batchId,
+      "deleteBm25Docs")
     val fresh = Checkpoints.stage(
       bm25DeletedIds(spark, indexDir, batchId) match {
         case None => ids.select(col("id")).distinct()

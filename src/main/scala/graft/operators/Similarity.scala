@@ -692,6 +692,8 @@ object Similarity {
                     batchId: Long, filesOut: Int = 4): DataFrame = {
     require(batchId >= 1L, "batchId 0 is the writePqCodeStore base")
     val spark = newVecs.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "pqStoreAppend")
     val (cents, books, residual) = pqStoreFit(spark, storeDir)
     val enc = Checkpoints.stage(
       pqEncode(newVecs, cents, books, residual))
@@ -712,11 +714,18 @@ object Similarity {
     * newest-wins fold hide them at read time, and let compaction drop
     * them physically (a generation replaces every batch it folded, so
     * no older live row can resurface a dropped tombstone). A later
-    * re-add of the same id simply wins by batch id.
+    * re-add of the same id simply wins by batch id — which is why
+    * `batchId` MUST come from the same monotone sequence ingestion
+    * appends use ([[Stats.requireMonotoneBatch]] guards it): a
+    * tombstone above the sequence head would silently out-rank every
+    * later re-add, and after a compaction at the tombstone's id every
+    * lower-id append would be invisible and vacuumed.
     */
   def pqStoreDelete(ids: DataFrame, storeDir: String,
                     batchId: Long, filesOut: Int = 4): Unit = {
     require(batchId >= 1L, "batchId 0 is the writePqCodeStore base")
+    Stats.requireMonotoneBatch(ids.sparkSession, Seq(storeDir), batchId,
+      "pqStoreDelete")
     ids.select(col("id").as("vb"), lit(-1).as("cell"),
         array().cast("array<int>").as("codes"),
         lit(0.0).as("rn"), lit(batchId).as("__b"))

@@ -401,6 +401,48 @@ object Stats {
       .map(_.toString).toSeq
   }
 
+  /** The store's committed (generation token, max batch token) —
+    * `Long.MinValue` for whichever side is absent. The read head of
+    * the monotone batch sequence every `gen=`/`batch=` store shares.
+    */
+  def committedTokens(spark: SparkSession, root: String): (Long, Long) = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootP)) return (Long.MinValue, Long.MinValue)
+    val dirs = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
+      .filter(p => hasCommittedParquet(fs, p))
+    def maxOf(prefix: String): Long = {
+      val ts = dirs.filter(_.getName.startsWith(prefix))
+        .map(_.getName.stripPrefix(prefix).toLong)
+      if (ts.isEmpty) Long.MinValue else ts.max
+    }
+    (maxOf("gen="), maxOf("batch="))
+  }
+
+  /** Guard for the monotone batch-id contract shared by every append
+    * AND tombstone delete on a `gen=`/`batch=` store: a write at an id
+    * not above the newest generation token would be invisible to
+    * [[committedViewDirs]] and vacuumed by the next compaction (silent
+    * data loss), and a write below the newest batch token would lose
+    * every newest-wins fold to data it is supposed to supersede.
+    * Equality with the newest BATCH token is allowed — a retried batch
+    * rewrites its own directory (the overwrite-idempotence story).
+    * `roots` lists every directory participating in the sequence
+    * (e.g. a store plus its `_deleted` sibling).
+    */
+  def requireMonotoneBatch(spark: SparkSession, roots: Seq[String],
+                           batchId: Long, who: String): Unit = {
+    val toks = roots.map(r => committedTokens(spark, r))
+    val genTok = toks.map(_._1).max
+    val batTok = toks.map(_._2).max
+    require(batchId > genTok && batchId >= batTok,
+      s"$who: batchId=$batchId is not on the store's monotone " +
+        s"sequence (newest gen=$genTok, newest batch=$batTok over " +
+        s"${roots.mkString(", ")}); a write below the head would be " +
+        "invisible after compaction or lose every newest-wins fold — " +
+        "resume appends/deletes ABOVE the store's current head")
+  }
+
   /** Fold a `gen=`/`batch=` store's committed view into one compacted
     * `gen=<maxBatchId>` generation shaped by `shape` (the OPTIMIZE
     * primitive behind every incremental store's compaction path), then

@@ -241,13 +241,17 @@ object StreamOps {
     */
   def deleteFromNearDupStore(spark: SparkSession, storePath: String,
                              ids: DataFrame, batchId: Long,
-                             filesOut: Int = 1): Unit =
+                             filesOut: Int = 1): Unit = {
+    graft.operators.Stats.requireMonotoneBatch(spark,
+      Seq(storePath, s"${storePath}_deleted"), batchId,
+      "deleteFromNearDupStore")
     ids.select(col("id")).distinct()
       .select(col("id"), lit(batchId).as("__b"))
       .repartitionByRange(filesOut, col("id"))
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${storePath}_deleted/batch=$batchId")
+  }
 
   private def nearDupDeletedIds(spark: SparkSession,
                                 storePath: String): Option[DataFrame] =
@@ -1311,12 +1315,18 @@ object StreamOps {
     * new (upstream exact-dedup owns that, as everywhere); restarting
     * the stream WITHOUT its checkpoint over an existing index would
     * reuse micro-batch ids — the standard gate-store contract.
+    * `batchIdBase` offsets the store batch ids (`base + micro-batch
+    * id`) — set it above a [[retractionGateSink]] run's range to
+    * resume ingestion on the index's shared monotone sequence (the
+    * [[graft.operators.Stats.requireMonotoneBatch]] guard rejects a
+    * resume below it).
     */
   def bm25IndexGateSink(spark: SparkSession, stream: DataFrame,
                         id: String, text: String, indexDir: String,
                         checkpoint: String, compactEvery: Int = 0,
                         compactFilesOut: Int = 16,
-                        appendFilesOut: Int = 4)
+                        appendFilesOut: Int = 4,
+                        batchIdBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Retrieval
     stream.writeStream
@@ -1324,12 +1334,13 @@ object StreamOps {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          if (batchId == 0L)
+          val sb = batchIdBase + batchId
+          if (sb == 0L)
             Retrieval.writeBm25Index(batch, col(id), col(text),
               indexDir, filesOut = appendFilesOut)
           else
             Retrieval.appendBm25Index(batch, col(id), col(text),
-              indexDir, batchId, filesOut = appendFilesOut)
+              indexDir, sb, filesOut = appendFilesOut)
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1)
             Retrieval.compactBm25Index(spark, indexDir,
@@ -1412,15 +1423,25 @@ object StreamOps {
     * rows the newest-wins fold hides) and the banded near-dup
     * signature store ([[deleteFromNearDupStore]]: retracted docs stop
     * suppressing future near-duplicates). Store batch ids are
-    * `batchIdBase + micro-batch id` — `batchIdBase` must exceed every
-    * batch ever appended OR deleted on both stores (the shared
-    * monotone sequence), and keeps retraction batches disjoint from
-    * ingestion's. Both deletes are overwrite-idempotent per batch and
+    * `base + micro-batch id` where `base` is RESOLVED AT START from
+    * the covered stores themselves: max(`batchIdBase`, newest
+    * committed gen/batch token across every covered store + 1) — the
+    * retraction batches continue the SAME monotone sequence ingestion
+    * appends use, so a later compaction can never make lower-id
+    * ingestion batches invisible (each store op re-checks via
+    * [[graft.operators.Stats.requireMonotoneBatch]] and fails loudly
+    * on a violation). The flip side of one shared sequence: ingestion
+    * into these stores must be quiesced while the retraction stream
+    * runs, and must RESUME ABOVE the retraction range (the guards
+    * enforce it). Both deletes are overwrite-idempotent per batch and
     * semantically idempotent per id (a re-streamed id is skipped on
     * the BM25 side, and on the PQ side a newer tombstone of a dead id
-    * changes nothing), so Structured Streaming retries are safe.
-    * `compactEvery` folds both stores between micro-batches — the
-    * physical drop (until then deletions apply at read time).
+    * changes nothing) — which also covers a stream RESTART from its
+    * checkpoint: the base re-resolves above the first run's writes,
+    * so a replayed micro-batch lands at a fresh id whose content is a
+    * semantic no-op. `compactEvery` folds the stores between
+    * micro-batches — the physical drop (until then deletions apply at
+    * read time).
     */
   def retractionGateSink(spark: SparkSession, stream: DataFrame,
                          id: String, bm25IndexDir: Option[String],
@@ -1429,16 +1450,27 @@ object StreamOps {
                          compactEvery: Int = 0, filesOut: Int = 4,
                          sigStorePath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.{Retrieval, Similarity}
+    import graft.operators.{Retrieval, Similarity, Stats}
     require(bm25IndexDir.isDefined || pqStoreDir.isDefined ||
       sigStorePath.isDefined, "retractionGateSink: nothing to maintain")
+    val base: Long = {
+      val roots = bm25IndexDir.map(p => s"$p/stats").toSeq ++
+        pqStoreDir.toSeq ++
+        sigStorePath.toSeq.flatMap(p => Seq(p, s"${p}_deleted"))
+      val head = roots.map { r =>
+        val (g, b) = Stats.committedTokens(spark, r)
+        math.max(g, b)
+      }.max
+      math.max(batchIdBase,
+        if (head == Long.MinValue) 0L else head + 1L)
+    }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val ids = batch.select(col(id).as("id"))
-          val sb = batchIdBase + batchId
+          val sb = base + batchId
           bm25IndexDir.foreach(p =>
             Retrieval.deleteBm25Docs(spark, p, ids, sb, filesOut))
           pqStoreDir.foreach(p =>
