@@ -1024,11 +1024,81 @@ object Similarity {
     * data.
     */
   def appendPcaMoments(batch: DataFrame, vec: Column, storeDir: String,
-                       batchId: Long, scale: Long = 1L << 20): Unit =
+                       batchId: Long, scale: Long = 1L << 20): Unit = {
+    Stats.requireMonotoneBatch(batch.sparkSession,
+      Seq(storeDir, s"$storeDir/deleted"), batchId, "appendPcaMoments")
     pcaMoments(batch, vec, scale)
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** RETRACTION for the additive PCA moment store — the
+    * right-to-be-forgotten path for trained artifacts: without it, a
+    * takedown cleans the serving stores but every future PCA refit
+    * still carries the deleted docs' statistical fingerprint. The
+    * protocol is [[Retrieval.deleteBm25Docs]]' negative-stats row
+    * applied to the moment fold: append one batch holding the deleted
+    * vectors' [[pcaMoments]] NEGATED — the additive read-time sum
+    * (and any later compaction) then lands EXACTLY on the surviving
+    * corpus, because every moment is an integer sum (hash-checkable
+    * against a from-scratch fit over survivors, not approximate).
+    * O(deleted) work: one moment pass over the deleted vectors, never
+    * a corpus re-read.
+    *
+    * The store keeps only aggregated statistics, so the CALLER
+    * supplies the retracted docs' vectors (`deleted` = (id, vec) rows
+    * fetched from the corpus being retracted from). Already-deleted
+    * ids are skipped via a `deleted/batch=` tombstone set (a
+    * double-delete must not double-subtract), making the call
+    * semantically idempotent on top of per-batch overwrite
+    * idempotence. A retracted id is UNREINSTATABLE: re-ingesting it
+    * would re-add its contribution while the tombstone set still
+    * marks it deleted (a second retraction would be skipped) — route
+    * revived docs through a NEW id, the BM25-index contract.
+    * `batchId` shares the store's monotone sequence (guarded).
+    */
+  def deletePcaMoments(deleted: DataFrame, id: Column, vec: Column,
+                       storeDir: String, batchId: Long,
+                       scale: Long = 1L << 20): Unit = {
+    val spark = deleted.sparkSession
+    Stats.requireMonotoneBatch(spark,
+      Seq(storeDir, s"$storeDir/deleted"), batchId, "deletePcaMoments")
+    val rows = deleted.select(id.as("id"), vec.as("__v"))
+    val fresh = Checkpoints.stage(
+      pcaDeletedIds(spark, storeDir, batchId) match {
+        case None => rows.select(col("id")).distinct()
+        case Some(del) => rows.select(col("id")).distinct()
+          .join(del, Seq("id"), "left_anti")
+      })
+    // tombstone set first, the negative moment row second: a retry
+    // (same batchId) recomputes the same fresh set because the prior
+    // view reads only batches < batchId
+    fresh.select(col("id"), lit(batchId).as("__b"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/deleted/batch=$batchId")
+    pcaMoments(rows.join(fresh, Seq("id"), "left_semi"), col("__v"),
+        scale)
+      .select(col("i"), col("j"),
+        (-col("v")).cast("decimal(38,0)").as("v"))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** The moment store's tombstoned ids committed before `beforeBatch`
+    * (None when the store has never seen a delete).
+    */
+  private def pcaDeletedIds(spark: SparkSession, storeDir: String,
+                            beforeBatch: Long = Long.MaxValue)
+      : Option[DataFrame] =
+    Stats.committedViewDirs(spark, s"$storeDir/deleted") match {
+      case Seq() => None
+      case dirs => Some(spark.read.parquet(dirs: _*)
+        .where(col("__b") < beforeBatch)
+        .select(col("id")))
+    }
 
   /** The store's current total moments — same relation shape as
     * [[pcaMoments]] over the union of all committed batches.
@@ -1045,13 +1115,24 @@ object Similarity {
   /** OPTIMIZE for the moment store: folds committed batches into one
     * pre-summed generation via the shared compaction primitive —
     * readers then sum one directory regardless of batch count.
+    * [[deletePcaMoments]]' negative rows fold in like any other batch
+    * (the generation holds net survivor moments — retraction needs no
+    * special compaction path). The tombstone id set is compacted
+    * alongside but NEVER cleared: unlike a posting store there are no
+    * per-doc rows whose physical drop could retire it, and it is the
+    * permanent double-delete guard (O(deleted ids) — tiny).
     */
   def compactPcaMoments(spark: SparkSession, storeDir: String)
-      : Option[Long] =
-    Stats.compactCommittedStore(spark, storeDir, df =>
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, storeDir, df =>
       df.groupBy(col("i"), col("j"))
         .agg(sum(col("v")).cast("decimal(38,0)").as("v"))
         .coalesce(1))
+    if (tok.isDefined)
+      Stats.compactCommittedStore(spark, s"$storeDir/deleted",
+        _.select(col("id"), col("__b")).coalesce(1)): Unit
+    tok
+  }
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
     * deterministic (fixed sweep order, fixed rotation formulas), so

@@ -537,6 +537,32 @@ object ExtensionQueries {
         .orderBy(col("i"), col("j"))
     }),
 
+    // PCA-moment RETRACTION (right-to-be-forgotten for trained
+    // artifacts): the corpus lands in two appends, a takedown slice
+    // (vec_id % 9 = 4, SF-invariant, cutting across BOTH appends)
+    // retracts via ONE negative moment batch, and an OPTIMIZE folds
+    // everything — the store must then hold EXACTLY the from-scratch
+    // moments of the survivors (integer sums make retraction exact,
+    // not approximate; the oracle computes the survivor statistics
+    // from scratch). Every later refit forgets the deleted docs.
+    "x_pca_delete" -> ((s, d) => {
+      val e = t(s, d, "embeddings")
+      val dir = ArtifactMemo.dirFor("pcadelstore", d) { p =>
+        Similarity.appendPcaMoments(
+          e.where(col("vec_id") % 10 < 5), col("embedding"), p, 1L)
+        Similarity.appendPcaMoments(
+          e.where(col("vec_id") % 10 >= 5), col("embedding"), p, 2L)
+        Similarity.deletePcaMoments(
+          e.where(col("vec_id") % 9 === 4)
+            .select(col("vec_id").as("id"), col("embedding").as("vec")),
+          col("id"), col("vec"), p, 3L)
+        Similarity.compactPcaMoments(s, p): Unit
+      }
+      Similarity.pcaMomentsFromStore(s, dir)
+        .select(col("i"), col("j"), col("v").cast("long").as("v"))
+        .orderBy(col("i"), col("j"))
+    }),
+
     // Greedy k-center coreset selection (Gonzalez 2-approx): the 6
     // most mutually-distant embeddings with the shrinking coverage
     // radius at each pick — diversity-based data pruning. Fixed IEEE
@@ -1592,13 +1618,13 @@ object ExtensionQueries {
     * store view after appends + OPTIMIZE): both must hash-match the
     * from-scratch statistics exactly.
     */
-  private val pcaMomentsSql: String =
-    """WITH q AS (
+  private def pcaMomentsSqlKeep(keep: String): String =
+    s"""WITH q AS (
       |  SELECT vec_id,
       |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS i,
       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1048576)
       |      AS BIGINT) AS qv
-      |  FROM embeddings),
+      |  FROM embeddings WHERE $keep),
       |pairs AS (
       |  SELECT a.i AS i, b.i AS j, a.qv * b.qv AS p
       |  FROM q a JOIN q b
@@ -1611,11 +1637,13 @@ object ExtensionQueries {
       |  FROM q GROUP BY 1),
       |cnt AS (
       |  SELECT -1 AS i, -1 AS j, CAST(count(*) AS BIGINT) AS v
-      |  FROM embeddings)
+      |  FROM embeddings WHERE $keep)
       |SELECT i, j, v FROM sec
       |UNION ALL SELECT i, j, v FROM fst
       |UNION ALL SELECT i, j, v FROM cnt
       |ORDER BY i, j""".stripMargin
+
+  private val pcaMomentsSql: String = pcaMomentsSqlKeep("TRUE")
 
   private[queries] val minhashCandCte: String =
     """WITH toks AS (
@@ -2085,6 +2113,9 @@ object ExtensionQueries {
     // incremental moment store ≡ from-scratch: the SAME full-corpus
     // oracle, answered through three appends + a mid-stream OPTIMIZE
     "x_pca_incremental" -> pcaMomentsSql,
+    // retraction ≡ from-scratch over SURVIVORS: the negative moment
+    // batch must land the additive fold exactly on the kept slice
+    "x_pca_delete" -> pcaMomentsSqlKeep("vec_id % 9 <> 4"),
     "x_pca_err" ->
       """SELECT CAST(-1 AS BIGINT) AS id WHERE 1 = 0""",
     "x_maxsim" ->

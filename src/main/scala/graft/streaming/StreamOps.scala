@@ -1422,7 +1422,11 @@ object StreamOps {
     * store ([[graft.operators.Similarity.pqStoreDelete]]: cell = −1
     * rows the newest-wins fold hides) and the banded near-dup
     * signature store ([[deleteFromNearDupStore]]: retracted docs stop
-    * suppressing future near-duplicates). Store batch ids are
+    * suppressing future near-duplicates) and the additive PCA moment
+    * store ([[graft.operators.Similarity.deletePcaMoments]]: one
+    * NEGATIVE moment batch per micro-batch, derived from the deleted
+    * ids' vectors fetched from `pcaVecs` — every later refit lands
+    * exactly on the surviving corpus). Store batch ids are
     * `base + micro-batch id` where `base` is RESOLVED AT START from
     * the covered stores themselves: max(`batchIdBase`, newest
     * committed gen/batch token across every covered store + 1) — the
@@ -1448,15 +1452,25 @@ object StreamOps {
                          pqStoreDir: Option[String], checkpoint: String,
                          batchIdBase: Long = 1000000L,
                          compactEvery: Int = 0, filesOut: Int = 4,
-                         sigStorePath: Option[String] = None)
+                         sigStorePath: Option[String] = None,
+                         pcaStoreDir: Option[String] = None,
+                         pcaVecs: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Retrieval, Similarity, Stats}
     require(bm25IndexDir.isDefined || pqStoreDir.isDefined ||
-      sigStorePath.isDefined, "retractionGateSink: nothing to maintain")
+      sigStorePath.isDefined || pcaStoreDir.isDefined,
+      "retractionGateSink: nothing to maintain")
+    // the PCA moment store keeps only aggregated statistics, so the
+    // retraction needs the deleted docs' vectors: pcaVecs is the
+    // (id, vec) corpus relation to fetch them from
+    require(pcaStoreDir.isEmpty || pcaVecs.isDefined,
+      "retractionGateSink: pcaStoreDir needs pcaVecs (an (id, vec) " +
+        "relation to fetch the retracted docs' vectors from)")
     val base: Long = {
       val roots = bm25IndexDir.map(p => s"$p/stats").toSeq ++
         pqStoreDir.toSeq ++
-        sigStorePath.toSeq.flatMap(p => Seq(p, s"${p}_deleted"))
+        sigStorePath.toSeq.flatMap(p => Seq(p, s"${p}_deleted")) ++
+        pcaStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted"))
       val head = roots.map { r =>
         val (g, b) = Stats.committedTokens(spark, r)
         math.max(g, b)
@@ -1477,6 +1491,10 @@ object StreamOps {
             Similarity.pqStoreDelete(ids, p, sb, filesOut))
           sigStorePath.foreach(p =>
             deleteFromNearDupStore(spark, p, ids, sb))
+          pcaStoreDir.foreach(p =>
+            Similarity.deletePcaMoments(
+              pcaVecs.get.join(ids, Seq("id"), "left_semi"),
+              col("id"), col("vec"), p, sb))
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             bm25IndexDir.foreach(p =>
@@ -1486,6 +1504,8 @@ object StreamOps {
             sigStorePath.foreach(p =>
               compactNearDupStoreBanded(spark, p, s"${p}_manifest",
                 filesOut): Unit)
+            pcaStoreDir.foreach(p =>
+              Similarity.compactPcaMoments(spark, p): Unit)
           }
         }
       }

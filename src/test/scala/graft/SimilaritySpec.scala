@@ -370,6 +370,48 @@ class SimilaritySpec extends SparkSuite {
       b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
   }
 
+  test("pca moment retraction: negative batch ≡ from-scratch over " +
+      "survivors bit-for-bit, pre- and post-OPTIMIZE; double-delete " +
+      "no-op; refit forgets; monotone guard rejects stale appends") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pcadel-").toString + "/store"
+    val e = embs
+    Similarity.appendPcaMoments(e.where($"id" % 3 =!= 2), $"vec",
+      dir, 1L)
+    Similarity.appendPcaMoments(e.where($"id" % 3 === 2), $"vec",
+      dir, 2L)
+    def storedSet = Similarity.pcaMomentsFromStore(spark, dir)
+      .select($"i", $"j", $"v".cast("long"))
+      .as[(Int, Int, Long)].collect().toSet
+    val doomed = e.where($"id" % 5 === 1).select($"id", $"vec")
+    val survivors = e.where($"id" % 5 =!= 1)
+    val fromScratch = Similarity.pcaMoments(survivors, $"vec")
+      .select($"i", $"j", $"v".cast("long"))
+      .as[(Int, Int, Long)].collect().toSet
+    Similarity.deletePcaMoments(doomed, $"id", $"vec", dir, 3L)
+    assert(storedSet == fromScratch) // read-time additive fold
+    // a re-streamed takedown must not double-subtract
+    Similarity.deletePcaMoments(doomed, $"id", $"vec", dir, 4L)
+    assert(storedSet == fromScratch)
+    // OPTIMIZE folds the negative rows into the generation; the
+    // tombstone set persists as the double-delete guard
+    assert(Similarity.compactPcaMoments(spark, dir).contains(4L))
+    assert(storedSet == fromScratch)
+    Similarity.deletePcaMoments(doomed, $"id", $"vec", dir, 5L)
+    assert(storedSet == fromScratch)
+    // refit over the store ≡ from-scratch fit over survivors
+    val (m1, b1, v1) = Similarity.fitPcaFromMoments(
+      Similarity.pcaMomentsFromStore(spark, dir), k = 4)
+    val (m2, b2, v2) = Similarity.fitPca(survivors, $"vec", k = 4)
+    assert(m1.toSeq == m2.toSeq && v1.toSeq == v2.toSeq &&
+      b1.map(_.toSeq).toSeq == b2.map(_.toSeq).toSeq)
+    // monotone guard: an append at or below the fold token is loud,
+    // not silently invisible
+    intercept[IllegalArgumentException] {
+      Similarity.appendPcaMoments(e, $"vec", dir, 4L)
+    }
+  }
+
   test("kCenterSelect: hand-computed greedy trace (farthest-first, " +
       "id tie-breaks); deterministic under repartitioning") {
     val pts = Seq(

@@ -756,9 +756,10 @@ class StreamOpsSpec extends SparkSuite {
   }
 
   test("retractionGateSink: streamed takedown batches tombstone the " +
-      "BM25 index, the PQ store, and the near-dup sig store; " +
-      "mid-stream compaction; final answers ≡ from-scratch over the " +
-      "survivors; retracted docs stop suppressing new near-dups") {
+      "BM25 index, the PQ store, the near-dup sig store, and the " +
+      "PCA moment store; mid-stream compaction; final answers ≡ " +
+      "from-scratch over the survivors; retracted docs stop " +
+      "suppressing new near-dups; refits forget") {
     import graft.operators.{Retrieval, Similarity, TextAnalysis}
     import graft.queries.ParityQueries.t
     implicit val sc = spark.sqlContext
@@ -780,6 +781,8 @@ class StreamOpsSpec extends SparkSuite {
     val books = Similarity.fitPqCodebooks(embs, m = 16, ks = 4,
       iters = 1)
     Similarity.writePqCodeStore(embs, cents, books, s"$base/pq")
+    // additive PCA moment store under takedown (fourth family)
+    Similarity.appendPcaMoments(embs, col("vec"), s"$base/pca", 0L)
     // sig store under takedown: docs 3 and 40 ingested through the
     // banded near-dup gate first
     val docA = "the quick brown fox jumps over the lazy dog " * 10
@@ -791,7 +794,8 @@ class StreamOpsSpec extends SparkSuite {
     val in = MemoryStream[Long]
     val q = StreamOps.retractionGateSink(spark, in.toDF().toDF("id"),
       "id", Some(s"$base/bm25"), Some(s"$base/pq"), s"$base/ckpt",
-      compactEvery = 2, sigStorePath = Some(s"$base/sig"))
+      compactEvery = 2, sigStorePath = Some(s"$base/sig"),
+      pcaStoreDir = Some(s"$base/pca"), pcaVecs = Some(embs))
     try {
       sin.addData((3L, docA), (40L, docB)); sq.processAllAvailable()
       in.addData(3L, 5L, 17L); q.processAllAvailable()
@@ -839,6 +843,25 @@ class StreamOpsSpec extends SparkSuite {
           graft.operators.Stats.committedViewDirs(spark,
             s"$base/pq"): _*)
         .where(col("cell") < 0).isEmpty)
+      // PCA moment store: negative batches (incl. the re-delete
+      // no-op) + compaction land exactly on the survivors; a refit
+      // has forgotten the retracted vectors bit-for-bit
+      val gotM = Similarity.pcaMomentsFromStore(spark, s"$base/pca")
+        .select(col("i"), col("j"), col("v").cast("long"))
+        .as[(Int, Int, Long)].collect().toSet
+      val wantM = Similarity.pcaMoments(
+          embs.where(!col("id").isin(3L, 5L, 17L, 23L)), col("vec"))
+        .select(col("i"), col("j"), col("v").cast("long"))
+        .as[(Int, Int, Long)].collect().toSet
+      assert(gotM == wantM)
+      assert(names(s"$base/pca").exists(_.startsWith("gen=")))
+      val (mS, bS, vS) = Similarity.fitPcaFromMoments(
+        Similarity.pcaMomentsFromStore(spark, s"$base/pca"), k = 3)
+      val (mF, bF, vF) = Similarity.fitPca(
+        embs.where(!col("id").isin(3L, 5L, 17L, 23L)), col("vec"),
+        k = 3)
+      assert(mS.toSeq == mF.toSeq && vS.toSeq == vF.toSeq &&
+        bS.map(_.toSeq).toSeq == bF.map(_.toSeq).toSeq)
     } finally { q.stop(); sq.stop() }
   }
 
