@@ -150,6 +150,34 @@ object Selection {
       .agg(sum(col("tcnt")).as("tcnt"), sum(col("rcnt")).as("rcnt"))
   }
 
+  /** RETRACTION for the additive DSIR model — the
+    * right-to-be-forgotten path for the selection artifact: without
+    * it, every future importance fit still weighs the deleted docs'
+    * n-grams. Bucket counts are an additive monoid, so subtracting
+    * the deleted RAW docs' per-bucket counts (one featurize pass over
+    * the deleted docs — O(deleted), history never re-read) lands the
+    * model BIT-EXACTLY on the surviving corpus, the
+    * [[Similarity.deletePcaMoments]] negative-row protocol. Buckets
+    * whose (tcnt, rcnt) both reach zero are dropped — a from-scratch
+    * [[dsirBucketTable]] over survivors has no such rows, so the
+    * retracted table is hash-identical to it (spec-pinned). The
+    * caller owns idempotence (featurize each retracted doc exactly
+    * once — the same ids-are-delete-once contract as every additive
+    * store here); target-corpus docs retract by the symmetric tcnt
+    * column if ever needed.
+    */
+  def retractBucketTable(stored: DataFrame, deletedRawFeats: DataFrame)
+      : DataFrame = {
+    val neg = deletedRawFeats.groupBy(col("f"))
+      .agg((-count(lit(1))).as("rcnt"))
+      .select(col("f"), lit(0L).as("tcnt"), col("rcnt"))
+    stored.select(col("f"), col("tcnt"), col("rcnt"))
+      .unionByName(neg)
+      .groupBy(col("f"))
+      .agg(sum(col("tcnt")).as("tcnt"), sum(col("rcnt")).as("rcnt"))
+      .where(col("tcnt") =!= 0L || col("rcnt") =!= 0L)
+  }
+
   /** Deterministic top-k selection on a score column: (score DESC, id
     * ASC) — TakeOrdered, total order, bit-reproducible.
     */

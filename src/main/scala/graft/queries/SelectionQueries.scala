@@ -60,12 +60,40 @@ object SelectionQueries {
       Selection.dsirTopK(
         Selection.dsirQuantizedScores(feats(s, d, target = false),
           bucketTable(s, d)), TopK)
-        .withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("id", "doc_id")),
+    // DSIR RETRACTION (right-to-be-forgotten for the selection
+    // model): a takedown slice of the raw corpus (doc_id % 17 = 3,
+    // SF-invariant) retracts from the FITTED bucket table by
+    // subtracting its per-bucket counts — integer monoid, so the
+    // retracted model ≡ a from-scratch fit over survivors bit-exactly,
+    // and the oracle computes exactly that: survivor-only counts,
+    // survivor-only scoring, same top-50 cut. O(deleted) work — one
+    // featurize pass over the takedown slice, never a corpus re-fit.
+    "x_dsir_delete" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val rawSide = col("doc_id") % 19 =!= 0
+      val doomed = rawSide && col("doc_id") % 17 === 3
+      val retracted = Selection.retractBucketTable(bucketTable(s, d),
+        Selection.dsirFeatures(docs.where(doomed), col("doc_id"),
+          col("text"), Buckets))
+      val survFeats = Selection.dsirFeatures(
+        docs.where(rawSide && col("doc_id") % 17 =!= 3),
+        col("doc_id"), col("text"), Buckets)
+      Selection.dsirTopK(
+          Selection.dsirQuantizedScores(survFeats, retracted), TopK)
+        .withColumnRenamed("id", "doc_id")
+    })
   )
 
   // ---- DuckDB oracle ----------------------------------------------
 
-  private def featsCtes: String =
+  private def featsCtes: String = featsCtesRaw("doc_id % 19 <> 0")
+
+  /** The shared feature/fit CTE prefix with a parameterized RAW-side
+    * membership predicate — the retraction oracle re-fits over the
+    * surviving raw corpus only.
+    */
+  private def featsCtesRaw(rawPred: String): String =
     s"""tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |), grams AS (
@@ -86,7 +114,7 @@ object SelectionQueries {
        |  WHERE doc_id % 19 = 0 GROUP BY f
        |), rc AS (
        |  SELECT f, count(*) AS rcnt FROM feats
-       |  WHERE doc_id % 19 <> 0 GROUP BY f
+       |  WHERE $rawPred GROUP BY f
        |), bt AS (
        |  SELECT COALESCE(tc.f, rc.f) AS f, COALESCE(tcnt, 0) AS tcnt,
        |    COALESCE(rcnt, 0) AS rcnt
@@ -111,6 +139,22 @@ object SelectionQueries {
         |    CAST(sum(${qlog("tcnt + 1")} - ${qlog("rcnt + 1")})
         |      AS BIGINT) AS score
         |  FROM feats JOIN bt USING (f) WHERE feats.doc_id % 19 <> 0
+        |  GROUP BY feats.doc_id
+        |)
+        |SELECT doc_id, score FROM scored
+        |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin),
+    // retraction ≡ from-scratch over survivors: survivor-only raw
+    // counts (rc) and survivor-only scoring — the subtracted Spark
+    // table must reproduce this fit bit-exactly
+    "x_dsir_delete" ->
+      ("WITH " +
+        featsCtesRaw("doc_id % 19 <> 0 AND doc_id % 17 <> 3") +
+        s""", scored AS (
+        |  SELECT feats.doc_id,
+        |    CAST(sum(${qlog("tcnt + 1")} - ${qlog("rcnt + 1")})
+        |      AS BIGINT) AS score
+        |  FROM feats JOIN bt USING (f)
+        |  WHERE feats.doc_id % 19 <> 0 AND feats.doc_id % 17 <> 3
         |  GROUP BY feats.doc_id
         |)
         |SELECT doc_id, score FROM scored

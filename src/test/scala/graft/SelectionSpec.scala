@@ -113,6 +113,33 @@ class SelectionSpec extends SparkSuite {
     assert(key(Selection.loadBucketTable(spark, dir)) === key(refreshed))
   }
 
+  test("model retraction equals the from-scratch fit over survivors; " +
+      "fully-retracted buckets drop; scores forget the deleted docs") {
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    // retract the even (sports-flavored) raw docs
+    val doomed = raw.where(col("doc_id") % 2 === 0)
+    val doomedFeats =
+      Selection.dsirFeatures(doomed, col("doc_id"), col("text"), 1024)
+    val survFeats = Selection.dsirFeatures(
+      raw.where(col("doc_id") % 2 =!= 0), col("doc_id"), col("text"),
+      1024)
+    val retracted = Selection.retractBucketTable(bt, doomedFeats)
+    val scratch = Selection.dsirBucketTable(survFeats, tgtFeats)
+    assert(key(retracted) === key(scratch)) // bit-identical model
+    // sports-only buckets (rcnt from deleted docs only, tcnt 0) are
+    // gone, not zeroed — the from-scratch fit has no such rows
+    assert(retracted.where(col("tcnt") === 0L && col("rcnt") === 0L)
+      .isEmpty)
+    // survivor scoring with the retracted model ≡ from-scratch
+    val gotScores = Selection.dsirQuantizedScores(survFeats, retracted)
+      .as[(Long, Long)].collect().toSet
+    val wantScores = Selection.dsirQuantizedScores(survFeats, scratch)
+      .as[(Long, Long)].collect().toSet
+    assert(gotScores === wantScores)
+  }
+
   test("scoring joins the model by broadcast; one shuffle for the doc sum") {
     val scored = Selection.dsirQuantizedScores(rawFeats, bt)
     scored.collect()
