@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{MinKAggregator, PolyFp}
 
@@ -166,5 +166,132 @@ object Overlap {
         col("dhat_u"),
         (col("matches").cast("double") / col("ku")).as("jac_est"),
         expr("matches * dhat_u div ku").as("inter_est"))
+  }
+
+  // ---------- retractable KMV sketch store ----------
+
+  /** Per-UNIT KMV sketches — (grp, unit, sketch), the finest
+    * granularity that keeps min-k sketches retractable. A min-k
+    * sketch CANNOT subtract: the deleted values' next-smallest
+    * replacements were discarded at sketch time, so a store holding
+    * only per-group sketches could honor a takedown only by
+    * re-shingling the whole corpus. Holding per-unit (per-document)
+    * sketches instead, retraction = drop the unit's row and re-fold —
+    * the merge-semigroup law (min-k of a union ≡ min-k of the
+    * members' min-k's) makes the group fold BIT-IDENTICAL to
+    * sketching the surviving corpus from scratch, at #units·k longs
+    * of state and zero corpus re-reads. Coarser units (an ingestion
+    * batch, a crawl) trade retraction granularity for state.
+    */
+  def kmvUnitSketches(df: DataFrame, group: Column, unit: Column,
+                      key: Column, k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val minK = udaf(new MinKAggregator(k))
+    df.select(group.as("grp"), unit.as("unit"), kmvHash(key).as("fp"))
+      .where(col("fp").isNotNull)
+      .groupBy(col("grp"), col("unit"))
+      .agg(minK(col("fp")).as("sketch"))
+  }
+
+  /** Bootstrap the retractable sketch store: `batch=0` holds the
+    * corpus's [[kmvUnitSketches]], (grp, unit)-clustered on the
+    * shared `gen=`/`batch=` protocol.
+    */
+  def writeKmvUnitStore(df: DataFrame, group: Column, unit: Column,
+                        key: Column, k: Int, storeDir: String,
+                        filesOut: Int = 2): Unit =
+    kmvUnitSketches(df, group, unit, key, k)
+      .repartitionByRange(filesOut, col("grp"), col("unit"))
+      .sortWithinPartitions(col("grp"), col("unit"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+
+  /** Append a NEW batch's per-unit sketches (`batch=<id>`,
+    * overwrite-idempotent, monotone-guarded). Unit ids must be new —
+    * upstream exact-dedup owns that, the shared incremental-store
+    * contract; history is never re-shingled.
+    */
+  def appendKmvUnitSketches(batch: DataFrame, group: Column,
+                            unit: Column, key: Column, k: Int,
+                            storeDir: String, batchId: Long,
+                            filesOut: Int = 2): Unit = {
+    require(batchId >= 1L, "batchId 0 is the writeKmvUnitStore base")
+    Stats.requireMonotoneBatch(batch.sparkSession,
+      Seq(storeDir, s"$storeDir/deleted"), batchId,
+      "appendKmvUnitSketches")
+    kmvUnitSketches(batch, group, unit, key, k)
+      .repartitionByRange(filesOut, col("grp"), col("unit"))
+      .sortWithinPartitions(col("grp"), col("unit"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** TOMBSTONE retraction for the sketch store: the unit ids land in
+    * a `deleted/batch=<id>` set every read anti-joins — O(deleted),
+    * and the next [[kmvStoreSketches]] fold is already the exact
+    * survivors' sketch (no staleness window: the semigroup re-fold IS
+    * the from-scratch answer). Naturally idempotent (the tombstone
+    * set is a set — a re-streamed id changes nothing), and a unit id
+    * may be RE-ADDED after a compaction cycle cleared its tombstone:
+    * nothing additive remembers it, unlike the BM25 stats fold.
+    */
+  def deleteKmvUnits(ids: DataFrame, storeDir: String, batchId: Long,
+                     filesOut: Int = 1): Unit = {
+    require(batchId >= 1L, "batchId 0 is the writeKmvUnitStore base")
+    Stats.requireMonotoneBatch(ids.sparkSession,
+      Seq(storeDir, s"$storeDir/deleted"), batchId, "deleteKmvUnits")
+    ids.select(col("unit")).distinct()
+      .select(col("unit"), lit(batchId).as("__b"))
+      .repartitionByRange(filesOut, col("unit"))
+      .sortWithinPartitions(col("unit"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/deleted/batch=$batchId")
+  }
+
+  private def kmvDeletedUnits(spark: SparkSession, storeDir: String)
+      : Option[DataFrame] =
+    Stats.committedViewDirs(spark, s"$storeDir/deleted") match {
+      case Seq() => None
+      case dirs => Some(spark.read.parquet(dirs: _*).select(col("unit")))
+    }
+
+  /** The store's CURRENT per-group sketches: surviving units' rows
+    * folded by the merge semigroup — bit-identical to
+    * [[kmvSketch]] over the surviving corpus (spec-pinned), one
+    * map-side-combinable aggregation over #units·k longs.
+    */
+  def kmvStoreSketches(spark: SparkSession, storeDir: String, k: Int)
+      : DataFrame = {
+    val rows = spark.read
+      .parquet(Stats.committedViewDirs(spark, storeDir): _*)
+    val live = kmvDeletedUnits(spark, storeDir) match {
+      case None => rows
+      case Some(del) => rows.join(del, Seq("unit"), "left_anti")
+    }
+    live.groupBy(col("grp"))
+      .agg(slice(array_sort(array_distinct(flatten(
+        collect_list(col("sketch"))))), 1, k).as("sketch"))
+  }
+
+  /** OPTIMIZE: fold the store into one (grp, unit)-clustered
+    * generation of SURVIVING unit rows — tombstoned units drop
+    * physically here and the tombstone set is cleared (no additive
+    * statistic remembers them, so the clear is safe and re-adding a
+    * retracted unit id afterwards is legitimate).
+    */
+  def compactKmvUnitStore(spark: SparkSession, storeDir: String,
+                          filesOut: Int = 2): Option[Long] = {
+    val deleted = kmvDeletedUnits(spark, storeDir)
+      .map(d => Checkpoints.stage(d))
+    val tok = Stats.compactCommittedStore(spark, storeDir,
+      df => deleted.fold(df)(del =>
+          df.join(del, Seq("unit"), "left_anti"))
+        .select(col("grp"), col("unit"), col("sketch"))
+        .repartitionByRange(filesOut, col("grp"), col("unit"))
+        .sortWithinPartitions(col("grp"), col("unit")))
+    if (tok.isDefined && deleted.isDefined)
+      Stats.compactCommittedStore(spark, s"$storeDir/deleted",
+        _.where(lit(false)).select(col("unit"), col("__b"))): Unit
+    tok
   }
 }

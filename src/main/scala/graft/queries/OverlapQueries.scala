@@ -113,6 +113,42 @@ object OverlapQueries {
         .orderBy(col("source"))
     }),
 
+    // KMV RETRACTION: min-k sketches cannot subtract (the deleted
+    // values' replacements were discarded at sketch time), so the
+    // retractable store keeps PER-DOCUMENT sketches — the finest
+    // granularity — and a takedown (doc_id % 13 = 2, SF-invariant,
+    // cutting across both appends) is a tombstone the group fold
+    // anti-joins: the merge-semigroup law makes the folded survivor
+    // sketch BIT-IDENTICAL to sketching the surviving corpus from
+    // scratch (the oracle computes exactly that), with zero staleness
+    // and zero corpus re-reads. An OPTIMIZE drops the rows physically
+    // and clears the tombstones; estimates must be unchanged.
+    "x_kmv_delete" -> ((s, d) => {
+      def slice(pred: org.apache.spark.sql.Column) = {
+        val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
+          graft.functions.ShinglesExpr(
+            org.apache.spark.sql.GraftSqlBridge
+              .toExpression(col("text")), 3))
+        t(s, d, "documents").where(pred)
+          .select(col("source"), col("doc_id"),
+            explode(shs).as("shingle"))
+      }
+      val store = ArtifactMemo.dirFor("kmvdelstore", d) { p =>
+        Overlap.writeKmvUnitStore(slice(col("doc_id") % 2 === 0),
+          col("source"), col("doc_id"), col("shingle"), K, p)
+        Overlap.appendKmvUnitSketches(slice(col("doc_id") % 2 === 1),
+          col("source"), col("doc_id"), col("shingle"), K, p,
+          batchId = 1L)
+        Overlap.deleteKmvUnits(
+          t(s, d, "documents").where(col("doc_id") % 13 === 2)
+            .select(col("doc_id").as("unit")), p, batchId = 2L)
+        Overlap.compactKmvUnitStore(s, p): Unit
+      }
+      Overlap.kmvDistinct(Overlap.kmvStoreSketches(s, store, K), K)
+        .select(col("grp").as("source"), col("n_seen"), col("dhat"))
+        .orderBy(col("source"))
+    }),
+
     // Accuracy gate (empty-set oracle, integer-exact): fires when any
     // source's KMV estimate misses its exact distinct-shingle count by
     // more than 50% relative — ~4 standard errors at k = 64 (12.7%);
@@ -240,6 +276,15 @@ object OverlapQueries {
     "x_kmv_err" ->
       """SELECT source, CAST(0 AS BIGINT) AS dhat,
         |  CAST(0 AS BIGINT) AS d_exact
-        |FROM documents WHERE 1 = 0""".stripMargin
+        |FROM documents WHERE 1 = 0""".stripMargin,
+    // retraction ≡ from-scratch over survivors: the semigroup re-fold
+    // of surviving per-doc sketches must equal sketching the kept
+    // corpus directly
+    "x_kmv_delete" ->
+      ("WITH " + sketchCte("doc_id % 13 <> 2") + s"""
+        |SELECT source, len(sketch) AS n_seen,
+        |  CASE WHEN len(sketch) < $K THEN len(sketch)
+        |       ELSE (${K - 1} * CAST(1000000007 AS BIGINT)) // sketch[$K] END AS dhat
+        |FROM sk ORDER BY source""".stripMargin)
   )
 }

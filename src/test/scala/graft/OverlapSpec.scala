@@ -98,6 +98,55 @@ class OverlapSpec extends SparkSuite {
     assert(math.abs(nov - 0.5) < 0.35 && nov == 1.0 - cont)
   }
 
+  test("retractable unit store: fold ≡ from-scratch; delete ≡ " +
+      "from-scratch over survivors pre- and post-OPTIMIZE; tombstones " +
+      "clear; re-add after compaction; monotone guard") {
+    val k = 32
+    // give every item a unit (document) id: 20 items per unit
+    val unitItems = items.withColumn("unit",
+      (substring(col("item"), 2, 10).cast("long") / 20).cast("long"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kmvdel-").toString + "/store"
+    Overlap.writeKmvUnitStore(unitItems.where(col("unit") % 2 === 0),
+      col("src"), col("unit"), col("item"), k, dir)
+    Overlap.appendKmvUnitSketches(unitItems.where(col("unit") % 2 === 1),
+      col("src"), col("unit"), col("item"), k, dir, batchId = 1L)
+    def folded = Overlap.kmvStoreSketches(spark, dir, k)
+      .as[(String, Array[Long])].collect().toMap
+      .view.mapValues(_.toSeq).toMap
+    def scratch(df: org.apache.spark.sql.DataFrame) =
+      Overlap.kmvSketch(df, col("src"), col("item"), k)
+        .as[(String, Array[Long])].collect().toMap
+        .view.mapValues(_.toSeq).toMap
+    assert(folded == scratch(unitItems)) // semigroup fold ≡ whole
+    // retract units 3 and 10 (spanning both batches)
+    Overlap.deleteKmvUnits(Seq(3L, 10L).toDF("unit"), dir, 2L)
+    val survivors = unitItems.where(!col("unit").isin(3L, 10L))
+    assert(folded == scratch(survivors)) // zero-staleness read
+    // re-streamed tombstone: a set, naturally idempotent
+    Overlap.deleteKmvUnits(Seq(3L).toDF("unit"), dir, 3L)
+    assert(folded == scratch(survivors))
+    // OPTIMIZE: physical drop + tombstone clear, answers unchanged
+    // (the fold token is the MAIN root's newest batch — tombstone
+    // batches live under deleted/ and carry their own tokens)
+    assert(Overlap.compactKmvUnitStore(spark, dir).contains(1L))
+    assert(folded == scratch(survivors))
+    assert(spark.read.parquet(
+        graft.operators.Stats.committedViewDirs(spark,
+          s"$dir/deleted"): _*).isEmpty)
+    // nothing additive remembers a cleared unit — re-adding it after
+    // the cycle is legitimate and restores the full-corpus sketch
+    Overlap.appendKmvUnitSketches(
+      unitItems.where(col("unit").isin(3L, 10L)),
+      col("src"), col("unit"), col("item"), k, dir, batchId = 4L)
+    assert(folded == scratch(unitItems))
+    // monotone guard: an append at or below the fold token is loud
+    intercept[IllegalArgumentException] {
+      Overlap.appendKmvUnitSketches(unitItems, col("src"), col("unit"),
+        col("item"), k, dir, batchId = 3L)
+    }
+  }
+
   test("null keys are ignored, not a runtime crash") {
     val withNulls = items.unionByName(
       Seq(("g1", null.asInstanceOf[String]),
