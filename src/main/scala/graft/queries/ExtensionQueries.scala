@@ -821,6 +821,40 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Near-dup gate RETRACTION: the history store (doc_id < 400) takes
+    // a takedown (doc_id % 9 = 8 — an SF-invariant slice whose
+    // signatures must STOP suppressing new near-duplicates), and the
+    // new batch (doc_id ≥ 400) re-gates against the tombstone-aware
+    // store view — survivors ≡ the from-scratch banded gate over the
+    // SURVIVING corpus (the oracle recomputes candidates over exactly
+    // that universe). Completes the CORRECTNESS row for the third
+    // retraction arm (deleteFromNearDupStore), pq/bm25's sibling.
+    "x_neardup_delete" -> ((s, d) => {
+      import graft.streaming.StreamOps
+      val docs = t(s, d, "documents")
+      val root = ArtifactMemo.dirFor("sigdelstore", d) { p =>
+        Dedup.writeBandedSigStore(
+          Dedup.minhashSigsNative(docs.where(col("doc_id") < 400),
+            col("doc_id"), col("text"), n = 3, k = 32),
+          s"$p/store/batch=0", s"$p/manifest", filesOut = 8)
+        StreamOps.deleteFromNearDupStore(s, s"$p/store",
+          docs.where(col("doc_id") < 400 && col("doc_id") % 9 === 8)
+            .select(col("doc_id").as("id")), batchId = 1L)
+      }
+      val batch = docs.where(col("doc_id") >= 400)
+      val batchSigs = graft.operators.Checkpoints.stage(
+        Dedup.minhashSigsNative(batch, col("doc_id"), col("text"),
+          n = 3, k = 32))
+      val newBands = Dedup.lshBuckets(batchSigs, rows = 4)
+        .select(col("band"), col("bucket"), col("id"), col("sig"))
+      val storeBands = StreamOps.storeBandsFor(s, s"$root/store",
+        s"$root/manifest", newBands)
+      Dedup.minhashIncrementalFromBands(batch, col("doc_id"),
+          newBands, storeBands, batchSigs.count())
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Exact embedding near-dup pairs (cosine ≥ 0.42 over all a<b pairs)
     // — the ground-truth form of embeddingNearDup, oracle-checked.
     "x_embed_neardup" -> ((s, d) => {
@@ -1646,11 +1680,17 @@ object ExtensionQueries {
   private val pcaMomentsSql: String = pcaMomentsSqlKeep("TRUE")
 
   private[queries] val minhashCandCte: String =
-    """WITH toks AS (
+    minhashCandCteWhere("TRUE")
+
+  /** [[minhashCandCte]] over a restricted document universe — the
+    * retraction oracle recomputes candidates over survivors only.
+    */
+  private[queries] def minhashCandCteWhere(pred: String): String =
+    s"""WITH toks AS (
       |  SELECT doc_id,
       |    CAST(generate_subscripts(string_split(text,' '),1) AS INT) AS pos,
       |    unnest(string_split(text,' ')) AS tok
-      |  FROM documents
+      |  FROM documents WHERE $pred
       |), sh AS (
       |  SELECT doc_id,
       |    tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w
@@ -2056,6 +2096,25 @@ object ExtensionQueries {
     // larger id is in the new batch — the ground truth the incremental
     // signature-store path must (and does) reproduce.
     "x_minhash_incremental" -> (minhashCandCte +
+      """, scored AS (
+        |  SELECT id_a, id_b,
+        |    CAST(len(list_filter(range(32),
+        |      i -> sa[CAST(i+1 AS INT)] = sb[CAST(i+1 AS INT)]))
+        |      AS DOUBLE) / 32 AS est
+        |  FROM cand
+        |), removed AS (
+        |  SELECT DISTINCT id_b FROM scored
+        |  WHERE est >= 0.8 AND id_b >= 400
+        |)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id >= 400
+        |  AND d.doc_id NOT IN (SELECT id_b FROM removed)
+        |ORDER BY d.doc_id""".stripMargin),
+    // retraction ≡ from-scratch over survivors: candidates recomputed
+    // over the corpus MINUS the takedown slice — a retracted doc's
+    // signatures must no longer suppress batch docs
+    "x_neardup_delete" -> (minhashCandCteWhere(
+      "NOT (doc_id < 400 AND doc_id % 9 = 8)") +
       """, scored AS (
         |  SELECT id_a, id_b,
         |    CAST(len(list_filter(range(32),

@@ -253,6 +253,41 @@ object StreamOps {
       .parquet(s"${storePath}_deleted/batch=$batchId")
   }
 
+  /** The banded signature store's TOMBSTONE-AWARE, manifest-pruned
+    * read view for a probe batch: committed `batch=`/`gen=` dirs
+    * pruned to the files the probe (band, bucket) pairs can live in,
+    * with retracted ids dropped ([[deleteFromNearDupStore]]'s set) —
+    * the read path the streaming gate and any batch re-gate share.
+    * `newBands` supplies both the probe pairs and the schema for the
+    * empty-store case; a missing/crashed manifest only costs pruning.
+    */
+  def storeBandsFor(spark: SparkSession, storePath: String,
+                    manifestPath: String, newBands: DataFrame)
+      : DataFrame = {
+    import graft.operators.Stats
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val viewDirs = storeViewDirs(spark, storePath)
+    if (viewDirs.isEmpty) newBands.limit(0)
+    else {
+      val mp = new org.apache.hadoop.fs.Path(manifestPath)
+      val files =
+        if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+          Stats.touchedPairsKeptFilesUnder(spark,
+            viewDirs.map(_.toString), manifestPath, "band", "bucket",
+            newBands.select(col("band"), col("bucket")))
+        else viewDirs.map(_.toString)
+      if (files.isEmpty) newBands.limit(0)
+      else {
+        // tombstoned docs must not suppress new near-dups
+        val raw = spark.read.parquet(files: _*)
+          .select(col("band"), col("bucket"), col("id"), col("sig"))
+        nearDupDeletedIds(spark, storePath)
+          .fold(raw)(del => raw.join(del, Seq("id"), "left_anti"))
+      }
+    }
+  }
+
   private def nearDupDeletedIds(spark: SparkSession,
                                 storePath: String): Option[DataFrame] =
     graft.operators.Stats
@@ -322,30 +357,8 @@ object StreamOps {
           val batchRows = batchSigs.count()
           val newBands = Dedup.lshBuckets(batchSigs, rowsPerBand)
             .select(col("band"), col("bucket"), col("id"), col("sig"))
-          val fs = new org.apache.hadoop.fs.Path(storePath)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val viewDirs = storeViewDirs(spark, storePath)
-          val storeBands =
-            if (viewDirs.isEmpty) newBands.limit(0)
-            else {
-              val mp = new org.apache.hadoop.fs.Path(mPath)
-              val files =
-                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
-                  Stats.touchedPairsKeptFilesUnder(spark,
-                    viewDirs.map(_.toString), mPath, "band", "bucket",
-                    newBands.select(col("band"), col("bucket")))
-                else viewDirs.map(_.toString)
-              if (files.isEmpty) newBands.limit(0)
-              else {
-                // tombstoned docs must not suppress new near-dups
-                val raw = spark.read.parquet(files: _*)
-                  .select(col("band"), col("bucket"), col("id"),
-                    col("sig"))
-                nearDupDeletedIds(spark, storePath)
-                  .fold(raw)(del =>
-                    raw.join(del, Seq("id"), "left_anti"))
-              }
-            }
+          val storeBands = storeBandsFor(spark, storePath, mPath,
+            newBands)
           val survivors = Dedup.minhashIncrementalFromBands(batch,
               col(id), newBands, storeBands, batchRows, minEstJaccard)
             .localCheckpoint()
