@@ -2360,16 +2360,31 @@ object Graph {
     * reachability closure in SQL. Returns (id, scc) for every node of
     * the edge list; scc = min member id.
     *
-    * Scale: inner fixpoints are edge-sized min/flag propagations with
+    * Scale: each outer round first TRIMS (Slota et al.'s Multistep
+    * step 1): a node with no incoming or no outgoing edge in the
+    * remainder cannot sit on a cycle, so it retires as a singleton
+    * SCC — peeled ITERATIVELY (each layer exposes the next) at two
+    * cheap degree tests per layer, which drains DAG-shaped regions
+    * without paying any coloring fixpoint. The surviving cyclic core
+    * then runs the FB round: edge-sized min/flag propagations with
     * sum/count early exits (the CC convergence pattern); outer rounds
-    * retire ≥ 1 SCC per live color, so trees of many small SCCs drain
-    * in parallel — the known adversary is a long chain of SCCs
-    * (diameter-many colors dominated by one pivot per round), the same
-    * topology class x_cc_chain prices. Round state staged and freed.
+    * retire ≥ 1 SCC per live color, so forests of small SCCs drain in
+    * parallel. The priced adversary is a CHAIN of nontrivial SCCs
+    * (x_scc_chain): trim cannot peel between cycles, so rounds scale
+    * with the chain's SCC-depth — the topology's price, not the
+    * plan's. Round state staged and freed.
+    *
+    * Budgets: `maxRounds`/`maxInner` ≤ 0 (the default) derive from
+    * the node count — n outer rounds (every round retires ≥ 1 node)
+    * and n + 1 fixpoint iterations (a min/flag propagation converges
+    * within the remainder's diameter < n) always suffice, so the
+    * derived budgets never abort a finite input; pass explicit values
+    * to bound wall-clock instead, accepting the loud `require` abort
+    * when the graph's topology outruns them.
     */
   def stronglyConnectedComponents(edges: DataFrame, src: Column,
-                                  dst: Column, maxRounds: Int = 25,
-                                  maxInner: Int = 50): DataFrame = {
+                                  dst: Column, maxRounds: Int = 0,
+                                  maxInner: Int = 0): DataFrame = {
     val free: DataFrame => Unit =
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint
     val e0 = Checkpoints.stage(
@@ -2382,17 +2397,52 @@ object Graph {
         .union(e0.select(col("dst").as("id"))).distinct())
     var remE = e0
     var nRem = rem.count()
+    val roundBudget =
+      if (maxRounds > 0) maxRounds.toLong else math.max(nRem, 1L)
+    val innerBudget =
+      if (maxInner > 0) maxInner.toLong else nRem + 1L
     val found =
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var outer = 0
-    while (nRem > 0 && outer < maxRounds) {
+    var outer = 0L
+    while (nRem > 0 && outer < roundBudget) {
+      // 0. TRIM: peel no-in/no-out nodes (singleton SCCs) layer by
+      // layer until only the cyclic core remains
+      var trimming = true
+      while (trimming && nRem > 0) {
+        val hasIn = remE.select(col("dst").as("id")).distinct()
+        val hasOut = remE.select(col("src").as("id")).distinct()
+        val keep = Checkpoints.stage(
+          rem.join(hasIn, Seq("id"), "left_semi")
+            .join(hasOut, Seq("id"), "left_semi"))
+        val nKeep = keep.count()
+        if (nKeep == nRem) { free(keep); trimming = false }
+        else {
+          found += Checkpoints.stage(
+            rem.join(keep, Seq("id"), "left_anti")
+              .select(col("id"), col("id").as("scc")))
+          val remENext = Checkpoints.stage(remE
+            .join(keep.select(col("id").as("src")), Seq("src"),
+              "left_semi")
+            .join(keep.select(col("id").as("dst")), Seq("dst"),
+              "left_semi")
+            .select(col("src"), col("dst")))
+          free(rem)
+          if (!(remE eq e0)) free(remE)
+          rem = keep
+          remE = remENext
+          nRem = nKeep
+        }
+      }
+      if (nRem == 0) {
+        outer += 1
+      } else {
       // 1. forward min-label fixpoint: f(dst) ≤ f(src)
       var f = Checkpoints.stage(rem.select(col("id"),
         col("id").as("f")))
       var prevSum: java.math.BigDecimal = null
       var stable = false
       var it = 0
-      while (!stable && it < maxInner) {
+      while (!stable && it < innerBudget) {
         val nbrMin = remE
           .join(f.select(col("id").as("src"), col("f").as("__nf")),
             Seq("src"))
@@ -2415,7 +2465,7 @@ object Graph {
         it += 1
       }
       require(stable, s"scc: forward coloring did not converge in " +
-        s"$maxInner rounds (outer $outer)")
+        s"$innerBudget rounds (outer $outer)")
       // 2. backward reach to the pivot INSIDE each color class
       val ce = Checkpoints.stage(remE
         .join(f.select(col("id").as("src"), col("f").as("__fs")),
@@ -2429,7 +2479,7 @@ object Graph {
       var nReached = reached.count()
       stable = false
       it = 0
-      while (!stable && it < maxInner) {
+      while (!stable && it < innerBudget) {
         val next = Checkpoints.stage(
           ce.join(reached.select(col("id").as("dst")), Seq("dst"),
               "left_semi")
@@ -2444,7 +2494,7 @@ object Graph {
         it += 1
       }
       require(stable, s"scc: backward reach did not converge in " +
-        s"$maxInner rounds (outer $outer)")
+        s"$innerBudget rounds (outer $outer)")
       // 3. retire the found SCCs; survivors re-color next round
       val scc = Checkpoints.stage(
         f.join(reached, Seq("id"), "left_semi")
@@ -2467,9 +2517,10 @@ object Graph {
       remE = remENext
       nRem = rem.count()
       outer += 1
+      }
     }
     require(nRem == 0,
-      s"scc did not drain in $maxRounds outer rounds")
+      s"scc did not drain in $roundBudget outer rounds")
     if (found.isEmpty) rem.select(col("id"), col("id").as("scc"))
     else found.reduce(_ unionAll _)
   }
@@ -2490,7 +2541,7 @@ object Graph {
     * |V|); state staged and freed per round.
     */
   def sccCondensation(edges: DataFrame, src: Column, dst: Column,
-                      maxRounds: Int = 25, maxInner: Int = 50)
+                      maxRounds: Int = 0, maxInner: Int = 0)
       : DataFrame = {
     val free: DataFrame => Unit =
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint
@@ -2512,10 +2563,15 @@ object Graph {
     var lvl = Checkpoints.stage(
       asg.select(col("scc")).distinct()
         .withColumn("level", lit(0L)))
+    // DAG depth < #condensed nodes, so the derived budget never
+    // aborts a finite input (the levels fixpoint converges or the
+    // condensation was not a DAG — a bug the require below names)
+    val levelBudget =
+      if (maxInner > 0) maxInner.toLong else lvl.count() + 1L
     var prevSum: java.math.BigDecimal = null
     var stable = false
     var it = 0
-    while (!stable && it < maxInner) {
+    while (!stable && it < levelBudget) {
       val predMax = ce
         .join(lvl.select(col("scc").as("src"),
           col("level").as("__pl")), Seq("src"))
@@ -2538,7 +2594,7 @@ object Graph {
       it += 1
     }
     require(stable,
-      s"sccCondensation: levels did not converge in $maxInner rounds" +
+      s"sccCondensation: levels did not converge in $levelBudget rounds" +
         " — the condensation must be a DAG, so this is a bug")
     asg.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
       .join(lvl, Seq("scc"))
