@@ -2601,6 +2601,206 @@ object Graph {
       .select(col("scc"), col("level"), col("n_members"))
   }
 
+  // ---------- incremental strongly connected components ----------
+
+  /** Persist [[stronglyConnectedComponents]]' (id, scc) assignment
+    * PLUS the condensation's cross-SCC edges as `batch=0` of an
+    * incremental store — the state that makes directed-graph
+    * maintenance sublinear: edge insertion can only MERGE SCCs (an
+    * SCC never splits when reachability grows), so a later batch
+    * recomputes SCC over (stored condensation ∪ the batch's mapped
+    * edges) — a graph of ≤ #SCCs + batch nodes, usually far smaller
+    * than |V| — and relabels only merged members. The
+    * [[connectedComponentsIncremental]] contract-through-stored-labels
+    * pattern, directed.
+    */
+  def writeSccStore(edges: DataFrame, src: Column, dst: Column,
+                    storeDir: String, filesOut: Int = 1): Unit = {
+    val e0 = Checkpoints.stage(
+      edges.select(src.cast("long").as("src"),
+          dst.cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val asg = Checkpoints.stage(
+      stronglyConnectedComponents(e0, col("src"), col("dst")))
+    asg.select(col("id"), col("scc"), lit(0L).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/assign/batch=0")
+    e0.join(asg.select(col("id").as("src"), col("scc").as("__ca")),
+        Seq("src"))
+      .join(asg.select(col("id").as("dst"), col("scc").as("__cb")),
+        Seq("dst"))
+      .where(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("src"), col("__cb").as("dst"))
+      .distinct()
+      .withColumn("__b", lit(0L))
+      .repartitionByRange(filesOut, col("src"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/cedges/batch=0")
+  }
+
+  private def sccAssignView(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String,
+                            beforeBatch: Long): DataFrame =
+    spark.read
+      .parquet(Stats.committedViewDirs(spark, s"$storeDir/assign"): _*)
+      .where(col("__b") < beforeBatch)
+      .groupBy(col("id"))
+      .agg(max(struct(col("__b"), col("scc"))).as("m"))
+      .select(col("id"), col("m.scc").as("scc"))
+
+  /** The SCC store's CURRENT (id, scc) assignment — newest wins per
+    * id (scc = min member id of the merged component, maintained
+    * exactly by [[sccIncremental]]).
+    */
+  def sccStoreAssign(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String): DataFrame =
+    sccAssignView(spark, storeDir, Long.MaxValue)
+
+  /** The store's condensation edges under the CURRENT assignment:
+    * stored rows may carry stale labels (their endpoints were SCC
+    * labels at write time), so each endpoint — always a node id —
+    * maps through the current assignment; edges whose SCCs have since
+    * merged collapse to self-loops and drop. Staleness costs this
+    * mapping join, never correctness.
+    */
+  def sccStoreCondensation(spark: org.apache.spark.sql.SparkSession,
+                           storeDir: String): DataFrame =
+    sccCedgesView(spark, storeDir, Long.MaxValue,
+      sccStoreAssign(spark, storeDir))
+
+  private def sccCedgesView(spark: org.apache.spark.sql.SparkSession,
+                            storeDir: String, beforeBatch: Long,
+                            asg: DataFrame): DataFrame =
+    spark.read
+      .parquet(Stats.committedViewDirs(spark, s"$storeDir/cedges"): _*)
+      .where(col("__b") < beforeBatch)
+      .join(asg.select(col("id").as("src"), col("scc").as("__ca")),
+        Seq("src"))
+      .join(asg.select(col("id").as("dst"), col("scc").as("__cb")),
+        Seq("dst"))
+      .where(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("src"), col("__cb").as("dst"))
+      .distinct()
+
+  /** INCREMENTAL SCC — the directed warm start: contract the batch's
+    * edges through the stored assignment (unseen endpoints are their
+    * own super-nodes), run [[stronglyConnectedComponents]] over the
+    * stored condensation ∪ the mapped batch — SOUND because
+    * insertions only merge SCCs and the condensation preserves every
+    * cross-SCC reachability of the stored graph, and ≤ #SCCs + batch
+    * sized because contracted members never re-enter. Labels stay
+    * exact: a stored label is its SCC's min member id, so the min
+    * over merged super-node labels IS the merged SCC's min member id
+    * (the CC-incremental relabel argument, directed). The assign
+    * delta holds only merged-SCC members and new nodes; the batch's
+    * own cross-SCC edges append to the condensation store under
+    * current labels. Retries are overwrite-idempotent (both views
+    * read only rows with `__b` < batchId; compaction keeps row-level
+    * `__b`). Returns the full (id, scc) assignment over old ∪ new.
+    */
+  def sccIncremental(newEdges: DataFrame, src: Column, dst: Column,
+                     storeDir: String, batchId: Long,
+                     broadcastLimit: Long = 4000000L): DataFrame = {
+    require(batchId >= 1L, "batchId 0 is the writeSccStore base")
+    val spark = newEdges.sparkSession
+    Stats.requireMonotoneBatch(spark,
+      Seq(s"$storeDir/assign", s"$storeDir/cedges"), batchId,
+      "sccIncremental")
+    val en = Checkpoints.stage(
+      newEdges.select(src.cast("long").as("src"),
+          dst.cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val nNew = en.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nNew <= broadcastLimit) broadcast(df) else df
+    val stored = Checkpoints.stage(
+      sccAssignView(spark, storeDir, batchId))
+    val ids = en.select(col("src").as("id"))
+      .union(en.select(col("dst").as("id"))).distinct()
+    val mapped = Checkpoints.stage(en
+      .join(gated(stored.select(col("id").as("src"),
+        col("scc").as("__cu"))), Seq("src"), "left")
+      .join(gated(stored.select(col("id").as("dst"),
+        col("scc").as("__cv"))), Seq("dst"), "left")
+      .select(coalesce(col("__cu"), col("src")).as("src"),
+        coalesce(col("__cv"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct())
+    val superE = sccCedgesView(spark, storeDir, batchId, stored)
+      .unionByName(mapped)
+      .distinct()
+    val superAsg = Checkpoints.stage(stronglyConnectedComponents(
+      superE, col("src"), col("dst")))
+    // super-nodes whose label changed = merged groups' non-min labels
+    val remap = Checkpoints.stage(
+      superAsg.where(col("id") =!= col("scc"))
+        .select(col("id").as("__old"), col("scc").as("__new")))
+    // merged SCCs' stored members relabel; winners keep their rows
+    val losers = stored
+      .join(gated(remap), col("scc") === col("__old"))
+      .select(col("id"), col("__new").as("scc"))
+    // the batch's NEW nodes: their super-node is their own id
+    val newNodes = ids
+      .join(gated(stored.select(col("id"))), Seq("id"), "left_anti")
+      .join(gated(remap), col("id") === col("__old"), "left")
+      .select(col("id"), coalesce(col("__new"), col("id")).as("scc"))
+    val slice = Checkpoints.stage(newNodes.unionByName(losers))
+    slice.select(col("id"), col("scc"), lit(batchId).as("__b"))
+      .repartitionByRange(1, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/assign/batch=$batchId")
+    // the batch's own cross-SCC edges, under the POST-batch labels
+    mapped
+      .join(gated(remap.select(col("__old").as("src"),
+        col("__new").as("__ns"))), Seq("src"), "left")
+      .join(gated(remap.select(col("__old").as("dst"),
+        col("__new").as("__nd"))), Seq("dst"), "left")
+      .select(coalesce(col("__ns"), col("src")).as("src"),
+        coalesce(col("__nd"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .withColumn("__b", lit(batchId))
+      .repartitionByRange(1, col("src"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/cedges/batch=$batchId")
+    stored
+      .join(gated(slice.select(col("id"))), Seq("id"), "left_anti")
+      .unionByName(slice.select(col("id"), col("scc")))
+  }
+
+  /** OPTIMIZE for the SCC store: assign folds newest-wins per id
+    * (row-level `__b` kept — the retry-view contract), cedges fold to
+    * distinct rows keeping each edge's EARLIEST batch id (relabeling
+    * is deliberately left to read time: folding post-batch labels
+    * into older rows would break a retried batch's strictly-before
+    * view; stale rows only cost the read-time mapping join).
+    */
+  def compactSccStore(spark: org.apache.spark.sql.SparkSession,
+                      storeDir: String, filesOut: Int = 1)
+      : Option[Long] = {
+    val tok = Stats.compactCommittedStore(spark, s"$storeDir/assign",
+      _.groupBy(col("id"))
+        .agg(max(struct(col("__b"), col("scc"))).as("m"))
+        .select(col("id"), col("m.scc").as("scc"),
+          col("m.__b").as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id")))
+    if (tok.isDefined)
+      Stats.compactCommittedStore(spark, s"$storeDir/cedges",
+        _.groupBy(col("src"), col("dst"))
+          .agg(min(col("__b")).as("__b"))
+          .repartitionByRange(filesOut, col("src"))
+          .sortWithinPartitions(col("src"), col("dst"))): Unit
+    tok
+  }
+
   // ---------- incremental connected components ----------
 
   /** The CC store's comp-clustered PROJECTION root — the same

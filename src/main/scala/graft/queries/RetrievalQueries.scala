@@ -540,6 +540,27 @@ object RetrievalQueries {
           sparseDirectedTrade(s, d), col("src"), col("dst"))
         .orderBy(col("scc"))),
 
+    // INCREMENTAL SCC: the even-multiples-of-29 slice of the directed
+    // trade graph bootstraps the (assignment + condensation) store;
+    // the odd-multiples batch then recomputes SCC over (stored
+    // condensation ∪ contracted batch edges) — ≤ #SCCs + batch nodes,
+    // never |V| — and relabels only merged members. Sound because
+    // insertion only MERGES SCCs; labels stay the min member id, so
+    // the result hash-matches the same GROUND-TRUTH mutual-
+    // reachability closure x_scc checks (the union graph IS the
+    // x_scc fixture: 58 = 2·29 splits it SF-invariantly).
+    "x_scc_incremental" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("sccstore", d) { p =>
+        Graph.writeSccStore(
+          sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 0),
+          col("src"), col("dst"), p)
+      }
+      Graph.sccIncremental(
+          sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 29),
+          col("src"), col("dst"), store, batchId = 1L)
+        .orderBy(col("id"))
+    }),
+
     // INCREMENTAL landmark sketch maintenance: the quantity ≤ 1
     // graph's sketch persists once (writeLandmarkStore, landmarks
     // FROZEN there); the quantity = 2 batch then RELAXES stored
@@ -735,10 +756,12 @@ object RetrievalQueries {
     * x_scc / x_scc_levels fixture: mixed SCC structure at sf0.01,
     * one giant SCC at sf0.1, all-trivial at sf0.001.
     */
-  private def sparseDirectedTrade(s: SparkSession,
-                                  d: String): DataFrame =
+  private def sparseDirectedTrade(s: SparkSession, d: String,
+                                  keep: org.apache.spark.sql.Column =
+                                    lit(true)): DataFrame =
     t(s, d, "lineitem")
-      .where(col("l_quantity") <= 1 && col("l_orderkey") % 29 === 0)
+      .where(col("l_quantity") <= 1 && col("l_orderkey") % 29 === 0 &&
+        keep)
       .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
       .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
@@ -1912,6 +1935,9 @@ object RetrievalQueries {
     "x_landmark_incremental" -> landmarkIncSql,
     "x_scc" -> sccSql,
     "x_scc_levels" -> sccLevelsSql,
+    // warm ≡ cold: the incremental store's final assignment is checked
+    // against the SAME ground-truth closure over the union graph
+    "x_scc_incremental" -> sccSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

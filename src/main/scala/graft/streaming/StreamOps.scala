@@ -1562,10 +1562,13 @@ object StreamOps {
     * gate-store contract.
     *
     * `triStorePath` / `kcoreStorePath` / `prStorePath` /
-    * `hitsStorePath` opt the remaining graph warm starts into the
-    * same gate (all seven graph maintenance forms — CC, label prop,
-    * triangles, k-core, warm PageRank, warm HITS, warm Louvain —
-    * then run under one stream). Triangle counting is
+    * `hitsStorePath` / `louvainStorePath` / `landmarkStorePath` /
+    * `sccStorePath` opt the remaining graph warm starts into the
+    * same gate (all nine graph maintenance forms — CC, label prop,
+    * triangles, k-core, warm PageRank, warm HITS, warm Louvain,
+    * landmark distances, and incremental SCC, the one form reading
+    * the edges DIRECTED — then run under one stream). Triangle
+    * counting is
     * the one NON-idempotent op under re-sent edges, so its base is
     * built from HISTORY ONLY (the batch always rides the
     * overwrite-idempotent incremental append — a crash-retry of the
@@ -1595,7 +1598,8 @@ object StreamOps {
                     louvainStorePath: Option[String] = None,
                     louvainRounds: Int = 1, louvainIters: Int = 3,
                     landmarkStorePath: Option[String] = None,
-                    landmarkCount: Int = 4, landmarkDepth: Int = 6)
+                    landmarkCount: Int = 4, landmarkDepth: Int = 6,
+                    sccStorePath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     stream.writeStream
@@ -1724,6 +1728,20 @@ object StreamOps {
                 col("v"), edges, col("u"), col("v"), mp, sb,
                 landmarkDepth, filesOut): Unit
           }
+          // Incremental SCC — the ONE form that reads the edges
+          // DIRECTED (u → v): bootstrap assignment + condensation
+          // once, then condensation-level recompute per batch
+          // (insertion only merges SCCs; re-sent edges contract to
+          // self-loops or duplicate condensation rows — harmless,
+          // set semantics)
+          sccStorePath.foreach { sp =>
+            if (Stats.committedViewDirs(spark, s"$sp/assign").isEmpty)
+              Graph.writeSccStore(all, col("u"), col("v"), sp,
+                filesOut)
+            else
+              Graph.sccIncremental(edges, col("u"), col("v"), sp,
+                sb): Unit
+          }
           if (!bootstrap && compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             Graph.compactCCStore(spark, ccStorePath, filesOut): Unit
@@ -1741,6 +1759,8 @@ object StreamOps {
               Graph.compactLouvainStore(spark, lp, filesOut): Unit)
             landmarkStorePath.foreach(mp =>
               Graph.compactLandmarkStore(spark, mp, filesOut): Unit)
+            sccStorePath.foreach(sp =>
+              Graph.compactSccStore(spark, sp, filesOut): Unit)
             Stats.compactCommittedStore(spark, edgesPath,
               _.select(col("u"), col("v"), col("__b"))
                 .repartitionByRange(filesOut, col("u"), col("v"))

@@ -247,6 +247,70 @@ class GraphSpec extends SparkSuite {
     assert(ch == (1L to 6L).map(i => i -> i).toMap)
   }
 
+  test("sccIncremental: contract-through-stored-assignment ≡ " +
+      "from-scratch over the union; delta holds only merged members " +
+      "and new nodes; stale condensation labels map at read; retry " +
+      "idempotent; compaction preserves the view") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sccstore-").toString + "/scc"
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (6L, 7L)).toDF("s", "d")
+    Graph.writeSccStore(hist, col("s"), col("d"), dir)
+    assert(Graph.sccStoreAssign(spark, dir)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+        6L -> 6L, 7L -> 7L))
+    // batch 1: (5,1) merges {1,2,3}+{4,5}; (7,6) closes {6,7}; new
+    // 2-cycle {8,9}; (5,8) adds a cross-SCC edge to the new cycle
+    val b1 = Seq((5L, 1L), (7L, 6L), (8L, 9L), (9L, 8L), (5L, 8L))
+      .toDF("s", "d")
+    val got1 = Graph.sccIncremental(b1, col("s"), col("d"), dir, 1L)
+      .as[(Long, Long)].collect().toMap
+    val scratch1 = Graph.stronglyConnectedComponents(
+        hist.unionByName(b1), col("s"), col("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(got1 == scratch1, s"$got1 vs $scratch1")
+    assert(Graph.sccStoreAssign(spark, dir)
+      .as[(Long, Long)].collect().toMap == scratch1)
+    // delta accounting: only merged-SCC members (4, 5 → 1; 7 → 6)
+    // and the new nodes (8, 9) rewrote
+    val delta = spark.read.parquet(s"$dir/assign/batch=1")
+      .select($"id", $"scc").as[(Long, Long)].collect().toMap
+    assert(delta == Map(4L -> 1L, 5L -> 1L, 7L -> 6L, 8L -> 8L,
+      9L -> 8L), s"delta $delta")
+    // condensation view: one cross edge {1..5} → {8,9}
+    assert(Graph.sccStoreCondensation(spark, dir)
+      .as[(Long, Long)].collect().toSet == Set((1L, 8L)))
+    // batch 2: (9,2) merges {8,9} into the giant SCC — the stored
+    // (1,8) condensation edge goes stale and must self-loop away
+    val b2 = Seq((9L, 2L)).toDF("s", "d")
+    val got2 = Graph.sccIncremental(b2, col("s"), col("d"), dir, 2L)
+      .as[(Long, Long)].collect().toMap
+    val scratch2 = Graph.stronglyConnectedComponents(
+        hist.unionByName(b1).unionByName(b2), col("s"), col("d"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == scratch2, s"$got2 vs $scratch2")
+    assert(Graph.sccStoreCondensation(spark, dir)
+      .as[(Long, Long)].collect().toSet == Set.empty[(Long, Long)])
+    // retry: same batch id recomputes against the strictly-before
+    // view and rewrites the same delta
+    val retry = Graph.sccIncremental(b2, col("s"), col("d"), dir, 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(retry == scratch2)
+    // OPTIMIZE folds both stores; the view is unchanged
+    assert(Graph.compactSccStore(spark, dir).contains(2L))
+    assert(Graph.sccStoreAssign(spark, dir)
+      .as[(Long, Long)].collect().toMap == scratch2)
+    assert(Graph.sccStoreCondensation(spark, dir)
+      .as[(Long, Long)].collect().toSet == Set.empty[(Long, Long)])
+    // a later batch still reads correctly through the generation
+    val b3 = Seq((20L, 21L), (21L, 20L)).toDF("s", "d")
+    val got3 = Graph.sccIncremental(b3, col("s"), col("d"), dir, 3L)
+      .as[(Long, Long)].collect().toMap
+    assert(got3 == scratch2 ++ Map(20L -> 20L, 21L -> 20L))
+  }
+
   test("sccCondensation: collapsed cycles, cross-SCC DAG edges, " +
       "longest-path levels, member counts") {
     import spark.implicits._

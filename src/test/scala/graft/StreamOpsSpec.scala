@@ -886,7 +886,8 @@ class StreamOpsSpec extends SparkSuite {
       louvainStorePath = Some(s"$base/lv"), louvainRounds = 1,
       louvainIters = 3,
       landmarkStorePath = Some(s"$base/lm"), landmarkCount = 2,
-      landmarkDepth = 3)
+      landmarkDepth = 3,
+      sccStorePath = Some(s"$base/scc"))
     try {
       // b0: components {1,2,3} and {10,11}; seed 20 is edge-isolated
       val b0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
@@ -1003,6 +1004,16 @@ class StreamOpsSpec extends SparkSuite {
       assert(gotLm == wantLm, s"$gotLm vs $wantLm")
       // b1's bridge (3,10) pulled 10 within reach of both landmarks
       assert(gotLm.contains((10L, 1L, 3)) && gotLm.contains((10L, 2L, 2)))
+      // SCC (the one DIRECTED form): the maintained assignment must
+      // equal from-scratch SCC over the union read u → v — b2's
+      // (2,1) + (1,31),(31,2) close the {1, 2, 31} cycle across
+      // batches and a mid-stream OPTIMIZE
+      val gotScc = Graph.sccStoreAssign(spark, s"$base/scc")
+        .as[(Long, Long)].collect().toMap
+      val wantScc = Graph.stronglyConnectedComponents(union, col("a"),
+          col("b")).as[(Long, Long)].collect().toMap
+      assert(gotScc == wantScc, s"$gotScc vs $wantScc")
+      assert(gotScc(31L) == 1L && gotScc(2L) == 1L)
     } finally q.stop()
   }
 
