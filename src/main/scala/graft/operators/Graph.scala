@@ -2337,6 +2337,19 @@ object Graph {
     nodes
   }
 
+  /** Stage + row count in ONE action: the count rides the staging
+    * job as an [[org.apache.spark.sql.Observation]] instead of a
+    * second job — in iterative operators the convergence checks are
+    * per-job scheduling latency, not data, so halving the job count
+    * halves the drain time of round-heavy topologies.
+    */
+  private def stagedCount(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val st = Checkpoints.stage(
+      df.observe(obs, count(lit(1)).as("n")))
+    (st, obs.get("n").asInstanceOf[Long])
+  }
+
   // ---------- strongly connected components ----------
 
   /** STRONGLY connected components of a DIRECTED graph by iterated
@@ -2369,10 +2382,13 @@ object Graph {
     * then runs the FB round: edge-sized min/flag propagations with
     * sum/count early exits (the CC convergence pattern); outer rounds
     * retire ≥ 1 SCC per live color, so forests of small SCCs drain in
-    * parallel. The priced adversary is a CHAIN of nontrivial SCCs
-    * (x_scc_chain): trim cannot peel between cycles, so rounds scale
-    * with the chain's SCC-depth — the topology's price, not the
-    * plan's. Round state staged and freed.
+    * parallel, and rounds ALTERNATE the coloring direction (SCCs are
+    * reversal-invariant), so a chain of SCCs whose ids ascend along
+    * the edges — one color per round for a single direction — drains
+    * wholesale on the reversed round (x_scc_chain prices exactly this
+    * shape). The residual adversary is an id order hostile to BOTH
+    * directions, where rounds still scale with SCC-depth — the
+    * topology's price, not the plan's. Round state staged and freed.
     *
     * Budgets: `maxRounds`/`maxInner` ≤ 0 (the default) derive from
     * the node count — n outer rounds (every round retires ≥ 1 node)
@@ -2392,11 +2408,10 @@ object Graph {
           dst.cast("long").as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
-    var rem = Checkpoints.stage(
+    var (rem, nRem) = stagedCount(
       e0.select(col("src").as("id"))
         .union(e0.select(col("dst").as("id"))).distinct())
     var remE = e0
-    var nRem = rem.count()
     val roundBudget =
       if (maxRounds > 0) maxRounds.toLong else math.max(nRem, 1L)
     val innerBudget =
@@ -2411,10 +2426,9 @@ object Graph {
       while (trimming && nRem > 0) {
         val hasIn = remE.select(col("dst").as("id")).distinct()
         val hasOut = remE.select(col("src").as("id")).distinct()
-        val keep = Checkpoints.stage(
+        val (keep, nKeep) = stagedCount(
           rem.join(hasIn, Seq("id"), "left_semi")
             .join(hasOut, Seq("id"), "left_semi"))
-        val nKeep = keep.count()
         if (nKeep == nRem) { free(keep); trimming = false }
         else {
           found += Checkpoints.stage(
@@ -2436,14 +2450,23 @@ object Graph {
       if (nRem == 0) {
         outer += 1
       } else {
-      // 1. forward min-label fixpoint: f(dst) ≤ f(src)
+      // Rounds ALTERNATE the coloring direction: SCCs are invariant
+      // under edge reversal, and a chain whose ids ascend along the
+      // edges — the worst case for one direction (a single color per
+      // round) — splits into one color PER SCC under the reversed
+      // min-propagation, so monotone chains drain in ~2 rounds
+      // instead of SCC-depth-many.
+      val dirE =
+        if (outer % 2 == 0) remE
+        else remE.select(col("dst").as("src"), col("src").as("dst"))
+      // 1. directional min-label fixpoint: f(dst) ≤ f(src)
       var f = Checkpoints.stage(rem.select(col("id"),
         col("id").as("f")))
       var prevSum: java.math.BigDecimal = null
       var stable = false
       var it = 0
       while (!stable && it < innerBudget) {
-        val nbrMin = remE
+        val nbrMin = dirE
           .join(f.select(col("id").as("src"), col("f").as("__nf")),
             Seq("src"))
           .groupBy(col("dst").as("id"))
@@ -2466,27 +2489,26 @@ object Graph {
       }
       require(stable, s"scc: forward coloring did not converge in " +
         s"$innerBudget rounds (outer $outer)")
-      // 2. backward reach to the pivot INSIDE each color class
-      val ce = Checkpoints.stage(remE
+      // 2. reach back to the pivot INSIDE each color class (against
+      // the round's coloring direction)
+      val ce = Checkpoints.stage(dirE
         .join(f.select(col("id").as("src"), col("f").as("__fs")),
           Seq("src"))
         .join(f.select(col("id").as("dst"), col("f").as("__fd")),
           Seq("dst"))
         .where(col("__fs") === col("__fd"))
         .select(col("src"), col("dst")))
-      var reached = Checkpoints.stage(
+      var (reached, nReached) = stagedCount(
         f.where(col("id") === col("f")).select(col("id")))
-      var nReached = reached.count()
       stable = false
       it = 0
       while (!stable && it < innerBudget) {
-        val next = Checkpoints.stage(
+        val (next, n2) = stagedCount(
           ce.join(reached.select(col("id").as("dst")), Seq("dst"),
               "left_semi")
             .select(col("src").as("id"))
             .union(reached)
             .distinct())
-        val n2 = next.count()
         stable = n2 == nReached
         free(reached)
         reached = next
@@ -2503,7 +2525,7 @@ object Graph {
       free(ce)
       free(f)
       free(reached)
-      val remNext = Checkpoints.stage(
+      val (remNext, nRemNext) = stagedCount(
         rem.join(scc.select(col("id")), Seq("id"), "left_anti"))
       val remENext = Checkpoints.stage(remE
         .join(remNext.select(col("id").as("src")), Seq("src"),
@@ -2515,7 +2537,7 @@ object Graph {
       if (!(remE eq e0)) free(remE)
       rem = remNext
       remE = remENext
-      nRem = rem.count()
+      nRem = nRemNext
       outer += 1
       }
     }

@@ -558,6 +558,37 @@ object TrainingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // The CHAIN-OF-SCCs adversary the SCC scaladoc names, priced:
+    // per-user event timelines segmented into 12-hop DIRECTED chains
+    // (segment diameter — and therefore round structure — is
+    // SF-invariant; scale grows the number of parallel segments, not
+    // the depth) with a back-edge every 4 hops: chains of 2-node SCCs
+    // joined by trivial connectors, ids ascending along the edges —
+    // one color per segment per FORWARD round, the single-direction
+    // worst case. Exercises all three drain mechanisms: trim peels
+    // the acyclic tails, the forward round retires the head SCCs,
+    // and the REVERSED round splits the monotone remainder into one
+    // color per SCC and drains it wholesale. Oracle = the same
+    // ground-truth mutual-reachability closure as x_scc (segment
+    // containment keeps the closure ≤ 12 hops per node).
+    "x_scc_chain" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val base = t(s, d, "events")
+        .select(col("event_id"),
+          (row_number().over(w) - 1).as("rn"),
+          lead(col("event_id"), 1).over(w).as("nxt"))
+        .where(col("nxt").isNotNull && col("rn") % 12 =!= 11)
+      val fwd = base
+        .select(col("event_id").as("src"), col("nxt").as("dst"))
+      val back = base.where(col("rn") % 4 === 0)
+        .select(col("nxt").as("src"), col("event_id").as("dst"))
+      Graph.stronglyConnectedComponents(fwd.unionByName(back),
+          col("src"), col("dst"))
+        .select(col("id").as("event_id"), col("scc"))
+        .orderBy(col("event_id"))
+    }),
+
     // Deterministic train/val/test assignment by content fingerprint
     // (90/5/5) — split membership is a pure function of the document,
     // stable under re-ingestion/reordering, unlike rand() splits.
@@ -1064,6 +1095,36 @@ object TrainingQueries {
         |)
         |SELECT id AS event_id, min(r) AS chain_id
         |FROM reach GROUP BY id ORDER BY event_id""".stripMargin,
+
+    "x_scc_chain" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT event_id,
+        |    row_number() OVER w - 1 AS rn,
+        |    lead(event_id) OVER w AS nxt
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), ed AS (
+        |  SELECT event_id AS src, nxt AS dst FROM base
+        |  WHERE nxt IS NOT NULL AND rn % 12 <> 11
+        |  UNION ALL
+        |  SELECT nxt AS src, event_id AS dst FROM base
+        |  WHERE nxt IS NOT NULL AND rn % 12 <> 11 AND rn % 4 = 0
+        |), e AS (
+        |  SELECT DISTINCT src, dst FROM ed
+        |), r(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+        |), n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |p AS (
+        |  SELECT r1.b AS v, r1.a AS m
+        |  FROM r r1 JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a
+        |), sccmap AS (
+        |  SELECT n.id, least(n.id, coalesce(min(p.m), n.id)) AS scc
+        |  FROM n LEFT JOIN p ON p.v = n.id
+        |  GROUP BY n.id)
+        |SELECT CAST(id AS BIGINT) AS event_id, CAST(scc AS BIGINT) AS scc
+        |FROM sccmap ORDER BY event_id""".stripMargin,
 
     "x_split_assign" ->
       """WITH fp AS (
