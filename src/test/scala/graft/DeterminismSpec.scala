@@ -44,7 +44,14 @@ class DeterminismSpec extends SparkSuite {
     "x_pq_incremental",   // frozen-fit argmin codes through the store
     "x_landmark_incremental", // monotone relaxation from a store
     "x_pq_delete",        // tombstone hiding through newest-wins folds
-    "x_bm25_delete")      // surviving-df recovery + negative stats
+    "x_bm25_delete",      // surviving-df recovery + negative stats
+    "x_scc_levels",       // condensation DAG + longest-path fixpoint
+    "x_scc_incremental",  // contract-through-store + merged relabel
+    "x_scc_chain",        // alternating-direction drain over segments
+    "x_pca_delete",       // negative moment fold read POST-compaction
+    "x_kmv_delete",       // survivor sketch re-fold POST-compaction
+    "x_dsir_delete",      // subtracted model + survivor-only scoring
+    "x_neardup_delete")   // tombstone-aware banded store re-gate
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)
