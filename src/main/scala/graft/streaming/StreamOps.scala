@@ -1439,7 +1439,10 @@ object StreamOps {
     * store ([[graft.operators.Similarity.deletePcaMoments]]: one
     * NEGATIVE moment batch per micro-batch, derived from the deleted
     * ids' vectors fetched from `pcaVecs` — every later refit lands
-    * exactly on the surviving corpus). Store batch ids are
+    * exactly on the surviving corpus) and the per-unit KMV sketch
+    * store ([[graft.operators.Overlap.deleteKmvUnits]]: the group
+    * fold re-folds survivors, exact by the merge-semigroup law).
+    * Store batch ids are
     * `base + micro-batch id` where `base` is RESOLVED AT START from
     * the covered stores themselves: max(`batchIdBase`, newest
     * committed gen/batch token across every covered store + 1) — the
@@ -1467,11 +1470,13 @@ object StreamOps {
                          compactEvery: Int = 0, filesOut: Int = 4,
                          sigStorePath: Option[String] = None,
                          pcaStoreDir: Option[String] = None,
-                         pcaVecs: Option[DataFrame] = None)
+                         pcaVecs: Option[DataFrame] = None,
+                         kmvStoreDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.{Retrieval, Similarity, Stats}
+    import graft.operators.{Overlap, Retrieval, Similarity, Stats}
     require(bm25IndexDir.isDefined || pqStoreDir.isDefined ||
-      sigStorePath.isDefined || pcaStoreDir.isDefined,
+      sigStorePath.isDefined || pcaStoreDir.isDefined ||
+      kmvStoreDir.isDefined,
       "retractionGateSink: nothing to maintain")
     // the PCA moment store keeps only aggregated statistics, so the
     // retraction needs the deleted docs' vectors: pcaVecs is the
@@ -1483,7 +1488,8 @@ object StreamOps {
       val roots = bm25IndexDir.map(p => s"$p/stats").toSeq ++
         pqStoreDir.toSeq ++
         sigStorePath.toSeq.flatMap(p => Seq(p, s"${p}_deleted")) ++
-        pcaStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted"))
+        pcaStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
+        kmvStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted"))
       val head = roots.map { r =>
         val (g, b) = Stats.committedTokens(spark, r)
         math.max(g, b)
@@ -1508,6 +1514,9 @@ object StreamOps {
             Similarity.deletePcaMoments(
               pcaVecs.get.join(ids, Seq("id"), "left_semi"),
               col("id"), col("vec"), p, sb))
+          kmvStoreDir.foreach(p =>
+            Overlap.deleteKmvUnits(ids.select(col("id").as("unit")),
+              p, sb))
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             bm25IndexDir.foreach(p =>
@@ -1519,6 +1528,8 @@ object StreamOps {
                 filesOut): Unit)
             pcaStoreDir.foreach(p =>
               Similarity.compactPcaMoments(spark, p): Unit)
+            kmvStoreDir.foreach(p =>
+              Overlap.compactKmvUnitStore(spark, p, filesOut): Unit)
           }
         }
       }

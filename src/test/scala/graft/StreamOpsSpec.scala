@@ -783,6 +783,13 @@ class StreamOpsSpec extends SparkSuite {
     Similarity.writePqCodeStore(embs, cents, books, s"$base/pq")
     // additive PCA moment store under takedown (fourth family)
     Similarity.appendPcaMoments(embs, col("vec"), s"$base/pca", 0L)
+    // per-unit KMV sketch store under takedown (fifth family)
+    import graft.operators.Overlap
+    def kmvKeys(d: org.apache.spark.sql.DataFrame) =
+      d.select(lit("all").as("grp"), col("doc_id").as("unit"),
+        explode(split(col("text"), " ")).as("key"))
+    Overlap.writeKmvUnitStore(kmvKeys(docs), col("grp"), col("unit"),
+      col("key"), k = 16, s"$base/kmv")
     // sig store under takedown: docs 3 and 40 ingested through the
     // banded near-dup gate first
     val docA = "the quick brown fox jumps over the lazy dog " * 10
@@ -795,7 +802,8 @@ class StreamOpsSpec extends SparkSuite {
     val q = StreamOps.retractionGateSink(spark, in.toDF().toDF("id"),
       "id", Some(s"$base/bm25"), Some(s"$base/pq"), s"$base/ckpt",
       compactEvery = 2, sigStorePath = Some(s"$base/sig"),
-      pcaStoreDir = Some(s"$base/pca"), pcaVecs = Some(embs))
+      pcaStoreDir = Some(s"$base/pca"), pcaVecs = Some(embs),
+      kmvStoreDir = Some(s"$base/kmv"))
     try {
       sin.addData((3L, docA), (40L, docB)); sq.processAllAvailable()
       in.addData(3L, 5L, 17L); q.processAllAvailable()
@@ -862,6 +870,23 @@ class StreamOpsSpec extends SparkSuite {
         k = 3)
       assert(mS.toSeq == mF.toSeq && vS.toSeq == vF.toSeq &&
         bS.map(_.toSeq).toSeq == bF.map(_.toSeq).toSeq)
+      // KMV unit store: the survivor re-fold ≡ sketching the kept
+      // docs from scratch (semigroup law), post-compaction, with the
+      // tombstone set cleared (deletes of unknown units 17/23 are
+      // harmless tombstones)
+      val gotKmv = Overlap.kmvStoreSketches(spark, s"$base/kmv", 16)
+        .as[(String, Array[Long])].collect().toMap
+        .view.mapValues(_.toSeq).toMap
+      val wantKmv = Overlap.kmvSketch(
+          kmvKeys(docs.where(!col("doc_id").isin(3L, 5L))),
+          col("grp"), col("key"), 16)
+        .as[(String, Array[Long])].collect().toMap
+        .view.mapValues(_.toSeq).toMap
+      assert(gotKmv == wantKmv)
+      assert(names(s"$base/kmv").exists(_.startsWith("gen=")))
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/kmv/deleted"): _*).isEmpty)
     } finally { q.stop(); sq.stop() }
   }
 
