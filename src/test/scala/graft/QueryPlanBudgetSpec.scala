@@ -113,6 +113,11 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // new batch, never the store)
     "x_minhash_incremental" -> Budget(maxShuffles = 6, maxSorts = 6,
       maxBroadcasts = 10),
+    // the tombstone-aware re-gate: x_minhash_incremental's shape plus
+    // the deleted-id anti-joins (store slice + removal confirm), each
+    // a broadcast of a batch-bounded set — never a shuffle join
+    "x_neardup_delete" -> Budget(maxShuffles = 6, maxSorts = 6,
+      maxBroadcasts = 14),
     // incremental embedding near-dup: 3 shuffles (cap aggregate +
     // candidate distinct + output sort); the touched-bucket semi
     // joins, pair join, and both vector fetches all ride batch-sized
