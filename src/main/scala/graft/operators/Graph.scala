@@ -2565,8 +2565,6 @@ object Graph {
   def sccCondensation(edges: DataFrame, src: Column, dst: Column,
                       maxRounds: Int = 0, maxInner: Int = 0)
       : DataFrame = {
-    val free: DataFrame => Unit =
-      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint
     val e0 = Checkpoints.stage(
       edges.select(src.cast("long").as("src"),
           dst.cast("long").as("dst"))
@@ -2582,6 +2580,18 @@ object Graph {
       .where(col("__ca") =!= col("__cb"))
       .select(col("__ca").as("src"), col("__cb").as("dst"))
       .distinct())
+    condensationLevels(asg, ce, maxInner)
+  }
+
+  /** The longest-path level fixpoint + member counts over an already-
+    * computed (assignment, condensation-edge) pair — the shared tail
+    * of [[sccCondensation]] (from-scratch inputs) and
+    * [[sccStoreLevels]] (store-backed inputs).
+    */
+  private def condensationLevels(asg: DataFrame, ce: DataFrame,
+                                 maxInner: Int): DataFrame = {
+    val free: DataFrame => Unit =
+      org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint
     var lvl = Checkpoints.stage(
       asg.select(col("scc")).distinct()
         .withColumn("level", lit(0L)))
@@ -2616,11 +2626,27 @@ object Graph {
       it += 1
     }
     require(stable,
-      s"sccCondensation: levels did not converge in $levelBudget rounds" +
+      s"condensationLevels: no fixpoint in $levelBudget rounds" +
         " — the condensation must be a DAG, so this is a bug")
     asg.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
       .join(lvl, Seq("scc"))
       .select(col("scc"), col("level"), col("n_members"))
+  }
+
+  /** [[sccCondensation]]'s readout FROM THE INCREMENTAL STORE: the
+    * level fixpoint runs over the stored condensation (≤ #SCCs nodes,
+    * stale labels mapped at read) and member counts come from the
+    * stored assignment — after a [[sccIncremental]] batch the
+    * dependency-graph readout refreshes WITHOUT touching the original
+    * edge list. Same (scc, level, n_members) relation, hash-checkable
+    * against the from-scratch oracle over the union graph.
+    */
+  def sccStoreLevels(spark: org.apache.spark.sql.SparkSession,
+                     storeDir: String, maxInner: Int = 0): DataFrame = {
+    val asg = Checkpoints.stage(sccStoreAssign(spark, storeDir))
+    val ce = Checkpoints.stage(
+      sccCedgesView(spark, storeDir, Long.MaxValue, asg))
+    condensationLevels(asg, ce, maxInner)
   }
 
   // ---------- incremental strongly connected components ----------

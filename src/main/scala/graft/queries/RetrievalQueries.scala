@@ -561,6 +561,25 @@ object RetrievalQueries {
         .orderBy(col("id"))
     }),
 
+    // The dependency-graph readout FROM the incremental store: after
+    // the batch lands, condensation levels + member counts recompute
+    // over the STORED condensation (≤ #SCCs nodes, stale labels
+    // mapped at read) — the original edge list is never touched.
+    // Hash-checked against the same recursive DAG-path oracle as
+    // x_scc_levels (the union graph is the x_scc fixture).
+    "x_scc_levels_incremental" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("sccstore", d) { p =>
+        Graph.writeSccStore(
+          sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 0),
+          col("src"), col("dst"), p)
+      }
+      Graph.sccIncremental(
+          sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 29),
+          col("src"), col("dst"), store, batchId = 1L): Unit
+      Graph.sccStoreLevels(s, store)
+        .orderBy(col("scc"))
+    }),
+
     // INCREMENTAL landmark sketch maintenance: the quantity ≤ 1
     // graph's sketch persists once (writeLandmarkStore, landmarks
     // FROZEN there); the quantity = 2 batch then RELAXES stored
@@ -1938,6 +1957,8 @@ object RetrievalQueries {
     // warm ≡ cold: the incremental store's final assignment is checked
     // against the SAME ground-truth closure over the union graph
     "x_scc_incremental" -> sccSql,
+    // store-backed levels ≡ the from-scratch DAG-path oracle
+    "x_scc_levels_incremental" -> sccLevelsSql,
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

@@ -309,6 +309,14 @@ class GraphSpec extends SparkSuite {
     val got3 = Graph.sccIncremental(b3, col("s"), col("d"), dir, 3L)
       .as[(Long, Long)].collect().toMap
     assert(got3 == scratch2 ++ Map(20L -> 20L, 21L -> 20L))
+    // store-backed condensation levels ≡ from-scratch over the union
+    val gotLvl = Graph.sccStoreLevels(spark, dir)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantLvl = Graph.sccCondensation(
+        hist.unionByName(b1).unionByName(b2).unionByName(b3),
+        col("s"), col("d"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotLvl == wantLvl, s"$gotLvl vs $wantLvl")
   }
 
   test("sccCondensation: collapsed cycles, cross-SCC DAG edges, " +
