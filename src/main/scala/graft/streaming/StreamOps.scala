@@ -1129,6 +1129,22 @@ object StreamOps {
       committed.maxBy(_.getName.drop(6).toLong).toString))
   }
 
+  /** Newest committed `model=` id under a cumulative-model path
+    * (Long.MinValue when none) — the sequence head the retraction
+    * gate's base resolution reads.
+    */
+  private def dsirMaxModelId(spark: SparkSession,
+                             modelPath: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(modelPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Long.MinValue
+    val ids = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.startsWith("model=") &&
+        hasCommittedParquet(fs, p))
+      .map(_.getName.drop(6).toLong)
+    if (ids.isEmpty) Long.MinValue else ids.max
+  }
+
   /** Streaming LM perplexity gate ([[graft.operators.LanguageModel]],
     * the CCNet-style quality filter as a running stream stage): every
     * micro-batch is bigram-featurized ONCE, scored against the bigram
@@ -1441,7 +1457,13 @@ object StreamOps {
     * ids' vectors fetched from `pcaVecs` — every later refit lands
     * exactly on the surviving corpus) and the per-unit KMV sketch
     * store ([[graft.operators.Overlap.deleteKmvUnits]]: the group
-    * fold re-folds survivors, exact by the merge-semigroup law).
+    * fold re-folds survivors, exact by the merge-semigroup law) and
+    * the DSIR gate's cumulative model
+    * ([[graft.operators.Selection.retractBucketTable]]: the newest
+    * committed model minus the deleted docs' bucket counts lands as
+    * the next `model=` generation — integer monoid, so later
+    * ingestion folds on top exactly; deleted doc text is fetched from
+    * `dsirDocs`, and a `deleted/` id set guards double-subtraction).
     * Store batch ids are
     * `base + micro-batch id` where `base` is RESOLVED AT START from
     * the covered stores themselves: max(`batchIdBase`, newest
@@ -1471,13 +1493,20 @@ object StreamOps {
                          sigStorePath: Option[String] = None,
                          pcaStoreDir: Option[String] = None,
                          pcaVecs: Option[DataFrame] = None,
-                         kmvStoreDir: Option[String] = None)
+                         kmvStoreDir: Option[String] = None,
+                         dsirModelPath: Option[String] = None,
+                         dsirDocs: Option[DataFrame] = None,
+                         dsirBuckets: Int = 4096)
       : org.apache.spark.sql.streaming.StreamingQuery = {
-    import graft.operators.{Overlap, Retrieval, Similarity, Stats}
+    import graft.operators.{Overlap, Retrieval, Selection, Similarity,
+      Stats}
     require(bm25IndexDir.isDefined || pqStoreDir.isDefined ||
       sigStorePath.isDefined || pcaStoreDir.isDefined ||
-      kmvStoreDir.isDefined,
+      kmvStoreDir.isDefined || dsirModelPath.isDefined,
       "retractionGateSink: nothing to maintain")
+    require(dsirModelPath.isEmpty || dsirDocs.isDefined,
+      "retractionGateSink: dsirModelPath needs dsirDocs (an (id, text) " +
+        "relation to featurize the retracted docs from)")
     // the PCA moment store keeps only aggregated statistics, so the
     // retraction needs the deleted docs' vectors: pcaVecs is the
     // (id, vec) corpus relation to fetch them from
@@ -1489,11 +1518,12 @@ object StreamOps {
         pqStoreDir.toSeq ++
         sigStorePath.toSeq.flatMap(p => Seq(p, s"${p}_deleted")) ++
         pcaStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
-        kmvStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted"))
-      val head = roots.map { r =>
+        kmvStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
+        dsirModelPath.toSeq.map(p => s"$p/deleted")
+      val head = (roots.map { r =>
         val (g, b) = Stats.committedTokens(spark, r)
         math.max(g, b)
-      }.max
+      } ++ dsirModelPath.toSeq.map(p => dsirMaxModelId(spark, p))).max
       math.max(batchIdBase,
         if (head == Long.MinValue) 0L else head + 1L)
     }
@@ -1517,6 +1547,35 @@ object StreamOps {
           kmvStoreDir.foreach(p =>
             Overlap.deleteKmvUnits(ids.select(col("id").as("unit")),
               p, sb))
+          dsirModelPath.foreach { p =>
+            dsirModelView(spark, p, sb).foreach { m =>
+              // skip already-deleted ids (double-delete must not
+              // double-subtract), then write the subtracted model as
+              // the next generation on the cumulative sequence; a
+              // retry recomputes the same content (both views read
+              // strictly below sb)
+              val fresh = graft.operators.Checkpoints.stage(
+                graft.operators.Stats.committedViewDirs(spark,
+                    s"$p/deleted") match {
+                  case Seq() => ids
+                  case dirs => ids.join(
+                    spark.read.parquet(dirs: _*)
+                      .where(col("__b") < sb).select(col("id")),
+                    Seq("id"), "left_anti")
+                })
+              fresh.select(col("id"), lit(sb).as("__b"))
+                .coalesce(1)
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$p/deleted/batch=$sb")
+              Selection.retractBucketTable(m,
+                  Selection.dsirFeatures(
+                    dsirDocs.get.join(fresh, Seq("id"), "left_semi"),
+                    col("id"), col("text"), dsirBuckets))
+                .coalesce(1)
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$p/model=$sb")
+            }
+          }
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             bm25IndexDir.foreach(p =>

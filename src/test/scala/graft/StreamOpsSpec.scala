@@ -755,11 +755,11 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("retractionGateSink: streamed takedown batches tombstone the " +
-      "BM25 index, the PQ store, the near-dup sig store, and the " +
-      "PCA moment store; mid-stream compaction; final answers ≡ " +
-      "from-scratch over the survivors; retracted docs stop " +
-      "suppressing new near-dups; refits forget") {
+  test("retractionGateSink: streamed takedowns clean all SIX store " +
+      "families (BM25, PQ, sig store, PCA moments, KMV units, DSIR " +
+      "model); mid-stream compaction; final answers ≡ from-scratch " +
+      "over the survivors; retracted docs stop suppressing new " +
+      "near-dups; refits forget") {
     import graft.operators.{Retrieval, Similarity, TextAnalysis}
     import graft.queries.ParityQueries.t
     implicit val sc = spark.sqlContext
@@ -790,6 +790,16 @@ class StreamOpsSpec extends SparkSuite {
         explode(split(col("text"), " ")).as("key"))
     Overlap.writeKmvUnitStore(kmvKeys(docs), col("grp"), col("unit"),
       col("key"), k = 16, s"$base/kmv")
+    // DSIR cumulative model under takedown (sixth family): raw = the
+    // doc corpus, target = a small quality slice
+    import graft.operators.Selection
+    val dsirTgt = Seq((100L, "spark merge join tuning"),
+      (101L, "window rank functions")).toDF("doc_id", "text")
+    def dsirFeats(d: org.apache.spark.sql.DataFrame) =
+      Selection.dsirFeatures(d, col("doc_id"), col("text"), 512)
+    Selection.dsirBucketTable(dsirFeats(docs), dsirFeats(dsirTgt))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/dsir/model=0")
     // sig store under takedown: docs 3 and 40 ingested through the
     // banded near-dup gate first
     val docA = "the quick brown fox jumps over the lazy dog " * 10
@@ -803,7 +813,11 @@ class StreamOpsSpec extends SparkSuite {
       "id", Some(s"$base/bm25"), Some(s"$base/pq"), s"$base/ckpt",
       compactEvery = 2, sigStorePath = Some(s"$base/sig"),
       pcaStoreDir = Some(s"$base/pca"), pcaVecs = Some(embs),
-      kmvStoreDir = Some(s"$base/kmv"))
+      kmvStoreDir = Some(s"$base/kmv"),
+      dsirModelPath = Some(s"$base/dsir"),
+      dsirDocs = Some(docs.select(col("doc_id").as("id"),
+        col("text"))),
+      dsirBuckets = 512)
     try {
       sin.addData((3L, docA), (40L, docB)); sq.processAllAvailable()
       in.addData(3L, 5L, 17L); q.processAllAvailable()
@@ -887,6 +901,18 @@ class StreamOpsSpec extends SparkSuite {
       assert(spark.read.parquet(
           graft.operators.Stats.committedViewDirs(spark,
             s"$base/kmv/deleted"): _*).isEmpty)
+      // DSIR model: the newest generation ≡ a from-scratch fit over
+      // the surviving raw corpus (the re-streamed 5 subtracted ONCE;
+      // unknown ids 17/23 tombstoned but feature-free)
+      val key = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val gotDsir = StreamOps.dsirModelView(spark, s"$base/dsir",
+        Long.MaxValue).get
+      val wantDsir = Selection.dsirBucketTable(
+        dsirFeats(docs.where(!col("doc_id").isin(3L, 5L))),
+        dsirFeats(dsirTgt))
+      assert(key(gotDsir) == key(wantDsir))
     } finally { q.stop(); sq.stop() }
   }
 
