@@ -192,4 +192,23 @@ object LanguageModel {
       .unionByName(lmModel(newTrainFeats))
       .groupBy(col("h"), col("kind"))
       .agg(sum(col("cnt")).as("cnt"))
+
+  /** RETRACTION for the count-monoid model — the
+    * [[Selection.retractBucketTable]] protocol on the LM counts:
+    * subtract the deleted docs' unigram/bigram counts (one featurize
+    * pass over the deleted docs, O(deleted)); rows whose count
+    * reaches zero DROP, so the retracted model is bit-identical to a
+    * from-scratch [[lmModel]] over the surviving corpus at the
+    * default minCount = 1 (a higher training minCount filters counts
+    * the subtraction cannot reconstruct — retraction-capable stores
+    * must train at minCount = 1, the spec-pinned contract).
+    */
+  def retractModel(stored: DataFrame, deletedTrainFeats: DataFrame)
+      : DataFrame =
+    stored.select(col("h"), col("kind"), col("cnt"))
+      .unionByName(lmModel(deletedTrainFeats)
+        .select(col("h"), col("kind"), (-col("cnt")).as("cnt")))
+      .groupBy(col("h"), col("kind"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .where(col("cnt") =!= 0L)
 }

@@ -1129,6 +1129,38 @@ object StreamOps {
       committed.maxBy(_.getName.drop(6).toLong).toString))
   }
 
+  /** One cumulative-model retraction step — the shared shape of the
+    * DSIR and LM families: skip already-deleted ids via the model's
+    * `deleted/` set (a double-delete must not double-subtract), write
+    * the fresh tombstones, then write `subtract(newest model, fresh)`
+    * as the next `model=` generation on the cumulative sequence.
+    * Retries recompute the same content (both views read strictly
+    * below `sb`); no committed model yet = nothing fitted to forget.
+    */
+  private def retractCumulativeModel(spark: SparkSession,
+                                     modelPath: String, ids: DataFrame,
+                                     sb: Long)
+      (subtract: (DataFrame, DataFrame) => DataFrame): Unit =
+    dsirModelView(spark, modelPath, sb).foreach { m =>
+      val fresh = graft.operators.Checkpoints.stage(
+        graft.operators.Stats.committedViewDirs(spark,
+            s"$modelPath/deleted") match {
+          case Seq() => ids
+          case dirs => ids.join(
+            spark.read.parquet(dirs: _*)
+              .where(col("__b") < sb).select(col("id")),
+            Seq("id"), "left_anti")
+        })
+      fresh.select(col("id"), lit(sb).as("__b"))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$modelPath/deleted/batch=$sb")
+      subtract(m, fresh)
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$modelPath/model=$sb")
+    }
+
   /** Newest committed `model=` id under a cumulative-model path
     * (Long.MinValue when none) — the sequence head the retraction
     * gate's base resolution reads.
@@ -1458,13 +1490,14 @@ object StreamOps {
     * exactly on the surviving corpus) and the per-unit KMV sketch
     * store ([[graft.operators.Overlap.deleteKmvUnits]]: the group
     * fold re-folds survivors, exact by the merge-semigroup law) and
-    * the DSIR gate's cumulative model
-    * ([[graft.operators.Selection.retractBucketTable]]: the newest
-    * committed model minus the deleted docs' bucket counts lands as
-    * the next `model=` generation — integer monoid, so later
-    * ingestion folds on top exactly; deleted doc text is fetched from
-    * `dsirDocs`, and a `deleted/` id set guards double-subtraction).
-    * Store batch ids are
+    * the DSIR and LM gates' cumulative models
+    * ([[graft.operators.Selection.retractBucketTable]] /
+    * [[graft.operators.LanguageModel.retractModel]]: the newest
+    * committed model minus the deleted docs' counts lands as the next
+    * `model=` generation — integer monoids, so later ingestion folds
+    * on top exactly; deleted doc text is fetched from
+    * `dsirDocs`/`lmDocs`, and each model's `deleted/` id set guards
+    * double-subtraction). Store batch ids are
     * `base + micro-batch id` where `base` is RESOLVED AT START from
     * the covered stores themselves: max(`batchIdBase`, newest
     * committed gen/batch token across every covered store + 1) — the
@@ -1496,16 +1529,22 @@ object StreamOps {
                          kmvStoreDir: Option[String] = None,
                          dsirModelPath: Option[String] = None,
                          dsirDocs: Option[DataFrame] = None,
-                         dsirBuckets: Int = 4096)
+                         dsirBuckets: Int = 4096,
+                         lmModelPath: Option[String] = None,
+                         lmDocs: Option[DataFrame] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Overlap, Retrieval, Selection, Similarity,
       Stats}
     require(bm25IndexDir.isDefined || pqStoreDir.isDefined ||
       sigStorePath.isDefined || pcaStoreDir.isDefined ||
-      kmvStoreDir.isDefined || dsirModelPath.isDefined,
+      kmvStoreDir.isDefined || dsirModelPath.isDefined ||
+      lmModelPath.isDefined,
       "retractionGateSink: nothing to maintain")
     require(dsirModelPath.isEmpty || dsirDocs.isDefined,
       "retractionGateSink: dsirModelPath needs dsirDocs (an (id, text) " +
+        "relation to featurize the retracted docs from)")
+    require(lmModelPath.isEmpty || lmDocs.isDefined,
+      "retractionGateSink: lmModelPath needs lmDocs (an (id, text) " +
         "relation to featurize the retracted docs from)")
     // the PCA moment store keeps only aggregated statistics, so the
     // retraction needs the deleted docs' vectors: pcaVecs is the
@@ -1519,11 +1558,13 @@ object StreamOps {
         sigStorePath.toSeq.flatMap(p => Seq(p, s"${p}_deleted")) ++
         pcaStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
         kmvStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
-        dsirModelPath.toSeq.map(p => s"$p/deleted")
+        (dsirModelPath.toSeq ++ lmModelPath.toSeq)
+          .map(p => s"$p/deleted")
       val head = (roots.map { r =>
         val (g, b) = Stats.committedTokens(spark, r)
         math.max(g, b)
-      } ++ dsirModelPath.toSeq.map(p => dsirMaxModelId(spark, p))).max
+      } ++ (dsirModelPath.toSeq ++ lmModelPath.toSeq)
+        .map(p => dsirMaxModelId(spark, p))).max
       math.max(batchIdBase,
         if (head == Long.MinValue) 0L else head + 1L)
     }
@@ -1547,35 +1588,20 @@ object StreamOps {
           kmvStoreDir.foreach(p =>
             Overlap.deleteKmvUnits(ids.select(col("id").as("unit")),
               p, sb))
-          dsirModelPath.foreach { p =>
-            dsirModelView(spark, p, sb).foreach { m =>
-              // skip already-deleted ids (double-delete must not
-              // double-subtract), then write the subtracted model as
-              // the next generation on the cumulative sequence; a
-              // retry recomputes the same content (both views read
-              // strictly below sb)
-              val fresh = graft.operators.Checkpoints.stage(
-                graft.operators.Stats.committedViewDirs(spark,
-                    s"$p/deleted") match {
-                  case Seq() => ids
-                  case dirs => ids.join(
-                    spark.read.parquet(dirs: _*)
-                      .where(col("__b") < sb).select(col("id")),
-                    Seq("id"), "left_anti")
-                })
-              fresh.select(col("id"), lit(sb).as("__b"))
-                .coalesce(1)
-                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-                .parquet(s"$p/deleted/batch=$sb")
+          dsirModelPath.foreach(p =>
+            retractCumulativeModel(spark, p, ids, sb) { (m, fresh) =>
               Selection.retractBucketTable(m,
-                  Selection.dsirFeatures(
-                    dsirDocs.get.join(fresh, Seq("id"), "left_semi"),
-                    col("id"), col("text"), dsirBuckets))
-                .coalesce(1)
-                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-                .parquet(s"$p/model=$sb")
-            }
-          }
+                Selection.dsirFeatures(
+                  dsirDocs.get.join(fresh, Seq("id"), "left_semi"),
+                  col("id"), col("text"), dsirBuckets))
+            })
+          lmModelPath.foreach(p =>
+            retractCumulativeModel(spark, p, ids, sb) { (m, fresh) =>
+              graft.operators.LanguageModel.retractModel(m,
+                graft.operators.LanguageModel.lmFeatures(
+                  lmDocs.get.join(fresh, Seq("id"), "left_semi"),
+                  col("id"), col("text")))
+            })
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             bm25IndexDir.foreach(p =>

@@ -755,9 +755,9 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("retractionGateSink: streamed takedowns clean all SIX store " +
+  test("retractionGateSink: streamed takedowns clean all SEVEN store " +
       "families (BM25, PQ, sig store, PCA moments, KMV units, DSIR " +
-      "model); mid-stream compaction; final answers ≡ from-scratch " +
+      "model, LM model); mid-stream compaction; final answers ≡ from-scratch " +
       "over the survivors; retracted docs stop suppressing new " +
       "near-dups; refits forget") {
     import graft.operators.{Retrieval, Similarity, TextAnalysis}
@@ -800,6 +800,13 @@ class StreamOpsSpec extends SparkSuite {
     Selection.dsirBucketTable(dsirFeats(docs), dsirFeats(dsirTgt))
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$base/dsir/model=0")
+    // LM count-monoid model under takedown (seventh family)
+    import graft.operators.LanguageModel
+    def lmFeats(d: org.apache.spark.sql.DataFrame) =
+      LanguageModel.lmFeatures(d, col("doc_id"), col("text"))
+    LanguageModel.lmModel(lmFeats(docs))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$base/lm/model=0")
     // sig store under takedown: docs 3 and 40 ingested through the
     // banded near-dup gate first
     val docA = "the quick brown fox jumps over the lazy dog " * 10
@@ -817,7 +824,9 @@ class StreamOpsSpec extends SparkSuite {
       dsirModelPath = Some(s"$base/dsir"),
       dsirDocs = Some(docs.select(col("doc_id").as("id"),
         col("text"))),
-      dsirBuckets = 512)
+      dsirBuckets = 512,
+      lmModelPath = Some(s"$base/lm"),
+      lmDocs = Some(docs.select(col("doc_id").as("id"), col("text"))))
     try {
       sin.addData((3L, docA), (40L, docB)); sq.processAllAvailable()
       in.addData(3L, 5L, 17L); q.processAllAvailable()
@@ -913,6 +922,16 @@ class StreamOpsSpec extends SparkSuite {
         dsirFeats(docs.where(!col("doc_id").isin(3L, 5L))),
         dsirFeats(dsirTgt))
       assert(key(gotDsir) == key(wantDsir))
+      // LM model: newest generation ≡ from-scratch counts over the
+      // surviving corpus (zeroed rows dropped, re-delete a no-op)
+      val keyI = (df: org.apache.spark.sql.DataFrame) =>
+        df.collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val gotLmM = StreamOps.dsirModelView(spark, s"$base/lm",
+        Long.MaxValue).get
+      val wantLmM = LanguageModel.lmModel(
+        lmFeats(docs.where(!col("doc_id").isin(3L, 5L))))
+      assert(keyI(gotLmM) == keyI(wantLmM))
     } finally { q.stop(); sq.stop() }
   }
 
