@@ -84,6 +84,26 @@ object LanguageModelQueries {
           col("text"), LanguageModel.refreshModel(stored, batch))
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // LM-model RETRACTION (right-to-be-forgotten for the quality
+    // model): a takedown slice of the TRAIN corpus (doc_id % 5 = 2,
+    // SF-invariant) subtracts from the fitted count model — integer
+    // monoid, zeroed rows drop — and the held-out docs re-score under
+    // the retracted model. The oracle refits from scratch over the
+    // surviving train slice, so hash-green IS the subtraction ≡
+    // from-scratch claim.
+    "x_lm_delete" -> ((s, d) => {
+      val doomed = LanguageModel.lmFeatures(
+        t(s, d, "documents")
+          .where(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 2),
+        col("doc_id"), col("text"))
+      LanguageModel.lmScoreQuantized(heldOut(s, d), col("doc_id"),
+          col("text"),
+          LanguageModel.retractModel(
+            LanguageModel.lmModel(trainFeats(s, d)), doomed))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -106,7 +126,12 @@ object LanguageModelQueries {
     * model (uni = context counts, big = bigram counts), and the
     * context-vocabulary size V.
     */
-  private def lmCtes: String =
+  private def lmCtes: String = lmCtesTrain("doc_id % 7 <> 0")
+
+  /** [[lmCtes]] with a parameterized TRAIN-slice membership predicate
+    * — the retraction oracle refits over survivors only.
+    */
+  private def lmCtesTrain(trainPred: String): String =
     s"""tok AS (
        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
        |), grams AS (
@@ -118,7 +143,7 @@ object LanguageModelQueries {
        |), feats AS (
        |  SELECT doc_id, ${ph("g")} AS hg, ${ph("w1")} AS h1 FROM grams
        |), tfeats AS (
-       |  SELECT * FROM feats WHERE doc_id % 7 <> 0
+       |  SELECT * FROM feats WHERE $trainPred
        |), uni AS (
        |  SELECT h1 AS h, CAST(count(*) AS BIGINT) AS c1
        |  FROM tfeats GROUP BY 1
@@ -159,6 +184,22 @@ object LanguageModelQueries {
     // slice; the Spark side goes through the persisted history model
     "x_lm_incremental" ->
       (scoredSql +
-        "\nSELECT doc_id, n_bigrams, score FROM scored ORDER BY doc_id")
+        "\nSELECT doc_id, n_bigrams, score FROM scored ORDER BY doc_id"),
+    // retraction ≡ from-scratch over the SURVIVING train slice
+    "x_lm_delete" ->
+      (s"""WITH ${lmCtesTrain("doc_id % 7 <> 0 AND doc_id % 5 <> 2")},
+         | scored AS (
+         |  SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(${qlog("COALESCE(c2, 0) + 1")} -
+         |      ${qlog("COALESCE(c1, 0) + V")}) AS BIGINT) AS score
+         |  FROM feats f
+         |  LEFT JOIN big ON f.hg = big.h
+         |  LEFT JOIN uni ON f.h1 = uni.h
+         |  CROSS JOIN vv
+         |  WHERE f.doc_id % 7 = 0
+         |  GROUP BY f.doc_id
+         |)
+         |SELECT doc_id, n_bigrams, score FROM scored
+         |ORDER BY doc_id""".stripMargin)
   )
 }

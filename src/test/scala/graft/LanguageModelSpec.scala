@@ -81,6 +81,33 @@ class LanguageModelSpec extends SparkSuite {
     assert(refreshed == scratch)
   }
 
+  test("retractModel ≡ from-scratch fit over survivors; fully-" +
+      "retracted rows drop, not zero out") {
+    val docs = spark.read
+      .parquet(s"$sf0001/documents.parquet").limit(120)
+    val doomed = docs.where(col("doc_id") % 4 === 1)
+    val survivors = docs.where(col("doc_id") % 4 =!= 1)
+    val retracted = LanguageModel.retractModel(
+      LanguageModel.lmModel(
+        LanguageModel.lmFeatures(docs, col("doc_id"), col("text"))),
+      LanguageModel.lmFeatures(doomed, col("doc_id"), col("text")))
+    val scratch = LanguageModel.lmModel(
+      LanguageModel.lmFeatures(survivors, col("doc_id"), col("text")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("h", "kind", "cnt").as[(Long, Int, Long)]
+        .collect().toSet
+    assert(key(retracted) == key(scratch))
+    assert(retracted.where(col("cnt") === 0L).isEmpty)
+    // survivor scoring under the retracted model ≡ from-scratch
+    val gotS = LanguageModel.lmScoreQuantized(survivors,
+        col("doc_id"), col("text"), retracted)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantS = LanguageModel.lmScoreQuantized(survivors,
+        col("doc_id"), col("text"), scratch)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotS == wantS)
+  }
+
   test("broadcast and shuffle-hash regimes score identically") {
     val docs = spark.read
       .parquet(s"$sf0001/documents.parquet").limit(80)
