@@ -51,7 +51,9 @@ class DeterminismSpec extends SparkSuite {
     "x_pca_delete",       // negative moment fold read POST-compaction
     "x_kmv_delete",       // survivor sketch re-fold POST-compaction
     "x_dsir_delete",      // subtracted model + survivor-only scoring
-    "x_neardup_delete")   // tombstone-aware banded store re-gate
+    "x_neardup_delete",   // tombstone-aware banded store re-gate
+    "x_lm_delete",        // subtracted count model re-scoring
+    "x_scc_levels_incremental") // store-backed level fixpoint
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)
