@@ -260,7 +260,9 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // cross-joined back — bounded by construction (the x_bm25 pattern)
     "x_lm_score" -> default.copy(allowCartesian = true),
     "x_lm_quality" -> default.copy(allowCartesian = true),
-    "x_lm_incremental" -> default.copy(allowCartesian = true))
+    "x_lm_incremental" -> default.copy(allowCartesian = true),
+    // same licensed 1-row V broadcast as the other LM scorers
+    "x_lm_delete" -> default.copy(allowCartesian = true))
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name stays inside its physical-plan budget") {
