@@ -2749,6 +2749,9 @@ object Graph {
     * current labels. Retries are overwrite-idempotent (both views
     * read only rows with `__b` < batchId; compaction keeps row-level
     * `__b`). Returns the full (id, scc) assignment over old ∪ new.
+    * Edge/node DELETION is out of contract here (it can SPLIT an
+    * SCC) — that direction is [[rebuildSccStore]], the documented
+    * rebuild-on-retract posture.
     */
   def sccIncremental(newEdges: DataFrame, src: Column, dst: Column,
                      storeDir: String, batchId: Long,
@@ -2821,6 +2824,59 @@ object Graph {
     stored
       .join(gated(slice.select(col("id"))), Seq("id"), "left_anti")
       .unionByName(slice.select(col("id"), col("scc")))
+  }
+
+  /** RETRACTION for the SCC store — the one maintenance direction
+    * [[sccIncremental]] cannot absorb: edge (or node) DELETION can
+    * SPLIT an SCC, and a split invalidates the contraction soundness
+    * argument (which rests on insertions only merging). The honest
+    * form is a REBUILD over the surviving edge list — O(survivors),
+    * the rebuild-on-retract posture the KMV compaction documents —
+    * written as a SUPERSEDING GENERATION: `assign/gen=<head+1>` and
+    * `cedges/gen=<head+1>` hide every earlier batch in the committed
+    * view atomically (readers resolve old state or new, never a mix),
+    * and the next [[compactSccStore]] cycle vacuums the stale dirs.
+    * The caller supplies the surviving edges (the streaming gate's
+    * edge store holds them; a node takedown = dropping its incident
+    * edges). Stale-read window: until the rebuild lands, reads serve
+    * the pre-delete state — retraction is not incremental here BY
+    * DESIGN, and the spec pins rebuild ≡ from-scratch including
+    * splits.
+    */
+  def rebuildSccStore(survivingEdges: DataFrame, src: Column,
+                      dst: Column, storeDir: String,
+                      filesOut: Int = 1): Long = {
+    val spark = survivingEdges.sparkSession
+    val tok = {
+      val (ga, ba) = Stats.committedTokens(spark, s"$storeDir/assign")
+      val (gc, bc) = Stats.committedTokens(spark, s"$storeDir/cedges")
+      math.max(math.max(ga, ba), math.max(gc, bc)) + 1L
+    }
+    val e0 = Checkpoints.stage(
+      survivingEdges.select(src.cast("long").as("src"),
+          dst.cast("long").as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+    val asg = Checkpoints.stage(
+      stronglyConnectedComponents(e0, col("src"), col("dst")))
+    asg.select(col("id"), col("scc"), lit(tok).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/assign/gen=$tok")
+    e0.join(asg.select(col("id").as("src"), col("scc").as("__ca")),
+        Seq("src"))
+      .join(asg.select(col("id").as("dst"), col("scc").as("__cb")),
+        Seq("dst"))
+      .where(col("__ca") =!= col("__cb"))
+      .select(col("__ca").as("src"), col("__cb").as("dst"))
+      .distinct()
+      .withColumn("__b", lit(tok))
+      .repartitionByRange(filesOut, col("src"))
+      .sortWithinPartitions(col("src"), col("dst"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/cedges/gen=$tok")
+    tok
   }
 
   /** OPTIMIZE for the SCC store: assign folds newest-wins per id

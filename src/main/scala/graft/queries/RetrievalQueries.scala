@@ -561,6 +561,30 @@ object RetrievalQueries {
         .orderBy(col("id"))
     }),
 
+    // SCC-store RETRACTION: a node takedown (nations 3 and 19 — both
+    // members of the nontrivial SCC, so the deletion SPLITS it: 9 → 5
+    // members at sf0.01, 25 → 23 at sf0.1) cannot be maintained
+    // incrementally — edge deletion breaks the insertion-only-merges
+    // soundness argument — so the store REBUILDS over the surviving
+    // edges as a superseding generation (atomic from the reader's
+    // side). The oracle recomputes the ground-truth closure over
+    // exactly the surviving universe.
+    "x_scc_delete" -> ((s, d) => {
+      val keep = !col("src").isin(3L, 19L) && !col("dst").isin(3L, 19L)
+      val store = ArtifactMemo.dirFor("sccdelstore", d) { p =>
+        Graph.writeSccStore(
+          sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 0),
+          col("src"), col("dst"), p)
+        Graph.sccIncremental(
+          sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 29),
+          col("src"), col("dst"), p, batchId = 1L): Unit
+        Graph.rebuildSccStore(
+          sparseDirectedTrade(s, d).where(keep),
+          col("src"), col("dst"), p): Unit
+      }
+      Graph.sccStoreAssign(s, store).orderBy(col("id"))
+    }),
+
     // The dependency-graph readout FROM the incremental store: after
     // the batch lands, condensation levels + member counts recompute
     // over the STORED condensation (≤ #SCCs nodes, stale labels
@@ -1441,7 +1465,12 @@ object RetrievalQueries {
     * scc(v) = min over {v} ∪ {m : m →* v AND v →* m} — as a WITH
     * RECURSIVE prefix ending in a MATERIALIZED per-node assignment.
     */
-  private val sccCoreSql: String =
+  private val sccCoreSql: String = sccCoreSqlKeep("TRUE")
+
+  /** [[sccCoreSql]] over a restricted node universe — the retraction
+    * oracle recomputes the closure over surviving edges only.
+    */
+  private def sccCoreSqlKeep(nodePred: String): String =
     s"""WITH RECURSIVE e AS MATERIALIZED (
        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
        |  FROM lineitem
@@ -1449,7 +1478,9 @@ object RetrievalQueries {
        |    JOIN customer ON o_custkey = c_custkey
        |    JOIN supplier ON l_suppkey = s_suppkey
        |  WHERE l_quantity <= 1 AND l_orderkey % 29 = 0
-       |    AND c_nationkey <> s_nationkey),
+       |    AND c_nationkey <> s_nationkey
+       |    AND ${nodePred.replace("NODE", "c_nationkey")}
+       |    AND ${nodePred.replace("NODE", "s_nationkey")}),
        |r(a, b) AS (
        |  SELECT src, dst FROM e
        |  UNION
@@ -1959,6 +1990,11 @@ object RetrievalQueries {
     "x_scc_incremental" -> sccSql,
     // store-backed levels ≡ the from-scratch DAG-path oracle
     "x_scc_levels_incremental" -> sccLevelsSql,
+    // rebuild-on-retract ≡ ground truth over the surviving universe
+    // (the deletion SPLITS the nontrivial SCC — the non-monotone case)
+    "x_scc_delete" -> (sccCoreSqlKeep("NODE NOT IN (3, 19)") + s"""
+       |SELECT CAST(id AS BIGINT) AS id, CAST(scc AS BIGINT) AS scc
+       |FROM sccmap ORDER BY id""".stripMargin),
     "x_pagerank_warm" -> pageRankWarmSql,
     "x_hits_warm" -> hitsWarmSql,
     "x_louvain" -> louvainSql,

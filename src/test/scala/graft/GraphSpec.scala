@@ -319,6 +319,49 @@ class GraphSpec extends SparkSuite {
     assert(gotLvl == wantLvl, s"$gotLvl vs $wantLvl")
   }
 
+  test("rebuildSccStore: node-takedown rebuild ≡ from-scratch over " +
+      "survivors INCLUDING an SCC split; supersedes prior state; " +
+      "later incremental batches continue above the generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sccdel-").toString + "/scc"
+    // {1,2,3} cycle + 4→5
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("s", "d")
+    Graph.writeSccStore(hist, col("s"), col("d"), dir)
+    assert(Graph.sccStoreAssign(spark, dir)
+      .as[(Long, Long)].collect().toMap
+      .view.filterKeys(Set(1L, 2L, 3L)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // takedown of node 2 SPLITS the 3-cycle into trivial SCCs — the
+    // case insertion-monotone maintenance cannot absorb
+    val surv = hist.where(col("s") =!= 2L && col("d") =!= 2L)
+    val tok = Graph.rebuildSccStore(surv, col("s"), col("d"), dir)
+    val got = Graph.sccStoreAssign(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    val scratch = Graph.stronglyConnectedComponents(surv, col("s"),
+        col("d")).as[(Long, Long)].collect().toMap
+    assert(got == scratch && !got.contains(2L), s"$got vs $scratch")
+    assert(got == Map(1L -> 1L, 3L -> 3L, 4L -> 4L, 5L -> 5L))
+    // the condensation view rebuilt too (3→1 is the only cross edge)
+    assert(Graph.sccStoreCondensation(spark, dir)
+      .as[(Long, Long)].collect().toSet == Set((3L, 1L), (4L, 5L)))
+    // later batches continue ABOVE the superseding generation: (1,3)
+    // re-closes the {1,3} cycle through the rebuilt state
+    val got2 = Graph.sccIncremental(Seq((1L, 3L)).toDF("s", "d"),
+        col("s"), col("d"), dir, batchId = tok + 1L)
+      .as[(Long, Long)].collect().toMap
+    val scratch2 = Graph.stronglyConnectedComponents(
+        surv.unionByName(Seq((1L, 3L)).toDF("s", "d")), col("s"),
+        col("d")).as[(Long, Long)].collect().toMap
+    assert(got2 == scratch2 && got2(3L) == 1L)
+    // a batch at or below the generation is rejected loudly
+    intercept[IllegalArgumentException] {
+      Graph.sccIncremental(Seq((1L, 3L)).toDF("s", "d"),
+        col("s"), col("d"), dir, batchId = tok)
+    }
+  }
+
   test("sccCondensation: collapsed cycles, cross-SCC DAG edges, " +
       "longest-path levels, member counts") {
     import spark.implicits._
