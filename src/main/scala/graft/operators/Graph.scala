@@ -2949,6 +2949,45 @@ object Graph {
       storeManifestPath(ccByCompDir(storeDir)))
   }
 
+  /** RETRACTION for the CC store — [[rebuildSccStore]]'s posture,
+    * undirected: edge (or node) deletion can SPLIT a component, which
+    * [[connectedComponentsIncremental]]'s contract-through-labels
+    * argument cannot absorb (it rests on insertions only merging), so
+    * the honest form is a REBUILD over the surviving edge list,
+    * written as a SUPERSEDING `gen=<head+1>` in the main store AND
+    * the comp-clustered projection — the committed view flips
+    * atomically, stale ids (nodes that lost every edge) disappear
+    * rather than lingering as newest-wins rows, and later incremental
+    * batches continue above the generation (monotone-guarded).
+    */
+  def rebuildCCStore(survivingEdges: DataFrame, a: Column, b: Column,
+                     storeDir: String, filesOut: Int = 4): Long = {
+    val spark = survivingEdges.sparkSession
+    val byComp = ccByCompDir(storeDir)
+    val tok = {
+      val (g1, b1) = Stats.committedTokens(spark, storeDir)
+      val (g2, b2) = Stats.committedTokens(spark, byComp)
+      math.max(math.max(g1, b1), math.max(g2, b2)) + 1L
+    }
+    val labels = Checkpoints.stage(
+      connectedComponents(survivingEdges, a, b)
+        .select(col("id"), col("comp"), lit(tok).as("__b")))
+    // projection first, main second — the writeCCStore commit order
+    labels
+      .repartitionByRange(filesOut, col("comp"))
+      .sortWithinPartitions(col("comp"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$byComp/gen=$tok")
+    labels
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    Stats.upsertManifest(spark, byComp, storeManifestPath(byComp))
+    tok
+  }
+
   private def ccStoreView(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String,
                           beforeBatch: Long): DataFrame = {
@@ -3022,6 +3061,9 @@ object Graph {
       : DataFrame = {
     require(batchId >= 1L, "batchId 0 is the writeCCStore base")
     val spark = newEdges.sparkSession
+    Stats.requireMonotoneBatch(spark,
+      Seq(storeDir, ccByCompDir(storeDir)), batchId,
+      "connectedComponentsIncremental")
     val en = Checkpoints.stage(
       newEdges.select(na.cast("long").as("u"), nb.cast("long").as("v"))
         .where(col("u") =!= col("v"))

@@ -558,6 +558,32 @@ object TrainingQueries {
         .orderBy(col("event_id"))
     }),
 
+    // CC-store RETRACTION on the chain graph — the takedown shape
+    // where deletion genuinely SPLITS components (every interior
+    // chain node is a cut vertex), which the contract-through-labels
+    // incremental form cannot absorb: the store REBUILDS over the
+    // surviving edges (event_id % 37 = 5 retracted, SF-invariant) as
+    // a superseding generation in BOTH the id-clustered store and the
+    // comp-clustered projection. The oracle recomputes reachability
+    // over exactly the surviving edges.
+    "x_cc_delete" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = t(s, d, "events")
+        .select(col("event_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"))
+        .where(col("next_id").isNotNull)
+      val keep = col("event_id") % 37 =!= 5 && col("next_id") % 37 =!= 5
+      val store = ArtifactMemo.dirFor("ccdelstore", d) { p =>
+        Graph.writeCCStore(edges, col("event_id"), col("next_id"), p)
+        Graph.rebuildCCStore(edges.where(keep), col("event_id"),
+          col("next_id"), p): Unit
+      }
+      Graph.ccStoreLabels(s, store)
+        .select(col("id").as("event_id"), col("comp").as("chain_id"))
+        .orderBy(col("event_id"))
+    }),
+
     // The CHAIN-OF-SCCs adversary the SCC scaladoc names, priced:
     // per-user event timelines segmented into 12-hop DIRECTED chains
     // (segment diameter — and therefore round structure — is
@@ -1088,6 +1114,27 @@ object TrainingQueries {
         |  QUALIFY b IS NOT NULL
         |), sym AS (
         |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT a AS id, a AS r FROM sym
+        |  UNION
+        |  SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+        |)
+        |SELECT id AS event_id, min(r) AS chain_id
+        |FROM reach GROUP BY id ORDER BY event_id""".stripMargin,
+
+    // rebuild-on-retract ≡ reachability over surviving edges only
+    // (interior chain nodes are cut vertices — components SPLIT)
+    "x_cc_delete" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT event_id AS a,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events
+        |  QUALIFY b IS NOT NULL
+        |), kept AS (
+        |  SELECT a, b FROM ed WHERE a % 37 <> 5 AND b % 37 <> 5
+        |), sym AS (
+        |  SELECT a, b FROM kept UNION SELECT b AS a, a AS b FROM kept
         |), reach(id, r) AS (
         |  SELECT DISTINCT a AS id, a AS r FROM sym
         |  UNION

@@ -319,6 +319,45 @@ class GraphSpec extends SparkSuite {
     assert(gotLvl == wantLvl, s"$gotLvl vs $wantLvl")
   }
 
+  test("rebuildCCStore: node-takedown rebuild ≡ from-scratch over " +
+      "survivors including a component SPLIT; vanished nodes drop; " +
+      "later incremental batches continue above the generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ccdel-").toString + "/cc"
+    // path 1-2-3-4 (2 is a cut vertex) + pair 10-11
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("a", "b")
+    Graph.writeCCStore(hist, col("a"), col("b"), dir)
+    assert(Graph.ccStoreLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L,
+        11L -> 10L))
+    // takedown of node 2 SPLITS {1,2,3,4}: 1 loses every edge (and
+    // must DISAPPEAR, not linger as a stale newest-wins row)
+    val surv = hist.where(col("a") =!= 2L && col("b") =!= 2L)
+    val tok = Graph.rebuildCCStore(surv, col("a"), col("b"), dir)
+    val got = Graph.ccStoreLabels(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L),
+      s"got $got")
+    // later batches continue ABOVE the superseding generation
+    val got2 = Graph.connectedComponentsIncremental(
+        Seq((4L, 10L)).toDF("a", "b"), col("a"), col("b"), dir,
+        batchId = tok + 1L)
+      .as[(Long, Long)].collect().toMap
+    val scratch2 = Graph.connectedComponents(
+        surv.unionByName(Seq((4L, 10L)).toDF("a", "b")), col("a"),
+        col("b")).as[(Long, Long)].collect().toMap
+    assert(got2 == scratch2 && got2(11L) == 3L, s"$got2 vs $scratch2")
+    // a batch at or below the generation is rejected loudly
+    intercept[IllegalArgumentException] {
+      Graph.connectedComponentsIncremental(
+        Seq((4L, 10L)).toDF("a", "b"), col("a"), col("b"), dir,
+        batchId = tok)
+    }
+  }
+
   test("rebuildSccStore: node-takedown rebuild ≡ from-scratch over " +
       "survivors INCLUDING an SCC split; supersedes prior state; " +
       "later incremental batches continue above the generation") {
