@@ -1621,6 +1621,96 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming GRAPH RETRACTION — node takedowns flowed through the
+    * graph stores [[graphGateSink]] maintains. Deletion is the one
+    * direction the warm-start forms cannot absorb (removing a cut
+    * vertex SPLITS components/SCCs, and the maintenance soundness
+    * arguments rest on insertions only merging), so the takedown is
+    * two-phase — the rebuild-on-retract posture:
+    *
+    *   1. per micro-batch, the retracted NODE ids land in a
+    *      `<edgesPath>_deleted_nodes/batch=<id>` tombstone set
+    *      (overwrite-idempotent; set semantics make re-streamed ids
+    *      harmless);
+    *   2. every `compactEvery` batches, the edge store compacts to
+    *      SURVIVING edges only (both endpoints live), the tombstone
+    *      set is cleared (nothing additive remembers a node — a
+    *      later re-observed edge legitimately re-adds it), and the
+    *      opted-in analytics stores REBUILD from the surviving edge
+    *      list as superseding generations
+    *      ([[graft.operators.Graph.rebuildCCStore]] /
+    *      [[graft.operators.Graph.rebuildSccStore]] — atomic view
+    *      flips; later incremental batches must continue above the
+    *      generation, which the monotone guards enforce).
+    *
+    * Between a takedown and its compaction the stores serve the
+    * pre-delete state — the DOCUMENTED staleness window of
+    * rebuild-on-retract (the spec pins post-compaction ≡ from-scratch
+    * over survivors, splits included). Run this against a QUIESCED
+    * [[graphGateSink]], and resume ingestion above the rebuild
+    * generations — the shared monotone-sequence contract.
+    */
+  def graphRetractionSink(spark: SparkSession, stream: DataFrame,
+                          id: String, edgesPath: String,
+                          checkpoint: String,
+                          ccStorePath: Option[String] = None,
+                          sccStorePath: Option[String] = None,
+                          compactEvery: Int = 0, filesOut: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.{Graph, Stats}
+    val tombRoot = s"${edgesPath}_deleted_nodes"
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          batch.select(col(id).cast("long").as("id")).distinct()
+            .withColumn("__b", lit(batchId))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$tombRoot/batch=$batchId")
+          if (compactEvery > 0 &&
+              batchId % compactEvery == compactEvery - 1) {
+            val deleted = graft.operators.Checkpoints.stage(
+              spark.read.parquet(
+                  Stats.committedViewDirs(spark, tombRoot): _*)
+                .select(col("id")))
+            // edge store: physical drop of edges touching a deleted
+            // node. The fold is a no-op when the store is already one
+            // generation (nothing above the token to fold) — then the
+            // rebuild filters the view directly and the tombstones
+            // are KEPT for the next cycle instead of cleared, so a
+            // deletion can never silently survive.
+            def minusDeletedEdges(df: DataFrame): DataFrame = df
+              .join(deleted.select(col("id").as("u")), Seq("u"),
+                "left_anti")
+              .join(deleted.select(col("id").as("v")), Seq("v"),
+                "left_anti")
+            val folded = Stats.compactCommittedStore(spark, edgesPath,
+              df => minusDeletedEdges(df)
+                .select(col("u"), col("v"), col("__b"))
+                .repartitionByRange(filesOut, col("u"), col("v"))
+                .sortWithinPartitions(col("u"), col("v")))
+            val view = spark.read.parquet(
+                Stats.committedViewDirs(spark, edgesPath): _*)
+              .select(col("u"), col("v"))
+            val surviving =
+              if (folded.isDefined) view else minusDeletedEdges(view)
+            ccStorePath.foreach(p =>
+              Graph.rebuildCCStore(surviving, col("u"), col("v"), p,
+                filesOut): Unit)
+            sccStorePath.foreach(p =>
+              Graph.rebuildSccStore(surviving, col("u"), col("v"), p,
+                filesOut): Unit)
+            if (folded.isDefined)
+              Stats.compactCommittedStore(spark, tombRoot,
+                _.where(lit(false)).select(col("id"), col("__b"))): Unit
+          }
+        }
+      }
+      .start()
+  }
+
   /** Streaming GRAPH-ANALYTICS maintenance — the foreachBatch gate for
     * the warm-start graph stores, completing the symmetry with the
     * dedup/media/ER/BM25 gates: each micro-batch of candidate edges

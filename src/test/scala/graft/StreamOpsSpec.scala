@@ -1087,6 +1087,59 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("graphRetractionSink: node takedowns rebuild the CC and SCC " +
+      "stores over surviving edges — splits included; edge store " +
+      "physically drops; tombstones clear after a fold and persist " +
+      "when the fold is a no-op") {
+    import graft.operators.Graph
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-graphret-${System.nanoTime()}"
+    // SCC {1,2,3} + tail 3→4→5; undirected CC = one component {1..5};
+    // node 3 is a cut vertex for both
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+    edges.withColumn("__b", lit(0L))
+      .write.parquet(s"$base/edges/batch=0")
+    Graph.writeCCStore(edges, col("u"), col("v"), s"$base/cc")
+    Graph.writeSccStore(edges, col("u"), col("v"), s"$base/scc")
+    val in = MemoryStream[Long]
+    val q = StreamOps.graphRetractionSink(spark, in.toDF().toDF("id"),
+      "id", s"$base/edges", s"$base/ckpt",
+      ccStorePath = Some(s"$base/cc"),
+      sccStorePath = Some(s"$base/scc"), compactEvery = 1)
+    try {
+      in.addData(3L); q.processAllAvailable()
+      // CC split: {1,2} and {4,5}; SCC all trivial
+      assert(Graph.ccStoreLabels(spark, s"$base/cc")
+        .as[(Long, Long)].collect().toMap ==
+        Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L))
+      assert(Graph.sccStoreAssign(spark, s"$base/scc")
+        .as[(Long, Long)].collect().toMap ==
+        Map(1L -> 1L, 2L -> 2L, 4L -> 4L, 5L -> 5L))
+      // physical drop + tombstone clear (the fold ran)
+      val live = spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/edges"): _*)
+      assert(live.where(col("u") === 3L || col("v") === 3L).isEmpty)
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/edges_deleted_nodes"): _*).isEmpty)
+      // second takedown: the edge store is one generation now, the
+      // fold is a no-op — the rebuild must STILL exclude the node
+      // (filtered view) and the tombstones persist for a later fold
+      in.addData(5L); q.processAllAvailable()
+      // 4's only surviving edge died with 5 — it vanishes entirely
+      assert(Graph.ccStoreLabels(spark, s"$base/cc")
+        .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+      assert(Graph.sccStoreAssign(spark, s"$base/scc")
+        .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L))
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/edges_deleted_nodes"): _*)
+        .select(col("id")).as[Long].collect().toSet == Set(5L))
+    } finally q.stop()
+  }
+
   test("erGatePairs: candidate right side is batch-only — store×store " +
       "pairs never form, never reach the levenshtein confirm") {
     import graft.operators.{Resolution, TextAnalysis}
