@@ -2139,6 +2139,8 @@ object Graph {
       : DataFrame = {
     require(batchId >= 1L, "batchId 0 is the writeTriangleStore base")
     val spark = allEdges.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "triangleCountsIncremental")
     def canon(df: DataFrame, x: Column, y: Column): DataFrame =
       df.select(least(x, y).as("u"), greatest(x, y).as("v"))
         .where(col("u") =!= col("v"))
@@ -2220,6 +2222,30 @@ object Graph {
   /** Fold the triangle store's delta batches, newest batch winning per
     * id — the OPTIMIZE cycle every incremental store here carries.
     */
+  /** RETRACTION for the triangle store — [[rebuildCCStore]]'s posture
+    * on the count form: deletion DECREASES per-node triangle counts,
+    * which the create-only incremental form cannot absorb, so the
+    * honest path is a from-scratch recount over the surviving edges
+    * written as a SUPERSEDING `gen=<head+1>` (atomic view flip;
+    * vanished nodes drop; later incremental batches continue above
+    * the generation).
+    */
+  def rebuildTriangleStore(survivingEdges: DataFrame, a: Column,
+                           b: Column, storeDir: String,
+                           filesOut: Int = 4,
+                           broadcastLimit: Long = 4000000L): Long = {
+    val spark = survivingEdges.sparkSession
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    triangleCounts(survivingEdges, a, b, broadcastLimit)
+      .select(col("id"), col("n_tri"), lit(tok).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
+
   def compactTriangleStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, filesOut: Int = 4)
       : Option[Long] = {
@@ -2847,11 +2873,8 @@ object Graph {
                       dst: Column, storeDir: String,
                       filesOut: Int = 1): Long = {
     val spark = survivingEdges.sparkSession
-    val tok = {
-      val (ga, ba) = Stats.committedTokens(spark, s"$storeDir/assign")
-      val (gc, bc) = Stats.committedTokens(spark, s"$storeDir/cedges")
-      math.max(math.max(ga, ba), math.max(gc, bc)) + 1L
-    }
+    val tok = Stats.supersedingToken(spark,
+      Seq(s"$storeDir/assign", s"$storeDir/cedges"))
     val e0 = Checkpoints.stage(
       survivingEdges.select(src.cast("long").as("src"),
           dst.cast("long").as("dst"))
@@ -2964,11 +2987,7 @@ object Graph {
                      storeDir: String, filesOut: Int = 4): Long = {
     val spark = survivingEdges.sparkSession
     val byComp = ccByCompDir(storeDir)
-    val tok = {
-      val (g1, b1) = Stats.committedTokens(spark, storeDir)
-      val (g2, b2) = Stats.committedTokens(spark, byComp)
-      math.max(math.max(g1, b1), math.max(g2, b2)) + 1L
-    }
+    val tok = Stats.supersedingToken(spark, Seq(storeDir, byComp))
     val labels = Checkpoints.stage(
       connectedComponents(survivingEdges, a, b)
         .select(col("id"), col("comp"), lit(tok).as("__b")))

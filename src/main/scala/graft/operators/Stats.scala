@@ -419,6 +419,21 @@ object Stats {
     (maxOf("gen="), maxOf("batch="))
   }
 
+  /** The token a SUPERSEDING generation must carry: one above the
+    * newest committed gen/batch token across `roots` (a store plus
+    * any sibling projection) — writing `gen=<this>` hides every
+    * earlier batch in the committed view atomically, the
+    * rebuild-on-retract primitive behind the graph stores' deletion
+    * path.
+    */
+  def supersedingToken(spark: SparkSession, roots: Seq[String]): Long = {
+    val head = roots.map { r =>
+      val (g, b) = committedTokens(spark, r)
+      math.max(g, b)
+    }.max
+    if (head == Long.MinValue) 1L else head + 1L
+  }
+
   /** Guard for the monotone batch-id contract shared by every append
     * AND tombstone delete on a `gen=`/`batch=` store: a write at an id
     * not above the newest generation token would be invisible to

@@ -272,6 +272,26 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Triangle-store RETRACTION: deletion DECREASES counts, which the
+    // create-only incremental form cannot absorb — the store recounts
+    // over the surviving edges (docs % 10 = 7 retracted, SF-invariant;
+    // clique members lose corners) as a superseding generation. The
+    // oracle recounts every triangle over exactly the surviving
+    // universe.
+    "x_tri_delete" -> ((s, d) => {
+      val pairs = Curation.substringDupPairs(
+        passageCorpus(t(s, d, "documents")), col("doc_id"), col("text"))
+      val keep = col("ida") % 10 =!= 7 && col("idb") % 10 =!= 7
+      val store = ArtifactMemo.dirFor("tridelstore", d) { p =>
+        Graph.writeTriangleStore(pairs, col("ida"), col("idb"), p)
+        Graph.rebuildTriangleStore(pairs.where(keep), col("ida"),
+          col("idb"), p): Unit
+      }
+      Graph.triangleStoreCounts(s, store)
+        .select(col("id").as("doc_id"), col("n_tri"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARM-START triangle counting on the SPARSE chain fixture: the
     // history users' per-node totals persist once; the batch adds the
     // user ≡ 3 (mod 10) chains and only the triangles a new edge
@@ -859,7 +879,12 @@ object ScaleOpsQueries {
   /** Canonical 3-way-join triangle recount over the same
     * shared-passage pair CTEs the label-prop oracle builds.
     */
-  private val trianglesSql: String =
+  private val trianglesSql: String = trianglesSqlKeep("TRUE")
+
+  /** [[trianglesSql]] over a restricted node universe — the
+    * retraction oracle recounts over surviving edges only.
+    */
+  private def trianglesSqlKeep(nodePred: String): String =
     s"""WITH corpus AS (
        |$passageCorpusSql),
        |w AS (
@@ -867,7 +892,9 @@ object ScaleOpsQueries {
        |dw AS (SELECT DISTINCT doc_id, win FROM w),
        |p AS (SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
        |      FROM dw a JOIN dw b
-       |        ON a.win = b.win AND a.doc_id < b.doc_id),
+       |        ON a.win = b.win AND a.doc_id < b.doc_id
+       |        AND ${nodePred.replace("NODE", "a.doc_id")}
+       |        AND ${nodePred.replace("NODE", "b.doc_id")}),
        |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
        |       FROM p e1 JOIN p e2 ON e1.u = e2.u AND e1.v < e2.v
        |       JOIN p e3 ON e3.u = e1.v AND e3.v = e2.v),
@@ -955,6 +982,9 @@ object ScaleOpsQueries {
     "x_outlier_mad" -> outlierMadSql,
     "x_outlier_clip" -> outlierClipSql,
     "x_triangles" -> trianglesSql,
+    // recount over survivors only (deleted clique members lose
+    // corners; their own rows vanish)
+    "x_tri_delete" -> trianglesSqlKeep("NODE % 10 <> 7"),
     "x_triangles_chain" -> trianglesChainSql,
     // warm-start ≡ from-scratch: the chain twin's oracle is shared
     "x_triangles_incremental" -> trianglesChainSql,

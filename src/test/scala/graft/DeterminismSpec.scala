@@ -55,7 +55,8 @@ class DeterminismSpec extends SparkSuite {
     "x_lm_delete",        // subtracted count model re-scoring
     "x_scc_levels_incremental", // store-backed level fixpoint
     "x_scc_delete",       // rebuild-on-retract superseding generation
-    "x_cc_delete")        // CC rebuild with component splits
+    "x_cc_delete",        // CC rebuild with component splits
+    "x_tri_delete")       // triangle recount over survivors
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

@@ -319,6 +319,40 @@ class GraphSpec extends SparkSuite {
     assert(gotLvl == wantLvl, s"$gotLvl vs $wantLvl")
   }
 
+  test("rebuildTriangleStore: node-takedown recount ≡ from-scratch " +
+      "over survivors; counts DECREASE; later batches continue above " +
+      "the generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-tridel-").toString + "/tri"
+    // K4 on {1,2,3,4}: every node closes 3 triangles
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val edges = k4.toDF("a", "b")
+    Graph.writeTriangleStore(edges, col("a"), col("b"), dir)
+    assert(Graph.triangleStoreCounts(spark, dir)
+      .as[(Long, Long)].collect().toMap ==
+      (1L to 4L).map(_ -> 3L).toMap)
+    // delete node 4 → K3 remains: one triangle, count 1 each
+    val surv = edges.where(col("a") =!= 4L && col("b") =!= 4L)
+    val tok = Graph.rebuildTriangleStore(surv, col("a"), col("b"), dir)
+    assert(Graph.triangleStoreCounts(spark, dir)
+      .as[(Long, Long)].collect().toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // post-rebuild incremental batch continues above the generation
+    val b1 = Seq((1L, 5L), (2L, 5L)).toDF("a", "b") // (1,2,5) closes
+    val got = Graph.triangleCountsIncremental(
+        surv.unionByName(b1), col("a"), col("b"), b1, col("a"),
+        col("b"), dir, batchId = tok + 1L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 5L -> 1L),
+      s"got $got")
+    // a batch at or below the generation is rejected loudly
+    intercept[IllegalArgumentException] {
+      Graph.triangleCountsIncremental(surv.unionByName(b1), col("a"),
+        col("b"), b1, col("a"), col("b"), dir, batchId = tok)
+    }
+  }
+
   test("rebuildCCStore: node-takedown rebuild ≡ from-scratch over " +
       "survivors including a component SPLIT; vanished nodes drop; " +
       "later incremental batches continue above the generation") {
