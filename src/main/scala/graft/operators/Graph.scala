@@ -811,6 +811,8 @@ object Graph {
     require(batchId >= 1L, "batchId 0 is the writeLandmarkStore base")
     require(maxDepth >= 0, "maxDepth must be >= 0")
     val spark = allEdges.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "landmarkDistancesIncremental")
     val stored = Checkpoints.stage(
       landmarkStoreView(spark, storeDir, batchId))
     val e0 = allEdges.select(a.as("src"), b.as("dst"))
@@ -906,6 +908,55 @@ object Graph {
         .sortWithinPartitions(col("id"), col("lm")))
     if (tok.isDefined)
       Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
+
+  /** RETRACTION for the landmark store — [[rebuildCCStore]]'s
+    * posture, distance-valued: edge (or node) deletion can only
+    * GROW shortest distances, which
+    * [[landmarkDistancesIncremental]]'s monotone-relaxation argument
+    * cannot absorb (it rests on insertions only shrinking — the
+    * stored sketch stops being a valid upper bound the moment an
+    * edge on a shortest path disappears), so the honest form is a
+    * REBUILD of the BFS sketch over the surviving edge list, written
+    * as a SUPERSEDING `gen=<head+1>`: the min-fold view flips
+    * atomically (old, smaller distances can never leak into a fold
+    * with the new generation), vanished nodes drop, and later
+    * incremental batches continue above the generation
+    * (monotone-guarded in [[landmarkDistancesIncremental]]).
+    *
+    * The landmark set stays FROZEN through the retraction — pivots
+    * are recovered from the store's own dist = 0 rows, minus any
+    * pivot in `deletedNodes` (a retracted pivot's whole BFS tree
+    * disappears with it; the sketch continues with the survivors,
+    * the documented cost of deleting a pivot). A surviving pivot
+    * that lost every edge keeps its dist = 0 self-row — same
+    * node-universe rule as the recursive-CTE oracle.
+    */
+  def rebuildLandmarkStore(survivingEdges: DataFrame, a: Column,
+                           b: Column, storeDir: String,
+                           deletedNodes: Option[DataFrame] = None,
+                           maxDepth: Int = 6, filesOut: Int = 4)
+      : Long = {
+    val spark = survivingEdges.sparkSession
+    val storedLms = landmarkStoreDistances(spark, storeDir)
+      .where(col("dist") === 0)
+      .select(col("lm"))
+    val pivots = deletedNodes match {
+      case Some(del) => storedLms.join(
+        del.select(col(del.columns.head).as("lm")), Seq("lm"),
+        "left_anti")
+      case None => storedLms
+    }
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    landmarkDistances(survivingEdges, a, b, maxDepth = maxDepth,
+        pivots = Some(pivots))
+      .select(col("id"), col("lm"), col("dist"), lit(tok).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"), col("lm"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
     tok
   }
 
@@ -1101,6 +1152,35 @@ object Graph {
       storeManifestPath(storeDir))
   }
 
+  /** RETRACTION for the PageRank store — the value-iteration twist
+    * on [[rebuildCCStore]]'s posture: a warm restart from the stored
+    * ranks would CONVERGE over the surviving graph, but the seed
+    * still carries the deleted edges' influence (it decays
+    * geometrically, never to exactly zero in finite rounds), which
+    * fails the right-to-be-forgotten bar every other retraction here
+    * meets exactly — so the honest form is a COLD recompute over the
+    * surviving edge list, written as a superseding `gen=<head+1>`
+    * (atomic view flip; vanished nodes drop; later [[pageRankWarm]]
+    * batches continue above the generation, monotone-guarded).
+    */
+  def rebuildPageRankStore(survivingEdges: DataFrame, src: Column,
+                           dst: Column, iters: Int, storeDir: String,
+                           filesOut: Int = 4, dampNum: Long = 85,
+                           dampDen: Long = 100, scale: Long = 1000000L,
+                           broadcastLimit: Long = 4000000L): Long = {
+    val spark = survivingEdges.sparkSession
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    pageRank(survivingEdges, src, dst, iters, dampNum, dampDen, scale,
+        broadcastLimit)
+      .select(col("id"), col("rank"), lit(tok).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
+
   private def prStoreView(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String,
                           beforeBatch: Long): DataFrame = {
@@ -1147,6 +1227,8 @@ object Graph {
                    broadcastLimit: Long = 4000000L): DataFrame = {
     require(batchId >= 1L, "batchId 0 is the writePageRankStore base")
     val spark = allEdges.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "pageRankWarm")
     val start = prStoreView(spark, storeDir, batchId)
     val ranks = Checkpoints.stage(
       pageRank(allEdges, src, dst, rounds, dampNum, dampDen, scale,
@@ -1198,6 +1280,27 @@ object Graph {
       storeManifestPath(storeDir))
   }
 
+  /** RETRACTION for the HITS store — [[rebuildPageRankStore]]'s
+    * posture and argument verbatim (a warm hub seed carries the
+    * deleted edges' influence forever): cold recompute over the
+    * surviving edges as a superseding generation.
+    */
+  def rebuildHitsStore(survivingEdges: DataFrame, src: Column,
+                       dst: Column, iters: Int, storeDir: String,
+                       filesOut: Int = 4, scale: Long = 1000000L,
+                       broadcastLimit: Long = 4000000L): Long = {
+    val spark = survivingEdges.sparkSession
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    hits(survivingEdges, src, dst, iters, scale, broadcastLimit)
+      .select(col("id"), col("hub"), col("auth"), lit(tok).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
+
   private def hitsStoreView(spark: org.apache.spark.sql.SparkSession,
                             storeDir: String,
                             beforeBatch: Long): DataFrame = {
@@ -1239,6 +1342,8 @@ object Graph {
                broadcastLimit: Long = 4000000L): DataFrame = {
     require(batchId >= 1L, "batchId 0 is the writeHitsStore base")
     val spark = allEdges.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "hitsWarm")
     val start = hitsStoreView(spark, storeDir, batchId)
     val scores = Checkpoints.stage(
       hits(allEdges, src, dst, rounds, scale, broadcastLimit,
@@ -1506,6 +1611,30 @@ object Graph {
       storeManifestPath(storeDir))
   }
 
+  /** RETRACTION for the Louvain store — [[rebuildPageRankStore]]'s
+    * posture and argument (a warm assignment seed remembers the
+    * deleted edges' merges; deletion can also SPLIT a community,
+    * which gain rounds never undo — they only move nodes toward
+    * positive gain over the seed): cold recompute over the surviving
+    * edges as a superseding generation.
+    */
+  def rebuildLouvainStore(survivingEdges: DataFrame, a: Column,
+                          b: Column, rounds: Int, storeDir: String,
+                          filesOut: Int = 4,
+                          weight: Option[Column] = None,
+                          broadcastLimit: Long = 4000000L): Long = {
+    val spark = survivingEdges.sparkSession
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    louvain(survivingEdges, a, b, rounds, weight, broadcastLimit)
+      .select(col("id"), col("community").as("c"), lit(tok).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
+
   private def louvainStoreView(
       spark: org.apache.spark.sql.SparkSession, storeDir: String,
       beforeBatch: Long): DataFrame = {
@@ -1542,6 +1671,8 @@ object Graph {
                   broadcastLimit: Long = 4000000L): DataFrame = {
     require(batchId >= 1L, "batchId 0 is the writeLouvainStore base")
     val spark = allEdges.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "louvainWarm")
     val start = louvainStoreView(spark, storeDir, batchId)
     val asg = Checkpoints.stage(
       louvain(allEdges, a, b, rounds, weight, broadcastLimit,
@@ -1720,7 +1851,44 @@ object Graph {
                       seeds: DataFrame, seedId: Column, seedLabel: Column,
                       iters: Int, storeDir: String,
                       filesOut: Int = 4,
-                      broadcastLimit: Long = 4000000L): Unit = {
+                      broadcastLimit: Long = 4000000L): Unit =
+    labelStateRoundSlices(edges, a, b, seeds, seedId, seedLabel,
+        iters, broadcastLimit, bTok = 0L)
+      .repartitionByRange(filesOut, col("__round"), col("id"))
+      .sortWithinPartitions(col("__round"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/batch=0")
+
+  /** RETRACTION for the label-propagation state store — the
+    * fixed-round vote history cannot subtract a deleted node's votes
+    * (a vote it won in round r cascades through every later round),
+    * so the store REBUILDS the full k-round state over the surviving
+    * edges and seeds, written as a superseding `gen=<head+1>` that
+    * hides every earlier round slice atomically. Pass the seed set
+    * with retracted nodes REMOVED (a deleted node's seed label is
+    * itself forgotten data); later [[labelPropagationIncremental]]
+    * batches continue above the generation (monotone-guarded).
+    */
+  def rebuildLabelState(survivingEdges: DataFrame, a: Column,
+                        b: Column, survivingSeeds: DataFrame,
+                        seedId: Column, seedLabel: Column, iters: Int,
+                        storeDir: String, filesOut: Int = 4,
+                        broadcastLimit: Long = 4000000L): Long = {
+    val spark = survivingEdges.sparkSession
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    labelStateRoundSlices(survivingEdges, a, b, survivingSeeds,
+        seedId, seedLabel, iters, broadcastLimit, bTok = tok)
+      .repartitionByRange(filesOut, col("__round"), col("id"))
+      .sortWithinPartitions(col("__round"), col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    tok
+  }
+
+  private def labelStateRoundSlices(
+      edges: DataFrame, a: Column, b: Column, seeds: DataFrame,
+      seedId: Column, seedLabel: Column, iters: Int,
+      broadcastLimit: Long, bTok: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // the labelPropagation loop, with each round's staged labels kept
     val e0 = edges.select(a.as("src"), b.as("dst"))
@@ -1764,14 +1932,10 @@ object Graph {
           col("__fixed"))
       labels = Checkpoints.stage(next)
       rounds += labels.select(lit(it + 1).as("__round"), col("id"),
-        col("label"), lit(0L).as("__b"))
+        col("label"), lit(bTok).as("__b"))
       it += 1
     }
     rounds.reduce(_ unionByName _)
-      .repartitionByRange(filesOut, col("__round"), col("id"))
-      .sortWithinPartitions(col("__round"), col("id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$storeDir/batch=0")
   }
 
   /** WARM-START label propagation: the k-round result over the UNION
@@ -1819,6 +1983,8 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(batchId >= 1L, "batchId 0 is the writeLabelState base")
     val spark = allEdges.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "labelPropagationIncremental")
     val e0 = allEdges.select(a.as("src"), b.as("dst"))
     val sym = Checkpoints.stage(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -3262,6 +3428,32 @@ object Graph {
       storeManifestPath(storeDir))
   }
 
+  /** RETRACTION for the k-core store — the monotone-union twist on
+    * [[rebuildCCStore]]'s posture: membership only GROWS under edge
+    * insertion (which is why the store is a union of member deltas),
+    * but deletion SHRINKS the core, a direction the union view cannot
+    * express at all — so the store REBUILDS as the k-core of the
+    * surviving edges, written as a superseding `gen=<head+1>` that
+    * hides every earlier member delta atomically. Later
+    * [[kCoreIncremental]] batches continue above the generation
+    * (monotone-guarded).
+    */
+  def rebuildKCoreStore(survivingEdges: DataFrame, a: Column,
+                        b: Column, k: Int, storeDir: String,
+                        filesOut: Int = 4, maxRounds: Int = 50,
+                        broadcastLimit: Long = 4000000L): Long = {
+    val spark = survivingEdges.sparkSession
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    kCore(survivingEdges, a, b, k, maxRounds, broadcastLimit)
+      .select(col("id"), lit(tok).as("__b"))
+      .repartitionByRange(filesOut, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    Stats.upsertManifest(spark, storeDir, storeManifestPath(storeDir))
+    tok
+  }
+
   private def kCoreStoreView(spark: org.apache.spark.sql.SparkSession,
                              storeDir: String,
                              beforeBatch: Long): DataFrame = {
@@ -3320,6 +3512,8 @@ object Graph {
     require(k >= 1, "k must be >= 1")
     require(batchId >= 1L, "batchId 0 is the writeKCoreStore base")
     val spark = allEdges.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "kCoreIncremental")
     val e = Checkpoints.stage(
       allEdges.select(least(a, b).as("u"), greatest(a, b).as("v"))
         .where(col("u") =!= col("v"))

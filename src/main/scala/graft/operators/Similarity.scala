@@ -1314,6 +1314,35 @@ object Similarity {
     spark.read.parquet(Stats.committedViewDirs(spark, storeDir): _*)
       .select(col("rank"), col("id"), col("radius"))
 
+  /** RETRACTION for the k-center coreset store — the trace twist on
+    * rebuild-on-retract: the greedy trace is a pure function of the
+    * corpus, and deleting a CENTER changes every later pick (each
+    * argmax was chasing a coverage hole the deleted center no longer
+    * plugs), so the store REBUILDS the full trace over the surviving
+    * corpus, written as a superseding `gen=<head+1>` (atomic view
+    * flip; later [[kCenterExtend]] batches continue above the
+    * generation, monotone-guarded). Deleting only NON-centers is
+    * provably a trace no-op — a non-center was never an argmax pick,
+    * so removing it changes no pick and no radius (the spec pins it)
+    * — which makes the cheap policy exact: rebuild only when a
+    * retracted id appears in [[kCenterStoreCenters]]; otherwise the
+    * store already equals the from-scratch trace over survivors.
+    * `k` matches the store's CURRENT size (bootstrap k plus any
+    * extensions), the knob-matching contract every rebuild here has.
+    */
+  def rebuildKCenterStore(survivingCorpus: DataFrame, id: Column,
+                          vec: Column, k: Int, storeDir: String)
+      : Long = {
+    val spark = survivingCorpus.sparkSession
+    val tok = Stats.supersedingToken(spark, Seq(storeDir))
+    kCenterTrace(survivingCorpus, id, vec, k)
+      .withColumn("__b", lit(tok))
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$storeDir/gen=$tok")
+    tok
+  }
+
   /** INCREMENTAL k-center coreset maintenance: extend the STORED
     * coreset with `kNew` farthest-first picks drawn from the new
     * batch only. Sound because adding centers never worsens any
@@ -1340,6 +1369,8 @@ object Similarity {
     require(batchId >= 1L, "batchId 0 is the writeKCenterStore base")
     require(kNew >= 1, "kNew must be >= 1")
     val spark = batch.sparkSession
+    Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
+      "kCenterExtend")
     val stored = Checkpoints.stage(
       spark.read.parquet(Stats.committedViewDirs(spark, storeDir): _*)
         .where(col("__b") < batchId)

@@ -594,6 +594,28 @@ object ExtensionQueries {
         .orderBy(col("rank"))
     }),
 
+    // K-CENTER-store RETRACTION — the trace twist on rebuild-on-
+    // retract: the greedy trace is a pure function of the corpus, so
+    // deleting a CENTER (vec_id % 10 = 0 retracts center 1, the
+    // smallest id, at every SF) changes every later pick — each
+    // argmax chased a coverage hole the deleted center no longer
+    // plugs — and the store rebuilds the full 6-pick trace over the
+    // surviving corpus as a superseding generation. (Deleting only
+    // non-centers is provably a trace no-op — SimilaritySpec pins
+    // it; the rebuild is only ever needed for center deletions.)
+    // Oracle = the same unrolled greedy SQL over survivors.
+    "x_kcenter_delete" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val store = ArtifactMemo.dirFor("kcenterdelstore", d) { p =>
+        Similarity.writeKCenterStore(emb, col("vec_id"),
+          col("embedding"), k = 6, p)
+        Similarity.rebuildKCenterStore(
+          emb.where(pmod(col("vec_id"), lit(10)) =!= 0),
+          col("vec_id"), col("embedding"), k = 6, p): Unit
+      }
+      Similarity.kCenterStoreCenters(s, store).orderBy(col("rank"))
+    }),
+
     // PCA projection in LONG FORM (id, dim, value): the projection is
     // a deterministic fixed-fold dot product against the fitted basis,
     // so the oracle replays it exactly — the mean/basis land in the SQL
@@ -1553,11 +1575,13 @@ object ExtensionQueries {
        |      i -> CAST($a[i] AS DOUBLE) * $b[i])),
        |    (x, y) -> x + y)""".stripMargin
 
-  /** Unrolled greedy k-center trace (k = 6) over the embeddings —
-    * replays the exact pick-farthest/tie-to-smaller-id iteration of
-    * Similarity.kCenterSelect, same IEEE distance expression.
+  /** Unrolled greedy k-center trace (k = 6) over the embeddings a
+    * survivor predicate keeps — replays the exact
+    * pick-farthest/tie-to-smaller-id iteration of
+    * Similarity.kCenterSelect, same IEEE distance expression (the
+    * keep-predicate parameterization every `*_delete` oracle uses).
     */
-  private val kCenterSql: String = {
+  private def kCenterSqlKeep(keep: String): String = {
     def round(i: Int): String =
       s"""s$i AS MATERIALIZED (
          |  SELECT s.id, s.v, s.dxx,
@@ -1571,7 +1595,7 @@ object ExtensionQueries {
     s"""WITH base AS MATERIALIZED (
        |  SELECT vec_id AS id, embedding AS v,
        |    ${dotFoldSql("embedding", "embedding")} AS dxx
-       |  FROM embeddings),
+       |  FROM embeddings WHERE ($keep)),
        |c1 AS (
        |  SELECT id, v, dxx, CAST(0.0 AS DOUBLE) AS radius
        |  FROM base ORDER BY id LIMIT 1),
@@ -1589,6 +1613,8 @@ object ExtensionQueries {
             .mkString("\nUNION ALL ")}
        |ORDER BY rank""".stripMargin
   }
+
+  private val kCenterSql: String = kCenterSqlKeep("TRUE")
 
   /** Incremental-coreset mirror: history's 5-pick greedy trace over
     * the vec_id % 10 <> 3 slice, then the batch slice seeded with the
@@ -2171,6 +2197,9 @@ object ExtensionQueries {
       """SELECT CAST(0 AS BIGINT) AS n_miss, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
     "x_kcenter" -> kCenterSql,
+    // rebuild-on-retract ≡ the greedy trace over survivors (center 1
+    // retracted — every later pick moves)
+    "x_kcenter_delete" -> kCenterSqlKeep("vec_id % 10 <> 0"),
     "x_kcenter_incremental" -> kCenterIncSql,
     "x_pca_moments" -> pcaMomentsSql,
     // incremental moment store ≡ from-scratch: the SAME full-corpus

@@ -55,6 +55,54 @@ object ResolutionQueries {
             maxBlock = MaxBlock))
         .orderBy(col("rid"))),
 
+    // ER-dictionary RETRACTION — the sig-store semantic on entities:
+    // a retracted entity's dictionary row must stop suppressing
+    // future near-duplicate names. History = the p_partkey % 8 <> 0
+    // slice's entity dictionary in the GATE layout (blkh-clustered
+    // batch=0 + manifest); the takedown tombstones eid % 5 = 2
+    // (deleteFromNearDupStore's shared set, anti-joined by eid at
+    // read); the batch (p_partkey % 8 = 0) then re-gates through the
+    // tombstone-aware slice (StreamOps.erStoreSliceFor — the exact
+    // read path erGateSink uses). Output = surviving batch entities.
+    // Potency: every SF reinstates entities a stale store would have
+    // dropped (1 / 5 / 6 at sf0.001 / 0.01 / 0.1). Oracle = the
+    // blocked levenshtein gate over exactly the surviving dictionary.
+    "x_er_delete" -> ((s, d) => {
+      import graft.streaming.StreamOps
+      val hist = Resolution.entities(
+        parts(s, d).where(col("p_partkey") % 8 =!= 0),
+        col("p_partkey"), col("p_name"))
+      val root = ArtifactMemo.dirFor("erdelstore", d) { p =>
+        Resolution.keyed(hist, Resolution.firstTokenBlock)
+          .select(col("blkh"), col("eid"), col("nm"))
+          .repartitionByRange(8, col("blkh"))
+          .sortWithinPartitions(col("blkh"))
+          .write.mode("overwrite").parquet(s"$p/store/batch=0")
+        graft.operators.Stats.writeManifest(s, s"$p/store",
+          s"$p/manifest")
+        StreamOps.deleteFromNearDupStore(s, s"$p/store",
+          hist.where(col("eid") % 5 === 2).select(col("eid").as("id")),
+          batchId = 1L)
+      }
+      // staged once — the gate sink's localCheckpoint discipline:
+      // batchK feeds the probe, both pair arms, and the final
+      // anti-join, and must not re-derive its aggregation per use
+      val batchK = graft.operators.Checkpoints.stage(
+        Resolution.keyed(
+          Resolution.entities(
+            parts(s, d).where(col("p_partkey") % 8 === 0),
+            col("p_partkey"), col("p_name")),
+          Resolution.firstTokenBlock))
+      val slice = StreamOps.erStoreSliceFor(s, s"$root/store",
+        s"$root/manifest", batchK,
+        batchK.select(col("eid"), col("nm"), col("blkh")).limit(0))
+      val drops = StreamOps.erGateDropEids(slice, batchK,
+        maxDist = MaxDist, maxBlock = MaxBlock)
+      batchK.join(drops, Seq("eid"), "left_anti")
+        .select(col("eid"), col("nm"))
+        .orderBy(col("eid"))
+    }),
+
     // incremental reconciliation: history dictionary persisted
     // blkh-clustered (manifest-pruned batch scans), edges =
     // history-build pairs ∪ batch-touching pairs, CC over the union ≡
@@ -126,6 +174,32 @@ object ResolutionQueries {
          |ORDER BY eid_a, eid_b""".stripMargin,
     "x_er_resolve" -> resolveSql,
     // incremental ≡ batch: the oracle is the full-corpus clustering
-    "x_er_incremental" -> resolveSql
+    "x_er_incremental" -> resolveSql,
+    // retraction ≡ the blocked levenshtein gate over exactly the
+    // SURVIVING dictionary (deleted entities suppress nothing)
+    "x_er_delete" ->
+      s"""WITH hents AS (
+         |  SELECT p_name AS nm, min(p_partkey) AS eid FROM part
+         |  WHERE p_partkey % 8 <> 0 GROUP BY 1
+         |), store AS (
+         |  SELECT nm, eid, ${ph("split_part(nm, ' ', 1)")} AS blkh
+         |  FROM hents WHERE eid % 5 <> 2
+         |), bents AS (
+         |  SELECT p_name AS nm, min(p_partkey) AS eid FROM part
+         |  WHERE p_partkey % 8 = 0 GROUP BY 1
+         |), bk AS (
+         |  SELECT nm, eid, ${ph("split_part(nm, ' ', 1)")} AS blkh
+         |  FROM bents
+         |), drops AS (
+         |  SELECT b.eid FROM bk b JOIN store s ON b.blkh = s.blkh
+         |  WHERE levenshtein(b.nm, s.nm) <= $MaxDist
+         |  UNION
+         |  SELECT b.eid FROM bk b JOIN bk a
+         |    ON b.blkh = a.blkh AND a.eid < b.eid
+         |  WHERE levenshtein(b.nm, a.nm) <= $MaxDist
+         |)
+         |SELECT eid, nm FROM bk
+         |WHERE eid NOT IN (SELECT eid FROM drops)
+         |ORDER BY eid""".stripMargin
   )
 }

@@ -121,6 +121,48 @@ object RetrievalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SUBSTRING-store RETRACTION — the sig-store semantic on window
+    // fingerprints: a retracted doc's content-defined windows must
+    // stop counting as shared passages. History (doc_id < 400) lands
+    // in the GATE layout (fp-clustered batch=0 + manifest); the
+    // takedown tombstones doc_id % 11 = 0 AND doc_id % 3 = 2 (an
+    // SF-invariant slice of PassageA carriers — chosen for potency:
+    // batch rows vanish or drop counts at every SF); the batch
+    // (doc_id >= 400) then re-counts shared fps through the
+    // tombstone-aware slice (StreamOps.storeFpsFor — the exact read
+    // path substringGateSink uses). Oracle = the incremental
+    // substring count over exactly the surviving history.
+    "x_substring_delete" -> ((s, d) => {
+      import graft.streaming.StreamOps
+      val corpus = passageCorpus(t(s, d, "documents"))
+      val root = ArtifactMemo.dirFor("subdelstore", d) { p =>
+        Curation.windowFpRows(corpus.where(col("doc_id") < 400),
+            col("doc_id"), col("text"), 40, 8, 16)
+          .select(col("fp"), col("id"))
+          .repartitionByRange(8, col("fp"))
+          .sortWithinPartitions(col("fp"))
+          .write.mode("overwrite").parquet(s"$p/store/batch=0")
+        graft.operators.Stats.writeManifest(s, s"$p/store",
+          s"$p/manifest")
+        StreamOps.deleteFromNearDupStore(s, s"$p/store",
+          corpus.where(col("doc_id") < 400 &&
+              col("doc_id") % 11 === 0 && col("doc_id") % 3 === 2)
+            .select(col("doc_id").as("id")),
+          batchId = 1L)
+      }
+      val batchFps = graft.operators.Checkpoints.stage(
+        Curation.windowFpRows(corpus.where(col("doc_id") >= 400),
+          col("doc_id"), col("text"), 40, 8, 16))
+      val survFps = StreamOps.storeFpsFor(s, s"$root/store",
+          s"$root/manifest", batchFps)
+        .select(col("fp")).distinct()
+      batchFps.join(survFps, Seq("fp"))
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .select(col("id").as("doc_id"), col("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 top-25 retrieval for a 3-term query: per-term tfs from one
     // native tokenize pass, corpus stats (N, Σdl, dfs) as a single
     // 1-row broadcast, rational-idf scoring (bit-reproducible — the
@@ -477,6 +519,32 @@ object RetrievalQueries {
         .select(col("id").as("nationkey"), col("rank"))
         .orderBy(col("nationkey"))),
 
+    // PAGERANK-store RETRACTION — the value-iteration twist on
+    // rebuild-on-retract: a warm restart from the stored ranks WOULD
+    // converge over the surviving graph, but its seed carries the
+    // deleted edges' influence forever (it decays geometrically,
+    // never to exactly zero in finite rounds), failing the
+    // right-to-be-forgotten bar every other retraction here meets
+    // exactly — so the store rebuilds COLD over the surviving edges
+    // (nations 3 and 19 retracted, the x_scc_delete slice) as a
+    // superseding generation. Oracle = the same unrolled 5-round
+    // scaled-integer SQL over exactly the surviving graph; potent by
+    // construction: the teleport base shifts with |V|, so every
+    // surviving rank changes.
+    "x_pagerank_delete" -> ((s, d) => {
+      val keep = !col("src").isin(3L, 19L) && !col("dst").isin(3L, 19L)
+      val store = ArtifactMemo.dirFor("prdelstore", d) { p =>
+        Graph.writePageRankStore(nationTradeEdges(s, d, maxQty = 2),
+          col("src"), col("dst"), iters = 5, p)
+        Graph.rebuildPageRankStore(
+          nationTradeEdges(s, d, maxQty = 2).where(keep),
+          col("src"), col("dst"), iters = 5, p): Unit
+      }
+      Graph.pageRankStoreRanks(s, store)
+        .select(col("id").as("nationkey"), col("rank"))
+        .orderBy(col("nationkey"))
+    }),
+
     // HITS hubs & authorities over the same trade graph — scaled-
     // integer power iteration with max-normalization per half-step
     // (no sqrt, no float accumulation), so like x_pagerank the five
@@ -621,6 +689,46 @@ object RetrievalQueries {
           nationTradeEdges(s, d, maxQty = 2), col("src"), col("dst"),
           nationTradeEdges(s, d, maxQty = 2, minQty = 1),
           col("src"), col("dst"), store, batchId = 1L, maxDepth = 6)
+        .orderBy(col("lm"), col("dist"), col("id"))
+    }),
+
+    // LANDMARK-store RETRACTION on the per-user event-chain graph —
+    // the takedown shape where deletion leaves stored distances
+    // STALE-SMALL (an interior chain node is a cut vertex: every
+    // survivor beyond it leaves the landmark's depth-6 ball
+    // entirely), which landmarkDistancesIncremental's monotone-
+    // relaxation argument cannot absorb — edge insertion only
+    // SHRINKS distances; deletion GROWS them — so the store REBUILDS
+    // the BFS sketch over the surviving edges as a superseding
+    // generation (the min-fold view flips atomically: an old,
+    // smaller distance can never fold in with the new generation).
+    // The retracted slice event_id % 13 = 3 is SF-invariant and
+    // includes frozen landmark 3 itself, covering the deleted-pivot
+    // branch (its whole BFS column vanishes with it). Potency
+    // (checked per the x_neardup_delete discipline): SURVIVING rows
+    // are lost at every SF (9 / 3 / 2 at sf0.001 / 0.01 / 0.1) —
+    // exactly the rows a skipped re-BFS would keep serving stale.
+    // Oracle = the shared depth-bounded recursive CTE over surviving
+    // edges from the surviving frozen pivots.
+    "x_landmark_delete" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val edges = t(s, d, "events")
+        .select(col("event_id"),
+          lead(col("event_id"), 1).over(w).as("next_id"))
+        .where(col("next_id").isNotNull)
+      val keep = col("event_id") % 13 =!= 3 && col("next_id") % 13 =!= 3
+      val store = ArtifactMemo.dirFor("lmdelstore", d) { p =>
+        Graph.writeLandmarkStore(edges, col("event_id"),
+          col("next_id"), landmarks = 4, maxDepth = 6, p)
+        Graph.rebuildLandmarkStore(edges.where(keep), col("event_id"),
+          col("next_id"), p,
+          deletedNodes = Some(t(s, d, "events")
+            .where(col("event_id") % 13 === 3)
+            .select(col("event_id").as("id")).distinct()),
+          maxDepth = 6): Unit
+      }
+      Graph.landmarkStoreDistances(s, store)
         .orderBy(col("lm"), col("dist"), col("id"))
     }),
 
@@ -1912,6 +2020,25 @@ object RetrievalQueries {
          |FROM d b JOIN hist h ON b.fp = h.fp
          |WHERE b.doc_id >= 400
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // retraction ≡ the incremental count over exactly the SURVIVING
+    // history (retracted docs' windows suppress nothing)
+    "x_substring_delete" ->
+      s"""WITH corpus AS (
+         |$passageCorpusSql),
+         |fp AS (
+         |  SELECT doc_id, unnest(list_transform(list_filter(
+         |    generate_series(1, len(text) - 39),
+         |    p -> ${polySql("substr(text, CAST(p AS INT), 8)")} % 16 = 0),
+         |    p -> ${polySql("substr(text, CAST(p AS INT), 40)")})) AS fp
+         |  FROM corpus),
+         |d AS (SELECT DISTINCT doc_id, fp FROM fp),
+         |hist AS (SELECT DISTINCT fp FROM d
+         |  WHERE doc_id < 400
+         |    AND NOT (doc_id % 11 = 0 AND doc_id % 3 = 2))
+         |SELECT b.doc_id, count(*) AS n_shared
+         |FROM d b JOIN hist h ON b.fp = h.fp
+         |WHERE b.doc_id >= 400
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     "x_hybrid_rrf_err" ->
       """SELECT CAST(0 AS BIGINT) AS hits, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
@@ -1976,6 +2103,19 @@ object RetrievalQueries {
          |ORDER BY corpus.doc_id""".stripMargin,
     "x_normal_eq" -> normalEqSql,
     "x_pagerank" -> pageRankSql,
+    // cold rebuild over survivors ≡ the unrolled 5-round iteration
+    // with the retracted nations' edges gone
+    "x_pagerank_delete" -> pageRankSqlOver(
+      s"""e AS (
+         |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+         |  FROM lineitem
+         |    JOIN orders ON l_orderkey = o_orderkey
+         |    JOIN customer ON o_custkey = c_custkey
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE l_quantity <= 2 AND c_nationkey <> s_nationkey
+         |    AND c_nationkey NOT IN (3, 19)
+         |    AND s_nationkey NOT IN (3, 19))""".stripMargin,
+      "nationkey"),
     "x_hits" -> hitsSql,
     "x_random_walks" -> randomWalksSql,
     "x_walk_skipgrams" -> walkSkipgramsSql,
@@ -1983,6 +2123,36 @@ object RetrievalQueries {
     "x_node2vec" -> node2vecSql,
     "x_landmark_dist" -> landmarkDistSql,
     "x_landmark_incremental" -> landmarkIncSql,
+    // rebuild-on-retract ≡ the depth-bounded BFS CTE over surviving
+    // chain edges from the surviving frozen pivots (landmark 3 is
+    // itself retracted — its column vanishes)
+    "x_landmark_delete" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT event_id AS a,
+        |    lead(event_id) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS b
+        |  FROM events
+        |  QUALIFY b IS NOT NULL
+        |), kept AS (
+        |  SELECT a, b FROM ed WHERE a % 13 <> 3 AND b % 13 <> 3
+        |), sym AS (
+        |  SELECT a AS src, b AS dst FROM kept
+        |  UNION SELECT b AS src, a AS dst FROM kept
+        |), lms AS (
+        |  SELECT id AS lm FROM (
+        |    SELECT a AS id FROM ed UNION SELECT b FROM ed)
+        |  ORDER BY id LIMIT 4
+        |), surv AS (
+        |  SELECT lm FROM lms WHERE lm % 13 <> 3
+        |), walk(id, lm, dist) AS (
+        |  SELECT lm AS id, lm, 0 FROM surv
+        |  UNION
+        |  SELECT sym.dst, w.lm, w.dist + 1
+        |  FROM walk w JOIN sym ON w.id = sym.src
+        |  WHERE w.dist < 6)
+        |SELECT id, lm, CAST(min(dist) AS INTEGER) AS dist
+        |FROM walk GROUP BY id, lm
+        |ORDER BY lm, dist, id""".stripMargin,
     "x_scc" -> sccSql,
     "x_scc_levels" -> sccLevelsSql,
     // warm ≡ cold: the incremental store's final assignment is checked

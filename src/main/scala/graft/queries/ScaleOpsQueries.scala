@@ -389,6 +389,39 @@ object ScaleOpsQueries {
         .orderBy(col("node_id"))
     }),
 
+    // K-CORE-store RETRACTION — the monotone-union twist on rebuild-
+    // on-retract: membership only GROWS under insertion (the store is
+    // a union of member deltas), but deletion SHRINKS the core — a
+    // direction the union view cannot express at all — and the
+    // shrink CASCADES (peeling a deleted node's neighbors can drop
+    // survivors below degree k, recursively). The store rebuilds as
+    // the 3-core of the surviving edges (customers % 11 = 4 and
+    // suppliers % 7 = 2 retracted) written as a superseding
+    // generation. Potency (per the x_neardup_delete discipline):
+    // SURVIVING members cascade out at every SF — 16 / 65 / 749 at
+    // sf0.001 / 0.01 / 0.1 — exactly the rows a lazy anti-join
+    // "rebuild" would keep. Oracle = the same unrolled 8-round peel
+    // over exactly the surviving edges.
+    "x_kcore_delete" -> ((s, d) => {
+      def pairs(f: org.apache.spark.sql.Column): DataFrame =
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .where(col("l_quantity") <= 2 && f)
+          .select((col("o_custkey") * 2).as("u"),
+            (col("l_suppkey") * 2 + 1).as("v"))
+      val keep = col("o_custkey") % 11 =!= 4 && col("l_suppkey") % 7 =!= 2
+      val store = ArtifactMemo.dirFor("kcdelstore", d) { p =>
+        Graph.writeKCoreStore(pairs(lit(true)), col("u"), col("v"),
+          k = 3, p)
+        Graph.rebuildKCoreStore(pairs(keep), col("u"), col("v"),
+          k = 3, p): Unit
+      }
+      Graph.kCoreStoreMembers(s, store)
+        .select(col("id").as("node_id"))
+        .orderBy(col("node_id"))
+    }),
+
     // EXACT per-group discrete quantiles of price cents, window-free:
     // one prefix-sum ranking + O(#groups) broadcast stats; the
     // PERCENTILE_DISC rank ceil(q*n) emits only stored values, so the
@@ -807,9 +840,11 @@ object ScaleOpsQueries {
   }
 
   /** Unrolled synchronous peeling (8 rounds >= the fixture's 2-round
-    * convergence; extra rounds are identity at the fixpoint).
+    * convergence; extra rounds are identity at the fixpoint), over
+    * the edges a survivor predicate keeps — the keep-predicate
+    * parameterization every `*_delete` oracle here uses.
     */
-  private val kcoreSql: String = {
+  private def kcoreSqlKeep(keep: String): String = {
     val rounds = (1 to 8).map { i =>
       val prev = s"r${i - 1}"
       s"""r$i AS MATERIALIZED (
@@ -825,11 +860,13 @@ object ScaleOpsQueries {
     s"""WITH e AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey * 2 AS u, l_suppkey * 2 + 1 AS v
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |  WHERE l_quantity <= 2),
+       |  WHERE l_quantity <= 2 AND ($keep)),
        |r0 AS (SELECT u AS id FROM e UNION SELECT v FROM e),
        |$rounds
        |SELECT id AS node_id FROM r8 ORDER BY node_id""".stripMargin
   }
+
+  private val kcoreSql: String = kcoreSqlKeep("TRUE")
 
   /** Both near-dup arms rebuilt in SQL: the PolyFp MinHash candidate
     * CTE (ExtensionQueries.minhashCandCte, shared with x_minhash_*)
@@ -990,6 +1027,10 @@ object ScaleOpsQueries {
     "x_triangles_incremental" -> trianglesChainSql,
     "x_neardup_pr" -> neardupPrSql,
     "x_kcore" -> kcoreSql,
+    // rebuild-on-retract ≡ the peel over surviving edges only (the
+    // shrink cascades past the deleted nodes themselves)
+    "x_kcore_delete" -> kcoreSqlKeep(
+      "o_custkey % 11 <> 4 AND l_suppkey % 7 <> 2"),
     // warm-start ≡ from-scratch: the full-graph oracle is shared
     "x_kcore_incremental" -> kcoreSql,
     "x_ppr" -> pprSql,

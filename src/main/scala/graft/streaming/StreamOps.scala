@@ -166,7 +166,8 @@ object StreamOps {
       : Option[DataFrame] = {
     val paths = storeViewDirs(spark, storePath).map(_.toString)
     if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*).select(col("id"), col("sig")))
+    else Some(dropDeletedIds(spark, storePath,
+      spark.read.parquet(paths: _*).select(col("id"), col("sig"))))
   }
 
   /** The view's directories: newest committed generation (if any) plus
@@ -197,8 +198,32 @@ object StreamOps {
     */
   def compactNearDupStore(spark: SparkSession, storePath: String,
                           filesOut: Int): Option[Long] =
-    compactStoreShaped(spark, storePath,
+    compactStoreMinusDeleted(spark, storePath, "id")(
       _.select(col("id"), col("sig")).repartition(filesOut))
+
+  /** The drop-and-clear compaction core shared by every id-keyed gate
+    * store (text sigs, substring fps, media/audio windows, video
+    * frames, entity dictionary): fold the committed view MINUS
+    * tombstoned rows into a new generation shaped by `shape`, then
+    * rewrite the tombstone store as an empty generation — the
+    * physical-drop half of the retraction contract (the read-time
+    * half is [[dropDeletedIds]]).
+    */
+  private def compactStoreMinusDeleted(spark: SparkSession,
+                                       storePath: String,
+                                       idCol: String)(
+      shape: DataFrame => DataFrame): Option[Long] = {
+    val deleted = nearDupDeletedIds(spark, storePath)
+      .map(d => graft.operators.Checkpoints.stage(d))
+    val tok = compactStoreShaped(spark, storePath,
+      df => shape(deleted.fold(df)(del =>
+        df.join(del.select(col("id").as(idCol)), Seq(idCol),
+          "left_anti"))))
+    if (tok.isDefined && deleted.isDefined)
+      compactStoreShaped(spark, s"${storePath}_deleted",
+        _.where(lit(false)).select(col("id"), col("__b"))): Unit
+    tok
+  }
 
   /** [[compactNearDupStore]] for a BANDED store
     * ([[nearDupGateSinkBanded]]): the generation is rewritten
@@ -213,31 +238,32 @@ object StreamOps {
     // tombstoned docs drop PHYSICALLY here (the BM25-index protocol):
     // fold survivors only, then rewrite the tombstone store as an
     // empty generation
-    val deleted = nearDupDeletedIds(spark, storePath)
-      .map(d => graft.operators.Checkpoints.stage(d))
-    val tok = compactStoreShaped(spark, storePath,
-      df => deleted.fold(df)(del =>
-          df.join(del, Seq("id"), "left_anti"))
-        .select(col("band"), col("bucket"), col("id"), col("sig"))
+    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
+      _.select(col("band"), col("bucket"), col("id"), col("sig"))
         .repartitionByRange(filesOut, col("band"), col("bucket"))
         .sortWithinPartitions(col("band"), col("bucket")))
-    if (tok.isDefined) {
-      if (deleted.isDefined)
-        compactStoreShaped(spark, s"${storePath}_deleted",
-          _.where(lit(false)).select(col("id"), col("__b"))): Unit
+    if (tok.isDefined)
       refreshStoreManifest(spark, storePath, manifestPath)
-    }
     tok
   }
 
-  /** TOMBSTONE deletes for the banded near-dup signature store — the
-    * retraction rule for dedup state: a taken-down doc's signatures
-    * must stop suppressing future near-duplicates (and stop existing
-    * at all after compaction). The ids land in a
-    * `<storePath>_deleted/batch=<id>` committed set the gate's store
-    * scan anti-joins; [[compactNearDupStoreBanded]] drops the rows
-    * physically and clears the set. Overwrite-idempotent per batch;
-    * `batchId` shares the store's monotone batch sequence.
+  /** TOMBSTONE deletes for ANY id-keyed gate store — the shared
+    * retraction op of the whole dedup-gate family: a taken-down
+    * doc's stored artifacts (text signatures, substring
+    * fingerprints, image/audio hash windows, video frame hashes,
+    * embedding codes+vecs, ER dictionary entries via eid) must stop
+    * suppressing future near-duplicates, and stop existing at all
+    * after compaction. The ids land in a
+    * `<storePath>_deleted/batch=<id>` committed set every store
+    * read path anti-joins ([[dropDeletedIds]]); the store's
+    * compactor ([[compactNearDupStoreBanded]] /
+    * [[compactWindowStoreGen]] / [[compactMediaStoreBanded]] /
+    * [[compactFrameStore]] / [[compactEmbedStore]] /
+    * [[compactEntityStoreGen]]) drops the rows physically and clears
+    * the set. Overwrite-idempotent per batch; `batchId` shares the
+    * store's monotone batch sequence. Like the sig store, nothing
+    * additive remembers a deleted id after its compaction cycle —
+    * re-ingestion of the same id after the cycle is legitimate.
     */
   def deleteFromNearDupStore(spark: SparkSession, storePath: String,
                              ids: DataFrame, batchId: Long,
@@ -251,6 +277,63 @@ object StreamOps {
       .sortWithinPartitions(col("id"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"${storePath}_deleted/batch=$batchId")
+  }
+
+  /** [[storeBandsFor]] for the substring gate's window-fingerprint
+    * store: the TOMBSTONE-AWARE, manifest-pruned (fp, id) slice for a
+    * probe batch — the read path [[substringGateSink]] and any batch
+    * re-gate (x_substring_delete) share.
+    */
+  def storeFpsFor(spark: SparkSession, storePath: String,
+                  manifestPath: String, probeFps: DataFrame)
+      : DataFrame = {
+    import graft.operators.Stats
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val viewDirs = storeViewDirs(spark, storePath)
+    val empty = probeFps.select(col("fp"), col("id")).limit(0)
+    if (viewDirs.isEmpty) empty
+    else {
+      val mp = new org.apache.hadoop.fs.Path(manifestPath)
+      val files =
+        if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+          Stats.touchedKeysKeptFilesUnder(spark,
+            viewDirs.map(_.toString), manifestPath, "fp",
+            probeFps.select(col("fp")))
+        else viewDirs.map(_.toString)
+      if (files.isEmpty) empty
+      else dropDeletedIds(spark, storePath,
+        spark.read.parquet(files: _*).select(col("fp"), col("id")))
+    }
+  }
+
+  /** [[storeBandsFor]] for the ER gate's entity dictionary: the
+    * TOMBSTONE-AWARE (by eid), manifest-pruned (eid, nm, blkh) slice
+    * for a probe block-key set — the read path [[erGateSink]] and any
+    * batch re-gate (x_er_delete) share.
+    */
+  def erStoreSliceFor(spark: SparkSession, storePath: String,
+                      manifestPath: String, probeBlkh: DataFrame,
+                      empty: DataFrame): DataFrame = {
+    import graft.operators.Stats
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val viewDirs = storeViewDirs(spark, storePath)
+    if (viewDirs.isEmpty) empty
+    else {
+      val mp = new org.apache.hadoop.fs.Path(manifestPath)
+      val files =
+        if (fs.exists(mp) && hasCommittedParquet(fs, mp))
+          Stats.touchedKeysKeptFilesUnder(spark,
+            viewDirs.map(_.toString), manifestPath, "blkh",
+            probeBlkh.select(col("blkh")))
+        else viewDirs.map(_.toString)
+      if (files.isEmpty) empty
+      else dropDeletedIds(spark, storePath,
+        spark.read.parquet(files: _*)
+          .select(col("eid"), col("nm"), col("blkh")),
+        idCol = "eid")
+    }
   }
 
   /** The banded signature store's TOMBSTONE-AWARE, manifest-pruned
@@ -295,6 +378,20 @@ object StreamOps {
       case Seq() => None
       case dirs => Some(spark.read.parquet(dirs: _*).select(col("id")))
     }
+
+  /** Anti-join a gate store slice against its `_deleted` tombstone
+    * set on `idCol` — the shared read-time retraction filter every
+    * id-keyed gate store applies ([[deleteFromNearDupStore]] writes
+    * the set; the store's compactor drops rows physically and clears
+    * it). A missing set is the common case and costs one directory
+    * probe.
+    */
+  private def dropDeletedIds(spark: SparkSession, storePath: String,
+                             df: DataFrame,
+                             idCol: String = "id"): DataFrame =
+    nearDupDeletedIds(spark, storePath).fold(df)(del =>
+      df.join(del.select(col("id").as(idCol)), Seq(idCol),
+        "left_anti"))
 
   private def compactStoreShaped(spark: SparkSession, storePath: String,
                                  shape: DataFrame => DataFrame)
@@ -418,22 +515,8 @@ object StreamOps {
           // probes, the gate, and the store append
           val batchFps = Curation.windowFpRows(batch, col(id), col(text),
             window, anchorLen, anchorMod).localCheckpoint()
-          val fs = new org.apache.hadoop.fs.Path(storePath)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val viewDirs = storeViewDirs(spark, storePath)
-          val storeFps =
-            if (viewDirs.isEmpty) batchFps.select(col("fp")).limit(0)
-            else {
-              val mp = new org.apache.hadoop.fs.Path(mPath)
-              val files =
-                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
-                  Stats.touchedKeysKeptFilesUnder(spark,
-                    viewDirs.map(_.toString), mPath, "fp",
-                    batchFps.select(col("fp")))
-                else viewDirs.map(_.toString)
-              if (files.isEmpty) batchFps.select(col("fp")).limit(0)
-              else spark.read.parquet(files: _*).select(col("fp"))
-            }
+          val storeFps = storeFpsFor(spark, storePath, mPath,
+            batchFps).select(col("fp"))
           // store-arm membership + within-batch min-id holder, then
           // one per-doc distinct-fp count against both arms; every
           // join side below is batch-bounded (the store side is first
@@ -487,7 +570,7 @@ object StreamOps {
   def compactWindowStoreGen(spark: SparkSession, storePath: String,
                             manifestPath: String,
                             filesOut: Int): Option[Long] = {
-    val tok = compactStoreShaped(spark, storePath,
+    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
       _.select(col("fp"), col("id"))
         .repartitionByRange(filesOut, col("fp"))
         .sortWithinPartitions(col("fp")))
@@ -576,8 +659,10 @@ object StreamOps {
                                     storePath: String): Option[DataFrame] = {
     val paths = storeViewDirs(spark, storePath).map(_.toString)
     if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*)
-      .select(col("media_id"), col("dhash")))
+    else Some(dropDeletedIds(spark, storePath,
+      spark.read.parquet(paths: _*)
+        .select(col("media_id"), col("dhash")),
+      idCol = "media_id"))
   }
 
   /** [[mediaDedupGateSink]] over a BANDED, manifest-pruned store — the
@@ -638,8 +723,10 @@ object StreamOps {
                     pw.select(col("w"), col("wk")))
                 else viewDirs.map(_.toString)
               if (files.isEmpty) pw.limit(0)
-              else spark.read.parquet(files: _*)
-                .select(col("w"), col("wk"), col("id"), col("dhash"))
+              else dropDeletedIds(spark, storePath,
+                spark.read.parquet(files: _*)
+                  .select(col("w"), col("wk"), col("id"),
+                    col("dhash")))
             }
           val dropIds = Multimodal
             .dhashPairsAgainstBands(storeBands, pw, maxDist, maxBucket)
@@ -725,8 +812,9 @@ object StreamOps {
                 else viewDirs.map(_.toString)
               if (files.isEmpty)
                 frames.select(col("fh"), col("id")).limit(0)
-              else spark.read.parquet(files: _*)
-                .select(col("fh"), col("id"))
+              else dropDeletedIds(spark, storePath,
+                spark.read.parquet(files: _*)
+                  .select(col("fh"), col("id")))
             }
           val dropIds = Multimodal
             .frameDupPairsAgainstRows(storeFrames, frames, minShared,
@@ -760,7 +848,7 @@ object StreamOps {
   def compactFrameStore(spark: SparkSession, storePath: String,
                         manifestPath: String,
                         filesOut: Int): Option[Long] = {
-    val tok = compactStoreShaped(spark, storePath,
+    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
       _.select(col("fh"), col("id"))
         .repartitionByRange(filesOut, col("fh"))
         .sortWithinPartitions(col("fh")))
@@ -775,7 +863,7 @@ object StreamOps {
   def compactMediaStoreBanded(spark: SparkSession, storePath: String,
                               manifestPath: String,
                               filesOut: Int): Option[Long] = {
-    val tok = compactStoreShaped(spark, storePath,
+    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
       _.select(col("w"), col("wk"), col("id"), col("dhash"))
         .repartitionByRange(filesOut, col("w"), col("wk"))
         .sortWithinPartitions(col("w"), col("wk")))
@@ -806,8 +894,8 @@ object StreamOps {
             viewDirs.map(_.toString), manifestPath, ka, kb, probe)
         else viewDirs.map(_.toString)
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files: _*)
-        .select(cols.map(col): _*))
+      else Some(dropDeletedIds(spark, storePath,
+        spark.read.parquet(files: _*).select(cols.map(col): _*)))
     }
   }
 
@@ -828,8 +916,8 @@ object StreamOps {
             viewDirs.map(_.toString), manifestPath, key, probe)
         else viewDirs.map(_.toString)
       if (files.isEmpty) None
-      else Some(spark.read.parquet(files: _*)
-        .select(cols.map(col): _*))
+      else Some(dropDeletedIds(spark, storePath,
+        spark.read.parquet(files: _*).select(cols.map(col): _*)))
     }
   }
 
@@ -1004,7 +1092,8 @@ object StreamOps {
                          outPath: String, checkpoint: String,
                          threshold: Double = 0.9, planes: Int = 8,
                          tables: Int = 8, multiprobe: Int = 1,
-                         dim: Int = 64)
+                         dim: Int = 64, compactEvery: Int = 0,
+                         compactFilesOut: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
     stream.writeStream
@@ -1016,10 +1105,12 @@ object StreamOps {
             col(vec).as("vec")).localCheckpoint()
           val storeCodes = gateStoreView(spark, s"$storePath/codes",
               Seq("id", "table", "bucket"))
+            .map(df => dropDeletedIds(spark, storePath, df))
             .getOrElse(Dedup.embeddingCodes(base.limit(0), col("id"),
               col("vec"), planes, tables, dim))
           val storeVecs = gateStoreView(spark, s"$storePath/vecs",
               Seq("id", "vec"))
+            .map(df => dropDeletedIds(spark, storePath, df))
             .getOrElse(base.limit(0))
           val dropIds = Dedup.embeddingIncremental(base, col("id"),
               col("vec"), storeCodes, storeVecs, threshold, planes,
@@ -1035,9 +1126,36 @@ object StreamOps {
             .parquet(s"$storePath/vecs/batch=$batchId")
           survivors.select(col("id"))
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactEmbedStore(spark, storePath, compactFilesOut): Unit
         }
       }
       .start()
+  }
+
+  /** [[compactNearDupStore]] for the embedding gate's TWO sibling
+    * dirs (`codes/` + `vecs/` under one root, one shared
+    * `<root>_deleted` tombstone set): both fold minus tombstoned
+    * rows, then the set clears — clear only after BOTH folds, so a
+    * crash between them leaves the tombstones in force for the
+    * retry.
+    */
+  def compactEmbedStore(spark: SparkSession, storePath: String,
+                        filesOut: Int): Option[Long] = {
+    val deleted = nearDupDeletedIds(spark, storePath)
+      .map(d => graft.operators.Checkpoints.stage(d))
+    def minus(df: DataFrame): DataFrame =
+      deleted.fold(df)(del => df.join(del, Seq("id"), "left_anti"))
+    val tokC = compactStoreShaped(spark, s"$storePath/codes",
+      df => minus(df).select(col("id"), col("table"), col("bucket"))
+        .repartition(filesOut))
+    val tokV = compactStoreShaped(spark, s"$storePath/vecs",
+      df => minus(df).select(col("id"), col("vec"))
+        .repartition(filesOut))
+    if (tokC.isDefined && tokV.isDefined && deleted.isDefined)
+      compactStoreShaped(spark, s"${storePath}_deleted",
+        _.where(lit(false)).select(col("id"), col("__b"))): Unit
+    tokC.orElse(tokV)
   }
 
   /** Generic committed-store view for a gate store dir: newest
@@ -1278,23 +1396,8 @@ object StreamOps {
           val small = batchK.count() <= broadcastLimit
           def bc(df: DataFrame): DataFrame =
             if (small) broadcast(df) else df.hint("shuffle_hash")
-          val fs = new org.apache.hadoop.fs.Path(storePath)
-            .getFileSystem(spark.sessionState.newHadoopConf())
-          val viewDirs = storeViewDirs(spark, storePath)
-          val storeSlice =
-            if (viewDirs.isEmpty) batchK.limit(0)
-            else {
-              val mp = new org.apache.hadoop.fs.Path(mPath)
-              val files =
-                if (fs.exists(mp) && hasCommittedParquet(fs, mp))
-                  Stats.touchedKeysKeptFilesUnder(spark,
-                    viewDirs.map(_.toString), mPath, "blkh",
-                    batchK.select(col("blkh")))
-                else viewDirs.map(_.toString)
-              if (files.isEmpty) batchK.limit(0)
-              else spark.read.parquet(files: _*)
-                .select(col("eid"), col("nm"), col("blkh"))
-            }
+          val storeSlice = erStoreSliceFor(spark, storePath, mPath,
+            batchK, batchK.limit(0))
           val storeTouched = storeSlice
             .join(bc(batchK.select(col("blkh")).distinct()),
               Seq("blkh"), "left_semi")
@@ -1497,7 +1600,23 @@ object StreamOps {
     * `model=` generation — integer monoids, so later ingestion folds
     * on top exactly; deleted doc text is fetched from
     * `dsirDocs`/`lmDocs`, and each model's `deleted/` id set guards
-    * double-subtraction). Store batch ids are
+    * double-subtraction) and the k-center coreset store
+    * ([[graft.operators.Similarity.rebuildKCenterStore]]: a
+    * tombstoned CENTER triggers a full-trace rebuild over
+    * `kcenterVecs` minus every tombstoned id — written immediately,
+    * zero staleness — while a non-center deletion is provably a
+    * trace no-op and skips the rebuild; the `deleted/` set is
+    * permanent, so a retracted id is unreinstatable through this
+    * gate). `gateStorePaths` extends the takedown to ANY further
+    * id-keyed gate store (substring fingerprints, media/audio hash
+    * windows, video frames, embedding codes+vecs, the four
+    * multimodal arm stores) and `erStorePaths` to entity
+    * dictionaries keyed by eid — all share
+    * [[deleteFromNearDupStore]]'s tombstone set, which every store
+    * read path anti-joins immediately; their PHYSICAL drop rides the
+    * owning gate's own `compactEvery` cycle (each store compactor
+    * folds survivors only and clears the set), not this sink's.
+    * Store batch ids are
     * `base + micro-batch id` where `base` is RESOLVED AT START from
     * the covered stores themselves: max(`batchIdBase`, newest
     * committed gen/batch token across every covered store + 1) — the
@@ -1531,15 +1650,26 @@ object StreamOps {
                          dsirDocs: Option[DataFrame] = None,
                          dsirBuckets: Int = 4096,
                          lmModelPath: Option[String] = None,
-                         lmDocs: Option[DataFrame] = None)
+                         lmDocs: Option[DataFrame] = None,
+                         kcenterStoreDir: Option[String] = None,
+                         kcenterVecs: Option[DataFrame] = None,
+                         gateStorePaths: Seq[String] = Nil,
+                         erStorePaths: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Overlap, Retrieval, Selection, Similarity,
       Stats}
     require(bm25IndexDir.isDefined || pqStoreDir.isDefined ||
       sigStorePath.isDefined || pcaStoreDir.isDefined ||
       kmvStoreDir.isDefined || dsirModelPath.isDefined ||
-      lmModelPath.isDefined,
+      lmModelPath.isDefined || kcenterStoreDir.isDefined ||
+      gateStorePaths.nonEmpty || erStorePaths.nonEmpty,
       "retractionGateSink: nothing to maintain")
+    // the k-center store keeps only the k centers, so a center-hit
+    // rebuild needs the surviving corpus: kcenterVecs is the
+    // (id, vec) relation the trace re-fits from
+    require(kcenterStoreDir.isEmpty || kcenterVecs.isDefined,
+      "retractionGateSink: kcenterStoreDir needs kcenterVecs (an " +
+        "(id, vec) relation to rebuild the trace from)")
     require(dsirModelPath.isEmpty || dsirDocs.isDefined,
       "retractionGateSink: dsirModelPath needs dsirDocs (an (id, text) " +
         "relation to featurize the retracted docs from)")
@@ -1558,6 +1688,9 @@ object StreamOps {
         sigStorePath.toSeq.flatMap(p => Seq(p, s"${p}_deleted")) ++
         pcaStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
         kmvStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
+        kcenterStoreDir.toSeq.flatMap(p => Seq(p, s"$p/deleted")) ++
+        (gateStorePaths ++ erStorePaths)
+          .flatMap(p => Seq(p, s"${p}_deleted")) ++
         (dsirModelPath.toSeq ++ lmModelPath.toSeq)
           .map(p => s"$p/deleted")
       val head = (roots.map { r =>
@@ -1581,6 +1714,12 @@ object StreamOps {
             Similarity.pqStoreDelete(ids, p, sb, filesOut))
           sigStorePath.foreach(p =>
             deleteFromNearDupStore(spark, p, ids, sb))
+          // any further id-keyed gate stores (substring fps, media/
+          // audio windows, video frames, embed codes+vecs, multimodal
+          // arms) share the same tombstone op; ER stores tombstone by
+          // entity id through the same set schema
+          (gateStorePaths ++ erStorePaths).foreach(p =>
+            deleteFromNearDupStore(spark, p, ids, sb))
           pcaStoreDir.foreach(p =>
             Similarity.deletePcaMoments(
               pcaVecs.get.join(ids, Seq("id"), "left_semi"),
@@ -1602,6 +1741,32 @@ object StreamOps {
                   lmDocs.get.join(fresh, Seq("id"), "left_semi"),
                   col("id"), col("text")))
             })
+          kcenterStoreDir.foreach { p =>
+            // tombstone first (cumulative, PCA-style permanent set:
+            // every rebuild re-reads kcenterVecs, which still holds
+            // the retracted rows — retracted ids are unreinstatable
+            // through this gate); then rebuild ONLY on a center hit —
+            // a non-center deletion is provably a trace no-op
+            // (SimilaritySpec pins it), so the stored trace already
+            // equals the from-scratch trace over survivors
+            ids.select(col("id"), lit(sb).as("__b"))
+              .coalesce(1)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$p/deleted/batch=$sb")
+            val deleted = graft.operators.Checkpoints.stage(
+              spark.read.parquet(
+                  Stats.committedViewDirs(spark, s"$p/deleted"): _*)
+                .select(col("id")))
+            val centers = Similarity.kCenterStoreCenters(spark, p)
+            val hit = centers.join(deleted, Seq("id"), "left_semi")
+              .limit(1).count() > 0
+            if (hit) {
+              val k = centers.count().toInt
+              Similarity.rebuildKCenterStore(
+                kcenterVecs.get.join(deleted, Seq("id"), "left_anti"),
+                col("id"), col("vec"), k, p): Unit
+            }
+          }
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             bm25IndexDir.foreach(p =>
@@ -1639,9 +1804,26 @@ object StreamOps {
     *      opted-in analytics stores REBUILD from the surviving edge
     *      list as superseding generations
     *      ([[graft.operators.Graph.rebuildCCStore]] /
-    *      [[graft.operators.Graph.rebuildSccStore]] — atomic view
-    *      flips; later incremental batches must continue above the
-    *      generation, which the monotone guards enforce).
+    *      [[graft.operators.Graph.rebuildSccStore]] /
+    *      [[graft.operators.Graph.rebuildLandmarkStore]] /
+    *      [[graft.operators.Graph.rebuildTriangleStore]] /
+    *      [[graft.operators.Graph.rebuildKCoreStore]] /
+    *      [[graft.operators.Graph.rebuildPageRankStore]] /
+    *      [[graft.operators.Graph.rebuildHitsStore]] /
+    *      [[graft.operators.Graph.rebuildLouvainStore]] /
+    *      [[graft.operators.Graph.rebuildLabelState]] — all NINE
+    *      gate forms retractable, each an atomic view flip; later
+    *      incremental batches must continue above the generation,
+    *      which the monotone guards enforce). Per-form notes: the
+    *      landmark rebuild drops retracted PIVOTS from the frozen
+    *      set (`landmarkMaxDepth` must match the store's bootstrap
+    *      depth); the value-iteration stores (PageRank / HITS /
+    *      Louvain) rebuild COLD, not warm — a warm seed carries the
+    *      deleted edges' influence forever, failing right-to-be-
+    *      forgotten — with the round/iter knobs matching each
+    *      store's bootstrap; the label rebuild re-runs the full
+    *      k-round vote history over `labelSeeds` minus the retracted
+    *      nodes (a deleted node's seed label is forgotten data).
     *
     * Between a takedown and its compaction the stores serve the
     * pre-delete state — the DOCUMENTED staleness window of
@@ -1655,6 +1837,22 @@ object StreamOps {
                           checkpoint: String,
                           ccStorePath: Option[String] = None,
                           sccStorePath: Option[String] = None,
+                          landmarkStorePath: Option[String] = None,
+                          landmarkMaxDepth: Int = 6,
+                          triStorePath: Option[String] = None,
+                          kcoreStorePath: Option[String] = None,
+                          kcoreK: Int = 3,
+                          prStorePath: Option[String] = None,
+                          prIters: Int = 5,
+                          hitsStorePath: Option[String] = None,
+                          hitsIters: Int = 5,
+                          louvainStorePath: Option[String] = None,
+                          louvainRounds: Int = 3,
+                          labelStorePath: Option[String] = None,
+                          labelSeeds: Option[DataFrame] = None,
+                          labelSeedId: String = "id",
+                          labelSeedLabel: String = "label",
+                          labelIters: Int = 3,
                           compactEvery: Int = 0, filesOut: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
@@ -1702,6 +1900,38 @@ object StreamOps {
             sccStorePath.foreach(p =>
               Graph.rebuildSccStore(surviving, col("u"), col("v"), p,
                 filesOut): Unit)
+            landmarkStorePath.foreach(p =>
+              Graph.rebuildLandmarkStore(surviving, col("u"),
+                col("v"), p, deletedNodes = Some(deleted),
+                maxDepth = landmarkMaxDepth, filesOut = filesOut)
+                : Unit)
+            triStorePath.foreach(p =>
+              Graph.rebuildTriangleStore(surviving, col("u"),
+                col("v"), p, filesOut): Unit)
+            kcoreStorePath.foreach(p =>
+              Graph.rebuildKCoreStore(surviving, col("u"), col("v"),
+                kcoreK, p, filesOut): Unit)
+            prStorePath.foreach(p =>
+              Graph.rebuildPageRankStore(surviving, col("u"),
+                col("v"), prIters, p, filesOut): Unit)
+            hitsStorePath.foreach(p =>
+              Graph.rebuildHitsStore(surviving, col("u"), col("v"),
+                hitsIters, p, filesOut): Unit)
+            louvainStorePath.foreach(p =>
+              Graph.rebuildLouvainStore(surviving, col("u"),
+                col("v"), louvainRounds, p, filesOut): Unit)
+            labelStorePath.foreach { p =>
+              val seeds = labelSeeds.getOrElse(throw new
+                IllegalArgumentException(
+                  "labelStorePath requires labelSeeds"))
+              // a retracted node's seed label is itself forgotten
+              val surv = seeds.join(
+                deleted.select(col("id").as(labelSeedId)),
+                Seq(labelSeedId), "left_anti")
+              Graph.rebuildLabelState(surviving, col("u"), col("v"),
+                surv, col(labelSeedId), col(labelSeedLabel),
+                labelIters, p, filesOut): Unit
+            }
             if (folded.isDefined)
               Stats.compactCommittedStore(spark, tombRoot,
                 _.where(lit(false)).select(col("id"), col("__b"))): Unit
@@ -1965,7 +2195,7 @@ object StreamOps {
   def compactEntityStoreGen(spark: SparkSession, storePath: String,
                             manifestPath: String,
                             filesOut: Int): Option[Long] = {
-    val tok = compactStoreShaped(spark, storePath,
+    val tok = compactStoreMinusDeleted(spark, storePath, "eid")(
       _.select(col("blkh"), col("eid"), col("nm"))
         .repartitionByRange(filesOut, col("blkh"))
         .sortWithinPartitions(col("blkh")))

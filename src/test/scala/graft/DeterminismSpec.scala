@@ -56,7 +56,13 @@ class DeterminismSpec extends SparkSuite {
     "x_scc_levels_incremental", // store-backed level fixpoint
     "x_scc_delete",       // rebuild-on-retract superseding generation
     "x_cc_delete",        // CC rebuild with component splits
-    "x_tri_delete")       // triangle recount over survivors
+    "x_tri_delete",       // triangle recount over survivors
+    "x_landmark_delete",  // BFS-sketch rebuild, stale-small rows gone
+    "x_pagerank_delete",  // cold value-iteration rebuild over survivors
+    "x_kcore_delete",     // cascaded peel rebuild over survivors
+    "x_kcenter_delete",   // greedy trace rebuild after a center hit
+    "x_substring_delete", // tombstone-aware window-fp store re-count
+    "x_er_delete")        // tombstone-aware dictionary re-gate
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

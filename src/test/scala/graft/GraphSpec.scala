@@ -435,6 +435,187 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("rebuildLandmarkStore: deletion grows distances past the " +
+      "stored sketch — stale-small rows vanish with the view flip; " +
+      "later incremental batches continue above the generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lmdel-").toString + "/lm"
+    // path 1-2-3-4-5; landmarks (2 smallest) = {1, 2}, depth 3
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    Graph.writeLandmarkStore(hist, col("a"), col("b"),
+      landmarks = 2, maxDepth = 3, dir)
+    assert(Graph.landmarkStoreDistances(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet ==
+      Set((1L, 1L, 0), (2L, 1L, 1), (3L, 1L, 2), (4L, 1L, 3),
+        (2L, 2L, 0), (1L, 2L, 1), (3L, 2L, 1), (4L, 2L, 2),
+        (5L, 2L, 3)))
+    // takedown of cut vertex 3: 4 and 5 leave both depth-3 balls —
+    // their stored rows are exactly what a skipped re-BFS would keep
+    val surv = hist.where(col("a") =!= 3L && col("b") =!= 3L)
+    val tok = Graph.rebuildLandmarkStore(surv, col("a"), col("b"),
+      dir, deletedNodes = Some(Seq(3L).toDF("id")), maxDepth = 3)
+    assert(Graph.landmarkStoreDistances(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet ==
+      Set((1L, 1L, 0), (2L, 1L, 1), (2L, 2L, 0), (1L, 2L, 1)))
+    // a later insertion batch relaxes ABOVE the generation: bridge
+    // (2,4) pulls 4 and 5 back inside both balls
+    val b1 = Seq((2L, 4L)).toDF("a", "b")
+    val union = surv.unionByName(b1)
+    val got = Graph.landmarkDistancesIncremental(union, col("a"),
+        col("b"), b1, col("a"), col("b"), dir, batchId = tok + 1L,
+        maxDepth = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = Graph.landmarkDistances(union, col("a"), col("b"),
+        maxDepth = 3, pivots = Some(Seq(1L, 2L).toDF("lm")))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.contains((5L, 2L, 2)), s"$got vs $want")
+    // a batch at or below the generation is rejected loudly
+    intercept[IllegalArgumentException] {
+      Graph.landmarkDistancesIncremental(union, col("a"), col("b"),
+        b1, col("a"), col("b"), dir, batchId = tok, maxDepth = 3)
+    }
+    // retracting a PIVOT drops its whole BFS column
+    val surv2 = surv.where(col("a") =!= 2L && col("b") =!= 2L)
+    Graph.rebuildLandmarkStore(surv2, col("a"), col("b"), dir,
+      deletedNodes = Some(Seq(2L, 3L).toDF("id")), maxDepth = 3): Unit
+    assert(Graph.landmarkStoreDistances(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet == Set((1L, 1L, 0)))
+  }
+
+  test("rebuildKCoreStore: deletion shrink CASCADES past the deleted " +
+      "nodes — the direction the monotone member-delta union cannot " +
+      "express; later incremental batches continue above the " +
+      "generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kcdel-").toString + "/kc"
+    // square 1-2-3-4-1: the 2-core is all four nodes
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+      .toDF("a", "b")
+    Graph.writeKCoreStore(hist, col("a"), col("b"), k = 2, dir)
+    assert(Graph.kCoreStoreMembers(spark, dir)
+      .as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    // takedown of node 1: survivors 2, 3, 4 drop to a path — every
+    // one CASCADES out of the 2-core though none was deleted
+    val surv = hist.where(col("a") =!= 1L && col("b") =!= 1L)
+    val tok = Graph.rebuildKCoreStore(surv, col("a"), col("b"),
+      k = 2, dir)
+    assert(Graph.kCoreStoreMembers(spark, dir)
+      .as[Long].collect().isEmpty)
+    // a later batch re-closes the cycle through the rebuilt state
+    val b1 = Seq((2L, 4L)).toDF("a", "b")
+    val got = Graph.kCoreIncremental(surv.unionByName(b1), col("a"),
+        col("b"), b1, col("a"), col("b"), k = 2, dir,
+        batchId = tok + 1L)
+      .as[Long].collect().toSet
+    assert(got == Set(2L, 3L, 4L), s"got $got")
+    intercept[IllegalArgumentException] {
+      Graph.kCoreIncremental(surv.unionByName(b1), col("a"),
+        col("b"), b1, col("a"), col("b"), k = 2, dir, batchId = tok)
+    }
+  }
+
+  test("rebuildPageRankStore / rebuildHitsStore / rebuildLouvainStore: " +
+      "value-iteration stores rebuild COLD over survivors (a warm " +
+      "seed would carry the deleted edges' influence forever); " +
+      "vanished nodes drop; warm batches continue above the " +
+      "generation") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-videl-").toString
+    // two directed cycles bridged through node 3
+    val hist = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 3L)).toDF("s", "d")
+    val surv = hist.where(col("s") =!= 3L && col("d") =!= 3L)
+    // PageRank
+    val pr = s"$base/pr"
+    Graph.writePageRankStore(hist, col("s"), col("d"), iters = 3, pr)
+    val prTok = Graph.rebuildPageRankStore(surv, col("s"), col("d"),
+      iters = 3, pr)
+    val gotPr = Graph.pageRankStoreRanks(spark, pr)
+      .as[(Long, Long)].collect().toMap
+    val wantPr = Graph.pageRank(surv, col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(gotPr == wantPr && !gotPr.contains(3L), s"$gotPr vs $wantPr")
+    Graph.pageRankWarm(surv, col("s"), col("d"), pr,
+      batchId = prTok + 1L, rounds = 1): Unit
+    intercept[IllegalArgumentException] {
+      Graph.pageRankWarm(surv, col("s"), col("d"), pr,
+        batchId = prTok, rounds = 1)
+    }
+    // HITS
+    val ht = s"$base/hits"
+    Graph.writeHitsStore(hist, col("s"), col("d"), iters = 3, ht)
+    val htTok = Graph.rebuildHitsStore(surv, col("s"), col("d"),
+      iters = 3, ht)
+    val gotHt = Graph.hitsStoreScores(spark, ht)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantHt = Graph.hits(surv, col("s"), col("d"), iters = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotHt == wantHt && !gotHt.exists(_._1 == 3L))
+    intercept[IllegalArgumentException] {
+      Graph.hitsWarm(surv, col("s"), col("d"), ht, batchId = htTok,
+        rounds = 1)
+    }
+    // Louvain
+    val lv = s"$base/lv"
+    Graph.writeLouvainStore(hist, col("s"), col("d"), rounds = 2, lv)
+    val lvTok = Graph.rebuildLouvainStore(surv, col("s"), col("d"),
+      rounds = 2, lv)
+    val gotLv = Graph.louvainStoreCommunities(spark, lv)
+      .as[(Long, Long)].collect().toMap
+    val wantLv = Graph.louvain(surv, col("s"), col("d"), rounds = 2)
+      .select(col("id"), col("community"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotLv == wantLv && !gotLv.contains(3L))
+    intercept[IllegalArgumentException] {
+      Graph.louvainWarm(surv, col("s"), col("d"), lv,
+        batchId = lvTok, rounds = 1)
+    }
+  }
+
+  test("rebuildLabelState: the k-round vote history rebuilds over " +
+      "surviving edges and seeds — a deleted node's seed label is " +
+      "forgotten data; later incremental batches continue above the " +
+      "generation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-lbdel-").toString + "/lb"
+    // path 1-2-3 seeded A at 1; pair 10-11 seeded B at 10
+    val hist = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val seeds = Seq((1L, "A"), (10L, "B")).toDF("id", "label")
+    Graph.writeLabelState(hist, col("a"), col("b"), seeds, col("id"),
+      col("label"), iters = 2, dir)
+    assert(Graph.labelStoreLabels(spark, dir, round = 2)
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "A", 2L -> "A", 3L -> "A", 10L -> "B", 11L -> "B"))
+    // takedown of seed node 1: its seed label is forgotten with it —
+    // 2 and 3 must come back UNLABELED, not stale-A
+    val surv = hist.where(col("a") =!= 1L && col("b") =!= 1L)
+    val survSeeds = seeds.where(col("id") =!= 1L)
+    val tok = Graph.rebuildLabelState(surv, col("a"), col("b"),
+      survSeeds, col("id"), col("label"), iters = 2, dir)
+    val got = Graph.labelStoreLabels(spark, dir, round = 2)
+      .as[(Long, Option[String])].collect().toMap
+    assert(got == Map(2L -> None, 3L -> None, 10L -> Some("B"),
+      11L -> Some("B")), s"got $got")
+    // a later batch bridges 11-2: B flows into the orphaned path
+    val b1 = Seq((11L, 2L)).toDF("a", "b")
+    val got2 = Graph.labelPropagationIncremental(
+        surv.unionByName(b1), col("a"), col("b"), b1, col("a"),
+        col("b"), survSeeds, col("id"), col("label"), iters = 2,
+        dir, batchId = tok + 1L)
+      .as[(Long, Option[String])].collect().toMap
+    assert(got2(2L) == Some("B"), s"got $got2")
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagationIncremental(surv.unionByName(b1),
+        col("a"), col("b"), b1, col("a"), col("b"), survSeeds,
+        col("id"), col("label"), iters = 2, dir, batchId = tok)
+    }
+  }
+
   test("sccCondensation: collapsed cycles, cross-SCC DAG edges, " +
       "longest-path levels, member counts") {
     import spark.implicits._

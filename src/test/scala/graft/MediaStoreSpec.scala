@@ -144,6 +144,69 @@ class MediaStoreSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("gate-store retraction: media and video takedowns stop " +
+      "suppressing re-uploads immediately; the owning gate's next " +
+      "compaction drops the rows physically and clears the tombstone " +
+      "set; suppression transfers to the re-upload") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val base = s"/tmp/graft-mediaret-${System.nanoTime()}"
+    val (pa, pb) = (Multimodal.syntheticPng(0L),
+      Multimodal.syntheticPng(4L))
+    // IMAGE arm
+    val min = MemoryStream[(Long, Array[Byte])]
+    val mq = StreamOps.mediaDedupGateSinkBanded(spark,
+      min.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/m", s"$base/mout", s"$base/mckpt", compactEvery = 2)
+    try {
+      min.addData((1L, pa), (2L, pb)); mq.processAllAvailable()
+      // right-to-be-forgotten on image 1
+      StreamOps.deleteFromNearDupStore(spark, s"$base/m",
+        Seq(1L).toDF("id"), batchId = 1L)
+      // a re-upload of the SAME image now survives (the retracted
+      // windows stop suppressing), and this stream batch compacts:
+      // physical drop + tombstone clear
+      min.addData((11L, pa)); mq.processAllAvailable()
+      val mout = spark.read.parquet(s"$base/mout")
+        .select(col("media_id")).as[Long].collect().toSet
+      assert(mout == Set(1L, 2L, 11L), s"got $mout")
+      val mIds = StreamOps.gateStoreView(spark, s"$base/m",
+          Seq("id")).get.distinct().as[Long].collect().toSet
+      assert(mIds == Set(2L, 11L), s"store ids $mIds")
+      assert(spark.read.parquet(
+          Stats.committedViewDirs(spark, s"$base/m_deleted"): _*)
+        .isEmpty)
+      // suppression TRANSFERRED: a third copy drops against 11
+      min.addData((21L, pa)); mq.processAllAvailable()
+      val mout2 = spark.read.parquet(s"$base/mout")
+        .select(col("media_id")).as[Long].collect().toSet
+      assert(mout2 == Set(1L, 2L, 11L), s"got $mout2")
+    } finally mq.stop()
+    // VIDEO arm
+    val vin = MemoryStream[(Long, Array[Byte])]
+    val vq = StreamOps.videoDedupGateSink(spark,
+      vin.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/v", s"$base/vout", s"$base/vckpt",
+      frameBytes = 64, minShared = 2, compactEvery = 2)
+    try {
+      vin.addData((1L, vid(10, 3)), (2L, vid(20, 3)))
+      vq.processAllAvailable()
+      StreamOps.deleteFromNearDupStore(spark, s"$base/v",
+        Seq(1L).toDF("id"), batchId = 1L)
+      vin.addData((11L, vid(10, 3))); vq.processAllAvailable()
+      val vout = spark.read.parquet(s"$base/vout")
+        .select(col("media_id")).as[Long].collect().toSet
+      assert(vout == Set(1L, 2L, 11L), s"got $vout")
+      val vIds = StreamOps.gateStoreView(spark, s"$base/v",
+          Seq("id")).get.distinct().as[Long].collect().toSet
+      assert(vIds == Set(2L, 11L), s"store ids $vIds")
+      assert(spark.read.parquet(
+          Stats.committedViewDirs(spark, s"$base/v_deleted"): _*)
+        .isEmpty)
+    } finally vq.stop()
+  }
+
   test("mediaDedupGateSinkBanded: gate semantics match the flat media " +
       "gate across 3 batches, appends cluster + refresh the manifest, " +
       "compaction folds batches into a generation") {

@@ -118,6 +118,12 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // a broadcast of a batch-bounded set — never a shuffle join
     "x_neardup_delete" -> Budget(maxShuffles = 6, maxSorts = 6,
       maxBroadcasts = 14),
+    // same tombstone-aware re-gate shape on the entity dictionary:
+    // the staged batch feeds the probe, both erGatePairs arms, and
+    // the final anti-join — each use a broadcast of the batch-bounded
+    // entity set (never a shuffle join); 9 measured + headroom
+    "x_er_delete" -> Budget(maxShuffles = 6, maxSorts = 6,
+      maxBroadcasts = 12),
     // incremental embedding near-dup: 3 shuffles (cap aggregate +
     // candidate distinct + output sort); the touched-bucket semi
     // joins, pair join, and both vector fetches all ride batch-sized

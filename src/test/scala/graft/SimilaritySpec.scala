@@ -466,6 +466,52 @@ class SimilaritySpec extends SparkSuite {
     assert(view == got)
   }
 
+  test("rebuildKCenterStore: deleting a CENTER moves every later " +
+      "pick — the store rebuilds the trace over survivors as a " +
+      "superseding generation; deleting only non-centers is a trace " +
+      "no-op; later extensions continue above the generation") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-kcdelstore-").toString + "/kc"
+    // on a line: greedy k=2 picks 1 (min id, r 0) then 2 at x=4
+    // (r 16); 3 at x=1 and 4 at x=3 are never argmax picks
+    val pts = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(4.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(3.0f, 0.0f)))
+      .toDF("id", "vec")
+    Similarity.writeKCenterStore(pts, $"id", $"vec", k = 2, dir)
+    // non-center deletion (id 3): the trace over survivors is
+    // IDENTICAL — a non-center was never an argmax, so the stored
+    // coreset already equals the from-scratch trace over survivors
+    // (the exactness behind the rebuild-only-on-center-hit policy)
+    val noCenter = Similarity.kCenterSelect(
+        pts.where($"id" =!= 3L), $"id", $"vec", k = 2)
+      .orderBy($"rank").as[(Int, Long, Double)].collect().toSeq
+    val stored = Similarity.kCenterStoreCenters(spark, dir)
+      .orderBy($"rank").as[(Int, Long, Double)].collect().toSeq
+    assert(noCenter == stored && stored ==
+      Seq((1, 1L, 0.0), (2, 2L, 16.0)))
+    // CENTER deletion (id 1): picks restart from the new min id 2,
+    // then chase the farthest survivor — every row changes
+    val surv = pts.where($"id" =!= 1L)
+    val tok = Similarity.rebuildKCenterStore(surv, $"id", $"vec",
+      k = 2, dir)
+    val got = Similarity.kCenterStoreCenters(spark, dir)
+      .orderBy($"rank").as[(Int, Long, Double)].collect().toSeq
+    assert(got == Seq((1, 2L, 0.0), (2, 3L, 9.0)), s"got $got")
+    // a later extension continues above the generation
+    val got2 = Similarity.kCenterExtend(
+        Seq((10L, Array(10.0f, 0.0f))).toDF("id", "vec"), $"id",
+        $"vec", dir, batchId = tok + 1L, kNew = 1)
+      .orderBy($"rank").as[(Int, Long, Double)].collect().toSeq
+    assert(got2 == Seq((1, 2L, 0.0), (2, 3L, 9.0), (3, 10L, 36.0)),
+      s"got $got2")
+    // a batch at or below the generation is rejected loudly
+    intercept[IllegalArgumentException] {
+      Similarity.kCenterExtend(
+        Seq((11L, Array(2.0f, 0.0f))).toDF("id", "vec"), $"id",
+        $"vec", dir, batchId = tok, kNew = 1)
+    }
+  }
+
   test("maxSimTopK: hand-computed late-interaction scores") {
     val q = Seq(
       (100L, 0L, Array(1.0f, 0.0f)),

@@ -755,6 +755,179 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("gate-store retraction: substring, embedding, and ER takedowns " +
+      "stop suppressing immediately; each owning gate's compaction " +
+      "drops the rows physically and clears its tombstone set") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-gateret-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained simply " * 8
+    // SUBSTRING store
+    val sin = MemoryStream[(Long, String)]
+    val sq = StreamOps.substringGateSink(spark,
+      sin.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/sub", s"$base/subout", s"$base/subckpt",
+      compactEvery = 2)
+    try {
+      sin.addData((1L, docA), (3L, docB)); sq.processAllAvailable()
+      StreamOps.deleteFromNearDupStore(spark, s"$base/sub",
+        Seq(1L).toDF("id"), batchId = 1L)
+      // a re-ingest sharing doc 1's passages now survives; this
+      // stream batch also compacts: physical drop + tombstone clear
+      sin.addData((11L, docA)); sq.processAllAvailable()
+      val out = spark.read.parquet(s"$base/subout")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(out == Set(1L, 3L, 11L), s"got $out")
+      val ids = spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/sub"): _*)
+        .select(col("id")).distinct().as[Long].collect().toSet
+      assert(ids == Set(3L, 11L), s"store ids $ids")
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/sub_deleted"): _*).isEmpty)
+      // suppression transferred to the surviving copy
+      sin.addData((21L, docA)); sq.processAllAvailable()
+      assert(spark.read.parquet(s"$base/subout")
+        .select(col("doc_id")).as[Long].collect().toSet ==
+        Set(1L, 3L, 11L))
+    } finally sq.stop()
+    // EMBEDDING store (codes + vecs siblings, one shared set)
+    def v(seed: Int, eps: Double = 0.0): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(seed * 131 + i + 1) +
+        (if (i == 0) eps else 0.0)).toFloat)
+    val ein = MemoryStream[(Long, Array[Float])]
+    val eq = StreamOps.embedDedupGateSink(spark,
+      ein.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$base/emb", s"$base/embout", s"$base/embckpt",
+      threshold = 0.95, compactEvery = 2)
+    try {
+      ein.addData((1L, v(1)), (2L, v(2))); eq.processAllAvailable()
+      StreamOps.deleteFromNearDupStore(spark, s"$base/emb",
+        Seq(1L).toDF("id"), batchId = 1L)
+      // a near-dup of the retracted vector now survives; compaction
+      // folds BOTH sibling dirs minus the tombstones, then clears
+      ein.addData((11L, v(1, 0.01))); eq.processAllAvailable()
+      val out = spark.read.parquet(s"$base/embout")
+        .select(col("id")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 11L), s"got $out")
+      val vecIds = StreamOps.gateStoreView(spark, s"$base/emb/vecs",
+          Seq("id")).get.distinct().as[Long].collect().toSet
+      val codeIds = StreamOps.gateStoreView(spark, s"$base/emb/codes",
+          Seq("id")).get.distinct().as[Long].collect().toSet
+      assert(vecIds == Set(2L, 11L) && codeIds == Set(2L, 11L),
+        s"vecs $vecIds codes $codeIds")
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/emb_deleted"): _*).isEmpty)
+    } finally eq.stop()
+    // ER entity dictionary (tombstoned by eid)
+    val rin = MemoryStream[(Long, String)]
+    val rq = StreamOps.erGateSink(spark, rin.toDF().toDF("rid", "nm"),
+      "rid", "nm", s"$base/er", s"$base/erout", s"$base/erckpt",
+      maxDist = 2, compactEvery = 2)
+    try {
+      rin.addData((1L, "acme corp"), (3L, "zeta llc"))
+      rq.processAllAvailable()
+      StreamOps.deleteFromNearDupStore(spark, s"$base/er",
+        Seq(1L).toDF("id"), batchId = 1L)
+      // a near name of the retracted entity now survives as a NEW
+      // entity; compaction drops eid 1's dictionary row and clears
+      rin.addData((10L, "acme corp.")); rq.processAllAvailable()
+      val ents = StreamOps.gateStoreView(spark, s"$base/er",
+          Seq("eid", "nm")).get
+        .as[(Long, String)].collect().toSet
+      assert(ents == Set((3L, "zeta llc"), (10L, "acme corp.")),
+        s"got $ents")
+      assert(spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"$base/er_deleted"): _*).isEmpty)
+    } finally rq.stop()
+  }
+
+  test("retractionGateSink: gateStorePaths/erStorePaths fan a " +
+      "takedown into every id-keyed gate store's tombstone set on " +
+      "the shared monotone sequence; reads hide the ids immediately") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-fanret-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    // substring store with docs 1 and 3; ER dictionary with eid 1, 3
+    graft.operators.Curation.windowFpRows(
+        Seq((1L, docA), (3L, docA.reverse)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 40, 8, 16)
+      .select(col("fp"), col("id"))
+      .write.parquet(s"$base/sub/batch=0")
+    Seq((100L, 1L, "acme corp"), (200L, 3L, "zeta llc"))
+      .toDF("blkh", "eid", "nm")
+      .write.parquet(s"$base/er/batch=0")
+    val in = MemoryStream[Long]
+    val q = StreamOps.retractionGateSink(spark, in.toDF().toDF("id"),
+      "id", None, None, s"$base/ckpt",
+      gateStorePaths = Seq(s"$base/sub"),
+      erStorePaths = Seq(s"$base/er"))
+    try {
+      in.addData(1L); q.processAllAvailable()
+      // both tombstone sets hold id 1, on ids above each store's head
+      def deleted(p: String): Set[Long] = spark.read.parquet(
+          graft.operators.Stats.committedViewDirs(spark,
+            s"${p}_deleted"): _*)
+        .select(col("id")).as[Long].collect().toSet
+      assert(deleted(s"$base/sub") == Set(1L))
+      assert(deleted(s"$base/er") == Set(1L))
+      // the shared tombstone-aware reads hide the id immediately
+      val fpIds = StreamOps.storeFpsFor(spark, s"$base/sub",
+          s"$base/sub_manifest",
+          graft.operators.Curation.windowFpRows(
+            Seq((9L, docA)).toDF("doc_id", "text"), col("doc_id"),
+            col("text"), 40, 8, 16))
+        .select(col("id")).distinct().as[Long].collect().toSet
+      assert(!fpIds.contains(1L), s"got $fpIds")
+      val ents = StreamOps.erStoreSliceFor(spark, s"$base/er",
+          s"$base/er_manifest",
+          Seq((100L, 9L, "acme corq")).toDF("blkh", "eid", "nm"),
+          Seq.empty[(Long, Long, String)].toDF("eid", "nm", "blkh"))
+        .select(col("eid")).as[Long].collect().toSet
+      assert(ents == Set(3L), s"got $ents")
+    } finally q.stop()
+  }
+
+  test("retractionGateSink: k-center family — a non-center takedown " +
+      "is a trace no-op (no rebuild, no new generation); a CENTER " +
+      "takedown rebuilds the trace over survivors immediately") {
+    import graft.operators.Similarity
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-kcret-${System.nanoTime()}"
+    // line fixture: greedy k=2 picks 1 (min id, r 0) then 2 (r 16);
+    // 3 and 4 are never argmax picks
+    val vecs = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(4.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)), (4L, Array(3.0f, 0.0f)))
+      .toDF("id", "vec")
+    Similarity.writeKCenterStore(vecs, col("id"), col("vec"), k = 2,
+      s"$base/kc")
+    val in = MemoryStream[Long]
+    val q = StreamOps.retractionGateSink(spark, in.toDF().toDF("id"),
+      "id", None, None, s"$base/ckpt",
+      kcenterStoreDir = Some(s"$base/kc"), kcenterVecs = Some(vecs))
+    try {
+      def centers(): Seq[(Int, Long, Double)] =
+        Similarity.kCenterStoreCenters(spark, s"$base/kc")
+          .orderBy(col("rank")).as[(Int, Long, Double)]
+          .collect().toSeq
+      // non-center takedown: provably a trace no-op — the store is
+      // untouched (no superseding generation is even written)
+      in.addData(3L); q.processAllAvailable()
+      assert(centers() == Seq((1, 1L, 0.0), (2, 2L, 16.0)))
+      assert(!new java.io.File(s"$base/kc").listFiles()
+        .exists(_.getName.startsWith("gen=")))
+      // CENTER takedown (id 1): immediate rebuild over vecs minus
+      // the CUMULATIVE deleted set {1, 3} — survivors {2, 4}: pick 2
+      // (min id, r 0) then 4 (d2 1)
+      in.addData(1L); q.processAllAvailable()
+      assert(centers() == Seq((1, 2L, 0.0), (2, 4L, 1.0)),
+        s"got ${centers()}")
+    } finally q.stop()
+  }
+
   test("retractionGateSink: streamed takedowns clean all SEVEN store " +
       "families (BM25, PQ, sig store, PCA moments, KMV units, DSIR " +
       "model, LM model); mid-stream compaction; final answers ≡ from-scratch " +
@@ -1087,26 +1260,35 @@ class StreamOpsSpec extends SparkSuite {
     } finally q.stop()
   }
 
-  test("graphRetractionSink: node takedowns rebuild the CC and SCC " +
-      "stores over surviving edges — splits included; edge store " +
-      "physically drops; tombstones clear after a fold and persist " +
-      "when the fold is a no-op") {
+  test("graphRetractionSink: node takedowns rebuild the CC, SCC and " +
+      "landmark stores over surviving edges — splits included; edge " +
+      "store physically drops; tombstones clear after a fold and " +
+      "persist when the fold is a no-op; deleting a pivot drops its " +
+      "BFS column; deleting the last edge leaves no stale rows") {
     import graft.operators.Graph
     implicit val sc = spark.sqlContext
     val base = s"/tmp/graft-graphret-${System.nanoTime()}"
     // SCC {1,2,3} + tail 3→4→5; undirected CC = one component {1..5};
-    // node 3 is a cut vertex for both
+    // node 3 is a cut vertex for both; landmarks (2 smallest) = {1, 2}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
       .toDF("u", "v")
     edges.withColumn("__b", lit(0L))
       .write.parquet(s"$base/edges/batch=0")
     Graph.writeCCStore(edges, col("u"), col("v"), s"$base/cc")
     Graph.writeSccStore(edges, col("u"), col("v"), s"$base/scc")
+    Graph.writeLandmarkStore(edges, col("u"), col("v"),
+      landmarks = 2, maxDepth = 3, s"$base/lm")
+    // pre-delete sketch serves 4 and 5 through cut vertex 3
+    assert(Graph.landmarkStoreDistances(spark, s"$base/lm")
+      .as[(Long, Long, Int)].collect().toSet
+      .contains((5L, 1L, 3)))
     val in = MemoryStream[Long]
     val q = StreamOps.graphRetractionSink(spark, in.toDF().toDF("id"),
       "id", s"$base/edges", s"$base/ckpt",
       ccStorePath = Some(s"$base/cc"),
-      sccStorePath = Some(s"$base/scc"), compactEvery = 1)
+      sccStorePath = Some(s"$base/scc"),
+      landmarkStorePath = Some(s"$base/lm"), landmarkMaxDepth = 3,
+      compactEvery = 1)
     try {
       in.addData(3L); q.processAllAvailable()
       // CC split: {1,2} and {4,5}; SCC all trivial
@@ -1116,6 +1298,11 @@ class StreamOpsSpec extends SparkSuite {
       assert(Graph.sccStoreAssign(spark, s"$base/scc")
         .as[(Long, Long)].collect().toMap ==
         Map(1L -> 1L, 2L -> 2L, 4L -> 4L, 5L -> 5L))
+      // landmark sketch: 4 and 5 left both landmarks' depth-3 balls
+      // entirely — the stale-small rows a skipped re-BFS would keep
+      assert(Graph.landmarkStoreDistances(spark, s"$base/lm")
+        .as[(Long, Long, Int)].collect().toSet ==
+        Set((1L, 1L, 0), (2L, 1L, 1), (2L, 2L, 0), (1L, 2L, 1)))
       // physical drop + tombstone clear (the fold ran)
       val live = spark.read.parquet(
           graft.operators.Stats.committedViewDirs(spark,
@@ -1133,10 +1320,24 @@ class StreamOpsSpec extends SparkSuite {
         .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
       assert(Graph.sccStoreAssign(spark, s"$base/scc")
         .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 2L))
+      assert(Graph.landmarkStoreDistances(spark, s"$base/lm")
+        .as[(Long, Long, Int)].collect().toSet ==
+        Set((1L, 1L, 0), (2L, 1L, 1), (2L, 2L, 0), (1L, 2L, 1)))
       assert(spark.read.parquet(
           graft.operators.Stats.committedViewDirs(spark,
             s"$base/edges_deleted_nodes"): _*)
         .select(col("id")).as[Long].collect().toSet == Set(5L))
+      // third takedown retracts PIVOT 2 — and with it the last edge.
+      // The landmark rebuild drops the pivot's whole BFS column and
+      // keeps surviving pivot 1's dist-0 self-row; CC/SCC rebuild to
+      // empty — Spark commits a schema-only parquet file for an
+      // empty write, so the superseding generation still flips the
+      // view (no stale fallback to the previous generation)
+      in.addData(2L); q.processAllAvailable()
+      assert(Graph.landmarkStoreDistances(spark, s"$base/lm")
+        .as[(Long, Long, Int)].collect().toSet == Set((1L, 1L, 0)))
+      assert(Graph.ccStoreLabels(spark, s"$base/cc").isEmpty)
+      assert(Graph.sccStoreAssign(spark, s"$base/scc").isEmpty)
     } finally q.stop()
   }
 
