@@ -158,14 +158,22 @@ object Training {
       else None
     val batchVocab = df.select(value.as("__cat"))
       .where(col("__cat").isNotNull).distinct()
+    // freshness is judged against the VISIBLE vocab only — a
+    // retracted value ([[retractCategorical]]'s NULL-ed rows) is
+    // gone from the dictionary, so its re-ingestion legitimately
+    // re-enters as a fresh entry with a fresh code
     val fresh = prior match {
-      case Some(p) => batchVocab.join(p.select(col("__cat")),
+      case Some(p) => batchVocab.join(
+        p.where(col("__cat").isNotNull).select(col("__cat")),
         Seq("__cat"), "left_anti")
       case None => batchVocab
     }
     // coalesce guards the empty-store case (a first batch of only
     // nulls writes a zero-row store; max over it is null, and a bare
-    // getLong would wedge every subsequent ingest)
+    // getLong would wedge every subsequent ingest). The max runs over
+    // ALL rows including retracted (NULL-__cat) ones — a retracted
+    // value's code stays RESERVED forever, so embedding-table rows
+    // indexed by it are never silently re-bound to a new value
     val maxCode = prior
       .map(_.agg(coalesce(max(col("__code")), lit(0L))).head.getLong(0))
       .getOrElse(0L)
@@ -183,11 +191,46 @@ object Training {
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(storeDir)
     val vocabNow = spark.read.parquet(storeDir)
+      .where(col("__cat").isNotNull) // retracted rows encode nothing
       .select(col("__cat"), col("__code").as(out))
     val side =
       if (vocabNow.count() <= broadcastLimit) broadcast(vocabNow)
       else vocabNow
     df.join(side, value <=> col("__cat"), "left").drop("__cat")
+  }
+
+  /** RETRACTION for the categorical vocabulary — the APPEND-ONLY-INDEX
+    * twist on right-to-be-forgotten: the value STRING is the personal
+    * data, the dense code is just an embedding-table index whose
+    * stability downstream models depend on. So a retracted value's
+    * row keeps its code but loses its string (`__cat` := NULL):
+    *  - the mapping disappears from every read and every freshness
+    *    check immediately ([[encodeCategoricalIncremental]] filters
+    *    NULL-__cat rows from the visible vocab);
+    *  - the CODE stays reserved forever (the max-code scan reads all
+    *    rows), so no future value is ever bound to the retracted
+    *    value's embedding row;
+    *  - re-ingestion of the same value re-enters as a FRESH entry
+    *    with a fresh code — the old code's embedding row is orphaned,
+    *    exactly what forgetting the association means.
+    * Overwrite-idempotent (staged read-modify-write of the tiny vocab
+    * artifact, the [[encodeCategoricalIncremental]] refresh
+    * discipline); retracting an unknown value is a no-op.
+    */
+  def retractCategorical(spark: org.apache.spark.sql.SparkSession,
+                         values: DataFrame, storeDir: String): Unit = {
+    val del = values.select(values.columns.head).na.drop()
+      .withColumnRenamed(values.columns.head, "__del").distinct()
+    val updated = Checkpoints.stage(
+      spark.read.parquet(storeDir)
+        .join(broadcast(del), col("__cat") === col("__del"), "left")
+        .select(
+          when(col("__del").isNotNull, lit(null).cast("string"))
+            .otherwise(col("__cat")).as("__cat"),
+          col("__code")))
+    updated.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(storeDir)
   }
 
   /** Deterministic global shuffle: order by a cryptographic hash of the

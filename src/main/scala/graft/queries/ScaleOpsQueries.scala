@@ -503,6 +503,34 @@ object ScaleOpsQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // VOCABULARY RETRACTION — the append-only-index twist on right-
+    // to-be-forgotten: the value STRING is the personal data, the
+    // dense code is an embedding-table index downstream models depend
+    // on. retractCategorical NULLs the strings of src3 and src9 in
+    // the seeded vocab: the mappings vanish, the codes stay RESERVED
+    // (src9 held the max code 10 — a rebuild that recomputed the max
+    // over visible rows would mis-start the fresh range at 10 and
+    // shift every new code), and the batch re-encounters both values
+    // as FRESH entries with fresh codes after the new sources (they
+    // sort after src19: codes 21 and 22) — the old embedding rows
+    // stay orphaned, exactly what forgetting the association means.
+    "x_categorical_delete" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val dir = ArtifactMemo.dirFor("catdelvocab", d) { p =>
+        graft.operators.Training.encodeCategoricalIncremental(
+          docs.where(col("doc_id") < 10), col("source"),
+          "source_code", s"$p/vocab").count(): Unit
+        graft.operators.Training.retractCategorical(s,
+          Seq("src3", "src9").toDF("v"), s"$p/vocab")
+      }
+      graft.operators.Training.encodeCategoricalIncremental(
+          docs.where(col("doc_id") >= 10), col("source"),
+          "source_code", s"$dir/vocab")
+        .select(col("doc_id"), col("source"), col("source_code"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Sequential conversion funnel over the event stream: earliest
     // view, then the earliest click strictly after it, then the
     // earliest purchase after that - one filtered min-aggregate per
@@ -1137,6 +1165,28 @@ object ScaleOpsQueries {
         |          AND source NOT IN (SELECT v FROM hv))
         |  CROSS JOIN mx),
         |vv AS (SELECT v, code FROM hv UNION ALL SELECT v, code FROM nv)
+        |SELECT d.doc_id, d.source, vv.code AS source_code
+        |FROM documents d LEFT JOIN vv ON d.source = vv.v
+        |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
+    // retraction ≡ codes from the VISIBLE vocab, fresh range starting
+    // past the max RESERVED code (src9's 10), re-entries coded fresh
+    "x_categorical_delete" ->
+      """WITH hv AS (
+        |  SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT)
+        |    AS code
+        |  FROM (SELECT DISTINCT source AS v FROM documents
+        |        WHERE doc_id < 10 AND source IS NOT NULL)),
+        |vis AS (SELECT v, code FROM hv
+        |        WHERE v NOT IN ('src3', 'src9')),
+        |mx AS (SELECT coalesce(max(code), 0) AS m FROM hv),
+        |nv AS (
+        |  SELECT v, CAST(m + row_number() OVER (ORDER BY v) AS BIGINT)
+        |    AS code
+        |  FROM (SELECT DISTINCT source AS v FROM documents
+        |        WHERE doc_id >= 10 AND source IS NOT NULL
+        |          AND source NOT IN (SELECT v FROM vis))
+        |  CROSS JOIN mx),
+        |vv AS (SELECT v, code FROM vis UNION ALL SELECT v, code FROM nv)
         |SELECT d.doc_id, d.source, vv.code AS source_code
         |FROM documents d LEFT JOIN vv ON d.source = vv.v
         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,

@@ -264,6 +264,15 @@ object StreamOps {
     * store's monotone batch sequence. Like the sig store, nothing
     * additive remembers a deleted id after its compaction cycle —
     * re-ingestion of the same id after the cycle is legitimate.
+    *
+    * TIME-TRAVEL COMPLIANCE: [[gateStoreViewAsOf]] snapshots resolve
+    * pre-delete `batch=` dirs for as long as they exist on disk, and
+    * the vacuum keeps them for ONE compaction cycle after the fold
+    * that dropped the rows (the reader-race grace period) — so a
+    * retraction is fully unrecoverable, for every as-of token, at the
+    * SECOND compaction after the delete. Pin takedown deadlines to
+    * that cycle, not to the fold (spec-pinned: "retraction vs time
+    * travel").
     */
   def deleteFromNearDupStore(spark: SparkSession, storePath: String,
                              ids: DataFrame, batchId: Long,

@@ -62,7 +62,8 @@ class DeterminismSpec extends SparkSuite {
     "x_kcore_delete",     // cascaded peel rebuild over survivors
     "x_kcenter_delete",   // greedy trace rebuild after a center hit
     "x_substring_delete", // tombstone-aware window-fp store re-count
-    "x_er_delete")        // tombstone-aware dictionary re-gate
+    "x_er_delete",        // tombstone-aware dictionary re-gate
+    "x_categorical_delete") // reserved-code vocab after retraction
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

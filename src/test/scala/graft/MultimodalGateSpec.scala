@@ -95,6 +95,77 @@ class MultimodalGateSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("multimodal retraction: one takedown tombstones all FOUR arm " +
+      "stores via retractionGateSink's gateStorePaths; every arm " +
+      "stops suppressing immediately; the gate's own compaction " +
+      "drops the rows physically and clears each set") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = s"/tmp/graft-mmret-${System.nanoTime()}"
+    def png(i: Long) = Multimodal.syntheticPng(i)
+    def wav(i: Long) = Multimodal.syntheticWav(i)
+    def mp4(i: Long) = Multimodal.syntheticMp4(i)
+    val in = MemoryStream[(Long, String, Array[Byte], Array[Byte],
+      Array[Byte])]
+    val q = StreamOps.multimodalGateSink(spark,
+      in.toDF().toDF("media_id", "text", "img", "aud", "vid"),
+      "media_id", "text", "img", "aud", "vid",
+      s"$base/stores", s"$base/out", s"$base/ckpt",
+      compactEvery = 2)
+    val arms = Seq(s"$base/stores/text", s"$base/stores/img",
+      s"$base/stores/aud", s"$base/stores/vid")
+    try {
+      in.addData(
+        (1L, textA, png(1), wav(0), mp4(1)),
+        (2L, soup(2), png(4), wav(5), mp4(2)))
+      q.processAllAvailable()
+      // takedown of doc 1 fans into all four arm stores' sets
+      val din = MemoryStream[Long]
+      val dq = StreamOps.retractionGateSink(spark,
+        din.toDF().toDF("id"), "id", None, None, s"$base/dckpt",
+        gateStorePaths = arms)
+      try {
+        din.addData(1L); dq.processAllAvailable()
+      } finally dq.stop()
+      arms.foreach { p =>
+        val del = spark.read.parquet(
+            Stats.committedViewDirs(spark, s"${p}_deleted"): _*)
+          .select(col("id")).as[Long].collect().toSet
+        assert(del == Set(1L), s"$p deleted=$del")
+      }
+      // duplicates of doc 1 in EVERY modality now survive (they would
+      // each have dropped to an arm before the takedown); this stream
+      // batch also compacts all four stores: physical drop + clears
+      in.addData(
+        (11L, textA, png(7), wav(10), mp4(3)), // text twin of 1
+        (12L, soup(12), png(1), wav(15), mp4(4)), // image twin of 1
+        (13L, soup(13), png(13), wav(0), mp4(5)), // audio twin of 1
+        (14L, soup(14), png(16), wav(20), mp4(1))) // video twin of 1
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("mid")).as[Long].collect().toSet
+      assert(out == Set(1L, 2L, 11L, 12L, 13L, 14L), s"out: $out")
+      // physical drop: no arm's committed view holds id 1 anymore,
+      // and every tombstone set cleared with its arm's fold
+      def storeIds(sub: String, cols: Seq[String]): Set[Long] =
+        StreamOps.gateStoreView(spark, s"$base/stores/$sub", cols)
+          .map(_.select(col("id")).distinct().as[Long].collect().toSet)
+          .getOrElse(Set.empty)
+      assert(!storeIds("text", Seq("band", "bucket", "id", "sig"))
+        .contains(1L))
+      assert(!storeIds("img", Seq("w", "wk", "id", "dhash"))
+        .contains(1L))
+      assert(!storeIds("aud", Seq("w", "wk", "id", "dhash"))
+        .contains(1L))
+      assert(!storeIds("vid", Seq("fh", "id")).contains(1L))
+      arms.foreach { p =>
+        assert(spark.read.parquet(
+            Stats.committedViewDirs(spark, s"${p}_deleted"): _*)
+          .isEmpty, s"$p tombstones must clear at compaction")
+      }
+    } finally q.stop()
+  }
+
   test("multimodalGateSink: a doc dropped by one arm stores NO " +
       "artifacts in any arm, and its later exact twin is admitted " +
       "only if some retained doc still evidences it") {

@@ -845,6 +845,50 @@ class StreamOpsSpec extends SparkSuite {
     } finally rq.stop()
   }
 
+  test("retraction vs time travel: an as-of snapshot can outlive a " +
+      "retraction by AT MOST one compaction cycle — the fold drops " +
+      "the rows from the live view, the NEXT cycle's vacuum removes " +
+      "the pre-delete dirs a snapshot could still resolve") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-ttret-${System.nanoTime()}"
+    val store = s"$base/sub"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained " * 8
+    def fps(rows: Seq[(Long, String)]) =
+      graft.operators.Curation.windowFpRows(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), 40, 8, 16).select(col("fp"), col("id"))
+    fps(Seq((1L, docA), (3L, docB)))
+      .write.parquet(s"$store/batch=0")
+    fps(Seq((4L, docA.reverse))).write.parquet(s"$store/batch=1")
+    StreamOps.deleteFromNearDupStore(spark, store,
+      Seq(1L).toDF("id"), batchId = 2L)
+    // cycle 1: the fold (gen=1 — above the pre-delete batch 0) drops
+    // doc 1 from the LIVE view...
+    StreamOps.compactWindowStoreGen(spark, store,
+      s"${store}_manifest", filesOut = 2): Unit
+    def idsAsOf(k: Long): Set[Long] =
+      StreamOps.gateStoreViewAsOf(spark, store, Seq("id"), k)
+        .map(_.distinct().as[Long].collect().toSet)
+        .getOrElse(Set.empty)
+    assert(idsAsOf(Long.MaxValue) == Set(3L, 4L))
+    // ...but the one-cycle vacuum grace keeps batch=0 on disk, so a
+    // pre-delete snapshot STILL SERVES the retracted doc — the
+    // documented compliance window
+    assert(idsAsOf(0L) == Set(1L, 3L), s"got ${idsAsOf(0L)}")
+    // cycle 2 (a later append + fold) vacuums the superseded dirs:
+    // now NO as-of token resurrects doc 1 — compliance is reached at
+    // the second cycle, pin takedown deadlines to it
+    fps(Seq((5L, docB + " tail"))).write.parquet(s"$store/batch=2")
+    StreamOps.compactWindowStoreGen(spark, store,
+      s"${store}_manifest", filesOut = 2): Unit
+    assert(idsAsOf(0L).intersect(Set(1L)).isEmpty,
+      s"pre-delete snapshot must not resurrect: ${idsAsOf(0L)}")
+    assert(idsAsOf(Long.MaxValue) == Set(3L, 4L, 5L))
+    val dirNames = new java.io.File(store).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(!dirNames.contains("batch=0"), s"dirs: $dirNames")
+  }
+
   test("retractionGateSink: gateStorePaths/erStorePaths fan a " +
       "takedown into every id-keyed gate store's tombstone set on " +
       "the shared monotone sequence; reads hide the ids immediately") {

@@ -229,6 +229,38 @@ class TrainingSpec extends SparkSuite {
     assert(store == 5L)
   }
 
+  test("retractCategorical: the mapping vanishes, the code stays " +
+      "RESERVED (max-code scan reads tombstoned rows), re-ingestion " +
+      "re-enters with a fresh code, null values never bind to a " +
+      "tombstoned row; unknown retractions are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-catdel-").toString + "/vocab"
+    val enc = (vals: Seq[String]) => graft.operators.Training
+      .encodeCategoricalIncremental(
+        vals.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+          .toDF("v", "id"), col("v"), "code", dir)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0))
+        -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(enc(Seq("a", "b", "c")) ==
+      Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    // retract "c" — the MAX-coded value — plus an unknown (no-op)
+    graft.operators.Training.retractCategorical(spark,
+      Seq("c", "never-seen").toDF("v"), dir)
+    // the string is gone from the store; the code row remains
+    val rows = spark.read.parquet(dir)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0))
+        -> r.getLong(1)).toMap
+    assert(rows == Map("a" -> 1L, "b" -> 2L, (null: String) -> 3L))
+    // a NULL batch value gets a null code, never tombstoned code 3;
+    // re-ingested "c" re-enters FRESH at 4 (3 stays reserved — a
+    // visible-max rebuild would have re-bound 3 here); "d" follows
+    val got = enc(Seq("b", null, "c", "d"))
+    assert(got == Map("b" -> 2L, (null: String) -> -1L, "c" -> 4L,
+      "d" -> 5L), s"got $got")
+  }
+
   test("encodeCategoricalIncremental: an all-null first batch writes an " +
       "empty store without wedging subsequent ingests") {
     import spark.implicits._
