@@ -586,6 +586,37 @@ object RetrievalQueries {
           col("src"), col("dst"), landmarks = 4, maxDepth = 6)
         .orderBy(col("lm"), col("dist"), col("id"))),
 
+    // HARMONIC closeness centrality (bounded radius 6) over the
+    // sparse undirected trade graph — the influence ranking of a
+    // citation/near-dup graph: hc(u) = Σ ⌊1e6 / d(u,v)⌋ over
+    // reachable v ≠ u, integer floor-div per pair then integer sum
+    // (bit-deterministic; unreachable pairs contribute 0 — the
+    // harmonic form's whole point at a truncated radius). Exact arm:
+    // one multi-source BFS with every node as a pivot — the licensed
+    // small-graph baseline the landmark estimator below scales past.
+    "x_closeness" -> ((s, d) =>
+      Graph.harmonicCloseness(sparseDirectedTrade(s, d), col("src"),
+          col("dst"), maxDepth = 6)
+        .orderBy(col("id"))),
+
+    // The SCALE path: the Eppstein-Wang landmark estimator — one
+    // pass over the (id, lm, dist) sketch the landmark store already
+    // maintains (|V|·L rows, L = 4 frozen pivots, vs the exact arm's
+    // |V|² BFS). Deterministic pivots make the ESTIMATOR itself
+    // oracle-exact: the same depth-bounded recursive CTE from the 4
+    // smallest nodes, the same integer arithmetic — hash-checked, so
+    // no accuracy license is needed for correctness (ranking
+    // agreement vs exact is the caller's judgment knob).
+    "x_closeness_landmark" -> ((s, d) => {
+      val edges = sparseDirectedTrade(s, d)
+      val sketch = Graph.landmarkDistances(edges, col("src"),
+        col("dst"), landmarks = 4, maxDepth = 6)
+      val nodes = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      Graph.harmonicClosenessLandmark(sketch, nodes)
+        .orderBy(col("id"))
+    }),
+
     // STRONGLY connected components of the DIRECTED sparse trade
     // graph (customer-nation → supplier-nation, quantity ≤ 1 on a
     // 1/29 orderkey slice — mixed structure: a few multi-node cycles
@@ -1631,6 +1662,58 @@ object RetrievalQueries {
        |FROM mem LEFT JOIN pth ON pth.nd = mem.scc
        |GROUP BY mem.scc, mem.n_members ORDER BY mem.scc""".stripMargin
 
+  /** The closeness oracles' shared front: the sparse undirected trade
+    * graph (the x_scc fixture symmetrized) + its node set.
+    */
+  private val closenessCtes: String =
+    s"""e AS MATERIALIZED (
+       |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+       |  FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN supplier ON l_suppkey = s_suppkey
+       |  WHERE l_quantity <= 1 AND l_orderkey % 29 = 0
+       |    AND c_nationkey <> s_nationkey),
+       |sym AS MATERIALIZED (
+       |  SELECT src, dst FROM e
+       |  UNION SELECT dst AS src, src AS dst FROM e),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym)""".stripMargin
+
+  /** x_closeness' mirror: all-pairs-within-6 BFS by recursive CTE,
+    * min-folded per pair, then the same ⌊1e6/d⌋ integer sum.
+    */
+  private val closenessSql: String =
+    s"""WITH RECURSIVE $closenessCtes,
+       |walk(u, v, d) AS (
+       |  SELECT id, id, 0 FROM nodes
+       |  UNION
+       |  SELECT w.u, sym.dst, w.d + 1
+       |  FROM walk w JOIN sym ON w.v = sym.src
+       |  WHERE w.d < 6),
+       |md AS (SELECT u, v, min(d) AS d FROM walk GROUP BY u, v)
+       |SELECT n.id,
+       |  CAST(coalesce(sum(1000000 // d), 0) AS BIGINT) AS hc
+       |FROM nodes n LEFT JOIN md ON md.u = n.id AND md.d >= 1
+       |GROUP BY n.id ORDER BY n.id""".stripMargin
+
+  /** x_closeness_landmark's mirror: the SAME BFS from the 4 smallest
+    * nodes only (the frozen pivot rule), same integer arithmetic.
+    */
+  private val closenessLandmarkSql: String =
+    s"""WITH RECURSIVE $closenessCtes,
+       |lms AS (SELECT id AS lm FROM nodes ORDER BY id LIMIT 4),
+       |walk(lm, v, d) AS (
+       |  SELECT lm, lm, 0 FROM lms
+       |  UNION
+       |  SELECT w.lm, sym.dst, w.d + 1
+       |  FROM walk w JOIN sym ON w.v = sym.src
+       |  WHERE w.d < 6),
+       |md AS (SELECT lm, v, min(d) AS d FROM walk GROUP BY lm, v)
+       |SELECT n.id,
+       |  CAST(coalesce(sum(1000000 // d), 0) AS BIGINT) AS hc_est
+       |FROM nodes n LEFT JOIN md ON md.v = n.id AND md.d >= 1
+       |GROUP BY n.id ORDER BY n.id""".stripMargin
+
   /** x_landmark_incremental's mirror: the SAME depth-bounded
     * recursive-CTE BFS, over the UNION (quantity ≤ 2) graph but from
     * the HISTORY (quantity ≤ 1) graph's 4 smallest nodes — the frozen
@@ -2121,6 +2204,8 @@ object RetrievalQueries {
     "x_walk_skipgrams" -> walkSkipgramsSql,
     "x_neg_samples" -> negSamplesSql,
     "x_node2vec" -> node2vecSql,
+    "x_closeness" -> closenessSql,
+    "x_closeness_landmark" -> closenessLandmarkSql,
     "x_landmark_dist" -> landmarkDistSql,
     "x_landmark_incremental" -> landmarkIncSql,
     // rebuild-on-retract ≡ the depth-bounded BFS CTE over surviving

@@ -63,7 +63,8 @@ class DeterminismSpec extends SparkSuite {
     "x_kcenter_delete",   // greedy trace rebuild after a center hit
     "x_substring_delete", // tombstone-aware window-fp store re-count
     "x_er_delete",        // tombstone-aware dictionary re-gate
-    "x_categorical_delete") // reserved-code vocab after retraction
+    "x_categorical_delete", // reserved-code vocab after retraction
+    "x_closeness")        // all-pairs BFS + integer floor-div sums
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

@@ -435,6 +435,35 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("harmonicCloseness: hand-computed bounded-radius integer sums; " +
+      "the landmark estimator matches the frozen-pivot arithmetic; " +
+      "pivot-unreachable nodes keep 0 rows") {
+    import spark.implicits._
+    // path 1-2-3-4-5 plus the disconnected pair 10-11, radius 3
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L)).toDF("a", "b")
+    val got = Graph.harmonicCloseness(edges, col("a"), col("b"),
+        maxDepth = 3)
+      .as[(Long, Long)].collect().toMap
+    // hc(3) = 2·⌊1e6/1⌋ + 2·⌊1e6/2⌋; ends see 1+1/2+1/3 within
+    // radius (d = 4 truncated); the pair sees only each other
+    assert(got == Map(1L -> 1833333L, 2L -> 2833333L, 3L -> 3000000L,
+      4L -> 2833333L, 5L -> 1833333L, 10L -> 1000000L,
+      11L -> 1000000L), s"got $got")
+    // estimator from the 2 smallest pivots {1, 2}: d(u, lm) sums
+    // only — 5 sees pivot 2 at d=3 (pivot 1 is out of radius), the
+    // 10-11 pair sees neither pivot and keeps a 0 row
+    val sketch = Graph.landmarkDistances(edges, col("a"), col("b"),
+      landmarks = 2, maxDepth = 3)
+    val nodes = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+    val est = Graph.harmonicClosenessLandmark(sketch, nodes)
+      .as[(Long, Long)].collect().toMap
+    assert(est == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1500000L,
+      4L -> 833333L, 5L -> 333333L, 10L -> 0L, 11L -> 0L),
+      s"got $est")
+  }
+
   test("rebuildLandmarkStore: deletion grows distances past the " +
       "stored sketch — stale-small rows vanish with the view flip; " +
       "later incremental batches continue above the generation") {
