@@ -806,8 +806,9 @@ object Graph {
   private def landmarkStoreView(
       spark: org.apache.spark.sql.SparkSession, storeDir: String,
       beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("id" -> "bigint", "lm" -> "bigint", "dist" -> "int",
+          "__b" -> "bigint"), "landmarkStore")
       .where(col("__b") < beforeBatch)
       .groupBy(col("id"), col("lm"))
       .agg(min(col("dist")).as("dist"))
@@ -1248,8 +1249,9 @@ object Graph {
   private def prStoreView(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String,
                           beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("id" -> "bigint", "rank" -> "bigint", "__b" -> "bigint"),
+        "pageRankStore")
       .where(col("__b") < beforeBatch)
       .groupBy(col("id"))
       .agg(max(struct(col("__b"), col("rank"))).as("m"))
@@ -1368,8 +1370,9 @@ object Graph {
   private def hitsStoreView(spark: org.apache.spark.sql.SparkSession,
                             storeDir: String,
                             beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("id" -> "bigint", "hub" -> "bigint", "auth" -> "bigint",
+          "__b" -> "bigint"), "hitsStore")
       .where(col("__b") < beforeBatch)
       .groupBy(col("id"))
       .agg(max(struct(col("__b"), col("hub"), col("auth"))).as("m"))
@@ -1702,8 +1705,9 @@ object Graph {
   private def louvainStoreView(
       spark: org.apache.spark.sql.SparkSession, storeDir: String,
       beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("id" -> "bigint", "c" -> "bigint", "__b" -> "bigint"),
+        "louvainStore")
       .where(col("__b") < beforeBatch)
       .groupBy(col("id"))
       .agg(max(struct(col("__b"), col("c"))).as("m"))
@@ -2302,8 +2306,9 @@ object Graph {
   private def triangleStoreView(spark: org.apache.spark.sql.SparkSession,
                                 storeDir: String,
                                 beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("id" -> "bigint", "n_tri" -> "bigint", "__b" -> "bigint"),
+        "triangleStore")
       .where(col("__b") < beforeBatch)
       .groupBy(col("id"))
       .agg(max(struct(col("__b"), col("n_tri"))).as("m"))
@@ -2949,8 +2954,9 @@ object Graph {
   private def sccAssignView(spark: org.apache.spark.sql.SparkSession,
                             storeDir: String,
                             beforeBatch: Long): DataFrame =
-    spark.read
-      .parquet(Stats.committedViewDirs(spark, s"$storeDir/assign"): _*)
+    Stats.openCommittedStore(spark, s"$storeDir/assign",
+        Seq("id" -> "bigint", "scc" -> "bigint", "__b" -> "bigint"),
+        "sccStore/assign")
       .where(col("__b") < beforeBatch)
       .groupBy(col("id"))
       .agg(max(struct(col("__b"), col("scc"))).as("m"))
@@ -2979,8 +2985,9 @@ object Graph {
   private def sccCedgesView(spark: org.apache.spark.sql.SparkSession,
                             storeDir: String, beforeBatch: Long,
                             asg: DataFrame): DataFrame =
-    spark.read
-      .parquet(Stats.committedViewDirs(spark, s"$storeDir/cedges"): _*)
+    Stats.openCommittedStore(spark, s"$storeDir/cedges",
+        Seq("src" -> "bigint", "dst" -> "bigint", "__b" -> "bigint"),
+        "sccStore/cedges")
       .where(col("__b") < beforeBatch)
       .join(asg.select(col("id").as("src"), col("scc").as("__ca")),
         Seq("src"))
@@ -3240,8 +3247,9 @@ object Graph {
   private def ccStoreView(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String,
                           beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("id" -> "bigint", "comp" -> "bigint", "__b" -> "bigint"),
+        "ccStore")
       .where(col("__b") < beforeBatch)
       .groupBy(col("id"))
       .agg(max(struct(col("__b"), col("comp"))).as("m"))
@@ -3521,8 +3529,8 @@ object Graph {
   private def kCoreStoreView(spark: org.apache.spark.sql.SparkSession,
                              storeDir: String,
                              beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("id" -> "bigint", "__b" -> "bigint"), "kCoreStore")
       .where(col("__b") < beforeBatch)
       .select(col("id")).distinct()
   }

@@ -262,8 +262,9 @@ object Overlap {
     */
   def kmvStoreSketches(spark: SparkSession, storeDir: String, k: Int)
       : DataFrame = {
-    val rows = spark.read
-      .parquet(Stats.committedViewDirs(spark, storeDir): _*)
+    val rows = Stats.openCommittedStore(spark, storeDir,
+      Seq("grp" -> "string", "unit" -> "bigint",
+        "sketch" -> "array<bigint>"), "kmvUnitStore")
     val live = kmvDeletedUnits(spark, storeDir) match {
       case None => rows
       case Some(del) => rows.join(del, Seq("unit"), "left_anti")

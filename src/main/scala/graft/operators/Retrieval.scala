@@ -297,8 +297,9 @@ object Retrieval {
     */
   private def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
                              indexDir: String): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, s"$indexDir/stats")
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, s"$indexDir/stats",
+        Seq("n_docs" -> "bigint", "sum_dl" -> "bigint"),
+        "bm25IndexStats")
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
   }

@@ -740,8 +740,9 @@ object Similarity {
     * `encoded` feed for [[ivfTopKPq]].
     */
   def pqStoreCodes(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read
-      .parquet(Stats.committedViewDirs(spark, storeDir): _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("vb" -> "bigint", "cell" -> "int", "codes" -> "array<int>",
+          "rn" -> "double", "__b" -> "bigint"), "pqCodeStore")
       .groupBy(col("vb"))
       .agg(max(struct(col("__b"), col("cell"), col("codes"),
         col("rn"))).as("m"))
@@ -1107,7 +1108,9 @@ object Similarity {
       : DataFrame =
     Stats.committedViewDirs(spark, storeDir) match {
       case Nil => spark.emptyDataFrame
-      case dirs => spark.read.parquet(dirs: _*)
+      case _ => Stats.openCommittedStore(spark, storeDir,
+          Seq("i" -> "int", "j" -> "int", "v" -> "decimal(38,0)"),
+          "pcaMomentStore")
         .groupBy(col("i"), col("j"))
         .agg(sum(col("v")).cast("decimal(38,0)").as("v"))
     }
@@ -1311,7 +1314,10 @@ object Similarity {
   /** The store's current coreset: (rank, id, radius), rank-ordered. */
   def kCenterStoreCenters(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String): DataFrame =
-    spark.read.parquet(Stats.committedViewDirs(spark, storeDir): _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("rank" -> "int", "id" -> "bigint",
+          "__v" -> "array<float>", "__dxx" -> "double",
+          "radius" -> "double", "__b" -> "bigint"), "kCenterStore")
       .select(col("rank"), col("id"), col("radius"))
 
   /** RETRACTION for the k-center coreset store — the trace twist on

@@ -458,6 +458,166 @@ object Stats {
         "resume appends/deletes ABOVE the store's current head")
   }
 
+  /** Thrown when a store's committed view does not carry its family's
+    * expected schema: a drifted or corrupted store dir fails LOUDLY at
+    * open ("store at PATH: expected/found"), instead of an obscure
+    * analysis error mid-query — or worse, a silent cast.
+    */
+  final class StoreSchemaException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Open a `gen=`/`batch=` store's committed view with the family's
+    * schema asserted at open: field (name → type) must match
+    * `expected` (order-insensitive; nullability ignored — parquet
+    * writers vary it; INTEGER WIDTHS equivalent — key columns carry
+    * the corpus's key type, int nationkeys vs bigint doc ids, and the
+    * folds widen losslessly, so int-vs-bigint is legitimate variation
+    * while string/double/array drift is the corruption this catches).
+    * Types are `DataType.simpleString` renders ("bigint", "int",
+    * "array<bigint>", …). Empty stores behave exactly as the
+    * unguarded read did (the caller's committed-content probe is the
+    * emptiness contract, not this).
+    */
+  def openCommittedStore(spark: SparkSession, root: String,
+                         expected: Seq[(String, String)],
+                         who: String): DataFrame = {
+    val intWidths = Set("tinyint", "smallint", "int", "bigint")
+    def canon(t: String): String =
+      if (intWidths(t)) "integral" else t
+    val df = spark.read.parquet(committedViewDirs(spark, root): _*)
+    val found = df.schema.fields
+      .map(f => f.name -> f.dataType.simpleString).toSeq
+    if (found.map { case (n, t) => n -> canon(t) }.toMap !=
+        expected.map { case (n, t) => n -> canon(t) }.toMap)
+      throw new StoreSchemaException(
+        s"$who: store at $root has a drifted schema — expected {" +
+          expected.map { case (n, t) => s"$n: $t" }.mkString(", ") +
+          "}, found {" +
+          found.map { case (n, t) => s"$n: $t" }.mkString(", ") +
+          "}; refusing the read (a drifted store dir would otherwise " +
+          "surface as an unrelated mid-query analysis error, or " +
+          "silently cast)")
+    df
+  }
+
+  // ---------- writer fence (store-family leases) ----------
+
+  /** Thrown when a second concurrent writer tries to claim a store
+    * family another sink is still maintaining. The quiesce contract
+    * between ingestion gates and retraction sinks — previously a
+    * docstring — fails FAST and NAMED here, instead of surfacing later
+    * as a monotone-sequence violation in whichever writer loses the
+    * interleave.
+    */
+  final class ConcurrentWriterException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The lease marker for a store-family root: a sibling FILE (never a
+    * dir under the root — readers glob the root's `gen=`/`batch=`
+    * children and must not see it).
+    */
+  def writerLeasePath(root: String): String =
+    s"${root.stripSuffix("/")}__writer_lease"
+
+  // intra-process holder registry: lease file path → the streaming
+  // query UUID holding it (LEASE_STARTING until the query launches).
+  // Liveness is checked here, so a lease whose holder terminated —
+  // even if the async release listener has not fired yet — is
+  // reclaimable without manual intervention.
+  private val LEASE_STARTING = new java.util.UUID(0L, 0L)
+  private val leaseHolders =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.UUID]()
+
+  private def leaseIsLive(spark: SparkSession,
+                          qid: java.util.UUID): Boolean =
+    qid == LEASE_STARTING || {
+      val q = spark.streams.get(qid)
+      q != null && q.isActive
+    }
+
+  /** Claim the writer lease on every store-family root in `roots` for
+    * one sink, atomically per root intra-process (the holder registry's
+    * putIfAbsent is the arbiter between two sinks of one JVM — the
+    * common deployment, one driver per store family) and best-effort
+    * cross-process (an existing lease file from another app is always
+    * refused; the exists→create window is the documented residual
+    * race). Throws [[ConcurrentWriterException]] — releasing any roots
+    * already claimed by this call — when a root is held by a LIVE
+    * writer. A lease whose in-process holder query has terminated is
+    * silently reclaimed (covers the async-release race on sequential
+    * resume); a lease file from ANOTHER process is never reclaimed —
+    * if that process crashed, break it with [[releaseWriterLease]].
+    */
+  def acquireWriterLease(spark: SparkSession, roots: Seq[String],
+                         owner: String): Unit = {
+    val paths = roots.map(writerLeasePath).distinct.sorted
+    val appId = spark.sparkContext.applicationId
+    val acquired = scala.collection.mutable.ArrayBuffer[String]()
+    def fail(p: String, heldBy: String): Nothing = {
+      acquired.foreach(a => releaseLease(spark, a))
+      throw new ConcurrentWriterException(
+        s"$owner: store family at ${p.stripSuffix("__writer_lease")} " +
+          s"is leased by $heldBy — a second concurrent writer on one " +
+          "gen=/batch= sequence interleaves appends and deletes " +
+          "(silent data loss); quiesce the holding sink first, or " +
+          "break a crashed process's stale lease with " +
+          "Stats.releaseWriterLease")
+    }
+    paths.foreach { p =>
+      // intra-process claim first: putIfAbsent is the atomic arbiter
+      // between two sinks of this JVM
+      val prev = leaseHolders.putIfAbsent(p, LEASE_STARTING)
+      if (prev != null) {
+        if (leaseIsLive(spark, prev)) fail(p, s"query $prev (this app)")
+        else leaseHolders.put(p, LEASE_STARTING) // terminated: reclaim
+      }
+      // cross-process claim: a lease file we did not just reclaim and
+      // whose app is not ours belongs to another process
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      if (prev == null && fs.exists(hp)) {
+        val body = try {
+          val in = fs.open(hp)
+          try org.apache.commons.io.IOUtils.toString(in, "UTF-8")
+          finally in.close()
+        } catch { case _: Throwable => "" }
+        if (!body.contains(s"app=$appId")) {
+          leaseHolders.remove(p)
+          fail(p, if (body.isEmpty) "an unreadable lease" else body)
+        }
+        // same app but no registry entry: a lease this JVM lost track
+        // of (listener raced a crash) — reclaimable
+      }
+      val out = fs.create(hp, true)
+      try out.write(s"owner=$owner;app=$appId".getBytes("UTF-8"))
+      finally out.close()
+      acquired += p
+    }
+  }
+
+  /** Record the streaming query now holding leases acquired with
+    * [[acquireWriterLease]] — enables the terminated-holder reclaim.
+    */
+  def recordLeaseHolder(roots: Seq[String],
+                        qid: java.util.UUID): Unit =
+    roots.map(writerLeasePath).distinct
+      .foreach(p => leaseHolders.put(p, qid))
+
+  private def releaseLease(spark: SparkSession, path: String): Unit = {
+    leaseHolders.remove(path)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(hp, false): Unit
+  }
+
+  /** Release (or operator-break) the writer leases on `roots`.
+    * Idempotent; deleting a missing lease is a no-op.
+    */
+  def releaseWriterLease(spark: SparkSession,
+                         roots: Seq[String]): Unit =
+    roots.map(writerLeasePath).distinct
+      .foreach(p => releaseLease(spark, p))
+
   /** Fold a `gen=`/`batch=` store's committed view into one compacted
     * `gen=<maxBatchId>` generation shaped by `shape` (the OPTIMIZE
     * primitive behind every incremental store's compaction path), then

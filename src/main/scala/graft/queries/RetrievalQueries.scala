@@ -163,6 +163,56 @@ object RetrievalQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // THE COMPLIANCE DEADLINE as a driver row — the "retraction vs
+    // time travel" rule the spec pins ("an as-of snapshot outlives a
+    // retraction by AT MOST one compaction cycle"), made visible to
+    // the DuckDB oracle. The store runs the full lifecycle once —
+    // ingest history → retract doc_id % 7 = 2 → compaction cycle 1
+    // (the fold drops the rows from the live view; the vacuum grace
+    // keeps the pre-delete batch dir for in-flight snapshots) → late
+    // append → cycle 2 (the vacuum removes the superseded pre-delete
+    // dirs: the DEADLINE) — and the query emits the compliance
+    // certificate: every retracted id that NEITHER the live view NOR
+    // the strongest as-of token (the pre-delete token 0) can still
+    // resolve. Oracle = the retracted slice itself; a vacuum
+    // regression would drop ids from the certificate and go red on
+    // rows + hash.
+    "x_retract_deadline" -> ((s, d) => {
+      import graft.streaming.StreamOps
+      val docs = t(s, d, "documents")
+      val slice = col("doc_id") < 400 && col("doc_id") % 7 === 2
+      val root = ArtifactMemo.dirFor("retdeadline", d) { p =>
+        val store = s"$p/store"
+        def fps(rows: org.apache.spark.sql.DataFrame) =
+          Curation.windowFpRows(rows, col("doc_id"), col("text"),
+              40, 8, 16)
+            .select(col("fp"), col("id"))
+        fps(docs.where(col("doc_id") < 400))
+          .write.mode("overwrite").parquet(s"$store/batch=0")
+        graft.operators.Stats.writeManifest(s, store, s"$p/manifest")
+        StreamOps.deleteFromNearDupStore(s, store,
+          docs.where(slice).select(col("doc_id").as("id")),
+          batchId = 1L)
+        StreamOps.compactWindowStoreGen(s, store, s"$p/manifest",
+          filesOut = 2): Unit
+        fps(docs.where(col("doc_id") >= 400))
+          .write.mode("overwrite").parquet(s"$store/batch=2")
+        StreamOps.compactWindowStoreGen(s, store, s"$p/manifest",
+          filesOut = 2): Unit
+      }
+      val retracted = docs.where(slice)
+        .select(col("doc_id").as("id")).distinct()
+      def probe(asOf: Long) = StreamOps.gateStoreViewAsOf(s,
+          s"$root/store", Seq("id"), asOf)
+        .map(_.distinct())
+        .getOrElse(retracted.limit(0))
+      retracted
+        .join(probe(0L), Seq("id"), "left_anti")
+        .join(probe(Long.MaxValue), Seq("id"), "left_anti")
+        .select(col("id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 top-25 retrieval for a 3-term query: per-term tfs from one
     // native tokenize pass, corpus stats (N, Σdl, dfs) as a single
     // 1-row broadcast, rational-idf scoring (bit-reproducible — the
@@ -721,6 +771,33 @@ object RetrievalQueries {
           nationTradeEdges(s, d, maxQty = 2, minQty = 1),
           col("src"), col("dst"), store, batchId = 1L, maxDepth = 6)
         .orderBy(col("lm"), col("dist"), col("id"))
+    }),
+
+    // STORE-BACKED closeness readout — the landmark estimator served
+    // FROM the maintained incremental store instead of recomputing
+    // the sketch (the x_scc_levels_incremental pattern): bootstrap
+    // freezes the quantity ≤ 1 graph's 4 smallest pivots, the
+    // quantity = 2 batch warm-relaxes the stored distances, and the
+    // readout is ONE |V|·L pass over landmarkStoreDistances — the
+    // form a 100 TB user runs (the original edge list is never
+    // re-BFS'd at read). Hash-checked against the harmonic fold over
+    // the same union-graph depth-bounded CTE as x_landmark_incremental.
+    "x_closeness_incremental" -> ((s, d) => {
+      val store = ArtifactMemo.dirFor("lmdstore", d) { p =>
+        Graph.writeLandmarkStore(nationTradeEdges(s, d, maxQty = 1),
+          col("src"), col("dst"), landmarks = 4, maxDepth = 6, p)
+      }
+      Graph.landmarkDistancesIncremental(
+          nationTradeEdges(s, d, maxQty = 2), col("src"), col("dst"),
+          nationTradeEdges(s, d, maxQty = 2, minQty = 1),
+          col("src"), col("dst"), store, batchId = 1L,
+          maxDepth = 6): Unit
+      val union = nationTradeEdges(s, d, maxQty = 2)
+      val nodes = union.select(col("src").as("id"))
+        .union(union.select(col("dst").as("id"))).distinct()
+      Graph.harmonicClosenessLandmark(
+          Graph.landmarkStoreDistances(s, store), nodes)
+        .orderBy(col("id"))
     }),
 
     // LANDMARK-store RETRACTION on the per-user event-chain graph —
@@ -1719,8 +1796,8 @@ object RetrievalQueries {
     * the HISTORY (quantity ≤ 1) graph's 4 smallest nodes — the frozen
     * landmark set the store bootstraps with.
     */
-  private val landmarkIncSql: String =
-    s"""WITH RECURSIVE e AS MATERIALIZED (
+  private val landmarkIncCtes: String =
+    s"""e AS MATERIALIZED (
        |  SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst,
        |    min(l_quantity) AS q
        |  FROM lineitem
@@ -1743,10 +1820,29 @@ object RetrievalQueries {
        |  UNION
        |  SELECT sym.dst, w.lm, w.dist + 1
        |  FROM walk w JOIN sym ON w.id = sym.src
-       |  WHERE w.dist < 6)
+       |  WHERE w.dist < 6)""".stripMargin
+
+  private val landmarkIncSql: String =
+    s"""WITH RECURSIVE $landmarkIncCtes
        |SELECT id, lm, CAST(min(dist) AS INTEGER) AS dist
        |FROM walk GROUP BY id, lm
        |ORDER BY lm, dist, id""".stripMargin
+
+  /** x_closeness_incremental's mirror: the Eppstein-Wang harmonic
+    * fold over the SAME union-graph BFS from the history-frozen
+    * pivots — ⌊1e6 / d⌋ per (node, pivot) pair then an integer sum,
+    * 0-valued rows for pivot-unreachable nodes (the store-backed
+    * estimator is itself oracle-exact, like x_closeness_landmark).
+    */
+  private val closenessIncSql: String =
+    s"""WITH RECURSIVE $landmarkIncCtes,
+       |md AS (SELECT id, lm, min(dist) AS dist FROM walk
+       |       GROUP BY id, lm),
+       |nodes AS (SELECT DISTINCT src AS id FROM sym)
+       |SELECT n.id,
+       |  CAST(coalesce(sum(1000000 // dist), 0) AS BIGINT) AS hc_est
+       |FROM nodes n LEFT JOIN md ON md.id = n.id AND md.dist >= 1
+       |GROUP BY n.id ORDER BY n.id""".stripMargin
 
   private val sourceAuthoritySql: String = pageRankSqlOver(
     s"""corpus AS (
@@ -2122,6 +2218,10 @@ object RetrievalQueries {
          |FROM d b JOIN hist h ON b.fp = h.fp
          |WHERE b.doc_id >= 400
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "x_retract_deadline" ->
+      """SELECT doc_id FROM documents
+        |WHERE doc_id < 400 AND doc_id % 7 = 2
+        |ORDER BY doc_id""".stripMargin,
     "x_hybrid_rrf_err" ->
       """SELECT CAST(0 AS BIGINT) AS hits, CAST(0 AS BIGINT) AS n_exact
         |WHERE 1 = 0""".stripMargin,
@@ -2208,6 +2308,7 @@ object RetrievalQueries {
     "x_closeness_landmark" -> closenessLandmarkSql,
     "x_landmark_dist" -> landmarkDistSql,
     "x_landmark_incremental" -> landmarkIncSql,
+    "x_closeness_incremental" -> closenessIncSql,
     // rebuild-on-retract ≡ the depth-bounded BFS CTE over surviving
     // chain edges from the surviving frozen pivots (landmark 3 is
     // itself retracted — its column vanishes)

@@ -74,6 +74,57 @@ object StreamOps {
       .select(col(keyCol), col("sw.start").as("s_start"),
         col("sw.end").as("s_end"), col("n_events"))
 
+  /** Start a maintenance sink under the store-family writer fence:
+    * claim the lease on every root BEFORE the query launches (a
+    * conflicting sink fails fast in the CALLER's thread with
+    * [[graft.operators.Stats.ConcurrentWriterException]] — the quiesce
+    * contract between ingestion gates and retraction sinks,
+    * machine-checked instead of documented), record the query as the
+    * holder, and release on termination. Release is belt-and-braces:
+    * an async listener keyed by the query id plus a liveness-checked
+    * reclaim inside acquire, so a sequential resume never races the
+    * listener bus.
+    */
+  private def leasedStart(spark: SparkSession, roots: Seq[String],
+                          owner: String)
+                         (start: => org.apache.spark.sql.streaming
+                           .StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Stats
+    val rs = roots.filter(_.nonEmpty)
+    if (rs.isEmpty) return start
+    Stats.acquireWriterLease(spark, rs, owner)
+    val q = try start catch {
+      case t: Throwable =>
+        Stats.releaseWriterLease(spark, rs); throw t
+    }
+    Stats.recordLeaseHolder(rs, q.id)
+    val listener =
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        override def onQueryStarted(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryStartedEvent): Unit = ()
+        override def onQueryProgress(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryProgressEvent): Unit = ()
+        override def onQueryTerminated(
+            e: org.apache.spark.sql.streaming.StreamingQueryListener
+              .QueryTerminatedEvent): Unit =
+          if (e.id == q.id) {
+            Stats.releaseWriterLease(spark, rs)
+            spark.streams.removeListener(this)
+          }
+      }
+    spark.streams.addListener(listener)
+    // the query may have died between start and addListener — release
+    // here rather than leak (releaseWriterLease is idempotent)
+    if (!q.isActive) {
+      Stats.releaseWriterLease(spark, rs)
+      spark.streams.removeListener(listener)
+    }
+    q
+  }
+
   /** Continuous-ingestion near-dup gate: every micro-batch is gated
     * against the PERSISTED MinHash signature store
     * ([[graft.operators.Dedup.minhashIncremental]]); survivors land in
@@ -118,6 +169,8 @@ object StreamOps {
                       compactEvery: Int = 0, compactFilesOut: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
+    leasedStart(spark, Seq(storePath),
+        "nearDupGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -146,7 +199,7 @@ object StreamOps {
             compactNearDupStore(spark, storePath, compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** The signature store's current READ VIEW: the newest committed
@@ -451,6 +504,8 @@ object StreamOps {
     import graft.operators.{Dedup, Stats}
     val mPath =
       if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    leasedStart(spark, Seq(storePath),
+        "nearDupGateSinkBanded")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -482,7 +537,7 @@ object StreamOps {
               compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming substring-dedup gate: each micro-batch is gated against
@@ -515,6 +570,8 @@ object StreamOps {
     import graft.operators.{Curation, Stats}
     val mPath =
       if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    leasedStart(spark, Seq(storePath),
+        "substringGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -568,7 +625,7 @@ object StreamOps {
               compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** [[compactNearDupStoreBanded]] for the substring gate's window-
@@ -627,6 +684,8 @@ object StreamOps {
                              .imageDHash(s, df).toDF())
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Multimodal
+    leasedStart(spark, Seq(storePath),
+        "mediaDedupGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -657,7 +716,7 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         }
       }
-      .start()
+      .start())
   }
 
   /** The media gate's committed store view ((media_id, dhash) rows):
@@ -707,6 +766,8 @@ object StreamOps {
     import graft.operators.{Multimodal, Stats}
     val mPath =
       if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    leasedStart(spark, Seq(storePath),
+        "mediaDedupGateSinkBanded")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -756,7 +817,7 @@ object StreamOps {
               compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** The VIDEO arm of the media gate family: shared-frame near-dup
@@ -793,6 +854,8 @@ object StreamOps {
     import graft.operators.{Multimodal, Stats}
     val mPath =
       if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    leasedStart(spark, Seq(storePath),
+        "videoDedupGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -847,7 +910,7 @@ object StreamOps {
               compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** [[compactNearDupStoreBanded]] for the VIDEO frame store: fold
@@ -981,6 +1044,8 @@ object StreamOps {
     val (tMan, iMan, aMan, vMan) = (s"$storeRoot/text_manifest",
       s"$storeRoot/img_manifest", s"$storeRoot/aud_manifest",
       s"$storeRoot/vid_manifest")
+    leasedStart(spark, Seq(tStore, iStore, aStore, vStore),
+        "multimodalGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1079,7 +1144,7 @@ object StreamOps {
           }
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming EMBEDDING near-dup gate: the [[nearDupGateSink]]
@@ -1105,6 +1170,8 @@ object StreamOps {
                          compactFilesOut: Int = 4)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Dedup
+    leasedStart(spark, Seq(storePath),
+        "embedDedupGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1139,7 +1206,7 @@ object StreamOps {
             compactEmbedStore(spark, storePath, compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** [[compactNearDupStore]] for the embedding gate's TWO sibling
@@ -1207,6 +1274,8 @@ object StreamOps {
                    buckets: Int, minScore: Long)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Selection
+    leasedStart(spark, Seq(modelPath),
+        "dsirGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1234,7 +1303,7 @@ object StreamOps {
             .write.mode("overwrite").parquet(s"$modelPath/model=$batchId")
         }
       }
-      .start()
+      .start())
   }
 
   /** Newest committed cumulative DSIR model with id < `beforeBatch`
@@ -1332,6 +1401,8 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.LanguageModel
     require(den > 0, "den must be > 0")
+    leasedStart(spark, Seq(modelPath),
+        "lmGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1357,7 +1428,7 @@ object StreamOps {
             .parquet(s"$modelPath/model=$batchId")
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming ENTITY-RESOLUTION gate
@@ -1390,6 +1461,8 @@ object StreamOps {
     import graft.operators.{Resolution, Stats}
     val mPath =
       if (manifestPath.nonEmpty) manifestPath else s"${storePath}_manifest"
+    leasedStart(spark, Seq(storePath),
+        "erGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1428,7 +1501,7 @@ object StreamOps {
               compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** The ER gate's candidate pair expansion, BEFORE the levenshtein
@@ -1502,6 +1575,8 @@ object StreamOps {
                         batchIdBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Retrieval
+    leasedStart(spark, Seq(indexDir),
+        "bm25IndexGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1520,7 +1595,7 @@ object StreamOps {
               compactFilesOut): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming PCA-moment maintenance: each micro-batch of vectors
@@ -1539,6 +1614,8 @@ object StreamOps {
                          checkpoint: String, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Similarity
+    leasedStart(spark, Seq(storeDir),
+        "pcaMomentsGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1551,7 +1628,7 @@ object StreamOps {
             Similarity.compactPcaMoments(spark, storeDir): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming CORESET maintenance: the first non-empty micro-batch
@@ -1571,6 +1648,8 @@ object StreamOps {
                       storeDir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Similarity, Stats}
+    leasedStart(spark, Seq(storeDir),
+        "kCenterGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1584,7 +1663,7 @@ object StreamOps {
               storeDir, batchId + 1, kNew): Unit
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming RETRACTION gate — the takedown pipeline as a stream:
@@ -1691,6 +1770,14 @@ object StreamOps {
     require(pcaStoreDir.isEmpty || pcaVecs.isDefined,
       "retractionGateSink: pcaStoreDir needs pcaVecs (an (id, vec) " +
         "relation to fetch the retracted docs' vectors from)")
+    leasedStart(spark, (bm25IndexDir.toSeq ++ pqStoreDir.toSeq ++
+      sigStorePath.toSeq ++ pcaStoreDir.toSeq ++ kmvStoreDir.toSeq ++
+      dsirModelPath.toSeq ++ lmModelPath.toSeq ++
+      kcenterStoreDir.toSeq ++ gateStorePaths ++ erStorePaths),
+        "retractionGateSink") {
+    // the batch base resolves UNDER the lease: no writer can commit
+    // between the head read and this sink's first write, so the
+    // resolved sequence position can never be stale
     val base: Long = {
       val roots = bm25IndexDir.map(p => s"$p/stats").toSeq ++
         pqStoreDir.toSeq ++
@@ -1793,6 +1880,7 @@ object StreamOps {
         }
       }
       .start()
+    }
   }
 
   /** Streaming GRAPH RETRACTION — node takedowns flowed through the
@@ -1866,6 +1954,8 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     val tombRoot = s"${edgesPath}_deleted_nodes"
+    leasedStart(spark, Seq(edgesPath),
+        "graphRetractionSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -1947,7 +2037,7 @@ object StreamOps {
           }
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming GRAPH-ANALYTICS maintenance — the foreachBatch gate for
@@ -2002,8 +2092,13 @@ object StreamOps {
     * canonical endpoint order before it counts. The anti join prices
     * that exactness at one probe of the (u, v)-clustered edge store
     * per batch; feed pre-deduped edges upstream to make it a cheap
-    * no-op. Store-batch ids are stream-batch + 1 (batch=0 is each
-    * store's bootstrap base); read current state via
+    * no-op. Store-batch ids are `batchIdBase` + stream-batch + 1
+    * (batch=0 is each store's bootstrap base); set `batchIdBase` =
+    * [[graft.operators.Stats.supersedingToken]] over the family's
+    * stores to RESUME ingestion above a [[graphRetractionSink]]
+    * rebuild's generations — the bm25IndexGateSink resume contract,
+    * completing the quiesce → retract → resume cycle for the graph
+    * family. Read current state via
     * [[graft.operators.Graph.triangleStoreCounts]] /
     * [[graft.operators.Graph.kCoreStoreMembers]].
     */
@@ -2024,33 +2119,42 @@ object StreamOps {
                     louvainRounds: Int = 1, louvainIters: Int = 3,
                     landmarkStorePath: Option[String] = None,
                     landmarkCount: Int = 4, landmarkDepth: Int = 6,
-                    sccStorePath: Option[String] = None)
+                    sccStorePath: Option[String] = None,
+                    batchIdBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
+    leasedStart(spark, Seq(edgesPath),
+        "graphGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val edges = batch.select(col(a).as("u"), col(b).as("v"))
+          // edge/store ids ride batchIdBase + stream batch: set
+          // batchIdBase = Stats.supersedingToken over the family's
+          // stores to RESUME ingestion above a graphRetractionSink
+          // rebuild's generations (the shared monotone-sequence
+          // contract; the guards abort loudly on a violation)
+          val eb = batchIdBase + batchId
           // retain the batch's edges FIRST (overwrite-idempotent; a
           // crash before the analytics appends re-runs the whole
           // batch, overwriting identically)
-          edges.withColumn("__b", lit(batchId))
+          edges.withColumn("__b", lit(eb))
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .parquet(s"$edgesPath/batch=$batchId")
+            .parquet(s"$edgesPath/batch=$eb")
           // committed HISTORY (excluding a retry's own prior attempt)
           // and the union edge list with this batch in-memory
           val hist = spark.read
             .parquet(Stats.committedViewDirs(spark, edgesPath): _*)
-            .where(col("__b") < batchId)
+            .where(col("__b") < eb)
             .select(col("u"), col("v"))
           val all = hist.unionByName(edges)
           // store-batch ids are stream-batch + 1: batch=0 is reserved
           // for each store's bootstrap base, and stream batch 0's
           // append must still exceed it
-          val sb = batchId + 1
-          val bootstrap = batchId == 0L ||
+          val sb = eb + 1
+          val bootstrap = (batchIdBase == 0L && batchId == 0L) ||
             Stats.committedViewDirs(spark, ccStorePath).isEmpty
           if (bootstrap) {
             Graph.writeCCStore(edges, col("u"), col("v"), ccStorePath,
@@ -2060,10 +2164,10 @@ object StreamOps {
               filesOut)
           } else {
             Graph.connectedComponentsIncremental(edges, col("u"),
-              col("v"), ccStorePath, batchId): Unit
+              col("v"), ccStorePath, eb): Unit
             Graph.labelPropagationIncremental(all, col("u"), col("v"),
               edges, col("u"), col("v"), seeds, col(seedId),
-              col(seedLabel), iters, labelStorePath, batchId): Unit
+              col(seedLabel), iters, labelStorePath, eb): Unit
           }
           // triangle maintenance: unlike CC/label prop, a RE-SENT edge
           // is not harmless here (it would re-count its triangles), so
@@ -2193,7 +2297,7 @@ object StreamOps {
           }
         }
       }
-      .start()
+      .start())
   }
 
   /** [[compactWindowStoreGen]] for the ER gate's entity dictionary:
@@ -2281,6 +2385,8 @@ object StreamOps {
                          minNovelty: Double = 0.5)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.Overlap
+    leasedStart(spark, Seq(sketchPath),
+        "kmvNoveltyGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -2319,7 +2425,7 @@ object StreamOps {
             .parquet(s"$sketchPath/sketch=$batchId")
         }
       }
-      .start()
+      .start())
   }
 
   /** Streaming corpus-profile drift gate — the continuous form of
@@ -2345,6 +2451,8 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Overlap, Stats}
     require(cols.nonEmpty, "cols must be non-empty")
+    leasedStart(spark, Seq(statePath),
+        "profileDriftGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
@@ -2393,7 +2501,7 @@ object StreamOps {
             .parquet(s"$statePath/sketch=$batchId")
         }
       }
-      .start()
+      .start())
   }
 
   /** Newest committed cumulative sketch store with id < `beforeBatch`

@@ -64,7 +64,10 @@ class DeterminismSpec extends SparkSuite {
     "x_substring_delete", // tombstone-aware window-fp store re-count
     "x_er_delete",        // tombstone-aware dictionary re-gate
     "x_categorical_delete", // reserved-code vocab after retraction
-    "x_closeness")        // all-pairs BFS + integer floor-div sums
+    "x_closeness",        // all-pairs BFS + integer floor-div sums
+    "x_closeness_landmark", // Eppstein-Wang fold over the L pivots
+    "x_closeness_incremental", // store-backed estimator readout
+    "x_retract_deadline") // as-of probes post-vacuum (compliance)
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

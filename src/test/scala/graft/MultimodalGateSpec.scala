@@ -107,26 +107,33 @@ class MultimodalGateSpec extends SparkSuite {
     def mp4(i: Long) = Multimodal.syntheticMp4(i)
     val in = MemoryStream[(Long, String, Array[Byte], Array[Byte],
       Array[Byte])]
-    val q = StreamOps.multimodalGateSink(spark,
+    // the gate and the retraction sink share the four arm stores —
+    // the writer fence forbids them live concurrently, so the gate is
+    // QUIESCED around the takedown and resumes from its checkpoint
+    def startGate() = StreamOps.multimodalGateSink(spark,
       in.toDF().toDF("media_id", "text", "img", "aud", "vid"),
       "media_id", "text", "img", "aud", "vid",
       s"$base/stores", s"$base/out", s"$base/ckpt",
       compactEvery = 2)
     val arms = Seq(s"$base/stores/text", s"$base/stores/img",
       s"$base/stores/aud", s"$base/stores/vid")
+    val q1 = startGate()
     try {
       in.addData(
         (1L, textA, png(1), wav(0), mp4(1)),
         (2L, soup(2), png(4), wav(5), mp4(2)))
-      q.processAllAvailable()
-      // takedown of doc 1 fans into all four arm stores' sets
-      val din = MemoryStream[Long]
-      val dq = StreamOps.retractionGateSink(spark,
-        din.toDF().toDF("id"), "id", None, None, s"$base/dckpt",
-        gateStorePaths = arms)
-      try {
-        din.addData(1L); dq.processAllAvailable()
-      } finally dq.stop()
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // takedown of doc 1 fans into all four arm stores' sets
+    val din = MemoryStream[Long]
+    val dq = StreamOps.retractionGateSink(spark,
+      din.toDF().toDF("id"), "id", None, None, s"$base/dckpt",
+      gateStorePaths = arms)
+    try {
+      din.addData(1L); dq.processAllAvailable()
+    } finally dq.stop()
+    val q = startGate() // sequential resume above the takedown
+    try {
       arms.foreach { p =>
         val del = spark.read.parquet(
             Stats.committedViewDirs(spark, s"${p}_deleted"): _*)

@@ -60,6 +60,10 @@ class QueryPlanBudgetSpec extends SparkSuite {
     // plan unions six staged 1-row picks
     "x_kcenter" -> default.copy(allowCartesian = true,
       maxBroadcasts = 8),
+    // store-backed closeness: the NODE universe unions two
+    // nationTradeEdges derivations (3 broadcast dim joins each) on
+    // top of the estimator's store join — broadcasts, never shuffles
+    "x_closeness_incremental" -> default.copy(maxBroadcasts = 8),
     // MaxSim gate runs BOTH arms (exact cartesian + IVF candidate
     // routing) plus the anti-join compare
     "x_maxsim_ivf_err" -> Budget(maxShuffles = 16, maxSorts = 10,

@@ -1029,9 +1029,16 @@ class StreamOpsSpec extends SparkSuite {
     val docA = "the quick brown fox jumps over the lazy dog " * 10
     val docB = "watermark semantics for stream joins explained " * 8
     val sin = MemoryStream[(Long, String)]
-    val sq = StreamOps.nearDupGateSinkBanded(spark,
+    // the sig store's ingestion gate and the retraction sink share a
+    // store family — the writer fence forbids them LIVE concurrently,
+    // so each phase quiesces the other and resumes from its checkpoint
+    def startSigGate() = StreamOps.nearDupGateSinkBanded(spark,
       sin.toDF().toDF("doc_id", "text"), "doc_id", "text",
       s"$base/sig", s"$base/sigout", s"$base/sigckpt")
+    val sq1 = startSigGate()
+    try {
+      sin.addData((3L, docA), (40L, docB)); sq1.processAllAvailable()
+    } finally sq1.stop()
     val in = MemoryStream[Long]
     val q = StreamOps.retractionGateSink(spark, in.toDF().toDF("id"),
       "id", Some(s"$base/bm25"), Some(s"$base/pq"), s"$base/ckpt",
@@ -1045,9 +1052,13 @@ class StreamOpsSpec extends SparkSuite {
       lmModelPath = Some(s"$base/lm"),
       lmDocs = Some(docs.select(col("doc_id").as("id"), col("text"))))
     try {
-      sin.addData((3L, docA), (40L, docB)); sq.processAllAvailable()
       in.addData(3L, 5L, 17L); q.processAllAvailable()
       in.addData(5L, 23L); q.processAllAvailable() // re-delete + compact
+    } finally q.stop()
+    // sequential resume: the gate restarts from its own checkpoint
+    // after the retraction stream quiesced
+    val sq = startSigGate()
+    try {
       // a retracted doc's signatures no longer suppress new near-dups
       // (100 ~ deleted 3 survives); live history still gates (101 ~ 40
       // drops)
@@ -1149,7 +1160,7 @@ class StreamOpsSpec extends SparkSuite {
       val wantLmM = LanguageModel.lmModel(
         lmFeats(docs.where(!col("doc_id").isin(3L, 5L))))
       assert(keyI(gotLmM) == keyI(wantLmM))
-    } finally { q.stop(); sq.stop() }
+    } finally sq.stop()
   }
 
   test("graphGateSink: streamed edge batches maintain the CC and " +
@@ -1291,6 +1302,21 @@ class StreamOpsSpec extends SparkSuite {
       assert(gotLm == wantLm, s"$gotLm vs $wantLm")
       // b1's bridge (3,10) pulled 10 within reach of both landmarks
       assert(gotLm.contains((10L, 1L, 3)) && gotLm.contains((10L, 2L, 2)))
+      // the store-backed closeness readout (one |V|·L pass over the
+      // maintained sketch, never a re-BFS) ≡ the estimator over the
+      // from-scratch union sketch with the same frozen pivots
+      val unionNodes = union.select(col("a").as("id"))
+        .union(union.select(col("b").as("id"))).distinct()
+      val gotHc = Graph.harmonicClosenessLandmark(
+          Graph.landmarkStoreDistances(spark, s"$base/lm"), unionNodes)
+        .as[(Long, Long)].collect().toMap
+      val wantHc = Graph.harmonicClosenessLandmark(
+          Graph.landmarkDistances(union, col("a"), col("b"),
+            maxDepth = 3, pivots = Some(Seq(1L, 2L).toDF("lm"))),
+          unionNodes)
+        .as[(Long, Long)].collect().toMap
+      assert(gotHc == wantHc, s"$gotHc vs $wantHc")
+      assert(gotHc(10L) == 1000000L / 3 + 1000000L / 2)
       // SCC (the one DIRECTED form): the maintained assignment must
       // equal from-scratch SCC over the union read u → v — b2's
       // (2,1) + (1,31),(31,2) close the {1, 2, 31} cycle across

@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.operators.Stats
+
+/** The store-family writer fence: the quiesce contract between
+  * ingestion gates and retraction sinks, machine-checked. A second
+  * concurrent writer on one gen=/batch= sequence interleaves appends
+  * and deletes (the retraction sink resolves its batch base ONCE at
+  * start), so the conflicting sink must fail FAST with a named error
+  * — not lose the interleave later in whichever guard happens to see
+  * it first.
+  */
+class WriterLeaseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("a retraction sink on a LIVE ingestion gate's store family " +
+      "fails fast with ConcurrentWriterException; after the gate " +
+      "stops, the sequential resume works and the takedown applies") {
+    import graft.operators.Retrieval
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-lease-${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.bm25IndexGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/idx", s"$base/ckpt")
+    try {
+      in.addData((1L, "merge sort beats bubble sort"),
+        (2L, "spark executes the merge join"))
+      q.processAllAvailable()
+      // the gate is LIVE: a retraction sink on the same index family
+      // must refuse at construction, in the caller's thread
+      val din = MemoryStream[Long]
+      val ex = intercept[Stats.ConcurrentWriterException] {
+        StreamOps.retractionGateSink(spark, din.toDF().toDF("id"),
+          "id", Some(s"$base/idx"), None, s"$base/dckpt")
+      }
+      assert(ex.getMessage.contains("leased by") &&
+        ex.getMessage.contains("retractionGateSink"))
+      // the failed claim must not have poisoned the family: the gate
+      // keeps ingesting
+      in.addData((3L, "window functions rank rows"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // sequential resume: the holder terminated, so the fence reclaims
+    // the lease even if the async release listener has not fired yet
+    val din2 = MemoryStream[Long]
+    val dq = StreamOps.retractionGateSink(spark,
+      din2.toDF().toDF("id"), "id", Some(s"$base/idx"), None,
+      s"$base/dckpt2")
+    try {
+      din2.addData(1L); dq.processAllAvailable()
+      val got = Retrieval.bm25TopKIndexed(spark, s"$base/idx",
+          Seq("merge"), k = 10)
+        .select(col("id")).as[Long].collect().toSet
+      assert(got == Set(2L), s"got $got")
+    } finally dq.stop()
+    // and the other direction: the retraction sink stopped, so the
+    // GATE can resume ingestion on the family
+    val q2 = StreamOps.bm25IndexGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/idx", s"$base/ckpt",
+      batchIdBase = Stats.supersedingToken(spark, Seq(s"$base/idx/stats")))
+    try {
+      in.addData((4L, "merge intervals greedily"))
+      q2.processAllAvailable()
+      val got = Retrieval.bm25TopKIndexed(spark, s"$base/idx",
+          Seq("merge"), k = 10)
+        .select(col("id")).as[Long].collect().toSet
+      assert(got == Set(2L, 4L), s"got $got")
+    } finally q2.stop()
+  }
+
+  test("graphRetractionSink vs a live graphGateSink on one edge " +
+      "family: the named conflict; a DISJOINT family coexists; and " +
+      "the full quiesce → retract → resume-above-rebuild cycle " +
+      "maintains the CC store exactly") {
+    import graft.operators.Graph
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-glease-${System.nanoTime()}"
+    val seeds = Seq((1L, "en")).toDF("sid", "slabel")
+    val in = MemoryStream[(Long, Long)]
+    def startGate(baseId: Long) = StreamOps.graphGateSink(spark,
+      in.toDF().toDF("a", "b"), "a", "b", seeds, "sid", "slabel",
+      iters = 1, s"$base/edges", s"$base/cc", s"$base/lp",
+      s"$base/ckpt", batchIdBase = baseId)
+    val q = startGate(0L)
+    try {
+      // chain 1-2-3-4: node 3 is a cut vertex (its takedown SPLITS)
+      in.addData((1L, 2L), (2L, 3L), (3L, 4L)); q.processAllAvailable()
+      val din = MemoryStream[Long]
+      intercept[Stats.ConcurrentWriterException] {
+        StreamOps.graphRetractionSink(spark, din.toDF().toDF("id"),
+          "id", s"$base/edges", s"$base/gckpt")
+      }
+      // a different edge family is not fenced by this gate
+      val oin = MemoryStream[Long]
+      val oq = StreamOps.graphRetractionSink(spark,
+        oin.toDF().toDF("id"), "id", s"$base/other_edges",
+        s"$base/ockpt")
+      try {
+        oin.addData(99L); oq.processAllAvailable()
+      } finally oq.stop()
+    } finally q.stop()
+    // quiesce → retract node 3 (rebuild-on-retract, compaction cycle)
+    val din2 = MemoryStream[Long]
+    val dq = StreamOps.graphRetractionSink(spark,
+      din2.toDF().toDF("id"), "id", s"$base/edges", s"$base/gckpt2",
+      ccStorePath = Some(s"$base/cc"), compactEvery = 1)
+    try {
+      din2.addData(3L); dq.processAllAvailable()
+      assert(Graph.ccStoreLabels(spark, s"$base/cc")
+        .as[(Long, Long)].collect().toMap == Map(1L -> 1L, 2L -> 1L))
+    } finally dq.stop()
+    // resume ingestion ABOVE the rebuild generations: batchIdBase =
+    // the superseding token over the family's stores — the next batch
+    // maintains the store exactly over (survivors ∪ new edges)
+    val q2 = startGate(Stats.supersedingToken(spark,
+      Seq(s"$base/edges", s"$base/cc",
+        s"$base/cc_bycomp", s"$base/lp")))
+    try {
+      in.addData((4L, 5L), (2L, 1L)); q2.processAllAvailable()
+      val got = Graph.ccStoreLabels(spark, s"$base/cc")
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 4L -> 4L, 5L -> 4L),
+        s"got $got")
+    } finally q2.stop()
+  }
+
+  test("a foreign process's lease is never silently reclaimed — " +
+      "operator break via releaseWriterLease; rolled-back claims " +
+      "release every root acquired before the conflict") {
+    val root = s"/tmp/graft-flease-${System.nanoTime()}"
+    val held = s"$root/held"
+    val free = s"$root/free"
+    new java.io.File(root).mkdirs()
+    // a lease left by ANOTHER app (crashed or live — the fence cannot
+    // tell, so it must refuse either way)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(Stats.writerLeasePath(held)),
+      "owner=someSink;app=application_other_123".getBytes("UTF-8"))
+    val ex = intercept[Stats.ConcurrentWriterException] {
+      // `free` sorts before `held`: the claim on `free` succeeds,
+      // then the conflict on `held` must roll it back
+      Stats.acquireWriterLease(spark, Seq(held, free), "me")
+    }
+    assert(ex.getMessage.contains("releaseWriterLease"))
+    assert(!new java.io.File(Stats.writerLeasePath(free)).exists,
+      "rolled-back claim left a stale lease")
+    // operator break, then the claim goes through
+    Stats.releaseWriterLease(spark, Seq(held))
+    Stats.acquireWriterLease(spark, Seq(held, free), "me")
+    assert(new java.io.File(Stats.writerLeasePath(held)).exists)
+    Stats.releaseWriterLease(spark, Seq(held, free))
+    assert(!new java.io.File(Stats.writerLeasePath(held)).exists)
+  }
+}
