@@ -61,10 +61,23 @@ object Bench {
           }
         }
       })
+    // hypervisor steal time (/proc/stat cpu field 8, jiffies): this
+    // container is a guest VM, and co-tenant bursts on the HOST are
+    // invisible to in-guest process accounting — a per-query stealSec
+    // reading is the only in-band signal that a slow line was the
+    // host's fault, not the query's (r14: a live burst inflated the
+    // alphabetically contiguous x_q*-x_s* stretch 4x mid-window while
+    // guest load was idle; steal was the smoking gun)
+    def stealJiffies(): Long = try {
+      val l = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      l.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
+    } catch { case _: Throwable => 0L }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       val sp0 = spilled.get(); val gc0 = gcTime.get()
+      val st0 = stealJiffies()
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => }
       val warm = (System.nanoTime() - w0) / 1e9
@@ -80,7 +93,8 @@ object Bench {
         f" rdds=${stor.length}%d memMB=${
           stor.map(_.memSize).sum / (1024 * 1024)}%d" +
         f" spillMB=${(spilled.get() - sp0) / (1024 * 1024)}%d" +
-        f" gcSec=${(gcTime.get() - gc0) / 1000.0}%.1f")
+        f" gcSec=${(gcTime.get() - gc0) / 1000.0}%.1f" +
+        f" stealSec=${(stealJiffies() - st0) / 100.0}%.1f")
       if (freeBetween) graft.operators.Checkpoints.freeTransient(spark)
       name -> times.min
     }

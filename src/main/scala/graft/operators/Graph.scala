@@ -1896,8 +1896,9 @@ object Graph {
   private def labelStateAll(spark: org.apache.spark.sql.SparkSession,
                             storeDir: String,
                             beforeBatch: Long): DataFrame = {
-    val dirs = Stats.committedViewDirs(spark, storeDir)
-    spark.read.parquet(dirs: _*)
+    Stats.openCommittedStore(spark, storeDir,
+        Seq("__round" -> "int", "id" -> "bigint",
+          "label" -> "*", "__b" -> "bigint"), "labelStore")
       .where(col("__b") < beforeBatch)
       .groupBy(col("__round"), col("id"))
       .agg(max(struct(col("__b"), col("label"))).as("m"))

@@ -476,7 +476,9 @@ object Stats {
     * Types are `DataType.simpleString` renders ("bigint", "int",
     * "array<bigint>", …). Empty stores behave exactly as the
     * unguarded read did (the caller's committed-content probe is the
-    * emptiness contract, not this).
+    * emptiness contract, not this). An expected type of `"*"` checks
+    * the column's PRESENCE only — for payload columns whose type
+    * legitimately follows the corpus (e.g. a label store's label).
     */
   def openCommittedStore(spark: SparkSession, root: String,
                          expected: Seq[(String, String)],
@@ -487,8 +489,12 @@ object Stats {
     val df = spark.read.parquet(committedViewDirs(spark, root): _*)
     val found = df.schema.fields
       .map(f => f.name -> f.dataType.simpleString).toSeq
-    if (found.map { case (n, t) => n -> canon(t) }.toMap !=
-        expected.map { case (n, t) => n -> canon(t) }.toMap)
+    val foundM = found.map { case (n, t) => n -> canon(t) }.toMap
+    val ok = foundM.keySet == expected.map(_._1).toSet &&
+      expected.forall { case (n, t) =>
+        t == "*" || foundM.get(n).contains(canon(t))
+      }
+    if (!ok)
       throw new StoreSchemaException(
         s"$who: store at $root has a drifted schema — expected {" +
           expected.map { case (n, t) => s"$n: $t" }.mkString(", ") +

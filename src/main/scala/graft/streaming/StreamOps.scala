@@ -1241,7 +1241,21 @@ object StreamOps {
                                    cols: Seq[String]): Option[DataFrame] = {
     val paths = storeViewDirs(spark, storePath).map(_.toString)
     if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*).select(cols.map(col): _*))
+    else {
+      val df = spark.read.parquet(paths: _*)
+      // name-level schema guard (the gate stores' column TYPES follow
+      // the corpus, so the caller declares names only): a drifted or
+      // wrongly-mounted store dir fails loudly with the path, not an
+      // unresolved-column analysis error deep in the gate's plan
+      val missing = cols.filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw new graft.operators.Stats.StoreSchemaException(
+          s"gate store at $storePath has a drifted schema — expected " +
+            s"columns {${cols.mkString(", ")}}, found " +
+            s"{${df.columns.mkString(", ")}} (missing: " +
+            s"${missing.mkString(", ")})")
+      Some(df.select(cols.map(col): _*))
+    }
   }
 
   /** Streaming DSIR selection gate ([[graft.operators.Selection]], the

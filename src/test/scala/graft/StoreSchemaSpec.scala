@@ -36,4 +36,17 @@ class StoreSchemaSpec extends SparkSuite {
     }
     assert(ex2.getMessage.contains("pageRankStore"), ex2.getMessage)
   }
+
+  test("gate stores (name-declared columns) fail loudly on a missing " +
+      "column with the store path, not an unresolved-column error") {
+    val base = s"/tmp/graft-gateguard-${System.nanoTime()}"
+    Seq((1L, 2L)).toDF("wrong", "cols")
+      .write.parquet(s"$base/store/batch=0")
+    val ex = intercept[Stats.StoreSchemaException] {
+      graft.streaming.StreamOps.gateStoreView(spark, s"$base/store",
+        Seq("band", "bucket", "id", "sig"))
+    }
+    assert(ex.getMessage.contains(s"$base/store") &&
+      ex.getMessage.contains("missing"), ex.getMessage)
+  }
 }
