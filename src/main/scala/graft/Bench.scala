@@ -73,6 +73,7 @@ object Bench {
         java.nio.file.Paths.get("/proc/stat")).get(0)
       l.trim.split("\\s+").drop(1).lift(7).map(_.toLong).getOrElse(0L)
     } catch { case _: Throwable => 0L }
+    val winSteal0 = stealJiffies()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -99,13 +100,17 @@ object Bench {
       name -> times.min
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // window-total hypervisor steal (cpu-seconds): the in-band
+    // contention signal — a window with hundreds of stolen cpu-seconds
+    // is adjudicating the HOST, not this code (see ROUND_NOTES_r14 §1b)
+    val stealSec = (stealJiffies() - winSteal0) / 100.0
     // Full-precision per-query timings → file (the driver captures only
     // the last 2000 chars of output, so the stdout line must stay small;
     // BENCH_r02 proved a full 92-query map overflows that window and
     // parses as null).
     val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":{""",
+        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"steal_sec":$stealSec,"queries":{""",
         ",", s"""},"sf":"$sfDir"}""")
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
@@ -136,7 +141,7 @@ object Bench {
     def line(names: Seq[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"steal_sec":$stealSec%.1f,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     val out = {
       val l = line(headline)
