@@ -129,6 +129,32 @@ class WriterLeaseSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("two writers RACING to claim one family: exactly one wins " +
+      "(the holder registry's putIfAbsent is the intra-process " +
+      "arbiter, not the lease file)") {
+    val root = s"/tmp/graft-rlease-${System.nanoTime()}/store"
+    new java.io.File(root).getParentFile.mkdirs()
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val ts = (1 to 2).map { i =>
+      new Thread(() => {
+        gate.await()
+        try {
+          Stats.acquireWriterLease(spark, Seq(root), s"racer$i")
+          wins.incrementAndGet(): Unit
+        } catch {
+          case _: Stats.ConcurrentWriterException =>
+            losses.incrementAndGet(): Unit
+        }
+      })
+    }
+    ts.foreach(_.start()); gate.countDown(); ts.foreach(_.join())
+    assert(wins.get == 1 && losses.get == 1,
+      s"wins=${wins.get} losses=${losses.get}")
+    Stats.releaseWriterLease(spark, Seq(root))
+  }
+
   test("a foreign process's lease is never silently reclaimed — " +
       "operator break via releaseWriterLease; rolled-back claims " +
       "release every root acquired before the conflict") {
