@@ -1968,7 +1968,10 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     val tombRoot = s"${edgesPath}_deleted_nodes"
-    leasedStart(spark, Seq(edgesPath),
+    leasedStart(spark, Seq(edgesPath) ++ ccStorePath ++
+        sccStorePath ++ landmarkStorePath ++ triStorePath ++
+        kcoreStorePath ++ prStorePath ++ hitsStorePath ++
+        louvainStorePath ++ labelStorePath,
         "graphRetractionSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -2137,7 +2140,10 @@ object StreamOps {
                     batchIdBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
-    leasedStart(spark, Seq(edgesPath),
+    leasedStart(spark, Seq(edgesPath, ccStorePath,
+        labelStorePath) ++ triStorePath ++ kcoreStorePath ++
+        prStorePath ++ hitsStorePath ++ louvainStorePath ++
+        landmarkStorePath ++ sccStorePath,
         "graphGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
