@@ -734,21 +734,23 @@ object RetrievalQueries {
       Graph.sccStoreAssign(s, store).orderBy(col("id"))
     }),
 
-    // The dependency-graph readout FROM the incremental store: after
-    // the batch lands, condensation levels + member counts recompute
-    // over the STORED condensation (≤ #SCCs nodes, stale labels
-    // mapped at read) — the original edge list is never touched.
+    // The dependency-graph readout FROM the incremental store: the
+    // batch lands ONCE at build (maintenance rides its cadence and is
+    // priced by x_scc_incremental, the apply's own query), then
+    // condensation levels + member counts recompute over the STORED
+    // condensation (≤ #SCCs nodes, stale labels mapped at read) — the
+    // original edge list is never touched by the measured readout.
     // Hash-checked against the same recursive DAG-path oracle as
     // x_scc_levels (the union graph is the x_scc fixture).
     "x_scc_levels_incremental" -> ((s, d) => {
-      val store = ArtifactMemo.dirFor("sccstore", d) { p =>
+      val store = ArtifactMemo.dirFor("sccstoreb", d) { p =>
         Graph.writeSccStore(
           sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 0),
           col("src"), col("dst"), p)
-      }
-      Graph.sccIncremental(
+        Graph.sccIncremental(
           sparseDirectedTrade(s, d, col("l_orderkey") % 58 === 29),
-          col("src"), col("dst"), store, batchId = 1L): Unit
+          col("src"), col("dst"), p, batchId = 1L): Unit
+      }
       Graph.sccStoreLevels(s, store)
         .orderBy(col("scc"))
     }),
