@@ -88,6 +88,10 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
       val stor = spark.sparkContext.getRDDStorageInfo
+      // per-query hypervisor steal over warmup+timed runs — committed
+      // into bench_full.json (not just stderr) so round-over-round
+      // flag adjudication can read the contention column in-band
+      val qSteal = (stealJiffies() - st0) / 100.0
       System.err.println(f"[bench] $name warm=$warm%.2f " +
         times.zipWithIndex.map { case (t, i) => f"t${i + 1}=$t%.2f" }
           .mkString(" ") +
@@ -95,9 +99,9 @@ object Bench {
           stor.map(_.memSize).sum / (1024 * 1024)}%d" +
         f" spillMB=${(spilled.get() - sp0) / (1024 * 1024)}%d" +
         f" gcSec=${(gcTime.get() - gc0) / 1000.0}%.1f" +
-        f" stealSec=${(stealJiffies() - st0) / 100.0}%.1f")
+        f" stealSec=$qSteal%.1f")
       if (freeBetween) graft.operators.Checkpoints.freeTransient(spark)
-      name -> times.min
+      (name, times.min, qSteal)
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // window-total hypervisor steal (cpu-seconds): the in-band
@@ -108,10 +112,14 @@ object Bench {
     // the last 2000 chars of output, so the stdout line must stay small;
     // BENCH_r02 proved a full 92-query map overflows that window and
     // parses as null).
-    val fullJson = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString(
-        s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"steal_sec":$stealSec,"queries":{""",
-        ",", s"""},"sf":"$sfDir"}""")
+    val fullJson = {
+      val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val steals = results
+        .map { case (k, _, s) => f""""$k":$s%.1f""" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"steal_sec":$stealSec,"queries":$qs,"steals":$steals,"sf":"$sfDir"}"""
+    }
     try {
       val p = java.nio.file.Paths.get("target/bench_full.json")
       java.nio.file.Files.createDirectories(p.getParent)
@@ -137,7 +145,7 @@ object Bench {
       "r_asof_native", "r_session_window",
       "x_embed_lsh_clusters", "x_cc_chain", "x_image_meta",
       "x_heavy_hitters", "r_interval_join")
-    val byName = results.toMap
+    val byName = results.map { case (k, v, _) => k -> v }.toMap
     def line(names: Seq[String]): String = {
       val qs = names.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
         .mkString("{", ",", "}")

@@ -494,7 +494,9 @@ object Curation {
   def writeWindowStore(df: DataFrame, id: Column, text: Column,
                        storeDir: String, manifestPath: String,
                        filesOut: Int, window: Int = 40,
-                       anchorLen: Int = 8, anchorMod: Int = 16): Unit = {
+                       anchorLen: Int = 8, anchorMod: Int = 16): Unit =
+    Stats.withWriterLease(df.sparkSession, Seq(storeDir),
+        "writeWindowStore(batch)") {
     val spark = df.sparkSession
     windowFpRows(df, id, text, window, anchorLen, anchorMod)
       .select(col("fp"), col("id"))
@@ -513,7 +515,9 @@ object Curation {
   def appendWindowStore(df: DataFrame, id: Column, text: Column,
                         storeDir: String, manifestPath: String,
                         filesOut: Int, window: Int = 40,
-                        anchorLen: Int = 8, anchorMod: Int = 16): Unit = {
+                        anchorLen: Int = 8, anchorMod: Int = 16): Unit =
+    Stats.withWriterLease(df.sparkSession, Seq(storeDir),
+        "appendWindowStore(batch)") {
     val spark = df.sparkSession
     windowFpRows(df, id, text, window, anchorLen, anchorMod)
       .select(col("fp"), col("id"))
@@ -532,7 +536,9 @@ object Curation {
     * follows the NEW clustering. Returns the rewritten row count.
     */
   def compactWindowStore(spark: SparkSession, storeDir: String,
-                         manifestPath: String, filesOut: Int): Long = {
+                         manifestPath: String, filesOut: Int): Long =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactWindowStore(batch)") {
     val side = s"$storeDir.compacting"
     val n = Layout.compact(spark, storeDir, side, filesOut,
       clusterBy = Seq("fp"))

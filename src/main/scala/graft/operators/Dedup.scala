@@ -431,7 +431,9 @@ object Dedup {
     */
   def writeBandedSigStore(sigs: DataFrame, storeDir: String,
                           manifestPath: String, filesOut: Int,
-                          rowsPerBand: Int = 4): Unit = {
+                          rowsPerBand: Int = 4): Unit =
+    Stats.withWriterLease(sigs.sparkSession, Seq(storeDir),
+        "writeBandedSigStore(batch)") {
     val spark = sigs.sparkSession
     lshBuckets(sigs.select(col("id"), col("sig")), rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
@@ -452,7 +454,9 @@ object Dedup {
     */
   def appendBandedSigStore(sigs: DataFrame, storeDir: String,
                            manifestPath: String, filesOut: Int,
-                           rowsPerBand: Int = 4): Unit = {
+                           rowsPerBand: Int = 4): Unit =
+    Stats.withWriterLease(sigs.sparkSession, Seq(storeDir),
+        "appendBandedSigStore(batch)") {
     val spark = sigs.sparkSession
     lshBuckets(sigs.select(col("id"), col("sig")), rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
@@ -1034,7 +1038,9 @@ object Dedup {
     * bytes and multiprobe remains a read parameter.
     */
   def writeCodeStore(codes: DataFrame, storeDir: String,
-                     manifestPath: String, filesOut: Int): Unit = {
+                     manifestPath: String, filesOut: Int): Unit =
+    Stats.withWriterLease(codes.sparkSession, Seq(storeDir),
+        "writeCodeStore(batch)") {
     val spark = codes.sparkSession
     codes.select(col("id"), col("table"), col("bucket"))
       .repartitionByRange(filesOut, col("table"), col("bucket"))
@@ -1050,7 +1056,9 @@ object Dedup {
     * (table, bucket) + [[Stats.writeManifest]]).
     */
   def appendCodeStore(codes: DataFrame, storeDir: String,
-                      manifestPath: String, filesOut: Int): Unit = {
+                      manifestPath: String, filesOut: Int): Unit =
+    Stats.withWriterLease(codes.sparkSession, Seq(storeDir),
+        "appendCodeStore(batch)") {
     val spark = codes.sparkSession
     codes.select(col("id"), col("table"), col("bucket"))
       .repartitionByRange(filesOut, col("table"), col("bucket"))

@@ -792,7 +792,9 @@ object Graph {
     */
   def writeLandmarkStore(edges: DataFrame, a: Column, b: Column,
                          landmarks: Int, maxDepth: Int,
-                         storeDir: String, filesOut: Int = 4): Unit = {
+                         storeDir: String, filesOut: Int = 4): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeLandmarkStore(batch)") {
     landmarkDistances(edges, a, b, landmarks, maxDepth)
       .select(col("id"), col("lm"), col("dist"), lit(0L).as("__b"))
       .repartitionByRange(filesOut, col("id"))
@@ -963,7 +965,9 @@ object Graph {
     */
   def compactLandmarkStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, filesOut: Int = 4)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactLandmarkStore(batch)") {
     val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"), col("lm"))
         .agg(min(struct(col("dist"), col("__b"))).as("m"))
@@ -1002,7 +1006,9 @@ object Graph {
                            b: Column, storeDir: String,
                            deletedNodes: Option[DataFrame] = None,
                            maxDepth: Int = 6, filesOut: Int = 4)
-      : Long = {
+      : Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildLandmarkStore(batch)") {
     val spark = survivingEdges.sparkSession
     val storedLms = landmarkStoreDistances(spark, storeDir)
       .where(col("dist") === 0)
@@ -1205,7 +1211,9 @@ object Graph {
                          iters: Int, storeDir: String,
                          filesOut: Int = 4, dampNum: Long = 85,
                          dampDen: Long = 100, scale: Long = 1000000L,
-                         broadcastLimit: Long = 4000000L): Unit = {
+                         broadcastLimit: Long = 4000000L): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writePageRankStore(batch)") {
     pageRank(edges, src, dst, iters, dampNum, dampDen, scale,
         broadcastLimit)
       .select(col("id"), col("rank"), lit(0L).as("__b"))
@@ -1232,7 +1240,9 @@ object Graph {
                            dst: Column, iters: Int, storeDir: String,
                            filesOut: Int = 4, dampNum: Long = 85,
                            dampDen: Long = 100, scale: Long = 1000000L,
-                           broadcastLimit: Long = 4000000L): Long = {
+                           broadcastLimit: Long = 4000000L): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildPageRankStore(batch)") {
     val spark = survivingEdges.sparkSession
     val tok = Stats.supersedingToken(spark, Seq(storeDir))
     pageRank(survivingEdges, src, dst, iters, dampNum, dampDen, scale,
@@ -1313,7 +1323,9 @@ object Graph {
   /** Fold the PageRank store's batches, newest winning per id. */
   def compactPageRankStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, filesOut: Int = 4)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactPageRankStore(batch)") {
     val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("rank"))).as("m"))
@@ -1335,7 +1347,9 @@ object Graph {
   def writeHitsStore(edges: DataFrame, src: Column, dst: Column,
                      iters: Int, storeDir: String, filesOut: Int = 4,
                      scale: Long = 1000000L,
-                     broadcastLimit: Long = 4000000L): Unit = {
+                     broadcastLimit: Long = 4000000L): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeHitsStore(batch)") {
     hits(edges, src, dst, iters, scale, broadcastLimit)
       .select(col("id"), col("hub"), col("auth"), lit(0L).as("__b"))
       .repartitionByRange(filesOut, col("id"))
@@ -1354,7 +1368,9 @@ object Graph {
   def rebuildHitsStore(survivingEdges: DataFrame, src: Column,
                        dst: Column, iters: Int, storeDir: String,
                        filesOut: Int = 4, scale: Long = 1000000L,
-                       broadcastLimit: Long = 4000000L): Long = {
+                       broadcastLimit: Long = 4000000L): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildHitsStore(batch)") {
     val spark = survivingEdges.sparkSession
     val tok = Stats.supersedingToken(spark, Seq(storeDir))
     hits(survivingEdges, src, dst, iters, scale, broadcastLimit)
@@ -1430,7 +1446,9 @@ object Graph {
   /** Fold the HITS store's batches, newest winning per id. */
   def compactHitsStore(spark: org.apache.spark.sql.SparkSession,
                        storeDir: String, filesOut: Int = 4)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactHitsStore(batch)") {
     val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("hub"), col("auth"))).as("m"))
@@ -1667,7 +1685,9 @@ object Graph {
                         rounds: Int, storeDir: String,
                         filesOut: Int = 4,
                         weight: Option[Column] = None,
-                        broadcastLimit: Long = 4000000L): Unit = {
+                        broadcastLimit: Long = 4000000L): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeLouvainStore(batch)") {
     louvain(edges, a, b, rounds, weight, broadcastLimit)
       .select(col("id"), col("community").as("c"), lit(0L).as("__b"))
       .repartitionByRange(filesOut, col("id"))
@@ -1689,7 +1709,9 @@ object Graph {
                           b: Column, rounds: Int, storeDir: String,
                           filesOut: Int = 4,
                           weight: Option[Column] = None,
-                          broadcastLimit: Long = 4000000L): Long = {
+                          broadcastLimit: Long = 4000000L): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildLouvainStore(batch)") {
     val spark = survivingEdges.sparkSession
     val tok = Stats.supersedingToken(spark, Seq(storeDir))
     louvain(survivingEdges, a, b, rounds, weight, broadcastLimit)
@@ -1760,7 +1782,9 @@ object Graph {
   /** Fold the Louvain store's batches, newest winning per id. */
   def compactLouvainStore(spark: org.apache.spark.sql.SparkSession,
                           storeDir: String, filesOut: Int = 4)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactLouvainStore(batch)") {
     val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("c"))).as("m"))
@@ -1921,12 +1945,15 @@ object Graph {
                       iters: Int, storeDir: String,
                       filesOut: Int = 4,
                       broadcastLimit: Long = 4000000L): Unit =
-    labelStateRoundSlices(edges, a, b, seeds, seedId, seedLabel,
-        iters, broadcastLimit, bTok = 0L)
-      .repartitionByRange(filesOut, col("__round"), col("id"))
-      .sortWithinPartitions(col("__round"), col("id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$storeDir/batch=0")
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeLabelState(batch)") {
+      labelStateRoundSlices(edges, a, b, seeds, seedId, seedLabel,
+          iters, broadcastLimit, bTok = 0L)
+        .repartitionByRange(filesOut, col("__round"), col("id"))
+        .sortWithinPartitions(col("__round"), col("id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$storeDir/batch=0")
+    }
 
   /** RETRACTION for the label-propagation state store — the
     * fixed-round vote history cannot subtract a deleted node's votes
@@ -1942,7 +1969,9 @@ object Graph {
                         b: Column, survivingSeeds: DataFrame,
                         seedId: Column, seedLabel: Column, iters: Int,
                         storeDir: String, filesOut: Int = 4,
-                        broadcastLimit: Long = 4000000L): Long = {
+                        broadcastLimit: Long = 4000000L): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildLabelState(batch)") {
     val spark = survivingEdges.sparkSession
     val tok = Stats.supersedingToken(spark, Seq(storeDir))
     labelStateRoundSlices(survivingEdges, a, b, survivingSeeds,
@@ -2173,13 +2202,16 @@ object Graph {
   def compactLabelState(spark: org.apache.spark.sql.SparkSession,
                         storeDir: String, filesOut: Int = 4)
       : Option[Long] =
-    Stats.compactCommittedStore(spark, storeDir,
-      _.groupBy(col("__round"), col("id"))
-        .agg(max(struct(col("__b"), col("label"))).as("m"))
-        .select(col("__round"), col("id"), col("m.label").as("label"),
-          col("m.__b").as("__b"))
-        .repartitionByRange(filesOut, col("__round"), col("id"))
-        .sortWithinPartitions(col("__round"), col("id")))
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactLabelState(batch)") {
+      Stats.compactCommittedStore(spark, storeDir,
+        _.groupBy(col("__round"), col("id"))
+          .agg(max(struct(col("__b"), col("label"))).as("m"))
+          .select(col("__round"), col("id"), col("m.label").as("label"),
+            col("m.__b").as("__b"))
+          .repartitionByRange(filesOut, col("__round"), col("id"))
+          .sortWithinPartitions(col("__round"), col("id")))
+    }
 
   /** Per-node triangle counts over an undirected edge list — the local
     * clustering signal of a near-dup graph: a candidate edge whose
@@ -2293,7 +2325,9 @@ object Graph {
     */
   def writeTriangleStore(edges: DataFrame, a: Column, b: Column,
                          storeDir: String, filesOut: Int = 4,
-                         broadcastLimit: Long = 4000000L): Unit = {
+                         broadcastLimit: Long = 4000000L): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeTriangleStore(batch)") {
     triangleCounts(edges, a, b, broadcastLimit)
       .select(col("id"), col("n_tri"), lit(0L).as("__b"))
       .repartitionByRange(filesOut, col("id"))
@@ -2469,7 +2503,9 @@ object Graph {
   def rebuildTriangleStore(survivingEdges: DataFrame, a: Column,
                            b: Column, storeDir: String,
                            filesOut: Int = 4,
-                           broadcastLimit: Long = 4000000L): Long = {
+                           broadcastLimit: Long = 4000000L): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildTriangleStore(batch)") {
     val spark = survivingEdges.sparkSession
     val tok = Stats.supersedingToken(spark, Seq(storeDir))
     triangleCounts(survivingEdges, a, b, broadcastLimit)
@@ -2484,7 +2520,9 @@ object Graph {
 
   def compactTriangleStore(spark: org.apache.spark.sql.SparkSession,
                            storeDir: String, filesOut: Int = 4)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactTriangleStore(batch)") {
     val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("n_tri"))).as("m"))
@@ -2925,7 +2963,9 @@ object Graph {
     * pattern, directed.
     */
   def writeSccStore(edges: DataFrame, src: Column, dst: Column,
-                    storeDir: String, filesOut: Int = 1): Unit = {
+                    storeDir: String, filesOut: Int = 1): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeSccStore(batch)") {
     val e0 = Checkpoints.stage(
       edges.select(src.cast("long").as("src"),
           dst.cast("long").as("dst"))
@@ -3109,7 +3149,9 @@ object Graph {
     */
   def rebuildSccStore(survivingEdges: DataFrame, src: Column,
                       dst: Column, storeDir: String,
-                      filesOut: Int = 1): Long = {
+                      filesOut: Int = 1): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildSccStore(batch)") {
     val spark = survivingEdges.sparkSession
     val tok = Stats.supersedingToken(spark,
       Seq(s"$storeDir/assign", s"$storeDir/cedges"))
@@ -3149,7 +3191,9 @@ object Graph {
     */
   def compactSccStore(spark: org.apache.spark.sql.SparkSession,
                       storeDir: String, filesOut: Int = 1)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactSccStore(batch)") {
     val tok = Stats.compactCommittedStore(spark, s"$storeDir/assign",
       _.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("scc"))).as("m"))
@@ -3186,7 +3230,9 @@ object Graph {
     * both sibling footer manifests.
     */
   def writeCCStore(edges: DataFrame, a: Column, b: Column,
-                   storeDir: String, filesOut: Int = 4): Unit = {
+                   storeDir: String, filesOut: Int = 4): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeCCStore(batch)") {
     val spark = edges.sparkSession
     val labels = Checkpoints.stage(connectedComponents(edges, a, b)
       .select(col("id"), col("comp"), lit(0L).as("__b")))
@@ -3222,7 +3268,9 @@ object Graph {
     * batches continue above the generation (monotone-guarded).
     */
   def rebuildCCStore(survivingEdges: DataFrame, a: Column, b: Column,
-                     storeDir: String, filesOut: Int = 4): Long = {
+                     storeDir: String, filesOut: Int = 4): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildCCStore(batch)") {
     val spark = survivingEdges.sparkSession
     val byComp = ccByCompDir(storeDir)
     val tok = Stats.supersedingToken(spark, Seq(storeDir, byComp))
@@ -3455,7 +3503,9 @@ object Graph {
     * manifests.
     */
   def compactCCStore(spark: org.apache.spark.sql.SparkSession,
-                     storeDir: String, filesOut: Int = 4): Option[Long] = {
+                     storeDir: String, filesOut: Int = 4): Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactCCStore(batch)") {
     def currentRows(df: DataFrame): DataFrame =
       df.groupBy(col("id"))
         .agg(max(struct(col("__b"), col("comp"))).as("m"))
@@ -3490,7 +3540,9 @@ object Graph {
   def writeKCoreStore(edges: DataFrame, a: Column, b: Column, k: Int,
                       storeDir: String, filesOut: Int = 4,
                       maxRounds: Int = 50,
-                      broadcastLimit: Long = 4000000L): Unit = {
+                      broadcastLimit: Long = 4000000L): Unit =
+    Stats.withWriterLease(edges.sparkSession, Seq(storeDir),
+        "writeKCoreStore(batch)") {
     kCore(edges, a, b, k, maxRounds, broadcastLimit)
       .select(col("id"), lit(0L).as("__b"))
       .repartitionByRange(filesOut, col("id"))
@@ -3514,7 +3566,9 @@ object Graph {
   def rebuildKCoreStore(survivingEdges: DataFrame, a: Column,
                         b: Column, k: Int, storeDir: String,
                         filesOut: Int = 4, maxRounds: Int = 50,
-                        broadcastLimit: Long = 4000000L): Long = {
+                        broadcastLimit: Long = 4000000L): Long =
+    Stats.withWriterLease(survivingEdges.sparkSession, Seq(storeDir),
+        "rebuildKCoreStore(batch)") {
     val spark = survivingEdges.sparkSession
     val tok = Stats.supersedingToken(spark, Seq(storeDir))
     kCore(survivingEdges, a, b, k, maxRounds, broadcastLimit)
@@ -3729,7 +3783,9 @@ object Graph {
     */
   def compactKCoreStore(spark: org.apache.spark.sql.SparkSession,
                         storeDir: String, filesOut: Int = 4)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactKCoreStore(batch)") {
     val tok = Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("id"))
         .agg(max(col("__b")).as("__b"))

@@ -417,7 +417,9 @@ object Multimodal {
     */
   def writeFrameStore(media: DataFrame, storeDir: String,
                       manifestPath: String, filesOut: Int,
-                      frameBytes: Int = 64): Unit = {
+                      frameBytes: Int = 64): Unit =
+    Stats.withWriterLease(media.sparkSession, Seq(storeDir),
+        "writeFrameStore(batch)") {
     val spark = media.sparkSession
     videoFrameRows(media, frameBytes)
       .select(col("fh"), col("id"))
@@ -435,7 +437,9 @@ object Multimodal {
     */
   def appendFrameStore(media: DataFrame, storeDir: String,
                        manifestPath: String, filesOut: Int,
-                       frameBytes: Int = 64): Unit = {
+                       frameBytes: Int = 64): Unit =
+    Stats.withWriterLease(media.sparkSession, Seq(storeDir),
+        "appendFrameStore(batch)") {
     val spark = media.sparkSession
     videoFrameRows(media, frameBytes)
       .select(col("fh"), col("id"))
@@ -787,7 +791,9 @@ object Multimodal {
     * windows and are never stored.
     */
   def writeDhashStore(hashes: DataFrame, storeDir: String,
-                      manifestPath: String, filesOut: Int): Unit = {
+                      manifestPath: String, filesOut: Int): Unit =
+    Stats.withWriterLease(hashes.sparkSession, Seq(storeDir),
+        "writeDhashStore(batch)") {
     val spark = hashes.sparkSession
     dhashWindows(hashes)
       .select(col("w"), col("wk"), col("id"), col("dhash"))
@@ -805,7 +811,9 @@ object Multimodal {
     * on the usual maintenance cadence.
     */
   def appendDhashStore(hashes: DataFrame, storeDir: String,
-                       manifestPath: String, filesOut: Int): Unit = {
+                       manifestPath: String, filesOut: Int): Unit =
+    Stats.withWriterLease(hashes.sparkSession, Seq(storeDir),
+        "appendDhashStore(batch)") {
     val spark = hashes.sparkSession
     dhashWindows(hashes)
       .select(col("w"), col("wk"), col("id"), col("dhash"))

@@ -200,11 +200,14 @@ object Overlap {
   def writeKmvUnitStore(df: DataFrame, group: Column, unit: Column,
                         key: Column, k: Int, storeDir: String,
                         filesOut: Int = 2): Unit =
-    kmvUnitSketches(df, group, unit, key, k)
-      .repartitionByRange(filesOut, col("grp"), col("unit"))
-      .sortWithinPartitions(col("grp"), col("unit"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$storeDir/batch=0")
+    Stats.withWriterLease(df.sparkSession, Seq(storeDir),
+        "writeKmvUnitStore(batch)") {
+      kmvUnitSketches(df, group, unit, key, k)
+        .repartitionByRange(filesOut, col("grp"), col("unit"))
+        .sortWithinPartitions(col("grp"), col("unit"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$storeDir/batch=0")
+    }
 
   /** Append a NEW batch's per-unit sketches (`batch=<id>`,
     * overwrite-idempotent, monotone-guarded). Unit ids must be new —
@@ -214,7 +217,9 @@ object Overlap {
   def appendKmvUnitSketches(batch: DataFrame, group: Column,
                             unit: Column, key: Column, k: Int,
                             storeDir: String, batchId: Long,
-                            filesOut: Int = 2): Unit = {
+                            filesOut: Int = 2): Unit =
+    Stats.withWriterLease(batch.sparkSession, Seq(storeDir),
+        "appendKmvUnitSketches(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeKmvUnitStore base")
     Stats.requireMonotoneBatch(batch.sparkSession,
       Seq(storeDir, s"$storeDir/deleted"), batchId,
@@ -236,7 +241,9 @@ object Overlap {
     * nothing additive remembers it, unlike the BM25 stats fold.
     */
   def deleteKmvUnits(ids: DataFrame, storeDir: String, batchId: Long,
-                     filesOut: Int = 1): Unit = {
+                     filesOut: Int = 1): Unit =
+    Stats.withWriterLease(ids.sparkSession, Seq(storeDir),
+        "deleteKmvUnits(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeKmvUnitStore base")
     Stats.requireMonotoneBatch(ids.sparkSession,
       Seq(storeDir, s"$storeDir/deleted"), batchId, "deleteKmvUnits")
@@ -252,7 +259,11 @@ object Overlap {
       : Option[DataFrame] =
     Stats.committedViewDirs(spark, s"$storeDir/deleted") match {
       case Seq() => None
-      case dirs => Some(spark.read.parquet(dirs: _*).select(col("unit")))
+      case _ => Some(Stats.openCommittedStore(spark,
+          s"$storeDir/deleted",
+          Seq("unit" -> "bigint", "__b" -> "bigint"),
+          "kmvDeletedUnits")
+        .select(col("unit")))
     }
 
   /** The store's CURRENT per-group sketches: surviving units' rows
@@ -281,7 +292,9 @@ object Overlap {
     * retracted unit id afterwards is legitimate).
     */
   def compactKmvUnitStore(spark: SparkSession, storeDir: String,
-                          filesOut: Int = 2): Option[Long] = {
+                          filesOut: Int = 2): Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactKmvUnitStore(batch)") {
     val deleted = kmvDeletedUnits(spark, storeDir)
       .map(d => Checkpoints.stage(d))
     val tok = Stats.compactCommittedStore(spark, storeDir,

@@ -115,7 +115,9 @@ object Resolution {
     */
   def writeEntityStore(ents: DataFrame, storeDir: String,
                        manifestPath: String, filesOut: Int,
-                       block: Column => Column = firstTokenBlock): Unit = {
+                       block: Column => Column = firstTokenBlock): Unit =
+    Stats.withWriterLease(ents.sparkSession, Seq(storeDir),
+        "writeEntityStore(batch)") {
     val spark = ents.sparkSession
     keyed(ents, block)
       .repartitionByRange(filesOut, col("blkh"))

@@ -125,7 +125,9 @@ object Retrieval {
   }
 
   def writeBm25Index(df: DataFrame, id: Column, text: Column,
-                     indexDir: String, filesOut: Int = 16): Unit = {
+                     indexDir: String, filesOut: Int = 16): Unit =
+    Stats.withWriterLease(df.sparkSession, Seq(indexDir),
+        "writeBm25Index(batch)") {
     val spark = df.sparkSession
     writeBm25Batch(df, id, text, indexDir, batchId = 0L, filesOut)
     Stats.writeManifest(spark, s"$indexDir/postings",
@@ -151,7 +153,9 @@ object Retrieval {
     */
   def appendBm25Index(df: DataFrame, id: Column, text: Column,
                       indexDir: String, batchId: Long,
-                      filesOut: Int = 4): Unit = {
+                      filesOut: Int = 4): Unit =
+    Stats.withWriterLease(df.sparkSession, Seq(indexDir),
+        "appendBm25Index(batch)") {
     val spark = df.sparkSession
     require(batchId > 0L, "appendBm25Index: batchId 0 is the base write")
     // the stats store sees every append AND delete, so its newest
@@ -193,7 +197,9 @@ object Retrieval {
     */
   def deleteBm25Docs(spark: org.apache.spark.sql.SparkSession,
                      indexDir: String, ids: DataFrame,
-                     batchId: Long, filesOut: Int = 1): Unit = {
+                     batchId: Long, filesOut: Int = 1): Unit =
+    Stats.withWriterLease(spark, Seq(indexDir),
+        "deleteBm25Docs(batch)") {
     require(batchId > 0L, "deleteBm25Docs: batchId 0 is the base write")
     Stats.requireMonotoneBatch(spark, Seq(s"$indexDir/stats"), batchId,
       "deleteBm25Docs")
@@ -232,7 +238,9 @@ object Retrieval {
       : Option[DataFrame] =
     Stats.committedViewDirs(spark, s"$indexDir/deleted") match {
       case Seq() => None
-      case dirs => Some(spark.read.parquet(dirs: _*)
+      case _ => Some(Stats.openCommittedStore(spark,
+          s"$indexDir/deleted",
+          Seq("id" -> "*", "__b" -> "bigint"), "bm25DeletedIds")
         .where(col("__b") < beforeBatch)
         .select(col("id")))
     }
@@ -259,7 +267,9 @@ object Retrieval {
     */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession,
                        indexDir: String, filesOut: Int = 16)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(indexDir),
+        "compactBm25Index(batch)") {
     // tombstoned docs drop PHYSICALLY here: the folded generations
     // hold surviving rows only, and the tombstone set is then rewritten
     // as an empty generation (its corrections live on in the additive

@@ -656,7 +656,9 @@ object Similarity {
                        cents: Array[Array[Double]],
                        books: Array[Array[Array[Double]]],
                        storeDir: String, residual: Boolean = false,
-                       filesOut: Int = 4): Unit = {
+                       filesOut: Int = 4): Unit =
+    Stats.withWriterLease(corpus.sparkSession, Seq(storeDir),
+        "writePqCodeStore(batch)") {
     val spark = corpus.sparkSession
     import spark.implicits._
     saveCentroids(spark, cents, s"$storeDir/fit_coarse")
@@ -689,7 +691,9 @@ object Similarity {
     * the encoded batch.
     */
   def pqStoreAppend(newVecs: DataFrame, storeDir: String,
-                    batchId: Long, filesOut: Int = 4): DataFrame = {
+                    batchId: Long, filesOut: Int = 4): DataFrame =
+    Stats.withWriterLease(newVecs.sparkSession, Seq(storeDir),
+        "pqStoreAppend(batch)") {
     require(batchId >= 1L, "batchId 0 is the writePqCodeStore base")
     val spark = newVecs.sparkSession
     Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
@@ -722,7 +726,9 @@ object Similarity {
     * lower-id append would be invisible and vacuumed.
     */
   def pqStoreDelete(ids: DataFrame, storeDir: String,
-                    batchId: Long, filesOut: Int = 4): Unit = {
+                    batchId: Long, filesOut: Int = 4): Unit =
+    Stats.withWriterLease(ids.sparkSession, Seq(storeDir),
+        "pqStoreDelete(batch)") {
     require(batchId >= 1L, "batchId 0 is the writePqCodeStore base")
     Stats.requireMonotoneBatch(ids.sparkSession, Seq(storeDir), batchId,
       "pqStoreDelete")
@@ -757,6 +763,8 @@ object Similarity {
     */
   def compactPqCodeStore(spark: SparkSession, storeDir: String,
                          filesOut: Int = 4): Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactPqCodeStore(batch)") {
     Stats.compactCommittedStore(spark, storeDir,
       _.groupBy(col("vb"))
         .agg(max(struct(col("__b"), col("cell"), col("codes"),
@@ -767,6 +775,7 @@ object Similarity {
           col("m.__b").as("__b"))
         .repartitionByRange(filesOut, col("cell"), col("vb"))
         .sortWithinPartitions(col("cell"), col("vb")))
+    }
 
   /** IVF-PQ top-k: coarse-quantize into IVF cells, shortlist inside
     * the probed cells on PQ-compressed codes (each candidate costs m
@@ -1025,7 +1034,9 @@ object Similarity {
     * data.
     */
   def appendPcaMoments(batch: DataFrame, vec: Column, storeDir: String,
-                       batchId: Long, scale: Long = 1L << 20): Unit = {
+                       batchId: Long, scale: Long = 1L << 20): Unit =
+    Stats.withWriterLease(batch.sparkSession, Seq(storeDir),
+        "appendPcaMoments(batch)") {
     Stats.requireMonotoneBatch(batch.sparkSession,
       Seq(storeDir, s"$storeDir/deleted"), batchId, "appendPcaMoments")
     pcaMoments(batch, vec, scale)
@@ -1061,7 +1072,9 @@ object Similarity {
     */
   def deletePcaMoments(deleted: DataFrame, id: Column, vec: Column,
                        storeDir: String, batchId: Long,
-                       scale: Long = 1L << 20): Unit = {
+                       scale: Long = 1L << 20): Unit =
+    Stats.withWriterLease(deleted.sparkSession, Seq(storeDir),
+        "deletePcaMoments(batch)") {
     val spark = deleted.sparkSession
     Stats.requireMonotoneBatch(spark,
       Seq(storeDir, s"$storeDir/deleted"), batchId, "deletePcaMoments")
@@ -1096,7 +1109,9 @@ object Similarity {
       : Option[DataFrame] =
     Stats.committedViewDirs(spark, s"$storeDir/deleted") match {
       case Seq() => None
-      case dirs => Some(spark.read.parquet(dirs: _*)
+      case _ => Some(Stats.openCommittedStore(spark,
+          s"$storeDir/deleted",
+          Seq("id" -> "*", "__b" -> "bigint"), "pcaDeletedIds")
         .where(col("__b") < beforeBatch)
         .select(col("id")))
     }
@@ -1126,7 +1141,9 @@ object Similarity {
     * permanent double-delete guard (O(deleted ids) — tiny).
     */
   def compactPcaMoments(spark: SparkSession, storeDir: String)
-      : Option[Long] = {
+      : Option[Long] =
+    Stats.withWriterLease(spark, Seq(storeDir),
+        "compactPcaMoments(batch)") {
     val tok = Stats.compactCommittedStore(spark, storeDir, df =>
       df.groupBy(col("i"), col("j"))
         .agg(sum(col("v")).cast("decimal(38,0)").as("v"))
@@ -1305,11 +1322,14 @@ object Similarity {
     */
   def writeKCenterStore(corpus: DataFrame, id: Column, vec: Column,
                         k: Int, storeDir: String): Unit =
-    kCenterTrace(corpus, id, vec, k)
-      .withColumn("__b", lit(0L))
-      .coalesce(1)
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"$storeDir/batch=0")
+    Stats.withWriterLease(corpus.sparkSession, Seq(storeDir),
+        "writeKCenterStore(batch)") {
+      kCenterTrace(corpus, id, vec, k)
+        .withColumn("__b", lit(0L))
+        .coalesce(1)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$storeDir/batch=0")
+    }
 
   /** The store's current coreset: (rank, id, radius), rank-ordered. */
   def kCenterStoreCenters(spark: org.apache.spark.sql.SparkSession,
@@ -1338,7 +1358,9 @@ object Similarity {
     */
   def rebuildKCenterStore(survivingCorpus: DataFrame, id: Column,
                           vec: Column, k: Int, storeDir: String)
-      : Long = {
+      : Long =
+    Stats.withWriterLease(survivingCorpus.sparkSession, Seq(storeDir),
+        "rebuildKCenterStore(batch)") {
     val spark = survivingCorpus.sparkSession
     val tok = Stats.supersedingToken(spark, Seq(storeDir))
     kCenterTrace(survivingCorpus, id, vec, k)
@@ -1371,7 +1393,9 @@ object Similarity {
     */
   def kCenterExtend(batch: DataFrame, id: Column, vec: Column,
                     storeDir: String, batchId: Long, kNew: Int)
-      : DataFrame = {
+      : DataFrame =
+    Stats.withWriterLease(batch.sparkSession, Seq(storeDir),
+        "kCenterExtend(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeKCenterStore base")
     require(kNew >= 1, "kNew must be >= 1")
     val spark = batch.sparkSession

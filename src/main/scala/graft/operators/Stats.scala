@@ -525,42 +525,79 @@ object Stats {
   def writerLeasePath(root: String): String =
     s"${root.stripSuffix("/")}__writer_lease"
 
-  // intra-process holder registry: lease file path → the streaming
-  // query UUID holding it (LEASE_STARTING until the query launches).
-  // Liveness is checked here, so a lease whose holder terminated —
-  // even if the async release listener has not fired yet — is
-  // reclaimable without manual intervention.
+  // intra-process holder registry: lease file path → the claim id
+  // holding it (the streaming query's UUID once it launches; a unique
+  // sync-claim id during a fenced batch mutation or a sink's pre-start
+  // window; LEASE_STARTING only for direct acquireWriterLease callers
+  // that pass no holder). Liveness is checked here, so a lease whose
+  // holder terminated — even if the async release listener has not
+  // fired yet — is reclaimable without manual intervention.
   private val LEASE_STARTING = new java.util.UUID(0L, 0L)
   private val leaseHolders =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.UUID]()
+  // sync-claim ids currently alive in this JVM: a claim id in here is
+  // live by definition (its owning scope has not exited) — the batch
+  // analogue of a StreamingQuery's isActive.
+  private val liveSyncClaims =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
 
   private def leaseIsLive(spark: SparkSession,
                           qid: java.util.UUID): Boolean =
-    qid == LEASE_STARTING || {
+    qid == LEASE_STARTING || liveSyncClaims.contains(qid) || {
       val q = spark.streams.get(qid)
       q != null && q.isActive
     }
 
+  /** Mint a claim id that [[leaseIsLive]] reports live until
+    * [[dropSyncClaim]] — the holder identity for synchronous (batch
+    * mutation / sink pre-start) lease scopes, so their releases are
+    * ownership-checked instead of clobbering a successor's claim.
+    */
+  private[graft] def newSyncClaim(): java.util.UUID = {
+    val id = java.util.UUID.randomUUID()
+    liveSyncClaims.add(id): Unit
+    id
+  }
+  private[graft] def dropSyncClaim(id: java.util.UUID): Unit = {
+    liveSyncClaims.remove(id): Unit
+  }
+
+  // test seam: invoked with the lease path right before the atomic
+  // cross-process create — lets a spec interleave a foreign process's
+  // file into the claim window and observe the named refusal.
+  private[graft] var leaseClaimTestHook: String => Unit = _ => ()
+
   /** Claim the writer lease on every store-family root in `roots` for
-    * one sink, atomically per root intra-process (the holder registry's
-    * putIfAbsent is the arbiter between two sinks of one JVM — the
-    * common deployment, one driver per store family) and best-effort
-    * cross-process (an existing lease file from another app is always
-    * refused; the exists→create window is the documented residual
-    * race). Throws [[ConcurrentWriterException]] — releasing any roots
-    * already claimed by this call — when a root is held by a LIVE
-    * writer. A lease whose in-process holder query has terminated is
-    * silently reclaimed (covers the async-release race on sequential
-    * resume); a lease file from ANOTHER process is never reclaimed —
-    * if that process crashed, break it with [[releaseWriterLease]].
+    * one writer, atomically per root intra-process (the holder
+    * registry's putIfAbsent/CAS is the arbiter between two writers of
+    * one JVM — the common deployment, one driver per store family) and
+    * cross-process (the arbiter is an ATOMIC create-if-absent of the
+    * lease file — `fs.create(path, overwrite = false)`, atomic on
+    * local/HDFS — so a file that appears between the inspection and
+    * the create loses us the claim instead of being clobbered).
+    * Throws [[ConcurrentWriterException]] when a root is held by a
+    * LIVE writer; ANY failure — conflict or I/O — rolls back every
+    * registry entry and lease file this call placed, and never touches
+    * a file another writer owns. A lease whose in-process holder has
+    * terminated is reclaimed by CAS (exactly one of two racing
+    * reclaimers wins; covers the async-release race on sequential
+    * resume), and the reclaim path re-inspects the lease FILE too: a
+    * file from ANOTHER process is never reclaimed on any path — if
+    * that process crashed, break it with [[releaseWriterLease]].
+    * `holder` is the registry identity for this claim (a sync-claim id
+    * from [[newSyncClaim]], or the default LEASE_STARTING sentinel).
     */
   def acquireWriterLease(spark: SparkSession, roots: Seq[String],
-                         owner: String): Unit = {
+                         owner: String,
+                         holder: java.util.UUID = LEASE_STARTING)
+      : Unit = {
     val paths = roots.map(writerLeasePath).distinct.sorted
     val appId = spark.sparkContext.applicationId
-    val acquired = scala.collection.mutable.ArrayBuffer[String]()
-    def fail(p: String, heldBy: String): Nothing = {
-      acquired.foreach(a => releaseLease(spark, a))
+    // rollback sets: registry entries this call placed; lease files
+    // this call created
+    val registered = scala.collection.mutable.ArrayBuffer[String]()
+    val created = scala.collection.mutable.ArrayBuffer[String]()
+    def fail(p: String, heldBy: String): Nothing =
       throw new ConcurrentWriterException(
         s"$owner: store family at ${p.stripSuffix("__writer_lease")} " +
           s"is leased by $heldBy — a second concurrent writer on one " +
@@ -568,46 +605,85 @@ object Stats {
           "(silent data loss); quiesce the holding sink first, or " +
           "break a crashed process's stale lease with " +
           "Stats.releaseWriterLease")
-    }
-    paths.foreach { p =>
-      // intra-process claim first: putIfAbsent is the atomic arbiter
-      // between two sinks of this JVM
-      val prev = leaseHolders.putIfAbsent(p, LEASE_STARTING)
-      if (prev != null) {
-        if (leaseIsLive(spark, prev)) fail(p, s"query $prev (this app)")
-        else leaseHolders.put(p, LEASE_STARTING) // terminated: reclaim
-      }
-      // cross-process claim: a lease file we did not just reclaim and
-      // whose app is not ours belongs to another process
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-      if (prev == null && fs.exists(hp)) {
-        val body = try {
-          val in = fs.open(hp)
-          try org.apache.commons.io.IOUtils.toString(in, "UTF-8")
-          finally in.close()
-        } catch { case _: Throwable => "" }
-        if (!body.contains(s"app=$appId")) {
-          leaseHolders.remove(p)
-          fail(p, if (body.isEmpty) "an unreadable lease" else body)
+    try {
+      paths.foreach { p =>
+        // intra-process claim: putIfAbsent is the atomic arbiter
+        // between two writers of this JVM; a terminated holder is
+        // swapped out by CAS, so two racing reclaimers resolve to
+        // exactly one winner (the loser re-reads and either sees the
+        // winner — live — or retries on a vacated slot)
+        @annotation.tailrec
+        def claimRegistry(): Unit = {
+          val prev = leaseHolders.putIfAbsent(p, holder)
+          if (prev != null) {
+            if (leaseIsLive(spark, prev))
+              fail(p, s"query $prev (this app)")
+            else if (!leaseHolders.replace(p, prev, holder))
+              claimRegistry() // registry moved under us: re-read
+          }
         }
-        // same app but no registry entry: a lease this JVM lost track
-        // of (listener raced a crash) — reclaimable
+        claimRegistry()
+        registered += p
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+        // cross-process inspection — on EVERY path, including the
+        // intra-process reclaim: a lease file from another app is
+        // never reclaimed; our own app's stale file (terminated
+        // holder, or a file this JVM lost track of after a listener
+        // raced a crash) is removed so the atomic create below
+        // arbitrates cleanly
+        if (fs.exists(hp)) {
+          val body = try {
+            val in = fs.open(hp)
+            try org.apache.commons.io.IOUtils.toString(in, "UTF-8")
+            finally in.close()
+          } catch { case _: Throwable => "" }
+          if (!body.contains(s"app=$appId"))
+            fail(p, if (body.isEmpty) "an unreadable lease" else body)
+          fs.delete(hp, false): Unit
+        }
+        leaseClaimTestHook(p)
+        // cross-process arbiter: atomic create-if-absent — a file
+        // that appeared since the inspection means another process
+        // claimed the family first
+        val out = try fs.create(hp, false) catch {
+          case e: java.io.IOException =>
+            if (fs.exists(hp))
+              fail(p, "a lease file created concurrently by " +
+                "another process")
+            else throw e
+        }
+        try out.write(s"owner=$owner;app=$appId".getBytes("UTF-8"))
+        finally out.close()
+        created += p
       }
-      val out = fs.create(hp, true)
-      try out.write(s"owner=$owner;app=$appId".getBytes("UTF-8"))
-      finally out.close()
-      acquired += p
+    } catch {
+      case t: Throwable =>
+        // conflict or I/O failure mid-claim must not leave the family
+        // stuck: delete only files this call created, drop only
+        // registry entries this call placed (conditional on `holder`,
+        // so a successor's claim is never clobbered), then rethrow
+        created.foreach { p =>
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(hp, false): Unit
+          } catch { case _: Throwable => () }
+        }
+        registered.foreach(p => leaseHolders.remove(p, holder): Unit)
+        throw t
     }
   }
 
   /** Record the streaming query now holding leases acquired with
-    * [[acquireWriterLease]] — enables the terminated-holder reclaim.
+    * [[acquireWriterLease]] — conditional on the expected pre-start
+    * holder, so a lease operator-broken and re-claimed mid-start is
+    * never clobbered. Enables the terminated-holder reclaim.
     */
-  def recordLeaseHolder(roots: Seq[String],
-                        qid: java.util.UUID): Unit =
+  def recordLeaseHolder(roots: Seq[String], from: java.util.UUID,
+                        to: java.util.UUID): Unit =
     roots.map(writerLeasePath).distinct
-      .foreach(p => leaseHolders.put(p, qid))
+      .foreach(p => leaseHolders.replace(p, from, to): Unit)
 
   private def releaseLease(spark: SparkSession, path: String): Unit = {
     leaseHolders.remove(path)
@@ -617,12 +693,82 @@ object Stats {
   }
 
   /** Release (or operator-break) the writer leases on `roots`.
-    * Idempotent; deleting a missing lease is a no-op.
+    * UNCONDITIONAL — the operator's crowbar for a crashed process's
+    * stale lease. Idempotent; deleting a missing lease is a no-op.
+    * Running writers release through [[releaseWriterLeaseOwned]].
     */
   def releaseWriterLease(spark: SparkSession,
                          roots: Seq[String]): Unit =
     roots.map(writerLeasePath).distinct
       .foreach(p => releaseLease(spark, p))
+
+  /** Ownership-checked release: drop the leases on `roots` only where
+    * the registry still names `holder`. A predecessor query's LATE
+    * termination event can fire after a successor sink has
+    * liveness-reclaimed the family (the sequential-resume story); an
+    * unconditional release there would delete the successor's lease
+    * and let a third writer in — defeating the fence in exactly the
+    * interleave it exists to prevent. The lease FILE is deleted only
+    * when the conditional registry remove succeeds.
+    */
+  def releaseWriterLeaseOwned(spark: SparkSession, roots: Seq[String],
+                              holder: java.util.UUID): Unit =
+    roots.map(writerLeasePath).distinct.foreach { p =>
+      if (leaseHolders.remove(p, holder)) {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(hp, false): Unit
+      }
+    }
+
+  // store-family roots whose lease the current thread's enclosing
+  // scope already holds (a leased streaming sink's foreachBatch, or an
+  // outer withWriterLease): fenced batch mutators called from such a
+  // scope are reentrant no-ops on these roots instead of
+  // self-conflicting with the lease their caller holds.
+  private val heldByThread = new ThreadLocal[Set[String]] {
+    override def initialValue(): Set[String] = Set.empty
+  }
+
+  /** Mark `roots` as lease-held by the current thread for the duration
+    * of `body`, WITHOUT claiming — the bridge a leased streaming
+    * sink's foreachBatch uses so the fenced batch mutators it calls
+    * (compactions, tombstone deletes, store rebuilds) recognize the
+    * enclosing query's lease instead of conflicting with it.
+    * Composable: nested scopes add, and restore on exit.
+    */
+  def withHeldLeases[T](roots: Seq[String])(body: => T): T = {
+    val ps = roots.filter(_.nonEmpty).map(writerLeasePath).toSet
+    val prev = heldByThread.get()
+    heldByThread.set(prev ++ ps)
+    try body finally heldByThread.set(prev)
+  }
+
+  /** Run one BATCH store-family mutation under the writer fence: claim
+    * the lease on every root the enclosing scope does not already
+    * hold, run `body`, release (ownership-checked). The batch half of
+    * the quiesce contract — a compaction, takedown, or rebuild against
+    * a LIVE streaming gate's family throws
+    * [[ConcurrentWriterException]] in the caller's thread, exactly
+    * like a conflicting sink would; against a quiesced family it
+    * claims, mutates, and releases synchronously. Reentrant: called
+    * from a leased sink's foreachBatch (under [[withHeldLeases]]) or
+    * from an outer withWriterLease, already-held roots are skipped, so
+    * in-sink maintenance pays no per-batch lease churn.
+    */
+  def withWriterLease[T](spark: SparkSession, roots: Seq[String],
+                         owner: String)(body: => T): T = {
+    val held = heldByThread.get()
+    val toClaim = roots.filter(_.nonEmpty).distinct
+      .filterNot(r => held(writerLeasePath(r)))
+    if (toClaim.isEmpty) return body
+    val claim = newSyncClaim()
+    try {
+      acquireWriterLease(spark, toClaim, owner, claim)
+      try withHeldLeases(toClaim)(body)
+      finally releaseWriterLeaseOwned(spark, toClaim, claim)
+    } finally dropSyncClaim(claim)
+  }
 
   /** Fold a `gen=`/`batch=` store's committed view into one compacted
     * `gen=<maxBatchId>` generation shaped by `shape` (the OPTIMIZE

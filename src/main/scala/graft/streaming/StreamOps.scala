@@ -85,6 +85,17 @@ object StreamOps {
     * reclaim inside acquire, so a sequential resume never races the
     * listener bus.
     */
+  /** Wrap a foreachBatch body so the fenced batch mutators it calls
+    * (compactions, tombstone deletes, store rebuilds — each under
+    * [[graft.operators.Stats.withWriterLease]]) recognize the
+    * enclosing query's lease on `roots` instead of self-conflicting
+    * with it: the micro-batch runs on the stream-execution thread, so
+    * the held set must be marked there, not at [[leasedStart]] time.
+    */
+  private def heldBatch(roots: Seq[String])(
+      body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (b, i) => graft.operators.Stats.withHeldLeases(roots)(body(b, i))
+
   private def leasedStart(spark: SparkSession, roots: Seq[String],
                           owner: String)
                          (start: => org.apache.spark.sql.streaming
@@ -93,12 +104,22 @@ object StreamOps {
     import graft.operators.Stats
     val rs = roots.filter(_.nonEmpty)
     if (rs.isEmpty) return start
-    Stats.acquireWriterLease(spark, rs, owner)
+    // the pre-start window holds the lease under a unique sync-claim
+    // id, so every release on this path is ownership-checked — a lease
+    // operator-broken and re-claimed mid-start is never clobbered
+    val startClaim = Stats.newSyncClaim()
+    try Stats.acquireWriterLease(spark, rs, owner, startClaim)
+    catch {
+      case t: Throwable => Stats.dropSyncClaim(startClaim); throw t
+    }
     val q = try start catch {
       case t: Throwable =>
-        Stats.releaseWriterLease(spark, rs); throw t
+        Stats.releaseWriterLeaseOwned(spark, rs, startClaim)
+        Stats.dropSyncClaim(startClaim)
+        throw t
     }
-    Stats.recordLeaseHolder(rs, q.id)
+    Stats.recordLeaseHolder(rs, startClaim, q.id)
+    Stats.dropSyncClaim(startClaim)
     val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         override def onQueryStarted(
@@ -111,15 +132,18 @@ object StreamOps {
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryTerminatedEvent): Unit =
           if (e.id == q.id) {
-            Stats.releaseWriterLease(spark, rs)
+            // ownership-checked: a LATE termination event firing after
+            // a successor sink liveness-reclaimed the family must not
+            // delete the successor's lease
+            Stats.releaseWriterLeaseOwned(spark, rs, q.id)
             spark.streams.removeListener(this)
           }
       }
     spark.streams.addListener(listener)
     // the query may have died between start and addListener — release
-    // here rather than leak (releaseWriterLease is idempotent)
+    // here rather than leak (owned release is idempotent)
     if (!q.isActive) {
-      Stats.releaseWriterLease(spark, rs)
+      Stats.releaseWriterLeaseOwned(spark, rs, q.id)
       spark.streams.removeListener(listener)
     }
     q
@@ -174,7 +198,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // ONE hash pass over the batch, materialized here and reused
           // by the gate, the store write, and the regime count
@@ -198,7 +222,7 @@ object StreamOps {
           if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
             compactNearDupStore(spark, storePath, compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -251,8 +275,11 @@ object StreamOps {
     */
   def compactNearDupStore(spark: SparkSession, storePath: String,
                           filesOut: Int): Option[Long] =
-    compactStoreMinusDeleted(spark, storePath, "id")(
-      _.select(col("id"), col("sig")).repartition(filesOut))
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "compactNearDupStore(batch)") {
+      compactStoreMinusDeleted(spark, storePath, "id")(
+        _.select(col("id"), col("sig")).repartition(filesOut))
+    }
 
   /** The drop-and-clear compaction core shared by every id-keyed gate
     * store (text sigs, substring fps, media/audio windows, video
@@ -287,18 +314,20 @@ object StreamOps {
     */
   def compactNearDupStoreBanded(spark: SparkSession, storePath: String,
                                 manifestPath: String,
-                                filesOut: Int): Option[Long] = {
-    // tombstoned docs drop PHYSICALLY here (the BM25-index protocol):
-    // fold survivors only, then rewrite the tombstone store as an
-    // empty generation
-    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
-      _.select(col("band"), col("bucket"), col("id"), col("sig"))
-        .repartitionByRange(filesOut, col("band"), col("bucket"))
-        .sortWithinPartitions(col("band"), col("bucket")))
-    if (tok.isDefined)
-      refreshStoreManifest(spark, storePath, manifestPath)
-    tok
-  }
+                                filesOut: Int): Option[Long] =
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "compactNearDupStoreBanded(batch)") {
+      // tombstoned docs drop PHYSICALLY here (the BM25-index protocol):
+      // fold survivors only, then rewrite the tombstone store as an
+      // empty generation
+      val tok = compactStoreMinusDeleted(spark, storePath, "id")(
+        _.select(col("band"), col("bucket"), col("id"), col("sig"))
+          .repartitionByRange(filesOut, col("band"), col("bucket"))
+          .sortWithinPartitions(col("band"), col("bucket")))
+      if (tok.isDefined)
+        refreshStoreManifest(spark, storePath, manifestPath)
+      tok
+    }
 
   /** TOMBSTONE deletes for ANY id-keyed gate store — the shared
     * retraction op of the whole dedup-gate family: a taken-down
@@ -329,17 +358,19 @@ object StreamOps {
     */
   def deleteFromNearDupStore(spark: SparkSession, storePath: String,
                              ids: DataFrame, batchId: Long,
-                             filesOut: Int = 1): Unit = {
-    graft.operators.Stats.requireMonotoneBatch(spark,
-      Seq(storePath, s"${storePath}_deleted"), batchId,
-      "deleteFromNearDupStore")
-    ids.select(col("id")).distinct()
-      .select(col("id"), lit(batchId).as("__b"))
-      .repartitionByRange(filesOut, col("id"))
-      .sortWithinPartitions(col("id"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(s"${storePath}_deleted/batch=$batchId")
-  }
+                             filesOut: Int = 1): Unit =
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "deleteFromNearDupStore(batch)") {
+      graft.operators.Stats.requireMonotoneBatch(spark,
+        Seq(storePath, s"${storePath}_deleted"), batchId,
+        "deleteFromNearDupStore")
+      ids.select(col("id")).distinct()
+        .select(col("id"), lit(batchId).as("__b"))
+        .repartitionByRange(filesOut, col("id"))
+        .sortWithinPartitions(col("id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"${storePath}_deleted/batch=$batchId")
+    }
 
   /** [[storeBandsFor]] for the substring gate's window-fingerprint
     * store: the TOMBSTONE-AWARE, manifest-pruned (fp, id) slice for a
@@ -438,7 +469,13 @@ object StreamOps {
     graft.operators.Stats
       .committedViewDirs(spark, s"${storePath}_deleted") match {
       case Seq() => None
-      case dirs => Some(spark.read.parquet(dirs: _*).select(col("id")))
+      // schema-guarded like every main-family reader: a drifted
+      // tombstone dir must fail loudly, not silently anti-join on a
+      // miscast column (the id type follows the corpus — "*")
+      case _ => Some(graft.operators.Stats.openCommittedStore(spark,
+          s"${storePath}_deleted",
+          Seq("id" -> "*", "__b" -> "bigint"), "nearDupDeletedIds")
+        .select(col("id")))
     }
 
   /** Anti-join a gate store slice against its `_deleted` tombstone
@@ -509,7 +546,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // ONE hash pass + ONE banding pass over the batch, reused by
           // the prune probes, the gate, and the store append
@@ -536,7 +573,7 @@ object StreamOps {
             compactNearDupStoreBanded(spark, storePath, mPath,
               compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -575,7 +612,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // ONE fingerprint pass over the batch, reused by the prune
           // probes, the gate, and the store append
@@ -624,7 +661,7 @@ object StreamOps {
             compactWindowStoreGen(spark, storePath, mPath,
               compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -635,14 +672,17 @@ object StreamOps {
     */
   def compactWindowStoreGen(spark: SparkSession, storePath: String,
                             manifestPath: String,
-                            filesOut: Int): Option[Long] = {
-    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
-      _.select(col("fp"), col("id"))
-        .repartitionByRange(filesOut, col("fp"))
-        .sortWithinPartitions(col("fp")))
-    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
-    tok
-  }
+                            filesOut: Int): Option[Long] =
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "compactWindowStoreGen(batch)") {
+      val tok = compactStoreMinusDeleted(spark, storePath, "id")(
+        _.select(col("fp"), col("id"))
+          .repartitionByRange(filesOut, col("fp"))
+          .sortWithinPartitions(col("fp")))
+      if (tok.isDefined)
+        refreshStoreManifest(spark, storePath, manifestPath)
+      tok
+    }
 
   /** True iff `root` holds at least one READER-VISIBLE committed
     * parquet data file (the shared
@@ -689,7 +729,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // ONE hash pass; dead-letters keep a null dhash
           // alias to "payload" so the hashFn contract (imageDHash /
@@ -715,7 +755,7 @@ object StreamOps {
           survivors.select(col("media_id"))
             .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
         }
-      }
+      })
       .start())
   }
 
@@ -771,7 +811,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           // ONE hash pass + ONE window expansion, reused by the prune
           // probes, the gate, and the store append
@@ -816,7 +856,7 @@ object StreamOps {
             compactMediaStoreBanded(spark, storePath, mPath,
               compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -859,7 +899,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val media = batch.select(
             col(id).cast("long").as("media_id"),
@@ -909,7 +949,7 @@ object StreamOps {
             compactFrameStore(spark, storePath, mPath,
               compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -919,14 +959,17 @@ object StreamOps {
     */
   def compactFrameStore(spark: SparkSession, storePath: String,
                         manifestPath: String,
-                        filesOut: Int): Option[Long] = {
-    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
-      _.select(col("fh"), col("id"))
-        .repartitionByRange(filesOut, col("fh"))
-        .sortWithinPartitions(col("fh")))
-    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
-    tok
-  }
+                        filesOut: Int): Option[Long] =
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "compactFrameStore(batch)") {
+      val tok = compactStoreMinusDeleted(spark, storePath, "id")(
+        _.select(col("fh"), col("id"))
+          .repartitionByRange(filesOut, col("fh"))
+          .sortWithinPartitions(col("fh")))
+      if (tok.isDefined)
+        refreshStoreManifest(spark, storePath, manifestPath)
+      tok
+    }
 
   /** [[compactNearDupStoreBanded]] for the banded MEDIA store: fold
     * batch dirs into a (w, wk)-range-clustered generation and refresh
@@ -934,14 +977,17 @@ object StreamOps {
     */
   def compactMediaStoreBanded(spark: SparkSession, storePath: String,
                               manifestPath: String,
-                              filesOut: Int): Option[Long] = {
-    val tok = compactStoreMinusDeleted(spark, storePath, "id")(
-      _.select(col("w"), col("wk"), col("id"), col("dhash"))
-        .repartitionByRange(filesOut, col("w"), col("wk"))
-        .sortWithinPartitions(col("w"), col("wk")))
-    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
-    tok
-  }
+                              filesOut: Int): Option[Long] =
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "compactMediaStoreBanded(batch)") {
+      val tok = compactStoreMinusDeleted(spark, storePath, "id")(
+        _.select(col("w"), col("wk"), col("id"), col("dhash"))
+          .repartitionByRange(filesOut, col("w"), col("wk"))
+          .sortWithinPartitions(col("w"), col("wk")))
+      if (tok.isDefined)
+        refreshStoreManifest(spark, storePath, manifestPath)
+      tok
+    }
 
   /** A gate store's committed, manifest-pruned slice for a probe over
     * a (ka, kb) clustering key pair — the store-read block every
@@ -1049,7 +1095,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(tStore, iStore, aStore, vStore)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.select(col(id).cast("long").as("mid"),
               col(text).as("text"), col(image).as("img"),
@@ -1143,7 +1189,7 @@ object StreamOps {
             compactFrameStore(spark, vStore, vMan, compactFilesOut): Unit
           }
         }
-      }
+      })
       .start())
   }
 
@@ -1175,7 +1221,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val base = batch.select(col(id).cast("long").as("id"),
             col(vec).as("vec")).localCheckpoint()
@@ -1205,7 +1251,7 @@ object StreamOps {
           if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
             compactEmbedStore(spark, storePath, compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -1217,22 +1263,24 @@ object StreamOps {
     * retry.
     */
   def compactEmbedStore(spark: SparkSession, storePath: String,
-                        filesOut: Int): Option[Long] = {
-    val deleted = nearDupDeletedIds(spark, storePath)
-      .map(d => graft.operators.Checkpoints.stage(d))
-    def minus(df: DataFrame): DataFrame =
-      deleted.fold(df)(del => df.join(del, Seq("id"), "left_anti"))
-    val tokC = compactStoreShaped(spark, s"$storePath/codes",
-      df => minus(df).select(col("id"), col("table"), col("bucket"))
-        .repartition(filesOut))
-    val tokV = compactStoreShaped(spark, s"$storePath/vecs",
-      df => minus(df).select(col("id"), col("vec"))
-        .repartition(filesOut))
-    if (tokC.isDefined && tokV.isDefined && deleted.isDefined)
-      compactStoreShaped(spark, s"${storePath}_deleted",
-        _.where(lit(false)).select(col("id"), col("__b"))): Unit
-    tokC.orElse(tokV)
-  }
+                        filesOut: Int): Option[Long] =
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "compactEmbedStore(batch)") {
+      val deleted = nearDupDeletedIds(spark, storePath)
+        .map(d => graft.operators.Checkpoints.stage(d))
+      def minus(df: DataFrame): DataFrame =
+        deleted.fold(df)(del => df.join(del, Seq("id"), "left_anti"))
+      val tokC = compactStoreShaped(spark, s"$storePath/codes",
+        df => minus(df).select(col("id"), col("table"), col("bucket"))
+          .repartition(filesOut))
+      val tokV = compactStoreShaped(spark, s"$storePath/vecs",
+        df => minus(df).select(col("id"), col("vec"))
+          .repartition(filesOut))
+      if (tokC.isDefined && tokV.isDefined && deleted.isDefined)
+        compactStoreShaped(spark, s"${storePath}_deleted",
+          _.where(lit(false)).select(col("id"), col("__b"))): Unit
+      tokC.orElse(tokV)
+    }
 
   /** Generic committed-store view for a gate store dir: newest
     * committed generation + newer batch dirs, projected to `cols`.
@@ -1293,7 +1341,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(modelPath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val feats = Selection.dsirFeatures(batch, col(id), col(text),
             buckets).localCheckpoint()
@@ -1316,7 +1364,7 @@ object StreamOps {
             .coalesce(1)
             .write.mode("overwrite").parquet(s"$modelPath/model=$batchId")
         }
-      }
+      })
       .start())
   }
 
@@ -1356,8 +1404,11 @@ object StreamOps {
         graft.operators.Stats.committedViewDirs(spark,
             s"$modelPath/deleted") match {
           case Seq() => ids
-          case dirs => ids.join(
-            spark.read.parquet(dirs: _*)
+          case _ => ids.join(
+            graft.operators.Stats.openCommittedStore(spark,
+                s"$modelPath/deleted",
+                Seq("id" -> "*", "__b" -> "bigint"),
+                "modelDeletedIds")
               .where(col("__b") < sb).select(col("id")),
             Seq("id"), "left_anti")
         })
@@ -1420,7 +1471,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(modelPath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val feats = LanguageModel.lmFeatures(batch, col(id),
             col(text)).localCheckpoint()
@@ -1441,7 +1492,7 @@ object StreamOps {
             .write.mode("overwrite")
             .parquet(s"$modelPath/model=$batchId")
         }
-      }
+      })
       .start())
   }
 
@@ -1480,7 +1531,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val batchRec = batch.select(col(id).cast("long").as("rid"),
             col(name).as("nm")).localCheckpoint()
@@ -1514,7 +1565,7 @@ object StreamOps {
             compactEntityStoreGen(spark, storePath, mPath,
               compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -1594,7 +1645,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(indexDir)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val sb = batchIdBase + batchId
           if (sb == 0L)
@@ -1608,7 +1659,7 @@ object StreamOps {
             Retrieval.compactBm25Index(spark, indexDir,
               compactFilesOut): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -1633,7 +1684,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storeDir)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Similarity.appendPcaMoments(batch, col(vec), storeDir,
             batchId)
@@ -1641,7 +1692,7 @@ object StreamOps {
               batchId % compactEvery == compactEvery - 1)
             Similarity.compactPcaMoments(spark, storeDir): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -1667,7 +1718,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(storeDir)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           if (Stats.committedViewDirs(spark, storeDir).isEmpty)
             Similarity.writeKCenterStore(batch, col(id), col(vec), k,
@@ -1676,7 +1727,7 @@ object StreamOps {
             Similarity.kCenterExtend(batch, col(id), col(vec),
               storeDir, batchId + 1, kNew): Unit
         }
-      }
+      })
       .start())
   }
 
@@ -1784,11 +1835,11 @@ object StreamOps {
     require(pcaStoreDir.isEmpty || pcaVecs.isDefined,
       "retractionGateSink: pcaStoreDir needs pcaVecs (an (id, vec) " +
         "relation to fetch the retracted docs' vectors from)")
-    leasedStart(spark, (bm25IndexDir.toSeq ++ pqStoreDir.toSeq ++
+    val fenceRoots = bm25IndexDir.toSeq ++ pqStoreDir.toSeq ++
       sigStorePath.toSeq ++ pcaStoreDir.toSeq ++ kmvStoreDir.toSeq ++
       dsirModelPath.toSeq ++ lmModelPath.toSeq ++
-      kcenterStoreDir.toSeq ++ gateStorePaths ++ erStorePaths),
-        "retractionGateSink") {
+      kcenterStoreDir.toSeq ++ gateStorePaths ++ erStorePaths
+    leasedStart(spark, fenceRoots, "retractionGateSink") {
     // the batch base resolves UNDER the lease: no writer can commit
     // between the head read and this sink's first write, so the
     // resolved sequence position can never be stale
@@ -1814,7 +1865,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(fenceRoots) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val ids = batch.select(col(id).as("id"))
           val sb = base + batchId
@@ -1864,8 +1915,9 @@ object StreamOps {
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$p/deleted/batch=$sb")
             val deleted = graft.operators.Checkpoints.stage(
-              spark.read.parquet(
-                  Stats.committedViewDirs(spark, s"$p/deleted"): _*)
+              Stats.openCommittedStore(spark, s"$p/deleted",
+                  Seq("id" -> "*", "__b" -> "bigint"),
+                  "kCenterDeletedIds")
                 .select(col("id")))
             val centers = Similarity.kCenterStoreCenters(spark, p)
             val hit = centers.join(deleted, Seq("id"), "left_semi")
@@ -1892,7 +1944,7 @@ object StreamOps {
               Overlap.compactKmvUnitStore(spark, p, filesOut): Unit)
           }
         }
-      }
+      })
       .start()
     }
   }
@@ -1968,15 +2020,15 @@ object StreamOps {
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
     val tombRoot = s"${edgesPath}_deleted_nodes"
-    leasedStart(spark, Seq(edgesPath) ++ ccStorePath ++
-        sccStorePath ++ landmarkStorePath ++ triStorePath ++
-        kcoreStorePath ++ prStorePath ++ hitsStorePath ++
-        louvainStorePath ++ labelStorePath,
-        "graphRetractionSink")(
+    val fenceRoots = Seq(edgesPath) ++ ccStorePath ++
+      sccStorePath ++ landmarkStorePath ++ triStorePath ++
+      kcoreStorePath ++ prStorePath ++ hitsStorePath ++
+      louvainStorePath ++ labelStorePath
+    leasedStart(spark, fenceRoots, "graphRetractionSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(fenceRoots) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           batch.select(col(id).cast("long").as("id")).distinct()
             .withColumn("__b", lit(batchId))
@@ -1986,8 +2038,9 @@ object StreamOps {
           if (compactEvery > 0 &&
               batchId % compactEvery == compactEvery - 1) {
             val deleted = graft.operators.Checkpoints.stage(
-              spark.read.parquet(
-                  Stats.committedViewDirs(spark, tombRoot): _*)
+              Stats.openCommittedStore(spark, tombRoot,
+                  Seq("id" -> "bigint", "__b" -> "bigint"),
+                  "graphDeletedNodes")
                 .select(col("id")))
             // edge store: physical drop of edges touching a deleted
             // node. The fold is a no-op when the store is already one
@@ -2053,7 +2106,7 @@ object StreamOps {
                 _.where(lit(false)).select(col("id"), col("__b"))): Unit
           }
         }
-      }
+      })
       .start())
   }
 
@@ -2140,15 +2193,15 @@ object StreamOps {
                     batchIdBase: Long = 0L)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.operators.{Graph, Stats}
-    leasedStart(spark, Seq(edgesPath, ccStorePath,
-        labelStorePath) ++ triStorePath ++ kcoreStorePath ++
-        prStorePath ++ hitsStorePath ++ louvainStorePath ++
-        landmarkStorePath ++ sccStorePath,
-        "graphGateSink")(
+    val fenceRoots = Seq(edgesPath, ccStorePath,
+      labelStorePath) ++ triStorePath ++ kcoreStorePath ++
+      prStorePath ++ hitsStorePath ++ louvainStorePath ++
+      landmarkStorePath ++ sccStorePath
+    leasedStart(spark, fenceRoots, "graphGateSink")(
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(fenceRoots) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val edges = batch.select(col(a).as("u"), col(b).as("v"))
           // edge/store ids ride batchIdBase + stream batch: set
@@ -2316,7 +2369,7 @@ object StreamOps {
                 .sortWithinPartitions(col("u"), col("v"))): Unit
           }
         }
-      }
+      })
       .start())
   }
 
@@ -2327,14 +2380,17 @@ object StreamOps {
     */
   def compactEntityStoreGen(spark: SparkSession, storePath: String,
                             manifestPath: String,
-                            filesOut: Int): Option[Long] = {
-    val tok = compactStoreMinusDeleted(spark, storePath, "eid")(
-      _.select(col("blkh"), col("eid"), col("nm"))
-        .repartitionByRange(filesOut, col("blkh"))
-        .sortWithinPartitions(col("blkh")))
-    if (tok.isDefined) refreshStoreManifest(spark, storePath, manifestPath)
-    tok
-  }
+                            filesOut: Int): Option[Long] =
+    graft.operators.Stats.withWriterLease(spark, Seq(storePath),
+      "compactEntityStoreGen(batch)") {
+      val tok = compactStoreMinusDeleted(spark, storePath, "eid")(
+        _.select(col("blkh"), col("eid"), col("nm"))
+          .repartitionByRange(filesOut, col("blkh"))
+          .sortWithinPartitions(col("blkh")))
+      if (tok.isDefined)
+        refreshStoreManifest(spark, storePath, manifestPath)
+      tok
+    }
 
   /** SNAPSHOT (as-of) read of any gate store or survivor output dir:
     * the committed state as of micro-batch `asOf` — the newest
@@ -2410,7 +2466,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(sketchPath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint()
           val shs = org.apache.spark.sql.GraftSqlBridge.toColumn(
@@ -2444,7 +2500,7 @@ object StreamOps {
             .write.mode("overwrite")
             .parquet(s"$sketchPath/sketch=$batchId")
         }
-      }
+      })
       .start())
   }
 
@@ -2476,7 +2532,7 @@ object StreamOps {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch(heldBatch(Seq(statePath)) { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val b = batch.localCheckpoint()
           val prof = Stats.profileTable(b, cols).localCheckpoint()
@@ -2520,7 +2576,7 @@ object StreamOps {
           state.coalesce(1).write.mode("overwrite")
             .parquet(s"$statePath/sketch=$batchId")
         }
-      }
+      })
       .start())
   }
 

@@ -67,7 +67,12 @@ class DeterminismSpec extends SparkSuite {
     "x_closeness",        // all-pairs BFS + integer floor-div sums
     "x_closeness_landmark", // Eppstein-Wang fold over the L pivots
     "x_closeness_incremental", // store-backed estimator readout
-    "x_retract_deadline") // as-of probes post-vacuum (compliance)
+    "x_retract_deadline",  // as-of probes post-vacuum (compliance)
+    "x_bm25_incremental",  // index-gate store readout; appends now run
+                           // under the batch writer fence (r15)
+    "x_embed_incremental", // codes+vecs sibling store, fenced appends
+    "x_substring_incremental") // manifest-pruned window-fp store
+                           // readout after fenced append+compact
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)

@@ -161,13 +161,20 @@ class MediaStoreSpec extends SparkSuite {
       s"$base/m", s"$base/mout", s"$base/mckpt", compactEvery = 2)
     try {
       min.addData((1L, pa), (2L, pb)); mq.processAllAvailable()
-      // right-to-be-forgotten on image 1
-      StreamOps.deleteFromNearDupStore(spark, s"$base/m",
-        Seq(1L).toDF("id"), batchId = 1L)
+    } finally mq.stop()
+    // right-to-be-forgotten on image 1, under QUIESCE — batch
+    // mutators are fenced against live gates, so the takedown runs
+    // between sink generations and the gate resumes from checkpoint
+    StreamOps.deleteFromNearDupStore(spark, s"$base/m",
+      Seq(1L).toDF("id"), batchId = 1L)
+    val mq2 = StreamOps.mediaDedupGateSinkBanded(spark,
+      min.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/m", s"$base/mout", s"$base/mckpt", compactEvery = 2)
+    try {
       // a re-upload of the SAME image now survives (the retracted
       // windows stop suppressing), and this stream batch compacts:
       // physical drop + tombstone clear
-      min.addData((11L, pa)); mq.processAllAvailable()
+      min.addData((11L, pa)); mq2.processAllAvailable()
       val mout = spark.read.parquet(s"$base/mout")
         .select(col("media_id")).as[Long].collect().toSet
       assert(mout == Set(1L, 2L, 11L), s"got $mout")
@@ -178,11 +185,11 @@ class MediaStoreSpec extends SparkSuite {
           Stats.committedViewDirs(spark, s"$base/m_deleted"): _*)
         .isEmpty)
       // suppression TRANSFERRED: a third copy drops against 11
-      min.addData((21L, pa)); mq.processAllAvailable()
+      min.addData((21L, pa)); mq2.processAllAvailable()
       val mout2 = spark.read.parquet(s"$base/mout")
         .select(col("media_id")).as[Long].collect().toSet
       assert(mout2 == Set(1L, 2L, 11L), s"got $mout2")
-    } finally mq.stop()
+    } finally mq2.stop()
     // VIDEO arm
     val vin = MemoryStream[(Long, Array[Byte])]
     val vq = StreamOps.videoDedupGateSink(spark,
@@ -192,9 +199,15 @@ class MediaStoreSpec extends SparkSuite {
     try {
       vin.addData((1L, vid(10, 3)), (2L, vid(20, 3)))
       vq.processAllAvailable()
-      StreamOps.deleteFromNearDupStore(spark, s"$base/v",
-        Seq(1L).toDF("id"), batchId = 1L)
-      vin.addData((11L, vid(10, 3))); vq.processAllAvailable()
+    } finally vq.stop()
+    StreamOps.deleteFromNearDupStore(spark, s"$base/v",
+      Seq(1L).toDF("id"), batchId = 1L)
+    val vq2 = StreamOps.videoDedupGateSink(spark,
+      vin.toDF().toDF("media_id", "payload"), "media_id", "payload",
+      s"$base/v", s"$base/vout", s"$base/vckpt",
+      frameBytes = 64, minShared = 2, compactEvery = 2)
+    try {
+      vin.addData((11L, vid(10, 3))); vq2.processAllAvailable()
       val vout = spark.read.parquet(s"$base/vout")
         .select(col("media_id")).as[Long].collect().toSet
       assert(vout == Set(1L, 2L, 11L), s"got $vout")
@@ -204,7 +217,7 @@ class MediaStoreSpec extends SparkSuite {
       assert(spark.read.parquet(
           Stats.committedViewDirs(spark, s"$base/v_deleted"): _*)
         .isEmpty)
-    } finally vq.stop()
+    } finally vq2.stop()
   }
 
   test("mediaDedupGateSinkBanded: gate semantics match the flat media " +

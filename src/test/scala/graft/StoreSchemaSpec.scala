@@ -37,6 +37,45 @@ class StoreSchemaSpec extends SparkSuite {
     assert(ex2.getMessage.contains("pageRankStore"), ex2.getMessage)
   }
 
+  test("tombstone sets are guarded too: a drifted _deleted dir fails " +
+      "at open with the named error instead of silently anti-joining " +
+      "on a miscast column; a healthy set still filters") {
+    val base = s"/tmp/graft-tombguard-${System.nanoTime()}"
+    import graft.streaming.StreamOps
+    // healthy: a store with a real tombstone set filters the view
+    Seq((1L, "s1", 0L), (2L, "s2", 0L)).toDF("id", "sig", "__b")
+      .write.parquet(s"$base/store/batch=0")
+    StreamOps.deleteFromNearDupStore(spark, s"$base/store",
+      Seq(1L).toDF("id"), batchId = 1L)
+    val ids = StreamOps.nearDupStoreView(spark, s"$base/store").get
+      .select(col("id")).as[Long].collect().toSet
+    assert(ids == Set(2L), s"got $ids")
+    // drift: a renamed tombstone column (doc_id instead of id) — the
+    // read must fail with the named error naming the _deleted path
+    val base2 = s"/tmp/graft-tombguard2-${System.nanoTime()}"
+    Seq((1L, "s1", 0L), (2L, "s2", 0L)).toDF("id", "sig", "__b")
+      .write.parquet(s"$base2/store/batch=0")
+    Seq((1L, 1L)).toDF("doc_id", "__b")
+      .write.parquet(s"$base2/store_deleted/batch=1")
+    val ex = intercept[Stats.StoreSchemaException] {
+      StreamOps.nearDupStoreView(spark, s"$base2/store").get.count()
+    }
+    assert(ex.getMessage.contains(s"$base2/store_deleted") &&
+      ex.getMessage.contains("expected"), ex.getMessage)
+    // drift in a /deleted sibling (kmv units): retyped unit column
+    val base3 = s"/tmp/graft-tombguard3-${System.nanoTime()}"
+    import graft.operators.Overlap
+    Overlap.writeKmvUnitStore(
+      Seq(("g", 1L, "k1"), ("g", 2L, "k2")).toDF("grp", "unit", "key"),
+      col("grp"), col("unit"), col("key"), k = 4, s"$base3/kmv")
+    Seq(("1", 1L)).toDF("unit", "__b")
+      .write.parquet(s"$base3/kmv/deleted/batch=1")
+    val ex2 = intercept[Stats.StoreSchemaException] {
+      Overlap.kmvStoreSketches(spark, s"$base3/kmv", k = 4).count()
+    }
+    assert(ex2.getMessage.contains("kmvDeletedUnits"), ex2.getMessage)
+  }
+
   test("gate stores (name-declared columns) fail loudly on a missing " +
       "column with the store path, not an unresolved-column error") {
     val base = s"/tmp/graft-gateguard-${System.nanoTime()}"

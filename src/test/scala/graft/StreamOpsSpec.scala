@@ -182,10 +182,11 @@ class StreamOpsSpec extends SparkSuite {
         s"one-cycle-old batch dirs must be vacuumed, got $dirNames")
       assert(dirNames.contains("batch=2") && dirNames.contains("batch=3"),
         "freshly folded dirs keep a one-cycle grace period")
-      // a third compaction folds nothing new but is a safe no-op
-      assert(StreamOps.compactNearDupStore(spark, s"$base/store", 2)
-        .isEmpty)
     } finally q.stop()
+    // a third compaction folds nothing new but is a safe no-op — run
+    // AFTER quiesce: batch mutators are fenced against live gates
+    assert(StreamOps.compactNearDupStore(spark, s"$base/store", 2)
+      .isEmpty)
   }
 
   test("nearDupGateSinkBanded: banded manifest-pruned store — same gate " +
@@ -770,11 +771,20 @@ class StreamOpsSpec extends SparkSuite {
       compactEvery = 2)
     try {
       sin.addData((1L, docA), (3L, docB)); sq.processAllAvailable()
-      StreamOps.deleteFromNearDupStore(spark, s"$base/sub",
-        Seq(1L).toDF("id"), batchId = 1L)
+    } finally sq.stop()
+    // takedown under QUIESCE — batch mutators are fenced against live
+    // gates (ConcurrentWriterException), so the delete runs between
+    // sink generations and the gate resumes from its checkpoint
+    StreamOps.deleteFromNearDupStore(spark, s"$base/sub",
+      Seq(1L).toDF("id"), batchId = 1L)
+    val sq2 = StreamOps.substringGateSink(spark,
+      sin.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/sub", s"$base/subout", s"$base/subckpt",
+      compactEvery = 2)
+    try {
       // a re-ingest sharing doc 1's passages now survives; this
       // stream batch also compacts: physical drop + tombstone clear
-      sin.addData((11L, docA)); sq.processAllAvailable()
+      sin.addData((11L, docA)); sq2.processAllAvailable()
       val out = spark.read.parquet(s"$base/subout")
         .select(col("doc_id")).as[Long].collect().toSet
       assert(out == Set(1L, 3L, 11L), s"got $out")
@@ -787,11 +797,11 @@ class StreamOpsSpec extends SparkSuite {
           graft.operators.Stats.committedViewDirs(spark,
             s"$base/sub_deleted"): _*).isEmpty)
       // suppression transferred to the surviving copy
-      sin.addData((21L, docA)); sq.processAllAvailable()
+      sin.addData((21L, docA)); sq2.processAllAvailable()
       assert(spark.read.parquet(s"$base/subout")
         .select(col("doc_id")).as[Long].collect().toSet ==
         Set(1L, 3L, 11L))
-    } finally sq.stop()
+    } finally sq2.stop()
     // EMBEDDING store (codes + vecs siblings, one shared set)
     def v(seed: Int, eps: Double = 0.0): Array[Float] =
       Array.tabulate(64)(i => (math.sin(seed * 131 + i + 1) +
@@ -803,11 +813,17 @@ class StreamOpsSpec extends SparkSuite {
       threshold = 0.95, compactEvery = 2)
     try {
       ein.addData((1L, v(1)), (2L, v(2))); eq.processAllAvailable()
-      StreamOps.deleteFromNearDupStore(spark, s"$base/emb",
-        Seq(1L).toDF("id"), batchId = 1L)
+    } finally eq.stop()
+    StreamOps.deleteFromNearDupStore(spark, s"$base/emb",
+      Seq(1L).toDF("id"), batchId = 1L)
+    val eq2 = StreamOps.embedDedupGateSink(spark,
+      ein.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$base/emb", s"$base/embout", s"$base/embckpt",
+      threshold = 0.95, compactEvery = 2)
+    try {
       // a near-dup of the retracted vector now survives; compaction
       // folds BOTH sibling dirs minus the tombstones, then clears
-      ein.addData((11L, v(1, 0.01))); eq.processAllAvailable()
+      ein.addData((11L, v(1, 0.01))); eq2.processAllAvailable()
       val out = spark.read.parquet(s"$base/embout")
         .select(col("id")).as[Long].collect().toSet
       assert(out == Set(1L, 2L, 11L), s"got $out")
@@ -820,7 +836,7 @@ class StreamOpsSpec extends SparkSuite {
       assert(spark.read.parquet(
           graft.operators.Stats.committedViewDirs(spark,
             s"$base/emb_deleted"): _*).isEmpty)
-    } finally eq.stop()
+    } finally eq2.stop()
     // ER entity dictionary (tombstoned by eid)
     val rin = MemoryStream[(Long, String)]
     val rq = StreamOps.erGateSink(spark, rin.toDF().toDF("rid", "nm"),
@@ -829,11 +845,16 @@ class StreamOpsSpec extends SparkSuite {
     try {
       rin.addData((1L, "acme corp"), (3L, "zeta llc"))
       rq.processAllAvailable()
-      StreamOps.deleteFromNearDupStore(spark, s"$base/er",
-        Seq(1L).toDF("id"), batchId = 1L)
+    } finally rq.stop()
+    StreamOps.deleteFromNearDupStore(spark, s"$base/er",
+      Seq(1L).toDF("id"), batchId = 1L)
+    val rq2 = StreamOps.erGateSink(spark, rin.toDF().toDF("rid", "nm"),
+      "rid", "nm", s"$base/er", s"$base/erout", s"$base/erckpt",
+      maxDist = 2, compactEvery = 2)
+    try {
       // a near name of the retracted entity now survives as a NEW
       // entity; compaction drops eid 1's dictionary row and clears
-      rin.addData((10L, "acme corp.")); rq.processAllAvailable()
+      rin.addData((10L, "acme corp.")); rq2.processAllAvailable()
       val ents = StreamOps.gateStoreView(spark, s"$base/er",
           Seq("eid", "nm")).get
         .as[(Long, String)].collect().toSet
@@ -842,7 +863,7 @@ class StreamOpsSpec extends SparkSuite {
       assert(spark.read.parquet(
           graft.operators.Stats.committedViewDirs(spark,
             s"$base/er_deleted"): _*).isEmpty)
-    } finally rq.stop()
+    } finally rq2.stop()
   }
 
   test("retraction vs time travel: an as-of snapshot can outlive a " +

@@ -155,6 +155,156 @@ class WriterLeaseSpec extends SparkSuite {
     Stats.releaseWriterLease(spark, Seq(root))
   }
 
+  test("BATCH mutators are fenced too: a takedown or compaction " +
+      "against a LIVE gate throws the named error in the caller's " +
+      "thread; the quiesce → batch-delete → resume cycle works and " +
+      "the takedown applies") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-blease-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained " * 8
+    val in = MemoryStream[(Long, String)]
+    def startGate() = StreamOps.nearDupGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/store", s"$base/out", s"$base/ckpt")
+    val q = startGate()
+    try {
+      in.addData((1L, docA), (2L, docB)); q.processAllAvailable()
+      // the gate is LIVE: the batch-side takedown AND the batch-side
+      // OPTIMIZE must refuse in this thread, exactly like a
+      // conflicting sink would
+      val ex1 = intercept[Stats.ConcurrentWriterException] {
+        StreamOps.deleteFromNearDupStore(spark, s"$base/store",
+          Seq(1L).toDF("id"), batchId = 1L)
+      }
+      assert(ex1.getMessage.contains("leased by") &&
+        ex1.getMessage.contains("deleteFromNearDupStore"))
+      intercept[Stats.ConcurrentWriterException] {
+        StreamOps.compactNearDupStore(spark, s"$base/store", 2)
+      }
+      // the failed claims must not have poisoned the family
+      in.addData((3L, docB + " extra")); q.processAllAvailable()
+    } finally q.stop()
+    // quiesce → batch mutate (delete + compact) → resume
+    StreamOps.deleteFromNearDupStore(spark, s"$base/store",
+      Seq(1L).toDF("id"), batchId = 2L)
+    StreamOps.compactNearDupStore(spark, s"$base/store", 2)
+    val ids0 = StreamOps.nearDupStoreView(spark, s"$base/store").get
+      .select(col("id")).as[Long].collect().toSet
+    assert(!ids0.contains(1L), s"takedown did not apply: $ids0")
+    val q2 = startGate()
+    try {
+      // the retracted doc's text no longer suppresses a re-ingest
+      in.addData((11L, docA)); q2.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(out.contains(11L), s"got $out")
+    } finally q2.stop()
+  }
+
+  test("cross-process claim is ATOMIC: a foreign lease file created " +
+      "inside the inspection→create window loses us the claim with " +
+      "the named error instead of being clobbered") {
+    val root = s"/tmp/graft-alease-${System.nanoTime()}/store"
+    new java.io.File(root).getParentFile.mkdirs()
+    val lp = Stats.writerLeasePath(root)
+    try {
+      Stats.leaseClaimTestHook = { p =>
+        // a second process claims the family right between our
+        // inspection and our create — fs.create(overwrite=false) is
+        // the arbiter, so we must lose, not clobber
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          "owner=foreignSink;app=application_other_9".getBytes("UTF-8"))
+      }
+      val ex = intercept[Stats.ConcurrentWriterException] {
+        Stats.acquireWriterLease(spark, Seq(root), "me")
+      }
+      assert(ex.getMessage.contains("created concurrently"))
+      // the foreign file survives untouched
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(lp)), "UTF-8")
+        .contains("application_other_9"))
+    } finally Stats.leaseClaimTestHook = _ => ()
+    // and the failed claim left no registry residue: after the
+    // foreign process releases, the claim goes through
+    java.nio.file.Files.delete(java.nio.file.Paths.get(lp))
+    Stats.acquireWriterLease(spark, Seq(root), "me")
+    Stats.releaseWriterLease(spark, Seq(root))
+  }
+
+  test("release is OWNERSHIP-CHECKED: a predecessor's late release " +
+      "cannot drop a successor's reclaimed lease; and the reclaim " +
+      "path still refuses a foreign lease FILE") {
+    val root = s"/tmp/graft-olease-${System.nanoTime()}/store"
+    new java.io.File(root).getParentFile.mkdirs()
+    val lp = java.nio.file.Paths.get(Stats.writerLeasePath(root))
+    // predecessor claims, then dies without releasing (its claim id
+    // goes dead — the async-listener-not-yet-fired shape)
+    val ca = Stats.newSyncClaim()
+    Stats.acquireWriterLease(spark, Seq(root), "pred", ca)
+    Stats.dropSyncClaim(ca)
+    // successor liveness-reclaims the family
+    val cb = Stats.newSyncClaim()
+    Stats.acquireWriterLease(spark, Seq(root), "succ", cb)
+    // the predecessor's LATE release fires now: ownership check must
+    // make it a no-op — registry entry and lease file both survive
+    Stats.releaseWriterLeaseOwned(spark, Seq(root), ca)
+    assert(java.nio.file.Files.exists(lp),
+      "late release deleted the successor's lease file")
+    val ex = intercept[Stats.ConcurrentWriterException] {
+      Stats.acquireWriterLease(spark, Seq(root), "third")
+    }
+    assert(ex.getMessage.contains("leased by"))
+    // successor's own release cleans up
+    Stats.releaseWriterLeaseOwned(spark, Seq(root), cb)
+    Stats.dropSyncClaim(cb)
+    assert(!java.nio.file.Files.exists(lp))
+    // reclaim-path file inspection: a DEAD intra-process holder whose
+    // lease file was replaced by a FOREIGN process is never clobbered
+    val cc = Stats.newSyncClaim()
+    Stats.acquireWriterLease(spark, Seq(root), "pred2", cc)
+    Stats.dropSyncClaim(cc) // dead — registry says reclaimable
+    java.nio.file.Files.write(lp,
+      "owner=other;app=application_foreign_7".getBytes("UTF-8"))
+    // the nio overwrite bypasses Hadoop's checksum; drop the stale
+    // .crc so the fence reads the foreign body (an unreadable body is
+    // refused too, but this test pins the named-owner message)
+    java.nio.file.Files.deleteIfExists(
+      lp.getParent.resolve(s".${lp.getFileName}.crc"))
+    val ex2 = intercept[Stats.ConcurrentWriterException] {
+      Stats.acquireWriterLease(spark, Seq(root), "me")
+    }
+    assert(ex2.getMessage.contains("application_foreign_7"))
+    assert(new String(java.nio.file.Files.readAllBytes(lp), "UTF-8")
+      .contains("application_foreign_7"),
+      "reclaim path clobbered a foreign lease file")
+    Stats.releaseWriterLease(spark, Seq(root)) // operator break
+  }
+
+  test("ANY failure mid-claim rolls back every root: an I/O error on " +
+      "the second root releases the first root's registry entry and " +
+      "lease file, so the family is not stuck") {
+    val root = s"/tmp/graft-iolease-${System.nanoTime()}"
+    val first = s"$root/a_store"
+    val second = s"$root/b_store"
+    new java.io.File(root).mkdirs()
+    try {
+      Stats.leaseClaimTestHook = { p =>
+        if (p.contains("b_store"))
+          throw new java.io.IOException("injected transient FS error")
+      }
+      val ex = intercept[java.io.IOException] {
+        Stats.acquireWriterLease(spark, Seq(first, second), "me")
+      }
+      assert(ex.getMessage.contains("injected"))
+    } finally Stats.leaseClaimTestHook = _ => ()
+    assert(!new java.io.File(Stats.writerLeasePath(first)).exists,
+      "I/O failure mid-claim leaked the first root's lease file")
+    // no registry residue either: both roots claimable immediately
+    Stats.acquireWriterLease(spark, Seq(first, second), "me")
+    Stats.releaseWriterLease(spark, Seq(first, second))
+  }
+
   test("a foreign process's lease is never silently reclaimed — " +
       "operator break via releaseWriterLease; rolled-back claims " +
       "release every root acquired before the conflict") {

@@ -62,6 +62,12 @@ def main():
             print(f"only {len(common)} common queries — too few to "
                   "estimate the environment multiplier; showing RAW "
                   "ratios\n")
+    # per-query hypervisor-steal columns (committed by Bench since r15:
+    # "steals" map alongside "queries") — a flagged line whose steal
+    # column carries cpu-seconds is adjudicating host co-tenant
+    # contention, not this code
+    ost = old.get("steals", {}) or {}
+    nst = new.get("steals", {}) or {}
     rows = []
     for k in sorted(set(oq) | set(nq)):
         a, b = oq.get(k), nq.get(k)
@@ -74,6 +80,13 @@ def main():
         if ratio is not None and ratio >= thr:
             mark = "  <-- regression"
             flagged += 1
+            sa, sb = ost.get(k), nst.get(k)
+            if sa is not None or sb is not None:
+                fsa = f"{sa:.1f}" if sa is not None else "-"
+                fsb = f"{sb:.1f}" if sb is not None else "-"
+                mark += f" [steal {fsa}->{fsb}s]"
+                if sb is not None and b and sb >= 0.5 * max(b - (a or 0), 0):
+                    mark += " (contended?)"
         elif a is None:
             mark = "  (new)"
         elif b is None:
