@@ -874,7 +874,9 @@ object Graph {
       allEdges: DataFrame, a: Column, b: Column,
       newEdges: DataFrame, na: Column, nb: Column,
       storeDir: String, batchId: Long, maxDepth: Int = 6,
-      filesOut: Int = 4): DataFrame = {
+      filesOut: Int = 4): DataFrame =
+    Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
+        "landmarkDistancesIncremental(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeLandmarkStore base")
     require(maxDepth >= 0, "maxDepth must be >= 0")
     val spark = allEdges.sparkSession
@@ -1300,7 +1302,9 @@ object Graph {
                    storeDir: String, batchId: Long, rounds: Int = 2,
                    filesOut: Int = 4, dampNum: Long = 85,
                    dampDen: Long = 100, scale: Long = 1000000L,
-                   broadcastLimit: Long = 4000000L): DataFrame = {
+                   broadcastLimit: Long = 4000000L): DataFrame =
+    Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
+        "pageRankWarm(batch)") {
     require(batchId >= 1L, "batchId 0 is the writePageRankStore base")
     val spark = allEdges.sparkSession
     Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
@@ -1422,7 +1426,9 @@ object Graph {
   def hitsWarm(allEdges: DataFrame, src: Column, dst: Column,
                storeDir: String, batchId: Long, rounds: Int = 2,
                filesOut: Int = 4, scale: Long = 1000000L,
-               broadcastLimit: Long = 4000000L): DataFrame = {
+               broadcastLimit: Long = 4000000L): DataFrame =
+    Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
+        "hitsWarm(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeHitsStore base")
     val spark = allEdges.sparkSession
     Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
@@ -1758,7 +1764,9 @@ object Graph {
   def louvainWarm(allEdges: DataFrame, a: Column, b: Column,
                   storeDir: String, batchId: Long, rounds: Int = 1,
                   filesOut: Int = 4, weight: Option[Column] = None,
-                  broadcastLimit: Long = 4000000L): DataFrame = {
+                  broadcastLimit: Long = 4000000L): DataFrame =
+    Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
+        "louvainWarm(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeLouvainStore base")
     val spark = allEdges.sparkSession
     Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
@@ -2077,7 +2085,9 @@ object Graph {
                                   seedLabel: Column, iters: Int,
                                   storeDir: String, batchId: Long,
                                   broadcastLimit: Long = 4000000L)
-      : DataFrame = {
+      : DataFrame =
+    Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
+        "labelPropagationIncremental(batch)") {
     require(iters >= 1, "iters must be >= 1")
     require(batchId >= 1L, "batchId 0 is the writeLabelState base")
     val spark = allEdges.sparkSession
@@ -2406,7 +2416,9 @@ object Graph {
                                 nb: Column, storeDir: String,
                                 batchId: Long,
                                 broadcastLimit: Long = 4000000L)
-      : DataFrame = {
+      : DataFrame =
+    Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
+        "triangleCountsIncremental(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeTriangleStore base")
     val spark = allEdges.sparkSession
     Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
@@ -3059,7 +3071,9 @@ object Graph {
     */
   def sccIncremental(newEdges: DataFrame, src: Column, dst: Column,
                      storeDir: String, batchId: Long,
-                     broadcastLimit: Long = 4000000L): DataFrame = {
+                     broadcastLimit: Long = 4000000L): DataFrame =
+    Stats.withWriterLease(newEdges.sparkSession, Seq(storeDir),
+        "sccIncremental(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeSccStore base")
     val spark = newEdges.sparkSession
     Stats.requireMonotoneBatch(spark,
@@ -3364,7 +3378,9 @@ object Graph {
                                      batchId: Long,
                                      broadcastLimit: Long = 4000000L,
                                      smallStoreBytes: Long = 32L << 20)
-      : DataFrame = {
+      : DataFrame =
+    Stats.withWriterLease(newEdges.sparkSession, Seq(storeDir),
+        "connectedComponentsIncremental(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeCCStore base")
     val spark = newEdges.sparkSession
     Stats.requireMonotoneBatch(spark,
@@ -3635,7 +3651,9 @@ object Graph {
                        k: Int, storeDir: String, batchId: Long,
                        maxRounds: Int = 50,
                        broadcastLimit: Long = 4000000L,
-                       smallStoreBytes: Long = 32L << 20): DataFrame = {
+                       smallStoreBytes: Long = 32L << 20): DataFrame =
+    Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
+        "kCoreIncremental(batch)") {
     require(k >= 1, "k must be >= 1")
     require(batchId >= 1L, "batchId 0 is the writeKCoreStore base")
     val spark = allEdges.sparkSession
