@@ -795,12 +795,25 @@ object RetrievalQueries {
           nationTradeEdges(s, d, maxQty = 2, minQty = 1),
           col("src"), col("dst"), p, batchId = 1L,
           maxDepth = 6): Unit
+        // the node universe persists WITH the sketch (a store column
+        // a 100 TB deployment maintains alongside the distances): the
+        // estimator must emit 0-rows for nodes unreachable from every
+        // pivot, so the readout needs the graph's node set — but
+        // re-deriving it from the edge list per query re-scans the
+        // fact join the store exists to avoid. Maintenance rides the
+        // same batch cadence as the distance appends.
+        val union = nationTradeEdges(s, d, maxQty = 2)
+        union.select(col("src").as("id"))
+          .union(union.select(col("dst").as("id"))).distinct()
+          .coalesce(1)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$p/nodes/batch=1")
       }
-      val union = nationTradeEdges(s, d, maxQty = 2)
-      val nodes = union.select(col("src").as("id"))
-        .union(union.select(col("dst").as("id"))).distinct()
       Graph.harmonicClosenessLandmark(
-          Graph.landmarkStoreDistances(s, store), nodes)
+          Graph.landmarkStoreDistances(s, store),
+          s.read.parquet(graft.operators.Stats
+            .committedViewDirs(s, s"$store/nodes"): _*)
+            .select(col("id")))
         .orderBy(col("id"))
     }),
 
