@@ -721,6 +721,35 @@ object Stats {
       }
     }
 
+  /** One status row per family root — the operator's read-only
+    * console for the fence, the look-before-you-break companion to
+    * [[releaseWriterLease]]: `(root, leased, holderLive, holder,
+    * leaseFileBody)`. `leased` = a registry entry OR a lease file
+    * exists; `holderLive` = this JVM's registry holder is live (a
+    * running query or an open sync claim) — false for a terminated
+    * holder awaiting reclaim AND for a foreign process's file (whose
+    * liveness this JVM cannot see; the body's `owner=…;app=…` says
+    * whose it is). Never mutates.
+    */
+  def writerLeaseStatus(spark: SparkSession, roots: Seq[String])
+      : Seq[(String, Boolean, Boolean, String, String)] =
+    roots.filter(_.nonEmpty).distinct.map { r =>
+      val p = writerLeasePath(r)
+      val holder = Option(leaseHolders.get(p))
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      val body =
+        if (!fs.exists(hp)) ""
+        else try {
+          val in = fs.open(hp)
+          try org.apache.commons.io.IOUtils.toString(in, "UTF-8")
+          finally in.close()
+        } catch { case _: Throwable => "<unreadable>" }
+      (r, holder.isDefined || body.nonEmpty,
+        holder.exists(leaseIsLive(spark, _)),
+        holder.map(_.toString).getOrElse(""), body)
+    }
+
   // store-family roots whose lease the current thread's enclosing
   // scope already holds (a leased streaming sink's foreachBatch, or an
   // outer withWriterLease): fenced batch mutators called from such a

@@ -281,6 +281,38 @@ class WriterLeaseSpec extends SparkSuite {
     Stats.releaseWriterLease(spark, Seq(root)) // operator break
   }
 
+  test("writerLeaseStatus: the read-only console distinguishes free, " +
+      "live-held, terminated-awaiting-reclaim, and foreign-process " +
+      "leases — without mutating any of them") {
+    val root = s"/tmp/graft-slease-${System.nanoTime()}/store"
+    new java.io.File(root).getParentFile.mkdirs()
+    def status() = Stats.writerLeaseStatus(spark, Seq(root)).head
+    // free
+    assert(status() == ((root, false, false, "", "")))
+    // live-held (open sync claim)
+    val ca = Stats.newSyncClaim()
+    Stats.acquireWriterLease(spark, Seq(root), "me", ca)
+    val live = status()
+    assert(live._2 && live._3 && live._4 == ca.toString &&
+      live._5.contains("owner=me"), live.toString)
+    // terminated, awaiting reclaim: leased but holder not live
+    Stats.dropSyncClaim(ca)
+    val dead = status()
+    assert(dead._2 && !dead._3, dead.toString)
+    // the console did not mutate: the lease is still reclaimable and
+    // then releasable
+    Stats.acquireWriterLease(spark, Seq(root), "me2")
+    Stats.releaseWriterLease(spark, Seq(root))
+    // foreign-process file: leased, no registry holder, body names it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(Stats.writerLeasePath(root)),
+      "owner=other;app=application_x".getBytes("UTF-8"))
+    val foreign = status()
+    assert(foreign._2 && !foreign._3 && foreign._4 == "" &&
+      foreign._5.contains("application_x"), foreign.toString)
+    Stats.releaseWriterLease(spark, Seq(root))
+  }
+
   test("ANY failure mid-claim rolls back every root: an I/O error on " +
       "the second root releases the first root's registry entry and " +
       "lease file, so the family is not stuck") {
