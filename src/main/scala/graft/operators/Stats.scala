@@ -419,6 +419,51 @@ object Stats {
     (maxOf("gen="), maxOf("batch="))
   }
 
+  /** One store root's health, from FS metadata only — see
+    * [[storeStats]]. Tokens are Long.MinValue when absent.
+    */
+  final case class StoreStats(root: String, newestGen: Long,
+                              newestBatch: Long,
+                              batchDirsAboveGen: Int,
+                              viewFiles: Int, viewBytes: Long)
+
+  /** FS-metadata store health — the signal an OPTIMIZE/vacuum
+    * scheduler needs without reading a single data row: per root, the
+    * committed sequence head (newest `gen=`/`batch=` token), the
+    * COMPACTION DEBT (committed batch dirs above the newest
+    * generation — exactly what the next fold would fold), and the
+    * committed view's file count and byte size (small-file pressure:
+    * debt × files-per-batch is the open() cost every reader pays
+    * until someone compacts). Tombstone siblings are their own
+    * sequences — pass them explicitly (`<root>_deleted`,
+    * `<root>/deleted`) to see the backlog a compaction would fold and
+    * clear. Read-only; pairs with [[writerLeaseStatus]] for the
+    * who-is-writing half of the console.
+    */
+  def storeStats(spark: SparkSession, roots: Seq[String])
+      : Seq[StoreStats] =
+    roots.filter(_.nonEmpty).distinct.map { r =>
+      val rootP = new org.apache.hadoop.fs.Path(r)
+      val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(rootP))
+        StoreStats(r, Long.MinValue, Long.MinValue, 0, 0, 0L)
+      else {
+        val (gTok, bTok) = committedTokens(spark, r)
+        val debt = fs.listStatus(rootP).filter(_.isDirectory)
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("batch=") &&
+            hasCommittedParquet(fs, p))
+          .count(_.getName.stripPrefix("batch=").toLong > gTok)
+        val files = committedViewDirs(spark, r).flatMap { d =>
+          fs.listStatus(new org.apache.hadoop.fs.Path(d))
+            .filter(s => s.isFile &&
+              s.getPath.getName.endsWith(".parquet"))
+        }
+        StoreStats(r, gTok, bTok, debt, files.size,
+          files.map(_.getLen).sum)
+      }
+    }
+
   /** The token a SUPERSEDING generation must carry: one above the
     * newest committed gen/batch token across `roots` (a store plus
     * any sibling projection) — writing `gen=<this>` hides every
@@ -818,26 +863,39 @@ object Stats {
     val rootP = new org.apache.hadoop.fs.Path(root)
     val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootP)) return None
-    val dirs = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
-      .filter(p => hasCommittedParquet(fs, p))
-    val gens = dirs.filter(_.getName.startsWith("gen="))
-      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
-    val prevTok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
-    val foldable = dirs.filter(_.getName.startsWith("batch="))
-      .map(p => (p.getName.stripPrefix("batch=").toLong, p))
-      .filter(_._1 > prevTok)
-    if (foldable.isEmpty) return None
-    val newTok = foldable.map(_._1).max
-    val viewPaths = (gens.filter(_._1 == prevTok).map(_._2) ++
-      foldable.map(_._2)).map(_.toString).toSeq
-    shape(spark.read.parquet(viewPaths: _*))
-      .write.mode("overwrite").parquet(s"$root/gen=$newTok")
-    val stale =
-      gens.filter(_._1 < prevTok).map(_._2) ++
-        dirs.filter(_.getName.startsWith("batch="))
-          .filter(_.getName.stripPrefix("batch=").toLong <= prevTok)
-    stale.foreach(p => fs.delete(p, true))
-    Some(newTok)
+    // the OPTIMIZE primitive claims the family lease itself: calling
+    // it directly against a LIVE gate's root is exactly the
+    // batch-vs-stream interleave the fence refuses, and the directory
+    // listing below must see a frozen sequence head. The fenced
+    // compactors built on top already hold their root — reentrant
+    // no-op there (a sibling subdir claim, e.g. codes/ under a held
+    // family root, is a harmless fresh lease).
+    withWriterLease(spark, Seq(root), "compactCommittedStore(batch)") {
+      val dirs = fs.listStatus(rootP).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(p => hasCommittedParquet(fs, p))
+      val gens = dirs.filter(_.getName.startsWith("gen="))
+        .map(p => (p.getName.stripPrefix("gen=").toLong, p))
+      val prevTok =
+        if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
+      val foldable = dirs.filter(_.getName.startsWith("batch="))
+        .map(p => (p.getName.stripPrefix("batch=").toLong, p))
+        .filter(_._1 > prevTok)
+      if (foldable.isEmpty) None
+      else {
+        val newTok = foldable.map(_._1).max
+        val viewPaths = (gens.filter(_._1 == prevTok).map(_._2) ++
+          foldable.map(_._2)).map(_.toString).toSeq
+        shape(spark.read.parquet(viewPaths: _*))
+          .write.mode("overwrite").parquet(s"$root/gen=$newTok")
+        val stale =
+          gens.filter(_._1 < prevTok).map(_._2) ++
+            dirs.filter(_.getName.startsWith("batch="))
+              .filter(_.getName.stripPrefix("batch=").toLong <= prevTok)
+        stale.foreach(p => fs.delete(p, true))
+        Some(newTok)
+      }
+    }
   }
 
   /** [[readSkipping]] through a persisted manifest: no footer sweep,
