@@ -738,11 +738,14 @@ object Dedup {
     */
   def writeDfStats(docs: DataFrame, id: Column, text: Column, n: Int,
                    statsDir: String, filesOut: Int = 4): Unit =
-    dfStatsOf(docs, id, text, n)
-      .repartitionByRange(filesOut, col("sh"))
-      .sortWithinPartitions(col("sh"))
-      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .parquet(statsDir)
+    Stats.withWriterLease(docs.sparkSession, Seq(statsDir),
+        "writeDfStats(batch)") {
+      dfStatsOf(docs, id, text, n)
+        .repartitionByRange(filesOut, col("sh"))
+        .sortWithinPartitions(col("sh"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(statsDir)
+    }
 
   /** Merge-refresh: stored stats + a new batch's counts, additively —
     * document frequencies are a sum monoid, so stored(hist) ⊕
