@@ -281,6 +281,37 @@ class WriterLeaseSpec extends SparkSuite {
     Stats.releaseWriterLease(spark, Seq(root)) // operator break
   }
 
+  test("in-sink maintenance is REENTRANT: a gate's own per-batch " +
+      "compactions ride the query's lease — zero additional claims " +
+      "over the whole stream (the fence is free on the hot path)") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-zlease-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained " * 8
+    val claims = new java.util.concurrent.atomic.AtomicInteger(0)
+    Stats.leaseClaimTestHook = { p =>
+      if (p.contains(base)) claims.incrementAndGet(): Unit
+    }
+    try {
+      val in = MemoryStream[(Long, String)]
+      // compactEvery = 1: EVERY micro-batch runs the (fenced) store
+      // compactor from inside foreachBatch
+      val q = StreamOps.nearDupGateSink(spark,
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$base/store", s"$base/out", s"$base/ckpt",
+        compactEvery = 1, compactFilesOut = 1)
+      try {
+        in.addData((1L, docA)); q.processAllAvailable()
+        in.addData((2L, docB)); q.processAllAvailable()
+        in.addData((3L, docA + " tail")); q.processAllAvailable()
+      } finally q.stop()
+      assert(claims.get == 1,
+        s"expected exactly the sink's ONE startup claim, " +
+          s"saw ${claims.get} — in-sink maintenance is re-claiming " +
+          "instead of riding the held lease")
+    } finally Stats.leaseClaimTestHook = _ => ()
+  }
+
   test("writerLeaseStatus: the read-only console distinguishes free, " +
       "live-held, terminated-awaiting-reclaim, and foreign-process " +
       "leases — without mutating any of them") {
