@@ -115,8 +115,12 @@ object Bench {
     val fullJson = {
       val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
+      // Locale.ROOT: f"" uses the JVM default locale, which under a
+      // comma-decimal locale (de_DE) would emit 0,3 — invalid JSON
       val steals = results
-        .map { case (k, _, s) => f""""$k":$s%.1f""" }
+        .map { case (k, _, s) => "\"" + k + "\":" +
+          String.format(java.util.Locale.ROOT, "%.1f",
+            Double.box(s)) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"steal_sec":$stealSec,"queries":$qs,"steals":$steals,"sf":"$sfDir"}"""
     }
@@ -146,10 +150,15 @@ object Bench {
       "x_embed_lsh_clusters", "x_cc_chain", "x_image_meta",
       "x_heavy_hitters", "r_interval_join")
     val byName = results.map { case (k, v, _) => k -> v }.toMap
+    // same Locale.ROOT treatment as the steals map above — every
+    // %-formatted number that lands in JSON must be locale-independent
+    def num(fmt: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, fmt, Double.box(v))
     def line(names: Seq[String]): String = {
-      val qs = names.flatMap(n => byName.get(n).map(v => f""""$n":$v%.3f"""))
+      val qs = names.flatMap(n => byName.get(n)
+          .map(v => "\"" + n + "\":" + num("%.3f", v)))
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size}%d,"steal_sec":$stealSec%.1f,"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
+      s"""{"metric":"total","value":${num("%.3f", total)},"unit":"sec","n":${results.size},"steal_sec":${num("%.1f", stealSec)},"queries":$qs,"sf":"${new java.io.File(sfDir).getName}"}"""
     }
     val out = {
       val l = line(headline)

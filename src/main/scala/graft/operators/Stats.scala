@@ -588,10 +588,12 @@ object Stats {
 
   private def leaseIsLive(spark: SparkSession,
                           qid: java.util.UUID): Boolean =
-    qid == LEASE_STARTING || liveSyncClaims.contains(qid) || {
-      val q = spark.streams.get(qid)
-      q != null && q.isActive
-    }
+    qid == LEASE_STARTING || liveSyncClaims.contains(qid) ||
+      // streaming holders register under q.runId, which is unique PER
+      // RUN — a checkpoint resume mints a new runId while q.id stays
+      // constant, so a predecessor's late termination event can never
+      // pass an ownership check against its successor's registration
+      spark.streams.active.exists(q => q.runId == qid && q.isActive)
 
   /** Mint a claim id that [[leaseIsLive]] reports live until
     * [[dropSyncClaim]] — the holder identity for synchronous (batch
@@ -612,25 +614,106 @@ object Stats {
   // file into the claim window and observe the named refusal.
   private[graft] var leaseClaimTestHook: String => Unit = _ => ()
 
+  /** Heartbeat cadence for held writer leases: a daemon refresher
+    * bumps every held lease file's mtime this often, so OTHER
+    * processes can tell a live holder from a crashed one. The mtime
+    * IS the heartbeat (set by the holder's refresher and by every
+    * claim/record write); no file body parsing is involved.
+    */
+  @volatile var leaseHeartbeatIntervalMs: Long = 60000L
+
+  /** Stale-heartbeat grace: a FOREIGN process's lease file whose
+    * mtime is older than this is treated as a crashed holder and
+    * reclaimed (the atomic create-if-absent still arbitrates, so two
+    * stale-reclaimers resolve to exactly one winner); a fresher
+    * foreign file keeps the named refusal. Default = 10 heartbeat
+    * intervals — generous against clock skew between writers (local
+    * FS mtimes come from each writer's clock) and refresher
+    * scheduling jitter. Set to Long.MaxValue to disable cross-process
+    * reclaim entirely (the pre-heartbeat behavior: only
+    * [[releaseWriterLease]] breaks a crashed foreign holder's lease).
+    */
+  @volatile var leaseStaleGraceMs: Long = 600000L
+
+  // the refresher needs a Hadoop conf off-thread; captured at claim
+  // time (any claimer's conf resolves the same lease paths)
+  @volatile private var leaseHadoopConf
+      : org.apache.hadoop.conf.Configuration = _
+  private val leaseRefresherStarted =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  // mtime-only refresh: setTimes on a path whose lease was released
+  // (and file deleted) throws FileNotFound and is skipped — the
+  // refresher can never resurrect a released lease file, unlike a
+  // rewrite would
+  private def refreshHeldLeases(): Unit = {
+    val conf = leaseHadoopConf
+    if (conf != null) {
+      val now = System.currentTimeMillis()
+      leaseHolders.keySet().forEach { p =>
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).setTimes(hp, now, -1)
+        } catch { case _: Throwable => () }
+      }
+    }
+  }
+
+  private val lastLeaseRefresh =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def ensureLeaseRefresher(): Unit =
+    if (leaseRefresherStarted.compareAndSet(false, true)) {
+      val ex = java.util.concurrent.Executors
+        .newSingleThreadScheduledExecutor { r =>
+          val t = new Thread(r, "graft-lease-heartbeat")
+          t.setDaemon(true)
+          t
+        }
+      // a fixed 1 s tick with a due-check (instead of scheduling at
+      // the interval itself) so interval changes apply from the next
+      // tick; a tick with nothing due — or nothing held — is a no-op
+      ex.scheduleWithFixedDelay(new Runnable {
+        def run(): Unit = {
+          val now = System.currentTimeMillis()
+          if (now - lastLeaseRefresh.get() >= leaseHeartbeatIntervalMs
+              && !leaseHolders.isEmpty) {
+            lastLeaseRefresh.set(now)
+            refreshHeldLeases()
+          }
+        }
+      }, 1000L, 1000L, java.util.concurrent.TimeUnit.MILLISECONDS): Unit
+    }
+
   /** Claim the writer lease on every store-family root in `roots` for
     * one writer, atomically per root intra-process (the holder
     * registry's putIfAbsent/CAS is the arbiter between two writers of
     * one JVM — the common deployment, one driver per store family) and
-    * cross-process (the arbiter is an ATOMIC create-if-absent of the
-    * lease file — `fs.create(path, overwrite = false)`, atomic on
-    * local/HDFS — so a file that appears between the inspection and
-    * the create loses us the claim instead of being clobbered).
+    * cross-process (the arbiter is a create-if-absent of the lease
+    * file — `fs.create(path, overwrite = false)`, atomic on HDFS and
+    * on object stores with conditional create; on a LOCAL filesystem
+    * Hadoop's ChecksumFileSystem implements it as exists-then-create,
+    * so the cross-process arm is best-effort there — local FS is the
+    * single-driver deployment, where the intra-process registry is the
+    * real arbiter — and a file that appears between the inspection and
+    * the create still loses us the claim instead of being clobbered).
     * Throws [[ConcurrentWriterException]] when a root is held by a
     * LIVE writer; ANY failure — conflict or I/O — rolls back every
     * registry entry and lease file this call placed, and never touches
     * a file another writer owns. A lease whose in-process holder has
     * terminated is reclaimed by CAS (exactly one of two racing
     * reclaimers wins; covers the async-release race on sequential
-    * resume), and the reclaim path re-inspects the lease FILE too: a
-    * file from ANOTHER process is never reclaimed on any path — if
-    * that process crashed, break it with [[releaseWriterLease]].
+    * resume), and the reclaim path re-inspects the lease FILE too.
+    * Cross-process liveness is the HEARTBEAT: holders refresh their
+    * lease files' mtime every [[leaseHeartbeatIntervalMs]], so a
+    * foreign file whose mtime is stale past [[leaseStaleGraceMs]] is
+    * a crashed process and is reclaimed (create-if-absent arbitrates
+    * racing reclaimers); a fresh foreign file keeps the named refusal
+    * — break a wedged one manually with [[releaseWriterLease]].
     * `holder` is the registry identity for this claim (a sync-claim id
-    * from [[newSyncClaim]], or the default LEASE_STARTING sentinel).
+    * from [[newSyncClaim]], or the default LEASE_STARTING sentinel)
+    * and is stamped into the file body, so the ownership-checked
+    * release can tell its own file from a reclaimer's fresh one.
     */
   def acquireWriterLease(spark: SparkSession, roots: Seq[String],
                          owner: String,
@@ -673,18 +756,29 @@ object Stats {
         val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
         // cross-process inspection — on EVERY path, including the
         // intra-process reclaim: a lease file from another app is
-        // never reclaimed; our own app's stale file (terminated
+        // reclaimed ONLY when its heartbeat (mtime) is stale past the
+        // grace window — a crashed foreign process no longer wedges
+        // the family forever; our own app's stale file (terminated
         // holder, or a file this JVM lost track of after a listener
-        // raced a crash) is removed so the atomic create below
-        // arbitrates cleanly
+        // raced a crash) is removed so the create below arbitrates
+        // cleanly
         if (fs.exists(hp)) {
           val body = try {
             val in = fs.open(hp)
             try org.apache.commons.io.IOUtils.toString(in, "UTF-8")
             finally in.close()
           } catch { case _: Throwable => "" }
-          if (!body.contains(s"app=$appId"))
-            fail(p, if (body.isEmpty) "an unreadable lease" else body)
+          if (!body.contains(s"app=$appId")) {
+            val hbAge = try
+              System.currentTimeMillis() -
+                fs.getFileStatus(hp).getModificationTime
+            catch { case _: Throwable => 0L }
+            if (hbAge <= leaseStaleGraceMs)
+              fail(p, if (body.isEmpty) "an unreadable lease"
+                else s"$body (heartbeat ${hbAge}ms old — a live " +
+                  "process; stale-lease reclaim needs age > " +
+                  s"$leaseStaleGraceMs ms)")
+          }
           fs.delete(hp, false): Unit
         }
         leaseClaimTestHook(p)
@@ -698,10 +792,13 @@ object Stats {
                 "another process")
             else throw e
         }
-        try out.write(s"owner=$owner;app=$appId".getBytes("UTF-8"))
+        try out.write(
+          s"owner=$owner;app=$appId;holder=$holder".getBytes("UTF-8"))
         finally out.close()
         created += p
       }
+      leaseHadoopConf = spark.sessionState.newHadoopConf()
+      ensureLeaseRefresher()
     } catch {
       case t: Throwable =>
         // conflict or I/O failure mid-claim must not leave the family
@@ -720,15 +817,38 @@ object Stats {
     }
   }
 
-  /** Record the streaming query now holding leases acquired with
-    * [[acquireWriterLease]] — conditional on the expected pre-start
+  /** Record the streaming query run now holding leases acquired with
+    * [[acquireWriterLease]] (`to` = the query's runId — unique per
+    * run, so a checkpoint resume's successor never shares an identity
+    * with its predecessor) — conditional on the expected pre-start
     * holder, so a lease operator-broken and re-claimed mid-start is
-    * never clobbered. Enables the terminated-holder reclaim.
+    * never clobbered. Rewrites the lease file body's holder stamp to
+    * match, so the ownership-checked release's file-side check stays
+    * aligned with the registry. Enables the terminated-holder reclaim.
     */
-  def recordLeaseHolder(roots: Seq[String], from: java.util.UUID,
+  def recordLeaseHolder(spark: SparkSession, roots: Seq[String],
+                        from: java.util.UUID,
                         to: java.util.UUID): Unit =
-    roots.map(writerLeasePath).distinct
-      .foreach(p => leaseHolders.replace(p, from, to): Unit)
+    roots.map(writerLeasePath).distinct.foreach { p =>
+      if (leaseHolders.replace(p, from, to)) {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          val body = try {
+            val in = fs.open(hp)
+            try org.apache.commons.io.IOUtils.toString(in, "UTF-8")
+            finally in.close()
+          } catch { case _: Throwable => "" }
+          if (body.contains(s"holder=$from")) {
+            val out = fs.create(hp, true)
+            try out.write(
+              body.replace(s"holder=$from", s"holder=$to")
+                .getBytes("UTF-8"))
+            finally out.close()
+          }
+        } catch { case _: Throwable => () }
+      }
+    }
 
   private def releaseLease(spark: SparkSession, path: String): Unit = {
     leaseHolders.remove(path)
@@ -754,15 +874,29 @@ object Stats {
     * unconditional release there would delete the successor's lease
     * and let a third writer in — defeating the fence in exactly the
     * interleave it exists to prevent. The lease FILE is deleted only
-    * when the conditional registry remove succeeds.
+    * when the conditional registry remove succeeds AND the file body
+    * still carries this holder's stamp — a reclaiming acquirer that
+    * slipped into the remove→delete window has already replaced the
+    * file with its own stamp, which this release then leaves alone
+    * (the residual read→delete gap is best-effort on filesystems
+    * without conditional delete; the heartbeat makes any leaked file
+    * reclaimable after grace).
     */
   def releaseWriterLeaseOwned(spark: SparkSession, roots: Seq[String],
                               holder: java.util.UUID): Unit =
     roots.map(writerLeasePath).distinct.foreach { p =>
       if (leaseHolders.remove(p, holder)) {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(spark.sessionState.newHadoopConf())
-          .delete(hp, false): Unit
+        try {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+          val body = try {
+            val in = fs.open(hp)
+            try org.apache.commons.io.IOUtils.toString(in, "UTF-8")
+            finally in.close()
+          } catch { case _: Throwable => "" }
+          if (body.contains(s"holder=$holder"))
+            fs.delete(hp, false): Unit
+        } catch { case _: Throwable => () }
       }
     }
 
@@ -828,13 +962,29 @@ object Stats {
     * claims, mutates, and releases synchronously. Reentrant: called
     * from a leased sink's foreachBatch (under [[withHeldLeases]]) or
     * from an outer withWriterLease, already-held roots are skipped, so
-    * in-sink maintenance pays no per-batch lease churn.
+    * in-sink maintenance pays no per-batch lease churn. FAMILY-scoped:
+    * a held primary root also covers its tombstone siblings
+    * (`<root>_deleted`, `<root>_deleted_nodes`) and any subdirectory
+    * (`<root>/codes`, `<root>/vecs`, …) — the sibling dirs the docs
+    * already declare covered by the primary root's lease, so in-sink
+    * tombstone compaction never claims (and can never leak) a
+    * separate sibling lease mid-cycle.
     */
   def withWriterLease[T](spark: SparkSession, roots: Seq[String],
                          owner: String)(body: => T): T = {
     val held = heldByThread.get()
+    def coveredByHeld(r: String): Boolean = {
+      val n = r.stripSuffix("/")
+      held(writerLeasePath(n)) || held.exists { hp =>
+        val base = hp.stripSuffix("__writer_lease")
+        n.startsWith(base) && {
+          val rest = n.substring(base.length)
+          rest.startsWith("/") || rest.startsWith("_deleted")
+        }
+      }
+    }
     val toClaim = roots.filter(_.nonEmpty).distinct
-      .filterNot(r => held(writerLeasePath(r)))
+      .filterNot(coveredByHeld)
     if (toClaim.isEmpty) return body
     val claim = newSyncClaim()
     try {
@@ -868,8 +1018,8 @@ object Stats {
     // batch-vs-stream interleave the fence refuses, and the directory
     // listing below must see a frozen sequence head. The fenced
     // compactors built on top already hold their root — reentrant
-    // no-op there (a sibling subdir claim, e.g. codes/ under a held
-    // family root, is a harmless fresh lease).
+    // no-op there, including tombstone (`_deleted`) and subdir
+    // (codes/, vecs/) siblings of a held family root.
     withWriterLease(spark, Seq(root), "compactCommittedStore(batch)") {
       val dirs = fs.listStatus(rootP).filter(_.isDirectory)
         .map(_.getPath)

@@ -118,7 +118,13 @@ object StreamOps {
         Stats.dropSyncClaim(startClaim)
         throw t
     }
-    Stats.recordLeaseHolder(rs, startClaim, q.id)
+    // register under q.runId, NOT q.id: the query id is stable across
+    // checkpoint restarts, so a sequential resume's successor would
+    // share the predecessor's identity and a late termination event
+    // from the predecessor would pass the ownership check and unfence
+    // the live successor — runId is unique per run and
+    // QueryTerminatedEvent carries it
+    Stats.recordLeaseHolder(spark, rs, startClaim, q.runId)
     Stats.dropSyncClaim(startClaim)
     val listener =
       new org.apache.spark.sql.streaming.StreamingQueryListener {
@@ -131,11 +137,11 @@ object StreamOps {
         override def onQueryTerminated(
             e: org.apache.spark.sql.streaming.StreamingQueryListener
               .QueryTerminatedEvent): Unit =
-          if (e.id == q.id) {
+          if (e.runId == q.runId) {
             // ownership-checked: a LATE termination event firing after
             // a successor sink liveness-reclaimed the family must not
             // delete the successor's lease
-            Stats.releaseWriterLeaseOwned(spark, rs, q.id)
+            Stats.releaseWriterLeaseOwned(spark, rs, q.runId)
             spark.streams.removeListener(this)
           }
       }
@@ -143,7 +149,7 @@ object StreamOps {
     // the query may have died between start and addListener — release
     // here rather than leak (owned release is idempotent)
     if (!q.isActive) {
-      Stats.releaseWriterLeaseOwned(spark, rs, q.id)
+      Stats.releaseWriterLeaseOwned(spark, rs, q.runId)
       spark.streams.removeListener(listener)
     }
     q

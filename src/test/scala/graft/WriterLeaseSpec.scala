@@ -368,6 +368,173 @@ class WriterLeaseSpec extends SparkSuite {
     Stats.releaseWriterLease(spark, Seq(first, second))
   }
 
+  test("lease ownership is keyed on runId, not query id: a " +
+      "checkpoint resume's successor shares the predecessor's query " +
+      "id, and the predecessor's late release must still be a no-op") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-runlease-${System.nanoTime()}"
+    val in = MemoryStream[(Long, String)]
+    def startGate() = StreamOps.nearDupGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/store", s"$base/out", s"$base/ckpt")
+    val q1 = startGate()
+    val (id1, run1) = (q1.id, q1.runId)
+    try {
+      in.addData((1L, "the quick brown fox jumps over the dog" * 5))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // same checkpoint → same query id, NEW runId
+    val q2 = startGate()
+    try {
+      assert(q2.id == id1 && q2.runId != run1,
+        "fixture broke: resume should keep q.id and change q.runId")
+      // the predecessor's LATE release (its termination event firing
+      // after the successor claimed) — keyed on the OLD runId it must
+      // be a no-op; keyed on q.id it would unfence the live successor
+      Stats.releaseWriterLeaseOwned(spark, Seq(s"$base/store"), run1)
+      assert(new java.io.File(
+        Stats.writerLeasePath(s"$base/store")).exists,
+        "a late predecessor release deleted the successor's lease")
+      intercept[Stats.ConcurrentWriterException] {
+        StreamOps.compactNearDupStore(spark, s"$base/store", 1)
+      }
+    } finally q2.stop()
+  }
+
+  test("heartbeat liveness: a crashed FOREIGN process's " +
+      "stale-heartbeat lease is reclaimed after grace; a fresh " +
+      "foreign file still refuses; a racing reclaimer that loses " +
+      "the create window gets the named refusal") {
+    val root = s"/tmp/graft-hlease-${System.nanoTime()}/store"
+    new java.io.File(root).getParentFile.mkdirs()
+    val lp = java.nio.file.Paths.get(Stats.writerLeasePath(root))
+    def writeForeign(): Unit = {
+      java.nio.file.Files.write(lp,
+        "owner=deadSink;app=application_gone_1".getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        lp.getParent.resolve(s".${lp.getFileName}.crc"))
+    }
+    // fresh heartbeat (mtime = now): the named refusal, citing the
+    // grace the reclaim would need
+    writeForeign()
+    val ex = intercept[Stats.ConcurrentWriterException] {
+      Stats.acquireWriterLease(spark, Seq(root), "me")
+    }
+    assert(ex.getMessage.contains("heartbeat") &&
+      ex.getMessage.contains("application_gone_1"), ex.getMessage)
+    // stale heartbeat (mtime past grace): reclaimed — no crowbar
+    java.nio.file.Files.setLastModifiedTime(lp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Stats.leaseStaleGraceMs - 60000L))
+    Stats.acquireWriterLease(spark, Seq(root), "me")
+    assert(new String(java.nio.file.Files.readAllBytes(lp), "UTF-8")
+      .contains("owner=me"), "stale foreign lease was not reclaimed")
+    Stats.releaseWriterLease(spark, Seq(root))
+    // two stale-reclaimers race: the OTHER process re-creates the
+    // lease inside our inspection→create window — create-if-absent
+    // arbitrates, we lose with the named error, its file survives
+    writeForeign()
+    java.nio.file.Files.setLastModifiedTime(lp,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - Stats.leaseStaleGraceMs - 60000L))
+    try {
+      Stats.leaseClaimTestHook = { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          "owner=otherReclaimer;app=application_rival_2"
+            .getBytes("UTF-8"))
+      }
+      val ex2 = intercept[Stats.ConcurrentWriterException] {
+        Stats.acquireWriterLease(spark, Seq(root), "me")
+      }
+      assert(ex2.getMessage.contains("created concurrently"))
+      assert(new String(java.nio.file.Files.readAllBytes(lp), "UTF-8")
+        .contains("application_rival_2"),
+        "losing reclaimer clobbered the winner's lease")
+    } finally Stats.leaseClaimTestHook = _ => ()
+    Stats.releaseWriterLease(spark, Seq(root))
+  }
+
+  test("heartbeat refresher: a held lease's file mtime advances on " +
+      "the cadence without any explicit call, and a released lease " +
+      "is never resurrected by a late refresh") {
+    val root = s"/tmp/graft-rhlease-${System.nanoTime()}/store"
+    new java.io.File(root).getParentFile.mkdirs()
+    val lp = java.nio.file.Paths.get(Stats.writerLeasePath(root))
+    val prevInterval = Stats.leaseHeartbeatIntervalMs
+    Stats.leaseHeartbeatIntervalMs = 100L
+    val claim = Stats.newSyncClaim()
+    try {
+      Stats.acquireWriterLease(spark, Seq(root), "me", claim)
+      // age the file, then wait for the refresher to bump it back
+      val past = System.currentTimeMillis() - 3600000L
+      java.nio.file.Files.setLastModifiedTime(lp,
+        java.nio.file.attribute.FileTime.fromMillis(past))
+      val deadline = System.currentTimeMillis() + 15000L
+      var fresh = false
+      while (!fresh && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
+        fresh = java.nio.file.Files.getLastModifiedTime(lp)
+          .toMillis > past + 1800000L
+      }
+      assert(fresh, "held lease's heartbeat was never refreshed")
+    } finally {
+      Stats.releaseWriterLeaseOwned(spark, Seq(root), claim)
+      Stats.dropSyncClaim(claim)
+      Stats.leaseHeartbeatIntervalMs = prevInterval
+    }
+    // released → deleted; the refresher must not re-create it
+    Thread.sleep(2500L)
+    assert(!java.nio.file.Files.exists(lp),
+      "refresher resurrected a released lease file")
+  }
+
+  test("a held family root covers its tombstone sibling: in-sink " +
+      "compaction of <store>_deleted rides the gate's lease — no " +
+      "extra claim per cycle, no sibling lease file left behind") {
+    implicit val sc = spark.sqlContext
+    val base = s"/tmp/graft-dlease-${System.nanoTime()}"
+    val docA = "the quick brown fox jumps over the lazy dog " * 10
+    val docB = "watermark semantics for stream joins explained " * 8
+    val claims = new java.util.concurrent.atomic.AtomicInteger(0)
+    val in = MemoryStream[(Long, String)]
+    def startGate() = StreamOps.nearDupGateSink(spark,
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/store", s"$base/out", s"$base/ckpt",
+      compactEvery = 1, compactFilesOut = 1)
+    Stats.leaseClaimTestHook = { p =>
+      if (p.contains(base)) claims.incrementAndGet(): Unit
+    }
+    try {
+      val q1 = startGate()
+      try {
+        in.addData((1L, docA), (2L, docB)); q1.processAllAvailable()
+      } finally q1.stop()
+      // quiesce → tombstone doc 1 (one batch-side claim)
+      StreamOps.deleteFromNearDupStore(spark, s"$base/store",
+        Seq(1L).toDF("id"), batchId = 2L)
+      // resume: the next in-sink compaction folds the store MINUS the
+      // tombstone AND rewrites <store>_deleted — all under the gate's
+      // one startup claim
+      val q2 = startGate()
+      try {
+        in.addData((3L, docB + " tail")); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(claims.get == 3,
+        s"expected 3 claims (2 gate startups + 1 batch delete), saw " +
+          s"${claims.get} — the _deleted compaction re-claimed " +
+          "instead of riding the held family lease")
+    } finally Stats.leaseClaimTestHook = _ => ()
+    assert(!new java.io.File(
+      Stats.writerLeasePath(s"$base/store_deleted")).exists,
+      "in-sink tombstone compaction leaked a sibling lease file")
+    // and the maintenance actually ran: the store folded to a
+    // generation and the tombstoned doc is physically gone
+    import spark.implicits._
+    val ids = StreamOps.nearDupStoreView(spark, s"$base/store").get
+      .select(col("id")).as[Long].collect().toSet
+    assert(!ids.contains(1L), s"tombstoned doc survived: $ids")
+  }
+
   test("a foreign process's lease is never silently reclaimed — " +
       "operator break via releaseWriterLease; rolled-back claims " +
       "release every root acquired before the conflict") {
@@ -375,8 +542,8 @@ class WriterLeaseSpec extends SparkSuite {
     val held = s"$root/held"
     val free = s"$root/free"
     new java.io.File(root).mkdirs()
-    // a lease left by ANOTHER app (crashed or live — the fence cannot
-    // tell, so it must refuse either way)
+    // a lease left by ANOTHER app (fresh-heartbeat = live as far as
+    // the fence can tell, so it must refuse)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(Stats.writerLeasePath(held)),
       "owner=someSink;app=application_other_123".getBytes("UTF-8"))
