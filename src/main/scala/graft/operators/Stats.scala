@@ -464,6 +464,85 @@ object Stats {
       }
     }
 
+  /** Thresholds for [[maintainStores]] — a family is DUE when any of:
+    * compaction debt (committed batch dirs above the newest
+    * generation) ≥ `minDebt`; tombstone backlog (debt of the family's
+    * `_deleted` / `_deleted_nodes` siblings) ≥ `minTombstones`
+    * (retraction compliance wants physical drops promptly — lower to
+    * 1 to fold on every takedown); committed-view file count ≥
+    * `minViewFiles` (small-file pressure; disabled by default — debt
+    * already tracks it for append-heavy stores).
+    */
+  final case class MaintenancePolicy(minDebt: Int = 8,
+                                     minTombstones: Int = 2,
+                                     minViewFiles: Int = Int.MaxValue)
+
+  /** One [[maintainStores]] decision: what the scheduler saw
+    * (`debt` / `tombstoneDebt` / `viewFiles`, from FS metadata only)
+    * and what it did — `compacted` (with the new generation token),
+    * `skipped_below_threshold`, or `skipped_lease_held` (a LIVE
+    * writer holds the family — the named conflict is surfaced in
+    * `detail`, not thrown: a maintenance sweep over many families
+    * must not die because one is mid-ingestion).
+    */
+  final case class MaintenanceOutcome(root: String, debt: Int,
+                                      tombstoneDebt: Int,
+                                      viewFiles: Int, action: String,
+                                      newGen: Option[Long],
+                                      detail: String)
+
+  /** Debt-driven OPTIMIZE scheduler — the consumer half of
+    * [[storeStats]]'s console: for each `(root, compact)` family,
+    * read the FS-metadata health (no data rows touched), and when the
+    * policy says the family is due, run its compactor — the
+    * ALREADY-FENCED family compactor (compactNearDupStoreBanded,
+    * compactEmbedStore, compactPqCodeStore, …) or a bare
+    * `() => compactCommittedStore(spark, root, shape)` for plain
+    * stores; the thunk returns the new generation token. Below
+    * threshold the family is untouched (not even listed beyond the
+    * stats read). A family whose lease is held by a live writer is
+    * reported, not thrown — quiesce the gate (or let its own in-sink
+    * maintenance run) and sweep again. Tombstone backlog is read from
+    * the `_deleted` and `_deleted_nodes` sibling sequences
+    * automatically. Run it from a cron/driver loop with the same
+    * policy everywhere; at 100 TB this is the OPTIMIZE scheduler — a
+    * metadata-only sweep deciding which few of thousands of store
+    * families pay a fold this cycle.
+    */
+  def maintainStores(spark: SparkSession,
+                     families: Seq[(String, () => Option[Long])],
+                     policy: MaintenancePolicy = MaintenancePolicy())
+      : Seq[MaintenanceOutcome] =
+    families.map { case (root, compact) =>
+      val s = storeStats(spark, Seq(root)).head
+      val tombDebt = storeStats(spark,
+          Seq(s"${root}_deleted", s"${root}_deleted_nodes"))
+        .map(_.batchDirsAboveGen).sum
+      val due = s.batchDirsAboveGen >= policy.minDebt ||
+        tombDebt >= policy.minTombstones ||
+        s.viewFiles >= policy.minViewFiles
+      if (!due)
+        MaintenanceOutcome(root, s.batchDirsAboveGen, tombDebt,
+          s.viewFiles, "skipped_below_threshold", None, "")
+      else
+        try {
+          val g = compact()
+          // None from the compactor = tombstone backlog with nothing
+          // foldable on the main sequence (an append-free gate store):
+          // the read path's anti-join keeps the retraction in force;
+          // the physical drop lands with the next append's fold —
+          // reported, not hidden, so a sweep's log shows the deferral
+          MaintenanceOutcome(root, s.batchDirsAboveGen, tombDebt,
+            s.viewFiles,
+            if (g.isDefined) "compacted" else "no_fold_available",
+            g, "")
+        } catch {
+          case e: ConcurrentWriterException =>
+            MaintenanceOutcome(root, s.batchDirsAboveGen, tombDebt,
+              s.viewFiles, "skipped_lease_held", None, e.getMessage)
+        }
+    }
+
   /** The token a SUPERSEDING generation must carry: one above the
     * newest committed gen/batch token across `roots` (a store plus
     * any sibling projection) — writing `gen=<this>` hides every
@@ -613,6 +692,12 @@ object Stats {
   // cross-process create — lets a spec interleave a foreign process's
   // file into the claim window and observe the named refusal.
   private[graft] var leaseClaimTestHook: String => Unit = _ => ()
+
+  // test seam: invoked with (root, newGenToken) between a
+  // compaction's fold write and its vacuum — the crash-injection
+  // point for the gen=/batch= recovery spec.
+  private[graft] var compactionTestHook: (String, Long) => Unit =
+    (_, _) => ()
 
   /** Heartbeat cadence for held writer leases: a daemon refresher
     * bumps every held lease file's mtime this often, so OTHER
@@ -1038,6 +1123,11 @@ object Stats {
           foldable.map(_._2)).map(_.toString).toSeq
         shape(spark.read.parquet(viewPaths: _*))
           .write.mode("overwrite").parquet(s"$root/gen=$newTok")
+        // crash seam: fires between the fold commit and the vacuum —
+        // lets a spec kill the compactor at the protocol's most
+        // delicate point and machine-check the old-or-new-never-a-mix
+        // reader claim plus re-run recovery
+        compactionTestHook(root, newTok)
         val stale =
           gens.filter(_._1 < prevTok).map(_._2) ++
             dirs.filter(_.getName.startsWith("batch="))
