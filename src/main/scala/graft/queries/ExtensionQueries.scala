@@ -1898,8 +1898,340 @@ object ExtensionQueries {
            |ORDER BY id, sub""".stripMargin)
   }
 
+  // ---------- fitted-literal oracle replay: IVF family + SemDeDup ----
+  // (the x_pca_project / x_pq_incremental technique, applied to the
+  // remaining fitted-artifact queries: embed the memoized centroids /
+  // codebooks as STRING-cast literals — strtod-exact, DECIMAL→DOUBLE
+  // is not — and replay assignment → probe → shortlist → exact
+  // re-rank in DuckDB with the engine's exact IEEE sequences)
+
+  private def dlit(x: Double) = s"CAST('$x' AS DOUBLE)"
+
+  /** `(ci, cv)` centroid literal table + per-vector norms + the
+    * all-(vector, centroid) dot table + corpus top-1 cell — the
+    * shared assignment CTEs of every fitted-centroid oracle. The dot
+    * mirrors VecDot's +0.0-seeded left fold; the top-1 cell replays
+    * topCellsCol's (−score, index) struct-min (the pqReplaySql
+    * pattern, hash-proven since r13).
+    */
+  private def centAssignCtes(cents: Array[Array[Double]]): String = {
+    val cvLists = cents
+      .map(c => "[" + c.map(dlit).mkString(", ") + "]")
+      .mkString(",\n    ")
+    s"""ct AS MATERIALIZED (
+       |  SELECT unnest([${cents.indices.mkString(", ")}]) AS ci,
+       |    unnest([
+       |    $cvLists
+       |    ]) AS cv
+       |), n AS MATERIALIZED (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(embedding) + 1),
+       |        i -> CAST(embedding[i] AS DOUBLE) * embedding[i])),
+       |      (x, y) -> x + y)) AS nm
+       |  FROM embeddings
+       |), cellsc AS MATERIALIZED (
+       |  SELECT e.vec_id, ct.ci,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_zip(e.embedding, ct.cv),
+       |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |      (x, y) -> x + y) AS dotc
+       |  FROM embeddings e CROSS JOIN ct
+       |), ccell AS MATERIALIZED (
+       |  SELECT vec_id,
+       |    CAST(min([-dotc, CAST(ci AS DOUBLE)])[2] AS INT) AS cell
+       |  FROM cellsc GROUP BY vec_id
+       |)""".stripMargin
+  }
+
+  /** Query-side probe cells: row_number over (dot desc, index) ≤
+    * nprobe ≡ topCellsCol's slice of the (−score, index) sort.
+    */
+  private def probeCte(nprobe: Int): String =
+    s"""qcell AS MATERIALIZED (
+       |  SELECT vec_id, ci FROM (
+       |    SELECT vec_id, ci, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY dotc DESC, ci) AS pr
+       |    FROM cellsc WHERE vec_id < 10)
+       |  WHERE pr <= $nprobe
+       |)""".stripMargin
+
+  /** Exact-cosine re-rank of candidate (qa, vb) pairs from CTE
+    * `cand`, top-k with the (cos desc, vb) tiebreak — the
+    * x_cosine_topk tail, shared by all three IVF arms.
+    */
+  private def rerankTail(k: Int): String =
+    s"""scored AS (
+       |  SELECT cand.qa, cand.vb,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_zip(a.embedding, b.embedding),
+       |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+       |      (x, y) -> x + y) / (a.nm * b.nm) AS cos
+       |  FROM cand JOIN n a ON a.vec_id = cand.qa
+       |            JOIN n b ON b.vec_id = cand.vb
+       |)
+       |SELECT qa,
+       |  CAST(row_number() OVER (PARTITION BY qa
+       |    ORDER BY cos DESC, vb) AS INT) AS rank,
+       |  vb, cos
+       |FROM scored
+       |QUALIFY rank <= $k
+       |ORDER BY qa, rank""".stripMargin
+
+  /** Oracles for x_cosine_ivf and x_cosine_ivf_q8, from the memoized
+    * coarse fit (same Verify-dumps-after-run contract as
+    * [[pcaProjectOracle]]; empty when a filtered run skipped the IVF
+    * queries → rows-only fallback). The q8 arm additionally replays
+    * symmetric int8 quantization (floor(x·127/mx + 0.5), the
+    * explicit half-up) and the quantized-cosine shortlist cut
+    * (qcos desc, vb — total order both sides) before the exact
+    * re-rank.
+    */
+  private def ivfOracles: Map[String, String] =
+    if (centsMemo.size != 1) Map.empty
+    else {
+      val cents = centsMemo.values.iterator.next()
+      val ivf =
+        s"""WITH ${centAssignCtes(cents)},
+           |${probeCte(6)},
+           |cand AS (
+           |  SELECT q.vec_id AS qa, c.vec_id AS vb
+           |  FROM qcell q JOIN ccell c
+           |    ON q.ci = c.cell AND q.vec_id <> c.vec_id
+           |),
+           |${rerankTail(5)}""".stripMargin
+      val q8 =
+        s"""WITH ${centAssignCtes(cents)},
+           |${probeCte(6)},
+           |qz AS MATERIALIZED (
+           |  SELECT vec_id,
+           |    CASE WHEN mx = 0.0
+           |      THEN list_transform(embedding,
+           |        x -> CAST(0 AS DOUBLE))
+           |      ELSE list_transform(embedding,
+           |        x -> floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5))
+           |    END AS qv
+           |  FROM (
+           |    SELECT vec_id, embedding,
+           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(embedding,
+           |          x -> abs(CAST(x AS DOUBLE)))),
+           |        (a, b) -> greatest(a, b)) AS mx
+           |    FROM embeddings)
+           |), qn8 AS MATERIALIZED (
+           |  SELECT vec_id, qv,
+           |    sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(qv, x -> x * x)),
+           |      (x, y) -> x + y)) AS qnm
+           |  FROM qz
+           |), pcand AS (
+           |  SELECT q.vec_id AS qa, c.vec_id AS vb
+           |  FROM qcell q JOIN ccell c
+           |    ON q.ci = c.cell AND q.vec_id <> c.vec_id
+           |), cand AS (
+           |  SELECT qa, vb FROM (
+           |    SELECT p.qa, p.vb, row_number() OVER (
+           |      PARTITION BY p.qa ORDER BY qcos DESC, p.vb) AS sr
+           |    FROM (
+           |      SELECT p.qa, p.vb,
+           |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |          list_transform(list_zip(a.qv, b.qv),
+           |            z -> z[1] * z[2])),
+           |          (x, y) -> x + y) / (a.qnm * b.qnm) AS qcos
+           |      FROM pcand p JOIN qn8 a ON a.vec_id = p.qa
+           |                   JOIN qn8 b ON b.vec_id = p.vb) p)
+           |  WHERE sr <= 20
+           |),
+           |${rerankTail(5)}""".stripMargin
+      Map("x_cosine_ivf" -> ivf, "x_cosine_ivf_q8" -> q8)
+    }
+
+  /** Oracle for x_cosine_ivf_pq, from BOTH memoized fits: replays
+    * the residual code argmin per (corpus vector, subspace) exactly
+    * as [[pqReplaySql]] does, reconstructs ‖recon‖ with the same
+    * left-associated cross-term sums, builds each query's ADC table
+    * from the codebook literals, shortlists on pqcos (desc, vb),
+    * and exact-re-ranks — the full IVFADC read path in SQL.
+    */
+  private def ivfPqOracle: Map[String, String] =
+    if (centsMemo.size != 1 || pqMemo.size != 1) Map.empty
+    else {
+      val cents = centsMemo.values.iterator.next()
+      val books = pqMemo.values.iterator.next()
+      val m = books.length
+      val ks = books(0).length
+      val dsub = books(0)(0).length
+      val flat = for (j <- 0 until m; i <- 0 until ks)
+        yield (j, i, books(j)(i))
+      val bns = flat
+        .map { case (_, _, c) => dlit(c.map(x => x * x).sum) }
+        .mkString(", ")
+      val bvLists = flat
+        .map { case (_, _, c) =>
+          "[" + c.map(dlit).mkString(", ") + "]" }
+        .mkString(",\n    ")
+      // the residual cross-term table, Similarity.centSubDotFlat's
+      // exact layout: index = cell·(m·ks) + j·ks + i
+      val cd = cents.flatMap { cent =>
+        books.zipWithIndex.flatMap { case (book, j) =>
+          book.map { c =>
+            var s2 = 0.0
+            var i = 0
+            while (i < dsub) { s2 += cent(j * dsub + i) * c(i); i += 1 }
+            s2
+          }
+        }
+      }.map(dlit).mkString(", ")
+      val centNorms = cents.map(c => dlit(c.map(x => x * x).sum))
+        .mkString(", ")
+      val sql =
+        s"""WITH ${centAssignCtes(cents)},
+           |${probeCte(6)},
+           |bk AS MATERIALIZED (
+           |  SELECT
+           |    unnest([${flat.map(_._1).mkString(", ")}]) AS sub,
+           |    unnest([${flat.map(_._2).mkString(", ")}]) AS code,
+           |    unnest([$bns]) AS bn,
+           |    unnest([
+           |    $bvLists
+           |    ]) AS bv
+           |), cdt AS MATERIALIZED (
+           |  SELECT [$cd] AS cd, [$centNorms] AS cn,
+           |    [${flat.map { case (_, _, c) =>
+                   dlit(c.map(x => x * x).sum) }.mkString(", ")}] AS bna
+           |), csc AS (
+           |  SELECT e.vec_id, p.cell, b.sub, b.code,
+           |    b.bn - 2.0 * list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(
+           |        e.embedding[(b.sub*$dsub+1):(b.sub*$dsub+$dsub)],
+           |        b.bv),
+           |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |      (x, y) -> x + y)
+           |      + 2.0 * cd[p.cell*${m * ks} + b.sub*$ks + b.code + 1]
+           |      AS dd
+           |  FROM embeddings e
+           |    JOIN ccell p ON p.vec_id = e.vec_id
+           |    CROSS JOIN bk b CROSS JOIN cdt
+           |), crel AS MATERIALIZED (
+           |  SELECT vec_id AS vb, cell,
+           |    list(CAST(cdmin + 1 AS INT) ORDER BY sub) AS codes
+           |  FROM (
+           |    SELECT vec_id, cell, sub,
+           |      min([dd, CAST(code AS DOUBLE)])[2] AS cdmin
+           |    FROM csc GROUP BY vec_id, cell, sub)
+           |  GROUP BY vec_id, cell
+           |), rns AS MATERIALIZED (
+           |  SELECT c.vb, c.cell, c.codes,
+           |    sqrt(cn[c.cell + 1]
+           |      + 2.0 * list_reduce(list_transform(range(0, $m),
+           |          j -> cd[c.cell*${m * ks} + j*$ks
+           |            + c.codes[CAST(j + 1 AS INT)]]),
+           |          (x, y) -> x + y)
+           |      + list_reduce(list_transform(range(0, $m),
+           |          j -> bna[j*$ks + c.codes[CAST(j + 1 AS INT)]]),
+           |          (x, y) -> x + y)) AS rn
+           |  FROM crel c CROSS JOIN cdt
+           |), qadc AS MATERIALIZED (
+           |  SELECT vec_id, list(dotv ORDER BY sub, code) AS adc
+           |  FROM (
+           |    SELECT e.vec_id, b.sub, b.code,
+           |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list_transform(list_zip(
+           |          e.embedding[(b.sub*$dsub+1):(b.sub*$dsub+$dsub)],
+           |          b.bv),
+           |          z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |        (x, y) -> x + y) AS dotv
+           |    FROM embeddings e CROSS JOIN bk b
+           |    WHERE e.vec_id < 10)
+           |  GROUP BY vec_id
+           |), qcd AS (
+           |  SELECT q.vec_id, q.ci,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(e.embedding, ct.cv),
+           |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |      (x, y) -> x + y) AS qcdot
+           |  FROM qcell q
+           |    JOIN embeddings e ON e.vec_id = q.vec_id
+           |    JOIN ct ON ct.ci = q.ci
+           |), cand AS (
+           |  SELECT qa, vb FROM (
+           |    SELECT s.qa, s.vb, row_number() OVER (
+           |      PARTITION BY s.qa ORDER BY pqcos DESC, s.vb) AS sr
+           |    FROM (
+           |      SELECT q.vec_id AS qa, r.vb,
+           |        (qc.qcdot + list_reduce(list_transform(range(0, $m),
+           |            j -> a.adc[j*$ks
+           |              + r.codes[CAST(j + 1 AS INT)]]),
+           |            (x, y) -> x + y))
+           |          / (nq.nm * r.rn) AS pqcos
+           |      FROM qcell q
+           |        JOIN rns r ON r.cell = q.ci AND q.vec_id <> r.vb
+           |        JOIN qadc a ON a.vec_id = q.vec_id
+           |        JOIN qcd qc ON qc.vec_id = q.vec_id
+           |          AND qc.ci = q.ci
+           |        JOIN n nq ON nq.vec_id = q.vec_id) s)
+           |  WHERE sr <= 40
+           |),
+           |${rerankTail(5)}""".stripMargin
+      Map("x_cosine_ivf_pq" -> sql)
+    }
+
+  /** Oracle for x_semdedup, from the memoized coarse fit: probes = 4
+    * multi-assignment (row_number ≤ 4 over the shared dot table),
+    * the ≤ maxCell cap, within-cell exact-cosine ≥ θ pairs (the
+    * x_embed_neardup arithmetic), then connected components via the
+    * recursive reach CTE (the x_dedup_clusters machinery) with
+    * keep-min-id; singletons keep themselves.
+    */
+  private def semDedupOracle: Map[String, String] =
+    if (centsMemo.size != 1) Map.empty
+    else {
+      val cents = centsMemo.values.iterator.next()
+      Map("x_semdedup" ->
+        s"""WITH RECURSIVE ${centAssignCtes(cents)},
+           |asg AS MATERIALIZED (
+           |  SELECT vec_id, ci FROM (
+           |    SELECT vec_id, ci, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY dotc DESC, ci) AS pr
+           |    FROM cellsc)
+           |  WHERE pr <= 4
+           |), cap AS (
+           |  SELECT ci FROM asg GROUP BY ci
+           |  HAVING count(*) <= 100000
+           |), mem AS (
+           |  SELECT a.vec_id, a.ci FROM asg a JOIN cap USING (ci)
+           |), cand AS (
+           |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+           |  FROM mem l JOIN mem r
+           |    ON l.ci = r.ci AND l.vec_id < r.vec_id
+           |), ed AS MATERIALIZED (
+           |  SELECT cand.id_a AS a, cand.id_b AS b
+           |  FROM cand JOIN n x ON x.vec_id = cand.id_a
+           |            JOIN n y ON y.vec_id = cand.id_b
+           |  WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(x.embedding, y.embedding),
+           |        z -> CAST(z[1] AS DOUBLE) * z[2])),
+           |      (x2, y2) -> x2 + y2) / (x.nm * y.nm) >= 0.42
+           |), sym AS (
+           |  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+           |), reach(id, r) AS (
+           |  SELECT DISTINCT a AS id, a AS r FROM sym
+           |  UNION
+           |  SELECT reach.id, sym.b FROM reach
+           |    JOIN sym ON reach.r = sym.a
+           |), cl AS (
+           |  SELECT id, min(r) AS cluster FROM reach GROUP BY id
+           |)
+           |SELECT e.vec_id AS id,
+           |  coalesce(cl.cluster, e.vec_id) AS cluster,
+           |  (e.vec_id = coalesce(cl.cluster, e.vec_id)) AS keep
+           |FROM embeddings e LEFT JOIN cl ON cl.id = e.vec_id
+           |ORDER BY id""".stripMargin)
+    }
+
   def oracleSql: Map[String, String] = oracleSqlStatic ++
-    pcaProjectOracle ++ pqIncrementalOracle
+    pcaProjectOracle ++ pqIncrementalOracle ++
+    ivfOracles ++ ivfPqOracle ++ semDedupOracle
 
   private val oracleSqlStatic: Map[String, String] = Map(
     "x_dedup_exact" ->
