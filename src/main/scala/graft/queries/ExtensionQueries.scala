@@ -877,6 +877,40 @@ object ExtensionQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // storeStats-driven maintenance, end to end in the driver path:
+    // a 4-batch gate store plus a tombstone batch is swept by
+    // Stats.maintainStores (debt 4 ≥ policy 2 → the family's fenced
+    // compactor folds to one generation, physically dropping the
+    // tombstoned slice and clearing the set); the readout is the
+    // maintained committed view — survivors only, one generation.
+    // Oracle = the survivor projection recomputed from documents.
+    "x_store_maintenance" -> ((s, d) => {
+      import graft.streaming.StreamOps
+      import graft.operators.Stats
+      val docs = t(s, d, "documents")
+      val root = ArtifactMemo.dirFor("maintstore", d) { p =>
+        (0 to 3).foreach { b =>
+          docs.where(pmod(col("doc_id"), lit(4)) === lit(b))
+            .select(col("doc_id").as("id"), md5(col("text")).as("sig"),
+              lit(b.toLong).as("__b"))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$p/store/batch=$b")
+        }
+        StreamOps.deleteFromNearDupStore(s, s"$p/store",
+          docs.where(col("doc_id") % 9 === 8)
+            .select(col("doc_id").as("id")), batchId = 4L)
+        val swept = Stats.maintainStores(s,
+          Seq(s"$p/store" ->
+            (() => StreamOps.compactNearDupStore(s, s"$p/store", 2))),
+          Stats.MaintenancePolicy(minDebt = 2))
+        require(swept.head.action == "compacted",
+          s"maintenance sweep did not fold: ${swept.head}")
+      }
+      StreamOps.nearDupStoreView(s, s"$root/store").get
+        .orderBy(col("id"))
+    }),
+
     // Exact embedding near-dup pairs (cosine ≥ 0.42 over all a<b pairs)
     // — the ground-truth form of embeddingNearDup, oracle-checked.
     "x_embed_neardup" -> ((s, d) => {
@@ -2246,6 +2280,9 @@ object ExtensionQueries {
         |QUALIFY row_number() OVER (PARTITION BY md5(text)
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "x_store_maintenance" ->
+      """SELECT doc_id AS id, md5(text) AS sig FROM documents
+        |WHERE doc_id % 9 <> 8 ORDER BY id""".stripMargin,
     "x_token_stats" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_txt,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -71,8 +71,14 @@ class DeterminismSpec extends SparkSuite {
     "x_bm25_incremental",  // index-gate store readout; appends now run
                            // under the batch writer fence (r15)
     "x_embed_incremental", // codes+vecs sibling store, fenced appends
-    "x_substring_incremental") // manifest-pruned window-fp store
+    "x_substring_incremental", // manifest-pruned window-fp store
                            // readout after fenced append+compact
+    "x_kcore_incremental", // peel-from-store warm maintenance readout
+    "x_hits_warm",         // warm-start hub/authority fixpoint
+    "x_store_maintenance", // maintainStores sweep → folded view (r16)
+    "x_cosine_ivf_pq",     // IVFADC shortlist + exact re-rank through
+                           // the persisted cell-clustered code store
+    "x_semdedup")          // probes=4 cell-confined pairs + CC keep
 
   private def rows(name: String): Seq[String] =
     SparkEntry.queries(name)(spark, sf0001)
