@@ -419,6 +419,168 @@ object Stats {
     (maxOf("gen="), maxOf("batch="))
   }
 
+  /** Thrown when an as-of read asks for a snapshot the vacuum has
+    * already destroyed — named, with the store's surviving floor, so
+    * a reproducibility pipeline fails at the read instead of silently
+    * training on a different corpus than the one it recorded.
+    */
+  final class SnapshotUnavailableException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** The oldest batch token whose snapshot is still exactly
+    * reconstructible from disk — `Long.MinValue` when ALL history
+    * survives. Derived from the compaction protocol's one-cycle
+    * vacuum grace, no manifest needed: a fold vacuums only what the
+    * PREVIOUS fold superseded, so with fewer than two committed
+    * generations nothing has ever been vacuumed (first-fold grace
+    * keeps every original batch dir), and with two or more the
+    * OLDEST SURVIVING generation token is exactly the horizon — every
+    * gen/batch dir above it is still present (the completed cycle
+    * that superseded it vacuumed everything at or below it, and a
+    * fold crashed before its vacuum leaves an extra old generation,
+    * which only LOWERS the floor — still exact, never unsound).
+    */
+  def snapshotFloor(spark: SparkSession, root: String): Long = {
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootP)) return Long.MinValue
+    val gens = fs.listStatus(rootP).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("gen=") &&
+        hasCommittedParquet(fs, p))
+      .map(_.getName.stripPrefix("gen=").toLong)
+    if (gens.length < 2) Long.MinValue else gens.min
+  }
+
+  /** AS-OF (snapshot) view of a `gen=`/`batch=` store: the committed
+    * dirs that reconstruct the store exactly as [[committedViewDirs]]
+    * would have resolved it when the newest committed token was
+    * `asOf` — the reproducible-training-data read ("train on the
+    * corpus as of batch 41", audit a past decision, diff two
+    * snapshots). Resolution: the newest committed `gen=<g>` with
+    * g ≤ asOf (if any) plus committed `batch=<id>` dirs with
+    * g < id ≤ asOf. Throws [[SnapshotUnavailableException]] when
+    * `asOf` predates [[snapshotFloor]] — the protocol's one-cycle
+    * vacuum grace makes that floor exact, so an answer is either
+    * bit-identical to the historical view or a named refusal, never a
+    * silent partial corpus.
+    *
+    * COMPLIANCE: time travel never undoes a takedown. A readout over
+    * an as-of view must still anti-join the family's CURRENT deleted
+    * set (`<root>_deleted`'s live view) — retraction is retroactive
+    * across snapshots, exactly as vacuuming a tombstoned row is.
+    */
+  def committedViewDirsAsOf(spark: SparkSession, root: String,
+                            asOf: Long): Seq[String] = {
+    val floor = snapshotFloor(spark, root)
+    if (asOf < floor)
+      throw new SnapshotUnavailableException(
+        s"store at $root cannot serve a snapshot as of $asOf: " +
+          s"compaction has vacuumed history below token $floor " +
+          "(one-cycle grace keeps exactly the dirs above the " +
+          "second-newest generation); re-run against a token >= " +
+          s"$floor, or retain more history by compacting less often")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootP)) return Nil
+    val dirs = fs.listStatus(rootP).filter(_.isDirectory).map(_.getPath)
+      .filter(p => hasCommittedParquet(fs, p))
+    val gens = dirs.filter(_.getName.startsWith("gen="))
+      .map(p => (p.getName.stripPrefix("gen=").toLong, p))
+      .filter(_._1 <= asOf)
+    val tok = if (gens.isEmpty) Long.MinValue else gens.map(_._1).max
+    val batches = dirs.filter(_.getName.startsWith("batch="))
+      .filter { p =>
+        val id = p.getName.stripPrefix("batch=").toLong
+        id > tok && id <= asOf
+      }
+    (gens.filter(_._1 == tok).map(_._2) ++ batches)
+      .map(_.toString).toSeq
+  }
+
+  private def retractionFloorPath(root: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${root.stripSuffix("/")}__retract_floor")
+
+  /** Record that the fold at `tok` applied TOMBSTONES to `root` —
+    * i.e. raw dirs below `tok` still on disk (one-cycle grace)
+    * contain rows whose tombstones the fold just cleared. A sibling
+    * marker file (metadata-only, monotone max, written under the
+    * family lease by the compactor) carries the token; snapshot
+    * readers refuse below it: after a takedown is folded, the
+    * pre-takedown corpus must be unreproducible EVEN WHILE its dirs
+    * await the next vacuum — right-to-be-forgotten bounds time
+    * travel, not the other way around.
+    */
+  def recordRetractionFloor(spark: SparkSession, root: String,
+                            tok: Long): Unit = {
+    val p = retractionFloorPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (tok > retractionFloor(spark, root)) {
+      val out = fs.create(p, true)
+      try out.write(tok.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** The newest token at which a fold applied tombstones to `root` —
+    * `Long.MinValue` when no takedown was ever folded (or the marker
+    * is unreadable: absent/corrupt reads as "no floor", which is safe
+    * only because the NEXT fold's vacuum destroys the dirs anyway;
+    * the marker narrows the one-cycle exposure window, it does not
+    * carry the whole compliance story).
+    */
+  def retractionFloor(spark: SparkSession, root: String): Long = {
+    val p = retractionFloorPath(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      if (!fs.exists(p)) Long.MinValue
+      else {
+        val in = fs.open(p)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          .trim.toLong
+        finally in.close()
+      }
+    } catch { case _: Exception => Long.MinValue }
+  }
+
+  /** [[openCommittedStore]]'s as-of twin: snapshot resolution via
+    * [[committedViewDirsAsOf]] (named refusal below the vacuum
+    * floor), then the same order-insensitive, int-width-equivalent
+    * schema assertion — a drifted HISTORICAL dir fails at open too.
+    * Empty view (asOf below the first batch) returns None.
+    */
+  def openCommittedStoreAsOf(spark: SparkSession, root: String,
+                             asOf: Long,
+                             expected: Seq[(String, String)],
+                             who: String): Option[DataFrame] = {
+    val dirs = committedViewDirsAsOf(spark, root, asOf)
+    if (dirs.isEmpty) None
+    else {
+      val intWidths = Set("tinyint", "smallint", "int", "bigint")
+      def canon(t: String): String =
+        if (intWidths(t)) "integral" else t
+      val df = spark.read.parquet(dirs: _*)
+      val found = df.schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toSeq
+      val foundM = found.map { case (n, t) => n -> canon(t) }.toMap
+      val ok = foundM.keySet == expected.map(_._1).toSet &&
+        expected.forall { case (n, t) =>
+          t == "*" || foundM.get(n).contains(canon(t))
+        }
+      if (!ok)
+        throw new StoreSchemaException(
+          s"$who: snapshot of $root as of $asOf has a drifted " +
+            "schema — expected {" +
+            expected.map { case (n, t) => s"$n: $t" }.mkString(", ") +
+            "}, found {" +
+            found.map { case (n, t) => s"$n: $t" }.mkString(", ") +
+            "}; refusing the read")
+      Some(df)
+    }
+  }
+
   /** One store root's health, from FS metadata only — see
     * [[storeStats]]. Tokens are Long.MinValue when absent.
     */

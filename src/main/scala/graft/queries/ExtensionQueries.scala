@@ -911,6 +911,85 @@ object ExtensionQueries {
         .orderBy(col("id"))
     }),
 
+    // AS-OF (snapshot) read through a fold: a 4-batch store is
+    // compacted (gen=3), then tombstoned (doc_id%9=8 at batch 4,
+    // PENDING), then read as of token 2 — the reproducible-
+    // training-data contract end to end in the driver path: the
+    // snapshot resolves the ORIGINAL batch dirs 0..2 (first-fold
+    // grace keeps all history; the requires pin both floors), and
+    // the compliant readout anti-joins the pending takedown
+    // (retraction is retroactive across snapshots). Oracle = the
+    // batch-0..2 survivor projection.
+    "x_store_asof" -> ((s, d) => {
+      import graft.streaming.StreamOps
+      import graft.operators.Stats
+      val docs = t(s, d, "documents")
+      val root = ArtifactMemo.dirFor("asofstore", d) { p =>
+        (0 to 3).foreach { b =>
+          docs.where(pmod(col("doc_id"), lit(4)) === lit(b))
+            .select(col("doc_id").as("id"), md5(col("text")).as("sig"))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$p/store/batch=$b")
+        }
+        require(StreamOps.compactNearDupStore(s, s"$p/store", 2)
+          .contains(3L), "as-of store fold did not land at gen=3")
+        // the takedown stays PENDING (tombstone set committed, not
+        // yet folded): snapshots must anti-join it out; folding it
+        // would raise the retraction floor and refuse old snapshots
+        StreamOps.deleteFromNearDupStore(s, s"$p/store",
+          docs.where(col("doc_id") % 9 === 8)
+            .select(col("doc_id").as("id")), batchId = 4L)
+        require(Stats.snapshotFloor(s, s"$p/store") == Long.MinValue,
+          "first-fold grace must keep ALL history on disk")
+        require(Stats.retractionFloor(s, s"$p/store") == Long.MinValue,
+          "a tombstone-free fold must not raise the retraction floor")
+      }
+      StreamOps.nearDupStoreViewAsOf(s, s"$root/store", asOf = 2L).get
+        .orderBy(col("id"))
+    }),
+
+    // Snapshot-to-snapshot audit: keyed diff of the as-of store at
+    // tokens 2 and 3 through COMPLIANT views (both sides drop the
+    // current deleted set, so a taken-down id never resurfaces as a
+    // diff row) — per key, added / removed / changed, output
+    // proportional to the churn. Between 2 and 3 the only churn is
+    // batch 3's arrivals: change='added' for every doc_id%4=3
+    // survivor. Reuses x_store_asof's memoized store artifact.
+    "x_store_diff" -> ((s, d) => {
+      import graft.streaming.StreamOps
+      import graft.operators.Stats
+      val docs = t(s, d, "documents")
+      val root = ArtifactMemo.dirFor("asofstore", d) { p =>
+        (0 to 3).foreach { b =>
+          docs.where(pmod(col("doc_id"), lit(4)) === lit(b))
+            .select(col("doc_id").as("id"), md5(col("text")).as("sig"))
+            .coalesce(1)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$p/store/batch=$b")
+        }
+        require(StreamOps.compactNearDupStore(s, s"$p/store", 2)
+          .contains(3L), "as-of store fold did not land at gen=3")
+        // the takedown stays PENDING (tombstone set committed, not
+        // yet folded): snapshots must anti-join it out; folding it
+        // would raise the retraction floor and refuse old snapshots
+        StreamOps.deleteFromNearDupStore(s, s"$p/store",
+          docs.where(col("doc_id") % 9 === 8)
+            .select(col("doc_id").as("id")), batchId = 4L)
+        require(Stats.snapshotFloor(s, s"$p/store") == Long.MinValue,
+          "first-fold grace must keep ALL history on disk")
+        require(Stats.retractionFloor(s, s"$p/store") == Long.MinValue,
+          "a tombstone-free fold must not raise the retraction floor")
+      }
+      Stats.keyedDiff(
+          StreamOps.nearDupStoreViewAsOf(s, s"$root/store", 2L).get,
+          StreamOps.nearDupStoreViewAsOf(s, s"$root/store", 3L).get,
+          keys = Seq("id"))
+        .select(col("id"), col("old_sig"), col("new_sig"),
+          col("status"))
+        .orderBy(col("id"))
+    }),
+
     // Exact embedding near-dup pairs (cosine ≥ 0.42 over all a<b pairs)
     // — the ground-truth form of embeddingNearDup, oracle-checked.
     "x_embed_neardup" -> ((s, d) => {
@@ -2283,6 +2362,15 @@ object ExtensionQueries {
     "x_store_maintenance" ->
       """SELECT doc_id AS id, md5(text) AS sig FROM documents
         |WHERE doc_id % 9 <> 8 ORDER BY id""".stripMargin,
+    "x_store_asof" ->
+      """SELECT doc_id AS id, md5(text) AS sig FROM documents
+        |WHERE doc_id % 4 <= 2 AND doc_id % 9 <> 8
+        |ORDER BY id""".stripMargin,
+    "x_store_diff" ->
+      """SELECT doc_id AS id, CAST(NULL AS VARCHAR) AS old_sig,
+        |  md5(text) AS new_sig, 'added' AS status FROM documents
+        |WHERE doc_id % 4 = 3 AND doc_id % 9 <> 8
+        |ORDER BY id""".stripMargin,
     "x_token_stats" ->
       """SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars_txt,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

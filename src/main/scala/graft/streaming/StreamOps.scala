@@ -253,6 +253,36 @@ object StreamOps {
       spark.read.parquet(paths: _*).select(col("id"), col("sig"))))
   }
 
+  /** SNAPSHOT readout of the near-dup store: the corpus exactly as
+    * the committed view resolved it when the sequence head was
+    * `asOf` ([[graft.operators.Stats.committedViewDirsAsOf]] — named
+    * refusal below the vacuum floor), MINUS the family's CURRENT
+    * deleted set: a PENDING (unfolded) takedown is anti-joined out of
+    * every snapshot, and once a takedown has been FOLDED (tombstones
+    * applied and cleared), snapshots below that fold refuse by name
+    * ([[graft.operators.Stats.retractionFloor]]) — the pre-takedown
+    * corpus is unreproducible even while its raw dirs await the next
+    * vacuum. Reproducible reads never resurrect a taken-down id, no
+    * matter how old the snapshot token is. None when the snapshot is
+    * empty (asOf predates the first batch).
+    */
+  def nearDupStoreViewAsOf(spark: SparkSession, storePath: String,
+                           asOf: Long): Option[DataFrame] = {
+    import graft.operators.Stats
+    val rf = Stats.retractionFloor(spark, storePath)
+    if (asOf < rf)
+      throw new Stats.SnapshotUnavailableException(
+        s"store at $storePath cannot serve a snapshot as of $asOf: " +
+          s"a takedown was folded at token $rf, and history below a " +
+          "takedown fold is retraction-scrubbed (time travel never " +
+          "resurrects a taken-down row); re-run against a token >= " +
+          s"$rf")
+    val paths = Stats.committedViewDirsAsOf(spark, storePath, asOf)
+    if (paths.isEmpty) None
+    else Some(dropDeletedIds(spark, storePath,
+      spark.read.parquet(paths: _*).select(col("id"), col("sig"))))
+  }
+
   /** The view's directories: newest committed generation (if any) plus
     * committed `batch=<id>` dirs with id > its token (the shared
     * [[graft.operators.Stats.committedViewDirs]] protocol).
@@ -301,13 +331,25 @@ object StreamOps {
       shape: DataFrame => DataFrame): Option[Long] = {
     val deleted = nearDupDeletedIds(spark, storePath)
       .map(d => graft.operators.Checkpoints.stage(d))
+    // a previously-cleared set leaves a committed EMPTY generation —
+    // Some, zero rows; only actual tombstones may raise the
+    // retraction floor below (bounded probe on the staged set)
+    val hadTombstones = deleted.exists(d => !d.isEmpty)
     val tok = compactStoreShaped(spark, storePath,
       df => shape(deleted.fold(df)(del =>
         df.join(del.select(col("id").as(idCol)), Seq(idCol),
           "left_anti"))))
-    if (tok.isDefined && deleted.isDefined)
+    if (tok.isDefined && deleted.isDefined) {
+      // the fold just applied (and is about to clear) tombstones, but
+      // raw dirs below it survive one vacuum cycle — record the
+      // retraction floor so snapshot reads refuse the pre-takedown
+      // corpus instead of resurrecting it from those dirs
+      if (hadTombstones)
+        graft.operators.Stats.recordRetractionFloor(spark, storePath,
+          tok.get)
       compactStoreShaped(spark, s"${storePath}_deleted",
         _.where(lit(false)).select(col("id"), col("__b"))): Unit
+    }
     tok
   }
 

@@ -23,17 +23,19 @@ object SccFloor {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
     val jobWallNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+    // boxed values: CHM.remove on a missing key returns null, which a
+    // primitive-Long map would silently unbox to 0 and mis-count
     val starts =
-      new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
-        starts.put(e.jobId, System.nanoTime()): Unit
+        starts.put(e.jobId, java.lang.Long.valueOf(System.nanoTime())): Unit
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
         val t0 = starts.remove(e.jobId)
-        if (t0 != null) {
+        if (t0 ne null) {
           jobs.incrementAndGet(): Unit
-          jobWallNanos.addAndGet(System.nanoTime() - t0): Unit
+          jobWallNanos.addAndGet(System.nanoTime() - t0.longValue()): Unit
         }
       }
     })

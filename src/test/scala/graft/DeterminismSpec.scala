@@ -76,6 +76,9 @@ class DeterminismSpec extends SparkSuite {
     "x_kcore_incremental", // peel-from-store warm maintenance readout
     "x_hits_warm",         // warm-start hub/authority fixpoint
     "x_store_maintenance", // maintainStores sweep → folded view (r16)
+    "x_store_asof",        // snapshot read across a fold + retroactive
+                           // takedown anti-join (r16)
+    "x_store_diff",        // keyed snapshot-to-snapshot diff (r16)
     "x_cosine_ivf_pq",     // IVFADC shortlist + exact re-rank through
                            // the persisted cell-clustered code store
     "x_semdedup")          // probes=4 cell-confined pairs + CC keep
