@@ -634,18 +634,31 @@ object Stats {
     * 1 to fold on every takedown); committed-view file count ≥
     * `minViewFiles` (small-file pressure; disabled by default — debt
     * already tracks it for append-heavy stores).
+    * `retainSnapshotsFrom` is the RETENTION PIN: a debt-triggered
+    * fold is skipped (`skipped_retention`) when its vacuum would
+    * destroy the history a snapshot at or above that token needs —
+    * pin the token a training run reads as-of, and OPTIMIZE leaves
+    * its corpus reconstructible until the pin lifts. A tombstone
+    * backlog folds THROUGH the pin: takedown compliance beats
+    * reproducibility (the retraction floor then refuses pre-takedown
+    * snapshots by name).
     */
   final case class MaintenancePolicy(minDebt: Int = 8,
                                      minTombstones: Int = 2,
-                                     minViewFiles: Int = Int.MaxValue)
+                                     minViewFiles: Int = Int.MaxValue,
+                                     retainSnapshotsFrom: Long =
+                                       Long.MaxValue)
 
   /** One [[maintainStores]] decision: what the scheduler saw
     * (`debt` / `tombstoneDebt` / `viewFiles`, from FS metadata only)
     * and what it did — `compacted` (with the new generation token),
-    * `skipped_below_threshold`, or `skipped_lease_held` (a LIVE
-    * writer holds the family — the named conflict is surfaced in
-    * `detail`, not thrown: a maintenance sweep over many families
-    * must not die because one is mid-ingestion).
+    * `skipped_below_threshold`, `skipped_retention` (a debt fold
+    * would destroy a pinned snapshot's history — see
+    * [[MaintenancePolicy.retainSnapshotsFrom]]), or
+    * `skipped_lease_held` (a LIVE writer holds the family — the
+    * named conflict is surfaced in `detail`, not thrown: a
+    * maintenance sweep over many families must not die because one
+    * is mid-ingestion).
     */
   final case class MaintenanceOutcome(root: String, debt: Int,
                                       tombstoneDebt: Int,
@@ -680,12 +693,28 @@ object Stats {
       val tombDebt = storeStats(spark,
           Seq(s"${root}_deleted", s"${root}_deleted_nodes"))
         .map(_.batchDirsAboveGen).sum
-      val due = s.batchDirsAboveGen >= policy.minDebt ||
-        tombDebt >= policy.minTombstones ||
+      val dueCompliance = tombDebt >= policy.minTombstones
+      val due = dueCompliance ||
+        s.batchDirsAboveGen >= policy.minDebt ||
         s.viewFiles >= policy.minViewFiles
+      // a fold's vacuum destroys history below the CURRENT newest
+      // generation (snapshotFloor rises to it): a retention pin
+      // blocks debt-triggered folds that would unmake a pinned
+      // snapshot — but a tombstone backlog folds ANYWAY (takedown
+      // compliance beats reproducibility, exactly as the retraction
+      // floor refuses pre-takedown snapshots by name afterwards)
+      val pinBlocked = !dueCompliance &&
+        s.newestGen != Long.MinValue &&
+        s.newestGen > policy.retainSnapshotsFrom
       if (!due)
         MaintenanceOutcome(root, s.batchDirsAboveGen, tombDebt,
           s.viewFiles, "skipped_below_threshold", None, "")
+      else if (pinBlocked)
+        MaintenanceOutcome(root, s.batchDirsAboveGen, tombDebt,
+          s.viewFiles, "skipped_retention", None,
+          s"fold would vacuum history below gen=${s.newestGen}, " +
+            "destroying snapshots pinned from " +
+            s"${policy.retainSnapshotsFrom}")
       else
         try {
           val g = compact()

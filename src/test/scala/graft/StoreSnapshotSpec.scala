@@ -169,6 +169,51 @@ class StoreSnapshotSpec extends SparkSuite {
       e.getMessage.contains("as of 0"), e.getMessage)
   }
 
+  test("maintainStores retention pin: a debt fold that would destroy " +
+      "a pinned snapshot is skipped_retention (history untouched); " +
+      "raising the pin to the newest generation lets the fold run; a " +
+      "tombstone backlog folds THROUGH the pin and the retraction " +
+      "floor then refuses the pinned read by name") {
+    val store = s"/tmp/graft-snappin-${System.nanoTime()}/store"
+    def fam = Seq(store ->
+      (() => StreamOps.compactNearDupStore(spark, store, 1)))
+    (0L to 2L).foreach(writeBatch(store, _))
+    assert(StreamOps.compactNearDupStore(spark, store, 1).contains(2L))
+    writeBatch(store, 3L)
+    writeBatch(store, 4L)
+    // pin below the newest gen: the debt fold would vacuum the dirs
+    // snapshot 1 needs — skipped, with the named reason, nothing
+    // touched (snapshot 1 still reads, floor unchanged)
+    val out = Stats.maintainStores(spark, fam,
+      Stats.MaintenancePolicy(minDebt = 2, retainSnapshotsFrom = 1L))
+    assert(out.head.action == "skipped_retention" &&
+      out.head.detail.contains("below gen=2"), out.head.toString)
+    assert(ids(Stats.openCommittedStoreAsOf(spark, store, 1L, shape,
+      "spec")) == Seq(0L, 1L))
+    assert(Stats.snapshotFloor(spark, store) == Long.MinValue)
+    // pin at the newest gen: the fold destroys nothing pinned — runs
+    val out2 = Stats.maintainStores(spark, fam,
+      Stats.MaintenancePolicy(minDebt = 2, retainSnapshotsFrom = 2L))
+    assert(out2.head.action == "compacted" &&
+      out2.head.newGen.contains(4L), out2.head.toString)
+    // compliance overrides the pin: a takedown backlog folds anyway,
+    // and the pinned snapshot then refuses by the RETRACTION floor
+    writeBatch(store, 5L)
+    StreamOps.deleteFromNearDupStore(spark, store,
+      Seq(0L).toDF("id"), batchId = 6L)
+    val out3 = Stats.maintainStores(spark, fam,
+      Stats.MaintenancePolicy(minDebt = 99, minTombstones = 1,
+        retainSnapshotsFrom = 1L))
+    assert(out3.head.action == "compacted" &&
+      out3.head.newGen.contains(5L), out3.head.toString)
+    assert(Stats.retractionFloor(spark, store) == 5L)
+    val e = intercept[Stats.SnapshotUnavailableException] {
+      StreamOps.nearDupStoreViewAsOf(spark, store, 4L)
+    }
+    assert(e.getMessage.contains("takedown was folded at token 5"),
+      e.getMessage)
+  }
+
   test("keyedDiff over two compliant snapshots: the only churn " +
       "between tokens is the later batch's arrivals, and a taken-down " +
       "id appears on NEITHER side of the diff") {
