@@ -33,6 +33,21 @@ private[graft] object Checkpoints {
       df.checkpoint()
     else df.localCheckpoint()
 
+  /** [[stage]] + row count in ONE action: the count rides the staging
+    * job as an [[org.apache.spark.sql.Observation]] instead of a
+    * second job. In iterative operators the convergence/regime checks
+    * are per-job scheduling latency, not data — fusing them halves
+    * the job count of every round that stages anyway (and at cluster
+    * scale saves one full pass over the staged rows per round).
+    */
+  def stageCount(df: DataFrame): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation()
+    val st = stage(df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n")))
+    (st, obs.get("n").asInstanceOf[Long])
+  }
+
   /** RDD ids of stages that must SURVIVE cross-query block cleanup —
     * per-data-dir memoized artifacts reused across bench reruns.
     * Everything else a query stages is transient: the harness frees

@@ -133,9 +133,9 @@ object Curation {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    val evalGrams = Checkpoints.stage(evalSet
+    val (evalGrams, nGrams) = Checkpoints.stageCount(evalSet
       .select(explode(ngramArray(text, n)).as("gram")).distinct())
-    val items = math.max(1L, math.min(evalGrams.count(), maxItems))
+    val items = math.max(1L, math.min(nGrams, maxItems))
     val bits = math.max(64L, math.min(items * 8L, maxBits))
     // Null sketch (empty eval set) keeps working: might_contain(null)
     // is null, the filter keeps nothing, and the empty answer matches
@@ -234,10 +234,10 @@ object Curation {
       src: DataFrame, pat: String, maxDf: Long,
       broadcastCandLimit: Long = 4000000L): DataFrame = {
     val lines = src.select(explode(split(col("__t"), pat)).as("line"))
-    val candHashes =
-      Checkpoints.stage(lineHashFrequencies(src, pat, maxDf))
+    val (candHashes, nCand) =
+      Checkpoints.stageCount(lineHashFrequencies(src, pat, maxDf))
     val candSide =
-      if (candHashes.count() <= broadcastCandLimit) broadcast(candHashes)
+      if (nCand <= broadcastCandLimit) broadcast(candHashes)
       else candHashes.hint("shuffle_hash")
     lines
       .join(candSide, xxhash64(col("line")) === col("lh"), "left_semi")
@@ -302,9 +302,8 @@ object Curation {
     val src = Layout.fanOutSmallScan(df.select(id.as("id"), text.as("__t")))
     val tri = src.select(col("id"), explode(charTrigrams(col("__t"))).as("tg"))
     val all = tri.groupBy(col("tg")).agg(count(lit(1)).as("c"))
-    val counts = Checkpoints.stage(
+    val (counts, vocab) = Checkpoints.stageCount(
       if (minCount > 1) all.where(col("c") >= minCount) else all)
-    val vocab = counts.count()
     val joined =
       if (vocab <= broadcastVocabLimit) tri.join(broadcast(counts), Seq("tg"))
       else tri.join(counts.hint("shuffle_hash"), Seq("tg"))
@@ -575,9 +574,9 @@ object Curation {
                            anchorMod: Int = 16,
                            broadcastLimit: Long = 4000000L): DataFrame = {
     val spark = newDocs.sparkSession
-    val batchFps = Checkpoints.stage(
+    val (batchFps, nFps) = Checkpoints.stageCount(
       windowFpRows(newDocs, id, text, window, anchorLen, anchorMod))
-    val small = batchFps.count() <= broadcastLimit
+    val small = nFps <= broadcastLimit
     val probe = batchFps.select(col("fp")).distinct()
     val storeSlice = Stats.readTouchedKeysManifest(spark, storeDir,
         manifestPath, "fp", probe)
@@ -631,9 +630,9 @@ object Curation {
                                 broadcastLimit: Long = 4000000L)
       : DataFrame = {
     val spark = newDocs.sparkSession
-    val batchFps = Checkpoints.stage(
+    val (batchFps, nFps) = Checkpoints.stageCount(
       windowFpRows(newDocs, id, text, window, anchorLen, anchorMod))
-    val small = batchFps.count() <= broadcastLimit
+    val small = nFps <= broadcastLimit
     val probe = batchFps.select(col("fp")).distinct()
     val storeSlice = Stats.readTouchedKeysManifest(spark, storeDir,
         manifestPath, "fp", probe)

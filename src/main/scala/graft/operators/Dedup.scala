@@ -270,8 +270,8 @@ object Dedup {
                                  maxBucket: Int = 10000,
                                  broadcastLimit: Long = 4000000L)
       : DataFrame = {
-    val newSigs = Checkpoints.stage(newSigsIn)
-    val small = newSigs.count() <= broadcastLimit
+    val (newSigs, nNewSigs) = Checkpoints.stageCount(newSigsIn)
+    val small = nNewSigs <= broadcastLimit
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
     val storeBands = lshBuckets(storeSigs.select(col("id"), col("sig")),
@@ -404,8 +404,8 @@ object Dedup {
                                          broadcastLimit: Long = 4000000L)
       : DataFrame = {
     val spark = newSigsIn.sparkSession
-    val newSigs = Checkpoints.stage(newSigsIn)
-    val small = newSigs.count() <= broadcastLimit
+    val (newSigs, nNewSigs) = Checkpoints.stageCount(newSigsIn)
+    val small = nNewSigs <= broadcastLimit
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
     val storeBands = Stats.readTouchedPairsManifest(spark, storeDir,
@@ -498,8 +498,8 @@ object Dedup {
                                        broadcastLimit: Long = 4000000L)
       : DataFrame = {
     val spark = newDocs.sparkSession
-    val newSigs = Checkpoints.stage(newSigsIn)
-    val small = newSigs.count() <= broadcastLimit
+    val (newSigs, nNewSigs) = Checkpoints.stageCount(newSigsIn)
+    val small = nNewSigs <= broadcastLimit
     val newBands = lshBuckets(newSigs, rowsPerBand)
       .select(col("band"), col("bucket"), col("id"), col("sig"))
     val storeBands = Stats.readTouchedPairsManifest(spark, storeDir,
@@ -966,10 +966,11 @@ object Dedup {
                            dim: Int = 64, maxBucket: Int = 100000,
                            broadcastLimit: Long = 4000000L): DataFrame = {
     val base = newEmbs.select(id.as("id"), vec.as("vec"))
-    val newCodes = Checkpoints.stage(
+    val (newCodes, nCodes) = Checkpoints.stageCount(
       embeddingCodes(base, col("id"), col("vec"), planes, tables, dim))
-    embeddingIncrementalFromCodes(base, newCodes, storeCodes, storeVecs,
-      threshold, planes, tables, multiprobe, maxBucket, broadcastLimit)
+    embeddingIncrementalFromCodes(base, newCodes, nCodes, storeCodes,
+      storeVecs, threshold, planes, tables, multiprobe, maxBucket,
+      broadcastLimit)
   }
 
   /** The shared tail of the incremental embedding gates: `base` is the
@@ -978,6 +979,7 @@ object Dedup {
     */
   private def embeddingIncrementalFromCodes(base: DataFrame,
                                             newCodes: DataFrame,
+                                            nCodes: Long,
                                             storeCodes: DataFrame,
                                             storeVecs: DataFrame,
                                             threshold: Double, planes: Int,
@@ -985,7 +987,7 @@ object Dedup {
                                             maxBucket: Int,
                                             broadcastLimit: Long)
       : DataFrame = {
-    val small = newCodes.count() <= broadcastLimit
+    val small = nCodes <= broadcastLimit
     def batchSide(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
     val newEnt = expandProbes(newCodes, planes, multiprobe)
@@ -1093,7 +1095,7 @@ object Dedup {
       : DataFrame = {
     val spark = newEmbs.sparkSession
     val base = newEmbs.select(id.as("id"), vec.as("vec"))
-    val newCodes = Checkpoints.stage(
+    val (newCodes, nCodes) = Checkpoints.stageCount(
       embeddingCodes(base, col("id"), col("vec"), planes, tables, dim))
     val pruneProbes = expandProbes(
         expandProbes(newCodes, planes, multiprobe), planes, multiprobe)
@@ -1101,8 +1103,9 @@ object Dedup {
     val storeCodes = Stats.readTouchedPairsManifest(spark, storeDir,
         manifestPath, "table", "bucket", pruneProbes)
       .select(col("id"), col("table"), col("bucket"))
-    embeddingIncrementalFromCodes(base, newCodes, storeCodes, storeVecs,
-      threshold, planes, tables, multiprobe, maxBucket, broadcastLimit)
+    embeddingIncrementalFromCodes(base, newCodes, nCodes, storeCodes,
+      storeVecs, threshold, planes, tables, multiprobe, maxBucket,
+      broadcastLimit)
   }
 
   /** Precision/recall audit of the MinHash+LSH near-dup pipeline

@@ -49,26 +49,43 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, a: Column, b: Column,
                           maxIter: Int = 25,
-                          switchAfter: Int = 8): DataFrame = {
+                          switchAfter: Int = 8,
+                          broadcastLimit: Long = 4000000L): DataFrame = {
     val e = edges.select(a.cast("long").as("src"), b.cast("long").as("dst"))
+    // pre-partitioned on src: each round's neighbor-min aggregate
+    // (groupBy src over the dst-keyed labels join) reuses the
+    // checkpoint partitioning — in the broadcast-label regime the
+    // round's vote path runs without an exchange
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
+      .repartition(col("src"))
       .roundCheckpoint()
+    // node count rides the labels staging job (the broadcast regime
+    // gate every other iterative operator here carries — without it,
+    // every round's |V|-sized label joins are planned as shuffle
+    // joins and each exchange is a per-round barrier)
+    val obs0 = org.apache.spark.sql.Observation()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
+      .observe(obs0, count(lit(1)).as("n"))
       .roundCheckpoint()
+    val small =
+      obs0.get("n").asInstanceOf[Long] <= broadcastLimit
+    def vSized(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
     var converged = false
     var it = 0
     var prevSum: java.math.BigDecimal = null
     val propagationRounds = math.min(maxIter, switchAfter)
     while (!converged && it < propagationRounds) {
+      val lbl = vSized(labels)
       val nbrMin = sym
-        .join(labels, sym("dst") === labels("id"))
+        .join(lbl, sym("dst") === lbl("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("comp")).as("__nbr"))
       val prop = labels
-        .join(nbrMin, Seq("id"), "left")
+        .join(vSized(nbrMin), Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("__nbr"), col("comp")))
             .as("comp"))
@@ -86,8 +103,9 @@ object Graph {
       // "equal sums ⇒ converged" argument.
       val obs = org.apache.spark.sql.Observation()
       val next = prop
-        .join(labels.select(col("id").as("__cid"),
-          col("comp").as("__cc")), prop("comp") === col("__cid"), "left")
+        .join(vSized(labels.select(col("id").as("__cid"),
+          col("comp").as("__cc"))), prop("comp") === col("__cid"),
+          "left")
         .select(prop("id").as("id"),
           coalesce(col("__cc"), prop("comp")).as("comp"))
         .observe(obs,
@@ -111,9 +129,9 @@ object Graph {
         // components, (usually far) fewer vertices — and finish with
         // star contraction.
         val relab = sym
-          .join(labels.select(col("id"), col("comp").as("cu")),
+          .join(vSized(labels.select(col("id"), col("comp").as("cu"))),
             sym("src") === col("id")).drop("id")
-          .join(labels.select(col("id"), col("comp").as("cv")),
+          .join(vSized(labels.select(col("id"), col("comp").as("cv"))),
             sym("dst") === col("id")).drop("id")
           .select(col("cu").as("src"), col("cv").as("dst"))
           .where(col("src") =!= col("dst"))
@@ -126,7 +144,8 @@ object Graph {
         val roots = connectedComponentsStar(relab, col("src"), col("dst"),
           math.max(1, maxIter - propagationRounds))
         val joined = labels
-          .join(roots.select(col("id").as("__rid"), col("comp").as("__rc")),
+          .join(vSized(roots.select(col("id").as("__rid"),
+            col("comp").as("__rc"))),
             labels("comp") === col("__rid"), "left")
           .select(labels("id"),
             coalesce(col("__rc"), labels("comp")).as("comp"))
@@ -168,14 +187,21 @@ object Graph {
     * rounds it took — exposed for convergence-bound tests.
     */
   def starRounds(edges: DataFrame, a: Column, b: Column,
-                 maxIter: Int = 20): (DataFrame, Int) = {
-    val e0 = edges
+                 maxIter: Int = 20,
+                 broadcastLimit: Long = 4000000L): (DataFrame, Int) = {
+    val (e0, nE0) = Checkpoints.stageCount(edges
       .select(a.cast("long").as("u"), b.cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
-      .distinct()
-      .roundCheckpoint()
+      .distinct())
+    // per-round min tables are node-sized (≤ 2·edges rows) — below
+    // the gate they broadcast into the star joins, so a round's only
+    // exchanges are its two partial-aggregated groupBys + the
+    // distinct, never an edge-table shuffle join
+    var nE = nE0
+    def gated(df: DataFrame): DataFrame =
+      if (nE <= broadcastLimit) broadcast(df) else df
 
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -184,7 +210,7 @@ object Graph {
         .select(col("mu"), least(col("mu"), col("mv")).as("m"))
       // no distinct here: smallStar's groupBy/distinct dedups right
       // after, and skipping it saves a full shuffle per round
-      sym.join(mins, sym("u") === col("mu"))
+      sym.join(gated(mins), sym("u") === col("mu"))
         .where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .where(col("u") =!= col("v"))
@@ -194,7 +220,7 @@ object Graph {
       val o = e.select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       val mins = o.groupBy(col("u").as("mu")).agg(min(col("v")).as("m"))
-      o.join(mins, o("u") === col("mu"))
+      o.join(gated(mins), o("u") === col("mu"))
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(mins.select(col("mu").as("u"), col("m").as("v")))
@@ -206,9 +232,11 @@ object Graph {
     var rounds = 0
     var isStar = false
     while (!isStar && rounds < maxIter) {
-      val next = smallStar(largeStar(e)).roundCheckpoint()
+      val (next, nNext) =
+        Checkpoints.stageCount(smallStar(largeStar(e)))
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(e)
       e = next
+      nE = nNext
       rounds += 1
       // a union of stars ⇔ no edge target is also an edge source
       isStar = e.join(e.select(col("v").as("u")).distinct(),
@@ -277,13 +305,21 @@ object Graph {
     require(iters >= 0, "iters must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need 0 <= dampNum <= dampDen")
+    // staged PRE-PARTITIONED on dst (distinct FIRST so the dedup
+    // keeps its map-side partial aggregation — the repartition then
+    // re-exchanges only the deduped edges, once): every round's
+    // inflow aggregate groups by dst over a broadcast-joined scan of
+    // e, so with this layout the per-round plan has NO exchange at
+    // all in the broadcast regime — the checkpoint partitioning is
+    // reused round after round (guide §2.4)
     val e = Checkpoints.stage(
-      edges.select(src.as("src"), dst.as("dst")).distinct())
+      edges.select(src.as("src"), dst.as("dst"))
+        .distinct().repartition(col("dst")))
     // nodes/outdeg are |V|-sized and re-joined every iteration — stage
     // them once instead of recomputing their aggregates per round.
-    val nodes = Checkpoints.stage(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
-    val n = nodes.count()
+    val (nodes, n) = Checkpoints.stageCount(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     require(n > 0, "empty graph")
     val outdeg = Checkpoints.stage(
       e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
@@ -350,15 +386,18 @@ object Graph {
     require(iters >= 0, "iters must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need 0 <= dampNum <= dampDen")
+    // pre-partitioned on dst like [[pageRank]]: the per-round inflow
+    // aggregate reuses the checkpoint partitioning, exchange-free in
+    // the broadcast regime
     val e = Checkpoints.stage(
-      edges.select(src.as("src"), dst.as("dst")).distinct())
-    val sd = Checkpoints.stage(
+      edges.select(src.as("src"), dst.as("dst"))
+        .distinct().repartition(col("dst")))
+    val (sd, ns) = Checkpoints.stageCount(
       seeds.select(seedId.as("id")).distinct())
-    val nodes = Checkpoints.stage(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .union(sd.select(col("id"))).distinct())
-    val n = nodes.count()
-    val ns = sd.count()
+    val (nodes, n) = Checkpoints.stageCount(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .union(sd.select(col("id"))).distinct())
     require(ns > 0, "empty seed set")
     val outdeg = Checkpoints.stage(
       e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
@@ -439,18 +478,21 @@ object Graph {
       "need 0 <= alphaNum <= alphaDen, epsDen > 0, scale > 0")
     val spark = edges.sparkSession
     val e0 = edges.select(a.as("src"), b.as("dst"))
+    // pre-partitioned on dst: each round's share aggregate
+    // (groupBy dst over broadcast-joined pushers) reuses the
+    // checkpoint partitioning instead of re-exchanging per round
     val sym = Checkpoints.stage(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")))
     val deg = Checkpoints.stage(
       sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(col("src").as("id"), col("deg")))
-    var state = Checkpoints.stage(
+    var (state, nActive) = Checkpoints.stageCount(
       seeds.select(seedId.as("id")).where(col("id").isNotNull)
         .distinct()
         .select(col("id"), lit(0L).as("p"), lit(scale).as("r")))
-    var nActive = state.count()
     var it = 0
     while (it < rounds && nActive > 0) {
       def gated(df: DataFrame): DataFrame =
@@ -483,7 +525,7 @@ object Graph {
         .join(sym, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("give")).as("inc"))
         .select(col("dst").as("id"), col("inc"))
-      val next = Checkpoints.stage(
+      val (next, nNext) = Checkpoints.stageCount(
         updated.select(col("id"), col("p"), col("r"))
           .join(shares, Seq("id"), "full_outer")
           .select(col("id"),
@@ -492,7 +534,7 @@ object Graph {
               coalesce(col("inc"), lit(0L))).as("r")))
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(state)
       state = next
-      nActive = state.count()
+      nActive = nNext
       it += 1
     }
     state
@@ -522,11 +564,16 @@ object Graph {
            broadcastLimit: Long = 4000000L,
            start: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // pre-partitioned on dst: the auth half-step's inflow aggregate
+    // (groupBy dst) reuses the checkpoint partitioning per round; the
+    // hub half-step (groupBy src) keeps its exchange — one exchange
+    // per round instead of two
     val e = Checkpoints.stage(
-      edges.select(src.as("src"), dst.as("dst")).distinct())
-    val nodes = Checkpoints.stage(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct())
-    val n = nodes.count()
+      edges.select(src.as("src"), dst.as("dst"))
+        .distinct().repartition(col("dst")))
+    val (nodes, n) = Checkpoints.stageCount(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     require(n > 0, "empty graph")
     val small = n <= broadcastLimit
     def vSized(df: DataFrame): DataFrame =
@@ -615,9 +662,9 @@ object Graph {
     val od = Checkpoints.stage(
       nbr.groupBy(col("__ns")).agg(count(lit(1)).as("deg"))
         .select(col("__ns").as("__ds"), col("deg")))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val n = nodes.count()
+    val (nodes, n) = Checkpoints.stageCount(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     val small = n <= broadcastLimit
     def vSized(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
@@ -691,30 +738,33 @@ object Graph {
       case None => nodes.orderBy(col("id")).limit(landmarks)
         .select(col("id").as("lm"))
     })
-    var sketch = Checkpoints.stage(
+    // BFS layers accumulate in a buffer; the sketch is their UNION —
+    // re-staging the whole growing sketch per layer would rewrite
+    // O(|V|·L) rows `maxDepth` times (and pay a second job per layer
+    // for the liveness count, which now rides the layer's staging job
+    // as an Observation)
+    val (l0, n0) = Checkpoints.stageCount(
       lms.select(col("lm").as("id"), col("lm"), lit(0).as("dist")))
-    var frontier = sketch
+    val layers = scala.collection.mutable.ArrayBuffer(l0)
+    def sketchView: DataFrame = layers.reduce(_ unionAll _)
+    var frontier = l0
     var d = 1
-    var alive = frontier.count() > 0
+    var alive = n0 > 0
     while (d <= maxDepth && alive) {
-      val next = Checkpoints.stage(
+      val (next, nNext) = Checkpoints.stageCount(
         frontier.join(sym, col("id") === col("src"))
           .select(col("dst").as("id"), col("lm"), lit(d).as("dist"))
           .distinct()
-          .join(sketch.select(col("id"), col("lm")), Seq("id", "lm"),
-            "left_anti"))
-      alive = next.count() > 0
+          .join(sketchView.select(col("id"), col("lm")),
+            Seq("id", "lm"), "left_anti"))
+      alive = nNext > 0
       if (alive) {
-        val merged = Checkpoints.stage(sketch.unionAll(next))
-        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sketch)
-        org.apache.spark.sql.GraftSqlBridge
-          .freeLocalCheckpoint(frontier)
-        sketch = merged
+        layers += next
         frontier = next
       }
       d += 1
     }
-    sketch
+    sketchView
   }
 
   /** HARMONIC closeness centrality within `maxDepth` hops — the
@@ -894,54 +944,48 @@ object Graph {
       .union(en0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct()
-    // improvements that beat the CURRENT sketch (missing = infinity)
-    def improving(cand: DataFrame, cur: DataFrame): DataFrame =
+    // improvements that beat the CURRENT sketch (missing = infinity).
+    // `curRaw` is the RAW union of the stored view and the improved
+    // layers so far; its min-fold happens inside this join instead of
+    // being re-staged per round — one observed staging job per round
+    // (the liveness count rides it), not three, and at scale the
+    // |sketch|-sized merge rewrite per round disappears.
+    def improving(cand: DataFrame, curRaw: DataFrame): DataFrame =
       cand.where(col("dist") <= maxDepth)
         .groupBy(col("id"), col("lm"))
         .agg(min(col("dist")).as("dist"))
-        .join(cur.select(col("id"), col("lm"),
-          col("dist").as("__old")), Seq("id", "lm"), "left")
+        .join(curRaw.groupBy(col("id"), col("lm"))
+          .agg(min(col("dist")).as("__old")),
+          Seq("id", "lm"), "left")
         .where(col("__old").isNull || col("dist") < col("__old"))
         .select(col("id"), col("lm"), col("dist"))
-    var sketch = stored
-    var frontier = Checkpoints.stage(improving(
+    val improved =
+      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def curView: DataFrame =
+      (stored +: improved.toSeq).reduce(_ unionAll _)
+    var (frontier, nF) = Checkpoints.stageCount(improving(
       enSym.join(stored.select(col("id").as("src"), col("lm"),
           col("dist")), Seq("src"))
         .select(col("dst").as("id"), col("lm"),
           (col("dist") + 1).as("dist")),
       stored))
-    val improved =
-      scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var d = 0
-    var alive = frontier.count() > 0
+    var alive = nF > 0
     while (alive && d < maxDepth) {
       improved += frontier
-      val merged = Checkpoints.stage(
-        sketch.unionAll(frontier)
-          .groupBy(col("id"), col("lm"))
-          .agg(min(col("dist")).as("dist")))
-      if (!(sketch eq stored))
-        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sketch)
-      sketch = merged
-      val next = Checkpoints.stage(improving(
+      val (next, nNext) = Checkpoints.stageCount(improving(
         frontier.join(sym, col("id") === col("src"))
           .select(col("dst").as("id"), col("lm"),
             (col("dist") + 1).as("dist")),
-        sketch))
+        curView))
       frontier = next
-      alive = frontier.count() > 0
+      alive = nNext > 0
       d += 1
     }
     if (alive) improved += frontier // dist = maxDepth discoveries
-    if (alive) {
-      val merged = Checkpoints.stage(
-        sketch.unionAll(frontier)
-          .groupBy(col("id"), col("lm"))
-          .agg(min(col("dist")).as("dist")))
-      if (!(sketch eq stored))
-        org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(sketch)
-      sketch = merged
-    }
+    val sketch = curView
+      .groupBy(col("id"), col("lm"))
+      .agg(min(col("dist")).as("dist"))
     // delta append: only improved keys, min-folded across rounds
     // (a later round can re-improve a key); empty batches still
     // commit a visible empty dir (retry-idempotent)
@@ -1074,9 +1118,9 @@ object Graph {
       col("dst").as("__nd"),
       (row_number().over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("dst"))) - 1).as("idx")))
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
-    val n = nodes.count()
+    val (nodes, n) = Checkpoints.stageCount(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
     val small = n <= broadcastLimit
     def vSized(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
@@ -1185,9 +1229,8 @@ object Graph {
       pairs.select(center.as("center"), context.as("context")))
     val nodes = p.select(col("center").as("id"))
       .union(p.select(col("context").as("id"))).distinct()
-    val idx = Checkpoints.stage(Training.withPrefixSum(
+    val (idx, n) = Checkpoints.stageCount(Training.withPrefixSum(
       nodes, Seq(col("id")), lit(1L), "__idx"))
-    val n = idx.count()
     def vSized(df: DataFrame): DataFrame =
       if (n <= broadcastLimit) broadcast(df) else df
     p.select(col("center"), col("context"),
@@ -1542,9 +1585,12 @@ object Graph {
           .select(col("u"), (col("w") * 2).as("w")))
         .groupBy(col("u")).agg(sum(col("w")).as("d"))
         .select(col("u").as("id"), col("d")))
-    val n = deg.count()
+    // node count + total weighted degree in ONE job over the staged
+    // degree table
+    val nm = deg.agg(count(lit(1)), sum(col("d"))).head
+    val n = nm.getLong(0)
     require(n > 0, "empty graph")
-    val m2 = deg.agg(sum(col("d"))).head.getLong(0)
+    val m2 = nm.getLong(1)
     def vSized(df: DataFrame): DataFrame =
       if (n <= broadcastLimit) broadcast(df) else df
     val dec = "decimal(38,0)"
@@ -1586,7 +1632,7 @@ object Graph {
         .join(vSized(dc), Seq("cand"))
         .join(vSized(comm.select(col("id"), col("c").as("__cur"))),
           Seq("id"))
-        .select(col("id"), col("cand"),
+        .select(col("id"), col("cand"), col("__cur"),
           (lit(m2).cast(dec) * col("wi").cast(dec) -
             col("d").cast(dec) *
               (col("dc").cast(dec) -
@@ -1595,24 +1641,27 @@ object Graph {
       val next = scored
         .groupBy(col("id"))
         .agg(max(struct(col("score"), (-col("cand")).as("nc"),
-          col("cand").as("pick"))).as("m"))
-        .select(col("id"), col("m.pick").as("c"))
-      val staged = Checkpoints.stage(next)
-      executed += 1
+          col("cand").as("pick"))).as("m"),
+          // every cand row of an id carries the same __cur, so max
+          // is exact — it rides the argmax aggregate for the mover
+          // count below
+          max(col("__cur")).as("__cur"))
       // CONVERGENCE EARLY-EXIT (the CC equal-sums pattern at a
       // stronger invariant): zero movers means the next round sees
       // the identical assignment, recomputes the identical scores,
       // and picks the identical argmax — a fixed point, so skipping
       // the remaining rounds is bit-identical and saves one full
-      // edge-scale shuffle per skipped round. One cheap |V|-sized
-      // probe per round (broadcast-gated like every label join).
-      if (earlyExit && executed < rounds) {
-        val moved = staged
-          .join(vSized(comm.select(col("id"), col("c").as("__prev"))),
-            Seq("id"))
-          .where(col("c") =!= col("__prev"))
-        if (moved.isEmpty) it = rounds
-      }
+      // edge-scale shuffle per skipped round. The mover count rides
+      // the staging job as an Observation — no per-round probe job.
+      val obs = org.apache.spark.sql.Observation()
+      val staged = Checkpoints.stage(next
+        .observe(obs, coalesce(sum(
+            when(col("m.pick") =!= col("__cur"), 1L).otherwise(0L)),
+          lit(0L)).as("mv"))
+        .select(col("id"), col("m.pick").as("c")))
+      executed += 1
+      if (earlyExit && executed < rounds &&
+          obs.get("mv").asInstanceOf[Long] == 0L) it = rounds
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(comm)
       comm = staged
       it += 1
@@ -1865,20 +1914,24 @@ object Graph {
                        broadcastLimit: Long = 4000000L): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     val e0 = edges.select(a.as("src"), b.as("dst"))
+    // pre-partitioned on dst: BOTH per-round vote aggregates
+    // (groupBy (dst,label) then groupBy dst) are satisfied by the
+    // checkpoint's hash(dst) partitioning, so in the broadcast regime
+    // a round's vote path runs with ZERO exchanges (guide §2.4)
     val sym = Checkpoints.stage(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")))
     val sd = Checkpoints.stage(
       seeds.select(seedId.as("id"), seedLabel.as("__seed"))
         .where(col("__seed").isNotNull)
         .groupBy(col("id")).agg(max(col("__seed")).as("__seed")))
-    val nodes = Checkpoints.stage(
+    val (nodes, n) = Checkpoints.stageCount(
       sym.select(col("src").as("id"))
         .union(sym.select(col("dst").as("id")))
         .union(sd.select(col("id")))
         .distinct())
-    val n = nodes.count()
     val small = n <= broadcastLimit
     def vSized(df: DataFrame): DataFrame =
       if (small) broadcast(df) else df
@@ -1997,21 +2050,23 @@ object Graph {
       broadcastLimit: Long, bTok: Long): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // the labelPropagation loop, with each round's staged labels kept
+    // (sym pre-partitioned on dst for the exchange-free vote path,
+    // exactly as in [[labelPropagation]])
     val e0 = edges.select(a.as("src"), b.as("dst"))
     val sym = Checkpoints.stage(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")))
     val sd = Checkpoints.stage(
       seeds.select(seedId.as("id"), seedLabel.as("__seed"))
         .where(col("__seed").isNotNull)
         .groupBy(col("id")).agg(max(col("__seed")).as("__seed")))
-    val nodes = Checkpoints.stage(
+    val (nodes, n) = Checkpoints.stageCount(
       sym.select(col("src").as("id"))
         .union(sym.select(col("dst").as("id")))
         .union(sd.select(col("id")))
         .distinct())
-    val n = nodes.count()
     def vSized(df: DataFrame): DataFrame =
       if (n <= broadcastLimit) broadcast(df) else df
     var labels = Checkpoints.stage(
@@ -2094,23 +2149,25 @@ object Graph {
     Stats.requireMonotoneBatch(spark, Seq(storeDir), batchId,
       "labelPropagationIncremental")
     val e0 = allEdges.select(a.as("src"), b.as("dst"))
+    // pre-partitioned on dst for the exchange-free vote aggregates,
+    // as in [[labelPropagation]]
     val sym = Checkpoints.stage(
       e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
         .where(col("src") =!= col("dst"))
-        .distinct())
+        .distinct()
+        .repartition(col("dst")))
     val en = newEdges.select(na.as("src"), nb.as("dst"))
-    val sd = Checkpoints.stage(
+    val (sd, nSd) = Checkpoints.stageCount(
       seeds.select(seedId.as("id"), seedLabel.as("__seed"))
         .where(col("__seed").isNotNull)
         .groupBy(col("id")).agg(max(col("__seed")).as("__seed")))
     def gated(df: DataFrame, n: Long): DataFrame =
       if (n <= broadcastLimit) broadcast(df) else df
     // dirty_1: endpoints of the new edges (new nodes arrive only here)
-    var dirty = Checkpoints.stage(
+    var (dirty, nDirty) = Checkpoints.stageCount(
       en.select(col("src").as("id"))
         .union(en.select(col("dst").as("id")))
         .distinct())
-    var nDirty = dirty.count()
     // the persisted state, merged ONCE for all rounds and staged —
     // every per-round read below is a filter on this
     val state = Checkpoints.stage(
@@ -2132,15 +2189,14 @@ object Graph {
           .unionByName(prevSlice)
       // frontier for THIS round: last round's dirty set plus its
       // neighbors (their votes read a changed label)
-      val dirtyNow =
-        if (r == 1) dirty
-        else Checkpoints.stage(
+      val (dirtyNow, nNow) =
+        if (r == 1) (dirty, nDirty)
+        else Checkpoints.stageCount(
           sym.join(gated(dirty.select(col("id").as("src")), nDirty),
               Seq("src"), "left_semi")
             .select(col("dst").as("id"))
             .union(dirty.select(col("id")))
             .distinct())
-      val nNow = dirtyNow.count()
       // votes only for dirty nodes: edge scan pruned to edges INTO the
       // frontier, labels joined on the source side
       val votes = sym
@@ -2157,7 +2213,7 @@ object Graph {
       // current (round r-1) labels of the dirty nodes themselves
       val cur =
         if (r == 1)
-          dirty.join(gated(sd, sd.count()), Seq("id"), "left")
+          dirty.join(gated(sd, nSd), Seq("id"), "left")
             .select(col("id"), col("__seed").as("__cur"))
         else dirtyNow
           .join(prevLabels.select(col("id"), col("label").as("__cur")),
@@ -2261,8 +2317,7 @@ object Graph {
     val deg = e.select(col("u").as("id"))
       .unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
-    val degS = Checkpoints.stage(deg)
-    val n = degS.count()
+    val (degS, n) = Checkpoints.stageCount(deg)
     def vSized(df: DataFrame): DataFrame =
       if (n <= broadcastLimit) broadcast(df) else df
     // orient from the (degree, id)-smaller endpoint
@@ -2427,14 +2482,13 @@ object Graph {
       df.select(least(x, y).as("u"), greatest(x, y).as("v"))
         .where(col("u") =!= col("v"))
         .distinct()
-    val n = Checkpoints.stage(canon(newEdges, na, nb))
+    val (n, nCnt) = Checkpoints.stageCount(canon(newEdges, na, nb))
     // same DataFrame reference for both args = "every incident edge
     // is new" (fresh chains, new-source ingests) — skip re-deriving
     // and re-staging the identical edge set
     val all =
       if (allEdges eq newEdges) n
       else Checkpoints.stage(canon(allEdges, a, b))
-    val nCnt = n.count()
     def gated(df: DataFrame): DataFrame =
       if (nCnt <= broadcastLimit) broadcast(df) else df
     val old = all.join(n, Seq("u", "v"), "left_anti")
@@ -2563,7 +2617,7 @@ object Graph {
       : DataFrame = {
     val e = Checkpoints.stage(
       edges.select(a.as("ga"), b.as("gb")).distinct())
-    val vocab = Checkpoints.stage(
+    val (vocab, nVocab) = Checkpoints.stageCount(
       e.select(col("ga").as("__cat"))
         .union(e.select(col("gb").as("__cat")))
         .where(col("__cat").isNotNull).distinct())
@@ -2571,7 +2625,7 @@ object Graph {
       Training.withPrefixSum(vocab, Seq(col("__cat")), lit(1L),
         "__code"))
     val side =
-      if (vocab.count() <= broadcastLimit) broadcast(coded) else coded
+      if (nVocab <= broadcastLimit) broadcast(coded) else coded
     val codedEdges = e
       .join(side.select(col("__cat").as("ga"),
         col("__code").as("ca")), Seq("ga"))
@@ -2619,10 +2673,9 @@ object Graph {
       edges.select(least(a, b).as("u"), greatest(a, b).as("v"))
         .where(col("u") =!= col("v"))
         .distinct())
-    var nodes = Checkpoints.stage(
+    var (nodes, n) = Checkpoints.stageCount(
       e.select(col("u").as("id")).union(e.select(col("v").as("id")))
         .distinct())
-    var n = nodes.count()
     def vSized(df: DataFrame): DataFrame =
       if (n <= broadcastLimit) broadcast(df) else df
     var it = 0
@@ -2638,8 +2691,7 @@ object Graph {
         .groupBy(col("id")).agg(count(lit(1)).as("__d"))
         .where(col("__d") >= k)
         .select(col("id"))
-      val staged = Checkpoints.stage(next)
-      val m = staged.count()
+      val (staged, m) = Checkpoints.stageCount(next)
       converged = m == n
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(nodes)
       nodes = staged
@@ -2649,18 +2701,13 @@ object Graph {
     nodes
   }
 
-  /** Stage + row count in ONE action: the count rides the staging
-    * job as an [[org.apache.spark.sql.Observation]] instead of a
-    * second job — in iterative operators the convergence checks are
-    * per-job scheduling latency, not data, so halving the job count
-    * halves the drain time of round-heavy topologies.
+  /** Stage + row count in ONE action — see [[Checkpoints.stageCount]]
+    * (the convergence checks of iterative operators are per-job
+    * scheduling latency, not data; fusing them halves the job count
+    * of round-heavy topologies).
     */
-  private def stagedCount(df: DataFrame): (DataFrame, Long) = {
-    val obs = org.apache.spark.sql.Observation()
-    val st = Checkpoints.stage(
-      df.observe(obs, count(lit(1)).as("n")))
-    (st, obs.get("n").asInstanceOf[Long])
-  }
+  private def stagedCount(df: DataFrame): (DataFrame, Long) =
+    Checkpoints.stageCount(df)
 
   // ---------- strongly connected components ----------
 
@@ -2688,19 +2735,24 @@ object Graph {
     * Scale: each outer round first TRIMS (Slota et al.'s Multistep
     * step 1): a node with no incoming or no outgoing edge in the
     * remainder cannot sit on a cycle, so it retires as a singleton
-    * SCC — peeled ITERATIVELY (each layer exposes the next) at two
-    * cheap degree tests per layer, which drains DAG-shaped regions
-    * without paying any coloring fixpoint. The surviving cyclic core
-    * then runs the FB round: edge-sized min/flag propagations with
-    * sum/count early exits (the CC convergence pattern); outer rounds
-    * retire ≥ 1 SCC per live color, so forests of small SCCs drain in
-    * parallel, and rounds ALTERNATE the coloring direction (SCCs are
-    * reversal-invariant), so a chain of SCCs whose ids ascend along
-    * the edges — one color per round for a single direction — drains
-    * wholesale on the reversed round (x_scc_chain prices exactly this
-    * shape). The residual adversary is an id order hostile to BOTH
-    * directions, where rounds still scale with SCC-depth — the
-    * topology's price, not the plan's. Round state staged and freed.
+    * SCC — peeled ITERATIVELY (each layer exposes the next), edge-
+    * driven at ONE observed staging job per layer (an edge survives
+    * iff its src has an in-edge and its dst an out-edge; survivors'
+    * node set = srcSet ∩ dstSet, and singletons are reconstructed
+    * once at the end as allNodes ∖ FB-found), which drains DAG-shaped
+    * regions without paying any coloring fixpoint. The surviving
+    * cyclic core then runs the FB round: edge-sized min propagations
+    * with path compression (pointer jumping — O(log d) rounds on a
+    * depth-d remainder) and sum/count early exits (the CC
+    * convergence pattern); outer rounds retire ≥ 1 SCC per live
+    * color, so forests of small SCCs drain in parallel, and rounds
+    * ALTERNATE the coloring direction (SCCs are reversal-invariant),
+    * so a chain of SCCs whose ids ascend along the edges — one color
+    * per round for a single direction — drains wholesale on the
+    * reversed round (x_scc_chain prices exactly this shape). The
+    * residual adversary is an id order hostile to BOTH directions,
+    * where rounds still scale with log(SCC-depth) — the topology's
+    * price, not the plan's. Round state staged and freed.
     *
     * Budgets: `maxRounds`/`maxInner` ≤ 0 (the default) derive from
     * the node count — n outer rounds (every round retires ≥ 1 node)
@@ -2712,56 +2764,71 @@ object Graph {
     */
   def stronglyConnectedComponents(edges: DataFrame, src: Column,
                                   dst: Column, maxRounds: Int = 0,
-                                  maxInner: Int = 0): DataFrame = {
+                                  maxInner: Int = 0,
+                                  broadcastLimit: Long = 4000000L)
+      : DataFrame = {
     val free: DataFrame => Unit =
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint
-    val e0 = Checkpoints.stage(
+    val (e0, nE0) = Checkpoints.stageCount(
       edges.select(src.cast("long").as("src"),
           dst.cast("long").as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
-    var (rem, nRem) = stagedCount(
+    val (allNodes, nAll) = stagedCount(
       e0.select(col("src").as("id"))
         .union(e0.select(col("dst").as("id"))).distinct())
     var remE = e0
+    var nE = nE0
     val roundBudget =
-      if (maxRounds > 0) maxRounds.toLong else math.max(nRem, 1L)
+      if (maxRounds > 0) maxRounds.toLong else math.max(nAll, 1L)
     val innerBudget =
-      if (maxInner > 0) maxInner.toLong else nRem + 1L
+      if (maxInner > 0) maxInner.toLong else nAll + 1L
+    // broadcast regime gate (node-sized round state: colorings,
+    // frontiers, retirement sets): below the gate every per-round
+    // join is a broadcast hash join — an AQE exchange stage is its
+    // own JOB, so each removed exchange removes a per-round barrier
+    val small = nAll <= broadcastLimit
+    def gated(df: DataFrame): DataFrame =
+      if (small) broadcast(df) else df
+    // FB-retired SCCs only. Trim-retired and edge-drained nodes are
+    // singleton SCCs by construction, filled in ONCE at the end via
+    // allNodes ∖ (FB-found) — the per-trim-layer staged singleton
+    // DataFrame (and its anti-join job) of the previous form is gone.
     val found =
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0L
-    while (nRem > 0 && outer < roundBudget) {
-      // 0. TRIM: peel no-in/no-out nodes (singleton SCCs) layer by
-      // layer until only the cyclic core remains
+    while (nE > 0 && outer < roundBudget) {
+      // 0. TRIM, edge-driven: an edge survives iff its src has an
+      // in-edge and its dst has an out-edge; the surviving node set
+      // is exactly srcSet ∩ dstSet of the surviving edges, so no node
+      // table is maintained and each peel layer is ONE observed
+      // staging job (was: node stageCount + singleton stage + edge
+      // stage = 3-4 jobs per layer). Edge count stable ⇒ no node
+      // trimmed (trimming a node removes its edges), so the fixpoint
+      // test rides the same job.
       var trimming = true
-      while (trimming && nRem > 0) {
-        val hasIn = remE.select(col("dst").as("id")).distinct()
-        val hasOut = remE.select(col("src").as("id")).distinct()
-        val (keep, nKeep) = stagedCount(
-          rem.join(hasIn, Seq("id"), "left_semi")
-            .join(hasOut, Seq("id"), "left_semi"))
-        if (nKeep == nRem) { free(keep); trimming = false }
+      while (trimming && nE > 0) {
+        // semi joins dedup their build side internally — no distinct
+        // (each distinct was an exchange, i.e. a per-layer barrier)
+        val hasIn = remE.select(col("dst").as("src"))
+        val hasOut = remE.select(col("src").as("dst"))
+        val (keepE, nKeepE) = stagedCount(remE
+          .join(gated(hasIn), Seq("src"), "left_semi")
+          .join(gated(hasOut), Seq("dst"), "left_semi"))
+        if (nKeepE == nE) { free(keepE); trimming = false }
         else {
-          found += Checkpoints.stage(
-            rem.join(keep, Seq("id"), "left_anti")
-              .select(col("id"), col("id").as("scc")))
-          val remENext = Checkpoints.stage(remE
-            .join(keep.select(col("id").as("src")), Seq("src"),
-              "left_semi")
-            .join(keep.select(col("id").as("dst")), Seq("dst"),
-              "left_semi")
-            .select(col("src"), col("dst")))
-          free(rem)
           if (!(remE eq e0)) free(remE)
-          rem = keep
-          remE = remENext
-          nRem = nKeep
+          remE = keepE
+          nE = nKeepE
         }
       }
-      if (nRem == 0) {
+      if (nE == 0) {
         outer += 1
       } else {
+      // nodes of the surviving cyclic core (each has in + out here)
+      val rem = Checkpoints.stage(
+        remE.select(col("src").as("id"))
+          .union(remE.select(col("dst").as("id"))).distinct())
       // Rounds ALTERNATE the coloring direction: SCCs are invariant
       // under edge reversal, and a chain whose ids ascend along the
       // edges — the worst case for one direction (a single color per
@@ -2771,7 +2838,17 @@ object Graph {
       val dirE =
         if (outer % 2 == 0) remE
         else remE.select(col("dst").as("src"), col("src").as("dst"))
-      // 1. directional min-label fixpoint: f(dst) ≤ f(src)
+      // 1. directional min-label fixpoint with PATH COMPRESSION:
+      // one edge step (f(dst) ≤ min over in-neighbors f(src)) plus
+      // one pointer jump (f(v) ← f(f(v)) through the previous
+      // round's staged table, the CC loop's trick) per round. Every
+      // assigned value is an id that reaches v and labels only
+      // decrease, so the fixpoint is the same min-reaching-id
+      // coloring and "equal sums ⇒ converged" still holds (the
+      // combined step is monotone; a fixpoint of edge∘jump is a
+      // fixpoint of the edge step alone). The jump halves the
+      // remaining label depth per round: O(log d) observed staging
+      // jobs on a depth-d chain instead of O(d).
       var f = Checkpoints.stage(rem.select(col("id"),
         col("id").as("f")))
       var prevSum: java.math.BigDecimal = null
@@ -2779,15 +2856,22 @@ object Graph {
       var it = 0
       while (!stable && it < innerBudget) {
         val nbrMin = dirE
-          .join(f.select(col("id").as("src"), col("f").as("__nf")),
-            Seq("src"))
+          .join(gated(f.select(col("id").as("src"),
+            col("f").as("__nf"))), Seq("src"))
           .groupBy(col("dst").as("id"))
           .agg(min(col("__nf")).as("__nbr"))
-        val obs = org.apache.spark.sql.Observation()
-        val next = Checkpoints.stage(f
-          .join(nbrMin, Seq("id"), "left")
+        val prop = f
+          .join(gated(nbrMin), Seq("id"), "left")
           .select(col("id"),
             least(col("f"), coalesce(col("__nbr"), col("f")))
+              .as("f"))
+        val obs = org.apache.spark.sql.Observation()
+        val next = Checkpoints.stage(prop
+          .join(gated(f.select(col("id").as("__jid"),
+            col("f").as("__jf"))),
+            prop("f") === col("__jid"), "left")
+          .select(prop("id").as("id"),
+            least(prop("f"), coalesce(col("__jf"), prop("f")))
               .as("f"))
           .observe(obs,
             coalesce(sum(col("f").cast("decimal(38,0)")),
@@ -2804,59 +2888,71 @@ object Graph {
       // 2. reach back to the pivot INSIDE each color class (against
       // the round's coloring direction)
       val ce = Checkpoints.stage(dirE
-        .join(f.select(col("id").as("src"), col("f").as("__fs")),
-          Seq("src"))
-        .join(f.select(col("id").as("dst"), col("f").as("__fd")),
-          Seq("dst"))
+        .join(gated(f.select(col("id").as("src"),
+          col("f").as("__fs"))), Seq("src"))
+        .join(gated(f.select(col("id").as("dst"),
+          col("f").as("__fd"))), Seq("dst"))
         .where(col("__fs") === col("__fd"))
         .select(col("src"), col("dst")))
-      var (reached, nReached) = stagedCount(
+      // frontier-layered BFS against the coloring direction: each
+      // layer stages only the NEWLY reached ids (one observed job per
+      // layer), never the whole reached set re-distincted; reached =
+      // the union of layers. Converged when a layer comes back empty.
+      val pivots = Checkpoints.stage(
         f.where(col("id") === col("f")).select(col("id")))
+      val rLayers = scala.collection.mutable.ArrayBuffer(pivots)
+      def reachedView: DataFrame = rLayers.reduce(_ unionAll _)
+      var frontier = pivots
       stable = false
       it = 0
       while (!stable && it < innerBudget) {
         val (next, n2) = stagedCount(
-          ce.join(reached.select(col("id").as("dst")), Seq("dst"),
-              "left_semi")
+          ce.join(gated(frontier.select(col("id").as("dst"))),
+              Seq("dst"), "left_semi")
             .select(col("src").as("id"))
-            .union(reached)
-            .distinct())
-        stable = n2 == nReached
-        free(reached)
-        reached = next
-        nReached = n2
+            .distinct()
+            .join(gated(reachedView), Seq("id"), "left_anti"))
+        stable = n2 == 0
+        if (n2 > 0) { rLayers += next; frontier = next }
         it += 1
       }
       require(stable, s"scc: backward reach did not converge in " +
         s"$innerBudget rounds (outer $outer)")
-      // 3. retire the found SCCs; survivors re-color next round
+      val reached = reachedView
+      // 3. retire the found SCCs; surviving edges re-color next round
       val scc = Checkpoints.stage(
-        f.join(reached, Seq("id"), "left_semi")
+        f.join(gated(reached), Seq("id"), "left_semi")
           .select(col("id"), col("f").as("scc")))
       found += scc
       free(ce)
       free(f)
-      free(reached)
-      val (remNext, nRemNext) = stagedCount(
-        rem.join(scc.select(col("id")), Seq("id"), "left_anti"))
-      val remENext = Checkpoints.stage(remE
-        .join(remNext.select(col("id").as("src")), Seq("src"),
-          "left_semi")
-        .join(remNext.select(col("id").as("dst")), Seq("dst"),
-          "left_semi")
-        .select(col("src"), col("dst")))
+      rLayers.foreach(free)
+      val (remENext, nENext) = stagedCount(remE
+        .join(gated(scc.select(col("id").as("src"))), Seq("src"),
+          "left_anti")
+        .join(gated(scc.select(col("id").as("dst"))), Seq("dst"),
+          "left_anti"))
       free(rem)
       if (!(remE eq e0)) free(remE)
-      rem = remNext
       remE = remENext
-      nRem = nRemNext
+      nE = nENext
       outer += 1
       }
     }
-    require(nRem == 0,
+    require(nE == 0,
       s"scc did not drain in $roundBudget outer rounds")
-    if (found.isEmpty) rem.select(col("id"), col("id").as("scc"))
-    else found.reduce(_ unionAll _)
+    // singleton fill: every node never retired by an FB round is its
+    // own SCC (trim-retired or edge-drained) — one anti-join at the
+    // end instead of a staged singleton set per trim layer
+    if (found.isEmpty)
+      allNodes.select(col("id"), col("id").as("scc"))
+    else {
+      val fb = found.reduce(_ unionAll _)
+      fb.unionAll(
+        allNodes.join(gated(fb.select(col("id"))), Seq("id"),
+          "left_anti")
+          .select(col("id"), col("id").as("scc")))
+    }
   }
 
   /** The CONDENSATION of a directed graph with LONGEST-PATH levels:
@@ -3079,12 +3175,11 @@ object Graph {
     Stats.requireMonotoneBatch(spark,
       Seq(s"$storeDir/assign", s"$storeDir/cedges"), batchId,
       "sccIncremental")
-    val en = Checkpoints.stage(
+    val (en, nNew) = Checkpoints.stageCount(
       newEdges.select(src.cast("long").as("src"),
           dst.cast("long").as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
-    val nNew = en.count()
     def gated(df: DataFrame): DataFrame =
       if (nNew <= broadcastLimit) broadcast(df) else df
     val stored = Checkpoints.stage(
@@ -3386,11 +3481,10 @@ object Graph {
     Stats.requireMonotoneBatch(spark,
       Seq(storeDir, ccByCompDir(storeDir)), batchId,
       "connectedComponentsIncremental")
-    val en = Checkpoints.stage(
+    val (en, nNew) = Checkpoints.stageCount(
       newEdges.select(na.cast("long").as("u"), nb.cast("long").as("v"))
         .where(col("u") =!= col("v"))
         .distinct())
-    val nNew = en.count()
     def gated(df: DataFrame): DataFrame =
       if (nNew <= broadcastLimit) broadcast(df) else df
     // relabel batch endpoints through the stored components; unknown
@@ -3721,10 +3815,9 @@ object Graph {
         val pk = probe.join(degreeOK, Seq("id"), "left_semi")
         pk.join(memberOf(pk), Seq("id"), "left_anti")
     }
-    var cand = Checkpoints.stage(eligibleOf(
+    var (cand, nc) = Checkpoints.stageCount(eligibleOf(
       en.select(col("u").as("id")).union(en.select(col("v").as("id")))
         .distinct()))
-    var nc = cand.count()
     // closure: grow through eligible neighbors to a fixpoint — flips
     // propagate only along such chains
     var it = 0
@@ -3736,9 +3829,8 @@ object Graph {
         .union(e.join(gated(cand.select(col("id").as("v")), nc),
           Seq("v"), "left_semi")
           .select(col("u").as("id")))
-      val next = Checkpoints.stage(
+      val (next, m) = Checkpoints.stageCount(
         cand.unionByName(eligibleOf(nbrs.distinct())).distinct())
-      val m = next.count()
       grown = m > nc
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(cand)
       cand = next
@@ -3765,12 +3857,11 @@ object Graph {
           .select(col("v").as("c"), col("u").as("w")))
       val nbrIds = inc.select(col("w").as("id")).distinct()
       val live = surv.unionByName(memberOf(nbrIds))
-      val next = Checkpoints.stage(
+      val (next, m) = Checkpoints.stageCount(
         inc.join(live.select(col("id").as("w")), Seq("w"), "left_semi")
           .groupBy(col("c")).agg(count(lit(1)).as("__d"))
           .where(col("__d") >= k)
           .select(col("c").as("id")))
-      val m = next.count()
       converged = m == ns
       if (surv ne cand)
         org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(surv)

@@ -118,8 +118,8 @@ object LanguageModel {
   private def joinModel(feats: DataFrame, model: DataFrame,
                         broadcastLimit: Long)
       : (DataFrame, DataFrame) = {
-    val staged = Checkpoints.stage(model)
-    val small = staged.count() <= broadcastLimit
+    val (staged, nModel) = Checkpoints.stageCount(model)
+    val small = nModel <= broadcastLimit
     val uni = staged.where(col("kind") === 1)
       .select(col("h").as("h1"), col("cnt").as("c1"))
     val big = staged.where(col("kind") === 2)

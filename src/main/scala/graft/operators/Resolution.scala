@@ -181,8 +181,8 @@ object Resolution {
                          maxBlock: Int = Int.MaxValue,
                          broadcastLimit: Long = 4000000L): DataFrame = {
     val spark = newEnts.sparkSession
-    val batch = Checkpoints.stage(keyed(newEnts, block))
-    val small = batch.count() <= broadcastLimit
+    val (batch, nBatch) = Checkpoints.stageCount(keyed(newEnts, block))
+    val small = nBatch <= broadcastLimit
     val probe = batch.select(col("blkh")).distinct()
     val slice0 = Stats.readTouchedKeysManifest(spark, storeDir,
       manifestPath, "blkh", probe)

@@ -247,11 +247,11 @@ object TimeSeries {
                       broadcastLimit: Long = 4000000L): DataFrame = {
     val ev = df.select(user.as("user"),
       to_date(date_trunc("week", ts)).as("wk"))
-    val firsts = graft.operators.Checkpoints.stage(
+    val (firsts, nFirsts) = graft.operators.Checkpoints.stageCount(
       ev.groupBy(col("user")).agg(min(col("wk")).as("cohort")))
     val active = ev.distinct()
     val side =
-      if (firsts.count() <= broadcastLimit) broadcast(firsts)
+      if (nFirsts <= broadcastLimit) broadcast(firsts)
       else firsts
     active.join(side, Seq("user"))
       .groupBy(col("cohort"),

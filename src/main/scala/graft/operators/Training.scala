@@ -120,7 +120,7 @@ object Training {
   def encodeCategorical(df: DataFrame, value: Column, out: String,
                         broadcastLimit: Long = 4000000L): DataFrame = {
     // __cat, not __v: withPrefixSum claims __v internally
-    val vocab = Checkpoints.stage(
+    val (vocab, nVocab) = Checkpoints.stageCount(
       df.select(value.as("__cat")).where(col("__cat").isNotNull)
         .distinct())
     // the prefix sum is EXCLUSIVE (first value ranks 0); +1 for the
@@ -128,7 +128,7 @@ object Training {
     val coded = withPrefixSum(vocab, Seq(col("__cat")), lit(1L), out)
       .withColumn(out, col(out) + 1)
     val side =
-      if (vocab.count() <= broadcastLimit) broadcast(coded) else coded
+      if (nVocab <= broadcastLimit) broadcast(coded) else coded
     df.join(side, value <=> col("__cat"), "left").drop("__cat")
   }
 
@@ -561,14 +561,14 @@ object Training {
     */
   def packConversations(turns: DataFrame, budget: Long,
                         broadcastLimit: Long = 4000000L): DataFrame = {
-    val convLens = Checkpoints.stage(
+    val (convLens, nConv) = Checkpoints.stageCount(
       turns.groupBy(col("conv").as("__pconv"))
         .agg(max(col("end")).as("__clen")))
     val packed = packBinsWithOffsets(convLens, Seq(col("__pconv")),
         col("__clen"), budget)
       .select(col("__pconv"), col("start").as("__cstart"))
     val side =
-      if (convLens.count() <= broadcastLimit) broadcast(packed)
+      if (nConv <= broadcastLimit) broadcast(packed)
       else packed
     turns.join(side, col("conv") === col("__pconv"))
       .select(col("conv"), col("turn"), col("role"),

@@ -91,9 +91,12 @@ object Upsert {
     */
   def mergeIntoTable(spark: SparkSession, table: String,
                      updates: DataFrame, key: Seq[String]): Long = {
+    val obs = new org.apache.spark.sql.Observation()
     val staged = mergeByKey(spark.table(table), updates, key)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
       .localCheckpoint(eager = true)
-    val n = staged.count()
+    val n = obs.get("n").asInstanceOf[Long]
     staged.write.mode(SaveMode.Overwrite).saveAsTable(table)
     // drop the cached file index — readers resolved against the
     // pre-swap file listing would otherwise hit deleted parquet parts
