@@ -102,12 +102,18 @@ object Graph {
       // under ANSI), which would break the monotone
       // "equal sums ⇒ converged" argument.
       val obs = org.apache.spark.sql.Observation()
-      val next = prop
-        .join(vSized(labels.select(col("id").as("__cid"),
-          col("comp").as("__cc"))), prop("comp") === col("__cid"),
-          "left")
-        .select(prop("id").as("id"),
-          coalesce(col("__cc"), prop("comp")).as("comp"))
+      // round 1's jump would follow the IDENTITY init table — a
+      // provable no-op, so the join (and its broadcast build) is
+      // skipped there
+      val jumped =
+        if (it == 0) prop
+        else prop
+          .join(vSized(labels.select(col("id").as("__cid"),
+            col("comp").as("__cc"))), prop("comp") === col("__cid"),
+            "left")
+          .select(prop("id").as("id"),
+            coalesce(col("__cc"), prop("comp")).as("comp"))
+      val next = jumped
         .observe(obs,
           coalesce(sum(col("comp").cast("decimal(38,0)")),
             lit(java.math.BigDecimal.ZERO)).as("s"))
@@ -2825,10 +2831,11 @@ object Graph {
       if (nE == 0) {
         outer += 1
       } else {
-      // nodes of the surviving cyclic core (each has in + out here)
-      val rem = Checkpoints.stage(
-        remE.select(col("src").as("id"))
-          .union(remE.select(col("dst").as("id"))).distinct())
+      // nodes of the surviving cyclic core (each has in + out
+      // here) — derived lazily into the f init staging, never
+      // materialized on its own
+      val rem = remE.select(col("src").as("id"))
+        .union(remE.select(col("dst").as("id"))).distinct()
       // Rounds ALTERNATE the coloring direction: SCCs are invariant
       // under edge reversal, and a chain whose ids ascend along the
       // edges — the worst case for one direction (a single color per
@@ -2865,14 +2872,19 @@ object Graph {
           .select(col("id"),
             least(col("f"), coalesce(col("__nbr"), col("f")))
               .as("f"))
+        // round 1's jump would follow the IDENTITY init table — a
+        // provable no-op, skipped
+        val jumped =
+          if (it == 0) prop
+          else prop
+            .join(gated(f.select(col("id").as("__jid"),
+              col("f").as("__jf"))),
+              prop("f") === col("__jid"), "left")
+            .select(prop("id").as("id"),
+              least(prop("f"), coalesce(col("__jf"), prop("f")))
+                .as("f"))
         val obs = org.apache.spark.sql.Observation()
-        val next = Checkpoints.stage(prop
-          .join(gated(f.select(col("id").as("__jid"),
-            col("f").as("__jf"))),
-            prop("f") === col("__jid"), "left")
-          .select(prop("id").as("id"),
-            least(prop("f"), coalesce(col("__jf"), prop("f")))
-              .as("f"))
+        val next = Checkpoints.stage(jumped
           .observe(obs,
             coalesce(sum(col("f").cast("decimal(38,0)")),
               lit(java.math.BigDecimal.ZERO)).as("s")))
@@ -2898,8 +2910,9 @@ object Graph {
       // layer stages only the NEWLY reached ids (one observed job per
       // layer), never the whole reached set re-distincted; reached =
       // the union of layers. Converged when a layer comes back empty.
-      val pivots = Checkpoints.stage(
-        f.where(col("id") === col("f")).select(col("id")))
+      // pivots derive from the CACHED f by a narrow filter — no
+      // staging job
+      val pivots = f.where(col("id") === col("f")).select(col("id"))
       val rLayers = scala.collection.mutable.ArrayBuffer(pivots)
       def reachedView: DataFrame = rLayers.reduce(_ unionAll _)
       var frontier = pivots
@@ -2932,7 +2945,6 @@ object Graph {
           "left_anti")
         .join(gated(scc.select(col("id").as("dst"))), Seq("dst"),
           "left_anti"))
-      free(rem)
       if (!(remE eq e0)) free(remE)
       remE = remENext
       nE = nENext
