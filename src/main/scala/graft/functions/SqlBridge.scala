@@ -42,6 +42,87 @@ object GraftSqlBridge {
     () => bc.value.value
   }
 
+  /** Checkpoint (local or reliable) PRESERVING the materialized
+    * partitioning/ordering metadata. `Dataset.checkpoint` tries to
+    * carry the executed plan's outputPartitioning into the resulting
+    * LogicalRDD (LogicalRDD.fromDataset), but under AQE the executed
+    * plan is an AdaptiveSparkPlanExec, whose outputPartitioning is the
+    * LeafExecNode default `UnknownPartitioning(0)` — so every staged
+    * round of an iterative operator forgets that it was just hash-
+    * partitioned, and the next round's aggregate/join re-exchanges
+    * rows that are already laid out correctly. This helper re-wraps
+    * the checkpointed Dataset with the FINAL physical plan's
+    * partitioning (attributes rewritten positionally onto the new
+    * LogicalRDD output, exactly the rewrite fromDataset itself does),
+    * so a `repartition(k)` staged before an iterative loop makes every
+    * round's groupBy(k)/join(k) exchange-free.
+    *
+    * Safety: the metadata is read from the SAME executed plan whose
+    * rows the checkpoint materialized, so it describes the true
+    * physical layout; if any partitioning/ordering expression
+    * references an attribute outside the plan's output, that piece
+    * degrades to Unknown/empty rather than guessing. Statistics are
+    * re-derived from the origin's optimized plan like fromDataset.
+    */
+  def stagePreservingPartitioning(df: Dataset[_],
+                                  reliable: Boolean): DataFrame = {
+    import catalyst.expressions.{Attribute, AttributeMap, Expression, SortOrder}
+    import catalyst.plans.physical.{Partitioning, UnknownPartitioning}
+    val cds = df.asInstanceOf[classic.Dataset[_]]
+    val ckpt =
+      (if (reliable) cds.checkpoint() else cds.localCheckpoint())
+        .asInstanceOf[classic.Dataset[_]]
+    try {
+      val lr = ckpt.queryExecution.analyzed match {
+        case l: execution.LogicalRDD => l
+        case _ => return ckpt.toDF()
+      }
+      val finalPlan = cds.queryExecution.executedPlan match {
+        case a: execution.adaptive.AdaptiveSparkPlanExec =>
+          a.finalPhysicalPlan
+        case p => p
+      }
+      if (finalPlan.outputPartitioning
+          .isInstanceOf[UnknownPartitioning])
+        return ckpt.toDF() // nothing to preserve
+      val attrMap: AttributeMap[Attribute] =
+        AttributeMap(finalPlan.output.zip(lr.output))
+      def rewrite[T <: Expression](e: T): Option[T] =
+        if (e.references.forall(attrMap.contains))
+          Some(e.transform { case a: Attribute => attrMap(a) }
+            .asInstanceOf[T])
+        else None
+      val newPart: Partitioning = finalPlan.outputPartitioning match {
+        case e: Expression with Partitioning =>
+          rewrite(e).getOrElse(UnknownPartitioning(e.numPartitions))
+        case p => p // SinglePartition and friends carry no attributes
+      }
+      val ords = finalPlan.outputOrdering.map(o => rewrite[SortOrder](o))
+      val newOrd: Seq[SortOrder] =
+        if (ords.forall(_.isDefined)) ords.flatten else Nil
+      // statistics: same rewrite fromDataset applies to the origin's
+      // optimized-plan stats (size/row estimates feed join planning)
+      val optimized = cds.queryExecution.optimizedPlan
+      val statMap: AttributeMap[Attribute] =
+        AttributeMap(optimized.output.zip(lr.output))
+      val stats = {
+        val s = optimized.stats
+        catalyst.plans.logical.Statistics(s.sizeInBytes, s.rowCount,
+          AttributeMap(s.attributeStats.toSeq.map { case (a, c) =>
+            statMap.getOrElse(a, a) -> c }),
+          s.isRuntime)
+      }
+      val newLr = execution.LogicalRDD(lr.output, lr.rdd, newPart,
+        newOrd, lr.isStreaming, lr.getStream)(
+        cds.sparkSession.asInstanceOf[classic.SparkSession],
+        Some(stats), None)
+      classic.Dataset.ofRows(
+        cds.sparkSession.asInstanceOf[classic.SparkSession], newLr)
+    } catch {
+      case scala.util.control.NonFatal(_) => ckpt.toDF()
+    }
+  }
+
   /** Release the storage behind a checkpointed Dataset (local OR
     * reliable). Iterative operators checkpoint per round to truncate
     * lineage; the superseded rounds must be freed or a long job leaks —

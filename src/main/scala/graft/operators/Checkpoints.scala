@@ -29,9 +29,15 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object Checkpoints {
   def stage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint()
-    else df.localCheckpoint()
+    // partitioning-preserving: under AQE a plain Dataset.checkpoint
+    // forgets the materialized layout (AdaptiveSparkPlanExec reports
+    // UnknownPartitioning), so every staged-then-reused frame forced
+    // downstream re-exchanges of rows already partitioned correctly —
+    // the bridge re-attaches the final plan's true partitioning
+    org.apache.spark.sql.GraftSqlBridge.stagePreservingPartitioning(
+      df,
+      reliable =
+        df.sparkSession.sparkContext.getCheckpointDir.isDefined)
 
   /** [[stage]] + row count in ONE action: the count rides the staging
     * job as an [[org.apache.spark.sql.Observation]] instead of a

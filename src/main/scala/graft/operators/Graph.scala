@@ -14,15 +14,25 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** DEBUG-ONLY hook (tools/RoundPlanDump): when set, each iterative
+    * operator offers one representative per-round DataFrame here
+    * BEFORE its staging action, so the round fragment's physical plan
+    * (Exchange count, join strategy) can be captured as committed
+    * evidence — the shipped query's own explain covers only the final
+    * readout. `None` in production: the by-name argument is never
+    * evaluated, so the hot path pays nothing.
+    */
+  private[graft] var roundPlanProbe
+      : Option[(String, DataFrame) => Unit] = None
+  @inline private def probeRound(tag: String, df: => DataFrame): Unit =
+    roundPlanProbe.foreach(p => p(tag, df))
+
   /** Lineage truncation per round: reliable `checkpoint()` under a set
     * checkpoint dir (fault-tolerant; superseded files deleted by
     * freeLocalCheckpoint), else executor-local `localCheckpoint()`.
     */
   private implicit class RoundCheckpoint(private val df: DataFrame) {
-    def roundCheckpoint(): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint()
-      else df.localCheckpoint()
+    def roundCheckpoint(): DataFrame = Checkpoints.stage(df)
   }
 
   /** Connected components by iterative min-label propagation with a
@@ -113,6 +123,7 @@ object Graph {
             "left")
           .select(prop("id").as("id"),
             coalesce(col("__cc"), prop("comp")).as("comp"))
+      probeRound("connectedComponents.round", jumped)
       val next = jumped
         .observe(obs,
           coalesce(sum(col("comp").cast("decimal(38,0)")),
@@ -356,12 +367,18 @@ object Graph {
           expr("rank DIV outdeg").as("share"))
         .groupBy(col("id"))
         .agg(sum(col("share")).as("inflow"))
+      // contrib is |V|-sized (one row per in-degree-bearing node) —
+      // under the gate it broadcasts like every other round state, so
+      // the round plan has NO shuffle at all (nodes keeps its staged
+      // partitioning; above the gate this degrades to the shuffle
+      // join as before)
       val next = nodes
-        .join(contrib, Seq("id"), "left")
+        .join(vSized(contrib), Seq("id"), "left")
         .select(col("id"),
           (lit(base) +
             expr(s"($dampNum * coalesce(inflow, 0L)) DIV $dampDen"))
             .as("rank"))
+      probeRound("pageRank.round", next)
       val staged = Checkpoints.stage(next)
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(ranks)
       ranks = staged
@@ -429,12 +446,14 @@ object Graph {
           expr("rank DIV outdeg").as("share"))
         .groupBy(col("id"))
         .agg(sum(col("share")).as("inflow"))
+      // |V|-sized contrib broadcasts under the gate (see [[pageRank]])
       val next = baseTerms
-        .join(contrib, Seq("id"), "left")
+        .join(vSized(contrib), Seq("id"), "left")
         .select(col("id"),
           (col("__seed_term") +
             expr(s"($dampNum * coalesce(inflow, 0L)) DIV $dampDen"))
             .as("rank"))
+      probeRound("ppr.round", next)
       val staged = Checkpoints.stage(next)
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(ranks)
       ranks = staged
@@ -607,22 +626,25 @@ object Graph {
     var auth: DataFrame = null
     var it = 0
     while (it < iters) {
+      // the half-step aggregate is |V|-sized — broadcast under the
+      // gate so the round plan keeps zero shuffles (see [[pageRank]])
       val rawA = nodes.join(
-          e.join(vSized(hub.withColumnRenamed("id", "src")),
+          vSized(e.join(vSized(hub.withColumnRenamed("id", "src")),
               Seq("src"))
             .groupBy(col("dst")).agg(sum(col("hub")).as("__x"))
-            .withColumnRenamed("dst", "id"),
+            .withColumnRenamed("dst", "id")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("__x"), lit(0L)).as("raw"))
+      probeRound("hits.authHalfRound", rawA)
       val nextAuth = Checkpoints.stage(normalized(rawA, "auth"))
       if (auth != null)
         org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(auth)
       auth = nextAuth
       val rawH = nodes.join(
-          e.join(vSized(auth.withColumnRenamed("id", "dst")),
+          vSized(e.join(vSized(auth.withColumnRenamed("id", "dst")),
               Seq("dst"))
             .groupBy(col("src")).agg(sum(col("auth")).as("__x"))
-            .withColumnRenamed("src", "id"),
+            .withColumnRenamed("src", "id")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("__x"), lit(0L)).as("raw"))
       val nextHub = Checkpoints.stage(normalized(rawH, "hub"))
@@ -930,7 +952,7 @@ object Graph {
       allEdges: DataFrame, a: Column, b: Column,
       newEdges: DataFrame, na: Column, nb: Column,
       storeDir: String, batchId: Long, maxDepth: Int = 6,
-      filesOut: Int = 4): DataFrame =
+      filesOut: Int = 4, broadcastLimit: Long = 4000000L): DataFrame =
     Stats.withWriterLease(allEdges.sparkSession, Seq(storeDir),
         "landmarkDistancesIncremental(batch)") {
     require(batchId >= 1L, "batchId 0 is the writeLandmarkStore base")
@@ -951,40 +973,67 @@ object Graph {
       .where(col("src") =!= col("dst"))
       .distinct()
     // improvements that beat the CURRENT sketch (missing = infinity).
-    // `curRaw` is the RAW union of the stored view and the improved
-    // layers so far; its min-fold happens inside this join instead of
-    // being re-staged per round — one observed staging job per round
-    // (the liveness count rides it), not three, and at scale the
-    // |sketch|-sized merge rewrite per round disappears.
-    def improving(cand: DataFrame, curRaw: DataFrame): DataFrame =
-      cand.where(col("dist") <= maxDepth)
-        .groupBy(col("id"), col("lm"))
-        .agg(min(col("dist")).as("dist"))
-        .join(curRaw.groupBy(col("id"), col("lm"))
-          .agg(min(col("dist")).as("__old")),
-          Seq("id", "lm"), "left")
-        .where(col("__old").isNull || col("dist") < col("__old"))
-        .select(col("id"), col("lm"), col("dist"))
+    // The current best for a candidate key is min(stored, improvements
+    // so far), and both are probed as LOOKUPS from the frontier-sized
+    // candidate set: the once-staged store keeps its (id, lm)
+    // checkpoint partitioning (only the tiny candidate side exchanges)
+    // and the improvement layers are frontier-sized — the r16 form
+    // re-min-folded stored ∪ all layers INSIDE every round's join,
+    // a |sketch|-sized scan + aggregate per round that this removes
+    // (one observed staging job per round is kept; the liveness count
+    // still rides it).
     val improved =
       scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var nImp = 0L // accumulated improvement rows (broadcast gate)
+    def improving(cand: DataFrame): DataFrame = {
+      val candAgg = cand.where(col("dist") <= maxDepth)
+        .groupBy(col("id"), col("lm"))
+        .agg(min(col("dist")).as("dist"))
+      val withSt = candAgg.join(
+        stored.select(col("id"), col("lm"), col("dist").as("__st")),
+        Seq("id", "lm"), "left")
+      val withImp =
+        if (improved.isEmpty)
+          // dist is int end to end (the store schema pins it)
+          withSt.withColumn("__imp", lit(null).cast("int"))
+        else {
+          val impMin = improved.reduce(_ unionAll _)
+            .groupBy(col("id"), col("lm"))
+            .agg(min(col("dist")).as("__imp"))
+          withSt.join(
+            if (nImp <= broadcastLimit) broadcast(impMin) else impMin,
+            Seq("id", "lm"), "left")
+        }
+      // least() skips nulls, so missing-on-both-sides = infinity
+      withImp
+        .where(least(col("__st"), col("__imp")).isNull ||
+          col("dist") < least(col("__st"), col("__imp")))
+        .select(col("id"), col("lm"), col("dist"))
+    }
     def curView: DataFrame =
       (stored +: improved.toSeq).reduce(_ unionAll _)
     var (frontier, nF) = Checkpoints.stageCount(improving(
       enSym.join(stored.select(col("id").as("src"), col("lm"),
           col("dist")), Seq("src"))
         .select(col("dst").as("id"), col("lm"),
-          (col("dist") + 1).as("dist")),
-      stored))
+          (col("dist") + 1).as("dist"))))
     var d = 0
     var alive = nF > 0
     while (alive && d < maxDepth) {
       improved += frontier
-      val (next, nNext) = Checkpoints.stageCount(improving(
-        frontier.join(sym, col("id") === col("src"))
+      nImp += nF
+      // frontier-sized probe side broadcasts under the gate, so the
+      // staged edge table is never shuffled per round (guide §3.1)
+      val fSized =
+        if (nF <= broadcastLimit) broadcast(frontier) else frontier
+      val roundDf = improving(
+        fSized.join(sym, col("id") === col("src"))
           .select(col("dst").as("id"), col("lm"),
-            (col("dist") + 1).as("dist")),
-        curView))
+            (col("dist") + 1).as("dist")))
+      probeRound("landmarkIncremental.round", roundDf)
+      val (next, nNext) = Checkpoints.stageCount(roundDf)
       frontier = next
+      nF = nNext
       alive = nNext > 0
       d += 1
     }
@@ -1964,6 +2013,7 @@ object Graph {
           when(col("__fixed"), col("label"))
             .otherwise(coalesce(col("__nl"), col("label"))).as("label"),
           col("__fixed"))
+      probeRound("labelPropagation.round", next)
       val staged = Checkpoints.stage(next)
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(labels)
       labels = staged
@@ -2883,6 +2933,7 @@ object Graph {
             .select(prop("id").as("id"),
               least(prop("f"), coalesce(col("__jf"), prop("f")))
                 .as("f"))
+        probeRound("scc.coloringRound", jumped)
         val obs = org.apache.spark.sql.Observation()
         val next = Checkpoints.stage(jumped
           .observe(obs,
