@@ -64,6 +64,13 @@ object GraftSqlBridge {
     * degrades to Unknown/empty rather than guessing. Statistics are
     * re-derived from the origin's optimized plan like fromDataset.
     */
+  /** A/B escape (the SPARK_GRAFT_FREE pattern): disable the
+    * partitioning re-attach and return the plain checkpoint — used by
+    * controlled before/after runs and plan dumps only.
+    */
+  private lazy val plainStage: Boolean =
+    sys.env.get("SPARK_GRAFT_STAGE_PLAIN").exists(_.toBoolean)
+
   def stagePreservingPartitioning(df: Dataset[_],
                                   reliable: Boolean): DataFrame = {
     import catalyst.expressions.{Attribute, AttributeMap, Expression, SortOrder}
@@ -72,6 +79,7 @@ object GraftSqlBridge {
     val ckpt =
       (if (reliable) cds.checkpoint() else cds.localCheckpoint())
         .asInstanceOf[classic.Dataset[_]]
+    if (plainStage) return ckpt.toDF()
     try {
       val lr = ckpt.queryExecution.analyzed match {
         case l: execution.LogicalRDD => l

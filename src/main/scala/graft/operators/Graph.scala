@@ -329,17 +329,23 @@ object Graph {
     // e, so with this layout the per-round plan has NO exchange at
     // all in the broadcast regime — the checkpoint partitioning is
     // reused round after round (guide §2.4)
+    // outdeg rides the staged edge row (a src-partitioned window count
+    // over the deduped edges): it is STATIC across rounds, so folding
+    // it into e removes one |V|-sized broadcast/join from EVERY round
+    // — the only per-round state left is the rank vector (guide §2.4)
     val e = Checkpoints.stage(
       edges.select(src.as("src"), dst.as("dst"))
-        .distinct().repartition(col("dst")))
-    // nodes/outdeg are |V|-sized and re-joined every iteration — stage
-    // them once instead of recomputing their aggregates per round.
+        .distinct()
+        .withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"))))
+        .repartition(col("dst")))
+    // nodes are |V|-sized and re-joined every iteration — stage them
+    // once instead of recomputing the aggregate per round.
     val (nodes, n) = Checkpoints.stageCount(
       e.select(col("src").as("id"))
         .union(e.select(col("dst").as("id"))).distinct())
     require(n > 0, "empty graph")
-    val outdeg = Checkpoints.stage(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val base = scale * (dampDen - dampNum) / (dampDen * n)
     // `start` WARM-STARTS the iteration: known ids take their stored
     // rank, unseen (new) ids the uniform prior — power iteration
@@ -362,7 +368,6 @@ object Graph {
     while (it < iters) {
       val contrib = e
         .join(vSized(ranks.withColumnRenamed("id", "src")), Seq("src"))
-        .join(vSized(outdeg), Seq("src"))
         .select(col("dst").as("id"),
           expr("rank DIV outdeg").as("share"))
         .groupBy(col("id"))
@@ -409,12 +414,15 @@ object Graph {
     require(iters >= 0, "iters must be >= 0")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen,
       "need 0 <= dampNum <= dampDen")
-    // pre-partitioned on dst like [[pageRank]]: the per-round inflow
-    // aggregate reuses the checkpoint partitioning, exchange-free in
-    // the broadcast regime
+    // pre-partitioned on dst like [[pageRank]], with the static outdeg
+    // folded onto the staged edge row (one fewer |V| broadcast/round)
     val e = Checkpoints.stage(
       edges.select(src.as("src"), dst.as("dst"))
-        .distinct().repartition(col("dst")))
+        .distinct()
+        .withColumn("outdeg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src"))))
+        .repartition(col("dst")))
     val (sd, ns) = Checkpoints.stageCount(
       seeds.select(seedId.as("id")).distinct())
     val (nodes, n) = Checkpoints.stageCount(
@@ -422,8 +430,6 @@ object Graph {
         .union(e.select(col("dst").as("id")))
         .union(sd.select(col("id"))).distinct())
     require(ns > 0, "empty seed set")
-    val outdeg = Checkpoints.stage(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
     val base = scale * (dampDen - dampNum) / (dampDen * ns)
     val small = n <= broadcastLimit
     def vSized(df: DataFrame): DataFrame =
@@ -441,7 +447,6 @@ object Graph {
     while (it < iters) {
       val contrib = e
         .join(vSized(ranks.withColumnRenamed("id", "src")), Seq("src"))
-        .join(vSized(outdeg), Seq("src"))
         .select(col("dst").as("id"),
           expr("rank DIV outdeg").as("share"))
         .groupBy(col("id"))
@@ -550,13 +555,17 @@ object Graph {
         .join(sym, Seq("src"))
         .groupBy(col("dst")).agg(sum(col("give")).as("inc"))
         .select(col("dst").as("id"), col("inc"))
+      // outer-merge as a partial-aggregated UNION instead of a
+      // full_outer sort-merge join: one row per id on each side, so
+      // sum() reproduces the coalesce arithmetic exactly — replaces
+      // two exchanges + two sorts per round with one exchange and
+      // keeps the merge map-side combinable (guide §2.3/§2.4)
       val (next, nNext) = Checkpoints.stageCount(
         updated.select(col("id"), col("p"), col("r"))
-          .join(shares, Seq("id"), "full_outer")
-          .select(col("id"),
-            coalesce(col("p"), lit(0L)).as("p"),
-            (coalesce(col("r"), lit(0L)) +
-              coalesce(col("inc"), lit(0L))).as("r")))
+          .unionAll(shares.select(col("id"), lit(0L).as("p"),
+            col("inc").as("r")))
+          .groupBy(col("id"))
+          .agg(sum(col("p")).as("p"), sum(col("r")).as("r")))
       org.apache.spark.sql.GraftSqlBridge.freeLocalCheckpoint(state)
       state = next
       nActive = nNext
@@ -2906,18 +2915,28 @@ object Graph {
       // fixpoint of the edge step alone). The jump halves the
       // remaining label depth per round: O(log d) observed staging
       // jobs on a depth-d chain instead of O(d).
-      var f = Checkpoints.stage(rem.select(col("id"),
-        col("id").as("f")))
+      // round 1 reads the IDENTITY coloring straight off the edge set
+      // (f(v) = v ⇒ the neighbor-min is just min(src) per dst), so the
+      // identity table is never staged and round 1 pays no f-broadcast
+      // — one staging job and one broadcast job fewer per outer round
+      var f: DataFrame = null
       var prevSum: java.math.BigDecimal = null
       var stable = false
       var it = 0
       while (!stable && it < innerBudget) {
-        val nbrMin = dirE
-          .join(gated(f.select(col("id").as("src"),
-            col("f").as("__nf"))), Seq("src"))
-          .groupBy(col("dst").as("id"))
-          .agg(min(col("__nf")).as("__nbr"))
-        val prop = f
+        val nbrMin =
+          if (f eq null)
+            dirE.groupBy(col("dst").as("id"))
+              .agg(min(col("src")).as("__nbr"))
+          else dirE
+            .join(gated(f.select(col("id").as("src"),
+              col("f").as("__nf"))), Seq("src"))
+            .groupBy(col("dst").as("id"))
+            .agg(min(col("__nf")).as("__nbr"))
+        val fBase =
+          if (f eq null) rem.select(col("id"), col("id").as("f"))
+          else f
+        val prop = fBase
           .join(gated(nbrMin), Seq("id"), "left")
           .select(col("id"),
             least(col("f"), coalesce(col("__nbr"), col("f")))
@@ -2942,7 +2961,7 @@ object Graph {
         val sumNow = obs.get("s").asInstanceOf[java.math.BigDecimal]
         stable = prevSum != null && prevSum.compareTo(sumNow) == 0
         prevSum = sumNow
-        free(f)
+        if (f ne null) free(f)
         f = next
         it += 1
       }
